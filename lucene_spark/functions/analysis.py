@@ -1,0 +1,113 @@
+"""Analysis chain: StandardAnalyzer-equivalent tokenize → lowercase → stop.
+
+Semantics mirrored from the reference (documented UAX#29 *subset*, exact on
+the corpus charsets we index):
+
+  * word-break tokenization — letters/digits/underscore runs form words,
+    digits may embed ``.``/``,`` between digit groups (numbers), ``'`` joins
+    letters (reference ``analysis/standard/StandardTokenizer.java:43-57``,
+    grammar ``StandardTokenizerImpl.jflex``). Full UAX#29 covers scripts we
+    never index here; golden tests pin behavior on our charset.
+  * tokens longer than ``max_token_length`` (default 255) are skipped but
+    still consume a position (``StandardTokenizer.java:145-168``).
+  * lowercase per codepoint (``analysis/LowerCaseFilter.java:36-43``) —
+    Python ``str.lower()`` on our charsets.
+  * stop filter drops tokens but accumulates position increments so gaps
+    remain (``analysis/StopFilter.java:94-98``,
+    ``FilteringTokenFilter.java:48-63``); removed stopwords contribute
+    neither to positions renumbering nor to the doc length
+    (``IndexingChain.java:1190-1248`` — length sums surviving tokens only).
+  * StandardAnalyzer default stop set is EMPTY
+    (``standard/StandardAnalyzer.java:51-53``); the optional English set is
+    the 33-word list (``en/EnglishAnalyzer.java:43-52``).
+
+Everything here is batch-oriented (pandas Series in, columnar out) so it can
+run inside ``mapInPandas``/``applyInPandas`` without per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+#: number tokens (digits with internal ./,) or word tokens (letter/underscore
+#: start, \w continuation, ' joins) — documented UAX#29 subset.
+TOKEN_PATTERN = r"\d[\w]*(?:[.,]\d[\w]*)*|[^\W\d][\w]*(?:'[\w]+)*"
+_TOKEN_RE = re.compile(TOKEN_PATTERN, re.UNICODE)
+
+MAX_TOKEN_LENGTH = 255  # reference StandardAnalyzer.java:37
+
+#: reference EnglishAnalyzer.java:43-52
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+__all__ = [
+    "TOKEN_PATTERN",
+    "MAX_TOKEN_LENGTH",
+    "ENGLISH_STOP_WORDS",
+    "analyze_text",
+    "analyze_batch",
+]
+
+
+def analyze_text(text: str,
+                 stopwords: frozenset[str] = frozenset(),
+                 max_token_length: int = MAX_TOKEN_LENGTH):
+    """Single-string analyzer (test/oracle path).
+
+    Returns (terms, positions, length): surviving lowercase terms, their
+    token positions (with gaps where stopwords / overlong tokens were), and
+    the field length (count of surviving tokens = what the norm encodes).
+    """
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = -1
+    for raw in _TOKEN_RE.findall(text):
+        pos += 1  # every tokenizer-emitted token consumes a position
+        if len(raw) > max_token_length:
+            continue  # skipped but counted (StandardTokenizer:156-166)
+        low = raw.lower()
+        if low in stopwords:
+            continue  # dropped, gap kept (StopFilter)
+        terms.append(low)
+        positions.append(pos)
+    return terms, positions, len(terms)
+
+
+def analyze_batch(texts: pd.Series,
+                  stopwords: frozenset[str] = frozenset(),
+                  max_token_length: int = MAX_TOKEN_LENGTH):
+    """Columnar analyzer for a batch of documents.
+
+    Returns (doc_idx, terms, positions, lengths):
+      doc_idx   int64 array — positional row index into ``texts`` per token
+      terms     object array of lowercase surviving tokens
+      positions int64 array of token positions (gaps preserved)
+      lengths   int64 array per row — surviving token count (norm input)
+    """
+    tok_lists = texts.str.findall(_TOKEN_RE)
+    counts = tok_lists.str.len().fillna(0).astype(np.int64).to_numpy()
+    n_docs = len(texts)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    if doc_idx.size == 0:
+        return (doc_idx, np.empty(0, dtype=object), np.empty(0, np.int64),
+                np.zeros(n_docs, np.int64))
+    flat = pd.Series(np.concatenate([np.asarray(v, dtype=object)
+                                     for v in tok_lists.to_numpy() if len(v)]))
+    # position within doc BEFORE any filtering
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    positions = np.arange(doc_idx.size, dtype=np.int64) - np.repeat(starts, counts)
+    # length filter (skip, position already consumed)
+    keep = flat.str.len().to_numpy() <= max_token_length
+    low = flat.str.lower()
+    if stopwords:
+        keep &= ~low.isin(stopwords).to_numpy()
+    terms = low.to_numpy()[keep]
+    doc_idx_k = doc_idx[keep]
+    positions_k = positions[keep]
+    lengths = np.bincount(doc_idx_k, minlength=n_docs).astype(np.int64)
+    return doc_idx_k, terms, positions_k, lengths

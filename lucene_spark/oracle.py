@@ -1,0 +1,153 @@
+"""Pure-Python brute-force BM25 reference searcher (the CheckHits oracle).
+
+Deliberately an *independent, simple* implementation of the same semantics
+as the distributed engine (reference test strategy: ``test-framework/.../
+search/CheckHits.java:158-223`` re-scores hits brute force; we target exact
+float32 equality, stricter than CheckHits' 1e-6 tolerance).
+
+Scoring path: same float32 discipline as ``functions/bm25.py`` but written
+as plain dict-and-loop code over the tokenized corpus, so a bug in the
+engine's codec / shuffle / pruning cannot be mirrored here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .functions.analysis import analyze_text
+from .functions.bm25 import (
+    K1_DEFAULT, B_DEFAULT, avg_field_length, idf, idf_sum, norm_inverse_cache,
+)
+from .functions.smallfloat import int_to_byte4
+from .plans.query import And, Not, Or, Phrase, Query, Synonym, Term
+
+
+@dataclass
+class OracleIndex:
+    """In-memory inverted index over a small corpus."""
+
+    postings: dict[str, list[tuple[int, int, list[int]]]] = field(default_factory=dict)
+    norm_bytes: dict[int, int] = field(default_factory=dict)
+    doc_count: int = 0
+    sum_ttf: int = 0
+
+    @classmethod
+    def build(cls, docs: list[tuple[int, str]],
+              stopwords: frozenset[str] = frozenset()) -> "OracleIndex":
+        """docs: list of (doc_id, content) — doc_id is the global tie-break id."""
+        idx = cls()
+        for doc_id, content in sorted(docs):
+            terms, positions, length = analyze_text(content, stopwords=stopwords)
+            per_term: dict[str, list[int]] = {}
+            for t, p in zip(terms, positions):
+                per_term.setdefault(t, []).append(p)
+            for t, plist in per_term.items():
+                idx.postings.setdefault(t, []).append((doc_id, len(plist), plist))
+            idx.norm_bytes[doc_id] = int(int_to_byte4(np.array([length]))[0])
+            idx.doc_count += 1
+            idx.sum_ttf += length
+        return idx
+
+    # -- stats ------------------------------------------------------------
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    def ttf(self, term: str) -> int:
+        return sum(tf for _, tf, _ in self.postings.get(term, ()))
+
+    # -- scoring ----------------------------------------------------------
+    def _cache(self, k1: float, b: float) -> np.ndarray:
+        avgdl = avg_field_length(self.sum_ttf, self.doc_count)
+        return norm_inverse_cache(avgdl, k1, b)
+
+    def _term_scores(self, term: str, k1: float, b: float,
+                     boost: float = 1.0) -> dict[int, np.float32]:
+        cache = self._cache(k1, b)
+        w = np.float32(boost) * idf(self.df(term), self.doc_count)
+        out: dict[int, np.float32] = {}
+        one = np.float32(1.0)
+        for doc_id, tf, _ in self.postings.get(term, ()):
+            inv = cache[self.norm_bytes[doc_id]]
+            out[doc_id] = np.float32(w - w / (one + np.float32(tf) * inv))
+        return out
+
+    def _synonym_scores(self, terms: list[str], k1: float, b: float) -> dict[int, np.float32]:
+        """SynonymQuery: one pseudo-term with df = max(df_i), freq = sum of
+        per-doc freqs, idf of the pseudo-df (reference SynonymQuery.java:
+        196-216 uses max docFreq; scorer sums freqs per doc)."""
+        pseudo_df = max((self.df(t) for t in terms), default=0)
+        if pseudo_df == 0:
+            return {}
+        cache = self._cache(k1, b)
+        w = idf(pseudo_df, self.doc_count)
+        freqs: dict[int, int] = {}
+        for t in terms:
+            for doc_id, tf, _ in self.postings.get(t, ()):
+                freqs[doc_id] = freqs.get(doc_id, 0) + tf
+        one = np.float32(1.0)
+        return {d: np.float32(w - w / (one + np.float32(f) * cache[self.norm_bytes[d]]))
+                for d, f in freqs.items()}
+
+    def _phrase_scores(self, terms: list[str], k1: float, b: float) -> dict[int, np.float32]:
+        """Exact phrase: all terms at consecutive positions; tf = match count;
+        idf = sum of per-term idfs (reference PhraseWeight/idfExplain[])."""
+        if not terms:
+            return {}
+        maps = [{d: set(pl) for d, _, pl in self.postings.get(t, ())} for t in terms]
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
+        cache = self._cache(k1, b)
+        w = idf_sum([self.df(t) for t in terms], self.doc_count)
+        one = np.float32(1.0)
+        out: dict[int, np.float32] = {}
+        for d in common:
+            starts = maps[0][d]
+            freq = sum(1 for p in starts
+                       if all((p + i) in maps[i][d] for i in range(1, len(terms))))
+            if freq:
+                inv = cache[self.norm_bytes[d]]
+                out[d] = np.float32(w - w / (one + np.float32(freq) * inv))
+        return out
+
+    def score(self, query: Query, k1: float = K1_DEFAULT,
+              b: float = B_DEFAULT) -> dict[int, np.float32]:
+        """All matching docs with their float32 scores.
+
+        Boolean semantics: SHOULD/MUST clause scores are accumulated in
+        float64 and cast to float32 at the end (reference
+        DisjunctionSumScorer / ConjunctionScorer sum in double).
+        """
+        if isinstance(query, Term):
+            return self._term_scores(query.term, k1, b, query.boost)
+        if isinstance(query, Synonym):
+            return self._synonym_scores(list(query.terms), k1, b)
+        if isinstance(query, Phrase):
+            return self._phrase_scores(list(query.terms), k1, b)
+        if isinstance(query, Or):
+            acc: dict[int, float] = {}
+            for clause in query.clauses:
+                for d, s in self.score(clause, k1, b).items():
+                    acc[d] = acc.get(d, 0.0) + float(s)
+            return {d: np.float32(s) for d, s in acc.items()}
+        if isinstance(query, And):
+            per = [self.score(c, k1, b) for c in query.clauses]
+            common = set(per[0])
+            for m in per[1:]:
+                common &= set(m)
+            return {d: np.float32(sum(float(m[d]) for m in per)) for d in common}
+        if isinstance(query, Not):
+            pos = self.score(query.positive, k1, b)
+            neg = self.score(query.negative, k1, b)
+            return {d: s for d, s in pos.items() if d not in neg}
+        raise TypeError(f"unsupported query: {query!r}")
+
+    def top_k(self, query: Query, k: int = 10, k1: float = K1_DEFAULT,
+              b: float = B_DEFAULT) -> list[tuple[int, float]]:
+        """Top-k by (score desc, doc_id asc) — the reference tie-break
+        (HitQueue.java:78-84)."""
+        scores = self.score(query, k1, b)
+        ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        return [(d, float(s)) for d, s in ranked[:k]]

@@ -1,0 +1,142 @@
+"""Minimal classic-syntax query parser.
+
+Covers the reference query-set grammar subset (reference
+``queryparser/.../classic/QueryParser.jj:198-228`` — the benchmark query
+files only use bare terms, AND/OR, NOT/-, parentheses and quoted phrases;
+``benchmark/conf/query-terms.txt``, ``query-phrases.txt``). Terms are
+re-analyzed with the same analyzer (QueryParserBase behavior), the default
+operator is OR, and the field is fixed to the content column.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from ..functions.analysis import analyze_text
+from .query import And, Not, Or, Phrase, Query, Term
+
+_TOKENS_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()]+')
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+@dataclass
+class _Negated:
+    inner: Query
+
+
+def _combine(positives: list[Query], negatives: list[Query],
+             node) -> Query:
+    if not positives:
+        raise QueryParseError("query has only negative clauses")
+    q: Query = positives[0] if len(positives) == 1 else node(tuple(positives))
+    for n in negatives:
+        q = Not(q, n)
+    return q
+
+
+def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
+    toks = _TOKENS_RE.findall(text)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def advance():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or() -> Query:
+        pos_clauses: list[Query] = []
+        neg_clauses: list[Query] = []
+
+        def absorb(item):
+            if isinstance(item, _Negated):
+                neg_clauses.append(item.inner)
+            else:
+                pos_clauses.append(item)
+
+        absorb(parse_and())
+        while peek() is not None and peek() != ")":
+            if peek().upper() in ("OR", "||"):
+                advance()
+            absorb(parse_and())  # bare juxtaposition = default OR
+        return _combine(pos_clauses, neg_clauses, Or)
+
+    def parse_and():
+        first = parse_unary()
+        pos_clauses: list[Query] = []
+        neg_clauses: list[Query] = []
+        if isinstance(first, _Negated):
+            neg_clauses.append(first.inner)
+        else:
+            pos_clauses.append(first)
+        while peek() is not None and peek().upper() in ("AND", "&&"):
+            advance()
+            nxt = parse_unary()
+            if isinstance(nxt, _Negated):
+                neg_clauses.append(nxt.inner)
+            else:
+                pos_clauses.append(nxt)
+        if not pos_clauses:
+            if len(neg_clauses) == 1:
+                return _Negated(neg_clauses[0])
+            return _Negated(Or(tuple(neg_clauses)))
+        return _combine(pos_clauses, neg_clauses, And)
+
+    def parse_unary():
+        t = peek()
+        if t is None:
+            raise QueryParseError("unexpected end of query")
+        if t.upper() in ("NOT", "!"):
+            advance()
+            nxt = parse_unary()
+            if isinstance(nxt, _Negated):
+                return nxt.inner  # double negation
+            return _Negated(nxt)
+        if t.startswith("-") and len(t) > 1 and not t[1].isdigit():
+            advance()
+            return _Negated(_atom(t[1:]))
+        return parse_primary()
+
+    def parse_primary() -> Query:
+        t = advance()
+        if t == "(":
+            q = parse_or()
+            if peek() != ")":
+                raise QueryParseError("missing closing paren")
+            advance()
+            return q
+        if t == ")":
+            raise QueryParseError("unexpected )")
+        return _atom(t)
+
+    def _atom(t: str) -> Query:
+        boost = 1.0
+        m = re.match(r'^(.*)\^(\d+(?:\.\d+)?)$', t)
+        if m:
+            t, boost = m.group(1), float(m.group(2))
+        if ":" in t and not t.startswith('"'):
+            t = t.split(":", 1)[1]  # field prefix; we index a single field
+        if t.startswith('"') and t.endswith('"') and len(t) >= 2:
+            terms, _, _ = analyze_text(t[1:-1], stopwords=stopwords)
+            if not terms:
+                raise QueryParseError(f"empty phrase: {t}")
+            return Term(terms[0], boost) if len(terms) == 1 else Phrase(tuple(terms))
+        terms, _, _ = analyze_text(t, stopwords=stopwords)
+        if not terms:
+            raise QueryParseError(f"term analyzed to nothing: {t!r}")
+        # multi-token atom → phrase (QueryParserBase re-analysis behavior)
+        return Term(terms[0], boost) if len(terms) == 1 else Phrase(tuple(terms))
+
+    if not toks:
+        raise QueryParseError("empty query")
+    q = parse_or()
+    if peek() is not None:
+        raise QueryParseError(f"trailing input at {peek()!r}")
+    return q

@@ -1,0 +1,119 @@
+"""Logical query tree + rewrite rules.
+
+The node set covers the reference query algebra we execute (reference
+``search/TermQuery.java``, ``BooleanQuery.java``, ``PhraseQuery.java``,
+``SynonymQuery.java``); rewrites mirror ``BooleanQuery.rewrite``'s
+single-clause collapse / flattening / dedup (``BooleanQuery.java:242+``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+class Query:
+    def rewrite(self) -> "Query":
+        return self
+
+    def scoring_terms(self) -> list[str]:
+        """Positive scoring terms (stats gathering)."""
+        return []
+
+    def all_terms(self) -> list[str]:
+        """Every referenced term incl. negated/phrase clauses (the postings
+        rows the executor must fetch)."""
+        return self.scoring_terms()
+
+
+@dataclass(frozen=True)
+class Term(Query):
+    term: str
+    boost: float = 1.0
+
+    def scoring_terms(self):
+        return [self.term]
+
+
+@dataclass(frozen=True)
+class Phrase(Query):
+    terms: tuple[str, ...]
+
+    def all_terms(self):
+        return list(dict.fromkeys(self.terms))
+
+
+@dataclass(frozen=True)
+class Synonym(Query):
+    """Multiple terms scored as one pseudo-term: df = max, ttf = sum
+    (reference SynonymQuery.java:196-216)."""
+    terms: tuple[str, ...]
+
+    def scoring_terms(self):
+        return list(dict.fromkeys(self.terms))
+
+
+def _dedup_flatten(clauses, node_type):
+    flat: list[Query] = []
+    for c in clauses:
+        flat.extend(c.clauses if isinstance(c, node_type) else (c,))
+    return tuple(dict.fromkeys(flat))
+
+
+@dataclass(frozen=True)
+class Or(Query):
+    clauses: tuple[Query, ...]
+
+    def rewrite(self):
+        cls = _dedup_flatten((c.rewrite() for c in self.clauses), Or)
+        return cls[0] if len(cls) == 1 else Or(cls)
+
+    def scoring_terms(self):
+        out = []
+        for c in self.clauses:
+            out.extend(c.scoring_terms())
+        return list(dict.fromkeys(out))
+
+    def all_terms(self):
+        out = []
+        for c in self.clauses:
+            out.extend(c.all_terms())
+        return list(dict.fromkeys(out))
+
+
+@dataclass(frozen=True)
+class And(Query):
+    clauses: tuple[Query, ...]
+
+    def rewrite(self):
+        cls = _dedup_flatten((c.rewrite() for c in self.clauses), And)
+        return cls[0] if len(cls) == 1 else And(cls)
+
+    scoring_terms = Or.scoring_terms
+    all_terms = Or.all_terms
+
+
+@dataclass(frozen=True)
+class Not(Query):
+    """Positive clause + MUST_NOT exclusion (ReqExclScorer shape)."""
+    positive: Query
+    negative: Query
+
+    def rewrite(self):
+        return Not(self.positive.rewrite(), self.negative.rewrite())
+
+    def scoring_terms(self):
+        return self.positive.scoring_terms()
+
+    def all_terms(self):
+        return list(dict.fromkeys(self.positive.all_terms()
+                                  + self.negative.all_terms()))
+
+
+def rewrite_fixed_point(q: Query, max_iters: int = 8) -> Query:
+    """Reference IndexSearcher.rewrite loop (IndexSearcher.java:848-860)."""
+    for _ in range(max_iters):
+        nxt = q.rewrite()
+        if nxt == q:
+            return q
+        q = nxt
+    return q

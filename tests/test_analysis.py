@@ -1,0 +1,84 @@
+"""Golden token-stream tests for the analyzer (BaseTokenStreamTestCase model:
+reference test-framework/.../analysis/BaseTokenStreamTestCase.java)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_spark.functions.analysis import (
+    ENGLISH_STOP_WORDS, analyze_batch, analyze_text,
+)
+
+
+def test_simple_words():
+    terms, pos, length = analyze_text("Foo bar BAZ")
+    assert terms == ["foo", "bar", "baz"]
+    assert pos == [0, 1, 2]
+    assert length == 3
+
+
+def test_identifiers_and_numbers():
+    terms, pos, _ = analyze_text("foo_bar2 = compute(3.14, x1, 1,000); _private")
+    assert terms == ["foo_bar2", "compute", "3.14", "x1", "1,000", "_private"]
+    assert pos == [0, 1, 2, 3, 4, 5]
+
+
+def test_apostrophe_joins():
+    terms, _, _ = analyze_text("can't won't o'clock")
+    assert terms == ["can't", "won't", "o'clock"]
+
+
+def test_punctuation_splits():
+    terms, _, _ = analyze_text("a.b-c/d\\e:f")
+    assert terms == ["a", "b", "c", "d", "e", "f"]
+
+
+def test_stopwords_leave_position_gaps():
+    terms, pos, length = analyze_text("the quick fox and the dog",
+                                      stopwords=ENGLISH_STOP_WORDS)
+    assert terms == ["quick", "fox", "dog"]
+    assert pos == [1, 2, 5]          # gaps where 'the'/'and' were
+    assert length == 3               # length counts survivors only
+
+
+def test_overlong_token_skipped_but_counted():
+    long_tok = "x" * 300
+    terms, pos, length = analyze_text(f"alpha {long_tok} beta")
+    assert terms == ["alpha", "beta"]
+    assert pos == [0, 2]             # the 300-char token consumed position 1
+    assert length == 2
+
+
+def test_exactly_255_kept():
+    tok = "y" * 255
+    terms, _, _ = analyze_text(f"a {tok} b")
+    assert terms == ["a", tok, "b"]
+
+
+def test_unicode_lowercase():
+    terms, _, _ = analyze_text("Ünïcode Straße CAFÉ")
+    assert terms == ["ünïcode", "straße", "café"]
+
+
+def test_batch_matches_scalar():
+    texts = pd.Series([
+        "The Quick brown FOX",
+        "",
+        "foo_bar 3.14 " + "z" * 400 + " tail",
+        "can't stop won't stop",
+        "if return import the a an",
+    ])
+    doc_idx, terms, positions, lengths = analyze_batch(
+        texts, stopwords=ENGLISH_STOP_WORDS)
+    for d in range(len(texts)):
+        want_terms, want_pos, want_len = analyze_text(
+            texts.iloc[d], stopwords=ENGLISH_STOP_WORDS)
+        mask = doc_idx == d
+        assert list(terms[mask]) == want_terms
+        assert list(positions[mask]) == want_pos
+        assert lengths[d] == want_len
+
+
+def test_batch_empty_series():
+    doc_idx, terms, positions, lengths = analyze_batch(pd.Series([], dtype=object))
+    assert len(doc_idx) == 0 and len(lengths) == 0

@@ -1,0 +1,105 @@
+"""Round-trip + invariant tests for the FOR/VByte postings codec
+(modeled on the reference's BasePostingsFormatTestCase strategy)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from lucene_spark.functions import codec
+
+
+def _slow_vbyte_encode(vals):
+    out = bytearray()
+    for v in vals:
+        v = int(v)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**60), max_size=300))
+@settings(max_examples=200)
+def test_vbyte_roundtrip(vals):
+    buf = codec.vbyte_encode(np.array(vals, dtype=np.uint64))
+    assert buf == _slow_vbyte_encode(vals)
+    got = codec.vbyte_decode(buf)
+    assert list(got) == vals
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1),
+                min_size=128, max_size=128))
+@settings(max_examples=100)
+def test_for_pack_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint32)
+    buf = codec.for_pack(arr)
+    got, off = codec.for_unpack(buf, 0)
+    assert off == len(buf)
+    assert np.array_equal(got, arr)
+
+
+def test_for_pack_width0():
+    assert codec.for_pack(np.zeros(128, np.uint32)) == b"\x00"
+
+
+@st.composite
+def postings(draw):
+    n = draw(st.integers(min_value=1, max_value=600))
+    gaps = draw(st.lists(st.integers(min_value=1, max_value=50),
+                         min_size=n, max_size=n))
+    doc_ids = np.cumsum(gaps) - 1
+    tfs = np.array(draw(st.lists(st.integers(min_value=1, max_value=30),
+                                 min_size=n, max_size=n)), dtype=np.int64)
+    return doc_ids.astype(np.int64), tfs
+
+
+@given(postings())
+@settings(max_examples=50, deadline=None)
+def test_postings_roundtrip(p):
+    doc_ids, tfs = p
+    max_doc = int(doc_ids[-1]) + 1
+    rng = np.random.RandomState(7)
+    norms = rng.randint(0, 256, size=max_doc).astype(np.uint8)
+    # positions: tf_i increasing positions per doc
+    pos = np.concatenate([np.sort(rng.choice(np.arange(500), size=t, replace=False))
+                          for t in tfs])
+    enc = codec.encode_postings(doc_ids, tfs, pos, norms)
+    assert enc["df"] == len(doc_ids)
+    assert enc["ttf"] == int(tfs.sum())
+    dec = codec.decode_postings(enc, with_positions=True)
+    assert np.array_equal(dec["doc_ids"], doc_ids)
+    assert np.array_equal(dec["tfs"], tfs)
+    assert np.array_equal(dec["positions"], pos)
+    # block_last covers every block and ends at the last doc
+    bl = codec.decode_block_ranges(enc["block_last"])
+    assert len(bl) == (len(doc_ids) + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE
+    assert bl[-1] == doc_ids[-1]
+    # impacts: valid frontier per block, dominating all block postings
+    imps = codec.decode_impacts(enc["impact_bytes"], len(bl))
+    for bi, pairs in enumerate(imps):
+        lo = bi * codec.BLOCK_SIZE
+        hi = min(lo + codec.BLOCK_SIZE, len(doc_ids))
+        btfs = tfs[lo:hi]
+        bnorms = norms[doc_ids[lo:hi]]
+        # every posting is dominated by some frontier pair
+        for f, nm in zip(btfs, bnorms):
+            assert any(pf >= f and pn <= nm for pf, pn in pairs)
+        # frontier is minimal (pairwise non-dominating)
+        for i in range(len(pairs)):
+            for j in range(len(pairs)):
+                if i != j:
+                    assert not (pairs[i][0] >= pairs[j][0]
+                                and pairs[i][1] <= pairs[j][1])
+
+
+def test_impacts_frontier_simple():
+    pairs = codec.impacts_frontier(np.array([1, 5, 5, 2]),
+                                   np.array([10, 7, 9, 7]))
+    assert pairs == [(5, 7)] or (5, 7) in pairs
+    # (5,7) dominates (5,9), (2,7) and (1,10)? (1,10): needs tf'>=1, norm'<=10 -> yes
+    assert pairs == [(5, 7)]
