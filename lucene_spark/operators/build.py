@@ -1,0 +1,275 @@
+"""Distributed segment build: the index write path.
+
+Spark shape (SURVEY.md §3.1): one shuffle partitions documents into
+segments (the reference's DWPT model — each task owns a private segment,
+no locks: ``index/DocumentsWriter.java:60-66``), then a vectorized
+``applyInPandas`` kernel per segment performs the whole
+tokenize → invert → delta/FOR/VByte-encode chain
+(``index/IndexingChain.java:577-1309`` + ``codecs/lucene90/
+Lucene90PostingsWriter.java:219-427``) and flushes an immutable segment
+directory. The driver then atomically commits a snapshot listing every
+segment with its lineage metrics (``index/IndexWriter.java:3849``).
+
+Scale design notes (100 TB / 1000 executors):
+  * exactly ONE wide shuffle of the raw documents (by segment key); all
+    per-token work happens map-side inside the segment kernel — the
+    token-level explode/groupBy never hits the shuffle, so near-universal
+    terms (``if``, ``return``) cannot create reducer skew here.
+  * ``sha2(content)`` and the segment key are computed JVM-side before the
+    shuffle (whole-stage codegen), not in Python.
+  * segment count is a knob: size segments so one fits executor memory
+    (reference slices ~250k docs: ``search/IndexSearcher.java:95-97``).
+  * resume: segment directories are durable units with atomic renames; a
+    re-run anti-joins away already-built segments BEFORE the shuffle, so
+    resuming a 95%-complete build shuffles only the missing 5%.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+
+from ..functions.analysis import analyze_batch
+from ..functions.codec import encode_postings
+from ..functions.smallfloat import int_to_byte4
+from ..sources.catalog import SnapshotCatalog
+
+SEG_COL = "__seg__"
+SHA_COL = "sha256"
+
+STATS_SCHEMA = ("seg_id int, num_docs long, num_terms long, num_postings long, "
+                "sum_doc_len long, bytes_compressed long, build_partition int, "
+                "status string")
+
+POSTINGS_COLUMNS = ["term", "seg_id", "df", "ttf", "doc_bytes", "tf_bytes",
+                    "pos_bytes", "block_last", "impact_bytes"]
+
+
+def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
+                   doc_id_col: str, stopwords: frozenset,
+                   store_positions: bool) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
+    """Pure kernel: docs of one segment → (postings, doc_meta, norms_payload).
+
+    Local docIDs are assigned by ascending ``doc_id`` within the segment
+    (deterministic stand-in for the reference's arrival order,
+    ``index/IndexingChain.java:577``).
+    """
+    pdf = pdf.sort_values(doc_id_col, kind="mergesort").reset_index(drop=True)
+    texts = pdf[content_col].astype("string").fillna("")
+    doc_idx, terms, positions, lengths = analyze_batch(pd.Series(texts.to_numpy(dtype=object)),
+                                                       stopwords=stopwords)
+    norm_bytes = int_to_byte4(lengths)
+    n_docs = len(pdf)
+
+    rows = []
+    if len(terms):
+        # term order = sorted unicode order (FreqProxTermsWriter.flush sorts
+        # terms before the codec sees them: index/FreqProxTermsWriter.java:83)
+        codes, uniques = pd.factorize(terms, sort=True)
+        order = np.lexsort((positions, doc_idx, codes))
+        c, d, p = codes[order], doc_idx[order], positions[order]
+        # posting boundaries: change of (term, doc)
+        new_post = np.empty(len(c), dtype=bool)
+        new_post[0] = True
+        new_post[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+        post_starts = np.nonzero(new_post)[0]
+        post_ends = np.concatenate((post_starts[1:], [len(c)]))
+        tfs_all = (post_ends - post_starts).astype(np.int64)
+        post_docs = d[post_starts]
+        post_codes = c[post_starts]
+        # term boundaries over postings
+        new_term = np.empty(len(post_codes), dtype=bool)
+        new_term[0] = True
+        new_term[1:] = post_codes[1:] != post_codes[:-1]
+        term_starts = np.nonzero(new_term)[0]
+        term_ends = np.concatenate((term_starts[1:], [len(post_codes)]))
+        for ts, te in zip(term_starts, term_ends):
+            term = uniques[post_codes[ts]]
+            doc_ids = post_docs[ts:te]
+            tfs = tfs_all[ts:te]
+            pos_slice = p[post_starts[ts]:post_ends[te - 1]] if store_positions else None
+            enc = encode_postings(doc_ids, tfs, pos_slice, norm_bytes)
+            rows.append((term, seg_id, enc["df"], enc["ttf"], enc["doc_bytes"],
+                         enc["tf_bytes"], enc["pos_bytes"], enc["block_last"],
+                         enc["impact_bytes"]))
+    postings = pd.DataFrame(rows, columns=POSTINGS_COLUMNS)
+
+    doc_meta = pdf.drop(columns=[content_col, SEG_COL], errors="ignore").copy()
+    doc_meta.insert(0, "seg_id", np.int32(seg_id))
+    doc_meta.insert(1, "local_doc_id", np.arange(n_docs, dtype=np.int32))
+    doc_meta["doc_len"] = lengths
+    doc_meta["norm_byte"] = norm_bytes.astype(np.int32)
+
+    norms_payload = {
+        "seg_id": seg_id,
+        "num_docs": n_docs,
+        "norm_bytes": norm_bytes.tobytes(),
+        "global_doc_ids": pdf[doc_id_col].to_numpy(dtype="<i8").tobytes(),
+    }
+    return postings, doc_meta, norms_payload
+
+
+def _write_segment(catalog_root: str, seg_id: int, postings: pd.DataFrame,
+                   doc_meta: pd.DataFrame, norms_payload: dict,
+                   build_partition: int, origin: str = "build") -> dict:
+    """Flush one immutable segment dir atomically (tmp + rename)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    postings_schema = pa.schema([
+        ("term", pa.string()), ("seg_id", pa.int32()), ("df", pa.int32()),
+        ("ttf", pa.int64()), ("doc_bytes", pa.binary()), ("tf_bytes", pa.binary()),
+        ("pos_bytes", pa.binary()), ("block_last", pa.binary()),
+        ("impact_bytes", pa.binary()),
+    ])
+
+    seg_dir = os.path.join(catalog_root, "segments", f"seg={seg_id}")
+    if os.path.exists(os.path.join(seg_dir, "stats.json")):
+        with open(os.path.join(seg_dir, "stats.json")) as f:
+            stats = json.load(f)
+        stats["status"] = "reused"
+        return stats
+
+    tmp = os.path.join(catalog_root, "segments", f"_tmp-{seg_id}-{uuid.uuid4().hex}")
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(postings, schema=postings_schema,
+                                        preserve_index=False),
+                   os.path.join(tmp, "postings.parquet"))
+    pq.write_table(pa.Table.from_pandas(doc_meta, preserve_index=False),
+                   os.path.join(tmp, "doc_meta.parquet"))
+    norms_tbl = pa.table({
+        "seg_id": pa.array([norms_payload["seg_id"]], pa.int32()),
+        "num_docs": pa.array([norms_payload["num_docs"]], pa.int64()),
+        "norm_bytes": pa.array([norms_payload["norm_bytes"]], pa.binary()),
+        "global_doc_ids": pa.array([norms_payload["global_doc_ids"]], pa.binary()),
+    })
+    pq.write_table(norms_tbl, os.path.join(tmp, "norms.parquet"))
+
+    bytes_compressed = int(sum(
+        postings[c].str.len().sum() for c in
+        ("doc_bytes", "tf_bytes", "pos_bytes", "block_last", "impact_bytes")
+    )) if len(postings) else 0
+    stats = {
+        "seg_id": int(seg_id),
+        "num_docs": int(norms_payload["num_docs"]),
+        "num_terms": int(len(postings)),
+        "num_postings": int(postings["df"].sum()) if len(postings) else 0,
+        "sum_doc_len": int(doc_meta["doc_len"].sum()) if len(doc_meta) else 0,
+        "bytes_compressed": bytes_compressed,
+        "build_partition": int(build_partition),
+        "origin": origin,
+        "status": "built",
+    }
+    with open(os.path.join(tmp, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    try:
+        os.rename(tmp, seg_dir)
+    except OSError:
+        # concurrent/previous writer won the rename; reuse theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(seg_dir, "stats.json")) as f:
+            stats = json.load(f)
+        stats["status"] = "reused"
+    return stats
+
+
+def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
+                  stopwords: frozenset, store_positions: bool):
+    def build_one_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyspark import TaskContext
+        seg_id = int(key[0])
+        tc = TaskContext.get()
+        part = tc.partitionId() if tc else -1
+        postings, doc_meta, norms_payload = invert_segment(
+            pdf, seg_id, content_col, doc_id_col, stopwords, store_positions)
+        stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
+                               norms_payload, part)
+        return pd.DataFrame([{
+            "seg_id": stats["seg_id"], "num_docs": stats["num_docs"],
+            "num_terms": stats["num_terms"], "num_postings": stats["num_postings"],
+            "sum_doc_len": stats["sum_doc_len"],
+            "bytes_compressed": stats["bytes_compressed"],
+            "build_partition": stats["build_partition"], "status": stats["status"],
+        }])
+    return build_one_segment
+
+
+def compute_term_stats(spark, catalog: SnapshotCatalog, seg_ids: list[int],
+                       out_dir: str) -> str:
+    """Global term statistics: df/ttf aggregated across ALL segments —
+    the reference gathers these once per query across leaves
+    (``index/TermStates.java:184-190``); we precompute them as a table.
+
+    Skew note: inputs are already per-segment pre-aggregated rows (at most
+    one row per (term, segment)), so a term's reduce-side group is bounded
+    by the segment count — the map-side combine happened inside the segment
+    kernel. No salting needed on this path.
+    """
+    from pyspark.sql import functions as F
+    paths = [os.path.join(catalog.segment_dir(s), "postings.parquet") for s in seg_ids]
+    stats = (spark.read.parquet(*paths)
+             .groupBy("term")
+             .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf")))
+    (stats.repartition(1).sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(out_dir))
+    return out_dir
+
+
+def build_index(spark, df, index_dir: str, *,
+                num_segments: int = 32,
+                content_col: str = "content",
+                doc_id_col: str = "doc_id",
+                stopwords: frozenset = frozenset(),
+                store_positions: bool = True,
+                resume: bool = True,
+                compute_stats: bool = True):
+    """Build (or resume) an index over ``df`` and commit a snapshot.
+
+    ``df`` must carry a unique int64 ``doc_id`` column — the global docID
+    and tie-break order (the role of Lucene's docBase+local docID).
+    Returns the committed :class:`Snapshot`.
+    """
+    from pyspark.sql import functions as F
+
+    catalog = SnapshotCatalog(index_dir)
+    work = df.withColumn(SHA_COL, F.sha2(F.col(content_col).cast("string"), 256))
+    work = work.withColumn(SEG_COL,
+                           F.pmod(F.col(doc_id_col), F.lit(num_segments)).cast("int"))
+
+    durable = {sid: st for sid, st in catalog.durable_segments().items()
+               if st.get("origin", "build") == "build"}
+    if resume and durable:
+        work = work.filter(~F.col(SEG_COL).isin(list(durable.keys())))
+
+    builder = _make_builder(index_dir, content_col, doc_id_col,
+                            frozenset(stopwords), store_positions)
+    new_stats = (work.repartition(num_segments, F.col(SEG_COL))
+                 .groupBy(SEG_COL)
+                 .applyInPandas(builder, schema=STATS_SCHEMA)
+                 .collect())
+
+    seg_stats: dict[int, dict] = dict(durable)
+    for row in new_stats:
+        seg_stats[row["seg_id"]] = {**row.asDict(), "origin": "build"}
+    segments = [seg_stats[s] for s in sorted(seg_stats)]
+
+    field_stats = {
+        "doc_count": int(sum(s["num_docs"] for s in segments)),
+        "sum_total_term_freq": int(sum(s["sum_doc_len"] for s in segments)),
+    }
+    latest = catalog.load()
+    next_id = (latest.snapshot_id + 1) if latest else 1
+    ts_path = None
+    if compute_stats:
+        ts_path = compute_term_stats(
+            spark, catalog, [s["seg_id"] for s in segments],
+            os.path.join(index_dir, "term_stats", f"gen-{next_id}"))
+    return catalog.commit(segments, field_stats, ts_path,
+                          extra={"num_segments": num_segments,
+                                 "doc_id_col": doc_id_col,
+                                 "store_positions": store_positions})

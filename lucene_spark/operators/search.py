@@ -1,0 +1,603 @@
+"""Query read path: distributed BM25 top-k over the segment tables.
+
+Spark shape (SURVEY.md §3.2): global term statistics come from the
+precomputed ``term_stats`` table (the reference aggregates df/ttf across
+all leaves at weight creation: ``index/TermStates.java:99,184-190``); the
+postings scan is filtered to the query's terms (parquet predicate pushdown
+— the term dictionary's role); one vectorized cogroup kernel per segment
+scores and collects a local top-k with the exact reference tie-break
+(score desc, docID asc: ``search/HitQueue.java:78-84``); the global merge
+is an ``ORDER BY score DESC, doc_id ASC LIMIT k`` over ≤ k rows per
+segment (TakeOrderedAndProject — only k·S tiny rows ever move, postings
+never shuffle at query time; reference merge: ``search/TopDocs.java:71-90``).
+
+Two execution strategies, mirroring Boolean scorer selection
+(``search/Boolean2ScorerSupplier.java:141-244``):
+
+  * ``exhaustive`` — decode + score every posting (the correctness oracle,
+    like DisjunctionSumScorer / exhaustive BooleanScorer).
+  * ``bmw`` — block-max pruning: per 128-doc block impact frontiers give
+    per-block score upper bounds (``search/MaxScoreCache.java:58-64``);
+    windows of the docID space are processed in descending upper-bound
+    order and scoring stops when no remaining window can beat the k-th
+    collected score (Ding & Suel block-max WAND adapted to vectorized
+    window-at-a-time execution; the collector-feedback loop is
+    ``search/TopScoreDocCollector.java:90-107`` + ``ImpactsDISI:61-77``).
+    Blocks in never-visited windows are never bit-unpacked.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from ..functions import bm25, codec
+from ..functions.smallfloat import LENGTH_TABLE
+from ..plans import query as Q
+from ..plans.parser import parse as parse_query
+from ..sources.catalog import SnapshotCatalog
+
+WINDOW = 4096  # BooleanScorer windows are 2048 docs (BooleanScorer.java:29-36)
+
+
+# ---------------------------------------------------------------------------
+# Compiled (weighted) query tree — created on the driver with GLOBAL stats
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CTerm:
+    term: str
+    weight: np.float32
+
+
+@dataclass(frozen=True)
+class CSynonym:
+    terms: tuple[str, ...]
+    weight: np.float32
+
+
+@dataclass(frozen=True)
+class CPhrase:
+    terms: tuple[str, ...]
+    weight: np.float32
+
+
+@dataclass(frozen=True)
+class COr:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class CAnd:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class CNot:
+    positive: object
+    negative: object
+
+
+def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int):
+    """Attach float32 weights using GLOBAL df/docCount. Terms absent from
+    the index produce no scorer (Lucene skips them); an AND with a missing
+    term matches nothing (returns None to signal that)."""
+
+    def df_of(t: str) -> int:
+        return term_dfs.get(t, 0)
+
+    def go(node):
+        if isinstance(node, Q.Term):
+            if df_of(node.term) == 0:
+                return None
+            w = np.float32(np.float32(node.boost)
+                           * bm25.idf(df_of(node.term), doc_count))
+            return CTerm(node.term, w)
+        if isinstance(node, Q.Synonym):
+            present = tuple(t for t in node.terms if df_of(t) > 0)
+            if not present:
+                return None
+            pseudo_df = max(df_of(t) for t in present)
+            return CSynonym(present, bm25.idf(pseudo_df, doc_count))
+        if isinstance(node, Q.Phrase):
+            if any(df_of(t) == 0 for t in node.terms):
+                return None
+            w = bm25.idf_sum([df_of(t) for t in node.terms], doc_count)
+            return CPhrase(tuple(node.terms), w)
+        if isinstance(node, Q.Or):
+            kids = tuple(k for k in (go(c) for c in node.clauses) if k is not None)
+            if not kids:
+                return None
+            return kids[0] if len(kids) == 1 else COr(kids)
+        if isinstance(node, Q.And):
+            kids = tuple(go(c) for c in node.clauses)
+            if any(k is None for k in kids):
+                return None  # required clause can never match
+            return kids[0] if len(kids) == 1 else CAnd(kids)
+        if isinstance(node, Q.Not):
+            pos = go(node.positive)
+            if pos is None:
+                return None
+            neg = go(node.negative)
+            return pos if neg is None else CNot(pos, neg)
+        raise TypeError(f"unsupported query node {node!r}")
+
+    return go(q)
+
+
+def _compiled_terms(c) -> list[str]:
+    if c is None:
+        return []
+    if isinstance(c, CTerm):
+        return [c.term]
+    if isinstance(c, (CSynonym, CPhrase)):
+        return list(c.terms)
+    if isinstance(c, (COr, CAnd)):
+        out = []
+        for k in c.children:
+            out.extend(_compiled_terms(k))
+        return out
+    if isinstance(c, CNot):
+        return _compiled_terms(c.positive) + _compiled_terms(c.negative)
+    raise TypeError(type(c))
+
+
+def _bmw_eligible(c) -> bool:
+    """Block-max path covers the pure term algebra (Term/Or/And); phrases,
+    synonyms and exclusions fall back to exhaustive scoring."""
+    if isinstance(c, CTerm):
+        return True
+    if isinstance(c, (COr, CAnd)):
+        return all(_bmw_eligible(k) for k in c.children)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Per-segment term postings with lazy block decode
+# ---------------------------------------------------------------------------
+
+class TermSegPostings:
+    """Lazy reader over one (term, segment) postings row: decodes 128-doc
+    FOR blocks on demand; never touches blocks outside visited windows."""
+
+    def __init__(self, row: dict):
+        self.df = int(row["df"])
+        self.doc_buf = row["doc_bytes"]
+        self.tf_buf = row["tf_bytes"]
+        self.pos_buf = row["pos_bytes"]
+        self.block_last = codec.decode_block_ranges(row["block_last"])
+        self.impact_bytes = row["impact_bytes"]
+        self.n_blocks = len(self.block_last)
+        self.n_full = self.df // codec.BLOCK_SIZE
+        self._block_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._offsets: tuple[np.ndarray, np.ndarray] | None = None
+        self._all: tuple[np.ndarray, np.ndarray] | None = None
+
+    # -- offsets of each FOR block inside doc/tf streams --------------------
+    def _block_offsets(self):
+        if self._offsets is None:
+            doc_off = np.zeros(self.n_full + 1, dtype=np.int64)
+            tf_off = np.zeros(self.n_full + 1, dtype=np.int64)
+            for b in range(self.n_full):
+                w = self.doc_buf[doc_off[b]]
+                doc_off[b + 1] = doc_off[b] + 1 + ((codec.BLOCK_SIZE * w + 7) // 8 if w else 0)
+                w = self.tf_buf[tf_off[b]]
+                tf_off[b + 1] = tf_off[b] + 1 + ((codec.BLOCK_SIZE * w + 7) // 8 if w else 0)
+            self._offsets = (doc_off, tf_off)
+        return self._offsets
+
+    def _decode_block(self, b: int):
+        """(doc_ids, tfs) of block b."""
+        hit = self._block_cache.get(b)
+        if hit is not None:
+            return hit
+        doc_off, tf_off = self._block_offsets()
+        base = int(self.block_last[b - 1]) if b > 0 else None
+        if b < self.n_full:
+            deltas, _ = codec.for_unpack(self.doc_buf, int(doc_off[b]))
+            tfs, _ = codec.for_unpack(self.tf_buf, int(tf_off[b]))
+            ids = np.cumsum(deltas.astype(np.int64))
+            ids += base if base is not None else 0
+            tfs = tfs.astype(np.int64)
+        else:  # tail block (VByte)
+            ntail = self.df - self.n_full * codec.BLOCK_SIZE
+            deltas = codec.vbyte_decode(self.doc_buf, ntail, offset=int(doc_off[-1]))
+            tfs = codec.vbyte_decode(self.tf_buf, ntail, offset=int(tf_off[-1]))
+            ids = np.cumsum(deltas)
+            ids += base if base is not None else 0
+        self._block_cache[b] = (ids, tfs)
+        return ids, tfs
+
+    def decode_all(self):
+        if self._all is None:
+            if self.n_blocks == 0:
+                self._all = (np.empty(0, np.int64), np.empty(0, np.int64))
+            else:
+                parts = [self._decode_block(b) for b in range(self.n_blocks)]
+                self._all = (np.concatenate([p[0] for p in parts]),
+                             np.concatenate([p[1] for p in parts]))
+        return self._all
+
+    def in_range(self, lo: int, hi: int):
+        """(doc_ids, tfs) with lo <= id < hi, decoding only needed blocks."""
+        if self.n_blocks == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        b0 = int(np.searchsorted(self.block_last, lo, side="left"))
+        if b0 >= self.n_blocks:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ids_parts, tf_parts = [], []
+        for b in range(b0, self.n_blocks):
+            start = int(self.block_last[b - 1]) + 1 if b > 0 else 0
+            if start >= hi:
+                break
+            ids, tfs = self._decode_block(b)
+            ids_parts.append(ids)
+            tf_parts.append(tfs)
+        if not ids_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        i0, i1 = np.searchsorted(ids, [lo, hi])
+        return ids[i0:i1], tfs[i0:i1]
+
+    def positions(self):
+        """Decoded positions aligned with repeat(doc_ids, tfs)."""
+        ids, tfs = self.decode_all()
+        row = {"df": self.df, "doc_bytes": self.doc_buf, "tf_bytes": self.tf_buf,
+               "pos_bytes": self.pos_buf}
+        dec = codec.decode_postings(row, with_positions=True)
+        return dec.get("positions", np.empty(0, np.int64))
+
+    def block_max_scores(self, weight: np.float32, cache: np.ndarray) -> np.ndarray:
+        imps = codec.decode_impacts(self.impact_bytes, self.n_blocks)
+        return bm25.max_block_scores(imps, weight, cache)
+
+
+# ---------------------------------------------------------------------------
+# Per-segment evaluation kernels (numpy, run inside the cogroup UDF)
+# ---------------------------------------------------------------------------
+
+class _SegContext:
+    def __init__(self, postings_rows: dict[str, dict], norm_bytes: np.ndarray,
+                 cache: np.ndarray):
+        self.rows = postings_rows
+        self.norms = norm_bytes
+        self.cache = cache
+        self._tps: dict[str, TermSegPostings] = {}
+
+    def tp(self, term: str) -> TermSegPostings | None:
+        if term not in self.rows:
+            return None
+        if term not in self._tps:
+            self._tps[term] = TermSegPostings(self.rows[term])
+        return self._tps[term]
+
+
+def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
+    """Evaluate the compiled tree over local docIDs [lo, hi).
+
+    Returns (mask bool[hi-lo], scores float64[hi-lo]) — clause scores
+    accumulate in float64 exactly like the reference's double accumulators
+    (DisjunctionSumScorer/ConjunctionScorer), cast to float32 at the end.
+    """
+    n = hi - lo
+    mask = np.zeros(n, dtype=bool)
+    scores = np.zeros(n, dtype=np.float64)
+    if isinstance(node, CTerm):
+        tp = ctx.tp(node.term)
+        if tp is not None:
+            ids, tfs = tp.in_range(lo, hi)
+            if len(ids):
+                s = bm25.score_block(tfs, ctx.norms[ids], node.weight, ctx.cache)
+                mask[ids - lo] = True
+                scores[ids - lo] = s.astype(np.float64)
+        return mask, scores
+    if isinstance(node, CSynonym):
+        freqs = np.zeros(n, dtype=np.int64)
+        for t in node.terms:
+            tp = ctx.tp(t)
+            if tp is None:
+                continue
+            ids, tfs = tp.in_range(lo, hi)
+            freqs[ids - lo] += tfs
+        mask = freqs > 0
+        if mask.any():
+            s = bm25.score_block(freqs[mask], ctx.norms[lo:hi][mask],
+                                 node.weight, ctx.cache)
+            scores[mask] = s.astype(np.float64)
+        return mask, scores
+    if isinstance(node, CPhrase):
+        freqs = _phrase_freqs(node.terms, ctx, lo, hi)
+        mask = freqs > 0
+        if mask.any():
+            s = bm25.score_block(freqs[mask], ctx.norms[lo:hi][mask],
+                                 node.weight, ctx.cache)
+            scores[mask] = s.astype(np.float64)
+        return mask, scores
+    if isinstance(node, COr):
+        for child in node.children:
+            m, s = _eval_range(child, ctx, lo, hi)
+            mask |= m
+            scores += s
+        return mask, scores
+    if isinstance(node, CAnd):
+        mask = None
+        for child in node.children:
+            m, s = _eval_range(child, ctx, lo, hi)
+            mask = m if mask is None else (mask & m)
+            scores += s
+        scores[~mask] = 0.0
+        return mask, scores
+    if isinstance(node, CNot):
+        mask, scores = _eval_range(node.positive, ctx, lo, hi)
+        m_neg, _ = _eval_range(node.negative, ctx, lo, hi)
+        mask &= ~m_neg
+        scores[~mask] = 0.0
+        return mask, scores
+    raise TypeError(type(node))
+
+
+def _phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
+                  lo: int, hi: int) -> np.ndarray:
+    """Exact-phrase frequency per doc in [lo, hi): all terms at consecutive
+    positions (ExactPhraseMatcher semantics). Vectorized via (doc<<32|pos)
+    key-set membership."""
+    n = hi - lo
+    freqs = np.zeros(n, dtype=np.int64)
+    tps = [ctx.tp(t) for t in terms]
+    if any(tp is None for tp in tps):
+        return freqs
+    BIG = np.int64(1) << np.int64(32)
+    keysets = []
+    first_keys = None
+    first_docs = None
+    for i, tp in enumerate(tps):
+        ids, tfs = tp.decode_all()
+        pos = tp.positions()
+        docs_rep = np.repeat(ids, tfs)
+        keys = docs_rep * BIG + pos
+        if i == 0:
+            sel = (docs_rep >= lo) & (docs_rep < hi)
+            first_keys = keys[sel]
+            first_docs = docs_rep[sel]
+        keysets.append(np.sort(keys))
+    if first_keys is None or len(first_keys) == 0:
+        return freqs
+    match = np.ones(len(first_keys), dtype=bool)
+    for i in range(1, len(terms)):
+        probe = first_keys + np.int64(i)
+        idx = np.searchsorted(keysets[i], probe)
+        ok = (idx < len(keysets[i])) & (keysets[i][np.minimum(idx, len(keysets[i]) - 1)] == probe)
+        match &= ok
+    if match.any():
+        np.add.at(freqs, first_docs[match] - lo, 1)
+    return freqs
+
+
+def _upper_bounds(node, ctx: _SegContext, n_windows: int, n_docs: int) -> np.ndarray:
+    """Per-window score upper bound from block-max impacts (float64 sum of
+    float32 per-term block maxima — a valid bound up to float rounding; the
+    collector applies a relative epsilon before trusting it)."""
+    if isinstance(node, CTerm):
+        ub = np.zeros(n_windows, dtype=np.float64)
+        tp = ctx.tp(node.term)
+        if tp is None or tp.n_blocks == 0:
+            return ub
+        bms = tp.block_max_scores(node.weight, ctx.cache).astype(np.float64)
+        starts = np.concatenate(([0], tp.block_last[:-1] + 1)) // WINDOW
+        ends = tp.block_last // WINDOW
+        for b in range(tp.n_blocks):
+            w0, w1 = int(starts[b]), int(ends[b])
+            seg = ub[w0:w1 + 1]
+            np.maximum(seg, bms[b], out=seg)
+        return ub
+    if isinstance(node, (COr, CAnd)):
+        ub = np.zeros(n_windows, dtype=np.float64)
+        for child in node.children:
+            ub += _upper_bounds(child, ctx, n_windows, n_docs)
+        return ub
+    raise TypeError(type(node))
+
+
+def _topk_merge(gids: np.ndarray, scores32: np.ndarray, k: int):
+    """k best by (score desc, global doc_id asc)."""
+    if len(gids) <= k:
+        order = np.lexsort((gids, -scores32.astype(np.float64)))
+        return gids[order], scores32[order]
+    order = np.lexsort((gids, -scores32.astype(np.float64)))[:k]
+    return gids[order], scores32[order]
+
+
+def score_segment(compiled, postings_rows: dict[str, dict],
+                  norm_bytes: np.ndarray, gids: np.ndarray,
+                  cache: np.ndarray, k: int, mode: str,
+                  after: tuple[float, int] | None = None):
+    """One segment's top-k: returns (global_doc_ids, float32 scores, hits).
+
+    ``hits`` is the exact match count in exhaustive mode; in bmw mode it is
+    a lower bound (the reference reports totalHits GTE beyond the threshold:
+    ``search/TopScoreDocCollector.java:91-96``).
+    """
+    n = len(norm_bytes)
+    ctx = _SegContext(postings_rows, norm_bytes, cache)
+    use_bmw = mode == "bmw" or (mode == "auto" and _bmw_eligible(compiled))
+    if compiled is None or n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float32), 0
+
+    def collectable(local_ids, s32):
+        if after is None:
+            return np.ones(len(local_ids), dtype=bool)
+        a_score, a_doc = np.float32(after[0]), int(after[1])
+        g = gids[local_ids]
+        return (s32 < a_score) | ((s32 == a_score) & (g > a_doc))
+
+    if not use_bmw or not _bmw_eligible(compiled):
+        mask, scores = _eval_range(compiled, ctx, 0, n)
+        hits = int(mask.sum())
+        lids = np.nonzero(mask)[0]
+        s32 = scores[lids].astype(np.float32)
+        keep = collectable(lids, s32)
+        g, s = _topk_merge(gids[lids[keep]], s32[keep], k)
+        return g, s, hits
+
+    # ---- block-max windowed pruning ----
+    n_windows = (n + WINDOW - 1) // WINDOW
+    ub = _upper_bounds(compiled, ctx, n_windows, n)
+    worder = np.argsort(-ub, kind="stable")
+    cand_g: list[np.ndarray] = []
+    cand_s: list[np.ndarray] = []
+    theta = -np.inf
+    count = 0
+    hits = 0
+    EPS = 1e-5
+    for w in worder:
+        if ub[w] <= 0.0:
+            break
+        if count >= k and ub[w] < theta * (1.0 - EPS) - 1e-9:
+            break  # no remaining window can compete (worder is UB-desc)
+        lo = int(w) * WINDOW
+        hi = min(lo + WINDOW, n)
+        mask, scores = _eval_range(compiled, ctx, lo, hi)
+        if not mask.any():
+            continue
+        hits += int(mask.sum())
+        local = np.nonzero(mask)[0]
+        lids = local + lo
+        s32 = scores[local].astype(np.float32)
+        keep = collectable(lids, s32)
+        if keep.any():
+            cand_g.append(gids[lids[keep]])
+            cand_s.append(s32[keep])
+            count += int(keep.sum())
+        if count >= k:
+            g_all = np.concatenate(cand_g)
+            s_all = np.concatenate(cand_s)
+            g_all, s_all = _topk_merge(g_all, s_all, k)
+            cand_g, cand_s = [g_all], [s_all]
+            count = len(g_all)
+            theta = float(s_all[-1])
+    if not cand_g:
+        return np.empty(0, np.int64), np.empty(0, np.float32), hits
+    g_all = np.concatenate(cand_g)
+    s_all = np.concatenate(cand_s)
+    g, s = _topk_merge(g_all, s_all, k)
+    return g, s, hits
+
+
+# ---------------------------------------------------------------------------
+# The distributed Searcher
+# ---------------------------------------------------------------------------
+
+class Searcher:
+    """Point-in-time reader + searcher over a committed snapshot
+    (DirectoryReader/IndexSearcher role)."""
+
+    def __init__(self, spark, index_dir: str, snapshot_id: int | None = None):
+        import os
+
+        from pyspark.sql import functions as F  # noqa: F401
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.catalog = SnapshotCatalog(index_dir)
+        snap = self.catalog.load(snapshot_id)
+        if snap is None:
+            raise ValueError(f"no snapshot in {index_dir}")
+        self.snapshot = snap
+        seg_dirs = [self.catalog.segment_dir(s) for s in snap.seg_ids]
+        self.postings = spark.read.parquet(
+            *[os.path.join(d, "postings.parquet") for d in seg_dirs])
+        self.norms = spark.read.parquet(
+            *[os.path.join(d, "norms.parquet") for d in seg_dirs])
+        self.doc_meta = spark.read.parquet(
+            *[os.path.join(d, "doc_meta.parquet") for d in seg_dirs])
+        self.term_stats = (spark.read.parquet(snap.term_stats_path)
+                           if snap.term_stats_path else None)
+        self.doc_count = int(snap.field_stats["doc_count"])
+        self.sum_ttf = int(snap.field_stats["sum_total_term_freq"])
+
+    # -- stats -------------------------------------------------------------
+    def _global_dfs(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        from pyspark.sql import functions as F
+        rows = (self.term_stats.filter(F.col("term").isin(terms))
+                .select("term", "df").collect())
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _compile(self, query):
+        if isinstance(query, str):
+            query = parse_query(query)
+        query = Q.rewrite_fixed_point(query)
+        dfs = self._global_dfs(query.all_terms())
+        compiled = compile_query(query, dfs, self.doc_count)
+        avgdl = bm25.avg_field_length(self.sum_ttf, self.doc_count)
+        cache = bm25.norm_inverse_cache(avgdl)
+        return compiled, cache
+
+    # -- search ------------------------------------------------------------
+    def search(self, query, k: int = 10, mode: str = "auto",
+               after: tuple[float, int] | None = None):
+        """Returns a DataFrame (doc_id, score float32, rank) of the global
+        top-k; ``after=(score, doc_id)`` pages past a previous hit
+        (searchAfter: ``search/IndexSearcher.java:490-546``)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        compiled, cache = self._compile(query)
+        spark = self.spark
+        out_schema = "seg_id int, doc_id long, score float, seg_hits long"
+        if compiled is None:
+            return spark.createDataFrame([], out_schema + ", rank int") \
+                        .select("doc_id", "score", "rank")
+
+        terms = sorted(set(_compiled_terms(compiled)))
+        pf = self.postings.filter(F.col("term").isin(terms))
+
+        def seg_topk(key, postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
+            if len(norms_pdf) == 0 or len(postings_pdf) == 0:
+                return pd.DataFrame(columns=["seg_id", "doc_id", "score", "seg_hits"])
+            seg_id = int(key[0])
+            nrow = norms_pdf.iloc[0]
+            norm_bytes = np.frombuffer(nrow["norm_bytes"], dtype=np.uint8)
+            gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
+            rows = {r["term"]: r for _, r in postings_pdf.iterrows()}
+            g, s, hits = score_segment(compiled, rows, norm_bytes, gids,
+                                       cache, k, mode, after)
+            return pd.DataFrame({"seg_id": np.int32(seg_id), "doc_id": g,
+                                 "score": s.astype(np.float32),
+                                 "seg_hits": np.int64(hits)})
+
+        res = (pf.groupBy("seg_id")
+               .cogroup(self.norms.groupBy("seg_id"))
+               .applyInPandas(seg_topk, schema=out_schema))
+        top = (res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+               .withColumn("rank", F.row_number().over(
+                   Window.orderBy(F.desc("score"), F.asc("doc_id")))))
+        return top.select("doc_id", "score", "rank")
+
+    def count(self, query) -> int:
+        """TotalHitCountCollector analogue — exact match count."""
+        from pyspark.sql import functions as F
+        compiled, cache = self._compile(query)
+        if compiled is None:
+            return 0
+        terms = sorted(set(_compiled_terms(compiled)))
+        pf = self.postings.filter(F.col("term").isin(terms))
+
+        def seg_count(key, postings_pdf, norms_pdf):
+            if len(norms_pdf) == 0 or len(postings_pdf) == 0:
+                return pd.DataFrame({"hits": [0]})
+            nrow = norms_pdf.iloc[0]
+            norm_bytes = np.frombuffer(nrow["norm_bytes"], dtype=np.uint8)
+            gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
+            rows = {r["term"]: r for _, r in postings_pdf.iterrows()}
+            _, _, hits = score_segment(compiled, rows, norm_bytes, gids,
+                                       cache, 1, "exhaustive")
+            return pd.DataFrame({"hits": [hits]})
+
+        res = (pf.groupBy("seg_id").cogroup(self.norms.groupBy("seg_id"))
+               .applyInPandas(seg_count, schema="hits long"))
+        return int(res.agg(F.sum("hits")).collect()[0][0] or 0)

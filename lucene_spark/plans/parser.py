@@ -63,7 +63,7 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
 
         absorb(parse_and())
         while peek() is not None and peek() != ")":
-            if peek().upper() in ("OR", "||"):
+            if peek() in ("OR", "||"):
                 advance()
             absorb(parse_and())  # bare juxtaposition = default OR
         return _combine(pos_clauses, neg_clauses, Or)
@@ -76,7 +76,7 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
             neg_clauses.append(first.inner)
         else:
             pos_clauses.append(first)
-        while peek() is not None and peek().upper() in ("AND", "&&"):
+        while peek() in ("AND", "&&"):
             advance()
             nxt = parse_unary()
             if isinstance(nxt, _Negated):
@@ -93,7 +93,7 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
         t = peek()
         if t is None:
             raise QueryParseError("unexpected end of query")
-        if t.upper() in ("NOT", "!"):
+        if t in ("NOT", "!"):
             advance()
             nxt = parse_unary()
             if isinstance(nxt, _Negated):

@@ -1,0 +1,228 @@
+"""End-to-end engine tests: build on Spark, search, rank-identical parity
+vs the brute-force oracle (exact float32 score equality — stricter than
+the reference's CheckHits 1e-6 tolerance), CheckIndex-style invariants,
+and kill-and-resume."""
+
+import hashlib
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions import codec
+from lucene_spark.functions.smallfloat import int_to_byte4
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.search import Searcher
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.plans.parser import parse
+from lucene_spark.plans.query import Synonym
+from lucene_spark.sources.corpus import generate_corpus
+
+N_DOCS = 400
+N_SEGS = 8
+
+QUERIES = [
+    "if",                      # max-df term
+    "parse",                   # mid-df
+    "codec AND util",          # AND
+    "if AND return",           # high-df AND (tiny scores)
+    "parse OR emit OR token",  # OR disjunction
+    "scan OR flush",
+    "query AND index AND merge",
+    "scan -flush",             # MUST_NOT
+    "score AND NOT doc",
+    '"mixed case"',            # phrase (string literal in corpus)
+    '"mixed case literal"',    # 3-term phrase
+    "getIdx OR parse",         # absent term in OR → dropped clause
+    "nosuchterm",              # fully absent
+    "nosuchterm AND parse",    # AND with absent → empty
+    "(scan OR flush) AND index",
+    "field^2 OR block",        # boost
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(N_DOCS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus):
+    d = tempfile.mkdtemp(prefix="lucene_spark_idx_")
+    df = spark.createDataFrame(corpus)
+    snap = build_index(spark, df, d, num_segments=N_SEGS)
+    assert snap.snapshot_id == 1
+    return d
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index_dir):
+    return Searcher(spark, index_dir)
+
+
+# ---------------------------------------------------------------------------
+# Rank + score parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("qtext", QUERIES)
+def test_rank_identical_exhaustive(searcher, oracle, qtext):
+    got = [(r.doc_id, r.score) for r in
+           searcher.search(qtext, k=10, mode="exhaustive").collect()]
+    want = oracle.top_k(parse(qtext), k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], f"docs differ for {qtext}"
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert np.float32(gs) == np.float32(ws), \
+            f"score mismatch {qtext} doc {gd}: {gs} vs {ws}"
+
+
+@pytest.mark.parametrize("qtext", QUERIES)
+def test_bmw_equals_exhaustive(searcher, qtext):
+    ex = [(r.doc_id, r.score) for r in
+          searcher.search(qtext, k=10, mode="exhaustive").collect()]
+    bm = [(r.doc_id, r.score) for r in
+          searcher.search(qtext, k=10, mode="bmw").collect()]
+    assert ex == bm, f"bmw diverges for {qtext}"
+
+
+def test_fuzzed_queries_parity(searcher, oracle, corpus):
+    """Randomized differential queries over real vocabulary at mixed df."""
+    rng = np.random.RandomState(7)
+    vocab = sorted(oracle.postings, key=lambda t: -oracle.df(t))
+    hi = vocab[:20]
+    mid = vocab[len(vocab) // 3: len(vocab) // 3 + 50]
+    rare = vocab[-50:]
+    pools = [hi, mid, rare]
+    for i in range(25):
+        terms = []
+        for _ in range(rng.randint(1, 4)):
+            pool = pools[rng.randint(3)]
+            terms.append(pool[rng.randint(len(pool))])
+        op = " AND " if rng.rand() < 0.5 else " OR "
+        qtext = op.join(t for t in terms if "'" not in t) or "parse"
+        got = [(r.doc_id, r.score) for r in
+               searcher.search(qtext, k=10, mode="auto").collect()]
+        want = oracle.top_k(parse(qtext), k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], qtext
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert np.float32(gs) == np.float32(ws), (qtext, gd)
+
+
+def test_synonym_query(searcher, oracle):
+    q = Synonym(("scan", "flush"))
+    got = [(r.doc_id, r.score) for r in searcher.search(q, k=10).collect()]
+    want = oracle.top_k(q, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert np.float32(gs) == np.float32(ws)
+
+
+def test_count_matches_oracle(searcher, oracle):
+    for qtext in ["parse", "scan OR flush", "codec AND util", "nosuchterm"]:
+        assert searcher.count(qtext) == len(oracle.score(parse(qtext)))
+
+
+def test_search_after_pages(searcher, oracle):
+    qtext = "parse OR emit OR token"
+    want = oracle.top_k(parse(qtext), k=20)
+    page1 = [(r.doc_id, r.score) for r in searcher.search(qtext, k=10).collect()]
+    last = page1[-1]
+    page2 = [(r.doc_id, r.score) for r in
+             searcher.search(qtext, k=10, after=(last[1], last[0])).collect()]
+    assert [p[0] for p in page1 + page2] == [w[0] for w in want]
+
+
+def test_rank_column(searcher):
+    rows = searcher.search("parse OR emit", k=5).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+# ---------------------------------------------------------------------------
+# Stats + invariants (CheckIndex model: reference index/CheckIndex.java)
+# ---------------------------------------------------------------------------
+
+def test_global_stats_match_oracle(searcher, oracle):
+    assert searcher.doc_count == oracle.doc_count
+    assert searcher.sum_ttf == oracle.sum_ttf
+    rows = searcher.term_stats.collect()
+    got = {r["term"]: (r["df"], r["ttf"]) for r in rows}
+    assert len(got) == len(oracle.postings)
+    for t in list(oracle.postings)[::37]:
+        assert got[t] == (oracle.df(t), oracle.ttf(t)), t
+
+
+def test_checkindex_invariants(spark, index_dir, corpus):
+    import pandas as pd
+    seg_dir = os.path.join(index_dir, "segments", "seg=0")
+    postings = pd.read_parquet(os.path.join(seg_dir, "postings.parquet"))
+    meta = pd.read_parquet(os.path.join(seg_dir, "doc_meta.parquet"))
+    norms = pd.read_parquet(os.path.join(seg_dir, "norms.parquet"))
+    n = int(norms.iloc[0]["num_docs"])
+    # dense local ids 0..n-1
+    assert list(meta["local_doc_id"]) == list(range(n))
+    # norm byte == SmallFloat(doc_len)
+    assert np.array_equal(meta["norm_byte"].to_numpy(),
+                          int_to_byte4(meta["doc_len"].to_numpy()).astype(np.int32))
+    nb = np.frombuffer(norms.iloc[0]["norm_bytes"], dtype=np.uint8)
+    assert np.array_equal(nb.astype(np.int32), meta["norm_byte"].to_numpy())
+    for _, row in postings.iterrows():
+        dec = codec.decode_postings(row, with_positions=True)
+        ids, tfs = dec["doc_ids"], dec["tfs"]
+        assert len(ids) == row["df"]                       # df == len(doc_ids)
+        assert np.all(np.diff(ids) > 0)                    # strictly increasing
+        assert int(tfs.sum()) == row["ttf"]                # sum tf == ttf
+        assert np.all(ids < n) and np.all(ids >= 0)
+        bl = codec.decode_block_ranges(row["block_last"])
+        assert bl[-1] == ids[-1]
+        assert np.all(tfs >= 1)
+        assert np.all(dec["positions"] >= 0)
+
+
+def test_sha256_invariant(index_dir, corpus):
+    """Per-row content sha256 equality vs source (north-star invariant)."""
+    import pandas as pd
+    metas = []
+    for s in range(N_SEGS):
+        metas.append(pd.read_parquet(
+            os.path.join(index_dir, "segments", f"seg={s}", "doc_meta.parquet")))
+    meta = pd.concat(metas).set_index("doc_id")
+    assert len(meta) == len(corpus)
+    for _, row in corpus.sample(40, random_state=0).iterrows():
+        want = hashlib.sha256(row["content"].encode("utf-8")).hexdigest()
+        assert meta.loc[row["doc_id"], "sha256"] == want
+
+
+# ---------------------------------------------------------------------------
+# Resume from checkpoint
+# ---------------------------------------------------------------------------
+
+def test_kill_and_resume(spark, corpus, oracle):
+    from pyspark.sql import functions as F
+    d = tempfile.mkdtemp(prefix="lucene_spark_resume_")
+    df = spark.createDataFrame(corpus)
+    # simulate a run killed after half the segments flushed: build only the
+    # doc subset that lands in segments 0..3 (same content those segments
+    # get in a full run, since seg = doc_id % N)
+    partial = df.filter(F.pmod(F.col("doc_id"), F.lit(N_SEGS)) < N_SEGS // 2)
+    snap1 = build_index(spark, partial, d, num_segments=N_SEGS)
+    assert len(snap1.seg_ids) == N_SEGS // 2
+    # resume with the FULL input: committed segments must be skipped
+    snap2 = build_index(spark, df, d, num_segments=N_SEGS)
+    assert snap2.snapshot_id == snap1.snapshot_id + 1
+    assert len(snap2.seg_ids) == N_SEGS
+    statuses = {s["seg_id"]: s["status"] for s in snap2.segments}
+    for s in range(N_SEGS // 2):
+        assert statuses[s] in ("reused", "built")  # driver-side skip keeps stats
+    assert snap2.field_stats["doc_count"] == len(corpus)
+    # and the resumed index is rank-identical to the oracle
+    se = Searcher(spark, d)
+    got = [(r.doc_id, r.score) for r in
+           se.search("parse OR emit OR token", k=10).collect()]
+    want = oracle.top_k(parse("parse OR emit OR token"), k=10)
+    assert [(g, np.float32(s)) for g, s in got] \
+        == [(w, np.float32(s)) for w, s in want]
