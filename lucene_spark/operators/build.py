@@ -227,7 +227,8 @@ def build_index(spark, df, index_dir: str, *,
                 stopwords: frozenset = frozenset(),
                 store_positions: bool = True,
                 resume: bool = True,
-                compute_stats: bool = True):
+                compute_stats: bool = True,
+                seg_id_offset: int = 0):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -236,10 +237,13 @@ def build_index(spark, df, index_dir: str, *,
     """
     from pyspark.sql import functions as F
 
+    from ..session import ensure_shipped
+    ensure_shipped(spark)
     catalog = SnapshotCatalog(index_dir)
     work = df.withColumn(SHA_COL, F.sha2(F.col(content_col).cast("string"), 256))
     work = work.withColumn(SEG_COL,
-                           F.pmod(F.col(doc_id_col), F.lit(num_segments)).cast("int"))
+                           (F.pmod(F.col(doc_id_col), F.lit(num_segments))
+                            + F.lit(seg_id_offset)).cast("int"))
 
     durable = {sid: st for sid, st in catalog.durable_segments().items()
                if st.get("origin", "build") == "build"}

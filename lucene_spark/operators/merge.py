@@ -1,0 +1,203 @@
+"""Tiered segment merges: repartition + group-by-term re-encode.
+
+The reference picks ~10-segment merges by size tier (``index/
+TieredMergePolicy.java:85-91,295,371``: segsPerTier=10, maxMergeAtOnce=10)
+and concatenates postings with docIDs remapped by docBase (``index/
+SegmentMerger.java:103-140``, ``index/DocIDMerger.java:32``). Here a merge
+is one Spark job: the selected segments' postings tables are unioned,
+hash-repartitioned by term, and a vectorized kernel per term decodes the
+≤K per-segment lists, offsets local docIDs by docBase, concatenates in
+segment order and re-encodes (blocks + impacts rebuilt over the merged
+norms). The merged segment commits as a new snapshot generation.
+
+Skew at scale: the inputs to the term group-by are pre-aggregated —
+at most one row per (term, source segment) — so a reducer group holds
+≤ maxMergeAtOnce rows; *work* per group is ∝ merged df. The tiered policy
+itself is the primary skew bound: merging 10 bounded segments bounds the
+densest term's payload per merge (that is also why the reference discourages
+forceMerge(1) on huge indexes). AQE skew-join split handles residual
+imbalance; for token-level aggregations where a single key's inputs are NOT
+pre-aggregated, see the explicitly salted path in ``operators/stats.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+
+from ..functions.codec import decode_postings, encode_postings
+from ..sources.catalog import SnapshotCatalog
+from .build import POSTINGS_COLUMNS, compute_term_stats
+
+
+def plan_merges(segments: list[dict], segs_per_tier: int = 10,
+                max_merge_at_once: int = 10) -> list[list[int]]:
+    """Driver-side TieredMergePolicy-lite: while the segment count exceeds
+    segs_per_tier, merge the ``max_merge_at_once`` smallest segments."""
+    segs = sorted(segments, key=lambda s: (s["num_docs"], s["seg_id"]))
+    merges = []
+    while len(segs) > segs_per_tier:
+        batch = segs[:max_merge_at_once]
+        if len(batch) < 2:
+            break
+        merges.append([s["seg_id"] for s in batch])
+        segs = segs[max_merge_at_once:]
+    return merges
+
+
+def merge_segments(spark, index_dir: str, seg_ids: list[int],
+                   new_seg_id: int | None = None):
+    """Merge ``seg_ids`` into one new segment; returns the new Snapshot."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ..session import ensure_shipped
+    ensure_shipped(spark)
+    catalog = SnapshotCatalog(index_dir)
+    snap = catalog.load()
+    if snap is None:
+        raise ValueError("nothing to merge")
+    missing = set(seg_ids) - set(snap.seg_ids)
+    if missing:
+        raise ValueError(f"segments not in snapshot: {missing}")
+    seg_ids = sorted(seg_ids)
+    if new_seg_id is None:
+        new_seg_id = max(snap.seg_ids) + 1
+    store_positions = bool(snap.extra.get("store_positions", True))
+
+    # docBase remap (DocIDMerger): concatenate in ascending seg_id order
+    norms_pdfs = [pd.read_parquet(os.path.join(catalog.segment_dir(s), "norms.parquet"))
+                  for s in seg_ids]
+    doc_bases: dict[int, int] = {}
+    base = 0
+    norm_parts, gid_parts = [], []
+    for s, npdf in zip(seg_ids, norms_pdfs):
+        doc_bases[s] = base
+        base += int(npdf.iloc[0]["num_docs"])
+        norm_parts.append(np.frombuffer(npdf.iloc[0]["norm_bytes"], dtype=np.uint8))
+        gid_parts.append(np.frombuffer(npdf.iloc[0]["global_doc_ids"], dtype="<i8"))
+    merged_norms = np.concatenate(norm_parts) if norm_parts else np.empty(0, np.uint8)
+    merged_gids = np.concatenate(gid_parts) if gid_parts else np.empty(0, "<i8")
+    n_docs = len(merged_norms)
+
+    bc_norms = spark.sparkContext.broadcast(merged_norms.tobytes())
+    bases = dict(doc_bases)
+
+    def reencode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term = key[0]
+        pdf = pdf.sort_values("seg_id")
+        ids_parts, tf_parts, pos_parts = [], [], []
+        for _, row in pdf.iterrows():
+            dec = decode_postings(row, with_positions=store_positions)
+            ids_parts.append(dec["doc_ids"] + bases[int(row["seg_id"])])
+            tf_parts.append(dec["tfs"])
+            if store_positions:
+                pos_parts.append(dec.get("positions", np.empty(0, np.int64)))
+        ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        pos = np.concatenate(pos_parts) if store_positions else None
+        norms = np.frombuffer(bc_norms.value, dtype=np.uint8)
+        enc = encode_postings(ids, tfs, pos, norms)
+        return pd.DataFrame([(term, new_seg_id, enc["df"], enc["ttf"],
+                              enc["doc_bytes"], enc["tf_bytes"], enc["pos_bytes"],
+                              enc["block_last"], enc["impact_bytes"])],
+                            columns=POSTINGS_COLUMNS)
+
+    postings_schema = ("term string, seg_id int, df int, ttf long, "
+                       "doc_bytes binary, tf_bytes binary, pos_bytes binary, "
+                       "block_last binary, impact_bytes binary")
+    union = spark.read.parquet(
+        *[os.path.join(catalog.segment_dir(s), "postings.parquet") for s in seg_ids])
+    merged_postings = (union.repartition(F.col("term"))
+                       .groupBy("term").applyInPandas(reencode, postings_schema))
+
+    tmp = os.path.join(index_dir, "segments", f"_tmp-{new_seg_id}-{uuid.uuid4().hex}")
+    os.makedirs(tmp, exist_ok=True)
+    merged_postings.write.mode("overwrite").parquet(os.path.join(tmp, "postings.parquet"))
+
+    # doc_meta: remap seg_id/local_doc_id
+    metas = spark.read.parquet(
+        *[os.path.join(catalog.segment_dir(s), "doc_meta.parquet") for s in seg_ids])
+    base_map = F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
+    remapped = (metas
+                .withColumn("local_doc_id",
+                            (base_map[F.col("seg_id")] + F.col("local_doc_id"))
+                            .cast("int"))
+                .withColumn("seg_id", F.lit(new_seg_id).cast("int")))
+    remapped.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "doc_meta.parquet"))
+
+    norms_tbl = pa.table({
+        "seg_id": pa.array([new_seg_id], pa.int32()),
+        "num_docs": pa.array([n_docs], pa.int64()),
+        "norm_bytes": pa.array([merged_norms.tobytes()], pa.binary()),
+        "global_doc_ids": pa.array([merged_gids.tobytes()], pa.binary()),
+    })
+    pq.write_table(norms_tbl, os.path.join(tmp, "norms.parquet"))
+
+    stats_pdf = spark.read.parquet(os.path.join(tmp, "postings.parquet")) \
+        .agg(F.count("*").alias("num_terms"), F.sum("df").alias("num_postings"),
+             F.sum(F.octet_length("doc_bytes") + F.octet_length("tf_bytes")
+                   + F.octet_length("pos_bytes") + F.octet_length("block_last")
+                   + F.octet_length("impact_bytes")).alias("bytes")).collect()[0]
+    old = {s["seg_id"]: s for s in snap.segments}
+    stats = {
+        "seg_id": int(new_seg_id),
+        "num_docs": int(n_docs),
+        "num_terms": int(stats_pdf["num_terms"] or 0),
+        "num_postings": int(stats_pdf["num_postings"] or 0),
+        "sum_doc_len": int(sum(old[s]["sum_doc_len"] for s in seg_ids)),
+        "bytes_compressed": int(stats_pdf["bytes"] or 0),
+        "build_partition": -1,
+        "origin": "merge",
+        "merged_from": seg_ids,
+        "status": "built",
+    }
+    with open(os.path.join(tmp, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    seg_dir = catalog.segment_dir(new_seg_id)
+    try:
+        os.rename(tmp, seg_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+    new_segments = [s for s in snap.segments if s["seg_id"] not in set(seg_ids)]
+    new_segments.append(stats)
+    new_segments.sort(key=lambda s: s["seg_id"])
+    next_id = snap.snapshot_id + 1
+    ts_path = compute_term_stats(
+        spark, catalog, [s["seg_id"] for s in new_segments],
+        os.path.join(index_dir, "term_stats", f"gen-{next_id}"))
+    return catalog.commit(new_segments, snap.field_stats, ts_path,
+                          extra=snap.extra)
+
+
+def maintain(spark, index_dir: str, segs_per_tier: int = 10,
+             max_merge_at_once: int = 10):
+    """Run tiered merges until the segment count fits the tier policy
+    (ConcurrentMergeScheduler role, minus the background threads — each
+    merge is its own Spark job)."""
+    catalog = SnapshotCatalog(index_dir)
+    while True:
+        snap = catalog.load()
+        merges = plan_merges(snap.segments, segs_per_tier, max_merge_at_once)
+        if not merges:
+            return snap
+        for batch in merges:
+            snap = merge_segments(spark, index_dir, batch)
+
+
+def force_merge(spark, index_dir: str, max_segments: int = 1):
+    """IndexWriter.forceMerge(n) analogue (IndexWriter.java:2105)."""
+    catalog = SnapshotCatalog(index_dir)
+    snap = catalog.load()
+    while len(snap.seg_ids) > max_segments:
+        take = min(len(snap.seg_ids), 10)
+        snap = merge_segments(spark, index_dir, snap.seg_ids[:take])
+    return snap

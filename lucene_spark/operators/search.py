@@ -499,6 +499,8 @@ class Searcher:
 
         from pyspark.sql import functions as F  # noqa: F401
 
+        from ..session import ensure_shipped
+        ensure_shipped(spark)
         self.spark = spark
         self.index_dir = index_dir
         self.catalog = SnapshotCatalog(index_dir)

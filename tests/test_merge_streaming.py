@@ -1,0 +1,107 @@
+"""Tiered merge correctness + streaming incremental build."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.merge import force_merge, maintain, merge_segments, plan_merges
+from lucene_spark.operators.search import Searcher
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.plans.parser import parse
+from lucene_spark.sources.corpus import generate_corpus
+from lucene_spark.sources.catalog import SnapshotCatalog
+
+MQUERIES = ["parse OR emit OR token", "codec AND util", '"mixed case"',
+            "scan -flush", "if"]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(300, seed=42)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+
+
+def _assert_parity(searcher, oracle, queries=MQUERIES, k=10):
+    for qtext in queries:
+        got = [(r.doc_id, np.float32(r.score)) for r in
+               searcher.search(qtext, k=k).collect()]
+        want = [(d, np.float32(s)) for d, s in oracle.top_k(parse(qtext), k=k)]
+        assert got == want, qtext
+
+
+def test_plan_merges():
+    segs = [{"seg_id": i, "num_docs": 100 + i} for i in range(25)]
+    merges = plan_merges(segs, segs_per_tier=10, max_merge_at_once=10)
+    assert len(merges) == 2 and all(len(m) == 10 for m in merges)
+    assert plan_merges(segs[:8]) == []
+
+
+def test_merge_preserves_results(spark, corpus, oracle):
+    d = tempfile.mkdtemp(prefix="merge_idx_")
+    snap = build_index(spark, spark.createDataFrame(corpus), d, num_segments=12)
+    assert len(snap.seg_ids) == 12
+    # merge the first 6 segments
+    snap2 = merge_segments(spark, d, snap.seg_ids[:6])
+    assert len(snap2.seg_ids) == 7
+    se = Searcher(spark, d)
+    _assert_parity(se, oracle)
+    # stats unchanged by merge
+    assert se.doc_count == oracle.doc_count
+    assert se.sum_ttf == oracle.sum_ttf
+    # old snapshot is still a readable point-in-time view
+    se_old = Searcher(spark, d, snapshot_id=snap.snapshot_id)
+    _assert_parity(se_old, oracle, queries=["parse OR emit OR token"])
+    # force-merge to one segment → still rank-identical
+    snap3 = force_merge(spark, d, max_segments=1)
+    assert len(snap3.seg_ids) == 1
+    _assert_parity(Searcher(spark, d), oracle)
+    # merged segment invariants: one docBase-contiguous segment
+    import pandas as pd
+    seg = snap3.seg_ids[0]
+    norms = pd.read_parquet(os.path.join(d, "segments", f"seg={seg}", "norms.parquet"))
+    assert int(norms.iloc[0]["num_docs"]) == len(corpus)
+    meta = pd.read_parquet(os.path.join(d, "segments", f"seg={seg}", "doc_meta.parquet"))
+    assert sorted(meta["local_doc_id"]) == list(range(len(corpus)))
+
+
+def test_maintain_tiered(spark, corpus, oracle):
+    d = tempfile.mkdtemp(prefix="tiered_idx_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=24)
+    snap = maintain(spark, d, segs_per_tier=10, max_merge_at_once=10)
+    assert len(snap.seg_ids) <= 10
+    _assert_parity(Searcher(spark, d), oracle, queries=["parse OR emit OR token"])
+
+
+def test_streaming_incremental(spark, corpus, oracle):
+    from lucene_spark.streaming.incremental import start_incremental_build
+
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    d = tempfile.mkdtemp(prefix="stream_idx_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    full = spark.createDataFrame(corpus)
+    schema = full.schema
+    # batch 1 lands before the stream starts
+    full.filter("doc_id < 150").coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = start_incremental_build(spark, stream, d, segments_per_batch=4,
+                                checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    snap1 = SnapshotCatalog(d).load()
+    assert snap1.field_stats["doc_count"] == 150
+    # batch 2 arrives; availableNow stream restarted from checkpoint
+    full.filter("doc_id >= 150").coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = start_incremental_build(spark, stream2, d, segments_per_batch=4,
+                                 checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    snap2 = SnapshotCatalog(d).load()
+    assert snap2.field_stats["doc_count"] == len(corpus)
+    # the incrementally-built index is rank-identical to the batch oracle
+    _assert_parity(Searcher(spark, d), oracle)
