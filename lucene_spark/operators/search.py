@@ -80,6 +80,12 @@ class CNot:
     negative: object
 
 
+@dataclass(frozen=True)
+class CDisMax:
+    children: tuple
+    tie_breaker: float = 0.0
+
+
 def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int):
     """Attach float32 weights using GLOBAL df/docCount. Terms absent from
     the index produce no scorer (Lucene skips them); an AND with a missing
@@ -116,6 +122,11 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int):
             if any(k is None for k in kids):
                 return None  # required clause can never match
             return kids[0] if len(kids) == 1 else CAnd(kids)
+        if isinstance(node, Q.DisMax):
+            kids = tuple(k for k in (go(c) for c in node.clauses) if k is not None)
+            if not kids:
+                return None
+            return kids[0] if len(kids) == 1 else CDisMax(kids, node.tie_breaker)
         if isinstance(node, Q.Not):
             pos = go(node.positive)
             if pos is None:
@@ -134,7 +145,7 @@ def _compiled_terms(c) -> list[str]:
         return [c.term]
     if isinstance(c, (CSynonym, CPhrase)):
         return list(c.terms)
-    if isinstance(c, (COr, CAnd)):
+    if isinstance(c, (COr, CAnd, CDisMax)):
         out = []
         for k in c.children:
             out.extend(_compiled_terms(k))
@@ -328,6 +339,20 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
             m, s = _eval_range(child, ctx, lo, hi)
             mask = m if mask is None else (mask & m)
             scores += s
+        scores[~mask] = 0.0
+        return mask, scores
+    if isinstance(node, CDisMax):
+        # score = max + tie_breaker*(sum - max); max of float32 child scores
+        # (reference DisjunctionMaxScorer); zeros from non-matching children
+        # never win because BM25 scores are strictly positive.
+        smax = np.zeros(n, dtype=np.float64)
+        ssum = np.zeros(n, dtype=np.float64)
+        for child in node.children:
+            m, s = _eval_range(child, ctx, lo, hi)
+            mask |= m
+            np.maximum(smax, s, out=smax)
+            ssum += s
+        scores = smax + (ssum - smax) * np.float64(node.tie_breaker)
         scores[~mask] = 0.0
         return mask, scores
     if isinstance(node, CNot):
@@ -579,6 +604,81 @@ class Searcher:
                .withColumn("rank", F.row_number().over(
                    Window.orderBy(F.desc("score"), F.asc("doc_id")))))
         return top.select("doc_id", "score", "rank")
+
+    def expand_terms(self, like: str | None = None, rlike: str | None = None,
+                     fuzzy: tuple[str, int] | None = None,
+                     max_terms: int = 512) -> list[str]:
+        """MultiTermQuery expansion against the term dictionary (the
+        reference expands prefix/wildcard/fuzzy queries via a term automaton:
+        ``search/MultiTermQuery.java:55``; here the term_stats table IS the
+        dictionary and Catalyst pushes the predicate into its scan).
+
+        ``like`` = SQL LIKE (PrefixQuery: ``'abc%'``), ``rlike`` = regex
+        (WildcardQuery/RegexpQuery), ``fuzzy`` = (term, max_edits)
+        (FuzzyQuery via Levenshtein). Expansion is capped at ``max_terms``
+        (the reference's maxClauseCount guard)."""
+        from pyspark.sql import functions as F
+        tf = self.term_stats
+        if like is not None:
+            tf = tf.filter(F.col("term").like(like))
+        if rlike is not None:
+            tf = tf.filter(F.col("term").rlike(rlike))
+        if fuzzy is not None:
+            base, max_edits = fuzzy
+            tf = tf.filter(F.levenshtein(F.col("term"), F.lit(base)) <= max_edits)
+        return sorted(r["term"] for r in
+                      tf.select("term").limit(max_terms).collect())
+
+    def docs_matching_any(self, terms: list[str]):
+        """Constant-score union of exact terms (TermInSetQuery / the
+        CONSTANT_SCORE MultiTermQuery rewrite): DataFrame (doc_id long)."""
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        return self.matching_docs(
+            Q.Or(tuple(Q.Term(t) for t in sorted(set(terms)))))
+
+    def score_all(self, query):
+        """All matching docs with their float32 scores as a DataFrame
+        ``(doc_id long, score float)`` — no top-k truncation. This is the
+        substrate for facet counts, grouping and function queries (the
+        reference's Collector extension point): downstream DataFrame ops
+        (joins to doc metadata, groupBy, windows) stay in Catalyst.
+
+        Scale note: output is one row per match — it never shuffles the
+        postings themselves, and the per-segment kernel emits Arrow batches
+        that downstream aggregations consume with map-side partial
+        aggregation."""
+        from pyspark.sql import functions as F
+
+        compiled, cache = self._compile(query)
+        out_schema = "doc_id long, score float"
+        if compiled is None:
+            return self.spark.createDataFrame([], out_schema)
+        terms = sorted(set(_compiled_terms(compiled)))
+        pf = self.postings.filter(F.col("term").isin(terms))
+
+        def seg_all(key, postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
+            if len(norms_pdf) == 0 or len(postings_pdf) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "score": pd.Series([], dtype="float32")})
+            nrow = norms_pdf.iloc[0]
+            norm_bytes = np.frombuffer(nrow["norm_bytes"], dtype=np.uint8)
+            gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
+            rows = {r["term"]: r for _, r in postings_pdf.iterrows()}
+            ctx = _SegContext(rows, norm_bytes, cache)
+            mask, scores = _eval_range(compiled, ctx, 0, len(norm_bytes))
+            lids = np.nonzero(mask)[0]
+            return pd.DataFrame({"doc_id": gids[lids],
+                                 "score": scores[lids].astype(np.float32)})
+
+        return (pf.groupBy("seg_id").cogroup(self.norms.groupBy("seg_id"))
+                .applyInPandas(seg_all, schema=out_schema))
+
+    def matching_docs(self, query):
+        """DataFrame ``(doc_id long)`` of every match — constant-score
+        execution (the reference's ConstantScoreQuery / FILTER clause path:
+        matches without scores)."""
+        return self.score_all(query).select("doc_id")
 
     def count(self, query) -> int:
         """TotalHitCountCollector analogue — exact match count."""

@@ -21,7 +21,7 @@ from .functions.bm25 import (
     K1_DEFAULT, B_DEFAULT, avg_field_length, idf, idf_sum, norm_inverse_cache,
 )
 from .functions.smallfloat import int_to_byte4
-from .plans.query import And, Not, Or, Phrase, Query, Synonym, Term
+from .plans.query import And, DisMax, Not, Or, Phrase, Query, Synonym, Term
 
 
 @dataclass
@@ -138,6 +138,14 @@ class OracleIndex:
             for m in per[1:]:
                 common &= set(m)
             return {d: np.float32(sum(float(m[d]) for m in per)) for d in common}
+        if isinstance(query, DisMax):
+            per = [self.score(c, k1, b) for c in query.clauses]
+            out: dict[int, np.float32] = {}
+            for d in set().union(*per):
+                vals = [float(m[d]) for m in per if d in m]
+                smax = max(vals)
+                out[d] = np.float32(smax + (sum(vals) - smax) * query.tie_breaker)
+            return out
         if isinstance(query, Not):
             pos = self.score(query.positive, k1, b)
             neg = self.score(query.negative, k1, b)

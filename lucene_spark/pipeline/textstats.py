@@ -1,0 +1,101 @@
+"""Text analysis for training-data pipelines: token counts, quality
+scores, language ID, fingerprints.
+
+All operators are single-pass column expressions over the document table —
+pure ``pyspark.sql.functions`` (whole-stage codegen, no shuffle, no Python).
+At 100 TB these run at scan speed with full column pruning; the only columns
+read are the ones referenced.
+
+The tokenizer here is the whitespace tokenizer (training corpora arrive
+pre-normalized); for raw source code use the full analyzer chain in
+:mod:`lucene_spark.functions.analysis`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language keyword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and deterministic — the heuristic is the
+#: operator; swap lists for a real deployment.
+LANG_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los", "es"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+}
+
+#: English stopword subset used by the quality score (ratio feature).
+QUALITY_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+
+def tokens(text_col) -> Column:
+    """Whitespace tokens, lowercased."""
+    return F.split(F.lower(F.col(text_col) if isinstance(text_col, str)
+                           else text_col), " ")
+
+
+def _count_in(tokens_col: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens (with multiplicity) that appear in ``words``."""
+    lits = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    wordset = F.expr(f"array({lits})")
+    return F.size(F.filter(tokens_col, lambda t: F.array_contains(wordset, t)))
+
+
+def with_token_counts(df, text_col: str = "text"):
+    """Adds ``n_tokens`` / ``n_distinct`` (token counting operator)."""
+    toks = tokens(text_col)
+    return (df.withColumn("n_tokens", F.size(toks))
+              .withColumn("n_distinct", F.size(F.array_distinct(toks))))
+
+
+def with_quality_score(df, text_col: str = "text"):
+    """Heuristic document quality in [0, 1]:
+
+      0.3 * min(1, n_tokens/100)            (enough content)
+    + 0.4 * n_distinct/n_tokens             (lexical diversity)
+    + 0.3 * (1 - stopword_ratio)            (information density)
+
+    Computed in float64 with a fixed expression shape so results are
+    deterministic; rounded to 4 decimals.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+    nd = F.size(F.array_distinct(toks)).cast("double")
+    nstop = _count_in(toks, QUALITY_STOPWORDS).cast("double")
+    score = (F.lit(0.3) * F.least(F.lit(1.0), n / F.lit(100.0))
+             + F.lit(0.4) * (nd / n)
+             + F.lit(0.3) * (F.lit(1.0) - nstop / n))
+    return df.withColumn("quality", F.round(score, 4))
+
+
+def with_lang_id(df, text_col: str = "text", out_col: str = "lang_pred"):
+    """Stopword-overlap language ID: count keyword hits per language, pick
+    the argmax (ties and zero hits → ``'und'``, then alphabetical order).
+    One scan, no shuffle."""
+    toks = tokens(text_col)
+    hit_cols = {lang: _count_in(toks, words)
+                for lang, words in sorted(LANG_KEYWORDS.items())}
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    # alphabetical priority: first language reaching the max wins
+    for lang in sorted(LANG_KEYWORDS, reverse=True):
+        pred = F.when((best > 0) & (hit_cols[lang] == best), F.lit(lang)) \
+                .otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def with_fingerprints(df, text_col: str = "text"):
+    """Two deterministic document fingerprints:
+
+    * ``fp_exact``  — md5 of the raw text (exact-dup key);
+    * ``fp_bag``    — md5 of the sorted distinct token bag (order/count
+      insensitive near-dup key, a cheap SimHash stand-in).
+    """
+    toks = tokens(text_col)
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return (df.withColumn("fp_exact", F.md5(F.col(text_col)))
+              .withColumn("fp_bag", F.md5(bag)))

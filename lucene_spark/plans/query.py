@@ -93,6 +93,21 @@ class And(Query):
 
 
 @dataclass(frozen=True)
+class DisMax(Query):
+    """Disjunction-max: score = max(clause scores) + tie_breaker * (sum -
+    max) (reference ``search/DisjunctionMaxQuery.java``)."""
+    clauses: tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+    def rewrite(self):
+        cls = tuple(dict.fromkeys(c.rewrite() for c in self.clauses))
+        return cls[0] if len(cls) == 1 else DisMax(cls, self.tie_breaker)
+
+    scoring_terms = Or.scoring_terms
+    all_terms = Or.all_terms
+
+
+@dataclass(frozen=True)
 class Not(Query):
     """Positive clause + MUST_NOT exclusion (ReqExclScorer shape)."""
     positive: Query
