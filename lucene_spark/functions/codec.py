@@ -74,6 +74,47 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vbyte_encode_batched(values: np.ndarray,
+                         group_lengths: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """VByte-encode many concatenated groups in ONE vectorized pass.
+
+    Returns ``(stream, group_byte_offsets)`` with len(offsets) == G+1 so
+    group g's bytes are ``stream[off[g]:off[g+1]]``. This is the fast path
+    for encoding thousands of short posting lists per segment: the loop
+    count is bounded by max bytes-per-value (≤10), not by the number of
+    terms — per-term numpy-call overhead disappears.
+    """
+    vals = np.asarray(values, dtype=np.uint64)
+    glens = np.asarray(group_lengths, dtype=np.int64)
+    goff = np.zeros(len(glens) + 1, dtype=np.int64)
+    n = len(vals)
+    if n == 0:
+        return b"", goff
+    lengths = np.ones(n, dtype=np.int64)
+    v = vals >> np.uint64(7)
+    while v.any():
+        lengths[v > 0] += 1
+        v >>= np.uint64(7)
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    total = int(offsets[-1] + lengths[-1])
+    out = np.empty(total, dtype=np.uint8)
+    j = 0
+    remaining = np.arange(n)
+    while len(remaining):
+        pos = offsets[remaining] + j
+        byte = (vals[remaining] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        more = lengths[remaining] - 1 > j
+        out[pos] = byte.astype(np.uint8) | (more.astype(np.uint8) << 7)
+        remaining = remaining[more]
+        j += 1
+    value_end = offsets + lengths
+    gend = np.cumsum(glens)
+    goff[1:] = np.where(gend > 0, value_end[np.maximum(gend - 1, 0)], 0)
+    # zero-length groups inherit the previous offset
+    np.maximum.accumulate(goff, out=goff)
+    return out.tobytes(), goff
+
+
 def vbyte_decode(buf: bytes, count: int | None = None, offset: int = 0) -> np.ndarray:
     """Decode a VByte stream (from ``offset`` to end) into int64 values."""
     b = np.frombuffer(buf, dtype=np.uint8, offset=offset)
@@ -258,6 +299,134 @@ def encode_postings(
         "block_last": block_last,
         "impact_bytes": impact_bytes,
     }
+
+
+def encode_postings_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    positions: np.ndarray | None,
+    norms_lookup: np.ndarray,
+    term_offsets: np.ndarray,
+) -> dict:
+    """Encode EVERY term of a segment at once (same byte format as
+    :func:`encode_postings`, decoder-compatible).
+
+    ``doc_ids``/``tfs`` are posting-level arrays, concatenated per term in
+    term order; ``term_offsets`` (len T+1) bounds each term's postings.
+    ``positions`` is token-level (doc-major within each posting), aligned
+    with ``repeat(doc_ids, tfs)``, or None.
+
+    Terms with df < BLOCK_SIZE (the Zipf tail — the overwhelming majority)
+    are encoded with single vectorized VByte passes over all terms at once;
+    only multi-block terms take the per-term path. This is what keeps the
+    segment-build kernel numpy-bound instead of Python-call-bound.
+    Returns dict of per-term lists/arrays, aligned with term order.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    toff = np.asarray(term_offsets, dtype=np.int64)
+    T = len(toff) - 1
+    dfs = toff[1:] - toff[:-1]
+    out: dict = {
+        "df": dfs.astype(np.int64),
+        "ttf": np.add.reduceat(tfs, toff[:-1]) if len(tfs) else
+               np.zeros(T, np.int64),
+        "doc_bytes": [b""] * T, "tf_bytes": [b""] * T,
+        "pos_bytes": [b""] * T, "block_last": [b""] * T,
+        "impact_bytes": [b""] * T,
+    }
+    if T == 0:
+        return out
+    if len(tfs) == 0:
+        out["ttf"] = np.zeros(T, np.int64)
+        return out
+
+    small = dfs < BLOCK_SIZE
+    big_terms = np.nonzero(~small)[0]
+    sm_terms = np.nonzero(small)[0]
+
+    tok_off = np.concatenate(([0], np.cumsum(tfs)))  # token bound per posting
+
+    # ---- big terms: per-term reference encoder ------------------------
+    for t in big_terms:
+        a, b = int(toff[t]), int(toff[t + 1])
+        pos_slice = None
+        if positions is not None:
+            pos_slice = positions[tok_off[a]:tok_off[b]]
+        enc = encode_postings(doc_ids[a:b], tfs[a:b], pos_slice, norms_lookup)
+        for k in ("doc_bytes", "tf_bytes", "pos_bytes", "block_last",
+                  "impact_bytes"):
+            out[k][int(t)] = enc[k]
+
+    if len(sm_terms) == 0:
+        return out
+
+    # ---- small terms: fully batched -----------------------------------
+    pmask = np.repeat(small, dfs)
+    sdocs = doc_ids[pmask]
+    stfs = tfs[pmask]
+    sdfs = dfs[small]
+    soff = np.concatenate(([0], np.cumsum(sdfs)))
+
+    # doc deltas with per-term reset
+    deltas = np.diff(sdocs, prepend=0)
+    deltas[soff[:-1]] = sdocs[soff[:-1]]
+    doc_stream, doc_goff = vbyte_encode_batched(deltas, sdfs)
+    tf_stream, tf_goff = vbyte_encode_batched(stfs, sdfs)
+
+    # single-block skip entry: last docID per term as one u32
+    last_bytes = sdocs[soff[1:] - 1].astype("<u4").tobytes()
+
+    # positions: per-posting delta with reset at each posting start
+    if positions is not None and len(positions):
+        tmask = np.repeat(pmask, tfs)
+        spos = positions[tmask]
+        stok_off = np.concatenate(([0], np.cumsum(stfs)))
+        pd_ = np.diff(spos, prepend=0)
+        pd_[stok_off[:-1]] = spos[stok_off[:-1]]
+        term_tok_lens = np.add.reduceat(stfs, soff[:-1])
+        pos_stream, pos_goff = vbyte_encode_batched(pd_, term_tok_lens)
+    else:
+        pos_stream, pos_goff = b"", None
+
+    # impacts: per-term single-block Pareto frontier, fully segmented.
+    # Sort (term, tf desc, norm asc); an entry survives iff it is its
+    # term's first entry or its norm beats the strict running min so far —
+    # identical selection/order to impacts_frontier's loop.
+    tidx = np.repeat(np.arange(len(sm_terms), dtype=np.int64), sdfs)
+    norms_arr = norms_lookup[sdocs].astype(np.int64)
+    order = np.lexsort((norms_arr, -stfs, tidx))
+    t_s, f_s, n_s = tidx[order], stfs[order], norms_arr[order]
+    w = t_s * 256 + (255 - n_s)
+    prefmax = np.maximum.accumulate(w)
+    prefmax_excl = np.concatenate(([np.int64(-1)], prefmax[:-1]))
+    is_start = np.empty(len(t_s), dtype=bool)
+    is_start[0] = True
+    is_start[1:] = t_s[1:] != t_s[:-1]
+    runmin_excl = 255 - (prefmax_excl - t_s * 256)
+    keep = is_start | (n_s < runmin_excl)
+    counts = np.bincount(t_s[keep], minlength=len(sm_terms))
+    flat_lens = 1 + 2 * counts
+    flat_off = np.concatenate(([0], np.cumsum(flat_lens)))
+    flat = np.zeros(int(flat_off[-1]), dtype=np.int64)
+    flat[flat_off[:-1]] = counts
+    kt, kf, kn = t_s[keep], f_s[keep], n_s[keep]
+    kstart = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    rank = np.arange(len(kt)) - np.repeat(kstart, counts)
+    base = flat_off[kt] + 1 + 2 * rank
+    flat[base] = kf
+    flat[base + 1] = kn
+    imp_stream, imp_goff = vbyte_encode_batched(flat, flat_lens)
+
+    for i, t in enumerate(sm_terms):
+        t = int(t)
+        out["doc_bytes"][t] = doc_stream[doc_goff[i]:doc_goff[i + 1]]
+        out["tf_bytes"][t] = tf_stream[tf_goff[i]:tf_goff[i + 1]]
+        out["block_last"][t] = last_bytes[i * 4:(i + 1) * 4]
+        out["impact_bytes"][t] = imp_stream[imp_goff[i]:imp_goff[i + 1]]
+        if pos_goff is not None:
+            out["pos_bytes"][t] = pos_stream[pos_goff[i]:pos_goff[i + 1]]
+    return out
 
 
 def decode_postings(row: dict, with_positions: bool = False) -> dict:

@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions.analysis import analyze_batch
-from ..functions.codec import encode_postings
+from ..functions.codec import encode_postings_batch
 from ..functions.smallfloat import int_to_byte4
 from ..sources.catalog import SnapshotCatalog
 
@@ -66,7 +66,6 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
     norm_bytes = int_to_byte4(lengths)
     n_docs = len(pdf)
 
-    rows = []
     if len(terms):
         # term order = sorted unicode order (FreqProxTermsWriter.flush sorts
         # terms before the codec sees them: index/FreqProxTermsWriter.java:83)
@@ -87,17 +86,23 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         new_term[0] = True
         new_term[1:] = post_codes[1:] != post_codes[:-1]
         term_starts = np.nonzero(new_term)[0]
-        term_ends = np.concatenate((term_starts[1:], [len(post_codes)]))
-        for ts, te in zip(term_starts, term_ends):
-            term = uniques[post_codes[ts]]
-            doc_ids = post_docs[ts:te]
-            tfs = tfs_all[ts:te]
-            pos_slice = p[post_starts[ts]:post_ends[te - 1]] if store_positions else None
-            enc = encode_postings(doc_ids, tfs, pos_slice, norm_bytes)
-            rows.append((term, seg_id, enc["df"], enc["ttf"], enc["doc_bytes"],
-                         enc["tf_bytes"], enc["pos_bytes"], enc["block_last"],
-                         enc["impact_bytes"]))
-    postings = pd.DataFrame(rows, columns=POSTINGS_COLUMNS)
+        term_off = np.concatenate((term_starts, [len(post_codes)]))
+        enc = encode_postings_batch(post_docs, tfs_all,
+                                    p if store_positions else None,
+                                    norm_bytes, term_off)
+        postings = pd.DataFrame({
+            "term": uniques[post_codes[term_starts]],
+            "seg_id": np.int32(seg_id),
+            "df": enc["df"].astype(np.int64),
+            "ttf": enc["ttf"].astype(np.int64),
+            "doc_bytes": enc["doc_bytes"],
+            "tf_bytes": enc["tf_bytes"],
+            "pos_bytes": enc["pos_bytes"],
+            "block_last": enc["block_last"],
+            "impact_bytes": enc["impact_bytes"],
+        }, columns=POSTINGS_COLUMNS)
+    else:
+        postings = pd.DataFrame(columns=POSTINGS_COLUMNS)
 
     doc_meta = pdf.drop(columns=[content_col, SEG_COL], errors="ignore").copy()
     doc_meta.insert(0, "seg_id", np.int32(seg_id))

@@ -30,7 +30,7 @@ import uuid
 import numpy as np
 import pandas as pd
 
-from ..functions.codec import decode_postings, encode_postings
+from ..functions.codec import decode_postings, encode_postings_batch
 from ..sources.catalog import SnapshotCatalog
 from .build import POSTINGS_COLUMNS, compute_term_stats
 
@@ -89,25 +89,50 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     bc_norms = spark.sparkContext.broadcast(merged_norms.tobytes())
     bases = dict(doc_bases)
 
-    def reencode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term = key[0]
-        pdf = pdf.sort_values("seg_id")
+    def reencode_partition(batches):
+        """One call per term-hash partition: decode every (term, segment)
+        row, concatenate per term in segment order with docBase offsets,
+        then re-encode ALL the partition's terms in one batched pass
+        (``encode_postings_batch``) — the per-term Python/Arrow overhead of
+        a term-keyed cogroup would dominate a merge otherwise."""
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf) == 0:
+            yield pd.DataFrame(columns=POSTINGS_COLUMNS)
+            return
+        pdf = pdf.sort_values(["term", "seg_id"], kind="mergesort")
+        norms = np.frombuffer(bc_norms.value, dtype=np.uint8)
         ids_parts, tf_parts, pos_parts = [], [], []
-        for _, row in pdf.iterrows():
-            dec = decode_postings(row, with_positions=store_positions)
-            ids_parts.append(dec["doc_ids"] + bases[int(row["seg_id"])])
+        term_of_row = pdf["term"].to_numpy()
+        dfs_of_row = pdf["df"].to_numpy()
+        for row in pdf.itertuples(index=False):
+            dec = decode_postings(row._asdict(),
+                                  with_positions=store_positions)
+            ids_parts.append(dec["doc_ids"] + bases[int(row.seg_id)])
             tf_parts.append(dec["tfs"])
             if store_positions:
                 pos_parts.append(dec.get("positions", np.empty(0, np.int64)))
         ids = np.concatenate(ids_parts)
         tfs = np.concatenate(tf_parts)
         pos = np.concatenate(pos_parts) if store_positions else None
-        norms = np.frombuffer(bc_norms.value, dtype=np.uint8)
-        enc = encode_postings(ids, tfs, pos, norms)
-        return pd.DataFrame([(term, new_seg_id, enc["df"], enc["ttf"],
-                              enc["doc_bytes"], enc["tf_bytes"], enc["pos_bytes"],
-                              enc["block_last"], enc["impact_bytes"])],
-                            columns=POSTINGS_COLUMNS)
+        # term boundaries in posting space
+        new_term = np.empty(len(pdf), dtype=bool)
+        new_term[0] = True
+        new_term[1:] = term_of_row[1:] != term_of_row[:-1]
+        row_off = np.concatenate(([0], np.cumsum(dfs_of_row)))
+        term_row_starts = np.nonzero(new_term)[0]
+        term_off = np.concatenate((row_off[term_row_starts], [len(ids)]))
+        enc = encode_postings_batch(ids, tfs, pos, norms, term_off)
+        yield pd.DataFrame({
+            "term": term_of_row[term_row_starts],
+            "seg_id": np.int32(new_seg_id),
+            "df": enc["df"].astype(np.int64),
+            "ttf": enc["ttf"].astype(np.int64),
+            "doc_bytes": enc["doc_bytes"],
+            "tf_bytes": enc["tf_bytes"],
+            "pos_bytes": enc["pos_bytes"],
+            "block_last": enc["block_last"],
+            "impact_bytes": enc["impact_bytes"],
+        }, columns=POSTINGS_COLUMNS)
 
     postings_schema = ("term string, seg_id int, df int, ttf long, "
                        "doc_bytes binary, tf_bytes binary, pos_bytes binary, "
@@ -115,7 +140,7 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     union = spark.read.parquet(
         *[os.path.join(catalog.segment_dir(s), "postings.parquet") for s in seg_ids])
     merged_postings = (union.repartition(F.col("term"))
-                       .groupBy("term").applyInPandas(reencode, postings_schema))
+                       .mapInPandas(reencode_partition, postings_schema))
 
     tmp = os.path.join(index_dir, "segments", f"_tmp-{new_seg_id}-{uuid.uuid4().hex}")
     os.makedirs(tmp, exist_ok=True)

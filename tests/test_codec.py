@@ -103,3 +103,54 @@ def test_impacts_frontier_simple():
     assert pairs == [(5, 7)] or (5, 7) in pairs
     # (5,7) dominates (5,9), (2,7) and (1,10)? (1,10): needs tf'>=1, norm'<=10 -> yes
     assert pairs == [(5, 7)]
+
+
+def test_batched_encoder_matches_per_term_reference():
+    """encode_postings_batch must be byte-identical to encode_postings on
+    every term (mixed tail-only and multi-block dfs, hypothesis-style
+    randomized)."""
+    rng = np.random.RandomState(11)
+    norms = rng.randint(0, 256, 4000).astype(np.uint8)
+    doc_parts, tf_parts, pos_parts, offs = [], [], [], [0]
+    for _ in range(120):
+        df = int(rng.choice([1, 2, 3, 7, 60, 127, 128, 129, 400],
+                            p=[.25, .2, .15, .15, .1, .05, .04, .03, .03]))
+        ids = np.sort(rng.choice(4000, df, replace=False)).astype(np.int64)
+        tfs = rng.randint(1, 6, df).astype(np.int64)
+        pos = np.concatenate([np.sort(rng.choice(500, int(t), replace=False))
+                              for t in tfs]).astype(np.int64)
+        doc_parts.append(ids)
+        tf_parts.append(tfs)
+        pos_parts.append(pos)
+        offs.append(offs[-1] + df)
+    docs = np.concatenate(doc_parts)
+    tfs_all = np.concatenate(tf_parts)
+    pos_all = np.concatenate(pos_parts)
+    enc = codec.encode_postings_batch(docs, tfs_all, pos_all, norms,
+                                      np.array(offs))
+    tok = 0
+    for t in range(120):
+        a, b = offs[t], offs[t + 1]
+        ntok = int(tf_parts[t].sum())
+        ref = codec.encode_postings(doc_parts[t], tf_parts[t],
+                                    pos_all[tok:tok + ntok], norms)
+        tok += ntok
+        assert int(enc["df"][t]) == ref["df"]
+        assert int(enc["ttf"][t]) == ref["ttf"]
+        for k in ("doc_bytes", "tf_bytes", "pos_bytes", "block_last",
+                  "impact_bytes"):
+            assert bytes(enc[k][t]) == ref[k], (t, k)
+
+
+def test_vbyte_encode_batched_roundtrip():
+    rng = np.random.RandomState(5)
+    glens = rng.randint(0, 40, 50)
+    vals = rng.randint(0, 1 << 40, int(glens.sum())).astype(np.uint64)
+    stream, goff = codec.vbyte_encode_batched(vals, glens)
+    pos = 0
+    for g, n in enumerate(glens):
+        chunk = stream[goff[g]:goff[g + 1]]
+        got = codec.vbyte_decode(chunk, int(n))
+        assert np.array_equal(got.astype(np.uint64), vals[pos:pos + n])
+        assert chunk == codec.vbyte_encode(vals[pos:pos + n])
+        pos += n

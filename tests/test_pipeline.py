@@ -1,0 +1,173 @@
+"""Tests for the training-data pipeline operators (dedup, simsearch,
+textstats, multimodal) and the engine additions they build on."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_spark.pipeline import dedup, multimodal, simsearch, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),   # near-dup of 0
+        (2, "der hund und die katze und der vogel sind da", "de"),
+        (3, "completely different text about spark engines here", "en"),
+        (4, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 0
+        (5, "el gato y el perro de la casa que corre", "es"),
+        (6, "short text", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_duplicate_groups(docs).toPandas()
+    assert len(groups) == 6  # 7 docs, one exact pair
+    dup = groups[groups.cnt == 2]
+    assert len(dup) == 1 and dup.iloc[0]["keeper"] == 0
+    survivors = dedup.drop_exact_duplicates(docs).toPandas()
+    assert sorted(survivors.doc_id) == [0, 1, 2, 3, 5, 6]
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 4) in got          # exact dup -> jaccard 1.0
+    assert (0, 1) in got and (1, 4) in got  # near-dups share most trigrams
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_minhash_matches_bruteforce_at_high_threshold(spark, docs):
+    brute = dedup.ngram_jaccard_pairs(docs, threshold=0.7).toPandas()
+    lsh = dedup.minhash_near_duplicates(docs, threshold=0.7).toPandas()
+    bset = {(a, b) for a, b in zip(brute.id_a, brute.id_b)}
+    lset = {(a, b) for a, b in zip(lsh.id_a, lsh.id_b)}
+    assert lset <= bset           # LSH output verified exactly -> no false pos
+    assert (0, 4) in lset         # identical docs always collide
+    # jaccard values agree where both report the pair
+    merged = brute.merge(lsh, on=["id_a", "id_b"], suffixes=("_b", "_l"))
+    assert np.allclose(merged.jaccard_b, merged.jaccard_l)
+
+
+def test_simhash_properties(spark, docs):
+    sigs = dedup.simhash_signatures(docs).toPandas().set_index("doc_id")
+    # identical text -> identical signature
+    assert sigs.loc[0, "simhash_hi"] == sigs.loc[4, "simhash_hi"]
+    assert sigs.loc[0, "simhash_lo"] == sigs.loc[4, "simhash_lo"]
+
+    def ham(a, b):
+        return (bin(int(sigs.loc[a, "simhash_hi"]) ^ int(sigs.loc[b, "simhash_hi"])).count("1")
+                + bin(int(sigs.loc[a, "simhash_lo"]) ^ int(sigs.loc[b, "simhash_lo"])).count("1"))
+
+    assert ham(0, 4) == 0
+    assert ham(0, 1) < ham(0, 3)  # near-dup closer than unrelated doc
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=0).toPandas()
+    assert {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)} == {(0, 4)}
+
+
+# ---------------------------------------------------------------------------
+# simsearch
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64),
+                        "embedding": [v.tolist() for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    emb_df, vecs = vectors
+    from pyspark.sql import functions as F
+    res = simsearch.brute_force_topk(
+        emb_df, emb_df.where(F.col("vec_id") < 3), k=4).toPandas()
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for q in range(3):
+        order = [(round(-float(sims[q, j]), 4), j) for j in range(60) if j != q]
+        expect = [j for _, j in sorted(order)[:4]]
+        got = res[res.query_id == q].sort_values("rank").neighbor_id.tolist()
+        assert got == expect, f"query {q}: {got} != {expect}"
+
+
+def test_lsh_topk_recall(spark, vectors):
+    emb_df, _ = vectors
+    from pyspark.sql import functions as F
+    q = emb_df.where(F.col("vec_id") < 10)
+    brute = simsearch.brute_force_topk(emb_df, q, k=3).toPandas()
+    approx = simsearch.lsh_bucketed_topk(emb_df, q, k=3,
+                                         num_planes=3, dim=16).toPandas()
+    bpairs = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+    apairs = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(bpairs & apairs) / len(bpairs)
+    assert recall >= 0.5  # multiprobe over 3 planes covers most neighbors
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+
+def test_token_counts_and_quality(spark, docs):
+    out = textstats.with_quality_score(
+        textstats.with_token_counts(docs)).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 9
+    assert out.loc[0, "n_distinct"] == 8  # 'the' twice
+    assert ((out.quality >= 0) & (out.quality <= 1)).all()
+    assert out.loc[3, "quality"] > out.loc[0, "quality"]  # no stopword spam
+
+
+def test_lang_id(spark, docs):
+    out = textstats.with_lang_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "de"
+    assert out.loc[5, "lang_pred"] == "es"
+
+
+def test_fingerprints(spark, docs):
+    out = textstats.with_fingerprints(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "fp_exact"] == hashlib.md5(
+        b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert out.loc[0, "fp_exact"] == out.loc[4, "fp_exact"]
+    assert out.loc[0, "fp_bag"] == out.loc[4, "fp_bag"]
+    assert out.loc[0, "fp_bag"] != out.loc[1, "fp_bag"]
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def test_multimodal_meta_and_fake_decode(spark, docs):
+    with_payload = multimodal.attach_payload(docs)
+    meta = multimodal.extract_meta(with_payload).toPandas().set_index("doc_id")
+    assert meta.loc[6, "payload_len"] == len(b"short text")
+    assert meta.loc[6, "payload_md5"] == hashlib.md5(b"short text").hexdigest()
+
+    feats = multimodal.decode_features(with_payload, fake=True).toPandas()
+    assert len(feats) == 7
+    assert all(len(f) == multimodal.FEATURE_DIM for f in feats.features)
+    # deterministic: same payload -> same features
+    f0 = feats[feats.doc_id == 0].features.iloc[0]
+    f4 = feats[feats.doc_id == 4].features.iloc[0]
+    assert np.allclose(list(f0), list(f4))
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    from py4j.protocol import Py4JJavaError
+    feats = multimodal.decode_features(multimodal.attach_payload(docs),
+                                       fake=False)
+    with pytest.raises(Exception) as ei:
+        feats.collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError)

@@ -1,0 +1,83 @@
+"""Tests for the search-side additions: DisMax scoring, score_all /
+matching_docs, and term-dictionary expansion (prefix/wildcard/fuzzy)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pytest
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.search import Searcher
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.plans import query as Q
+from lucene_spark.sources.corpus import generate_corpus
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(N_DOCS, seed=7)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, corpus):
+    d = tempfile.mkdtemp(prefix="lucene_spark_extras_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=4)
+    return Searcher(spark, d)
+
+
+def test_dismax_rank_and_score_parity(searcher, oracle):
+    for tb in (0.0, 0.3):
+        q = Q.DisMax((Q.Term("parse"), Q.Term("emit"), Q.Term("token")), tb)
+        got = [(r["doc_id"], r["score"]) for r in searcher.search(q, k=10).collect()]
+        want = oracle.top_k(q, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                           rtol=0, atol=0)
+
+
+def test_score_all_equals_oracle_scores(searcher, oracle):
+    q = Q.Or((Q.Term("parse"), Q.Term("scan")))
+    got = {r["doc_id"]: r["score"]
+           for r in searcher.score_all(q).collect()}
+    want = {d: float(s) for d, s in oracle.score(q).items()}
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=0)
+
+
+def test_matching_docs_is_constant_score_match_set(searcher, oracle):
+    q = Q.Term("flush")
+    got = sorted(r["doc_id"] for r in searcher.matching_docs(q).collect())
+    assert got == sorted(oracle.score(q).keys())
+
+
+def test_expand_terms_prefix_wildcard_fuzzy(searcher, oracle):
+    pref = searcher.expand_terms(like="parse%")
+    assert "parse" in pref
+    assert all(t.startswith("parse") for t in pref)
+
+    wild = searcher.expand_terms(rlike="^fl.sh$")
+    assert wild == ["flush"]
+
+    fz = searcher.expand_terms(fuzzy=("parze", 1))
+    assert "parse" in fz
+
+    # constant-score union equals the union of per-term match sets
+    docs = sorted(r["doc_id"] for r in
+                  searcher.docs_matching_any(["flush", "scan"]).collect())
+    want = sorted(set(oracle.score(Q.Term("flush")))
+                  | set(oracle.score(Q.Term("scan"))))
+    assert docs == want
+
+
+def test_expand_terms_cap(searcher):
+    assert len(searcher.expand_terms(like="%", max_terms=10)) == 10
