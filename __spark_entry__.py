@@ -26,8 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lucene_spark.functions.smallfloat import byte4_to_int
+from lucene_spark.operators import facets
 from lucene_spark.operators.build import build_index
 from lucene_spark.operators.search import Searcher
+from lucene_spark.operators.stats import term_stats_from_tokens
 from lucene_spark.pipeline import dedup, multimodal, simsearch, textstats
 from lucene_spark.plans import query as Q
 
@@ -421,6 +423,36 @@ SYN_A, SYN_B = "batch", "stream"
 PH_A, PH_B = "dup", "dup"   # planted near-dup docs contain "... dup dup"
 
 
+def _prefix_scored_sql(prefix: str, term: str, k: int = 10) -> str:
+    """CONSTANT_SCORE prefix clause (weight 1f) AND a BM25-scored term."""
+    return (_PRELUDE + ", " + _tscore_cte("ta", term) + f""",
+pmatch AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE '{prefix}%'),
+psc AS (
+  SELECT a.doc_id,
+         CAST(CAST(CAST(CAST(1.0 AS DOUBLE) AS FLOAT) AS DOUBLE)
+              + CAST(a.s AS DOUBLE) AS FLOAT) AS s
+  FROM ta a JOIN pmatch p ON a.doc_id = p.doc_id
+)""" + _topk_sql("psc", k))
+
+
+def _msm_sql(t1: str, t2: str, t3: str, msm: int, k: int = 10) -> str:
+    """3-clause SHOULD with minimumNumberShouldMatch."""
+    return (_PRELUDE + ", " + _tscore_cte("ta", t1) + ", "
+            + _tscore_cte("tb", t2) + ", " + _tscore_cte("tc", t3) + f""",
+ab AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(CAST(a.s AS DOUBLE), 0) + COALESCE(CAST(b.s AS DOUBLE), 0) AS s2,
+         (a.doc_id IS NOT NULL)::INT + (b.doc_id IS NOT NULL)::INT AS n2
+  FROM ta a FULL OUTER JOIN tb b ON a.doc_id = b.doc_id
+),
+msmsc AS (
+  SELECT COALESCE(x.doc_id, c.doc_id) AS doc_id,
+         CAST(COALESCE(x.s2, 0) + COALESCE(CAST(c.s AS DOUBLE), 0) AS FLOAT) AS s
+  FROM ab x FULL OUTER JOIN tc c ON x.doc_id = c.doc_id
+  WHERE COALESCE(x.n2, 0) + (c.doc_id IS NOT NULL)::INT >= {msm}
+)""" + _topk_sql("msmsc", k))
+
+
 def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     page1 = s.search(Q.Term(T_COMMON), k=10).collect()
@@ -488,6 +520,42 @@ def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rank") <= 10)
             .select("doc_id", F.col("n_chars").cast("int").alias("n_chars"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+_RANGE_BUCKETS = [(0, 150), (100, 300), (300, 1000)]
+
+
+def _q_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return facets.range_facet_counts(s, Q.Term(T_RARE), docs, "n_chars",
+                                     _RANGE_BUCKETS)
+
+
+def _q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return facets.drill_sideways(s, Q.Term(T_COMMON), Q.Term(T_RARE),
+                                 docs, "lang")
+
+
+def _q_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return facets.query_join(s, Q.Term(T_RARE), docs, "source",
+                             docs, "source").select("doc_id")
+
+
+def _q_term_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    return s.docs_matching_any(s.expand_terms(between=("batch", "data")))
+
+
+def _q_term_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = term_stats_from_tokens(_docs(spark, sf_dir), content_col="text",
+                                 doc_id_col="doc_id", salt_buckets=8)
+    return out.select("term", F.col("df").cast("long").alias("df"),
+                      F.col("ttf").cast("long").alias("ttf"))
 
 
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,6 +680,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_top10": _search(Q.Phrase((PH_A, PH_B))),
         "bm25_dismax_top10": _search(
             Q.DisMax((Q.Term(T_COMMON), Q.Term(T_COMMON2)), 0.0)),
+        "bm25_prefix_scored_top10": _search(
+            Q.And((Q.MultiTerm("prefix", "du"), Q.Term(T_COMMON)))),
+        "bm25_msm2_top10": _search(
+            Q.Or((Q.Term(T_A), Q.Term(T_B), Q.Term(SYN_A)), 2)),
         "search_after_page2": _q_search_after,
         "total_hits_count": _q_total_hits,
         "prefix_query": _q_prefix,
@@ -619,12 +691,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_query": _q_fuzzy,
         "term_in_set": _q_term_in_set,
         "range_query": _q_range,
-        # --- facets / grouping / sort (SURVEY.md §2.4) ---
+        "term_range_query": _q_term_range,
+        # --- facets / grouping / join (SURVEY.md §2.4) ---
         "facet_counts": _q_facets,
+        "range_facet_counts": _q_range_facet,
+        "drill_sideways": _q_drill_sideways,
         "grouped_topk": _q_grouped_topk,
         "sort_by_field": _q_sort_by_field,
+        "query_join": _q_join,
         # --- index tables / invariants (SURVEY.md §2.2) ---
         "term_stats": _q_term_stats,
+        "term_stats_salted": _q_term_stats_salted,
         "field_stats": _q_field_stats,
         "doc_norms": _q_doc_norms,
         "content_sha256": _q_sha256,
@@ -659,6 +736,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_synonym_top10": _synonym_sql(SYN_A, SYN_B),
         "bm25_phrase_top10": _phrase_sql(PH_A, PH_B),
         "bm25_dismax_top10": _dismax_sql(T_COMMON, T_COMMON2),
+        "bm25_prefix_scored_top10": _prefix_scored_sql("du", T_COMMON),
+        "bm25_msm2_top10": _msm_sql(T_A, T_B, SYN_A, 2),
         "search_after_page2": _PRELUDE + ", " + _tscore_cte("ts", T_COMMON)
                               + _topk_sql("ts", 10, offset=10),
         "total_hits_count": f"""
@@ -710,7 +789,53 @@ FROM (SELECT d.doc_id, d.n_chars,
               FROM documents) t
             WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}'))
 WHERE rnk <= 10""",
+        "term_range_query": """
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term BETWEEN 'batch' AND 'data'""",
+        "range_facet_counts": f"""
+WITH m AS (
+  SELECT d.doc_id, d.n_chars FROM documents d
+  WHERE EXISTS (SELECT 1 FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents) t
+        WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}')
+),
+a AS (SELECT
+  {", ".join(f"sum(CASE WHEN n_chars >= {lo} AND n_chars < {hi} THEN 1 ELSE 0 END) AS r{i}"
+             for i, (lo, hi) in enumerate(_RANGE_BUCKETS))}
+  FROM m)
+{" UNION ALL ".join(f"SELECT 'range_{lo}_{hi}' AS bucket, CAST(r{i} AS BIGINT) AS cnt FROM a"
+                    for i, (lo, hi) in enumerate(_RANGE_BUCKETS))}""",
+        "drill_sideways": f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+m_base AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{T_COMMON}'),
+m_drill AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{T_COMMON}'
+            INTERSECT
+            SELECT DISTINCT doc_id FROM tok WHERE term = '{T_RARE}'),
+side AS (SELECT d.lang, count(*) AS c FROM documents d
+         JOIN m_base USING (doc_id) GROUP BY 1),
+drill AS (SELECT d.lang, count(*) AS c FROM documents d
+          JOIN m_drill USING (doc_id) GROUP BY 1)
+SELECT COALESCE(s.lang, dr.lang) AS lang,
+       CAST(COALESCE(s.c, 0) AS BIGINT) AS sideways_cnt,
+       CAST(COALESCE(dr.c, 0) AS BIGINT) AS drill_cnt
+FROM side s FULL OUTER JOIN drill dr ON s.lang = dr.lang""",
+        "query_join": f"""
+SELECT doc_id FROM documents WHERE source IN (
+  SELECT DISTINCT d.source FROM documents d
+  WHERE EXISTS (SELECT 1 FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents) t
+        WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}'))""",
         "term_stats": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+FROM tf GROUP BY 1""",
+        "term_stats_salted": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
              FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)

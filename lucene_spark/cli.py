@@ -1,0 +1,148 @@
+"""spark-submit entry point.
+
+Deployment mode required by the north star::
+
+    python -m lucene_spark.cli zip out/lucene_spark.zip
+    spark-submit --py-files out/lucene_spark.zip \\
+        $(python -c 'import lucene_spark.cli as c; print(c.__file__)') \\
+        build --input s3://bucket/corpus --index s3://bucket/idx --segments 4096
+
+Subcommands:
+  build   read a parquet/Iceberg-style table (repo, path, commit, lang,
+          content [, doc_id]) and build/resume the index
+  search  run a classic-syntax query against a committed snapshot
+  merge   run tiered merge maintenance to the target tier
+  stats   recompute global term stats via the salted token-level job
+  zip     write the --py-files archive
+
+In local runs (no spark-submit) the package auto-ships itself via
+``sc.addPyFile`` (see ``session.ensure_shipped``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(args):
+    from .session import get_session
+    return get_session(master=args.master, app_name=f"lucene_spark_{args.cmd}",
+                       shuffle_partitions=args.shuffle_partitions)
+
+
+def cmd_build(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators.build import build_index
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if "doc_id" not in df.columns:
+        # deterministic global docID = rank of the primary key (FIXTURES.md:
+        # doc order for docID assignment is sorted (repo, path, commit))
+        from pyspark.sql.window import Window
+        w = Window.orderBy("repo", "path", "commit")
+        df = df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    snap = build_index(spark, df, args.index, num_segments=args.segments,
+                       content_col=args.content_col, resume=not args.no_resume)
+    print(f"committed snapshot {snap.snapshot_id}: "
+          f"{snap.field_stats['doc_count']} docs, "
+          f"{len(snap.seg_ids)} segments")
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .operators.search import Searcher
+    spark = _spark(args)
+    s = Searcher(spark, args.index, snapshot_id=args.snapshot)
+    res = s.search(args.query, k=args.k, mode=args.mode)
+    for row in res.collect():
+        print(f"{row['rank']:3d}  doc={row['doc_id']:<12d} "
+              f"score={row['score']:.6f}")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from .operators.merge import maintain
+    spark = _spark(args)
+    snap = maintain(spark, args.index, segs_per_tier=args.segs_per_tier,
+                    max_merge_at_once=args.max_merge_at_once)
+    print(f"snapshot {snap.snapshot_id}: {len(snap.seg_ids)} segments")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .operators.stats import term_stats_from_tokens
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    out = term_stats_from_tokens(df, content_col=args.content_col,
+                                 salt_buckets=args.salt_buckets)
+    out.write.mode("overwrite").parquet(args.output)
+    print(f"wrote term stats to {args.output}")
+    return 0
+
+
+def cmd_zip(args) -> int:
+    import os
+    import zipfile
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".",
+                exist_ok=True)
+    with zipfile.ZipFile(args.out, "w") as z:
+        for dirpath, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    print(f"wrote {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="lucene_spark")
+    p.add_argument("--master", default=None,
+                   help="only for local runs; spark-submit sets the master")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--segments", type=int, default=128)
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--mode", default="auto",
+                   choices=["auto", "bmw", "exhaustive"])
+    s.add_argument("--snapshot", type=int, default=None)
+    s.set_defaults(fn=cmd_search)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index", required=True)
+    m.add_argument("--segs-per-tier", type=int, default=10)
+    m.add_argument("--max-merge-at-once", type=int, default=10)
+    m.set_defaults(fn=cmd_merge)
+
+    st = sub.add_parser("stats")
+    st.add_argument("--input", required=True)
+    st.add_argument("--output", required=True)
+    st.add_argument("--content-col", default="content")
+    st.add_argument("--salt-buckets", type=int, default=16)
+    st.set_defaults(fn=cmd_stats)
+
+    z = sub.add_parser("zip")
+    z.add_argument("out")
+    z.set_defaults(fn=cmd_zip)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

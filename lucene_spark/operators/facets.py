@@ -1,0 +1,97 @@
+"""Facets, grouping and query-time join over search results.
+
+These are the reference's facet/grouping/join modules re-expressed as
+DataFrame compositions on top of ``Searcher.score_all`` /
+``matching_docs`` (reference: ``lucene/facet/.../FastTaxonomyFacetCounts
+.java``, ``facet/range/LongRangeCounter.java``, ``facet/DrillSideways
+.java``, ``grouping/FirstPassGroupingCollector.java``,
+``join/JoinUtil.java``). The match set is computed ONCE per query by the
+per-segment kernel; everything downstream is Catalyst-planned joins and
+aggregations — facet counting over a 100 TB corpus is a semi-join plus a
+groupBy with map-side partial aggregation, never a postings re-scan per
+dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def facet_counts(searcher, query, dims_df: DataFrame, dim_col: str,
+                 doc_id_col: str = "doc_id") -> DataFrame:
+    """Per-value doc counts of ``dim_col`` over the query's match set
+    (SortedSetDocValuesFacetCounts role). One shuffle for the semi-join,
+    one partial-aggregated groupBy."""
+    matched = searcher.matching_docs(query)
+    return (matched.join(dims_df.select(doc_id_col, dim_col), doc_id_col)
+            .groupBy(dim_col).agg(F.count("*").alias("cnt")))
+
+
+def range_facet_counts(searcher, query, dims_df: DataFrame, num_col: str,
+                       buckets: list[tuple[int, int]],
+                       doc_id_col: str = "doc_id") -> DataFrame:
+    """LongRangeFacetCounts: doc counts per [lo, hi) numeric range over the
+    match set. Ranges may overlap (a doc counts in every range containing
+    it), matching the reference's semantics — hence one CASE column per
+    range summed in a single pass, not a bucketed groupBy."""
+    matched = searcher.matching_docs(query)
+    joined = matched.join(dims_df.select(doc_id_col, num_col), doc_id_col)
+    aggs = [F.sum(F.when((F.col(num_col) >= lo) & (F.col(num_col) < hi), 1)
+                  .otherwise(0)).alias(f"r{i}")
+            for i, (lo, hi) in enumerate(buckets)]
+    row = joined.agg(*aggs)
+    names = [f"range_{lo}_{hi}" for lo, hi in buckets]
+    pairs = ", ".join(f"'{n}', cast(r{i} as bigint)"
+                      for i, n in enumerate(names))
+    return (row.select(F.explode(F.expr(f"map({pairs})"))
+                       .alias("bucket", "cnt")))
+
+
+def drill_sideways(searcher, base_query, drill_query, dims_df: DataFrame,
+                   dim_col: str, doc_id_col: str = "doc_id") -> DataFrame:
+    """DrillSideways: facet counts of ``dim_col`` over docs matching the
+    base query alone (sideways counts) alongside counts after applying the
+    drill-down — both from one match-set computation each, combined with a
+    full outer join on the facet value."""
+    side = facet_counts(searcher, base_query, dims_df, dim_col, doc_id_col) \
+        .withColumnRenamed("cnt", "sideways_cnt")
+    from ..plans import query as Q
+    drilled = facet_counts(searcher, Q.And((base_query, drill_query)),
+                           dims_df, dim_col, doc_id_col) \
+        .withColumnRenamed("cnt", "drill_cnt")
+    return (side.join(drilled, dim_col, "full_outer")
+            .select(dim_col,
+                    F.coalesce("sideways_cnt", F.lit(0)).alias("sideways_cnt"),
+                    F.coalesce("drill_cnt", F.lit(0)).alias("drill_cnt")))
+
+
+def grouped_top_k(searcher, query, dims_df: DataFrame, group_col: str,
+                  k_per_group: int = 2,
+                  doc_id_col: str = "doc_id") -> DataFrame:
+    """Two-pass grouping collector (top docs per group by score): a window
+    rank per group over the scored match set — Spark's partial top-k via
+    rank filter replaces the reference's two collector passes."""
+    scored = searcher.score_all(query) \
+        .join(dims_df.select(doc_id_col, group_col), doc_id_col)
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"),
+                                              F.asc(doc_id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_per_group)
+            .select(group_col, doc_id_col,
+                    F.col("rank").cast("int").alias("rank"), "score"))
+
+
+def query_join(searcher, from_query, from_df: DataFrame, from_key: str,
+               to_df: DataFrame, to_key: str,
+               doc_id_col: str = "doc_id") -> DataFrame:
+    """JoinUtil.createJoinQuery: gather the join-key values of docs
+    matching ``from_query``, then select rows of ``to_df`` whose key is in
+    that set — expressed as a semi-join so Catalyst picks broadcast vs
+    shuffle by size (the reference's global-ordinals optimization is the
+    broadcast case)."""
+    keys = (searcher.matching_docs(from_query)
+            .join(from_df.select(doc_id_col, from_key), doc_id_col)
+            .select(F.col(from_key).alias(to_key)).distinct())
+    return to_df.join(keys, to_key, "left_semi")

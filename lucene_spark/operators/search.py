@@ -67,6 +67,18 @@ class CPhrase:
 @dataclass(frozen=True)
 class COr:
     children: tuple
+    min_should_match: int = 0
+
+
+@dataclass(frozen=True)
+class _ResolvedMultiTerm(Q.Query):
+    """MultiTerm after dictionary expansion (internal, produced by
+    Searcher._resolve before compilation)."""
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+    def all_terms(self):
+        return list(self.terms)
 
 
 @dataclass(frozen=True)
@@ -84,6 +96,14 @@ class CNot:
 class CDisMax:
     children: tuple
     tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class CConstTerms:
+    """Constant-score union of expanded terms (MultiTermQuery's default
+    CONSTANT_SCORE rewrite: every matching doc scores ``weight``)."""
+    terms: tuple[str, ...]
+    weight: np.float32
 
 
 def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int):
@@ -112,11 +132,19 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int):
                 return None
             w = bm25.idf_sum([df_of(t) for t in node.terms], doc_count)
             return CPhrase(tuple(node.terms), w)
+        if isinstance(node, _ResolvedMultiTerm):
+            present = tuple(t for t in node.terms if df_of(t) > 0)
+            if not present:
+                return None
+            return CConstTerms(present, np.float32(node.boost))
         if isinstance(node, Q.Or):
             kids = tuple(k for k in (go(c) for c in node.clauses) if k is not None)
-            if not kids:
-                return None
-            return kids[0] if len(kids) == 1 else COr(kids)
+            msm = getattr(node, "min_should_match", 0)
+            if not kids or msm > len(kids):
+                return None  # can never reach the required clause count
+            if len(kids) == 1 and msm <= 1:
+                return kids[0]
+            return COr(kids, msm)
         if isinstance(node, Q.And):
             kids = tuple(go(c) for c in node.clauses)
             if any(k is None for k in kids):
@@ -143,7 +171,7 @@ def _compiled_terms(c) -> list[str]:
         return []
     if isinstance(c, CTerm):
         return [c.term]
-    if isinstance(c, (CSynonym, CPhrase)):
+    if isinstance(c, (CSynonym, CPhrase, CConstTerms)):
         return list(c.terms)
     if isinstance(c, (COr, CAnd, CDisMax)):
         out = []
@@ -156,11 +184,15 @@ def _compiled_terms(c) -> list[str]:
 
 
 def _bmw_eligible(c) -> bool:
-    """Block-max path covers the pure term algebra (Term/Or/And); phrases,
-    synonyms and exclusions fall back to exhaustive scoring."""
+    """Block-max path covers the pure term algebra (Term/Or/And without
+    minimumShouldMatch); phrases, synonyms, exclusions, constant-score
+    unions and msm fall back to exhaustive scoring."""
     if isinstance(c, CTerm):
         return True
-    if isinstance(c, (COr, CAnd)):
+    if isinstance(c, COr):
+        return c.min_should_match <= 1 and all(_bmw_eligible(k)
+                                               for k in c.children)
+    if isinstance(c, CAnd):
         return all(_bmw_eligible(k) for k in c.children)
     return False
 
@@ -327,7 +359,25 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
                                  node.weight, ctx.cache)
             scores[mask] = s.astype(np.float64)
         return mask, scores
+    if isinstance(node, CConstTerms):
+        for t in node.terms:
+            tp = ctx.tp(t)
+            if tp is None:
+                continue
+            ids, _ = tp.in_range(lo, hi)
+            mask[ids - lo] = True
+        scores[mask] = np.float64(node.weight)
+        return mask, scores
     if isinstance(node, COr):
+        if node.min_should_match > 1:
+            counts = np.zeros(n, dtype=np.int64)
+            for child in node.children:
+                m, s = _eval_range(child, ctx, lo, hi)
+                counts += m
+                scores += s
+            mask = counts >= node.min_should_match
+            scores[~mask] = 0.0
+            return mask, scores
         for child in node.children:
             m, s = _eval_range(child, ctx, lo, hi)
             mask |= m
@@ -554,10 +604,46 @@ class Searcher:
                 .select("term", "df").collect())
         return {r["term"]: int(r["df"]) for r in rows}
 
+    def _resolve(self, q):
+        """Expand MultiTerm nodes against the term dictionary (the
+        reference's rewrite(reader) step for MultiTermQuery:
+        ``search/MultiTermQuery.java:55``)."""
+        import re as _re
+        if isinstance(q, Q.MultiTerm):
+            if q.kind == "prefix":
+                terms = self.expand_terms(like=f"{q.value}%")
+            elif q.kind == "wildcard":
+                pat = "^" + "".join(
+                    ".*" if ch == "*" else "." if ch == "?"
+                    else _re.escape(ch) for ch in str(q.value)) + "$"
+                terms = self.expand_terms(rlike=pat)
+            elif q.kind == "fuzzy":
+                terms = self.expand_terms(fuzzy=(str(q.value), q.edits))
+            elif q.kind == "range":
+                lo, hi, lo_inc, hi_inc = q.value
+                terms = self.expand_terms(between=(lo, hi))
+                terms = [t for t in terms
+                         if (lo_inc or t != lo) and (hi_inc or t != hi)]
+            else:
+                raise ValueError(f"unknown MultiTerm kind {q.kind!r}")
+            return _ResolvedMultiTerm(tuple(terms), q.boost)
+        if isinstance(q, Q.Or):
+            return Q.Or(tuple(self._resolve(c) for c in q.clauses),
+                        q.min_should_match)
+        if isinstance(q, Q.And):
+            return Q.And(tuple(self._resolve(c) for c in q.clauses))
+        if isinstance(q, Q.DisMax):
+            return Q.DisMax(tuple(self._resolve(c) for c in q.clauses),
+                            q.tie_breaker)
+        if isinstance(q, Q.Not):
+            return Q.Not(self._resolve(q.positive), self._resolve(q.negative))
+        return q
+
     def _compile(self, query):
         if isinstance(query, str):
             query = parse_query(query)
         query = Q.rewrite_fixed_point(query)
+        query = self._resolve(query)
         dfs = self._global_dfs(query.all_terms())
         compiled = compile_query(query, dfs, self.doc_count)
         avgdl = bm25.avg_field_length(self.sum_ttf, self.doc_count)
@@ -607,6 +693,7 @@ class Searcher:
 
     def expand_terms(self, like: str | None = None, rlike: str | None = None,
                      fuzzy: tuple[str, int] | None = None,
+                     between: tuple[str, str] | None = None,
                      max_terms: int = 512) -> list[str]:
         """MultiTermQuery expansion against the term dictionary (the
         reference expands prefix/wildcard/fuzzy queries via a term automaton:
@@ -626,6 +713,8 @@ class Searcher:
         if fuzzy is not None:
             base, max_edits = fuzzy
             tf = tf.filter(F.levenshtein(F.col("term"), F.lit(base)) <= max_edits)
+        if between is not None:  # TermRangeQuery (inclusive bounds)
+            tf = tf.filter(F.col("term").between(*between))
         return sorted(r["term"] for r in
                       tf.select("term").limit(max_terms).collect())
 

@@ -21,7 +21,21 @@ from .functions.bm25 import (
     K1_DEFAULT, B_DEFAULT, avg_field_length, idf, idf_sum, norm_inverse_cache,
 )
 from .functions.smallfloat import int_to_byte4
-from .plans.query import And, DisMax, Not, Or, Phrase, Query, Synonym, Term
+from .plans.query import (And, DisMax, MultiTerm, Not, Or, Phrase, Query,
+                          Synonym, Term)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
 @dataclass
@@ -126,12 +140,37 @@ class OracleIndex:
             return self._synonym_scores(list(query.terms), k1, b)
         if isinstance(query, Phrase):
             return self._phrase_scores(list(query.terms), k1, b)
+        if isinstance(query, MultiTerm):
+            import fnmatch
+            terms = sorted(self.postings)
+            if query.kind == "prefix":
+                hit = [t for t in terms if t.startswith(str(query.value))]
+            elif query.kind == "wildcard":
+                hit = [t for t in terms
+                       if fnmatch.fnmatchcase(t, str(query.value))]
+            elif query.kind == "fuzzy":
+                hit = [t for t in terms
+                       if _levenshtein(t, str(query.value)) <= query.edits]
+            elif query.kind == "range":
+                lo, hi, lo_inc, hi_inc = query.value
+                hit = [t for t in terms
+                       if (lo < t or (lo_inc and t == lo))
+                       and (t < hi or (hi_inc and t == hi))]
+            else:
+                raise ValueError(query.kind)
+            docs = {d for t in hit for d, _, _ in self.postings[t]}
+            w = np.float32(query.boost)
+            return {d: w for d in docs}
         if isinstance(query, Or):
             acc: dict[int, float] = {}
+            hits: dict[int, int] = {}
             for clause in query.clauses:
                 for d, s in self.score(clause, k1, b).items():
                     acc[d] = acc.get(d, 0.0) + float(s)
-            return {d: np.float32(s) for d, s in acc.items()}
+                    hits[d] = hits.get(d, 0) + 1
+            msm = max(query.min_should_match, 1)
+            return {d: np.float32(s) for d, s in acc.items()
+                    if hits[d] >= msm}
         if isinstance(query, And):
             per = [self.score(c, k1, b) for c in query.clauses]
             common = set(per[0])

@@ -14,7 +14,7 @@ import re
 from dataclasses import dataclass
 
 from ..functions.analysis import analyze_text
-from .query import And, Not, Or, Phrase, Query, Term
+from .query import And, MultiTerm, Not, Or, Phrase, Query, Term
 
 _TOKENS_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()]+')
 
@@ -114,6 +114,18 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
             return q
         if t == ")":
             raise QueryParseError("unexpected )")
+        if t[0] in "[{":  # term range: [a TO b] / {a TO b}
+            parts = [t]
+            while parts[-1][-1] not in "]}":
+                if peek() is None:
+                    raise QueryParseError("unterminated range")
+                parts.append(advance())
+            joined = " ".join(parts)
+            m = re.match(r"^([\[{])\s*(\S+)\s+TO\s+(\S+?)\s*([\]}])$", joined)
+            if not m:
+                raise QueryParseError(f"bad range: {joined!r}")
+            return MultiTerm("range", (m.group(2).lower(), m.group(3).lower(),
+                                       m.group(1) == "[", m.group(4) == "]"))
         return _atom(t)
 
     def _atom(t: str) -> Query:
@@ -128,6 +140,16 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
             if not terms:
                 raise QueryParseError(f"empty phrase: {t}")
             return Term(terms[0], boost) if len(terms) == 1 else Phrase(tuple(terms))
+        m = re.match(r"^(.+?)~(\d*)$", t)
+        if m and "*" not in t and "?" not in t:  # fuzzy: word~ / word~1
+            edits = int(m.group(2)) if m.group(2) else 2
+            return MultiTerm("fuzzy", m.group(1).lower(), edits=edits,
+                             boost=boost)
+        if "*" in t or "?" in t:  # wildcard / prefix
+            low = t.lower()
+            if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+                return MultiTerm("prefix", low[:-1], boost=boost)
+            return MultiTerm("wildcard", low, boost=boost)
         terms, _, _ = analyze_text(t, stopwords=stopwords)
         if not terms:
             raise QueryParseError(f"term analyzed to nothing: {t!r}")

@@ -52,19 +52,52 @@ class Synonym(Query):
         return list(dict.fromkeys(self.terms))
 
 
+@dataclass(frozen=True)
+class MultiTerm(Query):
+    """Prefix / wildcard / fuzzy / term-range query. Expanded against the
+    term dictionary at weight-creation time (reference
+    ``search/MultiTermQuery.java:55``) and executed with the default
+    CONSTANT_SCORE rewrite: every matching doc scores ``boost``
+    (``MultiTermQuery.java:83`` CONSTANT_SCORE_REWRITE).
+
+    kind: 'prefix' (value = prefix), 'wildcard' (value = glob with *?),
+    'fuzzy' (value = term, ``edits``), 'range' (value = (lo, hi) incl.).
+    """
+    kind: str
+    value: object
+    edits: int = 2
+    boost: float = 1.0
+
+    def all_terms(self):
+        return []  # terms known only after expansion
+
+
 def _dedup_flatten(clauses, node_type):
+    if isinstance(node_type, type):
+        t = node_type
+        node_type = lambda c: isinstance(c, t)  # noqa: E731
     flat: list[Query] = []
     for c in clauses:
-        flat.extend(c.clauses if isinstance(c, node_type) else (c,))
+        flat.extend(c.clauses if node_type(c) else (c,))
     return tuple(dict.fromkeys(flat))
 
 
 @dataclass(frozen=True)
 class Or(Query):
+    """SHOULD disjunction; ``min_should_match`` > 1 requires that many
+    clauses to match (reference ``BooleanQuery.Builder
+    .setMinimumNumberShouldMatch``). Flattening is suppressed when msm is
+    set — clause identity then carries meaning."""
     clauses: tuple[Query, ...]
+    min_should_match: int = 0
 
     def rewrite(self):
-        cls = _dedup_flatten((c.rewrite() for c in self.clauses), Or)
+        if self.min_should_match > 1:
+            return Or(tuple(c.rewrite() for c in self.clauses),
+                      self.min_should_match)
+        cls = _dedup_flatten(
+            (c.rewrite() for c in self.clauses),
+            lambda c: isinstance(c, Or) and c.min_should_match <= 1)
         return cls[0] if len(cls) == 1 else Or(cls)
 
     def scoring_terms(self):

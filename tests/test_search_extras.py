@@ -81,3 +81,52 @@ def test_expand_terms_prefix_wildcard_fuzzy(searcher, oracle):
 
 def test_expand_terms_cap(searcher):
     assert len(searcher.expand_terms(like="%", max_terms=10)) == 10
+
+
+MULTITERM_QUERIES = [
+    "par*",                    # prefix, constant score
+    "fl?sh",                   # wildcard
+    "parze~1",                 # fuzzy
+    "[parse TO parser]",       # inclusive range
+    "{parse TO query}",        # exclusive range
+    "par* AND scan",           # constant-score clause inside scored AND
+    "flush OR par*",           # mixed disjunction
+    "sc*^3 OR flush",          # boosted prefix
+]
+
+
+@pytest.mark.parametrize("qtext", MULTITERM_QUERIES)
+def test_multiterm_rank_and_score_parity(searcher, oracle, qtext):
+    from lucene_spark.plans.parser import parse
+    q = parse(qtext)
+    got = [(r["doc_id"], r["score"])
+           for r in searcher.search(q, k=10).collect()]
+    want = oracle.top_k(q, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], qtext
+    assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                       rtol=0, atol=0), qtext
+
+
+def test_min_should_match_parity(searcher, oracle):
+    for msm in (1, 2, 3):
+        q = Q.Or((Q.Term("parse"), Q.Term("scan"), Q.Term("flush")), msm)
+        got = {r["doc_id"]: r["score"]
+               for r in searcher.score_all(q).collect()}
+        want = {d: float(s) for d, s in oracle.score(q).items()}
+        assert got.keys() == want.keys(), f"msm={msm}"
+        for d in want:
+            assert got[d] == pytest.approx(want[d], abs=0)
+    # msm above clause count matches nothing
+    q = Q.Or((Q.Term("parse"), Q.Term("scan")), 3)
+    assert searcher.search(q, k=5).count() == 0
+
+
+def test_multiterm_parser_shapes():
+    from lucene_spark.plans.parser import parse
+    from lucene_spark.plans.query import MultiTerm
+    assert parse("par*") == MultiTerm("prefix", "par")
+    assert parse("f?o") == MultiTerm("wildcard", "f?o")
+    assert parse("word~1") == MultiTerm("fuzzy", "word", edits=1)
+    assert parse("word~") == MultiTerm("fuzzy", "word", edits=2)
+    assert parse("[aa TO bb]") == MultiTerm("range", ("aa", "bb", True, True))
+    assert parse("{aa TO bb}") == MultiTerm("range", ("aa", "bb", False, False))

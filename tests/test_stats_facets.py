@@ -1,0 +1,115 @@
+"""Tests for the salted stats job, facet/grouping/join operators and the
+CLI surface."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from lucene_spark.operators import facets
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.search import Searcher
+from lucene_spark.operators.stats import (field_stats_from_tokens,
+                                          term_stats_from_tokens)
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.plans import query as Q
+from lucene_spark.sources.corpus import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    # ASCII-only slice so the JVM-regex tokenizer of the stats job agrees
+    # with the Python analyzer (Java \w is ASCII, Python \w is Unicode)
+    pdf = generate_corpus(300, seed=13)
+    return pdf[pdf.content.map(lambda s: s.isascii())].reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, corpus):
+    d = tempfile.mkdtemp(prefix="lucene_spark_facets_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=4)
+    return Searcher(spark, d)
+
+
+def test_salted_term_stats_match_oracle(spark, corpus, oracle):
+    df = spark.createDataFrame(corpus)
+    got = {r["term"]: (r["df"], r["ttf"])
+           for r in term_stats_from_tokens(df, salt_buckets=4).collect()}
+    want = {t: (oracle.df(t), oracle.ttf(t)) for t in oracle.postings}
+    assert got == want
+
+    fs = field_stats_from_tokens(df).collect()[0]
+    assert fs["doc_count"] == oracle.doc_count
+    assert fs["sum_total_term_freq"] == oracle.sum_ttf
+
+
+def test_facet_counts(spark, searcher, corpus, oracle):
+    docs = spark.createDataFrame(corpus[["doc_id", "lang"]])
+    got = {r["lang"]: r["cnt"] for r in
+           facets.facet_counts(searcher, Q.Term("parse"), docs,
+                               "lang").collect()}
+    matched = set(oracle.score(Q.Term("parse")))
+    want: dict[str, int] = {}
+    for _, row in corpus.iterrows():
+        if row.doc_id in matched:
+            want[row.lang] = want.get(row.lang, 0) + 1
+    assert got == want
+
+
+def test_range_facets_overlapping(spark, searcher, corpus, oracle):
+    import numpy as np
+    docs = spark.createDataFrame(corpus.assign(
+        clen=corpus.content.str.len())[["doc_id", "clen"]])
+    buckets = [(0, 500), (300, 900), (0, 10**6)]
+    got = {r["bucket"]: r["cnt"] for r in
+           facets.range_facet_counts(searcher, Q.Term("parse"), docs,
+                                     "clen", buckets).collect()}
+    matched = set(oracle.score(Q.Term("parse")))
+    lens = {r.doc_id: len(r.content) for r in corpus.itertuples()}
+    for lo, hi in buckets:
+        want = sum(1 for d in matched if lo <= lens[d] < hi)
+        assert got[f"range_{lo}_{hi}"] == want
+    assert got["range_0_1000000"] == len(matched)
+
+
+def test_drill_sideways(spark, searcher, corpus, oracle):
+    docs = spark.createDataFrame(corpus[["doc_id", "lang"]])
+    rows = facets.drill_sideways(searcher, Q.Term("parse"), Q.Term("scan"),
+                                 docs, "lang").collect()
+    base = set(oracle.score(Q.Term("parse")))
+    both = base & set(oracle.score(Q.Term("scan")))
+    lang_of = dict(zip(corpus.doc_id, corpus.lang))
+    for r in rows:
+        assert r["sideways_cnt"] == sum(1 for d in base
+                                        if lang_of[d] == r["lang"])
+        assert r["drill_cnt"] == sum(1 for d in both
+                                     if lang_of[d] == r["lang"])
+
+
+def test_query_join(spark, searcher, corpus, oracle):
+    docs = spark.createDataFrame(corpus[["doc_id", "repo"]])
+    out = facets.query_join(searcher, Q.Term("flush"), docs, "repo",
+                            docs, "repo")
+    matched_repos = {r for d, r in zip(corpus.doc_id, corpus.repo)
+                     if d in set(oracle.score(Q.Term("flush")))}
+    want = sorted(d for d, r in zip(corpus.doc_id, corpus.repo)
+                  if r in matched_repos)
+    assert sorted(r["doc_id"] for r in out.collect()) == want
+
+
+def test_cli_zip_and_search(spark, searcher, tmp_path):
+    from lucene_spark import cli
+    out = tmp_path / "pkg.zip"
+    assert cli.main(["zip", str(out)]) == 0
+    import zipfile
+    names = zipfile.ZipFile(out).namelist()
+    assert "lucene_spark/operators/search.py" in names
+    # search subcommand against the existing index (reuses the session)
+    assert cli.main(["search", "--index", searcher.index_dir,
+                     "--query", "parse OR emit", "--k", "3"]) == 0
