@@ -11,7 +11,8 @@ SQL: DuckDB ``FLOAT`` arithmetic is true float32, so every scoring step
 float32, the 256-entry norm-inverse cache, ``w - w/(1 + tf*inv)``) is
 mirrored with explicit casts in the reference operation order
 (reference ``similarities/BM25Similarity.java:104-266``). Scores are then
-rounded to 4 decimals on both sides purely as guard rails.
+projected to fixed-point (floor(x*10^4)) on both sides — floor
+on identical binary doubles is engine-independent, unlike round().
 """
 
 from __future__ import annotations
@@ -64,10 +65,18 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, _BUILT[key])
 
 
+def _q4(col, scale: int = 10000):
+    """floor(x·scale) as long — engine-independent fixed-point projection
+    of a double. (Spark's round() rounds the shortest-decimal repr via
+    BigDecimal.valueOf while DuckDB rounds the binary value; they disagree
+    exactly at rounding boundaries. floor on the same binary double is
+    deterministic everywhere.)"""
+    return F.floor(col.cast("double") * scale).cast("long")
+
+
 def _fmt_topk(res: DataFrame) -> DataFrame:
     return res.select("doc_id", F.col("rank").cast("int").alias("rank"),
-                      F.round(F.col("score").cast("double"), 4)
-                       .alias("score_r"))
+                      _q4(F.col("score")).alias("score_q4"))
 
 
 def _search(q, k: int = 10, mode: str = "auto"):
@@ -137,7 +146,7 @@ def _tscore_cte(name: str, term: str, boost: float | None = None) -> str:
 def _topk_sql(score_cte: str, k: int = 10, offset: int = 0) -> str:
     return f"""
 SELECT doc_id, CAST(rank - {offset} AS INT) AS rank,
-       round(CAST(s AS DOUBLE), 4) AS score_r
+       CAST(floor(CAST(s AS DOUBLE) * 10000) AS BIGINT) AS score_q4
 FROM (SELECT doc_id, s,
              row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
       FROM {score_cte})
@@ -223,6 +232,27 @@ phsc AS (
 )""" + _topk_sql("phsc", k))
 
 
+def _sloppy_phrase_sql(t1: str, t2: str, slop: int, k: int = 10) -> str:
+    """Windowed-delta sloppy phrase (see plans.query.Phrase docstring):
+    freq = Σ over (p1, p2) pairs within slop of 1/(1+matchLength)."""
+    return (_PRELUDE + f""",
+ph AS (SELECT p1.doc_id,
+              sum(CAST(1.0 AS DOUBLE) / (1 + abs(p2.pos - p1.pos - 1))) AS freq
+       FROM tok p1 JOIN tok p2
+         ON p1.doc_id = p2.doc_id
+        AND abs(p2.pos - p1.pos - 1) <= {slop}
+        AND p2.pos <> p1.pos
+       WHERE p1.term = '{t1}' AND p2.term = '{t2}'
+       GROUP BY 1),
+phw AS (SELECT CAST(CAST(w1.w AS DOUBLE) + CAST(w2.w AS DOUBLE) AS FLOAT) AS w
+        FROM (SELECT {_w_expr(t1)} AS w) w1, (SELECT {_w_expr(t2)} AS w) w2),
+phsc AS (
+  SELECT p.doc_id,
+         (w.w - w.w / (CAST(1 AS FLOAT) + CAST(p.freq AS FLOAT) * c.inv)) AS s
+  FROM ph p JOIN normcache c ON p.doc_id = c.doc_id CROSS JOIN phw w
+)""" + _topk_sql("phsc", k))
+
+
 def _dismax_sql(t1: str, t2: str, k: int = 10) -> str:
     return (_PRELUDE + ", " + _tscore_cte("ta", t1) + ", "
             + _tscore_cte("tb", t2) + f""",
@@ -258,13 +288,14 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT i.id_a, i.id_b,
-       round(CAST(i.inter AS DOUBLE) /
-             CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 4) AS jaccard
+       CAST(floor(CAST(i.inter AS DOUBLE) /
+             CAST(sa.sz + sb.sz - i.inter AS DOUBLE) * 10000) AS BIGINT)
+         AS jaccard_q4
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE round(CAST(i.inter AS DOUBLE) /
-            CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 4) >= {threshold}""")
+WHERE CAST(i.inter AS DOUBLE) /
+      CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold}""")
 
 
 def _minhash_sql(threshold: float, num_hashes: int = 16, bands: int = 4) -> str:
@@ -297,13 +328,14 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT i.id_a, i.id_b,
-       round(CAST(i.inter AS DOUBLE) /
-             CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 4) AS jaccard
+       CAST(floor(CAST(i.inter AS DOUBLE) /
+             CAST(sa.sz + sb.sz - i.inter AS DOUBLE) * 10000) AS BIGINT)
+         AS jaccard_q4
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE round(CAST(i.inter AS DOUBLE) /
-            CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 4) >= {threshold}""")
+WHERE CAST(i.inter AS DOUBLE) /
+      CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold}""")
 
 
 def _simhash_sql() -> str:
@@ -336,18 +368,18 @@ def _cosine_sql(max_query_id: int, k: int) -> str:
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {max_query_id}),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(
-           list_sum(list_transform(range(len(q.embedding)),
+         list_sum(list_transform(range(len(q.embedding)),
              i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)))
            / (sqrt(list_sum(list_transform(range(len(q.embedding)),
                 i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE))))
               * sqrt(list_sum(list_transform(range(len(c.embedding)),
                 i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)))))
-         , 4) AS cos
+         AS cos
   FROM embeddings c, q
   WHERE c.vec_id <> q.vec_id
 )
-SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, cos
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_q4
 FROM (SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, neighbor_id ASC) AS rnk
@@ -363,9 +395,10 @@ _LANG_HITS = {
 
 _QUALITY_SQL = """
 SELECT doc_id,
-       round(CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n / CAST(100.0 AS DOUBLE))
+       CAST(floor((CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n / CAST(100.0 AS DOUBLE))
              + CAST(0.4 AS DOUBLE) * (nd / n)
-             + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - ns / n), 4) AS quality
+             + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - ns / n)) * 10000) AS BIGINT)
+         AS quality_q4
 FROM (
   SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
@@ -407,8 +440,9 @@ codes AS (
   FROM chars c JOIN documents d ON c.doc_id = d.doc_id
 )
 SELECT doc_id, CAST(dim AS INT) AS dim,
-       round(CAST(CAST((CAST(sum(code) AS DOUBLE) / (max(npad) / 8))
-                       / CAST(255.0 AS DOUBLE) AS FLOAT) AS DOUBLE), 6) AS feat
+       CAST(floor(CAST(CAST((CAST(sum(code) AS DOUBLE) / (max(npad) / 8))
+                       / CAST(255.0 AS DOUBLE) AS FLOAT) AS DOUBLE) * 1000000)
+            AS BIGINT) AS feat_q6
 FROM codes GROUP BY doc_id, dim"""
 
 
@@ -451,6 +485,79 @@ msmsc AS (
   FROM ab x FULL OUTER JOIN tc c ON x.doc_id = c.doc_id
   WHERE COALESCE(x.n2, 0) + (c.doc_id IS NOT NULL)::INT >= {msm}
 )""" + _topk_sql("msmsc", k))
+
+
+def _q_segment_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage metrics from the committed snapshot (the
+    north rule's docs/terms/postings counts) — oracled against DuckDB
+    recomputing each segment's contents from the raw table."""
+    s = _searcher(spark, sf_dir)
+    rows = [(st["seg_id"], st["num_docs"], st["num_terms"],
+             st["num_postings"], st["sum_doc_len"])
+            for st in s.snapshot.segments]
+    return spark.createDataFrame(
+        rows, "seg_id int, num_docs long, num_terms long, "
+              "num_postings long, sum_doc_len long")
+
+
+def _merged_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Force-merged copy of the index (tiered merge inside the gate)."""
+    import shutil
+    base = _searcher(spark, sf_dir)
+    merged_dir = base.index_dir + "_merged"
+    if not os.path.exists(merged_dir):
+        tmp = merged_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base.index_dir, tmp)
+        from lucene_spark.operators.merge import force_merge
+        force_merge(spark, tmp, max_segments=1)
+        os.rename(tmp, merged_dir)
+    return Searcher(spark, merged_dir)
+
+
+def _q_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fmt_topk(_merged_searcher(spark, sf_dir).search(
+        Q.Term(T_COMMON), k=10))
+
+
+def _incremental_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built in two append generations (IndexWriter.addIndexes
+    shape): first half of the docs, commit, then the second half into
+    fresh segment ids — global stats recomputed over the union."""
+    key = os.path.abspath(sf_dir)
+    tag = hashlib.md5(f"{_INDEX_VERSION}:incr:{key}".encode()).hexdigest()[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_incr_{tag}")
+    docs = _docs(spark, sf_dir).select("doc_id",
+                                       F.col("text").alias("content"))
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    build_index(spark, docs.where(F.col("doc_id") <= mid), idx,
+                num_segments=4, content_col="content", doc_id_col="doc_id")
+    build_index(spark, docs.where(F.col("doc_id") > mid), idx,
+                num_segments=4, content_col="content", doc_id_col="doc_id",
+                seg_id_offset=4)
+    return Searcher(spark, idx)
+
+
+def _q_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fmt_topk(_incremental_searcher(spark, sf_dir).search(
+        Q.Term(T_COMMON), k=10))
+
+
+def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionScoreQuery analogue: BM25 score combined with a document-
+    value expression (reference ``queries/function/FunctionScoreQuery``) —
+    the expression runs as a Catalyst column, the engine score feeds it."""
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    raw = (F.col("score").cast("double")
+           + F.lit(0.1) * F.log(F.lit(1.0) + F.col("n_chars").cast("double")))
+    scored = (s.score_all(Q.Term(T_COMMON)).join(docs, "doc_id")
+              .withColumn("raw", raw))
+    w = Window.orderBy(F.desc("raw"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    _q4(F.col("raw")).alias("fscore_q4")))
 
 
 def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,7 +615,7 @@ def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 2)
             .select("lang", "doc_id", F.col("rank").cast("int").alias("rank"),
-                    F.round(F.col("score").cast("double"), 4).alias("score_r")))
+                    _q4(F.col("score")).alias("score_q4")))
 
 
 def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,11 +693,13 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return (dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+            .select("id_a", "id_b", _q4(F.col("jaccard")).alias("jaccard_q4")))
 
 
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.8)
+    return (dedup.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.8)
+            .select("id_a", "id_b", _q4(F.col("jaccard")).alias("jaccard_q4")))
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,7 +718,7 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (textstats.with_quality_score(_docs(spark, sf_dir))
-            .select("doc_id", "quality"))
+            .select("doc_id", _q4(F.col("quality")).alias("quality_q4")))
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,14 +737,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    return simsearch.brute_force_topk(emb, emb.where(F.col("vec_id") < 20),
-                                      k=5)
+    res = simsearch.brute_force_topk(emb, emb.where(F.col("vec_id") < 20),
+                                     k=5)
+    return res.select("query_id", "neighbor_id", "rank",
+                      _q4(F.col("cos")).alias("cos_q4"))
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    return simsearch.lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 20),
-                                       k=5)
+    res = simsearch.lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 20),
+                                      k=5)
+    return res.select("query_id", "neighbor_id", "rank",
+                      _q4(F.col("cos")).alias("cos_q4"))
 
 
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,7 +765,7 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (feats.select("doc_id", F.posexplode("features")
                          .alias("dim", "feat"))
             .select("doc_id", F.col("dim").cast("int").alias("dim"),
-                    F.round(F.col("feat").cast("double"), 6).alias("feat")))
+                    _q4(F.col("feat"), 1000000).alias("feat_q6")))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -678,12 +791,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_not_top10": _search(Q.Not(Q.Term(T_COMMON), Q.Term(T_RARE))),
         "bm25_synonym_top10": _search(Q.Synonym((SYN_A, SYN_B))),
         "bm25_phrase_top10": _search(Q.Phrase((PH_A, PH_B))),
+        "bm25_sloppy_phrase_top10": _search(
+            Q.Phrase((T_COMMON, T_COMMON2), slop=3)),
         "bm25_dismax_top10": _search(
             Q.DisMax((Q.Term(T_COMMON), Q.Term(T_COMMON2)), 0.0)),
         "bm25_prefix_scored_top10": _search(
             Q.And((Q.MultiTerm("prefix", "du"), Q.Term(T_COMMON)))),
         "bm25_msm2_top10": _search(
             Q.Or((Q.Term(T_A), Q.Term(T_B), Q.Term(SYN_A)), 2)),
+        "function_score_top10": _q_function_score,
         "search_after_page2": _q_search_after,
         "total_hits_count": _q_total_hits,
         "prefix_query": _q_prefix,
@@ -699,7 +815,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk": _q_grouped_topk,
         "sort_by_field": _q_sort_by_field,
         "query_join": _q_join,
+        # --- merge / incremental build inside the gate ---
+        "bm25_after_merge_top10": _q_merged_search,
+        "bm25_incremental_top10": _q_incremental_search,
         # --- index tables / invariants (SURVEY.md §2.2) ---
+        "segment_lineage": _q_segment_lineage,
         "term_stats": _q_term_stats,
         "term_stats_salted": _q_term_stats_salted,
         "field_stats": _q_field_stats,
@@ -735,7 +855,21 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not_top10": _not_sql(T_COMMON, T_RARE),
         "bm25_synonym_top10": _synonym_sql(SYN_A, SYN_B),
         "bm25_phrase_top10": _phrase_sql(PH_A, PH_B),
+        "bm25_sloppy_phrase_top10": _sloppy_phrase_sql(T_COMMON, T_COMMON2, 3),
         "bm25_dismax_top10": _dismax_sql(T_COMMON, T_COMMON2),
+        "function_score_top10": _PRELUDE + ", " + _tscore_cte("ts", T_COMMON) + """
+SELECT doc_id, CAST(rnk AS INT) AS rank,
+       CAST(floor(fscore * 10000) AS BIGINT) AS fscore_q4
+FROM (SELECT t.doc_id,
+             CAST(t.s AS DOUBLE)
+                   + CAST(0.1 AS DOUBLE) * ln(1 + CAST(d.n_chars AS DOUBLE))
+                   AS fscore,
+             row_number() OVER (
+               ORDER BY CAST(t.s AS DOUBLE)
+                        + CAST(0.1 AS DOUBLE) * ln(1 + CAST(d.n_chars AS DOUBLE))
+                        DESC, t.doc_id ASC) AS rnk
+      FROM ts t JOIN documents d ON d.doc_id = t.doc_id)
+WHERE rnk <= 10""",
         "bm25_prefix_scored_top10": _prefix_scored_sql("du", T_COMMON),
         "bm25_msm2_top10": _msm_sql(T_A, T_B, SYN_A, 2),
         "search_after_page2": _PRELUDE + ", " + _tscore_cte("ts", T_COMMON)
@@ -773,7 +907,7 @@ WHERE EXISTS (SELECT 1 FROM (
 GROUP BY 1""",
         "grouped_topk": _PRELUDE + ", " + _tscore_cte("ts", T_COMMON) + """
 SELECT lang, doc_id, CAST(rnk AS INT) AS rank,
-       round(CAST(s AS DOUBLE), 4) AS score_r
+       CAST(floor(CAST(s AS DOUBLE) * 10000) AS BIGINT) AS score_q4
 FROM (SELECT d.lang, t.doc_id, t.s,
              row_number() OVER (PARTITION BY d.lang
                                 ORDER BY t.s DESC, t.doc_id ASC) AS rnk
@@ -829,6 +963,18 @@ SELECT doc_id FROM documents WHERE source IN (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term
           FROM documents) t
         WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}'))""",
+        "bm25_after_merge_top10": _term_topk_sql(T_COMMON),
+        "bm25_incremental_top10": _term_topk_sql(T_COMMON),
+        "segment_lineage": f"""
+WITH tok AS (SELECT doc_id, CAST(doc_id % {_SEGMENTS} AS INT) AS seg_id,
+                    unnest(string_split(text, ' ')) AS term
+             FROM documents)
+SELECT seg_id,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS num_docs,
+       CAST(count(DISTINCT term) AS BIGINT) AS num_terms,
+       CAST(count(DISTINCT (term, doc_id)) AS BIGINT) AS num_postings,
+       CAST(count(*) AS BIGINT) AS sum_doc_len
+FROM tok GROUP BY 1""",
         "term_stats": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
              FROM documents),

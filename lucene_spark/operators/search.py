@@ -62,6 +62,7 @@ class CSynonym:
 class CPhrase:
     terms: tuple[str, ...]
     weight: np.float32
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -130,8 +131,11 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int):
         if isinstance(node, Q.Phrase):
             if any(df_of(t) == 0 for t in node.terms):
                 return None
+            if node.slop > 0 and len(node.terms) != 2:
+                raise NotImplementedError(
+                    "sloppy matching implemented for 2-term phrases")
             w = bm25.idf_sum([df_of(t) for t in node.terms], doc_count)
-            return CPhrase(tuple(node.terms), w)
+            return CPhrase(tuple(node.terms), w, node.slop)
         if isinstance(node, _ResolvedMultiTerm):
             present = tuple(t for t in node.terms if df_of(t) > 0)
             if not present:
@@ -352,10 +356,14 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
             scores[mask] = s.astype(np.float64)
         return mask, scores
     if isinstance(node, CPhrase):
-        freqs = _phrase_freqs(node.terms, ctx, lo, hi)
+        if node.slop > 0:
+            freqs = _sloppy_phrase_freqs(node.terms, ctx, lo, hi, node.slop)
+        else:
+            freqs = _phrase_freqs(node.terms, ctx, lo, hi)
         mask = freqs > 0
         if mask.any():
-            s = bm25.score_block(freqs[mask], ctx.norms[lo:hi][mask],
+            s = bm25.score_block(freqs[mask].astype(np.float32),
+                                 ctx.norms[lo:hi][mask],
                                  node.weight, ctx.cache)
             scores[mask] = s.astype(np.float64)
         return mask, scores
@@ -448,6 +456,45 @@ def _phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
         match &= ok
     if match.any():
         np.add.at(freqs, first_docs[match] - lo, 1)
+    return freqs
+
+
+def _sloppy_phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
+                         lo: int, hi: int, slop: int) -> np.ndarray:
+    """2-term sloppy phrase frequency per doc in [lo, hi): Σ over pairs
+    (p1, p2), p2 != p1, |p2 - (p1+1)| <= slop of 1/(1 + matchLength),
+    accumulated in float64. Vectorized as 2·slop+1 membership probes of
+    the second term's (doc, position) key set."""
+    n = hi - lo
+    freqs = np.zeros(n, dtype=np.float64)
+    tp1, tp2 = ctx.tp(terms[0]), ctx.tp(terms[1])
+    if tp1 is None or tp2 is None:
+        return freqs
+    BIG = np.int64(1) << np.int64(32)
+
+    def doc_pos_keys(tp):
+        ids, tfs = tp.decode_all()
+        pos = tp.positions()
+        docs_rep = np.repeat(ids, tfs)
+        return docs_rep, pos, docs_rep * BIG + pos
+
+    d1, p1, k1 = doc_pos_keys(tp1)
+    sel = (d1 >= lo) & (d1 < hi)
+    d1, p1, k1 = d1[sel], p1[sel], k1[sel]
+    if len(k1) == 0:
+        return freqs
+    _, _, k2 = doc_pos_keys(tp2)
+    k2 = np.sort(k2)
+    for delta in range(-slop, slop + 1):
+        target = p1 + 1 + delta
+        valid = (target >= 0) & (target != p1)
+        probe = k1 + np.int64(1 + delta)
+        idx = np.searchsorted(k2, probe)
+        found = valid & (idx < len(k2)) & \
+            (k2[np.minimum(idx, len(k2) - 1)] == probe)
+        if found.any():
+            np.add.at(freqs, d1[found] - lo,
+                      1.0 / (1.0 + abs(delta)))
     return freqs
 
 

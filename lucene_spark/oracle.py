@@ -104,6 +104,30 @@ class OracleIndex:
         return {d: np.float32(w - w / (one + np.float32(f) * cache[self.norm_bytes[d]]))
                 for d, f in freqs.items()}
 
+    def _sloppy_phrase_scores(self, terms: list[str], slop: int,
+                              k1: float, b: float) -> dict[int, np.float32]:
+        """2-term sloppy phrase: Σ over pairs within slop of
+        1/(1+matchLength) (windowed-delta semantics, see plans.query.Phrase)."""
+        maps = [{d: sorted(pl) for d, _, pl in self.postings.get(t, ())}
+                for t in terms]
+        common = set(maps[0]) & set(maps[1])
+        cache = self._cache(k1, b)
+        w = idf_sum([self.df(t) for t in terms], self.doc_count)
+        one = np.float32(1.0)
+        out: dict[int, np.float32] = {}
+        for d in common:
+            pos2 = set(maps[1][d])
+            freq = 0.0
+            for p1 in maps[0][d]:
+                for delta in range(-slop, slop + 1):
+                    t2 = p1 + 1 + delta
+                    if t2 >= 0 and t2 != p1 and t2 in pos2:
+                        freq += 1.0 / (1.0 + abs(delta))
+            if freq > 0:
+                inv = cache[self.norm_bytes[d]]
+                out[d] = np.float32(w - w / (one + np.float32(freq) * inv))
+        return out
+
     def _phrase_scores(self, terms: list[str], k1: float, b: float) -> dict[int, np.float32]:
         """Exact phrase: all terms at consecutive positions; tf = match count;
         idf = sum of per-term idfs (reference PhraseWeight/idfExplain[])."""
@@ -139,6 +163,9 @@ class OracleIndex:
         if isinstance(query, Synonym):
             return self._synonym_scores(list(query.terms), k1, b)
         if isinstance(query, Phrase):
+            if query.slop > 0:
+                return self._sloppy_phrase_scores(list(query.terms),
+                                                  query.slop, k1, b)
             return self._phrase_scores(list(query.terms), k1, b)
         if isinstance(query, MultiTerm):
             import fnmatch

@@ -93,7 +93,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float,
 
     Brute force over pairs that share at least one shingle (any pair with
     Jaccard > 0 shares one, so nothing above the threshold is missed).
-    Output: (id_a, id_b, jaccard) with jaccard rounded to 4 decimals.
+    Output: (id_a, id_b, jaccard) with jaccard as a raw double.
     """
     sh = doc_shingles(df, text_col, id_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
@@ -108,7 +108,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float,
     jac = (F.col("inter").cast("double")
            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"))
     return (inter.join(sa, "id_a").join(sb, "id_b")
-                 .withColumn("jaccard", F.round(jac, 4))
+                 .withColumn("jaccard", jac)
                  .where(F.col("jaccard") >= threshold)
                  .select("id_a", "id_b", "jaccard"))
 
@@ -162,7 +162,7 @@ def minhash_near_duplicates(df: DataFrame, threshold: float,
                             num_hashes: int = DEFAULT_NUM_HASHES,
                             bands: int = DEFAULT_BANDS) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard >= threshold.
-    Output: (id_a, id_b, jaccard rounded to 4)."""
+    Output: (id_a, id_b, raw-double jaccard)."""
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     sh = doc_shingles(df, text_col, id_col, n).cache()
@@ -176,7 +176,7 @@ def minhash_near_duplicates(df: DataFrame, threshold: float,
     jac = (F.col("inter").cast("double")
            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"))
     return (inter.join(sa, "id_a").join(sb, "id_b")
-                 .withColumn("jaccard", F.round(jac, 4))
+                 .withColumn("jaccard", jac)
                  .where(F.col("jaccard") >= threshold)
                  .select("id_a", "id_b", "jaccard"))
 

@@ -41,13 +41,12 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                     id_col: str = "vec_id", vec_col: str = "embedding",
-                     round_digits: int = 4) -> DataFrame:
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k for every query vector.
 
-    Output: (query_id, neighbor_id, rank, cos) — cos rounded to
-    ``round_digits`` and ranked by (rounded cos desc, neighbor_id asc) so
-    ranking is stable across arithmetic orderings. Self-matches excluded.
+    Output: (query_id, neighbor_id, rank, cos) — raw double cosine,
+    ranked by (cos desc, neighbor_id asc). Self-matches excluded.
     """
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
                                    F.col(vec_col).alias("qvec")))
@@ -56,8 +55,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = (c.crossJoin(q)
                .where(F.col("neighbor_id") != F.col("query_id"))
                .select("query_id", "neighbor_id",
-                       F.round(cosine(F.col("qvec"), F.col("cvec")),
-                               round_digits).alias("cos")))
+                       cosine(F.col("qvec"), F.col("cvec")).alias("cos")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -88,8 +86,7 @@ def _bucket_expr(vec_col: Column, planes: np.ndarray) -> Column:
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       num_planes: int = 4, dim: int = 64,
-                      multiprobe: bool = True,
-                      round_digits: int = 4) -> DataFrame:
+                      multiprobe: bool = True) -> DataFrame:
     """Approximate cosine top-k: compare each query only against corpus
     vectors in the same hyperplane-sign bucket (plus Hamming-1 buckets when
     ``multiprobe``). Same output schema as :func:`brute_force_topk`."""
@@ -111,8 +108,7 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = (c.join(F.broadcast(qb), on="bucket")
                .where(F.col("neighbor_id") != F.col("query_id"))
                .select("query_id", "neighbor_id",
-                       F.round(cosine(F.col("qvec"), F.col("cvec")),
-                               round_digits).alias("cos")))
+                       cosine(F.col("qvec"), F.col("cvec")).alias("cos")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

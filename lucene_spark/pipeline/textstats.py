@@ -60,7 +60,8 @@ def with_quality_score(df, text_col: str = "text"):
     + 0.3 * (1 - stopword_ratio)            (information density)
 
     Computed in float64 with a fixed expression shape so results are
-    deterministic; rounded to 4 decimals.
+    deterministic (raw double; fixed-point-project downstream if you need
+    an engine-independent representation).
     """
     toks = tokens(text_col)
     n = F.size(toks).cast("double")
@@ -69,7 +70,7 @@ def with_quality_score(df, text_col: str = "text"):
     score = (F.lit(0.3) * F.least(F.lit(1.0), n / F.lit(100.0))
              + F.lit(0.4) * (nd / n)
              + F.lit(0.3) * (F.lit(1.0) - nstop / n))
-    return df.withColumn("quality", F.round(score, 4))
+    return df.withColumn("quality", score)
 
 
 def with_lang_id(df, text_col: str = "text", out_col: str = "lang_pred"):

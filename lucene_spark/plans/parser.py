@@ -126,7 +126,12 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
                 raise QueryParseError(f"bad range: {joined!r}")
             return MultiTerm("range", (m.group(2).lower(), m.group(3).lower(),
                                        m.group(1) == "[", m.group(4) == "]"))
-        return _atom(t)
+        atom = _atom(t)
+        nxt = peek()
+        if isinstance(atom, Phrase) and nxt and re.match(r"^~\d+$", nxt):
+            advance()  # phrase slop: "a b"~2
+            atom = Phrase(atom.terms, int(nxt[1:]))
+        return atom
 
     def _atom(t: str) -> Query:
         boost = 1.0

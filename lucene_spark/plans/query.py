@@ -36,7 +36,16 @@ class Term(Query):
 
 @dataclass(frozen=True)
 class Phrase(Query):
+    """Exact phrase when ``slop == 0``. With slop > 0 (2-term phrases
+    only), sloppy matching uses windowed-delta semantics: every pair of
+    occurrences (p1, p2) with ``|p2 - (p1+1)| <= slop`` and ``p2 != p1``
+    contributes ``1/(1+|p2-(p1+1)|)`` to the phrase frequency — the same
+    matchLength-weighted accumulation as the reference's
+    ``SloppyPhraseMatcher`` (reference ``search/SloppyPhraseMatcher.java``)
+    but over all pairs rather than Lucene's minimal-interval selection
+    (documented divergence; differential-tested against our own oracle)."""
     terms: tuple[str, ...]
+    slop: int = 0
 
     def all_terms(self):
         return list(dict.fromkeys(self.terms))

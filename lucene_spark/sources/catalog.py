@@ -76,23 +76,34 @@ class SnapshotCatalog:
         path = os.path.join(self.manifest_dir, f"snapshot-{sid}.json")
         with open(path) as f:
             d = json.load(f)
+        ts = d.get("term_stats_path")
+        if ts is not None and not os.path.isabs(ts):
+            ts = os.path.join(self.root, ts)  # relocatable index dirs
         return Snapshot(d["snapshot_id"], d.get("parent_id"), d["segments"],
-                        d.get("field_stats", {}), d.get("term_stats_path"),
-                        d.get("extra", {}))
+                        d.get("field_stats", {}), ts, d.get("extra", {}))
 
     def commit(self, segments: list[dict], field_stats: dict,
                term_stats_path: str | None = None, extra: dict | None = None) -> Snapshot:
-        """Atomic commit: temp write + rename; generation = parent + 1."""
+        """Atomic commit: temp write + rename; generation = parent + 1.
+        Paths under the index root are stored relative so the whole index
+        directory can be renamed/copied (segment dirs already are)."""
         parent = self.load()
         sid = (parent.snapshot_id + 1) if parent else 1
+        stored_ts = term_stats_path
+        if term_stats_path is not None:
+            root = os.path.abspath(self.root)
+            tsp = os.path.abspath(term_stats_path)
+            if tsp.startswith(root + os.sep):
+                stored_ts = os.path.relpath(tsp, root)
         snap = Snapshot(sid, parent.snapshot_id if parent else None,
-                        segments, field_stats, term_stats_path, extra or {})
+                        segments, field_stats, stored_ts, extra or {})
         tmp = os.path.join(self.manifest_dir, f"_tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(snap.to_json(), f, indent=1, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(self.manifest_dir, f"snapshot-{sid}.json"))
+        snap.term_stats_path = term_stats_path
         return snap
 
     # -- segment dirs --------------------------------------------------------

@@ -93,10 +93,11 @@ def test_brute_force_topk_matches_numpy(spark, vectors):
     from pyspark.sql import functions as F
     res = simsearch.brute_force_topk(
         emb_df, emb_df.where(F.col("vec_id") < 3), k=4).toPandas()
-    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms = vecs.astype(np.float64)
+    norms = norms / np.linalg.norm(norms, axis=1, keepdims=True)
     sims = norms @ norms.T
     for q in range(3):
-        order = [(round(-float(sims[q, j]), 4), j) for j in range(60) if j != q]
+        order = [(-float(sims[q, j]), j) for j in range(60) if j != q]
         expect = [j for _, j in sorted(order)[:4]]
         got = res[res.query_id == q].sort_values("rank").neighbor_id.tolist()
         assert got == expect, f"query {q}: {got} != {expect}"

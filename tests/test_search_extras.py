@@ -130,3 +130,21 @@ def test_multiterm_parser_shapes():
     assert parse("word~") == MultiTerm("fuzzy", "word", edits=2)
     assert parse("[aa TO bb]") == MultiTerm("range", ("aa", "bb", True, True))
     assert parse("{aa TO bb}") == MultiTerm("range", ("aa", "bb", False, False))
+
+
+def test_sloppy_phrase_parity(searcher, oracle):
+    from lucene_spark.plans.parser import parse
+    for slop in (1, 2, 4):
+        q = Q.Phrase(("parse", "emit"), slop=slop)
+        got = [(r["doc_id"], r["score"])
+               for r in searcher.search(q, k=10).collect()]
+        want = oracle.top_k(q, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], f"slop={slop}"
+        assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                           rtol=0, atol=0)
+    # parser syntax: "a b"~2
+    assert parse('"a b"~2') == Q.Phrase(("a", "b"), 2)
+    # sloppy superset of exact matches
+    exact = set(oracle.score(Q.Phrase(("parse", "emit"))))
+    sloppy = set(oracle.score(Q.Phrase(("parse", "emit"), slop=3)))
+    assert exact <= sloppy
