@@ -816,6 +816,99 @@ class Searcher:
         matches without scores)."""
         return self.score_all(query).select("doc_id")
 
+    def explain(self, query, doc_id: int) -> dict:
+        """Score breakdown for one document (Weight.explain role:
+        reference ``search/Weight.java:128``, BM25's explain at
+        ``similarities/BM25Similarity.java:271+``). Driver-side small
+        lookups; returns a nested dict mirroring Lucene's Explanation tree:
+        value, description, details."""
+        from pyspark.sql import functions as F
+
+        compiled, cache = self._compile(query)
+        if compiled is None:
+            return {"match": False, "value": 0.0,
+                    "description": "no scorer (all terms absent)"}
+        meta = (self.doc_meta.filter(F.col("doc_id") == doc_id)
+                .select("seg_id", "doc_len", "norm_byte").collect())
+        if not meta:
+            return {"match": False, "value": 0.0,
+                    "description": f"doc {doc_id} not in index"}
+        norm_byte = int(meta[0]["norm_byte"])
+        doc_len = int(meta[0]["doc_len"])
+        terms = sorted(set(_compiled_terms(compiled)))
+        rows = (self.postings
+                .filter(F.col("term").isin(terms))
+                .filter(F.col("seg_id") == int(meta[0]["seg_id"]))
+                .collect())
+        nrow = (self.norms.filter(F.col("seg_id") == int(meta[0]["seg_id"]))
+                .collect())[0]
+        gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
+        local = int(np.searchsorted(gids, doc_id))
+        tf_of: dict[str, int] = {}
+        for r in rows:
+            tp = TermSegPostings(r.asDict())
+            ids, tfs = tp.decode_all()
+            j = np.searchsorted(ids, local)
+            if j < len(ids) and ids[j] == local:
+                tf_of[r["term"]] = int(tfs[j])
+        dfs = self._global_dfs(terms)
+        avgdl = float(bm25.avg_field_length(self.sum_ttf, self.doc_count))
+        inv = float(cache[norm_byte])
+
+        def go(node) -> dict:
+            if isinstance(node, CTerm):
+                tf = tf_of.get(node.term, 0)
+                if tf == 0:
+                    return {"match": False, "value": 0.0,
+                            "description": f"no occurrence of '{node.term}'"}
+                s = float(bm25.score_block(np.array([tf]),
+                                           np.array([norm_byte]),
+                                           node.weight, cache)[0])
+                return {
+                    "match": True, "value": s,
+                    "description": f"score(term='{node.term}'), computed as "
+                                   "weight - weight/(1 + freq*cache[norm])",
+                    "details": {
+                        "weight(=boost*idf)": float(node.weight),
+                        "df": dfs.get(node.term, 0),
+                        "docCount": self.doc_count,
+                        "freq": tf,
+                        "dl(quantized via SmallFloat byte "
+                        f"{norm_byte})": float(LENGTH_TABLE[norm_byte]),
+                        "exact_dl": doc_len,
+                        "avgdl": avgdl,
+                        "norm_inverse": inv,
+                    },
+                }
+            if isinstance(node, (COr, CAnd, CDisMax)):
+                kids = [go(k) for k in node.children]
+                matched = [k for k in kids if k["match"]]
+                if isinstance(node, CAnd) and len(matched) != len(kids):
+                    return {"match": False, "value": 0.0,
+                            "description": "MUST clause missing",
+                            "details": kids}
+                if isinstance(node, CDisMax):
+                    vals = [k["value"] for k in matched] or [0.0]
+                    v = max(vals) + (sum(vals) - max(vals)) * node.tie_breaker
+                    desc = "max plus tie-adjusted others (DisjunctionMax)"
+                elif isinstance(node, COr) and \
+                        len(matched) < max(node.min_should_match, 1):
+                    return {"match": False, "value": 0.0,
+                            "description": "below minimumNumberShouldMatch",
+                            "details": kids}
+                else:
+                    v = float(np.float32(sum(k["value"] for k in matched)))
+                    desc = "sum of clause scores"
+                return {"match": bool(matched), "value": v,
+                        "description": desc, "details": kids}
+            # phrases / synonyms / const-terms: report via full evaluation
+            sc = {r["doc_id"]: r["score"]
+                  for r in self.score_all(query).collect()}
+            return {"match": doc_id in sc, "value": sc.get(doc_id, 0.0),
+                    "description": "evaluated by full scorer"}
+
+        return go(compiled)
+
     def count(self, query) -> int:
         """TotalHitCountCollector analogue — exact match count."""
         from pyspark.sql import functions as F

@@ -148,3 +148,18 @@ def test_sloppy_phrase_parity(searcher, oracle):
     exact = set(oracle.score(Q.Phrase(("parse", "emit"))))
     sloppy = set(oracle.score(Q.Phrase(("parse", "emit"), slop=3)))
     assert exact <= sloppy
+
+
+def test_explain(searcher, oracle):
+    q = Q.Or((Q.Term("parse"), Q.Term("scan")))
+    hits = oracle.top_k(q, k=1)
+    doc, score = hits[0]
+    ex = searcher.explain(q, doc)
+    assert ex["match"] is True
+    assert ex["value"] == pytest.approx(score, abs=0)
+    terms_seen = {d["description"] for d in ex["details"] if d["match"]}
+    assert any("parse" in t or "scan" in t for t in terms_seen)
+    # non-matching doc
+    non = next(d for d in range(N_DOCS)
+               if d not in oracle.score(q))
+    assert searcher.explain(q, non)["match"] is False
