@@ -560,6 +560,24 @@ def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _q4(F.col("raw")).alias("fscore_q4")))
 
 
+
+_BATCH_QUERIES = {
+    "bq_term": Q.Term(T_COMMON),
+    "bq_or": Q.Or((Q.Term(T_A), Q.Term(T_B))),
+    "bq_and": Q.And((Q.Term(T_COMMON), Q.Term(T_COMMON2))),
+    "bq_rare": Q.Term(T_RARE),
+}
+
+
+def _q_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole workload in ONE job (single postings scan + shared
+    per-segment decode): Searcher.search_many."""
+    res = _searcher(spark, sf_dir).search_many(_BATCH_QUERIES, k=10)
+    return res.select("query_id", "doc_id",
+                      F.col("rank").cast("int").alias("rank"),
+                      _q4(F.col("score")).alias("score_q4"))
+
+
 def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     page1 = s.search(Q.Term(T_COMMON), k=10).collect()
@@ -795,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             Q.Phrase((T_COMMON, T_COMMON2), slop=3)),
         "bm25_dismax_top10": _search(
             Q.DisMax((Q.Term(T_COMMON), Q.Term(T_COMMON2)), 0.0)),
+        "batch_search": _q_batch_search,
         "bm25_prefix_scored_top10": _search(
             Q.And((Q.MultiTerm("prefix", "du"), Q.Term(T_COMMON)))),
         "bm25_msm2_top10": _search(
@@ -857,6 +876,14 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_top10": _phrase_sql(PH_A, PH_B),
         "bm25_sloppy_phrase_top10": _sloppy_phrase_sql(T_COMMON, T_COMMON2, 3),
         "bm25_dismax_top10": _dismax_sql(T_COMMON, T_COMMON2),
+        "batch_search": " UNION ALL ".join(
+            f"SELECT '{qid}' AS query_id, * FROM ({sql})"
+            for qid, sql in [
+                ("bq_term", _term_topk_sql(T_COMMON)),
+                ("bq_or", _or2_sql(T_A, T_B)),
+                ("bq_and", _and2_sql(T_COMMON, T_COMMON2)),
+                ("bq_rare", _term_topk_sql(T_RARE)),
+            ]),
         "function_score_top10": _PRELUDE + ", " + _tscore_cte("ts", T_COMMON) + """
 SELECT doc_id, CAST(rnk AS INT) AS rank,
        CAST(floor(fscore * 10000) AS BIGINT) AS fscore_q4

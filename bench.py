@@ -129,6 +129,19 @@ def main() -> None:
             best = min(best, time.time() - t0)
         queries[name] = round(best, 3)
 
+    # --- batch search: the reference-style 60-query workload in ONE job
+    from lucene_spark.sources.queryset import generate_query_set
+    term_dfs = {r["term"]: int(r["df"])
+                for r in s.term_stats.orderBy("term").limit(4000).collect()}
+    workload = generate_query_set(term_dfs)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        s.search_many(workload, k=10).count()
+        best = min(best, time.time() - t0)
+    queries["q_batch60"] = round(best, 3)
+    queries["q_batch60_qps"] = round(len(workload) / best, 1)
+
     # --- pipeline operators over driver testdata -----------------------
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     t0 = time.time()

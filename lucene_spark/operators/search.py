@@ -535,7 +535,8 @@ def _topk_merge(gids: np.ndarray, scores32: np.ndarray, k: int):
 def score_segment(compiled, postings_rows: dict[str, dict],
                   norm_bytes: np.ndarray, gids: np.ndarray,
                   cache: np.ndarray, k: int, mode: str,
-                  after: tuple[float, int] | None = None):
+                  after: tuple[float, int] | None = None,
+                  ctx: "_SegContext | None" = None):
     """One segment's top-k: returns (global_doc_ids, float32 scores, hits).
 
     ``hits`` is the exact match count in exhaustive mode; in bmw mode it is
@@ -543,7 +544,8 @@ def score_segment(compiled, postings_rows: dict[str, dict],
     ``search/TopScoreDocCollector.java:91-96``).
     """
     n = len(norm_bytes)
-    ctx = _SegContext(postings_rows, norm_bytes, cache)
+    if ctx is None:
+        ctx = _SegContext(postings_rows, norm_bytes, cache)
     use_bmw = mode == "bmw" or (mode == "auto" and _bmw_eligible(compiled))
     if compiled is None or n == 0:
         return np.empty(0, np.int64), np.empty(0, np.float32), 0
@@ -815,6 +817,69 @@ class Searcher:
         execution (the reference's ConstantScoreQuery / FILTER clause path:
         matches without scores)."""
         return self.score_all(query).select("doc_id")
+
+    def search_many(self, queries: dict[str, object], k: int = 10,
+                    mode: str = "auto"):
+        """Batch top-k for a whole query workload in ONE job — the shape a
+        cluster actually runs: a single postings scan fetches the union of
+        all queries' terms (one pushed-down ``In`` filter), each segment is
+        decoded ONCE into a shared block cache and every query is scored
+        against it, and one window rank yields per-query top-k. Job
+        overhead and segment decode amortize over the workload instead of
+        per query.
+
+        Returns DataFrame (query_id string, doc_id long, score float,
+        rank int)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        resolved: dict[str, object] = {}
+        for qid, q in queries.items():
+            if isinstance(q, str):
+                q = parse_query(q)
+            resolved[qid] = self._resolve(Q.rewrite_fixed_point(q))
+        union_terms = sorted({t for q in resolved.values()
+                              for t in q.all_terms()})
+        dfs = self._global_dfs(union_terms)
+        avgdl = bm25.avg_field_length(self.sum_ttf, self.doc_count)
+        cache = bm25.norm_inverse_cache(avgdl)
+        compiled = {qid: compile_query(q, dfs, self.doc_count)
+                    for qid, q in resolved.items()}
+        compiled = {qid: c for qid, c in compiled.items() if c is not None}
+        out_schema = "query_id string, doc_id long, score float"
+        if not compiled:
+            return self.spark.createDataFrame([], out_schema + ", rank int") \
+                .select("query_id", "doc_id", "score", "rank")
+        pf = self.postings.filter(F.col("term").isin(union_terms))
+
+        def seg_many(key, postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
+            empty = pd.DataFrame({"query_id": pd.Series([], dtype="object"),
+                                  "doc_id": pd.Series([], dtype="int64"),
+                                  "score": pd.Series([], dtype="float32")})
+            if len(norms_pdf) == 0 or len(postings_pdf) == 0:
+                return empty
+            nrow = norms_pdf.iloc[0]
+            norm_bytes = np.frombuffer(nrow["norm_bytes"], dtype=np.uint8)
+            gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
+            rows = {r["term"]: r for _, r in postings_pdf.iterrows()}
+            ctx = _SegContext(rows, norm_bytes, cache)  # shared decode cache
+            parts = []
+            for qid, comp in compiled.items():
+                g, s, _ = score_segment(comp, rows, norm_bytes, gids,
+                                        cache, k, mode, ctx=ctx)
+                if len(g):
+                    parts.append(pd.DataFrame({
+                        "query_id": qid, "doc_id": g,
+                        "score": s.astype(np.float32)}))
+            return pd.concat(parts, ignore_index=True) if parts else empty
+
+        res = (pf.groupBy("seg_id").cogroup(self.norms.groupBy("seg_id"))
+               .applyInPandas(seg_many, schema=out_schema))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc("doc_id"))
+        return (res.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "doc_id", "score", "rank"))
 
     def explain(self, query, doc_id: int) -> dict:
         """Score breakdown for one document (Weight.explain role:

@@ -163,3 +163,26 @@ def test_explain(searcher, oracle):
     non = next(d for d in range(N_DOCS)
                if d not in oracle.score(q))
     assert searcher.explain(q, non)["match"] is False
+
+
+def test_search_many_matches_single_searches(searcher):
+    from lucene_spark.plans.parser import parse
+    workload = {
+        "q_term": "parse",
+        "q_and": "codec AND util",
+        "q_or": "parse OR emit OR token",
+        "q_not": "scan -flush",
+        "q_prefix": "par* AND scan",
+        "q_absent": "nosuchterm",
+    }
+    batch = searcher.search_many(workload, k=10)
+    rows = batch.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qid, qtext in workload.items():
+        single = [(r["rank"], r["doc_id"], r["score"])
+                  for r in searcher.search(parse(qtext), k=10).collect()]
+        got = sorted(by_q.get(qid, []))
+        assert got == sorted(single), qid
