@@ -569,6 +569,33 @@ _BATCH_QUERIES = {
 }
 
 
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable Similarity: Classic TF-IDF over the same index."""
+    from lucene_spark.functions.similarity import ClassicSimilarity
+    base = _searcher(spark, sf_dir)
+    s = Searcher(spark, base.index_dir, similarity=ClassicSimilarity())
+    return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
+
+
+_TFIDF_SQL = _PRELUDE + f""",
+clw AS (SELECT CAST((w.idf * w.idf) AS FLOAT) AS w
+        FROM (SELECT (SELECT CAST(1 + ln(CAST(a.dc AS DOUBLE) /
+                                         (d.df + CAST(1.0 AS DOUBLE))) AS FLOAT)
+                      FROM dfs d, avgs a WHERE d.term = '{T_COMMON}') AS idf) w),
+clsc AS (
+  SELECT f.doc_id,
+         (w.w * CAST(sqrt(CAST(f.tf AS FLOAT)) AS FLOAT)
+              * (CAST(1 AS FLOAT) /
+                 CAST(sqrt(CAST((SELECT max(v) FROM lut WHERE v <= d.dl)
+                                AS FLOAT)) AS FLOAT))) AS s
+  FROM tf f
+  JOIN doclen d ON f.doc_id = d.doc_id
+  CROSS JOIN clw w
+  WHERE f.term = '{T_COMMON}'
+)""" + _topk_sql("clsc")
+
+
 def _q_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole workload in ONE job (single postings scan + shared
     per-segment decode): Searcher.search_many."""
@@ -814,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dismax_top10": _search(
             Q.DisMax((Q.Term(T_COMMON), Q.Term(T_COMMON2)), 0.0)),
         "batch_search": _q_batch_search,
+        "tfidf_term_top10": _q_tfidf,
         "bm25_prefix_scored_top10": _search(
             Q.And((Q.MultiTerm("prefix", "du"), Q.Term(T_COMMON)))),
         "bm25_msm2_top10": _search(
@@ -876,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_top10": _phrase_sql(PH_A, PH_B),
         "bm25_sloppy_phrase_top10": _sloppy_phrase_sql(T_COMMON, T_COMMON2, 3),
         "bm25_dismax_top10": _dismax_sql(T_COMMON, T_COMMON2),
+        "tfidf_term_top10": _TFIDF_SQL,
         "batch_search": " UNION ALL ".join(
             f"SELECT '{qid}' AS query_id, * FROM ({sql})"
             for qid, sql in [

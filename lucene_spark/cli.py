@@ -24,9 +24,21 @@ from __future__ import annotations
 import argparse
 import sys
 
+if __package__ in (None, ""):  # spark-submit runs this file as a bare script
+    # the package itself arrives via --py-files; only absolute imports work
+    import lucene_spark  # noqa: F401
+    _PKG = "lucene_spark"
+else:
+    _PKG = __package__
+
+
+def _imp(modname: str):
+    import importlib
+    return importlib.import_module(f"{_PKG}.{modname}")
+
 
 def _spark(args):
-    from .session import get_session
+    get_session = _imp("session").get_session
     return get_session(master=args.master, app_name=f"lucene_spark_{args.cmd}",
                        shuffle_partitions=args.shuffle_partitions)
 
@@ -34,7 +46,7 @@ def _spark(args):
 def cmd_build(args) -> int:
     from pyspark.sql import functions as F
 
-    from .operators.build import build_index
+    build_index = _imp("operators.build").build_index
     spark = _spark(args)
     df = spark.read.parquet(args.input)
     if "doc_id" not in df.columns:
@@ -52,7 +64,7 @@ def cmd_build(args) -> int:
 
 
 def cmd_search(args) -> int:
-    from .operators.search import Searcher
+    Searcher = _imp("operators.search").Searcher
     spark = _spark(args)
     s = Searcher(spark, args.index, snapshot_id=args.snapshot)
     res = s.search(args.query, k=args.k, mode=args.mode)
@@ -63,7 +75,7 @@ def cmd_search(args) -> int:
 
 
 def cmd_merge(args) -> int:
-    from .operators.merge import maintain
+    maintain = _imp("operators.merge").maintain
     spark = _spark(args)
     snap = maintain(spark, args.index, segs_per_tier=args.segs_per_tier,
                     max_merge_at_once=args.max_merge_at_once)
@@ -72,7 +84,7 @@ def cmd_merge(args) -> int:
 
 
 def cmd_stats(args) -> int:
-    from .operators.stats import term_stats_from_tokens
+    term_stats_from_tokens = _imp("operators.stats").term_stats_from_tokens
     spark = _spark(args)
     df = spark.read.parquet(args.input)
     out = term_stats_from_tokens(df, content_col=args.content_col,

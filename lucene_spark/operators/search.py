@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions import bm25, codec
+from ..functions.similarity import BM25Similarity, Similarity
 from ..functions.smallfloat import LENGTH_TABLE
 from ..plans import query as Q
 from ..plans.parser import parse as parse_query
@@ -107,34 +108,44 @@ class CConstTerms:
     weight: np.float32
 
 
-def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int):
+def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
+                  sim: Similarity | None = None):
     """Attach float32 weights using GLOBAL df/docCount. Terms absent from
     the index produce no scorer (Lucene skips them); an AND with a missing
-    term matches nothing (returns None to signal that)."""
+    term matches nothing (returns None to signal that). ``sim`` selects
+    the scoring strategy (Similarity extension point); default BM25."""
+    sim = sim or BM25Similarity()
 
     def df_of(t: str) -> int:
         return term_dfs.get(t, 0)
+
+    def multi_weight(dfs_list) -> np.float32:
+        # phrase weight: per-term float32 weights summed in float64, cast
+        # (generalizes BM25's idf_sum to any similarity)
+        total = np.float64(0.0)
+        for df in dfs_list:
+            total += np.float64(sim.weight(df, doc_count))
+        return np.float32(total)
 
     def go(node):
         if isinstance(node, Q.Term):
             if df_of(node.term) == 0:
                 return None
-            w = np.float32(np.float32(node.boost)
-                           * bm25.idf(df_of(node.term), doc_count))
-            return CTerm(node.term, w)
+            return CTerm(node.term,
+                         sim.weight(df_of(node.term), doc_count, node.boost))
         if isinstance(node, Q.Synonym):
             present = tuple(t for t in node.terms if df_of(t) > 0)
             if not present:
                 return None
             pseudo_df = max(df_of(t) for t in present)
-            return CSynonym(present, bm25.idf(pseudo_df, doc_count))
+            return CSynonym(present, sim.weight(pseudo_df, doc_count))
         if isinstance(node, Q.Phrase):
             if any(df_of(t) == 0 for t in node.terms):
                 return None
             if node.slop > 0 and len(node.terms) != 2:
                 raise NotImplementedError(
                     "sloppy matching implemented for 2-term phrases")
-            w = bm25.idf_sum([df_of(t) for t in node.terms], doc_count)
+            w = multi_weight([df_of(t) for t in node.terms])
             return CPhrase(tuple(node.terms), w, node.slop)
         if isinstance(node, _ResolvedMultiTerm):
             present = tuple(t for t in node.terms if df_of(t) > 0)
@@ -297,9 +308,16 @@ class TermSegPostings:
         dec = codec.decode_postings(row, with_positions=True)
         return dec.get("positions", np.empty(0, np.int64))
 
-    def block_max_scores(self, weight: np.float32, cache: np.ndarray) -> np.ndarray:
+    def block_max_scores(self, weight: np.float32, cache: np.ndarray,
+                         sim: Similarity | None = None) -> np.ndarray:
         imps = codec.decode_impacts(self.impact_bytes, self.n_blocks)
-        return bm25.max_block_scores(imps, weight, cache)
+        sim = sim or BM25Similarity()
+        out = np.empty(len(imps), dtype=np.float32)
+        for i, pairs in enumerate(imps):
+            out[i] = (np.float32(0.0) if len(pairs) == 0 else
+                      sim.score(pairs[:, 0], pairs[:, 1], weight,
+                                cache).max())
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -308,10 +326,11 @@ class TermSegPostings:
 
 class _SegContext:
     def __init__(self, postings_rows: dict[str, dict], norm_bytes: np.ndarray,
-                 cache: np.ndarray):
+                 cache: np.ndarray, sim: Similarity | None = None):
         self.rows = postings_rows
         self.norms = norm_bytes
         self.cache = cache
+        self.sim = sim or BM25Similarity()
         self._tps: dict[str, TermSegPostings] = {}
 
     def tp(self, term: str) -> TermSegPostings | None:
@@ -337,7 +356,8 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
         if tp is not None:
             ids, tfs = tp.in_range(lo, hi)
             if len(ids):
-                s = bm25.score_block(tfs, ctx.norms[ids], node.weight, ctx.cache)
+                s = ctx.sim.score(tfs, ctx.norms[ids], node.weight,
+                                  ctx.cache)
                 mask[ids - lo] = True
                 scores[ids - lo] = s.astype(np.float64)
         return mask, scores
@@ -351,8 +371,8 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
             freqs[ids - lo] += tfs
         mask = freqs > 0
         if mask.any():
-            s = bm25.score_block(freqs[mask], ctx.norms[lo:hi][mask],
-                                 node.weight, ctx.cache)
+            s = ctx.sim.score(freqs[mask], ctx.norms[lo:hi][mask],
+                              node.weight, ctx.cache)
             scores[mask] = s.astype(np.float64)
         return mask, scores
     if isinstance(node, CPhrase):
@@ -362,9 +382,9 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
             freqs = _phrase_freqs(node.terms, ctx, lo, hi)
         mask = freqs > 0
         if mask.any():
-            s = bm25.score_block(freqs[mask].astype(np.float32),
-                                 ctx.norms[lo:hi][mask],
-                                 node.weight, ctx.cache)
+            s = ctx.sim.score(freqs[mask].astype(np.float32),
+                              ctx.norms[lo:hi][mask],
+                              node.weight, ctx.cache)
             scores[mask] = s.astype(np.float64)
         return mask, scores
     if isinstance(node, CConstTerms):
@@ -507,7 +527,8 @@ def _upper_bounds(node, ctx: _SegContext, n_windows: int, n_docs: int) -> np.nda
         tp = ctx.tp(node.term)
         if tp is None or tp.n_blocks == 0:
             return ub
-        bms = tp.block_max_scores(node.weight, ctx.cache).astype(np.float64)
+        bms = tp.block_max_scores(node.weight, ctx.cache,
+                                  ctx.sim).astype(np.float64)
         starts = np.concatenate(([0], tp.block_last[:-1] + 1)) // WINDOW
         ends = tp.block_last // WINDOW
         for b in range(tp.n_blocks):
@@ -546,7 +567,9 @@ def score_segment(compiled, postings_rows: dict[str, dict],
     n = len(norm_bytes)
     if ctx is None:
         ctx = _SegContext(postings_rows, norm_bytes, cache)
-    use_bmw = mode == "bmw" or (mode == "auto" and _bmw_eligible(compiled))
+    use_bmw = (ctx.sim.monotonic
+               and (mode == "bmw"
+                    or (mode == "auto" and _bmw_eligible(compiled))))
     if compiled is None or n == 0:
         return np.empty(0, np.int64), np.empty(0, np.float32), 0
 
@@ -618,7 +641,8 @@ class Searcher:
     """Point-in-time reader + searcher over a committed snapshot
     (DirectoryReader/IndexSearcher role)."""
 
-    def __init__(self, spark, index_dir: str, snapshot_id: int | None = None):
+    def __init__(self, spark, index_dir: str, snapshot_id: int | None = None,
+                 similarity: Similarity | None = None):
         import os
 
         from pyspark.sql import functions as F  # noqa: F401
@@ -626,6 +650,7 @@ class Searcher:
         from ..session import ensure_shipped
         ensure_shipped(spark)
         self.spark = spark
+        self.similarity = similarity or BM25Similarity()
         self.index_dir = index_dir
         self.catalog = SnapshotCatalog(index_dir)
         snap = self.catalog.load(snapshot_id)
@@ -694,9 +719,9 @@ class Searcher:
         query = Q.rewrite_fixed_point(query)
         query = self._resolve(query)
         dfs = self._global_dfs(query.all_terms())
-        compiled = compile_query(query, dfs, self.doc_count)
+        compiled = compile_query(query, dfs, self.doc_count, self.similarity)
         avgdl = bm25.avg_field_length(self.sum_ttf, self.doc_count)
-        cache = bm25.norm_inverse_cache(avgdl)
+        cache = self.similarity.norm_cache(avgdl)
         return compiled, cache
 
     # -- search ------------------------------------------------------------
@@ -709,6 +734,7 @@ class Searcher:
         from pyspark.sql import functions as F
 
         compiled, cache = self._compile(query)
+        sim = self.similarity
         spark = self.spark
         out_schema = "seg_id int, doc_id long, score float, seg_hits long"
         if compiled is None:
@@ -726,8 +752,9 @@ class Searcher:
             norm_bytes = np.frombuffer(nrow["norm_bytes"], dtype=np.uint8)
             gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
             rows = {r["term"]: r for _, r in postings_pdf.iterrows()}
+            ctx = _SegContext(rows, norm_bytes, cache, sim)
             g, s, hits = score_segment(compiled, rows, norm_bytes, gids,
-                                       cache, k, mode, after)
+                                       cache, k, mode, after, ctx=ctx)
             return pd.DataFrame({"seg_id": np.int32(seg_id), "doc_id": g,
                                  "score": s.astype(np.float32),
                                  "seg_hits": np.int64(hits)})
@@ -789,6 +816,7 @@ class Searcher:
         from pyspark.sql import functions as F
 
         compiled, cache = self._compile(query)
+        sim = self.similarity
         out_schema = "doc_id long, score float"
         if compiled is None:
             return self.spark.createDataFrame([], out_schema)
@@ -803,7 +831,7 @@ class Searcher:
             norm_bytes = np.frombuffer(nrow["norm_bytes"], dtype=np.uint8)
             gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
             rows = {r["term"]: r for _, r in postings_pdf.iterrows()}
-            ctx = _SegContext(rows, norm_bytes, cache)
+            ctx = _SegContext(rows, norm_bytes, cache, sim)
             mask, scores = _eval_range(compiled, ctx, 0, len(norm_bytes))
             lids = np.nonzero(mask)[0]
             return pd.DataFrame({"doc_id": gids[lids],
@@ -842,8 +870,9 @@ class Searcher:
                               for t in q.all_terms()})
         dfs = self._global_dfs(union_terms)
         avgdl = bm25.avg_field_length(self.sum_ttf, self.doc_count)
-        cache = bm25.norm_inverse_cache(avgdl)
-        compiled = {qid: compile_query(q, dfs, self.doc_count)
+        sim = self.similarity
+        cache = sim.norm_cache(avgdl)
+        compiled = {qid: compile_query(q, dfs, self.doc_count, sim)
                     for qid, q in resolved.items()}
         compiled = {qid: c for qid, c in compiled.items() if c is not None}
         out_schema = "query_id string, doc_id long, score float"
@@ -862,7 +891,7 @@ class Searcher:
             norm_bytes = np.frombuffer(nrow["norm_bytes"], dtype=np.uint8)
             gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
             rows = {r["term"]: r for _, r in postings_pdf.iterrows()}
-            ctx = _SegContext(rows, norm_bytes, cache)  # shared decode cache
+            ctx = _SegContext(rows, norm_bytes, cache, sim)  # shared decode
             parts = []
             for qid, comp in compiled.items():
                 g, s, _ = score_segment(comp, rows, norm_bytes, gids,
@@ -926,9 +955,9 @@ class Searcher:
                 if tf == 0:
                     return {"match": False, "value": 0.0,
                             "description": f"no occurrence of '{node.term}'"}
-                s = float(bm25.score_block(np.array([tf]),
-                                           np.array([norm_byte]),
-                                           node.weight, cache)[0])
+                s = float(self.similarity.score(np.array([tf]),
+                                                np.array([norm_byte]),
+                                                node.weight, cache)[0])
                 return {
                     "match": True, "value": s,
                     "description": f"score(term='{node.term}'), computed as "
@@ -978,6 +1007,7 @@ class Searcher:
         """TotalHitCountCollector analogue — exact match count."""
         from pyspark.sql import functions as F
         compiled, cache = self._compile(query)
+        sim = self.similarity
         if compiled is None:
             return 0
         terms = sorted(set(_compiled_terms(compiled)))
@@ -990,8 +1020,9 @@ class Searcher:
             norm_bytes = np.frombuffer(nrow["norm_bytes"], dtype=np.uint8)
             gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
             rows = {r["term"]: r for _, r in postings_pdf.iterrows()}
+            ctx = _SegContext(rows, norm_bytes, cache, sim)
             _, _, hits = score_segment(compiled, rows, norm_bytes, gids,
-                                       cache, 1, "exhaustive")
+                                       cache, 1, "exhaustive", ctx=ctx)
             return pd.DataFrame({"hits": [hits]})
 
         res = (pf.groupBy("seg_id").cogroup(self.norms.groupBy("seg_id"))

@@ -72,13 +72,22 @@ class OracleIndex:
         return sum(tf for _, tf, _ in self.postings.get(term, ()))
 
     # -- scoring ----------------------------------------------------------
-    def _cache(self, k1: float, b: float) -> np.ndarray:
+    def _cache(self, k1: float, b: float, sim=None) -> np.ndarray:
         avgdl = avg_field_length(self.sum_ttf, self.doc_count)
+        if sim is not None:
+            return sim.norm_cache(avgdl)
         return norm_inverse_cache(avgdl, k1, b)
 
     def _term_scores(self, term: str, k1: float, b: float,
-                     boost: float = 1.0) -> dict[int, np.float32]:
-        cache = self._cache(k1, b)
+                     boost: float = 1.0, sim=None) -> dict[int, np.float32]:
+        cache = self._cache(k1, b, sim)
+        if sim is not None:
+            w = sim.weight(self.df(term), self.doc_count, boost)
+            return {doc_id: np.float32(
+                        sim.score(np.array([tf]),
+                                  np.array([self.norm_bytes[doc_id]]),
+                                  w, cache)[0])
+                    for doc_id, tf, _ in self.postings.get(term, ())}
         w = np.float32(boost) * idf(self.df(term), self.doc_count)
         out: dict[int, np.float32] = {}
         one = np.float32(1.0)
@@ -151,7 +160,7 @@ class OracleIndex:
         return out
 
     def score(self, query: Query, k1: float = K1_DEFAULT,
-              b: float = B_DEFAULT) -> dict[int, np.float32]:
+              b: float = B_DEFAULT, sim=None) -> dict[int, np.float32]:
         """All matching docs with their float32 scores.
 
         Boolean semantics: SHOULD/MUST clause scores are accumulated in
@@ -159,7 +168,7 @@ class OracleIndex:
         DisjunctionSumScorer / ConjunctionScorer sum in double).
         """
         if isinstance(query, Term):
-            return self._term_scores(query.term, k1, b, query.boost)
+            return self._term_scores(query.term, k1, b, query.boost, sim)
         if isinstance(query, Synonym):
             return self._synonym_scores(list(query.terms), k1, b)
         if isinstance(query, Phrase):
@@ -192,20 +201,20 @@ class OracleIndex:
             acc: dict[int, float] = {}
             hits: dict[int, int] = {}
             for clause in query.clauses:
-                for d, s in self.score(clause, k1, b).items():
+                for d, s in self.score(clause, k1, b, sim).items():
                     acc[d] = acc.get(d, 0.0) + float(s)
                     hits[d] = hits.get(d, 0) + 1
             msm = max(query.min_should_match, 1)
             return {d: np.float32(s) for d, s in acc.items()
                     if hits[d] >= msm}
         if isinstance(query, And):
-            per = [self.score(c, k1, b) for c in query.clauses]
+            per = [self.score(c, k1, b, sim) for c in query.clauses]
             common = set(per[0])
             for m in per[1:]:
                 common &= set(m)
             return {d: np.float32(sum(float(m[d]) for m in per)) for d in common}
         if isinstance(query, DisMax):
-            per = [self.score(c, k1, b) for c in query.clauses]
+            per = [self.score(c, k1, b, sim) for c in query.clauses]
             out: dict[int, np.float32] = {}
             for d in set().union(*per):
                 vals = [float(m[d]) for m in per if d in m]
@@ -213,15 +222,15 @@ class OracleIndex:
                 out[d] = np.float32(smax + (sum(vals) - smax) * query.tie_breaker)
             return out
         if isinstance(query, Not):
-            pos = self.score(query.positive, k1, b)
-            neg = self.score(query.negative, k1, b)
+            pos = self.score(query.positive, k1, b, sim)
+            neg = self.score(query.negative, k1, b, sim)
             return {d: s for d, s in pos.items() if d not in neg}
         raise TypeError(f"unsupported query: {query!r}")
 
     def top_k(self, query: Query, k: int = 10, k1: float = K1_DEFAULT,
-              b: float = B_DEFAULT) -> list[tuple[int, float]]:
+              b: float = B_DEFAULT, sim=None) -> list[tuple[int, float]]:
         """Top-k by (score desc, doc_id asc) — the reference tie-break
         (HitQueue.java:78-84)."""
-        scores = self.score(query, k1, b)
+        scores = self.score(query, k1, b, sim)
         ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
         return [(d, float(s)) for d, s in ranked[:k]]
