@@ -796,6 +796,35 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _q4(F.col("cos")).alias("cos_q4"))
 
 
+def _q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs oracle
+    path; the LSH-bucketed scale path is differential-tested in
+    tests/test_pipeline.py)."""
+    emb = _emb(spark, sf_dir)
+    res = simsearch.cosine_near_duplicates(emb, 0.4)
+    return res.select("id_a", "id_b", _q4(F.col("cos")).alias("cos_q4"))
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, genuinely pruned (nprobe 3 of 8 lists) — approximate by
+    design → rows-only check; recall vs brute force is pytest-gated."""
+    emb = _emb(spark, sf_dir)
+    res = simsearch.ivf_topk(emb, emb.where(F.col("vec_id") < 20), k=5,
+                             num_centroids=8, nprobe=3, iters=1)
+    return res.select("query_id", "neighbor_id", "rank",
+                      _q4(F.col("cos")).alias("cos_q4"))
+
+
+def _q_ivf_full_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe == num_centroids: exhaustive by construction, so
+    it must equal the brute-force SQL oracle exactly (rank + cosine)."""
+    emb = _emb(spark, sf_dir)
+    res = simsearch.ivf_topk(emb, emb.where(F.col("vec_id") < 20), k=5,
+                             num_centroids=8, nprobe=8, iters=1)
+    return res.select("query_id", "neighbor_id", "rank",
+                      _q4(F.col("cos")).alias("cos_q4"))
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = multimodal.extract_meta(
         multimodal.attach_payload(_docs(spark, sf_dir)))
@@ -884,6 +913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "embed_cosine_topk": _q_cosine_topk,
         "embed_lsh_topk": _q_lsh_topk,
+        "embed_ivf_topk": _q_ivf_topk,
+        "embed_ivf_full_topk": _q_ivf_full_topk,
+        "dedup_embed_cosine": _q_embed_near_dup,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
     }
@@ -1073,12 +1105,29 @@ SELECT doc_id, md5(text) AS fp_exact,
                            ' ')) AS fp_bag
 FROM documents""",
         "embed_cosine_topk": _cosine_sql(20, 5),
+        "embed_ivf_full_topk": _cosine_sql(20, 5),
+        "dedup_embed_cosine": """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(len(a.embedding)),
+             i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(len(a.embedding)),
+                i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(len(b.embedding)),
+                i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))))
+         AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, CAST(floor(cos * 10000) AS BIGINT) AS cos_q4
+FROM pairs WHERE cos >= CAST(0.4 AS DOUBLE)""",
         "multimodal_meta": """
 SELECT doc_id, 'application/octet-stream' AS media_type,
        CAST(octet_length(encode(text)) AS INT) AS payload_len,
        md5(text) AS payload_md5
 FROM documents""",
         "multimodal_features": _FEATURES_SQL,
-        # dedup_simhash_pairs / embed_lsh_topk: approximate-by-design →
+        # dedup_simhash_pairs / embed_lsh_topk / embed_ivf_topk:
+        # approximate-by-design →
         # rows-only check (no SQL oracle); differential tests cover them.
     }

@@ -10,6 +10,17 @@
   optional multiprobe of Hamming-1 neighbors), so the 100 TB case compares
   each query against a ~1/2^P fraction of the corpus. Approximate:
   differential tests measure recall against the brute-force baseline.
+* :func:`ivf_topk` — the other classic scale path (IVF): deterministic
+  k-means centroids (hash-seeded + Lloyd refinement, all aggregation in
+  DataFrame ops), corpus partitioned by nearest centroid, queries probe
+  only their ``nprobe`` nearest lists. ``nprobe == num_centroids``
+  degenerates to exact brute force (the differential-test hook).
+* :func:`cosine_near_duplicates` / :func:`cosine_near_duplicates_lsh` —
+  embedding-cosine near-duplicate *pairs* (the training-data dedup use):
+  exact all-pairs as the oracle path, hyperplane-bucketed candidates +
+  exact-cosine verification as the scale path (same shape as MinHash→LSH
+  in ``dedup.py``: candidate generation is linear in collisions, never
+  quadratic in the corpus).
 
 Dot products use ``zip_with`` + ``aggregate`` with explicit double casts —
 built-in JVM expressions, no Python in the loop.
@@ -20,8 +31,10 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -106,6 +119,181 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     else:
         qb = qb.withColumnRenamed("qbucket", "bucket")
     scored = (c.join(F.broadcast(qb), on="bucket")
+               .where(F.col("neighbor_id") != F.col("query_id"))
+               .select("query_id", "neighbor_id",
+                       cosine(F.col("qvec"), F.col("cvec")).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "rank", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (training-data dedup)
+# ---------------------------------------------------------------------------
+
+def cosine_near_duplicates(corpus: DataFrame, threshold: float,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold — exact all-pairs.
+
+    The correctness oracle: quadratic in the corpus, for modest inputs /
+    sampled validation of :func:`cosine_near_duplicates_lsh` (mirrors
+    ``dedup.ngram_jaccard_pairs`` vs the MinHash path).
+    Output: (id_a, id_b, cos) with cos as a raw double.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"))
+    return (a.crossJoin(b)
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     cosine(F.col("va"), F.col("vb")).alias("cos"))
+             .where(F.col("cos") >= threshold))
+
+
+def cosine_near_duplicates_lsh(corpus: DataFrame, threshold: float,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               num_planes: int = 8, dim: int = 64,
+                               multiprobe: bool = True) -> DataFrame:
+    """Scale path: candidate pairs collide on a hyperplane-sign bucket
+    (one side multiprobes Hamming-1 buckets, so pairs whose signatures
+    differ by <= 1 bit are candidates), then exact-cosine verification
+    keeps only pairs >= threshold. Linear in bucket collisions — at
+    100 TB the shuffle key is the bucket id, and only genuinely similar
+    vectors (plus ~1/2^P random collisions) meet in a reducer. Recall is
+    approximate by design; differential tests measure it against
+    :func:`cosine_near_duplicates`."""
+    planes = _hyperplanes(dim, num_planes)
+    sig = corpus.select(F.col(id_col).alias("vid"),
+                        F.col(vec_col).alias("vec"),
+                        _bucket_expr(F.col(vec_col), planes).alias("bucket"))
+    if multiprobe:
+        probes = F.array(*([F.col("bucket")] +
+                           [F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                            for p in range(num_planes)]))
+        a = (sig.select("vid", "vec", F.explode(probes).alias("bucket"))
+                .select(F.col("vid").alias("id_a"),
+                        F.col("vec").alias("va"), "bucket"))
+    else:
+        a = sig.select(F.col("vid").alias("id_a"),
+                       F.col("vec").alias("va"), "bucket")
+    b = sig.select(F.col("vid").alias("id_b"),
+                   F.col("vec").alias("vb"), "bucket")
+    return (a.join(b, on="bucket")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     cosine(F.col("va"), F.col("vb")).alias("cos"))
+             .where(F.col("cos") >= threshold)
+             .groupBy("id_a", "id_b").agg(F.first("cos").alias("cos")))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbor
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(corpus: DataFrame, num_centroids: int,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  iters: int = 2) -> np.ndarray:
+    """Deterministic k-means centroids, L2-normalized (spherical k-means,
+    the right geometry for cosine).
+
+    Seeds = the ``num_centroids`` corpus vectors with smallest
+    ``md5(id)`` (a uniform, engine-independent sample — no RNG state on
+    executors). Refinement = ``iters`` Lloyd steps where the assign step
+    is a vectorized Arrow UDF (numpy matmul against the broadcast
+    centroid matrix) and the update step is one ``groupBy(centroid).avg``
+    per component — map-side combined, so each step shuffles only
+    ``num_centroids × dim`` partial sums per partition. The centroid
+    matrix (C × dim floats) is tiny and lives on the driver.
+    """
+    seeds = (corpus.select(F.col(vec_col).alias("vec"),
+                           F.md5(F.col(id_col).cast("string")).alias("h"))
+                   .orderBy("h").limit(num_centroids)
+                   .toPandas())
+    cents = np.stack(seeds["vec"].to_numpy()).astype(np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assign = _assign_udf(cents)
+        sums = (corpus.select(F.col(vec_col).alias("vec"))
+                      .withColumn("cid", assign(F.col("vec")))
+                      .select("cid", *[F.col("vec")[i].cast("double")
+                                       .alias(f"c{i}")
+                                       for i in range(cents.shape[1])])
+                      .groupBy("cid")
+                      .avg(*[f"c{i}" for i in range(cents.shape[1])])
+                      .toPandas().sort_values("cid"))
+        new = cents.copy()
+        ids = sums["cid"].to_numpy()
+        vals = sums.drop(columns=["cid"]).to_numpy()
+        new[ids] = vals
+        norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = new / norms
+    return cents
+
+
+def _assign_udf(centroids: np.ndarray):
+    """pandas_udf: embedding array → nearest-centroid id by cosine.
+    Centroids ship in the closure (broadcast-by-serialization; C × dim is
+    KBs); the batch computes one numpy matmul — no per-row Python."""
+    cent = centroids.astype(np.float64)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cent.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def _probe_udf(centroids: np.ndarray, nprobe: int):
+    cent = centroids.astype(np.float64)
+    p = min(nprobe, cent.shape[0])
+
+    @pandas_udf("array<int>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cent.T
+        # top-nprobe centroid ids per query, best first (argsort is fine:
+        # C is small by construction)
+        order = np.argsort(-sims, axis=1)[:, :p].astype(np.int32)
+        return pd.Series(list(order))
+
+    return probe
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             num_centroids: int = 16, nprobe: int = 4,
+             iters: int = 2, centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate cosine top-k: corpus rows are inverted-listed by
+    nearest centroid; each query scans only its ``nprobe`` closest lists.
+
+    At scale the corpus side is written partitioned by ``centroid_id``
+    (partition pruning does the list selection); here the same plan shape
+    is a shuffle join on ``centroid_id``. ``nprobe == num_centroids``
+    makes the search exhaustive — the differential-test equality hook.
+    Same output schema as :func:`brute_force_topk`.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, num_centroids, id_col, vec_col,
+                                  iters)
+    assign = _assign_udf(centroids)
+    probe = _probe_udf(centroids, nprobe)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"),
+                      assign(F.col(vec_col)).alias("centroid_id"))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qvec"),
+                        probe(F.col(vec_col)).alias("probes"))
+                .select("query_id", "qvec",
+                        F.explode("probes").alias("centroid_id")))
+    scored = (c.join(F.broadcast(q), on="centroid_id")
                .where(F.col("neighbor_id") != F.col("query_id"))
                .select("query_id", "neighbor_id",
                        cosine(F.col("qvec"), F.col("cvec")).alias("cos")))

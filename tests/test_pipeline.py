@@ -116,6 +116,66 @@ def test_lsh_topk_recall(spark, vectors):
     assert recall >= 0.5  # multiprobe over 3 planes covers most neighbors
 
 
+def test_ivf_full_probe_matches_bruteforce(spark, vectors):
+    """nprobe == num_centroids ⇒ IVF is exhaustive ⇒ identical to brute
+    force (ranks and cosines) — the IVF differential-test hook."""
+    emb_df, _ = vectors
+    from pyspark.sql import functions as F
+    q = emb_df.where(F.col("vec_id") < 5)
+    brute = simsearch.brute_force_topk(emb_df, q, k=4).toPandas()
+    full = simsearch.ivf_topk(emb_df, q, k=4, num_centroids=8, nprobe=8,
+                              iters=1).toPandas()
+    bkey = brute.sort_values(["query_id", "rank"])
+    fkey = full.sort_values(["query_id", "rank"])
+    assert bkey.neighbor_id.tolist() == fkey.neighbor_id.tolist()
+    assert np.allclose(bkey.cos.to_numpy(), fkey.cos.to_numpy())
+
+
+def test_ivf_partial_probe_recall(spark, vectors):
+    emb_df, _ = vectors
+    from pyspark.sql import functions as F
+    q = emb_df.where(F.col("vec_id") < 10)
+    brute = simsearch.brute_force_topk(emb_df, q, k=3).toPandas()
+    approx = simsearch.ivf_topk(emb_df, q, k=3, num_centroids=8,
+                                nprobe=3, iters=2).toPandas()
+    bpairs = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+    apairs = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    assert len(bpairs & apairs) / len(bpairs) >= 0.5
+
+
+@pytest.fixture(scope="module")
+def near_dup_vectors(spark):
+    """40 random base vectors + 8 planted clones (tiny noise) of bases
+    0..7 → the true near-dup pairs at cos >= 0.99 are (i, 40+i)."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 16).astype(np.float64)
+    clones = base[:8] + 0.01 * rng.randn(8, 16)
+    vecs = np.vstack([base, clones]).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(48, dtype=np.int64),
+                        "embedding": [v.tolist() for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_cosine_near_duplicates_exact(spark, near_dup_vectors):
+    df, vecs = near_dup_vectors
+    out = simsearch.cosine_near_duplicates(df, 0.99).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(out.id_a, out.id_b)}
+    assert got == {(i, 40 + i) for i in range(8)}
+    assert (out.cos >= 0.99).all()
+
+
+def test_cosine_near_duplicates_lsh_recall(spark, near_dup_vectors):
+    df, _ = near_dup_vectors
+    exact = simsearch.cosine_near_duplicates(df, 0.99).toPandas()
+    lsh = simsearch.cosine_near_duplicates_lsh(
+        df, 0.99, num_planes=6, dim=16).toPandas()
+    epairs = {(int(a), int(b)) for a, b in zip(exact.id_a, exact.id_b)}
+    lpairs = {(int(a), int(b)) for a, b in zip(lsh.id_a, lsh.id_b)}
+    assert lpairs <= epairs          # verification is exact ⇒ precision 1
+    assert len(lpairs) / len(epairs) >= 0.75  # near-identical vectors
+    # agree on almost every sign bit; multiprobe covers 1-bit misses
+
+
 # ---------------------------------------------------------------------------
 # textstats
 # ---------------------------------------------------------------------------
