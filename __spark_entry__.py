@@ -27,8 +27,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lucene_spark.functions.smallfloat import byte4_to_int
-from lucene_spark.operators import facets
+from lucene_spark.operators import facets, mlt, suggest
 from lucene_spark.operators.build import build_index
+from lucene_spark.operators.highlight import highlight
 from lucene_spark.operators.search import Searcher
 from lucene_spark.operators.stats import term_stats_from_tokens
 from lucene_spark.pipeline import dedup, multimodal, simsearch, textstats
@@ -796,6 +797,41 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _q4(F.col("cos")).alias("cos_q4"))
 
 
+def _q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzingSuggester role: weight-ordered prefix completion from the
+    term dictionary (weight = df)."""
+    return suggest.suggest_prefix(_searcher(spark, sf_dir), "s", k=10)
+
+
+def _q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectSpellChecker role: corrections for the misspelling 'sparc'
+    within 2 edits, ranked (distance, df desc, term)."""
+    return suggest.spell_suggest(_searcher(spark, sf_dir), "sparc", k=5,
+                                 max_edits=2)
+
+
+def _q_mlt_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis over documents.text: seed doc 0, top-5 interesting
+    terms (tf>=2, df>=5, classic idf), OR-query scored by BM25."""
+    s = _searcher(spark, sf_dir)
+    res = mlt.more_like_this(s, _docs(spark, sf_dir), doc_id=0, k=10,
+                             max_query_terms=5, min_term_freq=2,
+                             min_doc_freq=5)
+    return _fmt_topk(res)
+
+
+def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnifiedHighlighter role: best passage per hit with query terms
+    tagged. Deterministic string output → rows-only driver check; golden
+    + invariant tests in tests/test_suggest_mlt_highlight.py."""
+    s = _searcher(spark, sf_dir)
+    res = highlight(s, _docs(spark, sf_dir), Q.And((Q.Term(T_COMMON),
+                                                    Q.Term(T_COMMON2))),
+                    k=5, window=6)
+    return res.select("doc_id", F.col("rank").cast("int").alias("rank"),
+                      "snippet")
+
+
 def _q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs oracle
     path; the LSH-bucketed scale path is differential-tested in
@@ -892,6 +928,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field": _q_sort_by_field,
         "query_join": _q_join,
         # --- merge / incremental build inside the gate ---
+        "suggest_prefix": _q_suggest_prefix,
+        "spell_suggest": _q_spell_suggest,
+        "mlt_top10": _q_mlt_top10,
+        "highlight_top5": _q_highlight,
         "bm25_after_merge_top10": _q_merged_search,
         "bm25_incremental_top10": _q_incremental_search,
         # --- index tables / invariants (SURVEY.md §2.2) ---
@@ -1104,6 +1144,42 @@ SELECT doc_id, md5(text) AS fp_exact,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
                            ' ')) AS fp_bag
 FROM documents""",
+        "suggest_prefix": _PRELUDE + """
+SELECT term, CAST(df AS BIGINT) AS weight
+FROM dfs WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10""",
+        "spell_suggest": _PRELUDE + """
+SELECT term, CAST(levenshtein(term, 'sparc') AS INT) AS distance,
+       CAST(df AS BIGINT) AS df
+FROM dfs
+WHERE term <> 'sparc' AND term LIKE 's%'
+  AND abs(length(term) - 5) <= 2 AND levenshtein(term, 'sparc') <= 2
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5""",
+        "mlt_top10": _PRELUDE + """,
+mltsel AS (
+  SELECT f.term
+  FROM tf f JOIN dfs d ON f.term = d.term, avgs a
+  WHERE f.doc_id = 0 AND f.tf >= 2 AND d.df >= 5
+  ORDER BY CAST(f.tf AS DOUBLE)
+           * (ln((a.dc + 1) / (d.df + 1)) + CAST(1 AS DOUBLE)) DESC,
+           f.term ASC
+  LIMIT 5
+),
+mlw AS (
+  SELECT d.term,
+         CAST(ln(1 + (a.dc - d.df + CAST(0.5 AS DOUBLE)) /
+                 (d.df + CAST(0.5 AS DOUBLE))) AS FLOAT) AS w
+  FROM dfs d JOIN mltsel s ON d.term = s.term, avgs a
+),
+persc AS (
+  SELECT f.doc_id,
+         CAST(w.w - w.w / (CAST(1 AS FLOAT) + CAST(f.tf AS FLOAT) * c.inv)
+              AS DOUBLE) AS ps
+  FROM tf f JOIN mlw w ON f.term = w.term
+  JOIN normcache c ON f.doc_id = c.doc_id
+),
+orsc AS (SELECT doc_id, CAST(SUM(ps) AS FLOAT) AS s
+         FROM persc GROUP BY doc_id)""" + _topk_sql("orsc", 10),
         "embed_cosine_topk": _cosine_sql(20, 5),
         "embed_ivf_full_topk": _cosine_sql(20, 5),
         "dedup_embed_cosine": """

@@ -1,0 +1,152 @@
+"""Tests for suggest/spell, MoreLikeThis, and the highlighter."""
+
+from __future__ import annotations
+
+import math
+import re
+import tempfile
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.analysis import analyze_text
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.highlight import highlight
+from lucene_spark.operators.mlt import interesting_terms, more_like_this
+from lucene_spark.operators.search import Searcher
+from lucene_spark.operators.suggest import spell_suggest, suggest_prefix
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.plans import query as Q
+from lucene_spark.sources.corpus import generate_corpus
+
+N_DOCS = 250
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(N_DOCS, seed=13)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, corpus):
+    d = tempfile.mkdtemp(prefix="lucene_spark_sugg_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=4)
+    return Searcher(spark, d)
+
+
+@pytest.fixture(scope="module")
+def dfs(corpus):
+    """Brute-force python document frequencies."""
+    c = Counter()
+    for text in corpus.content:
+        c.update(set(analyze_text(text)[0]))
+    return c
+
+
+# ---------------------------------------------------------------------------
+# suggest
+# ---------------------------------------------------------------------------
+
+def test_suggest_prefix_matches_bruteforce(searcher, dfs):
+    got = [(r["term"], r["weight"])
+           for r in suggest_prefix(searcher, "pa", k=8).collect()]
+    want = sorted(((t, df) for t, df in dfs.items() if t.startswith("pa")),
+                  key=lambda p: (-p[1], p[0]))[:8]
+    assert got == want
+    assert len(got) > 0
+
+
+def test_spell_suggest_matches_bruteforce(searcher, dfs):
+    def lev(a, b):
+        m = np.zeros((len(a) + 1, len(b) + 1), dtype=int)
+        m[:, 0] = np.arange(len(a) + 1)
+        m[0, :] = np.arange(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i, j] = min(m[i - 1, j] + 1, m[i, j - 1] + 1,
+                              m[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+        return int(m[len(a), len(b)])
+
+    word = "parsse"  # misspelling of 'parse'
+    got = [(r["term"], r["distance"])
+           for r in spell_suggest(searcher, word, k=5, max_edits=2).collect()]
+    cand = [(t, lev(t, word), df) for t, df in dfs.items()
+            if t != word and t.startswith(word[0])
+            and abs(len(t) - len(word)) <= 2]
+    want = [(t, d) for t, d, df in
+            sorted((c for c in cand if c[1] <= 2),
+                   key=lambda c: (c[1], -c[2], c[0]))[:5]]
+    assert got == want
+    assert got[0][0] == "parse"
+
+
+# ---------------------------------------------------------------------------
+# MoreLikeThis
+# ---------------------------------------------------------------------------
+
+def test_interesting_terms_matches_bruteforce(searcher, corpus, dfs):
+    text = corpus.content.iloc[3]
+    got = interesting_terms(searcher, text, max_query_terms=10,
+                            min_term_freq=2, min_doc_freq=5)
+    tfs = Counter(analyze_text(text)[0])
+    want = []
+    for t, f in tfs.items():
+        if f < 2 or dfs[t] < 5:
+            continue
+        want.append((t, f * (math.log((N_DOCS + 1) / (dfs[t] + 1)) + 1.0)))
+    want.sort(key=lambda p: (-p[1], p[0]))
+    assert got == want[:10]
+    assert len(got) > 0
+
+
+def test_more_like_this_matches_oracle(spark, searcher, corpus, oracle):
+    docs_df = spark.createDataFrame(corpus)
+    res = more_like_this(searcher, docs_df, doc_id=3, k=10,
+                         max_query_terms=10, text_col="content")
+    got = [(r["doc_id"], r["score"]) for r in res.collect()]
+    sel = interesting_terms(searcher, corpus.content.iloc[3],
+                            max_query_terms=10, min_term_freq=2,
+                            min_doc_freq=5)
+    want = oracle.top_k(Q.Or(tuple(Q.Term(t) for t, _ in sel)), k=10)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                       rtol=0, atol=0)
+    assert 3 in [g[0] for g in got]  # the seed doc is among its own hits
+
+
+# ---------------------------------------------------------------------------
+# highlighter
+# ---------------------------------------------------------------------------
+
+def test_highlight_snippets(spark, searcher, corpus):
+    docs_df = spark.createDataFrame(corpus)
+    out = highlight(searcher, docs_df, "parse AND token", k=5,
+                    text_col="content").collect()
+    assert len(out) >= 1
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    for r in out:
+        snip = r["snippet"]
+        assert "<b>" in snip
+        # every tagged token is a query term
+        for tagged in re.findall(r"<b>(.*?)</b>", snip):
+            assert tagged.lower() in {"parse", "token"}
+        # the snippet is a verbatim substring of the doc once tags removed
+        plain = snip.replace("<b>", "").replace("</b>", "")
+        assert plain in corpus.content.iloc[int(r["doc_id"])] \
+            or plain in list(corpus[corpus.doc_id == r["doc_id"]]
+                             .content)[0]
+
+
+def test_highlight_best_passage_prefers_coverage():
+    from lucene_spark.operators.highlight import _best_snippet
+    text = "alpha beta gamma alpha delta ... alpha beta zeta"
+    s = _best_snippet(text, frozenset({"alpha", "beta", "zeta"}), 3,
+                      "<b>", "</b>")
+    # the last window covers 3 distinct terms; earlier ones only 2
+    assert s == "<b>alpha</b> <b>beta</b> <b>zeta</b>"
