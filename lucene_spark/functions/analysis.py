@@ -89,24 +89,44 @@ def analyze_batch(texts: pd.Series,
       positions int64 array of token positions (gaps preserved)
       lengths   int64 array per row — surviving token count (norm input)
     """
-    tok_lists = texts.str.findall(_TOKEN_RE)
-    counts = tok_lists.str.len().fillna(0).astype(np.int64).to_numpy()
-    n_docs = len(texts)
+    vals = texts.to_numpy(dtype=object)
+    n_docs = len(vals)
+    if not all(isinstance(s, str) for s in vals):
+        vals = np.array([s if isinstance(s, str) else "" for s in vals],
+                        dtype=object)
+    # ASCII fast path: the token classes (\d, \w, [^\W\d]) are
+    # case-symmetric and ASCII lower() is length-preserving, so
+    # LowerCaseFilter commutes with tokenization — lower per *document*
+    # (one C call each) instead of per token (millions).
+    ascii_fast = all(s.isascii() for s in vals)
+    findall = _TOKEN_RE.findall
+    if ascii_fast:
+        tok_lists = [findall(s.lower()) for s in vals]
+    else:
+        tok_lists = [findall(s) for s in vals]
+    counts = np.fromiter(map(len, tok_lists), np.int64, count=n_docs)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-    if doc_idx.size == 0:
+    total = doc_idx.size
+    if total == 0:
         return (doc_idx, np.empty(0, dtype=object), np.empty(0, np.int64),
                 np.zeros(n_docs, np.int64))
-    flat = pd.Series(np.concatenate([np.asarray(v, dtype=object)
-                                     for v in tok_lists.to_numpy() if len(v)]))
+    flat = np.empty(total, dtype=object)
+    i = 0
+    for lst in tok_lists:
+        flat[i:i + len(lst)] = lst
+        i += len(lst)
     # position within doc BEFORE any filtering
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    positions = np.arange(doc_idx.size, dtype=np.int64) - np.repeat(starts, counts)
-    # length filter (skip, position already consumed)
-    keep = flat.str.len().to_numpy() <= max_token_length
-    low = flat.str.lower()
+    positions = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    # length filter (skip, position already consumed); token length is
+    # identical pre/post lower on the ASCII path
+    keep = np.fromiter(map(len, flat), np.int64,
+                       count=total) <= max_token_length
+    if not ascii_fast:
+        flat = pd.Series(flat).str.lower().to_numpy()
     if stopwords:
-        keep &= ~low.isin(stopwords).to_numpy()
-    terms = low.to_numpy()[keep]
+        keep &= ~pd.Series(flat).isin(stopwords).to_numpy()
+    terms = flat[keep]
     doc_idx_k = doc_idx[keep]
     positions_k = positions[keep]
     lengths = np.bincount(doc_idx_k, minlength=n_docs).astype(np.int64)
