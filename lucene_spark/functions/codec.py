@@ -156,6 +156,43 @@ def for_pack(vals: np.ndarray) -> bytes:
     return bytes([w]) + np.packbits(bits.ravel()).tobytes()
 
 
+def for_pack_many(blocks: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """FOR-pack many BLOCK_SIZE-value blocks in one vectorized pass.
+
+    ``blocks`` is (B, BLOCK_SIZE) uint32. Returns ``(stream, offsets)``
+    (len B+1) with block b's bytes at ``stream[off[b]:off[b+1]]`` —
+    byte-identical to :func:`for_pack` per block. Blocks are grouped by
+    bit width so the pack loop runs once per distinct width (≤32), not
+    once per block.
+    """
+    blocks = np.asarray(blocks, dtype=np.uint32)
+    B = blocks.shape[0]
+    boff = np.zeros(B + 1, dtype=np.int64)
+    if B == 0:
+        return b"", boff
+    mx = blocks.max(axis=1)
+    widths = np.zeros(B, dtype=np.int64)
+    v = mx.copy()
+    while v.any():
+        widths[v > 0] += 1
+        v >>= 1
+    nbytes = (BLOCK_SIZE * widths) // 8  # BLOCK_SIZE divisible by 8
+    boff[1:] = np.cumsum(1 + nbytes)
+    out = np.zeros(int(boff[-1]), dtype=np.uint8)
+    out[boff[:-1]] = widths
+    for w in np.unique(widths[widths > 0]):
+        sel = np.nonzero(widths == w)[0]
+        sub = blocks[sel]
+        bits = np.unpackbits(
+            sub.astype(">u4").view(np.uint8).reshape(len(sel), BLOCK_SIZE, 4),
+            axis=2)[:, :, 32 - w:]
+        packed = np.packbits(bits.reshape(len(sel), BLOCK_SIZE * int(w)),
+                             axis=1)
+        idx = boff[sel, None] + 1 + np.arange(packed.shape[1])
+        out[idx] = packed
+    return out.tobytes(), boff
+
+
 def for_unpack(buf: bytes, offset: int, n: int = BLOCK_SIZE) -> tuple[np.ndarray, int]:
     """Inverse of :func:`for_pack`; returns (values, next_offset)."""
     w = buf[offset]
@@ -341,91 +378,106 @@ def encode_postings_batch(
         out["ttf"] = np.zeros(T, np.int64)
         return out
 
-    small = dfs < BLOCK_SIZE
-    big_terms = np.nonzero(~small)[0]
-    sm_terms = np.nonzero(small)[0]
-
-    tok_off = np.concatenate(([0], np.cumsum(tfs)))  # token bound per posting
-
-    # ---- big terms: per-term reference encoder ------------------------
-    for t in big_terms:
-        a, b = int(toff[t]), int(toff[t + 1])
-        pos_slice = None
-        if positions is not None:
-            pos_slice = positions[tok_off[a]:tok_off[b]]
-        enc = encode_postings(doc_ids[a:b], tfs[a:b], pos_slice, norms_lookup)
-        for k in ("doc_bytes", "tf_bytes", "pos_bytes", "block_last",
-                  "impact_bytes"):
-            out[k][int(t)] = enc[k]
-
-    if len(sm_terms) == 0:
-        return out
-
-    # ---- small terms: fully batched -----------------------------------
-    pmask = np.repeat(small, dfs)
-    sdocs = doc_ids[pmask]
-    stfs = tfs[pmask]
-    sdfs = dfs[small]
-    soff = np.concatenate(([0], np.cumsum(sdfs)))
+    # Unified fully-batched path: every per-value numpy pass runs ONCE over
+    # all terms (deltas, VByte tails, FOR blocks grouped by width, the
+    # impacts frontier per (term, block)); the only per-term work left is
+    # byte-slice assembly.
+    ptr = np.arange(len(doc_ids), dtype=np.int64) \
+        - np.repeat(toff[:-1], dfs)               # posting idx within term
+    nfull = dfs // BLOCK_SIZE                     # full FOR blocks per term
+    tail_lens = dfs - nfull * BLOCK_SIZE
 
     # doc deltas with per-term reset
-    deltas = np.diff(sdocs, prepend=0)
-    deltas[soff[:-1]] = sdocs[soff[:-1]]
-    doc_stream, doc_goff = vbyte_encode_batched(deltas, sdfs)
-    tf_stream, tf_goff = vbyte_encode_batched(stfs, sdfs)
+    deltas = np.diff(doc_ids, prepend=0)
+    deltas[toff[:-1]] = doc_ids[toff[:-1]]
 
-    # single-block skip entry: last docID per term as one u32
-    last_bytes = sdocs[soff[1:] - 1].astype("<u4").tobytes()
+    # ---- full 128-blocks, all terms at once ---------------------------
+    Bfull = int(nfull.sum())
+    if Bfull:
+        bterm = np.repeat(np.arange(T, dtype=np.int64), nfull)
+        bj = np.arange(Bfull, dtype=np.int64) \
+            - np.repeat(np.concatenate(([0], np.cumsum(nfull)[:-1])), nfull)
+        bstart = toff[bterm] + bj * BLOCK_SIZE
+        gather = bstart[:, None] + np.arange(BLOCK_SIZE)
+        docblk_stream, docblk_off = for_pack_many(
+            deltas[gather].astype(np.uint32))
+        tfblk_stream, tfblk_off = for_pack_many(tfs[gather].astype(np.uint32))
+        # first FOR block of each term within the block streams
+        term_blk0 = np.concatenate(([0], np.cumsum(nfull)))
+    # ---- tails (df % 128), all terms at once --------------------------
+    in_tail = ptr >= nfull[np.repeat(np.arange(T), dfs)] * BLOCK_SIZE
+    doc_tail_stream, doc_tail_off = vbyte_encode_batched(
+        deltas[in_tail], tail_lens)
+    tf_tail_stream, tf_tail_off = vbyte_encode_batched(
+        tfs[in_tail], tail_lens)
 
-    # positions: per-posting delta with reset at each posting start
+    # ---- positions: one VByte stream per term (block-independent) -----
     if positions is not None and len(positions):
-        tmask = np.repeat(pmask, tfs)
-        spos = positions[tmask]
-        stok_off = np.concatenate(([0], np.cumsum(stfs)))
-        pd_ = np.diff(spos, prepend=0)
-        pd_[stok_off[:-1]] = spos[stok_off[:-1]]
-        term_tok_lens = np.add.reduceat(stfs, soff[:-1])
+        tok_off_post = np.concatenate(([0], np.cumsum(tfs)))
+        pd_ = np.diff(positions, prepend=0)
+        pd_[tok_off_post[:-1]] = positions[tok_off_post[:-1]]
+        term_tok_lens = np.add.reduceat(tfs, toff[:-1])
         pos_stream, pos_goff = vbyte_encode_batched(pd_, term_tok_lens)
     else:
         pos_stream, pos_goff = b"", None
 
-    # impacts: per-term single-block Pareto frontier, fully segmented.
-    # Sort (term, tf desc, norm asc); an entry survives iff it is its
-    # term's first entry or its norm beats the strict running min so far —
+    # ---- block_last: last docID of every block incl. tail block -------
+    nblocks = (dfs + BLOCK_SIZE - 1) // BLOCK_SIZE
+    NB = int(nblocks.sum())
+    lterm = np.repeat(np.arange(T, dtype=np.int64), nblocks)
+    lj = np.arange(NB, dtype=np.int64) \
+        - np.repeat(np.concatenate(([0], np.cumsum(nblocks)[:-1])), nblocks)
+    last_idx = toff[lterm] + np.minimum((lj + 1) * BLOCK_SIZE - 1,
+                                        dfs[lterm] - 1)
+    last_bytes = doc_ids[last_idx].astype("<u4").tobytes()
+    term_lb0 = np.concatenate(([0], np.cumsum(nblocks)))
+
+    # ---- impacts: Pareto frontier per (term, block) -------------------
+    # Sort (group, tf desc, norm asc); an entry survives iff it is its
+    # group's first entry or its norm beats the strict running min so far —
     # identical selection/order to impacts_frontier's loop.
-    tidx = np.repeat(np.arange(len(sm_terms), dtype=np.int64), sdfs)
-    norms_arr = norms_lookup[sdocs].astype(np.int64)
-    order = np.lexsort((norms_arr, -stfs, tidx))
-    t_s, f_s, n_s = tidx[order], stfs[order], norms_arr[order]
-    w = t_s * 256 + (255 - n_s)
+    gidx = term_lb0[np.repeat(np.arange(T), dfs)] + ptr // BLOCK_SIZE
+    norms_arr = norms_lookup[doc_ids].astype(np.int64)
+    order = np.lexsort((norms_arr, -tfs, gidx))
+    g_s, f_s, n_s = gidx[order], tfs[order], norms_arr[order]
+    w = g_s * 256 + (255 - n_s)
     prefmax = np.maximum.accumulate(w)
     prefmax_excl = np.concatenate(([np.int64(-1)], prefmax[:-1]))
-    is_start = np.empty(len(t_s), dtype=bool)
+    is_start = np.empty(len(g_s), dtype=bool)
     is_start[0] = True
-    is_start[1:] = t_s[1:] != t_s[:-1]
-    runmin_excl = 255 - (prefmax_excl - t_s * 256)
+    is_start[1:] = g_s[1:] != g_s[:-1]
+    runmin_excl = 255 - (prefmax_excl - g_s * 256)
     keep = is_start | (n_s < runmin_excl)
-    counts = np.bincount(t_s[keep], minlength=len(sm_terms))
+    counts = np.bincount(g_s[keep], minlength=NB)
     flat_lens = 1 + 2 * counts
     flat_off = np.concatenate(([0], np.cumsum(flat_lens)))
     flat = np.zeros(int(flat_off[-1]), dtype=np.int64)
     flat[flat_off[:-1]] = counts
-    kt, kf, kn = t_s[keep], f_s[keep], n_s[keep]
+    kg, kf, kn = g_s[keep], f_s[keep], n_s[keep]
     kstart = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    rank = np.arange(len(kt)) - np.repeat(kstart, counts)
-    base = flat_off[kt] + 1 + 2 * rank
+    rank = np.arange(len(kg)) - np.repeat(kstart, counts)
+    base = flat_off[kg] + 1 + 2 * rank
     flat[base] = kf
     flat[base + 1] = kn
     imp_stream, imp_goff = vbyte_encode_batched(flat, flat_lens)
 
-    for i, t in enumerate(sm_terms):
-        t = int(t)
-        out["doc_bytes"][t] = doc_stream[doc_goff[i]:doc_goff[i + 1]]
-        out["tf_bytes"][t] = tf_stream[tf_goff[i]:tf_goff[i + 1]]
-        out["block_last"][t] = last_bytes[i * 4:(i + 1) * 4]
-        out["impact_bytes"][t] = imp_stream[imp_goff[i]:imp_goff[i + 1]]
+    # ---- assembly: byte slicing only ----------------------------------
+    for t in range(T):
+        if nfull[t]:
+            b0, b1 = term_blk0[t], term_blk0[t + 1]
+            dblk = docblk_stream[docblk_off[b0]:docblk_off[b1]]
+            tblk = tfblk_stream[tfblk_off[b0]:tfblk_off[b1]]
+        else:
+            dblk = tblk = b""
+        out["doc_bytes"][t] = dblk + \
+            doc_tail_stream[doc_tail_off[t]:doc_tail_off[t + 1]]
+        out["tf_bytes"][t] = tblk + \
+            tf_tail_stream[tf_tail_off[t]:tf_tail_off[t + 1]]
+        out["block_last"][t] = last_bytes[term_lb0[t] * 4:term_lb0[t + 1] * 4]
+        lb0, lb1 = term_lb0[t], term_lb0[t + 1]
+        out["impact_bytes"][t] = imp_stream[imp_goff[lb0]:imp_goff[lb1]]
         if pos_goff is not None:
-            out["pos_bytes"][t] = pos_stream[pos_goff[i]:pos_goff[i + 1]]
+            out["pos_bytes"][t] = pos_stream[pos_goff[t]:pos_goff[t + 1]]
     return out
 
 
