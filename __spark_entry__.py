@@ -797,6 +797,17 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _q4(F.col("cos")).alias("cos_q4"))
 
 
+def _q_lmd_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Dirichlet similarity (μ=2000) term query — third Similarity
+    implementation, oracled bit-exactly (double math, one float32 cast,
+    clamp at 0; reference LMDirichletSimilarity.java:70-77)."""
+    from lucene_spark.functions.similarity import LMDirichletSimilarity
+    base = _searcher(spark, sf_dir)
+    s = Searcher(spark, base.index_dir,
+                 similarity=LMDirichletSimilarity())
+    return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
+
+
 def _q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AnalyzingSuggester role: weight-ordered prefix completion from the
     term dictionary (weight = df)."""
@@ -928,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field": _q_sort_by_field,
         "query_join": _q_join,
         # --- merge / incremental build inside the gate ---
+        "lmd_term_top10": _q_lmd_term,
         "suggest_prefix": _q_suggest_prefix,
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,
@@ -1144,6 +1156,24 @@ SELECT doc_id, md5(text) AS fp_exact,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
                            ' ')) AS fp_bag
 FROM documents""",
+        "lmd_term_top10": _PRELUDE + f""",
+lmsc AS (
+  SELECT f.doc_id,
+         CAST(greatest(
+           CAST(1 AS DOUBLE) *
+           (ln(1 + CAST(f.tf AS DOUBLE) *
+                   (CAST(1 AS DOUBLE) /
+                    (2000.0 * ((d.ttf + CAST(1 AS DOUBLE)) /
+                               (s.sttf + CAST(1 AS DOUBLE))))))
+            + ln(2000.0 / ((SELECT max(v) FROM lut WHERE v <= dl.dl)
+                           + 2000.0))),
+           0) AS FLOAT) AS s
+  FROM tf f
+  JOIN dfs d ON d.term = f.term
+  JOIN doclen dl ON dl.doc_id = f.doc_id
+  CROSS JOIN stats s
+  WHERE f.term = '{T_COMMON}'
+)""" + _topk_sql("lmsc", 10),
         "suggest_prefix": _PRELUDE + """
 SELECT term, CAST(df AS BIGINT) AS weight
 FROM dfs WHERE term LIKE 's%'

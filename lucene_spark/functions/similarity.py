@@ -29,9 +29,14 @@ from .smallfloat import LENGTH_TABLE
 class Similarity:
     name = "base"
     monotonic = True
+    #: score is weight-multiplicative (score(w1+w2) == score(w1)+score(w2)
+    #: for fixed tf/norm); phrase/synonym weights may be pre-summed.
+    weight_linear = True
+    #: weight() needs term ttf + collection sum_ttf (LM family).
+    needs_ttf = False
 
-    def weight(self, df: int, doc_count: int,
-               boost: float = 1.0) -> np.float32:  # pragma: no cover
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               ttf: int = 0, sum_ttf: int = 0):  # pragma: no cover
         raise NotImplementedError
 
     def norm_cache(self, avgdl: np.float32) -> np.ndarray:  # pragma: no cover
@@ -54,7 +59,8 @@ class BM25Similarity(Similarity):
         self.k1 = k1
         self.b = b
 
-    def weight(self, df: int, doc_count: int, boost: float = 1.0) -> np.float32:
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               ttf: int = 0, sum_ttf: int = 0) -> np.float32:
         return np.float32(np.float32(boost) * bm25.idf(df, doc_count))
 
     def norm_cache(self, avgdl: np.float32) -> np.ndarray:
@@ -81,7 +87,8 @@ class ClassicSimilarity(Similarity):
     name = "classic"
     monotonic = True
 
-    def weight(self, df: int, doc_count: int, boost: float = 1.0) -> np.float32:
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               ttf: int = 0, sum_ttf: int = 0) -> np.float32:
         idf = np.float32(1.0 + np.log(doc_count / (df + 1.0)))
         return np.float32(np.float32(boost) * np.float32(idf * idf))
 
@@ -97,4 +104,87 @@ class ClassicSimilarity(Similarity):
         return (weight * tf * inv).astype(np.float32)
 
 
-SIMILARITIES = {"bm25": BM25Similarity, "classic": ClassicSimilarity}
+class LMDirichletSimilarity(Similarity):
+    """Language model with Bayesian (Dirichlet-prior) smoothing
+    (reference ``similarities/LMDirichletSimilarity.java:70-77``, default
+    μ=2000 at ``:66-68``; collection model p(w|C) = (ttf+1)/(sumTtf+1),
+    ``LMSimilarity.java:144-147``):
+
+      score = boost · (ln(1 + tf/(μ·p)) + ln(μ/(dl + μ)))   (double math)
+      clamped at 0, cast to float32 at the end
+      (SimilarityBase.SimScorer casts once: ``SimilarityBase.java:223-225``)
+
+    dl is the SmallFloat-quantized field length decoded from the shared
+    norm byte (``SimilarityBase.java:174-180,218-220``). The per-term
+    weight carries (boost, 1/(μ·p)) as float64; the norm cache holds
+    ln(μ/(dl+μ)) per norm byte. Monotonic ↑tf and ↓dl → block-max safe.
+    """
+
+    name = "lm_dirichlet"
+    monotonic = True
+    weight_linear = False
+    needs_ttf = True
+
+    def __init__(self, mu: float = 2000.0):
+        if not (mu >= 0 and np.isfinite(mu)):
+            raise ValueError(f"illegal mu value: {mu}")
+        self.mu = float(mu)
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               ttf: int = 0, sum_ttf: int = 0) -> np.ndarray:
+        p = (ttf + 1.0) / (sum_ttf + 1.0)
+        return np.array([float(boost), 1.0 / (self.mu * p)],
+                        dtype=np.float64)
+
+    def norm_cache(self, avgdl: np.float32) -> np.ndarray:
+        return np.log(self.mu / (LENGTH_TABLE.astype(np.float64) + self.mu))
+
+    def score(self, tfs, norm_bytes, weight, cache) -> np.ndarray:
+        boost, inv_mu_p = float(weight[0]), float(weight[1])
+        dnorm = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        s = boost * (np.log(1.0 + np.asarray(tfs, np.float64) * inv_mu_p)
+                     + dnorm)
+        return np.maximum(s, 0.0).astype(np.float32)
+
+
+class LMJelinekMercerSimilarity(Similarity):
+    """Language model with Jelinek-Mercer smoothing (reference
+    ``similarities/LMJelinekMercerSimilarity.java:62-68``):
+
+      score = boost · ln(1 + ((1-λ)·tf/dl) / (λ·p))   (double, then float32)
+
+    Always positive. Weight carries (boost, (1-λ)/(λ·p)); the norm cache
+    holds the quantized dl per norm byte. Monotonic ↑tf, ↓dl.
+    """
+
+    name = "lm_jelinek_mercer"
+    monotonic = True
+    weight_linear = False
+    needs_ttf = True
+
+    def __init__(self, lam: float = 0.1):
+        if not (0 < lam <= 1):
+            raise ValueError("lambda must be in the range (0 .. 1]")
+        self.lam = float(lam)
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               ttf: int = 0, sum_ttf: int = 0) -> np.ndarray:
+        p = (ttf + 1.0) / (sum_ttf + 1.0)
+        return np.array([float(boost), (1.0 - self.lam) / (self.lam * p)],
+                        dtype=np.float64)
+
+    def norm_cache(self, avgdl: np.float32) -> np.ndarray:
+        return LENGTH_TABLE.astype(np.float64)
+
+    def score(self, tfs, norm_bytes, weight, cache) -> np.ndarray:
+        boost, factor = float(weight[0]), float(weight[1])
+        dl = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        with np.errstate(divide="ignore"):
+            s = boost * np.log(1.0 + np.asarray(tfs, np.float64)
+                               * factor / dl)
+        return s.astype(np.float32)
+
+
+SIMILARITIES = {"bm25": BM25Similarity, "classic": ClassicSimilarity,
+                "lm_dirichlet": LMDirichletSimilarity,
+                "lm_jelinek_mercer": LMJelinekMercerSimilarity}

@@ -1,0 +1,108 @@
+"""Delete-by-term with live-docs semantics.
+
+Reference: ``IndexWriter.deleteDocuments(Term)`` buffers term deletes
+(``index/BufferedUpdates.java``), which become a per-segment live-docs
+bitset (the ``.liv`` file); searches skip deleted docs at collection time
+while postings and collection statistics stay untouched until a merge
+physically purges them (``index/FreqProxTermsWriter.java:53-80`` applies
+deletes at flush; ``SegmentMerger`` drops them). We reproduce exactly
+that: ``delete_by_term`` writes a tombstone table + new snapshot, the
+Searcher masks tombstoned docs after scoring, stats remain stale until
+``merge_segments`` compacts them away.
+
+Tombstones live in one parquet file ``(seg_id int, local_doc_id int)``
+per snapshot generation, referenced from ``Snapshot.extra["deletes"]``
+(relative path — index dirs stay relocatable). At 100 TB the tombstone
+table stays tiny relative to the corpus (deletes ≤ 33% triggers merges in
+the reference's TieredMergePolicy); it ships to executors with the query.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+
+from ..functions.codec import decode_postings
+from ..sources.catalog import SnapshotCatalog
+
+
+def load_deletes(catalog: SnapshotCatalog, snap) -> dict[int, np.ndarray]:
+    """{seg_id: sorted unique local_doc_ids} for a snapshot ({} if none)."""
+    rel = (snap.extra or {}).get("deletes")
+    if not rel:
+        return {}
+    path = rel if os.path.isabs(rel) else os.path.join(catalog.root, rel)
+    pdf = pd.read_parquet(path)
+    return {int(s): np.unique(g["local_doc_id"].to_numpy(np.int64))
+            for s, g in pdf.groupby("seg_id")}
+
+
+def _write_deletes(catalog: SnapshotCatalog, snap,
+                   deletes: dict[int, np.ndarray]) -> "object":
+    """Write the tombstone parquet + commit a snapshot that carries it
+    (segments/stats unchanged — the delete is metadata-only, like a
+    ``segments_N`` generation that only swaps .liv files)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    del_dir = os.path.join(catalog.root, "deletes")
+    os.makedirs(del_dir, exist_ok=True)
+    fname = f"gen-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}.parquet"
+    segs = np.concatenate([np.full(len(v), s, dtype=np.int32)
+                           for s, v in sorted(deletes.items())]) \
+        if deletes else np.empty(0, np.int32)
+    locs = np.concatenate([v.astype(np.int32)
+                           for _, v in sorted(deletes.items())]) \
+        if deletes else np.empty(0, np.int32)
+    tmp = os.path.join(del_dir, f"_tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(pa.table({"seg_id": pa.array(segs, pa.int32()),
+                             "local_doc_id": pa.array(locs, pa.int32())}),
+                   tmp)
+    final = os.path.join(del_dir, fname)
+    os.rename(tmp, final)
+    extra = dict(snap.extra or {})
+    extra["deletes"] = os.path.relpath(final, catalog.root)
+    extra["num_deleted"] = int(len(locs))
+    return catalog.commit(snap.segments, snap.field_stats,
+                          snap.term_stats_path, extra=extra)
+
+
+def delete_by_term(spark, index_dir: str, term: str):
+    """Mark every document containing ``term`` as deleted; returns the new
+    Snapshot. One narrow job: the postings scan is filtered to the single
+    term (predicate pushdown — one row per segment), decoded driver-side.
+    """
+    from pyspark.sql import functions as F
+    catalog = SnapshotCatalog(index_dir)
+    snap = catalog.load()
+    if snap is None:
+        raise ValueError(f"no snapshot in {index_dir}")
+    paths = [os.path.join(catalog.segment_dir(s), "postings.parquet")
+             for s in snap.seg_ids]
+    rows = (spark.read.parquet(*paths)
+            .filter(F.col("term") == term).collect())
+    deletes = load_deletes(catalog, snap)
+    for r in rows:
+        dec = decode_postings(r.asDict())
+        prev = deletes.get(int(r["seg_id"]), np.empty(0, np.int64))
+        deletes[int(r["seg_id"])] = np.unique(
+            np.concatenate((prev, dec["doc_ids"])))
+    return _write_deletes(catalog, snap, deletes)
+
+
+def delete_by_ids(spark, index_dir: str,
+                  doc_ids: dict[int, np.ndarray]):
+    """Tombstone explicit (seg_id → local ids); returns the new Snapshot."""
+    catalog = SnapshotCatalog(index_dir)
+    snap = catalog.load()
+    if snap is None:
+        raise ValueError(f"no snapshot in {index_dir}")
+    deletes = load_deletes(catalog, snap)
+    for s, ids in doc_ids.items():
+        prev = deletes.get(int(s), np.empty(0, np.int64))
+        deletes[int(s)] = np.unique(
+            np.concatenate((prev, np.asarray(ids, np.int64))))
+    return _write_deletes(catalog, snap, deletes)

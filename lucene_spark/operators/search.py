@@ -109,19 +109,33 @@ class CConstTerms:
 
 
 def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
-                  sim: Similarity | None = None):
+                  sim: Similarity | None = None,
+                  term_ttfs: dict[str, int] | None = None,
+                  sum_ttf: int = 0):
     """Attach float32 weights using GLOBAL df/docCount. Terms absent from
     the index produce no scorer (Lucene skips them); an AND with a missing
     term matches nothing (returns None to signal that). ``sim`` selects
-    the scoring strategy (Similarity extension point); default BM25."""
+    the scoring strategy (Similarity extension point); default BM25.
+    ``term_ttfs``/``sum_ttf`` feed similarities with ``needs_ttf`` (the
+    LM family's collection model)."""
     sim = sim or BM25Similarity()
+    term_ttfs = term_ttfs or {}
 
     def df_of(t: str) -> int:
         return term_dfs.get(t, 0)
 
+    def ttf_of(t: str) -> int:
+        return term_ttfs.get(t, 0)
+
     def multi_weight(dfs_list) -> np.float32:
         # phrase weight: per-term float32 weights summed in float64, cast
-        # (generalizes BM25's idf_sum to any similarity)
+        # (generalizes BM25's idf_sum to any similarity). Only valid when
+        # score is weight-multiplicative.
+        if not sim.weight_linear:
+            raise NotImplementedError(
+                f"phrase scoring not supported for similarity {sim.name!r}"
+                " (non-weight-linear; the reference would use"
+                " MultiSimScorer sub-score summation)")
         total = np.float64(0.0)
         for df in dfs_list:
             total += np.float64(sim.weight(df, doc_count))
@@ -132,13 +146,18 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
             if df_of(node.term) == 0:
                 return None
             return CTerm(node.term,
-                         sim.weight(df_of(node.term), doc_count, node.boost))
+                         sim.weight(df_of(node.term), doc_count, node.boost,
+                                    ttf_of(node.term), sum_ttf))
         if isinstance(node, Q.Synonym):
             present = tuple(t for t in node.terms if df_of(t) > 0)
             if not present:
                 return None
+            # SynonymQuery pseudo-term stats: df = max, ttf = sum
+            # (reference SynonymQuery.java:196-216)
             pseudo_df = max(df_of(t) for t in present)
-            return CSynonym(present, sim.weight(pseudo_df, doc_count))
+            pseudo_ttf = sum(ttf_of(t) for t in present)
+            return CSynonym(present, sim.weight(pseudo_df, doc_count, 1.0,
+                                                pseudo_ttf, sum_ttf))
         if isinstance(node, Q.Phrase):
             if any(df_of(t) == 0 for t in node.terms):
                 return None
@@ -326,11 +345,18 @@ class TermSegPostings:
 
 class _SegContext:
     def __init__(self, postings_rows: dict[str, dict], norm_bytes: np.ndarray,
-                 cache: np.ndarray, sim: Similarity | None = None):
+                 cache: np.ndarray, sim: Similarity | None = None,
+                 live: np.ndarray | None = None):
         self.rows = postings_rows
         self.norms = norm_bytes
         self.cache = cache
         self.sim = sim or BM25Similarity()
+        #: liveDocs bitset (None = no deletes). Applied at COLLECTION time
+        #: like the reference (IndexSearcher passes reader.getLiveDocs()
+        #: to BulkScorer.score) — postings still iterate deleted docs, so
+        #: MUST_NOT exclusion via a deleted doc's postings still works and
+        #: stats stay stale until merge purges.
+        self.live = live
         self._tps: dict[str, TermSegPostings] = {}
 
     def tp(self, term: str) -> TermSegPostings | None:
@@ -582,6 +608,8 @@ def score_segment(compiled, postings_rows: dict[str, dict],
 
     if not use_bmw or not _bmw_eligible(compiled):
         mask, scores = _eval_range(compiled, ctx, 0, n)
+        if ctx.live is not None:
+            mask &= ctx.live
         hits = int(mask.sum())
         lids = np.nonzero(mask)[0]
         s32 = scores[lids].astype(np.float32)
@@ -607,6 +635,8 @@ def score_segment(compiled, postings_rows: dict[str, dict],
         lo = int(w) * WINDOW
         hi = min(lo + WINDOW, n)
         mask, scores = _eval_range(compiled, ctx, lo, hi)
+        if ctx.live is not None:
+            mask &= ctx.live[lo:hi]
         if not mask.any():
             continue
         hits += int(mask.sum())
@@ -678,6 +708,18 @@ class Searcher:
                 .select("term", "df").collect())
         return {r["term"]: int(r["df"]) for r in rows}
 
+    def _global_stats(self, terms: list[str]) \
+            -> tuple[dict[str, int], dict[str, int]]:
+        """(dfs, ttfs) per term in one dictionary probe (TermStates.build
+        role: global stats before scoring)."""
+        if not terms:
+            return {}, {}
+        from pyspark.sql import functions as F
+        rows = (self.term_stats.filter(F.col("term").isin(terms))
+                .select("term", "df", "ttf").collect())
+        return ({r["term"]: int(r["df"]) for r in rows},
+                {r["term"]: int(r["ttf"]) for r in rows})
+
     def _resolve(self, q):
         """Expand MultiTerm nodes against the term dictionary (the
         reference's rewrite(reader) step for MultiTermQuery:
@@ -718,8 +760,9 @@ class Searcher:
             query = parse_query(query)
         query = Q.rewrite_fixed_point(query)
         query = self._resolve(query)
-        dfs = self._global_dfs(query.all_terms())
-        compiled = compile_query(query, dfs, self.doc_count, self.similarity)
+        dfs, ttfs = self._global_stats(query.all_terms())
+        compiled = compile_query(query, dfs, self.doc_count, self.similarity,
+                                 ttfs, self.sum_ttf)
         avgdl = bm25.avg_field_length(self.sum_ttf, self.doc_count)
         cache = self.similarity.norm_cache(avgdl)
         return compiled, cache
@@ -963,7 +1006,9 @@ class Searcher:
                     "description": f"score(term='{node.term}'), computed as "
                                    "weight - weight/(1 + freq*cache[norm])",
                     "details": {
-                        "weight(=boost*idf)": float(node.weight),
+                        "weight(=boost*idf)": (
+                            float(node.weight) if np.ndim(node.weight) == 0
+                            else [float(x) for x in node.weight]),
                         "df": dfs.get(node.term, 0),
                         "docCount": self.doc_count,
                         "freq": tf,

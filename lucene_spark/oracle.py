@@ -82,7 +82,8 @@ class OracleIndex:
                      boost: float = 1.0, sim=None) -> dict[int, np.float32]:
         cache = self._cache(k1, b, sim)
         if sim is not None:
-            w = sim.weight(self.df(term), self.doc_count, boost)
+            w = sim.weight(self.df(term), self.doc_count, boost,
+                           self.ttf(term), self.sum_ttf)
             return {doc_id: np.float32(
                         sim.score(np.array([tf]),
                                   np.array([self.norm_bytes[doc_id]]),
@@ -96,19 +97,29 @@ class OracleIndex:
             out[doc_id] = np.float32(w - w / (one + np.float32(tf) * inv))
         return out
 
-    def _synonym_scores(self, terms: list[str], k1: float, b: float) -> dict[int, np.float32]:
-        """SynonymQuery: one pseudo-term with df = max(df_i), freq = sum of
-        per-doc freqs, idf of the pseudo-df (reference SynonymQuery.java:
-        196-216 uses max docFreq; scorer sums freqs per doc)."""
+    def _synonym_scores(self, terms: list[str], k1: float, b: float,
+                        sim=None) -> dict[int, np.float32]:
+        """SynonymQuery: one pseudo-term with df = max(df_i), ttf = sum,
+        freq = sum of per-doc freqs (reference SynonymQuery.java:196-216
+        uses max docFreq; scorer sums freqs per doc)."""
         pseudo_df = max((self.df(t) for t in terms), default=0)
         if pseudo_df == 0:
             return {}
-        cache = self._cache(k1, b)
-        w = idf(pseudo_df, self.doc_count)
         freqs: dict[int, int] = {}
         for t in terms:
             for doc_id, tf, _ in self.postings.get(t, ()):
                 freqs[doc_id] = freqs.get(doc_id, 0) + tf
+        cache = self._cache(k1, b, sim)
+        if sim is not None:
+            pseudo_ttf = sum(self.ttf(t) for t in terms)
+            w = sim.weight(pseudo_df, self.doc_count, 1.0,
+                           pseudo_ttf, self.sum_ttf)
+            return {d: np.float32(
+                        sim.score(np.array([f]),
+                                  np.array([self.norm_bytes[d]]),
+                                  w, cache)[0])
+                    for d, f in freqs.items()}
+        w = idf(pseudo_df, self.doc_count)
         one = np.float32(1.0)
         return {d: np.float32(w - w / (one + np.float32(f) * cache[self.norm_bytes[d]]))
                 for d, f in freqs.items()}
@@ -170,7 +181,7 @@ class OracleIndex:
         if isinstance(query, Term):
             return self._term_scores(query.term, k1, b, query.boost, sim)
         if isinstance(query, Synonym):
-            return self._synonym_scores(list(query.terms), k1, b)
+            return self._synonym_scores(list(query.terms), k1, b, sim)
         if isinstance(query, Phrase):
             if query.slop > 0:
                 return self._sloppy_phrase_scores(list(query.terms),

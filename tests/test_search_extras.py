@@ -206,3 +206,32 @@ def test_classic_similarity_parity(spark, searcher, oracle):
     cl = {r["doc_id"] for r in s2.search(Q.Term("parse"), k=10).collect()}
     assert bm  # both non-empty; orders may coincide on tiny corpora
     assert cl
+
+
+@pytest.mark.parametrize("simname", ["lm_dirichlet", "lm_jelinek_mercer"])
+def test_lm_similarity_parity(spark, searcher, oracle, simname):
+    """LM Dirichlet / Jelinek-Mercer: rank- and score-identical between
+    engine (both scoring modes) and oracle for term/boolean/synonym
+    queries; scores are float32 casts of the reference's double math."""
+    from lucene_spark.functions.similarity import SIMILARITIES
+    sim = SIMILARITIES[simname]()
+    s2 = Searcher(spark, searcher.index_dir, similarity=sim)
+    for q in (Q.Term("parse"), Q.Term("scan", boost=2.0),
+              Q.Or((Q.Term("parse"), Q.Term("scan"))),
+              Q.And((Q.Term("codec"), Q.Term("util"))),
+              Q.Synonym(("parse", "scan"))):
+        want = oracle.top_k(q, k=10, sim=sim)
+        for mode in ("exhaustive", "auto"):
+            got = [(r["doc_id"], r["score"])
+                   for r in s2.search(q, k=10, mode=mode).collect()]
+            assert [g[0] for g in got] == [w[0] for w in want], (q, mode)
+            assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                               rtol=0, atol=0), (q, mode)
+
+
+def test_lm_phrase_raises(spark, searcher):
+    from lucene_spark.functions.similarity import LMDirichletSimilarity
+    s2 = Searcher(spark, searcher.index_dir,
+                  similarity=LMDirichletSimilarity())
+    with pytest.raises(NotImplementedError):
+        s2.search(Q.Phrase(("parse", "scan")), k=5)
