@@ -797,6 +797,36 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _q4(F.col("cos")).alias("cos_q4"))
 
 
+_DELETED: dict[str, str] = {}
+
+
+def _searcher_deleted(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Copy of the index with delete_by_term('slow') applied (liveDocs:
+    tombstones mask results, stats stay stale until merge)."""
+    import shutil
+
+    from lucene_spark.operators.delete import delete_by_term
+    key = os.path.abspath(sf_dir)
+    if key not in _DELETED:
+        base = _searcher(spark, sf_dir)
+        tag = hashlib.md5(f"{_INDEX_VERSION}-del:{key}".encode()) \
+            .hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_del_{tag}")
+        if not os.path.isdir(idx):
+            shutil.copytree(base.index_dir, idx)
+            delete_by_term(spark, idx, "slow")
+        _DELETED[key] = idx
+    return Searcher(spark, _DELETED[key])
+
+
+def _q_deleted_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search after delete_by_term('slow'): deleted docs masked, surviving
+    scores unchanged (stale global stats — reference NRT-delete
+    semantics, BufferedUpdates → .liv)."""
+    s = _searcher_deleted(spark, sf_dir)
+    return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
+
+
 def _q_lmd_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM Dirichlet similarity (μ=2000) term query — third Similarity
     implementation, oracled bit-exactly (double math, one float32 cast,
@@ -940,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_join": _q_join,
         # --- merge / incremental build inside the gate ---
         "lmd_term_top10": _q_lmd_term,
+        "bm25_deleted_top10": _q_deleted_top10,
         "suggest_prefix": _q_suggest_prefix,
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,
@@ -1156,6 +1187,13 @@ SELECT doc_id, md5(text) AS fp_exact,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
                            ' ')) AS fp_bag
 FROM documents""",
+        "bm25_deleted_top10": _PRELUDE + ", "
+        + _tscore_cte("ts", T_COMMON) + """,
+livesc AS (
+  SELECT t.doc_id, t.s FROM ts t
+  WHERE t.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok
+                         WHERE term = 'slow')
+)""" + _topk_sql("livesc", 10),
         "lmd_term_top10": _PRELUDE + f""",
 lmsc AS (
   SELECT f.doc_id,

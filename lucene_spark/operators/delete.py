@@ -40,17 +40,14 @@ def load_deletes(catalog: SnapshotCatalog, snap) -> dict[int, np.ndarray]:
             for s, g in pdf.groupby("seg_id")}
 
 
-def _write_deletes(catalog: SnapshotCatalog, snap,
-                   deletes: dict[int, np.ndarray]) -> "object":
-    """Write the tombstone parquet + commit a snapshot that carries it
-    (segments/stats unchanged — the delete is metadata-only, like a
-    ``segments_N`` generation that only swaps .liv files)."""
+def write_tombstone_file(catalog: SnapshotCatalog, gen: int,
+                         deletes: dict[int, np.ndarray]) -> tuple[str, int]:
+    """Atomically write the tombstone parquet; returns (relpath, count)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     del_dir = os.path.join(catalog.root, "deletes")
     os.makedirs(del_dir, exist_ok=True)
-    fname = f"gen-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}.parquet"
     segs = np.concatenate([np.full(len(v), s, dtype=np.int32)
                            for s, v in sorted(deletes.items())]) \
         if deletes else np.empty(0, np.int32)
@@ -61,11 +58,21 @@ def _write_deletes(catalog: SnapshotCatalog, snap,
     pq.write_table(pa.table({"seg_id": pa.array(segs, pa.int32()),
                              "local_doc_id": pa.array(locs, pa.int32())}),
                    tmp)
-    final = os.path.join(del_dir, fname)
+    final = os.path.join(del_dir,
+                         f"gen-{gen}-{uuid.uuid4().hex[:8]}.parquet")
     os.rename(tmp, final)
+    return os.path.relpath(final, catalog.root), int(len(locs))
+
+
+def _write_deletes(catalog: SnapshotCatalog, snap,
+                   deletes: dict[int, np.ndarray]) -> "object":
+    """Write the tombstone parquet + commit a snapshot that carries it
+    (segments/stats unchanged — the delete is metadata-only, like a
+    ``segments_N`` generation that only swaps .liv files)."""
+    rel, count = write_tombstone_file(catalog, snap.snapshot_id + 1, deletes)
     extra = dict(snap.extra or {})
-    extra["deletes"] = os.path.relpath(final, catalog.root)
-    extra["num_deleted"] = int(len(locs))
+    extra["deletes"] = rel
+    extra["num_deleted"] = count
     return catalog.commit(snap.segments, snap.field_stats,
                           snap.term_stats_path, extra=extra)
 

@@ -71,23 +71,45 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
         new_seg_id = max(snap.seg_ids) + 1
     store_positions = bool(snap.extra.get("store_positions", True))
 
+    # live docs: merges physically purge tombstoned docs (SegmentMerger
+    # drops deletes; docIDs compact per segment before docBase concat)
+    from .delete import load_deletes
+    all_deletes = load_deletes(catalog, snap)
+    seg_deletes = {s: all_deletes[s] for s in seg_ids
+                   if s in all_deletes and len(all_deletes[s])}
+
     # docBase remap (DocIDMerger): concatenate in ascending seg_id order
     norms_pdfs = [pd.read_parquet(os.path.join(catalog.segment_dir(s), "norms.parquet"))
                   for s in seg_ids]
     doc_bases: dict[int, int] = {}
     base = 0
     norm_parts, gid_parts = [], []
+    remaps: dict[int, np.ndarray] = {}   # old local id -> compacted (-1 = deleted)
+    n_deleted_merged = 0
     for s, npdf in zip(seg_ids, norms_pdfs):
+        num = int(npdf.iloc[0]["num_docs"])
+        live = np.ones(num, dtype=bool)
+        if s in seg_deletes:
+            live[seg_deletes[s][seg_deletes[s] < num]] = False
+        cnt = int(live.sum())
+        n_deleted_merged += num - cnt
+        remap = np.full(num, -1, dtype=np.int64)
+        remap[np.nonzero(live)[0]] = np.arange(cnt, dtype=np.int64)
+        remaps[s] = remap
         doc_bases[s] = base
-        base += int(npdf.iloc[0]["num_docs"])
-        norm_parts.append(np.frombuffer(npdf.iloc[0]["norm_bytes"], dtype=np.uint8))
-        gid_parts.append(np.frombuffer(npdf.iloc[0]["global_doc_ids"], dtype="<i8"))
+        base += cnt
+        norm_parts.append(
+            np.frombuffer(npdf.iloc[0]["norm_bytes"], dtype=np.uint8)[live])
+        gid_parts.append(
+            np.frombuffer(npdf.iloc[0]["global_doc_ids"], dtype="<i8")[live])
     merged_norms = np.concatenate(norm_parts) if norm_parts else np.empty(0, np.uint8)
     merged_gids = np.concatenate(gid_parts) if gid_parts else np.empty(0, "<i8")
     n_docs = len(merged_norms)
 
     bc_norms = spark.sparkContext.broadcast(merged_norms.tobytes())
     bases = dict(doc_bases)
+    has_deletes = bool(seg_deletes)
+    bc_remaps = spark.sparkContext.broadcast(remaps) if has_deletes else None
 
     def reencode_partition(batches):
         """One call per term-hash partition: decode every (term, segment)
@@ -101,29 +123,49 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
             return
         pdf = pdf.sort_values(["term", "seg_id"], kind="mergesort")
         norms = np.frombuffer(bc_norms.value, dtype=np.uint8)
+        rmaps = bc_remaps.value if bc_remaps is not None else None
         ids_parts, tf_parts, pos_parts = [], [], []
+        row_lens = np.empty(len(pdf), dtype=np.int64)
         term_of_row = pdf["term"].to_numpy()
-        dfs_of_row = pdf["df"].to_numpy()
-        for row in pdf.itertuples(index=False):
+        for i, row in enumerate(pdf.itertuples(index=False)):
             dec = decode_postings(row._asdict(),
                                   with_positions=store_positions)
-            ids_parts.append(dec["doc_ids"] + bases[int(row.seg_id)])
-            tf_parts.append(dec["tfs"])
+            ids, tfs = dec["doc_ids"], dec["tfs"]
+            pos = dec.get("positions", np.empty(0, np.int64)) \
+                if store_positions else None
+            if rmaps is not None:
+                newids = rmaps[int(row.seg_id)][ids]
+                keep = newids >= 0
+                if not keep.all():
+                    if store_positions:
+                        pos = pos[np.repeat(keep, tfs)]
+                    ids, tfs = newids[keep], tfs[keep]
+                else:
+                    ids = newids
+            ids_parts.append(ids + bases[int(row.seg_id)])
+            tf_parts.append(tfs)
+            row_lens[i] = len(ids)
             if store_positions:
-                pos_parts.append(dec.get("positions", np.empty(0, np.int64)))
+                pos_parts.append(pos)
         ids = np.concatenate(ids_parts)
         tfs = np.concatenate(tf_parts)
         pos = np.concatenate(pos_parts) if store_positions else None
-        # term boundaries in posting space
+        # term boundaries in posting space (post-purge lengths; terms whose
+        # every posting was deleted are dropped entirely)
         new_term = np.empty(len(pdf), dtype=bool)
         new_term[0] = True
         new_term[1:] = term_of_row[1:] != term_of_row[:-1]
-        row_off = np.concatenate(([0], np.cumsum(dfs_of_row)))
+        term_ids = np.cumsum(new_term) - 1
+        term_tot = np.bincount(term_ids, weights=row_lens).astype(np.int64)
         term_row_starts = np.nonzero(new_term)[0]
-        term_off = np.concatenate((row_off[term_row_starts], [len(ids)]))
+        alive = term_tot > 0
+        term_off = np.concatenate(([0], np.cumsum(term_tot[alive])))
+        if len(ids) == 0:
+            yield pd.DataFrame(columns=POSTINGS_COLUMNS)
+            return
         enc = encode_postings_batch(ids, tfs, pos, norms, term_off)
         yield pd.DataFrame({
-            "term": term_of_row[term_row_starts],
+            "term": term_of_row[term_row_starts][alive],
             "seg_id": np.int32(new_seg_id),
             "df": enc["df"].astype(np.int64),
             "ttf": enc["ttf"].astype(np.int64),
@@ -146,15 +188,32 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     os.makedirs(tmp, exist_ok=True)
     merged_postings.write.mode("overwrite").parquet(os.path.join(tmp, "postings.parquet"))
 
-    # doc_meta: remap seg_id/local_doc_id
+    # doc_meta: remap seg_id/local_doc_id (deleted docs dropped via the
+    # inner join on the live remap table when tombstones exist)
     metas = spark.read.parquet(
         *[os.path.join(catalog.segment_dir(s), "doc_meta.parquet") for s in seg_ids])
-    base_map = F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
-    remapped = (metas
-                .withColumn("local_doc_id",
-                            (base_map[F.col("seg_id")] + F.col("local_doc_id"))
-                            .cast("int"))
-                .withColumn("seg_id", F.lit(new_seg_id).cast("int")))
+    if has_deletes:
+        rparts = []
+        for s in seg_ids:
+            remap = remaps[s]
+            old = np.nonzero(remap >= 0)[0]
+            rparts.append(pd.DataFrame({
+                "seg_id": np.int32(s),
+                "local_doc_id": old.astype(np.int32),
+                "_new_id": (remap[old] + bases[s]).astype(np.int32)}))
+        remap_df = spark.createDataFrame(pd.concat(rparts, ignore_index=True))
+        remapped = (metas.join(F.broadcast(remap_df),
+                               on=["seg_id", "local_doc_id"], how="inner")
+                    .withColumn("local_doc_id", F.col("_new_id"))
+                    .drop("_new_id")
+                    .withColumn("seg_id", F.lit(new_seg_id).cast("int")))
+    else:
+        base_map = F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
+        remapped = (metas
+                    .withColumn("local_doc_id",
+                                (base_map[F.col("seg_id")] + F.col("local_doc_id"))
+                                .cast("int"))
+                    .withColumn("seg_id", F.lit(new_seg_id).cast("int")))
     remapped.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "doc_meta.parquet"))
 
     norms_tbl = pa.table({
@@ -171,12 +230,20 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
                    + F.octet_length("pos_bytes") + F.octet_length("block_last")
                    + F.octet_length("impact_bytes")).alias("bytes")).collect()[0]
     old = {s["seg_id"]: s for s in snap.segments}
+    old_sum_doc_len = int(sum(old[s]["sum_doc_len"] for s in seg_ids))
+    if has_deletes:
+        # exact post-purge length sum from the surviving doc_meta rows
+        new_sum_doc_len = int(
+            spark.read.parquet(os.path.join(tmp, "doc_meta.parquet"))
+            .agg(F.sum("doc_len")).collect()[0][0] or 0)
+    else:
+        new_sum_doc_len = old_sum_doc_len
     stats = {
         "seg_id": int(new_seg_id),
         "num_docs": int(n_docs),
         "num_terms": int(stats_pdf["num_terms"] or 0),
         "num_postings": int(stats_pdf["num_postings"] or 0),
-        "sum_doc_len": int(sum(old[s]["sum_doc_len"] for s in seg_ids)),
+        "sum_doc_len": new_sum_doc_len,
         "bytes_compressed": int(stats_pdf["bytes"] or 0),
         "build_partition": -1,
         "origin": "merge",
@@ -199,8 +266,28 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     ts_path = compute_term_stats(
         spark, catalog, [s["seg_id"] for s in new_segments],
         os.path.join(index_dir, "term_stats", f"gen-{next_id}"))
-    return catalog.commit(new_segments, snap.field_stats, ts_path,
-                          extra=snap.extra)
+    # purged deletes leave the tombstone set and the collection stats
+    # (Lucene recomputes docCount/sumTotalTermFreq once merges drop docs)
+    field_stats = dict(snap.field_stats)
+    extra = dict(snap.extra or {})
+    if has_deletes:
+        field_stats["doc_count"] = \
+            int(field_stats["doc_count"]) - n_deleted_merged
+        field_stats["sum_total_term_freq"] = (
+            int(field_stats["sum_total_term_freq"])
+            - (old_sum_doc_len - new_sum_doc_len))
+    remaining = {s: v for s, v in all_deletes.items()
+                 if s not in set(seg_ids) and len(v)}
+    if all_deletes:
+        if remaining:
+            from .delete import write_tombstone_file
+            rel, count = write_tombstone_file(catalog, next_id, remaining)
+            extra["deletes"] = rel
+            extra["num_deleted"] = count
+        else:
+            extra.pop("deletes", None)
+            extra["num_deleted"] = 0
+    return catalog.commit(new_segments, field_stats, ts_path, extra=extra)
 
 
 def maintain(spark, index_dir: str, segs_per_tier: int = 10,

@@ -570,6 +570,19 @@ def _upper_bounds(node, ctx: _SegContext, n_windows: int, n_docs: int) -> np.nda
     raise TypeError(type(node))
 
 
+def _live_mask(deletes: dict[int, np.ndarray] | None, seg_id: int,
+               n: int) -> np.ndarray | None:
+    """bool[n] liveDocs for one segment (None when nothing is deleted)."""
+    if not deletes:
+        return None
+    d = deletes.get(seg_id)
+    if d is None or len(d) == 0:
+        return None
+    live = np.ones(n, dtype=bool)
+    live[d[d < n]] = False
+    return live
+
+
 def _topk_merge(gids: np.ndarray, scores32: np.ndarray, k: int):
     """k best by (score desc, global doc_id asc)."""
     if len(gids) <= k:
@@ -698,6 +711,10 @@ class Searcher:
                            if snap.term_stats_path else None)
         self.doc_count = int(snap.field_stats["doc_count"])
         self.sum_ttf = int(snap.field_stats["sum_total_term_freq"])
+        # liveDocs: tombstones mask results at collection time; stats stay
+        # stale until merge, like the reference (.liv semantics)
+        from .delete import load_deletes
+        self.deletes = load_deletes(self.catalog, snap)
 
     # -- stats -------------------------------------------------------------
     def _global_dfs(self, terms: list[str]) -> dict[str, int]:
@@ -778,6 +795,7 @@ class Searcher:
 
         compiled, cache = self._compile(query)
         sim = self.similarity
+        deletes = self.deletes
         spark = self.spark
         out_schema = "seg_id int, doc_id long, score float, seg_hits long"
         if compiled is None:
@@ -795,7 +813,9 @@ class Searcher:
             norm_bytes = np.frombuffer(nrow["norm_bytes"], dtype=np.uint8)
             gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
             rows = {r["term"]: r for _, r in postings_pdf.iterrows()}
-            ctx = _SegContext(rows, norm_bytes, cache, sim)
+            ctx = _SegContext(rows, norm_bytes, cache, sim,
+                              live=_live_mask(deletes, seg_id,
+                                              len(norm_bytes)))
             g, s, hits = score_segment(compiled, rows, norm_bytes, gids,
                                        cache, k, mode, after, ctx=ctx)
             return pd.DataFrame({"seg_id": np.int32(seg_id), "doc_id": g,
@@ -860,6 +880,7 @@ class Searcher:
 
         compiled, cache = self._compile(query)
         sim = self.similarity
+        deletes = self.deletes
         out_schema = "doc_id long, score float"
         if compiled is None:
             return self.spark.createDataFrame([], out_schema)
@@ -874,8 +895,12 @@ class Searcher:
             norm_bytes = np.frombuffer(nrow["norm_bytes"], dtype=np.uint8)
             gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
             rows = {r["term"]: r for _, r in postings_pdf.iterrows()}
-            ctx = _SegContext(rows, norm_bytes, cache, sim)
+            ctx = _SegContext(rows, norm_bytes, cache, sim,
+                              live=_live_mask(deletes, int(key[0]),
+                                              len(norm_bytes)))
             mask, scores = _eval_range(compiled, ctx, 0, len(norm_bytes))
+            if ctx.live is not None:
+                mask &= ctx.live
             lids = np.nonzero(mask)[0]
             return pd.DataFrame({"doc_id": gids[lids],
                                  "score": scores[lids].astype(np.float32)})
@@ -911,11 +936,13 @@ class Searcher:
             resolved[qid] = self._resolve(Q.rewrite_fixed_point(q))
         union_terms = sorted({t for q in resolved.values()
                               for t in q.all_terms()})
-        dfs = self._global_dfs(union_terms)
+        dfs, ttfs = self._global_stats(union_terms)
         avgdl = bm25.avg_field_length(self.sum_ttf, self.doc_count)
         sim = self.similarity
+        deletes = self.deletes
         cache = sim.norm_cache(avgdl)
-        compiled = {qid: compile_query(q, dfs, self.doc_count, sim)
+        compiled = {qid: compile_query(q, dfs, self.doc_count, sim,
+                                       ttfs, self.sum_ttf)
                     for qid, q in resolved.items()}
         compiled = {qid: c for qid, c in compiled.items() if c is not None}
         out_schema = "query_id string, doc_id long, score float"
@@ -934,7 +961,9 @@ class Searcher:
             norm_bytes = np.frombuffer(nrow["norm_bytes"], dtype=np.uint8)
             gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
             rows = {r["term"]: r for _, r in postings_pdf.iterrows()}
-            ctx = _SegContext(rows, norm_bytes, cache, sim)  # shared decode
+            ctx = _SegContext(rows, norm_bytes, cache, sim,  # shared decode
+                              live=_live_mask(deletes, int(key[0]),
+                                              len(norm_bytes)))
             parts = []
             for qid, comp in compiled.items():
                 g, s, _ = score_segment(comp, rows, norm_bytes, gids,
@@ -1053,6 +1082,7 @@ class Searcher:
         from pyspark.sql import functions as F
         compiled, cache = self._compile(query)
         sim = self.similarity
+        deletes = self.deletes
         if compiled is None:
             return 0
         terms = sorted(set(_compiled_terms(compiled)))
@@ -1065,7 +1095,9 @@ class Searcher:
             norm_bytes = np.frombuffer(nrow["norm_bytes"], dtype=np.uint8)
             gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
             rows = {r["term"]: r for _, r in postings_pdf.iterrows()}
-            ctx = _SegContext(rows, norm_bytes, cache, sim)
+            ctx = _SegContext(rows, norm_bytes, cache, sim,
+                              live=_live_mask(deletes, int(key[0]),
+                                              len(norm_bytes)))
             _, _, hits = score_segment(compiled, rows, norm_bytes, gids,
                                        cache, 1, "exhaustive", ctx=ctx)
             return pd.DataFrame({"hits": [hits]})
