@@ -56,13 +56,22 @@ __all__ = [
 
 def analyze_text(text: str,
                  stopwords: frozenset[str] = frozenset(),
-                 max_token_length: int = MAX_TOKEN_LENGTH):
+                 max_token_length: int = MAX_TOKEN_LENGTH,
+                 stemmer: str | None = None):
     """Single-string analyzer (test/oracle path).
 
     Returns (terms, positions, length): surviving lowercase terms, their
     token positions (with gaps where stopwords / overlong tokens were), and
     the field length (count of surviving tokens = what the norm encodes).
+
+    ``stemmer='porter'`` selects the EnglishAnalyzer chain (reference
+    ``en/EnglishAnalyzer.java``): possessive strip before the stop filter,
+    Porter stem after it.
     """
+    if stemmer not in (None, "porter"):
+        raise ValueError(f"unknown stemmer {stemmer!r}")
+    if stemmer:
+        from .stem import porter_stem, strip_possessive
     terms: list[str] = []
     positions: list[int] = []
     pos = -1
@@ -71,16 +80,19 @@ def analyze_text(text: str,
         if len(raw) > max_token_length:
             continue  # skipped but counted (StandardTokenizer:156-166)
         low = raw.lower()
+        if stemmer:
+            low = strip_possessive(low)
         if low in stopwords:
             continue  # dropped, gap kept (StopFilter)
-        terms.append(low)
+        terms.append(porter_stem(low) if stemmer else low)
         positions.append(pos)
     return terms, positions, len(terms)
 
 
 def analyze_batch(texts: pd.Series,
                   stopwords: frozenset[str] = frozenset(),
-                  max_token_length: int = MAX_TOKEN_LENGTH):
+                  max_token_length: int = MAX_TOKEN_LENGTH,
+                  stemmer: str | None = None):
     """Columnar analyzer for a batch of documents.
 
     Returns (doc_idx, terms, positions, lengths):
@@ -124,7 +136,21 @@ def analyze_batch(texts: pd.Series,
                        count=total) <= max_token_length
     if not ascii_fast:
         flat = pd.Series(flat).str.lower().to_numpy()
-    if stopwords:
+    if stemmer == "porter":
+        # EnglishAnalyzer chain at VOCABULARY level: possessive strip →
+        # stop filter → Porter stem, each computed once per unique token
+        # and mapped back through the factorize codes.
+        from .stem import porter_stem, strip_possessive
+        codes, uniq = pd.factorize(flat)
+        uniq_p = [strip_possessive(u) for u in uniq]
+        if stopwords:
+            stop_u = np.array([u in stopwords for u in uniq_p])
+            keep &= ~stop_u[codes]
+        stem_u = np.array([porter_stem(u) for u in uniq_p], dtype=object)
+        flat = stem_u[codes]
+    elif stemmer is not None:
+        raise ValueError(f"unknown stemmer {stemmer!r}")
+    elif stopwords:
         keep &= ~pd.Series(flat).isin(stopwords).to_numpy()
     terms = flat[keep]
     doc_idx_k = doc_idx[keep]

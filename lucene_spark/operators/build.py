@@ -52,7 +52,8 @@ POSTINGS_COLUMNS = ["term", "seg_id", "df", "ttf", "doc_bytes", "tf_bytes",
 
 def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    doc_id_col: str, stopwords: frozenset,
-                   store_positions: bool) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
+                   store_positions: bool,
+                   stemmer: str | None = None) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
     """Pure kernel: docs of one segment → (postings, doc_meta, norms_payload).
 
     Local docIDs are assigned by ascending ``doc_id`` within the segment
@@ -62,7 +63,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
     pdf = pdf.sort_values(doc_id_col, kind="mergesort").reset_index(drop=True)
     texts = pdf[content_col].astype("string").fillna("")
     doc_idx, terms, positions, lengths = analyze_batch(pd.Series(texts.to_numpy(dtype=object)),
-                                                       stopwords=stopwords)
+                                                       stopwords=stopwords,
+                                                       stemmer=stemmer)
     norm_bytes = int_to_byte4(lengths)
     n_docs = len(pdf)
 
@@ -184,14 +186,16 @@ def _write_segment(catalog_root: str, seg_id: int, postings: pd.DataFrame,
 
 
 def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
-                  stopwords: frozenset, store_positions: bool):
+                  stopwords: frozenset, store_positions: bool,
+                  stemmer: str | None = None):
     def build_one_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from pyspark import TaskContext
         seg_id = int(key[0])
         tc = TaskContext.get()
         part = tc.partitionId() if tc else -1
         postings, doc_meta, norms_payload = invert_segment(
-            pdf, seg_id, content_col, doc_id_col, stopwords, store_positions)
+            pdf, seg_id, content_col, doc_id_col, stopwords, store_positions,
+            stemmer)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part)
         return pd.DataFrame([{
@@ -230,6 +234,7 @@ def build_index(spark, df, index_dir: str, *,
                 content_col: str = "content",
                 doc_id_col: str = "doc_id",
                 stopwords: frozenset = frozenset(),
+                stemmer: str | None = None,
                 store_positions: bool = True,
                 resume: bool = True,
                 compute_stats: bool = True,
@@ -256,7 +261,7 @@ def build_index(spark, df, index_dir: str, *,
         work = work.filter(~F.col(SEG_COL).isin(list(durable.keys())))
 
     builder = _make_builder(index_dir, content_col, doc_id_col,
-                            frozenset(stopwords), store_positions)
+                            frozenset(stopwords), store_positions, stemmer)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)

@@ -49,11 +49,13 @@ class OracleIndex:
 
     @classmethod
     def build(cls, docs: list[tuple[int, str]],
-              stopwords: frozenset[str] = frozenset()) -> "OracleIndex":
+              stopwords: frozenset[str] = frozenset(),
+              stemmer: str | None = None) -> "OracleIndex":
         """docs: list of (doc_id, content) — doc_id is the global tie-break id."""
         idx = cls()
         for doc_id, content in sorted(docs):
-            terms, positions, length = analyze_text(content, stopwords=stopwords)
+            terms, positions, length = analyze_text(content, stopwords=stopwords,
+                                                    stemmer=stemmer)
             per_term: dict[str, list[int]] = {}
             for t, p in zip(terms, positions):
                 per_term.setdefault(t, []).append(p)
