@@ -13,6 +13,7 @@ Subcommands:
   search  run a classic-syntax query against a committed snapshot
   merge   run tiered merge maintenance to the target tier
   stats   recompute global term stats via the salted token-level job
+  delete  tombstone every doc containing a term (liveDocs semantics)
   zip     write the --py-files archive
 
 In local runs (no spark-submit) the package auto-ships itself via
@@ -55,8 +56,13 @@ def cmd_build(args) -> int:
         from pyspark.sql.window import Window
         w = Window.orderBy("repo", "path", "commit")
         df = df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    kw = {}
+    if args.english:
+        ENGLISH_STOP_WORDS = _imp("functions.analysis").ENGLISH_STOP_WORDS
+        kw = {"stopwords": ENGLISH_STOP_WORDS, "stemmer": "porter"}
     snap = build_index(spark, df, args.index, num_segments=args.segments,
-                       content_col=args.content_col, resume=not args.no_resume)
+                       content_col=args.content_col,
+                       resume=not args.no_resume, **kw)
     print(f"committed snapshot {snap.snapshot_id}: "
           f"{snap.field_stats['doc_count']} docs, "
           f"{len(snap.seg_ids)} segments")
@@ -94,6 +100,15 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    delete_by_term = _imp("operators.delete").delete_by_term
+    spark = _spark(args)
+    snap = delete_by_term(spark, args.index, args.term)
+    print(f"snapshot {snap.snapshot_id}: "
+          f"{snap.extra.get('num_deleted', 0)} docs tombstoned")
+    return 0
+
+
 def cmd_zip(args) -> int:
     import os
     import zipfile
@@ -124,6 +139,8 @@ def main(argv=None) -> int:
     b.add_argument("--segments", type=int, default=128)
     b.add_argument("--content-col", default="content")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--english", action="store_true",
+                   help="EnglishAnalyzer chain: stop + possessive + Porter")
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search")
@@ -147,6 +164,11 @@ def main(argv=None) -> int:
     st.add_argument("--content-col", default="content")
     st.add_argument("--salt-buckets", type=int, default=16)
     st.set_defaults(fn=cmd_stats)
+
+    d = sub.add_parser("delete")
+    d.add_argument("--index", required=True)
+    d.add_argument("--term", required=True)
+    d.set_defaults(fn=cmd_delete)
 
     z = sub.add_parser("zip")
     z.add_argument("out")
