@@ -827,6 +827,16 @@ def _q_deleted_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
 
 
+def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (monitor/percolator role): registered query set
+    matched against the document stream; emits (doc_id, query_id)."""
+    from lucene_spark.streaming.monitor import Monitor
+    mon = Monitor({"q_term": T_COMMON,
+                   "q_and": f"{T_COMMON} AND {T_COMMON2}",
+                   "q_phrase": f'"{PH_A} {PH_B}"'})
+    return mon.match_batch(_docs(spark, sf_dir))
+
+
 def _q_lmd_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM Dirichlet similarity (μ=2000) term query — third Similarity
     implementation, oracled bit-exactly (double math, one float32 cast,
@@ -971,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- merge / incremental build inside the gate ---
         "lmd_term_top10": _q_lmd_term,
         "bm25_deleted_top10": _q_deleted_top10,
+        "monitor_matches": _q_monitor,
         "suggest_prefix": _q_suggest_prefix,
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,
@@ -1187,6 +1198,19 @@ SELECT doc_id, md5(text) AS fp_exact,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
                            ' ')) AS fp_bag
 FROM documents""",
+        "monitor_matches": _PRELUDE + f"""
+SELECT doc_id, 'q_term' AS query_id FROM tok WHERE term = '{T_COMMON}'
+GROUP BY doc_id
+UNION ALL
+SELECT a.doc_id, 'q_and' AS query_id
+FROM (SELECT DISTINCT doc_id FROM tok WHERE term = '{T_COMMON}') a
+JOIN (SELECT DISTINCT doc_id FROM tok WHERE term = '{T_COMMON2}') b
+  ON a.doc_id = b.doc_id
+UNION ALL
+SELECT p1.doc_id, 'q_phrase' AS query_id
+FROM tok p1 JOIN tok p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+WHERE p1.term = '{PH_A}' AND p2.term = '{PH_B}'
+GROUP BY p1.doc_id""",
         "bm25_deleted_top10": _PRELUDE + ", "
         + _tscore_cte("ts", T_COMMON) + """,
 livesc AS (

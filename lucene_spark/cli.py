@@ -14,6 +14,7 @@ Subcommands:
   merge   run tiered merge maintenance to the target tier
   stats   recompute global term stats via the salted token-level job
   delete  tombstone every doc containing a term (liveDocs semantics)
+  check   CheckIndex: offline integrity verification of a snapshot
   zip     write the --py-files archive
 
 In local runs (no spark-submit) the package auto-ships itself via
@@ -109,6 +110,14 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    check_index = _imp("operators.checkindex").check_index
+    totals = check_index(args.index, snapshot_id=args.snapshot)
+    print("CheckIndex OK: " + ", ".join(f"{k}={v}"
+                                        for k, v in sorted(totals.items())))
+    return 0
+
+
 def cmd_zip(args) -> int:
     import os
     import zipfile
@@ -164,6 +173,11 @@ def main(argv=None) -> int:
     st.add_argument("--content-col", default="content")
     st.add_argument("--salt-buckets", type=int, default=16)
     st.set_defaults(fn=cmd_stats)
+
+    c = sub.add_parser("check")
+    c.add_argument("--index", required=True)
+    c.add_argument("--snapshot", type=int, default=None)
+    c.set_defaults(fn=cmd_check)
 
     d = sub.add_parser("delete")
     d.add_argument("--index", required=True)

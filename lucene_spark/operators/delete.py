@@ -113,3 +113,47 @@ def delete_by_ids(spark, index_dir: str,
         deletes[int(s)] = np.unique(
             np.concatenate((prev, np.asarray(ids, np.int64))))
     return _write_deletes(catalog, snap, deletes)
+
+
+def locate_global_ids(catalog: SnapshotCatalog, snap,
+                      global_ids) -> dict[int, np.ndarray]:
+    """Map global doc_ids → {seg_id: local ids} by scanning each
+    segment's global_doc_ids array (one norms row per segment)."""
+    want = np.unique(np.asarray(list(global_ids), dtype=np.int64))
+    out: dict[int, np.ndarray] = {}
+    for s in snap.seg_ids:
+        npdf = pd.read_parquet(
+            os.path.join(catalog.segment_dir(s), "norms.parquet"))
+        gids = np.frombuffer(npdf.iloc[0]["global_doc_ids"], dtype="<i8")
+        hit = np.nonzero(np.isin(gids, want))[0]
+        if len(hit):
+            out[int(s)] = hit.astype(np.int64)
+    return out
+
+
+def update_documents(spark, index_dir: str, df,
+                     doc_id_col: str = "doc_id", **build_kwargs):
+    """IndexWriter.updateDocument role: replace docs whose ``doc_id``
+    matches a row of ``df`` (delete old copy + append new), returns the
+    final Snapshot.
+
+    Ordering: the new segment is appended FIRST, then the old copies are
+    tombstoned — so the final generation is consistent; the intermediate
+    generation (both versions visible) is transient, like the reference's
+    in-flight state between an update's buffered delete and its flush.
+    Readers opening the latest snapshot only ever see the final state.
+    """
+    from .build import build_index
+    catalog = SnapshotCatalog(index_dir)
+    snap = catalog.load()
+    if snap is None:
+        raise ValueError(f"no snapshot in {index_dir}")
+    ids = [int(r[0]) for r in df.select(doc_id_col).distinct().collect()]
+    located = locate_global_ids(catalog, snap, ids)
+    next_seg = max(snap.seg_ids) + 1 if snap.seg_ids else 0
+    build_index(spark, df, index_dir, num_segments=1,
+                seg_id_offset=next_seg, doc_id_col=doc_id_col,
+                **build_kwargs)
+    if located:
+        return delete_by_ids(spark, index_dir, located)
+    return SnapshotCatalog(index_dir).load()

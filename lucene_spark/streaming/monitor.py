@@ -1,0 +1,138 @@
+"""Reverse search / percolation: index the queries, stream the docs.
+
+Reference: the ``lucene/monitor`` module (``monitor/Monitor.java``,
+``CandidateMatcher.java``) — a registered query set is matched against
+each incoming document, emitting (document, query) match pairs; used for
+alerting ("tell me when a doc matching Q arrives").
+
+Spark shape: the query set is small and ships broadcast-style in the UDF
+closure; each micro-batch analyzes its documents in one Arrow batch
+(``mapInPandas``) and evaluates every query against per-doc term
+sets/position maps — pure map-side work, no index, no shuffle, so a
+1000-executor stream scales linearly in document throughput. (The
+reference's Presearcher — pre-filtering which queries *could* match via
+an index over the queries — is an optimization for huge query sets; with
+the broadcast set the full evaluation per doc is already cheap.)
+
+Matching is boolean (MatchAllCandidateMatcher role): scores need global
+collection stats which a stateless stream does not have; the reference's
+scoring matchers are index-backed and out of scope here.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+import numpy as np
+import pandas as pd
+
+from ..functions.analysis import analyze_batch
+from ..plans import query as Q
+from ..plans.parser import parse as parse_query
+
+
+def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
+    """Boolean match of one compiled query node against one document's
+    (term set, term → sorted positions)."""
+    if isinstance(node, Q.Term):
+        return node.term in terms
+    if isinstance(node, Q.Synonym):
+        return any(t in terms for t in node.terms)
+    if isinstance(node, Q.Phrase):
+        if any(t not in terms for t in node.terms):
+            return False
+        if node.slop > 0 and len(node.terms) == 2:
+            p2 = set(positions[node.terms[1]])
+            return any((p1 + 1 + d) in p2 and (p1 + 1 + d) != p1
+                       for p1 in positions[node.terms[0]]
+                       for d in range(-node.slop, node.slop + 1))
+        base = set(positions[node.terms[0]])
+        for i, t in enumerate(node.terms[1:], 1):
+            base &= {p - i for p in positions[t]}
+            if not base:
+                return False
+        return True
+    if isinstance(node, Q.MultiTerm):
+        if node.kind == "prefix":
+            return any(t.startswith(str(node.value)) for t in terms)
+        if node.kind == "wildcard":
+            return any(fnmatch.fnmatchcase(t, str(node.value))
+                       for t in terms)
+        if node.kind == "range":
+            lo, hi, lo_inc, hi_inc = node.value
+            return any((lo < t or (lo_inc and t == lo))
+                       and (t < hi or (hi_inc and t == hi)) for t in terms)
+        raise NotImplementedError(f"monitor: multiterm {node.kind}")
+    if isinstance(node, Q.Or):
+        n = sum(_matches(c, terms, positions) for c in node.clauses)
+        return n >= max(node.min_should_match, 1)
+    if isinstance(node, Q.And):
+        return all(_matches(c, terms, positions) for c in node.clauses)
+    if isinstance(node, Q.DisMax):
+        return any(_matches(c, terms, positions) for c in node.clauses)
+    if isinstance(node, Q.Not):
+        return (_matches(node.positive, terms, positions)
+                and not _matches(node.negative, terms, positions))
+    raise TypeError(type(node))
+
+
+class Monitor:
+    """Registered query set; matches documents as they arrive."""
+
+    def __init__(self, queries: dict[str, object],
+                 stopwords: frozenset = frozenset(),
+                 stemmer: str | None = None):
+        self.queries = {qid: (parse_query(q) if isinstance(q, str) else q)
+                        for qid, q in queries.items()}
+        self.stopwords = stopwords
+        self.stemmer = stemmer
+
+    def match_batch(self, docs_df, id_col: str = "doc_id",
+                    text_col: str = "text"):
+        """DataFrame (doc_id, query_id) of every match in ``docs_df``."""
+        queries = self.queries
+        stopwords, stemmer = self.stopwords, self.stemmer
+
+        def run(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                doc_idx, terms, positions, _ = analyze_batch(
+                    pdf[text_col].astype("string").fillna(""),
+                    stopwords=stopwords, stemmer=stemmer)
+                ids = pdf[id_col].to_numpy()
+                out_doc, out_q = [], []
+                for i in range(len(pdf)):
+                    sel = doc_idx == i
+                    tlist = terms[sel]
+                    plist = positions[sel]
+                    tset = set(tlist)
+                    pos_map: dict[str, list[int]] = {}
+                    for t, p in zip(tlist, plist):
+                        pos_map.setdefault(t, []).append(int(p))
+                    for qid, node in queries.items():
+                        if _matches(node, tset, pos_map):
+                            out_doc.append(ids[i])
+                            out_q.append(qid)
+                yield pd.DataFrame({"doc_id": np.asarray(out_doc,
+                                                         dtype=np.int64),
+                                    "query_id": out_q})
+
+        return docs_df.mapInPandas(run, "doc_id long, query_id string")
+
+    def start(self, source_stream_df, out_path: str, *,
+              checkpoint_dir: str, id_col: str = "doc_id",
+              text_col: str = "text", trigger_available_now: bool = True):
+        """Stream documents through the monitor; matches append to
+        ``out_path`` parquet per micro-batch (exactly-once via the
+        streaming checkpoint + idempotent append)."""
+        def process_batch(batch_df, batch_id: int):
+            (self.match_batch(batch_df, id_col, text_col)
+                 .write.mode("append").parquet(out_path))
+
+        writer = (source_stream_df.writeStream
+                  .foreachBatch(process_batch)
+                  .option("checkpointLocation", checkpoint_dir))
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

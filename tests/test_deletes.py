@@ -78,6 +78,52 @@ def test_count_excludes_deleted(spark, deleted_index, oracle_full):
     assert s.count(Q.Term(DEL_TERM)) == 0
 
 
+def test_update_documents(spark):
+    """updateDocument role: replaced docs surface only with their new
+    content; after force_merge the index equals a fresh oracle over the
+    updated corpus exactly."""
+    import pandas as pd
+
+    from lucene_spark.operators.delete import update_documents
+
+    corpus = generate_corpus(120, seed=29)
+    d = tempfile.mkdtemp(prefix="lucene_spark_upd_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=3)
+
+    upd_ids = [5, 6, 7]
+    newdocs = corpus[corpus.doc_id.isin(upd_ids)].copy()
+    newdocs["content"] = ["zzupdated marker doc five",
+                          "zzupdated marker doc six",
+                          "zzupdated marker doc seven"]
+    update_documents(spark, d, spark.createDataFrame(newdocs))
+
+    s = Searcher(spark, d)
+    got = sorted(r["doc_id"] for r in
+                 s.search(Q.Term("zzupdated"), k=10).collect())
+    assert got == upd_ids
+    # old content of the replaced docs no longer matches
+    old_terms = set(corpus[corpus.doc_id == 5].content.iloc[0].split())
+    marker = next(iter(old_terms - {"zzupdated"}))
+    assert 5 not in {r["doc_id"] for r in
+                     s.search(Q.Term(marker), k=120).collect()} \
+        or marker in newdocs.content.iloc[0]
+
+    force_merge(spark, d, max_segments=1)
+    updated = pd.concat([corpus[~corpus.doc_id.isin(upd_ids)], newdocs])
+    oracle_upd = OracleIndex.build(list(zip(updated.doc_id,
+                                            updated.content)))
+    s2 = Searcher(spark, d)
+    for q in (Q.Term("zzupdated"), Q.Term("parse")):
+        got = [(r["doc_id"], r["score"])
+               for r in s2.search(q, k=10).collect()]
+        want = oracle_upd.top_k(q, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                           rtol=0, atol=0), q
+    snap = SnapshotCatalog(d).load()
+    assert snap.field_stats["doc_count"] == len(updated)
+
+
 def test_merge_purges_deletes(spark, corpus, deleted_index, oracle_full):
     """force_merge drops tombstoned docs, compacts docIDs, recomputes
     stats — results must equal a fresh oracle over the live corpus."""

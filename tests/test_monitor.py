@@ -1,0 +1,70 @@
+"""Monitor (reverse search / percolation) tests: match sets must equal
+the oracle index's match sets for every registered query."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.plans import query as Q
+from lucene_spark.sources.corpus import generate_corpus
+from lucene_spark.streaming.monitor import Monitor
+
+QUERIES = {
+    "q_term": "parse",
+    "q_and": "codec AND util",
+    "q_or": "parse OR scan",
+    "q_not": "parse -codec",
+    "q_phrase": '"mixed case"',
+    "q_prefix": "par*",
+    "q_msm": Q.Or((Q.Term("parse"), Q.Term("scan"), Q.Term("codec")),
+                  min_should_match=2),
+}
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(200, seed=37)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+
+
+def _expected(oracle):
+    want = set()
+    for qid, q in QUERIES.items():
+        from lucene_spark.plans.parser import parse
+        node = parse(q) if isinstance(q, str) else q
+        for d in oracle.score(node).keys():
+            want.add((d, qid))
+    return want
+
+
+def test_match_batch_equals_oracle_match_sets(spark, corpus, oracle):
+    docs = spark.createDataFrame(corpus) \
+        .selectExpr("doc_id", "content AS text")
+    mon = Monitor(QUERIES)
+    got = {(int(r["doc_id"]), r["query_id"])
+           for r in mon.match_batch(docs).collect()}
+    assert got == _expected(oracle)
+    assert any(q == "q_phrase" for _, q in got)  # phrase queries exercise
+
+
+def test_monitor_stream(spark, corpus, oracle):
+    docs = spark.createDataFrame(corpus) \
+        .selectExpr("doc_id", "content AS text")
+    src = tempfile.mkdtemp(prefix="mon_src_")
+    out = tempfile.mkdtemp(prefix="mon_out_")
+    ckpt = tempfile.mkdtemp(prefix="mon_ckpt_")
+    docs.coalesce(2).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(docs.schema) \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    q = Monitor(QUERIES).start(stream, out, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    got = {(int(r["doc_id"]), r["query_id"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == _expected(oracle)
