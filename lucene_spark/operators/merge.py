@@ -290,6 +290,72 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     return catalog.commit(new_segments, field_stats, ts_path, extra=extra)
 
 
+def add_indexes(spark, dest_dir: str, src_dir: str):
+    """IndexWriter.addIndexes(Directory...) analogue
+    (``index/IndexWriter.java:2594``): bulk-import every segment of a
+    foreign index without re-indexing — segment files are copied with
+    renumbered seg ids, global stats recomputed over the union, one
+    atomic snapshot commit. Global doc_ids must be disjoint between the
+    two indexes (caller's contract, like the reference's requirement that
+    imported readers contain no duplicates); CheckIndex verifies.
+
+    Driver-side copy + seg_id column rewrite per segment: the reference's
+    addIndexes is likewise a file-level copy, not a merge.
+    """
+    import pyarrow.parquet as pq
+
+    dest = SnapshotCatalog(dest_dir)
+    src = SnapshotCatalog(src_dir)
+    dsnap, ssnap = dest.load(), src.load()
+    if dsnap is None or ssnap is None:
+        raise ValueError("both indexes need a committed snapshot")
+    if bool(dsnap.extra.get("store_positions", True)) != \
+            bool(ssnap.extra.get("store_positions", True)):
+        raise ValueError("store_positions mismatch between indexes")
+    next_id = max(dsnap.seg_ids) + 1 if dsnap.seg_ids else 0
+    new_segments = list(dsnap.segments)
+    src_lineage = {s["seg_id"]: s for s in ssnap.segments}
+    for old_id in ssnap.seg_ids:
+        new_id = next_id
+        next_id += 1
+        sdir = src.segment_dir(old_id)
+        tmp = os.path.join(dest_dir, "segments",
+                           f"_tmp-{new_id}-{uuid.uuid4().hex}")
+        os.makedirs(tmp, exist_ok=True)
+        for fname in ("postings.parquet", "doc_meta.parquet",
+                      "norms.parquet"):
+            import pyarrow as pa
+            tbl = pq.read_table(os.path.join(sdir, fname))
+            if "seg_id" in tbl.column_names:
+                i = tbl.column_names.index("seg_id")
+                tbl = tbl.set_column(
+                    i, tbl.field(i),
+                    pa.array(np.full(len(tbl), new_id, dtype=np.int32),
+                             type=tbl.field(i).type))
+            pq.write_table(tbl, os.path.join(tmp, fname))
+        stats = dict(src_lineage[old_id])
+        stats["seg_id"] = int(new_id)
+        stats["origin"] = "addIndexes"
+        stats["imported_from"] = os.path.abspath(src_dir)
+        with open(os.path.join(tmp, "stats.json"), "w") as f:
+            json.dump(stats, f)
+        os.rename(tmp, dest.segment_dir(new_id))
+        new_segments.append(stats)
+    new_segments.sort(key=lambda s: s["seg_id"])
+    gen = dsnap.snapshot_id + 1
+    ts_path = compute_term_stats(
+        spark, dest, [s["seg_id"] for s in new_segments],
+        os.path.join(dest_dir, "term_stats", f"gen-{gen}"))
+    field_stats = {
+        "doc_count": int(dsnap.field_stats["doc_count"])
+        + int(ssnap.field_stats["doc_count"]),
+        "sum_total_term_freq": int(dsnap.field_stats["sum_total_term_freq"])
+        + int(ssnap.field_stats["sum_total_term_freq"]),
+    }
+    return dest.commit(new_segments, field_stats, ts_path,
+                       extra=dsnap.extra)
+
+
 def maintain(spark, index_dir: str, segs_per_tier: int = 10,
              max_merge_at_once: int = 10):
     """Run tiered merges until the segment count fits the tier policy

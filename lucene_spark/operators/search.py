@@ -715,6 +715,12 @@ class Searcher:
         # stale until merge, like the reference (.liv semantics)
         from .delete import load_deletes
         self.deletes = load_deletes(self.catalog, snap)
+        # LRUQueryCache role: match-set cache for repeated filter queries
+        from collections import OrderedDict
+        self._filter_cache: "OrderedDict[str, list[int]]" = OrderedDict()
+        self._filter_uses: dict[str, int] = {}
+        self._filter_cache_max = 32
+        self.cache_hits = 0
 
     # -- stats -------------------------------------------------------------
     def _global_dfs(self, terms: list[str]) -> dict[str, int]:
@@ -908,11 +914,36 @@ class Searcher:
         return (pf.groupBy("seg_id").cogroup(self.norms.groupBy("seg_id"))
                 .applyInPandas(seg_all, schema=out_schema))
 
-    def matching_docs(self, query):
+    def matching_docs(self, query, use_cache: bool = True):
         """DataFrame ``(doc_id long)`` of every match — constant-score
         execution (the reference's ConstantScoreQuery / FILTER clause path:
-        matches without scores)."""
-        return self.score_all(query).select("doc_id")
+        matches without scores).
+
+        Filter-style match sets are LRU-cached against this immutable
+        snapshot after a query repeats (LRUQueryCache +
+        UsageTrackingQueryCachingPolicy role: the reference caches
+        per-segment doc-id sets of FILTER clauses once a query recurs;
+        ``search/LRUQueryCache.java``, ``UsageTrackingQueryCachingPolicy
+        .java``). Safe because snapshots never mutate — delete/append
+        create new generations and new Searchers."""
+        key = repr(parse_query(query) if isinstance(query, str) else query)
+        if use_cache:
+            if key in self._filter_cache:
+                self._filter_cache.move_to_end(key)
+                self.cache_hits += 1
+                ids = self._filter_cache[key]
+                return self.spark.createDataFrame(
+                    [(int(i),) for i in ids], "doc_id long")
+            self._filter_uses[key] = self._filter_uses.get(key, 0) + 1
+        res = self.score_all(query).select("doc_id")
+        if use_cache and self._filter_uses.get(key, 0) >= 2:
+            ids = sorted(r["doc_id"] for r in res.collect())
+            self._filter_cache[key] = ids
+            while len(self._filter_cache) > self._filter_cache_max:
+                self._filter_cache.popitem(last=False)
+            return self.spark.createDataFrame(
+                [(int(i),) for i in ids], "doc_id long")
+        return res
 
     def search_many(self, queries: dict[str, object], k: int = 10,
                     mode: str = "auto"):

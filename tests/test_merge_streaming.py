@@ -105,3 +105,24 @@ def test_streaming_incremental(spark, corpus, oracle):
     assert snap2.field_stats["doc_count"] == len(corpus)
     # the incrementally-built index is rank-identical to the batch oracle
     _assert_parity(Searcher(spark, d), oracle)
+
+
+def test_add_indexes(spark, corpus, oracle):
+    """addIndexes(Directory): import a foreign index's segments without
+    re-indexing; the union index is rank/score-identical to an oracle
+    over the combined corpus, and CheckIndex passes."""
+    from lucene_spark.operators.checkindex import check_index
+    from lucene_spark.operators.merge import add_indexes
+
+    half_a = corpus[corpus.doc_id < 150]
+    half_b = corpus[corpus.doc_id >= 150]
+    da = tempfile.mkdtemp(prefix="lucene_spark_addA_")
+    db = tempfile.mkdtemp(prefix="lucene_spark_addB_")
+    build_index(spark, spark.createDataFrame(half_a), da, num_segments=3)
+    build_index(spark, spark.createDataFrame(half_b), db, num_segments=2)
+    snap = add_indexes(spark, da, db)
+    assert len(snap.seg_ids) == 5
+    assert snap.field_stats["doc_count"] == len(corpus)
+    totals = check_index(da)
+    assert totals["num_docs"] == len(corpus)
+    _assert_parity(Searcher(spark, da), oracle)

@@ -235,3 +235,21 @@ def test_lm_phrase_raises(spark, searcher):
                   similarity=LMDirichletSimilarity())
     with pytest.raises(NotImplementedError):
         s2.search(Q.Phrase(("parse", "scan")), k=5)
+
+
+def test_filter_query_cache(spark, searcher, oracle):
+    """LRUQueryCache role: a repeated filter query is cached after the
+    second use; cached and uncached match sets are identical."""
+    s2 = Searcher(spark, searcher.index_dir)
+    q = Q.Term("flush")
+    want = sorted(oracle.score(q).keys())
+    first = sorted(r["doc_id"] for r in s2.matching_docs(q).collect())
+    assert s2.cache_hits == 0
+    second = sorted(r["doc_id"] for r in s2.matching_docs(q).collect())
+    third = sorted(r["doc_id"] for r in s2.matching_docs(q).collect())
+    assert s2.cache_hits >= 1          # third use served from cache
+    assert first == second == third == want
+    # uncached path still available and identical
+    raw = sorted(r["doc_id"]
+                 for r in s2.matching_docs(q, use_cache=False).collect())
+    assert raw == want
