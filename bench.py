@@ -154,6 +154,17 @@ def main() -> None:
                                k=5).count()
     queries["p_cosine_topk"] = round(time.time() - t0, 3)
 
+    # monitor (reverse search): map-side-only matcher over the doc table
+    from lucene_spark.streaming.monitor import Monitor
+    docs_tbl = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    mon = Monitor({"q1": "data", "q2": "data AND query", "q3": '"dup dup"'})
+    t0 = time.time()
+    n_docs_mon = docs_tbl.count()
+    mon.match_batch(docs_tbl).count()
+    dt = time.time() - t0
+    queries["p_monitor"] = round(dt, 3)
+    queries["p_monitor_docs_per_sec"] = round(n_docs_mon / max(dt, 1e-9), 1)
+
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 
     # --- scaling evidence: same build at cpus/4 and cpus/16 ------------

@@ -102,7 +102,16 @@ class SnapshotCatalog:
             json.dump(snap.to_json(), f, indent=1, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(self.manifest_dir, f"snapshot-{sid}.json"))
+        final = os.path.join(self.manifest_dir, f"snapshot-{sid}.json")
+        # single-writer invariant (the reference's IndexWriter holds a
+        # write.lock): a lost generation race would silently drop a
+        # commit, so detect it rather than overwrite
+        if os.path.exists(final):
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"concurrent commit detected: generation {sid} already "
+                f"exists in {self.manifest_dir} (one writer per index)")
+        os.rename(tmp, final)
         snap.term_stats_path = term_stats_path
         return snap
 
