@@ -827,6 +827,15 @@ def _q_deleted_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
 
 
+def _q_dfr_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR I(n)L2 similarity term query — fourth Similarity family,
+    bit-exact oracle (double math, single float32 cast)."""
+    from lucene_spark.functions.similarity import DFRInL2Similarity
+    base = _searcher(spark, sf_dir)
+    s = Searcher(spark, base.index_dir, similarity=DFRInL2Similarity())
+    return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
+
+
 def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse search (monitor/percolator role): registered query set
     matched against the document stream; emits (doc_id, query_id)."""
@@ -982,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmd_term_top10": _q_lmd_term,
         "bm25_deleted_top10": _q_deleted_top10,
         "monitor_matches": _q_monitor,
+        "dfr_term_top10": _q_dfr_term,
         "suggest_prefix": _q_suggest_prefix,
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,
@@ -1198,6 +1208,23 @@ SELECT doc_id, md5(text) AS fp_exact,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
                            ' ')) AS fp_bag
 FROM documents""",
+        "dfr_term_top10": _PRELUDE + f""",
+dfrsc AS (
+  SELECT f.doc_id,
+         CAST(CAST(1 AS DOUBLE) *
+              ((ln((a.dc + 1) / (d.df + CAST(0.5 AS DOUBLE))) / ln(2))
+               * CAST(1 AS DOUBLE) *
+               (CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) /
+                (CAST(1 AS DOUBLE) + CAST(f.tf AS DOUBLE) *
+                 (ln(1 + CAST(1 AS DOUBLE) * CAST(a.avgdl AS DOUBLE) /
+                     (SELECT max(v) FROM lut WHERE v <= dl.dl)) / ln(2)))))
+              AS FLOAT) AS s
+  FROM tf f
+  JOIN dfs d ON d.term = f.term
+  JOIN doclen dl ON dl.doc_id = f.doc_id
+  CROSS JOIN avgs a
+  WHERE f.term = '{T_COMMON}'
+)""" + _topk_sql("dfrsc", 10),
         "monitor_matches": _PRELUDE + f"""
 SELECT doc_id, 'q_term' AS query_id FROM tok WHERE term = '{T_COMMON}'
 GROUP BY doc_id

@@ -185,6 +185,52 @@ class LMJelinekMercerSimilarity(Similarity):
         return s.astype(np.float32)
 
 
+class DFRInL2Similarity(Similarity):
+    """Divergence-from-randomness, configuration I(n)L2 (reference
+    ``similarities/DFRSimilarity.java:104-107`` composing
+    ``BasicModelIn.java:34-44`` (A = log2((N+1)/(df+0.5)), score =
+    A·ae·(1 − 1/(1+tfn))), ``AfterEffectL.java:32-33`` (ae·(1+tfn) = 1)
+    and ``NormalizationH2.java:56-58`` (tfn = tf·log2(1 + c·avgdl/dl),
+    default c=1 at ``:52-54``)):
+
+      tfn   = tf · log2(1 + c·avgdl/dl)       (dl = quantized length)
+      score = boost · (A · 1 · (1 − 1/(1+tfn)))   (double, cast float32)
+
+    avgdl here is the engine's shared float32 avgdl widened to double
+    (the reference keeps it double throughout — a ≤1-ulp-of-float32
+    difference; engine and oracle share the same value, so parity tests
+    are exact). Monotonic ↑tf, ↓dl → block-max safe.
+    """
+
+    name = "dfr_inl2"
+    monotonic = True
+    weight_linear = False
+
+    def __init__(self, c: float = 1.0):
+        if not (c >= 0 and np.isfinite(c)):
+            raise ValueError(f"illegal c value: {c}")
+        self.c = float(c)
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               ttf: int = 0, sum_ttf: int = 0) -> np.ndarray:
+        a = np.log((doc_count + 1) / (df + 0.5)) / np.log(2.0)
+        return np.array([float(boost), float(a)], dtype=np.float64)
+
+    def norm_cache(self, avgdl: np.float32) -> np.ndarray:
+        with np.errstate(divide="ignore"):
+            return (np.log(1.0 + self.c * np.float64(avgdl)
+                           / LENGTH_TABLE.astype(np.float64))
+                    / np.log(2.0))
+
+    def score(self, tfs, norm_bytes, weight, cache) -> np.ndarray:
+        boost, a = float(weight[0]), float(weight[1])
+        tfn = np.asarray(tfs, np.float64) \
+            * cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        basic = (a * 1.0) * (1.0 - 1.0 / (1.0 + tfn))
+        return (boost * basic).astype(np.float32)
+
+
 SIMILARITIES = {"bm25": BM25Similarity, "classic": ClassicSimilarity,
                 "lm_dirichlet": LMDirichletSimilarity,
-                "lm_jelinek_mercer": LMJelinekMercerSimilarity}
+                "lm_jelinek_mercer": LMJelinekMercerSimilarity,
+                "dfr_inl2": DFRInL2Similarity}
