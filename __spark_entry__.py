@@ -827,6 +827,15 @@ def _q_deleted_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
 
 
+def _q_fuzzy_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery default rewrite (TopTermsBlendedFreqScoringRewrite):
+    blended df=max stats, per-term 1-ed/minlen float32 boosts, SHOULD
+    sum — bit-exact oracle."""
+    s = _searcher(spark, sf_dir)
+    q = Q.MultiTerm("fuzzy", "scon", edits=2, scored=True)
+    return _fmt_topk(s.search(q, k=10))
+
+
 def _q_dfr_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFR I(n)L2 similarity term query — fourth Similarity family,
     bit-exact oracle (double math, single float32 cast)."""
@@ -992,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_deleted_top10": _q_deleted_top10,
         "monitor_matches": _q_monitor,
         "dfr_term_top10": _q_dfr_term,
+        "bm25_fuzzy_blended_top10": _q_fuzzy_blended,
         "suggest_prefix": _q_suggest_prefix,
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,
@@ -1208,6 +1218,27 @@ SELECT doc_id, md5(text) AS fp_exact,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
                            ' ')) AS fp_bag
 FROM documents""",
+        "bm25_fuzzy_blended_top10": _PRELUDE + """,
+fz AS (SELECT term, df, levenshtein(term, 'scon') AS d
+       FROM dfs WHERE levenshtein(term, 'scon') <= 2),
+bdf AS (SELECT max(df) AS df FROM fz),
+fw AS (
+  SELECT f.term,
+         CAST((CASE WHEN f.d = 0 THEN CAST(1 AS FLOAT)
+               ELSE CAST(CAST(1 AS FLOAT) - CAST(f.d AS FLOAT) /
+                    CAST(least(length(f.term), 4) AS FLOAT) AS FLOAT) END)
+              * (SELECT CAST(ln(1 + (a.dc - bd.df + CAST(0.5 AS DOUBLE)) /
+                              (bd.df + CAST(0.5 AS DOUBLE))) AS FLOAT)
+                 FROM bdf bd, avgs a) AS FLOAT) AS w
+  FROM fz f),
+persc AS (
+  SELECT t.doc_id,
+         CAST(w.w - w.w / (CAST(1 AS FLOAT) + CAST(t.tf AS FLOAT) * c.inv)
+              AS DOUBLE) AS s
+  FROM tf t JOIN fw w ON t.term = w.term
+  JOIN normcache c ON t.doc_id = c.doc_id),
+orsc AS (SELECT doc_id, CAST(SUM(s) AS FLOAT) AS s
+         FROM persc GROUP BY doc_id)""" + _topk_sql("orsc", 10),
         "dfr_term_top10": _PRELUDE + f""",
 dfrsc AS (
   SELECT f.doc_id,

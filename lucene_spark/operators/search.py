@@ -84,6 +84,21 @@ class _ResolvedMultiTerm(Q.Query):
 
 
 @dataclass(frozen=True)
+class _BlendedTerms(Q.Query):
+    """Fuzzy expansion with per-term boosts, scored with BLENDED stats
+    (BlendedTermQuery: df = max over terms, ttf = sum —
+    ``search/BlendedTermQuery.java:280-291``; per-term boost from
+    FuzzyTermsEnum ``1 - ed/minTermLength``, ``FuzzyTermsEnum.java:
+    248-255``; combined as SHOULD sum via BOOLEAN_REWRITE)."""
+    terms: tuple[str, ...]
+    boosts: tuple[float, ...]
+    boost: float = 1.0
+
+    def all_terms(self):
+        return list(self.terms)
+
+
+@dataclass(frozen=True)
 class CAnd:
     children: tuple
 
@@ -166,6 +181,23 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                     "sloppy matching implemented for 2-term phrases")
             w = multi_weight([df_of(t) for t in node.terms])
             return CPhrase(tuple(node.terms), w, node.slop)
+        if isinstance(node, _BlendedTerms):
+            pairs = [(t, b) for t, b in zip(node.terms, node.boosts)
+                     if df_of(t) > 0]
+            if not pairs:
+                return None
+            # blended stats: df = max, ttf = sum over the expansion
+            # (BlendedTermQuery.java:280-291), then one SHOULD per term
+            # with its fuzzy boost (BOOLEAN_REWRITE sum)
+            bdf = max(df_of(t) for t, _ in pairs)
+            bttf = sum(ttf_of(t) for t, _ in pairs)
+            kids = tuple(
+                CTerm(t, sim.weight(bdf, doc_count,
+                                    float(np.float32(np.float32(b)
+                                          * np.float32(node.boost))),
+                                    bttf, sum_ttf))
+                for t, b in pairs)
+            return kids[0] if len(kids) == 1 else COr(kids)
         if isinstance(node, _ResolvedMultiTerm):
             present = tuple(t for t in node.terms if df_of(t) > 0)
             if not present:
@@ -757,6 +789,12 @@ class Searcher:
                     else _re.escape(ch) for ch in str(q.value)) + "$"
                 terms = self.expand_terms(rlike=pat)
             elif q.kind == "fuzzy":
+                if getattr(q, "scored", False):
+                    base = str(q.value)
+                    pairs = self.fuzzy_terms_with_boosts(base, q.edits)
+                    return _BlendedTerms(tuple(t for t, _ in pairs),
+                                         tuple(b for _, b in pairs),
+                                         q.boost)
                 terms = self.expand_terms(fuzzy=(str(q.value), q.edits))
             elif q.kind == "range":
                 lo, hi, lo_inc, hi_inc = q.value
@@ -862,6 +900,28 @@ class Searcher:
             tf = tf.filter(F.col("term").between(*between))
         return sorted(r["term"] for r in
                       tf.select("term").limit(max_terms).collect())
+
+    def fuzzy_terms_with_boosts(self, base: str,
+                                max_edits: int = 2) -> list[tuple[str, float]]:
+        """Fuzzy expansion with FuzzyTermsEnum boosts: exact match → 1.0,
+        else float32 ``1 - ed/min(len(term), len(base))``
+        (``FuzzyTermsEnum.java:248-255``). Sorted by term."""
+        from pyspark.sql import functions as F
+        rows = (self.term_stats
+                .withColumn("_d", F.levenshtein(F.col("term"), F.lit(base)))
+                .filter(F.col("_d") <= max_edits)
+                .select("term", "_d").collect())
+        out = []
+        for r in sorted(rows, key=lambda r: r["term"]):
+            d = int(r["_d"])
+            if d == 0:
+                out.append((r["term"], 1.0))
+            else:
+                ml = min(len(r["term"]), len(base))
+                out.append((r["term"],
+                            float(np.float32(1.0)
+                                  - np.float32(d) / np.float32(ml))))
+        return out
 
     def docs_matching_any(self, terms: list[str]):
         """Constant-score union of exact terms (TermInSetQuery / the

@@ -207,6 +207,32 @@ class OracleIndex:
                        and (t < hi or (hi_inc and t == hi))]
             else:
                 raise ValueError(query.kind)
+            if query.kind == "fuzzy" and getattr(query, "scored", False):
+                # TopTermsBlendedFreqScoringRewrite: df = max over the
+                # expansion, per-term fuzzy boost, SHOULD sum
+                base = str(query.value)
+                pairs = []
+                for t in hit:
+                    d = _levenshtein(t, base)
+                    bo = 1.0 if d == 0 else float(
+                        np.float32(1.0) - np.float32(d)
+                        / np.float32(min(len(t), len(base))))
+                    pairs.append((t, bo))
+                if not pairs:
+                    return {}
+                bdf = max(self.df(t) for t, _ in pairs)
+                cache = self._cache(k1, b)
+                one = np.float32(1.0)
+                acc: dict[int, float] = {}
+                for t, bo in pairs:
+                    w = np.float32(
+                        np.float32(np.float32(bo) * np.float32(query.boost))
+                        * idf(bdf, self.doc_count))
+                    for doc_id, tf, _ in self.postings[t]:
+                        inv = cache[self.norm_bytes[doc_id]]
+                        s = np.float32(w - w / (one + np.float32(tf) * inv))
+                        acc[doc_id] = acc.get(doc_id, 0.0) + float(s)
+                return {d: np.float32(s) for d, s in acc.items()}
             docs = {d for t in hit for d, _, _ in self.postings[t]}
             w = np.float32(query.boost)
             return {d: w for d in docs}

@@ -76,6 +76,12 @@ class MultiTerm(Query):
     value: object
     edits: int = 2
     boost: float = 1.0
+    #: fuzzy only — the reference's DEFAULT fuzzy rewrite is
+    #: TopTermsBlendedFreqScoringRewrite (FuzzyQuery.java:100): expanded
+    #: terms are scored with blended stats (df=max, ttf=sum) and per-term
+    #: boost 1 - ed/minTermLength, summed as SHOULD. scored=False keeps
+    #: the CONSTANT_SCORE rewrite used by the other MultiTerm kinds.
+    scored: bool = False
 
     def all_terms(self):
         return []  # terms known only after expansion

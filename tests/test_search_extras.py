@@ -254,3 +254,21 @@ def test_filter_query_cache(spark, searcher, oracle):
     raw = sorted(r["doc_id"]
                  for r in s2.matching_docs(q, use_cache=False).collect())
     assert raw == want
+
+
+def test_fuzzy_blended_scored_parity(searcher, oracle):
+    """FuzzyQuery's default rewrite (TopTermsBlendedFreqScoringRewrite):
+    blended df=max stats, per-term 1-ed/minlen boosts, SHOULD sum —
+    rank- and score-identical engine vs oracle, and genuinely different
+    from the constant-score rewrite."""
+    q = Q.MultiTerm("fuzzy", "parse", edits=2, scored=True)
+    got = [(r["doc_id"], r["score"])
+           for r in searcher.search(q, k=10).collect()]
+    want = oracle.top_k(q, k=10)
+    assert got and [g[0] for g in got] == [w[0] for w in want]
+    assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                       rtol=0, atol=0)
+    const = searcher.search(Q.MultiTerm("fuzzy", "parse", edits=2),
+                            k=10).collect()
+    assert len({r["score"] for r in const}) == 1     # constant-score
+    assert len({g[1] for g in got}) > 1              # blended: real scores
