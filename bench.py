@@ -96,6 +96,22 @@ def main() -> None:
     _write_corpus_parquet(generate_corpus(N_DOCS), corpus_path, num_files=64)
     warmup_pdf = generate_corpus(4000, seed=7)
 
+    # --- single-core kernel throughput (host-cap-resistant) ------------
+    # The sandbox VM enforces a varying AGGREGATE cpu cap: multi-core
+    # phases can read 10x slow while a lone core runs full speed. This
+    # metric times the pure build kernel (tokenize → invert → encode) on
+    # one core, giving a stable cross-round signal of engine speed.
+    from lucene_spark.operators.build import invert_segment
+    kpdf = generate_corpus(20000, seed=11)
+    invert_segment(kpdf.head(2000), 0, "content", "doc_id",
+                   frozenset(), True)  # warm
+    kbest = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        invert_segment(kpdf, 0, "content", "doc_id", frozenset(), True)
+        kbest = min(kbest, time.time() - t0)
+    queries["kernel_docs_per_sec_1core"] = round(len(kpdf) / kbest, 1)
+
     spark = _session(CPUS)
     warmup_df = spark.createDataFrame(warmup_pdf)
     # 4 segments per core: wave balance beats per-group overhead here, and
