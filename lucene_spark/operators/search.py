@@ -399,6 +399,16 @@ class _SegContext:
         return self._tps[term]
 
 
+def _f32_boundary(scores: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Round a boolean node's scores through float32 — every reference
+    Scorer returns ``float`` (e.g. DisjunctionSumScorer's (float) of its
+    double sum), which the PARENT then re-accumulates in double; nested
+    boolean trees are only bit-exact if we round at the same node
+    boundaries."""
+    scores[mask] = scores[mask].astype(np.float32)
+    return scores
+
+
 def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
     """Evaluate the compiled tree over local docIDs [lo, hi).
 
@@ -463,12 +473,12 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
                 scores += s
             mask = counts >= node.min_should_match
             scores[~mask] = 0.0
-            return mask, scores
+            return mask, _f32_boundary(scores, mask)
         for child in node.children:
             m, s = _eval_range(child, ctx, lo, hi)
             mask |= m
             scores += s
-        return mask, scores
+        return mask, _f32_boundary(scores, mask)
     if isinstance(node, CAnd):
         mask = None
         for child in node.children:
@@ -476,7 +486,7 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
             mask = m if mask is None else (mask & m)
             scores += s
         scores[~mask] = 0.0
-        return mask, scores
+        return mask, _f32_boundary(scores, mask)
     if isinstance(node, CDisMax):
         # score = max + tie_breaker*(sum - max); max of float32 child scores
         # (reference DisjunctionMaxScorer); zeros from non-matching children
@@ -490,7 +500,7 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
             ssum += s
         scores = smax + (ssum - smax) * np.float64(node.tie_breaker)
         scores[~mask] = 0.0
-        return mask, scores
+        return mask, _f32_boundary(scores, mask)
     if isinstance(node, CNot):
         mask, scores = _eval_range(node.positive, ctx, lo, hi)
         m_neg, _ = _eval_range(node.negative, ctx, lo, hi)

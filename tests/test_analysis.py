@@ -82,3 +82,21 @@ def test_batch_matches_scalar():
 def test_batch_empty_series():
     doc_idx, terms, positions, lengths = analyze_batch(pd.Series([], dtype=object))
     assert len(doc_idx) == 0 and len(lengths) == 0
+
+
+def test_analyze_batch_non_ascii_fallback_matches_text():
+    """Non-ASCII input disables the lower-before-tokenize fast path; the
+    fallback must agree with the per-string analyzer exactly."""
+    import pandas as pd
+
+    from lucene_spark.functions.analysis import analyze_batch, analyze_text
+    docs = ["Ünïcode Tökens MÜNCHEN straße", "plain ASCII text",
+            "mixed ü ascii", ""]
+    doc_idx, terms, positions, lengths = analyze_batch(pd.Series(docs))
+    for i, d in enumerate(docs):
+        t, p, ln = analyze_text(d)
+        sel = doc_idx == i
+        assert list(terms[sel]) == t, d
+        assert list(positions[sel]) == p, d
+        assert lengths[i] == ln, d
+    assert "münchen" in set(terms)

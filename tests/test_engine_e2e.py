@@ -226,3 +226,51 @@ def test_kill_and_resume(spark, corpus, oracle):
     want = oracle.top_k(parse("parse OR emit OR token"), k=10)
     assert [(g, np.float32(s)) for g, s in got] \
         == [(w, np.float32(s)) for w, s in want]
+
+
+def test_fuzzed_structured_queries_parity(searcher, oracle):
+    """Deep differential fuzz: random NESTED query trees mixing every
+    scored node type (Term w/ boost, Or w/ minShouldMatch, And, Not,
+    DisMax, Synonym, exact Phrase) — ranks and float32 scores must be
+    identical to the oracle in both scoring modes."""
+    from lucene_spark.plans import query as Q
+    rng = np.random.RandomState(23)
+    vocab = sorted(oracle.postings, key=lambda t: -oracle.df(t))
+    pool = vocab[:60]
+
+    def term():
+        t = pool[rng.randint(len(pool))]
+        boost = float(rng.choice([1.0, 1.0, 2.0, 0.5]))
+        return Q.Term(t, boost)
+
+    def gen(depth):
+        r = rng.rand()
+        if depth >= 2 or r < 0.35:
+            return term()
+        kids = tuple(gen(depth + 1) for _ in range(rng.randint(2, 4)))
+        if r < 0.55:
+            msm = int(rng.randint(0, 2))
+            return Q.Or(kids, min_should_match=msm)
+        if r < 0.7:
+            return Q.And(kids)
+        if r < 0.8:
+            return Q.DisMax(kids, float(rng.choice([0.0, 0.3])))
+        if r < 0.9:
+            ts = tuple(pool[rng.randint(len(pool))] for _ in range(2))
+            return Q.Synonym(ts)
+        return Q.Not(kids[0], kids[1])
+
+    checked = 0
+    for i in range(20):
+        # compare on the post-rewrite tree — the engine rewrites before
+        # scoring (flattening changes float grouping), the oracle doesn't
+        q = Q.rewrite_fixed_point(gen(0))
+        want = oracle.top_k(q, k=10)
+        for mode in ("exhaustive", "auto"):
+            got = [(r.doc_id, r.score) for r in
+                   searcher.search(q, k=10, mode=mode).collect()]
+            assert [g[0] for g in got] == [w[0] for w in want], (i, mode, q)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert np.float32(gs) == np.float32(ws), (i, mode, gd)
+        checked += 1
+    assert checked == 20
