@@ -228,15 +228,22 @@ def test_kill_and_resume(spark, corpus, oracle):
         == [(w, np.float32(s)) for w, s in want]
 
 
-def test_fuzzed_structured_queries_parity(searcher, oracle):
+def test_fuzzed_structured_queries_parity(searcher, oracle, corpus):
     """Deep differential fuzz: random NESTED query trees mixing every
     scored node type (Term w/ boost, Or w/ minShouldMatch, And, Not,
     DisMax, Synonym, exact Phrase) — ranks and float32 scores must be
     identical to the oracle in both scoring modes."""
+    from lucene_spark.functions.analysis import analyze_text
     from lucene_spark.plans import query as Q
     rng = np.random.RandomState(23)
     vocab = sorted(oracle.postings, key=lambda t: -oracle.df(t))
     pool = vocab[:60]
+    # real adjacent bigrams from the corpus so phrase clauses can match
+    bigrams = []
+    for text in corpus.content.head(40):
+        toks = analyze_text(text)[0]
+        bigrams.extend(zip(toks, toks[1:]))
+    bigrams = sorted(set(bigrams))
 
     def term():
         t = pool[rng.randint(len(pool))]
@@ -245,19 +252,21 @@ def test_fuzzed_structured_queries_parity(searcher, oracle):
 
     def gen(depth):
         r = rng.rand()
-        if depth >= 2 or r < 0.35:
+        if depth >= 2 or r < 0.3:
             return term()
         kids = tuple(gen(depth + 1) for _ in range(rng.randint(2, 4)))
-        if r < 0.55:
+        if r < 0.5:
             msm = int(rng.randint(0, 2))
             return Q.Or(kids, min_should_match=msm)
-        if r < 0.7:
+        if r < 0.65:
             return Q.And(kids)
-        if r < 0.8:
+        if r < 0.75:
             return Q.DisMax(kids, float(rng.choice([0.0, 0.3])))
-        if r < 0.9:
+        if r < 0.85:
             ts = tuple(pool[rng.randint(len(pool))] for _ in range(2))
             return Q.Synonym(ts)
+        if r < 0.93:
+            return Q.Phrase(bigrams[rng.randint(len(bigrams))])
         return Q.Not(kids[0], kids[1])
 
     checked = 0
