@@ -110,6 +110,36 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    mod = _imp("operators.suggest")
+    Searcher = _imp("operators.search").Searcher
+    spark = _spark(args)
+    s = Searcher(spark, args.index)
+    if args.spell:
+        rows = mod.spell_suggest(s, args.prefix, k=args.k).collect()
+        for r in rows:
+            print(f"{r['term']:<24s} dist={r['distance']} df={r['df']}")
+    else:
+        rows = mod.suggest_prefix(s, args.prefix, k=args.k).collect()
+        for r in rows:
+            print(f"{r['term']:<24s} weight={r['weight']}")
+    return 0
+
+
+def cmd_mlt(args) -> int:
+    mod = _imp("operators.mlt")
+    Searcher = _imp("operators.search").Searcher
+    spark = _spark(args)
+    s = Searcher(spark, args.index)
+    docs = spark.read.parquet(args.docs)
+    res = mod.more_like_this(s, docs, args.doc_id, k=args.k,
+                             text_col=args.text_col)
+    for row in res.collect():
+        print(f"{row['rank']:3d}  doc={row['doc_id']:<12d} "
+              f"score={row['score']:.6f}")
+    return 0
+
+
 def cmd_check(args) -> int:
     check_index = _imp("operators.checkindex").check_index
     totals = check_index(args.index, snapshot_id=args.snapshot)
@@ -173,6 +203,24 @@ def main(argv=None) -> int:
     st.add_argument("--content-col", default="content")
     st.add_argument("--salt-buckets", type=int, default=16)
     st.set_defaults(fn=cmd_stats)
+
+    sg = sub.add_parser("suggest")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--prefix", required=True,
+                    help="prefix to complete (or word to correct w/ --spell)")
+    sg.add_argument("--k", type=int, default=10)
+    sg.add_argument("--spell", action="store_true",
+                    help="spell-correct instead of prefix completion")
+    sg.set_defaults(fn=cmd_suggest)
+
+    ml = sub.add_parser("mlt")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--docs", required=True,
+                    help="parquet path of the source table (stored fields)")
+    ml.add_argument("--doc-id", type=int, required=True, dest="doc_id")
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--text-col", default="text", dest="text_col")
+    ml.set_defaults(fn=cmd_mlt)
 
     c = sub.add_parser("check")
     c.add_argument("--index", required=True)
