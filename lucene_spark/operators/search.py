@@ -1206,3 +1206,91 @@ class Searcher:
         res = (pf.groupBy("seg_id").cogroup(self.norms.groupBy("seg_id"))
                .applyInPandas(seg_count, schema="hits long"))
         return int(res.agg(F.sum("hits")).collect()[0][0] or 0)
+
+
+class MultiSearcher(Searcher):
+    """Search several independent indexes as ONE (the reference's
+    composite ``index/MultiReader.java``: sub-readers searched together,
+    collection statistics aggregated across all of them, nothing copied
+    — contrast ``merge.add_indexes`` which imports files).
+
+    Sub-index segment ids are remapped to disjoint ranges at read time
+    (a cheap column expression — no data movement); global stats are the
+    sums over sub-indexes, and term stats union + re-aggregate (one tiny
+    job over pre-aggregated dictionary rows). Global doc_ids must be
+    disjoint across sub-indexes (MultiReader's docBase contract mapped
+    onto our global doc_id space; CheckIndex-style uniqueness applies).
+    """
+
+    def __init__(self, spark, index_dirs: list[str],
+                 similarity: Similarity | None = None):
+        import os
+        from collections import OrderedDict
+
+        from pyspark.sql import functions as F
+
+        from ..session import ensure_shipped
+        from .delete import load_deletes
+        ensure_shipped(spark)
+        if not index_dirs:
+            raise ValueError("MultiSearcher needs at least one index")
+        self.spark = spark
+        self.similarity = similarity or BM25Similarity()
+        self.index_dir = list(index_dirs)
+        self.catalog = None
+        self.snapshot = None
+        self.snapshots = []
+        post_parts, norm_parts, meta_parts, ts_parts = [], [], [], []
+        self.doc_count = 0
+        self.sum_ttf = 0
+        self.deletes = {}
+        offset = 0
+        for d in index_dirs:
+            cat = SnapshotCatalog(d)
+            snap = cat.load()
+            if snap is None:
+                raise ValueError(f"no snapshot in {d}")
+            self.snapshots.append(snap)
+            seg_dirs = [cat.segment_dir(s) for s in snap.seg_ids]
+            shift = (F.col("seg_id") + offset).cast("int")
+            post_parts.append(
+                spark.read.parquet(*[os.path.join(p, "postings.parquet")
+                                     for p in seg_dirs])
+                .withColumn("seg_id", shift))
+            norm_parts.append(
+                spark.read.parquet(*[os.path.join(p, "norms.parquet")
+                                     for p in seg_dirs])
+                .withColumn("seg_id", shift))
+            meta_parts.append(
+                spark.read.parquet(*[os.path.join(p, "doc_meta.parquet")
+                                     for p in seg_dirs])
+                .withColumn("seg_id", shift))
+            if snap.term_stats_path:
+                ts_parts.append(spark.read.parquet(snap.term_stats_path)
+                                .select("term", "df", "ttf"))
+            for s, ids in load_deletes(cat, snap).items():
+                self.deletes[int(s) + offset] = ids
+            self.doc_count += int(snap.field_stats["doc_count"])
+            self.sum_ttf += int(snap.field_stats["sum_total_term_freq"])
+            offset += (max(snap.seg_ids) + 1) if snap.seg_ids else 0
+
+        def _union(parts):
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            return df
+
+        self.postings = _union(post_parts)
+        self.norms = _union(norm_parts)
+        self.doc_meta = _union(meta_parts)
+        # global dictionary: df/ttf summed across sub-indexes
+        # (TermStates.build accumulates across ALL leaves)
+        self.term_stats = (_union(ts_parts)
+                           .groupBy("term")
+                           .agg(F.sum("df").alias("df"),
+                                F.sum("ttf").alias("ttf"))
+                           if ts_parts else None)
+        self._filter_cache = OrderedDict()
+        self._filter_uses = {}
+        self._filter_cache_max = 32
+        self.cache_hits = 0

@@ -126,3 +126,22 @@ def test_add_indexes(spark, corpus, oracle):
     totals = check_index(da)
     assert totals["num_docs"] == len(corpus)
     _assert_parity(Searcher(spark, da), oracle)
+
+
+def test_multi_searcher(spark, corpus, oracle):
+    """MultiReader role: two independent indexes searched as one with
+    aggregated global stats — rank/score-identical to an oracle over the
+    combined corpus, without copying any files."""
+    from lucene_spark.operators.search import MultiSearcher
+
+    half_a = corpus[corpus.doc_id < 150]
+    half_b = corpus[corpus.doc_id >= 150]
+    da = tempfile.mkdtemp(prefix="lucene_spark_mrA_")
+    db = tempfile.mkdtemp(prefix="lucene_spark_mrB_")
+    build_index(spark, spark.createDataFrame(half_a), da, num_segments=3)
+    build_index(spark, spark.createDataFrame(half_b), db, num_segments=2)
+    ms = MultiSearcher(spark, [da, db])
+    assert ms.doc_count == len(corpus)
+    _assert_parity(ms, oracle)
+    # count + dictionary probes work through the aggregated stats
+    assert ms.count("parse") == len(oracle.score(parse("parse")))
