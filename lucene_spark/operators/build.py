@@ -188,7 +188,7 @@ def _write_segment(catalog_root: str, seg_id: int, postings: pd.DataFrame,
 def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   stopwords: frozenset, store_positions: bool,
                   stemmer: str | None = None):
-    def build_one_segment(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
         tc = TaskContext.get()

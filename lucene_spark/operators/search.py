@@ -859,7 +859,7 @@ class Searcher:
         terms = sorted(set(_compiled_terms(compiled)))
         pf = self.postings.filter(F.col("term").isin(terms))
 
-        def seg_topk(key, postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
+        def seg_topk(key, postings_pdf, norms_pdf):
             if len(norms_pdf) == 0 or len(postings_pdf) == 0:
                 return pd.DataFrame(columns=["seg_id", "doc_id", "score", "seg_hits"])
             seg_id = int(key[0])
@@ -963,7 +963,7 @@ class Searcher:
         terms = sorted(set(_compiled_terms(compiled)))
         pf = self.postings.filter(F.col("term").isin(terms))
 
-        def seg_all(key, postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
+        def seg_all(key, postings_pdf, norms_pdf):
             if len(norms_pdf) == 0 or len(postings_pdf) == 0:
                 return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                      "score": pd.Series([], dtype="float32")})
@@ -1052,7 +1052,7 @@ class Searcher:
                 .select("query_id", "doc_id", "score", "rank")
         pf = self.postings.filter(F.col("term").isin(union_terms))
 
-        def seg_many(key, postings_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
+        def seg_many(key, postings_pdf, norms_pdf):
             empty = pd.DataFrame({"query_id": pd.Series([], dtype="object"),
                                   "doc_id": pd.Series([], dtype="int64"),
                                   "score": pd.Series([], dtype="float32")})
