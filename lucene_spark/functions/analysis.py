@@ -37,6 +37,19 @@ import pandas as pd
 TOKEN_PATTERN = r"\d[\w]*(?:[.,]\d[\w]*)*|[^\W\d][\w]*(?:'[\w]+)*"
 _TOKEN_RE = re.compile(TOKEN_PATTERN, re.UNICODE)
 
+#: the reference's core tokenizer family (``analysis/core/``):
+#: whitespace = maximal non-whitespace runs (WhitespaceTokenizer.java:73),
+#: letter = maximal letter runs (LetterTokenizer.java:60; SimpleAnalyzer
+#: = letter + lowercase), keyword = whole input as one token
+#: (KeywordTokenizer). Note: CharTokenizer SPLITS overlong tokens at 255
+#: chars; we apply the standard skip-and-count rule uniformly instead
+#: (documented divergence — irrelevant below 255-char tokens).
+TOKENIZERS = {
+    "standard": _TOKEN_RE,
+    "whitespace": re.compile(r"\S+", re.UNICODE),
+    "letter": re.compile(r"[^\W\d_]+", re.UNICODE),
+}
+
 MAX_TOKEN_LENGTH = 255  # reference StandardAnalyzer.java:37
 
 #: reference EnglishAnalyzer.java:43-52
@@ -57,7 +70,9 @@ __all__ = [
 def analyze_text(text: str,
                  stopwords: frozenset[str] = frozenset(),
                  max_token_length: int = MAX_TOKEN_LENGTH,
-                 stemmer: str | None = None):
+                 stemmer: str | None = None,
+                 tokenizer: str = "standard",
+                 lowercase: bool = True):
     """Single-string analyzer (test/oracle path).
 
     Returns (terms, positions, length): surviving lowercase terms, their
@@ -75,11 +90,15 @@ def analyze_text(text: str,
     terms: list[str] = []
     positions: list[int] = []
     pos = -1
-    for raw in _TOKEN_RE.findall(text):
+    if tokenizer == "keyword":
+        raws = [text] if text else []
+    else:
+        raws = TOKENIZERS[tokenizer].findall(text)
+    for raw in raws:
         pos += 1  # every tokenizer-emitted token consumes a position
         if len(raw) > max_token_length:
             continue  # skipped but counted (StandardTokenizer:156-166)
-        low = raw.lower()
+        low = raw.lower() if lowercase else raw
         if stemmer:
             low = strip_possessive(low)
         if low in stopwords:
@@ -92,7 +111,9 @@ def analyze_text(text: str,
 def analyze_batch(texts: pd.Series,
                   stopwords: frozenset[str] = frozenset(),
                   max_token_length: int = MAX_TOKEN_LENGTH,
-                  stemmer: str | None = None):
+                  stemmer: str | None = None,
+                  tokenizer: str = "standard",
+                  lowercase: bool = True):
     """Columnar analyzer for a batch of documents.
 
     Returns (doc_idx, terms, positions, lengths):
@@ -110,12 +131,18 @@ def analyze_batch(texts: pd.Series,
     # case-symmetric and ASCII lower() is length-preserving, so
     # LowerCaseFilter commutes with tokenization — lower per *document*
     # (one C call each) instead of per token (millions).
-    ascii_fast = all(s.isascii() for s in vals)
-    findall = _TOKEN_RE.findall
-    if ascii_fast:
-        tok_lists = [findall(s.lower()) for s in vals]
+    ascii_fast = lowercase and all(s.isascii() for s in vals)
+    if tokenizer == "keyword":
+        if ascii_fast:
+            tok_lists = [[s.lower()] if s else [] for s in vals]
+        else:
+            tok_lists = [[s] if s else [] for s in vals]
     else:
-        tok_lists = [findall(s) for s in vals]
+        findall = TOKENIZERS[tokenizer].findall
+        if ascii_fast:
+            tok_lists = [findall(s.lower()) for s in vals]
+        else:
+            tok_lists = [findall(s) for s in vals]
     counts = np.fromiter(map(len, tok_lists), np.int64, count=n_docs)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
     total = doc_idx.size
@@ -134,7 +161,7 @@ def analyze_batch(texts: pd.Series,
     # identical pre/post lower on the ASCII path
     keep = np.fromiter(map(len, flat), np.int64,
                        count=total) <= max_token_length
-    if not ascii_fast:
+    if lowercase and not ascii_fast:
         flat = pd.Series(flat).str.lower().to_numpy()
     if stemmer == "porter":
         # EnglishAnalyzer chain at VOCABULARY level: possessive strip →

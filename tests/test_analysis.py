@@ -100,3 +100,36 @@ def test_analyze_batch_non_ascii_fallback_matches_text():
         assert list(positions[sel]) == p, d
         assert lengths[i] == ln, d
     assert "münchen" in set(terms)
+
+
+def test_core_tokenizer_family():
+    """The reference's analysis/core family: whitespace (no lowercase =
+    WhitespaceAnalyzer), letter+lower (SimpleAnalyzer), keyword."""
+    import pandas as pd
+
+    from lucene_spark.functions.analysis import analyze_batch, analyze_text
+
+    text = "Foo-Bar  baz42 QUX's"
+    # WhitespaceAnalyzer: maximal non-whitespace runs, case preserved
+    t, p, ln = analyze_text(text, tokenizer="whitespace", lowercase=False)
+    assert t == ["Foo-Bar", "baz42", "QUX's"]
+    assert p == [0, 1, 2] and ln == 3
+    # SimpleAnalyzer: letter runs + lowercase (digits/punct break tokens)
+    t, p, ln = analyze_text(text, tokenizer="letter")
+    assert t == ["foo", "bar", "baz", "qux", "s"]
+    # KeywordAnalyzer: whole input, one token
+    t, p, ln = analyze_text(text, tokenizer="keyword", lowercase=False)
+    assert t == [text] and ln == 1
+    assert analyze_text("", tokenizer="keyword")[2] == 0
+    # batch path agrees with per-string path for every variant
+    docs = [text, "", "Ünïcode Tökens", "plain words here"]
+    for tok in ("whitespace", "letter", "keyword"):
+        for lc in (True, False):
+            di, tm, ps, ls = analyze_batch(pd.Series(docs), tokenizer=tok,
+                                           lowercase=lc)
+            for i, d in enumerate(docs):
+                tt, pp, lnn = analyze_text(d, tokenizer=tok, lowercase=lc)
+                sel = di == i
+                assert list(tm[sel]) == tt, (tok, lc, d)
+                assert list(ps[sel]) == pp, (tok, lc, d)
+                assert ls[i] == lnn, (tok, lc, d)
