@@ -145,3 +145,22 @@ def test_multi_searcher(spark, corpus, oracle):
     _assert_parity(ms, oracle)
     # count + dictionary probes work through the aggregated stats
     assert ms.count("parse") == len(oracle.score(parse("parse")))
+
+    # deletes in one sub-index mask through the composite (stale stats:
+    # surviving scores unchanged)
+    from lucene_spark.operators.delete import delete_by_term
+    half_a_ids = set(int(x) for x in half_a.doc_id)
+    del_term = next(t for t in ("flush", "scan", "codec", "emit", "parse")
+                    if set(oracle.score(parse(t))) & half_a_ids)
+    delete_by_term(spark, da, del_term)
+    gone = set(oracle.score(parse(del_term))) & half_a_ids
+    assert gone
+    ms2 = MultiSearcher(spark, [da, db])
+    got = [(r.doc_id, np.float32(r.score)) for r in
+           ms2.search("parse OR emit OR token", k=10).collect()]
+    want = [(d, np.float32(s)) for d, s in
+            oracle.top_k(parse("parse OR emit OR token"), k=10 + len(gone))
+            if d not in gone][:10]
+    assert got == want
+    assert ms2.count(del_term) == len(set(oracle.score(parse(del_term)))
+                                      - gone)
