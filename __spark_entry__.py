@@ -827,6 +827,15 @@ def _q_deleted_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
 
 
+def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNearQuery (unordered, slop=3) — greedy/minimal-window matcher
+    shared with the oracle; not SQL-expressible → rows-only check, float
+    parity pytest-gated (tests/test_spans.py)."""
+    s = _searcher(spark, sf_dir)
+    q = Q.SpanNear((T_COMMON, T_COMMON2), slop=3, in_order=False)
+    return _fmt_topk(s.search(q, k=10))
+
+
 def _q_fuzzy_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery default rewrite (TopTermsBlendedFreqScoringRewrite):
     blended df=max stats, per-term 1-ed/minlen float32 boosts, SHOULD
@@ -1002,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monitor_matches": _q_monitor,
         "dfr_term_top10": _q_dfr_term,
         "bm25_fuzzy_blended_top10": _q_fuzzy_blended,
+        "span_near_top10": _q_span_near,
         "suggest_prefix": _q_suggest_prefix,
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,

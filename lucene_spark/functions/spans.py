@@ -1,0 +1,97 @@
+"""Span proximity matching (SpanNearQuery role).
+
+Reference: ``lucene/queries/src/java/org/apache/lucene/queries/spans/``
+— ``SpanNearQuery`` matches documents where all clause terms occur
+within ``slop`` positions, ordered (``NearSpansOrdered``) or unordered
+(``NearSpansUnordered``), scored through the phrase machinery with
+``sloppyFreq = 1/(1 + matchLength)`` per match.
+
+Documented simplification (shared verbatim by the engine kernel and the
+python oracle, so differential tests are exact):
+
+* ordered   — greedy leftmost chains: take the current first-clause
+  occurrence, chain each later clause to its first position AFTER the
+  previous link, tighten the start forward, emit, then advance the
+  first-clause pointer past the used start (non-overlapping starts).
+* unordered — classic minimal-window sweep over the merged position
+  list: every left-minimal complete window is counted once.
+* matchLength = (window width) − (number of clauses); a window
+  contributes ``1/(1 + matchLength)`` when matchLength <= slop.
+* duplicate clause terms are not supported (the reference's repeat
+  handling in spans is out of scope).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def span_near_freq(pos_lists: list[np.ndarray], slop: int,
+                   in_order: bool) -> float:
+    """Accumulated sloppy frequency of SpanNear matches in one document.
+
+    ``pos_lists``: one sorted int array of positions per clause term.
+    """
+    n = len(pos_lists)
+    if n == 0 or any(len(p) == 0 for p in pos_lists):
+        return 0.0
+    if n == 1:
+        return float(len(pos_lists[0]))
+    freq = 0.0
+    if in_order:
+        first = pos_lists[0]
+        ptrs = [0] * n
+        i0 = 0
+        while i0 < len(first):
+            chain = [int(first[i0])]
+            dead = False
+            for j in range(1, n):
+                lst = pos_lists[j]
+                k = int(np.searchsorted(lst, chain[-1], side="right"))
+                if k >= len(lst):
+                    dead = True
+                    break
+                ptrs[j] = k
+                chain.append(int(lst[k]))
+            if dead:
+                break
+            # tighten the start: latest first-clause position still
+            # before the second link
+            while i0 + 1 < len(first) and int(first[i0 + 1]) < chain[1]:
+                i0 += 1
+            chain[0] = int(first[i0])
+            ml = (chain[-1] - chain[0] + 1) - n
+            if ml <= slop:
+                freq += 1.0 / (1.0 + ml)
+            i0 += 1
+        return freq
+    # unordered: minimal-window sweep over merged (position, clause)
+    merged = sorted((int(p), j) for j, lst in enumerate(pos_lists)
+                    for p in lst)
+    need = n
+    counts = [0] * n
+    left = 0
+    for right in range(len(merged)):
+        _, jr = merged[right]
+        if counts[jr] == 0:
+            need -= 1
+        counts[jr] += 1
+        if need:
+            continue
+        # shrink to the left-minimal complete window
+        while True:
+            pl, jl = merged[left]
+            if counts[jl] > 1:
+                counts[jl] -= 1
+                left += 1
+            else:
+                break
+        width = merged[right][0] - merged[left][0] + 1
+        ml = width - n
+        if ml <= slop:
+            freq += 1.0 / (1.0 + ml)
+        # drop the left element; window is no longer complete
+        counts[merged[left][1]] -= 1
+        need += 1
+        left += 1
+    return freq

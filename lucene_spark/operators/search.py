@@ -67,6 +67,14 @@ class CPhrase:
 
 
 @dataclass(frozen=True)
+class CSpanNear:
+    terms: tuple[str, ...]
+    weight: np.float32
+    slop: int = 0
+    in_order: bool = True
+
+
+@dataclass(frozen=True)
 class COr:
     children: tuple
     min_should_match: int = 0
@@ -181,6 +189,14 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                     "sloppy matching implemented for 2-term phrases")
             w = multi_weight([df_of(t) for t in node.terms])
             return CPhrase(tuple(node.terms), w, node.slop)
+        if isinstance(node, Q.SpanNear):
+            if len(set(node.terms)) != len(node.terms):
+                raise NotImplementedError(
+                    "SpanNear with duplicate clause terms")
+            if any(df_of(t) == 0 for t in node.terms):
+                return None
+            w = multi_weight([df_of(t) for t in node.terms])
+            return CSpanNear(tuple(node.terms), w, node.slop, node.in_order)
         if isinstance(node, _BlendedTerms):
             pairs = [(t, b) for t, b in zip(node.terms, node.boosts)
                      if df_of(t) > 0]
@@ -237,7 +253,7 @@ def _compiled_terms(c) -> list[str]:
         return []
     if isinstance(c, CTerm):
         return [c.term]
-    if isinstance(c, (CSynonym, CPhrase, CConstTerms)):
+    if isinstance(c, (CSynonym, CPhrase, CConstTerms, CSpanNear)):
         return list(c.terms)
     if isinstance(c, (COr, CAnd, CDisMax)):
         out = []
@@ -455,6 +471,15 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
                               node.weight, ctx.cache)
             scores[mask] = s.astype(np.float64)
         return mask, scores
+    if isinstance(node, CSpanNear):
+        freqs = _span_near_freqs(node, ctx, lo, hi)
+        mask = freqs > 0
+        if mask.any():
+            s = ctx.sim.score(freqs[mask].astype(np.float32),
+                              ctx.norms[lo:hi][mask],
+                              node.weight, ctx.cache)
+            scores[mask] = s.astype(np.float64)
+        return mask, scores
     if isinstance(node, CConstTerms):
         for t in node.terms:
             tp = ctx.tp(t)
@@ -583,6 +608,40 @@ def _sloppy_phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
         if found.any():
             np.add.at(freqs, d1[found] - lo,
                       1.0 / (1.0 + abs(delta)))
+    return freqs
+
+
+def _span_near_freqs(node: "CSpanNear", ctx: _SegContext,
+                     lo: int, hi: int) -> np.ndarray:
+    """SpanNear sloppy frequency per doc in [lo, hi): candidate docs are
+    the intersection of the clause terms' doc sets; each candidate runs
+    the shared greedy/minimal-window matcher (functions.spans) over its
+    per-term position lists. Candidates of an n-term conjunction are few
+    relative to the segment, so the per-doc python loop stays off the
+    hot path."""
+    from ..functions.spans import span_near_freq
+    n = hi - lo
+    freqs = np.zeros(n, dtype=np.float64)
+    tps = [ctx.tp(t) for t in node.terms]
+    if any(tp is None for tp in tps):
+        return freqs
+    pos_maps = []
+    common = None
+    for tp in tps:
+        ids, tfs = tp.decode_all()
+        pos = tp.positions()
+        bounds = np.concatenate(([0], np.cumsum(tfs)))
+        pmap = {int(d): pos[bounds[i]:bounds[i + 1]]
+                for i, d in enumerate(ids) if lo <= d < hi}
+        pos_maps.append(pmap)
+        common = set(pmap) if common is None else (common & set(pmap))
+        if not common:
+            return freqs
+    for d in common:
+        f = span_near_freq([m[d] for m in pos_maps], node.slop,
+                           node.in_order)
+        if f > 0:
+            freqs[d - lo] = f
     return freqs
 
 

@@ -22,7 +22,7 @@ from .functions.bm25 import (
 )
 from .functions.smallfloat import int_to_byte4
 from .plans.query import (And, DisMax, MultiTerm, Not, Or, Phrase, Query,
-                          Synonym, Term)
+                          SpanNear, Synonym, Term)
 
 
 def _levenshtein(a: str, b: str) -> int:
@@ -150,6 +150,31 @@ class OracleIndex:
                 out[d] = np.float32(w - w / (one + np.float32(freq) * inv))
         return out
 
+    def _span_near_scores(self, query: SpanNear, k1: float,
+                          b: float) -> dict[int, np.float32]:
+        """SpanNearQuery: shared greedy/minimal-window matcher
+        (functions.spans), idf-sum weight like phrases."""
+        from .functions.spans import span_near_freq
+        maps = [{d: np.asarray(sorted(pl), dtype=np.int64)
+                 for d, _, pl in self.postings.get(t, ())}
+                for t in query.terms]
+        if any(not m for m in maps):
+            return {}
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
+        cache = self._cache(k1, b)
+        w = idf_sum([self.df(t) for t in query.terms], self.doc_count)
+        one = np.float32(1.0)
+        out: dict[int, np.float32] = {}
+        for d in common:
+            f = span_near_freq([m[d] for m in maps], query.slop,
+                               query.in_order)
+            if f > 0:
+                inv = cache[self.norm_bytes[d]]
+                out[d] = np.float32(w - w / (one + np.float32(f) * inv))
+        return out
+
     def _phrase_scores(self, terms: list[str], k1: float, b: float) -> dict[int, np.float32]:
         """Exact phrase: all terms at consecutive positions; tf = match count;
         idf = sum of per-term idfs (reference PhraseWeight/idfExplain[])."""
@@ -189,6 +214,8 @@ class OracleIndex:
                 return self._sloppy_phrase_scores(list(query.terms),
                                                   query.slop, k1, b)
             return self._phrase_scores(list(query.terms), k1, b)
+        if isinstance(query, SpanNear):
+            return self._span_near_scores(query, k1, b)
         if isinstance(query, MultiTerm):
             import fnmatch
             terms = sorted(self.postings)

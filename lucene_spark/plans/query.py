@@ -52,6 +52,21 @@ class Phrase(Query):
 
 
 @dataclass(frozen=True)
+class SpanNear(Query):
+    """SpanNearQuery (reference ``queries/spans/SpanNearQuery.java``):
+    all clause terms within ``slop`` positions, ordered or not, scored
+    with sloppyFreq 1/(1+matchLength) per match (greedy/minimal-window
+    semantics documented in ``functions/spans.py``; duplicate clause
+    terms unsupported)."""
+    terms: tuple[str, ...]
+    slop: int = 0
+    in_order: bool = True
+
+    def scoring_terms(self):
+        return list(dict.fromkeys(self.terms))
+
+
+@dataclass(frozen=True)
 class Synonym(Query):
     """Multiple terms scored as one pseudo-term: df = max, ttf = sum
     (reference SynonymQuery.java:196-216)."""
