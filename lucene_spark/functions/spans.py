@@ -86,8 +86,9 @@ def span_near_freq(pos_lists: list[np.ndarray], slop: int,
                 left += 1
             else:
                 break
-        width = merged[right][0] - merged[left][0] + 1
-        ml = width - n
+        # clamp: distinct terms cannot share a position in a real index,
+        # but degenerate inputs must not divide by zero
+        ml = max(merged[right][0] - merged[left][0] + 1 - n, 0)
         if ml <= slop:
             freq += 1.0 / (1.0 + ml)
         # drop the left element; window is no longer complete

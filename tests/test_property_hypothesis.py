@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the pure kernels — the
+reference's randomized-testing backbone (LuceneTestCase/RandomizedRunner,
+SURVEY §5) mapped onto our codec/norm/analyzer invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_spark.functions import codec
+from lucene_spark.functions.analysis import analyze_text
+from lucene_spark.functions.smallfloat import byte4_to_int, int_to_byte4
+from lucene_spark.functions.spans import span_near_freq
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 1),
+                min_size=0, max_size=400))
+def test_vbyte_roundtrip(vals):
+    arr = np.asarray(vals, dtype=np.int64)
+    out = codec.vbyte_decode(codec.vbyte_encode(arr))
+    assert np.array_equal(out, arr)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 1),
+                min_size=128, max_size=128))
+def test_for_pack_roundtrip(vals):
+    arr = np.asarray(vals, dtype=np.uint32)
+    buf = codec.for_pack(arr)
+    out, off = codec.for_unpack(buf, 0)
+    assert off == len(buf)
+    assert np.array_equal(out.astype(np.uint32), arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_postings_roundtrip(data):
+    n_docs = data.draw(st.integers(min_value=1, max_value=600))
+    df = data.draw(st.integers(min_value=1, max_value=n_docs))
+    rng = np.random.RandomState(data.draw(st.integers(0, 2**31 - 1)))
+    ids = np.sort(rng.choice(n_docs, df, replace=False)).astype(np.int64)
+    tfs = rng.randint(1, 9, df).astype(np.int64)
+    pos = np.concatenate([np.sort(rng.choice(1000, int(t), replace=False))
+                          for t in tfs]).astype(np.int64)
+    norms = rng.randint(0, 256, n_docs).astype(np.uint8)
+    enc = codec.encode_postings(ids, tfs, pos, norms)
+    dec = codec.decode_postings(enc, with_positions=True)
+    assert np.array_equal(dec["doc_ids"], ids)
+    assert np.array_equal(dec["tfs"], tfs)
+    assert np.array_equal(dec["positions"], pos)
+    # impacts: every (tf, norm) posting is dominated by its block frontier
+    blocks = codec.decode_impacts(enc["impact_bytes"],
+                                  (df + codec.BLOCK_SIZE - 1)
+                                  // codec.BLOCK_SIZE)
+    for b, pairs in enumerate(blocks):
+        s, e = b * codec.BLOCK_SIZE, min((b + 1) * codec.BLOCK_SIZE, df)
+        for i in range(s, e):
+            tf_i, nm_i = int(tfs[i]), int(norms[ids[i]])
+            assert any(p[0] >= tf_i and p[1] <= nm_i for p in pairs)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_smallfloat_monotone_and_bounding(n):
+    b = int(int_to_byte4(np.array([n]))[0])
+    dec = int(byte4_to_int(np.array([b]))[0])
+    assert dec <= n                       # quantized length never exceeds
+    if n < 24:
+        assert dec == n                   # exact below the offset
+    b2 = int(int_to_byte4(np.array([n + 1]))[0])
+    assert b2 >= b                        # monotone encoding
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=300))
+def test_analyzer_invariants(text):
+    terms, positions, length = analyze_text(text)
+    assert len(terms) == len(positions) == length
+    assert all(t == t.lower() for t in terms)
+    assert positions == sorted(positions)
+    assert all(p >= 0 for p in positions)
+    # re-analysis of the joined terms is a fixpoint for token content
+    terms2, _, _ = analyze_text(" ".join(terms))
+    assert terms2 == terms
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_span_near_invariants(data):
+    n = data.draw(st.integers(2, 4))
+    lists = []
+    for _ in range(n):
+        ps = data.draw(st.lists(st.integers(0, 60), min_size=0,
+                                max_size=8, unique=True))
+        lists.append(np.asarray(sorted(ps), dtype=np.int64))
+    slop = data.draw(st.integers(0, 10))
+    fo = span_near_freq(lists, slop, True)
+    fu = span_near_freq(lists, slop, False)
+    assert fo >= 0 and fu >= 0
+    # wider slop never loses matches
+    assert span_near_freq(lists, slop + 5, True) >= fo
+    assert span_near_freq(lists, slop + 5, False) >= fu
+    if any(len(p) == 0 for p in lists):
+        assert fo == fu == 0.0
