@@ -580,16 +580,14 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TFIDF_SQL = _PRELUDE + f""",
-clw AS (SELECT CAST((w.idf * w.idf) AS FLOAT) AS w
-        FROM (SELECT (SELECT CAST(1 + ln(CAST(a.dc AS DOUBLE) /
-                                         (d.df + CAST(1.0 AS DOUBLE))) AS FLOAT)
-                      FROM dfs d, avgs a WHERE d.term = '{T_COMMON}') AS idf) w),
+clw AS (SELECT CAST(ln((CAST(a.dc AS DOUBLE) + 1) /
+                       (d.df + CAST(1.0 AS DOUBLE))) + 1 AS FLOAT) AS w
+        FROM dfs d, avgs a WHERE d.term = '{T_COMMON}'),
 clsc AS (
   SELECT f.doc_id,
-         (w.w * CAST(sqrt(CAST(f.tf AS FLOAT)) AS FLOAT)
-              * (CAST(1 AS FLOAT) /
-                 CAST(sqrt(CAST((SELECT max(v) FROM lut WHERE v <= d.dl)
-                                AS FLOAT)) AS FLOAT))) AS s
+         ((CAST(sqrt(CAST(f.tf AS DOUBLE)) AS FLOAT) * w.w)
+              * CAST(1.0 / sqrt(CAST((SELECT max(v) FROM lut WHERE v <= d.dl)
+                                     AS DOUBLE)) AS FLOAT)) AS s
   FROM tf f
   JOIN doclen d ON f.doc_id = d.doc_id
   CROSS JOIN clw w

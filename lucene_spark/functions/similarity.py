@@ -72,14 +72,15 @@ class BM25Similarity(Similarity):
 
 class ClassicSimilarity(Similarity):
     """Lucene's pre-BM25 TF-IDF (reference ``similarities/
-    ClassicSimilarity.java`` / ``TFIDFSimilarity.java``):
+    ClassicSimilarity.java:63-66`` / ``TFIDFSimilarity.java:482-522``):
 
-      idf   = 1 + ln(docCount / (df + 1))            (float32)
-      tf    = sqrt(freq)                             (float32)
-      norm  = 1 / sqrt(dl)  via the shared byte4 length table (the
-              reference encodes 1/sqrt(dl) lossily at index time; we decode
-              the same quantized dl and apply the same function)
-      score = boost * idf^2 * tf * norm              (float32 op order)
+      idf   = (float)(ln((docCount+1) / (df+1)) + 1)   (ClassicSimilarity.java:66)
+      tf    = (float)sqrt(freq)                        (double sqrt, float cast)
+      norm  = normTable[b] with normTable[i] = (float)(1/sqrt(byte4ToInt(i)))
+              and normTable[0] = 1/normTable[255]      (TFIDFSimilarity.java:482-488)
+      score = (tf * queryWeight) * norm, queryWeight = boost * idf applied
+              ONCE (TFIDFSimilarity.java:508,521-523 — the idf² in the class
+              javadoc is the conceptual queryNorm-era formula, not the code)
 
     Monotonic in tf and in the norm factor → block-max safe.
     """
@@ -89,19 +90,20 @@ class ClassicSimilarity(Similarity):
 
     def weight(self, df: int, doc_count: int, boost: float = 1.0,
                ttf: int = 0, sum_ttf: int = 0) -> np.float32:
-        idf = np.float32(1.0 + np.log(doc_count / (df + 1.0)))
-        return np.float32(np.float32(boost) * np.float32(idf * idf))
+        idf = np.float32(np.log((doc_count + 1) / (df + 1.0)) + 1.0)
+        return np.float32(np.float32(boost) * idf)
 
     def norm_cache(self, avgdl: np.float32) -> np.ndarray:
         with np.errstate(divide="ignore"):
-            inv = np.float32(1.0) / np.sqrt(LENGTH_TABLE, dtype=np.float32)
-        return np.where(np.isfinite(inv), inv, np.float32(0.0)) \
-                 .astype(np.float32)
+            inv = (1.0 / np.sqrt(LENGTH_TABLE.astype(np.float64))) \
+                .astype(np.float32)
+        inv[0] = np.float32(1.0) / inv[255]
+        return inv
 
     def score(self, tfs, norm_bytes, weight, cache) -> np.ndarray:
-        tf = np.sqrt(np.asarray(tfs, dtype=np.float32), dtype=np.float32)
+        tf = np.sqrt(np.asarray(tfs, dtype=np.float64)).astype(np.float32)
         inv = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
-        return (weight * tf * inv).astype(np.float32)
+        return ((tf * weight) * inv).astype(np.float32)
 
 
 class LMDirichletSimilarity(Similarity):

@@ -36,17 +36,29 @@ from .build import POSTINGS_COLUMNS, compute_term_stats
 
 
 def plan_merges(segments: list[dict], segs_per_tier: int = 10,
-                max_merge_at_once: int = 10) -> list[list[int]]:
+                max_merge_at_once: int = 10,
+                max_merged_docs: int | None = 50_000_000) -> list[list[int]]:
     """Driver-side TieredMergePolicy-lite: while the segment count exceeds
-    segs_per_tier, merge the ``max_merge_at_once`` smallest segments."""
+    segs_per_tier, merge the ``max_merge_at_once`` smallest segments.
+
+    ``max_merged_docs`` bounds the doc count of any single merge (the
+    reference's maxMergedSegmentMB role, ``TieredMergePolicy.java:60``):
+    a merge holds the merged norms/global-id arrays (~9-17 bytes/doc) on
+    the driver during commit, so an unbounded merge of a huge index would
+    route TBs through driver memory at 10^12-doc scale. ``None`` lifts it."""
     segs = sorted(segments, key=lambda s: (s["num_docs"], s["seg_id"]))
     merges = []
     while len(segs) > segs_per_tier:
-        batch = segs[:max_merge_at_once]
+        batch, docs = [], 0
+        while segs and len(batch) < max_merge_at_once:
+            nd = int(segs[0]["num_docs"])
+            if batch and max_merged_docs and docs + nd > max_merged_docs:
+                break
+            batch.append(segs.pop(0))
+            docs += nd
         if len(batch) < 2:
             break
         merges.append([s["seg_id"] for s in batch])
-        segs = segs[max_merge_at_once:]
     return merges
 
 
@@ -117,7 +129,13 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
         then re-encode ALL the partition's terms in one batched pass
         (``encode_postings_batch``) — the per-term Python/Arrow overhead of
         a term-keyed cogroup would dominate a merge otherwise."""
-        pdf = pd.concat(list(batches), ignore_index=True)
+        batches = list(batches)
+        if not batches:
+            # repartition(col) can leave empty partitions when
+            # shuffle.partitions > distinct terms and AQE coalescing is off
+            yield pd.DataFrame(columns=POSTINGS_COLUMNS)
+            return
+        pdf = pd.concat(batches, ignore_index=True)
         if len(pdf) == 0:
             yield pd.DataFrame(columns=POSTINGS_COLUMNS)
             return
@@ -315,8 +333,10 @@ def add_indexes(spark, dest_dir: str, src_dir: str):
     next_id = max(dsnap.seg_ids) + 1 if dsnap.seg_ids else 0
     new_segments = list(dsnap.segments)
     src_lineage = {s["seg_id"]: s for s in ssnap.segments}
+    id_map: dict[int, int] = {}
     for old_id in ssnap.seg_ids:
         new_id = next_id
+        id_map[old_id] = new_id
         next_id += 1
         sdir = src.segment_dir(old_id)
         tmp = os.path.join(dest_dir, "segments",
@@ -352,8 +372,21 @@ def add_indexes(spark, dest_dir: str, src_dir: str):
         "sum_total_term_freq": int(dsnap.field_stats["sum_total_term_freq"])
         + int(ssnap.field_stats["sum_total_term_freq"]),
     }
-    return dest.commit(new_segments, field_stats, ts_path,
-                       extra=dsnap.extra)
+    # preserve the source's live-docs: the reference's addIndexes(Directory)
+    # copies segments as-is INCLUDING their .liv files
+    # (IndexWriter.copySegmentAsIs), so imported tombstones must survive
+    # with seg ids remapped and union into the destination's delete set.
+    from .delete import load_deletes, write_tombstone_file
+    merged_deletes = load_deletes(dest, dsnap)
+    for old_id, ids in load_deletes(src, ssnap).items():
+        if old_id in id_map and len(ids):
+            merged_deletes[id_map[old_id]] = ids
+    extra = dict(dsnap.extra or {})
+    if merged_deletes:
+        rel, count = write_tombstone_file(dest, gen, merged_deletes)
+        extra["deletes"] = rel
+        extra["num_deleted"] = count
+    return dest.commit(new_segments, field_stats, ts_path, extra=extra)
 
 
 def maintain(spark, index_dir: str, segs_per_tier: int = 10,
@@ -371,11 +404,29 @@ def maintain(spark, index_dir: str, segs_per_tier: int = 10,
             snap = merge_segments(spark, index_dir, batch)
 
 
-def force_merge(spark, index_dir: str, max_segments: int = 1):
-    """IndexWriter.forceMerge(n) analogue (IndexWriter.java:2105)."""
+def force_merge(spark, index_dir: str, max_segments: int = 1,
+                max_merged_docs: int | None = 50_000_000):
+    """IndexWriter.forceMerge(n) analogue (IndexWriter.java:2105).
+
+    ``max_merged_docs`` caps the docs routed through any single merge op
+    (see plan_merges): forceMerge(1) over an unbounded index would
+    otherwise concatenate every segment's norms on the driver. With the
+    cap, the index converges to the fewest segments the cap allows; pass
+    ``None`` for the reference's literal (and equally discouraged)
+    merge-everything behavior."""
     catalog = SnapshotCatalog(index_dir)
     snap = catalog.load()
     while len(snap.seg_ids) > max_segments:
-        take = min(len(snap.seg_ids), 10)
-        snap = merge_segments(spark, index_dir, snap.seg_ids[:take])
+        sizes = {s["seg_id"]: int(s["num_docs"]) for s in snap.segments}
+        batch, docs = [], 0
+        for sid in sorted(snap.seg_ids, key=lambda i: (sizes[i], i)):
+            if len(batch) >= 10:
+                break
+            if batch and max_merged_docs and docs + sizes[sid] > max_merged_docs:
+                break   # ascending order: every later segment is larger
+            batch.append(sid)
+            docs += sizes[sid]
+        if len(batch) < 2:
+            break       # cannot shrink further under the cap
+        snap = merge_segments(spark, index_dir, batch)
     return snap

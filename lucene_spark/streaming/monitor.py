@@ -123,12 +123,20 @@ class Monitor:
     def start(self, source_stream_df, out_path: str, *,
               checkpoint_dir: str, id_col: str = "doc_id",
               text_col: str = "text", trigger_available_now: bool = True):
-        """Stream documents through the monitor; matches append to
-        ``out_path`` parquet per micro-batch (exactly-once via the
-        streaming checkpoint + idempotent append)."""
+        """Stream documents through the monitor; matches land in
+        ``out_path`` parquet partitioned by ``batch_id``. Exactly-once:
+        foreachBatch is at-least-once on retry, so each micro-batch
+        dynamically overwrites ONLY its own batch_id partition — a replay
+        rewrites the identical partition instead of appending duplicates."""
+        from pyspark.sql import functions as F
+
         def process_batch(batch_df, batch_id: int):
             (self.match_batch(batch_df, id_col, text_col)
-                 .write.mode("append").parquet(out_path))
+                 .withColumn("batch_id", F.lit(int(batch_id)))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id")
+                 .parquet(out_path))
 
         writer = (source_stream_df.writeStream
                   .foreachBatch(process_batch)

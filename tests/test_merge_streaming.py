@@ -128,6 +128,32 @@ def test_add_indexes(spark, corpus, oracle):
     _assert_parity(Searcher(spark, da), oracle)
 
 
+def test_add_indexes_preserves_deletes(spark, corpus, oracle):
+    """addIndexes must carry the source's live-docs (the reference copies
+    segments as-is INCLUDING .liv): docs deleted in the source stay
+    deleted after import, with seg ids remapped."""
+    from lucene_spark.operators.delete import delete_by_term
+    from lucene_spark.operators.merge import add_indexes
+
+    half_a = corpus[corpus.doc_id < 150]
+    half_b = corpus[corpus.doc_id >= 150]
+    da = tempfile.mkdtemp(prefix="lucene_spark_addDA_")
+    db = tempfile.mkdtemp(prefix="lucene_spark_addDB_")
+    build_index(spark, spark.createDataFrame(half_a), da, num_segments=2)
+    build_index(spark, spark.createDataFrame(half_b), db, num_segments=2)
+    deleted_b = {r.doc_id for r in
+                 Searcher(spark, db).search("codec", k=300).collect()}
+    live_a = {r.doc_id for r in
+              Searcher(spark, da).search("codec OR util", k=300).collect()}
+    assert deleted_b and live_a
+    delete_by_term(spark, db, "codec")      # tombstones in the SOURCE
+    add_indexes(spark, da, db)
+    hits = {r.doc_id for r in
+            Searcher(spark, da).search("codec OR util", k=300).collect()}
+    assert not (hits & deleted_b)
+    assert live_a <= hits
+
+
 def test_multi_searcher(spark, corpus, oracle):
     """MultiReader role: two independent indexes searched as one with
     aggregated global stats — rank/score-identical to an oracle over the
