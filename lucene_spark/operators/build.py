@@ -209,7 +209,7 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
 
 
 def compute_term_stats(spark, catalog: SnapshotCatalog, seg_ids: list[int],
-                       out_dir: str) -> str:
+                       out_dir: str, buckets: int | None = None) -> str:
     """Global term statistics: df/ttf aggregated across ALL segments —
     the reference gathers these once per query across leaves
     (``index/TermStates.java:184-190``); we precompute them as a table.
@@ -218,13 +218,23 @@ def compute_term_stats(spark, catalog: SnapshotCatalog, seg_ids: list[int],
     one row per (term, segment)), so a term's reduce-side group is bounded
     by the segment count — the map-side combine happened inside the segment
     kernel. No salting needed on this path.
-    """
+
+    Layout: the dictionary is written range-bucketed by term (``buckets``
+    sorted files, global term order across them) — every bucket keeps
+    term-sorted row groups, so point/prefix probes (suggest, spell, query
+    stats) still prune via parquet min/max, while the write parallelizes:
+    a single-reducer write would serialize the entire vocabulary through
+    one task (billions of terms at 10^12-doc scale). ``buckets`` defaults
+    to the segment count — vocabulary grows with corpus, so the file count
+    scales with it."""
     from pyspark.sql import functions as F
     paths = [os.path.join(catalog.segment_dir(s), "postings.parquet") for s in seg_ids]
     stats = (spark.read.parquet(*paths)
              .groupBy("term")
              .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf")))
-    (stats.repartition(1).sortWithinPartitions("term")
+    if buckets is None:
+        buckets = max(1, len(seg_ids))
+    (stats.repartitionByRange(buckets, "term").sortWithinPartitions("term")
      .write.mode("overwrite").parquet(out_dir))
     return out_dir
 

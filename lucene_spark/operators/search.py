@@ -510,6 +510,10 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
             m, s = _eval_range(child, ctx, lo, hi)
             mask = m if mask is None else (mask & m)
             scores += s
+            if not mask.any():
+                # conjunction already empty — skip remaining clauses
+                # (scores are zeroed below either way, so parity holds)
+                break
         scores[~mask] = 0.0
         return mask, _f32_boundary(scores, mask)
     if isinstance(node, CDisMax):
@@ -645,15 +649,26 @@ def _span_near_freqs(node: "CSpanNear", ctx: _SegContext,
     return freqs
 
 
-def _upper_bounds(node, ctx: _SegContext, n_windows: int, n_docs: int) -> np.ndarray:
-    """Per-window score upper bound from block-max impacts (float64 sum of
-    float32 per-term block maxima — a valid bound up to float rounding; the
-    collector applies a relative epsilon before trusting it)."""
+def _upper_bounds_cover(node, ctx: _SegContext,
+                        n_windows: int) -> tuple[np.ndarray, np.ndarray]:
+    """(per-window score upper bound, per-window coverage) from block-max
+    impacts. Bounds are float64 sums of float32 per-term block maxima — a
+    valid bound up to float rounding; the collector applies a relative
+    epsilon before trusting it.
+
+    Coverage marks windows where the node can match AT ALL: a term covers
+    the windows its blocks span; an OR covers the union; an AND covers the
+    INTERSECTION and zeroes its bound elsewhere — the rarest required
+    term gates the whole conjunction (the ConjunctionDISI lead-iterator
+    role, ``search/ConjunctionDISI.java:158``), so an AND of one rare and
+    one common term skips every window the rare term never reaches
+    instead of evaluating the common term's full range."""
     if isinstance(node, CTerm):
         ub = np.zeros(n_windows, dtype=np.float64)
+        cover = np.zeros(n_windows, dtype=bool)
         tp = ctx.tp(node.term)
         if tp is None or tp.n_blocks == 0:
-            return ub
+            return ub, cover
         bms = tp.block_max_scores(node.weight, ctx.cache,
                                   ctx.sim).astype(np.float64)
         starts = np.concatenate(([0], tp.block_last[:-1] + 1)) // WINDOW
@@ -662,13 +677,28 @@ def _upper_bounds(node, ctx: _SegContext, n_windows: int, n_docs: int) -> np.nda
             w0, w1 = int(starts[b]), int(ends[b])
             seg = ub[w0:w1 + 1]
             np.maximum(seg, bms[b], out=seg)
-        return ub
+            cover[w0:w1 + 1] = True
+        return ub, cover
     if isinstance(node, (COr, CAnd)):
         ub = np.zeros(n_windows, dtype=np.float64)
+        cover = None
         for child in node.children:
-            ub += _upper_bounds(child, ctx, n_windows, n_docs)
-        return ub
+            cub, ccov = _upper_bounds_cover(child, ctx, n_windows)
+            ub += cub
+            if isinstance(node, CAnd):
+                cover = ccov if cover is None else (cover & ccov)
+            else:
+                cover = ccov if cover is None else (cover | ccov)
+        if cover is None:
+            cover = np.zeros(n_windows, dtype=bool)
+        if isinstance(node, CAnd):
+            ub[~cover] = 0.0
+        return ub, cover
     raise TypeError(type(node))
+
+
+def _upper_bounds(node, ctx: _SegContext, n_windows: int, n_docs: int) -> np.ndarray:
+    return _upper_bounds_cover(node, ctx, n_windows)[0]
 
 
 def _live_mask(deletes: dict[int, np.ndarray] | None, seg_id: int,
@@ -818,7 +848,7 @@ class Searcher:
         self.deletes = load_deletes(self.catalog, snap)
         # LRUQueryCache role: match-set cache for repeated filter queries
         from collections import OrderedDict
-        self._filter_cache: "OrderedDict[str, list[int]]" = OrderedDict()
+        self._filter_cache: "OrderedDict[str, object]" = OrderedDict()  # key -> persisted DataFrame
         self._filter_uses: dict[str, int] = {}
         self._filter_cache_max = 32
         self.cache_hits = 0
@@ -955,7 +985,8 @@ class Searcher:
         ``like`` = SQL LIKE (PrefixQuery: ``'abc%'``), ``rlike`` = regex
         (WildcardQuery/RegexpQuery), ``fuzzy`` = (term, max_edits)
         (FuzzyQuery via Levenshtein). Expansion is capped at ``max_terms``
-        (the reference's maxClauseCount guard)."""
+        (the reference's maxClauseCount guard), deterministically: the
+        first ``max_terms`` in term order."""
         from pyspark.sql import functions as F
         tf = self.term_stats
         if like is not None:
@@ -963,22 +994,48 @@ class Searcher:
         if rlike is not None:
             tf = tf.filter(F.col("term").rlike(rlike))
         if fuzzy is not None:
-            base, max_edits = fuzzy
-            tf = tf.filter(F.levenshtein(F.col("term"), F.lit(base)) <= max_edits)
+            tf = self._fuzzy_candidates(*fuzzy)
         if between is not None:  # TermRangeQuery (inclusive bounds)
             tf = tf.filter(F.col("term").between(*between))
         return sorted(r["term"] for r in
-                      tf.select("term").limit(max_terms).collect())
+                      tf.select("term").orderBy("term")
+                        .limit(max_terms).collect())
 
-    def fuzzy_terms_with_boosts(self, base: str,
-                                max_edits: int = 2) -> list[tuple[str, float]]:
+    def _fuzzy_candidates(self, base: str, max_edits: int):
+        """Dictionary slice within ``max_edits`` of ``base`` — the
+        FuzzyTermsEnum role (``FuzzyTermsEnum.java``: the Levenshtein
+        automaton intersects only a slice of the term dict, never scanning
+        it all). Here the sargable length band
+        ``len(base)±max_edits`` prunes the scan before any edit-distance
+        work, and ``levenshtein(..., threshold)`` early-exits the DP.
+        Adds column ``_d`` (edit distance)."""
+        from pyspark.sql import functions as F
+        tf = self.term_stats.filter(
+            F.length("term").between(len(base) - max_edits,
+                                     len(base) + max_edits))
+        # threshold form returns -1 when the distance exceeds it
+        d = F.levenshtein(F.col("term"), F.lit(base), max_edits)
+        return tf.withColumn("_d", d).filter(F.col("_d") >= 0)
+
+    def fuzzy_terms_with_boosts(self, base: str, max_edits: int = 2,
+                                max_expansions: int = 50
+                                ) -> list[tuple[str, float]]:
         """Fuzzy expansion with FuzzyTermsEnum boosts: exact match → 1.0,
         else float32 ``1 - ed/min(len(term), len(base))``
-        (``FuzzyTermsEnum.java:248-255``). Sorted by term."""
+        (``FuzzyTermsEnum.java:248-255``). Capped at ``max_expansions``
+        best-boost terms (TopTermsBlendedFreqScoringRewrite's
+        maxExpansions=50, ``FuzzyQuery.java:57``), returned sorted by term.
+        """
         from pyspark.sql import functions as F
-        rows = (self.term_stats
-                .withColumn("_d", F.levenshtein(F.col("term"), F.lit(base)))
-                .filter(F.col("_d") <= max_edits)
+        rows = (self._fuzzy_candidates(base, max_edits)
+                .withColumn("_ml", F.least(F.length("term"),
+                                           F.lit(len(base))))
+                .withColumn("_boost",
+                            F.when(F.col("_d") == 0, F.lit(1.0))
+                             .otherwise(F.lit(1.0) - F.col("_d")
+                                        / F.col("_ml")))
+                .orderBy(F.desc("_boost"), F.asc("term"))
+                .limit(max_expansions)
                 .select("term", "_d").collect())
         out = []
         for r in sorted(rows, key=lambda r: r["term"]):
@@ -1054,24 +1111,30 @@ class Searcher:
         per-segment doc-id sets of FILTER clauses once a query recurs;
         ``search/LRUQueryCache.java``, ``UsageTrackingQueryCachingPolicy
         .java``). Safe because snapshots never mutate — delete/append
-        create new generations and new Searchers."""
+        create new generations and new Searchers.
+
+        The cached value is a persisted DataFrame (executor disk, like the
+        reference's per-segment cached BitSet living off-heap per reader) —
+        the match set NEVER routes through the driver, so a common-term
+        FILTER with millions of matches costs no driver memory; eviction
+        unpersists."""
+        from pyspark import StorageLevel
+
         key = repr(parse_query(query) if isinstance(query, str) else query)
         if use_cache:
             if key in self._filter_cache:
                 self._filter_cache.move_to_end(key)
                 self.cache_hits += 1
-                ids = self._filter_cache[key]
-                return self.spark.createDataFrame(
-                    [(int(i),) for i in ids], "doc_id long")
+                return self._filter_cache[key]
             self._filter_uses[key] = self._filter_uses.get(key, 0) + 1
         res = self.score_all(query).select("doc_id")
         if use_cache and self._filter_uses.get(key, 0) >= 2:
-            ids = sorted(r["doc_id"] for r in res.collect())
-            self._filter_cache[key] = ids
+            cached = res.persist(StorageLevel.DISK_ONLY)
+            self._filter_cache[key] = cached
             while len(self._filter_cache) > self._filter_cache_max:
-                self._filter_cache.popitem(last=False)
-            return self.spark.createDataFrame(
-                [(int(i),) for i in ids], "doc_id long")
+                _, old = self._filter_cache.popitem(last=False)
+                old.unpersist()
+            return cached
         return res
 
     def search_many(self, queries: dict[str, object], k: int = 10,
@@ -1229,10 +1292,12 @@ class Searcher:
                     desc = "sum of clause scores"
                 return {"match": bool(matched), "value": v,
                         "description": desc, "details": kids}
-            # phrases / synonyms / const-terms: report via full evaluation
-            sc = {r["doc_id"]: r["score"]
-                  for r in self.score_all(query).collect()}
-            return {"match": doc_id in sc, "value": sc.get(doc_id, 0.0),
+            # phrases / synonyms / const-terms: report via full evaluation,
+            # filtered to the one requested doc — never collect every match
+            row = (self.score_all(query)
+                   .filter(F.col("doc_id") == int(doc_id)).collect())
+            return {"match": bool(row),
+                    "value": float(row[0]["score"]) if row else 0.0,
                     "description": "evaluated by full scorer"}
 
         return go(compiled)
