@@ -233,20 +233,41 @@ phsc AS (
 )""" + _topk_sql("phsc", k))
 
 
-def _sloppy_phrase_sql(t1: str, t2: str, slop: int, k: int = 10) -> str:
-    """Windowed-delta sloppy phrase (see plans.query.Phrase docstring):
-    freq = Σ over (p1, p2) pairs within slop of 1/(1+matchLength)."""
+def _sloppy_phrase_sql(terms: tuple[str, ...], slop: int,
+                       k: int = 10) -> str:
+    """n-term minimal-interval sloppy phrase (see plans.query.Phrase):
+    clause j's positions offset-adjusted by -j; every minimal complete
+    window [L, R] — L = min_j max{a_j <= R} (left-minimal) and
+    R = max_j min{a_j >= L} (right-minimal) — with R - L <= slop
+    contributes 1/(1 + (R - L)) to the phrase frequency."""
+    n = len(terms)
+    ap_union = "\n       UNION ALL ".join(
+        f"SELECT doc_id, {j} AS cl, pos - {j} AS ap "
+        f"FROM tok WHERE term = '{t}'" for j, t in enumerate(terms))
+    w_sum = " + ".join(f"CAST(w{j}.w AS DOUBLE)" for j in range(n))
+    w_from = ", ".join(f"(SELECT {_w_expr(t)} AS w) w{j}"
+                       for j, t in enumerate(terms))
     return (_PRELUDE + f""",
-ph AS (SELECT p1.doc_id,
-              sum(CAST(1.0 AS DOUBLE) / (1 + abs(p2.pos - p1.pos - 1))) AS freq
-       FROM tok p1 JOIN tok p2
-         ON p1.doc_id = p2.doc_id
-        AND abs(p2.pos - p1.pos - 1) <= {slop}
-        AND p2.pos <> p1.pos
-       WHERE p1.term = '{t1}' AND p2.term = '{t2}'
-       GROUP BY 1),
-phw AS (SELECT CAST(CAST(w1.w AS DOUBLE) + CAST(w2.w AS DOUBLE) AS FLOAT) AS w
-        FROM (SELECT {_w_expr(t1)} AS w) w1, (SELECT {_w_expr(t2)} AS w) w2),
+ap AS ({ap_union}),
+rend AS (SELECT DISTINCT doc_id, ap AS r FROM ap),
+mj AS (SELECT r.doc_id, r.r, a.cl, max(a.ap) AS mx
+       FROM rend r JOIN ap a ON a.doc_id = r.doc_id AND a.ap <= r.r
+       GROUP BY 1, 2, 3),
+lofr AS (SELECT doc_id, r, min(mx) AS l FROM mj
+         GROUP BY 1, 2 HAVING count(*) = {n}),
+lcand AS (SELECT DISTINCT doc_id, l FROM lofr),
+mn AS (SELECT f.doc_id, f.l, a.cl, min(a.ap) AS mn
+       FROM lcand f JOIN ap a ON a.doc_id = f.doc_id AND a.ap >= f.l
+       GROUP BY 1, 2, 3),
+rofl AS (SELECT doc_id, l, max(mn) AS r2 FROM mn
+         GROUP BY 1, 2 HAVING count(*) = {n}),
+wins AS (SELECT DISTINCT f.doc_id, f.l, f.r
+         FROM lofr f JOIN rofl g
+           ON f.doc_id = g.doc_id AND f.l = g.l AND g.r2 = f.r
+         WHERE f.r - f.l <= {slop}),
+ph AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + (r - l))) AS freq
+       FROM wins GROUP BY 1),
+phw AS (SELECT CAST({w_sum} AS FLOAT) AS w FROM {w_from}),
 phsc AS (
   SELECT p.doc_id,
          (w.w - w.w / (CAST(1 AS FLOAT) + CAST(p.freq AS FLOAT) * c.inv)) AS s
@@ -979,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_top10": _search(Q.Phrase((PH_A, PH_B))),
         "bm25_sloppy_phrase_top10": _search(
             Q.Phrase((T_COMMON, T_COMMON2), slop=3)),
+        "bm25_sloppy3_top10": _search(
+            Q.Phrase((T_COMMON, T_COMMON2, T_THIRD), slop=4)),
         "bm25_dismax_top10": _search(
             Q.DisMax((Q.Term(T_COMMON), Q.Term(T_COMMON2)), 0.0)),
         "batch_search": _q_batch_search,
@@ -1056,7 +1079,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not_top10": _not_sql(T_COMMON, T_RARE),
         "bm25_synonym_top10": _synonym_sql(SYN_A, SYN_B),
         "bm25_phrase_top10": _phrase_sql(PH_A, PH_B),
-        "bm25_sloppy_phrase_top10": _sloppy_phrase_sql(T_COMMON, T_COMMON2, 3),
+        "bm25_sloppy_phrase_top10": _sloppy_phrase_sql((T_COMMON, T_COMMON2), 3),
+        "bm25_sloppy3_top10": _sloppy_phrase_sql(
+            (T_COMMON, T_COMMON2, T_THIRD), 4),
         "bm25_dismax_top10": _dismax_sql(T_COMMON, T_COMMON2),
         "tfidf_term_top10": _TFIDF_SQL,
         "batch_search": " UNION ALL ".join(

@@ -26,6 +26,55 @@ from __future__ import annotations
 import numpy as np
 
 
+def sloppy_phrase_freq(pos_lists: list[np.ndarray], slop: int) -> float:
+    """Accumulated sloppy frequency of an n-term sloppy phrase in one doc
+    (``SloppyPhraseMatcher.java:53`` role — minimal-interval semantics).
+
+    Clause ``j``'s positions are offset-adjusted by ``-j`` (the reference's
+    ``PhrasePositions.position = pos - offset``), then every minimal
+    complete window over the adjusted lists is counted once:
+    a window [L, R] is minimal iff it is complete (every clause present)
+    and shrinking from EITHER side breaks completeness —
+    ``L = min_j max{a_j <= R}`` and ``R = max_j min{a_j >= L}``
+    (equivalently: it contains no proper complete sub-window).
+    matchLength = R - L; a window contributes ``1/(1 + matchLength)``
+    when matchLength <= slop. Duplicate clause terms (the reference's
+    repeats machinery) are not supported.
+    """
+    n = len(pos_lists)
+    if n == 0 or any(len(p) == 0 for p in pos_lists):
+        return 0.0
+    adj = [np.asarray(p, dtype=np.int64) - j
+           for j, p in enumerate(pos_lists)]
+    if n == 1:
+        return float(len(adj[0]))
+    rs = np.unique(np.concatenate(adj))
+    # L(R) = min over clauses of the largest adjusted pos <= R
+    ok = np.ones(len(rs), dtype=bool)
+    lmat = np.empty((n, len(rs)), dtype=np.int64)
+    for j, a in enumerate(adj):
+        idx = np.searchsorted(a, rs, side="right") - 1
+        ok &= idx >= 0
+        lmat[j] = a[np.clip(idx, 0, len(a) - 1)]
+    rs_v, l_v = rs[ok], lmat.min(axis=0)[ok]
+    if len(rs_v) == 0:
+        return 0.0
+    # right-minimal check: R == max over clauses of smallest pos >= L
+    good = np.ones(len(rs_v), dtype=bool)
+    rmat = np.empty((n, len(rs_v)), dtype=np.int64)
+    for j, a in enumerate(adj):
+        idx = np.searchsorted(a, l_v, side="left")
+        good &= idx < len(a)
+        rmat[j] = a[np.clip(idx, 0, len(a) - 1)]
+    valid = good & (rmat.max(axis=0) == rs_v)
+    if not valid.any():
+        return 0.0
+    pairs = np.unique(np.stack([l_v[valid], rs_v[valid]], axis=1), axis=0)
+    ml = pairs[:, 1] - pairs[:, 0]
+    ml = ml[ml <= slop]
+    return float(np.sum(1.0 / (1.0 + ml)))
+
+
 def span_near_freq(pos_lists: list[np.ndarray], slop: int,
                    in_order: bool) -> float:
     """Accumulated sloppy frequency of SpanNear matches in one document.

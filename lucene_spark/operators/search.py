@@ -184,9 +184,9 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
         if isinstance(node, Q.Phrase):
             if any(df_of(t) == 0 for t in node.terms):
                 return None
-            if node.slop > 0 and len(node.terms) != 2:
+            if node.slop > 0 and len(set(node.terms)) != len(node.terms):
                 raise NotImplementedError(
-                    "sloppy matching implemented for 2-term phrases")
+                    "sloppy phrase with duplicate clause terms")
             w = multi_weight([df_of(t) for t in node.terms])
             return CPhrase(tuple(node.terms), w, node.slop)
         if isinstance(node, Q.SpanNear):
@@ -578,40 +578,35 @@ def _phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
 
 def _sloppy_phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
                          lo: int, hi: int, slop: int) -> np.ndarray:
-    """2-term sloppy phrase frequency per doc in [lo, hi): Σ over pairs
-    (p1, p2), p2 != p1, |p2 - (p1+1)| <= slop of 1/(1 + matchLength),
-    accumulated in float64. Vectorized as 2·slop+1 membership probes of
-    the second term's (doc, position) key set."""
+    """n-term sloppy phrase frequency per doc in [lo, hi): candidate docs
+    are the intersection of the clause terms' doc sets; each candidate
+    runs the shared minimal-interval matcher over offset-adjusted
+    position lists (functions.spans.sloppy_phrase_freq — the
+    SloppyPhraseMatcher.java:53 role). Candidates of an n-term
+    conjunction are few relative to the segment, so the per-doc python
+    loop stays off the hot path."""
+    from ..functions.spans import sloppy_phrase_freq
     n = hi - lo
     freqs = np.zeros(n, dtype=np.float64)
-    tp1, tp2 = ctx.tp(terms[0]), ctx.tp(terms[1])
-    if tp1 is None or tp2 is None:
+    tps = [ctx.tp(t) for t in terms]
+    if any(tp is None for tp in tps):
         return freqs
-    BIG = np.int64(1) << np.int64(32)
-
-    def doc_pos_keys(tp):
+    pos_maps = []
+    common = None
+    for tp in tps:
         ids, tfs = tp.decode_all()
         pos = tp.positions()
-        docs_rep = np.repeat(ids, tfs)
-        return docs_rep, pos, docs_rep * BIG + pos
-
-    d1, p1, k1 = doc_pos_keys(tp1)
-    sel = (d1 >= lo) & (d1 < hi)
-    d1, p1, k1 = d1[sel], p1[sel], k1[sel]
-    if len(k1) == 0:
-        return freqs
-    _, _, k2 = doc_pos_keys(tp2)
-    k2 = np.sort(k2)
-    for delta in range(-slop, slop + 1):
-        target = p1 + 1 + delta
-        valid = (target >= 0) & (target != p1)
-        probe = k1 + np.int64(1 + delta)
-        idx = np.searchsorted(k2, probe)
-        found = valid & (idx < len(k2)) & \
-            (k2[np.minimum(idx, len(k2) - 1)] == probe)
-        if found.any():
-            np.add.at(freqs, d1[found] - lo,
-                      1.0 / (1.0 + abs(delta)))
+        bounds = np.concatenate(([0], np.cumsum(tfs)))
+        pmap = {int(d): pos[bounds[i]:bounds[i + 1]]
+                for i, d in enumerate(ids) if lo <= d < hi}
+        pos_maps.append(pmap)
+        common = set(pmap) if common is None else (common & set(pmap))
+        if not common:
+            return freqs
+    for d in common:
+        f = sloppy_phrase_freq([m[d] for m in pos_maps], slop)
+        if f > 0:
+            freqs[d - lo] = f
     return freqs
 
 

@@ -128,23 +128,22 @@ class OracleIndex:
 
     def _sloppy_phrase_scores(self, terms: list[str], slop: int,
                               k1: float, b: float) -> dict[int, np.float32]:
-        """2-term sloppy phrase: Σ over pairs within slop of
-        1/(1+matchLength) (windowed-delta semantics, see plans.query.Phrase)."""
-        maps = [{d: sorted(pl) for d, _, pl in self.postings.get(t, ())}
+        """n-term sloppy phrase: shared minimal-interval matcher over
+        offset-adjusted positions (functions.spans.sloppy_phrase_freq,
+        the SloppyPhraseMatcher role), idf-sum weight."""
+        from .functions.spans import sloppy_phrase_freq
+        maps = [{d: np.asarray(sorted(pl), dtype=np.int64)
+                 for d, _, pl in self.postings.get(t, ())}
                 for t in terms]
-        common = set(maps[0]) & set(maps[1])
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
         cache = self._cache(k1, b)
         w = idf_sum([self.df(t) for t in terms], self.doc_count)
         one = np.float32(1.0)
         out: dict[int, np.float32] = {}
         for d in common:
-            pos2 = set(maps[1][d])
-            freq = 0.0
-            for p1 in maps[0][d]:
-                for delta in range(-slop, slop + 1):
-                    t2 = p1 + 1 + delta
-                    if t2 >= 0 and t2 != p1 and t2 in pos2:
-                        freq += 1.0 / (1.0 + abs(delta))
+            freq = sloppy_phrase_freq([m[d] for m in maps], slop)
             if freq > 0:
                 inv = cache[self.norm_bytes[d]]
                 out[d] = np.float32(w - w / (one + np.float32(freq) * inv))

@@ -36,14 +36,15 @@ class Term(Query):
 
 @dataclass(frozen=True)
 class Phrase(Query):
-    """Exact phrase when ``slop == 0``. With slop > 0 (2-term phrases
-    only), sloppy matching uses windowed-delta semantics: every pair of
-    occurrences (p1, p2) with ``|p2 - (p1+1)| <= slop`` and ``p2 != p1``
-    contributes ``1/(1+|p2-(p1+1)|)`` to the phrase frequency — the same
-    matchLength-weighted accumulation as the reference's
-    ``SloppyPhraseMatcher`` (reference ``search/SloppyPhraseMatcher.java``)
-    but over all pairs rather than Lucene's minimal-interval selection
-    (documented divergence; differential-tested against our own oracle)."""
+    """Exact phrase when ``slop == 0``. With slop > 0, any clause count:
+    minimal-interval sloppy matching over offset-adjusted positions —
+    every minimal complete window [L, R] (complete = all clauses present;
+    minimal = shrinking from either side breaks completeness) contributes
+    ``1/(1 + (R - L))`` when ``R - L <= slop``, matching the reference's
+    ``SloppyPhraseMatcher`` (``search/SloppyPhraseMatcher.java:53``)
+    minimal-interval accumulation; duplicate clause terms (the repeats
+    machinery) are unsupported (documented divergence;
+    differential-tested engine ≡ oracle ≡ DuckDB SQL)."""
     terms: tuple[str, ...]
     slop: int = 0
 

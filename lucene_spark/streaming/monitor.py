@@ -41,11 +41,11 @@ def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
     if isinstance(node, Q.Phrase):
         if any(t not in terms for t in node.terms):
             return False
-        if node.slop > 0 and len(node.terms) == 2:
-            p2 = set(positions[node.terms[1]])
-            return any((p1 + 1 + d) in p2 and (p1 + 1 + d) != p1
-                       for p1 in positions[node.terms[0]]
-                       for d in range(-node.slop, node.slop + 1))
+        if node.slop > 0:
+            from ..functions.spans import sloppy_phrase_freq
+            return sloppy_phrase_freq(
+                [np.asarray(positions[t], dtype=np.int64)
+                 for t in node.terms], node.slop) > 0
         base = set(positions[node.terms[0]])
         for i, t in enumerate(node.terms[1:], 1):
             base &= {p - i for p in positions[t]}

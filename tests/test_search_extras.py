@@ -134,12 +134,15 @@ def test_multiterm_parser_shapes():
 
 def test_sloppy_phrase_parity(searcher, oracle):
     from lucene_spark.plans.parser import parse
-    for slop in (1, 2, 4):
-        q = Q.Phrase(("parse", "emit"), slop=slop)
+    cases = ([Q.Phrase(("parse", "emit"), slop=s) for s in (1, 2, 4)]
+             + [Q.Phrase(("parse", "emit", "token"), slop=s)
+                for s in (2, 6)]
+             + [Q.Phrase(("codec", "util", "index", "merge"), slop=10)])
+    for q in cases:
         got = [(r["doc_id"], r["score"])
                for r in searcher.search(q, k=10).collect()]
         want = oracle.top_k(q, k=10)
-        assert [g[0] for g in got] == [w[0] for w in want], f"slop={slop}"
+        assert [g[0] for g in got] == [w[0] for w in want], q
         assert np.allclose([g[1] for g in got], [w[1] for w in want],
                            rtol=0, atol=0)
     # parser syntax: "a b"~2
