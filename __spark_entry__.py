@@ -275,6 +275,154 @@ phsc AS (
 )""" + _topk_sql("phsc", k))
 
 
+def _span_near_sql(terms: tuple[str, ...], slop: int, k: int = 10) -> str:
+    """Unordered SpanNear (NearSpansUnordered role) as SQL: every minimal
+    complete window [L, R] over the clauses' UNADJUSTED positions (same
+    double-minimality as the sloppy oracle — fuzz-verified equivalent to
+    the engine's sweep), matchLength = (R - L + 1) - n, contributing
+    1/(1 + matchLength) when matchLength <= slop; idf-sum weight."""
+    return (_PRELUDE + "," + _span_windows_cte(terms, slop) + """,
+sp AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+       FROM wins GROUP BY 1)""" + _span_score_sql("sp", tuple(terms), k))
+
+
+def _span_windows_cte(terms: tuple[str, ...], slop: int) -> str:
+    """Shared CTE chain producing ``wins(doc_id, l, r, ml)`` — the
+    unordered-SpanNear minimal windows (see _span_near_sql) filtered to
+    ml <= slop. Composable: span_not/span_or oracles build on it."""
+    n = len(terms)
+    ap_union = "\n       UNION ALL ".join(
+        f"SELECT doc_id, {j} AS cl, pos AS ap "
+        f"FROM tok WHERE term = '{t}'" for j, t in enumerate(terms))
+    return f"""
+ap AS ({ap_union}),
+rend AS (SELECT DISTINCT doc_id, ap AS r FROM ap),
+mj AS (SELECT r.doc_id, r.r, a.cl, max(a.ap) AS mx
+       FROM rend r JOIN ap a ON a.doc_id = r.doc_id AND a.ap <= r.r
+       GROUP BY 1, 2, 3),
+lofr AS (SELECT doc_id, r, min(mx) AS l FROM mj
+         GROUP BY 1, 2 HAVING count(*) = {n}),
+lcand AS (SELECT DISTINCT doc_id, l FROM lofr),
+mn AS (SELECT f.doc_id, f.l, a.cl, min(a.ap) AS mn
+       FROM lcand f JOIN ap a ON a.doc_id = f.doc_id AND a.ap >= f.l
+       GROUP BY 1, 2, 3),
+rofl AS (SELECT doc_id, l, max(mn) AS r2 FROM mn
+         GROUP BY 1, 2 HAVING count(*) = {n}),
+wins AS (SELECT * FROM (
+           SELECT DISTINCT f.doc_id, f.l, f.r,
+                  greatest(f.r - f.l + 1 - {n}, 0) AS ml
+           FROM lofr f JOIN rofl g
+             ON f.doc_id = g.doc_id AND f.l = g.l AND g.r2 = f.r)
+         WHERE ml <= {slop})"""
+
+
+def _span_score_sql(freq_cte: str, weight_terms: tuple[str, ...],
+                    k: int = 10) -> str:
+    """Score ``freq_cte(doc_id, freq)`` with idf-sum weight over
+    ``weight_terms`` and the shared BM25 kernel + top-k."""
+    n = len(weight_terms)
+    w_sum = " + ".join(f"CAST(w{j}.w AS DOUBLE)" for j in range(n))
+    w_from = ", ".join(f"(SELECT {_w_expr(t)} AS w) w{j}"
+                       for j, t in enumerate(weight_terms))
+    return f""",
+spw AS (SELECT CAST({w_sum} AS FLOAT) AS w FROM {w_from}),
+spsc AS (
+  SELECT p.doc_id,
+         (w.w - w.w / (CAST(1 AS FLOAT) + CAST(p.freq AS FLOAT) * c.inv)) AS s
+  FROM {freq_cte} p JOIN normcache c ON p.doc_id = c.doc_id
+  CROSS JOIN spw w
+)""" + _topk_sql("spsc", k)
+
+
+def _span_or_sql(term: str, near_terms: tuple[str, ...], slop: int,
+                 k: int = 10) -> str:
+    """SpanOr(SpanTerm(term), SpanNear(near_terms, unordered)):
+    freq = tf(term) + Σ 1/(1+ml) over near windows; idf-sum weight over
+    ALL clause terms (SpanOrQuery extractTermStates)."""
+    return (_PRELUDE + "," + _span_windows_cte(near_terms, slop) + f""",
+nearf AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+          FROM wins GROUP BY 1),
+termf AS (SELECT doc_id, CAST(tf AS DOUBLE) AS freq FROM tf
+          WHERE term = '{term}'),
+orf AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               coalesce(a.freq, 0) + coalesce(b.freq, 0) AS freq
+        FROM termf a FULL OUTER JOIN nearf b ON a.doc_id = b.doc_id)"""
+            + _span_score_sql("orf", (term,) + tuple(near_terms), k))
+
+
+def _span_not_sql(inc_terms: tuple[str, ...], slop: int, excl: str,
+                  k: int = 10) -> str:
+    """SpanNot(SpanNear(inc_terms, unordered), SpanTerm(excl)): include
+    windows [l, r] overlapping no excl position (l <= p <= r) are kept;
+    weight from the include side only (SpanNotQuery.java:117)."""
+    return (_PRELUDE + "," + _span_windows_cte(inc_terms, slop) + f""",
+kept AS (SELECT w.doc_id, w.ml FROM wins w
+         WHERE NOT EXISTS (SELECT 1 FROM tok e
+                           WHERE e.doc_id = w.doc_id AND e.term = '{excl}'
+                             AND e.pos BETWEEN w.l AND w.r)),
+keptf AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+          FROM kept GROUP BY 1)"""
+            + _span_score_sql("keptf", tuple(inc_terms), k))
+
+
+def _span_first_sql(term: str, end: int, k: int = 10) -> str:
+    """SpanFirst(SpanTerm(term), end): occurrences with pos + 1 <= end
+    (SpanFirstQuery.java:38-42), width 0 → freq = count."""
+    return (_PRELUDE + f""",
+firstf AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq
+           FROM tok WHERE term = '{term}' AND pos + 1 <= {end}
+           GROUP BY 1)"""
+            + _span_score_sql("firstf", (term,), k))
+
+
+def _highlight_sql(t1: str, t2: str, k: int = 5, window: int = 6) -> str:
+    """UnifiedHighlighter-role oracle: top-k hits of AND(t1, t2), then the
+    best ``window``-token passage per hit — candidates start at every
+    query-term position, best by (#distinct terms, #matches, earliest) —
+    with matched terms wrapped in <b></b>. Valid because documents.text is
+    single-space lowercase tokens, so the passage reconstruction is a
+    space-join of the window's tokens."""
+    inlist = f"('{t1}', '{t2}')"
+    return (_PRELUDE + ", " + _tscore_cte("ta", t1) + ", "
+            + _tscore_cte("tb", t2) + f""",
+andsc AS (
+  SELECT a.doc_id,
+         CAST(CAST(a.s AS DOUBLE) + CAST(b.s AS DOUBLE) AS FLOAT) AS s
+  FROM ta a JOIN tb b ON a.doc_id = b.doc_id),
+hits AS (SELECT doc_id, CAST(rank AS INT) AS rank FROM
+           (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC)
+                   AS rank FROM andsc)
+         WHERE rank <= {k}),
+ntok AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+starts AS (SELECT t.doc_id, t.pos AS s
+           FROM tok t JOIN hits h ON t.doc_id = h.doc_id
+           WHERE t.term IN {inlist}),
+cand AS (SELECT st.doc_id, st.s,
+                count(DISTINCT t.term) AS dm, count(*) AS tm
+         FROM starts st
+         JOIN ntok nt ON nt.doc_id = st.doc_id
+         JOIN tok t ON t.doc_id = st.doc_id
+              AND t.pos >= st.s AND t.pos < least(st.s + {window}, nt.n)
+              AND t.term IN {inlist}
+         GROUP BY 1, 2),
+best AS (SELECT doc_id, s FROM
+           (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY dm DESC, tm DESC, s ASC) AS rn FROM cand)
+         WHERE rn = 1),
+snip AS (SELECT b.doc_id,
+                string_agg(CASE WHEN t.term IN {inlist}
+                                THEN '<b>' || t.term || '</b>'
+                                ELSE t.term END, ' ' ORDER BY t.pos)
+                AS snippet
+         FROM best b
+         JOIN ntok nt ON nt.doc_id = b.doc_id
+         JOIN tok t ON t.doc_id = b.doc_id
+              AND t.pos >= b.s AND t.pos < least(b.s + {window}, nt.n)
+         GROUP BY 1)
+SELECT h.doc_id, h.rank, coalesce(sn.snippet, '') AS snippet
+FROM hits h LEFT JOIN snip sn ON sn.doc_id = h.doc_id""")
+
+
 def _dismax_sql(t1: str, t2: str, k: int = 10) -> str:
     return (_PRELUDE + ", " + _tscore_cte("ta", t1) + ", "
             + _tscore_cte("tb", t2) + f""",
@@ -855,6 +1003,32 @@ def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(q, k=10))
 
 
+def _q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanOrQuery: union of a term span and an unordered SpanNear —
+    every emitted span keeps its own width; idf-sum over all clause
+    terms. Hash-exact SQL oracle."""
+    s = _searcher(spark, sf_dir)
+    q = Q.SpanOr((Q.Term(T_COMMON),
+                  Q.SpanNear((T_A, T_B), slop=3, in_order=False)))
+    return _fmt_topk(s.search(q, k=10))
+
+
+def _q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNotQuery: unordered-near include spans minus any overlapping
+    exclude-term occurrence; weight from the include side only."""
+    s = _searcher(spark, sf_dir)
+    q = Q.SpanNot(Q.SpanNear((T_COMMON, T_COMMON2), slop=3,
+                             in_order=False),
+                  Q.Term(T_THIRD))
+    return _fmt_topk(s.search(q, k=10))
+
+
+def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanFirstQuery: term occurrences ending at position <= 20."""
+    s = _searcher(spark, sf_dir)
+    return _fmt_topk(s.search(Q.SpanFirst(Q.Term(T_COMMON), 20), k=10))
+
+
 def _q_fuzzy_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery default rewrite (TopTermsBlendedFreqScoringRewrite):
     blended df=max stats, per-term 1-ed/minlen float32 boosts, SHOULD
@@ -1033,6 +1207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_term_top10": _q_dfr_term,
         "bm25_fuzzy_blended_top10": _q_fuzzy_blended,
         "span_near_top10": _q_span_near,
+        "span_or_top10": _q_span_or,
+        "span_not_top10": _q_span_not,
+        "span_first_top10": _q_span_first,
         "suggest_prefix": _q_suggest_prefix,
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,
@@ -1083,6 +1260,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_sloppy3_top10": _sloppy_phrase_sql(
             (T_COMMON, T_COMMON2, T_THIRD), 4),
         "bm25_dismax_top10": _dismax_sql(T_COMMON, T_COMMON2),
+        "span_near_top10": _span_near_sql((T_COMMON, T_COMMON2), 3),
+        "span_or_top10": _span_or_sql(T_COMMON, (T_A, T_B), 3),
+        "span_not_top10": _span_not_sql((T_COMMON, T_COMMON2), 3, T_THIRD),
+        "span_first_top10": _span_first_sql(T_COMMON, 20),
+        "highlight_top5": _highlight_sql(T_COMMON, T_COMMON2, k=5, window=6),
         "tfidf_term_top10": _TFIDF_SQL,
         "batch_search": " UNION ALL ".join(
             f"SELECT '{qid}' AS query_id, * FROM ({sql})"

@@ -75,21 +75,31 @@ def sloppy_phrase_freq(pos_lists: list[np.ndarray], slop: int) -> float:
     return float(np.sum(1.0 / (1.0 + ml)))
 
 
-def span_near_freq(pos_lists: list[np.ndarray], slop: int,
-                   in_order: bool) -> float:
-    """Accumulated sloppy frequency of SpanNear matches in one document.
+_EMPTY_SPANS = np.empty((0, 3), dtype=np.int64)
 
-    ``pos_lists``: one sorted int array of positions per clause term.
-    """
+
+def term_spans(positions) -> np.ndarray:
+    """(start, end, width) triples of one term's occurrences (TermSpans
+    role: span [p, p+1), width 0 — ``TermSpans.java:107``)."""
+    p = np.asarray(positions, dtype=np.int64)
+    if len(p) == 0:
+        return _EMPTY_SPANS
+    return np.stack([p, p + 1, np.zeros(len(p), dtype=np.int64)], axis=1)
+
+
+def near_spans(pos_lists: list[np.ndarray], slop: int,
+               in_order: bool) -> np.ndarray:
+    """(start, end, width) triples of SpanNear matches in one document —
+    the emission points of the matchers documented above; ``end`` is
+    last-matched-position + 1, ``width`` the matchLength."""
     n = len(pos_lists)
     if n == 0 or any(len(p) == 0 for p in pos_lists):
-        return 0.0
+        return _EMPTY_SPANS
     if n == 1:
-        return float(len(pos_lists[0]))
-    freq = 0.0
+        return term_spans(pos_lists[0])
+    out: list[tuple[int, int, int]] = []
     if in_order:
         first = pos_lists[0]
-        ptrs = [0] * n
         i0 = 0
         while i0 < len(first):
             chain = [int(first[i0])]
@@ -100,7 +110,6 @@ def span_near_freq(pos_lists: list[np.ndarray], slop: int,
                 if k >= len(lst):
                     dead = True
                     break
-                ptrs[j] = k
                 chain.append(int(lst[k]))
             if dead:
                 break
@@ -111,37 +120,139 @@ def span_near_freq(pos_lists: list[np.ndarray], slop: int,
             chain[0] = int(first[i0])
             ml = (chain[-1] - chain[0] + 1) - n
             if ml <= slop:
-                freq += 1.0 / (1.0 + ml)
+                out.append((chain[0], chain[-1] + 1, ml))
             i0 += 1
-        return freq
-    # unordered: minimal-window sweep over merged (position, clause)
-    merged = sorted((int(p), j) for j, lst in enumerate(pos_lists)
-                    for p in lst)
-    need = n
-    counts = [0] * n
-    left = 0
-    for right in range(len(merged)):
-        _, jr = merged[right]
-        if counts[jr] == 0:
-            need -= 1
-        counts[jr] += 1
-        if need:
-            continue
-        # shrink to the left-minimal complete window
-        while True:
-            pl, jl = merged[left]
-            if counts[jl] > 1:
-                counts[jl] -= 1
-                left += 1
-            else:
-                break
-        # clamp: distinct terms cannot share a position in a real index,
-        # but degenerate inputs must not divide by zero
-        ml = max(merged[right][0] - merged[left][0] + 1 - n, 0)
-        if ml <= slop:
-            freq += 1.0 / (1.0 + ml)
-        # drop the left element; window is no longer complete
-        counts[merged[left][1]] -= 1
-        need += 1
-        left += 1
-    return freq
+    else:
+        # unordered: minimal-window sweep over merged (position, clause)
+        merged = sorted((int(p), j) for j, lst in enumerate(pos_lists)
+                        for p in lst)
+        need = n
+        counts = [0] * n
+        left = 0
+        for right in range(len(merged)):
+            _, jr = merged[right]
+            if counts[jr] == 0:
+                need -= 1
+            counts[jr] += 1
+            if need:
+                continue
+            # shrink to the left-minimal complete window
+            while True:
+                pl, jl = merged[left]
+                if counts[jl] > 1:
+                    counts[jl] -= 1
+                    left += 1
+                else:
+                    break
+            # clamp: distinct terms cannot share a position in a real
+            # index, but degenerate inputs must not divide by zero
+            ml = max(merged[right][0] - merged[left][0] + 1 - n, 0)
+            if ml <= slop:
+                out.append((merged[left][0], merged[right][0] + 1, ml))
+            # drop the left element; window is no longer complete
+            counts[merged[left][1]] -= 1
+            need += 1
+            left += 1
+    if not out:
+        return _EMPTY_SPANS
+    return np.asarray(out, dtype=np.int64).reshape(-1, 3)
+
+
+def or_spans(span_lists: list[np.ndarray]) -> np.ndarray:
+    """Union of clause span streams, (start, end) ordered
+    (SpanOrQuery's SpanDisiPriorityQueue merge role)."""
+    parts = [s for s in span_lists if len(s)]
+    if not parts:
+        return _EMPTY_SPANS
+    allsp = np.concatenate(parts)
+    order = np.lexsort((allsp[:, 1], allsp[:, 0]))
+    return allsp[order]
+
+
+def not_spans(include: np.ndarray, exclude: np.ndarray) -> np.ndarray:
+    """Spans of ``include`` that do not overlap any ``exclude`` span
+    (SpanNotQuery with pre = post = 0): [s,e) overlaps [s2,e2) iff
+    s < e2 and s2 < e."""
+    if len(include) == 0 or len(exclude) == 0:
+        return include
+    starts = np.sort(exclude[:, 0])
+    # prefix max of ends in start order
+    order = np.argsort(exclude[:, 0], kind="mergesort")
+    ends_sorted = exclude[order, 1]
+    pmax = np.maximum.accumulate(ends_sorted)
+    # candidates: exclude spans with start < include end
+    idx = np.searchsorted(starts, include[:, 1], side="left")
+    has_overlap = (idx > 0) & (pmax[np.maximum(idx - 1, 0)] > include[:, 0])
+    return include[~has_overlap]
+
+
+def first_spans(spans: np.ndarray, end: int) -> np.ndarray:
+    """Spans ending at position <= ``end`` (SpanFirstQuery.java:38-42)."""
+    if len(spans) == 0:
+        return spans
+    return spans[spans[:, 1] <= end]
+
+
+def spans_freq(spans: np.ndarray) -> float:
+    """SpanScorer freq accumulation: Σ 1/(1 + width) over emitted spans
+    (``SpanScorer.java:106``)."""
+    if len(spans) == 0:
+        return 0.0
+    return float(np.sum(1.0 / (1.0 + spans[:, 2].astype(np.float64))))
+
+
+def eval_span_tree(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
+    """Evaluate a compiled span tree against one document's
+    term → sorted-positions map. Tree grammar (nested tuples):
+
+      ("term", t) | ("near", terms, slop, in_order)
+      | ("or", (child, ...)) | ("not", include, exclude)
+      | ("first", child, end)
+    """
+    kind = tree[0]
+    if kind == "term":
+        return term_spans(pmap.get(tree[1], ()))
+    if kind == "near":
+        return near_spans([pmap.get(t, np.empty(0, np.int64))
+                           for t in tree[1]], tree[2], tree[3])
+    if kind == "or":
+        return or_spans([eval_span_tree(c, pmap) for c in tree[1]])
+    if kind == "not":
+        return not_spans(eval_span_tree(tree[1], pmap),
+                         eval_span_tree(tree[2], pmap))
+    if kind == "first":
+        return first_spans(eval_span_tree(tree[1], pmap), tree[2])
+    raise TypeError(f"unknown span tree node {tree!r}")
+
+
+def span_tree_terms(tree, positive_only: bool = False) -> list[str]:
+    """Leaf terms of a span tree; ``positive_only`` drops exclude sides
+    (the reference builds the similarity weight from include termStates
+    only, ``SpanNotQuery.java:117``)."""
+    kind = tree[0]
+    if kind == "term":
+        return [tree[1]]
+    if kind == "near":
+        return list(tree[1])
+    if kind == "or":
+        out = []
+        for c in tree[1]:
+            out.extend(span_tree_terms(c, positive_only))
+        return out
+    if kind == "not":
+        inc = span_tree_terms(tree[1], positive_only)
+        if positive_only:
+            return inc
+        return inc + span_tree_terms(tree[2], positive_only)
+    if kind == "first":
+        return span_tree_terms(tree[1], positive_only)
+    raise TypeError(f"unknown span tree node {tree!r}")
+
+
+def span_near_freq(pos_lists: list[np.ndarray], slop: int,
+                   in_order: bool) -> float:
+    """Accumulated sloppy frequency of SpanNear matches in one document.
+
+    ``pos_lists``: one sorted int array of positions per clause term.
+    """
+    return spans_freq(near_spans(pos_lists, slop, in_order))

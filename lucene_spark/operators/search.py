@@ -75,6 +75,17 @@ class CSpanNear:
 
 
 @dataclass(frozen=True)
+class CSpanTree:
+    """Compiled span-algebra query (SpanOr/SpanNot/SpanFirst over term
+    and near leaves): ``tree`` is the nested-tuple grammar of
+    ``functions.spans.eval_span_tree``; ``weight`` is the idf-sum over the
+    POSITIVE leaf terms (exclude sides contribute no stats, matching
+    ``SpanNotQuery.java:117``)."""
+    tree: tuple
+    weight: np.float32
+
+
+@dataclass(frozen=True)
 class COr:
     children: tuple
     min_should_match: int = 0
@@ -197,6 +208,15 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                 return None
             w = multi_weight([df_of(t) for t in node.terms])
             return CSpanNear(tuple(node.terms), w, node.slop, node.in_order)
+        if isinstance(node, (Q.SpanOr, Q.SpanNot, Q.SpanFirst)):
+            from ..functions.spans import span_tree_terms
+            tree = _span_tree(node)
+            pos = [t for t in
+                   dict.fromkeys(span_tree_terms(tree, positive_only=True))
+                   if df_of(t) > 0]
+            if not pos:
+                return None
+            return CSpanTree(tree, multi_weight([df_of(t) for t in pos]))
         if isinstance(node, _BlendedTerms):
             pairs = [(t, b) for t, b in zip(node.terms, node.boosts)
                      if df_of(t) > 0]
@@ -248,6 +268,27 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
     return go(q)
 
 
+def _span_tree(node) -> tuple:
+    """Plan span node → nested-tuple grammar of eval_span_tree."""
+    if isinstance(node, Q.Term):
+        return ("term", node.term)
+    if isinstance(node, str):
+        return ("term", node)
+    if isinstance(node, Q.SpanNear):
+        if len(set(node.terms)) != len(node.terms):
+            raise NotImplementedError("SpanNear with duplicate clause terms")
+        return ("near", tuple(node.terms), node.slop, node.in_order)
+    if isinstance(node, _ResolvedMultiTerm):
+        return ("or", tuple(("term", t) for t in node.terms))
+    if isinstance(node, Q.SpanOr):
+        return ("or", tuple(_span_tree(c) for c in node.clauses))
+    if isinstance(node, Q.SpanNot):
+        return ("not", _span_tree(node.include), _span_tree(node.exclude))
+    if isinstance(node, Q.SpanFirst):
+        return ("first", _span_tree(node.match), int(node.end))
+    raise TypeError(f"not a span clause: {type(node)}")
+
+
 def _compiled_terms(c) -> list[str]:
     if c is None:
         return []
@@ -255,6 +296,9 @@ def _compiled_terms(c) -> list[str]:
         return [c.term]
     if isinstance(c, (CSynonym, CPhrase, CConstTerms, CSpanNear)):
         return list(c.terms)
+    if isinstance(c, CSpanTree):
+        from ..functions.spans import span_tree_terms
+        return list(dict.fromkeys(span_tree_terms(c.tree)))
     if isinstance(c, (COr, CAnd, CDisMax)):
         out = []
         for k in c.children:
@@ -480,6 +524,15 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
                               node.weight, ctx.cache)
             scores[mask] = s.astype(np.float64)
         return mask, scores
+    if isinstance(node, CSpanTree):
+        freqs = _span_tree_freqs(node, ctx, lo, hi)
+        mask = freqs > 0
+        if mask.any():
+            s = ctx.sim.score(freqs[mask].astype(np.float32),
+                              ctx.norms[lo:hi][mask],
+                              node.weight, ctx.cache)
+            scores[mask] = s.astype(np.float64)
+        return mask, scores
     if isinstance(node, CConstTerms):
         for t in node.terms:
             tp = ctx.tp(t)
@@ -639,6 +692,61 @@ def _span_near_freqs(node: "CSpanNear", ctx: _SegContext,
     for d in common:
         f = span_near_freq([m[d] for m in pos_maps], node.slop,
                            node.in_order)
+        if f > 0:
+            freqs[d - lo] = f
+    return freqs
+
+
+def _span_tree_freqs(node: "CSpanTree", ctx: _SegContext,
+                     lo: int, hi: int) -> np.ndarray:
+    """Span-algebra sloppy frequency per doc in [lo, hi): per-term
+    position maps are materialized once, candidate docs follow the tree's
+    own algebra (near = intersection, or = union, not/first = the
+    positive side), and each candidate runs the shared span evaluator
+    (functions.spans.eval_span_tree)."""
+    from ..functions.spans import eval_span_tree, span_tree_terms, spans_freq
+    n = hi - lo
+    freqs = np.zeros(n, dtype=np.float64)
+    terms = list(dict.fromkeys(span_tree_terms(node.tree)))
+    pmaps: dict[str, dict[int, np.ndarray]] = {}
+    for t in terms:
+        tp = ctx.tp(t)
+        if tp is None:
+            pmaps[t] = {}
+            continue
+        ids, tfs = tp.decode_all()
+        pos = tp.positions()
+        bounds = np.concatenate(([0], np.cumsum(tfs)))
+        pmaps[t] = {int(d): pos[bounds[i]:bounds[i + 1]]
+                    for i, d in enumerate(ids) if lo <= d < hi}
+
+    def cand(tree) -> set:
+        kind = tree[0]
+        if kind == "term":
+            return set(pmaps.get(tree[1], {}))
+        if kind == "near":
+            out = None
+            for t in tree[1]:
+                s = set(pmaps.get(t, {}))
+                out = s if out is None else (out & s)
+                if not out:
+                    return out
+            return out or set()
+        if kind == "or":
+            out: set = set()
+            for c in tree[1]:
+                out |= cand(c)
+            return out
+        if kind == "not":
+            return cand(tree[1])
+        if kind == "first":
+            return cand(tree[1])
+        raise TypeError(tree)
+
+    empty = np.empty(0, np.int64)
+    for d in cand(node.tree):
+        pmap = {t: pmaps[t].get(d, empty) for t in terms}
+        f = spans_freq(eval_span_tree(node.tree, pmap))
         if f > 0:
             freqs[d - lo] = f
     return freqs
@@ -908,6 +1016,20 @@ class Searcher:
                             q.tie_breaker)
         if isinstance(q, Q.Not):
             return Q.Not(self._resolve(q.positive), self._resolve(q.negative))
+        if isinstance(q, Q.SpanMultiTermWrapper):
+            # SpanMultiTermQueryWrapper: dictionary expansion → SpanOr of
+            # term spans (reference SpanMultiTermQueryWrapper.java rewrite)
+            expanded = self._resolve(q.query)
+            if isinstance(expanded, _ResolvedMultiTerm):
+                return Q.SpanOr(tuple(Q.Term(t) for t in expanded.terms))
+            return Q.SpanOr(tuple(Q.Term(t) for t in expanded.all_terms()))
+        if isinstance(q, Q.SpanOr):
+            return Q.SpanOr(tuple(self._resolve(c) for c in q.clauses))
+        if isinstance(q, Q.SpanNot):
+            return Q.SpanNot(self._resolve(q.include),
+                             self._resolve(q.exclude))
+        if isinstance(q, Q.SpanFirst):
+            return Q.SpanFirst(self._resolve(q.match), q.end)
         return q
 
     def _compile(self, query):

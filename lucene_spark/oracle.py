@@ -22,7 +22,8 @@ from .functions.bm25 import (
 )
 from .functions.smallfloat import int_to_byte4
 from .plans.query import (And, DisMax, MultiTerm, Not, Or, Phrase, Query,
-                          SpanNear, Synonym, Term)
+                          SpanFirst, SpanMultiTermWrapper, SpanNear, SpanNot,
+                          SpanOr, Synonym, Term)
 
 
 def _levenshtein(a: str, b: str) -> int:
@@ -174,6 +175,72 @@ class OracleIndex:
                 out[d] = np.float32(w - w / (one + np.float32(f) * inv))
         return out
 
+    def _span_tree_scores(self, query, k1: float,
+                          b: float) -> dict[int, np.float32]:
+        """SpanOr/SpanNot/SpanFirst: shared span-algebra evaluator
+        (functions.spans.eval_span_tree); idf-sum weight over POSITIVE
+        leaf terms only (SpanNotQuery.java:117)."""
+        from .functions.spans import (eval_span_tree, span_tree_terms,
+                                      spans_freq)
+        from .operators.search import _span_tree
+        ctree = _span_tree(self._resolve_span(query))
+        terms = list(dict.fromkeys(span_tree_terms(ctree)))
+        pos_terms = [t for t in
+                     dict.fromkeys(span_tree_terms(ctree, positive_only=True))
+                     if self.df(t) > 0]
+        if not pos_terms:
+            return {}
+        maps = {t: {d: np.asarray(sorted(pl), dtype=np.int64)
+                    for d, _, pl in self.postings.get(t, ())}
+                for t in terms}
+        cache = self._cache(k1, b)
+        w = idf_sum([self.df(t) for t in pos_terms], self.doc_count)
+        one = np.float32(1.0)
+        cand: set = set()
+        for t in terms:
+            cand |= set(maps[t])
+        empty = np.empty(0, np.int64)
+        out: dict[int, np.float32] = {}
+        for d in cand:
+            pmap = {t: maps[t].get(d, empty) for t in terms}
+            f = spans_freq(eval_span_tree(ctree, pmap))
+            if f > 0:
+                inv = cache[self.norm_bytes[d]]
+                out[d] = np.float32(w - w / (one + np.float32(f) * inv))
+        return out
+
+    def _resolve_span(self, q):
+        """Expand SpanMultiTermWrapper leaves against this oracle's own
+        dictionary (SpanMultiTermQueryWrapper rewrite role)."""
+        if isinstance(q, SpanMultiTermWrapper):
+            import fnmatch
+            terms = sorted(self.postings)
+            mt = q.query
+            if mt.kind == "prefix":
+                hit = [t for t in terms if t.startswith(str(mt.value))]
+            elif mt.kind == "wildcard":
+                hit = [t for t in terms
+                       if fnmatch.fnmatchcase(t, str(mt.value))]
+            elif mt.kind == "fuzzy":
+                hit = [t for t in terms
+                       if _levenshtein(t, str(mt.value)) <= mt.edits]
+            elif mt.kind == "range":
+                lo, hi, lo_inc, hi_inc = mt.value
+                hit = [t for t in terms
+                       if (lo < t or (lo_inc and t == lo))
+                       and (t < hi or (hi_inc and t == hi))]
+            else:
+                raise ValueError(mt.kind)
+            return SpanOr(tuple(Term(t) for t in hit))
+        if isinstance(q, SpanOr):
+            return SpanOr(tuple(self._resolve_span(c) for c in q.clauses))
+        if isinstance(q, SpanNot):
+            return SpanNot(self._resolve_span(q.include),
+                           self._resolve_span(q.exclude))
+        if isinstance(q, SpanFirst):
+            return SpanFirst(self._resolve_span(q.match), q.end)
+        return q
+
     def _phrase_scores(self, terms: list[str], k1: float, b: float) -> dict[int, np.float32]:
         """Exact phrase: all terms at consecutive positions; tf = match count;
         idf = sum of per-term idfs (reference PhraseWeight/idfExplain[])."""
@@ -215,6 +282,9 @@ class OracleIndex:
             return self._phrase_scores(list(query.terms), k1, b)
         if isinstance(query, SpanNear):
             return self._span_near_scores(query, k1, b)
+        if isinstance(query, (SpanOr, SpanNot, SpanFirst,
+                              SpanMultiTermWrapper)):
+            return self._span_tree_scores(query, k1, b)
         if isinstance(query, MultiTerm):
             import fnmatch
             terms = sorted(self.postings)

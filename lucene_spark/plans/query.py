@@ -68,6 +68,71 @@ class SpanNear(Query):
 
 
 @dataclass(frozen=True)
+class SpanOr(Query):
+    """SpanOrQuery (reference ``queries/spans/SpanOrQuery.java``): the
+    union of the clause span streams; every emitted span keeps its own
+    width, so freq = Σ over all clause spans of 1/(1+width). Clauses may
+    be Term (SpanTermQuery role, width 0), SpanNear, SpanOr, SpanNot,
+    SpanFirst or SpanMultiTermWrapper."""
+    clauses: tuple[Query, ...]
+
+    def scoring_terms(self):
+        out = []
+        for c in self.clauses:
+            out.extend(c.scoring_terms())
+        return list(dict.fromkeys(out))
+
+    def all_terms(self):
+        out = []
+        for c in self.clauses:
+            out.extend(c.all_terms())
+        return list(dict.fromkeys(out))
+
+
+@dataclass(frozen=True)
+class SpanNot(Query):
+    """SpanNotQuery (reference ``queries/spans/SpanNotQuery.java``,
+    pre/post = 0): spans of ``include`` that do not overlap any span of
+    ``exclude``. The similarity weight is built from the include side
+    only (``SpanNotQuery.java:117`` passes includeWeight's termStates)."""
+    include: Query
+    exclude: Query
+
+    def scoring_terms(self):
+        return self.include.scoring_terms()
+
+    def all_terms(self):
+        return list(dict.fromkeys(self.include.all_terms()
+                                  + self.exclude.all_terms()))
+
+
+@dataclass(frozen=True)
+class SpanFirst(Query):
+    """SpanFirstQuery (reference ``queries/spans/SpanFirstQuery.java``):
+    spans of ``match`` whose end position is <= ``end``."""
+    match: Query
+    end: int
+
+    def scoring_terms(self):
+        return self.match.scoring_terms()
+
+    def all_terms(self):
+        return self.match.all_terms()
+
+
+@dataclass(frozen=True)
+class SpanMultiTermWrapper(Query):
+    """SpanMultiTermQueryWrapper (reference ``queries/spans/
+    SpanMultiTermQueryWrapper.java``): lifts a MultiTerm query into span
+    algebra — expanded against the dictionary at rewrite time into a
+    SpanOr of term spans."""
+    query: MultiTerm
+
+    def all_terms(self):
+        return []  # terms known only after expansion
+
+
+@dataclass(frozen=True)
 class Synonym(Query):
     """Multiple terms scored as one pseudo-term: df = max, ttf = sum
     (reference SynonymQuery.java:196-216)."""

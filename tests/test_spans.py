@@ -43,6 +43,35 @@ def test_matcher_unordered():
     assert span_near_freq(_pl([0, 9], [1, 5]), 0, False) == 1.0
 
 
+def test_span_algebra_kernels():
+    from lucene_spark.functions.spans import (eval_span_tree, first_spans,
+                                              not_spans, or_spans,
+                                              spans_freq, term_spans)
+    # or: union keeps every span with its own width
+    a = term_spans([0, 5])
+    b = np.asarray([[2, 6, 2]], dtype=np.int64)
+    u = or_spans([a, b])
+    assert u.shape == (3, 3)
+    assert spans_freq(u) == pytest.approx(1 + 1 + 1 / 3)
+    # not: overlap is [s,e) interval intersection
+    inc = np.asarray([[0, 2, 0], [5, 9, 2], [10, 11, 0]], dtype=np.int64)
+    exc = np.asarray([[8, 9, 0]], dtype=np.int64)
+    kept = not_spans(inc, exc)
+    assert kept.tolist() == [[0, 2, 0], [10, 11, 0]]
+    # exclude touching at the boundary does NOT overlap
+    assert not_spans(inc, np.asarray([[2, 5, 0]], dtype=np.int64)).tolist() \
+        == inc.tolist()
+    # first: end position gate (SpanFirstQuery end-inclusive <=)
+    assert first_spans(inc, 9).tolist() == [[0, 2, 0], [5, 9, 2]]
+    # tree evaluation end-to-end
+    pmap = {"a": np.asarray([0, 7]), "b": np.asarray([1, 9]),
+            "x": np.asarray([8])}
+    tree = ("not", ("near", ("a", "b"), 2, True), ("term", "x"))
+    sp = eval_span_tree(tree, pmap)
+    # chains: (0,1) w0 kept; (7,9) w1 overlaps x@8 -> dropped
+    assert sp.tolist() == [[0, 2, 0]]
+
+
 def test_engine_oracle_parity(spark):
     corpus = generate_corpus(250, seed=47)
     oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
@@ -71,3 +100,44 @@ def test_engine_oracle_parity(spark):
     assert o <= u
     with pytest.raises(NotImplementedError):
         s.search(Q.SpanNear(("parse", "parse"), slop=2), k=5)
+
+
+def test_span_family_parity(spark):
+    """SpanOr / SpanNot / SpanFirst / SpanMultiTermWrapper: engine ≡
+    oracle rank- and score-identical, plus semantic containment checks."""
+    corpus = generate_corpus(250, seed=48)
+    oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+    d = tempfile.mkdtemp(prefix="lucene_spark_spanfam_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=4)
+    s = Searcher(spark, d)
+    near = Q.SpanNear(("parse", "emit"), slop=6, in_order=False)
+    qs = [Q.SpanOr((Q.Term("parse"), Q.Term("scan"))),
+          Q.SpanOr((near, Q.Term("flush"))),
+          Q.SpanNot(Q.Term("parse"), Q.Term("emit")),
+          Q.SpanNot(near, Q.Term("codec")),
+          Q.SpanFirst(Q.Term("parse"), 12),
+          Q.SpanFirst(near, 30),
+          Q.SpanMultiTermWrapper(Q.MultiTerm("prefix", "pars")),
+          Q.SpanNot(Q.SpanOr((Q.Term("parse"), Q.Term("scan"))),
+                    Q.SpanNear(("codec", "util"), slop=4, in_order=False))]
+    matched_any = 0
+    for q in qs:
+        want = oracle.top_k(q, k=10)
+        got = [(r["doc_id"], r["score"]) for r in s.search(q, k=10).collect()]
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                           rtol=0, atol=0), q
+        matched_any += len(got)
+    assert matched_any > 0
+    # SpanNot(x, y) matches ⊆ matches of x; disjoint docs unaffected
+    base = set(oracle.score(Q.Term("parse")))
+    notted = set(oracle.score(Q.SpanNot(Q.Term("parse"), Q.Term("emit"))))
+    assert notted <= base
+    # SpanFirst matches ⊆ term matches, monotone in end
+    f5 = set(oracle.score(Q.SpanFirst(Q.Term("parse"), 5)))
+    f50 = set(oracle.score(Q.SpanFirst(Q.Term("parse"), 50)))
+    assert f5 <= f50 <= base
+    # SpanOr of one clause ≡ the clause itself (scores too)
+    one = oracle.score(Q.SpanOr((Q.Term("parse"),)))
+    term = oracle.score(Q.Term("parse"))
+    assert set(one) == set(term)
