@@ -557,6 +557,39 @@ FROM (SELECT query_id, neighbor_id, cos,
 WHERE rnk <= {k}"""
 
 
+def _cosine_filtered_sql(max_query_id: int, k: int,
+                         terms: tuple[str, ...]) -> str:
+    """Brute-force cosine top-k restricted to docs containing any of
+    ``terms`` (the filtered-KNN oracle: exact over the filtered subset)."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+flt AS (SELECT DISTINCT doc_id FROM tokf WHERE term IN ({inlist})),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {max_query_id}),
+c AS (SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN flt f ON e.vec_id = f.doc_id),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(len(q.embedding)),
+             i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(len(q.embedding)),
+                i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(len(c.embedding)),
+                i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)))))
+         AS cos
+  FROM c, q
+  WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_q4
+FROM (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM pairs)
+WHERE rnk <= {k}"""
+
+
 _LANG_HITS = {
     lang: "len(list_filter(string_split(text, ' '), t -> list_contains(["
           + ", ".join(f"'{w}'" for w in words) + "], t)))"
@@ -1053,7 +1086,9 @@ def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.streaming.monitor import Monitor
     mon = Monitor({"q_term": T_COMMON,
                    "q_and": f"{T_COMMON} AND {T_COMMON2}",
-                   "q_phrase": f'"{PH_A} {PH_B}"'})
+                   "q_phrase": f'"{PH_A} {PH_B}"',
+                   "q_prefix": "str*",
+                   "q_fuzzy": Q.MultiTerm("fuzzy", "quary", edits=1)})
     return mon.match_batch(_docs(spark, sf_dir))
 
 
@@ -1128,6 +1163,21 @@ def _q_ivf_full_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     res = simsearch.ivf_topk(emb, emb.where(F.col("vec_id") < 20), k=5,
                              num_centroids=8, nprobe=8, iters=1)
+    return res.select("query_id", "neighbor_id", "rank",
+                      _q4(F.col("cos")).alias("cos_q4"))
+
+
+def _q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (KnnFloatVectorQuery(filter) role): the
+    BM25 engine's match set for a boolean filter restricts the IVF
+    search; nprobe == num_centroids makes it exact on the filtered
+    subset → brute-force SQL oracle over the same subset."""
+    s = _searcher(spark, sf_dir)
+    allowed = s.matching_docs(Q.Or((Q.Term(T_RARE), Q.Term(SYN_A))))
+    emb = _emb(spark, sf_dir)
+    res = simsearch.filtered_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5, allowed=allowed,
+        method="ivf", num_centroids=8, nprobe=8, iters=1)
     return res.select("query_id", "neighbor_id", "rank",
                       _q4(F.col("cos")).alias("cos_q4"))
 
@@ -1237,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_topk": _q_lsh_topk,
         "embed_ivf_topk": _q_ivf_topk,
         "embed_ivf_full_topk": _q_ivf_full_topk,
+        "knn_filtered_topk": _q_knn_filtered,
         "dedup_embed_cosine": _q_embed_near_dup,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
@@ -1483,7 +1534,14 @@ UNION ALL
 SELECT p1.doc_id, 'q_phrase' AS query_id
 FROM tok p1 JOIN tok p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
 WHERE p1.term = '{PH_A}' AND p2.term = '{PH_B}'
-GROUP BY p1.doc_id""",
+GROUP BY p1.doc_id
+UNION ALL
+SELECT doc_id, 'q_prefix' AS query_id FROM tok WHERE term LIKE 'str%'
+GROUP BY doc_id
+UNION ALL
+SELECT doc_id, 'q_fuzzy' AS query_id FROM tok
+WHERE abs(len(term) - 5) <= 1 AND levenshtein(term, 'quary') <= 1
+GROUP BY doc_id""",
         "bm25_deleted_top10": _PRELUDE + ", "
         + _tscore_cte("ts", T_COMMON) + """,
 livesc AS (
@@ -1547,6 +1605,7 @@ orsc AS (SELECT doc_id, CAST(SUM(ps) AS FLOAT) AS s
          FROM persc GROUP BY doc_id)""" + _topk_sql("orsc", 10),
         "embed_cosine_topk": _cosine_sql(20, 5),
         "embed_ivf_full_topk": _cosine_sql(20, 5),
+        "knn_filtered_topk": _cosine_filtered_sql(20, 5, (T_RARE, SYN_A)),
         "dedup_embed_cosine": """
 WITH pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -129,6 +129,39 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   .select("query_id", "neighbor_id", "rank", "cos"))
 
 
+def filtered_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                  allowed: DataFrame | None = None,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  method: str = "ivf", num_centroids: int = 16,
+                  nprobe: int = 4, iters: int = 2) -> DataFrame:
+    """Pre-filtered KNN — the reference's filtered vector search
+    (``search/KnnFloatVectorQuery.java:32``: the filter Query's match set
+    restricts the graph search BEFORE top-k, so all k results satisfy the
+    filter; post-filtering would under-fill).
+
+    ``allowed``: DataFrame with a ``doc_id`` column of permitted ids —
+    typically ``Searcher.matching_docs(any boolean query)``, which is how
+    vector search composes with the query algebra. The corpus is
+    LEFT SEMI-joined to it: at scale the match set either broadcasts
+    (selective filter) or shuffle-semi-joins on the id — the corpus
+    embeddings never collect anywhere.
+
+    ``method='ivf'`` probes ``nprobe`` inverted lists built on the
+    FILTERED corpus (``nprobe == num_centroids`` is exhaustive = exact on
+    the filtered subset, the differential hook); ``method='brute'`` is
+    the exact baseline."""
+    if allowed is not None:
+        col = "doc_id" if "doc_id" in allowed.columns else allowed.columns[0]
+        ids = allowed.select(F.col(col).alias(id_col)).distinct()
+        corpus = corpus.join(ids, on=id_col, how="left_semi")
+    if method == "brute":
+        return brute_force_topk(corpus, queries, k, id_col, vec_col)
+    if method != "ivf":
+        raise ValueError(f"unknown method {method!r}")
+    return ivf_topk(corpus, queries, k, id_col, vec_col,
+                    num_centroids, nprobe, iters)
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (training-data dedup)
 # ---------------------------------------------------------------------------

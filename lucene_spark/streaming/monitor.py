@@ -62,6 +62,16 @@ def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
             lo, hi, lo_inc, hi_inc = node.value
             return any((lo < t or (lo_inc and t == lo))
                        and (t < hi or (hi_inc and t == hi)) for t in terms)
+        if node.kind == "fuzzy":
+            # fuzzy percolation needs no dictionary: a doc matches iff one
+            # of ITS OWN terms is within max_edits of the query term (the
+            # reference's Monitor runs the same automaton against the
+            # single-doc index). Length band prunes before the DP.
+            from ..oracle import _levenshtein
+            base = str(node.value)
+            return any(abs(len(t) - len(base)) <= node.edits
+                       and _levenshtein(t, base) <= node.edits
+                       for t in terms)
         raise NotImplementedError(f"monitor: multiterm {node.kind}")
     if isinstance(node, Q.Or):
         n = sum(_matches(c, terms, positions) for c in node.clauses)

@@ -21,6 +21,8 @@ QUERIES = {
     "q_prefix": "par*",
     "q_msm": Q.Or((Q.Term("parse"), Q.Term("scan"), Q.Term("codec")),
                   min_should_match=2),
+    "q_fuzzy": Q.MultiTerm("fuzzy", "parze", edits=1),
+    "q_sloppy3": Q.Phrase(("if", "return", "value"), slop=6),
 }
 
 

@@ -131,6 +131,30 @@ def test_ivf_full_probe_matches_bruteforce(spark, vectors):
     assert np.allclose(bkey.cos.to_numpy(), fkey.cos.to_numpy())
 
 
+def test_filtered_topk(spark, vectors):
+    """Pre-filtered KNN (KnnFloatVectorQuery(filter) role): every result
+    satisfies the filter, and nprobe == C on the filtered corpus equals
+    brute force over the filtered subset exactly."""
+    emb_df, _ = vectors
+    from pyspark.sql import functions as F
+    allowed = emb_df.where(F.col("vec_id") % 3 == 0) \
+                    .select(F.col("vec_id").alias("doc_id"))
+    q = emb_df.where(F.col("vec_id") < 5)
+    got = simsearch.filtered_topk(emb_df, q, k=4, allowed=allowed,
+                                  method="ivf", num_centroids=6, nprobe=6,
+                                  iters=1).toPandas()
+    assert set(got.neighbor_id) <= {i for i in range(60) if i % 3 == 0}
+    brute = simsearch.filtered_topk(emb_df, q, k=4, allowed=allowed,
+                                    method="brute").toPandas()
+    g = got.sort_values(["query_id", "rank"])
+    b = brute.sort_values(["query_id", "rank"])
+    assert g.neighbor_id.tolist() == b.neighbor_id.tolist()
+    assert np.allclose(g.cos.to_numpy(), b.cos.to_numpy())
+    # filter integrates with the boolean engine: matching_docs output shape
+    # (doc_id column) is exactly what `allowed` consumes — covered e2e by
+    # the knn_filtered_topk driver entry.
+
+
 def test_ivf_partial_probe_recall(spark, vectors):
     emb_df, _ = vectors
     from pyspark.sql import functions as F
