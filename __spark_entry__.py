@@ -533,6 +533,142 @@ SELECT doc_id, CAST({hi_bits} AS BIGINT) AS simhash_hi,
 FROM votes""")
 
 
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Exact oracle for the banded SimHash pair search: signatures
+    recomputed from md5 in SQL, candidates = pairs agreeing on >= 1 of
+    the 4 16-bit chunks (the engine's banding), kept when Hamming <=
+    max_hamming — deterministic, so the approximate path is exact."""
+    chunk_match = " OR ".join(
+        [f"((a.simhash_hi >> {c * 16}) & 65535) = "
+         f"((b.simhash_hi >> {c * 16}) & 65535)" for c in range(2)]
+        + [f"((a.simhash_lo >> {c * 16}) & 65535) = "
+           f"((b.simhash_lo >> {c * 16}) & 65535)" for c in range(2)])
+    return f"""
+WITH sigs AS ({_simhash_sql()})
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash_hi, b.simhash_hi))
+         + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS hamming
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE {chunk_match})
+WHERE hamming <= {max_hamming}"""
+
+
+def _lit_vec(v) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def _sql_dot(vec_expr: str, lit: str, dim: int) -> str:
+    return (f"list_sum(list_transform(range({dim}), i -> "
+            f"CAST({vec_expr}[i+1] AS DOUBLE) * ({lit})[i+1]))")
+
+
+def _sql_cos(a: str, b: str, dim: int) -> str:
+    def d(x, y):
+        return (f"list_sum(list_transform(range({dim}), i -> "
+                f"CAST({x}[i+1] AS DOUBLE) * CAST({y}[i+1] AS DOUBLE)))")
+    return f"({d(a, b)} / (sqrt({d(a, a)}) * sqrt({d(b, b)})))"
+
+
+def _lsh_topk_sql(max_query_id: int, k: int, num_planes: int = 4,
+                  dim: int = 64) -> str:
+    """Exact oracle for the LSH-bucketed ANN: the hyperplanes are
+    deterministic (sha256-seeded), so the bucket bits — and therefore the
+    candidate set (Hamming <= 1 between corpus and query buckets =
+    multiprobe) — are recomputed in SQL; cosine top-k over candidates."""
+    from lucene_spark.pipeline.simsearch import _hyperplanes
+    planes = _hyperplanes(dim, num_planes)
+    bucket = " + ".join(
+        f"(CASE WHEN {_sql_dot('embedding', _lit_vec(p), dim)} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)" for i, p in enumerate(planes))
+    return f"""
+WITH bv AS (SELECT vec_id, embedding, ({bucket}) AS bucket
+            FROM embeddings),
+q AS (SELECT * FROM bv WHERE vec_id < {max_query_id}),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_sql_cos('q.embedding', 'c.embedding', dim)} AS cos
+  FROM bv c, q
+  WHERE c.vec_id <> q.vec_id
+    AND bit_count(xor(c.bucket, q.bucket)) <= 1
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_q4
+FROM (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM pairs)
+WHERE rnk <= {k}"""
+
+
+def _ivf_topk_sql(max_query_id: int, k: int, num_centroids: int = 8,
+                  nprobe: int = 3, dim: int = 64) -> str:
+    """Exact oracle for the PARTIAL-probe IVF ANN (iters=1): the whole
+    pipeline is deterministic — seeds are the ``C`` corpus vectors with
+    smallest md5(vec_id), one Lloyd step (assign by cosine argmax, update
+    by per-component mean, renormalize), corpus inverted-listed by final
+    centroid, queries probe their ``nprobe`` best lists — so SQL can
+    replay it step for step and the approximate path checks hash-exactly.
+    """
+    def normed(expr: str) -> str:
+        n = (f"greatest(sqrt(list_sum(list_transform({expr}, "
+             f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12)")
+        return f"list_transform({expr}, x -> CAST(x AS DOUBLE) / {n})"
+
+    def dot(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range({dim}), i -> "
+                f"({a})[i+1] * ({b})[i+1]))")
+
+    return f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS cid, embedding
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}),
+cent0 AS (SELECT cid, {normed('embedding')} AS c FROM seeds),
+vn AS (SELECT vec_id, {normed('embedding')} AS v FROM embeddings),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vn.vec_id, c.cid,
+                row_number() OVER (PARTITION BY vn.vec_id
+                    ORDER BY {dot('vn.v', 'c.c')} DESC, c.cid ASC) AS rn
+         FROM vn, cent0 c) WHERE rn = 1),
+comps AS (SELECT a.cid, unnest(range(1, {dim} + 1)) AS i,
+                 unnest(e.embedding) AS x
+          FROM a1 a JOIN embeddings e ON a.vec_id = e.vec_id),
+upd AS (SELECT cid, list(m ORDER BY i) AS vec FROM (
+          SELECT cid, i, avg(CAST(x AS DOUBLE)) AS m
+          FROM comps GROUP BY cid, i) GROUP BY cid),
+cent1 AS (SELECT s.cid,
+                 {normed('coalesce(u.vec, s.c)')} AS c
+          FROM cent0 s LEFT JOIN upd u ON s.cid = u.cid),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT vn.vec_id, c.cid,
+                row_number() OVER (PARTITION BY vn.vec_id
+                    ORDER BY {dot('vn.v', 'c.c')} DESC, c.cid ASC) AS rn
+         FROM vn, cent1 c) WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM (
+             SELECT vn.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY vn.vec_id
+                        ORDER BY {dot('vn.v', 'c.c')} DESC, c.cid ASC) AS rn
+             FROM vn, cent1 c WHERE vn.vec_id < {max_query_id})
+           WHERE rn <= {nprobe}),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_sql_cos('qe.embedding', 'ce.embedding', dim)} AS cos
+  FROM probes p
+  JOIN a2 a ON a.cid = p.cid
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ce ON ce.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank,
+       CAST(floor(cos * 10000) AS BIGINT) AS cos_q4
+FROM (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM pairs)
+WHERE rnk <= {k}"""
+
+
 def _cosine_sql(max_query_id: int, k: int) -> str:
     return f"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {max_query_id}),
@@ -953,7 +1089,11 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+    """Banded SimHash near-dup pairs — deterministic (md5 bit votes +
+    16-bit-chunk banding), so the SQL oracle replicates it exactly."""
+    return (dedup.simhash_near_duplicates(_docs(spark, sf_dir),
+                                          max_hamming=3)
+            .withColumn("hamming", F.col("hamming").cast("int")))
 
 
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,7 +1345,7 @@ def entry(spark: SparkSession) -> DataFrame:
         spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- BM25 search family (SURVEY.md §2.3) ---
         "bm25_term_top10": _search(Q.Term(T_COMMON)),
@@ -1293,6 +1433,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
     }
 
+
+
+#: Entries first verified in round 2 (absent from CORRECTNESS_r01: the
+#: driver's r01 check stopped at 50 entries) plus entries added since.
+#: queries() yields these FIRST so a capped driver check always covers
+#: the least-proven entries; the long-green r01 rows follow.
+_PRIORITY = [
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_simhash_pairs", "text_token_count",
+    "text_quality", "text_lang_id", "text_fingerprint",
+    "embed_cosine_topk", "embed_lsh_topk", "embed_ivf_topk",
+    "embed_ivf_full_topk", "dedup_embed_cosine", "multimodal_meta",
+    "multimodal_features", "knn_filtered_topk", "bm25_sloppy3_top10",
+    "span_near_top10", "span_or_top10", "span_not_top10",
+    "span_first_top10", "highlight_top5",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _all_queries()
+    out = {k: q[k] for k in _PRIORITY}
+    out.update({k: v for k, v in q.items() if k not in out})
+    return out
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1473,6 +1636,9 @@ FROM documents GROUP BY 1""",
         "dedup_ngram_jaccard": _ngram_jaccard_sql(0.8),
         "dedup_minhash_lsh": _minhash_sql(0.8),
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(3),
+        "embed_lsh_topk": _lsh_topk_sql(20, 5),
+        "embed_ivf_topk": _ivf_topk_sql(20, 5, num_centroids=8, nprobe=3),
         "text_token_count": """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct

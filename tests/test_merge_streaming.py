@@ -71,6 +71,31 @@ def test_merge_preserves_results(spark, corpus, oracle):
     assert sorted(meta["local_doc_id"]) == list(range(len(corpus)))
 
 
+def test_capped_force_merge(spark, corpus, oracle):
+    """max_merged_docs caps the docs routed through any single merge:
+    force_merge converges to the fewest segments the cap allows, every
+    intermediate merge stays under the cap, CheckIndex passes and results
+    are rank/score-identical."""
+    from lucene_spark.operators.checkindex import check_index
+
+    d = tempfile.mkdtemp(prefix="capped_merge_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=12)
+    # 300 docs / cap 120 → no merge may exceed 120 docs; the index cannot
+    # reach 1 segment, but must reach ceil(300/120) = 3
+    snap = force_merge(spark, d, max_segments=1, max_merged_docs=120)
+    assert 3 <= len(snap.seg_ids) <= 5
+    assert all(s["num_docs"] <= 120 for s in snap.segments
+               if s.get("origin") == "merge")
+    totals = check_index(d)
+    assert totals["num_docs"] == len(corpus)
+    _assert_parity(Searcher(spark, d), oracle)
+    # cap=None restores the reference's literal merge-everything behavior
+    snap2 = force_merge(spark, d, max_segments=1, max_merged_docs=None)
+    assert len(snap2.seg_ids) == 1
+    _assert_parity(Searcher(spark, d), oracle,
+                   queries=["parse OR emit OR token"])
+
+
 def test_maintain_tiered(spark, corpus, oracle):
     d = tempfile.mkdtemp(prefix="tiered_idx_")
     build_index(spark, spark.createDataFrame(corpus), d, num_segments=24)
