@@ -1307,6 +1307,22 @@ def _q_ivf_full_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _q4(F.col("cos")).alias("cos_q4"))
 
 
+def _q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToParentBlockJoinQuery (ScoreMode.Max): blocks are the 5-doc id
+    ranges closed by parents (doc_id % 5 == 4); parents score the max of
+    their matching children's BM25 scores."""
+    s = _searcher(spark, sf_dir)
+    parents = _docs(spark, sf_dir).select("doc_id") \
+        .where(F.col("doc_id") % 5 == 4)
+    res = facets.to_parent_block_join(s, Q.Term(T_COMMON), parents,
+                                      score_mode="max")
+    w = Window.orderBy(F.desc("score"), F.asc("parent_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= 10)
+               .select("parent_id", F.col("rank").cast("int").alias("rank"),
+                       _q4(F.col("score")).alias("score_q4"), "n_children"))
+
+
 def _q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search (KnnFloatVectorQuery(filter) role): the
     BM25 engine's match set for a boolean filter restricts the IVF
@@ -1390,6 +1406,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk": _q_grouped_topk,
         "sort_by_field": _q_sort_by_field,
         "query_join": _q_join,
+        "block_join_topk": _q_block_join,
         # --- merge / incremental build inside the gate ---
         "lmd_term_top10": _q_lmd_term,
         "bm25_deleted_top10": _q_deleted_top10,
@@ -1447,7 +1464,7 @@ _PRIORITY = [
     "embed_ivf_full_topk", "dedup_embed_cosine", "multimodal_meta",
     "multimodal_features", "knn_filtered_topk", "bm25_sloppy3_top10",
     "span_near_top10", "span_or_top10", "span_not_top10",
-    "span_first_top10", "highlight_top5",
+    "span_first_top10", "highlight_top5", "block_join_topk",
 ]
 
 
@@ -1594,6 +1611,18 @@ SELECT doc_id FROM documents WHERE source IN (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term
           FROM documents) t
         WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}'))""",
+        "block_join_topk": _PRELUDE + ", " + _tscore_cte("ts", T_COMMON)
+        + """,
+bj AS (SELECT (t.doc_id - (t.doc_id % 5) + 4) AS parent_id,
+              CAST(max(CAST(t.s AS DOUBLE)) AS FLOAT) AS score,
+              CAST(count(*) AS INT) AS n_children
+       FROM ts t WHERE t.doc_id % 5 <> 4 GROUP BY 1)
+SELECT parent_id, CAST(rnk AS INT) AS rank,
+       CAST(floor(CAST(score AS DOUBLE) * 10000) AS BIGINT) AS score_q4,
+       n_children
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, parent_id ASC)
+             AS rnk FROM bj)
+WHERE rnk <= 10""",
         "bm25_after_merge_top10": _term_topk_sql(T_COMMON),
         "bm25_incremental_top10": _term_topk_sql(T_COMMON),
         "segment_lineage": f"""

@@ -139,8 +139,8 @@ def main() -> None:
     }
     for name, (q, mode) in search_cases.items():
         best = float("inf")
-        for _ in range(2):  # best-of-2 vs co-tenant noise
-            t0 = time.time()
+        for _ in range(3):  # best-of-3 vs co-tenant noise (r01's q_and
+            t0 = time.time()   # outlier was a throttle spike in best-of-2)
             s.search(q, k=10, mode=mode).collect()
             best = min(best, time.time() - t0)
         queries[name] = round(best, 3)

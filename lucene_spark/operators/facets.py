@@ -83,6 +83,57 @@ def grouped_top_k(searcher, query, dims_df: DataFrame, group_col: str,
                     F.col("rank").cast("int").alias("rank"), "score"))
 
 
+def to_parent_block_join(searcher, child_query, parents_df: DataFrame,
+                         score_mode: str = "max",
+                         doc_id_col: str = "doc_id",
+                         bucket: int = 1024) -> DataFrame:
+    """ToParentBlockJoinQuery (reference ``lucene/join/.../
+    ToParentBlockJoinQuery.java``): match parents whose CHILD documents
+    match ``child_query``; the parent's score aggregates its matching
+    children's scores per ``score_mode`` (Max / Total / Avg / None —
+    ``search/join/ScoreMode.java``).
+
+    Block semantics match the reference's addDocuments contract: children
+    occupy the doc-id range (previous parent, parent) — the parent is the
+    LAST doc of its block — so ``parents_df`` (one ``doc_id`` column, the
+    parent filter's match set) fully determines the block structure.
+
+    Spark shape: block intervals are derived from the parent list alone
+    (a lag window over parent ids — one narrow shuffle of ids, never the
+    corpus); children map to intervals through a bucketed range join
+    (intervals explode into the ``bucket``-sized id buckets they cover —
+    blocks are small, so ~1-2 buckets each — then an equi-join on bucket
+    + range filter). No broadcast of the parent set is required, so the
+    plan survives billions of parents; the aggregation is one map-side
+    combined groupBy(parent_id).
+
+    Output: (parent_id, score float, n_children int), score = float32
+    cast of the double aggregate like the reference's BlockJoinScorer.
+    """
+    agg = {"max": F.max(F.col("score").cast("double")),
+           "total": F.sum(F.col("score").cast("double")),
+           "avg": F.avg(F.col("score").cast("double")),
+           "none": F.lit(1.0)}.get(score_mode)
+    if agg is None:
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    child_scores = searcher.score_all(child_query)
+    w = Window.orderBy("parent_id")
+    iv = (parents_df.select(F.col(doc_id_col).alias("parent_id"))
+          .withColumn("start",
+                      F.coalesce(F.lag("parent_id").over(w) + 1, F.lit(0))))
+    iv = iv.withColumn(
+        "b", F.explode(F.sequence(F.floor(F.col("start") / bucket),
+                                  F.floor(F.col("parent_id") / bucket))))
+    ch = child_scores.withColumn("b",
+                                 F.floor(F.col(doc_id_col) / bucket))
+    joined = (ch.join(iv, on="b")
+                .where((F.col(doc_id_col) >= F.col("start"))
+                       & (F.col(doc_id_col) < F.col("parent_id"))))
+    return (joined.groupBy("parent_id")
+            .agg(agg.cast("float").alias("score"),
+                 F.count("*").cast("int").alias("n_children")))
+
+
 def query_join(searcher, from_query, from_df: DataFrame, from_key: str,
                to_df: DataFrame, to_key: str,
                doc_id_col: str = "doc_id") -> DataFrame:

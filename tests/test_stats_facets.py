@@ -103,6 +103,43 @@ def test_query_join(spark, searcher, corpus, oracle):
     assert sorted(r["doc_id"] for r in out.collect()) == want
 
 
+def test_to_parent_block_join(spark, searcher, corpus, oracle):
+    """ToParentBlockJoinQuery: parents close 5-doc blocks; Max/Total/Avg
+    score modes equal a per-block numpy aggregation of the oracle's child
+    scores."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    doc_ids = sorted(corpus.doc_id)
+    parents = [d for d in doc_ids if d % 5 == 4]
+    pdf = spark.createDataFrame([(int(p),) for p in parents], "doc_id long")
+    child_scores = oracle.score(Q.Term("parse"))
+    # expected per-parent aggregation (children = (prev_parent, parent))
+    want: dict[str, dict[int, float]] = {"max": {}, "total": {}, "avg": {}}
+    nch: dict[int, int] = {}
+    parr = np.asarray(parents)
+    for d, s in child_scores.items():
+        if d % 5 == 4:
+            continue
+        i = int(np.searchsorted(parr, d))
+        if i >= len(parr):
+            continue
+        p = int(parr[i])
+        want["max"][p] = max(want["max"].get(p, -1e30), float(s))
+        want["total"][p] = want["total"].get(p, 0.0) + float(s)
+        nch[p] = nch.get(p, 0) + 1
+    want["avg"] = {p: want["total"][p] / nch[p] for p in nch}
+    for mode in ("max", "total", "avg"):
+        out = {r["parent_id"]: (r["score"], r["n_children"])
+               for r in facets.to_parent_block_join(
+                   searcher, Q.Term("parse"), pdf, score_mode=mode,
+                   bucket=8).collect()}
+        assert set(out) == set(want[mode]), mode
+        for p, (s, n) in out.items():
+            assert n == nch[p]
+            assert np.float32(s) == np.float32(want[mode][p]), (mode, p)
+
+
 def test_cli_zip_and_search(spark, searcher, tmp_path):
     from lucene_spark import cli
     out = tmp_path / "pkg.zip"
