@@ -365,6 +365,38 @@ keptf AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
             + _span_score_sql("keptf", tuple(inc_terms), k))
 
 
+def _span_containing_sql(big_terms: tuple[str, ...], slop: int,
+                         little: str, k: int = 10) -> str:
+    """SpanContaining(big = unordered near, little = term): big windows
+    [l, r] containing a little position (l <= p <= r) keep their width;
+    weight from BOTH sides' terms (SpanContainQuery extractTermStates)."""
+    wterms = tuple(dict.fromkeys(tuple(big_terms) + (little,)))
+    return (_PRELUDE + "," + _span_windows_cte(big_terms, slop) + f""",
+cont AS (SELECT w.doc_id, w.ml FROM wins w
+         WHERE EXISTS (SELECT 1 FROM tok t
+                       WHERE t.doc_id = w.doc_id AND t.term = '{little}'
+                         AND t.pos BETWEEN w.l AND w.r)),
+contf AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+          FROM cont GROUP BY 1)"""
+            + _span_score_sql("contf", wterms, k))
+
+
+def _span_within_sql(little: str, big_terms: tuple[str, ...], slop: int,
+                     k: int = 10) -> str:
+    """SpanWithin(little = term, big = unordered near): little positions
+    p inside some big window (l <= p <= r); width 0 → freq = count."""
+    wterms = tuple(dict.fromkeys((little,) + tuple(big_terms)))
+    return (_PRELUDE + "," + _span_windows_cte(big_terms, slop) + f""",
+winf AS (SELECT t.doc_id, CAST(count(*) AS DOUBLE) AS freq
+         FROM tok t
+         WHERE t.term = '{little}'
+           AND EXISTS (SELECT 1 FROM wins w
+                       WHERE w.doc_id = t.doc_id
+                         AND t.pos BETWEEN w.l AND w.r)
+         GROUP BY 1)"""
+            + _span_score_sql("winf", wterms, k))
+
+
 def _span_first_sql(term: str, end: int, k: int = 10) -> str:
     """SpanFirst(SpanTerm(term), end): occurrences with pos + 1 <= end
     (SpanFirstQuery.java:38-42), width 0 → freq = count."""
@@ -1202,6 +1234,25 @@ def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.SpanFirst(Q.Term(T_COMMON), 20), k=10))
 
 
+def _q_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanContainingQuery: unordered-near big spans that contain an
+    occurrence of the little term; big spans keep their own width."""
+    s = _searcher(spark, sf_dir)
+    q = Q.SpanContaining(Q.SpanNear((T_COMMON, T_COMMON2), slop=4,
+                                    in_order=False), Q.Term(T_THIRD))
+    return _fmt_topk(s.search(q, k=10))
+
+
+def _q_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanWithinQuery: little-term occurrences inside an unordered-near
+    big span (width 0 → freq = count)."""
+    s = _searcher(spark, sf_dir)
+    q = Q.SpanWithin(Q.Term(T_THIRD),
+                     Q.SpanNear((T_COMMON, T_COMMON2), slop=4,
+                                in_order=False))
+    return _fmt_topk(s.search(q, k=10))
+
+
 def _q_fuzzy_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery default rewrite (TopTermsBlendedFreqScoringRewrite):
     blended df=max stats, per-term 1-ed/minlen float32 boosts, SHOULD
@@ -1417,6 +1468,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_or_top10": _q_span_or,
         "span_not_top10": _q_span_not,
         "span_first_top10": _q_span_first,
+        "span_containing_top10": _q_span_containing,
+        "span_within_top10": _q_span_within,
         "suggest_prefix": _q_suggest_prefix,
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,
@@ -1464,7 +1517,8 @@ _PRIORITY = [
     "embed_ivf_full_topk", "dedup_embed_cosine", "multimodal_meta",
     "multimodal_features", "knn_filtered_topk", "bm25_sloppy3_top10",
     "span_near_top10", "span_or_top10", "span_not_top10",
-    "span_first_top10", "highlight_top5", "block_join_topk",
+    "span_first_top10", "span_containing_top10", "span_within_top10",
+    "highlight_top5", "block_join_topk",
 ]
 
 
@@ -1495,6 +1549,10 @@ def oracle_sql() -> dict[str, str]:
         "span_or_top10": _span_or_sql(T_COMMON, (T_A, T_B), 3),
         "span_not_top10": _span_not_sql((T_COMMON, T_COMMON2), 3, T_THIRD),
         "span_first_top10": _span_first_sql(T_COMMON, 20),
+        "span_containing_top10": _span_containing_sql(
+            (T_COMMON, T_COMMON2), 4, T_THIRD),
+        "span_within_top10": _span_within_sql(
+            T_THIRD, (T_COMMON, T_COMMON2), 4),
         "highlight_top5": _highlight_sql(T_COMMON, T_COMMON2, k=5, window=6),
         "tfidf_term_top10": _TFIDF_SQL,
         "batch_search": " UNION ALL ".join(

@@ -193,6 +193,50 @@ def first_spans(spans: np.ndarray, end: int) -> np.ndarray:
     return spans[spans[:, 1] <= end]
 
 
+def _containment(big: np.ndarray, little: np.ndarray) -> np.ndarray:
+    """bool mask over ``big``: span i contains SOME little span
+    ([s2,e2] within [s,e] iff s <= s2 and e2 <= e)."""
+    if len(big) == 0 or len(little) == 0:
+        return np.zeros(len(big), dtype=bool)
+    order = np.argsort(little[:, 0], kind="mergesort")
+    ls = little[order, 0]
+    # prefix min of ends in start order: a little span starting >= s with
+    # end <= e exists iff min(end of littles in [s..]) over suffix <= e…
+    # suffix min of ends for littles with start >= big.start:
+    le = little[order, 1]
+    suffix_min = np.minimum.accumulate(le[::-1])[::-1]
+    idx = np.searchsorted(ls, big[:, 0], side="left")
+    ok = idx < len(ls)
+    m = np.where(ok, suffix_min[np.minimum(idx, len(ls) - 1)],
+                 np.iinfo(np.int64).max)
+    return ok & (m <= big[:, 1])
+
+
+def containing_spans(big: np.ndarray, little: np.ndarray) -> np.ndarray:
+    """SpanContainingQuery (``queries/spans/SpanContainingQuery.java``):
+    BIG spans that contain at least one little span; each emitted once
+    with its own width."""
+    return big[_containment(big, little)]
+
+
+def within_spans(little: np.ndarray, big: np.ndarray) -> np.ndarray:
+    """SpanWithinQuery (``queries/spans/SpanWithinQuery.java``): LITTLE
+    spans contained in at least one big span."""
+    if len(little) == 0 or len(big) == 0:
+        return _EMPTY_SPANS
+    order = np.argsort(big[:, 0], kind="mergesort")
+    bs = big[order, 0]
+    be = big[order, 1]
+    # little [s2,e2] within some big iff exists big with start <= s2 and
+    # end >= e2: prefix max of big ends over bigs with start <= s2
+    prefix_max = np.maximum.accumulate(be)
+    idx = np.searchsorted(bs, little[:, 0], side="right")
+    ok = idx > 0
+    m = np.where(ok, prefix_max[np.maximum(idx - 1, 0)],
+                 np.iinfo(np.int64).min)
+    return little[ok & (m >= little[:, 1])]
+
+
 def spans_freq(spans: np.ndarray) -> float:
     """SpanScorer freq accumulation: Σ 1/(1 + width) over emitted spans
     (``SpanScorer.java:106``)."""
@@ -208,6 +252,7 @@ def eval_span_tree(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
       ("term", t) | ("near", terms, slop, in_order)
       | ("or", (child, ...)) | ("not", include, exclude)
       | ("first", child, end)
+      | ("contain", big, little) | ("within", little, big)
     """
     kind = tree[0]
     if kind == "term":
@@ -222,6 +267,12 @@ def eval_span_tree(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
                          eval_span_tree(tree[2], pmap))
     if kind == "first":
         return first_spans(eval_span_tree(tree[1], pmap), tree[2])
+    if kind == "contain":
+        return containing_spans(eval_span_tree(tree[1], pmap),
+                                eval_span_tree(tree[2], pmap))
+    if kind == "within":
+        return within_spans(eval_span_tree(tree[1], pmap),
+                            eval_span_tree(tree[2], pmap))
     raise TypeError(f"unknown span tree node {tree!r}")
 
 
@@ -246,6 +297,10 @@ def span_tree_terms(tree, positive_only: bool = False) -> list[str]:
         return inc + span_tree_terms(tree[2], positive_only)
     if kind == "first":
         return span_tree_terms(tree[1], positive_only)
+    if kind in ("contain", "within"):
+        # SpanContainQuery extracts termStates from BOTH sides
+        return (span_tree_terms(tree[1], positive_only)
+                + span_tree_terms(tree[2], positive_only))
     raise TypeError(f"unknown span tree node {tree!r}")
 
 

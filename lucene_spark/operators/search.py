@@ -208,7 +208,8 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                 return None
             w = multi_weight([df_of(t) for t in node.terms])
             return CSpanNear(tuple(node.terms), w, node.slop, node.in_order)
-        if isinstance(node, (Q.SpanOr, Q.SpanNot, Q.SpanFirst)):
+        if isinstance(node, (Q.SpanOr, Q.SpanNot, Q.SpanFirst,
+                             Q.SpanContaining, Q.SpanWithin)):
             from ..functions.spans import span_tree_terms
             tree = _span_tree(node)
             pos = [t for t in
@@ -286,6 +287,10 @@ def _span_tree(node) -> tuple:
         return ("not", _span_tree(node.include), _span_tree(node.exclude))
     if isinstance(node, Q.SpanFirst):
         return ("first", _span_tree(node.match), int(node.end))
+    if isinstance(node, Q.SpanContaining):
+        return ("contain", _span_tree(node.big), _span_tree(node.little))
+    if isinstance(node, Q.SpanWithin):
+        return ("within", _span_tree(node.little), _span_tree(node.big))
     raise TypeError(f"not a span clause: {type(node)}")
 
 
@@ -741,6 +746,8 @@ def _span_tree_freqs(node: "CSpanTree", ctx: _SegContext,
             return cand(tree[1])
         if kind == "first":
             return cand(tree[1])
+        if kind in ("contain", "within"):
+            return cand(tree[1]) & cand(tree[2])
         raise TypeError(tree)
 
     empty = np.empty(0, np.int64)
@@ -1030,6 +1037,12 @@ class Searcher:
                              self._resolve(q.exclude))
         if isinstance(q, Q.SpanFirst):
             return Q.SpanFirst(self._resolve(q.match), q.end)
+        if isinstance(q, Q.SpanContaining):
+            return Q.SpanContaining(self._resolve(q.big),
+                                    self._resolve(q.little))
+        if isinstance(q, Q.SpanWithin):
+            return Q.SpanWithin(self._resolve(q.little),
+                                self._resolve(q.big))
         return q
 
     def _compile(self, query):

@@ -22,8 +22,9 @@ from .functions.bm25 import (
 )
 from .functions.smallfloat import int_to_byte4
 from .plans.query import (And, DisMax, MultiTerm, Not, Or, Phrase, Query,
-                          SpanFirst, SpanMultiTermWrapper, SpanNear, SpanNot,
-                          SpanOr, Synonym, Term)
+                          SpanContaining, SpanFirst, SpanMultiTermWrapper,
+                          SpanNear, SpanNot, SpanOr, SpanWithin, Synonym,
+                          Term)
 
 
 def _levenshtein(a: str, b: str) -> int:
@@ -239,6 +240,12 @@ class OracleIndex:
                            self._resolve_span(q.exclude))
         if isinstance(q, SpanFirst):
             return SpanFirst(self._resolve_span(q.match), q.end)
+        if isinstance(q, SpanContaining):
+            return SpanContaining(self._resolve_span(q.big),
+                                  self._resolve_span(q.little))
+        if isinstance(q, SpanWithin):
+            return SpanWithin(self._resolve_span(q.little),
+                              self._resolve_span(q.big))
         return q
 
     def _phrase_scores(self, terms: list[str], k1: float, b: float) -> dict[int, np.float32]:
@@ -283,6 +290,7 @@ class OracleIndex:
         if isinstance(query, SpanNear):
             return self._span_near_scores(query, k1, b)
         if isinstance(query, (SpanOr, SpanNot, SpanFirst,
+                              SpanContaining, SpanWithin,
                               SpanMultiTermWrapper)):
             return self._span_tree_scores(query, k1, b)
         if isinstance(query, MultiTerm):

@@ -121,6 +121,40 @@ class SpanFirst(Query):
 
 
 @dataclass(frozen=True)
+class SpanContaining(Query):
+    """SpanContainingQuery (reference ``queries/spans/
+    SpanContainingQuery.java``): spans of ``big`` that contain at least
+    one span of ``little``; each big span is emitted once with its own
+    width. Weight from both sides' termStates (SpanContainQuery)."""
+    big: Query
+    little: Query
+
+    def scoring_terms(self):
+        return list(dict.fromkeys(self.big.scoring_terms()
+                                  + self.little.scoring_terms()))
+
+    def all_terms(self):
+        return list(dict.fromkeys(self.big.all_terms()
+                                  + self.little.all_terms()))
+
+
+@dataclass(frozen=True)
+class SpanWithin(Query):
+    """SpanWithinQuery (reference ``queries/spans/SpanWithinQuery.java``):
+    spans of ``little`` contained in at least one span of ``big``."""
+    little: Query
+    big: Query
+
+    def scoring_terms(self):
+        return list(dict.fromkeys(self.little.scoring_terms()
+                                  + self.big.scoring_terms()))
+
+    def all_terms(self):
+        return list(dict.fromkeys(self.little.all_terms()
+                                  + self.big.all_terms()))
+
+
+@dataclass(frozen=True)
 class SpanMultiTermWrapper(Query):
     """SpanMultiTermQueryWrapper (reference ``queries/spans/
     SpanMultiTermQueryWrapper.java``): lifts a MultiTerm query into span

@@ -72,6 +72,49 @@ def test_span_algebra_kernels():
     assert sp.tolist() == [[0, 2, 0]]
 
 
+def test_contain_within_kernels():
+    from lucene_spark.functions.spans import containing_spans, within_spans
+    big = np.asarray([[0, 5, 2], [10, 12, 0], [20, 30, 5]], dtype=np.int64)
+    little = np.asarray([[1, 3, 0], [11, 13, 0], [25, 26, 0]],
+                        dtype=np.int64)
+    # big[0] contains little[0]; big[1] does NOT contain little[1]
+    # (13 > 12); big[2] contains little[2]
+    assert containing_spans(big, little).tolist() == [[0, 5, 2],
+                                                      [20, 30, 5]]
+    assert within_spans(little, big).tolist() == [[1, 3, 0], [25, 26, 0]]
+    # boundary: equal endpoints count as contained
+    b2 = np.asarray([[5, 9, 1]], dtype=np.int64)
+    l2 = np.asarray([[5, 9, 0]], dtype=np.int64)
+    assert containing_spans(b2, l2).tolist() == [[5, 9, 1]]
+    assert within_spans(l2, b2).tolist() == [[5, 9, 0]]
+    # empty sides
+    e = np.empty((0, 3), dtype=np.int64)
+    assert len(containing_spans(big, e)) == 0
+    assert len(within_spans(e, big)) == 0
+
+
+def test_contain_within_brute():
+    """Randomized: vectorized containment ≡ quadratic brute force."""
+    from lucene_spark.functions.spans import containing_spans, within_spans
+    rng = np.random.RandomState(11)
+    for _ in range(300):
+        nb, nl = rng.randint(0, 8, 2)
+        bs = rng.randint(0, 40, nb)
+        big = np.stack([bs, bs + rng.randint(1, 8, nb),
+                        rng.randint(0, 4, nb)], axis=1).astype(np.int64)
+        big = big[np.lexsort((big[:, 1], big[:, 0]))]
+        ls = rng.randint(0, 40, nl)
+        little = np.stack([ls, ls + rng.randint(1, 8, nl),
+                           rng.randint(0, 4, nl)], axis=1).astype(np.int64)
+        little = little[np.lexsort((little[:, 1], little[:, 0]))]
+        want_c = [b.tolist() for b in big
+                  if any(b[0] <= l[0] and l[1] <= b[1] for l in little)]
+        want_w = [l.tolist() for l in little
+                  if any(b[0] <= l[0] and l[1] <= b[1] for b in big)]
+        assert containing_spans(big, little).tolist() == want_c
+        assert within_spans(little, big).tolist() == want_w
+
+
 def test_engine_oracle_parity(spark):
     corpus = generate_corpus(250, seed=47)
     oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
@@ -119,7 +162,12 @@ def test_span_family_parity(spark):
           Q.SpanFirst(near, 30),
           Q.SpanMultiTermWrapper(Q.MultiTerm("prefix", "pars")),
           Q.SpanNot(Q.SpanOr((Q.Term("parse"), Q.Term("scan"))),
-                    Q.SpanNear(("codec", "util"), slop=4, in_order=False))]
+                    Q.SpanNear(("codec", "util"), slop=4, in_order=False)),
+          Q.SpanContaining(Q.SpanNear(("parse", "emit"), slop=8,
+                                      in_order=False), Q.Term("parse")),
+          Q.SpanWithin(Q.Term("emit"),
+                       Q.SpanNear(("parse", "emit"), slop=8,
+                                  in_order=False))]
     matched_any = 0
     for q in qs:
         want = oracle.top_k(q, k=10)
