@@ -86,22 +86,81 @@ def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
     raise TypeError(type(node))
 
 
+def _anchor_terms(node) -> set | None:
+    """Presearcher term extraction (the reference's
+    ``monitor/TermFilteredPresearcher.java`` role): a set of terms such
+    that any matching document must contain AT LEAST ONE of them — the
+    query's index key in the query-term inverted map. ``None`` means the
+    query cannot be term-anchored (e.g. MultiTerm) and must always be
+    evaluated.
+
+    Term/Phrase/Synonym: own terms. Or/DisMax: union of children (every
+    anchor must cover every way to match). And: the SMALLEST child anchor
+    (one required conjunct suffices — reference's minimum-weight
+    disjunct choice). Not: the positive side."""
+    if isinstance(node, Q.Term):
+        return {node.term}
+    if isinstance(node, (Q.Phrase, Q.Synonym)):
+        return set(node.terms)
+    if isinstance(node, (Q.Or, Q.DisMax)):
+        out: set = set()
+        for c in node.clauses:
+            a = _anchor_terms(c)
+            if a is None:
+                return None
+            out |= a
+        return out
+    if isinstance(node, Q.And):
+        best = None
+        for c in node.clauses:
+            a = _anchor_terms(c)
+            if a is not None and (best is None or len(a) < len(best)):
+                best = a
+        return best
+    if isinstance(node, Q.Not):
+        return _anchor_terms(node.positive)
+    return None  # MultiTerm and anything else: always evaluate
+
+
 class Monitor:
-    """Registered query set; matches documents as they arrive."""
+    """Registered query set; matches documents as they arrive.
+
+    ``presearch=True`` builds a term → query-ids inverted map over the
+    registered queries at construction (the reference Presearcher: the
+    Monitor indexes its QUERIES, ``monitor/Presearcher.java`` /
+    ``TermFilteredPresearcher.java``); each incoming document then
+    evaluates only the queries anchored on one of ITS terms plus the
+    un-anchorable rest — for alerting-size query sets (10⁴-10⁶ rules)
+    per-doc work is proportional to the doc's vocabulary, not the rule
+    count. The map ships in the UDF closure like the query set itself.
+    """
 
     def __init__(self, queries: dict[str, object],
                  stopwords: frozenset = frozenset(),
-                 stemmer: str | None = None):
+                 stemmer: str | None = None,
+                 presearch: bool = True):
         self.queries = {qid: (parse_query(q) if isinstance(q, str) else q)
                         for qid, q in queries.items()}
         self.stopwords = stopwords
         self.stemmer = stemmer
+        self.presearch = presearch
+        self.term_map: dict[str, list[str]] = {}
+        self.always: list[str] = []
+        for qid, node in self.queries.items():
+            anchors = _anchor_terms(node) if presearch else None
+            if anchors:
+                for t in anchors:
+                    self.term_map.setdefault(t, []).append(qid)
+            else:
+                self.always.append(qid)
 
     def match_batch(self, docs_df, id_col: str = "doc_id",
                     text_col: str = "text"):
         """DataFrame (doc_id, query_id) of every match in ``docs_df``."""
         queries = self.queries
         stopwords, stemmer = self.stopwords, self.stemmer
+        term_map, always = self.term_map, self.always
+        presearch = self.presearch
 
         def run(batches):
             for pdf in batches:
@@ -120,8 +179,15 @@ class Monitor:
                     pos_map: dict[str, list[int]] = {}
                     for t, p in zip(tlist, plist):
                         pos_map.setdefault(t, []).append(int(p))
-                    for qid, node in queries.items():
-                        if _matches(node, tset, pos_map):
+                    if presearch:
+                        cand = dict.fromkeys(always)
+                        for t in tset:
+                            for qid in term_map.get(t, ()):
+                                cand[qid] = None
+                    else:
+                        cand = queries
+                    for qid in cand:
+                        if _matches(queries[qid], tset, pos_map):
                             out_doc.append(ids[i])
                             out_q.append(qid)
                 yield pd.DataFrame({"doc_id": np.asarray(out_doc,

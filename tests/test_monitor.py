@@ -56,6 +56,33 @@ def test_match_batch_equals_oracle_match_sets(spark, corpus, oracle):
     assert any(q == "q_phrase" for _, q in got)  # phrase queries exercise
 
 
+def test_presearcher_prunes_without_changing_matches(spark, corpus,
+                                                     oracle):
+    """TermFilteredPresearcher role: the query-term inverted map must not
+    change the match set, and must actually prune (anchored queries are
+    only evaluated against docs containing an anchor term)."""
+    docs = spark.createDataFrame(corpus) \
+        .selectExpr("doc_id", "content AS text")
+    big_set = dict(QUERIES)
+    # pad with queries whose anchor terms are absent from the corpus —
+    # with presearch these cost nothing per doc
+    for i in range(200):
+        big_set[f"q_pad{i}"] = Q.And((Q.Term(f"zzz{i}"), Q.Term("parse")))
+    mon_on = Monitor(big_set, presearch=True)
+    mon_off = Monitor(big_set, presearch=False)
+    got_on = {(int(r["doc_id"]), r["query_id"])
+              for r in mon_on.match_batch(docs).collect()}
+    got_off = {(int(r["doc_id"]), r["query_id"])
+               for r in mon_off.match_batch(docs).collect()}
+    assert got_on == got_off == _expected(oracle)
+    # the pad queries anchor on their absent zzz term (smallest AND-child
+    # anchor), so the term map holds them and `always` stays small
+    # only the MultiTerm queries (prefix, fuzzy) are un-anchorable
+    assert sorted(mon_on.always) == ["q_fuzzy", "q_prefix"]
+    assert all(f"q_pad{i}" in mon_on.term_map[f"zzz{i}"]
+               for i in range(0, 200, 50))
+
+
 def test_monitor_stream(spark, corpus, oracle):
     docs = spark.createDataFrame(corpus) \
         .selectExpr("doc_id", "content AS text")
