@@ -98,14 +98,18 @@ def to_parent_block_join(searcher, child_query, parents_df: DataFrame,
     LAST doc of its block — so ``parents_df`` (one ``doc_id`` column, the
     parent filter's match set) fully determines the block structure.
 
-    Spark shape: block intervals are derived from the parent list alone
-    (a lag window over parent ids — one narrow shuffle of ids, never the
-    corpus); children map to intervals through a bucketed range join
-    (intervals explode into the ``bucket``-sized id buckets they cover —
-    blocks are small, so ~1-2 buckets each — then an equi-join on bucket
-    + range filter). No broadcast of the parent set is required, so the
-    plan survives billions of parents; the aggregation is one map-side
-    combined groupBy(parent_id).
+    Spark shape: block intervals are derived from the parent list alone —
+    parents range-partition by id and each partition computes its lags
+    locally; the cross-partition boundary (the previous partition's LAST
+    parent) resolves through a per-partition max table (one row per
+    partition on the driver — thousands of rows at any corpus scale),
+    never a global single-partition window. Children then map to
+    intervals through a bucketed range join (intervals explode into the
+    ``bucket``-sized id buckets they cover — blocks are small, so ~1-2
+    buckets each — then an equi-join on bucket + range filter). No
+    broadcast of the parent set is required, so the plan survives
+    billions of parents; the aggregation is one map-side combined
+    groupBy(parent_id).
 
     Output: (parent_id, score float, n_children int), score = float32
     cast of the double aggregate like the reference's BlockJoinScorer.
@@ -117,10 +121,42 @@ def to_parent_block_join(searcher, child_query, parents_df: DataFrame,
     if agg is None:
         raise ValueError(f"unknown score_mode {score_mode!r}")
     child_scores = searcher.score_all(child_query)
-    w = Window.orderBy("parent_id")
-    iv = (parents_df.select(F.col(doc_id_col).alias("parent_id"))
-          .withColumn("start",
-                      F.coalesce(F.lag("parent_id").over(w) + 1, F.lit(0))))
+
+    ranged = (parents_df.select(F.col(doc_id_col).alias("parent_id"))
+              .repartitionByRange(F.col("parent_id"))
+              .sortWithinPartitions("parent_id"))
+
+    def _tag(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pid"] = pid
+            yield pdf
+
+    # persist pins the sampled range boundaries: the bounds collect and
+    # the starts pass must see the SAME partitioning (ids only — tiny)
+    tagged = ranged.mapInPandas(_tag, "parent_id long, pid int").persist()
+    bounds = {int(r["pid"]): int(r["mx"]) for r in
+              tagged.groupBy("pid").agg(F.max("parent_id").alias("mx"))
+                    .collect()}
+    # previous non-empty partition's last parent, per pid (partitions are
+    # range-ordered, so lower pid ⇒ strictly smaller ids)
+    prev_last = {pid: max([v for p, v in bounds.items() if p < pid],
+                          default=-1) for pid in bounds}
+
+    def _with_starts(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("parent_id")
+            seed = prev_last.get(int(pdf["pid"].iloc[0]), -1)
+            pdf["start"] = (pdf["parent_id"].shift(1).fillna(seed)
+                            + 1).astype("int64")
+            yield pdf[["parent_id", "start"]]
+
+    iv = tagged.mapInPandas(_with_starts, "parent_id long, start long")
     iv = iv.withColumn(
         "b", F.explode(F.sequence(F.floor(F.col("start") / bucket),
                                   F.floor(F.col("parent_id") / bucket))))
