@@ -12,7 +12,10 @@ executors, so they must never touch per-row Python in hot loops.
 
 Layout per term (each piece lives in its own BinaryType column):
 
-  doc_bytes  = concat over full 128-blocks of [width:u8][packed deltas]
+  doc_bytes  = concat over full 128-blocks of
+               [header:u8 = width | nexc<<5][packed deltas]
+               [(pos:u8, hi:u8) × nexc]  — PFOR: ≤7 patched exceptions
+               per block (PForUtil role), hi = value >> width —
                then VByte(tail deltas).  deltas[0] = doc_ids[0].
   tf_bytes   = same block structure over term frequencies.
   pos_bytes  = one VByte stream of within-doc position deltas, doc-major
@@ -138,77 +141,161 @@ def vbyte_decode(buf: bytes, count: int | None = None, offset: int = 0) -> np.nd
 
 
 # ---------------------------------------------------------------------------
-# FOR: fixed-width bit packing of exactly BLOCK_SIZE uint32 values
+# PFOR: patched fixed-width bit packing of exactly BLOCK_SIZE uint32 values
 # ---------------------------------------------------------------------------
 
-def for_pack(vals: np.ndarray) -> bytes:
-    """Bit-pack a block of uint32 values at the minimal fixed width.
+#: ≤7 patched exceptions per block, like the reference
+#: (``codecs/lucene90/PForUtil.java:31-33`` MAX_EXCEPTIONS = 7).
+PFOR_MAX_EXCEPTIONS = 7
 
-    Width 0 (all zeros) stores only the width byte — the all-equal
-    degenerate case the reference special-cases in PForUtil.
+
+def _bit_lengths(a: np.ndarray) -> np.ndarray:
+    out = np.zeros(a.shape, dtype=np.int64)
+    v = np.asarray(a, dtype=np.int64).copy()
+    while v.any():
+        out[v > 0] += 1
+        v >>= 1
+    return out
+
+
+def for_pack(vals: np.ndarray) -> bytes:
+    """Patched-FOR a block: pack at the width covering all but ≤7
+    exception values; each exception stores (position u8, high-bits u8)
+    after the packed body (the reference PForUtil's patching idea:
+    ``codecs/lucene90/PForUtil.java:64-140`` — ours keeps exception high
+    bits in ONE byte, so the width never drops more than 8 bits below the
+    max and block byte length stays computable from the header alone).
+
+    Header byte = ``width | (num_exceptions << 5)`` (width ≤ 31,
+    exceptions ≤ 7). Width 0 with no exceptions (all zeros) stores only
+    the header — the all-equal degenerate case.
+    The exception count is chosen to minimize the block's byte size;
+    ties prefer fewer exceptions, so blocks that don't profit from
+    patching encode exactly as plain FOR (back-compatible: a plain-FOR
+    header is just ``width`` with the high bits clear).
     """
     vals = np.asarray(vals, dtype=np.uint32)
-    mx = int(vals.max()) if len(vals) else 0
-    w = mx.bit_length()
-    if w == 0:
+    n = len(vals)
+    if n == 0:
         return bytes([0])
-    bits = np.unpackbits(vals.astype(">u4").view(np.uint8).reshape(-1, 4), axis=1)[:, 32 - w:]
-    return bytes([w]) + np.packbits(bits.ravel()).tobytes()
+    order = np.argsort(-vals.astype(np.int64), kind="stable")
+    sdesc = vals[order].astype(np.int64)
+    maxbl = int(sdesc[0]).bit_length()
+    if maxbl > 31:
+        raise ValueError("PFOR values must fit 31 bits")
+    best = None
+    for k in range(0, min(PFOR_MAX_EXCEPTIONS, n - 1) + 1):
+        wk = max(int(sdesc[k]).bit_length(), maxbl - 8)
+        size = 1 + (n * wk + 7) // 8 + 2 * k
+        if best is None or size < best[0]:
+            best = (size, k, wk)
+    _, k, w = best
+    packed = vals.copy()
+    exc_pos = np.sort(order[:k])
+    his = (packed[exc_pos] >> np.uint32(w)).astype(np.uint8)
+    packed[exc_pos] &= np.uint32((1 << w) - 1)
+    header = bytes([w | (k << 5)])
+    if w == 0:
+        body = b""
+    else:
+        bits = np.unpackbits(packed.astype(">u4").view(np.uint8)
+                             .reshape(-1, 4), axis=1)[:, 32 - w:]
+        body = np.packbits(bits.ravel()).tobytes()
+    exc = np.empty(2 * k, dtype=np.uint8)
+    exc[0::2] = exc_pos
+    exc[1::2] = his
+    return header + body + exc.tobytes()
 
 
 def for_pack_many(blocks: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """FOR-pack many BLOCK_SIZE-value blocks in one vectorized pass.
+    """Patched-FOR many BLOCK_SIZE-value blocks in one vectorized pass.
 
     ``blocks`` is (B, BLOCK_SIZE) uint32. Returns ``(stream, offsets)``
     (len B+1) with block b's bytes at ``stream[off[b]:off[b+1]]`` —
-    byte-identical to :func:`for_pack` per block. Blocks are grouped by
-    bit width so the pack loop runs once per distinct width (≤32), not
-    once per block.
+    byte-identical to :func:`for_pack` per block. Exception selection
+    (count, positions, widths) is computed for ALL blocks at once; blocks
+    are then grouped by chosen width so the pack loop runs once per
+    distinct width (≤32), not once per block.
     """
     blocks = np.asarray(blocks, dtype=np.uint32)
     B = blocks.shape[0]
     boff = np.zeros(B + 1, dtype=np.int64)
     if B == 0:
         return b"", boff
-    mx = blocks.max(axis=1)
-    widths = np.zeros(B, dtype=np.int64)
-    v = mx.copy()
-    while v.any():
-        widths[v > 0] += 1
-        v >>= 1
-    nbytes = (BLOCK_SIZE * widths) // 8  # BLOCK_SIZE divisible by 8
-    boff[1:] = np.cumsum(1 + nbytes)
+    order = np.argsort(-blocks.astype(np.int64), axis=1, kind="stable")
+    sdesc = np.take_along_axis(blocks, order, axis=1).astype(np.int64)
+    K = PFOR_MAX_EXCEPTIONS + 1
+    blmat = _bit_lengths(sdesc[:, :K])              # (B, 8)
+    maxbl = blmat[:, 0]
+    if (maxbl > 31).any():
+        raise ValueError("PFOR values must fit 31 bits")
+    w_k = np.maximum(blmat, (maxbl - 8)[:, None])   # width for k exceptions
+    sizes = 1 + (BLOCK_SIZE * w_k + 7) // 8 + 2 * np.arange(K)[None, :]
+    kbest = np.argmin(sizes, axis=1)                # first min = fewest exc
+    wbest = w_k[np.arange(B), kbest]
+    nbytes = (BLOCK_SIZE * wbest) // 8
+    boff[1:] = np.cumsum(1 + nbytes + 2 * kbest)
     out = np.zeros(int(boff[-1]), dtype=np.uint8)
-    out[boff[:-1]] = widths
-    for w in np.unique(widths[widths > 0]):
-        sel = np.nonzero(widths == w)[0]
-        sub = blocks[sel]
+    out[boff[:-1]] = wbest | (kbest << 5)
+    # patch exceptions (top-k values per block, value desc / pos asc)
+    packed = blocks.copy()
+    take = np.arange(BLOCK_SIZE)[None, :] < kbest[:, None]
+    rows = np.repeat(np.arange(B, dtype=np.int64), kbest)
+    cols = order[take]                              # row-major flatten
+    if len(rows):
+        packed[rows, cols] &= ((np.uint32(1) << wbest[rows].astype(np.uint32))
+                               - np.uint32(1))
+        # write (pos, hi) pairs sorted by position within each block
+        o2 = np.lexsort((cols, rows))
+        r2, c2 = rows[o2], cols[o2]
+        his = (blocks[r2, c2].astype(np.int64)
+               >> wbest[r2]).astype(np.uint8)
+        kcum = np.concatenate(([0], np.cumsum(kbest)))
+        ranks = np.arange(len(r2)) - np.repeat(kcum[:-1], kbest)
+        base = boff[r2] + 1 + nbytes[r2] + 2 * ranks
+        out[base] = c2.astype(np.uint8)
+        out[base + 1] = his
+    for w in np.unique(wbest[wbest > 0]):
+        sel = np.nonzero(wbest == w)[0]
+        sub = packed[sel]
         bits = np.unpackbits(
             sub.astype(">u4").view(np.uint8).reshape(len(sel), BLOCK_SIZE, 4),
             axis=2)[:, :, 32 - w:]
-        packed = np.packbits(bits.reshape(len(sel), BLOCK_SIZE * int(w)),
-                             axis=1)
-        idx = boff[sel, None] + 1 + np.arange(packed.shape[1])
-        out[idx] = packed
+        pk = np.packbits(bits.reshape(len(sel), BLOCK_SIZE * int(w)), axis=1)
+        idx = boff[sel, None] + 1 + np.arange(pk.shape[1])
+        out[idx] = pk
     return out.tobytes(), boff
 
 
 def for_unpack(buf: bytes, offset: int, n: int = BLOCK_SIZE) -> tuple[np.ndarray, int]:
     """Inverse of :func:`for_pack`; returns (values, next_offset)."""
-    w = buf[offset]
+    header = buf[offset]
     offset += 1
+    w = header & 31
+    k = header >> 5
     if w == 0:
-        return np.zeros(n, dtype=np.uint32), offset
-    nbytes = (n * w + 7) // 8
-    bits = np.unpackbits(np.frombuffer(buf, np.uint8, nbytes, offset))[: n * w].reshape(n, w)
-    padded = np.zeros((n, 32), dtype=np.uint8)
-    padded[:, 32 - w:] = bits
-    vals = np.packbits(padded, axis=1).reshape(n, 4).copy().view(">u4").ravel()
-    return vals.astype(np.uint32), offset + nbytes
+        vals = np.zeros(n, dtype=np.uint32)
+    else:
+        nbytes = (n * w + 7) // 8
+        bits = np.unpackbits(
+            np.frombuffer(buf, np.uint8, nbytes, offset))[: n * w].reshape(n, w)
+        padded = np.zeros((n, 32), dtype=np.uint8)
+        padded[:, 32 - w:] = bits
+        vals = np.packbits(padded, axis=1).reshape(n, 4).copy() \
+            .view(">u4").ravel().astype(np.uint32)
+        offset += nbytes
+    if k:
+        exc = np.frombuffer(buf, np.uint8, 2 * k, offset)
+        offset += 2 * k
+        vals[exc[0::2].astype(np.int64)] |= \
+            exc[1::2].astype(np.uint32) << np.uint32(w)
+    return vals, offset
 
 
-def _for_packed_size(w: int, n: int = BLOCK_SIZE) -> int:
-    return 1 + ((n * w + 7) // 8 if w else 0)
+def _pfor_block_size(header: int, n: int = BLOCK_SIZE) -> int:
+    """Byte length of a PFOR block (incl. header) from its header byte."""
+    w = header & 31
+    return 1 + (n * w) // 8 + 2 * (header >> 5)
 
 
 # ---------------------------------------------------------------------------

@@ -355,10 +355,12 @@ class TermSegPostings:
             doc_off = np.zeros(self.n_full + 1, dtype=np.int64)
             tf_off = np.zeros(self.n_full + 1, dtype=np.int64)
             for b in range(self.n_full):
-                w = self.doc_buf[doc_off[b]]
-                doc_off[b + 1] = doc_off[b] + 1 + ((codec.BLOCK_SIZE * w + 7) // 8 if w else 0)
-                w = self.tf_buf[tf_off[b]]
-                tf_off[b + 1] = tf_off[b] + 1 + ((codec.BLOCK_SIZE * w + 7) // 8 if w else 0)
+                # PFOR header: width | nexc<<5 → block length is
+                # header-computable (codec._pfor_block_size)
+                doc_off[b + 1] = doc_off[b] + \
+                    codec._pfor_block_size(self.doc_buf[doc_off[b]])
+                tf_off[b + 1] = tf_off[b] + \
+                    codec._pfor_block_size(self.tf_buf[tf_off[b]])
             self._offsets = (doc_off, tf_off)
         return self._offsets
 

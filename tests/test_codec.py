@@ -32,10 +32,12 @@ def test_vbyte_roundtrip(vals):
     assert list(got) == vals
 
 
-@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1),
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 1),
                 min_size=128, max_size=128))
 @settings(max_examples=100)
 def test_for_pack_roundtrip(vals):
+    # 31-bit domain: PFOR headers carry the width in 5 bits (local doc
+    # deltas and tfs are < 2^31 by construction — int32 local ids)
     arr = np.array(vals, dtype=np.uint32)
     buf = codec.for_pack(arr)
     got, off = codec.for_unpack(buf, 0)
@@ -45,6 +47,31 @@ def test_for_pack_roundtrip(vals):
 
 def test_for_pack_width0():
     assert codec.for_pack(np.zeros(128, np.uint32)) == b"\x00"
+
+
+def test_pfor_patches_outliers():
+    """A block of small values + few huge outliers packs near the small
+    width (PForUtil role), exceptions round-trip, and the 32-bit domain
+    is rejected."""
+    import pytest
+    vals = np.full(128, 3, np.uint32)
+    vals[[5, 77, 127]] = [2**20, 2**19, 2**18]
+    buf = codec.for_pack(vals)
+    header = buf[0]
+    w, k = header & 31, header >> 5
+    # patched: width = maxbl-8 = 13 (hi byte cap), not the 21-bit max
+    assert k == 3 and w == 13
+    assert len(buf) == 1 + (128 * w) // 8 + 2 * k
+    got, off = codec.for_unpack(buf, 0)
+    assert off == len(buf) and np.array_equal(got, vals)
+    # batched encoder is byte-identical per block
+    blocks = np.stack([vals, np.arange(128, dtype=np.uint32),
+                       np.zeros(128, np.uint32)])
+    stream, boff = codec.for_pack_many(blocks)
+    for i in range(3):
+        assert stream[boff[i]:boff[i + 1]] == codec.for_pack(blocks[i]), i
+    with pytest.raises(ValueError):
+        codec.for_pack(np.full(128, 2**31, np.uint32))
 
 
 @st.composite
