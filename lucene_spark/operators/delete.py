@@ -79,9 +79,15 @@ def _write_deletes(catalog: SnapshotCatalog, snap,
 
 def delete_by_term(spark, index_dir: str, term: str):
     """Mark every document containing ``term`` as deleted; returns the new
-    Snapshot. One narrow job: the postings scan is filtered to the single
-    term (predicate pushdown — one row per segment), decoded driver-side.
+    Snapshot. The postings scan is filtered to the single term (predicate
+    pushdown — at most one row per segment) and DECODED ON EXECUTORS
+    (``mapInPandas``): only the (seg_id, local_doc_id) tombstone rows
+    come back, so a high-df term's delete never routes its full posting
+    payload through the driver. The tombstone set itself stays small
+    relative to the corpus (the reference merges at ≤33% deletes), so the
+    final collect is of ids only.
     """
+    import pandas as pd
     from pyspark.sql import functions as F
     catalog = SnapshotCatalog(index_dir)
     snap = catalog.load()
@@ -89,14 +95,28 @@ def delete_by_term(spark, index_dir: str, term: str):
         raise ValueError(f"no snapshot in {index_dir}")
     paths = [os.path.join(catalog.segment_dir(s), "postings.parquet")
              for s in snap.seg_ids]
-    rows = (spark.read.parquet(*paths)
-            .filter(F.col("term") == term).collect())
+
+    def decode_ids(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                dec = decode_postings(row._asdict(), with_positions=False)
+                yield pd.DataFrame({
+                    "seg_id": np.full(len(dec["doc_ids"]), row.seg_id,
+                                      dtype=np.int32),
+                    "local_doc_id": dec["doc_ids"].astype(np.int32)})
+
+    hit = (spark.read.parquet(*paths)
+           .filter(F.col("term") == term)
+           .mapInPandas(decode_ids, "seg_id int, local_doc_id int")
+           .collect())
     deletes = load_deletes(catalog, snap)
-    for r in rows:
-        dec = decode_postings(r.asDict())
-        prev = deletes.get(int(r["seg_id"]), np.empty(0, np.int64))
-        deletes[int(r["seg_id"])] = np.unique(
-            np.concatenate((prev, dec["doc_ids"])))
+    by_seg: dict[int, list[int]] = {}
+    for r in hit:
+        by_seg.setdefault(int(r["seg_id"]), []).append(int(r["local_doc_id"]))
+    for s, ids in by_seg.items():
+        prev = deletes.get(s, np.empty(0, np.int64))
+        deletes[s] = np.unique(
+            np.concatenate((prev, np.asarray(ids, np.int64))))
     return _write_deletes(catalog, snap, deletes)
 
 
@@ -116,11 +136,42 @@ def delete_by_ids(spark, index_dir: str,
 
 
 def locate_global_ids(catalog: SnapshotCatalog, snap,
-                      global_ids) -> dict[int, np.ndarray]:
-    """Map global doc_ids → {seg_id: local ids} by scanning each
-    segment's global_doc_ids array (one norms row per segment)."""
+                      global_ids, spark=None) -> dict[int, np.ndarray]:
+    """Map global doc_ids → {seg_id: local ids}.
+
+    With a SparkSession, every segment's global_doc_ids array is probed
+    ON EXECUTORS (one norms row per segment, the wanted-id set shipped in
+    the closure) and only the hits return — the driver never reads a
+    segment blob, so the lookup scales to any segment count. Without
+    Spark (tiny-index/test convenience) it falls back to a driver-side
+    scan."""
     want = np.unique(np.asarray(list(global_ids), dtype=np.int64))
     out: dict[int, np.ndarray] = {}
+    paths = [os.path.join(catalog.segment_dir(s), "norms.parquet")
+             for s in snap.seg_ids]
+    if spark is not None and paths:
+        import pandas as pd_
+
+        def probe(batches):
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    gids = np.frombuffer(row.global_doc_ids, dtype="<i8")
+                    hit = np.nonzero(np.isin(gids, want))[0]
+                    if len(hit):
+                        yield pd_.DataFrame({
+                            "seg_id": np.full(len(hit), row.seg_id,
+                                              dtype=np.int32),
+                            "local_doc_id": hit.astype(np.int64)})
+
+        rows = (spark.read.parquet(*paths)
+                .select("seg_id", "global_doc_ids")
+                .mapInPandas(probe, "seg_id int, local_doc_id long")
+                .collect())
+        for r in rows:
+            out.setdefault(int(r["seg_id"]), []).append(
+                int(r["local_doc_id"]))
+        return {s: np.unique(np.asarray(v, np.int64))
+                for s, v in out.items()}
     for s in snap.seg_ids:
         npdf = pd.read_parquet(
             os.path.join(catalog.segment_dir(s), "norms.parquet"))
@@ -149,7 +200,7 @@ def update_documents(spark, index_dir: str, df,
     if snap is None:
         raise ValueError(f"no snapshot in {index_dir}")
     ids = [int(r[0]) for r in df.select(doc_id_col).distinct().collect()]
-    located = locate_global_ids(catalog, snap, ids)
+    located = locate_global_ids(catalog, snap, ids, spark=spark)
     next_seg = max(snap.seg_ids) + 1 if snap.seg_ids else 0
     build_index(spark, df, index_dir, num_segments=1,
                 seg_id_offset=next_seg, doc_id_col=doc_id_col,

@@ -238,10 +238,11 @@ def ivf_centroids(corpus: DataFrame, num_centroids: int,
     ``md5(id)`` (a uniform, engine-independent sample — no RNG state on
     executors). Refinement = ``iters`` Lloyd steps where the assign step
     is a vectorized Arrow UDF (numpy matmul against the broadcast
-    centroid matrix) and the update step is one ``groupBy(centroid).avg``
-    per component — map-side combined, so each step shuffles only
-    ``num_centroids × dim`` partial sums per partition. The centroid
-    matrix (C × dim floats) is tiny and lives on the driver.
+    centroid matrix) and the update step is a posexplode →
+    ``groupBy(centroid, component).avg`` — dim-agnostic and map-side
+    combined, so each step shuffles only ``num_centroids × dim`` partial
+    sums per partition. The centroid matrix (C × dim floats) is tiny and
+    lives on the driver.
     """
     seeds = (corpus.select(F.col(vec_col).alias("vec"),
                            F.md5(F.col(id_col).cast("string")).alias("h"))
@@ -249,20 +250,21 @@ def ivf_centroids(corpus: DataFrame, num_centroids: int,
                    .toPandas())
     cents = np.stack(seeds["vec"].to_numpy()).astype(np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    dim = cents.shape[1]
     for _ in range(iters):
         assign = _assign_udf(cents)
-        sums = (corpus.select(F.col(vec_col).alias("vec"))
-                      .withColumn("cid", assign(F.col("vec")))
-                      .select("cid", *[F.col("vec")[i].cast("double")
-                                       .alias(f"c{i}")
-                                       for i in range(cents.shape[1])])
-                      .groupBy("cid")
-                      .avg(*[f"c{i}" for i in range(cents.shape[1])])
-                      .toPandas().sort_values("cid"))
+        # per-(centroid, component) mean via posexplode — dim-agnostic
+        # (no one-column-per-component widening), map-side combined: the
+        # shuffle carries C × dim partial sums per partition
+        pdf = (corpus.select(F.col(vec_col).alias("vec"))
+                     .withColumn("cid", assign(F.col("vec")))
+                     .select("cid", F.posexplode("vec").alias("i", "x"))
+                     .groupBy("cid", "i")
+                     .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                     .toPandas())
         new = cents.copy()
-        ids = sums["cid"].to_numpy()
-        vals = sums.drop(columns=["cid"]).to_numpy()
-        new[ids] = vals
+        new[pdf["cid"].to_numpy(np.int64),
+            pdf["i"].to_numpy(np.int64)] = pdf["m"].to_numpy(np.float64)
         norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
         cents = new / norms
     return cents
