@@ -231,8 +231,10 @@ def test_kill_and_resume(spark, corpus, oracle):
 def test_fuzzed_structured_queries_parity(searcher, oracle, corpus):
     """Deep differential fuzz: random NESTED query trees mixing every
     scored node type (Term w/ boost, Or w/ minShouldMatch, And, Not,
-    DisMax, Synonym, exact Phrase) — ranks and float32 scores must be
-    identical to the oracle in both scoring modes."""
+    DisMax, Synonym, exact Phrase, n-term sloppy Phrase, and span
+    algebra subtrees: Near/Or/Not/First/Containing/Within) — ranks and
+    float32 scores must be identical to the oracle in both scoring
+    modes."""
     from lucene_spark.functions.analysis import analyze_text
     from lucene_spark.plans import query as Q
     rng = np.random.RandomState(23)
@@ -250,23 +252,56 @@ def test_fuzzed_structured_queries_parity(searcher, oracle, corpus):
         boost = float(rng.choice([1.0, 1.0, 2.0, 0.5]))
         return Q.Term(t, boost)
 
+    def distinct_terms(n):
+        return tuple(rng.choice(pool, size=n, replace=False))
+
+    def span(depth=0):
+        r = rng.rand()
+        if depth >= 2 or r < 0.35:
+            if rng.rand() < 0.5:
+                return Q.Term(pool[rng.randint(len(pool))])
+            return Q.SpanNear(distinct_terms(int(rng.randint(2, 4))),
+                              slop=int(rng.randint(0, 8)),
+                              in_order=bool(rng.rand() < 0.5))
+        if r < 0.55:
+            return Q.SpanOr(tuple(span(depth + 1)
+                                  for _ in range(rng.randint(2, 4))))
+        if r < 0.7:
+            return Q.SpanNot(span(depth + 1), span(depth + 1))
+        if r < 0.8:
+            return Q.SpanFirst(span(depth + 1), int(rng.randint(3, 40)))
+        if r < 0.9:
+            return Q.SpanContaining(span(depth + 1), span(depth + 1))
+        return Q.SpanWithin(span(depth + 1), span(depth + 1))
+
     def gen(depth):
         r = rng.rand()
         if depth >= 2 or r < 0.3:
             return term()
         kids = tuple(gen(depth + 1) for _ in range(rng.randint(2, 4)))
-        if r < 0.5:
+        if r < 0.48:
             msm = int(rng.randint(0, 2))
             return Q.Or(kids, min_should_match=msm)
-        if r < 0.65:
+        if r < 0.6:
             return Q.And(kids)
-        if r < 0.75:
+        if r < 0.68:
             return Q.DisMax(kids, float(rng.choice([0.0, 0.3])))
-        if r < 0.85:
+        if r < 0.76:
             ts = tuple(pool[rng.randint(len(pool))] for _ in range(2))
             return Q.Synonym(ts)
-        if r < 0.93:
+        if r < 0.83:
             return Q.Phrase(bigrams[rng.randint(len(bigrams))])
+        if r < 0.88:
+            # sloppy n-term phrase seeded with a real bigram
+            big = bigrams[rng.randint(len(bigrams))]
+            ts = big if len(set(big)) == 2 else (big[0],)
+            extra = tuple(t for t in distinct_terms(1) if t not in ts)
+            ts = ts + extra if rng.rand() < 0.5 and extra else ts
+            if len(ts) < 2:
+                return term()
+            return Q.Phrase(ts, slop=int(rng.randint(1, 6)))
+        if r < 0.95:
+            return span()
         return Q.Not(kids[0], kids[1])
 
     checked = 0
