@@ -158,6 +158,84 @@ def near_spans(pos_lists: list[np.ndarray], slop: int,
     return np.asarray(out, dtype=np.int64).reshape(-1, 3)
 
 
+def near_spans_over(span_lists: list[np.ndarray], slop: int,
+                    in_order: bool) -> np.ndarray:
+    """SpanNear over arbitrary CLAUSE SPAN STREAMS (the reference's
+    nested ``SpanNearQuery(SpanQuery...)``). Generalizes the term
+    matchers: with term-span inputs it emits exactly what
+    :func:`near_spans` emits (fuzz-verified).
+
+    * ordered — greedy leftmost chains: clause j+1's first span with
+      ``start >= prev.end``; start tightened forward; matchWidth = Σ
+      inter-span gaps (``NearSpansOrdered.java:116``).
+    * unordered — left-minimal complete windows over the merged
+      span stream; matchWidth = (max end in window) − (window start) − n.
+    """
+    n = len(span_lists)
+    if n == 0 or any(len(s) == 0 for s in span_lists):
+        return _EMPTY_SPANS
+    if n == 1:
+        return span_lists[0]
+    out: list[tuple[int, int, int]] = []
+    if in_order:
+        first = span_lists[0]
+        i0 = 0
+        while i0 < len(first):
+            chain = [first[i0]]
+            dead = False
+            for j in range(1, n):
+                lst = span_lists[j]
+                k = int(np.searchsorted(lst[:, 0], chain[-1][1],
+                                        side="left"))
+                if k >= len(lst):
+                    dead = True
+                    break
+                chain.append(lst[k])
+            if dead:
+                break
+            while i0 + 1 < len(first) and first[i0 + 1][1] <= chain[1][0]:
+                i0 += 1
+            chain[0] = first[i0]
+            ml = int(sum(int(chain[j + 1][0]) - int(chain[j][1])
+                         for j in range(n - 1)))
+            if ml <= slop:
+                out.append((int(chain[0][0]), int(chain[-1][1]), ml))
+            i0 += 1
+    else:
+        merged = sorted((int(s[0]), int(s[1]), j)
+                        for j, lst in enumerate(span_lists) for s in lst)
+        need = n
+        counts = [0] * n
+        left = 0
+        for right in range(len(merged)):
+            jr = merged[right][2]
+            if counts[jr] == 0:
+                need -= 1
+            counts[jr] += 1
+            if need:
+                continue
+            while True:
+                jl = merged[left][2]
+                if counts[jl] > 1:
+                    counts[jl] -= 1
+                    left += 1
+                else:
+                    break
+            wstart = merged[left][0]
+            wend = max(e for _, e, _ in merged[left:right + 1])
+            ml = max(wend - wstart - n, 0)
+            if ml <= slop:
+                out.append((wstart, wend, ml))
+            counts[merged[left][2]] -= 1
+            need += 1
+            left += 1
+    if not out:
+        return _EMPTY_SPANS
+    arr = np.asarray(out, dtype=np.int64).reshape(-1, 3)
+    order = np.lexsort((arr[:, 1], arr[:, 0]))
+    return arr[order]
+
+
 def or_spans(span_lists: list[np.ndarray]) -> np.ndarray:
     """Union of clause span streams, (start, end) ordered
     (SpanOrQuery's SpanDisiPriorityQueue merge role)."""
@@ -250,6 +328,7 @@ def eval_span_tree(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
     term → sorted-positions map. Tree grammar (nested tuples):
 
       ("term", t) | ("near", terms, slop, in_order)
+      | ("nearspans", (child, ...), slop, in_order)   — nested SpanNear
       | ("or", (child, ...)) | ("not", include, exclude)
       | ("first", child, end)
       | ("contain", big, little) | ("within", little, big)
@@ -260,6 +339,9 @@ def eval_span_tree(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
     if kind == "near":
         return near_spans([pmap.get(t, np.empty(0, np.int64))
                            for t in tree[1]], tree[2], tree[3])
+    if kind == "nearspans":
+        return near_spans_over([eval_span_tree(c, pmap) for c in tree[1]],
+                               tree[2], tree[3])
     if kind == "or":
         return or_spans([eval_span_tree(c, pmap) for c in tree[1]])
     if kind == "not":
@@ -285,6 +367,11 @@ def span_tree_terms(tree, positive_only: bool = False) -> list[str]:
         return [tree[1]]
     if kind == "near":
         return list(tree[1])
+    if kind == "nearspans":
+        out = []
+        for c in tree[1]:
+            out.extend(span_tree_terms(c, positive_only))
+        return out
     if kind == "or":
         out = []
         for c in tree[1]:

@@ -200,7 +200,8 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                     "sloppy phrase with duplicate clause terms")
             w = multi_weight([df_of(t) for t in node.terms])
             return CPhrase(tuple(node.terms), w, node.slop)
-        if isinstance(node, Q.SpanNear):
+        if isinstance(node, Q.SpanNear) and \
+                all(isinstance(t, str) for t in node.terms):
             if len(set(node.terms)) != len(node.terms):
                 raise NotImplementedError(
                     "SpanNear with duplicate clause terms")
@@ -209,7 +210,7 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
             w = multi_weight([df_of(t) for t in node.terms])
             return CSpanNear(tuple(node.terms), w, node.slop, node.in_order)
         if isinstance(node, (Q.SpanOr, Q.SpanNot, Q.SpanFirst,
-                             Q.SpanContaining, Q.SpanWithin)):
+                             Q.SpanContaining, Q.SpanWithin, Q.SpanNear)):
             from ..functions.spans import span_tree_terms
             tree = _span_tree(node)
             pos = [t for t in
@@ -276,9 +277,14 @@ def _span_tree(node) -> tuple:
     if isinstance(node, str):
         return ("term", node)
     if isinstance(node, Q.SpanNear):
-        if len(set(node.terms)) != len(node.terms):
-            raise NotImplementedError("SpanNear with duplicate clause terms")
-        return ("near", tuple(node.terms), node.slop, node.in_order)
+        if all(isinstance(t, str) for t in node.terms):
+            if len(set(node.terms)) != len(node.terms):
+                raise NotImplementedError(
+                    "SpanNear with duplicate clause terms")
+            return ("near", tuple(node.terms), node.slop, node.in_order)
+        # nested SpanNearQuery(SpanQuery...): clauses may be span nodes
+        return ("nearspans", tuple(_span_tree(c) for c in node.terms),
+                node.slop, node.in_order)
     if isinstance(node, _ResolvedMultiTerm):
         return ("or", tuple(("term", t) for t in node.terms))
     if isinstance(node, Q.SpanOr):
@@ -739,6 +745,14 @@ def _span_tree_freqs(node: "CSpanTree", ctx: _SegContext,
                 if not out:
                     return out
             return out or set()
+        if kind == "nearspans":
+            out = None
+            for c in tree[1]:
+                s = cand(c)
+                out = s if out is None else (out & s)
+                if not out:
+                    return out
+            return out or set()
         if kind == "or":
             out: set = set()
             for c in tree[1]:
@@ -1032,6 +1046,11 @@ class Searcher:
             if isinstance(expanded, _ResolvedMultiTerm):
                 return Q.SpanOr(tuple(Q.Term(t) for t in expanded.terms))
             return Q.SpanOr(tuple(Q.Term(t) for t in expanded.all_terms()))
+        if isinstance(q, Q.SpanNear) and \
+                not all(isinstance(t, str) for t in q.terms):
+            return Q.SpanNear(tuple(t if isinstance(t, str)
+                                    else self._resolve(t)
+                                    for t in q.terms), q.slop, q.in_order)
         if isinstance(q, Q.SpanOr):
             return Q.SpanOr(tuple(self._resolve(c) for c in q.clauses))
         if isinstance(q, Q.SpanNot):

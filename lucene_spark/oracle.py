@@ -233,6 +233,11 @@ class OracleIndex:
             else:
                 raise ValueError(mt.kind)
             return SpanOr(tuple(Term(t) for t in hit))
+        if isinstance(q, SpanNear) and \
+                not all(isinstance(t, str) for t in q.terms):
+            return SpanNear(tuple(t if isinstance(t, str)
+                                  else self._resolve_span(t)
+                                  for t in q.terms), q.slop, q.in_order)
         if isinstance(q, SpanOr):
             return SpanOr(tuple(self._resolve_span(c) for c in q.clauses))
         if isinstance(q, SpanNot):
@@ -288,7 +293,9 @@ class OracleIndex:
                                                   query.slop, k1, b)
             return self._phrase_scores(list(query.terms), k1, b)
         if isinstance(query, SpanNear):
-            return self._span_near_scores(query, k1, b)
+            if all(isinstance(t, str) for t in query.terms):
+                return self._span_near_scores(query, k1, b)
+            return self._span_tree_scores(query, k1, b)
         if isinstance(query, (SpanOr, SpanNot, SpanFirst,
                               SpanContaining, SpanWithin,
                               SpanMultiTermWrapper)):

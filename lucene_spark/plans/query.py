@@ -55,16 +55,33 @@ class Phrase(Query):
 @dataclass(frozen=True)
 class SpanNear(Query):
     """SpanNearQuery (reference ``queries/spans/SpanNearQuery.java``):
-    all clause terms within ``slop`` positions, ordered or not, scored
-    with sloppyFreq 1/(1+matchLength) per match (greedy/minimal-window
-    semantics documented in ``functions/spans.py``; duplicate clause
-    terms unsupported)."""
-    terms: tuple[str, ...]
+    all clauses within ``slop`` positions, ordered or not, scored with
+    sloppyFreq 1/(1+matchLength) per match (greedy/minimal-window
+    semantics documented in ``functions/spans.py``). Clauses are term
+    strings, or — like the reference's ``SpanNearQuery(SpanQuery...)`` —
+    nested span queries (SpanNear/SpanOr/...); duplicate TERM clauses
+    are unsupported."""
+    terms: tuple  # str | span Query per clause
     slop: int = 0
     in_order: bool = True
 
     def scoring_terms(self):
-        return list(dict.fromkeys(self.terms))
+        out = []
+        for t in self.terms:
+            if isinstance(t, str):
+                out.append(t)
+            else:
+                out.extend(t.scoring_terms())
+        return list(dict.fromkeys(out))
+
+    def all_terms(self):
+        out = []
+        for t in self.terms:
+            if isinstance(t, str):
+                out.append(t)
+            else:
+                out.extend(t.all_terms())
+        return list(dict.fromkeys(out))
 
 
 @dataclass(frozen=True)

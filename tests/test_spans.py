@@ -93,6 +93,50 @@ def test_contain_within_kernels():
     assert len(within_spans(e, big)) == 0
 
 
+def test_near_spans_over_generalizes_term_matchers():
+    """near_spans_over with term-span inputs must emit exactly what the
+    flat term matchers emit (randomized, both orders)."""
+    from lucene_spark.functions.spans import (near_spans, near_spans_over,
+                                              term_spans)
+    rng = np.random.RandomState(19)
+    for _ in range(400):
+        n = rng.randint(2, 5)
+        univ = list(range(40))
+        rng.shuffle(univ)
+        lists, i = [], 0
+        for _j in range(n):
+            k = rng.randint(0, 6)
+            lists.append(np.asarray(sorted(univ[i:i + k]), dtype=np.int64))
+            i += k
+        slop = rng.randint(0, 10)
+        for in_order in (True, False):
+            flat = near_spans(lists, slop, in_order)
+            nested = near_spans_over([term_spans(p) for p in lists],
+                                     slop, in_order)
+            assert flat.tolist() == nested.tolist(), (lists, slop, in_order)
+
+
+def test_nested_span_near():
+    """SpanNear over span clauses (SpanNearQuery(SpanQuery...) role):
+    goldens for ordered chains of sub-spans."""
+    from lucene_spark.functions.spans import eval_span_tree
+    pmap = {"a": np.asarray([0, 20]), "b": np.asarray([1, 21]),
+            "c": np.asarray([3, 30])}
+    # near( near(a b ordered slop0), c ) ordered: (a b) spans [0,2) and
+    # [20,22); c at 3 chains after [0,2) with gap 1; c at 30 after
+    # [20,22) with gap 8
+    inner = ("near", ("a", "b"), 0, True)
+    tree = ("nearspans", (inner, ("term", "c")), 4, True)
+    assert eval_span_tree(tree, pmap).tolist() == [[0, 4, 1]]
+    tree_wide = ("nearspans", (inner, ("term", "c")), 8, True)
+    assert eval_span_tree(tree_wide, pmap).tolist() == [[0, 4, 1],
+                                                       [20, 31, 8]]
+    # unordered window over sub-spans counts extent minus clause count
+    tree_u = ("nearspans", (("term", "c"), inner), 3, False)
+    sp = eval_span_tree(tree_u, pmap)
+    assert [list(x) for x in sp] == [[0, 4, 2]]
+
+
 def test_contain_within_brute():
     """Randomized: vectorized containment ≡ quadratic brute force."""
     from lucene_spark.functions.spans import containing_spans, within_spans
@@ -167,7 +211,13 @@ def test_span_family_parity(spark):
                                       in_order=False), Q.Term("parse")),
           Q.SpanWithin(Q.Term("emit"),
                        Q.SpanNear(("parse", "emit"), slop=8,
-                                  in_order=False))]
+                                  in_order=False)),
+          # nested SpanNear(SpanQuery...): near over a near and a term
+          Q.SpanNear((Q.SpanNear(("parse", "emit"), slop=4,
+                                 in_order=False), "token"),
+                     slop=10, in_order=False),
+          Q.SpanNear((Q.SpanOr((Q.Term("parse"), Q.Term("scan"))),
+                      "emit"), slop=6, in_order=True)]
     matched_any = 0
     for q in qs:
         want = oracle.top_k(q, k=10)
