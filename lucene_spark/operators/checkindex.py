@@ -6,9 +6,12 @@ sorted, counts consistent, norms present for every doc). Usable as a
 library call and from the CLI (``python -m lucene_spark.cli check``),
 like the reference's command-line tool.
 
-Driver-side pandas/numpy: an integrity sweep reads each segment once; at
-10^12-doc scale the same checks would fan out as one Spark task per
-segment (the per-segment check below is self-contained by design).
+The per-segment check is self-contained by design: ``check_index``
+walks segments on the driver by default (small indexes, CLI use), and
+with ``spark=`` fans the SAME check out as one task per segment — the
+shape that holds at 10^12 docs, where no single machine can sweep the
+index (segment files live on shared storage, so any executor can read
+its assigned segment).
 """
 
 from __future__ import annotations
@@ -94,9 +97,12 @@ def check_segment(seg_dir: str, seg_id: int,
             "sum_doc_len": int(meta["doc_len"].sum())}
 
 
-def check_index(index_dir: str, snapshot_id: int | None = None) -> dict:
+def check_index(index_dir: str, snapshot_id: int | None = None,
+                spark=None) -> dict:
     """Verify every segment of a snapshot + the snapshot-level stats.
-    Returns totals; raises :class:`CheckIndexError` on any violation."""
+    Returns totals; raises :class:`CheckIndexError` on any violation.
+    With ``spark``, segments are verified in parallel — one executor
+    task per segment, only (counts | error) rows return to the driver."""
     from .delete import load_deletes
     catalog = SnapshotCatalog(index_dir)
     snap = catalog.load(snapshot_id)
@@ -106,15 +112,58 @@ def check_index(index_dir: str, snapshot_id: int | None = None) -> dict:
     totals = {"segments": 0, "num_docs": 0, "num_terms": 0,
               "num_postings": 0, "sum_doc_len": 0}
     lineage = {s["seg_id"]: s for s in snap.segments}
-    for s in snap.seg_ids:
-        res = check_segment(catalog.segment_dir(s), s, store_positions)
-        _check(res["num_docs"] == lineage[s]["num_docs"], s,
-               "lineage num_docs mismatch")
-        _check(res["sum_doc_len"] == lineage[s]["sum_doc_len"], s,
-               "lineage sum_doc_len mismatch")
-        totals["segments"] += 1
-        for k in ("num_docs", "num_terms", "num_postings", "sum_doc_len"):
-            totals[k] += res[k]
+
+    if spark is not None and snap.seg_ids:
+        segs = [(int(s), catalog.segment_dir(s)) for s in snap.seg_ids]
+        sdf = spark.createDataFrame(segs, "seg_id int, dir string")
+
+        def run(batches):
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    try:
+                        res = check_segment(r.dir, int(r.seg_id),
+                                            store_positions)
+                        res = {**res, "seg_id": int(r.seg_id), "error": ""}
+                    except CheckIndexError as e:
+                        res = {"num_docs": 0, "num_terms": 0,
+                               "num_postings": 0, "sum_ttf": 0,
+                               "sum_doc_len": 0, "seg_id": int(r.seg_id),
+                               "error": str(e)}
+                    yield pd.DataFrame([res])
+
+        rows = (sdf.repartition(len(segs))
+                .mapInPandas(run, "num_docs long, num_terms long, "
+                                  "num_postings long, sum_ttf long, "
+                                  "sum_doc_len long, seg_id int, "
+                                  "error string")
+                .collect())
+        per_seg = {int(r["seg_id"]): r for r in rows}
+        for s in snap.seg_ids:
+            r = per_seg[int(s)]
+            if r["error"]:
+                raise CheckIndexError(r["error"])
+            results = {k: int(r[k]) for k in
+                       ("num_docs", "num_terms", "num_postings",
+                        "sum_doc_len")}
+            _check(results["num_docs"] == lineage[s]["num_docs"], s,
+                   "lineage num_docs mismatch")
+            _check(results["sum_doc_len"] == lineage[s]["sum_doc_len"], s,
+                   "lineage sum_doc_len mismatch")
+            totals["segments"] += 1
+            for k in ("num_docs", "num_terms", "num_postings",
+                      "sum_doc_len"):
+                totals[k] += results[k]
+    else:
+        for s in snap.seg_ids:
+            res = check_segment(catalog.segment_dir(s), s, store_positions)
+            _check(res["num_docs"] == lineage[s]["num_docs"], s,
+                   "lineage num_docs mismatch")
+            _check(res["sum_doc_len"] == lineage[s]["sum_doc_len"], s,
+                   "lineage sum_doc_len mismatch")
+            totals["segments"] += 1
+            for k in ("num_docs", "num_terms", "num_postings",
+                      "sum_doc_len"):
+                totals[k] += res[k]
     _check(totals["num_docs"] == int(snap.field_stats["doc_count"]), -1,
            "field_stats doc_count != sum of segments")
     _check(totals["sum_doc_len"]

@@ -44,6 +44,12 @@ def test_check_after_delete_and_merge(spark, idx):
     assert totals["num_docs"] < 150
 
 
+def test_check_distributed_mode(spark, idx):
+    """spark= fans the same per-segment check out as executor tasks:
+    identical totals, and corruption raises through the task boundary."""
+    assert check_index(idx, spark=spark) == check_index(idx)
+
+
 def test_check_detects_corruption(spark):
     corpus = generate_corpus(60, seed=43)
     d = tempfile.mkdtemp(prefix="lucene_spark_bad_")
@@ -56,3 +62,5 @@ def test_check_detects_corruption(spark):
     pdf.to_parquet(p)
     with pytest.raises(CheckIndexError):
         check_index(d)
+    with pytest.raises(CheckIndexError):
+        check_index(d, spark=spark)
