@@ -1131,7 +1131,8 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (textstats.with_token_counts(_docs(spark, sf_dir))
             .select("doc_id", F.col("n_tokens").cast("int").alias("n_tokens"),
-                    F.col("n_distinct").cast("int").alias("n_distinct")))
+                    F.col("n_distinct").cast("int").alias("n_distinct"),
+                    F.col("n_subtokens").cast("int").alias("n_subtokens")))
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1146,7 +1147,7 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (textstats.with_fingerprints(_docs(spark, sf_dir))
-            .select("doc_id", "fp_exact", "fp_bag"))
+            .select("doc_id", "fp_exact", "fp_bag", "fp_roll"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1728,14 +1729,19 @@ FROM documents GROUP BY 1""",
         "embed_ivf_topk": _ivf_topk_sql(20, 5, num_centroids=8, nprobe=3),
         "text_token_count": """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+'))
+            AS INT) AS n_subtokens
 FROM documents""",
         "text_quality": _QUALITY_SQL,
         "text_lang_id": _LANG_SQL,
         "text_fingerprint": """
 SELECT doc_id, md5(text) AS fp_exact,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
-                           ' ')) AS fp_bag
+                           ' ')) AS fp_bag,
+       list_min(list_transform(range(greatest(length(text) - 7, 1)),
+                               i -> md5(substr(text, CAST(i + 1 AS INT), 8))))
+           AS fp_roll
 FROM documents""",
         "bm25_fuzzy_blended_top10": _PRELUDE + """,
 fz AS (SELECT term, df, levenshtein(term, 'scon') AS d

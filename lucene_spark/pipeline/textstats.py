@@ -45,11 +45,24 @@ def _count_in(tokens_col: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens_col, lambda t: F.array_contains(wordset, t)))
 
 
+#: BPE-style pre-tokenization regex (the GPT-2-family shape, simplified
+#: to the JVM/duckdb-portable subset): letter runs, digit runs, and runs
+#: of non-alphanumeric non-space symbols each form one subtoken.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+
 def with_token_counts(df, text_col: str = "text"):
-    """Adds ``n_tokens`` / ``n_distinct`` (token counting operator)."""
+    """Adds ``n_tokens`` / ``n_distinct`` (whitespace tokens) and
+    ``n_subtokens`` (BPE-ish regex pre-tokenization count — the unit a
+    subword tokenizer would split further; still a pure JVM expression,
+    no Python)."""
     toks = tokens(text_col)
+    sub = F.regexp_extract_all(
+        F.col(text_col) if isinstance(text_col, str) else text_col,
+        F.lit(BPE_TOKEN_RE), 0)
     return (df.withColumn("n_tokens", F.size(toks))
-              .withColumn("n_distinct", F.size(F.array_distinct(toks))))
+              .withColumn("n_distinct", F.size(F.array_distinct(toks)))
+              .withColumn("n_subtokens", F.size(sub)))
 
 
 def with_quality_score(df, text_col: str = "text"):
@@ -94,9 +107,18 @@ def with_fingerprints(df, text_col: str = "text"):
 
     * ``fp_exact``  — md5 of the raw text (exact-dup key);
     * ``fp_bag``    — md5 of the sorted distinct token bag (order/count
-      insensitive near-dup key, a cheap SimHash stand-in).
+      insensitive near-dup key, a cheap SimHash stand-in);
+    * ``fp_roll``   — rolling-hash fingerprint: the lexicographic MIN of
+      the md5s of every 8-char window (winnowing-lite / Karp-Rabin role:
+      stable under edits outside the minimizing window). One expression,
+      O(len) hashes per doc — fingerprinting cost, not scan cost; at
+      corpus scale it still runs map-side with no shuffle.
     """
     toks = tokens(text_col)
     bag = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    roll = F.expr(
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - 7,"
+        f" 1)), i -> md5(substring({text_col}, i, 8))))")
     return (df.withColumn("fp_exact", F.md5(F.col(text_col)))
-              .withColumn("fp_bag", F.md5(bag)))
+              .withColumn("fp_bag", F.md5(bag))
+              .withColumn("fp_roll", roll))

@@ -209,8 +209,16 @@ def test_token_counts_and_quality(spark, docs):
         textstats.with_token_counts(docs)).toPandas().set_index("doc_id")
     assert out.loc[0, "n_tokens"] == 9
     assert out.loc[0, "n_distinct"] == 8  # 'the' twice
+    # BPE-ish pre-tokenization: pure word text → same count as whitespace
+    assert out.loc[0, "n_subtokens"] == 9
     assert ((out.quality >= 0) & (out.quality <= 1)).all()
     assert out.loc[3, "quality"] > out.loc[0, "quality"]  # no stopword spam
+    # mixed word/digit/symbol runs split into separate subtokens
+    mixed = spark.createDataFrame([(0, "foo123+bar", "en")],
+                                  "doc_id long, text string, lang string")
+    m = textstats.with_token_counts(mixed).toPandas()
+    assert int(m.loc[0, "n_tokens"]) == 1
+    assert int(m.loc[0, "n_subtokens"]) == 4  # foo | 123 | + | bar
 
 
 def test_lang_id(spark, docs):
@@ -227,6 +235,12 @@ def test_fingerprints(spark, docs):
     assert out.loc[0, "fp_exact"] == out.loc[4, "fp_exact"]
     assert out.loc[0, "fp_bag"] == out.loc[4, "fp_bag"]
     assert out.loc[0, "fp_bag"] != out.loc[1, "fp_bag"]
+    # rolling-hash fingerprint: min over 8-char window md5s — exact dups
+    # share it, and python recomputation matches
+    t = "the quick brown fox jumps over the lazy dog"
+    want = min(hashlib.md5(t[i:i + 8].encode()).hexdigest()
+               for i in range(len(t) - 7))
+    assert out.loc[0, "fp_roll"] == want == out.loc[4, "fp_roll"]
 
 
 # ---------------------------------------------------------------------------
