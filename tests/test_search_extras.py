@@ -177,6 +177,13 @@ def test_search_many_matches_single_searches(searcher):
         "q_not": "scan -flush",
         "q_prefix": "par* AND scan",
         "q_absent": "nosuchterm",
+        # span / sloppy queries batch identically to single searches
+        "q_span": Q.SpanNot(Q.SpanNear(("parse", "emit"), slop=6,
+                                       in_order=False), Q.Term("codec")),
+        "q_sloppy3": Q.Phrase(("parse", "emit", "token"), slop=8),
+        "q_nested": Q.SpanNear((Q.SpanOr((Q.Term("parse"),
+                                          Q.Term("scan"))), "emit"),
+                               slop=6, in_order=True),
     }
     batch = searcher.search_many(workload, k=10)
     rows = batch.collect()
@@ -185,8 +192,9 @@ def test_search_many_matches_single_searches(searcher):
         by_q.setdefault(r["query_id"], []).append(
             (r["rank"], r["doc_id"], r["score"]))
     for qid, qtext in workload.items():
+        q = parse(qtext) if isinstance(qtext, str) else qtext
         single = [(r["rank"], r["doc_id"], r["score"])
-                  for r in searcher.search(parse(qtext), k=10).collect()]
+                  for r in searcher.search(q, k=10).collect()]
         got = sorted(by_q.get(qid, []))
         assert got == sorted(single), qid
 
