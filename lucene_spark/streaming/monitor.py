@@ -73,6 +73,17 @@ def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
                        and _levenshtein(t, base) <= node.edits
                        for t in terms)
         raise NotImplementedError(f"monitor: multiterm {node.kind}")
+    if isinstance(node, (Q.SpanNear, Q.SpanOr, Q.SpanNot, Q.SpanFirst,
+                         Q.SpanContaining, Q.SpanWithin)):
+        # span percolation: the shared span evaluator over this doc's
+        # position lists (SpanMultiTermWrapper needs a dictionary and is
+        # not supported in the stateless stream)
+        from ..functions.spans import eval_span_tree, span_tree_terms
+        from ..operators.search import _span_tree
+        tree = _span_tree(node)
+        pmap = {t: np.asarray(positions.get(t, ()), dtype=np.int64)
+                for t in set(span_tree_terms(tree))}
+        return len(eval_span_tree(tree, pmap)) > 0
     if isinstance(node, Q.Or):
         n = sum(_matches(c, terms, positions) for c in node.clauses)
         return n >= max(node.min_should_match, 1)
@@ -119,6 +130,32 @@ def _anchor_terms(node) -> set | None:
         return best
     if isinstance(node, Q.Not):
         return _anchor_terms(node.positive)
+    if isinstance(node, Q.SpanNear):
+        # all clauses required → the smallest single clause anchor gates
+        best = None
+        for t in node.terms:
+            a = {t} if isinstance(t, str) else _anchor_terms(t)
+            if a is not None and (best is None or len(a) < len(best)):
+                best = a
+        return best
+    if isinstance(node, Q.SpanOr):
+        out: set = set()
+        for c in node.clauses:
+            a = _anchor_terms(c)
+            if a is None:
+                return None
+            out |= a
+        return out
+    if isinstance(node, Q.SpanNot):
+        return _anchor_terms(node.include)
+    if isinstance(node, Q.SpanFirst):
+        return _anchor_terms(node.match)
+    if isinstance(node, (Q.SpanContaining, Q.SpanWithin)):
+        # both sides required → the smaller anchor
+        a = _anchor_terms(node.big)
+        b = _anchor_terms(node.little)
+        cands = [x for x in (a, b) if x is not None]
+        return min(cands, key=len) if cands else None
     return None  # MultiTerm and anything else: always evaluate
 
 

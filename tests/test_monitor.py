@@ -23,6 +23,10 @@ QUERIES = {
                   min_should_match=2),
     "q_fuzzy": Q.MultiTerm("fuzzy", "parze", edits=1),
     "q_sloppy3": Q.Phrase(("if", "return", "value"), slop=6),
+    "q_span": Q.SpanNear(("parse", "emit"), slop=6, in_order=False),
+    "q_spannot": Q.SpanNot(Q.SpanNear(("parse", "emit"), slop=8,
+                                      in_order=False), Q.Term("codec")),
+    "q_spanfirst": Q.SpanFirst(Q.Term("parse"), 15),
 }
 
 
