@@ -1280,7 +1280,9 @@ def _q_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "q_and": f"{T_COMMON} AND {T_COMMON2}",
                    "q_phrase": f'"{PH_A} {PH_B}"',
                    "q_prefix": "str*",
-                   "q_fuzzy": Q.MultiTerm("fuzzy", "quary", edits=1)})
+                   "q_fuzzy": Q.MultiTerm("fuzzy", "quary", edits=1),
+                   "q_spannear": Q.SpanNear((T_COMMON, T_THIRD), slop=2,
+                                            in_order=False)})
     return mon.match_batch(_docs(spark, sf_dir))
 
 
@@ -1800,7 +1802,12 @@ GROUP BY doc_id
 UNION ALL
 SELECT doc_id, 'q_fuzzy' AS query_id FROM tok
 WHERE abs(len(term) - 5) <= 1 AND levenshtein(term, 'quary') <= 1
-GROUP BY doc_id""",
+GROUP BY doc_id
+UNION ALL
+SELECT DISTINCT a.doc_id, 'q_spannear' AS query_id
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+WHERE a.term = '{T_COMMON}' AND b.term = '{T_THIRD}'
+  AND greatest(abs(a.pos - b.pos) + 1 - 2, 0) <= 2""",
         "bm25_deleted_top10": _PRELUDE + ", "
         + _tscore_cte("ts", T_COMMON) + """,
 livesc AS (
