@@ -34,6 +34,35 @@ def test_for_pack_roundtrip(vals):
     assert np.array_equal(out.astype(np.uint32), arr)
 
 
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_pfor_batch_matches_single(data):
+    """for_pack_many must be byte-identical to per-block for_pack for
+    arbitrary value distributions (uniform, zipf-ish outliers, zeros)."""
+    rng = np.random.RandomState(data.draw(st.integers(0, 2**31 - 1)))
+    B = data.draw(st.integers(1, 6))
+    kind = data.draw(st.sampled_from(["uniform", "outliers", "zeros",
+                                      "mixed"]))
+    blocks = np.zeros((B, 128), dtype=np.uint32)
+    for b in range(B):
+        if kind == "uniform":
+            blocks[b] = rng.randint(0, 2**rng.randint(1, 31), 128)
+        elif kind == "outliers":
+            blocks[b] = rng.randint(0, 16, 128)
+            k = rng.randint(0, 12)
+            blocks[b, rng.choice(128, k, replace=False)] = \
+                rng.randint(2**16, 2**30, k)
+        elif kind == "mixed":
+            blocks[b] = rng.randint(0, 2**rng.randint(1, 20), 128)
+    stream, boff = codec.for_pack_many(blocks)
+    for b in range(B):
+        single = codec.for_pack(blocks[b])
+        assert stream[boff[b]:boff[b + 1]] == single, (kind, b)
+        got, off = codec.for_unpack(single, 0)
+        assert off == len(single)
+        assert np.array_equal(got, blocks[b])
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.data())
 def test_postings_roundtrip(data):
