@@ -5,14 +5,15 @@ Reference: the ``lucene/monitor`` module (``monitor/Monitor.java``,
 each incoming document, emitting (document, query) match pairs; used for
 alerting ("tell me when a doc matching Q arrives").
 
-Spark shape: the query set is small and ships broadcast-style in the UDF
-closure; each micro-batch analyzes its documents in one Arrow batch
-(``mapInPandas``) and evaluates every query against per-doc term
-sets/position maps — pure map-side work, no index, no shuffle, so a
-1000-executor stream scales linearly in document throughput. (The
-reference's Presearcher — pre-filtering which queries *could* match via
-an index over the queries — is an optimization for huge query sets; with
-the broadcast set the full evaluation per doc is already cheap.)
+Spark shape: the query set ships broadcast-style in the UDF closure;
+each micro-batch analyzes its documents in one Arrow batch
+(``mapInPandas``) and matches against per-doc term sets/position maps —
+pure map-side work, no index, no shuffle, so a 1000-executor stream
+scales linearly in document throughput. The reference's Presearcher
+(``monitor/TermFilteredPresearcher.java`` — index the QUERIES by their
+terms so each doc only evaluates plausibly-matching rules) is
+implemented: see :class:`Monitor` — per-doc work is proportional to the
+doc's vocabulary, not the rule count.
 
 Matching is boolean (MatchAllCandidateMatcher role): scores need global
 collection stats which a stateless stream does not have; the reference's
