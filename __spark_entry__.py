@@ -1254,6 +1254,16 @@ def _q_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(q, k=10))
 
 
+def _q_surround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surround query language (queryparser/surround role):
+    '3N(a, b)' parses to unordered SpanNear slop 2
+    (DistanceQuery.java:97 slop = n - 1) — shares the span oracle."""
+    from lucene_spark.plans.surround import parse_surround
+    s = _searcher(spark, sf_dir)
+    q = parse_surround(f"3N({T_COMMON}, {T_THIRD})")
+    return _fmt_topk(s.search(q, k=10))
+
+
 def _q_fuzzy_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery default rewrite (TopTermsBlendedFreqScoringRewrite):
     blended df=max stats, per-term 1-ed/minlen float32 boosts, SHOULD
@@ -1473,6 +1483,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_top10": _q_span_first,
         "span_containing_top10": _q_span_containing,
         "span_within_top10": _q_span_within,
+        "surround_topk": _q_surround,
         "suggest_prefix": _q_suggest_prefix,
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,
@@ -1521,7 +1532,7 @@ _PRIORITY = [
     "multimodal_features", "knn_filtered_topk", "bm25_sloppy3_top10",
     "span_near_top10", "span_or_top10", "span_not_top10",
     "span_first_top10", "span_containing_top10", "span_within_top10",
-    "highlight_top5", "block_join_topk",
+    "surround_topk", "highlight_top5", "block_join_topk",
 ]
 
 
@@ -1554,6 +1565,7 @@ def oracle_sql() -> dict[str, str]:
         "span_first_top10": _span_first_sql(T_COMMON, 20),
         "span_containing_top10": _span_containing_sql(
             (T_COMMON, T_COMMON2), 4, T_THIRD),
+        "surround_topk": _span_near_sql((T_COMMON, T_THIRD), 2),
         "span_within_top10": _span_within_sql(
             T_THIRD, (T_COMMON, T_COMMON2), 4),
         "highlight_top5": _highlight_sql(T_COMMON, T_COMMON2, k=5, window=6),
