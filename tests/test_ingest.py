@@ -1,0 +1,50 @@
+"""Ingest helpers: deterministic dense doc-id assignment + format readers."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from lucene_spark.sources.corpus import generate_corpus
+from lucene_spark.sources.ingest import assign_doc_ids, read_corpus
+
+
+def test_assign_doc_ids_dense_and_deterministic(spark):
+    pdf = generate_corpus(300, seed=61).drop(columns=["doc_id"])
+    df = spark.createDataFrame(pdf)
+    out = assign_doc_ids(df, ["repo", "path", "commit"]).toPandas()
+    assert sorted(out["doc_id"]) == list(range(300))
+    # ids follow the natural-key sort order
+    by_key = out.sort_values(["repo", "path", "commit"])
+    assert by_key["doc_id"].tolist() == list(range(300))
+    # deterministic across partitionings
+    out2 = assign_doc_ids(df.repartition(7), ["repo", "path", "commit"]) \
+        .toPandas().sort_values(["repo", "path", "commit"])
+    assert by_key["doc_id"].tolist() == out2["doc_id"].tolist()
+    assert by_key["content"].tolist() == out2["content"].tolist()
+
+
+def test_read_corpus_jsonl_and_index(spark):
+    """jsonl corpus → deterministic ids → index builds and searches."""
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.oracle import OracleIndex
+    from lucene_spark.plans.parser import parse
+
+    pdf = generate_corpus(120, seed=62).drop(columns=["doc_id"])
+    d = tempfile.mkdtemp(prefix="lucene_spark_ingest_")
+    src = os.path.join(d, "corpus.jsonl")
+    pdf.to_json(src, orient="records", lines=True)
+    df = read_corpus(spark, src, fmt="json")
+    assert "doc_id" in df.columns
+    rows = df.select("doc_id", "content").toPandas()
+    oracle = OracleIndex.build(list(zip(rows.doc_id, rows.content)))
+    idx = os.path.join(d, "idx")
+    build_index(spark, df, idx, num_segments=3)
+    s = Searcher(spark, idx)
+    for qtext in ("parse OR emit", "codec AND util"):
+        got = [(r.doc_id, float(r.score)) for r in
+               s.search(qtext, k=10).collect()]
+        want = [(dd, float(sc)) for dd, sc in
+                oracle.top_k(parse(qtext), k=10)]
+        assert got == want, qtext
