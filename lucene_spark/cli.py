@@ -46,17 +46,14 @@ def _spark(args):
 
 
 def cmd_build(args) -> int:
-    from pyspark.sql import functions as F
-
     build_index = _imp("operators.build").build_index
+    read_corpus = _imp("sources.ingest").read_corpus
     spark = _spark(args)
-    df = spark.read.parquet(args.input)
-    if "doc_id" not in df.columns:
-        # deterministic global docID = rank of the primary key (FIXTURES.md:
-        # doc order for docID assignment is sorted (repo, path, commit))
-        from pyspark.sql.window import Window
-        w = Window.orderBy("repo", "path", "commit")
-        df = df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    # deterministic global docID = rank of the (repo, path, commit) key,
+    # assigned scalably (range-partitioned prefix sums — never a global
+    # single-partition window)
+    df = read_corpus(spark, args.input, fmt=args.format,
+                     content_col=args.content_col)
     kw = {}
     if args.english:
         ENGLISH_STOP_WORDS = _imp("functions.analysis").ENGLISH_STOP_WORDS
@@ -174,6 +171,8 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("build")
     b.add_argument("--input", required=True)
+    b.add_argument("--format", default="parquet",
+                   choices=("parquet", "json", "csv"))
     b.add_argument("--index", required=True)
     b.add_argument("--segments", type=int, default=128)
     b.add_argument("--content-col", default="content")

@@ -24,6 +24,23 @@ def test_assign_doc_ids_dense_and_deterministic(spark):
     assert by_key["content"].tolist() == out2["content"].tolist()
 
 
+def test_cli_build_assigns_ids(spark):
+    """cli build on a corpus WITHOUT doc_id: ids assigned scalably, the
+    index builds, and search answers."""
+    from lucene_spark import cli
+
+    pdf = generate_corpus(80, seed=63).drop(columns=["doc_id"])
+    d = tempfile.mkdtemp(prefix="lucene_spark_clibuild_")
+    src = os.path.join(d, "corpus_parquet")
+    os.makedirs(src, exist_ok=True)
+    pdf.to_parquet(os.path.join(src, "part-0.parquet"))
+    idx = os.path.join(d, "idx")
+    assert cli.main(["build", "--input", src, "--index", idx,
+                     "--segments", "2"]) == 0
+    assert cli.main(["search", "--index", idx, "--query", "parse OR emit",
+                     "--k", "3"]) == 0
+
+
 def test_read_corpus_jsonl_and_index(spark):
     """jsonl corpus → deterministic ids → index builds and searches."""
     from lucene_spark.operators.build import build_index
