@@ -1519,20 +1519,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 
-#: Entries first verified in round 2 (absent from CORRECTNESS_r01: the
-#: driver's r01 check stopped at 50 entries) plus entries added since.
-#: queries() yields these FIRST so a capped driver check always covers
-#: the least-proven entries; the long-green r01 rows follow.
+#: Round-3 rotation: the driver's correctness check caps at 50 entries, so
+#: queries() yields the least-recently-driver-verified entries FIRST. The
+#: 25 entries below are exactly those CORRECTNESS_r02 capped out (they were
+#: green in r01 and judge-re-verified in r2); new round-3 entries follow
+#: them; the 50 r02-green rows go to the tail.
 _PRIORITY = [
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_simhash_pairs", "text_token_count",
-    "text_quality", "text_lang_id", "text_fingerprint",
-    "embed_cosine_topk", "embed_lsh_topk", "embed_ivf_topk",
-    "embed_ivf_full_topk", "dedup_embed_cosine", "multimodal_meta",
-    "multimodal_features", "knn_filtered_topk", "bm25_sloppy3_top10",
-    "span_near_top10", "span_or_top10", "span_not_top10",
-    "span_first_top10", "span_containing_top10", "span_within_top10",
-    "surround_topk", "highlight_top5", "block_join_topk",
+    "term_in_set", "range_query", "term_range_query", "facet_counts",
+    "range_facet_counts", "drill_sideways", "grouped_topk",
+    "sort_by_field", "query_join", "lmd_term_top10", "bm25_deleted_top10",
+    "monitor_matches", "dfr_term_top10", "bm25_fuzzy_blended_top10",
+    "suggest_prefix", "spell_suggest", "mlt_top10",
+    "bm25_after_merge_top10", "bm25_incremental_top10", "segment_lineage",
+    "term_stats", "term_stats_salted", "field_stats", "doc_norms",
+    "content_sha256",
 ]
 
 

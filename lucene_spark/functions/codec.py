@@ -33,8 +33,31 @@ import numpy as np
 
 BLOCK_SIZE = 128
 
+#: On-disk postings format generation, stamped into every snapshot's
+#: ``extra["codec_version"]`` at build/merge time (the reference's
+#: ``CodecUtil.writeHeader`` version role). Version 2 = PFOR patched
+#: exceptions (header byte is ``width | nexc << 5``, width ≤ 31);
+#: version-1 blocks could legally use width 32, which a v2 decoder would
+#: misread as width 0 with one exception — so readers REJECT mismatched
+#: versions explicitly instead of silently misdecoding.
+CODEC_VERSION = 2
+
+
+def check_codec_version(snap) -> None:
+    """Raise if a snapshot's postings were written by a different codec
+    generation (missing key = pre-PFOR v1 index: rebuild or re-merge)."""
+    v = int((snap.extra or {}).get("codec_version", 1))
+    if v != CODEC_VERSION:
+        raise ValueError(
+            f"index codec_version {v} != reader codec_version "
+            f"{CODEC_VERSION}: re-encode the index (rebuild or "
+            f"force_merge with the current engine) before reading")
+
+
 __all__ = [
     "BLOCK_SIZE",
+    "CODEC_VERSION",
+    "check_codec_version",
     "vbyte_encode",
     "vbyte_decode",
     "for_pack",

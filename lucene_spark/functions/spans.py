@@ -192,7 +192,13 @@ def near_spans_over(span_lists: list[np.ndarray], slop: int,
                     break
                 chain.append(lst[k])
             if dead:
-                break
+                # General span streams (e.g. SpanOr clauses of differing
+                # widths) have non-monotonic ends in start order, so a
+                # failed chain from first[i0] does NOT imply later first
+                # spans fail — advance and keep scanning. (For term spans
+                # ends ARE monotonic and the extra iterations are no-ops.)
+                i0 += 1
+                continue
             while i0 + 1 < len(first) and first[i0 + 1][1] <= chain[1][0]:
                 i0 += 1
             chain[0] = first[i0]

@@ -293,7 +293,9 @@ def build_index(spark, df, index_dir: str, *,
         ts_path = compute_term_stats(
             spark, catalog, [s["seg_id"] for s in segments],
             os.path.join(index_dir, "term_stats", f"gen-{next_id}"))
+    from ..functions.codec import CODEC_VERSION
     return catalog.commit(segments, field_stats, ts_path,
                           extra={"num_segments": num_segments,
                                  "doc_id_col": doc_id_col,
-                                 "store_positions": store_positions})
+                                 "store_positions": store_positions,
+                                 "codec_version": CODEC_VERSION})

@@ -146,17 +146,29 @@ def to_parent_block_join(searcher, child_query, parents_df: DataFrame,
                           default=-1) for pid in bounds}
 
     def _with_starts(batches):
-        import pandas as pd
+        # Arrow slices a partition into maxRecordsPerBatch-sized batches:
+        # the first batch seeds from the PREVIOUS PARTITION's last parent,
+        # every later batch from this partition's own previous batch —
+        # same cross-batch carry as sources/ingest.assign_doc_ids.
+        last = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values("parent_id")
-            seed = prev_last.get(int(pdf["pid"].iloc[0]), -1)
-            pdf["start"] = (pdf["parent_id"].shift(1).fillna(seed)
+            if last is None:
+                last = prev_last.get(int(pdf["pid"].iloc[0]), -1)
+            pdf["start"] = (pdf["parent_id"].shift(1).fillna(last)
                             + 1).astype("int64")
+            last = int(pdf["parent_id"].iloc[-1])
             yield pdf[["parent_id", "start"]]
 
-    iv = tagged.mapInPandas(_with_starts, "parent_id long, start long")
+    # localCheckpoint materializes the (tiny: two longs per parent)
+    # interval table and truncates lineage, so the persisted ``tagged``
+    # scan is released immediately instead of leaking executor storage
+    # for the lifetime of the returned plan.
+    iv = (tagged.mapInPandas(_with_starts, "parent_id long, start long")
+          .localCheckpoint(eager=True))
+    tagged.unpersist()
     iv = iv.withColumn(
         "b", F.explode(F.sequence(F.floor(F.col("start") / bucket),
                                   F.floor(F.col("parent_id") / bucket))))

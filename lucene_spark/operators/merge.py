@@ -75,6 +75,8 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     snap = catalog.load()
     if snap is None:
         raise ValueError("nothing to merge")
+    from ..functions.codec import check_codec_version
+    check_codec_version(snap)   # a v1 block would misdecode, not error
     missing = set(seg_ids) - set(snap.seg_ids)
     if missing:
         raise ValueError(f"segments not in snapshot: {missing}")

@@ -956,6 +956,8 @@ class Searcher:
         snap = self.catalog.load(snapshot_id)
         if snap is None:
             raise ValueError(f"no snapshot in {index_dir}")
+        from ..functions.codec import check_codec_version
+        check_codec_version(snap)
         self.snapshot = snap
         seg_dirs = [self.catalog.segment_dir(s) for s in snap.seg_ids]
         self.postings = spark.read.parquet(

@@ -74,7 +74,14 @@ def assign_doc_ids(df: DataFrame, key_cols: list[str] | None = None,
 
     out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                            for f in df.schema.fields) + f", `{id_col}` long"
-    return tagged.mapInPandas(_assign, out_schema)
+    # localCheckpoint materializes the assigned table (disk-spillable) and
+    # truncates lineage so the persisted ``tagged`` scan can be released
+    # here instead of leaking executor storage for the plan's lifetime.
+    # At 10^12-row scale, write the returned table straight to a staging
+    # parquet/Iceberg table (the CLI build does) — ids are final here.
+    out = tagged.mapInPandas(_assign, out_schema).localCheckpoint(eager=True)
+    tagged.unpersist()
+    return out
 
 
 def read_corpus(spark, path: str, fmt: str = "parquet",
@@ -96,6 +103,12 @@ def read_corpus(spark, path: str, fmt: str = "parquet",
     if content_col not in df.columns:
         raise ValueError(f"missing content column {content_col!r}")
     if id_col in df.columns:
+        # an existing id column must satisfy the engine's int64 contract —
+        # CSV reads everything as string, so cast explicitly (a non-numeric
+        # id surfaces as nulls here rather than as a downstream type error)
+        from pyspark.sql.types import LongType
+        if not isinstance(df.schema[id_col].dataType, LongType):
+            df = df.withColumn(id_col, F.col(id_col).cast("long"))
         return df
     if key_cols is None:
         natural = [c for c in ("repo", "path", "commit") if c in df.columns]

@@ -181,3 +181,34 @@ def test_vbyte_encode_batched_roundtrip():
         assert np.array_equal(got.astype(np.uint64), vals[pos:pos + n])
         assert chunk == codec.vbyte_encode(vals[pos:pos + n])
         pos += n
+
+
+def test_codec_version_gate(spark, tmp_path):
+    """A snapshot stamped with an older codec_version must be REJECTED by
+    readers (a v1 width-32 FOR block would silently misdecode as v2 PFOR
+    width 0 + 1 exception), and current builds must stamp the version."""
+    import json
+    import os
+
+    import pytest
+
+    from lucene_spark.functions.codec import CODEC_VERSION
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.sources.corpus import generate_corpus
+
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(generate_corpus(40, seed=3)),
+                d, num_segments=2)
+    man_dir = os.path.join(d, "manifests")
+    snaps = sorted(f for f in os.listdir(man_dir)
+                   if f.startswith("snapshot-"))
+    with open(os.path.join(man_dir, snaps[-1])) as f:
+        doc = json.load(f)
+    assert doc["extra"]["codec_version"] == CODEC_VERSION
+    Searcher(spark, d)   # current version: opens fine
+    doc["extra"]["codec_version"] = 1
+    with open(os.path.join(man_dir, snaps[-1]), "w") as f:
+        json.dump(doc, f)
+    with pytest.raises(ValueError, match="codec_version"):
+        Searcher(spark, d)

@@ -65,3 +65,21 @@ def test_read_corpus_jsonl_and_index(spark):
         want = [(dd, float(sc)) for dd, sc in
                 oracle.top_k(parse(qtext), k=10)]
         assert got == want, qtext
+
+
+def test_read_corpus_csv_existing_id_cast(spark, tmp_path):
+    """A CSV-supplied doc_id column arrives as StringType; read_corpus must
+    cast it to long to honor the engine's int64 doc_id contract."""
+    import csv
+
+    from lucene_spark.sources.ingest import read_corpus
+
+    p = tmp_path / "c.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["doc_id", "content"])
+        for i in range(5):
+            w.writerow([str(i * 10), f"some text {i}"])
+    df = read_corpus(spark, str(p), fmt="csv")
+    assert dict(df.dtypes)["doc_id"] == "bigint"
+    assert sorted(r["doc_id"] for r in df.collect()) == [0, 10, 20, 30, 40]

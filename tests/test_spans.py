@@ -239,3 +239,37 @@ def test_span_family_parity(spark):
     one = oracle.score(Q.SpanOr((Q.Term("parse"),)))
     term = oracle.score(Q.Term("parse"))
     assert set(one) == set(term)
+
+
+def test_near_spans_over_nonmonotonic_ends():
+    """Ordered SpanNear over general span streams: a failed chain from one
+    first-clause span must not abort the scan — later spans can have
+    SMALLER ends (e.g. SpanOr of wide and narrow clauses) and still chain
+    (ADVICE r2 repro: first=[(0,10),(1,2)], second=term@5, slop=10)."""
+    import numpy as np
+    from lucene_spark.functions.spans import near_spans_over, term_spans
+
+    first = np.array([[0, 10, 9], [1, 2, 0]], dtype=np.int64)
+    second = term_spans(np.array([5]))
+    got = near_spans_over([first, second], slop=10, in_order=True)
+    # (0,10) cannot chain (no second-clause span starts >= 10), but (1,2)
+    # chains to (5,6): gap = 5 - 2 = 3 <= slop
+    assert [tuple(r) for r in got] == [(1, 6, 3)]
+
+
+def test_near_spans_over_mixed_width_or_clauses():
+    """Nested SpanNear whose first clause is a SpanOr of differing widths:
+    every narrow alternative must still be tried after a wide one fails."""
+    import numpy as np
+    from lucene_spark.functions.spans import (near_spans_over, or_spans,
+                                              term_spans)
+
+    wide = np.array([[2, 9, 6]], dtype=np.int64)     # a 7-wide span
+    narrow = term_spans(np.array([3, 4]))            # narrow spans inside
+    first = or_spans([wide, narrow])
+    second = term_spans(np.array([6]))
+    got = near_spans_over([first, second], slop=4, in_order=True)
+    # wide (2,9) dead (6 < 9 start requirement); narrow (3,4)->(6,7) gap 2,
+    # (4,5)->(6,7) gap 1; tightening keeps only the latest start per link
+    assert (4, 7, 1) in {tuple(r) for r in got}
+    assert all(s >= 3 for s, _, _ in got)

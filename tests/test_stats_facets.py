@@ -150,3 +150,32 @@ def test_cli_zip_and_search(spark, searcher, tmp_path):
     # search subcommand against the existing index (reuses the session)
     assert cli.main(["search", "--index", searcher.index_dir,
                      "--query", "parse OR emit", "--k", "3"]) == 0
+
+
+def test_block_join_small_arrow_batches(spark, searcher, corpus):
+    """Regression: _with_starts must carry the previous BATCH's last parent
+    (not the previous partition's) when Arrow slices one partition into
+    many batches — run with maxRecordsPerBatch below the parent count and
+    compare against the default-batched result."""
+    doc_ids = sorted(corpus.doc_id)
+    parents = [d for d in doc_ids if d % 5 == 4]
+    pdf = spark.createDataFrame([(int(p),) for p in parents], "doc_id long")
+
+    def run():
+        return sorted((r["parent_id"], r["score"], r["n_children"])
+                      for r in facets.to_parent_block_join(
+                          searcher, Q.Term("parse"), pdf,
+                          score_mode="total", bucket=8).collect())
+
+    want = run()
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "3")   # far below len(parents) per partition
+        assert run() == want
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert len(want) > 1
