@@ -72,8 +72,16 @@ def sloppy_phrase_freq(pos_lists: list[np.ndarray], slop: int) -> float:
     pairs = np.unique(np.stack([l_v[valid], rs_v[valid]], axis=1), axis=0)
     ml = pairs[:, 1] - pairs[:, 0]
     ml = ml[ml <= slop]
-    return float(np.sum(1.0 / (1.0 + ml)))
+    return _seq_sum(1.0 / (1.0 + ml))
 
+
+
+def _seq_sum(x: np.ndarray) -> float:
+    """Strict left-to-right float64 summation (cumsum), shared by the
+    per-doc matchers AND the batched kernels (np.add.at is sequential),
+    so batched-vs-per-doc equality is bit-exact; np.sum's pairwise
+    blocking would differ in the last ulp for >8 contributions."""
+    return float(np.cumsum(x)[-1]) if len(x) else 0.0
 
 _EMPTY_SPANS = np.empty((0, 3), dtype=np.int64)
 
@@ -326,7 +334,7 @@ def spans_freq(spans: np.ndarray) -> float:
     (``SpanScorer.java:106``)."""
     if len(spans) == 0:
         return 0.0
-    return float(np.sum(1.0 / (1.0 + spans[:, 2].astype(np.float64))))
+    return _seq_sum(1.0 / (1.0 + spans[:, 2].astype(np.float64)))
 
 
 def eval_span_tree(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
@@ -404,3 +412,302 @@ def span_near_freq(pos_lists: list[np.ndarray], slop: int,
     ``pos_lists``: one sorted int array of positions per clause term.
     """
     return spans_freq(near_spans(pos_lists, slop, in_order))
+
+
+# ---------------------------------------------------------------------------
+# Batched (cross-document vectorized) kernels
+#
+# The per-doc matchers above pay one Python call + small-array numpy
+# overhead per candidate document — fine for rare-term conjunctions,
+# quadratic-feeling for two COMMON terms where the candidate set is a
+# large fraction of the segment. The kernels below run ONE numpy pass
+# over every candidate document at once: positions are embedded into
+# global keys ``(doc - lo) * 2^32 + adjusted_position + pad`` so all
+# per-clause arrays stay sorted doc-major, and doc boundaries are
+# enforced by explicit same-doc guards (a window whose left edge falls
+# in a different doc than its right edge is rejected, which is exactly
+# the per-doc behavior). Differential-equality with the per-doc
+# matchers is asserted by hypothesis tests.
+# ---------------------------------------------------------------------------
+
+_KEY_BIG = np.int64(1) << np.int64(32)
+
+
+def _batch_double_minimal(key_lists: list[np.ndarray]
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """All double-minimal complete windows over per-clause SORTED global
+    key arrays, across every document at once. Returns unique (L, R) key
+    pairs with both edges in the same document.
+
+    Same characterization as :func:`sloppy_phrase_freq`:
+    ``L = min_j max{a_j <= R}``, ``R = max_j min{a_j >= L}``; cross-doc
+    candidates self-reject — a clause with no key <= R inside R's doc
+    contributes an earlier-doc key to the min, tripping the same-doc
+    guard, and a clause with no key >= L inside the doc contributes a
+    later-doc key to the max, breaking ``R == max``.
+    """
+    n = len(key_lists)
+    if n == 0 or any(len(a) == 0 for a in key_lists):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    rs = np.unique(np.concatenate(key_lists))
+    ok = np.ones(len(rs), dtype=bool)
+    lmat = np.empty((n, len(rs)), dtype=np.int64)
+    for j, a in enumerate(key_lists):
+        idx = np.searchsorted(a, rs, side="right") - 1
+        ok &= idx >= 0
+        lmat[j] = a[np.clip(idx, 0, len(a) - 1)]
+    l_v = lmat.min(axis=0)
+    ok &= (l_v >> 32) == (rs >> 32)          # same-doc guard (left)
+    rs_v, l_v = rs[ok], l_v[ok]
+    if len(rs_v) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    good = np.ones(len(rs_v), dtype=bool)
+    rmat = np.empty((n, len(rs_v)), dtype=np.int64)
+    for j, a in enumerate(key_lists):
+        idx = np.searchsorted(a, l_v, side="left")
+        good &= idx < len(a)
+        rmat[j] = a[np.clip(idx, 0, len(a) - 1)]
+    valid = good & (rmat.max(axis=0) == rs_v)
+    if not valid.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pairs = np.unique(np.stack([l_v[valid], rs_v[valid]], axis=1), axis=0)
+    return pairs[:, 0], pairs[:, 1]
+
+
+def _accumulate_by_doc(doc_idx: np.ndarray, contrib: np.ndarray,
+                       n_docs: int) -> np.ndarray:
+    out = np.zeros(n_docs, dtype=np.float64)
+    if len(doc_idx):
+        np.add.at(out, doc_idx, contrib)
+    return out
+
+
+def batch_sloppy_phrase_freqs(pos_key_lists: list[np.ndarray], slop: int,
+                              n_docs: int) -> np.ndarray:
+    """Per-doc accumulated sloppy-phrase frequency over ALL documents in
+    one pass (vectorized :func:`sloppy_phrase_freq`).
+
+    ``pos_key_lists[j]`` = sorted ``doc_idx * 2^32 + (pos - j) + pad``
+    keys of clause j (pad >= number of clauses keeps adjusted positions
+    non-negative; the CALLER applies identical pad to every clause so
+    widths are unaffected). Returns a float64 array of length n_docs.
+    """
+    L, R = _batch_double_minimal(pos_key_lists)
+    if len(L) == 0:
+        return np.zeros(n_docs, dtype=np.float64)
+    ml = R - L                                # same doc: offsets cancel
+    keep = ml <= slop
+    return _accumulate_by_doc((R[keep] >> 32).astype(np.int64),
+                              1.0 / (1.0 + ml[keep]), n_docs)
+
+
+def batch_unordered_near_freqs(pos_key_lists: list[np.ndarray], slop: int,
+                               n_docs: int) -> np.ndarray:
+    """Per-doc accumulated UNORDERED SpanNear frequency in one pass.
+
+    The unordered sweep of :func:`near_spans` emits exactly the
+    double-minimal complete windows (each left boundary once), so it
+    shares the batched characterization; ``matchLength =
+    (R - L + 1) - n`` over UNADJUSTED position keys.
+    """
+    n = len(pos_key_lists)
+    L, R = _batch_double_minimal(pos_key_lists)
+    if len(L) == 0:
+        return np.zeros(n_docs, dtype=np.float64)
+    ml = np.maximum(R - L + 1 - n, 0)
+    keep = ml <= slop
+    return _accumulate_by_doc((R[keep] >> 32).astype(np.int64),
+                              1.0 / (1.0 + ml[keep]), n_docs)
+
+
+def batch_ordered_near_freqs(pos_key_lists: list[np.ndarray], slop: int,
+                             n_docs: int) -> np.ndarray:
+    """Per-doc accumulated ORDERED SpanNear frequency in one pass
+    (vectorized greedy-leftmost-chain matcher of :func:`near_spans`).
+
+    Closed form of the sequential matcher: chaining from first-clause
+    position f, every intermediate i in a tightening run shares the same
+    chain tail (the next clause-2 position after f is constant until it
+    is crossed), so the emitted chains are exactly those whose first
+    position is a RUN REPRESENTATIVE: the last first-clause position
+    before its own chain's second link (or the last in its doc).
+    """
+    n = len(pos_key_lists)
+    first = pos_key_lists[0]
+    if n == 0 or any(len(a) == 0 for a in pos_key_lists):
+        return np.zeros(n_docs, dtype=np.float64)
+    if n == 1:
+        return _accumulate_by_doc((first >> 32).astype(np.int64),
+                                  np.ones(len(first)), n_docs)
+    alive = np.ones(len(first), dtype=bool)
+    doc_of = first >> 32
+    prev = first
+    chain1 = None
+    for j in range(1, n):
+        a = pos_key_lists[j]
+        idx = np.searchsorted(a, prev, side="right")
+        alive &= idx < len(a)
+        nxt = a[np.clip(idx, 0, len(a) - 1)]
+        alive &= (nxt >> 32) == doc_of        # chain stays in the doc
+        if j == 1:
+            chain1 = nxt
+        prev = nxt
+    # run representatives: last first-position strictly before its chain's
+    # second link (the next first-position crosses the link or the doc)
+    rep = np.ones(len(first), dtype=bool)
+    if len(first) > 1:
+        nxt_first = first[1:]
+        rep[:-1] = (nxt_first >= chain1[:-1]) | \
+                   ((nxt_first >> 32) != doc_of[:-1])
+    emit = alive & rep
+    if not emit.any():
+        return np.zeros(n_docs, dtype=np.float64)
+    ml = (prev[emit] - first[emit] + 1) - n   # same doc: keys subtract
+    keep = ml <= slop
+    return _accumulate_by_doc(doc_of[emit][keep].astype(np.int64),
+                              1.0 / (1.0 + ml[keep]), n_docs)
+
+
+def batch_near_spans(pos_key_lists: list[np.ndarray], slop: int,
+                     in_order: bool) -> np.ndarray:
+    """Batched :func:`near_spans`: (start_key, end_key, width) triples of
+    SpanNear matches across ALL documents, doc-major, same within-doc
+    order as the per-doc matcher. Keys embed ``doc << 32 | pos``; ends
+    are ``doc << 32 | (last_pos + 1)`` (positions < 2^31, so an end never
+    crosses its doc's key range)."""
+    n = len(pos_key_lists)
+    if n == 0 or any(len(a) == 0 for a in pos_key_lists):
+        return _EMPTY_SPANS
+    if n == 1:
+        k = pos_key_lists[0]
+        return np.stack([k, k + 1, np.zeros(len(k), np.int64)], axis=1)
+    if in_order:
+        first = pos_key_lists[0]
+        alive = np.ones(len(first), dtype=bool)
+        doc_of = first >> 32
+        prev = first
+        chain1 = None
+        for j in range(1, n):
+            a = pos_key_lists[j]
+            idx = np.searchsorted(a, prev, side="right")
+            alive &= idx < len(a)
+            nxt = a[np.clip(idx, 0, len(a) - 1)]
+            alive &= (nxt >> 32) == doc_of
+            if j == 1:
+                chain1 = nxt
+            prev = nxt
+        rep = np.ones(len(first), dtype=bool)
+        if len(first) > 1:
+            rep[:-1] = (first[1:] >= chain1[:-1]) | \
+                       ((first[1:] >> 32) != doc_of[:-1])
+        emit = alive & rep
+        if not emit.any():
+            return _EMPTY_SPANS
+        ml = (prev[emit] - first[emit] + 1) - n
+        keep = ml <= slop
+        if not keep.any():
+            return _EMPTY_SPANS
+        return np.stack([first[emit][keep], prev[emit][keep] + 1,
+                         ml[keep]], axis=1)
+    L, R = _batch_double_minimal(pos_key_lists)
+    if len(L) == 0:
+        return _EMPTY_SPANS
+    ml = np.maximum(R - L + 1 - n, 0)
+    keep = ml <= slop
+    if not keep.any():
+        return _EMPTY_SPANS
+    return np.stack([L[keep], R[keep] + 1, ml[keep]], axis=1)
+
+
+def _split_by_doc(spans: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Split a doc-major global-key span array into per-doc blocks;
+    returns (doc ids, list of per-doc LOCAL-position span arrays)."""
+    if len(spans) == 0:
+        return np.empty(0, np.int64), []
+    docs = spans[:, 0] >> 32
+    cuts = np.nonzero(docs[1:] != docs[:-1])[0] + 1
+    blocks = np.split(spans, cuts)
+    uniq = docs[np.concatenate(([0], cuts))]
+    local = []
+    for d, b in zip(uniq, blocks):
+        off = np.int64(d) << np.int64(32)
+        local.append(b - np.array([off, off, 0], dtype=np.int64))
+    return uniq, local
+
+
+def eval_span_tree_batch(tree, key_pmap: dict[str, np.ndarray]
+                         ) -> np.ndarray:
+    """Batched :func:`eval_span_tree`: evaluates the whole segment at once
+    on GLOBAL-KEY span arrays (``doc << 32 | pos``). The or/not/first/
+    contain/within combinators operate on global keys unchanged — doc
+    boundaries self-enforce because any two docs' key ranges are disjoint
+    and wider than any position (< 2^31):
+
+    * overlap/containment between spans of different docs is impossible
+      (a later doc's start key exceeds an earlier doc's end key), so the
+      sorted prefix/suffix-extrema tricks of :func:`not_spans` /
+      :func:`containing_spans` / :func:`within_spans` are doc-safe as-is;
+    * ``first`` recovers the local end position as ``end_key - (doc<<32)``.
+
+    Nested ``nearspans`` over general streams keeps the per-doc matcher
+    (its greedy chain is stateful per doc); every other node is one numpy
+    pass. Within-doc emission order matches the per-doc evaluator, so
+    sequential per-doc accumulation is bit-identical."""
+    kind = tree[0]
+    if kind == "term":
+        k = key_pmap.get(tree[1])
+        if k is None or len(k) == 0:
+            return _EMPTY_SPANS
+        return np.stack([k, k + 1, np.zeros(len(k), np.int64)], axis=1)
+    if kind == "near":
+        return batch_near_spans(
+            [key_pmap.get(t, np.empty(0, np.int64)) for t in tree[1]],
+            tree[2], tree[3])
+    if kind == "nearspans":
+        children = [eval_span_tree_batch(c, key_pmap) for c in tree[1]]
+        # per-doc fallback: intersect the docs present in every child
+        doc_sets = []
+        split = []
+        for ch in children:
+            docs, local = _split_by_doc(ch)
+            split.append(dict(zip(docs.tolist(), local)))
+            doc_sets.append(set(docs.tolist()))
+        common = sorted(set.intersection(*doc_sets)) if doc_sets else []
+        parts = []
+        for d in common:
+            sp = near_spans_over([split[i][d] for i in range(len(split))],
+                                 tree[2], tree[3])
+            if len(sp):
+                off = np.int64(d) << np.int64(32)
+                parts.append(sp + np.array([off, off, 0], dtype=np.int64))
+        return np.concatenate(parts) if parts else _EMPTY_SPANS
+    if kind == "or":
+        return or_spans([eval_span_tree_batch(c, key_pmap)
+                         for c in tree[1]])
+    if kind == "not":
+        return not_spans(eval_span_tree_batch(tree[1], key_pmap),
+                         eval_span_tree_batch(tree[2], key_pmap))
+    if kind == "first":
+        sp = eval_span_tree_batch(tree[1], key_pmap)
+        if len(sp) == 0:
+            return sp
+        local_end = sp[:, 1] - ((sp[:, 0] >> 32) << np.int64(32))
+        return sp[local_end <= tree[2]]
+    if kind == "contain":
+        return containing_spans(eval_span_tree_batch(tree[1], key_pmap),
+                                eval_span_tree_batch(tree[2], key_pmap))
+    if kind == "within":
+        return within_spans(eval_span_tree_batch(tree[1], key_pmap),
+                            eval_span_tree_batch(tree[2], key_pmap))
+    raise TypeError(f"unknown span tree node {tree!r}")
+
+
+def batch_spans_freqs(spans: np.ndarray, n_docs: int) -> np.ndarray:
+    """Per-doc SpanScorer freq accumulation over a doc-major global-key
+    span array (sequential within doc — bit-identical to
+    :func:`spans_freq` per doc)."""
+    out = np.zeros(n_docs, dtype=np.float64)
+    if len(spans):
+        np.add.at(out, (spans[:, 0] >> 32).astype(np.int64),
+                  1.0 / (1.0 + spans[:, 2].astype(np.float64)))
+    return out

@@ -642,137 +642,87 @@ def _phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
     return freqs
 
 
-def _sloppy_phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
-                         lo: int, hi: int, slop: int) -> np.ndarray:
-    """n-term sloppy phrase frequency per doc in [lo, hi): candidate docs
-    are the intersection of the clause terms' doc sets; each candidate
-    runs the shared minimal-interval matcher over offset-adjusted
-    position lists (functions.spans.sloppy_phrase_freq — the
-    SloppyPhraseMatcher.java:53 role). Candidates of an n-term
-    conjunction are few relative to the segment, so the per-doc python
-    loop stays off the hot path."""
-    from ..functions.spans import sloppy_phrase_freq
-    n = hi - lo
-    freqs = np.zeros(n, dtype=np.float64)
-    tps = [ctx.tp(t) for t in terms]
-    if any(tp is None for tp in tps):
-        return freqs
-    pos_maps = []
-    common = None
-    for tp in tps:
+def _clause_pos_keys(terms, ctx: _SegContext, lo: int, hi: int,
+                     offsets: list[int] | None = None,
+                     pad: int = 0) -> list[np.ndarray] | None:
+    """Per-clause sorted global position keys ``(doc - lo) << 32 |
+    (pos - offset_j + pad)`` for every clause occurrence in [lo, hi) —
+    the doc-major embedding the batched span kernels run on. None when
+    any clause term is absent from the segment (no match possible)."""
+    BIG = np.int64(1) << np.int64(32)
+    out = []
+    for j, t in enumerate(terms):
+        tp = ctx.tp(t)
+        if tp is None:
+            return None
         ids, tfs = tp.decode_all()
         pos = tp.positions()
-        bounds = np.concatenate(([0], np.cumsum(tfs)))
-        pmap = {int(d): pos[bounds[i]:bounds[i + 1]]
-                for i, d in enumerate(ids) if lo <= d < hi}
-        pos_maps.append(pmap)
-        common = set(pmap) if common is None else (common & set(pmap))
-        if not common:
-            return freqs
-    for d in common:
-        f = sloppy_phrase_freq([m[d] for m in pos_maps], slop)
-        if f > 0:
-            freqs[d - lo] = f
-    return freqs
+        docs_rep = np.repeat(ids, tfs)
+        sel = (docs_rep >= lo) & (docs_rep < hi)
+        off = (offsets[j] if offsets else 0) - pad
+        out.append((docs_rep[sel] - lo) * BIG + (pos[sel] - off))
+    return out
+
+
+def _sloppy_phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
+                         lo: int, hi: int, slop: int) -> np.ndarray:
+    """n-term sloppy phrase frequency per doc in [lo, hi), ONE vectorized
+    pass over every candidate doc at once (the SloppyPhraseMatcher.java:53
+    role): clause positions are offset-adjusted (pos - clause_idx, the
+    reference's ``PhrasePositions.position``), embedded into doc-major
+    global keys, and the batched double-minimal-window kernel
+    (functions.spans.batch_sloppy_phrase_freqs) scores all docs without a
+    per-doc Python loop — two COMMON terms with slop stay on the
+    vectorized path."""
+    from ..functions.spans import batch_sloppy_phrase_freqs
+    n = hi - lo
+    keys = _clause_pos_keys(terms, ctx, lo, hi,
+                            offsets=list(range(len(terms))),
+                            pad=len(terms))
+    if keys is None:
+        return np.zeros(n, dtype=np.float64)
+    return batch_sloppy_phrase_freqs(keys, slop, n)
 
 
 def _span_near_freqs(node: "CSpanNear", ctx: _SegContext,
                      lo: int, hi: int) -> np.ndarray:
-    """SpanNear sloppy frequency per doc in [lo, hi): candidate docs are
-    the intersection of the clause terms' doc sets; each candidate runs
-    the shared greedy/minimal-window matcher (functions.spans) over its
-    per-term position lists. Candidates of an n-term conjunction are few
-    relative to the segment, so the per-doc python loop stays off the
-    hot path."""
-    from ..functions.spans import span_near_freq
+    """SpanNear sloppy frequency per doc in [lo, hi), one vectorized pass
+    (batched greedy-chain matcher for ordered, batched minimal-window
+    kernel for unordered — functions.spans.batch_*_near_freqs); no
+    per-candidate Python loop."""
+    from ..functions.spans import (batch_ordered_near_freqs,
+                                   batch_unordered_near_freqs)
     n = hi - lo
-    freqs = np.zeros(n, dtype=np.float64)
-    tps = [ctx.tp(t) for t in node.terms]
-    if any(tp is None for tp in tps):
-        return freqs
-    pos_maps = []
-    common = None
-    for tp in tps:
-        ids, tfs = tp.decode_all()
-        pos = tp.positions()
-        bounds = np.concatenate(([0], np.cumsum(tfs)))
-        pmap = {int(d): pos[bounds[i]:bounds[i + 1]]
-                for i, d in enumerate(ids) if lo <= d < hi}
-        pos_maps.append(pmap)
-        common = set(pmap) if common is None else (common & set(pmap))
-        if not common:
-            return freqs
-    for d in common:
-        f = span_near_freq([m[d] for m in pos_maps], node.slop,
-                           node.in_order)
-        if f > 0:
-            freqs[d - lo] = f
-    return freqs
+    keys = _clause_pos_keys(node.terms, ctx, lo, hi)
+    if keys is None:
+        return np.zeros(n, dtype=np.float64)
+    fn = batch_ordered_near_freqs if node.in_order \
+        else batch_unordered_near_freqs
+    return fn(keys, node.slop, n)
 
 
 def _span_tree_freqs(node: "CSpanTree", ctx: _SegContext,
                      lo: int, hi: int) -> np.ndarray:
-    """Span-algebra sloppy frequency per doc in [lo, hi): per-term
-    position maps are materialized once, candidate docs follow the tree's
-    own algebra (near = intersection, or = union, not/first = the
-    positive side), and each candidate runs the shared span evaluator
-    (functions.spans.eval_span_tree)."""
-    from ..functions.spans import eval_span_tree, span_tree_terms, spans_freq
+    """Span-algebra sloppy frequency per doc in [lo, hi), one batched
+    pass: every term's positions are embedded into doc-major global keys
+    and the whole tree evaluates on global-key span arrays
+    (functions.spans.eval_span_tree_batch) — or/not/first/contain/within
+    are single numpy passes over the segment; only nested nearspans
+    nodes fall back to the per-doc matcher."""
+    from ..functions.spans import (batch_spans_freqs, eval_span_tree_batch,
+                                   span_tree_terms)
     n = hi - lo
-    freqs = np.zeros(n, dtype=np.float64)
     terms = list(dict.fromkeys(span_tree_terms(node.tree)))
-    pmaps: dict[str, dict[int, np.ndarray]] = {}
-    for t in terms:
-        tp = ctx.tp(t)
-        if tp is None:
-            pmaps[t] = {}
-            continue
-        ids, tfs = tp.decode_all()
-        pos = tp.positions()
-        bounds = np.concatenate(([0], np.cumsum(tfs)))
-        pmaps[t] = {int(d): pos[bounds[i]:bounds[i + 1]]
-                    for i, d in enumerate(ids) if lo <= d < hi}
-
-    def cand(tree) -> set:
-        kind = tree[0]
-        if kind == "term":
-            return set(pmaps.get(tree[1], {}))
-        if kind == "near":
-            out = None
-            for t in tree[1]:
-                s = set(pmaps.get(t, {}))
-                out = s if out is None else (out & s)
-                if not out:
-                    return out
-            return out or set()
-        if kind == "nearspans":
-            out = None
-            for c in tree[1]:
-                s = cand(c)
-                out = s if out is None else (out & s)
-                if not out:
-                    return out
-            return out or set()
-        if kind == "or":
-            out: set = set()
-            for c in tree[1]:
-                out |= cand(c)
-            return out
-        if kind == "not":
-            return cand(tree[1])
-        if kind == "first":
-            return cand(tree[1])
-        if kind in ("contain", "within"):
-            return cand(tree[1]) & cand(tree[2])
-        raise TypeError(tree)
-
-    empty = np.empty(0, np.int64)
-    for d in cand(node.tree):
-        pmap = {t: pmaps[t].get(d, empty) for t in terms}
-        f = spans_freq(eval_span_tree(node.tree, pmap))
-        if f > 0:
-            freqs[d - lo] = f
-    return freqs
+    keys = _clause_pos_keys(terms, ctx, lo, hi)
+    if keys is None:
+        # absent terms only weaken OR/NOT branches, never abort the tree
+        keys = []
+        for t in terms:
+            k = _clause_pos_keys([t], ctx, lo, hi)
+            keys.append(k[0] if k is not None else np.empty(0, np.int64))
+    pmap = dict(zip(terms, keys))
+    spans = eval_span_tree_batch(node.tree, pmap)
+    return batch_spans_freqs(spans, n)
 
 
 def _upper_bounds_cover(node, ctx: _SegContext,

@@ -273,3 +273,79 @@ def test_near_spans_over_mixed_width_or_clauses():
     # (4,5)->(6,7) gap 1; tightening keeps only the latest start per link
     assert (4, 7, 1) in {tuple(r) for r in got}
     assert all(s >= 3 for s, _, _ in got)
+
+
+def _rand_doc_positions(rng, n_clauses, n_docs, density):
+    """{clause: {doc: sorted positions}}, clauses DISJOINT within a doc —
+    the real-index invariant (one term per position; duplicate clause
+    terms are documented-unsupported, and with shared positions the
+    sweep and the double-minimal characterization legitimately differ)."""
+    import numpy as np
+    per_doc = [dict() for _ in range(n_clauses)]
+    for d in range(n_docs):
+        perm = rng.permutation(60)
+        i = 0
+        for j in range(n_clauses):
+            k = int(rng.poisson(density))
+            if k and i < len(perm):
+                take = perm[i:i + k]
+                i += k
+                per_doc[j][d] = np.sort(take).astype(np.int64)
+    return per_doc
+
+
+def _keys(per_doc, n_clauses, offsets=None, pad=0):
+    import numpy as np
+    BIG = np.int64(1) << np.int64(32)
+    out = []
+    for j in range(n_clauses):
+        parts = []
+        for d in sorted(per_doc[j]):
+            off = (offsets[j] if offsets else 0) - pad
+            parts.append(np.int64(d) * BIG + (per_doc[j][d] - off))
+        out.append(np.concatenate(parts) if parts
+                   else np.empty(0, np.int64))
+    return out
+
+
+def test_batched_kernels_match_per_doc():
+    """Differential: the batched cross-doc kernels must equal the per-doc
+    matchers exactly on randomized multi-doc inputs (sloppy phrase,
+    ordered and unordered SpanNear)."""
+    import numpy as np
+    from lucene_spark.functions.spans import (
+        batch_ordered_near_freqs, batch_sloppy_phrase_freqs,
+        batch_unordered_near_freqs, sloppy_phrase_freq, span_near_freq)
+
+    rng = np.random.default_rng(7)
+    empty = np.empty(0, np.int64)
+    for trial in range(60):
+        n_clauses = int(rng.integers(2, 5))
+        n_docs = int(rng.integers(1, 12))
+        density = float(rng.uniform(0.5, 6.0))
+        slop = int(rng.integers(0, 8))
+        per_doc = _rand_doc_positions(rng, n_clauses, n_docs, density)
+
+        def per_doc_freqs(fn):
+            out = np.zeros(n_docs)
+            for d in range(n_docs):
+                lists = [per_doc[j].get(d, empty)
+                         for j in range(n_clauses)]
+                out[d] = fn(lists)
+            return out
+
+        want = per_doc_freqs(lambda ls: sloppy_phrase_freq(ls, slop))
+        got = batch_sloppy_phrase_freqs(
+            _keys(per_doc, n_clauses, offsets=list(range(n_clauses)),
+                  pad=n_clauses), slop, n_docs)
+        assert np.array_equal(want, got), ("sloppy", trial)
+
+        want = per_doc_freqs(lambda ls: span_near_freq(ls, slop, True))
+        got = batch_ordered_near_freqs(_keys(per_doc, n_clauses),
+                                       slop, n_docs)
+        assert np.array_equal(want, got), ("ordered", trial)
+
+        want = per_doc_freqs(lambda ls: span_near_freq(ls, slop, False))
+        got = batch_unordered_near_freqs(_keys(per_doc, n_clauses),
+                                         slop, n_docs)
+        assert np.array_equal(want, got), ("unordered", trial)
