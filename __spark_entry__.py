@@ -1419,6 +1419,99 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _q4(F.col("feat"), 1000000).alias("feat_q6")))
 
 
+
+# ---------------------------------------------------------------------------
+# Interval query oracles (queries/intervals — saturation-scored minimal
+# intervals; see lucene_spark/functions/intervals.py for the engine side)
+# ---------------------------------------------------------------------------
+
+def _istream_sql(name: str, terms) -> str:
+    """Position-stream CTE: one term or an OR-of-terms union."""
+    if isinstance(terms, str):
+        cond = f"term = '{terms}'"
+    else:
+        inl = ", ".join(f"'{t}'" for t in terms)
+        cond = f"term IN ({inl})"
+    return f"{name} AS (SELECT doc_id, pos FROM tok WHERE {cond})"
+
+
+def _interval_ordered_cte(streams: tuple) -> str:
+    """CTE chain ending in ``imin(doc_id, l, e)`` — the minimal ordered
+    intervals over the given width-1 streams: greedy chain ends via
+    stepwise min-greater joins, then the last start per (doc, end)
+    (chain ends are nondecreasing in start, so max(s) per end is the
+    minimal interval — OrderedIntervalsSource.java:135 role)."""
+    n = len(streams)
+    parts = [_istream_sql(f"iv{j}", s) for j, s in enumerate(streams)]
+    prev_end = "a.pos"
+    chain = """
+ic1 AS (SELECT a.doc_id, a.pos AS s, min(b.pos) AS e
+        FROM iv0 a JOIN iv1 b ON b.doc_id = a.doc_id AND b.pos > a.pos
+        GROUP BY 1, 2)"""
+    parts.append(chain.strip())
+    for j in range(2, n):
+        parts.append(f"""ic{j} AS (SELECT c.doc_id, c.s, min(d.pos) AS e
+        FROM ic{j-1} c JOIN iv{j} d
+          ON d.doc_id = c.doc_id AND d.pos > c.e
+        GROUP BY 1, 2)""")
+    parts.append(f"imin AS (SELECT doc_id, max(s) AS l, e AS r "
+                 f"FROM ic{n-1} GROUP BY doc_id, e)")
+    return ",\n".join(parts)
+
+
+def _interval_score_sql(freq_cte: str, pivot: float = 1.0,
+                        boost: float = 1.0, k: int = 10) -> str:
+    """Saturation score (IntervalScoreFunction.java:66-76, float32 op
+    order: 1f - pivot/(pivot + freq)) + the shared top-k shape."""
+    return f""",
+isc AS (SELECT f.doc_id,
+               CAST(CAST({boost} AS FLOAT) *
+                    (CAST(1.0 AS FLOAT) - CAST({pivot} AS FLOAT) /
+                     (CAST({pivot} AS FLOAT) + CAST(f.freq AS FLOAT)))
+                    AS FLOAT) AS s
+        FROM {freq_cte} f)""" + _topk_sql("isc", k)
+
+
+def _interval_ordered_sql(streams: tuple, maxgaps: int | None = None,
+                          k: int = 10) -> str:
+    n = len(streams)
+    gfilter = f"WHERE (r - l + 1) - {n} <= {maxgaps}" \
+        if maxgaps is not None else ""
+    return (_PRELUDE + "," + _interval_ordered_cte(streams) + f""",
+ifreq AS (SELECT doc_id,
+                 sum(CAST(1.0 AS DOUBLE)
+                     / greatest(r - l + 1 - {n} + 1, 1)) AS freq
+          FROM imin {gfilter} GROUP BY 1)"""
+            + _interval_score_sql("ifreq", k=k))
+
+
+def _interval_unordered_sql(terms: tuple[str, ...], k: int = 10) -> str:
+    """Unordered minimal intervals = the double-minimal windows (shared
+    _span_windows_cte with no slop cap); 1/(1+ml) = the saturation
+    contribution 1/max(len - minExtent + 1, 1)."""
+    n = len(terms)
+    return (_PRELUDE + "," + _span_windows_cte(terms, 1 << 30) + """,
+ifreq AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+          FROM wins GROUP BY 1)"""
+            + _interval_score_sql("ifreq", k=k))
+
+
+def _interval_containing_sql(big_terms: tuple[str, ...], small: str,
+                             k: int = 10) -> str:
+    """containing(unordered(big_terms), small): big windows keeping one
+    small position inside; contribution keyed on the BIG side's extent
+    (ContainingIntervalsSource.minExtent = big.minExtent)."""
+    return (_PRELUDE + "," + _span_windows_cte(big_terms, 1 << 30) + f""",
+icont AS (SELECT w.doc_id, w.ml FROM wins w
+          WHERE EXISTS (SELECT 1 FROM tok t
+                        WHERE t.term = '{small}'
+                          AND t.doc_id = w.doc_id
+                          AND t.pos BETWEEN w.l AND w.r)),
+ifreq AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+          FROM icont GROUP BY 1)"""
+            + _interval_score_sql("ifreq", k=k))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 conjunction top-10 on sf0.001 (build + search)."""
     return _search(Q.And((Q.Term(T_COMMON), Q.Term(T_COMMON2))))(
@@ -1488,6 +1581,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,
         "highlight_top5": _q_highlight,
+        # --- interval queries (queries/intervals, new r3) ---
+        "interval_ordered_top10": _search(Q.Interval(
+            ("ordered", (("term", T_COMMON), ("term", T_COMMON2),
+                         ("term", T_THIRD))))),
+        "interval_maxgaps_top10": _search(Q.Interval(
+            ("maxgaps", ("ordered", (("term", T_COMMON),
+                                     ("term", T_COMMON2))), 2))),
+        "interval_unordered_top10": _search(Q.Interval(
+            ("unordered", (("term", T_COMMON), ("term", T_THIRD))))),
+        "interval_containing_top10": _search(Q.Interval(
+            ("containing", ("unordered", (("term", T_COMMON),
+                                          ("term", T_COMMON2))),
+             ("term", T_THIRD)))),
+        "interval_or_ordered_top10": _search(Q.Interval(
+            ("ordered", (("orterms", (T_A, T_B)), ("term", T_COMMON))))),
         "bm25_after_merge_top10": _q_merged_search,
         "bm25_incremental_top10": _q_incremental_search,
         # --- index tables / invariants (SURVEY.md §2.2) ---
@@ -1533,6 +1641,10 @@ _PRIORITY = [
     "bm25_after_merge_top10", "bm25_incremental_top10", "segment_lineage",
     "term_stats", "term_stats_salted", "field_stats", "doc_norms",
     "content_sha256",
+    # new in round 3 — never driver-checked yet
+    "interval_ordered_top10", "interval_maxgaps_top10",
+    "interval_unordered_top10", "interval_containing_top10",
+    "interval_or_ordered_top10",
 ]
 
 
@@ -1569,6 +1681,16 @@ def oracle_sql() -> dict[str, str]:
         "span_within_top10": _span_within_sql(
             T_THIRD, (T_COMMON, T_COMMON2), 4),
         "highlight_top5": _highlight_sql(T_COMMON, T_COMMON2, k=5, window=6),
+        "interval_ordered_top10": _interval_ordered_sql(
+            (T_COMMON, T_COMMON2, T_THIRD)),
+        "interval_maxgaps_top10": _interval_ordered_sql(
+            (T_COMMON, T_COMMON2), maxgaps=2),
+        "interval_unordered_top10": _interval_unordered_sql(
+            (T_COMMON, T_THIRD)),
+        "interval_containing_top10": _interval_containing_sql(
+            (T_COMMON, T_COMMON2), T_THIRD),
+        "interval_or_ordered_top10": _interval_ordered_sql(
+            ((T_A, T_B), T_COMMON)),
         "tfidf_term_top10": _TFIDF_SQL,
         "batch_search": " UNION ALL ".join(
             f"SELECT '{qid}' AS query_id, * FROM ({sql})"

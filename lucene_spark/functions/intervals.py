@@ -1,0 +1,309 @@
+"""Minimal-interval query algebra (the reference's ``queries/intervals``
+package, Vigna's lazy minimal-interval semantics).
+
+Reference: ``lucene/queries/src/java/org/apache/lucene/queries/intervals/
+IntervalQuery.java:59`` (scoring), ``Intervals.java`` (factory),
+``OrderedIntervalsSource.java:135-174`` (ordered minimization),
+``UnorderedIntervalsSource.java`` / ``MinimizingConjunctionIntervalsSource``
+(unordered minimal windows), ``FilteredIntervalsSource.java:31-77``
+(maxgaps / maxwidth), ``ContainingIntervalsSource.java`` /
+``ContainedByIntervalsSource.java``, ``IntervalScorer.java:66-75``
+(freq = Σ 1 / max(length - minExtent + 1, 1)).
+
+Unlike the span module (whose greedy matcher deliberately mirrors
+SpanNearQuery's overlapping emissions), interval iterators emit ONLY
+minimal intervals — no emitted interval properly contains another from
+the same source. All kernels below are batched across every document at
+once on doc-major global keys ``doc << 32 | position`` (positions
+< 2^31, so doc key ranges are disjoint and wider than any interval —
+the same embedding the batched span kernels use):
+
+* ordered  — closed form of the reference's lazy loop: for each
+  first-clause position f the greedy chain end R(f) is nondecreasing in
+  f within a doc, so the minimal intervals are exactly [f, R(f)] for the
+  LAST alive f of each distinct (doc, R) — one vectorized pass.
+* unordered — the double-minimal complete windows (both-side minimal),
+  shared with the sloppy-phrase kernel.
+* phrase (BlockIntervalsSource) — consecutive chain via key probes.
+
+Scope (documented): ordered/unordered/phrase clauses are POSITION
+STREAMS (a term or an OR of terms — width-1 sources); combinators
+(maxgaps/maxwidth/containing/contained_by/not_*/or) compose freely on
+interval streams. Nested ordered-inside-ordered (general sub-interval
+chaining) is out of scope this round. Duplicate clause terms (the
+reference's RepeatingIntervalsSource) are unsupported, like spans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .spans import _batch_double_minimal
+
+_EMPTY = np.empty((0, 3), dtype=np.int64)
+
+#: Interval arrays are (m, 3) int64: [start_key, end_key, gaps] with
+#: INCLUSIVE end positions (the reference's Interval convention), rows
+#: sorted by (start_key, end_key), doc-major.
+
+
+def _stream_keys(node, pmap: dict[str, np.ndarray]) -> np.ndarray:
+    """Sorted global position keys of a width-1 stream node."""
+    kind = node[0]
+    if kind == "term":
+        return pmap.get(node[1], np.empty(0, np.int64))
+    if kind == "orterms":
+        parts = [pmap.get(t, np.empty(0, np.int64)) for t in node[1]]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return np.empty(0, np.int64)
+        # distinct terms never share a position, so this is a disjoint
+        # sorted union
+        return np.sort(np.concatenate(parts))
+    raise TypeError(f"ordered/unordered clause must be a position "
+                    f"stream (term | orterms), got {node!r}")
+
+
+def _is_stream(node) -> bool:
+    return node[0] in ("term", "orterms")
+
+
+def ordered_intervals(streams: list[np.ndarray]) -> np.ndarray:
+    """Minimal ordered intervals over width-1 clause streams
+    (OrderedIntervalsSource.java:135 role): [f, R(f)] where R(f) is the
+    greedy strictly-increasing chain end and f is the last alive start
+    with that (doc, R). gaps = (R - f + 1) - n_clauses."""
+    n = len(streams)
+    if n == 0 or any(len(s) == 0 for s in streams):
+        return _EMPTY
+    first = streams[0]
+    if n == 1:
+        return np.stack([first, first,
+                         np.zeros(len(first), np.int64)], axis=1)
+    doc_of = first >> 32
+    alive = np.ones(len(first), dtype=bool)
+    prev = first
+    for j in range(1, n):
+        a = streams[j]
+        idx = np.searchsorted(a, prev, side="right")
+        alive &= idx < len(a)
+        nxt = a[np.clip(idx, 0, len(a) - 1)]
+        alive &= (nxt >> 32) == doc_of
+        prev = nxt
+    fs, rs, ds = first[alive], prev[alive], doc_of[alive]
+    if len(fs) == 0:
+        return _EMPTY
+    # minimal: last alive start per distinct (doc, chain end) — chain
+    # ends are nondecreasing within a doc, so comparing neighbours works
+    keep = np.ones(len(fs), dtype=bool)
+    keep[:-1] = (rs[1:] > rs[:-1]) | (ds[1:] != ds[:-1])
+    gaps = (rs[keep] - fs[keep] + 1) - n
+    return np.stack([fs[keep], rs[keep], gaps], axis=1)
+
+
+def unordered_intervals(streams: list[np.ndarray]) -> np.ndarray:
+    """Minimal unordered intervals (overlap allowed) over width-1 clause
+    streams: the double-minimal complete windows. gaps = len - n."""
+    n = len(streams)
+    if n == 0 or any(len(s) == 0 for s in streams):
+        return _EMPTY
+    if n == 1:
+        s = streams[0]
+        return np.stack([s, s, np.zeros(len(s), np.int64)], axis=1)
+    L, R = _batch_double_minimal(streams)
+    if len(L) == 0:
+        return _EMPTY
+    gaps = np.maximum(R - L + 1 - n, 0)
+    return np.stack([L, R, gaps], axis=1)
+
+
+def phrase_intervals(streams: list[np.ndarray]) -> np.ndarray:
+    """BlockIntervalsSource: clause j at exactly start + j (consecutive
+    width-1 sub-intervals); gaps = 0."""
+    n = len(streams)
+    if n == 0 or any(len(s) == 0 for s in streams):
+        return _EMPTY
+    first = streams[0]
+    ok = np.ones(len(first), dtype=bool)
+    for j in range(1, n):
+        a = streams[j]
+        probe = first + np.int64(j)
+        idx = np.searchsorted(a, probe)
+        hit = (idx < len(a)) & (a[np.clip(idx, 0, len(a) - 1)] == probe)
+        ok &= hit
+    fs = first[ok]
+    if len(fs) == 0:
+        return _EMPTY
+    return np.stack([fs, fs + n - 1, np.zeros(len(fs), np.int64)], axis=1)
+
+
+def minimize_or(parts: list[np.ndarray]) -> np.ndarray:
+    """Disjunction with minimal-interval suppression: the union of the
+    child interval sets minus any interval that properly contains
+    another (and exact duplicates) — the emitted set is an antichain
+    under containment, like DisjunctionIntervalsSource's unwatch/minimize
+    behavior."""
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return _EMPTY
+    allv = np.concatenate(parts)
+    order = np.lexsort((allv[:, 1], allv[:, 0]))
+    allv = allv[order]
+    # same start: the shortest wins (longer ones contain it)
+    first_of_start = np.ones(len(allv), dtype=bool)
+    first_of_start[1:] = allv[1:, 0] != allv[:-1, 0]
+    allv = allv[first_of_start]
+    if len(allv) <= 1:
+        return allv
+    # drop i if some j with start_j > start_i has end_j <= end_i:
+    # suffix-min of ends over strictly later starts
+    ends = allv[:, 1]
+    suff = np.minimum.accumulate(ends[::-1])[::-1]
+    # first index with start > start_i  (starts now strictly increasing)
+    nxt = np.arange(1, len(allv) + 1)
+    contains_other = np.zeros(len(allv), dtype=bool)
+    valid = nxt < len(allv)
+    contains_other[valid] = suff[nxt[valid]] <= ends[valid]
+    return allv[~contains_other]
+
+
+def _containment_mask(big: np.ndarray, little: np.ndarray) -> np.ndarray:
+    """bool over big rows: contains some little ([s2,e2] ⊆ [s,e])."""
+    if len(big) == 0 or len(little) == 0:
+        return np.zeros(len(big), dtype=bool)
+    order = np.argsort(little[:, 0], kind="mergesort")
+    ls, le = little[order, 0], little[order, 1]
+    suffix_min = np.minimum.accumulate(le[::-1])[::-1]
+    idx = np.searchsorted(ls, big[:, 0], side="left")
+    ok = idx < len(ls)
+    m = np.where(ok, suffix_min[np.minimum(idx, len(ls) - 1)],
+                 np.iinfo(np.int64).max)
+    return ok & (m <= big[:, 1])
+
+
+def _within_mask(little: np.ndarray, big: np.ndarray) -> np.ndarray:
+    """bool over little rows: contained by some big."""
+    if len(little) == 0 or len(big) == 0:
+        return np.zeros(len(little), dtype=bool)
+    order = np.argsort(big[:, 0], kind="mergesort")
+    bs, be = big[order, 0], big[order, 1]
+    prefix_max = np.maximum.accumulate(be)
+    idx = np.searchsorted(bs, little[:, 0], side="right")
+    ok = idx > 0
+    m = np.where(ok, prefix_max[np.maximum(idx - 1, 0)],
+                 np.iinfo(np.int64).min)
+    return ok & (m >= little[:, 1])
+
+
+def eval_intervals(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
+    """Evaluate a compiled interval tree against doc-major global
+    position keys; returns the (start_key, end_key, gaps) interval array
+    of the root source, sorted by start, doc-major."""
+    kind = tree[0]
+    if kind in ("term", "orterms"):
+        k = _stream_keys(tree, pmap)
+        if len(k) == 0:
+            return _EMPTY
+        return np.stack([k, k, np.zeros(len(k), np.int64)], axis=1)
+    if kind == "ordered":
+        return ordered_intervals([_stream_keys(c, pmap) for c in tree[1]])
+    if kind == "unordered":
+        return unordered_intervals(
+            [_stream_keys(c, pmap) for c in tree[1]])
+    if kind == "phrase":
+        return phrase_intervals([_stream_keys(c, pmap) for c in tree[1]])
+    if kind == "maxgaps":
+        iv = eval_intervals(tree[1], pmap)
+        return iv[iv[:, 2] <= tree[2]] if len(iv) else iv
+    if kind == "maxwidth":
+        iv = eval_intervals(tree[1], pmap)
+        if len(iv) == 0:
+            return iv
+        return iv[(iv[:, 1] - iv[:, 0] + 1) <= tree[2]]
+    if kind == "containing":
+        big = eval_intervals(tree[1], pmap)
+        small = eval_intervals(tree[2], pmap)
+        return big[_containment_mask(big, small)]
+    if kind == "not_containing":
+        big = eval_intervals(tree[1], pmap)
+        small = eval_intervals(tree[2], pmap)
+        return big[~_containment_mask(big, small)]
+    if kind == "contained_by":
+        small = eval_intervals(tree[1], pmap)
+        big = eval_intervals(tree[2], pmap)
+        return small[_within_mask(small, big)]
+    if kind == "not_contained_by":
+        small = eval_intervals(tree[1], pmap)
+        big = eval_intervals(tree[2], pmap)
+        return small[~_within_mask(small, big)]
+    if kind == "or":
+        return minimize_or([eval_intervals(c, pmap) for c in tree[1]])
+    raise TypeError(f"unknown interval tree node {tree!r}")
+
+
+def min_extent(tree) -> int:
+    """IntervalsSource.minExtent of a compiled tree (the scoring
+    normalizer: freq contribution = 1 / max(length - minExtent + 1, 1),
+    IntervalScorer.java:72)."""
+    kind = tree[0]
+    if kind in ("term", "orterms"):
+        return 1
+    if kind in ("ordered", "unordered", "phrase"):
+        return sum(min_extent(c) for c in tree[1])
+    if kind in ("maxgaps", "maxwidth"):
+        return min_extent(tree[1])
+    if kind in ("containing", "not_containing"):
+        return min_extent(tree[1])            # big side
+    if kind in ("contained_by", "not_contained_by"):
+        return min_extent(tree[1])            # small side
+    if kind == "or":
+        return min(min_extent(c) for c in tree[1])
+    raise TypeError(f"unknown interval tree node {tree!r}")
+
+
+def interval_tree_terms(tree) -> list[str]:
+    """All leaf terms of a compiled interval tree (postings to fetch)."""
+    kind = tree[0]
+    if kind == "term":
+        return [tree[1]]
+    if kind == "orterms":
+        return list(tree[1])
+    if kind in ("ordered", "unordered", "phrase", "or"):
+        out = []
+        for c in tree[1]:
+            out.extend(interval_tree_terms(c))
+        return out
+    if kind in ("maxgaps", "maxwidth"):
+        return interval_tree_terms(tree[1])
+    if kind in ("containing", "not_containing", "contained_by",
+                "not_contained_by"):
+        return (interval_tree_terms(tree[1])
+                + interval_tree_terms(tree[2]))
+    raise TypeError(f"unknown interval tree node {tree!r}")
+
+
+def batch_interval_freqs(iv: np.ndarray, minext: int,
+                         n_docs: int) -> np.ndarray:
+    """Per-doc IntervalScorer freq: Σ 1 / max(length - minExtent + 1, 1)
+    over the root source's intervals (IntervalScorer.java:66-75),
+    accumulated sequentially in emission order."""
+    out = np.zeros(n_docs, dtype=np.float64)
+    if len(iv):
+        length = (iv[:, 1] - iv[:, 0] + 1).astype(np.float64)
+        denom = np.maximum(length - minext + 1, 1.0)
+        np.add.at(out, (iv[:, 0] >> 32).astype(np.int64), 1.0 / denom)
+    return out
+
+
+def saturation_scores(freqs: np.ndarray, pivot: float,
+                      weight: float) -> np.ndarray:
+    """IntervalScoreFunction.SaturationFunction (float32 order):
+    ``weight * (1 - pivot / (pivot + freq))`` — written exactly as the
+    reference to keep monotonicity under rounding
+    (IntervalScoreFunction.java:66-76). ``freqs`` is float64 here; the
+    reference accumulates in float32 — a documented divergence shared
+    verbatim with the SQL oracle."""
+    p = np.float32(pivot)
+    f = freqs.astype(np.float32)
+    return (np.float32(weight)
+            * (np.float32(1.0) - p / (p + f))).astype(np.float32)

@@ -86,6 +86,20 @@ class CSpanTree:
 
 
 @dataclass(frozen=True)
+class CInterval:
+    """Compiled IntervalQuery (reference ``queries/intervals/
+    IntervalQuery.java:59``): ``tree`` is the nested-tuple grammar of
+    ``functions.intervals.eval_intervals``; scoring is the saturation
+    function ``boost * (1 - pivot/(pivot + freq))`` over the minimal
+    intervals' sloppy freq — independent of the similarity/norms, unlike
+    every other scored node."""
+    tree: tuple
+    minext: int
+    pivot: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class COr:
     children: tuple
     min_should_match: int = 0
@@ -219,6 +233,14 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
             if not pos:
                 return None
             return CSpanTree(tree, multi_weight([df_of(t) for t in pos]))
+        if isinstance(node, Q.Interval):
+            from ..functions.intervals import (interval_tree_terms,
+                                               min_extent)
+            terms = dict.fromkeys(interval_tree_terms(node.tree))
+            if not any(df_of(t) > 0 for t in terms):
+                return None
+            return CInterval(node.tree, min_extent(node.tree),
+                             node.pivot, node.boost)
         if isinstance(node, _BlendedTerms):
             pairs = [(t, b) for t, b in zip(node.terms, node.boosts)
                      if df_of(t) > 0]
@@ -310,6 +332,9 @@ def _compiled_terms(c) -> list[str]:
     if isinstance(c, CSpanTree):
         from ..functions.spans import span_tree_terms
         return list(dict.fromkeys(span_tree_terms(c.tree)))
+    if isinstance(c, CInterval):
+        from ..functions.intervals import interval_tree_terms
+        return list(dict.fromkeys(interval_tree_terms(c.tree)))
     if isinstance(c, (COr, CAnd, CDisMax)):
         out = []
         for k in c.children:
@@ -544,6 +569,22 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
             s = ctx.sim.score(freqs[mask].astype(np.float32),
                               ctx.norms[lo:hi][mask],
                               node.weight, ctx.cache)
+            scores[mask] = s.astype(np.float64)
+        return mask, scores
+    if isinstance(node, CInterval):
+        from ..functions.intervals import (batch_interval_freqs,
+                                           eval_intervals,
+                                           interval_tree_terms,
+                                           saturation_scores)
+        pmap = {}
+        for t in dict.fromkeys(interval_tree_terms(node.tree)):
+            k = _clause_pos_keys([t], ctx, lo, hi)
+            pmap[t] = k[0] if k is not None else np.empty(0, np.int64)
+        iv = eval_intervals(node.tree, pmap)
+        freqs = batch_interval_freqs(iv, node.minext, n)
+        mask = freqs > 0
+        if mask.any():
+            s = saturation_scores(freqs[mask], node.pivot, node.boost)
             scores[mask] = s.astype(np.float64)
         return mask, scores
     if isinstance(node, CConstTerms):

@@ -21,10 +21,10 @@ from .functions.bm25 import (
     K1_DEFAULT, B_DEFAULT, avg_field_length, idf, idf_sum, norm_inverse_cache,
 )
 from .functions.smallfloat import int_to_byte4
-from .plans.query import (And, DisMax, MultiTerm, Not, Or, Phrase, Query,
-                          SpanContaining, SpanFirst, SpanMultiTermWrapper,
-                          SpanNear, SpanNot, SpanOr, SpanWithin, Synonym,
-                          Term)
+from .plans.query import (And, DisMax, Interval, MultiTerm, Not, Or, Phrase,
+                          Query, SpanContaining, SpanFirst,
+                          SpanMultiTermWrapper, SpanNear, SpanNot, SpanOr,
+                          SpanWithin, Synonym, Term)
 
 
 def _levenshtein(a: str, b: str) -> int:
@@ -210,6 +210,31 @@ class OracleIndex:
                 out[d] = np.float32(w - w / (one + np.float32(f) * inv))
         return out
 
+    def _interval_scores(self, query) -> dict[int, np.float32]:
+        """IntervalQuery: shared batched minimal-interval evaluator
+        (functions.intervals) over doc-major global keys — the same code
+        path as the engine kernel, so equality is exact; score is the
+        saturation function, independent of norms/similarity."""
+        from .functions.intervals import (batch_interval_freqs,
+                                          eval_intervals,
+                                          interval_tree_terms, min_extent,
+                                          saturation_scores)
+        terms = list(dict.fromkeys(interval_tree_terms(query.tree)))
+        BIG = np.int64(1) << np.int64(32)
+        pmap = {}
+        for t in terms:
+            rows = sorted(self.postings.get(t, ()))
+            keys = [np.int64(d) * BIG + np.asarray(sorted(pl), np.int64)
+                    for d, _, pl in rows]
+            pmap[t] = (np.concatenate(keys) if keys
+                       else np.empty(0, np.int64))
+        n_docs = max(self.norm_bytes) + 1 if self.norm_bytes else 0
+        iv = eval_intervals(query.tree, pmap)
+        freqs = batch_interval_freqs(iv, min_extent(query.tree), n_docs)
+        hit = np.nonzero(freqs > 0)[0]
+        s = saturation_scores(freqs[hit], query.pivot, query.boost)
+        return {int(d): np.float32(v) for d, v in zip(hit, s)}
+
     def _resolve_span(self, q):
         """Expand SpanMultiTermWrapper leaves against this oracle's own
         dictionary (SpanMultiTermQueryWrapper rewrite role)."""
@@ -300,6 +325,8 @@ class OracleIndex:
                               SpanContaining, SpanWithin,
                               SpanMultiTermWrapper)):
             return self._span_tree_scores(query, k1, b)
+        if isinstance(query, Interval):
+            return self._interval_scores(query)
         if isinstance(query, MultiTerm):
             import fnmatch
             terms = sorted(self.postings)

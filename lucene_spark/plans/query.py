@@ -304,6 +304,26 @@ class Not(Query):
                                   + self.negative.all_terms()))
 
 
+@dataclass(frozen=True)
+class Interval(Query):
+    """IntervalQuery (reference ``queries/intervals/IntervalQuery.java:59``
+    + the ``Intervals`` factory): matches docs where ``tree`` produces at
+    least one minimal interval; score = ``boost * (1 - pivot /
+    (pivot + freq))`` with freq = Σ 1/max(len - minExtent + 1, 1) —
+    see ``functions/intervals.py`` for the tree grammar
+    (term/orterms/ordered/unordered/phrase/maxgaps/maxwidth/
+    containing/contained_by/not_*/or)."""
+    tree: tuple
+    pivot: float = 1.0
+    boost: float = 1.0
+
+    def scoring_terms(self):
+        from ..functions.intervals import interval_tree_terms
+        return list(dict.fromkeys(interval_tree_terms(self.tree)))
+
+    all_terms = scoring_terms
+
+
 def rewrite_fixed_point(q: Query, max_iters: int = 8) -> Query:
     """Reference IndexSearcher.rewrite loop (IndexSearcher.java:848-860)."""
     for _ in range(max_iters):

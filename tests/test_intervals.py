@@ -1,0 +1,226 @@
+"""Interval query tests: brute-force minimality differentials for the
+batched kernels, combinator algebra, and engine-vs-oracle parity
+(modeled on the reference's TestIntervals / TestIntervalQuery)."""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+import numpy as np
+import pytest
+
+from lucene_spark.functions.intervals import (batch_interval_freqs,
+                                              eval_intervals, min_extent,
+                                              minimize_or,
+                                              ordered_intervals,
+                                              phrase_intervals,
+                                              unordered_intervals)
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.search import Searcher
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.plans import query as Q
+from lucene_spark.sources.corpus import generate_corpus
+
+
+def _antichain(valid: set[tuple[int, int]]) -> list[tuple[int, int]]:
+    return sorted((s, e) for (s, e) in valid
+                  if not any(s2 >= s and e2 <= e and (s2, e2) != (s, e)
+                             for (s2, e2) in valid))
+
+
+def _brute_ordered(lists) -> list[tuple[int, int]]:
+    valid = set()
+    for combo in itertools.product(*lists):
+        if all(combo[i + 1] > combo[i] for i in range(len(combo) - 1)):
+            valid.add((combo[0], combo[-1]))
+    return _antichain(valid)
+
+
+def _brute_unordered(lists) -> list[tuple[int, int]]:
+    valid = set()
+    for combo in itertools.product(*lists):
+        valid.add((min(combo), max(combo)))
+    return _antichain(valid)
+
+
+def _disjoint_lists(rng, n_clauses, universe=40):
+    perm = rng.permutation(universe)
+    out, i = [], 0
+    for _ in range(n_clauses):
+        k = int(rng.integers(1, 7))
+        out.append(np.sort(perm[i:i + k]).astype(np.int64))
+        i += k
+    return out
+
+
+def test_ordered_minimal_vs_brute_force():
+    rng = np.random.default_rng(3)
+    for trial in range(300):
+        n = int(rng.integers(2, 5))
+        lists = _disjoint_lists(rng, n)
+        got = ordered_intervals(lists)
+        want = _brute_ordered([l.tolist() for l in lists])
+        assert [(int(s), int(e)) for s, e, _ in got] == want, trial
+        # gaps invariant: (end - start + 1) - n
+        for s, e, g in got:
+            assert g == (e - s + 1) - n
+
+
+def test_ordered_emits_only_minimal():
+    # the span matcher would emit [0,7] AND [5,7] here; intervals must
+    # emit only the minimal [5,7] (OrderedIntervalsSource minimization)
+    got = ordered_intervals([np.array([0, 5], np.int64),
+                             np.array([1, 6], np.int64),
+                             np.array([7], np.int64)])
+    assert [(int(s), int(e)) for s, e, _ in got] == [(5, 7)]
+
+
+def test_unordered_minimal_vs_brute_force():
+    rng = np.random.default_rng(4)
+    for trial in range(300):
+        n = int(rng.integers(2, 5))
+        lists = _disjoint_lists(rng, n)
+        got = unordered_intervals(lists)
+        want = _brute_unordered([l.tolist() for l in lists])
+        assert [(int(s), int(e)) for s, e, _ in got] == want, trial
+
+
+def test_phrase_intervals_consecutive():
+    got = phrase_intervals([np.array([2, 9], np.int64),
+                            np.array([3, 11], np.int64),
+                            np.array([4, 30], np.int64)])
+    assert [(int(s), int(e), int(g)) for s, e, g in got] == [(2, 4, 0)]
+
+
+def test_minimize_or_antichain():
+    a = np.array([[0, 5, 0], [10, 12, 0]], np.int64)
+    b = np.array([[1, 3, 0], [10, 12, 0], [20, 21, 0]], np.int64)
+    got = minimize_or([a, b])
+    # [0,5] contains [1,3] -> dropped; [10,12] deduped
+    assert [(int(s), int(e)) for s, e, _ in got] == \
+        [(1, 3), (10, 12), (20, 21)]
+
+
+def test_eval_tree_combinators_and_min_extent():
+    BIG = np.int64(1) << np.int64(32)
+    pmap = {
+        "a": np.array([0, 10], np.int64),
+        "b": np.array([2, 12], np.int64),
+        "c": np.array([4], np.int64),
+        "d": np.array([3], np.int64),
+    }
+    ordered = ("ordered", (("term", "a"), ("term", "b")))
+    # ordered: minimal [0,2], [10,12]
+    iv = eval_intervals(ordered, pmap)
+    assert [(int(s), int(e), int(g)) for s, e, g in iv] == \
+        [(0, 2, 1), (10, 12, 1)]
+    # maxgaps 0 filters both (gap 1)
+    assert len(eval_intervals(("maxgaps", ordered, 0), pmap)) == 0
+    assert len(eval_intervals(("maxgaps", ordered, 1), pmap)) == 2
+    # maxwidth
+    assert len(eval_intervals(("maxwidth", ordered, 2), pmap)) == 0
+    assert len(eval_intervals(("maxwidth", ordered, 3), pmap)) == 2
+    # containing: ordered intervals containing c=4 -> none; containing d=3
+    assert len(eval_intervals(("containing", ordered, ("term", "c")),
+                              pmap)) == 0
+    # unordered(a,b) = [0,2],[2,10]? brute: minimal windows
+    unv = eval_intervals(("unordered", (("term", "a"), ("term", "b"))),
+                         pmap)
+    assert [(int(s), int(e)) for s, e, _ in unv] == \
+        _brute_unordered([[0, 10], [2, 12]])
+    # contained_by: c=4 within unordered [2,10] window
+    cb = eval_intervals(
+        ("contained_by", ("term", "c"),
+         ("unordered", (("term", "a"), ("term", "b")))), pmap)
+    assert [(int(s), int(e)) for s, e, _ in cb] == [(4, 4)]
+    # not_contained_by is the complement
+    ncb = eval_intervals(
+        ("not_contained_by", ("term", "c"),
+         ("unordered", (("term", "a"), ("term", "b")))), pmap)
+    assert len(ncb) == 0
+    # min extents
+    assert min_extent(ordered) == 2
+    assert min_extent(("maxgaps", ordered, 2)) == 2
+    assert min_extent(("or", (ordered, ("term", "c")))) == 1
+    assert min_extent(("containing", ordered, ("term", "c"))) == 2
+    assert min_extent(("contained_by", ("term", "c"), ordered)) == 1
+    # multi-doc isolation: same positions in doc 1 must not chain into
+    # doc 0
+    pmap2 = {"a": np.array([0, BIG + 5], np.int64),
+             "b": np.array([BIG + 6], np.int64)}
+    iv2 = eval_intervals(("ordered", (("term", "a"), ("term", "b"))),
+                         pmap2)
+    assert [(int(s >> 32), int(s & 0xFFFFFFFF), int(e & 0xFFFFFFFF))
+            for s, e, _ in iv2] == [(1, 5, 6)]
+
+
+def test_interval_freq_and_saturation():
+    # freq = sum 1/max(len - minExtent + 1, 1)
+    iv = np.array([[0, 2, 1], [10, 12, 1]], np.int64)   # doc 0, len 3
+    freqs = batch_interval_freqs(iv, 2, 1)
+    assert freqs[0] == pytest.approx(0.5 + 0.5, abs=0)
+    from lucene_spark.functions.intervals import saturation_scores
+    s = saturation_scores(np.array([1.0]), 1.0, 1.0)
+    assert s[0] == np.float32(0.5)
+
+
+N_DOCS = 250
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(N_DOCS, seed=19)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, corpus):
+    d = tempfile.mkdtemp(prefix="lucene_spark_intervals_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=4)
+    return Searcher(spark, d)
+
+
+_TREES = [
+    ("ordered", (("term", "parse"), ("term", "emit"))),
+    ("maxgaps", ("ordered", (("term", "parse"), ("term", "emit"))), 4),
+    ("unordered", (("term", "parse"), ("term", "token"))),
+    ("maxwidth", ("unordered", (("term", "parse"), ("term", "token"))), 8),
+    ("containing", ("unordered", (("term", "parse"), ("term", "token"))),
+     ("term", "emit")),
+    ("contained_by", ("term", "emit"),
+     ("unordered", (("term", "parse"), ("term", "token")))),
+    ("not_containing",
+     ("unordered", (("term", "parse"), ("term", "token"))),
+     ("term", "emit")),
+    ("ordered", (("orterms", ("parse", "scan")), ("term", "emit"))),
+    ("phrase", (("term", "parse"), ("term", "emit"))),
+    ("or", (("ordered", (("term", "parse"), ("term", "emit"))),
+            ("term", "flush"))),
+]
+
+
+@pytest.mark.parametrize("tree", _TREES, ids=[str(i) for i in
+                                              range(len(_TREES))])
+def test_interval_engine_matches_oracle(searcher, oracle, tree):
+    q = Q.Interval(tree)
+    got = [(r["doc_id"], r["score"])
+           for r in searcher.search(q, k=10).collect()]
+    want = oracle.top_k(q, k=10)
+    assert [g[0] for g in got] == [w[0] for w in want], tree
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert np.float32(s1) == np.float32(s2), (tree, d1)
+
+
+def test_interval_pivot_and_boost(searcher, oracle):
+    q = Q.Interval(("ordered", (("term", "parse"), ("term", "emit"))),
+                   pivot=2.5, boost=1.7)
+    got = [(r["doc_id"], r["score"])
+           for r in searcher.search(q, k=10).collect()]
+    want = oracle.top_k(q, k=10)
+    assert [(d, np.float32(s)) for d, s in got] == \
+        [(d, np.float32(s)) for d, s in want]
