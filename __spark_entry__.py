@@ -35,7 +35,7 @@ from lucene_spark.operators.stats import term_stats_from_tokens
 from lucene_spark.pipeline import dedup, multimodal, simsearch, textstats
 from lucene_spark.plans import query as Q
 
-_INDEX_VERSION = "v3"
+_INDEX_VERSION = "v4"   # bump on codec/format changes to drop cached builds
 _SEGMENTS = 8
 _BUILT: dict[str, str] = {}
 

@@ -10,11 +10,16 @@ that: ``delete_by_term`` writes a tombstone table + new snapshot, the
 Searcher masks tombstoned docs after scoring, stats remain stale until
 ``merge_segments`` compacts them away.
 
-Tombstones live in one parquet file ``(seg_id int, local_doc_id int)``
+Tombstones live in a parquet table ``(seg_id int, local_doc_id int)``
 per snapshot generation, referenced from ``Snapshot.extra["deletes"]``
-(relative path — index dirs stay relocatable). At 100 TB the tombstone
-table stays tiny relative to the corpus (deletes ≤ 33% triggers merges in
-the reference's TieredMergePolicy); it ships to executors with the query.
+(relative path — index dirs stay relocatable): a single driver-written
+file for the bounded ``delete_by_ids`` path, an executor-written parquet
+DIRECTORY for the unbounded ``delete_by_term`` path (decoded, deduped
+and written entirely on executors — the driver never materializes a
+tombstone row). At 100 TB the tombstone table stays tiny relative to the
+corpus (deletes ≤ 33% triggers merges in the reference's
+TieredMergePolicy); readers slice it per segment with parquet predicate
+pushdown.
 """
 
 from __future__ import annotations
@@ -29,13 +34,23 @@ from ..functions.codec import decode_postings
 from ..sources.catalog import SnapshotCatalog
 
 
-def load_deletes(catalog: SnapshotCatalog, snap) -> dict[int, np.ndarray]:
-    """{seg_id: sorted unique local_doc_ids} for a snapshot ({} if none)."""
+def load_deletes(catalog: SnapshotCatalog, snap,
+                 seg_ids=None) -> dict[int, np.ndarray]:
+    """{seg_id: sorted unique local_doc_ids} for a snapshot ({} if none).
+
+    The tombstone store is a parquet file (driver-written, delete_by_ids
+    path) or a parquet DIRECTORY (executor-written, delete_by_term path)
+    — pyarrow reads both. ``seg_ids`` restricts the read to those
+    segments via parquet predicate pushdown, so a caller that only needs
+    a few segments' tombstones (a merge) never materializes the full
+    table."""
     rel = (snap.extra or {}).get("deletes")
     if not rel:
         return {}
     path = rel if os.path.isabs(rel) else os.path.join(catalog.root, rel)
-    pdf = pd.read_parquet(path)
+    filters = ([("seg_id", "in", [int(s) for s in seg_ids])]
+               if seg_ids is not None else None)
+    pdf = pd.read_parquet(path, filters=filters)
     return {int(s): np.unique(g["local_doc_id"].to_numpy(np.int64))
             for s, g in pdf.groupby("seg_id")}
 
@@ -77,15 +92,43 @@ def _write_deletes(catalog: SnapshotCatalog, snap,
                           snap.term_stats_path, extra=extra)
 
 
+def write_tombstone_table(spark, catalog: SnapshotCatalog, gen: int,
+                          deletes_df) -> tuple[str, int]:
+    """Write a (seg_id, local_doc_id) DataFrame as the snapshot's
+    tombstone table — a parquet DIRECTORY written by executors (tasks
+    write their own files; the directory renames into place atomically),
+    so no tombstone row ever routes through the driver. Rows are
+    deduplicated (one shuffle on the tiny tombstone keys) and
+    range-clustered by segment so a reader's per-segment slice is a
+    contiguous row-group scan. Returns (relpath, row count)."""
+    from pyspark.sql import functions as F
+
+    del_dir = os.path.join(catalog.root, "deletes")
+    os.makedirs(del_dir, exist_ok=True)
+    tmp = os.path.join(del_dir, f"_tmp-{uuid.uuid4().hex}")
+    final = os.path.join(del_dir, f"gen-{gen}-{uuid.uuid4().hex[:8]}")
+    (deletes_df
+     .select(F.col("seg_id").cast("int"),
+             F.col("local_doc_id").cast("int"))
+     .dropDuplicates(["seg_id", "local_doc_id"])
+     .repartitionByRange(F.col("seg_id"), F.col("local_doc_id"))
+     .sortWithinPartitions("seg_id", "local_doc_id")
+     .write.mode("overwrite").parquet(tmp))
+    count = int(spark.read.parquet(tmp).count())
+    os.rename(tmp, final)
+    return os.path.relpath(final, catalog.root), count
+
+
 def delete_by_term(spark, index_dir: str, term: str):
     """Mark every document containing ``term`` as deleted; returns the new
-    Snapshot. The postings scan is filtered to the single term (predicate
-    pushdown — at most one row per segment) and DECODED ON EXECUTORS
-    (``mapInPandas``): only the (seg_id, local_doc_id) tombstone rows
-    come back, so a high-df term's delete never routes its full posting
-    payload through the driver. The tombstone set itself stays small
-    relative to the corpus (the reference merges at ≤33% deletes), so the
-    final collect is of ids only.
+    Snapshot. Fully distributed: the postings scan is filtered to the
+    single term (predicate pushdown — at most one row per segment),
+    DECODED ON EXECUTORS (``mapInPandas``), unioned with the previous
+    generation's tombstone table, deduplicated, and written back as the
+    next tombstone table by the same executors
+    (:func:`write_tombstone_table`) — the driver never materializes a
+    single (seg, doc) pair, so deleting by a common term over a
+    10^12-doc index stays a bounded-memory operation everywhere.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -105,19 +148,24 @@ def delete_by_term(spark, index_dir: str, term: str):
                                       dtype=np.int32),
                     "local_doc_id": dec["doc_ids"].astype(np.int32)})
 
-    hit = (spark.read.parquet(*paths)
-           .filter(F.col("term") == term)
-           .mapInPandas(decode_ids, "seg_id int, local_doc_id int")
-           .collect())
-    deletes = load_deletes(catalog, snap)
-    by_seg: dict[int, list[int]] = {}
-    for r in hit:
-        by_seg.setdefault(int(r["seg_id"]), []).append(int(r["local_doc_id"]))
-    for s, ids in by_seg.items():
-        prev = deletes.get(s, np.empty(0, np.int64))
-        deletes[s] = np.unique(
-            np.concatenate((prev, np.asarray(ids, np.int64))))
-    return _write_deletes(catalog, snap, deletes)
+    hits = (spark.read.parquet(*paths)
+            .filter(F.col("term") == term)
+            .mapInPandas(decode_ids, "seg_id int, local_doc_id int"))
+    rel_prev = (snap.extra or {}).get("deletes")
+    if rel_prev:
+        prev_path = rel_prev if os.path.isabs(rel_prev) \
+            else os.path.join(catalog.root, rel_prev)
+        hits = hits.unionByName(
+            spark.read.parquet(prev_path)
+            .select(F.col("seg_id").cast("int"),
+                    F.col("local_doc_id").cast("int")))
+    gen = snap.snapshot_id + 1
+    rel, count = write_tombstone_table(spark, catalog, gen, hits)
+    extra = dict(snap.extra or {})
+    extra["deletes"] = rel
+    extra["num_deleted"] = count
+    return catalog.commit(snap.segments, snap.field_stats,
+                          snap.term_stats_path, extra=extra)
 
 
 def delete_by_ids(spark, index_dir: str,

@@ -86,22 +86,28 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     store_positions = bool(snap.extra.get("store_positions", True))
 
     # live docs: merges physically purge tombstoned docs (SegmentMerger
-    # drops deletes; docIDs compact per segment before docBase concat)
+    # drops deletes; docIDs compact per segment before docBase concat).
+    # Only the MERGED segments' tombstones are read to the driver (pushed
+    # seg_id filter) — other segments' tombstones stay in the table.
     from .delete import load_deletes
-    all_deletes = load_deletes(catalog, snap)
-    seg_deletes = {s: all_deletes[s] for s in seg_ids
-                   if s in all_deletes and len(all_deletes[s])}
+    seg_deletes = {s: v
+                   for s, v in load_deletes(catalog, snap, seg_ids).items()
+                   if len(v)}
 
-    # docBase remap (DocIDMerger): concatenate in ascending seg_id order
-    norms_pdfs = [pd.read_parquet(os.path.join(catalog.segment_dir(s), "norms.parquet"))
-                  for s in seg_ids]
+    # docBase remap (DocIDMerger): concatenate in ascending seg_id order.
+    # Streamed: live counts come from segment stats + the tombstone
+    # slices, the merged arrays are PREALLOCATED once, and each segment's
+    # norms file is read, masked and copied into its slice one at a time
+    # — driver peak is the output (~9-17 B/doc, bounded by
+    # max_merged_docs) plus ONE segment, not 2x the concatenation.
+    stats_by_seg = {s["seg_id"]: s for s in snap.segments}
     doc_bases: dict[int, int] = {}
-    base = 0
-    norm_parts, gid_parts = [], []
     remaps: dict[int, np.ndarray] = {}   # old local id -> compacted (-1 = deleted)
+    lives: dict[int, np.ndarray] = {}
     n_deleted_merged = 0
-    for s, npdf in zip(seg_ids, norms_pdfs):
-        num = int(npdf.iloc[0]["num_docs"])
+    base = 0
+    for s in seg_ids:
+        num = int(stats_by_seg[s]["num_docs"])
         live = np.ones(num, dtype=bool)
         if s in seg_deletes:
             live[seg_deletes[s][seg_deletes[s] < num]] = False
@@ -110,15 +116,23 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
         remap = np.full(num, -1, dtype=np.int64)
         remap[np.nonzero(live)[0]] = np.arange(cnt, dtype=np.int64)
         remaps[s] = remap
+        lives[s] = live
         doc_bases[s] = base
         base += cnt
-        norm_parts.append(
-            np.frombuffer(npdf.iloc[0]["norm_bytes"], dtype=np.uint8)[live])
-        gid_parts.append(
-            np.frombuffer(npdf.iloc[0]["global_doc_ids"], dtype="<i8")[live])
-    merged_norms = np.concatenate(norm_parts) if norm_parts else np.empty(0, np.uint8)
-    merged_gids = np.concatenate(gid_parts) if gid_parts else np.empty(0, "<i8")
-    n_docs = len(merged_norms)
+    n_docs = base
+    merged_norms = np.empty(n_docs, dtype=np.uint8)
+    merged_gids = np.empty(n_docs, dtype="<i8")
+    for s in seg_ids:
+        npdf = pd.read_parquet(
+            os.path.join(catalog.segment_dir(s), "norms.parquet"))
+        live = lives[s]
+        lo = doc_bases[s]
+        hi = lo + int(live.sum())
+        merged_norms[lo:hi] = \
+            np.frombuffer(npdf.iloc[0]["norm_bytes"], dtype=np.uint8)[live]
+        merged_gids[lo:hi] = \
+            np.frombuffer(npdf.iloc[0]["global_doc_ids"], dtype="<i8")[live]
+        del npdf
 
     bc_norms = spark.sparkContext.broadcast(merged_norms.tobytes())
     bases = dict(doc_bases)
@@ -234,7 +248,12 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
                                 (base_map[F.col("seg_id")] + F.col("local_doc_id"))
                                 .cast("int"))
                     .withColumn("seg_id", F.lit(new_seg_id).cast("int")))
-    remapped.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "doc_meta.parquet"))
+    # range-clustered multi-file write: a 50M-doc merge's doc_meta no
+    # longer funnels through one task (the old coalesce(1)); readers
+    # treat the directory exactly like the single-file layout
+    (remapped.repartitionByRange(F.col("local_doc_id"))
+     .sortWithinPartitions("local_doc_id")
+     .write.mode("overwrite").parquet(os.path.join(tmp, "doc_meta.parquet")))
 
     norms_tbl = pa.table({
         "seg_id": pa.array([new_seg_id], pa.int32()),
@@ -296,15 +315,25 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
         field_stats["sum_total_term_freq"] = (
             int(field_stats["sum_total_term_freq"])
             - (old_sum_doc_len - new_sum_doc_len))
-    remaining = {s: v for s, v in all_deletes.items()
-                 if s not in set(seg_ids) and len(v)}
-    if all_deletes:
-        if remaining:
-            from .delete import write_tombstone_file
-            rel, count = write_tombstone_file(catalog, next_id, remaining)
+    # carry the surviving tombstones forward DISTRIBUTED: filter the
+    # previous tombstone table by segment on executors and write the next
+    # generation's table the same way — the driver never holds the full
+    # delete set (it only read the merged segments' slice above)
+    rel_prev = (snap.extra or {}).get("deletes")
+    if rel_prev:
+        from .delete import write_tombstone_table
+        prev_path = rel_prev if os.path.isabs(rel_prev) \
+            else os.path.join(catalog.root, rel_prev)
+        rem_df = (spark.read.parquet(prev_path)
+                  .filter(~F.col("seg_id")
+                          .isin([int(s) for s in seg_ids])))
+        rel, count = write_tombstone_table(spark, catalog, next_id, rem_df)
+        if count:
             extra["deletes"] = rel
             extra["num_deleted"] = count
         else:
+            shutil.rmtree(os.path.join(catalog.root, rel),
+                          ignore_errors=True)
             extra.pop("deletes", None)
             extra["num_deleted"] = 0
     return catalog.commit(new_segments, field_stats, ts_path, extra=extra)
