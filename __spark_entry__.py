@@ -1021,6 +1021,22 @@ def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("lang").agg(F.count("*").alias("cnt")))
 
 
+def _q_facet_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.facets import facet_path_counts
+    s = _searcher(spark, sf_dir)
+    dims = _docs(spark, sf_dir).select(
+        "doc_id", F.concat_ws("/", "source", "lang").alias("path"))
+    return facet_path_counts(s, Q.Term(T_COMMON), dims, "path")
+
+
+def _q_drill_down_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.facets import drill_down_path
+    s = _searcher(spark, sf_dir)
+    dims = _docs(spark, sf_dir).select(
+        "doc_id", F.concat_ws("/", "source", "lang").alias("path"))
+    return drill_down_path(s, Q.Term(T_COMMON), dims, "path", "src6")
+
+
 def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
@@ -1561,6 +1577,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_facet_counts": _q_range_facet,
         "drill_sideways": _q_drill_sideways,
         "grouped_topk": _q_grouped_topk,
+        "facet_path_counts": _q_facet_paths,
+        "drill_down_path": _q_drill_down_path,
         "sort_by_field": _q_sort_by_field,
         "query_join": _q_join,
         "block_join_topk": _q_block_join,
@@ -1644,7 +1662,8 @@ _PRIORITY = [
     # new in round 3 — never driver-checked yet
     "interval_ordered_top10", "interval_maxgaps_top10",
     "interval_unordered_top10", "interval_containing_top10",
-    "interval_or_ordered_top10",
+    "interval_or_ordered_top10", "facet_path_counts",
+    "drill_down_path",
 ]
 
 
@@ -1748,6 +1767,33 @@ WHERE EXISTS (SELECT 1 FROM (
         FROM documents) t
       WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}')
 GROUP BY 1""",
+        "facet_path_counts": """
+SELECT p AS path, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT array_to_string(
+           list_slice(string_split(d.source || '/' || d.lang, '/'), 1, x.dd),
+           '/') AS p
+  FROM documents d,
+       unnest(range(1, len(string_split(d.source || '/' || d.lang, '/')) + 1))
+         AS x(dd)
+  WHERE EXISTS (SELECT 1 FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents) t
+        WHERE t.doc_id = d.doc_id AND t.term = '{T_COMMON}'))
+GROUP BY 1""".replace("{T_COMMON}", T_COMMON),
+        "drill_down_path": """
+SELECT string_split(d.source || '/' || d.lang, '/')[2] AS child,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM documents d
+WHERE array_to_string(
+        list_slice(string_split(d.source || '/' || d.lang, '/'), 1, 1),
+        '/') = 'src6'
+  AND len(string_split(d.source || '/' || d.lang, '/')) > 1
+  AND EXISTS (SELECT 1 FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) t
+      WHERE t.doc_id = d.doc_id AND t.term = '{T_COMMON}')
+GROUP BY 1""".replace("{T_COMMON}", T_COMMON),
         "grouped_topk": _PRELUDE + ", " + _tscore_cte("ts", T_COMMON) + """
 SELECT lang, doc_id, CAST(rnk AS INT) AS rank,
        CAST(floor(CAST(s AS DOUBLE) * 10000) AS BIGINT) AS score_q4

@@ -67,6 +67,51 @@ def drill_sideways(searcher, base_query, drill_query, dims_df: DataFrame,
                     F.coalesce("drill_cnt", F.lit(0)).alias("drill_cnt")))
 
 
+def facet_path_counts(searcher, query, dims_df: DataFrame, path_col: str,
+                      doc_id_col: str = "doc_id",
+                      sep: str = "/") -> DataFrame:
+    """Hierarchical taxonomy facet counts (reference ``facet/taxonomy/
+    TaxonomyReader.java:59`` + ``FastTaxonomyFacetCounts``): ``path_col``
+    holds ``a/b/c`` dimension paths; every PREFIX level gets a doc count
+    (the taxonomy's rollup — counting a doc at ``a/b/c`` increments
+    ``a``, ``a/b`` and ``a/b/c``), computed over the query's match set.
+
+    Spark shape: one semi-join for the match set, one prefix explode
+    (``depth`` rows per doc — taxonomy depths are small constants), one
+    map-side-combined groupBy. No taxonomy sidecar index is needed: the
+    prefix explode IS the ordinal hierarchy, and Catalyst folds it into
+    the scan projection."""
+    matched = searcher.matching_docs(query)
+    joined = matched.join(dims_df.select(doc_id_col, path_col), doc_id_col)
+    parts = F.split(F.col(path_col), sep)
+    prefixes = (joined
+                .select(F.explode(F.sequence(F.lit(1), F.size(parts)))
+                        .alias("d"), F.col(path_col))
+                .select(F.array_join(
+                    F.slice(F.split(F.col(path_col), sep), 1, F.col("d")),
+                    sep).alias("path")))
+    return prefixes.groupBy("path").agg(F.count("*").alias("cnt"))
+
+
+def drill_down_path(searcher, query, dims_df: DataFrame, path_col: str,
+                    prefix: str, doc_id_col: str = "doc_id",
+                    sep: str = "/") -> DataFrame:
+    """FacetsConfig-style drill-down: restrict the match set to docs
+    whose dimension path is under ``prefix`` and count the CHILD labels
+    one level below it (DrillDownQuery + taxonomy child traversal).
+    Output: (child string, cnt)."""
+    depth = len(prefix.split(sep))
+    matched = searcher.matching_docs(query)
+    joined = matched.join(dims_df.select(doc_id_col, path_col), doc_id_col)
+    parts = F.split(F.col(path_col), sep)
+    under = joined.where(
+        F.array_join(F.slice(parts, 1, depth), sep) == prefix)
+    return (under.where(F.size(parts) > depth)
+            .select(F.split(F.col(path_col), sep)
+                    .getItem(depth).alias("child"))
+            .groupBy("child").agg(F.count("*").alias("cnt")))
+
+
 def grouped_top_k(searcher, query, dims_df: DataFrame, group_col: str,
                   k_per_group: int = 2,
                   doc_id_col: str = "doc_id") -> DataFrame:

@@ -179,3 +179,34 @@ def test_block_join_small_arrow_batches(spark, searcher, corpus):
         else:
             spark.conf.set(key, old)
     assert len(want) > 1
+
+
+def test_facet_path_counts_and_drill_down(spark, searcher, corpus, oracle):
+    """Hierarchical taxonomy facets: prefix rollup counts + child-level
+    drill-down equal a per-doc python recount over the oracle match set."""
+    from pyspark.sql import functions as F
+
+    dims = spark.createDataFrame(corpus[["doc_id", "repo", "lang"]]) \
+        .select("doc_id", F.concat_ws("/", "repo", "lang").alias("path"))
+    matched = set(oracle.score(Q.Term("parse")))
+    paths = {int(d): f"{r}/{l}" for d, r, l in
+             zip(corpus.doc_id, corpus.repo, corpus.lang)}
+    want: dict[str, int] = {}
+    for d in matched:
+        segs = paths[d].split("/")
+        for i in range(1, len(segs) + 1):
+            pre = "/".join(segs[:i])
+            want[pre] = want.get(pre, 0) + 1
+    got = {r["path"]: r["cnt"] for r in facets.facet_path_counts(
+        searcher, Q.Term("parse"), dims, "path").collect()}
+    assert got == want
+    # drill-down under the most common top level
+    top = max((p for p in want if "/" not in p), key=lambda p: want[p])
+    want_children: dict[str, int] = {}
+    for d in matched:
+        segs = paths[d].split("/")
+        if segs[0] == top and len(segs) > 1:
+            want_children[segs[1]] = want_children.get(segs[1], 0) + 1
+    got_children = {r["child"]: r["cnt"] for r in facets.drill_down_path(
+        searcher, Q.Term("parse"), dims, "path", top).collect()}
+    assert got_children == want_children
