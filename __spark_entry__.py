@@ -1528,6 +1528,41 @@ ifreq AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
             + _interval_score_sql("ifreq", k=k))
 
 
+
+def _common_terms_sql(terms: tuple[str, ...], max_tf: float,
+                      k: int = 10) -> str:
+    """CommonTermsQuery oracle: df split computed IN SQL against the same
+    corpus stats (high iff df > ceil(max_tf * docCount)); low group =
+    required SHOULD sum, high group = optional SHOULD sum added on
+    co-matching docs (ReqOptSumScorer float32 boundaries). Assumes both
+    groups are non-empty for the chosen terms (true for the entry's
+    corpus; the engine handles all three shapes)."""
+    ctes = ", ".join(_tscore_cte(f"cts{j}", t) for j, t in enumerate(terms))
+    inl = ", ".join(f"'{t}'" for t in terms)
+    union = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, doc_id, s FROM cts{j}"
+        for j, t in enumerate(terms))
+    return (_PRELUDE + ", " + ctes + f""",
+ctcls AS (SELECT d.term,
+                 CASE WHEN CAST(d.df AS BIGINT)
+                        > CAST(ceil(CAST({max_tf} AS DOUBLE) * a.dc)
+                               AS BIGINT)
+                      THEN 1 ELSE 0 END AS hi
+          FROM dfs d, avgs a WHERE d.term IN ({inl})),
+ctall AS ({union}),
+ctlow AS (SELECT t.doc_id, CAST(sum(CAST(t.s AS DOUBLE)) AS FLOAT) AS s
+          FROM ctall t JOIN ctcls c ON c.term = t.term AND c.hi = 0
+          GROUP BY 1),
+cthigh AS (SELECT t.doc_id, CAST(sum(CAST(t.s AS DOUBLE)) AS FLOAT) AS s
+           FROM ctall t JOIN ctcls c ON c.term = t.term AND c.hi = 1
+           GROUP BY 1),
+ctsc AS (SELECT l.doc_id,
+                CAST(CAST(l.s AS DOUBLE)
+                     + COALESCE(CAST(h.s AS DOUBLE), 0) AS FLOAT) AS s
+         FROM ctlow l LEFT JOIN cthigh h ON h.doc_id = l.doc_id)"""
+            + _topk_sql("ctsc", k))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 conjunction top-10 on sf0.001 (build + search)."""
     return _search(Q.And((Q.Term(T_COMMON), Q.Term(T_COMMON2))))(
@@ -1612,6 +1647,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("containing", ("unordered", (("term", T_COMMON),
                                           ("term", T_COMMON2))),
              ("term", T_THIRD)))),
+        "common_terms_top10": _search(Q.CommonTerms(
+            (T_COMMON, T_COMMON2, T_RARE), 0.5)),
         "interval_or_ordered_top10": _search(Q.Interval(
             ("ordered", (("orterms", (T_A, T_B)), ("term", T_COMMON))))),
         "bm25_after_merge_top10": _q_merged_search,
@@ -1662,7 +1699,8 @@ _PRIORITY = [
     # new in round 3 — never driver-checked yet
     "interval_ordered_top10", "interval_maxgaps_top10",
     "interval_unordered_top10", "interval_containing_top10",
-    "interval_or_ordered_top10", "facet_path_counts",
+    "interval_or_ordered_top10", "common_terms_top10",
+    "facet_path_counts",
     "drill_down_path",
 ]
 
@@ -1700,6 +1738,8 @@ def oracle_sql() -> dict[str, str]:
         "span_within_top10": _span_within_sql(
             T_THIRD, (T_COMMON, T_COMMON2), 4),
         "highlight_top5": _highlight_sql(T_COMMON, T_COMMON2, k=5, window=6),
+        "common_terms_top10": _common_terms_sql(
+            (T_COMMON, T_COMMON2, T_RARE), 0.5),
         "interval_ordered_top10": _interval_ordered_sql(
             (T_COMMON, T_COMMON2, T_THIRD)),
         "interval_maxgaps_top10": _interval_ordered_sql(

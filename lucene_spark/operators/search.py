@@ -86,6 +86,16 @@ class CSpanTree:
 
 
 @dataclass(frozen=True)
+class CReqOpt:
+    """ReqOptSumScorer (reference ``search/ReqOptSumScorer.java``): the
+    match set is the REQUIRED child's; the optional child's score is
+    added on docs where both match. The CommonTermsQuery rewrite
+    compiles onto this node."""
+    required: "object"
+    optional: "object"
+
+
+@dataclass(frozen=True)
 class CInterval:
     """Compiled IntervalQuery (reference ``queries/intervals/
     IntervalQuery.java:59``): ``tree`` is the nested-tuple grammar of
@@ -241,6 +251,23 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                 return None
             return CInterval(node.tree, min_extent(node.tree),
                              node.pivot, node.boost)
+        if isinstance(node, Q.CommonTerms):
+            import math
+            mtf = node.max_term_frequency
+            thr = (int(math.ceil(mtf * doc_count)) if mtf < 1.0
+                   else int(mtf))
+            low = [t for t in node.terms if df_of(t) <= thr]
+            high = [t for t in node.terms if df_of(t) > thr]
+            if not low:
+                return go(Q.And(tuple(Q.Term(t) for t in high)))
+            if not high:
+                return go(Q.Or(tuple(Q.Term(t) for t in low),
+                               node.low_msm))
+            req = go(Q.Or(tuple(Q.Term(t) for t in low), node.low_msm))
+            opt = go(Q.Or(tuple(Q.Term(t) for t in high), node.high_msm))
+            if req is None:
+                return None
+            return req if opt is None else CReqOpt(req, opt)
         if isinstance(node, _BlendedTerms):
             pairs = [(t, b) for t, b in zip(node.terms, node.boosts)
                      if df_of(t) > 0]
@@ -342,6 +369,8 @@ def _compiled_terms(c) -> list[str]:
         return out
     if isinstance(c, CNot):
         return _compiled_terms(c.positive) + _compiled_terms(c.negative)
+    if isinstance(c, CReqOpt):
+        return _compiled_terms(c.required) + _compiled_terms(c.optional)
     raise TypeError(type(c))
 
 
@@ -643,6 +672,12 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
         mask &= ~m_neg
         scores[~mask] = 0.0
         return mask, scores
+    if isinstance(node, CReqOpt):
+        mask, scores = _eval_range(node.required, ctx, lo, hi)
+        m_opt, s_opt = _eval_range(node.optional, ctx, lo, hi)
+        both = mask & m_opt
+        scores[both] += s_opt[both]
+        return mask, _f32_boundary(scores, mask)
     raise TypeError(type(node))
 
 

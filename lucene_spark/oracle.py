@@ -21,8 +21,8 @@ from .functions.bm25 import (
     K1_DEFAULT, B_DEFAULT, avg_field_length, idf, idf_sum, norm_inverse_cache,
 )
 from .functions.smallfloat import int_to_byte4
-from .plans.query import (And, DisMax, Interval, MultiTerm, Not, Or, Phrase,
-                          Query, SpanContaining, SpanFirst,
+from .plans.query import (And, CommonTerms, DisMax, Interval, MultiTerm,
+                          Not, Or, Phrase, Query, SpanContaining, SpanFirst,
                           SpanMultiTermWrapper, SpanNear, SpanNot, SpanOr,
                           SpanWithin, Synonym, Term)
 
@@ -327,6 +327,26 @@ class OracleIndex:
             return self._span_tree_scores(query, k1, b)
         if isinstance(query, Interval):
             return self._interval_scores(query)
+        if isinstance(query, CommonTerms):
+            import math
+            mtf = query.max_term_frequency
+            thr = (int(math.ceil(mtf * self.doc_count)) if mtf < 1.0
+                   else int(mtf))
+            low = [t for t in query.terms if self.df(t) <= thr]
+            high = [t for t in query.terms if self.df(t) > thr]
+            if not low:
+                return self.score(And(tuple(Term(t) for t in high)),
+                                  k1, b, sim)
+            if not high:
+                return self.score(Or(tuple(Term(t) for t in low),
+                                     query.low_msm), k1, b, sim)
+            req = self.score(Or(tuple(Term(t) for t in low),
+                                query.low_msm), k1, b, sim)
+            opt = self.score(Or(tuple(Term(t) for t in high),
+                                query.high_msm), k1, b, sim)
+            # ReqOptSumScorer: required match set, optional score added
+            return {d: np.float32(float(s) + float(opt.get(d, 0.0)))
+                    for d, s in req.items()}
         if isinstance(query, MultiTerm):
             import fnmatch
             terms = sorted(self.postings)

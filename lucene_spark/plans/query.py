@@ -305,6 +305,29 @@ class Not(Query):
 
 
 @dataclass(frozen=True)
+class CommonTerms(Query):
+    """CommonTermsQuery (reference ``queries/CommonTermsQuery.java:54``,
+    SHOULD/SHOULD occurs — the classic stopword-free ranking shape):
+    terms split by document frequency at ``max_term_frequency`` (a
+    fraction of docCount when < 1, absolute df otherwise; absent terms
+    are low, matching the null-TermStates branch of buildQuery). Low-df
+    terms form the REQUIRED group, high-df terms the OPTIONAL group —
+    combined with ReqOptSumScorer semantics (required match set,
+    optional scores added where they co-match). An empty low group
+    rewrites the high group to a conjunction, like the reference's
+    slow-query guard."""
+    terms: tuple[str, ...]
+    max_term_frequency: float = 0.01
+    low_msm: int = 0
+    high_msm: int = 0
+
+    def scoring_terms(self):
+        return list(dict.fromkeys(self.terms))
+
+    all_terms = scoring_terms
+
+
+@dataclass(frozen=True)
 class Interval(Query):
     """IntervalQuery (reference ``queries/intervals/IntervalQuery.java:59``
     + the ``Intervals`` factory): matches docs where ``tree`` produces at

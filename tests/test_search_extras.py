@@ -283,3 +283,19 @@ def test_fuzzy_blended_scored_parity(searcher, oracle):
                             k=10).collect()
     assert len({r["score"] for r in const}) == 1     # constant-score
     assert len({g[1] for g in got}) > 1              # blended: real scores
+
+
+def test_common_terms_query_all_shapes(searcher, oracle):
+    """CommonTermsQuery: both-group (ReqOptSum), low-only and high-only
+    (conjunction guard) rewrites all match the oracle exactly."""
+    cases = [
+        Q.CommonTerms(("parse", "emit", "zzz_absent"), 0.5),  # mixed-ish
+        Q.CommonTerms(("parse", "emit"), 0.05),   # likely both high
+        Q.CommonTerms(("parse", "emit"), 1000),   # absolute thr: all low
+        Q.CommonTerms(("parse", "token", "flush"), 0.2),
+    ]
+    for q in cases:
+        got = [(r["doc_id"], np.float32(r["score"]))
+               for r in searcher.search(q, k=10).collect()]
+        want = [(d, np.float32(s)) for d, s in oracle.top_k(q, k=10)]
+        assert got == want, q
