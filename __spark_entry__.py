@@ -66,6 +66,30 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, _BUILT[key])
 
 
+def _searcher_syn(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with an index-time SynonymGraphFilter map
+    (T_THIRD → T_COMMON, keepOrig, posInc=0 overlaps): tf/df/ttf and
+    avgdl include the overlap tokens; norms discount them
+    (BM25Similarity discountOverlaps default)."""
+    key = "syn:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    synonyms={T_THIRD: (T_COMMON,)})
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_synonym_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fmt_topk(_searcher_syn(spark, sf_dir).search(
+        Q.Term(T_COMMON), k=10))
+
+
 def _q4(col, scale: int = 10000):
     """floor(x·scale) as long — engine-independent fixed-point projection
     of a double. (Spark's round() rounds the shortest-decimal repr via
@@ -1529,6 +1553,44 @@ ifreq AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
 
 
 
+
+def _synonym_indexed_sql(src_t: str, dst_t: str, qterm: str,
+                         k: int = 10) -> str:
+    """Oracle for the synonym-indexed build: the expanded token stream
+    tok2 = tok + a copy of every ``src_t`` token as ``dst_t`` at the same
+    position drives tf/df/sumTotalTermFreq (so avgdl), while norms keep
+    the ORIGINAL per-doc token count (discountOverlaps)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tok2 AS (SELECT * FROM tok
+         UNION ALL
+         SELECT doc_id, '{dst_t}' AS term, pos FROM tok
+         WHERE term = '{src_t}'),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM doclen) AS dc,
+                 (SELECT count(*) FROM tok2) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+, """ + _tscore_cte("ts", qterm) + _topk_sql("ts", k)
+
+
 def _common_terms_sql(terms: tuple[str, ...], max_tf: float,
                       k: int = 10) -> str:
     """CommonTermsQuery oracle: df split computed IN SQL against the same
@@ -1647,6 +1709,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("containing", ("unordered", (("term", T_COMMON),
                                           ("term", T_COMMON2))),
              ("term", T_THIRD)))),
+        "bm25_synonym_indexed_top10": _q_synonym_indexed,
         "common_terms_top10": _search(Q.CommonTerms(
             (T_COMMON, T_COMMON2, T_RARE), 0.5)),
         "interval_or_ordered_top10": _search(Q.Interval(
@@ -1700,6 +1763,7 @@ _PRIORITY = [
     "interval_ordered_top10", "interval_maxgaps_top10",
     "interval_unordered_top10", "interval_containing_top10",
     "interval_or_ordered_top10", "common_terms_top10",
+    "bm25_synonym_indexed_top10",
     "facet_path_counts",
     "drill_down_path",
 ]
@@ -1738,6 +1802,8 @@ def oracle_sql() -> dict[str, str]:
         "span_within_top10": _span_within_sql(
             T_THIRD, (T_COMMON, T_COMMON2), 4),
         "highlight_top5": _highlight_sql(T_COMMON, T_COMMON2, k=5, window=6),
+        "bm25_synonym_indexed_top10": _synonym_indexed_sql(
+            T_THIRD, T_COMMON, T_COMMON),
         "common_terms_top10": _common_terms_sql(
             (T_COMMON, T_COMMON2, T_RARE), 0.5),
         "interval_ordered_top10": _interval_ordered_sql(

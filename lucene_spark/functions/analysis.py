@@ -184,3 +184,54 @@ def analyze_batch(texts: pd.Series,
     positions_k = positions[keep]
     lengths = np.bincount(doc_idx_k, minlength=n_docs).astype(np.int64)
     return doc_idx_k, terms, positions_k, lengths
+
+
+def expand_synonyms_text(terms, positions, synonyms):
+    """SynonymGraphFilter at index time (reference ``analysis/common/.../
+    synonym/SynonymGraphFilter.java:78``), single-token → single-token
+    map with keepOrig: every synonym token is emitted AT THE SAME
+    position as its source (posIncrement = 0 — an overlap token).
+    Returns (terms, positions, n_overlap); FieldInvertState semantics:
+    ``length`` counts every emitted token, ``numOverlap`` counts the
+    posInc=0 ones (``index/FieldInvertState.java``), and BM25's
+    discountOverlaps (default true, ``search/similarities/
+    BM25Similarity.java:142-143``) subtracts them from the norm length.
+    """
+    out_t, out_p = list(terms), list(positions)
+    n_overlap = 0
+    for t, p in zip(terms, positions):
+        for s in synonyms.get(t, ()):
+            out_t.append(s)
+            out_p.append(p)
+            n_overlap += 1
+    return out_t, out_p, n_overlap
+
+
+def expand_synonyms_batch(doc_idx, terms, positions, n_docs, synonyms):
+    """Columnar :func:`expand_synonyms_text` over a token batch. Returns
+    (doc_idx, terms, positions, overlaps_per_doc) — appended synonym
+    tokens carry their source position; downstream inversion lexsorts, so
+    order is irrelevant."""
+    overlaps = np.zeros(n_docs, dtype=np.int64)
+    if len(terms) == 0 or not synonyms:
+        return doc_idx, terms, positions, overlaps
+    codes, uniq = pd.factorize(terms)
+    extra_t, extra_d, extra_p = [], [], []
+    for j, u in enumerate(uniq):
+        reps = synonyms.get(u)
+        if not reps:
+            continue
+        sel = codes == j
+        d_sel, p_sel = doc_idx[sel], positions[sel]
+        for s in reps:
+            extra_t.append(np.full(len(d_sel), s, dtype=object))
+            extra_d.append(d_sel)
+            extra_p.append(p_sel)
+    if not extra_t:
+        return doc_idx, terms, positions, overlaps
+    add_d = np.concatenate(extra_d)
+    overlaps = np.bincount(add_d, minlength=n_docs).astype(np.int64)
+    return (np.concatenate([doc_idx, add_d]),
+            np.concatenate([terms, np.concatenate(extra_t)]),
+            np.concatenate([positions, np.concatenate(extra_p)]),
+            overlaps)

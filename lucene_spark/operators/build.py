@@ -43,7 +43,8 @@ SEG_COL = "__seg__"
 SHA_COL = "sha256"
 
 STATS_SCHEMA = ("seg_id int, num_docs long, num_terms long, num_postings long, "
-                "sum_doc_len long, bytes_compressed long, build_partition int, "
+                "sum_doc_len long, sum_token_len long, "
+                "bytes_compressed long, build_partition int, "
                 "status string")
 
 POSTINGS_COLUMNS = ["term", "seg_id", "df", "ttf", "doc_bytes", "tf_bytes",
@@ -53,20 +54,41 @@ POSTINGS_COLUMNS = ["term", "seg_id", "df", "ttf", "doc_bytes", "tf_bytes",
 def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    doc_id_col: str, stopwords: frozenset,
                    store_positions: bool,
-                   stemmer: str | None = None) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
-    """Pure kernel: docs of one segment → (postings, doc_meta, norms_payload).
+                   stemmer: str | None = None,
+                   synonyms: dict | None = None,
+                   discount_overlaps: bool = True
+                   ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
+    """Pure kernel: docs of one segment →
+    (postings, doc_meta, norms_payload, sum_token_len).
 
     Local docIDs are assigned by ascending ``doc_id`` within the segment
     (deterministic stand-in for the reference's arrival order,
     ``index/IndexingChain.java:577``).
+
+    ``synonyms`` enables index-time SynonymGraphFilter expansion
+    (keepOrig single-token map, posIncrement=0 overlap tokens);
+    ``discount_overlaps`` is BM25Similarity's default-true norm rule —
+    overlap tokens are indexed (tf/df/ttf/positions) but subtracted from
+    the norm length (``BM25Similarity.java:142-143``). sum_token_len
+    counts EVERY indexed token (the sumTotalTermFreq basis), diverging
+    from sum_doc_len exactly when overlaps are discounted.
     """
     pdf = pdf.sort_values(doc_id_col, kind="mergesort").reset_index(drop=True)
     texts = pdf[content_col].astype("string").fillna("")
+    n_docs = len(pdf)
     doc_idx, terms, positions, lengths = analyze_batch(pd.Series(texts.to_numpy(dtype=object)),
                                                        stopwords=stopwords,
                                                        stemmer=stemmer)
-    norm_bytes = int_to_byte4(lengths)
-    n_docs = len(pdf)
+    if synonyms:
+        from ..functions.analysis import expand_synonyms_batch
+        doc_idx, terms, positions, overlaps = expand_synonyms_batch(
+            doc_idx, terms, positions, n_docs, synonyms)
+    else:
+        overlaps = np.zeros(n_docs, dtype=np.int64)
+    total_lengths = lengths + overlaps
+    norm_lengths = lengths if discount_overlaps else total_lengths
+    sum_token_len = int(total_lengths.sum())
+    norm_bytes = int_to_byte4(norm_lengths)
 
     if len(terms):
         # term order = sorted unicode order (FreqProxTermsWriter.flush sorts
@@ -109,7 +131,7 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
     doc_meta = pdf.drop(columns=[content_col, SEG_COL], errors="ignore").copy()
     doc_meta.insert(0, "seg_id", np.int32(seg_id))
     doc_meta.insert(1, "local_doc_id", np.arange(n_docs, dtype=np.int32))
-    doc_meta["doc_len"] = lengths
+    doc_meta["doc_len"] = norm_lengths
     doc_meta["norm_byte"] = norm_bytes.astype(np.int32)
 
     norms_payload = {
@@ -118,12 +140,13 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         "norm_bytes": norm_bytes.tobytes(),
         "global_doc_ids": pdf[doc_id_col].to_numpy(dtype="<i8").tobytes(),
     }
-    return postings, doc_meta, norms_payload
+    return postings, doc_meta, norms_payload, sum_token_len
 
 
 def _write_segment(catalog_root: str, seg_id: int, postings: pd.DataFrame,
                    doc_meta: pd.DataFrame, norms_payload: dict,
-                   build_partition: int, origin: str = "build") -> dict:
+                   build_partition: int, origin: str = "build",
+                   sum_token_len: int | None = None) -> dict:
     """Flush one immutable segment dir atomically (tmp + rename)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -167,6 +190,8 @@ def _write_segment(catalog_root: str, seg_id: int, postings: pd.DataFrame,
         "num_terms": int(len(postings)),
         "num_postings": int(postings["df"].sum()) if len(postings) else 0,
         "sum_doc_len": int(doc_meta["doc_len"].sum()) if len(doc_meta) else 0,
+        "sum_token_len": int(sum_token_len) if sum_token_len is not None
+        else (int(doc_meta["doc_len"].sum()) if len(doc_meta) else 0),
         "bytes_compressed": bytes_compressed,
         "build_partition": int(build_partition),
         "origin": origin,
@@ -187,21 +212,26 @@ def _write_segment(catalog_root: str, seg_id: int, postings: pd.DataFrame,
 
 def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   stopwords: frozenset, store_positions: bool,
-                  stemmer: str | None = None):
+                  stemmer: str | None = None,
+                  synonyms: dict | None = None,
+                  discount_overlaps: bool = True):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
         tc = TaskContext.get()
         part = tc.partitionId() if tc else -1
-        postings, doc_meta, norms_payload = invert_segment(
+        postings, doc_meta, norms_payload, sum_token_len = invert_segment(
             pdf, seg_id, content_col, doc_id_col, stopwords, store_positions,
-            stemmer)
+            stemmer, synonyms, discount_overlaps)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
-                               norms_payload, part)
+                               norms_payload, part,
+                               sum_token_len=sum_token_len)
         return pd.DataFrame([{
             "seg_id": stats["seg_id"], "num_docs": stats["num_docs"],
             "num_terms": stats["num_terms"], "num_postings": stats["num_postings"],
             "sum_doc_len": stats["sum_doc_len"],
+            "sum_token_len": stats.get("sum_token_len",
+                                       stats["sum_doc_len"]),
             "bytes_compressed": stats["bytes_compressed"],
             "build_partition": stats["build_partition"], "status": stats["status"],
         }])
@@ -248,7 +278,9 @@ def build_index(spark, df, index_dir: str, *,
                 store_positions: bool = True,
                 resume: bool = True,
                 compute_stats: bool = True,
-                seg_id_offset: int = 0):
+                seg_id_offset: int = 0,
+                synonyms: dict | None = None,
+                discount_overlaps: bool = True):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -271,7 +303,8 @@ def build_index(spark, df, index_dir: str, *,
         work = work.filter(~F.col(SEG_COL).isin(list(durable.keys())))
 
     builder = _make_builder(index_dir, content_col, doc_id_col,
-                            frozenset(stopwords), store_positions, stemmer)
+                            frozenset(stopwords), store_positions, stemmer,
+                            synonyms, discount_overlaps)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
@@ -284,7 +317,8 @@ def build_index(spark, df, index_dir: str, *,
 
     field_stats = {
         "doc_count": int(sum(s["num_docs"] for s in segments)),
-        "sum_total_term_freq": int(sum(s["sum_doc_len"] for s in segments)),
+        "sum_total_term_freq": int(sum(
+            s.get("sum_token_len", s["sum_doc_len"]) for s in segments)),
     }
     latest = catalog.load()
     next_id = (latest.snapshot_id + 1) if latest else 1

@@ -110,7 +110,7 @@ def check_index(index_dir: str, snapshot_id: int | None = None,
         raise CheckIndexError(f"no snapshot in {index_dir}")
     store_positions = bool(snap.extra.get("store_positions", True))
     totals = {"segments": 0, "num_docs": 0, "num_terms": 0,
-              "num_postings": 0, "sum_doc_len": 0}
+              "num_postings": 0, "sum_doc_len": 0, "sum_ttf": 0}
     lineage = {s["seg_id"]: s for s in snap.segments}
 
     if spark is not None and snap.seg_ids:
@@ -149,7 +149,12 @@ def check_index(index_dir: str, snapshot_id: int | None = None,
                    "lineage num_docs mismatch")
             _check(results["sum_doc_len"] == lineage[s]["sum_doc_len"], s,
                    "lineage sum_doc_len mismatch")
+            _check(int(r["sum_ttf"])
+                   == lineage[s].get("sum_token_len",
+                                     lineage[s]["sum_doc_len"]), s,
+                   "lineage sum_token_len != postings token count")
             totals["segments"] += 1
+            totals["sum_ttf"] += int(r["sum_ttf"])
             for k in ("num_docs", "num_terms", "num_postings",
                       "sum_doc_len"):
                 totals[k] += results[k]
@@ -160,15 +165,20 @@ def check_index(index_dir: str, snapshot_id: int | None = None,
                    "lineage num_docs mismatch")
             _check(res["sum_doc_len"] == lineage[s]["sum_doc_len"], s,
                    "lineage sum_doc_len mismatch")
+            _check(res["sum_ttf"]
+                   == lineage[s].get("sum_token_len",
+                                     lineage[s]["sum_doc_len"]), s,
+                   "lineage sum_token_len != postings token count")
             totals["segments"] += 1
+            totals["sum_ttf"] += res["sum_ttf"]
             for k in ("num_docs", "num_terms", "num_postings",
                       "sum_doc_len"):
                 totals[k] += res[k]
     _check(totals["num_docs"] == int(snap.field_stats["doc_count"]), -1,
            "field_stats doc_count != sum of segments")
-    _check(totals["sum_doc_len"]
+    _check(totals["sum_ttf"]
            == int(snap.field_stats["sum_total_term_freq"]), -1,
-           "field_stats sum_total_term_freq != sum of doc lens")
+           "field_stats sum_total_term_freq != total indexed tokens")
     deletes = load_deletes(catalog, snap)
     for s, ids in deletes.items():
         _check(s in lineage, s, "tombstones for unknown segment")

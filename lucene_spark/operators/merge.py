@@ -265,6 +265,7 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
 
     stats_pdf = spark.read.parquet(os.path.join(tmp, "postings.parquet")) \
         .agg(F.count("*").alias("num_terms"), F.sum("df").alias("num_postings"),
+             F.sum("ttf").alias("sum_ttf"),
              F.sum(F.octet_length("doc_bytes") + F.octet_length("tf_bytes")
                    + F.octet_length("pos_bytes") + F.octet_length("block_last")
                    + F.octet_length("impact_bytes")).alias("bytes")).collect()[0]
@@ -283,6 +284,10 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
         "num_terms": int(stats_pdf["num_terms"] or 0),
         "num_postings": int(stats_pdf["num_postings"] or 0),
         "sum_doc_len": new_sum_doc_len,
+        # exact token count of the merged postings (Σ ttf) — the
+        # sumTotalTermFreq basis; equals sum_doc_len unless index-time
+        # synonym overlaps were discounted from norms
+        "sum_token_len": int(stats_pdf["sum_ttf"] or 0),
         "bytes_compressed": int(stats_pdf["bytes"] or 0),
         "build_partition": -1,
         "origin": "merge",
@@ -306,15 +311,16 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
         spark, catalog, [s["seg_id"] for s in new_segments],
         os.path.join(index_dir, "term_stats", f"gen-{next_id}"))
     # purged deletes leave the tombstone set and the collection stats
-    # (Lucene recomputes docCount/sumTotalTermFreq once merges drop docs)
+    # recompute EXACTLY from the surviving segments' lineage (Lucene
+    # rebuilds docCount/sumTotalTermFreq from segment metadata once
+    # merges drop docs) — the merged segment's token count comes from
+    # its own postings (Σ ttf), so synonym-overlap indexes stay exact
     field_stats = dict(snap.field_stats)
     extra = dict(snap.extra or {})
-    if has_deletes:
-        field_stats["doc_count"] = \
-            int(field_stats["doc_count"]) - n_deleted_merged
-        field_stats["sum_total_term_freq"] = (
-            int(field_stats["sum_total_term_freq"])
-            - (old_sum_doc_len - new_sum_doc_len))
+    field_stats["doc_count"] = int(sum(s2["num_docs"]
+                                       for s2 in new_segments))
+    field_stats["sum_total_term_freq"] = int(sum(
+        s2.get("sum_token_len", s2["sum_doc_len"]) for s2 in new_segments))
     # carry the surviving tombstones forward DISTRIBUTED: filter the
     # previous tombstone table by segment on executors and write the next
     # generation's table the same way — the driver never holds the full

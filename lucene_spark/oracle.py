@@ -52,20 +52,34 @@ class OracleIndex:
     @classmethod
     def build(cls, docs: list[tuple[int, str]],
               stopwords: frozenset[str] = frozenset(),
-              stemmer: str | None = None) -> "OracleIndex":
-        """docs: list of (doc_id, content) — doc_id is the global tie-break id."""
+              stemmer: str | None = None,
+              synonyms: dict | None = None,
+              discount_overlaps: bool = True) -> "OracleIndex":
+        """docs: list of (doc_id, content) — doc_id is the global tie-break
+        id. ``synonyms``/``discount_overlaps`` mirror the engine's
+        index-time SynonymGraphFilter: overlap tokens count in
+        tf/df/sumTotalTermFreq but are discounted from the norm length by
+        default (FieldInvertState numOverlap + BM25 discountOverlaps)."""
         idx = cls()
         for doc_id, content in sorted(docs):
             terms, positions, length = analyze_text(content, stopwords=stopwords,
                                                     stemmer=stemmer)
+            if synonyms:
+                from .functions.analysis import expand_synonyms_text
+                terms, positions, n_over = expand_synonyms_text(
+                    terms, positions, synonyms)
+                norm_len = length if discount_overlaps else length + n_over
+            else:
+                norm_len = length
             per_term: dict[str, list[int]] = {}
             for t, p in zip(terms, positions):
                 per_term.setdefault(t, []).append(p)
             for t, plist in per_term.items():
-                idx.postings.setdefault(t, []).append((doc_id, len(plist), plist))
-            idx.norm_bytes[doc_id] = int(int_to_byte4(np.array([length]))[0])
+                idx.postings.setdefault(t, []).append((doc_id, len(plist),
+                                                       sorted(plist)))
+            idx.norm_bytes[doc_id] = int(int_to_byte4(np.array([norm_len]))[0])
             idx.doc_count += 1
-            idx.sum_ttf += length
+            idx.sum_ttf += len(terms)       # every indexed token, overlaps included
         return idx
 
     # -- stats ------------------------------------------------------------

@@ -230,7 +230,8 @@ def cosine_near_duplicates_lsh(corpus: DataFrame, threshold: float,
 
 def ivf_centroids(corpus: DataFrame, num_centroids: int,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  iters: int = 2) -> np.ndarray:
+                  iters: int = 2,
+                  train_fraction: float | None = None) -> np.ndarray:
     """Deterministic k-means centroids, L2-normalized (spherical k-means,
     the right geometry for cosine).
 
@@ -243,11 +244,28 @@ def ivf_centroids(corpus: DataFrame, num_centroids: int,
     combined, so each step shuffles only ``num_centroids × dim`` partial
     sums per partition. The centroid matrix (C × dim floats) is tiny and
     lives on the driver.
+
+    ``train_fraction`` samples the TRAINING set deterministically (docs
+    whose ``md5(id)`` prefix falls below the fraction) so Lloyd
+    iterations scan a fixed subset instead of the full corpus — the
+    standard IVF practice at scale (k-means needs ~100-1000 vectors per
+    centroid, not 10^12); assignment at INDEX time still covers every
+    vector. None = train on everything (exact small-scale behavior).
     """
-    seeds = (corpus.select(F.col(vec_col).alias("vec"),
-                           F.md5(F.col(id_col).cast("string")).alias("h"))
-                   .orderBy("h").limit(num_centroids)
-                   .toPandas())
+    if train_fraction is not None and not 0 < train_fraction <= 1:
+        raise ValueError("train_fraction must be in (0, 1]")
+    if train_fraction is not None and train_fraction < 1:
+        # md5 prefix as a uniform hash in [0, 16^8): deterministic,
+        # engine-independent, no RNG state on executors
+        cut = format(int(train_fraction * 16**8), "08x")
+        train = corpus.filter(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < cut)
+    else:
+        train = corpus
+    seeds = (train.select(F.col(vec_col).alias("vec"),
+                          F.md5(F.col(id_col).cast("string")).alias("h"))
+                  .orderBy("h").limit(num_centroids)
+                  .toPandas())
     cents = np.stack(seeds["vec"].to_numpy()).astype(np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     dim = cents.shape[1]
@@ -256,7 +274,7 @@ def ivf_centroids(corpus: DataFrame, num_centroids: int,
         # per-(centroid, component) mean via posexplode — dim-agnostic
         # (no one-column-per-component widening), map-side combined: the
         # shuffle carries C × dim partial sums per partition
-        pdf = (corpus.select(F.col(vec_col).alias("vec"))
+        pdf = (train.select(F.col(vec_col).alias("vec"))
                      .withColumn("cid", assign(F.col("vec")))
                      .select("cid", F.posexplode("vec").alias("i", "x"))
                      .groupBy("cid", "i")
@@ -305,7 +323,8 @@ def _probe_udf(centroids: np.ndarray, nprobe: int):
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              num_centroids: int = 16, nprobe: int = 4,
-             iters: int = 2, centroids: np.ndarray | None = None) -> DataFrame:
+             iters: int = 2, centroids: np.ndarray | None = None,
+             train_fraction: float | None = None) -> DataFrame:
     """IVF approximate cosine top-k: corpus rows are inverted-listed by
     nearest centroid; each query scans only its ``nprobe`` closest lists.
 
@@ -317,7 +336,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     if centroids is None:
         centroids = ivf_centroids(corpus, num_centroids, id_col, vec_col,
-                                  iters)
+                                  iters, train_fraction=train_fraction)
     assign = _assign_udf(centroids)
     probe = _probe_udf(centroids, nprobe)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),

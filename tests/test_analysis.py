@@ -133,3 +133,39 @@ def test_core_tokenizer_family():
                 assert list(tm[sel]) == tt, (tok, lc, d)
                 assert list(ps[sel]) == pp, (tok, lc, d)
                 assert ls[i] == lnn, (tok, lc, d)
+
+
+def test_synonym_graph_expansion_text():
+    from lucene_spark.functions.analysis import (analyze_text,
+                                                 expand_synonyms_text)
+    terms, positions, length = analyze_text("fast quick stream fast")
+    t2, p2, n_over = expand_synonyms_text(terms, positions,
+                                          {"fast": ("rapid",),
+                                           "stream": ("flow", "river")})
+    assert length == 4
+    assert n_over == 4      # rapid x2, flow, river
+    # every synonym shares its source position (posInc = 0)
+    pairs = sorted(zip(t2, p2))
+    assert ("rapid", 0) in pairs and ("rapid", 3) in pairs
+    assert ("flow", 2) in pairs and ("river", 2) in pairs
+    assert sorted(zip(terms, positions)) == [x for x in pairs
+                                             if x[0] in terms]
+
+
+def test_synonym_graph_batch_matches_text():
+    import numpy as np
+    from lucene_spark.functions.analysis import (analyze_batch,
+                                                 analyze_text,
+                                                 expand_synonyms_batch,
+                                                 expand_synonyms_text)
+    import pandas as pd
+    docs = ["fast stream parse", "no match here", "fast fast token"]
+    syn = {"fast": ("rapid",), "token": ("lexeme",)}
+    d, t, p, lens = analyze_batch(pd.Series(docs))
+    d2, t2, p2, overlaps = expand_synonyms_batch(d, t, p, len(docs), syn)
+    for i, doc in enumerate(docs):
+        terms, positions, _ = analyze_text(doc)
+        et, ep, n_over = expand_synonyms_text(terms, positions, syn)
+        sel = d2 == i
+        assert sorted(zip(t2[sel], p2[sel])) == sorted(zip(et, ep))
+        assert overlaps[i] == n_over

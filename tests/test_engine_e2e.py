@@ -318,3 +318,39 @@ def test_fuzzed_structured_queries_parity(searcher, oracle, corpus):
                 assert np.float32(gs) == np.float32(ws), (i, mode, gd)
         checked += 1
     assert checked == 20
+
+
+def test_synonym_indexed_build_matches_oracle(spark, tmp_path):
+    """Index-time SynonymGraphFilter: overlap tokens feed tf/df/ttf and
+    avgdl; norms discount them by default (discountOverlaps) and include
+    them when disabled — both engine builds match the oracle exactly."""
+    import numpy as np
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.oracle import OracleIndex
+    from lucene_spark.plans import query as Q
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(150, seed=29)
+    syn = {"stream": ("flow",), "parse": ("analyze",)}
+    for discount in (True, False):
+        d = str(tmp_path / f"synidx_{discount}")
+        build_index(spark, spark.createDataFrame(corpus), d,
+                    num_segments=3, synonyms=syn,
+                    discount_overlaps=discount)
+        s = Searcher(spark, d)
+        oracle = OracleIndex.build(
+            list(zip(corpus.doc_id, corpus.content)), synonyms=syn,
+            discount_overlaps=discount)
+        # collection stats include overlap tokens
+        assert s.sum_ttf == oracle.sum_ttf
+        for q in (Q.Term("flow"), Q.Term("analyze"), Q.Term("parse"),
+                  Q.Phrase(("flow", "emit"))):
+            got = [(r["doc_id"], np.float32(r["score"]))
+                   for r in s.search(q, k=10).collect()]
+            want = [(doc, np.float32(sc))
+                    for doc, sc in oracle.top_k(q, k=10)]
+            assert got == want, (q, discount)
+        from lucene_spark.operators.checkindex import check_index
+        check_index(d)
