@@ -35,7 +35,7 @@ from lucene_spark.operators.stats import term_stats_from_tokens
 from lucene_spark.pipeline import dedup, multimodal, simsearch, textstats
 from lucene_spark.plans import query as Q
 
-_INDEX_VERSION = "v4"   # bump on codec/format changes to drop cached builds
+_INDEX_VERSION = "v5"   # bump on codec/format changes to drop cached builds
 _SEGMENTS = 8
 _BUILT: dict[str, str] = {}
 
@@ -88,6 +88,30 @@ def _searcher_syn(spark: SparkSession, sf_dir: str) -> Searcher:
 def _q_synonym_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(_searcher_syn(spark, sf_dir).search(
         Q.Term(T_COMMON), k=10))
+
+
+def _searcher_sorted(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with sort_field=n_chars DESC (IndexSorter role):
+    local doc ids follow the key, enabling early-terminating sorted
+    collection."""
+    key = "sorted:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"), "n_chars")
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    sort_field="n_chars", sort_ascending=False)
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_sorted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_searcher_sorted(spark, sf_dir).sorted_top_k(k=10)
+            .select("doc_id", F.col("n_chars").cast("int").alias("n_chars"),
+                    "rank"))
 
 
 def _q4(col, scale: int = 10000):
@@ -1675,6 +1699,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drill_sideways": _q_drill_sideways,
         "grouped_topk": _q_grouped_topk,
         "facet_path_counts": _q_facet_paths,
+        "sorted_index_topk": _q_sorted_index_topk,
         "drill_down_path": _q_drill_down_path,
         "sort_by_field": _q_sort_by_field,
         "query_join": _q_join,
@@ -1763,7 +1788,7 @@ _PRIORITY = [
     "interval_ordered_top10", "interval_maxgaps_top10",
     "interval_unordered_top10", "interval_containing_top10",
     "interval_or_ordered_top10", "common_terms_top10",
-    "bm25_synonym_indexed_top10",
+    "bm25_synonym_indexed_top10", "sorted_index_topk",
     "facet_path_counts",
     "drill_down_path",
 ]
@@ -1873,6 +1898,12 @@ WHERE EXISTS (SELECT 1 FROM (
         FROM documents) t
       WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}')
 GROUP BY 1""",
+        "sorted_index_topk": """
+SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(rnk AS INT) AS rank
+FROM (SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rnk
+      FROM documents)
+WHERE rnk <= 10""",
         "facet_path_counts": """
 SELECT p AS path, CAST(count(*) AS BIGINT) AS cnt
 FROM (

@@ -56,7 +56,9 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    store_positions: bool,
                    stemmer: str | None = None,
                    synonyms: dict | None = None,
-                   discount_overlaps: bool = True
+                   discount_overlaps: bool = True,
+                   sort_field: str | None = None,
+                   sort_ascending: bool = True
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -73,7 +75,17 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
     counts EVERY indexed token (the sumTotalTermFreq basis), diverging
     from sum_doc_len exactly when overlaps are discounted.
     """
-    pdf = pdf.sort_values(doc_id_col, kind="mergesort").reset_index(drop=True)
+    if sort_field is not None:
+        # IndexSorter (reference ``index/IndexSorter.java:44``): local doc
+        # ids follow the sort key, so a sorted-field top-k reads only each
+        # segment's physical prefix (early termination); global doc_id
+        # remains the tie-break within equal keys
+        pdf = pdf.sort_values([sort_field, doc_id_col],
+                              ascending=[sort_ascending, True],
+                              kind="mergesort").reset_index(drop=True)
+    else:
+        pdf = pdf.sort_values(doc_id_col,
+                              kind="mergesort").reset_index(drop=True)
     texts = pdf[content_col].astype("string").fillna("")
     n_docs = len(pdf)
     doc_idx, terms, positions, lengths = analyze_batch(pd.Series(texts.to_numpy(dtype=object)),
@@ -214,7 +226,9 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   stopwords: frozenset, store_positions: bool,
                   stemmer: str | None = None,
                   synonyms: dict | None = None,
-                  discount_overlaps: bool = True):
+                  discount_overlaps: bool = True,
+                  sort_field: str | None = None,
+                  sort_ascending: bool = True):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -222,7 +236,7 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
         part = tc.partitionId() if tc else -1
         postings, doc_meta, norms_payload, sum_token_len = invert_segment(
             pdf, seg_id, content_col, doc_id_col, stopwords, store_positions,
-            stemmer, synonyms, discount_overlaps)
+            stemmer, synonyms, discount_overlaps, sort_field, sort_ascending)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -280,7 +294,9 @@ def build_index(spark, df, index_dir: str, *,
                 compute_stats: bool = True,
                 seg_id_offset: int = 0,
                 synonyms: dict | None = None,
-                discount_overlaps: bool = True):
+                discount_overlaps: bool = True,
+                sort_field: str | None = None,
+                sort_ascending: bool = True):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -304,7 +320,8 @@ def build_index(spark, df, index_dir: str, *,
 
     builder = _make_builder(index_dir, content_col, doc_id_col,
                             frozenset(stopwords), store_positions, stemmer,
-                            synonyms, discount_overlaps)
+                            synonyms, discount_overlaps,
+                            sort_field, sort_ascending)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
@@ -328,8 +345,11 @@ def build_index(spark, df, index_dir: str, *,
             spark, catalog, [s["seg_id"] for s in segments],
             os.path.join(index_dir, "term_stats", f"gen-{next_id}"))
     from ..functions.codec import CODEC_VERSION
-    return catalog.commit(segments, field_stats, ts_path,
-                          extra={"num_segments": num_segments,
-                                 "doc_id_col": doc_id_col,
-                                 "store_positions": store_positions,
-                                 "codec_version": CODEC_VERSION})
+    extra = {"num_segments": num_segments,
+             "doc_id_col": doc_id_col,
+             "store_positions": store_positions,
+             "codec_version": CODEC_VERSION}
+    if sort_field is not None:
+        extra["index_sort"] = {"field": sort_field,
+                               "ascending": bool(sort_ascending)}
+    return catalog.commit(segments, field_stats, ts_path, extra=extra)

@@ -1279,6 +1279,58 @@ class Searcher:
         return (pf.groupBy("seg_id").cogroup(self.norms.groupBy("seg_id"))
                 .applyInPandas(seg_all, schema=out_schema))
 
+    def sorted_top_k(self, k: int = 10, ascending: bool | None = None):
+        """Early-terminating top-k by the index sort field (reference
+        ``index/IndexSorter.java:44`` + TopFieldCollector's
+        sorted-segment early termination): segments built with
+        ``sort_field`` are PHYSICALLY ordered by the key, so each
+        segment's candidate set is its first ``k`` live rows —
+        ``local_doc_id < k`` is a pushed parquet predicate, no
+        per-segment sort, and the global merge is one
+        TakeOrderedAndProject over ≤ k·S rows (the TopDocs.merge shape).
+
+        ``ascending`` must match the index sort direction (like the
+        reference, which only early-terminates when the query sort is a
+        prefix of the index sort); None = the index direction. Returns
+        (doc_id, <field>, rank)."""
+        from pyspark.sql import functions as F
+        info = (self.snapshot.extra or {}).get("index_sort")
+        if not info:
+            raise ValueError("index was not built with sort_field — "
+                             "sorted_top_k needs a sorted index")
+        field, idx_asc = info["field"], bool(info["ascending"])
+        if ascending is None:
+            ascending = idx_asc
+        if ascending != idx_asc:
+            raise ValueError(
+                f"query direction ({'asc' if ascending else 'desc'}) must "
+                f"match the index sort ({'asc' if idx_asc else 'desc'}) "
+                "for early termination")
+        # tombstones shift live prefixes: widen each segment's cutoff by
+        # its tombstone count, then drop the tombstoned rows
+        widen = {int(s): int(len(v)) for s, v in self.deletes.items()}
+        cand = self.doc_meta
+        if widen:
+            wmap = F.create_map(*[F.lit(x) for kv in widen.items()
+                                  for x in kv])
+            cutoff = F.lit(k) + F.coalesce(wmap[F.col("seg_id")], F.lit(0))
+            tomb = self.spark.createDataFrame(
+                [(int(s), int(d)) for s, v in self.deletes.items()
+                 for d in v], "seg_id int, local_doc_id int")
+            cand = (cand.filter(F.col("local_doc_id") < cutoff)
+                    .join(F.broadcast(tomb),
+                          on=["seg_id", "local_doc_id"], how="left_anti"))
+        else:
+            cand = cand.filter(F.col("local_doc_id") < k)
+        from pyspark.sql import Window
+        order = [F.asc(field) if ascending else F.desc(field),
+                 F.asc("doc_id")]
+        w = Window.orderBy(*order)
+        return (cand.orderBy(*order).limit(k)
+                .withColumn("rank", F.row_number().over(w))
+                .select("doc_id", field,
+                        F.col("rank").cast("int").alias("rank")))
+
     def matching_docs(self, query, use_cache: bool = True):
         """DataFrame ``(doc_id long)`` of every match — constant-score
         execution (the reference's ConstantScoreQuery / FILTER clause path:

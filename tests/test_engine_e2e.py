@@ -354,3 +354,64 @@ def test_synonym_indexed_build_matches_oracle(spark, tmp_path):
             assert got == want, (q, discount)
         from lucene_spark.operators.checkindex import check_index
         check_index(d)
+
+
+def test_index_sorting_early_termination(spark, tmp_path):
+    """IndexSorter: segments physically ordered by the sort key. The
+    early-terminating sorted_top_k equals a full sort; BM25 results are
+    unchanged vs an unsorted build (global ids and scores are local-order
+    independent); direction mismatch refuses; tombstones widen the
+    per-segment prefix instead of under-filling."""
+    import numpy as np
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.delete import delete_by_ids
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans import query as Q
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(120, seed=41)
+    corpus["n_chars"] = corpus.content.str.len()
+    plain = str(tmp_path / "plain")
+    srt = str(tmp_path / "sorted")
+    build_index(spark, spark.createDataFrame(corpus), plain, num_segments=3)
+    build_index(spark, spark.createDataFrame(corpus), srt, num_segments=3,
+                sort_field="n_chars", sort_ascending=False)
+    s_plain, s_sorted = Searcher(spark, plain), Searcher(spark, srt)
+    # BM25 parity: local reordering must not change results
+    for q in (Q.Term("parse"), Q.And((Q.Term("parse"), Q.Term("emit")))):
+        a = [(r["doc_id"], np.float32(r["score"]))
+             for r in s_plain.search(q, k=10).collect()]
+        b = [(r["doc_id"], np.float32(r["score"]))
+             for r in s_sorted.search(q, k=10).collect()]
+        assert a == b, q
+    # early-terminated top-k == full sort
+    want = [(int(d), int(n)) for d, n in
+            corpus.sort_values(["n_chars", "doc_id"],
+                               ascending=[False, True])
+            .head(7)[["doc_id", "n_chars"]].to_numpy()]
+    got = [(r["doc_id"], r["n_chars"])
+           for r in s_sorted.sorted_top_k(7).collect()]
+    assert got == want
+    import pytest as _pt
+    with _pt.raises(ValueError, match="direction"):
+        s_sorted.sorted_top_k(5, ascending=True)
+    with _pt.raises(ValueError, match="sort_field"):
+        s_plain.sorted_top_k(5)
+    # tombstone the current global top doc; top-k must backfill correctly
+    top_doc = want[0][0]
+    from lucene_spark.operators.delete import locate_global_ids
+    from lucene_spark.sources.catalog import SnapshotCatalog
+    cat = SnapshotCatalog(srt)
+    located = locate_global_ids(cat, cat.load(), [top_doc], spark=spark)
+    delete_by_ids(spark, srt, located)
+    s2 = Searcher(spark, srt)
+    got2 = [(r["doc_id"], r["n_chars"])
+            for r in s2.sorted_top_k(7).collect()]
+    want2 = [w for w in want if w[0] != top_doc]
+    want2 = [(int(d), int(n)) for d, n in
+             corpus.sort_values(["n_chars", "doc_id"],
+                                ascending=[False, True])
+             [corpus.doc_id != top_doc]
+             .head(7)[["doc_id", "n_chars"]].to_numpy()]
+    assert got2 == want2
