@@ -114,6 +114,50 @@ def _q_sorted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "rank"))
 
 
+def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic coordinates from doc_id (no external
+    data): lat = (id*37 % 18000)/100 - 90, lon = (id*73 % 36000)/100
+    - 180 — integer arithmetic then one exact-decimal scale, identical
+    in Spark and the DuckDB oracle."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ((F.col("doc_id") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("doc_id") * 73 % 36000) / 100.0 - 180.0).alias("lon"))
+
+
+_GEO_SQL_COORDS = """
+geo AS (SELECT doc_id,
+               (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+               (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        FROM documents)"""
+
+_GEO_CENTER = (12.5, -33.25)
+_GEO_BOX = (-10.0, 40.0, -60.0, 10.0)   # min_lat, max_lat, min_lon, max_lon
+
+
+def _q_geo_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.geo import box_query
+    g = _geo_docs(spark, sf_dir)
+    return (box_query(g, *_GEO_BOX)
+            .agg(F.count("*").cast("bigint").alias("cnt")))
+
+
+def _q_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.geo import nearest
+    g = _geo_docs(spark, sf_dir)
+    return (nearest(g, *_GEO_CENTER, k=10)
+            .select("doc_id", "rank",
+                    F.floor(F.col("sort_key") * 1000000).cast("bigint")
+                    .alias("key_q6")))
+
+
+def _q_geo_distance_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.operators.geo import distance_query
+    g = _geo_docs(spark, sf_dir)
+    return (distance_query(g, _GEO_CENTER[0], _GEO_CENTER[1], 25.0)
+            .agg(F.count("*").cast("bigint").alias("cnt")))
+
+
 def _q4(col, scale: int = 10000):
     """floor(x·scale) as long — engine-independent fixed-point projection
     of a double. (Spark's round() rounds the shortest-decimal repr via
@@ -1649,6 +1693,46 @@ ctsc AS (SELECT l.doc_id,
             + _topk_sql("ctsc", k))
 
 
+
+def _geo_box_sql() -> str:
+    b = _GEO_BOX
+    return f"""
+WITH {_GEO_SQL_COORDS.strip()}
+SELECT CAST(count(*) AS BIGINT) AS cnt FROM geo
+WHERE lat >= {b[0]!r} AND lat <= {b[1]!r}
+  AND lon >= {b[2]!r} AND lon <= {b[3]!r}"""
+
+
+def _geo_nearest_sql(k: int = 10) -> str:
+    from lucene_spark.operators.geo import distance_sort_key_sql
+    key = distance_sort_key_sql(*_GEO_CENTER)
+    return f"""
+WITH {_GEO_SQL_COORDS.strip()}
+SELECT doc_id, CAST(rnk AS INT) AS rank,
+       CAST(floor(k * 1000000) AS BIGINT) AS key_q6
+FROM (SELECT doc_id, {key} AS k,
+             row_number() OVER (ORDER BY {key} ASC, doc_id ASC) AS rnk
+      FROM geo)
+WHERE rnk <= {k}"""
+
+
+def _geo_distance_sql(radius_deg: float = 25.0) -> str:
+    import math as _m
+    from lucene_spark.operators.geo import distance_sort_key_sql
+    clat, clon = _GEO_CENTER
+    key = distance_sort_key_sql(clat, clon)
+    kk = _m.cos(_m.radians(clat))
+    dlon = radius_deg / max(kk, 1e-9)
+    lo_lon = max(clon - dlon, -180.0)
+    hi_lon = min(clon + dlon, 180.0)
+    return f"""
+WITH {_GEO_SQL_COORDS.strip()}
+SELECT CAST(count(*) AS BIGINT) AS cnt FROM geo
+WHERE lat >= {clat - radius_deg!r} AND lat <= {clat + radius_deg!r}
+  AND lon >= {lo_lon!r} AND lon <= {hi_lon!r}
+  AND {key} <= {radius_deg * radius_deg!r}"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 conjunction top-10 on sf0.001 (build + search)."""
     return _search(Q.And((Q.Term(T_COMMON), Q.Term(T_COMMON2))))(
@@ -1700,6 +1784,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk": _q_grouped_topk,
         "facet_path_counts": _q_facet_paths,
         "sorted_index_topk": _q_sorted_index_topk,
+        "geo_box_count": _q_geo_box,
+        "geo_nearest_top10": _q_geo_nearest,
+        "geo_distance_count": _q_geo_distance_count,
         "drill_down_path": _q_drill_down_path,
         "sort_by_field": _q_sort_by_field,
         "query_join": _q_join,
@@ -1789,6 +1876,7 @@ _PRIORITY = [
     "interval_unordered_top10", "interval_containing_top10",
     "interval_or_ordered_top10", "common_terms_top10",
     "bm25_synonym_indexed_top10", "sorted_index_topk",
+    "geo_box_count", "geo_nearest_top10", "geo_distance_count",
     "facet_path_counts",
     "drill_down_path",
 ]
@@ -1898,6 +1986,9 @@ WHERE EXISTS (SELECT 1 FROM (
         FROM documents) t
       WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}')
 GROUP BY 1""",
+        "geo_box_count": _geo_box_sql(),
+        "geo_nearest_top10": _geo_nearest_sql(),
+        "geo_distance_count": _geo_distance_sql(),
         "sorted_index_topk": """
 SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(rnk AS INT) AS rank
 FROM (SELECT doc_id, n_chars,

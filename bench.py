@@ -136,6 +136,12 @@ def main() -> None:
         "q_or_exhaustive": (Q.Or((Q.Term("token"), Q.Term("flush"))),
                             "exhaustive"),
         "q_phrase": (Q.Phrase(("return", "if")), "auto"),
+        # two COMMON terms with slop — the r2-flagged per-doc-loop shape,
+        # now one vectorized minimal-window pass per segment
+        "q_sloppy_common": (Q.Phrase(("if", "return"), slop=3), "auto"),
+        "q_interval_ordered": (Q.Interval(
+            ("maxgaps", ("ordered", (("term", "if"), ("term", "return"))),
+             4)), "auto"),
     }
     for name, (q, mode) in search_cases.items():
         best = float("inf")
