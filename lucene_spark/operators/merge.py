@@ -317,6 +317,12 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     # its own postings (Σ ttf), so synonym-overlap indexes stay exact
     field_stats = dict(snap.field_stats)
     extra = dict(snap.extra or {})
+    # a merged segment concatenates docBase ranges, so it is NOT ordered
+    # by the index sort key — drop the flag rather than let sorted_top_k
+    # silently return wrong prefixes (the reference performs a sorting
+    # merge via MergeState/IndexSorter; a distributed sorted merge is the
+    # corresponding future seam here)
+    extra.pop("index_sort", None)
     field_stats["doc_count"] = int(sum(s2["num_docs"]
                                        for s2 in new_segments))
     field_stats["sum_total_term_freq"] = int(sum(
@@ -419,6 +425,9 @@ def add_indexes(spark, dest_dir: str, src_dir: str):
         if old_id in id_map and len(ids):
             merged_deletes[id_map[old_id]] = ids
     extra = dict(dsnap.extra or {})
+    if (dsnap.extra or {}).get("index_sort") != \
+            (ssnap.extra or {}).get("index_sort"):
+        extra.pop("index_sort", None)   # mixed ordering: no early termination
     if merged_deletes:
         rel, count = write_tombstone_file(dest, gen, merged_deletes)
         extra["deletes"] = rel

@@ -215,3 +215,29 @@ def test_multi_searcher(spark, corpus, oracle):
     assert got == want
     assert ms2.count(del_term) == len(set(oracle.score(parse(del_term)))
                                       - gone)
+
+
+def test_merge_drops_index_sort_flag(spark, tmp_path):
+    """A merged segment is docBase-concatenated, not key-ordered — the
+    snapshot must drop index_sort so sorted_top_k refuses instead of
+    returning wrong prefixes."""
+    import pytest
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.merge import merge_segments
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.sources.catalog import SnapshotCatalog
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(80, seed=5)
+    corpus["n_chars"] = corpus.content.str.len()
+    d = str(tmp_path / "srt")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=4,
+                sort_field="n_chars", sort_ascending=False)
+    assert Searcher(spark, d).sorted_top_k(3).count() == 3
+    snap = SnapshotCatalog(d).load()
+    merge_segments(spark, d, sorted(snap.seg_ids)[:2])
+    s2 = Searcher(spark, d)
+    assert "index_sort" not in (s2.snapshot.extra or {})
+    with pytest.raises(ValueError, match="sort_field"):
+        s2.sorted_top_k(3)
