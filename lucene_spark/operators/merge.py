@@ -215,7 +215,12 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
                        "block_last binary, impact_bytes binary")
     union = spark.read.parquet(
         *[os.path.join(catalog.segment_dir(s), "postings.parquet") for s in seg_ids])
-    merged_postings = (union.repartition(F.col("term"))
+    # RANGE partition by term (not hash): co-locates each term's ≤K
+    # per-segment rows like hash would, but partition index follows term
+    # order, so the multi-file parquet output reads back globally
+    # term-sorted (the BlockTree range-bucketed dictionary invariant that
+    # CheckIndex asserts and file-level min/max pruning relies on)
+    merged_postings = (union.repartitionByRange(F.col("term"))
                        .mapInPandas(reencode_partition, postings_schema))
 
     tmp = os.path.join(index_dir, "segments", f"_tmp-{new_seg_id}-{uuid.uuid4().hex}")
