@@ -1534,9 +1534,13 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _istream_sql(name: str, terms) -> str:
-    """Position-stream CTE: one term or an OR-of-terms union."""
+    """Position-stream CTE: one term, an OR-of-terms union, or a
+    ("prefix", p) dictionary expansion (MultiTermIntervalsSource)."""
     if isinstance(terms, str):
         cond = f"term = '{terms}'"
+    elif isinstance(terms, tuple) and len(terms) == 2 \
+            and terms[0] == "prefix":
+        cond = f"term LIKE '{terms[1]}%'"
     else:
         inl = ", ".join(f"'{t}'" for t in terms)
         cond = f"term IN ({inl})"
@@ -1824,6 +1828,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonym_indexed_top10": _q_synonym_indexed,
         "common_terms_top10": _search(Q.CommonTerms(
             (T_COMMON, T_COMMON2, T_RARE), 0.5)),
+        "interval_prefix_top10": _search(Q.Interval(
+            ("ordered", (("prefix", "sl"), ("term", T_COMMON))))),
         "interval_or_ordered_top10": _search(Q.Interval(
             ("ordered", (("orterms", (T_A, T_B)), ("term", T_COMMON))))),
         "bm25_after_merge_top10": _q_merged_search,
@@ -1874,7 +1880,8 @@ _PRIORITY = [
     # new in round 3 — never driver-checked yet
     "interval_ordered_top10", "interval_maxgaps_top10",
     "interval_unordered_top10", "interval_containing_top10",
-    "interval_or_ordered_top10", "common_terms_top10",
+    "interval_or_ordered_top10", "interval_prefix_top10",
+    "common_terms_top10",
     "bm25_synonym_indexed_top10", "sorted_index_topk",
     "geo_box_count", "geo_nearest_top10", "geo_distance_count",
     "facet_path_counts",
@@ -1927,6 +1934,8 @@ def oracle_sql() -> dict[str, str]:
             (T_COMMON, T_THIRD)),
         "interval_containing_top10": _interval_containing_sql(
             (T_COMMON, T_COMMON2), T_THIRD),
+        "interval_prefix_top10": _interval_ordered_sql(
+            (("prefix", "sl"), T_COMMON)),
         "interval_or_ordered_top10": _interval_ordered_sql(
             ((T_A, T_B), T_COMMON)),
         "tfidf_term_top10": _TFIDF_SQL,

@@ -307,3 +307,28 @@ def saturation_scores(freqs: np.ndarray, pivot: float,
     f = freqs.astype(np.float32)
     return (np.float32(weight)
             * (np.float32(1.0) - p / (p + f))).astype(np.float32)
+
+
+def resolve_multi_term_sources(tree, expander):
+    """MultiTermIntervalsSource role (reference ``queries/intervals/
+    MultiTermIntervalsSource.java``): replace ``("prefix", p)`` /
+    ``("wildcard", w)`` leaves with ``("orterms", terms)`` via the
+    caller's term-dictionary ``expander(kind, value) -> iterable[str]``
+    — the Searcher uses its term_stats dictionary, the python oracle its
+    in-memory postings keys, so both sides expand identically."""
+    kind = tree[0]
+    if kind in ("prefix", "wildcard"):
+        return ("orterms", tuple(expander(kind, tree[1])))
+    if kind in ("term", "orterms"):
+        return tree
+    if kind in ("ordered", "unordered", "phrase", "or"):
+        return (kind, tuple(resolve_multi_term_sources(c, expander)
+                            for c in tree[1]))
+    if kind in ("maxgaps", "maxwidth"):
+        return (kind, resolve_multi_term_sources(tree[1], expander),
+                tree[2])
+    if kind in ("containing", "not_containing", "contained_by",
+                "not_contained_by"):
+        return (kind, resolve_multi_term_sources(tree[1], expander),
+                resolve_multi_term_sources(tree[2], expander))
+    raise TypeError(f"unknown interval tree node {tree!r}")

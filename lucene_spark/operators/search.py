@@ -1067,6 +1067,19 @@ class Searcher:
                             q.tie_breaker)
         if isinstance(q, Q.Not):
             return Q.Not(self._resolve(q.positive), self._resolve(q.negative))
+        if isinstance(q, Q.Interval):
+            from ..functions.intervals import resolve_multi_term_sources
+
+            def _expander(kind, value):
+                if kind == "prefix":
+                    return self.expand_terms(like=f"{value}%")
+                pat = "^" + "".join(
+                    ".*" if ch == "*" else "." if ch == "?"
+                    else _re.escape(ch) for ch in str(value)) + "$"
+                return self.expand_terms(rlike=pat)
+
+            return Q.Interval(resolve_multi_term_sources(q.tree, _expander),
+                              q.pivot, q.boost)
         if isinstance(q, Q.SpanMultiTermWrapper):
             # SpanMultiTermQueryWrapper: dictionary expansion → SpanOr of
             # term spans (reference SpanMultiTermQueryWrapper.java rewrite)

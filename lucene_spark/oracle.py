@@ -233,6 +233,19 @@ class OracleIndex:
                                           eval_intervals,
                                           interval_tree_terms, min_extent,
                                           saturation_scores)
+        import fnmatch
+
+        from .functions.intervals import resolve_multi_term_sources
+
+        def _expander(kind, value):
+            keys = sorted(self.postings)
+            if kind == "prefix":
+                return [t for t in keys if t.startswith(str(value))]
+            return [t for t in keys
+                    if fnmatch.fnmatchcase(t, str(value))]
+
+        tree = resolve_multi_term_sources(query.tree, _expander)
+        query = type(query)(tree, query.pivot, query.boost)
         terms = list(dict.fromkeys(interval_tree_terms(query.tree)))
         BIG = np.int64(1) << np.int64(32)
         pmap = {}

@@ -224,3 +224,21 @@ def test_interval_pivot_and_boost(searcher, oracle):
     want = oracle.top_k(q, k=10)
     assert [(d, np.float32(s)) for d, s in got] == \
         [(d, np.float32(s)) for d, s in want]
+
+
+def test_interval_prefix_source_matches_oracle(searcher, oracle):
+    """MultiTermIntervalsSource: a prefix leaf expands against the term
+    dictionary into an or-of-terms stream, identically in engine and
+    oracle."""
+    q = Q.Interval(("ordered", (("prefix", "par"), ("term", "emit"))))
+    got = [(r["doc_id"], np.float32(r["score"]))
+           for r in searcher.search(q, k=10).collect()]
+    want = [(d, np.float32(s)) for d, s in oracle.top_k(q, k=10)]
+    assert got == want and len(got) > 0
+    # wildcard kind
+    q2 = Q.Interval(("unordered", (("wildcard", "pars?"),
+                                   ("term", "token"))))
+    got2 = [(r["doc_id"], np.float32(r["score"]))
+            for r in searcher.search(q2, k=10).collect()]
+    want2 = [(d, np.float32(s)) for d, s in oracle.top_k(q2, k=10)]
+    assert got2 == want2
