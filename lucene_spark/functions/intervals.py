@@ -167,6 +167,22 @@ def minimize_or(parts: list[np.ndarray]) -> np.ndarray:
     return allv[~contains_other]
 
 
+def _overlap_mask(src: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """bool over src rows: overlaps some ref interval (inclusive ends:
+    s <= e2 and s2 <= e). Doc-safe on global keys (disjoint doc
+    ranges)."""
+    if len(src) == 0 or len(ref) == 0:
+        return np.zeros(len(src), dtype=bool)
+    order = np.argsort(ref[:, 0], kind="mergesort")
+    starts = ref[order, 0]
+    pmax_end = np.maximum.accumulate(ref[order, 1])
+    idx = np.searchsorted(starts, src[:, 1], side="right")
+    ok = idx > 0
+    m = np.where(ok, pmax_end[np.maximum(idx - 1, 0)],
+                 np.iinfo(np.int64).min)
+    return ok & (m >= src[:, 0])
+
+
 def _containment_mask(big: np.ndarray, little: np.ndarray) -> np.ndarray:
     """bool over big rows: contains some little ([s2,e2] ⊆ [s,e])."""
     if len(big) == 0 or len(little) == 0:
@@ -236,6 +252,27 @@ def eval_intervals(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
         small = eval_intervals(tree[1], pmap)
         big = eval_intervals(tree[2], pmap)
         return small[~_within_mask(small, big)]
+    if kind == "extend":
+        iv = eval_intervals(tree[1], pmap)
+        if len(iv) == 0:
+            return iv
+        before, after = int(tree[2]), int(tree[3])
+        out = iv.copy()
+        # clamp start at the doc's position 0 (ExtendedIntervalIterator
+        # Math.max(0, start - before) — doc-relative, so clamp against
+        # the doc's key base); gaps are the delegate's, unchanged
+        base = (iv[:, 0] >> 32) << np.int64(32)
+        out[:, 0] = np.maximum(iv[:, 0] - before, base)
+        out[:, 1] = iv[:, 1] + after
+        return out
+    if kind == "non_overlapping":
+        minuend = eval_intervals(tree[1], pmap)
+        sub = eval_intervals(tree[2], pmap)
+        return minuend[~_overlap_mask(minuend, sub)]
+    if kind == "overlapping":
+        src = eval_intervals(tree[1], pmap)
+        ref = eval_intervals(tree[2], pmap)
+        return src[_overlap_mask(src, ref)]
     if kind == "or":
         return minimize_or([eval_intervals(c, pmap) for c in tree[1]])
     raise TypeError(f"unknown interval tree node {tree!r}")
@@ -251,6 +288,10 @@ def min_extent(tree) -> int:
     if kind in ("ordered", "unordered", "phrase"):
         return sum(min_extent(c) for c in tree[1])
     if kind in ("maxgaps", "maxwidth"):
+        return min_extent(tree[1])
+    if kind == "extend":
+        return min_extent(tree[1]) + int(tree[2]) + int(tree[3])
+    if kind in ("non_overlapping", "overlapping"):
         return min_extent(tree[1])
     if kind in ("containing", "not_containing"):
         return min_extent(tree[1])            # big side
@@ -275,6 +316,11 @@ def interval_tree_terms(tree) -> list[str]:
         return out
     if kind in ("maxgaps", "maxwidth"):
         return interval_tree_terms(tree[1])
+    if kind == "extend":
+        return interval_tree_terms(tree[1])
+    if kind in ("non_overlapping", "overlapping"):
+        return (interval_tree_terms(tree[1])
+                + interval_tree_terms(tree[2]))
     if kind in ("containing", "not_containing", "contained_by",
                 "not_contained_by"):
         return (interval_tree_terms(tree[1])
@@ -327,6 +373,12 @@ def resolve_multi_term_sources(tree, expander):
     if kind in ("maxgaps", "maxwidth"):
         return (kind, resolve_multi_term_sources(tree[1], expander),
                 tree[2])
+    if kind == "extend":
+        return (kind, resolve_multi_term_sources(tree[1], expander),
+                tree[2], tree[3])
+    if kind in ("non_overlapping", "overlapping"):
+        return (kind, resolve_multi_term_sources(tree[1], expander),
+                resolve_multi_term_sources(tree[2], expander))
     if kind in ("containing", "not_containing", "contained_by",
                 "not_contained_by"):
         return (kind, resolve_multi_term_sources(tree[1], expander),

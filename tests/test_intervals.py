@@ -242,3 +242,49 @@ def test_interval_prefix_source_matches_oracle(searcher, oracle):
             for r in searcher.search(q2, k=10).collect()]
     want2 = [(d, np.float32(s)) for d, s in oracle.top_k(q2, k=10)]
     assert got2 == want2
+
+
+def test_extend_and_overlap_combinators():
+    """Intervals.extend (pad bounds, clamp at doc position 0, gaps
+    unchanged) and nonOverlapping/overlapping difference sources."""
+    import numpy as np
+
+    BIG = np.int64(1) << np.int64(32)
+    pmap = {"a": np.array([1, 10, BIG + 2], np.int64),
+            "b": np.array([4, BIG + 3], np.int64)}
+    ext = eval_intervals(("extend", ("term", "a"), 2, 3), pmap)
+    # doc 0: [1,1]->[0(clamped),4]; [10,10]->[8,13]; doc 1: [2,2]->[0,5]
+    assert [(int(s >> 32), int(s & 0xFFFFFFFF), int(e & 0xFFFFFFFF),
+             int(g)) for s, e, g in ext] == \
+        [(0, 0, 4, 0), (0, 8, 13, 0), (1, 0, 5, 0)]
+    assert min_extent(("extend", ("term", "a"), 2, 3)) == 6
+    # non_overlapping: a-intervals not overlapping any b-interval
+    novl = eval_intervals(("non_overlapping", ("term", "a"),
+                           ("term", "b")), pmap)
+    assert [(int(s & 0xFFFFFFFF)) for s, _, _ in novl] == [1, 10, 2]
+    # widen b to overlap a@1 in doc 0 and a@2 in doc 1
+    pmap2 = {"a": pmap["a"],
+             "b": np.array([1, BIG + 2], np.int64)}
+    novl2 = eval_intervals(("non_overlapping", ("term", "a"),
+                            ("term", "b")), pmap2)
+    assert [(int(s >> 32), int(s & 0xFFFFFFFF))
+            for s, _, _ in novl2] == [(0, 10)]
+    ovl2 = eval_intervals(("overlapping", ("term", "a"),
+                           ("term", "b")), pmap2)
+    assert [(int(s >> 32), int(s & 0xFFFFFFFF))
+            for s, _, _ in ovl2] == [(0, 1), (1, 2)]
+    # cross-doc isolation: b in doc 1 must not suppress a in doc 0
+    pmap3 = {"a": np.array([5], np.int64),
+             "b": np.array([BIG + 5], np.int64)}
+    assert len(eval_intervals(("non_overlapping", ("term", "a"),
+                               ("term", "b")), pmap3)) == 1
+
+
+def test_extend_engine_matches_oracle(searcher, oracle):
+    q = Q.Interval(("containing",
+                    ("extend", ("term", "parse"), 1, 2),
+                    ("term", "emit")))
+    got = [(r["doc_id"], np.float32(r["score"]))
+           for r in searcher.search(q, k=10).collect()]
+    want = [(d, np.float32(s)) for d, s in oracle.top_k(q, k=10)]
+    assert got == want
