@@ -158,6 +158,33 @@ def _q_geo_distance_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("cnt")))
 
 
+def _searcher_payload(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Payload-indexed build: every token of documents.text is annotated
+    with a deterministic float payload ``((doc_id + pos) % 7) * 0.5`` as
+    a |-delimited suffix, then indexed with DelimitedPayloadTokenFilter
+    parsing (whitespace tokenizer, like the reference pairing)."""
+    key = "pay:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.expr("array_join(transform(split(text, ' '), (x, i) -> "
+                   "concat(x, '|', cast((doc_id + i) % 7 * 0.5 as string))"
+                   "), ' ')").alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    payload_delimiter="|", tokenizer="whitespace")
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher_payload(spark, sf_dir)
+    return _fmt_topk(s.search(Q.PayloadScore(T_COMMON, "sum"), k=10))
+
+
 def _q4(col, scale: int = 10000):
     """floor(x·scale) as long — engine-independent fixed-point projection
     of a double. (Spark's round() rounds the shortest-decimal repr via
@@ -1788,6 +1815,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk": _q_grouped_topk,
         "facet_path_counts": _q_facet_paths,
         "sorted_index_topk": _q_sorted_index_topk,
+        "payload_score_top10": _q_payload_score,
         "geo_box_count": _q_geo_box,
         "geo_nearest_top10": _q_geo_nearest,
         "geo_distance_count": _q_geo_distance_count,
@@ -1884,6 +1912,7 @@ _PRIORITY = [
     "common_terms_top10",
     "bm25_synonym_indexed_top10", "sorted_index_topk",
     "geo_box_count", "geo_nearest_top10", "geo_distance_count",
+    "payload_score_top10",
     "facet_path_counts",
     "drill_down_path",
 ]
@@ -1995,6 +2024,15 @@ WHERE EXISTS (SELECT 1 FROM (
         FROM documents) t
       WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}')
 GROUP BY 1""",
+        "payload_score_top10": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+pagg AS (SELECT doc_id,
+                CAST(sum((doc_id + pos) % 7 * 0.5) AS FLOAT) AS s
+         FROM tok WHERE term = '{T_COMMON}' GROUP BY 1)""" + _topk_sql("pagg"),
         "geo_box_count": _geo_box_sql(),
         "geo_nearest_top10": _geo_nearest_sql(),
         "geo_distance_count": _geo_distance_sql(),

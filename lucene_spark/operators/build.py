@@ -58,7 +58,9 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    synonyms: dict | None = None,
                    discount_overlaps: bool = True,
                    sort_field: str | None = None,
-                   sort_ascending: bool = True
+                   sort_ascending: bool = True,
+                   payload_delimiter: str | None = None,
+                   tokenizer: str = "standard"
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -90,7 +92,31 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
     n_docs = len(pdf)
     doc_idx, terms, positions, lengths = analyze_batch(pd.Series(texts.to_numpy(dtype=object)),
                                                        stopwords=stopwords,
-                                                       stemmer=stemmer)
+                                                       stemmer=stemmer,
+                                                       tokenizer=tokenizer)
+    payloads = None
+    if payload_delimiter:
+        # DelimitedPayloadTokenFilter + FloatEncoder (reference
+        # ``analysis/common/.../payloads/DelimitedPayloadTokenFilter
+        # .java``): split each token at the LAST delimiter; the suffix
+        # parses as a float32 payload, the prefix is the term. Tokens
+        # without a delimiter carry payload 0.0 (documented: the
+        # reference leaves the payload absent; 0.0 is the identity for
+        # the sum/avg functions we score with). Pair with the
+        # whitespace tokenizer like the reference does — Standard
+        # tokenization would split at the delimiter.
+        if synonyms:
+            raise ValueError("payloads and index-time synonyms are "
+                             "mutually exclusive")
+        ser = pd.Series(terms)
+        parts = ser.str.rpartition(payload_delimiter)
+        has = (parts[1] == payload_delimiter).to_numpy()
+        stripped = parts[0].to_numpy(dtype=object)
+        terms = np.where(has, stripped, terms)
+        payloads = np.zeros(len(terms), dtype=np.float32)
+        vals = pd.to_numeric(parts[2], errors="coerce") \
+            .fillna(0.0).to_numpy()
+        payloads[has] = vals[has].astype(np.float32)
     if synonyms:
         from ..functions.analysis import expand_synonyms_batch
         doc_idx, terms, positions, overlaps = expand_synonyms_batch(
@@ -126,6 +152,17 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         enc = encode_postings_batch(post_docs, tfs_all,
                                     p if store_positions else None,
                                     norm_bytes, term_off)
+        if payloads is not None:
+            # payload stream parallel to the position stream: raw
+            # float32 per position, doc-major, sliced per term (parquet
+            # page compression handles the bytes; FloatEncoder payloads
+            # are uncompressed 4-byte values in the reference too)
+            pay_sorted = payloads[order]
+            tok_bounds = np.concatenate(([0], np.cumsum(tfs_all)))
+            tok_off = tok_bounds[term_off]
+            pay_bytes = [pay_sorted[tok_off[i]:tok_off[i + 1]]
+                         .astype("<f4").tobytes()
+                         for i in range(len(term_off) - 1)]
         postings = pd.DataFrame({
             "term": uniques[post_codes[term_starts]],
             "seg_id": np.int32(seg_id),
@@ -137,8 +174,12 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             "block_last": enc["block_last"],
             "impact_bytes": enc["impact_bytes"],
         }, columns=POSTINGS_COLUMNS)
+        if payloads is not None:
+            postings["pay_bytes"] = pay_bytes
     else:
-        postings = pd.DataFrame(columns=POSTINGS_COLUMNS)
+        cols = POSTINGS_COLUMNS + (["pay_bytes"]
+                                   if payloads is not None else [])
+        postings = pd.DataFrame(columns=cols)
 
     doc_meta = pdf.drop(columns=[content_col, SEG_COL], errors="ignore").copy()
     doc_meta.insert(0, "seg_id", np.int32(seg_id))
@@ -163,12 +204,15 @@ def _write_segment(catalog_root: str, seg_id: int, postings: pd.DataFrame,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    postings_schema = pa.schema([
+    fields = [
         ("term", pa.string()), ("seg_id", pa.int32()), ("df", pa.int32()),
         ("ttf", pa.int64()), ("doc_bytes", pa.binary()), ("tf_bytes", pa.binary()),
         ("pos_bytes", pa.binary()), ("block_last", pa.binary()),
         ("impact_bytes", pa.binary()),
-    ])
+    ]
+    if "pay_bytes" in postings.columns:
+        fields.append(("pay_bytes", pa.binary()))
+    postings_schema = pa.schema(fields)
 
     seg_dir = os.path.join(catalog_root, "segments", f"seg={seg_id}")
     if os.path.exists(os.path.join(seg_dir, "stats.json")):
@@ -228,7 +272,9 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   synonyms: dict | None = None,
                   discount_overlaps: bool = True,
                   sort_field: str | None = None,
-                  sort_ascending: bool = True):
+                  sort_ascending: bool = True,
+                  payload_delimiter: str | None = None,
+                  tokenizer: str = "standard"):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -236,7 +282,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
         part = tc.partitionId() if tc else -1
         postings, doc_meta, norms_payload, sum_token_len = invert_segment(
             pdf, seg_id, content_col, doc_id_col, stopwords, store_positions,
-            stemmer, synonyms, discount_overlaps, sort_field, sort_ascending)
+            stemmer, synonyms, discount_overlaps, sort_field,
+            sort_ascending, payload_delimiter, tokenizer)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -296,7 +343,9 @@ def build_index(spark, df, index_dir: str, *,
                 synonyms: dict | None = None,
                 discount_overlaps: bool = True,
                 sort_field: str | None = None,
-                sort_ascending: bool = True):
+                sort_ascending: bool = True,
+                payload_delimiter: str | None = None,
+                tokenizer: str = "standard"):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -321,7 +370,8 @@ def build_index(spark, df, index_dir: str, *,
     builder = _make_builder(index_dir, content_col, doc_id_col,
                             frozenset(stopwords), store_positions, stemmer,
                             synonyms, discount_overlaps,
-                            sort_field, sort_ascending)
+                            sort_field, sort_ascending, payload_delimiter,
+                            tokenizer)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
@@ -352,4 +402,6 @@ def build_index(spark, df, index_dir: str, *,
     if sort_field is not None:
         extra["index_sort"] = {"field": sort_field,
                                "ascending": bool(sort_ascending)}
+    if payload_delimiter is not None:
+        extra["payloads"] = True
     return catalog.commit(segments, field_stats, ts_path, extra=extra)

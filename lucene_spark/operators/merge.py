@@ -84,6 +84,7 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     if new_seg_id is None:
         new_seg_id = max(snap.seg_ids) + 1
     store_positions = bool(snap.extra.get("store_positions", True))
+    has_payloads = bool(snap.extra.get("payloads", False))
 
     # live docs: merges physically purge tombstoned docs (SegmentMerger
     # drops deletes; docIDs compact per segment before docBase concat).
@@ -145,21 +146,24 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
         then re-encode ALL the partition's terms in one batched pass
         (``encode_postings_batch``) — the per-term Python/Arrow overhead of
         a term-keyed cogroup would dominate a merge otherwise."""
+        out_cols = POSTINGS_COLUMNS + (["pay_bytes"] if has_payloads
+                                       else [])
         batches = list(batches)
         if not batches:
             # repartition(col) can leave empty partitions when
             # shuffle.partitions > distinct terms and AQE coalescing is off
-            yield pd.DataFrame(columns=POSTINGS_COLUMNS)
+            yield pd.DataFrame(columns=out_cols)
             return
         pdf = pd.concat(batches, ignore_index=True)
         if len(pdf) == 0:
-            yield pd.DataFrame(columns=POSTINGS_COLUMNS)
+            yield pd.DataFrame(columns=out_cols)
             return
         pdf = pdf.sort_values(["term", "seg_id"], kind="mergesort")
         norms = np.frombuffer(bc_norms.value, dtype=np.uint8)
         rmaps = bc_remaps.value if bc_remaps is not None else None
-        ids_parts, tf_parts, pos_parts = [], [], []
+        ids_parts, tf_parts, pos_parts, pay_parts = [], [], [], []
         row_lens = np.empty(len(pdf), dtype=np.int64)
+        tok_lens = np.empty(len(pdf), dtype=np.int64)
         term_of_row = pdf["term"].to_numpy()
         for i, row in enumerate(pdf.itertuples(index=False)):
             dec = decode_postings(row._asdict(),
@@ -167,23 +171,32 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
             ids, tfs = dec["doc_ids"], dec["tfs"]
             pos = dec.get("positions", np.empty(0, np.int64)) \
                 if store_positions else None
+            pay = np.frombuffer(row.pay_bytes, dtype="<f4") \
+                if has_payloads else None
             if rmaps is not None:
                 newids = rmaps[int(row.seg_id)][ids]
                 keep = newids >= 0
                 if not keep.all():
+                    tok_keep = np.repeat(keep, tfs)
                     if store_positions:
-                        pos = pos[np.repeat(keep, tfs)]
+                        pos = pos[tok_keep]
+                    if pay is not None:
+                        pay = pay[tok_keep]
                     ids, tfs = newids[keep], tfs[keep]
                 else:
                     ids = newids
             ids_parts.append(ids + bases[int(row.seg_id)])
             tf_parts.append(tfs)
             row_lens[i] = len(ids)
+            tok_lens[i] = int(tfs.sum())
             if store_positions:
                 pos_parts.append(pos)
+            if pay is not None:
+                pay_parts.append(pay)
         ids = np.concatenate(ids_parts)
         tfs = np.concatenate(tf_parts)
         pos = np.concatenate(pos_parts) if store_positions else None
+        pay = np.concatenate(pay_parts) if has_payloads else None
         # term boundaries in posting space (post-purge lengths; terms whose
         # every posting was deleted are dropped entirely)
         new_term = np.empty(len(pdf), dtype=bool)
@@ -195,9 +208,16 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
         alive = term_tot > 0
         term_off = np.concatenate(([0], np.cumsum(term_tot[alive])))
         if len(ids) == 0:
-            yield pd.DataFrame(columns=POSTINGS_COLUMNS)
+            yield pd.DataFrame(columns=out_cols)
             return
         enc = encode_postings_batch(ids, tfs, pos, norms, term_off)
+        if has_payloads:
+            tok_tot = np.bincount(term_ids,
+                                  weights=tok_lens).astype(np.int64)
+            tok_off = np.concatenate(([0], np.cumsum(tok_tot[alive])))
+            pay_bytes = [pay[tok_off[i]:tok_off[i + 1]]
+                         .astype("<f4").tobytes()
+                         for i in range(len(tok_off) - 1)]
         yield pd.DataFrame({
             "term": term_of_row[term_row_starts][alive],
             "seg_id": np.int32(new_seg_id),
@@ -208,11 +228,13 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
             "pos_bytes": enc["pos_bytes"],
             "block_last": enc["block_last"],
             "impact_bytes": enc["impact_bytes"],
-        }, columns=POSTINGS_COLUMNS)
+            **({"pay_bytes": pay_bytes} if has_payloads else {}),
+        }, columns=out_cols)
 
     postings_schema = ("term string, seg_id int, df int, ttf long, "
                        "doc_bytes binary, tf_bytes binary, pos_bytes binary, "
-                       "block_last binary, impact_bytes binary")
+                       "block_last binary, impact_bytes binary"
+                       + (", pay_bytes binary" if has_payloads else ""))
     union = spark.read.parquet(
         *[os.path.join(catalog.segment_dir(s), "postings.parquet") for s in seg_ids])
     # RANGE partition by term (not hash): co-locates each term's ≤K

@@ -96,6 +96,15 @@ class CReqOpt:
 
 
 @dataclass(frozen=True)
+class CPayloadScore:
+    """Compiled PayloadScoreQuery (term-wrapped, includeSpanScore=false):
+    per-doc score = boost × func over the term's position payloads."""
+    term: str
+    func: str = "sum"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class CInterval:
     """Compiled IntervalQuery (reference ``queries/intervals/
     IntervalQuery.java:59``): ``tree`` is the nested-tuple grammar of
@@ -251,6 +260,12 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                 return None
             return CInterval(node.tree, min_extent(node.tree),
                              node.pivot, node.boost)
+        if isinstance(node, Q.PayloadScore):
+            if df_of(node.term) == 0:
+                return None
+            if node.func not in ("min", "max", "sum", "avg"):
+                raise ValueError(f"unknown payload function {node.func!r}")
+            return CPayloadScore(node.term, node.func, node.boost)
         if isinstance(node, Q.CommonTerms):
             import math
             mtf = node.max_term_frequency
@@ -362,6 +377,8 @@ def _compiled_terms(c) -> list[str]:
     if isinstance(c, CInterval):
         from ..functions.intervals import interval_tree_terms
         return list(dict.fromkeys(interval_tree_terms(c.tree)))
+    if isinstance(c, CPayloadScore):
+        return [c.term]
     if isinstance(c, (COr, CAnd, CDisMax)):
         out = []
         for k in c.children:
@@ -401,6 +418,10 @@ class TermSegPostings:
         self.doc_buf = row["doc_bytes"]
         self.tf_buf = row["tf_bytes"]
         self.pos_buf = row["pos_bytes"]
+        # optional payload stream (payload-indexed builds only): raw
+        # little-endian float32, one per position, doc-major
+        self.pay_buf = row.get("pay_bytes") if hasattr(row, "get") \
+            else (row["pay_bytes"] if "pay_bytes" in row else None)
         self.block_last = codec.decode_block_ranges(row["block_last"])
         self.impact_bytes = row["impact_bytes"]
         self.n_blocks = len(self.block_last)
@@ -485,6 +506,13 @@ class TermSegPostings:
                "pos_bytes": self.pos_buf}
         dec = codec.decode_postings(row, with_positions=True)
         return dec.get("positions", np.empty(0, np.int64))
+
+    def payloads(self) -> np.ndarray | None:
+        """Decoded payload floats aligned with repeat(doc_ids, tfs);
+        None when the index carries no payloads."""
+        if self.pay_buf is None:
+            return None
+        return np.frombuffer(self.pay_buf, dtype="<f4")
 
     def block_max_scores(self, weight: np.float32, cache: np.ndarray,
                          sim: Similarity | None = None) -> np.ndarray:
@@ -672,6 +700,38 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
         mask &= ~m_neg
         scores[~mask] = 0.0
         return mask, scores
+    if isinstance(node, CPayloadScore):
+        tp = ctx.tp(node.term)
+        pays = tp.payloads() if tp is not None else None
+        if pays is None:
+            if tp is not None:
+                raise ValueError(
+                    "PayloadScore over an index built without "
+                    "payload_delimiter (no payload stream)")
+            return mask, scores
+        ids, tfs = tp.decode_all()
+        sel = (ids >= lo) & (ids < hi)
+        if not sel.any():
+            return mask, scores
+        bounds = np.concatenate(([0], np.cumsum(tfs)))
+        ids_s, tfs_s = ids[sel], tfs[sel]
+        starts = bounds[:-1][sel]
+        # segmented aggregation over each selected posting's payload run
+        idx = np.repeat(starts, tfs_s) + _run_arange(tfs_s)
+        vals = pays[idx].astype(np.float64)
+        cuts = np.concatenate(([0], np.cumsum(tfs_s)))[:-1]
+        if node.func == "sum":
+            agg = np.add.reduceat(vals, cuts)
+        elif node.func == "max":
+            agg = np.maximum.reduceat(vals, cuts)
+        elif node.func == "min":
+            agg = np.minimum.reduceat(vals, cuts)
+        else:   # avg
+            agg = np.add.reduceat(vals, cuts) / tfs_s
+        s = np.float32(node.boost) * agg.astype(np.float32)
+        mask[ids_s - lo] = True
+        scores[ids_s - lo] = s.astype(np.float64)
+        return mask, scores
     if isinstance(node, CReqOpt):
         mask, scores = _eval_range(node.required, ctx, lo, hi)
         m_opt, s_opt = _eval_range(node.optional, ctx, lo, hi)
@@ -716,6 +776,15 @@ def _phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
     if match.any():
         np.add.at(freqs, first_docs[match] - lo, 1)
     return freqs
+
+
+def _run_arange(lengths: np.ndarray) -> np.ndarray:
+    """Concatenated arange(l) for each run length l — vectorized."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
 
 
 def _clause_pos_keys(terms, ctx: _SegContext, lo: int, hi: int,

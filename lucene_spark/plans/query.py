@@ -347,6 +347,26 @@ class Interval(Query):
     all_terms = scoring_terms
 
 
+@dataclass(frozen=True)
+class PayloadScore(Query):
+    """PayloadScoreQuery over a term (reference ``queries/payloads/
+    PayloadScoreQuery.java:43`` wrapping a SpanTermQuery, with
+    ``includeSpanScore=false``): matches docs containing ``term``;
+    score = boost × payloadFunction over the float payloads at the
+    term's positions (``func`` ∈ min/max/sum/avg — the Min/Max/Sum/
+    AveragePayloadFunction set). Payloads come from index-time
+    DelimitedPayloadTokenFilter parsing (``build_index(
+    payload_delimiter=...)``)."""
+    term: str
+    func: str = "sum"
+    boost: float = 1.0
+
+    def scoring_terms(self):
+        return [self.term]
+
+    all_terms = scoring_terms
+
+
 def rewrite_fixed_point(q: Query, max_iters: int = 8) -> Query:
     """Reference IndexSearcher.rewrite loop (IndexSearcher.java:848-860)."""
     for _ in range(max_iters):

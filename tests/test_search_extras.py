@@ -299,3 +299,47 @@ def test_common_terms_query_all_shapes(searcher, oracle):
                for r in searcher.search(q, k=10).collect()]
         want = [(d, np.float32(s)) for d, s in oracle.top_k(q, k=10)]
         assert got == want, q
+
+
+def test_payload_score_query(spark, tmp_path):
+    """DelimitedPayloadTokenFilter build + PayloadScoreQuery: every token
+    carries a |x.y float payload; min/max/sum/avg per-doc aggregation over
+    the query term's positions matches a brute python recount; payloads
+    survive a merge."""
+    import numpy as np
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.merge import merge_segments
+    from lucene_spark.sources.catalog import SnapshotCatalog
+
+    rng = np.random.default_rng(17)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    docs, truth = [], {}
+    for d in range(60):
+        toks = [vocab[int(rng.integers(len(vocab)))]
+                for _ in range(int(rng.integers(3, 12)))]
+        pays = [float((d + i) % 7) / 2.0 for i in range(len(toks))]
+        docs.append((d, " ".join(f"{t}|{p}" for t, p in zip(toks, pays))))
+        truth[d] = [p for t, p in zip(toks, pays) if t == "beta"]
+    idx = str(tmp_path / "pay")
+    build_index(spark, spark.createDataFrame(docs, "doc_id long, content string"),
+                idx, num_segments=3, payload_delimiter="|",
+                tokenizer="whitespace")
+
+    def check(searcher):
+        for func, agg in [("sum", sum), ("max", max), ("min", min),
+                          ("avg", lambda v: sum(v) / len(v))]:
+            got = {r["doc_id"]: r["score"] for r in
+                   searcher.score_all(Q.PayloadScore("beta", func))
+                   .collect()}
+            want = {d: np.float32(np.float32(1.0)
+                                  * np.float32(float(agg(v))))
+                    for d, v in truth.items() if v}
+            assert got.keys() == want.keys(), func
+            for d in want:
+                assert np.float32(got[d]) == want[d], (func, d)
+
+    check(Searcher(spark, idx))
+    snap = SnapshotCatalog(idx).load()
+    merge_segments(spark, idx, sorted(snap.seg_ids)[:2])
+    check(Searcher(spark, idx))
