@@ -83,6 +83,9 @@ def check_segment(seg_dir: str, seg_id: int,
         if store_positions and row["pos_bytes"]:
             _check(np.all(dec["positions"] >= 0), seg_id,
                    f"{t}: negative position")
+        if "pay_bytes" in postings.columns:
+            _check(len(row["pay_bytes"]) == 4 * int(row["ttf"]), seg_id,
+                   f"{t}: payload stream length != 4 * ttf")
         imps = codec.decode_impacts(row["impact_bytes"], len(bl))
         for pairs in imps:
             for i in range(len(pairs)):       # Pareto frontier dominance
