@@ -114,7 +114,13 @@ def nearest(df: DataFrame, center_lat: float, center_lon: float,
                         center_lon - box_hint, center_lon + box_hint,
                         lat_col, lon_col)
     key = distance_sort_key(center_lat, center_lon, lat_col, lon_col)
-    w = Window.orderBy(F.asc("sort_key"), F.asc(id_col))
-    return (src.select(id_col, lat_col, lon_col, key.alias("sort_key"))
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k))
+    order = [F.asc("sort_key"), F.asc(id_col)]
+    # orderBy().limit(k) plans as TakeOrderedAndProject (partial top-k
+    # per partition, k rows to the merge); the rank window then runs
+    # over only those k rows — never a global single-partition sort
+    topk = (src.select(id_col, lat_col, lon_col, key.alias("sort_key"))
+            .orderBy(*order).limit(k))
+    return (topk.withColumn("rank", F.row_number()
+                            .over(Window.orderBy(*order)))
+            .select(id_col, lat_col, lon_col, "sort_key",
+                    F.col("rank").cast("int").alias("rank")))
