@@ -1616,8 +1616,19 @@ class Searcher:
         return go(compiled)
 
     def count(self, query) -> int:
-        """TotalHitCountCollector analogue — exact match count."""
+        """TotalHitCountCollector analogue — exact match count.
+
+        Constant-time fast path (the reference's ``Weight#count``,
+        ``search/TermQuery.java`` count override): a single-term query
+        over an index with NO deletes answers from the term dictionary's
+        global df — one pushed-predicate stats probe, no postings
+        decode. Everything else runs the per-segment match kernel."""
         from pyspark.sql import functions as F
+        if isinstance(query, str):
+            query = parse_query(query)
+        if isinstance(query, Q.Term) and not self.deletes \
+                and self.term_stats is not None:
+            return self._global_dfs([query.term]).get(query.term, 0)
         compiled, cache = self._compile(query)
         sim = self.similarity
         deletes = self.deletes

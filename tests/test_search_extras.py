@@ -343,3 +343,13 @@ def test_payload_score_query(spark, tmp_path):
     snap = SnapshotCatalog(idx).load()
     merge_segments(spark, idx, sorted(snap.seg_ids)[:2])
     check(Searcher(spark, idx))
+
+
+def test_count_fast_path_matches_kernel(searcher, oracle):
+    """Weight#count: single-term counts answer from the dictionary (no
+    postings decode) and equal the kernel count and the oracle."""
+    for t in ("parse", "flush", "zzz_absent"):
+        assert searcher.count(Q.Term(t)) == len(oracle.score(Q.Term(t)))
+    # non-term queries still route through the kernel
+    q = Q.And((Q.Term("parse"), Q.Term("emit")))
+    assert searcher.count(q) == len(oracle.score(q))
