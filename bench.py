@@ -111,6 +111,12 @@ def main() -> None:
         invert_segment(kpdf, 0, "content", "doc_id", frozenset(), True)
         kbest = min(kbest, time.time() - t0)
     queries["kernel_docs_per_sec_1core"] = round(len(kpdf) / kbest, 1)
+    # host-throttle signal: the same single-core kernel measured 9,623
+    # docs/s under full burst budget (BENCH.md §4). The ratio lets any
+    # reader normalize a throttled run's absolute numbers — the VM's
+    # aggregate CPU cap varies 3-20x across a day (BENCH.md caveat).
+    queries["host_throttle_factor"] = round(
+        9623.0 / max(len(kpdf) / kbest, 1.0), 2)
 
     spark = _session(CPUS)
     warmup_df = spark.createDataFrame(warmup_pdf)
