@@ -135,10 +135,47 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
             np.frombuffer(npdf.iloc[0]["global_doc_ids"], dtype="<i8")[live]
         del npdf
 
+    # sorting merge (reference MergeState.needsIndexSort →
+    # ``index/IndexSorter.java:44`` comparators + the sorting DocIDMerger,
+    # ``index/DocIDMerger.java:97``): when the index carries a sort, the
+    # merged segment must be PHYSICALLY ordered by the key too, or
+    # sorted_top_k's early termination dies at the first merge. Each input
+    # segment is already key-ordered, so the merged order is one stable
+    # merge-sort of the live key streams with the SAME comparator the
+    # build used ((key asc|desc, global doc_id asc), mergesort) — folded
+    # into `remaps` as ABSOLUTE new ids (bases zeroed). Driver holds one
+    # key per live doc (~8-16 B), same max_merged_docs-bounded scale as
+    # the norms/gid arrays it already streams.
+    sort_info = (snap.extra or {}).get("index_sort")
+    if sort_info:
+        field, s_asc = sort_info["field"], bool(sort_info["ascending"])
+        key_parts = []
+        for s in seg_ids:
+            kdf = pd.read_parquet(
+                os.path.join(catalog.segment_dir(s), "doc_meta.parquet"),
+                columns=["local_doc_id", field]).sort_values("local_doc_id")
+            key_parts.append(kdf[field].reset_index(drop=True)[lives[s]])
+        keys_all = pd.concat(key_parts, ignore_index=True)
+        order = (pd.DataFrame({"k": keys_all, "g": merged_gids})
+                 .sort_values(["k", "g"], ascending=[s_asc, True],
+                              kind="mergesort").index.to_numpy())
+        inv = np.empty(n_docs, dtype=np.int64)
+        inv[order] = np.arange(n_docs, dtype=np.int64)
+        merged_norms = merged_norms[order]
+        merged_gids = merged_gids[order]
+        for s in seg_ids:
+            r = remaps[s]
+            m = r >= 0
+            r[m] = inv[r[m] + doc_bases[s]]
+        doc_bases = {s: 0 for s in seg_ids}
+
     bc_norms = spark.sparkContext.broadcast(merged_norms.tobytes())
     bases = dict(doc_bases)
     has_deletes = bool(seg_deletes)
-    bc_remaps = spark.sparkContext.broadcast(remaps) if has_deletes else None
+    # remap table needed whenever new ids aren't plain docBase offsets
+    has_remap = has_deletes or sort_info is not None
+    sorting = sort_info is not None
+    bc_remaps = spark.sparkContext.broadcast(remaps) if has_remap else None
 
     def reencode_partition(batches):
         """One call per term-hash partition: decode every (term, segment)
@@ -203,6 +240,29 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
         new_term[0] = True
         new_term[1:] = term_of_row[1:] != term_of_row[:-1]
         term_ids = np.cumsum(new_term) - 1
+        if sorting and len(ids):
+            # sorting merge: remapped ids follow the index sort key, so a
+            # term's postings from different segments INTERLEAVE — restore
+            # the strictly-ascending-per-term codec invariant with one
+            # lexsort, gathering the token-level streams (positions,
+            # payloads) along via the repeat-offset trick (the sorting
+            # DocIDMerger's priority-queue role, vectorized)
+            row_ids = np.repeat(np.arange(len(pdf)), row_lens)
+            post_term = term_ids[row_ids]
+            ord_ = np.lexsort((ids, post_term))
+            if store_positions or has_payloads:
+                tok_starts = np.concatenate(
+                    ([0], np.cumsum(tfs)))[:-1]
+                new_tok_starts = np.concatenate(
+                    ([0], np.cumsum(tfs[ord_])))[:-1]
+                gather = (np.repeat(tok_starts[ord_] - new_tok_starts,
+                                    tfs[ord_])
+                          + np.arange(int(tfs.sum()), dtype=np.int64))
+                if store_positions:
+                    pos = pos[gather]
+                if pay is not None:
+                    pay = pay[gather]
+            ids, tfs = ids[ord_], tfs[ord_]
         term_tot = np.bincount(term_ids, weights=row_lens).astype(np.int64)
         term_row_starts = np.nonzero(new_term)[0]
         alive = term_tot > 0
@@ -253,7 +313,7 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     # inner join on the live remap table when tombstones exist)
     metas = spark.read.parquet(
         *[os.path.join(catalog.segment_dir(s), "doc_meta.parquet") for s in seg_ids])
-    if has_deletes:
+    if has_remap:
         rparts = []
         for s in seg_ids:
             remap = remaps[s]
@@ -344,12 +404,9 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     # its own postings (Σ ttf), so synonym-overlap indexes stay exact
     field_stats = dict(snap.field_stats)
     extra = dict(snap.extra or {})
-    # a merged segment concatenates docBase ranges, so it is NOT ordered
-    # by the index sort key — drop the flag rather than let sorted_top_k
-    # silently return wrong prefixes (the reference performs a sorting
-    # merge via MergeState/IndexSorter; a distributed sorted merge is the
-    # corresponding future seam here)
-    extra.pop("index_sort", None)
+    # index_sort SURVIVES the merge: the permutation above ordered the
+    # merged segment by the key (sorting merge, MergeState/IndexSorter),
+    # so sorted_top_k keeps early-terminating across generations
     field_stats["doc_count"] = int(sum(s2["num_docs"]
                                        for s2 in new_segments))
     field_stats["sum_total_term_freq"] = int(sum(

@@ -217,27 +217,53 @@ def test_multi_searcher(spark, corpus, oracle):
                                       - gone)
 
 
-def test_merge_drops_index_sort_flag(spark, tmp_path):
-    """A merged segment is docBase-concatenated, not key-ordered — the
-    snapshot must drop index_sort so sorted_top_k refuses instead of
-    returning wrong prefixes."""
-    import pytest
+def test_sorting_merge_preserves_index_sort(spark, tmp_path):
+    """Sorting merge (MergeState/IndexSorter): merging sorted segments
+    keeps the merged segment physically key-ordered, so index_sort
+    survives and sorted_top_k stays early-terminating; BM25 scores are
+    unchanged (local order is score-invariant); CheckIndex's
+    strictly-ascending-per-term invariant holds on the re-sorted
+    postings; tombstoned docs are purged from the merged order."""
+    from lucene_spark.operators.checkindex import check_index
+    from lucene_spark.operators.delete import delete_by_term
+    from lucene_spark.plans import query as Q
 
-    from lucene_spark.operators.build import build_index
-    from lucene_spark.operators.merge import merge_segments
-    from lucene_spark.operators.search import Searcher
-    from lucene_spark.sources.catalog import SnapshotCatalog
-    from lucene_spark.sources.corpus import generate_corpus
-
-    corpus = generate_corpus(80, seed=5)
-    corpus["n_chars"] = corpus.content.str.len()
+    corpus2 = generate_corpus(90, seed=5)
+    corpus2 = corpus2.assign(n_chars=corpus2.content.str.len())
     d = str(tmp_path / "srt")
-    build_index(spark, spark.createDataFrame(corpus), d, num_segments=4,
+    build_index(spark, spark.createDataFrame(corpus2), d, num_segments=4,
                 sort_field="n_chars", sort_ascending=False)
-    assert Searcher(spark, d).sorted_top_k(3).count() == 3
+    full_oracle = OracleIndex.build(
+        list(zip(corpus2.doc_id, corpus2.content)))
+    gone = set(full_oracle.score(parse("flush")))
+    assert gone   # the delete must actually hit something
+    delete_by_term(spark, d, "flush")
     snap = SnapshotCatalog(d).load()
-    merge_segments(spark, d, sorted(snap.seg_ids)[:2])
+    merge_segments(spark, d, sorted(snap.seg_ids)[:3])
     s2 = Searcher(spark, d)
-    assert "index_sort" not in (s2.snapshot.extra or {})
-    with pytest.raises(ValueError, match="sort_field"):
-        s2.sorted_top_k(3)
+    assert "index_sort" in (s2.snapshot.extra or {})
+    check_index(d)
+    live = corpus2[~corpus2.doc_id.isin(gone)]
+    want = [(int(r.doc_id), int(r.n_chars)) for r in
+            live.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True])
+            .head(7).itertuples()]
+    got = [(r["doc_id"], r["n_chars"])
+           for r in s2.sorted_top_k(7).collect()]
+    assert got == want
+    # second-generation merge (merged + fresh segment): stays sorted,
+    # purges the remaining tombstones so stats equal the live corpus
+    merge_segments(spark, d, sorted(SnapshotCatalog(d).load().seg_ids))
+    s3 = Searcher(spark, d)
+    assert "index_sort" in (s3.snapshot.extra or {})
+    check_index(d)
+    assert [(r["doc_id"], r["n_chars"])
+            for r in s3.sorted_top_k(7).collect()] == want
+    live_oracle = OracleIndex.build(
+        list(zip(live.doc_id, live.content)))
+    q = Q.Or((Q.Term("parse"), Q.Term("emit")))
+    got_s = [(r["doc_id"], np.float32(r["score"]))
+             for r in s3.search(q, k=10).collect()]
+    want_s = [(doc, np.float32(sc))
+              for doc, sc in live_oracle.top_k(q, k=10)]
+    assert got_s == want_s
