@@ -63,8 +63,12 @@ def plan_merges(segments: list[dict], segs_per_tier: int = 10,
 
 
 def merge_segments(spark, index_dir: str, seg_ids: list[int],
-                   new_seg_id: int | None = None):
-    """Merge ``seg_ids`` into one new segment; returns the new Snapshot."""
+                   new_seg_id: int | None = None, _commit_lock=None):
+    """Merge ``seg_ids`` into one new segment; returns the new Snapshot.
+
+    ``_commit_lock`` (used by :func:`maintain` with ``max_concurrent>1``)
+    serializes the commit section when several merges run as parallel
+    Spark jobs from scheduler threads."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
@@ -390,49 +394,78 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
         shutil.rmtree(tmp, ignore_errors=True)
         raise
 
-    new_segments = [s for s in snap.segments if s["seg_id"] not in set(seg_ids)]
-    new_segments.append(stats)
-    new_segments.sort(key=lambda s: s["seg_id"])
-    next_id = snap.snapshot_id + 1
-    ts_path = compute_term_stats(
-        spark, catalog, [s["seg_id"] for s in new_segments],
-        os.path.join(index_dir, "term_stats", f"gen-{next_id}"))
-    # purged deletes leave the tombstone set and the collection stats
-    # recompute EXACTLY from the surviving segments' lineage (Lucene
-    # rebuilds docCount/sumTotalTermFreq from segment metadata once
-    # merges drop docs) — the merged segment's token count comes from
-    # its own postings (Σ ttf), so synonym-overlap indexes stay exact
-    field_stats = dict(snap.field_stats)
-    extra = dict(snap.extra or {})
-    # index_sort SURVIVES the merge: the permutation above ordered the
-    # merged segment by the key (sorting merge, MergeState/IndexSorter),
-    # so sorted_top_k keeps early-terminating across generations
-    field_stats["doc_count"] = int(sum(s2["num_docs"]
-                                       for s2 in new_segments))
-    field_stats["sum_total_term_freq"] = int(sum(
-        s2.get("sum_token_len", s2["sum_doc_len"]) for s2 in new_segments))
-    # carry the surviving tombstones forward DISTRIBUTED: filter the
-    # previous tombstone table by segment on executors and write the next
-    # generation's table the same way — the driver never holds the full
-    # delete set (it only read the merged segments' slice above)
-    rel_prev = (snap.extra or {}).get("deletes")
-    if rel_prev:
-        from .delete import write_tombstone_table
-        prev_path = rel_prev if os.path.isabs(rel_prev) \
-            else os.path.join(catalog.root, rel_prev)
-        rem_df = (spark.read.parquet(prev_path)
-                  .filter(~F.col("seg_id")
-                          .isin([int(s) for s in seg_ids])))
-        rel, count = write_tombstone_table(spark, catalog, next_id, rem_df)
-        if count:
-            extra["deletes"] = rel
-            extra["num_deleted"] = count
-        else:
-            shutil.rmtree(os.path.join(catalog.root, rel),
-                          ignore_errors=True)
-            extra.pop("deletes", None)
-            extra["num_deleted"] = 0
-    return catalog.commit(new_segments, field_stats, ts_path, extra=extra)
+    return _commit_merge(spark, catalog, index_dir, seg_ids, stats,
+                         lock=_commit_lock)
+
+
+def _commit_merge(spark, catalog, index_dir: str, seg_ids: list[int],
+                  stats: dict, lock=None):
+    """Publish a built merged segment: swap ``seg_ids`` for the new
+    segment in the CURRENT snapshot and commit one generation.
+
+    The snapshot is RE-LOADED here (under ``lock`` when merges run
+    concurrently) rather than reusing the one pinned at merge start —
+    the commit-time view may already contain other merges' results
+    (ConcurrentMergeScheduler's model: merge work is concurrent, commits
+    serialize under IndexWriter's lock; reference
+    ``index/ConcurrentMergeScheduler.java:64``,
+    ``index/IndexWriter.java:3849``). Safe because concurrent merges
+    operate on DISJOINT segment sets (plan_merges pops segments), so
+    each swap is independent of commit order."""
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    with (lock if lock is not None else contextlib.nullcontext()):
+        snap = catalog.load()
+        new_segments = [s for s in snap.segments
+                        if s["seg_id"] not in set(seg_ids)]
+        new_segments.append(stats)
+        new_segments.sort(key=lambda s: s["seg_id"])
+        next_id = snap.snapshot_id + 1
+        ts_path = compute_term_stats(
+            spark, catalog, [s["seg_id"] for s in new_segments],
+            os.path.join(index_dir, "term_stats", f"gen-{next_id}"))
+        # purged deletes leave the tombstone set and the collection stats
+        # recompute EXACTLY from the surviving segments' lineage (Lucene
+        # rebuilds docCount/sumTotalTermFreq from segment metadata once
+        # merges drop docs) — the merged segment's token count comes from
+        # its own postings (Σ ttf), so synonym-overlap indexes stay exact
+        field_stats = dict(snap.field_stats)
+        extra = dict(snap.extra or {})
+        # index_sort SURVIVES the merge: the permutation above ordered
+        # the merged segment by the key (sorting merge, MergeState/
+        # IndexSorter), so sorted_top_k keeps early-terminating across
+        # generations
+        field_stats["doc_count"] = int(sum(s2["num_docs"]
+                                           for s2 in new_segments))
+        field_stats["sum_total_term_freq"] = int(sum(
+            s2.get("sum_token_len", s2["sum_doc_len"])
+            for s2 in new_segments))
+        # carry the surviving tombstones forward DISTRIBUTED: filter the
+        # previous tombstone table by segment on executors and write the
+        # next generation's table the same way — the driver never holds
+        # the full delete set (it only read the merged segments' slice)
+        rel_prev = (snap.extra or {}).get("deletes")
+        if rel_prev:
+            from .delete import write_tombstone_table
+            prev_path = rel_prev if os.path.isabs(rel_prev) \
+                else os.path.join(catalog.root, rel_prev)
+            rem_df = (spark.read.parquet(prev_path)
+                      .filter(~F.col("seg_id")
+                              .isin([int(s) for s in seg_ids])))
+            rel, count = write_tombstone_table(spark, catalog, next_id,
+                                               rem_df)
+            if count:
+                extra["deletes"] = rel
+                extra["num_deleted"] = count
+            else:
+                shutil.rmtree(os.path.join(catalog.root, rel),
+                              ignore_errors=True)
+                extra.pop("deletes", None)
+                extra["num_deleted"] = 0
+        return catalog.commit(new_segments, field_stats, ts_path,
+                              extra=extra)
 
 
 def add_indexes(spark, dest_dir: str, src_dir: str):
@@ -520,18 +553,46 @@ def add_indexes(spark, dest_dir: str, src_dir: str):
 
 
 def maintain(spark, index_dir: str, segs_per_tier: int = 10,
-             max_merge_at_once: int = 10):
+             max_merge_at_once: int = 10, max_concurrent: int = 1):
     """Run tiered merges until the segment count fits the tier policy
-    (ConcurrentMergeScheduler role, minus the background threads — each
-    merge is its own Spark job)."""
+    (ConcurrentMergeScheduler, reference
+    ``index/ConcurrentMergeScheduler.java:64``: maxMergeCount worker
+    threads pull merges off the pending queue while the writer holds the
+    index lock).
+
+    ``max_concurrent > 1`` runs each planned round's merges as PARALLEL
+    Spark jobs from scheduler threads — sound because one round's merges
+    cover disjoint segment sets, heavy work (decode/re-encode shuffles,
+    segment-dir writes) is embarrassingly job-parallel, and commits
+    serialize on a lock with a commit-time snapshot re-read (so each
+    commit swaps its own inputs against the LATEST generation, whatever
+    order siblings landed in). New seg ids are pre-allocated per round
+    to keep the final segment layout identical to the sequential
+    schedule. Single-writer contract unchanged: no other writer
+    (deletes/appends) may run concurrently with maintain — same rule as
+    the reference's one-IndexWriter lock."""
     catalog = SnapshotCatalog(index_dir)
+    snap = catalog.load()
     while True:
-        snap = catalog.load()
         merges = plan_merges(snap.segments, segs_per_tier, max_merge_at_once)
         if not merges:
             return snap
-        for batch in merges:
-            snap = merge_segments(spark, index_dir, batch)
+        if max_concurrent <= 1 or len(merges) == 1:
+            for batch in merges:
+                snap = merge_segments(spark, index_dir, batch)
+            continue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        lock = threading.Lock()
+        next_id = max(snap.seg_ids) + 1
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            futs = [pool.submit(merge_segments, spark, index_dir, batch,
+                                new_seg_id=next_id + i, _commit_lock=lock)
+                    for i, batch in enumerate(merges)]
+            for f in futs:
+                f.result()   # surface the first failure
+        snap = catalog.load()
 
 
 def force_merge(spark, index_dir: str, max_segments: int = 1,

@@ -267,3 +267,26 @@ def test_sorting_merge_preserves_index_sort(spark, tmp_path):
     want_s = [(doc, np.float32(sc))
               for doc, sc in live_oracle.top_k(q, k=10)]
     assert got_s == want_s
+
+
+def test_concurrent_merge_scheduler(spark, corpus, oracle):
+    """ConcurrentMergeScheduler: a round's disjoint merges run as
+    parallel Spark jobs; serialized commit-time snapshot re-reads make
+    the final segment layout identical to the sequential schedule, and
+    results/stats stay oracle-exact."""
+    import tempfile
+
+    from lucene_spark.operators.checkindex import check_index
+
+    d = tempfile.mkdtemp(prefix="cms_idx_")
+    snap = build_index(spark, spark.createDataFrame(corpus), d,
+                       num_segments=24)
+    assert len(snap.seg_ids) == 24
+    snap2 = maintain(spark, d, segs_per_tier=10, max_merge_at_once=10,
+                     max_concurrent=3)
+    assert len(snap2.seg_ids) <= 10
+    # both concurrent merges committed (neither generation lost)
+    origins = [s for s in snap2.segments if s.get("origin") == "merge"]
+    assert len(origins) == 2
+    check_index(d)
+    _assert_parity(Searcher(spark, d), oracle)
