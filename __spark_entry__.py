@@ -185,6 +185,55 @@ def _q_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.PayloadScore(T_COMMON, "sum"), k=10))
 
 
+def _searcher_dv(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index carrying a numeric docvalues column (``n_chars``) with one
+    committed ``updateNumericDocValue(Term('dup'), n_chars, 5000)`` —
+    in-place field update without reindexing (reference
+    ``index/BufferedUpdates.java:63``); readers overlay the update
+    generation, merges bake it (tests/test_docvalues.py)."""
+    import shutil
+    key = os.path.abspath(sf_dir)
+    tag = hashlib.md5(f"{_INDEX_VERSION}:dv:{key}".encode()).hexdigest()[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_dvx_{tag}")
+    if not os.path.exists(idx):
+        from lucene_spark.operators.docvalues import update_numeric_docvalue
+        tmp = idx + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"), "n_chars")
+        build_index(spark, docs, tmp, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True)
+        update_numeric_docvalue(spark, tmp, T_RARE, "n_chars", 5000)
+        os.rename(tmp, idx)
+    return Searcher(spark, idx)
+
+
+def _q_docvalues_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolved per-doc docvalues after the update: overlay value for
+    docs containing the update term, base column elsewhere."""
+    s = _searcher_dv(spark, sf_dir)
+    return s.docvalues("n_chars").select(
+        "doc_id", F.col("value").cast("long").alias("dv"))
+
+
+def _q_function_score_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionScoreQuery reading an UPDATED numeric docvalue: the
+    expression sees post-update values (the reference's
+    LongValuesSource.fromLongField resolves through update gens)."""
+    s = _searcher_dv(spark, sf_dir)
+    dv = s.docvalues("n_chars").select("doc_id", "value")
+    raw = (F.col("score").cast("double")
+           + F.lit(0.1) * F.log(F.lit(1.0) + F.col("value").cast("double")))
+    scored = (s.score_all(Q.Term(T_COMMON)).join(dv, "doc_id")
+              .withColumn("raw", raw))
+    w = Window.orderBy(F.desc("raw"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    _q4(F.col("raw")).alias("fscore_q4")))
+
+
 def _q4(col, scale: int = 10000):
     """floor(x·scale) as long — engine-independent fixed-point projection
     of a double. (Spark's round() rounds the shortest-decimal repr via
@@ -1816,6 +1865,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_path_counts": _q_facet_paths,
         "sorted_index_topk": _q_sorted_index_topk,
         "payload_score_top10": _q_payload_score,
+        "docvalues_updated": _q_docvalues_updated,
+        "function_score_updated_top10": _q_function_score_updated,
         "geo_box_count": _q_geo_box,
         "geo_nearest_top10": _q_geo_nearest,
         "geo_distance_count": _q_geo_distance_count,
@@ -1915,6 +1966,7 @@ _PRIORITY = [
     "payload_score_top10",
     "facet_path_counts",
     "drill_down_path",
+    "docvalues_updated", "function_score_updated_top10",
 ]
 
 
@@ -1988,6 +2040,36 @@ FROM (SELECT t.doc_id,
                         + CAST(0.1 AS DOUBLE) * ln(1 + CAST(d.n_chars AS DOUBLE))
                         DESC, t.doc_id ASC) AS rnk
       FROM ts t JOIN documents d ON d.doc_id = t.doc_id)
+WHERE rnk <= 10""",
+        "docvalues_updated": f"""
+WITH hit AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term = '{T_RARE}'
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN h.doc_id IS NOT NULL THEN 5000 ELSE d.n_chars END
+            AS BIGINT) AS dv
+FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id""",
+        "function_score_updated_top10":
+            _PRELUDE + ", " + _tscore_cte("ts", T_COMMON) + f""",
+hit AS (SELECT DISTINCT doc_id FROM tok WHERE term = '{T_RARE}'),
+dv AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN h.doc_id IS NOT NULL THEN 5000 ELSE d.n_chars END
+              AS DOUBLE) AS v
+  FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
+)
+SELECT doc_id, CAST(rnk AS INT) AS rank,
+       CAST(floor(fscore * 10000) AS BIGINT) AS fscore_q4
+FROM (SELECT t.doc_id,
+             CAST(t.s AS DOUBLE) + CAST(0.1 AS DOUBLE) * ln(1 + dv.v)
+                   AS fscore,
+             row_number() OVER (
+               ORDER BY CAST(t.s AS DOUBLE) + CAST(0.1 AS DOUBLE)
+                        * ln(1 + dv.v) DESC, t.doc_id ASC) AS rnk
+      FROM ts t JOIN dv ON dv.doc_id = t.doc_id)
 WHERE rnk <= 10""",
         "bm25_prefix_scored_top10": _prefix_scored_sql("du", T_COMMON),
         "bm25_msm2_top10": _msm_sql(T_A, T_B, SYN_A, 2),

@@ -317,6 +317,11 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     # inner join on the live remap table when tombstones exist)
     metas = spark.read.parquet(
         *[os.path.join(catalog.segment_dir(s), "doc_meta.parquet") for s in seg_ids])
+    # numeric DocValues updates BAKE at merge (SegmentMerger reads the
+    # updated reader view): overlay values overwrite the base columns
+    # before the remap, so the merged segment needs no overlay rows
+    from .docvalues import bake_updates
+    metas = bake_updates(spark, catalog, snap, metas, seg_ids)
     if has_remap:
         rparts = []
         for s in seg_ids:
@@ -464,6 +469,16 @@ def _commit_merge(spark, catalog, index_dir: str, seg_ids: list[int],
                               ignore_errors=True)
                 extra.pop("deletes", None)
                 extra["num_deleted"] = 0
+        # DocValues-update overlay: merged segments' rows were baked into
+        # the merged doc_meta; surviving segments' rows carry forward
+        # (distributed filter-and-rewrite, like the tombstones above).
+        # A dv update committed between merge start and this commit is
+        # carried for surviving segments but lost for the merged ones —
+        # updates and merges of the same segments serialize in practice
+        # (same commit lock); documented limitation of the async path.
+        if (snap.extra or {}).get("dv_updates"):
+            from .docvalues import carry_updates
+            carry_updates(spark, catalog, snap, extra, seg_ids, next_id)
         return catalog.commit(new_segments, field_stats, ts_path,
                               extra=extra)
 

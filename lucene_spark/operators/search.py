@@ -1076,6 +1076,16 @@ class Searcher:
         self._filter_cache_max = 32
         self.cache_hits = 0
 
+    # -- docvalues ---------------------------------------------------------
+    def docvalues(self, field: str):
+        """Resolved numeric docvalues for ``field`` as ``(seg_id,
+        local_doc_id, doc_id, value)`` — the base doc_meta column overlaid
+        with committed ``updateNumericDocValue`` generations
+        (``index/ReadersAndUpdates.java:287`` reader-side resolution)."""
+        from .docvalues import read_docvalues
+        return read_docvalues(self.spark, self.catalog, self.snapshot,
+                              self.doc_meta, field)
+
     # -- stats -------------------------------------------------------------
     def _global_dfs(self, terms: list[str]) -> dict[str, int]:
         if not terms:
