@@ -1346,6 +1346,23 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _q4(F.col("cos")).alias("cos_q4"))
 
 
+def _q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard HNSW ANN (Lucene's per-segment HNSW graphs,
+    util/hnsw/HnswGraphBuilder.java:58 / HnswGraphSearcher.java:33):
+    graph beam search gathers candidates per shard; candidates are
+    rescored with the shared Catalyst cosine and merged by one global
+    top-k. With ef ≥ shard size the beam is an exhaustive component walk
+    — exact at this scale, so the oracle is brute-force cosine; recall
+    at production ef is differential-tested (tests/test_hnsw.py)."""
+    from lucene_spark.pipeline.hnsw import build_hnsw, hnsw_topk
+    emb = _emb(spark, sf_dir)
+    graph = build_hnsw(emb, num_shards=4, M=16, ef_construction=100)
+    res = hnsw_topk(graph, emb.where(F.col("vec_id") < 20), k=5,
+                    ef=400, M=16)
+    return res.select("query_id", "neighbor_id", "rank",
+                      _q4(F.col("cos")).alias("cos_q4"))
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     res = simsearch.lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 20),
@@ -1932,6 +1949,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "embed_cosine_topk": _q_cosine_topk,
         "embed_lsh_topk": _q_lsh_topk,
+        "embed_hnsw_topk": _q_hnsw_topk,
         "embed_ivf_topk": _q_ivf_topk,
         "embed_ivf_full_topk": _q_ivf_full_topk,
         "knn_filtered_topk": _q_knn_filtered,
@@ -1967,6 +1985,7 @@ _PRIORITY = [
     "facet_path_counts",
     "drill_down_path",
     "docvalues_updated", "function_score_updated_top10",
+    "embed_hnsw_topk",
 ]
 
 
@@ -2407,6 +2426,7 @@ persc AS (
 orsc AS (SELECT doc_id, CAST(SUM(ps) AS FLOAT) AS s
          FROM persc GROUP BY doc_id)""" + _topk_sql("orsc", 10),
         "embed_cosine_topk": _cosine_sql(20, 5),
+        "embed_hnsw_topk": _cosine_sql(20, 5),
         "embed_ivf_full_topk": _cosine_sql(20, 5),
         "knn_filtered_topk": _cosine_filtered_sql(20, 5, (T_RARE, SYN_A)),
         "dedup_embed_cosine": """
