@@ -1588,6 +1588,30 @@ def _q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                        _q4(F.col("score")).alias("score_q4"), "n_children"))
 
 
+def _q_block_join_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToChildBlockJoinQuery: children of parents (doc_id % 5 == 4) that
+    match the query; each child carries exactly its parent's score."""
+    s = _searcher(spark, sf_dir)
+    parents = _docs(spark, sf_dir).select("doc_id") \
+        .where(F.col("doc_id") % 5 == 4)
+    res = facets.to_child_block_join(s, Q.Term(T_COMMON), parents)
+    w = Window.orderBy(F.desc("score"), F.asc("parent_id"), F.asc("doc_id"))
+    return (res.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= 20)
+               .select("doc_id", "parent_id",
+                       F.col("rank").cast("int").alias("rank"),
+                       _q4(F.col("score")).alias("score_q4")))
+
+
+def _q_assoc_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TaxonomyFacetSumIntAssociations: per-lang SUM of n_chars over the
+    match set instead of a doc count."""
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return facets.sum_association_facets(s, Q.Term(T_RARE), docs,
+                                         "lang", "n_chars")
+
+
 def _q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search (KnnFloatVectorQuery(filter) role): the
     BM25 engine's match set for a boolean filter restricts the IVF
@@ -1891,6 +1915,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field": _q_sort_by_field,
         "query_join": _q_join,
         "block_join_topk": _q_block_join,
+        "block_join_children_topk": _q_block_join_children,
+        "assoc_facet_sum": _q_assoc_facets,
         # --- merge / incremental build inside the gate ---
         "lmd_term_top10": _q_lmd_term,
         "bm25_deleted_top10": _q_deleted_top10,
@@ -1986,6 +2012,7 @@ _PRIORITY = [
     "drill_down_path",
     "docvalues_updated", "function_score_updated_top10",
     "embed_hnsw_topk",
+    "block_join_children_topk", "assoc_facet_sum",
 ]
 
 
@@ -2240,6 +2267,28 @@ SELECT parent_id, CAST(rnk AS INT) AS rank,
 FROM (SELECT *, row_number() OVER (ORDER BY score DESC, parent_id ASC)
              AS rnk FROM bj)
 WHERE rnk <= 10""",
+        "block_join_children_topk": _PRELUDE + ", "
+        + _tscore_cte("ts", T_COMMON) + f""",
+pj AS (SELECT t.doc_id AS parent_id, CAST(t.s AS FLOAT) AS score
+       FROM ts t WHERE t.doc_id % 5 = 4),
+cj AS (SELECT d.doc_id, (d.doc_id - (d.doc_id % 5) + 4) AS parent_id
+       FROM documents d WHERE d.doc_id % 5 <> 4)
+SELECT doc_id, parent_id, CAST(rnk AS INT) AS rank,
+       CAST(floor(CAST(score AS DOUBLE) * 10000) AS BIGINT) AS score_q4
+FROM (SELECT cj.doc_id, cj.parent_id, pj.score,
+             row_number() OVER (ORDER BY pj.score DESC,
+                                cj.parent_id ASC, cj.doc_id ASC) AS rnk
+      FROM cj JOIN pj USING (parent_id))
+WHERE rnk <= 20""",
+        "assoc_facet_sum": f"""
+SELECT d.lang AS lang, CAST(sum(d.n_chars) AS BIGINT) AS assoc_sum,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) t
+      WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}')
+GROUP BY 1""",
         "bm25_after_merge_top10": _term_topk_sql(T_COMMON),
         "bm25_incremental_top10": _term_topk_sql(T_COMMON),
         "segment_lineage": f"""

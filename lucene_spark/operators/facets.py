@@ -166,7 +166,23 @@ def to_parent_block_join(searcher, child_query, parents_df: DataFrame,
     if agg is None:
         raise ValueError(f"unknown score_mode {score_mode!r}")
     child_scores = searcher.score_all(child_query)
+    iv = _parent_intervals(parents_df, doc_id_col, bucket)
+    ch = child_scores.withColumn("b",
+                                 F.floor(F.col(doc_id_col) / bucket))
+    joined = (ch.join(iv, on="b")
+                .where((F.col(doc_id_col) >= F.col("start"))
+                       & (F.col(doc_id_col) < F.col("parent_id"))))
+    return (joined.groupBy("parent_id")
+            .agg(agg.cast("float").alias("score"),
+                 F.count("*").cast("int").alias("n_children")))
 
+
+def _parent_intervals(parents_df: DataFrame, doc_id_col: str,
+                      bucket: int) -> DataFrame:
+    """Block intervals (parent_id, start, b) from the parent id list —
+    the addDocuments block contract: children occupy (previous parent,
+    parent). Bucketed by ``bucket``-sized id ranges for the range join;
+    shared by the to-parent and to-child block joins."""
     ranged = (parents_df.select(F.col(doc_id_col).alias("parent_id"))
               .repartitionByRange(F.col("parent_id"))
               .sortWithinPartitions("parent_id"))
@@ -214,17 +230,58 @@ def to_parent_block_join(searcher, child_query, parents_df: DataFrame,
     iv = (tagged.mapInPandas(_with_starts, "parent_id long, start long")
           .localCheckpoint(eager=True))
     tagged.unpersist()
-    iv = iv.withColumn(
+    return iv.withColumn(
         "b", F.explode(F.sequence(F.floor(F.col("start") / bucket),
                                   F.floor(F.col("parent_id") / bucket))))
-    ch = child_scores.withColumn("b",
-                                 F.floor(F.col(doc_id_col) / bucket))
-    joined = (ch.join(iv, on="b")
-                .where((F.col(doc_id_col) >= F.col("start"))
-                       & (F.col(doc_id_col) < F.col("parent_id"))))
-    return (joined.groupBy("parent_id")
-            .agg(agg.cast("float").alias("score"),
-                 F.count("*").cast("int").alias("n_children")))
+
+
+def to_child_block_join(searcher, parent_query, parents_df: DataFrame,
+                        doc_id_col: str = "doc_id",
+                        bucket: int = 1024) -> DataFrame:
+    """ToChildBlockJoinQuery (reference ``lucene/join/.../
+    ToChildBlockJoinQuery.java:43``): match every CHILD document whose
+    parent matches ``parent_query``; each child scores exactly its
+    parent's score (the reference's ToChildBlockJoinScorer propagates
+    parentScore to the block's children).
+
+    Same block contract and interval machinery as
+    :func:`to_parent_block_join` (children occupy (previous parent,
+    parent)); the parent match set is the query's scored docs
+    semi-restricted to the parent id list, children come from the
+    reader's doc universe via the bucketed range join — no broadcast of
+    either side required.
+
+    Output: (doc_id child, parent_id, score float).
+    """
+    iv = _parent_intervals(parents_df, doc_id_col, bucket)
+    pscores = (searcher.score_all(parent_query)
+               .select(F.col(doc_id_col).alias("parent_id"), "score"))
+    iv = iv.join(pscores, "parent_id")
+    ch = (searcher.doc_meta.select(F.col(doc_id_col))
+          .withColumn("b", F.floor(F.col(doc_id_col) / bucket)))
+    return (ch.join(iv, on="b")
+            .where((F.col(doc_id_col) >= F.col("start"))
+                   & (F.col(doc_id_col) < F.col("parent_id")))
+            .select(doc_id_col, "parent_id",
+                    F.col("score").cast("float").alias("score")))
+
+
+def sum_association_facets(searcher, query, dims_df: DataFrame,
+                           dim_col: str, assoc_col: str,
+                           doc_id_col: str = "doc_id") -> DataFrame:
+    """TaxonomyFacetSumIntAssociations /
+    TaxonomyFacetSumFloatAssociations role (reference ``lucene/facet/
+    .../taxonomy/TaxonomyFacetSumIntAssociations.java:29``): per facet
+    label, SUM a per-doc association value over the query's match set
+    (instead of counting docs). One semi-join + one map-side-combined
+    groupBy, like :func:`facet_counts`."""
+    matched = searcher.matching_docs(query)
+    return (matched
+            .join(dims_df.select(doc_id_col, dim_col, assoc_col),
+                  doc_id_col)
+            .groupBy(dim_col)
+            .agg(F.sum(F.col(assoc_col).cast("long")).alias("assoc_sum"),
+                 F.count("*").alias("cnt")))
 
 
 def query_join(searcher, from_query, from_df: DataFrame, from_key: str,

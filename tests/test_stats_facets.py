@@ -210,3 +210,48 @@ def test_facet_path_counts_and_drill_down(spark, searcher, corpus, oracle):
     got_children = {r["child"]: r["cnt"] for r in facets.drill_down_path(
         searcher, Q.Term("parse"), dims, "path", top).collect()}
     assert got_children == want_children
+
+
+def test_to_child_block_join(spark, searcher, corpus, oracle):
+    """ToChildBlockJoinQuery: every child of a matching parent comes back
+    carrying exactly its parent's score (ToChildBlockJoinScorer's
+    parentScore propagation)."""
+    import numpy as np
+
+    doc_ids = sorted(corpus.doc_id)
+    parents = [d for d in doc_ids if d % 5 == 4]
+    pdf = spark.createDataFrame([(int(p),) for p in parents], "doc_id long")
+    pscores = oracle.score(Q.Term("parse"))
+    parr = np.asarray(parents)
+    want: dict[int, tuple[int, np.float32]] = {}
+    for c in doc_ids:
+        if c % 5 == 4:
+            continue
+        i = int(np.searchsorted(parr, c))
+        if i >= len(parr):
+            continue
+        p = int(parr[i])
+        if p in pscores:
+            want[c] = (p, np.float32(pscores[p]))
+    out = {r["doc_id"]: (r["parent_id"], np.float32(r["score"]))
+           for r in facets.to_child_block_join(
+               searcher, Q.Term("parse"), pdf, bucket=8).collect()}
+    assert out == want
+
+
+def test_sum_association_facets(spark, searcher, corpus, oracle):
+    """TaxonomyFacetSumIntAssociations: per-label SUM of a per-doc
+    association value over the match set (not a doc count)."""
+    docs = spark.createDataFrame(
+        corpus.assign(clen=corpus.content.str.len().astype("int64"))
+        [["doc_id", "lang", "clen"]])
+    got = {r["lang"]: (r["assoc_sum"], r["cnt"]) for r in
+           facets.sum_association_facets(searcher, Q.Term("parse"), docs,
+                                         "lang", "clen").collect()}
+    matched = set(oracle.score(Q.Term("parse")))
+    want: dict[str, list[int]] = {}
+    for _, row in corpus.iterrows():
+        if row.doc_id in matched:
+            s, n = want.get(row.lang, (0, 0))
+            want[row.lang] = (s + len(row.content), n + 1)
+    assert got == want
