@@ -133,6 +133,11 @@ geo AS (SELECT doc_id,
 
 _GEO_CENTER = (12.5, -33.25)
 _GEO_BOX = (-10.0, 40.0, -60.0, 10.0)   # min_lat, max_lat, min_lon, max_lon
+# pentagon + triangular hole (even-odd rule); vertices off the 0.01
+# coordinate grid so no point lies exactly on an edge
+_GEO_POLY = [[(-20.137, -70.211), (45.313, -55.107), (38.271, 5.733),
+              (-5.431, 12.377), (-30.913, -40.529)],
+             [(-18.617, -37.413), (-13.231, -35.917), (-15.819, -29.713)]]
 
 
 def _q_geo_box(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,6 +161,15 @@ def _q_geo_distance_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _geo_docs(spark, sf_dir)
     return (distance_query(g, _GEO_CENTER[0], _GEO_CENTER[1], 25.0)
             .agg(F.count("*").cast("bigint").alias("cnt")))
+
+
+def _q_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LatLonPoint.newPolygonQuery: docs inside a pentagon with a
+    triangular hole (even-odd crossing rule, bbox prefilter pushed to
+    the scan)."""
+    from lucene_spark.operators.geo import polygon_query
+    g = _geo_docs(spark, sf_dir)
+    return polygon_query(g, _GEO_POLY).select("doc_id")
 
 
 def _searcher_payload(spark: SparkSession, sf_dir: str) -> Searcher:
@@ -1854,6 +1868,14 @@ WHERE lat >= {clat - radius_deg!r} AND lat <= {clat + radius_deg!r}
   AND {key} <= {radius_deg * radius_deg!r}"""
 
 
+def _geo_polygon_sql() -> str:
+    from lucene_spark.operators.geo import point_in_polygon_sql
+    pred = point_in_polygon_sql(_GEO_POLY)
+    return f"""
+WITH {_GEO_SQL_COORDS.strip()}
+SELECT doc_id FROM geo WHERE {pred}"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 conjunction top-10 on sf0.001 (build + search)."""
     return _search(Q.And((Q.Term(T_COMMON), Q.Term(T_COMMON2))))(
@@ -1911,6 +1933,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_box_count": _q_geo_box,
         "geo_nearest_top10": _q_geo_nearest,
         "geo_distance_count": _q_geo_distance_count,
+        "geo_polygon_docs": _q_geo_polygon,
         "drill_down_path": _q_drill_down_path,
         "sort_by_field": _q_sort_by_field,
         "query_join": _q_join,
@@ -2012,7 +2035,7 @@ _PRIORITY = [
     "drill_down_path",
     "docvalues_updated", "function_score_updated_top10",
     "embed_hnsw_topk",
-    "block_join_children_topk", "assoc_facet_sum",
+    "block_join_children_topk", "assoc_facet_sum", "geo_polygon_docs",
 ]
 
 
@@ -2164,6 +2187,7 @@ pagg AS (SELECT doc_id,
         "geo_box_count": _geo_box_sql(),
         "geo_nearest_top10": _geo_nearest_sql(),
         "geo_distance_count": _geo_distance_sql(),
+        "geo_polygon_docs": _geo_polygon_sql(),
         "sorted_index_topk": """
 SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(rnk AS INT) AS rank
 FROM (SELECT doc_id, n_chars,

@@ -124,3 +124,85 @@ def nearest(df: DataFrame, center_lat: float, center_lon: float,
                             .over(Window.orderBy(*order)))
             .select(id_col, lat_col, lon_col, "sort_key",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def point_in_polygon(rings, lat_col: str = "lat",
+                     lon_col: str = "lon") -> Column:
+    """Even-odd (crossing-number) point-in-polygon predicate as a pure
+    Catalyst expression (``Polygon2D.contains`` role, reference
+    ``lucene/core/src/java/org/apache/lucene/geo/Polygon2D.java``).
+
+    ``rings`` is a list of rings, each a list of (lat, lon) vertices;
+    holes are simply additional rings — the even-odd rule XORs their
+    crossings, which is exactly how the reference's tree treats holes.
+
+    Vertices are compile-time constants, so each edge's ray-crossing
+    test is emitted division-free with the inequality direction
+    resolved in Python from the sign of ``dlat`` (no runtime divide →
+    no NULL/Inf divergence between engines): the edge straddles the
+    scan line iff ``(lat < y1) != (lat < y2)``, and the crossing is to
+    the right of the point iff ``dx*(lat-y1) - (lon-x1)*dy`` has the
+    sign of ``dy``. All operands are IEEE doubles with literals baked
+    in, so the engine and the SQL twin agree bit-for-bit. Horizontal
+    edges never straddle and are dropped at build time.
+
+    Boundary semantics: strict/non-strict mix of the classic crossing
+    formulation — deterministic, but points exactly ON an edge are not
+    guaranteed either way (the reference makes its own exact on-edge
+    choice); callers with on-edge points should nudge vertices.
+    """
+    lat = F.col(lat_col)
+    lon = F.col(lon_col)
+    acc = F.lit(False)
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            y1, x1 = float(ring[i][0]), float(ring[i][1])
+            y2, x2 = float(ring[(i + 1) % n][0]), float(ring[(i + 1) % n][1])
+            if y1 == y2:
+                continue
+            dy = y2 - y1
+            dx = x2 - x1
+            straddle = (lat < F.lit(y1)) != (lat < F.lit(y2))
+            cross = (F.lit(dx) * (lat - F.lit(y1))
+                     - (lon - F.lit(x1)) * F.lit(dy))
+            edge = straddle & ((cross > 0) if dy > 0 else (cross < 0))
+            acc = acc != edge
+    return acc
+
+
+def point_in_polygon_sql(rings, lat_expr: str = "lat",
+                         lon_expr: str = "lon") -> str:
+    """The identical even-odd predicate as a SQL string (oracle twin of
+    :func:`point_in_polygon` — same literals, same op order)."""
+    la, lo = f"({lat_expr})", f"({lon_expr})"
+    acc = "FALSE"
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            y1, x1 = float(ring[i][0]), float(ring[i][1])
+            y2, x2 = float(ring[(i + 1) % n][0]), float(ring[(i + 1) % n][1])
+            if y1 == y2:
+                continue
+            dy = y2 - y1
+            dx = x2 - x1
+            op = ">" if dy > 0 else "<"
+            edge = (f"(({la} < {y1!r}) <> ({la} < {y2!r})) AND "
+                    f"(({dx!r} * ({la} - {y1!r}) - ({lo} - {x1!r}) * "
+                    f"{dy!r}) {op} 0)")
+            acc = f"({acc}) <> ({edge})"
+    return acc
+
+
+def polygon_query(df: DataFrame, rings,
+                  lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """LatLonPoint.newPolygonQuery (two-phase, like the reference's BKD
+    descent): a bounding-box prefilter over ALL rings' vertices that
+    Catalyst pushes to the parquet scan (row-group min/max pruning —
+    the Polygon2D outer-box reject), then the exact even-odd predicate
+    on the survivors, whole-stage-codegen'd — no UDF."""
+    lats = [v[0] for ring in rings for v in ring]
+    lons = [v[1] for ring in rings for v in ring]
+    boxed = box_query(df, min(lats), max(lats), min(lons), max(lons),
+                      lat_col, lon_col)
+    return boxed.filter(point_in_polygon(rings, lat_col, lon_col))
