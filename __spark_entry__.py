@@ -1479,6 +1479,16 @@ def _q_surround(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(q, k=10))
 
 
+def _q_simple_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleQueryParser (queryparser/simple role): '-rare common'
+    parses to Not(Term(common), Term(rare)) — MUST_NOT at the top
+    boolean level; shares the boolean NOT oracle."""
+    from lucene_spark.plans.simple import parse_simple
+    s = _searcher(spark, sf_dir)
+    q = parse_simple(f"-{T_RARE} {T_COMMON}")
+    return _fmt_topk(s.search(q, k=10))
+
+
 def _q_fuzzy_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery default rewrite (TopTermsBlendedFreqScoringRewrite):
     blended df=max stats, per-term 1-ed/minlen float32 boosts, SHOULD
@@ -1953,6 +1963,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_containing_top10": _q_span_containing,
         "span_within_top10": _q_span_within,
         "surround_topk": _q_surround,
+        "simple_parse_top10": _q_simple_parse,
         "suggest_prefix": _q_suggest_prefix,
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,
@@ -2036,6 +2047,7 @@ _PRIORITY = [
     "docvalues_updated", "function_score_updated_top10",
     "embed_hnsw_topk",
     "block_join_children_topk", "assoc_facet_sum", "geo_polygon_docs",
+    "simple_parse_top10",
 ]
 
 
@@ -2069,6 +2081,7 @@ def oracle_sql() -> dict[str, str]:
         "span_containing_top10": _span_containing_sql(
             (T_COMMON, T_COMMON2), 4, T_THIRD),
         "surround_topk": _span_near_sql((T_COMMON, T_THIRD), 2),
+        "simple_parse_top10": _not_sql(T_COMMON, T_RARE),
         "span_within_top10": _span_within_sql(
             T_THIRD, (T_COMMON, T_COMMON2), 4),
         "highlight_top5": _highlight_sql(T_COMMON, T_COMMON2, k=5, window=6),
