@@ -415,6 +415,39 @@ phsc AS (
 )""" + _topk_sql("phsc", k))
 
 
+def _multi_phrase_sql(slots: tuple[tuple[str, ...], ...],
+                      k: int = 10) -> str:
+    """MultiPhraseQuery twin (see plans.query.MultiPhrase): slot i's
+    position set is the DISTINCT union of its alternatives
+    (UnionPostingsEnum — duplicate (doc, pos) hits count once); start p
+    matches when every slot i has a hit at p + i. Weight: idf summed in
+    float64 over every slot-term with df > 0, in slot order (absent
+    terms contribute exactly 0.0), then cast to float32."""
+    slots = tuple(tuple(dict.fromkeys(s)) for s in slots)
+    n = len(slots)
+    ctes = ",\n".join(
+        "mp{j} AS (SELECT DISTINCT doc_id, pos FROM tok WHERE term IN ({ts}))"
+        .format(j=j, ts=", ".join(f"'{t}'" for t in slot))
+        for j, slot in enumerate(slots))
+    joins = "\n       ".join(
+        f"JOIN mp{j} ON mp{j}.doc_id = mp0.doc_id "
+        f"AND mp{j}.pos = mp0.pos + {j}" for j in range(1, n))
+    w_sum = " + ".join(f"COALESCE(CAST({_w_expr(t)} AS DOUBLE), 0)"
+                       for slot in slots for t in slot)
+    return (_PRELUDE + f""",
+{ctes},
+ph AS (SELECT mp0.doc_id, count(*) AS freq
+       FROM mp0
+       {joins}
+       GROUP BY 1),
+phw AS (SELECT CAST({w_sum} AS FLOAT) AS w),
+phsc AS (
+  SELECT p.doc_id,
+         (w.w - w.w / (CAST(1 AS FLOAT) + CAST(p.freq AS FLOAT) * c.inv)) AS s
+  FROM ph p JOIN normcache c ON p.doc_id = c.doc_id CROSS JOIN phw w
+)""" + _topk_sql("phsc", k))
+
+
 def _sloppy_phrase_sql(terms: tuple[str, ...], slop: int,
                        k: int = 10) -> str:
     """n-term minimal-interval sloppy phrase (see plans.query.Phrase):
@@ -1915,6 +1948,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             Q.Phrase((T_COMMON, T_COMMON2, T_THIRD), slop=4)),
         "bm25_dismax_top10": _search(
             Q.DisMax((Q.Term(T_COMMON), Q.Term(T_COMMON2)), 0.0)),
+        "bm25_multiphrase_top10": _search(Q.MultiPhrase(
+            ((T_COMMON, SYN_A), (T_COMMON2,)))),
         "batch_search": _q_batch_search,
         "tfidf_term_top10": _q_tfidf,
         "bm25_prefix_scored_top10": _search(
@@ -2047,7 +2082,7 @@ _PRIORITY = [
     "docvalues_updated", "function_score_updated_top10",
     "embed_hnsw_topk",
     "block_join_children_topk", "assoc_facet_sum", "geo_polygon_docs",
-    "simple_parse_top10",
+    "simple_parse_top10", "bm25_multiphrase_top10",
 ]
 
 
@@ -2074,6 +2109,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_sloppy3_top10": _sloppy_phrase_sql(
             (T_COMMON, T_COMMON2, T_THIRD), 4),
         "bm25_dismax_top10": _dismax_sql(T_COMMON, T_COMMON2),
+        "bm25_multiphrase_top10": _multi_phrase_sql(
+            ((T_COMMON, SYN_A), (T_COMMON2,))),
         "span_near_top10": _span_near_sql((T_COMMON, T_COMMON2), 3),
         "span_or_top10": _span_or_sql(T_COMMON, (T_A, T_B), 3),
         "span_not_top10": _span_not_sql((T_COMMON, T_COMMON2), 3, T_THIRD),

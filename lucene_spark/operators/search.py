@@ -67,6 +67,16 @@ class CPhrase:
 
 
 @dataclass(frozen=True)
+class CMultiPhrase:
+    slots: tuple[tuple[str, ...], ...]   # df>0 terms only, per position
+    weight: np.float32
+
+    @property
+    def terms(self):
+        return tuple(dict.fromkeys(t for s in self.slots for t in s))
+
+
+@dataclass(frozen=True)
 class CSpanNear:
     terms: tuple[str, ...]
     weight: np.float32
@@ -233,6 +243,16 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                     "sloppy phrase with duplicate clause terms")
             w = multi_weight([df_of(t) for t in node.terms])
             return CPhrase(tuple(node.terms), w, node.slop)
+        if isinstance(node, Q.MultiPhrase):
+            # reference MultiPhraseWeight: terms with df == 0 are
+            # skipped from stats AND matching; an all-absent position
+            # can never match (empty UnionPostingsEnum)
+            slots = tuple(tuple(t for t in dict.fromkeys(slot)
+                                if df_of(t) > 0) for slot in node.slots)
+            if any(not slot for slot in slots):
+                return None
+            w = multi_weight([df_of(t) for slot in slots for t in slot])
+            return CMultiPhrase(slots, w)
         if isinstance(node, Q.SpanNear) and \
                 all(isinstance(t, str) for t in node.terms):
             if len(set(node.terms)) != len(node.terms):
@@ -369,7 +389,8 @@ def _compiled_terms(c) -> list[str]:
         return []
     if isinstance(c, CTerm):
         return [c.term]
-    if isinstance(c, (CSynonym, CPhrase, CConstTerms, CSpanNear)):
+    if isinstance(c, (CSynonym, CPhrase, CConstTerms, CSpanNear,
+                      CMultiPhrase)):
         return list(c.terms)
     if isinstance(c, CSpanTree):
         from ..functions.spans import span_tree_terms
@@ -610,6 +631,15 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
                               node.weight, ctx.cache)
             scores[mask] = s.astype(np.float64)
         return mask, scores
+    if isinstance(node, CMultiPhrase):
+        freqs = _multi_phrase_freqs(node.slots, ctx, lo, hi)
+        mask = freqs > 0
+        if mask.any():
+            s = ctx.sim.score(freqs[mask].astype(np.float32),
+                              ctx.norms[lo:hi][mask],
+                              node.weight, ctx.cache)
+            scores[mask] = s.astype(np.float64)
+        return mask, scores
     if isinstance(node, CSpanNear):
         freqs = _span_near_freqs(node, ctx, lo, hi)
         mask = freqs > 0
@@ -773,6 +803,46 @@ def _phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
         idx = np.searchsorted(keysets[i], probe)
         ok = (idx < len(keysets[i])) & (keysets[i][np.minimum(idx, len(keysets[i]) - 1)] == probe)
         match &= ok
+    if match.any():
+        np.add.at(freqs, first_docs[match] - lo, 1)
+    return freqs
+
+
+def _multi_phrase_freqs(slots, ctx: "_SegContext",
+                        lo: int, hi: int) -> np.ndarray:
+    """Exact multi-phrase frequency per doc in [lo, hi): position i
+    matches when ANY of ``slots[i]``'s terms occurs there. Same
+    (doc<<32|pos) key-set algorithm as :func:`_phrase_freqs`, with each
+    slot's key set the np.unique UNION of its alternatives (the
+    reference's UnionPostingsEnum — duplicate (doc, pos) across
+    alternatives counts once)."""
+    n = hi - lo
+    freqs = np.zeros(n, dtype=np.int64)
+    BIG = np.int64(1) << np.int64(32)
+    slot_keys = []
+    for slot in slots:
+        parts = []
+        for t in slot:
+            tp = ctx.tp(t)
+            if tp is None:
+                continue
+            ids, tfs = tp.decode_all()
+            parts.append(np.repeat(ids, tfs) * BIG + tp.positions())
+        if not parts:
+            return freqs
+        slot_keys.append(np.unique(np.concatenate(parts)))
+    first = slot_keys[0]
+    first_docs = first >> np.int64(32)
+    sel = (first_docs >= lo) & (first_docs < hi)
+    first, first_docs = first[sel], first_docs[sel]
+    if len(first) == 0:
+        return freqs
+    match = np.ones(len(first), dtype=bool)
+    for i in range(1, len(slot_keys)):
+        probe = first + np.int64(i)
+        ks = slot_keys[i]
+        idx = np.searchsorted(ks, probe)
+        match &= (idx < len(ks)) & (ks[np.minimum(idx, len(ks) - 1)] == probe)
     if match.any():
         np.add.at(freqs, first_docs[match] - lo, 1)
     return freqs

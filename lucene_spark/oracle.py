@@ -22,6 +22,7 @@ from .functions.bm25 import (
 )
 from .functions.smallfloat import int_to_byte4
 from .plans.query import (And, CommonTerms, DisMax, Interval, MultiTerm,
+                          MultiPhrase,
                           Not, Or, Phrase, Query, SpanContaining, SpanFirst,
                           SpanMultiTermWrapper, SpanNear, SpanNot, SpanOr,
                           SpanWithin, Synonym, Term)
@@ -327,6 +328,42 @@ class OracleIndex:
                 out[d] = np.float32(w - w / (one + np.float32(freq) * inv))
         return out
 
+    def _multi_phrase_scores(self, slots, k1: float,
+                             b: float) -> dict[int, np.float32]:
+        """MultiPhraseQuery: per position, the UNION of the alternative
+        terms' position sets (UnionPostingsEnum); idf summed over every
+        df>0 term across positions (MultiPhraseWeight stats)."""
+        maps: list[dict[int, set]] = []
+        present: list[str] = []
+        for slot in slots:
+            m: dict[int, set] = {}
+            any_term = False
+            for t in dict.fromkeys(slot):
+                if self.df(t) == 0:
+                    continue
+                any_term = True
+                present.append(t)
+                for d, _, pl in self.postings.get(t, ()):
+                    m.setdefault(d, set()).update(pl)
+            if not any_term:
+                return {}
+            maps.append(m)
+        common = set(maps[0])
+        for m in maps[1:]:
+            common &= set(m)
+        cache = self._cache(k1, b)
+        w = idf_sum([self.df(t) for t in present], self.doc_count)
+        one = np.float32(1.0)
+        out: dict[int, np.float32] = {}
+        for d in common:
+            freq = sum(1 for p in maps[0][d]
+                       if all((p + i) in maps[i][d]
+                              for i in range(1, len(maps))))
+            if freq:
+                inv = cache[self.norm_bytes[d]]
+                out[d] = np.float32(w - w / (one + np.float32(freq) * inv))
+        return out
+
     def score(self, query: Query, k1: float = K1_DEFAULT,
               b: float = B_DEFAULT, sim=None) -> dict[int, np.float32]:
         """All matching docs with their float32 scores.
@@ -344,6 +381,8 @@ class OracleIndex:
                 return self._sloppy_phrase_scores(list(query.terms),
                                                   query.slop, k1, b)
             return self._phrase_scores(list(query.terms), k1, b)
+        if isinstance(query, MultiPhrase):
+            return self._multi_phrase_scores(list(query.slots), k1, b)
         if isinstance(query, SpanNear):
             if all(isinstance(t, str) for t in query.terms):
                 return self._span_near_scores(query, k1, b)

@@ -53,6 +53,22 @@ class Phrase(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhrase(Query):
+    """MultiPhraseQuery (reference ``search/MultiPhraseQuery.java:57``):
+    an exact phrase where each position holds a SET of alternative
+    terms (the classic "app* as multiphrase" / query-time-synonym
+    shape). A position matches when ANY of its terms occurs there
+    (UnionPostingsEnum — duplicate (doc, pos) hits across alternatives
+    count once); phrase freq accumulates per matching start position.
+    Weight follows the reference's stats gathering: idf summed over
+    every term with df > 0 across all positions."""
+    slots: tuple[tuple[str, ...], ...]
+
+    def all_terms(self):
+        return list(dict.fromkeys(t for s in self.slots for t in s))
+
+
+@dataclass(frozen=True)
 class SpanNear(Query):
     """SpanNearQuery (reference ``queries/spans/SpanNearQuery.java``):
     all clauses within ``slop`` positions, ordered or not, scored with

@@ -153,6 +153,53 @@ def test_sloppy_phrase_parity(searcher, oracle):
     assert exact <= sloppy
 
 
+def test_multi_phrase_parity(searcher, oracle, corpus):
+    """MultiPhraseQuery (reference search/MultiPhraseQuery.java:57):
+    engine kernel vs OracleIndex vs a brute-force per-doc scan."""
+    cases = [
+        Q.MultiPhrase((("parse", "scan"), ("emit",))),
+        Q.MultiPhrase((("parse",), ("emit", "token"))),
+        Q.MultiPhrase((("codec", "util"), ("index", "merge"), ("flush",))),
+        # duplicate alternative + df=0 alternative in a slot
+        Q.MultiPhrase((("parse", "parse", "zzz_absent"), ("emit",))),
+    ]
+    for q in cases:
+        got = [(r["doc_id"], r["score"])
+               for r in searcher.search(q, k=10).collect()]
+        want = oracle.top_k(q, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                           rtol=0, atol=0), q
+
+    # brute-force freq check of the union-position semantics
+    q = cases[0]
+    texts = dict(zip(corpus.doc_id, corpus.content))
+    matched = set(oracle.score(q))
+    for d in list(matched)[:50]:
+        toks = texts[d].split()
+        freq = sum(
+            1 for p in range(len(toks) - 1)
+            if toks[p] in ("parse", "scan") and toks[p + 1] == "emit")
+        assert freq > 0, d
+    for d, toks in list(texts.items())[:200]:
+        toks = toks.split()
+        freq = sum(
+            1 for p in range(len(toks) - 1)
+            if toks[p] in ("parse", "scan") and toks[p + 1] == "emit")
+        assert (freq > 0) == (d in matched)
+
+    # singleton slots degenerate to the exact PhraseQuery scores
+    mp = oracle.score(Q.MultiPhrase((("parse",), ("emit",))))
+    ph = oracle.score(Q.Phrase(("parse", "emit")))
+    assert mp.keys() == ph.keys()
+    for d in mp:
+        assert float(mp[d]) == float(ph[d])
+
+    # a slot whose every alternative is absent can never match
+    assert searcher.search(
+        Q.MultiPhrase((("parse",), ("zzz_absent",))), k=5).count() == 0
+
+
 def test_explain(searcher, oracle):
     q = Q.Or((Q.Term("parse"), Q.Term("scan")))
     hits = oracle.top_k(q, k=1)
