@@ -1800,6 +1800,76 @@ ifreq AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
 
 
 
+def _interval_atleast_sql(terms: tuple[str, ...], m: int,
+                          k: int = 10) -> str:
+    """atLeast(m, terms...) (MinimumShouldMatchIntervalsSource): the
+    containment-minimal windows holding >= m of the n term streams —
+    per candidate right end r, the left end is the m-th largest of the
+    per-stream "last position <= r" values; an anti-containment filter
+    then keeps the minimal set. minExtent = m (sum of the m smallest
+    unit sub-extents), so the contribution is
+    1/max(len - m + 1, 1)."""
+    ap_union = "\n       UNION ALL ".join(
+        f"SELECT doc_id, {j} AS cl, pos FROM tok WHERE term = '{t}'"
+        for j, t in enumerate(terms))
+    return (_PRELUDE + f""",
+ap AS ({ap_union}),
+rend AS (SELECT DISTINCT doc_id, pos AS r FROM ap),
+mj AS (SELECT r.doc_id, r.r, a.cl, max(a.pos) AS mx
+       FROM rend r JOIN ap a ON a.doc_id = r.doc_id AND a.pos <= r.r
+       GROUP BY 1, 2, 3),
+lcand AS (SELECT doc_id, r, mx AS l FROM (
+       SELECT doc_id, r, mx,
+              row_number() OVER (PARTITION BY doc_id, r
+                                 ORDER BY mx DESC) AS rn
+       FROM mj) WHERE rn = {m}),
+wins AS (SELECT DISTINCT c.doc_id, c.l, c.r FROM lcand c
+         WHERE NOT EXISTS (SELECT 1 FROM lcand o
+                           WHERE o.doc_id = c.doc_id
+                             AND o.l >= c.l AND o.r <= c.r
+                             AND (o.l > c.l OR o.r < c.r))),
+ifreq AS (SELECT doc_id,
+                 sum(CAST(1.0 AS DOUBLE)
+                     / greatest(r - l + 1 - {m} + 1, 1)) AS freq
+          FROM wins GROUP BY 1)"""
+            + _interval_score_sql("ifreq", k=k))
+
+
+def _interval_before_after_sql(src: str, ref: str, after: bool = False,
+                               k: int = 10) -> str:
+    """before(src, ref) / after(src, ref) over term leaves: a src point
+    p matches when p <= s_ref - 1 for SOME ref position (i.e. p < the
+    doc's last ref position) resp. p >= e_ref + 1 for some ref (p > the
+    doc's first ref position). Point intervals have extent 1, so freq is
+    the matching-position count."""
+    cmp = (f"s.pos > (SELECT min(r.pos) FROM tok r "
+           f"WHERE r.term = '{ref}' AND r.doc_id = s.doc_id)" if after
+           else f"s.pos < (SELECT max(r.pos) FROM tok r "
+                f"WHERE r.term = '{ref}' AND r.doc_id = s.doc_id)")
+    return (_PRELUDE + f""",
+ifreq AS (SELECT s.doc_id, CAST(count(*) AS DOUBLE) AS freq
+          FROM tok s
+          WHERE s.term = '{src}' AND {cmp}
+          GROUP BY 1)"""
+            + _interval_score_sql("ifreq", k=k))
+
+
+def _interval_within_sql(src: str, dist: int, ref: str,
+                         k: int = 10) -> str:
+    """within(src, dist, ref) = containedBy(src, extend(ref, dist,
+    dist)) over term leaves: src points within ``dist`` positions of
+    some ref position."""
+    return (_PRELUDE + f""",
+ifreq AS (SELECT s.doc_id, CAST(count(*) AS DOUBLE) AS freq
+          FROM tok s
+          WHERE s.term = '{src}'
+            AND EXISTS (SELECT 1 FROM tok r
+                        WHERE r.term = '{ref}' AND r.doc_id = s.doc_id
+                          AND abs(s.pos - r.pos) <= {dist})
+          GROUP BY 1)"""
+            + _interval_score_sql("ifreq", k=k))
+
+
 def _synonym_indexed_sql(src_t: str, dst_t: str, qterm: str,
                          k: int = 10) -> str:
     """Oracle for the synonym-indexed build: the expanded token stream
@@ -2023,6 +2093,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("ordered", (("prefix", "sl"), ("term", T_COMMON))))),
         "interval_or_ordered_top10": _search(Q.Interval(
             ("ordered", (("orterms", (T_A, T_B)), ("term", T_COMMON))))),
+        "interval_atleast_top10": _search(Q.Interval(
+            ("atleast", 2, (("term", T_COMMON), ("term", T_COMMON2),
+                            ("term", T_THIRD))))),
+        "interval_before_top10": _search(Q.Interval(
+            ("before", ("term", T_A), ("term", T_COMMON)))),
+        "interval_after_top10": _search(Q.Interval(
+            ("after", ("term", T_A), ("term", T_COMMON)))),
+        "interval_within_top10": _search(Q.Interval(
+            ("within", ("term", T_A), 3, ("term", T_COMMON)))),
         "bm25_after_merge_top10": _q_merged_search,
         "bm25_incremental_top10": _q_incremental_search,
         # --- index tables / invariants (SURVEY.md §2.2) ---
@@ -2083,6 +2162,8 @@ _PRIORITY = [
     "embed_hnsw_topk",
     "block_join_children_topk", "assoc_facet_sum", "geo_polygon_docs",
     "simple_parse_top10", "bm25_multiphrase_top10",
+    "interval_atleast_top10", "interval_before_top10",
+    "interval_after_top10", "interval_within_top10",
 ]
 
 
@@ -2138,6 +2219,12 @@ def oracle_sql() -> dict[str, str]:
             (("prefix", "sl"), T_COMMON)),
         "interval_or_ordered_top10": _interval_ordered_sql(
             ((T_A, T_B), T_COMMON)),
+        "interval_atleast_top10": _interval_atleast_sql(
+            (T_COMMON, T_COMMON2, T_THIRD), 2),
+        "interval_before_top10": _interval_before_after_sql(T_A, T_COMMON),
+        "interval_after_top10": _interval_before_after_sql(
+            T_A, T_COMMON, after=True),
+        "interval_within_top10": _interval_within_sql(T_A, 3, T_COMMON),
         "tfidf_term_top10": _TFIDF_SQL,
         "batch_search": " UNION ALL ".join(
             f"SELECT '{qid}' AS query_id, * FROM ({sql})"

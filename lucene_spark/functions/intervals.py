@@ -26,10 +26,13 @@ the same embedding the batched span kernels use):
   shared with the sloppy-phrase kernel.
 * phrase (BlockIntervalsSource) — consecutive chain via key probes.
 
-Scope (documented): ordered/unordered/phrase clauses are POSITION
-STREAMS (a term or an OR of terms — width-1 sources); combinators
-(maxgaps/maxwidth/containing/contained_by/not_*/or) compose freely on
-interval streams. Nested ordered-inside-ordered (general sub-interval
+Scope (documented): ordered/unordered/phrase/atleast clauses are
+POSITION STREAMS (a term or an OR of terms — width-1 sources);
+combinators (maxgaps/maxwidth/containing/contained_by/not_*/or/extend/
+non_overlapping/overlapping/offset) compose freely on interval streams,
+and the sugar factories before/after/within/not_within/
+unordered_no_overlaps desugar into those exactly as ``Intervals.java``
+composes them. Nested ordered-inside-ordered (general sub-interval
 chaining) is out of scope this round. Duplicate clause terms (the
 reference's RepeatingIntervalsSource) are unsupported, like spans.
 """
@@ -211,10 +214,88 @@ def _within_mask(little: np.ndarray, big: np.ndarray) -> np.ndarray:
     return ok & (m >= little[:, 1])
 
 
+#: "Unbounded" one-sided extension (Intervals.before/after use
+#: Integer.MAX_VALUE). Positions are < 2^31, so pos + _BIGEXT stays inside
+#: the owning doc's 32-bit key range — extended intervals never cross docs.
+_BIGEXT = (1 << 31) - 1
+
+
+def desugar(tree):
+    """Rewrite the reference's convenience factories into core kinds,
+    exactly as ``Intervals.java`` composes them:
+
+    * ``("before", src, ref)`` → ``containedBy(src, extend(offset(ref,
+      before=True), MAX, 0))`` (Intervals.java:490)
+    * ``("after", src, ref)`` → ``containedBy(src, extend(offset(ref,
+      before=False), 0, MAX))`` (Intervals.java:496)
+    * ``("within", src, positions, ref)`` → ``containedBy(src,
+      extend(ref, positions, positions))`` (Intervals.java:417)
+    * ``("not_within", minuend, positions, sub)`` →
+      ``nonOverlapping(minuend, extend(sub, positions, positions))``
+      (Intervals.java:402)
+    * ``("unordered_no_overlaps", a, b)`` → ``or(ordered(a, b),
+      ordered(b, a))`` (Intervals.java:354)
+    """
+    kind = tree[0]
+    if kind == "before":
+        return ("contained_by", tree[1],
+                ("extend", ("offset", tree[2], True), _BIGEXT, 0))
+    if kind == "after":
+        return ("contained_by", tree[1],
+                ("extend", ("offset", tree[2], False), 0, _BIGEXT))
+    if kind == "within":
+        return ("contained_by", tree[1],
+                ("extend", tree[3], int(tree[2]), int(tree[2])))
+    if kind == "not_within":
+        return ("non_overlapping", tree[1],
+                ("extend", tree[3], int(tree[2]), int(tree[2])))
+    if kind == "unordered_no_overlaps":
+        return ("or", (("ordered", (tree[1], tree[2])),
+                       ("ordered", (tree[2], tree[1]))))
+    return tree
+
+
+def atleast_intervals(streams: list[np.ndarray], m: int) -> np.ndarray:
+    """Minimal m-of-n windows over width-1 clause streams
+    (MinimumShouldMatchIntervalsSource.java:156): every containment-
+    minimal window [L, R] holding positions from >= m distinct streams.
+    The predicate is monotone under window inclusion, so the emitted set
+    is the containment antichain: for each candidate right end R (any
+    stream position) the tightest left end is the m-th largest of the
+    per-stream "last position <= R" values; the antichain filter then
+    drops windows that properly contain another. gaps = (R - L + 1) - m
+    (width() minus the m unit widths, the iterator's slop bookkeeping)."""
+    n = len(streams)
+    streams = [s for s in streams if len(s)]
+    if m <= 0 or len(streams) < m:
+        return _EMPTY
+    if m == 1:
+        return minimize_or(
+            [np.stack([s, s, np.zeros(len(s), np.int64)], axis=1)
+             for s in streams])
+    P = np.unique(np.concatenate(streams))
+    pdoc = P >> np.int64(32)
+    f = np.full((len(streams), len(P)), np.int64(-1), dtype=np.int64)
+    for j, s in enumerate(streams):
+        idx = np.searchsorted(s, P, side="right") - 1
+        val = s[np.clip(idx, 0, len(s) - 1)]
+        ok = (idx >= 0) & ((val >> np.int64(32)) == pdoc)
+        f[j] = np.where(ok, val, np.int64(-1))
+    f.sort(axis=0)
+    L = f[len(streams) - m]          # m-th largest per candidate end
+    ok = L >= 0
+    if not ok.any():
+        return _EMPTY
+    Ls, Rs = L[ok], P[ok]
+    cand = np.stack([Ls, Rs, (Rs - Ls + 1) - m], axis=1)
+    return minimize_or([cand])
+
+
 def eval_intervals(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
     """Evaluate a compiled interval tree against doc-major global
     position keys; returns the (start_key, end_key, gaps) interval array
     of the root source, sorted by start, doc-major."""
+    tree = desugar(tree)
     kind = tree[0]
     if kind in ("term", "orterms"):
         k = _stream_keys(tree, pmap)
@@ -275,6 +356,22 @@ def eval_intervals(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
         return src[_overlap_mask(src, ref)]
     if kind == "or":
         return minimize_or([eval_intervals(c, pmap) for c in tree[1]])
+    if kind == "offset":
+        # OffsetIntervalsSource.java:50-83: each delegate interval [s, e]
+        # becomes the width-1 point max(0, s-1) (before) / e+1 (after)
+        iv = eval_intervals(tree[1], pmap)
+        if len(iv) == 0:
+            return iv
+        if tree[2]:
+            base = (iv[:, 0] >> np.int64(32)) << np.int64(32)
+            p = np.maximum(iv[:, 0] - 1, base)
+        else:
+            p = iv[:, 1] + 1
+        p = np.sort(p)
+        return np.stack([p, p, np.zeros(len(p), np.int64)], axis=1)
+    if kind == "atleast":
+        return atleast_intervals(
+            [_stream_keys(c, pmap) for c in tree[2]], int(tree[1]))
     raise TypeError(f"unknown interval tree node {tree!r}")
 
 
@@ -282,9 +379,14 @@ def min_extent(tree) -> int:
     """IntervalsSource.minExtent of a compiled tree (the scoring
     normalizer: freq contribution = 1 / max(length - minExtent + 1, 1),
     IntervalScorer.java:72)."""
+    tree = desugar(tree)
     kind = tree[0]
-    if kind in ("term", "orterms"):
+    if kind in ("term", "orterms", "offset"):
         return 1
+    if kind == "atleast":
+        # sum of the minShouldMatch smallest sub-extents
+        # (MinimumShouldMatchIntervalsSource.java:103-113)
+        return sum(sorted(min_extent(c) for c in tree[2])[:int(tree[1])])
     if kind in ("ordered", "unordered", "phrase"):
         return sum(min_extent(c) for c in tree[1])
     if kind in ("maxgaps", "maxwidth"):
@@ -304,7 +406,15 @@ def min_extent(tree) -> int:
 
 def interval_tree_terms(tree) -> list[str]:
     """All leaf terms of a compiled interval tree (postings to fetch)."""
+    tree = desugar(tree)
     kind = tree[0]
+    if kind == "offset":
+        return interval_tree_terms(tree[1])
+    if kind == "atleast":
+        out = []
+        for c in tree[2]:
+            out.extend(interval_tree_terms(c))
+        return out
     if kind == "term":
         return [tree[1]]
     if kind == "orterms":
@@ -362,9 +472,21 @@ def resolve_multi_term_sources(tree, expander):
     caller's term-dictionary ``expander(kind, value) -> iterable[str]``
     — the Searcher uses its term_stats dictionary, the python oracle its
     in-memory postings keys, so both sides expand identically."""
+    tree = desugar(tree)
     kind = tree[0]
     if kind in ("prefix", "wildcard"):
         return ("orterms", tuple(expander(kind, tree[1])))
+    if kind == "fuzzy":
+        # Intervals.fuzzyTerm (Intervals.java:218) — same dictionary
+        # expansion as the fuzzy MultiTermQuery
+        return ("orterms", tuple(expander("fuzzy", (tree[1], tree[2]))))
+    if kind == "offset":
+        return (kind, resolve_multi_term_sources(tree[1], expander),
+                tree[2])
+    if kind == "atleast":
+        return (kind, tree[1],
+                tuple(resolve_multi_term_sources(c, expander)
+                      for c in tree[2]))
     if kind in ("term", "orterms"):
         return tree
     if kind in ("ordered", "unordered", "phrase", "or"):

@@ -1222,6 +1222,9 @@ class Searcher:
             def _expander(kind, value):
                 if kind == "prefix":
                     return self.expand_terms(like=f"{value}%")
+                if kind == "fuzzy":
+                    base, edits = value
+                    return self.expand_terms(fuzzy=(str(base), int(edits)))
                 pat = "^" + "".join(
                     ".*" if ch == "*" else "." if ch == "?"
                     else _re.escape(ch) for ch in str(value)) + "$"

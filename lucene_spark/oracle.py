@@ -242,6 +242,10 @@ class OracleIndex:
             keys = sorted(self.postings)
             if kind == "prefix":
                 return [t for t in keys if t.startswith(str(value))]
+            if kind == "fuzzy":
+                base, edits = str(value[0]), int(value[1])
+                return [t for t in keys
+                        if _levenshtein(t, base) <= edits]
             return [t for t in keys
                     if fnmatch.fnmatchcase(t, str(value))]
 

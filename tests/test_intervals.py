@@ -186,21 +186,28 @@ def searcher(spark, corpus):
 
 
 _TREES = [
-    ("ordered", (("term", "parse"), ("term", "emit"))),
-    ("maxgaps", ("ordered", (("term", "parse"), ("term", "emit"))), 4),
-    ("unordered", (("term", "parse"), ("term", "token"))),
-    ("maxwidth", ("unordered", (("term", "parse"), ("term", "token"))), 8),
-    ("containing", ("unordered", (("term", "parse"), ("term", "token"))),
-     ("term", "emit")),
-    ("contained_by", ("term", "emit"),
-     ("unordered", (("term", "parse"), ("term", "token")))),
+    ("ordered", (("term", "return"), ("term", "import"))),
+    ("maxgaps", ("ordered", (("term", "return"), ("term", "import"))), 4),
+    ("unordered", (("term", "return"), ("term", "class"))),
+    ("maxwidth", ("unordered", (("term", "return"), ("term", "class"))), 8),
+    ("containing", ("unordered", (("term", "return"), ("term", "class"))),
+     ("term", "import")),
+    ("contained_by", ("term", "import"),
+     ("unordered", (("term", "return"), ("term", "class")))),
     ("not_containing",
-     ("unordered", (("term", "parse"), ("term", "token"))),
-     ("term", "emit")),
-    ("ordered", (("orterms", ("parse", "scan")), ("term", "emit"))),
-    ("phrase", (("term", "parse"), ("term", "emit"))),
-    ("or", (("ordered", (("term", "parse"), ("term", "emit"))),
-            ("term", "flush"))),
+     ("unordered", (("term", "return"), ("term", "class"))),
+     ("term", "import")),
+    ("ordered", (("orterms", ("return", "scan")), ("term", "import"))),
+    ("phrase", (("term", "return"), ("term", "import"))),
+    ("or", (("ordered", (("term", "return"), ("term", "import"))),
+            ("term", "def"))),
+    ("atleast", 2, (("term", "return"), ("term", "import"),
+                    ("term", "class"))),
+    ("before", ("term", "return"), ("term", "import")),
+    ("after", ("term", "class"), ("term", "return")),
+    ("within", ("term", "return"), 3, ("term", "import")),
+    ("not_within", ("term", "return"), 3, ("term", "import")),
+    ("unordered_no_overlaps", ("term", "return"), ("term", "import")),
 ]
 
 
@@ -211,13 +218,14 @@ def test_interval_engine_matches_oracle(searcher, oracle, tree):
     got = [(r["doc_id"], r["score"])
            for r in searcher.search(q, k=10).collect()]
     want = oracle.top_k(q, k=10)
+    assert len(want) > 0, f"vacuous parity case: {tree}"
     assert [g[0] for g in got] == [w[0] for w in want], tree
     for (d1, s1), (d2, s2) in zip(got, want):
         assert np.float32(s1) == np.float32(s2), (tree, d1)
 
 
 def test_interval_pivot_and_boost(searcher, oracle):
-    q = Q.Interval(("ordered", (("term", "parse"), ("term", "emit"))),
+    q = Q.Interval(("ordered", (("term", "return"), ("term", "import"))),
                    pivot=2.5, boost=1.7)
     got = [(r["doc_id"], r["score"])
            for r in searcher.search(q, k=10).collect()]
@@ -230,14 +238,14 @@ def test_interval_prefix_source_matches_oracle(searcher, oracle):
     """MultiTermIntervalsSource: a prefix leaf expands against the term
     dictionary into an or-of-terms stream, identically in engine and
     oracle."""
-    q = Q.Interval(("ordered", (("prefix", "par"), ("term", "emit"))))
+    q = Q.Interval(("ordered", (("prefix", "ret"), ("term", "import"))))
     got = [(r["doc_id"], np.float32(r["score"]))
            for r in searcher.search(q, k=10).collect()]
     want = [(d, np.float32(s)) for d, s in oracle.top_k(q, k=10)]
     assert got == want and len(got) > 0
     # wildcard kind
-    q2 = Q.Interval(("unordered", (("wildcard", "pars?"),
-                                   ("term", "token"))))
+    q2 = Q.Interval(("unordered", (("wildcard", "clas?"),
+                                   ("term", "class"))))
     got2 = [(r["doc_id"], np.float32(r["score"]))
             for r in searcher.search(q2, k=10).collect()]
     want2 = [(d, np.float32(s)) for d, s in oracle.top_k(q2, k=10)]
@@ -282,9 +290,111 @@ def test_extend_and_overlap_combinators():
 
 def test_extend_engine_matches_oracle(searcher, oracle):
     q = Q.Interval(("containing",
-                    ("extend", ("term", "parse"), 1, 2),
-                    ("term", "emit")))
+                    ("extend", ("term", "return"), 1, 2),
+                    ("term", "import")))
     got = [(r["doc_id"], np.float32(r["score"]))
            for r in searcher.search(q, k=10).collect()]
     want = [(d, np.float32(s)) for d, s in oracle.top_k(q, k=10)]
     assert got == want
+
+
+def _brute_atleast(lists, m) -> list[tuple[int, int]]:
+    """Containment-minimal windows holding positions from >= m distinct
+    streams (the predicate is monotone, so minimality = antichain)."""
+    allp = sorted({p for l in lists for p in l})
+    valid = set()
+    for s in allp:
+        for e in allp:
+            if e < s:
+                continue
+            cov = sum(1 for l in lists if any(s <= p <= e for p in l))
+            if cov >= m:
+                valid.add((s, e))
+    return _antichain(valid)
+
+
+def test_atleast_minimal_vs_brute_force():
+    from lucene_spark.functions.intervals import atleast_intervals
+    rng = np.random.default_rng(11)
+    for trial in range(200):
+        n = int(rng.integers(2, 5))
+        m = int(rng.integers(1, n + 1))
+        # non-disjoint lists: streams may share positions (an or-of-terms
+        # clause and a term clause can coincide)
+        lists = [np.sort(rng.choice(30, size=int(rng.integers(1, 6)),
+                                    replace=False)).astype(np.int64)
+                 for _ in range(n)]
+        got = atleast_intervals(lists, m)
+        want = _brute_atleast([l.tolist() for l in lists], m)
+        assert [(int(s), int(e)) for s, e, _ in got] == want, (trial, m)
+        for s, e, g in got:
+            assert g == (e - s + 1) - m
+
+
+def test_atleast_multi_doc_and_edge_cases():
+    from lucene_spark.functions.intervals import atleast_intervals
+    BIG = np.int64(1) << np.int64(32)
+    # doc 0 has only 2 of 3 streams; doc 1 has all 3
+    lists = [np.array([1, BIG + 1], np.int64),
+             np.array([4, BIG + 2], np.int64),
+             np.array([BIG + 8], np.int64)]
+    got = atleast_intervals(lists, 2)
+    assert [(int(s >> 32), int(s & 0xFFFFFFFF), int(e & 0xFFFFFFFF))
+            for s, e, _ in got] == [(0, 1, 4), (1, 1, 2), (1, 2, 8)]
+    # m greater than the number of streams: no match
+    assert len(atleast_intervals(lists, 4)) == 0
+    # empty stream is skipped, not fatal
+    lists2 = [np.array([1], np.int64), np.empty(0, np.int64),
+              np.array([3], np.int64)]
+    assert [(int(s), int(e)) for s, e, _ in
+            atleast_intervals(lists2, 2)] == [(1, 3)]
+
+
+def test_before_after_within_brute_force():
+    """Sugar factories against a direct positional characterization:
+    before = src points left of some ref start; after = right of some
+    ref end; within d = |src - ref| <= d for some ref (term leaves)."""
+    rng = np.random.default_rng(12)
+    for trial in range(100):
+        universe = 30
+        src = np.sort(rng.choice(universe, 5, replace=False)).astype(np.int64)
+        ref = np.sort(rng.choice(universe, 4, replace=False)).astype(np.int64)
+        pmap = {"s": src, "r": ref}
+        before = eval_intervals(("before", ("term", "s"), ("term", "r")),
+                                pmap)
+        want_b = [p for p in src.tolist() if p <= max(ref) - 1]
+        assert [int(s) for s, _, _ in before] == want_b, trial
+        after = eval_intervals(("after", ("term", "s"), ("term", "r")),
+                               pmap)
+        want_a = [p for p in src.tolist() if p >= min(ref) + 1]
+        assert [int(s) for s, _, _ in after] == want_a, trial
+        d = int(rng.integers(0, 6))
+        within = eval_intervals(("within", ("term", "s"), d, ("term", "r")),
+                                pmap)
+        want_w = [p for p in src.tolist()
+                  if any(abs(p - q) <= d for q in ref.tolist())]
+        assert [int(s) for s, _, _ in within] == want_w, (trial, d)
+        notw = eval_intervals(("not_within", ("term", "s"), d,
+                               ("term", "r")), pmap)
+        want_nw = [p for p in src.tolist() if p not in want_w]
+        assert [int(s) for s, _, _ in notw] == want_nw, (trial, d)
+
+
+def test_fuzzy_interval_leaf_matches_oracle(searcher, oracle):
+    """Intervals.fuzzyTerm: dictionary expansion to an or-of-terms
+    stream, same expansion on both sides."""
+    q = Q.Interval(("ordered", (("fuzzy", "return", 1), ("term", "import"))))
+    got = [(r["doc_id"], np.float32(r["score"]))
+           for r in searcher.search(q, k=10).collect()]
+    want = [(d, np.float32(s)) for d, s in oracle.top_k(q, k=10)]
+    assert got == want and len(got) > 0
+
+
+def test_atleast_engine_matches_oracle_with_maxgaps(searcher, oracle):
+    q = Q.Interval(("maxgaps",
+                    ("atleast", 2, (("term", "return"), ("term", "import"),
+                                    ("term", "class"))), 5))
+    got = [(r["doc_id"], np.float32(r["score"]))
+           for r in searcher.search(q, k=10).collect()]
+    want = [(d, np.float32(s)) for d, s in oracle.top_k(q, k=10)]
+    assert got == want and len(got) > 0
