@@ -53,6 +53,48 @@ def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
             if not base:
                 return False
         return True
+    if isinstance(node, Q.MultiPhrase):
+        # union-of-alternatives per position (UnionPostingsEnum), then
+        # the same consecutive-chain intersection as the exact phrase
+        slot_sets = []
+        for slot in node.slots:
+            s: set = set()
+            for t in slot:
+                s.update(positions.get(t, ()))
+            if not s:
+                return False
+            slot_sets.append(s)
+        base = slot_sets[0]
+        for i, s in enumerate(slot_sets[1:], 1):
+            base &= {p - i for p in s}
+            if not base:
+                return False
+        return True
+    if isinstance(node, Q.Interval):
+        # interval percolation: multiterm leaves expand against the
+        # DOC'S OWN term set (the reference Monitor runs the automaton
+        # against the single-doc index), then the shared batched
+        # evaluator runs on this doc's position lists
+        from ..functions.intervals import (eval_intervals,
+                                           interval_tree_terms,
+                                           resolve_multi_term_sources)
+
+        def _doc_expander(kind, value):
+            if kind == "prefix":
+                return [t for t in terms if t.startswith(str(value))]
+            if kind == "fuzzy":
+                from ..oracle import _levenshtein
+                base, edits = str(value[0]), int(value[1])
+                return [t for t in terms
+                        if abs(len(t) - len(base)) <= edits
+                        and _levenshtein(t, base) <= edits]
+            return [t for t in terms
+                    if fnmatch.fnmatchcase(t, str(value))]
+
+        tree = resolve_multi_term_sources(node.tree, _doc_expander)
+        pmap = {t: np.asarray(positions.get(t, ()), dtype=np.int64)
+                for t in set(interval_tree_terms(tree))}
+        return len(eval_intervals(tree, pmap)) > 0
     if isinstance(node, Q.MultiTerm):
         if node.kind == "prefix":
             return any(t.startswith(str(node.value)) for t in terms)
@@ -157,6 +199,17 @@ def _anchor_terms(node) -> set | None:
         b = _anchor_terms(node.little)
         cands = [x for x in (a, b) if x is not None]
         return min(cands, key=len) if cands else None
+    if isinstance(node, Q.MultiPhrase):
+        # every slot is required → the smallest slot's alternatives gate
+        return set(min(node.slots, key=len))
+    if isinstance(node, Q.Interval):
+        # a matching doc contains at least one leaf term — safe anchor —
+        # unless the tree has multiterm leaves (dictionary-dependent)
+        from ..functions.intervals import interval_tree_terms
+        try:
+            return set(interval_tree_terms(node.tree))
+        except TypeError:
+            return None
     return None  # MultiTerm and anything else: always evaluate
 
 

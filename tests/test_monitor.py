@@ -27,6 +27,13 @@ QUERIES = {
     "q_spannot": Q.SpanNot(Q.SpanNear(("parse", "emit"), slop=8,
                                       in_order=False), Q.Term("codec")),
     "q_spanfirst": Q.SpanFirst(Q.Term("parse"), 15),
+    "q_multiphrase": Q.MultiPhrase((("parse", "scan"), ("emit",))),
+    "q_interval": Q.Interval(("maxgaps", ("ordered", (
+        ("term", "if"), ("term", "return"))), 3)),
+    "q_interval_mt": Q.Interval(("ordered", (("prefix", "par"),
+                                             ("term", "emit")))),
+    "q_atleast": Q.Interval(("atleast", 2, (
+        ("term", "if"), ("term", "return"), ("term", "value")))),
 }
 
 
@@ -81,8 +88,9 @@ def test_presearcher_prunes_without_changing_matches(spark, corpus,
     assert got_on == got_off == _expected(oracle)
     # the pad queries anchor on their absent zzz term (smallest AND-child
     # anchor), so the term map holds them and `always` stays small
-    # only the MultiTerm queries (prefix, fuzzy) are un-anchorable
-    assert sorted(mon_on.always) == ["q_fuzzy", "q_prefix"]
+    # only dictionary-dependent queries (multiterm leaves) un-anchorable
+    assert sorted(mon_on.always) == ["q_fuzzy", "q_interval_mt",
+                                     "q_prefix"]
     assert all(f"q_pad{i}" in mon_on.term_map[f"zzz{i}"]
                for i in range(0, 200, 50))
 
