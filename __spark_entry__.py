@@ -448,16 +448,42 @@ phsc AS (
 )""" + _topk_sql("phsc", k))
 
 
+def _gap_phrase_sql(terms: tuple[str, ...],
+                    positions: tuple[int, ...], k: int = 10) -> str:
+    """Exact phrase with explicit builder positions (PhraseQuery.java:103):
+    clause j at start + (positions[j] - positions[0])."""
+    n = len(terms)
+    deltas = [p - positions[0] for p in positions]
+    joins = "\n       ".join(
+        f"JOIN tok p{j} ON p{j}.doc_id = p0.doc_id "
+        f"AND p{j}.pos = p0.pos + {deltas[j]}" for j in range(1, n))
+    conds = " AND ".join(f"p{j}.term = '{t}'" for j, t in enumerate(terms))
+    w_sum = " + ".join(f"CAST({_w_expr(t)} AS DOUBLE)" for t in terms)
+    return (_PRELUDE + f""",
+ph AS (SELECT p0.doc_id, count(*) AS freq
+       FROM tok p0
+       {joins}
+       WHERE {conds} GROUP BY 1),
+phw AS (SELECT CAST({w_sum} AS FLOAT) AS w),
+phsc AS (
+  SELECT p.doc_id,
+         (w.w - w.w / (CAST(1 AS FLOAT) + CAST(p.freq AS FLOAT) * c.inv)) AS s
+  FROM ph p JOIN normcache c ON p.doc_id = c.doc_id CROSS JOIN phw w
+)""" + _topk_sql("phsc", k))
+
+
 def _sloppy_phrase_sql(terms: tuple[str, ...], slop: int,
-                       k: int = 10) -> str:
+                       k: int = 10,
+                       positions: tuple[int, ...] | None = None) -> str:
     """n-term minimal-interval sloppy phrase (see plans.query.Phrase):
     clause j's positions offset-adjusted by -j; every minimal complete
     window [L, R] — L = min_j max{a_j <= R} (left-minimal) and
     R = max_j min{a_j >= L} (right-minimal) — with R - L <= slop
     contributes 1/(1 + (R - L)) to the phrase frequency."""
     n = len(terms)
+    offs = list(positions) if positions else list(range(n))
     ap_union = "\n       UNION ALL ".join(
-        f"SELECT doc_id, {j} AS cl, pos - {j} AS ap "
+        f"SELECT doc_id, {j} AS cl, pos - {offs[j]} AS ap "
         f"FROM tok WHERE term = '{t}'" for j, t in enumerate(terms))
     w_sum = " + ".join(f"CAST(w{j}.w AS DOUBLE)" for j in range(n))
     w_from = ", ".join(f"(SELECT {_w_expr(t)} AS w) w{j}"
@@ -2020,6 +2046,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             Q.DisMax((Q.Term(T_COMMON), Q.Term(T_COMMON2)), 0.0)),
         "bm25_multiphrase_top10": _search(Q.MultiPhrase(
             ((T_COMMON, SYN_A), (T_COMMON2,)))),
+        "bm25_gap_phrase_top10": _search(Q.Phrase(
+            (T_COMMON, T_COMMON2), positions=(0, 2))),
+        "bm25_gap_sloppy_top10": _search(Q.Phrase(
+            (T_COMMON, T_COMMON2), slop=2, positions=(0, 2))),
         "batch_search": _q_batch_search,
         "tfidf_term_top10": _q_tfidf,
         "bm25_prefix_scored_top10": _search(
@@ -2164,6 +2194,7 @@ _PRIORITY = [
     "simple_parse_top10", "bm25_multiphrase_top10",
     "interval_atleast_top10", "interval_before_top10",
     "interval_after_top10", "interval_within_top10",
+    "bm25_gap_phrase_top10", "bm25_gap_sloppy_top10",
 ]
 
 
@@ -2192,6 +2223,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dismax_top10": _dismax_sql(T_COMMON, T_COMMON2),
         "bm25_multiphrase_top10": _multi_phrase_sql(
             ((T_COMMON, SYN_A), (T_COMMON2,))),
+        "bm25_gap_phrase_top10": _gap_phrase_sql(
+            (T_COMMON, T_COMMON2), (0, 2)),
+        "bm25_gap_sloppy_top10": _sloppy_phrase_sql(
+            (T_COMMON, T_COMMON2), 2, positions=(0, 2)),
         "span_near_top10": _span_near_sql((T_COMMON, T_COMMON2), 3),
         "span_or_top10": _span_or_sql(T_COMMON, (T_A, T_B), 3),
         "span_not_top10": _span_not_sql((T_COMMON, T_COMMON2), 3, T_THIRD),

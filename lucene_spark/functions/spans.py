@@ -26,12 +26,14 @@ from __future__ import annotations
 import numpy as np
 
 
-def sloppy_phrase_freq(pos_lists: list[np.ndarray], slop: int) -> float:
+def sloppy_phrase_freq(pos_lists: list[np.ndarray], slop: int,
+                       offsets: list[int] | None = None) -> float:
     """Accumulated sloppy frequency of an n-term sloppy phrase in one doc
     (``SloppyPhraseMatcher.java:53`` role — minimal-interval semantics).
 
-    Clause ``j``'s positions are offset-adjusted by ``-j`` (the reference's
-    ``PhrasePositions.position = pos - offset``), then every minimal
+    Clause ``j``'s positions are offset-adjusted by ``-offsets[j]``
+    (default ``-j``; explicit builder positions pass their own — the
+    reference's ``PhrasePositions.position = pos - offset``), then every minimal
     complete window over the adjusted lists is counted once:
     a window [L, R] is minimal iff it is complete (every clause present)
     and shrinking from EITHER side breaks completeness —
@@ -44,7 +46,8 @@ def sloppy_phrase_freq(pos_lists: list[np.ndarray], slop: int) -> float:
     n = len(pos_lists)
     if n == 0 or any(len(p) == 0 for p in pos_lists):
         return 0.0
-    adj = [np.asarray(p, dtype=np.int64) - j
+    offs = list(offsets) if offsets else list(range(n))
+    adj = [np.asarray(p, dtype=np.int64) - offs[j]
            for j, p in enumerate(pos_lists)]
     if n == 1:
         return float(len(adj[0]))

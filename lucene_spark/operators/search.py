@@ -61,9 +61,12 @@ class CSynonym:
 
 @dataclass(frozen=True)
 class CPhrase:
+    """positions is None for the consecutive default, else the builder's
+    explicit strictly-increasing clause positions (PhraseQuery.java:103)."""
     terms: tuple[str, ...]
     weight: np.float32
     slop: int = 0
+    positions: tuple[int, ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -241,8 +244,17 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
             if node.slop > 0 and len(set(node.terms)) != len(node.terms):
                 raise NotImplementedError(
                     "sloppy phrase with duplicate clause terms")
+            pos = node.positions
+            if pos is not None:
+                if len(pos) != len(node.terms) or \
+                        any(pos[i + 1] <= pos[i]
+                            for i in range(len(pos) - 1)):
+                    raise ValueError(
+                        "phrase positions must be strictly increasing, "
+                        "one per term")
+                pos = tuple(int(p) for p in pos)
             w = multi_weight([df_of(t) for t in node.terms])
-            return CPhrase(tuple(node.terms), w, node.slop)
+            return CPhrase(tuple(node.terms), w, node.slop, pos)
         if isinstance(node, Q.MultiPhrase):
             # reference MultiPhraseWeight: terms with df == 0 are
             # skipped from stats AND matching; an all-absent position
@@ -621,9 +633,10 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
         return mask, scores
     if isinstance(node, CPhrase):
         if node.slop > 0:
-            freqs = _sloppy_phrase_freqs(node.terms, ctx, lo, hi, node.slop)
+            freqs = _sloppy_phrase_freqs(node.terms, ctx, lo, hi, node.slop,
+                                         node.positions)
         else:
-            freqs = _phrase_freqs(node.terms, ctx, lo, hi)
+            freqs = _phrase_freqs(node.terms, ctx, lo, hi, node.positions)
         mask = freqs > 0
         if mask.any():
             s = ctx.sim.score(freqs[mask].astype(np.float32),
@@ -772,10 +785,13 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
 
 
 def _phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
-                  lo: int, hi: int) -> np.ndarray:
-    """Exact-phrase frequency per doc in [lo, hi): all terms at consecutive
-    positions (ExactPhraseMatcher semantics). Vectorized via (doc<<32|pos)
-    key-set membership."""
+                  lo: int, hi: int,
+                  positions: tuple[int, ...] | None = None) -> np.ndarray:
+    """Exact-phrase frequency per doc in [lo, hi): clause i at
+    ``start + delta_i`` where delta is consecutive (default) or the
+    builder's explicit positions relative to the first
+    (ExactPhraseMatcher semantics, PhraseQuery.java:103 builder
+    positions). Vectorized via (doc<<32|pos) key-set membership."""
     n = hi - lo
     freqs = np.zeros(n, dtype=np.int64)
     tps = [ctx.tp(t) for t in terms]
@@ -798,8 +814,10 @@ def _phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
     if first_keys is None or len(first_keys) == 0:
         return freqs
     match = np.ones(len(first_keys), dtype=bool)
+    deltas = ([p - positions[0] for p in positions] if positions
+              else list(range(len(terms))))
     for i in range(1, len(terms)):
-        probe = first_keys + np.int64(i)
+        probe = first_keys + np.int64(deltas[i])
         idx = np.searchsorted(keysets[i], probe)
         ok = (idx < len(keysets[i])) & (keysets[i][np.minimum(idx, len(keysets[i]) - 1)] == probe)
         match &= ok
@@ -880,7 +898,9 @@ def _clause_pos_keys(terms, ctx: _SegContext, lo: int, hi: int,
 
 
 def _sloppy_phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
-                         lo: int, hi: int, slop: int) -> np.ndarray:
+                         lo: int, hi: int, slop: int,
+                         positions: tuple[int, ...] | None = None
+                         ) -> np.ndarray:
     """n-term sloppy phrase frequency per doc in [lo, hi), ONE vectorized
     pass over every candidate doc at once (the SloppyPhraseMatcher.java:53
     role): clause positions are offset-adjusted (pos - clause_idx, the
@@ -891,9 +911,9 @@ def _sloppy_phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
     vectorized path."""
     from ..functions.spans import batch_sloppy_phrase_freqs
     n = hi - lo
-    keys = _clause_pos_keys(terms, ctx, lo, hi,
-                            offsets=list(range(len(terms))),
-                            pad=len(terms))
+    offs = list(positions) if positions else list(range(len(terms)))
+    keys = _clause_pos_keys(terms, ctx, lo, hi, offsets=offs,
+                            pad=max(offs) + 1)
     if keys is None:
         return np.zeros(n, dtype=np.float64)
     return batch_sloppy_phrase_freqs(keys, slop, n)

@@ -144,7 +144,8 @@ class OracleIndex:
                 for d, f in freqs.items()}
 
     def _sloppy_phrase_scores(self, terms: list[str], slop: int,
-                              k1: float, b: float) -> dict[int, np.float32]:
+                              k1: float, b: float,
+                              positions=None) -> dict[int, np.float32]:
         """n-term sloppy phrase: shared minimal-interval matcher over
         offset-adjusted positions (functions.spans.sloppy_phrase_freq,
         the SloppyPhraseMatcher role), idf-sum weight."""
@@ -160,7 +161,8 @@ class OracleIndex:
         one = np.float32(1.0)
         out: dict[int, np.float32] = {}
         for d in common:
-            freq = sloppy_phrase_freq([m[d] for m in maps], slop)
+            freq = sloppy_phrase_freq([m[d] for m in maps], slop,
+                                      offsets=positions)
             if freq > 0:
                 inv = cache[self.norm_bytes[d]]
                 out[d] = np.float32(w - w / (one + np.float32(freq) * inv))
@@ -310,7 +312,8 @@ class OracleIndex:
                               self._resolve_span(q.big))
         return q
 
-    def _phrase_scores(self, terms: list[str], k1: float, b: float) -> dict[int, np.float32]:
+    def _phrase_scores(self, terms: list[str], k1: float, b: float,
+                       positions=None) -> dict[int, np.float32]:
         """Exact phrase: all terms at consecutive positions; tf = match count;
         idf = sum of per-term idfs (reference PhraseWeight/idfExplain[])."""
         if not terms:
@@ -323,10 +326,13 @@ class OracleIndex:
         w = idf_sum([self.df(t) for t in terms], self.doc_count)
         one = np.float32(1.0)
         out: dict[int, np.float32] = {}
+        deltas = ([p - positions[0] for p in positions] if positions
+                  else list(range(len(terms))))
         for d in common:
             starts = maps[0][d]
             freq = sum(1 for p in starts
-                       if all((p + i) in maps[i][d] for i in range(1, len(terms))))
+                       if all((p + deltas[i]) in maps[i][d]
+                              for i in range(1, len(terms))))
             if freq:
                 inv = cache[self.norm_bytes[d]]
                 out[d] = np.float32(w - w / (one + np.float32(freq) * inv))
@@ -383,8 +389,10 @@ class OracleIndex:
         if isinstance(query, Phrase):
             if query.slop > 0:
                 return self._sloppy_phrase_scores(list(query.terms),
-                                                  query.slop, k1, b)
-            return self._phrase_scores(list(query.terms), k1, b)
+                                                  query.slop, k1, b,
+                                                  query.positions)
+            return self._phrase_scores(list(query.terms), k1, b,
+                                       query.positions)
         if isinstance(query, MultiPhrase):
             return self._multi_phrase_scores(list(query.slots), k1, b)
         if isinstance(query, SpanNear):

@@ -44,9 +44,18 @@ class Phrase(Query):
     ``SloppyPhraseMatcher`` (``search/SloppyPhraseMatcher.java:53``)
     minimal-interval accumulation; duplicate clause terms (the repeats
     machinery) are unsupported (documented divergence;
-    differential-tested engine ≡ oracle ≡ DuckDB SQL)."""
+    differential-tested engine ≡ oracle ≡ DuckDB SQL).
+
+    ``positions`` (optional) are the reference's explicit builder
+    positions (``PhraseQuery.Builder.add(Term, int position)``,
+    ``search/PhraseQuery.java:103`` — e.g. holes left by StopFilter):
+    clause j must land at ``start + positions[j]`` when exact, and is
+    offset-adjusted by ``-positions[j]`` when sloppy. None means the
+    consecutive default ``(0, 1, ..., n-1)``; explicit positions must be
+    strictly increasing."""
     terms: tuple[str, ...]
     slop: int = 0
+    positions: tuple[int, ...] | None = None
 
     def all_terms(self):
         return list(dict.fromkeys(self.terms))

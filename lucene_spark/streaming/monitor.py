@@ -42,14 +42,16 @@ def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
     if isinstance(node, Q.Phrase):
         if any(t not in terms for t in node.terms):
             return False
+        offs = (list(node.positions) if node.positions
+                else list(range(len(node.terms))))
         if node.slop > 0:
             from ..functions.spans import sloppy_phrase_freq
             return sloppy_phrase_freq(
                 [np.asarray(positions[t], dtype=np.int64)
-                 for t in node.terms], node.slop) > 0
+                 for t in node.terms], node.slop, offsets=offs) > 0
         base = set(positions[node.terms[0]])
         for i, t in enumerate(node.terms[1:], 1):
-            base &= {p - i for p in positions[t]}
+            base &= {p - (offs[i] - offs[0]) for p in positions[t]}
             if not base:
                 return False
         return True

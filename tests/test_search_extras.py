@@ -200,6 +200,53 @@ def test_multi_phrase_parity(searcher, oracle, corpus):
         Q.MultiPhrase((("parse",), ("zzz_absent",))), k=5).count() == 0
 
 
+def test_gap_phrase_parity(searcher, oracle, corpus):
+    """PhraseQuery with explicit builder positions
+    (search/PhraseQuery.java:103 — e.g. stopword holes): clause j at
+    start + positions[j] when exact; offset-adjusted by -positions[j]
+    when sloppy."""
+    cases = [
+        Q.Phrase(("if", "return"), positions=(0, 2)),
+        Q.Phrase(("return", "if", "import"), positions=(0, 2, 5)),
+        Q.Phrase(("if", "return"), slop=2, positions=(0, 2)),
+        Q.Phrase(("return", "if", "import"), slop=4, positions=(0, 2, 5)),
+    ]
+    for q in cases:
+        got = [(r["doc_id"], r["score"])
+               for r in searcher.search(q, k=10).collect()]
+        want = oracle.top_k(q, k=10)
+        assert len(want) > 0, f"vacuous gap-phrase case: {q}"
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                           rtol=0, atol=0), q
+
+    # brute-force check of the exact gapped match set over ANALYZED
+    # token streams (the index positions, not raw whitespace offsets)
+    from lucene_spark.functions.analysis import analyze_text
+    q = cases[0]
+    matched = set(oracle.score(q))
+    hits = 0
+    for d, text in zip(corpus.doc_id, corpus.content):
+        toks = analyze_text(text)[0]
+        freq = sum(1 for p in range(len(toks) - 2)
+                   if toks[p] == "if" and toks[p + 2] == "return")
+        assert (freq > 0) == (d in matched), d
+        hits += freq > 0
+    assert hits > 0  # non-vacuous
+
+    # consecutive positions degenerate to the default phrase
+    a = oracle.score(Q.Phrase(("parse", "emit"), positions=(0, 1)))
+    b = oracle.score(Q.Phrase(("parse", "emit")))
+    assert a.keys() == b.keys()
+    for d in a:
+        assert float(a[d]) == float(b[d])
+
+    # validation: non-increasing positions rejected
+    with pytest.raises(ValueError):
+        searcher.search(Q.Phrase(("parse", "emit"), positions=(2, 0)),
+                        k=5).collect()
+
+
 def test_explain(searcher, oracle):
     q = Q.Or((Q.Term("parse"), Q.Term("scan")))
     hits = oracle.top_k(q, k=1)
