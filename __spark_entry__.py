@@ -1155,6 +1155,51 @@ def _q_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.Term(T_COMMON), k=10))
 
 
+def _q_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoveringQuery (reference sandbox/search/CoveringQuery.java:51):
+    per-doc minimumNumberMatch from a LongValuesSource (here the
+    deterministic expression 1 + doc_id % 3); score = sum of matching
+    sub-query scores."""
+    s = _searcher(spark, sf_dir)
+    mm = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 3).cast("long").alias("min_match"))
+    cov = s.covering([Q.Term(T_COMMON), Q.Term(T_COMMON2),
+                      Q.Term(T_THIRD), Q.Term(T_RARE)], min_match_df=mm)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (cov.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    F.col("matched_count").cast("int")
+                     .alias("matched_count"),
+                    _q4(F.col("score").cast("double")).alias("score_q4")))
+
+
+def _covering_sql(terms: tuple[str, ...], k: int = 10) -> str:
+    """DuckDB twin of _q_covering: per-clause BM25 scores, count + sum
+    per doc (float64 sum, cast float32 — the engine's SHOULD-sum
+    convention), per-doc minMatch = greatest(1 + doc_id % 3, 1)."""
+    ctes = ", ".join(_tscore_cte(f"cv{j}", t) for j, t in enumerate(terms))
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, s FROM cv{j}" for j in range(len(terms)))
+    return (_PRELUDE + ", " + ctes + f""",
+cu AS ({union}),
+cagg AS (SELECT doc_id, count(*) AS cnt,
+                sum(CAST(s AS DOUBLE)) AS ssum
+         FROM cu GROUP BY 1),
+cmm AS (SELECT doc_id, greatest(1 + doc_id % 3, 1) AS m FROM documents),
+cov AS (SELECT a.doc_id, a.cnt, CAST(a.ssum AS FLOAT) AS s
+        FROM cagg a JOIN cmm ON a.doc_id = cmm.doc_id
+        WHERE a.cnt >= cmm.m)
+SELECT doc_id, CAST(rank AS INT) AS rank,
+       CAST(cnt AS INT) AS matched_count,
+       CAST(floor(CAST(s AS DOUBLE) * 10000) AS BIGINT) AS score_q4
+FROM (SELECT doc_id, cnt, s,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+      FROM cov)
+WHERE rank <= {k}""")
+
+
 def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FunctionScoreQuery analogue: BM25 score combined with a document-
     value expression (reference ``queries/function/FunctionScoreQuery``) —
@@ -2057,6 +2102,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm2_top10": _search(
             Q.Or((Q.Term(T_A), Q.Term(T_B), Q.Term(SYN_A)), 2)),
         "function_score_top10": _q_function_score,
+        "covering_top10": _q_covering,
         "search_after_page2": _q_search_after,
         "total_hits_count": _q_total_hits,
         "prefix_query": _q_prefix,
@@ -2195,6 +2241,7 @@ _PRIORITY = [
     "interval_atleast_top10", "interval_before_top10",
     "interval_after_top10", "interval_within_top10",
     "bm25_gap_phrase_top10", "bm25_gap_sloppy_top10",
+    "covering_top10",
 ]
 
 
@@ -2227,6 +2274,8 @@ def oracle_sql() -> dict[str, str]:
             (T_COMMON, T_COMMON2), (0, 2)),
         "bm25_gap_sloppy_top10": _sloppy_phrase_sql(
             (T_COMMON, T_COMMON2), 2, positions=(0, 2)),
+        "covering_top10": _covering_sql(
+            (T_COMMON, T_COMMON2, T_THIRD, T_RARE)),
         "span_near_top10": _span_near_sql((T_COMMON, T_COMMON2), 3),
         "span_or_top10": _span_or_sql(T_COMMON, (T_A, T_B), 3),
         "span_not_top10": _span_not_sql((T_COMMON, T_COMMON2), 3, T_THIRD),

@@ -1464,6 +1464,45 @@ class Searcher:
         return (pf.groupBy("seg_id").cogroup(self.norms.groupBy("seg_id"))
                 .applyInPandas(seg_all, schema=out_schema))
 
+    def covering(self, clauses, min_match: int = 1, min_match_df=None):
+        """CoveringQuery (reference ``sandbox/search/CoveringQuery.java:51``
+        + ``CoveringScorer.java:132-143``): matches documents where at
+        least minMatch of the sub-queries match; score = sum of the
+        matching sub-queries' scores. ``min_match`` is the constant
+        LongValuesSource; ``min_match_df`` a ``(doc_id, min_match)``
+        DataFrame for the per-doc LongValuesSource role — a doc absent
+        from it can never match (the scorer's Long.MAX_VALUE sentinel)
+        and values < 1 clamp to 1. Returns (doc_id, matched_count,
+        score float32) for all matches.
+
+        Scale shape: each clause is one pushed-postings-scan kernel
+        branch; the union aggregates map-side (count + double-sum carry
+        partial aggregation below the single doc_id exchange), and the
+        min-match join shuffles only the ≤|matches| aggregated rows.
+        Sub-scores sum in float64 then cast, the engine's BooleanQuery
+        SHOULD convention (shared by oracle and SQL twin)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        parts = [self.score_all(c) for c in clauses]
+        u = reduce(lambda a, b: a.unionAll(b), parts)
+        agg = (u.groupBy("doc_id")
+               .agg(F.count("*").alias("matched_count"),
+                    F.sum(F.col("score").cast("double")).alias("_ssum")))
+        if min_match_df is not None:
+            mm = min_match_df.select(
+                F.col("doc_id"),
+                F.greatest(F.col("min_match").cast("long"),
+                           F.lit(1).cast("long")).alias("_mm"))
+            agg = agg.join(mm, "doc_id")         # inner: absent → no match
+        else:
+            agg = agg.withColumn(
+                "_mm", F.lit(max(int(min_match), 1)).cast("long"))
+        return (agg.where(F.col("matched_count") >= F.col("_mm"))
+                .select("doc_id", "matched_count",
+                        F.col("_ssum").cast("float").alias("score")))
+
     def sorted_top_k(self, k: int = 10, ascending: bool | None = None):
         """Early-terminating top-k by the index sort field (reference
         ``index/IndexSorter.java:44`` + TopFieldCollector's

@@ -247,6 +247,47 @@ def test_gap_phrase_parity(searcher, oracle, corpus):
                         k=5).collect()
 
 
+def test_covering_query_parity(searcher, oracle):
+    """CoveringQuery (sandbox/search/CoveringQuery.java:51): per-doc
+    minMatch; score = float64 sum of matching sub-scores cast float32;
+    docs absent from the values source never match; minMatch < 1 clamps
+    to 1."""
+    clauses = [Q.Term("parse"), Q.Term("emit"), Q.Term("token"),
+               Q.Term("flush")]
+    per = [oracle.score(c) for c in clauses]
+
+    def brute(mm_of):
+        out = {}
+        for d in set().union(*per):
+            hits = [p[d] for p in per if d in p]
+            mm = mm_of(d)
+            if mm is None:            # absent from the source
+                continue
+            if len(hits) >= max(mm, 1):
+                out[d] = (len(hits),
+                          np.float32(sum(np.float64(h) for h in hits)))
+        return out
+
+    spark = searcher.spark
+    # constant minMatch (incl. the <1 clamp)
+    for mm in (0, 1, 2, 3):
+        got = {r["doc_id"]: (r["matched_count"], r["score"])
+               for r in searcher.covering(clauses, min_match=mm).collect()}
+        want = {d: (c, float(s))
+                for d, (c, s) in brute(lambda d: mm).items()}
+        assert got == want, mm
+    # per-doc values source: doc_id % 3 (+ absent docs never match)
+    mm_df = spark.range(0, N_DOCS, 2).selectExpr(
+        "id AS doc_id", "CAST(id % 3 AS LONG) AS min_match")
+    got = {r["doc_id"]: (r["matched_count"], r["score"])
+           for r in searcher.covering(clauses,
+                                      min_match_df=mm_df).collect()}
+    want = {d: (c, float(s))
+            for d, (c, s) in brute(
+                lambda d: d % 3 if d % 2 == 0 else None).items()}
+    assert got == want and len(got) > 0
+
+
 def test_explain(searcher, oracle):
     q = Q.Or((Q.Term("parse"), Q.Term("scan")))
     hits = oracle.top_k(q, k=1)
