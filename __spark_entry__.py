@@ -1906,6 +1906,39 @@ ifreq AS (SELECT doc_id,
             + _interval_score_sql("ifreq", k=k))
 
 
+def _interval_nested_sql(t1: str, t2: str, t3: str, ordered: bool,
+                         k: int = 10) -> str:
+    """Nested interval twin: outer ordered/unordered over
+    (inner = ordered(t1, t2), term t3). Candidates are ALL (inner
+    interval, t3 position) pairs — ordered: p > inner.r, window
+    [inner.l, p]; unordered: window [min(l, p), max(r, p)] — and the
+    NOT EXISTS anti-containment filter keeps exactly the minimal set
+    (the predicate is monotone under window inclusion, so the engine's
+    greedy-chain emissions are this antichain). minExtent = 3."""
+    if ordered:
+        cand = """cand AS (SELECT i.doc_id, i.l AS cl, t.pos AS cr
+         FROM imin i JOIN tok t
+           ON t.doc_id = i.doc_id AND t.term = '{t3}' AND t.pos > i.r)"""
+    else:
+        cand = """cand AS (SELECT i.doc_id, least(i.l, t.pos) AS cl,
+                greatest(i.r, t.pos) AS cr
+         FROM imin i JOIN tok t
+           ON t.doc_id = i.doc_id AND t.term = '{t3}')"""
+    cand = cand.format(t3=t3)
+    return (_PRELUDE + "," + _interval_ordered_cte((t1, t2)) + f""",
+{cand},
+wins AS (SELECT DISTINCT c.doc_id, c.cl, c.cr FROM cand c
+         WHERE NOT EXISTS (SELECT 1 FROM cand o
+                           WHERE o.doc_id = c.doc_id
+                             AND o.cl >= c.cl AND o.cr <= c.cr
+                             AND (o.cl > c.cl OR o.cr < c.cr))),
+ifreq AS (SELECT doc_id,
+                 sum(CAST(1.0 AS DOUBLE)
+                     / greatest(cr - cl + 1 - 3 + 1, 1)) AS freq
+          FROM wins GROUP BY 1)"""
+            + _interval_score_sql("ifreq", k=k))
+
+
 def _interval_before_after_sql(src: str, ref: str, after: bool = False,
                                k: int = 10) -> str:
     """before(src, ref) / after(src, ref) over term leaves: a src point
@@ -2178,6 +2211,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("after", ("term", T_A), ("term", T_COMMON)))),
         "interval_within_top10": _search(Q.Interval(
             ("within", ("term", T_A), 3, ("term", T_COMMON)))),
+        "interval_nested_ordered_top10": _search(Q.Interval(
+            ("ordered", (("ordered", (("term", T_COMMON),
+                                      ("term", T_COMMON2))),
+                         ("term", T_THIRD))))),
+        "interval_nested_unordered_top10": _search(Q.Interval(
+            ("unordered", (("ordered", (("term", T_COMMON),
+                                        ("term", T_COMMON2))),
+                           ("term", T_THIRD))))),
         "bm25_after_merge_top10": _q_merged_search,
         "bm25_incremental_top10": _q_incremental_search,
         # --- index tables / invariants (SURVEY.md §2.2) ---
@@ -2242,6 +2283,7 @@ _PRIORITY = [
     "interval_after_top10", "interval_within_top10",
     "bm25_gap_phrase_top10", "bm25_gap_sloppy_top10",
     "covering_top10",
+    "interval_nested_ordered_top10", "interval_nested_unordered_top10",
 ]
 
 
@@ -2309,6 +2351,10 @@ def oracle_sql() -> dict[str, str]:
         "interval_after_top10": _interval_before_after_sql(
             T_A, T_COMMON, after=True),
         "interval_within_top10": _interval_within_sql(T_A, 3, T_COMMON),
+        "interval_nested_ordered_top10": _interval_nested_sql(
+            T_COMMON, T_COMMON2, T_THIRD, ordered=True),
+        "interval_nested_unordered_top10": _interval_nested_sql(
+            T_COMMON, T_COMMON2, T_THIRD, ordered=False),
         "tfidf_term_top10": _TFIDF_SQL,
         "batch_search": " UNION ALL ".join(
             f"SELECT '{qid}' AS query_id, * FROM ({sql})"

@@ -26,14 +26,17 @@ the same embedding the batched span kernels use):
   shared with the sloppy-phrase kernel.
 * phrase (BlockIntervalsSource) — consecutive chain via key probes.
 
-Scope (documented): ordered/unordered/phrase/atleast clauses are
-POSITION STREAMS (a term or an OR of terms — width-1 sources);
-combinators (maxgaps/maxwidth/containing/contained_by/not_*/or/extend/
-non_overlapping/overlapping/offset) compose freely on interval streams,
-and the sugar factories before/after/within/not_within/
-unordered_no_overlaps desugar into those exactly as ``Intervals.java``
-composes them. Nested ordered-inside-ordered (general sub-interval
-chaining) is out of scope this round. Duplicate clause terms (the
+Scope (documented): ordered/unordered clauses may be ANY interval
+sub-source (nested ordered-inside-ordered etc. — the width-1 stream
+case keeps its dedicated closed-form kernels; general children run
+through :func:`ordered_over` / :func:`unordered_over`, which exploit
+the containment-antichain property of minimal-interval streams);
+phrase/atleast clauses are POSITION STREAMS (a term or an OR of
+terms). Combinators (maxgaps/maxwidth/containing/contained_by/not_*/
+or/extend/non_overlapping/overlapping/offset) compose freely on
+interval streams, and the sugar factories before/after/within/
+not_within/unordered_no_overlaps desugar into those exactly as
+``Intervals.java`` composes them. Duplicate clause terms (the
 reference's RepeatingIntervalsSource) are unsupported, like spans.
 """
 
@@ -255,6 +258,89 @@ def desugar(tree):
     return tree
 
 
+def _norm_antichain(iv: np.ndarray) -> np.ndarray:
+    """Normalize an interval array to a containment antichain (idempotent
+    for kernel outputs; extend/offset clamping can produce same-start or
+    nested rows, which would break the monotone-chain arguments below)."""
+    return minimize_or([iv]) if len(iv) else iv
+
+
+def ordered_over(ivs: list[np.ndarray]) -> np.ndarray:
+    """Minimal ordered conjunction over arbitrary SUB-INTERVAL streams
+    (OrderedIntervalsSource.java:135-174 over nested sources): clause
+    j+1's first interval with start > prev.end. Each input is a
+    containment antichain, so starts and ends are both strictly
+    increasing — the greedy chain end R(i0) is nondecreasing in the
+    first-clause index, and the minimal set is the last chain per
+    distinct (doc, R), exactly like the width-1 closed form.
+    gaps = (R - L + 1) - Σ chosen sub-widths (the iterator's
+    slop -= subIterator.width() bookkeeping — a sub-interval's INTERNAL
+    gaps count as part of its width, not as outer gaps)."""
+    n = len(ivs)
+    if n == 0 or any(len(v) == 0 for v in ivs):
+        return _EMPTY
+    if n == 1:
+        return ivs[0]
+    first = ivs[0]
+    doc_of = first[:, 0] >> np.int64(32)
+    alive = np.ones(len(first), dtype=bool)
+    prev_end = first[:, 1]
+    wsum = first[:, 1] - first[:, 0] + 1
+    for j in range(1, n):
+        a = ivs[j]
+        idx = np.searchsorted(a[:, 0], prev_end, side="right")
+        alive &= idx < len(a)
+        idxc = np.clip(idx, 0, len(a) - 1)
+        nxt_s, nxt_e = a[idxc, 0], a[idxc, 1]
+        alive &= (nxt_s >> np.int64(32)) == doc_of
+        prev_end = nxt_e
+        wsum = wsum + (nxt_e - nxt_s + 1)
+    fs = first[:, 0][alive]
+    rs, ds, ws = prev_end[alive], doc_of[alive], wsum[alive]
+    if len(fs) == 0:
+        return _EMPTY
+    keep = np.ones(len(fs), dtype=bool)
+    keep[:-1] = (rs[1:] > rs[:-1]) | (ds[1:] != ds[:-1])
+    gaps = (rs[keep] - fs[keep] + 1) - ws[keep]
+    return np.stack([fs[keep], rs[keep], gaps], axis=1)
+
+
+def unordered_over(ivs: list[np.ndarray]) -> np.ndarray:
+    """Minimal unordered conjunction over arbitrary SUB-INTERVAL streams
+    (UnorderedIntervalsSource over nested sources, overlaps allowed):
+    the containment-minimal windows holding one whole interval from
+    every clause. Per candidate right end R (any clause interval's
+    end), each clause's tightest choice is its LAST interval with
+    end <= R (antichain ⇒ also the max-start one); the window is
+    [min_j start_j, R] and the antichain filter keeps the minimal set.
+    gaps = (R - L + 1) - Σ chosen sub-widths."""
+    n = len(ivs)
+    if n == 0 or any(len(v) == 0 for v in ivs):
+        return _EMPTY
+    if n == 1:
+        return ivs[0]
+    ends = np.unique(np.concatenate([v[:, 1] for v in ivs]))
+    edoc = ends >> np.int64(32)
+    ok = np.ones(len(ends), dtype=bool)
+    lmat = np.empty((n, len(ends)), dtype=np.int64)
+    wmat = np.empty((n, len(ends)), dtype=np.int64)
+    for j, a in enumerate(ivs):
+        idx = np.searchsorted(a[:, 1], ends, side="right") - 1
+        ok &= idx >= 0
+        idxc = np.clip(idx, 0, len(a) - 1)
+        s, e = a[idxc, 0], a[idxc, 1]
+        ok &= (s >> np.int64(32)) == edoc
+        lmat[j] = s
+        wmat[j] = e - s + 1
+    if not ok.any():
+        return _EMPTY
+    L = lmat.min(axis=0)[ok]
+    W = wmat.sum(axis=0)[ok]
+    R = ends[ok]
+    cand = np.stack([L, R, (R - L + 1) - W], axis=1)
+    return minimize_or([cand])
+
+
 def atleast_intervals(streams: list[np.ndarray], m: int) -> np.ndarray:
     """Minimal m-of-n windows over width-1 clause streams
     (MinimumShouldMatchIntervalsSource.java:156): every containment-
@@ -303,10 +389,17 @@ def eval_intervals(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
             return _EMPTY
         return np.stack([k, k, np.zeros(len(k), np.int64)], axis=1)
     if kind == "ordered":
-        return ordered_intervals([_stream_keys(c, pmap) for c in tree[1]])
+        if all(_is_stream(c) for c in tree[1]):
+            return ordered_intervals(
+                [_stream_keys(c, pmap) for c in tree[1]])
+        return ordered_over([_norm_antichain(eval_intervals(c, pmap))
+                             for c in tree[1]])
     if kind == "unordered":
-        return unordered_intervals(
-            [_stream_keys(c, pmap) for c in tree[1]])
+        if all(_is_stream(c) for c in tree[1]):
+            return unordered_intervals(
+                [_stream_keys(c, pmap) for c in tree[1]])
+        return unordered_over([_norm_antichain(eval_intervals(c, pmap))
+                               for c in tree[1]])
     if kind == "phrase":
         return phrase_intervals([_stream_keys(c, pmap) for c in tree[1]])
     if kind == "maxgaps":

@@ -398,3 +398,85 @@ def test_atleast_engine_matches_oracle_with_maxgaps(searcher, oracle):
            for r in searcher.search(q, k=10).collect()]
     want = [(d, np.float32(s)) for d, s in oracle.top_k(q, k=10)]
     assert got == want and len(got) > 0
+
+
+def _brute_nested(lists_by_leaf, tree):
+    """Set-of-intervals brute force over a nested tree of term leaves:
+    ordered = all in-order chains (next.start > prev.end), unordered =
+    all combos' spanning windows; each node's emission is the
+    containment antichain of its valid windows."""
+    kind = tree[0]
+    if kind == "term":
+        return [(p, p) for p in lists_by_leaf[tree[1]]]
+    subs = [_brute_nested(lists_by_leaf, c) for c in tree[1]]
+    valid = set()
+    for combo in itertools.product(*subs):
+        if kind == "ordered":
+            if all(combo[i + 1][0] > combo[i][1]
+                   for i in range(len(combo) - 1)):
+                valid.add((combo[0][0], combo[-1][1]))
+        else:
+            valid.add((min(c[0] for c in combo),
+                       max(c[1] for c in combo)))
+    return _antichain(valid)
+
+
+def test_nested_interval_sources_vs_brute_force():
+    rng = np.random.default_rng(21)
+    shapes = [
+        ("ordered", (("ordered", (("term", "a"), ("term", "b"))),
+                     ("term", "c"))),
+        ("unordered", (("ordered", (("term", "a"), ("term", "b"))),
+                       ("term", "c"))),
+        ("ordered", (("term", "c"),
+                     ("unordered", (("term", "a"), ("term", "b"))))),
+        ("unordered", (("unordered", (("term", "a"), ("term", "b"))),
+                       ("ordered", (("term", "c"), ("term", "d"))))),
+        ("ordered", (("ordered", (("term", "a"), ("term", "b"))),
+                     ("ordered", (("term", "c"), ("term", "d"))))),
+    ]
+    for trial in range(150):
+        lists = {t: np.sort(rng.choice(40, size=int(rng.integers(1, 6)),
+                                       replace=False)).astype(np.int64)
+                 for t in "abcd"}
+        for tree in shapes:
+            got = eval_intervals(tree, lists)
+            want = _brute_nested({t: l.tolist() for t, l in lists.items()},
+                                 tree)
+            assert [(int(s), int(e)) for s, e, _ in got] == want, \
+                (trial, tree)
+
+
+def test_nested_interval_multi_doc_and_gaps():
+    BIG = np.int64(1) << np.int64(32)
+    pmap = {"a": np.array([1, 12, BIG + 2], np.int64),
+            "b": np.array([3, 14, BIG + 4], np.int64),
+            "c": np.array([6, 20, BIG + 9], np.int64)}
+    t = ("ordered", (("ordered", (("term", "a"), ("term", "b"))),
+                     ("term", "c")))
+    iv = eval_intervals(t, pmap)
+    assert [(int(s >> 32), int(s & 0xFFFFFFFF), int(e & 0xFFFFFFFF),
+             int(g)) for s, e, g in iv] == \
+        [(0, 1, 6, 2), (0, 12, 20, 5), (1, 2, 9, 4)]
+    # outer gaps exclude the inner interval's internal gap (it is part
+    # of the sub-width): doc 1 chain [2,4]+[9]: (9-2+1) - (3+1) = 4
+    assert min_extent(t) == 3
+
+
+def test_nested_interval_engine_matches_oracle(searcher, oracle):
+    trees = [
+        ("ordered", (("ordered", (("term", "return"), ("term", "if"))),
+                     ("term", "import"))),
+        ("unordered", (("ordered", (("term", "return"), ("term", "if"))),
+                       ("term", "import"))),
+        ("maxgaps", ("ordered", (
+            ("ordered", (("term", "return"), ("term", "if"))),
+            ("term", "import"))), 4),
+    ]
+    for tree in trees:
+        q = Q.Interval(tree)
+        got = [(r["doc_id"], np.float32(r["score"]))
+               for r in searcher.search(q, k=10).collect()]
+        want = [(d, np.float32(s)) for d, s in oracle.top_k(q, k=10)]
+        assert len(want) > 0, tree
+        assert got == want, tree
