@@ -1939,6 +1939,24 @@ ifreq AS (SELECT doc_id,
             + _interval_score_sql("ifreq", k=k))
 
 
+def _interval_block_or_sql(alts: tuple[str, ...], t2: str,
+                           k: int = 10) -> str:
+    """phrase(or(alts...), t2) (BlockIntervalsSource over an or-of-terms
+    first slot): start p matches when some alt is at p and t2 at p+1;
+    duplicate (doc, p) across alts count once. minExtent = 2, block
+    len = 2 → every match contributes 1."""
+    terms = ", ".join(f"'{t}'" for t in alts)
+    return (_PRELUDE + f""",
+mp0 AS (SELECT DISTINCT doc_id, pos FROM tok WHERE term IN ({terms})),
+wins AS (SELECT p0.doc_id, p0.pos
+         FROM mp0 p0 JOIN tok p1
+           ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+         WHERE p1.term = '{t2}'),
+ifreq AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq
+          FROM wins GROUP BY 1)"""
+            + _interval_score_sql("ifreq", k=k))
+
+
 def _interval_before_after_sql(src: str, ref: str, after: bool = False,
                                k: int = 10) -> str:
     """before(src, ref) / after(src, ref) over term leaves: a src point
@@ -2219,6 +2237,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("unordered", (("ordered", (("term", T_COMMON),
                                         ("term", T_COMMON2))),
                            ("term", T_THIRD))))),
+        "interval_analyzed_text_top10": _search(Q.Interval(
+            ("analyzed_text", f"{T_COMMON} {T_COMMON2}", 1, True))),
+        "interval_block_nested_top10": _search(Q.Interval(
+            ("phrase", (("orterms", (T_COMMON, SYN_A)),
+                        ("term", T_COMMON2))))),
         "bm25_after_merge_top10": _q_merged_search,
         "bm25_incremental_top10": _q_incremental_search,
         # --- index tables / invariants (SURVEY.md §2.2) ---
@@ -2284,6 +2307,7 @@ _PRIORITY = [
     "bm25_gap_phrase_top10", "bm25_gap_sloppy_top10",
     "covering_top10",
     "interval_nested_ordered_top10", "interval_nested_unordered_top10",
+    "interval_analyzed_text_top10", "interval_block_nested_top10",
 ]
 
 
@@ -2355,6 +2379,10 @@ def oracle_sql() -> dict[str, str]:
             T_COMMON, T_COMMON2, T_THIRD, ordered=True),
         "interval_nested_unordered_top10": _interval_nested_sql(
             T_COMMON, T_COMMON2, T_THIRD, ordered=False),
+        "interval_analyzed_text_top10": _interval_ordered_sql(
+            (T_COMMON, T_COMMON2), maxgaps=1),
+        "interval_block_nested_top10": _interval_block_or_sql(
+            (T_COMMON, SYN_A), T_COMMON2),
         "tfidf_term_top10": _TFIDF_SQL,
         "batch_search": " UNION ALL ".join(
             f"SELECT '{qid}' AS query_id, * FROM ({sql})"

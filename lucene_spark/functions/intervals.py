@@ -255,6 +255,18 @@ def desugar(tree):
     if kind == "unordered_no_overlaps":
         return ("or", (("ordered", (tree[1], tree[2])),
                        ("ordered", (tree[2], tree[1]))))
+    if kind == "analyzed_text":
+        # Intervals.analyzedText (Intervals.java:517): run the standard
+        # analyzer over the text and build ordered/unordered-with-maxgaps
+        # over the resulting token stream
+        from .analysis import analyze_text
+        terms = analyze_text(str(tree[1]))[0]
+        if not terms:
+            return ("orterms", ())         # empty source, never matches
+        inner = (("term", terms[0]) if len(terms) == 1 else
+                 ("ordered" if tree[3] else "unordered",
+                  tuple(("term", t) for t in terms)))
+        return ("maxgaps", inner, int(tree[2]))
     return tree
 
 
@@ -341,6 +353,33 @@ def unordered_over(ivs: list[np.ndarray]) -> np.ndarray:
     return minimize_or([cand])
 
 
+def block_over(ivs: list[np.ndarray]) -> np.ndarray:
+    """BlockIntervalsSource over arbitrary SUB-INTERVAL streams
+    (BlockIntervalsSource.java:115): each sub-interval starts exactly at
+    prev.end + 1. Antichain children have unique starts, so the chain
+    per first interval is deterministic (exact searchsorted probe);
+    gaps() = 0 always (BlockIntervalsSource.java:110-112)."""
+    n = len(ivs)
+    if n == 0 or any(len(v) == 0 for v in ivs):
+        return _EMPTY
+    if n == 1:
+        return ivs[0]
+    first = ivs[0]
+    alive = np.ones(len(first), dtype=bool)
+    prev_end = first[:, 1]
+    for j in range(1, n):
+        a = ivs[j]
+        probe = prev_end + 1
+        idx = np.searchsorted(a[:, 0], probe)
+        idxc = np.clip(idx, 0, len(a) - 1)
+        alive &= (idx < len(a)) & (a[idxc, 0] == probe)
+        prev_end = a[idxc, 1]
+    fs, rs = first[:, 0][alive], prev_end[alive]
+    if len(fs) == 0:
+        return _EMPTY
+    return np.stack([fs, rs, np.zeros(len(fs), np.int64)], axis=1)
+
+
 def atleast_intervals(streams: list[np.ndarray], m: int) -> np.ndarray:
     """Minimal m-of-n windows over width-1 clause streams
     (MinimumShouldMatchIntervalsSource.java:156): every containment-
@@ -401,7 +440,11 @@ def eval_intervals(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
         return unordered_over([_norm_antichain(eval_intervals(c, pmap))
                                for c in tree[1]])
     if kind == "phrase":
-        return phrase_intervals([_stream_keys(c, pmap) for c in tree[1]])
+        if all(_is_stream(c) for c in tree[1]):
+            return phrase_intervals(
+                [_stream_keys(c, pmap) for c in tree[1]])
+        return block_over([_norm_antichain(eval_intervals(c, pmap))
+                           for c in tree[1]])
     if kind == "maxgaps":
         iv = eval_intervals(tree[1], pmap)
         return iv[iv[:, 2] <= tree[2]] if len(iv) else iv

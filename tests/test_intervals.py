@@ -480,3 +480,37 @@ def test_nested_interval_engine_matches_oracle(searcher, oracle):
         want = [(d, np.float32(s)) for d, s in oracle.top_k(q, k=10)]
         assert len(want) > 0, tree
         assert got == want, tree
+
+
+def test_block_over_nested_and_analyzed_text():
+    from lucene_spark.functions.intervals import block_over
+    BIG = np.int64(1) << np.int64(32)
+    # phrase(or(a,b), c): union first slot, exact next-start chaining
+    pmap = {"a": np.array([1, 10], np.int64),
+            "b": np.array([4, BIG + 0], np.int64),
+            "c": np.array([2, 5, BIG + 1], np.int64)}
+    t = ("phrase", (("orterms", ("a", "b")), ("term", "c")))
+    iv = eval_intervals(t, pmap)
+    assert [(int(s >> 32), int(s & 0xFFFFFFFF), int(e & 0xFFFFFFFF),
+             int(g)) for s, e, g in iv] == \
+        [(0, 1, 2, 0), (0, 4, 5, 0), (1, 0, 1, 0)]
+    # nested: phrase(ordered(a,c), c) — block over a non-stream child
+    pmap2 = {"a": np.array([0], np.int64),
+             "c": np.array([2, 3], np.int64)}
+    t2 = ("phrase", (("ordered", (("term", "a"), ("term", "c"))),
+                     ("term", "c")))
+    # ordered(a,c) minimal = [0,2]; block next must start at 3 → [0,3]
+    iv2 = eval_intervals(t2, pmap2)
+    assert [(int(s), int(e), int(g)) for s, e, g in iv2] == [(0, 3, 0)]
+    assert min_extent(t2) == 3
+    # analyzedText sugar == maxgaps(ordered(...), g)
+    t3 = ("analyzed_text", "Foo, bar!", 1, True)
+    pmap3 = {"foo": np.array([0, 7], np.int64),
+             "bar": np.array([2, 12], np.int64)}
+    iv3 = eval_intervals(t3, pmap3)
+    want = eval_intervals(
+        ("maxgaps", ("ordered", (("term", "foo"), ("term", "bar"))), 1),
+        pmap3)
+    assert (iv3 == want).all() and len(iv3) == 1
+    # empty analysis never matches
+    assert len(eval_intervals(("analyzed_text", "", 0, True), pmap3)) == 0
