@@ -400,6 +400,31 @@ synsc AS (
 )""" + _topk_sql("synsc", k))
 
 
+def _synonym_boosted_sql(pairs: tuple[tuple[str, float], ...],
+                         k: int = 10) -> str:
+    """Boosted SynonymQuery twin (SynonymQuery.java:80,537-543): stats
+    unboosted (df = max); per-doc freq = sum of float32(boost * tf)
+    products summed in float64 (exact) then cast float32."""
+    terms = ", ".join(f"'{t}'" for t, _ in pairs)
+    boost_case = " ".join(f"WHEN '{t}' THEN CAST({b} AS FLOAT)"
+                          for t, b in pairs)
+    return (_PRELUDE + f""",
+syn AS (SELECT doc_id,
+               sum(CAST(CAST(CASE term {boost_case} END AS FLOAT)
+                        * CAST(tf AS FLOAT) AS DOUBLE)) AS freq
+        FROM tf WHERE term IN ({terms}) GROUP BY 1),
+synw AS (SELECT CAST(ln(1 + (a.dc - mx.df + CAST(0.5 AS DOUBLE)) /
+                       (mx.df + CAST(0.5 AS DOUBLE))) AS FLOAT) AS w
+         FROM (SELECT max(df) AS df FROM dfs
+               WHERE term IN ({terms})) mx, avgs a),
+synsc AS (
+  SELECT s.doc_id,
+         (w.w - w.w / (CAST(1 AS FLOAT) + CAST(s.freq AS FLOAT) * c.inv)) AS s
+  FROM syn s JOIN normcache c ON s.doc_id = c.doc_id CROSS JOIN synw w
+  WHERE s.freq > 0
+)""" + _topk_sql("synsc", k))
+
+
 def _phrase_sql(t1: str, t2: str, k: int = 10) -> str:
     return (_PRELUDE + f""",
 ph AS (SELECT p1.doc_id, count(*) AS freq
@@ -2133,6 +2158,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             Q.Or((Q.Term(T_COMMON), Q.Term(T_COMMON2), Q.Term(T_THIRD)))),
         "bm25_not_top10": _search(Q.Not(Q.Term(T_COMMON), Q.Term(T_RARE))),
         "bm25_synonym_top10": _search(Q.Synonym((SYN_A, SYN_B))),
+        "bm25_synonym_boosted_top10": _search(Q.Synonym(
+            (SYN_A, SYN_B), boosts=(1.0, 0.4))),
         "bm25_phrase_top10": _search(Q.Phrase((PH_A, PH_B))),
         "bm25_sloppy_phrase_top10": _search(
             Q.Phrase((T_COMMON, T_COMMON2), slop=3)),
@@ -2308,6 +2335,7 @@ _PRIORITY = [
     "covering_top10",
     "interval_nested_ordered_top10", "interval_nested_unordered_top10",
     "interval_analyzed_text_top10", "interval_block_nested_top10",
+    "bm25_synonym_boosted_top10",
 ]
 
 
@@ -2329,6 +2357,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or3_top10": _or3_sql(T_COMMON, T_COMMON2, T_THIRD),
         "bm25_not_top10": _not_sql(T_COMMON, T_RARE),
         "bm25_synonym_top10": _synonym_sql(SYN_A, SYN_B),
+        "bm25_synonym_boosted_top10": _synonym_boosted_sql(
+            ((SYN_A, 1.0), (SYN_B, 0.4))),
         "bm25_phrase_top10": _phrase_sql(PH_A, PH_B),
         "bm25_sloppy_phrase_top10": _sloppy_phrase_sql((T_COMMON, T_COMMON2), 3),
         "bm25_sloppy3_top10": _sloppy_phrase_sql(

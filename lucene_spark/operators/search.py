@@ -57,6 +57,7 @@ class CTerm:
 class CSynonym:
     terms: tuple[str, ...]
     weight: np.float32
+    boosts: tuple[float, ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -229,15 +230,29 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                          sim.weight(df_of(node.term), doc_count, node.boost,
                                     ttf_of(node.term), sum_ttf))
         if isinstance(node, Q.Synonym):
-            present = tuple(t for t in node.terms if df_of(t) > 0)
+            boosts = node.boosts
+            if boosts is not None:
+                if len(boosts) != len(node.terms):
+                    raise ValueError("synonym boosts must be one per term")
+                if any(not (0.0 < b <= 1.0) for b in boosts):
+                    raise ValueError(
+                        "boost must be a positive float between 0 "
+                        "(exclusive) and 1 (inclusive)")
+                pairs = [(t, float(b)) for t, b in zip(node.terms, boosts)
+                         if df_of(t) > 0]
+                present = tuple(t for t, _ in pairs)
+                boosts = tuple(b for _, b in pairs)
+            else:
+                present = tuple(t for t in node.terms if df_of(t) > 0)
             if not present:
                 return None
-            # SynonymQuery pseudo-term stats: df = max, ttf = sum
-            # (reference SynonymQuery.java:196-216)
+            # SynonymQuery pseudo-term stats: df = max, ttf = sum —
+            # UNboosted (reference SynonymQuery.java:196-216)
             pseudo_df = max(df_of(t) for t in present)
             pseudo_ttf = sum(ttf_of(t) for t in present)
             return CSynonym(present, sim.weight(pseudo_df, doc_count, 1.0,
-                                                pseudo_ttf, sum_ttf))
+                                                pseudo_ttf, sum_ttf),
+                            boosts)
         if isinstance(node, Q.Phrase):
             if any(df_of(t) == 0 for t in node.terms):
                 return None
@@ -618,16 +633,35 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
                 scores[ids - lo] = s.astype(np.float64)
         return mask, scores
     if isinstance(node, CSynonym):
-        freqs = np.zeros(n, dtype=np.int64)
-        for t in node.terms:
+        if node.boosts is None:
+            freqs = np.zeros(n, dtype=np.int64)
+            for t in node.terms:
+                tp = ctx.tp(t)
+                if tp is None:
+                    continue
+                ids, tfs = tp.in_range(lo, hi)
+                freqs[ids - lo] += tfs
+            mask = freqs > 0
+            if mask.any():
+                s = ctx.sim.score(freqs[mask], ctx.norms[lo:hi][mask],
+                                  node.weight, ctx.cache)
+                scores[mask] = s.astype(np.float64)
+            return mask, scores
+        # blended: freq = sum of float32(boost_i * tf_i), the per-term
+        # float32 products summed in float64 (exact — each addend is a
+        # float32) then cast, shared with oracle and SQL twin
+        freqs = np.zeros(n, dtype=np.float64)
+        for t, b in zip(node.terms, node.boosts):
             tp = ctx.tp(t)
             if tp is None:
                 continue
             ids, tfs = tp.in_range(lo, hi)
-            freqs[ids - lo] += tfs
+            freqs[ids - lo] += (np.float32(b)
+                                * tfs.astype(np.float32)).astype(np.float64)
         mask = freqs > 0
         if mask.any():
-            s = ctx.sim.score(freqs[mask], ctx.norms[lo:hi][mask],
+            s = ctx.sim.score(freqs[mask].astype(np.float32),
+                              ctx.norms[lo:hi][mask],
                               node.weight, ctx.cache)
             scores[mask] = s.astype(np.float64)
         return mask, scores

@@ -117,17 +117,26 @@ class OracleIndex:
         return out
 
     def _synonym_scores(self, terms: list[str], k1: float, b: float,
-                        sim=None) -> dict[int, np.float32]:
+                        sim=None, boosts=None) -> dict[int, np.float32]:
         """SynonymQuery: one pseudo-term with df = max(df_i), ttf = sum,
         freq = sum of per-doc freqs (reference SynonymQuery.java:196-216
         uses max docFreq; scorer sums freqs per doc)."""
         pseudo_df = max((self.df(t) for t in terms), default=0)
         if pseudo_df == 0:
             return {}
-        freqs: dict[int, int] = {}
-        for t in terms:
+        freqs: dict[int, float] = {}
+        if boosts is None:
+            boosts = [1.0] * len(terms)
+            blend = False
+        else:
+            blend = True
+        for t, bo in zip(terms, boosts):
             for doc_id, tf, _ in self.postings.get(t, ()):
-                freqs[doc_id] = freqs.get(doc_id, 0) + tf
+                # blended freq: float32 per-term products, float64 sum
+                # (exact), cast at scoring (DisiWrapperFreq.freq())
+                add = (float(np.float32(bo) * np.float32(tf)) if blend
+                       else tf)
+                freqs[doc_id] = freqs.get(doc_id, 0) + add
         cache = self._cache(k1, b, sim)
         if sim is not None:
             pseudo_ttf = sum(self.ttf(t) for t in terms)
@@ -137,11 +146,11 @@ class OracleIndex:
                         sim.score(np.array([f]),
                                   np.array([self.norm_bytes[d]]),
                                   w, cache)[0])
-                    for d, f in freqs.items()}
+                    for d, f in freqs.items() if f > 0}
         w = idf(pseudo_df, self.doc_count)
         one = np.float32(1.0)
         return {d: np.float32(w - w / (one + np.float32(f) * cache[self.norm_bytes[d]]))
-                for d, f in freqs.items()}
+                for d, f in freqs.items() if f > 0}
 
     def _sloppy_phrase_scores(self, terms: list[str], slop: int,
                               k1: float, b: float,
@@ -385,7 +394,8 @@ class OracleIndex:
         if isinstance(query, Term):
             return self._term_scores(query.term, k1, b, query.boost, sim)
         if isinstance(query, Synonym):
-            return self._synonym_scores(list(query.terms), k1, b, sim)
+            return self._synonym_scores(list(query.terms), k1, b, sim,
+                                        boosts=query.boosts)
         if isinstance(query, Phrase):
             if query.slop > 0:
                 return self._sloppy_phrase_scores(list(query.terms),

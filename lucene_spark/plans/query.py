@@ -211,8 +211,12 @@ class SpanMultiTermWrapper(Query):
 @dataclass(frozen=True)
 class Synonym(Query):
     """Multiple terms scored as one pseudo-term: df = max, ttf = sum
-    (reference SynonymQuery.java:196-216)."""
+    (reference SynonymQuery.java:196-216). Optional per-term ``boosts``
+    (Builder.addTerm(term, boost), each in (0, 1]) blend the per-doc
+    frequency: freq = sum of boost_i * tf_i (DisiWrapperFreq.freq()),
+    stats stay unboosted."""
     terms: tuple[str, ...]
+    boosts: tuple[float, ...] | None = None
 
     def scoring_terms(self):
         return list(dict.fromkeys(self.terms))

@@ -247,6 +247,30 @@ def test_gap_phrase_parity(searcher, oracle, corpus):
                         k=5).collect()
 
 
+def test_boosted_synonym_parity(searcher, oracle):
+    """SynonymQuery.Builder.addTerm(term, boost)
+    (SynonymQuery.java:80,537-543): freq = sum of boost_i * tf_i
+    (float32 products); stats unboosted; boosts outside (0, 1]
+    rejected."""
+    q = Q.Synonym(("parse", "scan"), boosts=(1.0, 0.3))
+    got = [(r["doc_id"], r["score"])
+           for r in searcher.search(q, k=10).collect()]
+    want = oracle.top_k(q, k=10)
+    assert len(want) > 0
+    assert [(d, np.float32(s)) for d, s in got] == \
+        [(d, np.float32(s)) for d, s in want]
+    # all-1.0 boosts == unboosted (integer path) scores
+    a = oracle.score(Q.Synonym(("parse", "scan"), boosts=(1.0, 1.0)))
+    b = oracle.score(Q.Synonym(("parse", "scan")))
+    assert a.keys() == b.keys()
+    for d in a:
+        assert float(a[d]) == float(b[d])
+    for bad in ((0.0, 1.0), (1.0, 1.5), (-0.2, 1.0)):
+        with pytest.raises(ValueError):
+            searcher.search(Q.Synonym(("parse", "scan"), boosts=bad),
+                            k=5).collect()
+
+
 def test_covering_query_parity(searcher, oracle):
     """CoveringQuery (sandbox/search/CoveringQuery.java:51): per-doc
     minMatch; score = float64 sum of matching sub-scores cast float32;
