@@ -497,6 +497,41 @@ phsc AS (
 )""" + _topk_sql("phsc", k))
 
 
+def _multi_phrase_pattern_sql(slot_preds: tuple[str, ...],
+                              k: int = 10) -> str:
+    """MultiPhrase twin with PATTERN slots ("app* as a multi-phrase"):
+    each slot is a SQL predicate over ``term`` (IN-list, LIKE-prefix);
+    slot position sets are DISTINCT unions over the predicate, and the
+    weight sums each slot's df>0 idfs (float32 idfs summed in float64 —
+    exact, hence order-free, matching the engine's dictionary-order
+    sum)."""
+    n = len(slot_preds)
+    ctes = ",\n".join(
+        f"mp{j} AS (SELECT DISTINCT doc_id, pos FROM tok WHERE {p})"
+        for j, p in enumerate(slot_preds))
+    joins = "\n       ".join(
+        f"JOIN mp{j} ON mp{j}.doc_id = mp0.doc_id "
+        f"AND mp{j}.pos = mp0.pos + {j}" for j in range(1, n))
+    w_sum = " + ".join(
+        f"""COALESCE((SELECT sum(CAST(
+             CAST(ln(1 + (a.dc - d.df + CAST(0.5 AS DOUBLE)) /
+                    (d.df + CAST(0.5 AS DOUBLE))) AS FLOAT) AS DOUBLE))
+           FROM dfs d, avgs a WHERE {p.replace("term", "d.term")}), 0)"""
+        for p in slot_preds)
+    return (_PRELUDE + f""",
+{ctes},
+ph AS (SELECT mp0.doc_id, count(*) AS freq
+       FROM mp0
+       {joins}
+       GROUP BY 1),
+phw AS (SELECT CAST({w_sum} AS FLOAT) AS w),
+phsc AS (
+  SELECT p.doc_id,
+         (w.w - w.w / (CAST(1 AS FLOAT) + CAST(p.freq AS FLOAT) * c.inv)) AS s
+  FROM ph p JOIN normcache c ON p.doc_id = c.doc_id CROSS JOIN phw w
+)""" + _topk_sql("phsc", k))
+
+
 def _sloppy_phrase_sql(terms: tuple[str, ...], slop: int,
                        k: int = 10,
                        positions: tuple[int, ...] | None = None) -> str:
@@ -2171,6 +2206,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ((T_COMMON, SYN_A), (T_COMMON2,)))),
         "bm25_gap_phrase_top10": _search(Q.Phrase(
             (T_COMMON, T_COMMON2), positions=(0, 2))),
+        "bm25_prefix_multiphrase_top10": _search(Q.MultiPhrase(
+            ((("prefix", "du"),), (T_RARE,)))),
         "bm25_gap_sloppy_top10": _search(Q.Phrase(
             (T_COMMON, T_COMMON2), slop=2, positions=(0, 2))),
         "batch_search": _q_batch_search,
@@ -2335,7 +2372,7 @@ _PRIORITY = [
     "covering_top10",
     "interval_nested_ordered_top10", "interval_nested_unordered_top10",
     "interval_analyzed_text_top10", "interval_block_nested_top10",
-    "bm25_synonym_boosted_top10",
+    "bm25_synonym_boosted_top10", "bm25_prefix_multiphrase_top10",
 ]
 
 
@@ -2368,6 +2405,8 @@ def oracle_sql() -> dict[str, str]:
             ((T_COMMON, SYN_A), (T_COMMON2,))),
         "bm25_gap_phrase_top10": _gap_phrase_sql(
             (T_COMMON, T_COMMON2), (0, 2)),
+        "bm25_prefix_multiphrase_top10": _multi_phrase_pattern_sql(
+            ("term LIKE 'du%'", f"term = '{T_RARE}'")),
         "bm25_gap_sloppy_top10": _sloppy_phrase_sql(
             (T_COMMON, T_COMMON2), 2, positions=(0, 2)),
         "covering_top10": _covering_sql(

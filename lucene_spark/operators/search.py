@@ -1236,6 +1236,30 @@ class Searcher:
         reference's rewrite(reader) step for MultiTermQuery:
         ``search/MultiTermQuery.java:55``)."""
         import re as _re
+        if isinstance(q, Q.MultiPhrase) and \
+                any(not isinstance(e, str) for s in q.slots for e in s):
+            # "app* as a multi-phrase": multiterm slot entries expand
+            # against the dictionary into the slot's alternative set
+            # (the reference builds this with a TermsEnum walk —
+            # MultiPhraseQuery javadoc's prefixed-phrase example)
+            slots = []
+            for slot in q.slots:
+                flat: list[str] = []
+                for e in slot:
+                    if isinstance(e, str):
+                        flat.append(e)
+                    elif e[0] == "prefix":
+                        flat.extend(self.expand_terms(like=f"{e[1]}%"))
+                    elif e[0] == "wildcard":
+                        pat = "^" + "".join(
+                            ".*" if ch == "*" else "." if ch == "?"
+                            else _re.escape(ch) for ch in str(e[1])) + "$"
+                        flat.extend(self.expand_terms(rlike=pat))
+                    else:
+                        raise ValueError(
+                            f"multiphrase slot entry kind {e[0]!r}")
+                slots.append(tuple(dict.fromkeys(flat)))
+            return Q.MultiPhrase(tuple(slots))
         if isinstance(q, Q.MultiTerm):
             if q.kind == "prefix":
                 terms = self.expand_terms(like=f"{q.value}%")

@@ -404,7 +404,29 @@ class OracleIndex:
             return self._phrase_scores(list(query.terms), k1, b,
                                        query.positions)
         if isinstance(query, MultiPhrase):
-            return self._multi_phrase_scores(list(query.slots), k1, b)
+            slots = []
+            for slot in query.slots:
+                flat: list[str] = []
+                for e in slot:
+                    if isinstance(e, str):
+                        flat.append(e)
+                    else:
+                        # multiterm slot entry: expand against this
+                        # oracle's own dictionary (same sorted order as
+                        # the engine's term_stats expansion)
+                        import fnmatch
+                        keys = sorted(self.postings)
+                        if e[0] == "prefix":
+                            flat.extend(t for t in keys
+                                        if t.startswith(str(e[1])))
+                        elif e[0] == "wildcard":
+                            flat.extend(
+                                t for t in keys
+                                if fnmatch.fnmatchcase(t, str(e[1])))
+                        else:
+                            raise ValueError(e[0])
+                slots.append(tuple(dict.fromkeys(flat)))
+            return self._multi_phrase_scores(slots, k1, b)
         if isinstance(query, SpanNear):
             if all(isinstance(t, str) for t in query.terms):
                 return self._span_near_scores(query, k1, b)
