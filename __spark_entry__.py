@@ -248,6 +248,91 @@ def _q_function_score_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _q4(F.col("raw")).alias("fscore_q4")))
 
 
+def _searcher_feat(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index carrying a static-rank feature (``FeatureField``-style,
+    reference ``core/document/FeatureField.java:164``): the value
+    ``1 + n_chars % 400`` encoded as ``floatToIntBits(v) >>> 15`` in the
+    ``feat_pr`` doc_meta column; docs with ``n_chars % 5 == 0`` carry no
+    feature (freq 0 = absent feature term). Values ≤ 511 are
+    quantization-exact, so the DuckDB twins score the raw value."""
+    import shutil
+    key = os.path.abspath(sf_dir)
+    tag = hashlib.md5(f"{_INDEX_VERSION}:feat:{key}".encode()).hexdigest()[:10]
+    idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_featx_{tag}")
+    if not os.path.exists(idx):
+        import pandas as pd
+        from lucene_spark.functions.feature import encode_feature
+
+        def _enc_fn(n_chars):
+            n = n_chars.to_numpy()
+            raw = np.where(n % 5 == 0, 0.0, 1.0 + n % 400)
+            out = np.zeros(len(raw), dtype=np.int64)
+            m = raw > 0
+            out[m] = encode_feature(raw[m])
+            return pd.Series(out)
+
+        _enc = F.pandas_udf(_enc_fn, "long")
+
+        tmp = idx + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"),
+            _enc(F.col("n_chars")).alias("feat_pr"))
+        build_index(spark, docs, tmp, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True)
+        os.rename(tmp, idx)
+    return Searcher(spark, idx)
+
+
+def _feat_topk(fdf: DataFrame) -> DataFrame:
+    # orderBy+limit = TakeOrderedAndProject (per-partition top-k, ≤k·P
+    # rows merged on the driver); the rank window then runs over ≤10 rows
+    order = [F.desc("score"), F.asc("doc_id")]
+    w = Window.orderBy(*order)
+    return (fdf.orderBy(*order).limit(10)
+            .withColumn("rank", F.row_number().over(w))
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    _q4(F.col("score")).alias("score_q4")))
+
+
+def _q_feature_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeatureField.newSaturationQuery(feat_pr, 1.5, 8.0) top-10
+    (reference ``FeatureField.java:331`` SaturationFunction: pure
+    float32 ``w * (1 - pivot / (f + pivot))``)."""
+    s = _searcher_feat(spark, sf_dir)
+    return _feat_topk(s.feature_query("feat_pr", "saturation",
+                                      weight=1.5, pivot=8.0))
+
+
+def _q_feature_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeatureField.newSigmoidQuery(feat_pr, 1.2, 10, 2) top-10
+    (reference ``FeatureField.java:408`` SigmoidFunction: float64
+    ``w * (1 - k^a / (f^a + k^a))`` cast to float32; a = 2 uses exact
+    products)."""
+    s = _searcher_feat(spark, sf_dir)
+    return _feat_topk(s.feature_query("feat_pr", "sigmoid",
+                                      weight=1.2, pivot=10.0, a=2.0))
+
+
+def _q_bm25_feature_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanQuery MUST(term) + SHOULD(FeatureField.newLogQuery) — the
+    reference's canonical static-rank blend (``FeatureField.java:46-49``):
+    the SHOULD feature score adds into the BM25 sum (double-sum of float
+    clause scores, cast to float)."""
+    s = _searcher_feat(spark, sf_dir)
+    fdf = (s.feature_query("feat_pr", "log", weight=2.0, a=0.5)
+           .withColumnRenamed("score", "fscore"))
+    comb = (s.score_all(Q.Term(T_COMMON))
+            .join(fdf, "doc_id", "left")
+            .select("doc_id",
+                    (F.col("score").cast("double")
+                     + F.coalesce(F.col("fscore"),
+                                  F.lit(0.0).cast("float")).cast("double"))
+                    .cast("float").alias("score")))
+    return _feat_topk(comb)
+
+
 def _q4(col, scale: int = 10000):
     """floor(x·scale) as long — engine-independent fixed-point projection
     of a double. (Spark's round() rounds the shortest-decimal repr via
@@ -1127,6 +1212,15 @@ T_RARE = "dup"
 T_A, T_B = "slow", "dup"
 SYN_A, SYN_B = "batch", "stream"
 PH_A, PH_B = "dup", "dup"   # planted near-dup docs contain "... dup dup"
+
+
+#: FeatureField twin: quantization-exact feature values (integers ≤ 511
+#: keep all 8 stored mantissa bits), so decode(encode(v)) == v and the
+#: oracle scores the raw value directly.
+_FEAT_BODY = """feat AS (
+  SELECT doc_id, CAST(1 + (n_chars % 400) AS FLOAT) AS f
+  FROM documents WHERE n_chars % 5 <> 0
+)"""
 
 
 def _prefix_scored_sql(prefix: str, term: str, k: int = 10) -> str:
@@ -2236,6 +2330,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_score_top10": _q_payload_score,
         "docvalues_updated": _q_docvalues_updated,
         "function_score_updated_top10": _q_function_score_updated,
+        "feature_saturation_top10": _q_feature_saturation,
+        "feature_sigmoid_top10": _q_feature_sigmoid,
+        "bm25_feature_log_top10": _q_bm25_feature_log,
         "geo_box_count": _q_geo_box,
         "geo_nearest_top10": _q_geo_nearest,
         "geo_distance_count": _q_geo_distance_count,
@@ -2373,6 +2470,8 @@ _PRIORITY = [
     "interval_nested_ordered_top10", "interval_nested_unordered_top10",
     "interval_analyzed_text_top10", "interval_block_nested_top10",
     "bm25_synonym_boosted_top10", "bm25_prefix_multiphrase_top10",
+    "feature_saturation_top10", "feature_sigmoid_top10",
+    "bm25_feature_log_top10",
 ]
 
 
@@ -2504,6 +2603,42 @@ FROM (SELECT t.doc_id,
                         * ln(1 + dv.v) DESC, t.doc_id ASC) AS rnk
       FROM ts t JOIN dv ON dv.doc_id = t.doc_id)
 WHERE rnk <= 10""",
+        "feature_saturation_top10": "WITH " + _FEAT_BODY + """,
+fsat AS (
+  SELECT doc_id,
+         CAST(1.5 AS FLOAT)
+           * (CAST(1 AS FLOAT)
+              - CAST(8 AS FLOAT) / (f + CAST(8 AS FLOAT))) AS s
+  FROM feat
+)""" + _topk_sql("fsat", 10),
+        "feature_sigmoid_top10": "WITH " + _FEAT_BODY + """,
+fsig AS (
+  SELECT doc_id,
+         CAST(CAST(CAST(1.2 AS FLOAT) AS DOUBLE)
+              * (1.0 - (CAST(CAST(10 AS FLOAT) AS DOUBLE)
+                        * CAST(CAST(10 AS FLOAT) AS DOUBLE))
+                       / (CAST(f AS DOUBLE) * CAST(f AS DOUBLE)
+                          + CAST(CAST(10 AS FLOAT) AS DOUBLE)
+                            * CAST(CAST(10 AS FLOAT) AS DOUBLE)))
+              AS FLOAT) AS s
+  FROM feat
+)""" + _topk_sql("fsig", 10),
+        "bm25_feature_log_top10":
+            _PRELUDE + ", " + _tscore_cte("ts", T_COMMON)
+            + ", " + _FEAT_BODY + """,
+flog AS (
+  SELECT doc_id,
+         CAST(CAST(CAST(2.0 AS FLOAT) AS DOUBLE)
+              * ln(CAST(CAST(0.5 AS FLOAT) + f AS DOUBLE)) AS FLOAT) AS s
+  FROM feat
+),
+fcomb AS (
+  SELECT t.doc_id,
+         CAST(CAST(t.s AS DOUBLE)
+              + CAST(COALESCE(l.s, CAST(0 AS FLOAT)) AS DOUBLE)
+              AS FLOAT) AS s
+  FROM ts t LEFT JOIN flog l ON l.doc_id = t.doc_id
+)""" + _topk_sql("fcomb", 10),
         "bm25_prefix_scored_top10": _prefix_scored_sql("du", T_COMMON),
         "bm25_msm2_top10": _msm_sql(T_A, T_B, SYN_A, 2),
         "search_after_page2": _PRELUDE + ", " + _tscore_cte("ts", T_COMMON)

@@ -1210,6 +1210,16 @@ class Searcher:
         return read_docvalues(self.spark, self.catalog, self.snapshot,
                               self.doc_meta, field)
 
+    def feature_query(self, field: str, function: str = "log",
+                      weight: float = 1.0, pivot: float | None = None,
+                      a: float | None = None):
+        """FeatureQuery over a static-rank feature column: ``(doc_id,
+        score float)`` for every live doc carrying the feature, scored
+        with the reference's log / saturation / sigmoid functions
+        (``core/document/FeatureField.java:238,277,331,408``)."""
+        from .featurefield import feature_query
+        return feature_query(self, field, function, weight, pivot, a)
+
     # -- stats -------------------------------------------------------------
     def _global_dfs(self, terms: list[str]) -> dict[str, int]:
         if not terms:
