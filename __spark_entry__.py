@@ -333,6 +333,16 @@ def _q_bm25_feature_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _feat_topk(comb)
 
 
+def _q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LongPoint.newDistanceFeatureQuery(n_chars, origin=2500,
+    pivot=500) · weight 1.8 over UPDATED docvalues (reference
+    ``core/document/LongDistanceFeatureQuery.java:117``): score =
+    (float)(boost · pivot / (pivot + |v − origin|)), doubles throughout
+    — pure Catalyst, no UDF."""
+    s = _searcher_dv(spark, sf_dir)
+    return _feat_topk(s.distance_feature_query("n_chars", 2500, 500, 1.8))
+
+
 def _q4(col, scale: int = 10000):
     """floor(x·scale) as long — engine-independent fixed-point projection
     of a double. (Spark's round() rounds the shortest-decimal repr via
@@ -2333,6 +2343,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_saturation_top10": _q_feature_saturation,
         "feature_sigmoid_top10": _q_feature_sigmoid,
         "bm25_feature_log_top10": _q_bm25_feature_log,
+        "distance_feature_top10": _q_distance_feature,
         "geo_box_count": _q_geo_box,
         "geo_nearest_top10": _q_geo_nearest,
         "geo_distance_count": _q_geo_distance_count,
@@ -2471,7 +2482,7 @@ _PRIORITY = [
     "interval_analyzed_text_top10", "interval_block_nested_top10",
     "bm25_synonym_boosted_top10", "bm25_prefix_multiphrase_top10",
     "feature_saturation_top10", "feature_sigmoid_top10",
-    "bm25_feature_log_top10",
+    "bm25_feature_log_top10", "distance_feature_top10",
 ]
 
 
@@ -2639,6 +2650,28 @@ fcomb AS (
               AS FLOAT) AS s
   FROM ts t LEFT JOIN flog l ON l.doc_id = t.doc_id
 )""" + _topk_sql("fcomb", 10),
+        "distance_feature_top10": f"""
+WITH hit AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term = '{T_RARE}'
+),
+dv AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN h.doc_id IS NOT NULL THEN 5000 ELSE d.n_chars END
+              AS BIGINT) AS v
+  FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
+),
+dfq AS (
+  SELECT doc_id,
+         CAST(CAST(1.7999999523162842 AS DOUBLE)
+              * (CAST(500 AS DOUBLE)
+                 / (CAST(500 AS DOUBLE)
+                    + CAST(greatest(v, 2500) - least(v, 2500) AS DOUBLE)))
+              AS FLOAT) AS s
+  FROM dv
+)""" + _topk_sql("dfq", 10),
         "bm25_prefix_scored_top10": _prefix_scored_sql("du", T_COMMON),
         "bm25_msm2_top10": _msm_sql(T_A, T_B, SYN_A, 2),
         "search_after_page2": _PRELUDE + ", " + _tscore_cte("ts", T_COMMON)

@@ -67,3 +67,42 @@ def feature_query(searcher, field: str, function: str, weight: float,
                                 "score": s})
 
     return src.mapInPandas(score_batches, "doc_id long, score float")
+
+
+def distance_feature_query(searcher, field: str, origin: int, pivot: int,
+                           weight: float = 1.0):
+    """LongPoint.newDistanceFeatureQuery: boost docs whose numeric
+    ``field`` is close to ``origin`` (reference
+    ``core/document/LongDistanceFeatureQuery.java:117``):
+
+        score = (float)(boost * (pivot / (pivot + (double) distance)))
+
+    with ``distance = max(v, origin) - min(v, origin)`` in long
+    arithmetic (``:307`` — unsigned distance; the sandbox never hits the
+    Long.MAX_VALUE underflow clamp because doc values are bounded).
+
+    All-double math, so this stays pure Catalyst — no UDF, no exchange:
+    a column-pruned doc_meta scan with a projected expression.  The
+    reference's distance-sorted BKD iterator is a top-k *optimization*
+    (skip far docs once the heap is full); Spark's equivalent is
+    TakeOrderedAndProject over the scored scan, which the caller gets by
+    ``.orderBy(...).limit(k)``."""
+    from pyspark.sql import functions as F
+
+    if pivot <= 0:
+        raise ValueError(f"pivotDistance must be > 0, got {pivot}")
+    import numpy as np
+    w64 = float(np.float32(weight))  # Java: float boost widened to double
+    dv = searcher.docvalues(field)
+    if searcher.deletes:
+        tomb = searcher.spark.createDataFrame(
+            [(int(s), int(d)) for s, v in searcher.deletes.items()
+             for d in v], "seg_id int, local_doc_id int")
+        dv = dv.join(F.broadcast(tomb),
+                     on=["seg_id", "local_doc_id"], how="left_anti")
+    o = F.lit(int(origin)).cast("long")
+    dist = (F.greatest(F.col("value"), o)
+            - F.least(F.col("value"), o)).cast("double")
+    score = (F.lit(w64) * (F.lit(float(pivot))
+                           / (F.lit(float(pivot)) + dist))).cast("float")
+    return dv.select("doc_id", score.alias("score"))

@@ -1220,6 +1220,14 @@ class Searcher:
         from .featurefield import feature_query
         return feature_query(self, field, function, weight, pivot, a)
 
+    def distance_feature_query(self, field: str, origin: int, pivot: int,
+                               weight: float = 1.0):
+        """LongPoint.newDistanceFeatureQuery: ``(doc_id, score float)``
+        = weight · pivot / (pivot + |value − origin|) over a numeric
+        docvalues field (``core/document/LongDistanceFeatureQuery.java:117``)."""
+        from .featurefield import distance_feature_query
+        return distance_feature_query(self, field, origin, pivot, weight)
+
     # -- stats -------------------------------------------------------------
     def _global_dfs(self, terms: list[str]) -> dict[str, int]:
         if not terms:

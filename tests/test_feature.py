@@ -183,7 +183,11 @@ def test_feature_query_scores(spark, feat_index):
 
 
 def test_feature_query_masks_deletes(spark, feat_index):
-    d, enc, corpus = feat_index
+    import shutil
+    d0, enc, corpus = feat_index
+    d = tempfile.mkdtemp(prefix="lucene_spark_featdel_")
+    shutil.rmtree(d)
+    shutil.copytree(d0, d)  # keep the shared fixture index undeleted
     oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
     term = "else"
     victims = {doc for doc, _, _ in oracle.postings.get(term, ())}
@@ -194,6 +198,31 @@ def test_feature_query_masks_deletes(spark, feat_index):
            s.feature_query("rank_feat", "log", weight=1.0).collect()}
     assert got == {i for i in range(N_DOCS)
                    if enc[i] > 0 and i not in victims}
+
+
+def test_distance_feature_scores(spark, feat_index):
+    """LongPoint.newDistanceFeatureQuery parity: score =
+    (float)(boost * (pivot / (pivot + (double) |v - origin|)))
+    (LongDistanceFeatureQuery.java:117,307)."""
+    d, enc, _ = feat_index
+    s = Searcher(spark, d)
+    origin, pivot, w = 8000, 1000, 2.3
+    got = {r["doc_id"]: r["score"]
+           for r in s.distance_feature_query("rank_feat", origin, pivot,
+                                             w).collect()}
+    assert set(got) == set(range(N_DOCS))
+    w64 = f32(w)
+    for doc in range(N_DOCS):
+        dist = abs(int(enc[doc]) - origin)
+        exp = f32(w64 * (float(pivot) / (float(pivot) + float(dist))))
+        assert float(got[doc]) == exp
+
+
+def test_distance_feature_rejects_bad_pivot(spark, feat_index):
+    d, _, _ = feat_index
+    s = Searcher(spark, d)
+    with pytest.raises(ValueError):
+        s.distance_feature_query("rank_feat", 0, 0)
 
 
 def test_feature_combined_with_bm25(spark, feat_index):
