@@ -343,6 +343,19 @@ def _q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _feat_topk(s.distance_feature_query("n_chars", 2500, 500, 1.8))
 
 
+def _q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryRescorer.rescore (reference
+    ``core/search/QueryRescorer.java:175-193``): first pass =
+    TermQuery(T_COMMON) top-20; second pass = TermQuery(T_COMMON2) at
+    weight 2.5; combined = (float)(first + 2.5 · second) on match, else
+    first unchanged; (score DESC, doc ASC) truncated to 10."""
+    s = _searcher(spark, sf_dir)
+    fp = s.search(Q.Term(T_COMMON), k=20)
+    r = s.rescore(fp, Q.Term(T_COMMON2), weight=2.5, topn=10)
+    return r.select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    _q4(F.col("score")).alias("score_q4"))
+
+
 def _q4(col, scale: int = 10000):
     """floor(x·scale) as long — engine-independent fixed-point projection
     of a double. (Spark's round() rounds the shortest-decimal repr via
@@ -2344,6 +2357,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_sigmoid_top10": _q_feature_sigmoid,
         "bm25_feature_log_top10": _q_bm25_feature_log,
         "distance_feature_top10": _q_distance_feature,
+        "rescore_top10": _q_rescore,
         "geo_box_count": _q_geo_box,
         "geo_nearest_top10": _q_geo_nearest,
         "geo_distance_count": _q_geo_distance_count,
@@ -2483,6 +2497,7 @@ _PRIORITY = [
     "bm25_synonym_boosted_top10", "bm25_prefix_multiphrase_top10",
     "feature_saturation_top10", "feature_sigmoid_top10",
     "bm25_feature_log_top10", "distance_feature_top10",
+    "rescore_top10",
 ]
 
 
@@ -2672,6 +2687,22 @@ dfq AS (
               AS FLOAT) AS s
   FROM dv
 )""" + _topk_sql("dfq", 10),
+        "rescore_top10": _PRELUDE + ", " + _tscore_cte("ta", T_COMMON)
+        + ", " + _tscore_cte("tb", T_COMMON2) + """,
+fp AS (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM ta
+),
+resc AS (
+  SELECT f.doc_id,
+         CASE WHEN b.doc_id IS NOT NULL
+              THEN CAST(CAST(f.s AS DOUBLE)
+                        + CAST(2.5 AS DOUBLE) * CAST(b.s AS DOUBLE) AS FLOAT)
+              ELSE f.s END AS s
+  FROM fp f LEFT JOIN tb b ON b.doc_id = f.doc_id
+  WHERE f.r <= 20
+)""" + _topk_sql("resc", 10),
         "bm25_prefix_scored_top10": _prefix_scored_sql("du", T_COMMON),
         "bm25_msm2_top10": _msm_sql(T_A, T_B, SYN_A, 2),
         "search_after_page2": _PRELUDE + ", " + _tscore_cte("ts", T_COMMON)

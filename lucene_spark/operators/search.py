@@ -1579,6 +1579,47 @@ class Searcher:
                 .select("doc_id", "matched_count",
                         F.col("_ssum").cast("float").alias("score")))
 
+    def rescore(self, first_pass, query, weight: float, topn: int = 10):
+        """QueryRescorer.rescore sugar combine (reference
+        ``core/search/QueryRescorer.java:175-193`` over the abstract
+        two-pass rescore at ``:48-140``): re-score the first-pass hits
+        with a second query and combine as
+
+            combined = (float)(firstPassScore + weight * secondPassScore)
+
+        when the second query matches the hit (Java's compound
+        assignment ``score += weight * secondPassScore`` widens the
+        float to double, multiplies by the double weight, and narrows
+        back), else the first-pass float score unchanged; sort by
+        (combined DESC, doc_id ASC) and truncate to ``topn``
+        (``:113-137``).
+
+        Spark shape: the second query scores once over its own
+        pushed-filter postings scan (``score_all``); the ≤k first-pass
+        rows broadcast into a semi-join so only candidate docs survive
+        the kernel output, the combine is a k-row left join, and the
+        truncation is one TakeOrderedAndProject — no exchange beyond
+        the second query's per-segment kernel."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        hits = first_pass.select("doc_id", F.col("score").alias("first_s"))
+        second = (self.score_all(query)
+                  .withColumnRenamed("score", "second_s")
+                  .join(F.broadcast(hits.select("doc_id")), "doc_id",
+                        "left_semi"))
+        combined = hits.join(second, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.col("second_s").isNotNull(),
+                   (F.col("first_s").cast("double")
+                    + F.lit(float(weight))
+                    * F.col("second_s").cast("double")).cast("float"))
+            .otherwise(F.col("first_s")).alias("score"))
+        top = (combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(topn)
+               .withColumn("rank", F.row_number().over(
+                   Window.orderBy(F.desc("score"), F.asc("doc_id")))))
+        return top.select("doc_id", "score", "rank")
+
     def sorted_top_k(self, k: int = 10, ascending: bool | None = None):
         """Early-terminating top-k by the index sort field (reference
         ``index/IndexSorter.java:44`` + TopFieldCollector's

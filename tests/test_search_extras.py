@@ -460,6 +460,34 @@ def test_common_terms_query_all_shapes(searcher, oracle):
         assert got == want, q
 
 
+def test_query_rescorer_parity(searcher, oracle):
+    """QueryRescorer.rescore (QueryRescorer.java:175-193): first-pass
+    top-20, second-pass combine (float)(first + w * second) on match,
+    (score DESC, doc ASC) order, truncate to 10 — vs a numpy brute
+    twin over OracleIndex scores."""
+    q1 = Q.Or((Q.Term("parse"), Q.Term("scan")))
+    q2 = Q.Term("token")
+    w = 2.5
+    got = [(r["doc_id"], np.float32(r["score"]))
+           for r in searcher.rescore(searcher.search(q1, k=20), q2,
+                                     weight=w, topn=10).collect()]
+    first = oracle.top_k(q1, k=20)
+    second = oracle.score(q2)
+    comb = []
+    for d, s in first:
+        if d in second:
+            comb.append((d, np.float32(float(s) + w * float(second[d]))))
+        else:
+            comb.append((d, np.float32(s)))
+    comb.sort(key=lambda t: (-float(t[1]), t[0]))
+    assert got == comb[:10]
+    # unmatched hits keep their first-pass float bit-exactly
+    first_d = dict(first)
+    for d, s in got:
+        if d not in second:
+            assert s == np.float32(first_d[d])
+
+
 def test_payload_score_query(spark, tmp_path):
     """DelimitedPayloadTokenFilter build + PayloadScoreQuery: every token
     carries a |x.y float payload; min/max/sum/avg per-doc aggregation over
