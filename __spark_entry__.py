@@ -356,6 +356,36 @@ def _q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _q4(F.col("score")).alias("score_q4"))
 
 
+#: MoreLikeThis selection + OR scoring CTEs (shared by the mlt_top10 and
+#: knn_classify_doc0 twins): seed doc 0, top-5 terms (tf>=2, df>=5,
+#: classic idf), per-term BM25 partials summed in double → float32.
+_MLT_CTES = """,
+mltsel AS (
+  SELECT f.term
+  FROM tf f JOIN dfs d ON f.term = d.term, avgs a
+  WHERE f.doc_id = 0 AND f.tf >= 2 AND d.df >= 5
+  ORDER BY CAST(f.tf AS DOUBLE)
+           * (ln((a.dc + 1) / (d.df + 1)) + CAST(1 AS DOUBLE)) DESC,
+           f.term ASC
+  LIMIT 5
+),
+mlw AS (
+  SELECT d.term,
+         CAST(ln(1 + (a.dc - d.df + CAST(0.5 AS DOUBLE)) /
+                 (d.df + CAST(0.5 AS DOUBLE))) AS FLOAT) AS w
+  FROM dfs d JOIN mltsel s ON d.term = s.term, avgs a
+),
+persc AS (
+  SELECT f.doc_id,
+         CAST(w.w - w.w / (CAST(1 AS FLOAT) + CAST(f.tf AS FLOAT) * c.inv)
+              AS DOUBLE) AS ps
+  FROM tf f JOIN mlw w ON f.term = w.term
+  JOIN normcache c ON f.doc_id = c.doc_id
+),
+orsc AS (SELECT doc_id, CAST(SUM(ps) AS FLOAT) AS s
+         FROM persc GROUP BY doc_id)"""
+
+
 def _q4(col, scale: int = 10000):
     """floor(x·scale) as long — engine-independent fixed-point projection
     of a double. (Spark's round() rounds the shortest-decimal repr via
@@ -1836,6 +1866,43 @@ def _q_mlt_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(res)
 
 
+def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleNaiveBayesClassifier batch (reference
+    ``classification/SimpleNaiveBayesClassifier.java:139-286``): classify
+    docs 0-19 by their own text against lang labels over the whole
+    corpus; add-1-smoothed log prior + log likelihood, argmax per input
+    (ties → class asc). Whitespace tokenize (pre-normalized corpus) —
+    pure Catalyst except the postings decode."""
+    from lucene_spark.operators.classify import (assign_class,
+                                                 naive_bayes_classify)
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    inputs = (docs.where(F.col("doc_id") < 20)
+              .select(F.col("doc_id").alias("input_id"), "text"))
+    labels = docs.select("doc_id", F.col("lang").alias("cls"))
+    scores = naive_bayes_classify(s, inputs, labels,
+                                  tokenize="whitespace")
+    return assign_class(scores).select(
+        "input_id", "cls",
+        F.floor(F.col("score") * 100).cast("long").alias("score_q2"))
+
+
+def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNearestNeighborClassifier (reference
+    ``classification/KNearestNeighborClassifier.java:154-236``): MLT
+    top-10 for seed doc 0 (same selection as ``mlt_top10``), class vote
+    = Σ(score/maxScore) / min(k, labeled hits) per lang."""
+    from lucene_spark.operators.classify import knn_classify
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    labels = docs.select("doc_id", F.col("lang").alias("cls"))
+    votes = knn_classify(s, docs, 0, labels, k=10, max_query_terms=5,
+                         min_term_freq=2, min_doc_freq=5)
+    return votes.select("cls", F.col("rank").cast("int").alias("rank"),
+                        F.floor(F.col("score") * 1000000)
+                        .cast("long").alias("score_q6"))
+
+
 def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UnifiedHighlighter role: best passage per hit with query terms
     tagged. Deterministic string output → rows-only driver check; golden
@@ -2358,6 +2425,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_feature_log_top10": _q_bm25_feature_log,
         "distance_feature_top10": _q_distance_feature,
         "rescore_top10": _q_rescore,
+        "nb_classify_docs": _q_nb_classify,
+        "knn_classify_doc0": _q_knn_classify,
         "geo_box_count": _q_geo_box,
         "geo_nearest_top10": _q_geo_nearest,
         "geo_distance_count": _q_geo_distance_count,
@@ -2497,7 +2566,7 @@ _PRIORITY = [
     "bm25_synonym_boosted_top10", "bm25_prefix_multiphrase_top10",
     "feature_saturation_top10", "feature_sigmoid_top10",
     "bm25_feature_log_top10", "distance_feature_top10",
-    "rescore_top10",
+    "rescore_top10", "nb_classify_docs", "knn_classify_doc0",
 ]
 
 
@@ -2687,6 +2756,48 @@ dfq AS (
               AS FLOAT) AS s
   FROM dv
 )""" + _topk_sql("dfq", 10),
+        "nb_classify_docs": _PRELUDE + """,
+sdf AS (SELECT CAST(sum(df) AS DOUBLE) AS s FROM dfs),
+avgu AS (SELECT s / CAST((SELECT dc FROM avgs) AS DOUBLE) AS au FROM sdf),
+cls AS (SELECT doc_id, lang AS cls FROM documents),
+cstat AS (SELECT cls, count(*) AS df_c FROM cls GROUP BY cls),
+dwcnt AS (SELECT count(*) AS n FROM cls),
+inp AS (SELECT doc_id AS input_id, term FROM tok WHERE doc_id < 20),
+itf AS (SELECT input_id, term, count(*) AS tf FROM inp GROUP BY 1, 2),
+intok AS (SELECT input_id, count(*) AS n_tokens FROM inp GROUP BY 1),
+chits AS (
+  SELECT t.term, c.cls, count(DISTINCT t.doc_id) AS hits
+  FROM tok t JOIN cls c ON c.doc_id = t.doc_id
+  WHERE t.term IN (SELECT DISTINCT term FROM inp)
+  GROUP BY 1, 2
+),
+num AS (
+  SELECT f.input_id, h.cls,
+         sum(CAST(f.tf AS DOUBLE)
+             * ln(CAST(h.hits AS DOUBLE) + CAST(1 AS DOUBLE))) AS numsum
+  FROM itf f JOIN chits h ON h.term = f.term GROUP BY 1, 2
+),
+basec AS (
+  SELECT i.input_id, s.cls,
+         ln(CAST(s.df_c AS DOUBLE)) - ln(CAST(d.n AS DOUBLE))
+         - CAST(i.n_tokens AS DOUBLE)
+           * ln((SELECT au FROM avgu) * CAST(s.df_c AS DOUBLE)
+                + CAST(d.n AS DOUBLE)) AS b
+  FROM intok i CROSS JOIN cstat s CROSS JOIN dwcnt d
+),
+nbsc AS (
+  SELECT b.input_id, b.cls, b.b + COALESCE(n.numsum, 0) AS score
+  FROM basec b LEFT JOIN num n
+    ON n.input_id = b.input_id AND n.cls = b.cls
+),
+asg AS (
+  SELECT input_id, cls, score,
+         row_number() OVER (PARTITION BY input_id
+                            ORDER BY score DESC, cls ASC) AS r
+  FROM nbsc
+)
+SELECT input_id, cls, CAST(floor(score * 100) AS BIGINT) AS score_q2
+FROM asg WHERE r = 1""",
         "rescore_top10": _PRELUDE + ", " + _tscore_cte("ta", T_COMMON)
         + ", " + _tscore_cte("tb", T_COMMON2) + """,
 fp AS (
@@ -3036,31 +3147,34 @@ FROM dfs
 WHERE term <> 'sparc' AND term LIKE 's%'
   AND abs(length(term) - 5) <= 2 AND levenshtein(term, 'sparc') <= 2
 ORDER BY distance ASC, df DESC, term ASC LIMIT 5""",
-        "mlt_top10": _PRELUDE + """,
-mltsel AS (
-  SELECT f.term
-  FROM tf f JOIN dfs d ON f.term = d.term, avgs a
-  WHERE f.doc_id = 0 AND f.tf >= 2 AND d.df >= 5
-  ORDER BY CAST(f.tf AS DOUBLE)
-           * (ln((a.dc + 1) / (d.df + 1)) + CAST(1 AS DOUBLE)) DESC,
-           f.term ASC
-  LIMIT 5
+        "mlt_top10": _PRELUDE + _MLT_CTES + _topk_sql("orsc", 10),
+        "knn_classify_doc0": _PRELUDE + _MLT_CTES + """,
+ktop AS (
+  SELECT doc_id, CAST(s AS DOUBLE) AS s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM orsc
 ),
-mlw AS (
-  SELECT d.term,
-         CAST(ln(1 + (a.dc - d.df + CAST(0.5 AS DOUBLE)) /
-                 (d.df + CAST(0.5 AS DOUBLE))) AS FLOAT) AS w
-  FROM dfs d JOIN mltsel s ON d.term = s.term, avgs a
+ktop10 AS (SELECT doc_id, s FROM ktop WHERE r <= 10),
+kmax AS (SELECT max(s) AS m FROM ktop10),
+kvotes AS (
+  SELECT d.lang AS cls, sum(t.s / (SELECT m FROM kmax)) AS b,
+         count(*) AS c
+  FROM ktop10 t JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY 1
 ),
-persc AS (
-  SELECT f.doc_id,
-         CAST(w.w - w.w / (CAST(1 AS FLOAT) + CAST(f.tf AS FLOAT) * c.inv)
-              AS DOUBLE) AS ps
-  FROM tf f JOIN mlw w ON f.term = w.term
-  JOIN normcache c ON f.doc_id = c.doc_id
-),
-orsc AS (SELECT doc_id, CAST(SUM(ps) AS FLOAT) AS s
-         FROM persc GROUP BY doc_id)""" + _topk_sql("orsc", 10),
+ktot AS (SELECT sum(c) AS sumdoc FROM kvotes),
+ksc AS (
+  SELECT cls,
+         b / (CASE WHEN (SELECT sumdoc FROM ktot) >= 10
+                   THEN CAST(10 AS DOUBLE)
+                   ELSE CAST((SELECT sumdoc FROM ktot) AS DOUBLE) END)
+           AS score
+  FROM kvotes
+)
+SELECT cls, CAST(row_number() OVER (ORDER BY score DESC, cls ASC) AS INT)
+         AS rank,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_q6
+FROM ksc""",
         "embed_cosine_topk": _cosine_sql(20, 5),
         "embed_hnsw_topk": _cosine_sql(20, 5),
         "embed_ivf_full_topk": _cosine_sql(20, 5),

@@ -1,0 +1,195 @@
+"""Index-backed text classification (reference ``lucene/classification``
+module): SimpleNaiveBayesClassifier and KNearestNeighborClassifier
+re-expressed as batch DataFrame jobs over the inverted index.
+
+The reference classifies one input string at a time with driver-side
+loops over ``IndexSearcher.count`` calls per (word, class) pair
+(``classification/SimpleNaiveBayesClassifier.java:139-283``). The
+Spark-native shape classifies a whole input batch in one job: the batch
+vocabulary drives a pushed-filter postings decode, the (term, class)
+document-frequency table is one map-side-combined groupBy, and the
+per-(input, class) log-likelihood sums are Catalyst aggregations — no
+per-word driver round trips, so the same code classifies 10^9 inputs on
+a cluster.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+
+def term_doc_pairs(searcher, terms: list[str]):
+    """DataFrame ``(term string, doc_id long)`` — one row per (exact
+    term, live matching doc). The postings scan is pushed-filtered to
+    ``terms`` (the reference's per-term ``TermsEnum.postings`` walk,
+    ``index/TermsEnum.java``); tombstoned docs are masked at decode."""
+    from .search import TermSegPostings, _live_mask
+
+    empty = pd.DataFrame({"term": pd.Series([], dtype=object),
+                          "doc_id": pd.Series([], dtype="int64")})
+    if not terms:
+        return searcher.spark.createDataFrame(empty,
+                                              "term string, doc_id long")
+    deletes = searcher.deletes
+    pf = searcher.postings.filter(F.col("term").isin(sorted(set(terms))))
+
+    def seg_pairs(key, postings_pdf, norms_pdf):
+        if len(norms_pdf) == 0 or len(postings_pdf) == 0:
+            return empty
+        nrow = norms_pdf.iloc[0]
+        gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
+        live = _live_mask(deletes, int(key[0]), len(gids))
+        out_t, out_d = [], []
+        for _, r in postings_pdf.iterrows():
+            lids, _ = TermSegPostings(r).decode_all()
+            if live is not None:
+                lids = lids[live[lids]]
+            out_t.append(np.full(len(lids), r["term"], dtype=object))
+            out_d.append(gids[lids])
+        return pd.DataFrame({"term": np.concatenate(out_t),
+                             "doc_id": np.concatenate(out_d)})
+
+    return (pf.groupBy("seg_id").cogroup(searcher.norms.groupBy("seg_id"))
+            .applyInPandas(seg_pairs, schema="term string, doc_id long"))
+
+
+def naive_bayes_classify(searcher, inputs_df, class_df,
+                         input_id_col: str = "input_id",
+                         text_col: str = "text",
+                         class_col: str = "cls",
+                         tokenize: str = "analyzer",
+                         stopwords: frozenset = frozenset()):
+    """SimpleNaiveBayesClassifier (reference
+    ``classification/SimpleNaiveBayesClassifier.java:139-286``) as one
+    batch job: for every input row and every class c,
+
+        score(i, c) = log P(c) + Σ_w log P(w | c)
+                    = [ln df(c) − ln D]                    (logPrior, :279)
+                    + Σ_tokens ln((hits(w, c) + 1)
+                                  / (avgUnique·df(c) + D))  (logLikelihood,
+                                                             :209-230)
+
+    where D = #docs with a class value (:166), hits(w, c) = #docs
+    containing word w AND class c (:255-270), and avgUnique =
+    sumDocFreq / docCount of the text field (:242-251). The per-class
+    denominator is constant, so Σ_tokens splits into
+    ``− n_tokens(i)·ln(den_c)`` plus ``Σ_w tf(i, w)·ln(hits(w, c) + 1)``
+    in which absent (w, c) pairs contribute ln(1) = 0 — the engine only
+    aggregates joined pairs, exactly the add-1-smoothed reference sum.
+
+    ``inputs_df``: (input_id, text) rows to classify; ``class_df``:
+    (doc_id, cls) training labels over the indexed corpus. Returns
+    ``(input_id long, cls string, score double)`` for every class, plus
+    the argmax via :func:`assign_class`.
+
+    Scale: the input batch's vocabulary is collected to the driver to
+    push the postings filter (bounded by the batch, the same contract as
+    any multi-term query); everything else is joins/groupBys with
+    map-side partial aggregation."""
+    inputs = inputs_df.select(F.col(input_id_col).alias("input_id"),
+                              F.col(text_col).alias("_text"))
+    if tokenize == "whitespace":
+        # pre-normalized corpora: pure Catalyst, no UDF
+        tok = (inputs
+               .select("input_id",
+                       F.explode(F.split(F.col("_text"), " ")).alias("word"))
+               .where(F.col("word") != ""))
+    else:
+        # the reference tokenizes unseen text with the index analyzer
+        # (:193-206) — Arrow-batched columnar analyzer, same code path
+        # as the index build
+        from ..functions.analysis import analyze_batch
+
+        def _tok(batches):
+            for pdf in batches:
+                doc_idx, terms, _pos, _lens = analyze_batch(
+                    pdf["_text"], stopwords=stopwords)
+                yield pd.DataFrame(
+                    {"input_id": pdf["input_id"].to_numpy()[doc_idx],
+                     "word": terms})
+
+        tok = inputs.mapInPandas(_tok, "input_id long, word string")
+    tf = tok.groupBy("input_id", "word").agg(F.count("*").alias("tf"))
+    ntok = tok.groupBy("input_id").agg(F.count("*").alias("n_tokens"))
+
+    vocab = [r["word"] for r in tf.select("word").distinct().collect()]
+    labels = class_df.select(F.col("doc_id"),
+                             F.col(class_col).alias("cls"))
+    hits = (term_doc_pairs(searcher, vocab)
+            .join(labels, "doc_id")
+            .groupBy(F.col("term").alias("word"), "cls")
+            .agg(F.count("*").alias("hits")))
+
+    cstats = labels.groupBy("cls").agg(F.count("*").alias("df_c"))
+    dwc = labels.count()                      # countDocsWithClass (:166)
+    # avg # unique terms per doc = sumDocFreq / docCount (:242-251)
+    sum_df = searcher.term_stats.agg(F.sum("df")).collect()[0][0]
+    avg_unique = float(sum_df) / float(searcher.doc_count)
+
+    num = (tf.join(hits, "word")
+           .groupBy("input_id", "cls")
+           .agg(F.sum(F.col("tf").cast("double")
+                      * F.log(F.col("hits").cast("double") + F.lit(1.0)))
+                .alias("numsum")))
+    den = (F.lit(avg_unique) * F.col("df_c").cast("double")
+           + F.lit(float(dwc)))
+    base = (ntok.crossJoin(F.broadcast(cstats))
+            .select("input_id", "cls",
+                    (F.log(F.col("df_c").cast("double"))
+                     - F.lit(float(np.log(dwc)))
+                     - F.col("n_tokens").cast("double") * F.log(den))
+                    .alias("base")))
+    return (base.join(num, ["input_id", "cls"], "left")
+            .select("input_id", "cls",
+                    (F.col("base") + F.coalesce(F.col("numsum"),
+                                                F.lit(0.0))).alias("score")))
+
+
+def assign_class(scores_df):
+    """argmax per input (Classifier.assignClass, ties broken by class
+    ascending for determinism): ``(input_id, cls, score)`` rank-1 rows."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("input_id")
+         .orderBy(F.desc("score"), F.asc("cls")))
+    return (scores_df.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1).drop("_r"))
+
+
+def knn_classify(searcher, docs_df, doc_id: int, class_df,
+                 class_col: str = "cls", k: int = 10,
+                 max_query_terms: int = 25, min_term_freq: int = 2,
+                 min_doc_freq: int = 5):
+    """KNearestNeighborClassifier (reference
+    ``classification/KNearestNeighborClassifier.java:154-236``): MLT
+    query from the seed doc's text → top-k hits → class vote. Per class:
+    count and Σ(score / maxScore) over its hits; vote =
+    (count · (boostSum / count)) / k = boostSum / k, rescaled by
+    k / sumdoc when fewer than k labeled hits (:224-231) — i.e.
+    boostSum / min(k, sumdoc). Divergence note: the MLT query is this
+    repo's unboosted interesting-terms OR (``operators/mlt.py``); the
+    reference boosts each term by its selection score.
+
+    Returns ``(cls string, score double, rank int)`` ordered by the
+    vote (desc, class asc)."""
+    from pyspark.sql import Window
+    from .mlt import more_like_this
+
+    top = more_like_this(searcher, docs_df, doc_id, k=k,
+                         max_query_terms=max_query_terms,
+                         min_term_freq=min_term_freq,
+                         min_doc_freq=min_doc_freq)
+    labels = class_df.select("doc_id", F.col(class_col).alias("cls"))
+    hits = top.join(labels, "doc_id")          # ≤ k rows from here on
+    # maxScore is the top hit's score whether or not it carries a label
+    # (:193 — topDocs.scoreDocs[0].score)
+    maxs = top.agg(F.max(F.col("score").cast("double")).alias("m"))
+    sumdoc = hits.count()
+    denom = float(k) if sumdoc >= k else float(sumdoc)
+    votes = (hits.crossJoin(F.broadcast(maxs))
+             .groupBy("cls")
+             .agg((F.sum(F.col("score").cast("double") / F.col("m"))
+                   / F.lit(denom)).alias("score")))
+    w = Window.orderBy(F.desc("score"), F.asc("cls"))
+    return votes.withColumn("rank", F.row_number().over(w))

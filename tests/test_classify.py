@@ -1,0 +1,138 @@
+"""Parity tests for the classification module (reference
+``lucene/classification``): SimpleNaiveBayesClassifier and
+KNearestNeighborClassifier vs brute-force Python twins computed straight
+from the corpus with the reference's formulas."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from lucene_spark.operators.build import build_index
+from lucene_spark.operators.classify import (assign_class, knn_classify,
+                                             naive_bayes_classify,
+                                             term_doc_pairs)
+from lucene_spark.operators.search import Searcher
+from lucene_spark.oracle import OracleIndex
+from lucene_spark.plans import query as Q
+from lucene_spark.sources.corpus import generate_corpus
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(N_DOCS, seed=11)
+
+
+@pytest.fixture(scope="module")
+def labels(corpus):
+    # deterministic 3-way labeling of the corpus
+    return {int(d): f"c{int(d) % 3}" for d in corpus.doc_id}
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, corpus):
+    d = tempfile.mkdtemp(prefix="lucene_spark_classify_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=4)
+    return Searcher(spark, d)
+
+
+@pytest.fixture(scope="module")
+def class_df(spark, labels):
+    return spark.createDataFrame(
+        [(d, c) for d, c in sorted(labels.items())], "doc_id long, cls string")
+
+
+def _brute_nb(corpus, labels, input_texts):
+    """Reference math, straight from SimpleNaiveBayesClassifier.java."""
+    from lucene_spark.functions.analysis import analyze_text
+    doc_tokens = {int(d): list(analyze_text(str(t))[0]) for d, t in
+                  zip(corpus.doc_id, corpus.content)}
+    classes = sorted(set(labels.values()))
+    dwc = len(labels)
+    df_c = Counter(labels.values())
+    # sumDocFreq / docCount: unique terms per doc summed / #docs
+    sum_df = sum(len(set(toks)) for toks in doc_tokens.values())
+    avg_unique = sum_df / len(doc_tokens)
+    # hits(w, c)
+    hits: Counter = Counter()
+    for d, toks in doc_tokens.items():
+        for w in set(toks):
+            hits[(w, labels[d])] += 1
+    out = {}
+    for iid, text in input_texts.items():
+        toks = list(analyze_text(text)[0])
+        scores = {}
+        for c in classes:
+            den = avg_unique * df_c[c] + dwc
+            s = math.log(df_c[c]) - math.log(dwc)
+            for w in toks:
+                s += math.log((hits.get((w, c), 0) + 1) / den)
+            scores[c] = s
+        out[iid] = scores
+    return out
+
+
+def test_term_doc_pairs(searcher, corpus):
+    from lucene_spark.functions.analysis import analyze_text
+    want = {}
+    for d, t in zip(corpus.doc_id, corpus.content):
+        for w in set(analyze_text(str(t))[0]):
+            want.setdefault(w, set()).add(int(d))
+    terms = ["parse", "emit", "token", "zzz_absent"]
+    got = term_doc_pairs(searcher, terms).collect()
+    by_term: dict[str, set] = {}
+    for r in got:
+        by_term.setdefault(r["term"], set()).add(r["doc_id"])
+    for t in terms:
+        assert by_term.get(t, set()) == want.get(t, set()), t
+
+
+def test_naive_bayes_parity(spark, searcher, corpus, labels, class_df):
+    input_texts = {int(d): str(t) for d, t in
+                   list(zip(corpus.doc_id, corpus.content))[:15]}
+    inputs = spark.createDataFrame(
+        sorted(input_texts.items()), "input_id long, text string")
+    scores = naive_bayes_classify(searcher, inputs, class_df)
+    got = {(r["input_id"], r["cls"]): r["score"] for r in scores.collect()}
+    want = _brute_nb(corpus, labels, input_texts)
+    assert {i for i, _ in got} == set(input_texts)
+    for (i, c), s in got.items():
+        assert s == pytest.approx(want[i][c], rel=1e-12), (i, c)
+    # argmax rows agree with the brute argmax (ties → class asc)
+    ass = {r["input_id"]: r["cls"]
+           for r in assign_class(scores).collect()}
+    for i, sc in want.items():
+        best = min(sc.items(), key=lambda p: (-p[1], p[0]))[0]
+        assert ass[i] == best, i
+
+
+def test_knn_classifier_vote(spark, searcher, corpus, labels, class_df):
+    """Vote = Σ(score/maxScore per class) / min(k, labeled hits), ordered
+    (vote desc, class asc) — computed from the engine's own MLT top-k."""
+    from lucene_spark.operators.mlt import more_like_this
+    docs = spark.createDataFrame(
+        [(int(d), str(t)) for d, t in zip(corpus.doc_id, corpus.content)],
+        "doc_id long, text string")
+    k = 10
+    top = more_like_this(searcher, docs, doc_id=3, k=k).collect()
+    maxs = max(float(r["score"]) for r in top)
+    boosts: dict = {}
+    for r in top:
+        c = labels[r["doc_id"]]
+        boosts[c] = boosts.get(c, 0.0) + float(r["score"]) / maxs
+    sumdoc = len(top)
+    denom = float(k) if sumdoc >= k else float(sumdoc)
+    want = sorted(((c, b / denom) for c, b in boosts.items()),
+                  key=lambda p: (-p[1], p[0]))
+    got = [(r["cls"], r["score"]) for r in
+           knn_classify(searcher, docs, 3, class_df, k=k)
+           .orderBy("rank").collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], rel=1e-12)
