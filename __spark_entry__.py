@@ -1491,6 +1491,14 @@ def _q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.docs_matching_any(s.expand_terms(rlike="^qu.*y$"))
 
 
+def _q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexpQuery (``search/RegexpQuery.java``): anchored regex against
+    the term dictionary, CONSTANT_SCORE match set. Alternation +
+    char-class — shapes a wildcard can't express."""
+    s = _searcher(spark, sf_dir)
+    return s.matching_docs(Q.MultiTerm("regexp", "qu.+y|dat[a-z]"))
+
+
 def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     return s.docs_matching_any(s.expand_terms(fuzzy=("dta", 1)))
@@ -2406,6 +2414,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_hits_count": _q_total_hits,
         "prefix_query": _q_prefix,
         "wildcard_query": _q_wildcard,
+        "regexp_query": _q_regexp,
         "fuzzy_query": _q_fuzzy,
         "term_in_set": _q_term_in_set,
         "range_query": _q_range,
@@ -2567,6 +2576,7 @@ _PRIORITY = [
     "feature_saturation_top10", "feature_sigmoid_top10",
     "bm25_feature_log_top10", "distance_feature_top10",
     "rescore_top10", "nb_classify_docs", "knn_classify_doc0",
+    "regexp_query",
 ]
 
 
@@ -2831,6 +2841,10 @@ WHERE term LIKE 'du%'""",
 SELECT DISTINCT doc_id FROM (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
 WHERE regexp_matches(term, '^qu.*y$')""",
+        "regexp_query": """
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE regexp_matches(term, '^(?:qu.+y|dat[a-z])$')""",
         "fuzzy_query": """
 SELECT DISTINCT doc_id FROM (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)

@@ -1294,6 +1294,11 @@ class Searcher:
                                          tuple(b for _, b in pairs),
                                          q.boost)
                 terms = self.expand_terms(fuzzy=(str(q.value), q.edits))
+            elif q.kind == "regexp":
+                # RegexpQuery (search/RegexpQuery.java): Lucene regexps
+                # are implicitly anchored — full-term match only
+                terms = self.expand_terms(
+                    rlike="^(?:" + str(q.value) + ")$")
             elif q.kind == "range":
                 lo, hi, lo_inc, hi_inc = q.value
                 terms = self.expand_terms(between=(lo, hi))

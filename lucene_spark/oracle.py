@@ -468,6 +468,10 @@ class OracleIndex:
             elif query.kind == "fuzzy":
                 hit = [t for t in terms
                        if _levenshtein(t, str(query.value)) <= query.edits]
+            elif query.kind == "regexp":
+                import re as _re
+                pat = _re.compile(str(query.value))
+                hit = [t for t in terms if pat.fullmatch(t)]
             elif query.kind == "range":
                 lo, hi, lo_inc, hi_inc = query.value
                 hit = [t for t in terms

@@ -231,6 +231,7 @@ class MultiTerm(Query):
     (``MultiTermQuery.java:83`` CONSTANT_SCORE_REWRITE).
 
     kind: 'prefix' (value = prefix), 'wildcard' (value = glob with *?),
+    'regexp' (value = anchored regular expression, RegexpQuery role),
     'fuzzy' (value = term, ``edits``), 'range' (value = (lo, hi) incl.).
     """
     kind: str

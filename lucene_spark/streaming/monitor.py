@@ -117,6 +117,12 @@ def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
             return any(abs(len(t) - len(base)) <= node.edits
                        and _levenshtein(t, base) <= node.edits
                        for t in terms)
+        if node.kind == "regexp":
+            # RegexpQuery percolation: anchored full-term match against
+            # the doc's own terms (Lucene regexps are always anchored)
+            import re as _re
+            pat = _re.compile(str(node.value))
+            return any(pat.fullmatch(t) for t in terms)
         raise NotImplementedError(f"monitor: multiterm {node.kind}")
     if isinstance(node, (Q.SpanNear, Q.SpanOr, Q.SpanNot, Q.SpanFirst,
                          Q.SpanContaining, Q.SpanWithin)):

@@ -22,6 +22,7 @@ QUERIES = {
     "q_msm": Q.Or((Q.Term("parse"), Q.Term("scan"), Q.Term("codec")),
                   min_should_match=2),
     "q_fuzzy": Q.MultiTerm("fuzzy", "parze", edits=1),
+    "q_regexp": Q.MultiTerm("regexp", "pa.+e|tok[a-z]n"),
     "q_sloppy3": Q.Phrase(("if", "return", "value"), slop=6),
     "q_span": Q.SpanNear(("parse", "emit"), slop=6, in_order=False),
     "q_spannot": Q.SpanNot(Q.SpanNear(("parse", "emit"), slop=8,
@@ -90,7 +91,7 @@ def test_presearcher_prunes_without_changing_matches(spark, corpus,
     # anchor), so the term map holds them and `always` stays small
     # only dictionary-dependent queries (multiterm leaves) un-anchorable
     assert sorted(mon_on.always) == ["q_fuzzy", "q_interval_mt",
-                                     "q_prefix"]
+                                     "q_prefix", "q_regexp"]
     assert all(f"q_pad{i}" in mon_on.term_map[f"zzz{i}"]
                for i in range(0, 200, 50))
 

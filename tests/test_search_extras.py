@@ -444,6 +444,16 @@ def test_fuzzy_blended_scored_parity(searcher, oracle):
     assert len({g[1] for g in got}) > 1              # blended: real scores
 
 
+def test_regexp_query_parity(searcher, oracle):
+    """RegexpQuery: anchored full-term regex, CONSTANT_SCORE rewrite —
+    match set and scores vs the oracle's dictionary expansion."""
+    q = Q.MultiTerm("regexp", "pa.+e|tok[a-z]n")
+    got = {r["doc_id"]: r["score"]
+           for r in searcher.score_all(q).collect()}
+    want = {d: float(s) for d, s in oracle.score(q).items()}
+    assert got == want and len(got) > 0
+
+
 def test_common_terms_query_all_shapes(searcher, oracle):
     """CommonTermsQuery: both-group (ReqOptSum), low-only and high-only
     (conjunction guard) rewrites all match the oracle exactly."""
