@@ -1491,6 +1491,15 @@ def _q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.docs_matching_any(s.expand_terms(rlike="^qu.*y$"))
 
 
+def _q_high_freq_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HighFreqTerms -t (``misc/HighFreqTerms.java:43``): top-20 terms by
+    total term frequency with doc frequency, ties → term asc."""
+    s = _searcher(spark, sf_dir)
+    return (s.high_freq_terms(20, by="ttf")
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RegexpQuery (``search/RegexpQuery.java``): anchored regex against
     the term dictionary, CONSTANT_SCORE match set. Alternation +
@@ -2415,6 +2424,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_query": _q_prefix,
         "wildcard_query": _q_wildcard,
         "regexp_query": _q_regexp,
+        "high_freq_terms": _q_high_freq_terms,
         "fuzzy_query": _q_fuzzy,
         "term_in_set": _q_term_in_set,
         "range_query": _q_range,
@@ -2576,7 +2586,7 @@ _PRIORITY = [
     "feature_saturation_top10", "feature_sigmoid_top10",
     "bm25_feature_log_top10", "distance_feature_top10",
     "rescore_top10", "nb_classify_docs", "knn_classify_doc0",
-    "regexp_query",
+    "regexp_query", "high_freq_terms",
 ]
 
 
@@ -2841,6 +2851,13 @@ WHERE term LIKE 'du%'""",
 SELECT DISTINCT doc_id FROM (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
 WHERE regexp_matches(term, '^qu.*y$')""",
+        "high_freq_terms": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+s AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+      FROM t GROUP BY 1)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(ttf AS BIGINT) AS ttf
+FROM s ORDER BY ttf DESC, term ASC LIMIT 20""",
         "regexp_query": """
 SELECT DISTINCT doc_id FROM (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)

@@ -1584,6 +1584,23 @@ class Searcher:
                 .select("doc_id", "matched_count",
                         F.col("_ssum").cast("float").alias("score")))
 
+    def high_freq_terms(self, num_terms: int = 100,
+                        by: str = "df"):
+        """HighFreqTerms (reference
+        ``misc/src/java/org/apache/lucene/misc/HighFreqTerms.java:43``):
+        the top ``num_terms`` dictionary terms by document frequency
+        (``by="df"``, DocFreqComparator) or total term frequency
+        (``by="ttf"``, TotalTermFreqComparator), ties broken by term
+        ascending (the reference's BytesRef comparator). One
+        TakeOrderedAndProject over the term_stats scan — no exchange."""
+        from pyspark.sql import functions as F
+        if by not in ("df", "ttf"):
+            raise ValueError(f"by must be 'df' or 'ttf', got {by!r}")
+        return (self.term_stats
+                .select("term", "df", "ttf")
+                .orderBy(F.desc(by), F.asc("term"))
+                .limit(num_terms))
+
     def rescore(self, first_pass, query, weight: float, topn: int = 10):
         """QueryRescorer.rescore sugar combine (reference
         ``core/search/QueryRescorer.java:175-193`` over the abstract

@@ -444,6 +444,18 @@ def test_fuzzy_blended_scored_parity(searcher, oracle):
     assert len({g[1] for g in got}) > 1              # blended: real scores
 
 
+def test_high_freq_terms(searcher, oracle):
+    """HighFreqTerms: top-N by df and by ttf vs the oracle's stats."""
+    stats = [(t, oracle.df(t), oracle.ttf(t)) for t in oracle.postings]
+    for by, idx in (("df", 1), ("ttf", 2)):
+        want = sorted(stats, key=lambda s: (-s[idx], s[0]))[:15]
+        got = [(r["term"], r["df"], r["ttf"])
+               for r in searcher.high_freq_terms(15, by=by).collect()]
+        assert got == want, by
+    with pytest.raises(ValueError):
+        searcher.high_freq_terms(5, by="bogus")
+
+
 def test_regexp_query_parity(searcher, oracle):
     """RegexpQuery: anchored full-term regex, CONSTANT_SCORE rewrite —
     match set and scores vs the oracle's dictionary expansion."""
