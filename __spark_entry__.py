@@ -90,6 +90,33 @@ def _q_synonym_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.Term(T_COMMON), k=10))
 
 
+def _searcher_shingle(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with an index-time ShingleFilter (bigrams,
+    outputUnigrams=true): shingle tokens are posInc=0 overlaps that
+    count in tf/df/ttf and avgdl; norms discount them
+    (discountOverlaps default)."""
+    key = "shingle:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    shingles=(2, 2))
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_shingle_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShingleFilter build (``analysis/common/.../shingle/ShingleFilter
+    .java:61``): the bigram shingle scores as a plain TermQuery over the
+    expanded stream's stats."""
+    return _fmt_topk(_searcher_shingle(spark, sf_dir).search(
+        Q.Term("part filter"), k=10))
+
+
 def _searcher_sorted(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index built with sort_field=n_chars DESC (IndexSorter role):
     local doc ids follow the key, enabling early-terminating sorted
@@ -2290,6 +2317,43 @@ dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
 , """ + _tscore_cte("ts", qterm) + _topk_sql("ts", k)
 
 
+def _shingle_indexed_sql(t1: str, t2: str, k: int = 10) -> str:
+    """Oracle for the bigram-shingle build: tok2 = tok + every adjacent
+    pair joined with ' ' at the first component's position; tf/df/
+    sumTotalTermFreq (so avgdl) come from tok2, norms keep the ORIGINAL
+    per-doc token count (discountOverlaps)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tok2 AS (SELECT * FROM tok
+         UNION ALL
+         SELECT a.doc_id, a.term || ' ' || b.term AS term, a.pos
+         FROM tok a JOIN tok b
+           ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM doclen) AS dc,
+                 (SELECT count(*) FROM tok2) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+, """ + _tscore_cte("ts", f"{t1} {t2}") + _topk_sql("ts", k)
+
+
 def _common_terms_sql(terms: tuple[str, ...], max_tf: float,
                       k: int = 10) -> str:
     """CommonTermsQuery oracle: df split computed IN SQL against the same
@@ -2425,6 +2489,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_query": _q_wildcard,
         "regexp_query": _q_regexp,
         "high_freq_terms": _q_high_freq_terms,
+        "bm25_shingle_top10": _q_shingle_indexed,
         "fuzzy_query": _q_fuzzy,
         "term_in_set": _q_term_in_set,
         "range_query": _q_range,
@@ -2586,7 +2651,7 @@ _PRIORITY = [
     "feature_saturation_top10", "feature_sigmoid_top10",
     "bm25_feature_log_top10", "distance_feature_top10",
     "rescore_top10", "nb_classify_docs", "knn_classify_doc0",
-    "regexp_query", "high_freq_terms",
+    "regexp_query", "high_freq_terms", "bm25_shingle_top10",
 ]
 
 
@@ -2638,6 +2703,7 @@ def oracle_sql() -> dict[str, str]:
         "highlight_top5": _highlight_sql(T_COMMON, T_COMMON2, k=5, window=6),
         "bm25_synonym_indexed_top10": _synonym_indexed_sql(
             T_THIRD, T_COMMON, T_COMMON),
+        "bm25_shingle_top10": _shingle_indexed_sql("part", "filter"),
         "common_terms_top10": _common_terms_sql(
             (T_COMMON, T_COMMON2, T_RARE), 0.5),
         "interval_ordered_top10": _interval_ordered_sql(

@@ -207,6 +207,89 @@ def expand_synonyms_text(terms, positions, synonyms):
     return out_t, out_p, n_overlap
 
 
+def expand_shingles_text(terms, positions, min_size: int = 2,
+                         max_size: int = 2, sep: str = " ",
+                         filler: str = "_"):
+    """Per-document ShingleFilter reference twin of
+    :func:`expand_shingles_batch` (same emission semantics, plain
+    loops). Returns (terms, positions, n_overlap)."""
+    if min_size < 2 or max_size < min_size:
+        raise ValueError("shingle sizes need 2 <= min_size <= max_size")
+    out_t, out_p = list(terms), list(positions)
+    n_over = 0
+    for n in range(min_size, max_size + 1):
+        for i in range(len(terms) - n + 1):
+            parts = [terms[i]]
+            for j in range(i + 1, i + n):
+                parts.extend([filler] * (positions[j] - positions[j - 1] - 1))
+                parts.append(terms[j])
+            out_t.append(sep.join(parts))
+            out_p.append(positions[i])
+            n_over += 1
+    return out_t, out_p, n_over
+
+
+def expand_shingles_batch(doc_idx, terms, positions, n_docs,
+                          min_size: int = 2, max_size: int = 2,
+                          sep: str = " ", filler: str = "_"):
+    """ShingleFilter at index time (reference ``analysis/common/.../
+    shingle/ShingleFilter.java:61``), outputUnigrams=true (the default):
+    every window of ``n`` consecutive stream tokens (min_size <= n <=
+    max_size) within one document emits the sep-joined shingle AT the
+    first component's position as a posIncrement=0 overlap token
+    (posLength=n). Interior position holes (stopword gaps) contribute
+    one FILLER_TOKEN (``_``) per missing position, like the reference's
+    hole handling. outputUnigrams=false (where the first shingle at a
+    position takes posInc=1) is not supported.
+
+    Input stream must be doc-major and position-ascending per doc (the
+    ``analyze_batch`` output order). Returns
+    (doc_idx, terms, positions, overlaps_per_doc)."""
+    if min_size < 2 or max_size < min_size:
+        raise ValueError("shingle sizes need 2 <= min_size <= max_size")
+    total = len(terms)
+    overlaps = np.zeros(n_docs, dtype=np.int64)
+    if total < 2:
+        return doc_idx, terms, positions, overlaps
+    # gap fillers between stream neighbours: positions diff - 1 holes
+    same_doc = doc_idx[1:] == doc_idx[:-1]
+    gaps = np.where(same_doc, positions[1:] - positions[:-1] - 1, 0)
+    if not gaps.any():                      # no holes: one C-level fill
+        mid = np.full(total - 1, sep, dtype=object)
+    else:
+        gap_lut = {int(g): sep + (filler + sep) * int(g)
+                   for g in np.unique(gaps)}
+        mid = np.array([gap_lut[int(g)] for g in gaps], dtype=object)
+
+    extra_t, extra_d, extra_p = [], [], []
+    # iteratively extend windows: cur[i] = shingle starting at token i
+    cur = terms.astype(object, copy=True)
+    valid = np.ones(total, dtype=bool)
+    for n in range(2, max_size + 1):
+        # window i spans stream tokens [i, i+n-1]
+        can = valid[:total - n + 1].copy()
+        can &= doc_idx[: total - n + 1] == doc_idx[n - 1:]
+        head = cur[: total - n + 1]
+        ext = head + mid[n - 2: total - 1] + terms[n - 1:]
+        cur = np.empty(total, dtype=object)
+        cur[: total - n + 1] = ext
+        valid = np.zeros(total, dtype=bool)
+        valid[: total - n + 1] = can
+        if n >= min_size and can.any():
+            sel = np.nonzero(can)[0]
+            extra_t.append(ext[can])
+            extra_d.append(doc_idx[sel])
+            extra_p.append(positions[sel])
+    if not extra_t:
+        return doc_idx, terms, positions, overlaps
+    add_d = np.concatenate(extra_d)
+    overlaps = np.bincount(add_d, minlength=n_docs).astype(np.int64)
+    return (np.concatenate([doc_idx, add_d]),
+            np.concatenate([terms, np.concatenate(extra_t)]),
+            np.concatenate([positions, np.concatenate(extra_p)]),
+            overlaps)
+
+
 def expand_synonyms_batch(doc_idx, terms, positions, n_docs, synonyms):
     """Columnar :func:`expand_synonyms_text` over a token batch. Returns
     (doc_idx, terms, positions, overlaps_per_doc) — appended synonym

@@ -60,7 +60,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    sort_field: str | None = None,
                    sort_ascending: bool = True,
                    payload_delimiter: str | None = None,
-                   tokenizer: str = "standard"
+                   tokenizer: str = "standard",
+                   shingles: tuple | None = None
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -123,6 +124,19 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             doc_idx, terms, positions, n_docs, synonyms)
     else:
         overlaps = np.zeros(n_docs, dtype=np.int64)
+    if shingles:
+        # index-time ShingleFilter (outputUnigrams=true): shingle tokens
+        # are posInc=0 overlaps at the first component's position —
+        # mutually exclusive with synonyms (graph streams) and payloads
+        # (parallel array alignment)
+        if synonyms or payload_delimiter:
+            raise ValueError("shingles are mutually exclusive with "
+                             "synonyms and payloads")
+        from ..functions.analysis import expand_shingles_batch
+        mn, mx = shingles
+        doc_idx, terms, positions, sh_over = expand_shingles_batch(
+            doc_idx, terms, positions, n_docs, mn, mx)
+        overlaps = overlaps + sh_over
     total_lengths = lengths + overlaps
     norm_lengths = lengths if discount_overlaps else total_lengths
     sum_token_len = int(total_lengths.sum())
@@ -274,7 +288,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   sort_field: str | None = None,
                   sort_ascending: bool = True,
                   payload_delimiter: str | None = None,
-                  tokenizer: str = "standard"):
+                  tokenizer: str = "standard",
+                  shingles: tuple | None = None):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -283,7 +298,7 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
         postings, doc_meta, norms_payload, sum_token_len = invert_segment(
             pdf, seg_id, content_col, doc_id_col, stopwords, store_positions,
             stemmer, synonyms, discount_overlaps, sort_field,
-            sort_ascending, payload_delimiter, tokenizer)
+            sort_ascending, payload_delimiter, tokenizer, shingles)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -345,7 +360,8 @@ def build_index(spark, df, index_dir: str, *,
                 sort_field: str | None = None,
                 sort_ascending: bool = True,
                 payload_delimiter: str | None = None,
-                tokenizer: str = "standard"):
+                tokenizer: str = "standard",
+                shingles: tuple | None = None):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -356,6 +372,9 @@ def build_index(spark, df, index_dir: str, *,
 
     from ..session import ensure_shipped
     ensure_shipped(spark)
+    if shingles and (synonyms or payload_delimiter):
+        raise ValueError("shingles are mutually exclusive with "
+                         "synonyms and payloads")
     catalog = SnapshotCatalog(index_dir)
     work = df.withColumn(SHA_COL, F.sha2(F.col(content_col).cast("string"), 256))
     work = work.withColumn(SEG_COL,
@@ -371,7 +390,7 @@ def build_index(spark, df, index_dir: str, *,
                             frozenset(stopwords), store_positions, stemmer,
                             synonyms, discount_overlaps,
                             sort_field, sort_ascending, payload_delimiter,
-                            tokenizer)
+                            tokenizer, shingles)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
@@ -404,4 +423,6 @@ def build_index(spark, df, index_dir: str, *,
                                "ascending": bool(sort_ascending)}
     if payload_delimiter is not None:
         extra["payloads"] = True
+    if shingles is not None:
+        extra["shingles"] = list(shingles)
     return catalog.commit(segments, field_stats, ts_path, extra=extra)

@@ -55,7 +55,8 @@ class OracleIndex:
               stopwords: frozenset[str] = frozenset(),
               stemmer: str | None = None,
               synonyms: dict | None = None,
-              discount_overlaps: bool = True) -> "OracleIndex":
+              discount_overlaps: bool = True,
+              shingles: tuple | None = None) -> "OracleIndex":
         """docs: list of (doc_id, content) — doc_id is the global tie-break
         id. ``synonyms``/``discount_overlaps`` mirror the engine's
         index-time SynonymGraphFilter: overlap tokens count in
@@ -69,6 +70,11 @@ class OracleIndex:
                 from .functions.analysis import expand_synonyms_text
                 terms, positions, n_over = expand_synonyms_text(
                     terms, positions, synonyms)
+                norm_len = length if discount_overlaps else length + n_over
+            elif shingles:
+                from .functions.analysis import expand_shingles_text
+                terms, positions, n_over = expand_shingles_text(
+                    terms, positions, *shingles)
                 norm_len = length if discount_overlaps else length + n_over
             else:
                 norm_len = length

@@ -169,3 +169,45 @@ def test_synonym_graph_batch_matches_text():
         sel = d2 == i
         assert sorted(zip(t2[sel], p2[sel])) == sorted(zip(et, ep))
         assert overlaps[i] == n_over
+
+
+def test_shingle_text_semantics():
+    from lucene_spark.functions.analysis import (analyze_text,
+                                                 expand_shingles_text)
+    # stopword hole between "quick" and "stream" → filler token
+    terms, positions, length = analyze_text(
+        "fast quick the stream end", stopwords=frozenset({"the"}))
+    t2, p2, n_over = expand_shingles_text(terms, positions, 2, 3)
+    pairs = sorted(zip(t2[len(terms):], p2[len(terms):]))
+    assert ("fast quick", 0) in pairs
+    assert ("quick _ stream", 1) in pairs          # hole → FILLER_TOKEN
+    assert ("stream end", 3) in pairs
+    assert ("fast quick _ stream", 0) in pairs     # trigram
+    assert ("quick _ stream end", 1) in pairs
+    assert n_over == 5
+    import pytest
+    with pytest.raises(ValueError):
+        expand_shingles_text(terms, positions, 1, 2)
+
+
+def test_shingle_batch_matches_text():
+    import numpy as np
+    import pandas as pd
+    from lucene_spark.functions.analysis import (analyze_batch,
+                                                 analyze_text,
+                                                 expand_shingles_batch,
+                                                 expand_shingles_text)
+    docs = ["fast the stream parse emit", "single", "",
+            "a b c d", "x the the y z"]
+    stop = frozenset({"the"})
+    d, t, p, lens = analyze_batch(pd.Series(docs), stopwords=stop)
+    for mn, mx in ((2, 2), (2, 3), (3, 4)):
+        d2, t2, p2, overlaps = expand_shingles_batch(d, t, p, len(docs),
+                                                     mn, mx)
+        for i, doc in enumerate(docs):
+            terms, positions, _ = analyze_text(doc, stopwords=stop)
+            et, ep, n_over = expand_shingles_text(terms, positions, mn, mx)
+            sel = d2 == i
+            assert sorted(zip(t2[sel], p2[sel])) == sorted(zip(et, ep)), \
+                (i, mn, mx)
+            assert overlaps[i] == n_over, (i, mn, mx)

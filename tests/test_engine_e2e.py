@@ -415,3 +415,49 @@ def test_index_sorting_early_termination(spark, tmp_path):
              [corpus.doc_id != top_doc]
              .head(7)[["doc_id", "n_chars"]].to_numpy()]
     assert got2 == want2
+
+
+def test_shingle_indexed_build(spark, tmp_path):
+    """Index-time ShingleFilter (analysis/common shingle/ShingleFilter
+    .java:61, outputUnigrams=true): shingle tokens count in
+    tf/df/sumTotalTermFreq (so avgdl) as posInc=0 overlaps; norms
+    discount them by default and include them when disabled. Shingle
+    terms score as plain TermQuerys, bit-exact vs the oracle built over
+    the same expanded stream."""
+    import numpy as np
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.oracle import OracleIndex
+    from lucene_spark.plans import query as Q
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(150, seed=31)
+    for discount in (True, False):
+        d = str(tmp_path / f"shidx_{discount}")
+        build_index(spark, spark.createDataFrame(corpus), d,
+                    num_segments=3, shingles=(2, 2),
+                    discount_overlaps=discount)
+        s = Searcher(spark, d)
+        oracle = OracleIndex.build(
+            list(zip(corpus.doc_id, corpus.content)), shingles=(2, 2),
+            discount_overlaps=discount)
+        assert s.sum_ttf == oracle.sum_ttf
+        # pick a real bigram from the oracle dictionary
+        big = max((t for t in oracle.postings if " " in t),
+                  key=lambda t: len(oracle.postings[t]))
+        for q in (Q.Term(big), Q.Term("parse"),
+                  Q.Or((Q.Term(big), Q.Term("emit")))):
+            got = [(r["doc_id"], np.float32(r["score"]))
+                   for r in s.search(q, k=10).collect()]
+            want = [(doc, np.float32(sc))
+                    for doc, sc in oracle.top_k(q, k=10)]
+            assert len(want) > 0
+            assert got == want, (q, discount)
+        from lucene_spark.operators.checkindex import check_index
+        check_index(d)
+    import pytest
+    with pytest.raises(ValueError):
+        build_index(spark, spark.createDataFrame(corpus),
+                    str(tmp_path / "bad"), num_segments=2,
+                    shingles=(2, 2), synonyms={"a": ("b",)})
