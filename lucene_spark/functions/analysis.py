@@ -67,12 +67,42 @@ __all__ = [
 ]
 
 
+#: ASCIIFoldingFilter special cases that canonical decomposition does not
+#: reach (reference ``analysis/common/.../miscellaneous/ASCIIFoldingFilter
+#: .java:146`` — the switch's ligature/stroke/thorn rows; the full table
+#: spans many more Unicode blocks, out of scope per SURVEY §2.1)
+_FOLD_SPECIALS = str.maketrans({
+    "ß": "ss", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ł": "l", "Ł": "L",
+    "ħ": "h", "Ħ": "H", "ð": "d", "Ð": "D", "þ": "th", "Þ": "TH",
+    "ŧ": "t", "Ŧ": "T", "ı": "i", "ĳ": "ij", "Ĳ": "IJ",
+})
+
+
+def fold_to_ascii(s: str) -> str:
+    """ASCIIFoldingFilter role (reference ``miscellaneous/
+    ASCIIFoldingFilter.java:146``): fold accented Latin characters to
+    their ASCII equivalents — explicit map for the ligature/stroke rows,
+    then NFKD decomposition with combining marks stripped. Characters
+    with no ASCII equivalent (non-Latin scripts) pass through unchanged,
+    like the reference's default case."""
+    if s.isascii():
+        return s
+    import unicodedata
+    s = s.translate(_FOLD_SPECIALS)
+    if s.isascii():
+        return s
+    d = unicodedata.normalize("NFKD", s)
+    return "".join(c for c in d if not unicodedata.combining(c))
+
+
 def analyze_text(text: str,
                  stopwords: frozenset[str] = frozenset(),
                  max_token_length: int = MAX_TOKEN_LENGTH,
                  stemmer: str | None = None,
                  tokenizer: str = "standard",
-                 lowercase: bool = True):
+                 lowercase: bool = True,
+                 ascii_folding: bool = False):
     """Single-string analyzer (test/oracle path).
 
     Returns (terms, positions, length): surviving lowercase terms, their
@@ -99,6 +129,8 @@ def analyze_text(text: str,
         if len(raw) > max_token_length:
             continue  # skipped but counted (StandardTokenizer:156-166)
         low = raw.lower() if lowercase else raw
+        if ascii_folding:
+            low = fold_to_ascii(low)
         if stemmer:
             low = strip_possessive(low)
         if low in stopwords:
@@ -113,7 +145,8 @@ def analyze_batch(texts: pd.Series,
                   max_token_length: int = MAX_TOKEN_LENGTH,
                   stemmer: str | None = None,
                   tokenizer: str = "standard",
-                  lowercase: bool = True):
+                  lowercase: bool = True,
+                  ascii_folding: bool = False):
     """Columnar analyzer for a batch of documents.
 
     Returns (doc_idx, terms, positions, lengths):
@@ -163,6 +196,13 @@ def analyze_batch(texts: pd.Series,
                        count=total) <= max_token_length
     if lowercase and not ascii_fast:
         flat = pd.Series(flat).str.lower().to_numpy()
+    if ascii_folding:
+        # vocabulary-level: fold each unique token once (the batch's
+        # tokens repeat heavily), map back through factorize codes
+        fcodes, funiq = pd.factorize(flat)
+        folded_u = np.array([fold_to_ascii(u) for u in funiq],
+                            dtype=object)
+        flat = folded_u[fcodes]
     if stemmer == "porter":
         # EnglishAnalyzer chain at VOCABULARY level: possessive strip →
         # stop filter → Porter stem, each computed once per unique token

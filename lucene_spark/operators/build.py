@@ -61,7 +61,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    sort_ascending: bool = True,
                    payload_delimiter: str | None = None,
                    tokenizer: str = "standard",
-                   shingles: tuple | None = None
+                   shingles: tuple | None = None,
+                   ascii_folding: bool = False
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -94,7 +95,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
     doc_idx, terms, positions, lengths = analyze_batch(pd.Series(texts.to_numpy(dtype=object)),
                                                        stopwords=stopwords,
                                                        stemmer=stemmer,
-                                                       tokenizer=tokenizer)
+                                                       tokenizer=tokenizer,
+                                                       ascii_folding=ascii_folding)
     payloads = None
     if payload_delimiter:
         # DelimitedPayloadTokenFilter + FloatEncoder (reference
@@ -289,7 +291,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   sort_ascending: bool = True,
                   payload_delimiter: str | None = None,
                   tokenizer: str = "standard",
-                  shingles: tuple | None = None):
+                  shingles: tuple | None = None,
+                  ascii_folding: bool = False):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -298,7 +301,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
         postings, doc_meta, norms_payload, sum_token_len = invert_segment(
             pdf, seg_id, content_col, doc_id_col, stopwords, store_positions,
             stemmer, synonyms, discount_overlaps, sort_field,
-            sort_ascending, payload_delimiter, tokenizer, shingles)
+            sort_ascending, payload_delimiter, tokenizer, shingles,
+            ascii_folding)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -361,7 +365,8 @@ def build_index(spark, df, index_dir: str, *,
                 sort_ascending: bool = True,
                 payload_delimiter: str | None = None,
                 tokenizer: str = "standard",
-                shingles: tuple | None = None):
+                shingles: tuple | None = None,
+                ascii_folding: bool = False):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -390,7 +395,7 @@ def build_index(spark, df, index_dir: str, *,
                             frozenset(stopwords), store_positions, stemmer,
                             synonyms, discount_overlaps,
                             sort_field, sort_ascending, payload_delimiter,
-                            tokenizer, shingles)
+                            tokenizer, shingles, ascii_folding)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)

@@ -56,7 +56,8 @@ class OracleIndex:
               stemmer: str | None = None,
               synonyms: dict | None = None,
               discount_overlaps: bool = True,
-              shingles: tuple | None = None) -> "OracleIndex":
+              shingles: tuple | None = None,
+              ascii_folding: bool = False) -> "OracleIndex":
         """docs: list of (doc_id, content) — doc_id is the global tie-break
         id. ``synonyms``/``discount_overlaps`` mirror the engine's
         index-time SynonymGraphFilter: overlap tokens count in
@@ -65,7 +66,8 @@ class OracleIndex:
         idx = cls()
         for doc_id, content in sorted(docs):
             terms, positions, length = analyze_text(content, stopwords=stopwords,
-                                                    stemmer=stemmer)
+                                                    stemmer=stemmer,
+                                                    ascii_folding=ascii_folding)
             if synonyms:
                 from .functions.analysis import expand_synonyms_text
                 terms, positions, n_over = expand_synonyms_text(

@@ -211,3 +211,33 @@ def test_shingle_batch_matches_text():
             assert sorted(zip(t2[sel], p2[sel])) == sorted(zip(et, ep)), \
                 (i, mn, mx)
             assert overlaps[i] == n_over, (i, mn, mx)
+
+
+def test_ascii_folding_goldens():
+    from lucene_spark.functions.analysis import fold_to_ascii
+    cases = {
+        "café": "cafe", "naïve": "naive", "über": "uber",
+        "straße": "strasse", "ünïcode_väl": "unicode_val",
+        "œuvre": "oeuvre", "øre": "ore", "łódź": "lodz",
+        "þorn": "thorn", "ðelta": "delta", "ĳs": "ijs",
+        "plain": "plain", "日本語": "日本語",   # non-Latin passes through
+    }
+    for src, want in cases.items():
+        assert fold_to_ascii(src) == want, src
+
+
+def test_ascii_folding_batch_matches_text():
+    import pandas as pd
+    from lucene_spark.functions.analysis import (analyze_batch,
+                                                 analyze_text)
+    docs = ["café straße Über tokens", "Ünïcode_väl plain", "",
+            "łódź œuvre the naïve", "ascii only here"]
+    stop = frozenset({"the"})
+    d, t, p, lens = analyze_batch(pd.Series(docs), stopwords=stop,
+                                  ascii_folding=True)
+    for i, doc in enumerate(docs):
+        et, ep, _ = analyze_text(doc, stopwords=stop, ascii_folding=True)
+        sel = d == i
+        assert list(t[sel]) == et and list(p[sel]) == ep, i
+    assert "cafe" in set(t) and "strasse" in set(t) \
+        and "unicode_val" in set(t)

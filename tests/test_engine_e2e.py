@@ -461,3 +461,35 @@ def test_shingle_indexed_build(spark, tmp_path):
         build_index(spark, spark.createDataFrame(corpus),
                     str(tmp_path / "bad"), num_segments=2,
                     shingles=(2, 2), synonyms={"a": ("b",)})
+
+
+def test_ascii_folding_build(spark, tmp_path):
+    """ASCIIFoldingFilter at index time (analysis/common miscellaneous/
+    ASCIIFoldingFilter.java:146): accented corpus tokens fold to ASCII
+    before stop/stem, so queries on the folded form match; BM25
+    bit-exact vs the oracle analyzed with the same folding."""
+    import numpy as np
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.oracle import OracleIndex
+    from lucene_spark.plans import query as Q
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(120, seed=33)
+    d = str(tmp_path / "foldidx")
+    build_index(spark, spark.createDataFrame(corpus), d,
+                num_segments=3, ascii_folding=True)
+    s = Searcher(spark, d)
+    oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)),
+                               ascii_folding=True)
+    assert s.sum_ttf == oracle.sum_ttf
+    # the generator corpus plants 'Ünïcode_väl' → folded 'unicode_val'
+    assert "unicode_val" in oracle.postings
+    for q in (Q.Term("unicode_val"), Q.Term("parse"),
+              Q.Or((Q.Term("unicode_val"), Q.Term("emit")))):
+        got = [(r["doc_id"], np.float32(r["score"]))
+               for r in s.search(q, k=10).collect()]
+        want = [(doc, np.float32(sc)) for doc, sc in oracle.top_k(q, k=10)]
+        assert len(want) > 0
+        assert got == want, q
