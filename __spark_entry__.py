@@ -1910,6 +1910,25 @@ def _q_mlt_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(res)
 
 
+def _q_dfi_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFI (divergence from independence, standardized chi measure)
+    term query — reference ``similarities/DFISimilarity.java:58-69`` +
+    ``IndependenceStandardized``; non-monotonic → exhaustive scoring."""
+    from lucene_spark.functions.similarity import DFISimilarity
+    base = _searcher(spark, sf_dir)
+    s = Searcher(spark, base.index_dir, similarity=DFISimilarity())
+    return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
+
+
+def _q_boolean_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanSimilarity term query (``similarities/BooleanSimilarity
+    .java:25``): score = query boost, tf/norms ignored."""
+    from lucene_spark.functions.similarity import BooleanSimilarity
+    base = _searcher(spark, sf_dir)
+    s = Searcher(spark, base.index_dir, similarity=BooleanSimilarity())
+    return _fmt_topk(s.search(Q.Term(T_COMMON, boost=1.5), k=10))
+
+
 def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimpleNaiveBayesClassifier batch (reference
     ``classification/SimpleNaiveBayesClassifier.java:139-286``): classify
@@ -2490,6 +2509,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_query": _q_regexp,
         "high_freq_terms": _q_high_freq_terms,
         "bm25_shingle_top10": _q_shingle_indexed,
+        "dfi_term_top10": _q_dfi_term,
+        "boolean_term_top10": _q_boolean_term,
         "fuzzy_query": _q_fuzzy,
         "term_in_set": _q_term_in_set,
         "range_query": _q_range,
@@ -2652,6 +2673,7 @@ _PRIORITY = [
     "bm25_feature_log_top10", "distance_feature_top10",
     "rescore_top10", "nb_classify_docs", "knn_classify_doc0",
     "regexp_query", "high_freq_terms", "bm25_shingle_top10",
+    "dfi_term_top10", "boolean_term_top10",
 ]
 
 
@@ -3166,6 +3188,27 @@ persc AS (
   JOIN normcache c ON t.doc_id = c.doc_id),
 orsc AS (SELECT doc_id, CAST(SUM(s) AS FLOAT) AS s
          FROM persc GROUP BY doc_id)""" + _topk_sql("orsc", 10),
+        "dfi_term_top10": _PRELUDE + f""",
+dfisc AS (
+  SELECT f.doc_id,
+         CAST(CASE WHEN CAST(f.tf AS DOUBLE) <= e.e THEN 0
+              ELSE CAST(1 AS DOUBLE)
+                   * (ln((CAST(f.tf AS DOUBLE) - e.e) / sqrt(e.e)
+                         + CAST(1 AS DOUBLE)) / ln(2)) END AS FLOAT) AS s
+  FROM tf f
+  JOIN (SELECT dl.doc_id,
+               (d.ttf + CAST(1 AS DOUBLE))
+               * (SELECT max(v) FROM lut WHERE v <= dl.dl)
+               / (s.sttf + CAST(1 AS DOUBLE)) AS e
+        FROM doclen dl, dfs d, stats s
+        WHERE d.term = '{T_COMMON}') e ON e.doc_id = f.doc_id
+  WHERE f.term = '{T_COMMON}'
+)""" + _topk_sql("dfisc", 10),
+        "boolean_term_top10": _PRELUDE + f""",
+bsc AS (
+  SELECT DISTINCT doc_id, CAST(CAST(1.5 AS DOUBLE) AS FLOAT) AS s
+  FROM tok WHERE term = '{T_COMMON}'
+)""" + _topk_sql("bsc", 10),
         "dfr_term_top10": _PRELUDE + f""",
 dfrsc AS (
   SELECT f.doc_id,

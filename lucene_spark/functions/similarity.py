@@ -232,7 +232,84 @@ class DFRInL2Similarity(Similarity):
         return (boost * basic).astype(np.float32)
 
 
+class BooleanSimilarity(Similarity):
+    """Score = query boost, norms and tf ignored (reference
+    ``similarities/BooleanSimilarity.java:25-62``). Constant per term →
+    monotonic and block-max safe trivially."""
+
+    name = "boolean"
+    monotonic = True
+    weight_linear = True
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               ttf: int = 0, sum_ttf: int = 0) -> np.float32:
+        return np.float32(boost)
+
+    def norm_cache(self, avgdl: np.float32) -> np.ndarray:
+        return np.zeros(256, dtype=np.float32)
+
+    def score(self, tfs, norm_bytes, weight, cache) -> np.ndarray:
+        return np.full(len(np.asarray(tfs)), np.float32(weight),
+                       dtype=np.float32)
+
+
+class DFISimilarity(Similarity):
+    """Divergence from Independence (reference
+    ``similarities/DFISimilarity.java:58-69`` over the three
+    ``Independence*`` measures):
+
+      expected = (ttf + 1) · dl / (sumTtf + 1)       (double)
+      score    = 0                          if tf <= expected
+               = boost · log2(measure + 1)  else      (cast float32 once)
+
+    measure: 'standardized' (tf−e)/√e (``IndependenceStandardized``),
+    'saturated' (tf−e)/e (``IndependenceSaturated``), 'chisquared'
+    (tf−e)²/e (``IndependenceChiSquared``). dl is the quantized length
+    decoded from the shared norm byte (SimilarityBase). NOT monotonic in
+    the norm factor (longer docs can score 0 where shorter ones match),
+    so block-max pruning is disabled → exhaustive scoring."""
+
+    name = "dfi"
+    monotonic = False
+    weight_linear = False
+    needs_ttf = True
+
+    MEASURES = ("standardized", "saturated", "chisquared")
+
+    def __init__(self, measure: str = "standardized"):
+        if measure not in self.MEASURES:
+            raise ValueError(f"unknown independence measure {measure!r}")
+        self.measure = measure
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               ttf: int = 0, sum_ttf: int = 0) -> np.ndarray:
+        # expected = weight[1] * dl
+        return np.array([float(boost), (ttf + 1.0) / (sum_ttf + 1.0)],
+                        dtype=np.float64)
+
+    def norm_cache(self, avgdl: np.float32) -> np.ndarray:
+        return LENGTH_TABLE.astype(np.float64)
+
+    def score(self, tfs, norm_bytes, weight, cache) -> np.ndarray:
+        boost, efactor = float(weight[0]), float(weight[1])
+        dl = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        f = np.asarray(tfs, np.float64)
+        expected = efactor * dl
+        diff = f - expected
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if self.measure == "standardized":
+                m = diff / np.sqrt(expected)
+            elif self.measure == "saturated":
+                m = diff / expected
+            else:
+                m = diff * diff / expected
+        s = boost * (np.log(m + 1.0) / np.log(2.0))
+        return np.where(f <= expected, 0.0, s).astype(np.float32)
+
+
 SIMILARITIES = {"bm25": BM25Similarity, "classic": ClassicSimilarity,
                 "lm_dirichlet": LMDirichletSimilarity,
                 "lm_jelinek_mercer": LMJelinekMercerSimilarity,
-                "dfr_inl2": DFRInL2Similarity}
+                "dfr_inl2": DFRInL2Similarity,
+                "boolean": BooleanSimilarity,
+                "dfi": DFISimilarity}

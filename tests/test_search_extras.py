@@ -379,7 +379,7 @@ def test_classic_similarity_parity(spark, searcher, oracle):
 
 
 @pytest.mark.parametrize("simname", ["lm_dirichlet", "lm_jelinek_mercer",
-                                     "dfr_inl2"])
+                                     "dfr_inl2", "boolean", "dfi"])
 def test_lm_similarity_parity(spark, searcher, oracle, simname):
     """LM Dirichlet / Jelinek-Mercer: rank- and score-identical between
     engine (both scoring modes) and oracle for term/boolean/synonym
