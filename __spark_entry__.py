@@ -1910,6 +1910,26 @@ def _q_mlt_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(res)
 
 
+def _q_fuzzy_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzySuggester (``suggest/.../analyzing/FuzzySuggester.java:50``,
+    defaults maxEdits=1/nonFuzzyPrefix=1/minFuzzyLength=3): typo-tolerant
+    prefix completion of 'quary', weight = df."""
+    from lucene_spark.operators.suggest import fuzzy_suggest
+    return fuzzy_suggest(_searcher(spark, sf_dir), "scal", k=10)
+
+
+def _q_free_text_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FreeTextSuggester stupid-backoff next-word model
+    (``suggest/.../analyzing/FreeTextSuggester.java:91-124``) over the
+    bigram-shingled index."""
+    from lucene_spark.operators.suggest import free_text_suggest
+    res = free_text_suggest(_searcher_shingle(spark, sf_dir),
+                            T_COMMON, k=10)
+    return res.select("term",
+                      F.floor(F.col("score") * 1e12)
+                      .cast("long").alias("score_q12"))
+
+
 def _q_dfi_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFI (divergence from independence, standardized chi measure)
     term query — reference ``similarities/DFISimilarity.java:58-69`` +
@@ -2511,6 +2531,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_shingle_top10": _q_shingle_indexed,
         "dfi_term_top10": _q_dfi_term,
         "boolean_term_top10": _q_boolean_term,
+        "fuzzy_suggest_top10": _q_fuzzy_suggest,
+        "free_text_suggest_top10": _q_free_text_suggest,
         "fuzzy_query": _q_fuzzy,
         "term_in_set": _q_term_in_set,
         "range_query": _q_range,
@@ -2674,6 +2696,7 @@ _PRIORITY = [
     "rescore_top10", "nb_classify_docs", "knn_classify_doc0",
     "regexp_query", "high_freq_terms", "bm25_shingle_top10",
     "dfi_term_top10", "boolean_term_top10",
+    "fuzzy_suggest_top10", "free_text_suggest_top10",
 ]
 
 
@@ -3188,6 +3211,43 @@ persc AS (
   JOIN normcache c ON t.doc_id = c.doc_id),
 orsc AS (SELECT doc_id, CAST(SUM(s) AS FLOAT) AS s
          FROM persc GROUP BY doc_id)""" + _topk_sql("orsc", 10),
+        "fuzzy_suggest_top10": _PRELUDE + """
+SELECT term, CAST(df AS BIGINT) AS weight
+FROM dfs
+WHERE term LIKE 's%' AND len(term) >= 3
+  AND least(levenshtein(substring(term, 1, 3), 'scal'),
+            levenshtein(substring(term, 1, 4), 'scal'),
+            levenshtein(substring(term, 1, 5), 'scal')) <= 1
+ORDER BY weight DESC, term ASC LIMIT 10""",
+        "free_text_suggest_top10": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents),
+uni AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+big AS (SELECT a.term AS a, b.term AS b, count(*) AS c
+        FROM tok a JOIN tok b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+tot AS (SELECT sum(c) AS t FROM uni),
+ftsc AS (
+  SELECT b AS term,
+         CAST(c AS DOUBLE) / (SELECT c FROM uni WHERE term = '{T_COMMON}')
+           AS score
+  FROM big WHERE a = '{T_COMMON}'
+  UNION ALL
+  SELECT u.term,
+         CAST(0.4 AS DOUBLE) * CAST(u.c AS DOUBLE) / (SELECT t FROM tot)
+           AS score
+  FROM uni u
+  WHERE NOT EXISTS (SELECT 1 FROM big
+                    WHERE a = '{T_COMMON}' AND b = u.term)
+)
+SELECT term, CAST(floor(score * 1e12) AS BIGINT) AS score_q12
+FROM (SELECT term, score,
+             row_number() OVER (ORDER BY score DESC, term ASC) AS r
+      FROM ftsc)
+WHERE r <= 10""",
         "dfi_term_top10": _PRELUDE + f""",
 dfisc AS (
   SELECT f.doc_id,

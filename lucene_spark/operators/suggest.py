@@ -65,3 +65,76 @@ def spell_suggest(searcher, word: str, k: int = 5, max_edits: int = 2,
                         F.col("df").cast("long").alias("df"))
                 .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
                 .limit(k))
+
+
+def fuzzy_suggest(searcher, typed: str, k: int = 10, max_edits: int = 1,
+                  non_fuzzy_prefix: int = 1,
+                  min_fuzzy_length: int = 3) -> DataFrame:
+    """FuzzySuggester role (reference ``suggest/.../analyzing/
+    FuzzySuggester.java:50-85`` defaults: maxEdits=1, nonFuzzyPrefix=1,
+    minFuzzyLength=3): completions whose key has SOME prefix within
+    ``max_edits`` Levenshtein edits of the typed text. The reference
+    intersects a Levenshtein automaton of the typed bytes with the
+    completion FST; here the equivalent predicate is
+    ``min over L in [len(typed)-e, len(typed)+e] of
+    lev(term[:L], typed) <= e`` (a fuzzy prefix match must align the
+    typed text against a term prefix of length within e of its own),
+    with the first ``non_fuzzy_prefix`` chars required to match exactly
+    and typed text shorter than ``min_fuzzy_length`` falling back to
+    exact prefix completion. Ranked by weight (df) desc, term asc.
+
+    Scale shape: the shared-prefix + length-band predicates push into
+    the term_stats scan; Levenshtein runs JVM-side (Catalyst
+    ``levenshtein``), then one TakeOrderedAndProject."""
+    if len(typed) < min_fuzzy_length or max_edits == 0:
+        return suggest_prefix(searcher, typed, k)
+    ts = searcher.term_stats
+    if non_fuzzy_prefix > 0:
+        ts = ts.filter(F.col("term").startswith(typed[:non_fuzzy_prefix]))
+    n = len(typed)
+    dists = [F.levenshtein(F.substring(F.col("term"), 1, L),
+                           F.lit(typed))
+             for L in range(max(1, n - max_edits), n + max_edits + 1)]
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    return (ts.filter(F.length("term") >= n - max_edits)
+            .filter(best <= max_edits)
+            .select("term", F.col("df").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term"))
+            .limit(k))
+
+
+def free_text_suggest(shingle_searcher, context: str, k: int = 10,
+                      alpha: float = 0.4) -> DataFrame:
+    """FreeTextSuggester role (reference ``suggest/.../analyzing/
+    FreeTextSuggester.java:91-124``): predict the next word after
+    ``context`` from a bigram-shingled index with stupid-backoff
+    smoothing (ALPHA = 0.4, ``:124``): a next-word seen after the
+    context scores ``count(context word) / count(context)``; unseen
+    words back off to ``ALPHA · count(word) / totalTokens``. The
+    shingle dictionary's ttf IS the corpus bigram count, so the whole
+    model is two pushed-filter scans of term_stats — the reference
+    builds a dedicated ngram FST; here the index's own shingles serve.
+
+    Returns (term, score double) — the suggested next words, score
+    desc, term asc."""
+    ts = shingle_searcher.term_stats
+    ctx_count = (ts.filter(F.col("term") == context)
+                 .agg(F.sum("ttf")).collect()[0][0]) or 0
+    # unigram-model denominator: total UNIGRAM tokens (the reference
+    # keeps per-order totals; sum_ttf would also count shingles)
+    total = (ts.filter(~F.col("term").contains(" "))
+             .agg(F.sum("ttf")).collect()[0][0]) or 1
+    big = (ts.filter(F.col("term").startswith(context + " "))
+           .select(F.expr(f"substring(term, {len(context) + 2})")
+                   .alias("term"),
+                   (F.col("ttf").cast("double")
+                    / F.lit(float(max(ctx_count, 1)))).alias("score")))
+    # backoff: unigrams not already predicted (no space in term)
+    uni = (ts.filter(~F.col("term").contains(" "))
+           .join(big.select("term"), "term", "left_anti")
+           .select("term",
+                   (F.lit(float(alpha)) * F.col("ttf").cast("double")
+                    / F.lit(float(total))).alias("score")))
+    return (big.unionByName(uni)
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(k))

@@ -150,3 +150,66 @@ def test_highlight_best_passage_prefers_coverage():
                       "<b>", "</b>")
     # the last window covers 3 distinct terms; earlier ones only 2
     assert s == "<b>alpha</b> <b>beta</b> <b>zeta</b>"
+
+
+def test_fuzzy_suggest(searcher, dfs):
+    """FuzzySuggester: completions with some prefix within max_edits of
+    the typed text (non-fuzzy first char, min fuzzy length), weight
+    (df) ordered — vs a brute scan of the dictionary."""
+    from lucene_spark.operators.suggest import fuzzy_suggest
+
+    def lev(a, b):
+        from lucene_spark.oracle import _levenshtein
+        return _levenshtein(a, b)
+
+    typed, e = "pars", 1
+    want = []
+    for t, df in dfs.items():
+        if not t.startswith(typed[:1]) or len(t) < len(typed) - e:
+            continue
+        best = min(lev(t[:L], typed)
+                   for L in range(max(1, len(typed) - e),
+                                  len(typed) + e + 1))
+        if best <= e:
+            want.append((t, df))
+    want.sort(key=lambda p: (-p[1], p[0]))
+    got = [(r["term"], r["weight"])
+           for r in fuzzy_suggest(searcher, typed, k=10).collect()]
+    assert got == want[:10] and len(got) > 0
+    # short typed text falls back to exact prefix completion
+    short = [(r["term"], r["weight"])
+             for r in fuzzy_suggest(searcher, "pa", k=5).collect()]
+    assert all(t.startswith("pa") for t, _ in short)
+
+
+def test_free_text_suggest(spark, corpus, tmp_path):
+    """FreeTextSuggester with stupid backoff (ALPHA=0.4) over a
+    bigram-shingled index — vs brute bigram/unigram counts."""
+    from collections import Counter
+
+    from lucene_spark.operators.suggest import free_text_suggest
+
+    d = str(tmp_path / "ftidx")
+    build_index(spark, spark.createDataFrame(corpus), d,
+                num_segments=3, shingles=(2, 2))
+    s = Searcher(spark, d)
+    uni, big = Counter(), Counter()
+    for text in corpus.content:
+        toks = analyze_text(text)[0]
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    ctx = uni.most_common(1)[0][0]
+    total = sum(uni.values())
+    want = {}
+    for (a, b), c in big.items():
+        if a == ctx:
+            want[b] = c / uni[ctx]
+    for t, c in uni.items():
+        if t not in want:
+            want[t] = 0.4 * c / total
+    wlist = sorted(want.items(), key=lambda p: (-p[1], p[0]))[:10]
+    got = [(r["term"], r["score"])
+           for r in free_text_suggest(s, ctx, k=10).collect()]
+    assert [g[0] for g in got] == [w[0] for w in wlist]
+    for g, w in zip(got, wlist):
+        assert g[1] == pytest.approx(w[1], rel=1e-12)
