@@ -1550,6 +1550,21 @@ def _q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id"))
 
 
+def _q_sampled_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomSamplingFacetsCollector role (reference
+    ``facet/RandomSamplingFacetsCollector.java:37-104``): lang facet
+    counts over a deterministic 50% md5 sample of T_COMMON's match set,
+    amortized by the exact sampled rate."""
+    from lucene_spark.operators.facets import sampled_facet_counts
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    res = sampled_facet_counts(s, Q.Term(T_COMMON), docs, "lang", 0.5)
+    return res.select("lang", F.col("sampled_cnt").cast("long")
+                      .alias("sampled_cnt"),
+                      F.floor(F.col("est_cnt") * 1000000)
+                      .cast("long").alias("est_q6"))
+
+
 def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
@@ -2539,6 +2554,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_range_query": _q_term_range,
         # --- facets / grouping / join (SURVEY.md §2.4) ---
         "facet_counts": _q_facets,
+        "sampled_facet_counts": _q_sampled_facets,
         "range_facet_counts": _q_range_facet,
         "drill_sideways": _q_drill_sideways,
         "grouped_topk": _q_grouped_topk,
@@ -2697,6 +2713,7 @@ _PRIORITY = [
     "regexp_query", "high_freq_terms", "bm25_shingle_top10",
     "dfi_term_top10", "boolean_term_top10",
     "fuzzy_suggest_top10", "free_text_suggest_top10",
+    "sampled_facet_counts",
 ]
 
 
@@ -2991,6 +3008,29 @@ WHERE EXISTS (SELECT 1 FROM (
         FROM documents) t
       WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}')
 GROUP BY 1""",
+        "sampled_facet_counts": f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents)
+  WHERE term = '{T_COMMON}'
+),
+samp AS (
+  SELECT doc_id FROM matched
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        < '{format(int(0.5 * 16**8), "08x")}'
+),
+cnts AS (
+  SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS sampled_cnt
+  FROM samp s JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY 1
+)
+SELECT lang, sampled_cnt,
+       CAST(floor(CAST(sampled_cnt AS DOUBLE)
+                  / (CAST((SELECT count(*) FROM samp) AS DOUBLE)
+                     / CAST((SELECT count(*) FROM matched) AS DOUBLE))
+                  * 1000000) AS BIGINT) AS est_q6
+FROM cnts""",
         "payload_score_top10": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term,

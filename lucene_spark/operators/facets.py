@@ -29,6 +29,45 @@ def facet_counts(searcher, query, dims_df: DataFrame, dim_col: str,
             .groupBy(dim_col).agg(F.count("*").alias("cnt")))
 
 
+def sampled_facet_counts(searcher, query, dims_df: DataFrame, dim_col: str,
+                         fraction: float, doc_id_col: str = "doc_id",
+                         amortize: bool = True) -> DataFrame:
+    """RandomSamplingFacetsCollector role (reference
+    ``facet/RandomSamplingFacetsCollector.java:37-104,214-230``): facet
+    counts computed over a deterministic sample of the match set, then
+    amortized back to full-set scale by dividing by the EXACT sampled
+    fraction (the reference's amortizeFacetCounts divides by its
+    samplingRate). Divergence note: the reference samples with a seeded
+    XORShift64 bin walk over the hit order — an inherently sequential
+    RNG; the Spark-native equivalent is a uniform content hash
+    (``md5(doc_id)`` prefix below the fraction cut), which is
+    deterministic, order-free and shards identically on any cluster.
+
+    Returns ``(dim_col, sampled_cnt long, est_cnt double)``; ``est_cnt``
+    is sampled_cnt / actual_fraction (actual = sampled/total matched,
+    like the reference's totalHits-derived rate), omitted scaling when
+    ``amortize=False``. Scale: adds one cheap hash filter before the
+    same semi-join + map-side-combined groupBy as
+    :func:`facet_counts`."""
+    if not (0 < fraction <= 1):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    matched = searcher.matching_docs(query)
+    cut = format(int(fraction * 16**8), "08x")
+    sample = matched.filter(
+        F.substring(F.md5(F.col(doc_id_col).cast("string")), 1, 8) < cut)
+    counts = (sample.join(dims_df.select(doc_id_col, dim_col), doc_id_col)
+              .groupBy(dim_col)
+              .agg(F.count("*").alias("sampled_cnt")))
+    if not amortize:
+        return counts
+    total = matched.count()
+    n_sampled = sample.count()
+    rate = (n_sampled / total) if total else 1.0
+    return counts.withColumn(
+        "est_cnt", F.col("sampled_cnt").cast("double")
+        / F.lit(float(rate) if rate else 1.0))
+
+
 def range_facet_counts(searcher, query, dims_df: DataFrame, num_col: str,
                        buckets: list[tuple[int, int]],
                        doc_id_col: str = "doc_id") -> DataFrame:

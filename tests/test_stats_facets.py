@@ -255,3 +255,33 @@ def test_sum_association_facets(spark, searcher, corpus, oracle):
             s, n = want.get(row.lang, (0, 0))
             want[row.lang] = (s + len(row.content), n + 1)
     assert got == want
+
+
+def test_sampled_facet_counts(spark, searcher, corpus, oracle):
+    """RandomSamplingFacetsCollector role: deterministic md5 sample of
+    the match set, counts amortized by the exact sampled rate — vs a
+    brute twin of the same hash predicate."""
+    import hashlib
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(corpus[["doc_id", "lang"]])
+    frac = 0.5
+    cut = format(int(frac * 16**8), "08x")
+    matched = set(oracle.score(Q.Term("parse")))
+    sampled = {d for d in matched
+               if hashlib.md5(str(d).encode()).hexdigest()[:8] < cut}
+    want: dict[str, int] = {}
+    lang_of = dict(zip(corpus.doc_id, corpus.lang))
+    for d in sampled:
+        want[lang_of[d]] = want.get(lang_of[d], 0) + 1
+    rate = len(sampled) / len(matched)
+    got = {r["lang"]: (r["sampled_cnt"], r["est_cnt"]) for r in
+           facets.sampled_facet_counts(searcher, Q.Term("parse"), docs,
+                                       "lang", frac).collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    for k, (c, est) in got.items():
+        assert est == _pytest.approx(c / rate, rel=1e-12)
+    with _pytest.raises(ValueError):
+        facets.sampled_facet_counts(searcher, Q.Term("parse"), docs,
+                                    "lang", 0.0)
