@@ -567,6 +567,84 @@ def add_indexes(spark, dest_dir: str, src_dir: str):
     return dest.commit(new_segments, field_stats, ts_path, extra=extra)
 
 
+def split_index(spark, src_dir: str, dest_dir: str,
+                seg_ids: list[int]):
+    """IndexSplitter role (reference
+    ``misc/src/java/org/apache/lucene/misc/index/IndexSplitter.java``):
+    carve a standalone index out of ``src_dir`` containing exactly
+    ``seg_ids`` — a file-level segment copy (like the reference's
+    SegmentInfos manipulation, no re-indexing), with global collection
+    stats recomputed over the kept segments, tombstones and
+    docvalues-update overlays sliced to the kept segments, and one
+    atomic snapshot commit in the new directory. The inverse of
+    :func:`add_indexes`; the source index is left untouched.
+
+    Scale note: segment payloads are copied file-by-file (no decode);
+    only term_stats is recomputed, as one Spark aggregation over the
+    kept segments' postings."""
+    src = SnapshotCatalog(src_dir)
+    snap = src.load()
+    if snap is None:
+        raise ValueError(f"no snapshot in {src_dir}")
+    want = sorted(set(int(s) for s in seg_ids))
+    missing = [s for s in want if s not in snap.seg_ids]
+    if missing:
+        raise ValueError(f"segments {missing} not in snapshot "
+                         f"(has {snap.seg_ids})")
+    dest = SnapshotCatalog(dest_dir)
+    if dest.load() is not None:
+        raise ValueError(f"{dest_dir} already holds an index")
+    lineage = {s["seg_id"]: s for s in snap.segments}
+    kept = []
+    for sid in want:
+        sdir = src.segment_dir(sid)
+        tmp = os.path.join(dest_dir, "segments",
+                           f"_tmp-{sid}-{uuid.uuid4().hex}")
+        shutil.copytree(sdir, tmp)
+        os.rename(tmp, dest.segment_dir(sid))
+        stats = dict(lineage[sid])
+        stats["origin"] = "split"
+        stats["split_from"] = os.path.abspath(src_dir)
+        kept.append(stats)
+    field_stats = {
+        "doc_count": int(sum(s["num_docs"] for s in kept)),
+        "sum_total_term_freq": int(sum(
+            s.get("sum_token_len", s["sum_doc_len"]) for s in kept)),
+    }
+    ts_path = compute_term_stats(
+        spark, dest, want, os.path.join(dest_dir, "term_stats", "gen-1"))
+    extra = {k: v for k, v in (snap.extra or {}).items()
+             if k in ("store_positions", "codec_version", "payloads",
+                      "index_sort", "doc_id_col")}
+    extra["num_segments"] = len(want)
+    # slice live-docs to the kept segments (IndexSplitter copies .liv)
+    from .delete import load_deletes, write_tombstone_file
+    dels = load_deletes(src, snap, seg_ids=want)
+    if dels:
+        rel, count = write_tombstone_file(dest, 1, dels)
+        extra["deletes"] = rel
+        extra["num_deleted"] = count
+    # slice docvalues-update overlays the same way
+    from .docvalues import _overlay_path
+    opath = _overlay_path(src, snap)
+    if opath is not None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        opdf = pd.read_parquet(
+            opath, filters=[("seg_id", "in", want)])
+        if len(opdf):
+            dv_dir = os.path.join(dest_dir, "dv_updates")
+            os.makedirs(dv_dir, exist_ok=True)
+            out = os.path.join(dv_dir, f"gen-1-{uuid.uuid4().hex[:8]}")
+            os.makedirs(out, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(opdf,
+                                                preserve_index=False),
+                           os.path.join(out, "part-0.parquet"))
+            extra["dv_updates"] = os.path.relpath(out, dest_dir)
+            extra["num_dv_updates"] = int(len(opdf))
+    return dest.commit(kept, field_stats, ts_path, extra=extra)
+
+
 def maintain(spark, index_dir: str, segs_per_tier: int = 10,
              max_merge_at_once: int = 10, max_concurrent: int = 1):
     """Run tiered merges until the segment count fits the tier policy

@@ -290,3 +290,54 @@ def test_concurrent_merge_scheduler(spark, corpus, oracle):
     assert len(origins) == 2
     check_index(d)
     _assert_parity(Searcher(spark, d), oracle)
+
+
+def test_split_index(spark, corpus):
+    """IndexSplitter (misc/index/IndexSplitter.java): carve segments out
+    into a standalone index — file-level copy, stats recomputed over the
+    kept segments, tombstones sliced; the split index is rank/score
+    identical to an oracle built over exactly the kept docs (minus
+    deletions), and CheckIndex passes. Source untouched."""
+    from lucene_spark.operators.checkindex import check_index
+    from lucene_spark.operators.delete import delete_by_term
+    from lucene_spark.operators.merge import split_index
+
+    d = tempfile.mkdtemp(prefix="lucene_spark_split_src_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=4)
+    # tombstone some docs so the slice path is exercised
+    delete_by_term(spark, d, "flush")
+    sub_all = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+    victims = [int(x) for x in sub_all.score(parse("flush")).keys()]
+    out = tempfile.mkdtemp(prefix="lucene_spark_split_out_")
+    import shutil as _sh
+    _sh.rmtree(out)
+    keep = [0, 2]
+    snap = split_index(spark, d, out, keep)
+    assert sorted(snap.seg_ids) == keep
+    # build_index shards docs by doc_id % num_segments; tombstoned docs
+    # stay in collection stats until merge (stale-stats .liv semantics),
+    # so the oracle indexes ALL kept docs and victims are filtered from
+    # the collected results only
+    kept_docs = corpus[(corpus.doc_id % 4).isin(keep)]
+    sub_oracle = OracleIndex.build(
+        list(zip(kept_docs.doc_id, kept_docs.content)))
+    vict = set(victims)
+    s = Searcher(spark, out)
+    for qtext in MQUERIES:
+        got = [(r.doc_id, np.float32(r.score)) for r in
+               s.search(qtext, k=10).collect()]
+        scores = [(dd, np.float32(sc))
+                  for dd, sc in sub_oracle.score(parse(qtext)).items()
+                  if dd not in vict]
+        scores.sort(key=lambda p: (-float(p[1]), p[0]))
+        assert got == scores[:10], qtext
+    totals = check_index(out)
+    assert totals["num_docs"] == len(kept_docs)
+    # source snapshot unchanged
+    src_snap = SnapshotCatalog(d).load()
+    assert len(src_snap.seg_ids) == 4
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_index(spark, d, out, [0])      # dest already an index
+    with _pytest.raises(ValueError):
+        split_index(spark, d, tempfile.mkdtemp(), [99])
