@@ -752,6 +752,39 @@ sp AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
        FROM wins GROUP BY 1)""" + _span_score_sql("sp", tuple(terms), k))
 
 
+def _span_windows_cte_multi(clauses: tuple[tuple[str, ...], ...],
+                            slop: int) -> str:
+    """Generalization of ``_span_windows_cte`` where each clause matches
+    ANY of a set of terms (SpanOr / expanded-multiterm clauses — the
+    ComplexPhraseQueryParser shape): clause j's position stream is the
+    union of its terms' positions."""
+    n = len(clauses)
+    ap_union = "\n       UNION ALL ".join(
+        "SELECT doc_id, {j} AS cl, pos AS ap FROM tok WHERE term IN ({ts})"
+        .format(j=j, ts=", ".join(f"'{t}'" for t in cl))
+        for j, cl in enumerate(clauses))
+    return f"""
+ap AS ({ap_union}),
+rend AS (SELECT DISTINCT doc_id, ap AS r FROM ap),
+mj AS (SELECT r.doc_id, r.r, a.cl, max(a.ap) AS mx
+       FROM rend r JOIN ap a ON a.doc_id = r.doc_id AND a.ap <= r.r
+       GROUP BY 1, 2, 3),
+lofr AS (SELECT doc_id, r, min(mx) AS l FROM mj
+         GROUP BY 1, 2 HAVING count(*) = {n}),
+lcand AS (SELECT DISTINCT doc_id, l FROM lofr),
+mn AS (SELECT f.doc_id, f.l, a.cl, min(a.ap) AS mn
+       FROM lcand f JOIN ap a ON a.doc_id = f.doc_id AND a.ap >= f.l
+       GROUP BY 1, 2, 3),
+rofl AS (SELECT doc_id, l, max(mn) AS r2 FROM mn
+         GROUP BY 1, 2 HAVING count(*) = {n}),
+wins AS (SELECT * FROM (
+           SELECT DISTINCT f.doc_id, f.l, f.r,
+                  greatest(f.r - f.l + 1 - {n}, 0) AS ml
+           FROM lofr f JOIN rofl g
+             ON f.doc_id = g.doc_id AND f.l = g.l AND g.r2 = f.r)
+         WHERE ml <= {slop})"""
+
+
 def _span_windows_cte(terms: tuple[str, ...], slop: int) -> str:
     """Shared CTE chain producing ``wins(doc_id, l, r, ml)`` — the
     unordered-SpanNear minimal windows (see _span_near_sql) filtered to
@@ -1839,6 +1872,16 @@ def _q_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(q, k=10))
 
 
+def _q_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplexPhraseQueryParser (``queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java:47``): alternation group inside a
+    phrase, unordered, slop 2 — compiled to
+    SpanNear((SpanOr(slow, dup), part), 2, unordered)."""
+    from lucene_spark.plans.complexphrase import parse_complex_phrase
+    q = parse_complex_phrase(f'"({T_A} {T_B}) part"~2', in_order=False)
+    return _fmt_topk(_searcher(spark, sf_dir).search(q, k=10))
+
+
 def _q_surround(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surround query language (queryparser/surround role):
     '3N(a, b)' parses to unordered SpanNear slop 2
@@ -2555,6 +2598,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- facets / grouping / join (SURVEY.md §2.4) ---
         "facet_counts": _q_facets,
         "sampled_facet_counts": _q_sampled_facets,
+        "complex_phrase_top10": _q_complex_phrase,
         "range_facet_counts": _q_range_facet,
         "drill_sideways": _q_drill_sideways,
         "grouped_topk": _q_grouped_topk,
@@ -2713,7 +2757,7 @@ _PRIORITY = [
     "regexp_query", "high_freq_terms", "bm25_shingle_top10",
     "dfi_term_top10", "boolean_term_top10",
     "fuzzy_suggest_top10", "free_text_suggest_top10",
-    "sampled_facet_counts",
+    "sampled_facet_counts", "complex_phrase_top10",
 ]
 
 
@@ -3251,6 +3295,11 @@ persc AS (
   JOIN normcache c ON t.doc_id = c.doc_id),
 orsc AS (SELECT doc_id, CAST(SUM(s) AS FLOAT) AS s
          FROM persc GROUP BY doc_id)""" + _topk_sql("orsc", 10),
+        "complex_phrase_top10": _PRELUDE + ","
+        + _span_windows_cte_multi(((T_A, T_B), ("part",)), 2) + """,
+cpf AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+        FROM wins GROUP BY 1)"""
+        + _span_score_sql("cpf", (T_A, T_B, "part"), 10),
         "fuzzy_suggest_top10": _PRELUDE + """
 SELECT term, CAST(df AS BIGINT) AS weight
 FROM dfs
