@@ -1988,6 +1988,18 @@ def _q_free_text_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("long").alias("score_q12"))
 
 
+def _q_sweetspot_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SweetSpotSimilarity term query (``misc/SweetSpotSimilarity
+    .java:103-141``): length-norm plateau [40, 80] (steepness 0.5) +
+    baseline tf (base 1.5, min 3)."""
+    from lucene_spark.functions.similarity import SweetSpotSimilarity
+    base = _searcher(spark, sf_dir)
+    sim = SweetSpotSimilarity(ln_min=40, ln_max=80, ln_steep=0.5,
+                              tf_base=1.5, tf_min=3.0)
+    s = Searcher(spark, base.index_dir, similarity=sim)
+    return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
+
+
 def _q_dfi_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFI (divergence from independence, standardized chi measure)
     term query — reference ``similarities/DFISimilarity.java:58-69`` +
@@ -2599,6 +2611,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": _q_facets,
         "sampled_facet_counts": _q_sampled_facets,
         "complex_phrase_top10": _q_complex_phrase,
+        "sweetspot_term_top10": _q_sweetspot_term,
         "range_facet_counts": _q_range_facet,
         "drill_sideways": _q_drill_sideways,
         "grouped_topk": _q_grouped_topk,
@@ -2758,6 +2771,7 @@ _PRIORITY = [
     "dfi_term_top10", "boolean_term_top10",
     "fuzzy_suggest_top10", "free_text_suggest_top10",
     "sampled_facet_counts", "complex_phrase_top10",
+    "sweetspot_term_top10",
 ]
 
 
@@ -3337,6 +3351,33 @@ FROM (SELECT term, score,
              row_number() OVER (ORDER BY score DESC, term ASC) AS r
       FROM ftsc)
 WHERE r <= 10""",
+        "sweetspot_term_top10": _PRELUDE + f""",
+ssw AS (SELECT CAST(ln((CAST(a.dc AS DOUBLE) + 1) /
+                       (d.df + CAST(1.0 AS DOUBLE))) + 1 AS FLOAT) AS w
+        FROM dfs d, avgs a WHERE d.term = '{T_COMMON}'),
+ssnorm AS (
+  SELECT dl.doc_id,
+         CAST(1.0 / sqrt(CAST(
+             CAST(CAST(0.5 AS FLOAT)
+                  * CAST(abs(q.dlq - 40) + abs(q.dlq - 80) - 40 AS FLOAT)
+                  AS FLOAT) + CAST(1.0 AS FLOAT)
+             AS DOUBLE)) AS FLOAT) AS nrm
+  FROM doclen dl,
+       LATERAL (SELECT (SELECT max(v) FROM lut WHERE v <= dl.dl) AS dlq) q
+),
+sssc AS (
+  SELECT f.doc_id,
+         ((CASE WHEN CAST(f.tf AS FLOAT) <= CAST(3.0 AS FLOAT)
+                THEN CAST(1.5 AS FLOAT)
+                ELSE CAST(sqrt(CAST(CAST(f.tf AS FLOAT)
+                                    + CAST(2.25 AS FLOAT)
+                                    - CAST(3.0 AS FLOAT) AS DOUBLE))
+                          AS FLOAT) END * w.w) * n.nrm) AS s
+  FROM tf f
+  JOIN ssnorm n ON n.doc_id = f.doc_id
+  CROSS JOIN ssw w
+  WHERE f.term = '{T_COMMON}'
+)""" + _topk_sql("sssc", 10),
         "dfi_term_top10": _PRELUDE + f""",
 dfisc AS (
   SELECT f.doc_id,

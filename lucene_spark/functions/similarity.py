@@ -307,9 +307,77 @@ class DFISimilarity(Similarity):
         return np.where(f <= expected, 0.0, s).astype(np.float32)
 
 
+class SweetSpotSimilarity(ClassicSimilarity):
+    """ClassicSimilarity with plateaued length norm and baseline tf
+    (reference ``misc/SweetSpotSimilarity.java:30-160``):
+
+      lengthNorm(L) = (float)(1 / sqrt(steep·(|L−min| + |L−max|
+                                              − (max−min)) + 1))  (:103-115)
+        — flat 1.0 inside [ln_min, ln_max], sloping off outside
+      baselineTf(f) = tf_base                       if f <= tf_min
+                    = (float)sqrt(f + tf_base² − tf_min)  else     (:131-141)
+
+    hyperbolicTf (:148-168) is available via ``tf_mode='hyperbolic'``.
+    Norms decode through the shared quantized length table (modern
+    TFIDFSimilarity builds its normTable from lengthNorm(byte4ToInt(i));
+    the plateau is applied to the decoded length). Monotonic in tf and
+    the cached norm factor → block-max safe."""
+
+    name = "sweetspot"
+    monotonic = True
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1,
+                 ln_steep: float = 0.5, tf_base: float = 0.0,
+                 tf_min: float = 0.0, tf_mode: str = "baseline",
+                 hyper: tuple = (0.0, 2.0, 1.3, 10.0)):
+        if tf_mode not in ("baseline", "hyperbolic"):
+            raise ValueError(f"unknown tf_mode {tf_mode!r}")
+        self.ln_min, self.ln_max = int(ln_min), int(ln_max)
+        self.ln_steep = np.float32(ln_steep)
+        self.tf_base, self.tf_min = np.float32(tf_base), np.float32(tf_min)
+        self.tf_mode = tf_mode
+        self.hyper = hyper
+
+    def norm_cache(self, avgdl: np.float32) -> np.ndarray:
+        L = LENGTH_TABLE.astype(np.int64)
+        inner = (self.ln_steep
+                 * (np.abs(L - self.ln_min) + np.abs(L - self.ln_max)
+                    - (self.ln_max - self.ln_min)).astype(np.float32))
+        with np.errstate(divide="ignore"):
+            tab = (1.0 / np.sqrt((inner + np.float32(1.0))
+                                 .astype(np.float64))).astype(np.float32)
+        tab[0] = np.float32(1.0) / tab[255]
+        return tab
+
+    def score(self, tfs, norm_bytes, weight, cache) -> np.ndarray:
+        f = np.asarray(tfs, dtype=np.float32)
+        if self.tf_mode == "baseline":
+            tf = np.where(
+                f <= self.tf_min, self.tf_base,
+                np.sqrt((f + (self.tf_base * self.tf_base) - self.tf_min)
+                        .astype(np.float64)).astype(np.float32))
+        else:
+            # (:155-173) result = min + (float)((max-min)/2f ·
+            #   (tanh-term + 1.0)), NaN → max
+            mn, mx, base, xoff = self.hyper
+            x = (f - np.float32(xoff)).astype(np.float64)
+            half = np.float64(np.float32(np.float32(mx) - np.float32(mn))
+                              / np.float32(2.0))
+            tanh = ((np.power(base, x) - np.power(base, -x))
+                    / (np.power(base, x) + np.power(base, -x)))
+            val = (np.float32(mn)
+                   + (half * (tanh + 1.0)).astype(np.float32))
+            tf = np.where(np.isnan(val), np.float32(mx),
+                          val.astype(np.float32))
+        tf = np.where(f == 0.0, np.float32(0.0), tf)
+        inv = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        return ((tf * weight) * inv).astype(np.float32)
+
+
 SIMILARITIES = {"bm25": BM25Similarity, "classic": ClassicSimilarity,
                 "lm_dirichlet": LMDirichletSimilarity,
                 "lm_jelinek_mercer": LMJelinekMercerSimilarity,
                 "dfr_inl2": DFRInL2Similarity,
                 "boolean": BooleanSimilarity,
-                "dfi": DFISimilarity}
+                "dfi": DFISimilarity,
+                "sweetspot": SweetSpotSimilarity}

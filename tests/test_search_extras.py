@@ -379,7 +379,8 @@ def test_classic_similarity_parity(spark, searcher, oracle):
 
 
 @pytest.mark.parametrize("simname", ["lm_dirichlet", "lm_jelinek_mercer",
-                                     "dfr_inl2", "boolean", "dfi"])
+                                     "dfr_inl2", "boolean", "dfi",
+                                     "sweetspot"])
 def test_lm_similarity_parity(spark, searcher, oracle, simname):
     """LM Dirichlet / Jelinek-Mercer: rank- and score-identical between
     engine (both scoring modes) and oracle for term/boolean/synonym
@@ -562,3 +563,44 @@ def test_count_fast_path_matches_kernel(searcher, oracle):
     # non-term queries still route through the kernel
     q = Q.And((Q.Term("parse"), Q.Term("emit")))
     assert searcher.count(q) == len(oracle.score(q))
+
+
+def test_sweetspot_scalar_semantics(spark, searcher, oracle):
+    """SweetSpotSimilarity plateau + baseline/hyperbolic tf exactness vs
+    scalar twins of SweetSpotSimilarity.java:103-173."""
+    import math
+
+    from lucene_spark.functions.similarity import SweetSpotSimilarity
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+    sim = SweetSpotSimilarity(ln_min=3, ln_max=20, ln_steep=0.5,
+                              tf_base=1.5, tf_min=3.0)
+    tab = sim.norm_cache(np.float32(10.0))
+    for b in range(1, 256):
+        L = int(LENGTH_TABLE[b])
+        inner = np.float32(np.float32(0.5) * np.float32(
+            abs(L - 3) + abs(L - 20) - 17))
+        want = np.float32(1.0 / math.sqrt(float(inner + np.float32(1.0))))
+        assert tab[b] == want, b
+        if 3 <= L <= 20:
+            assert tab[b] == np.float32(1.0)       # the plateau
+    # baseline tf: flat below tf_min, sqrt-shifted above
+    w = np.float32(1.0)
+    cache = sim.norm_cache(np.float32(1.0))
+    got = sim.score(np.array([0, 1, 3, 4, 10]),
+                    np.array([40] * 5), w, cache)
+    L40 = int(LENGTH_TABLE[40])
+    nrm = cache[40]
+    exp = [0.0, 1.5, 1.5,
+           np.float32(math.sqrt(4 + 1.5 * 1.5 - 3.0)),
+           np.float32(math.sqrt(10 + 1.5 * 1.5 - 3.0))]
+    for g, e in zip(got, exp):
+        assert g == np.float32((np.float32(e) * w) * nrm)
+    # hyperbolic: approaches max for big freq, min+half at xoffset
+    hyp = SweetSpotSimilarity(tf_mode="hyperbolic",
+                              hyper=(0.0, 2.0, 1.3, 10.0))
+    s2 = hyp.score(np.array([10, 1000, 0]), np.array([40] * 3), w, cache)
+    assert s2[0] == np.float32((np.float32(1.0) * w) * nrm)  # tanh(0)=0
+    assert abs(float(s2[1]) / float(nrm) - 2.0) < 1e-5
+    assert s2[2] == 0.0
+    with pytest.raises(ValueError):
+        SweetSpotSimilarity(tf_mode="bogus")
