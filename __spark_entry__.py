@@ -1988,6 +1988,15 @@ def _q_free_text_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("long").alias("score_q12"))
 
 
+def _q_word_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks
+    (``suggest/.../spell/WordBreakSpellChecker.java:71,238-300``):
+    split 'partfilter' at every point whose halves are both dictionary
+    terms, summed-df ranking."""
+    from lucene_spark.operators.suggest import word_break_suggest
+    return word_break_suggest(_searcher(spark, sf_dir), "partfilter")
+
+
 def _q_sweetspot_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SweetSpotSimilarity term query (``misc/SweetSpotSimilarity
     .java:103-141``): length-norm plateau [40, 80] (steepness 0.5) +
@@ -2612,6 +2621,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_facet_counts": _q_sampled_facets,
         "complex_phrase_top10": _q_complex_phrase,
         "sweetspot_term_top10": _q_sweetspot_term,
+        "word_break_suggest": _q_word_break,
         "range_facet_counts": _q_range_facet,
         "drill_sideways": _q_drill_sideways,
         "grouped_topk": _q_grouped_topk,
@@ -2771,7 +2781,7 @@ _PRIORITY = [
     "dfi_term_top10", "boolean_term_top10",
     "fuzzy_suggest_top10", "free_text_suggest_top10",
     "sampled_facet_counts", "complex_phrase_top10",
-    "sweetspot_term_top10",
+    "sweetspot_term_top10", "word_break_suggest",
 ]
 
 
@@ -3351,6 +3361,20 @@ FROM (SELECT term, score,
              row_number() OVER (ORDER BY score DESC, term ASC) AS r
       FROM ftsc)
 WHERE r <= 10""",
+        "word_break_suggest": _PRELUDE + """,
+wb AS (SELECT i,
+              substring('partfilter', 1, i) AS lft,
+              substring('partfilter', i + 1) AS rgt
+       FROM unnest(range(1, len('partfilter'))) AS t(i)),
+wbs AS (
+  SELECT w.lft AS "left", w.rgt AS "right",
+         CAST(dl.df AS BIGINT) AS df_left,
+         CAST(dr.df AS BIGINT) AS df_right
+  FROM wb w
+  JOIN dfs dl ON dl.term = w.lft
+  JOIN dfs dr ON dr.term = w.rgt)
+SELECT * FROM wbs
+ORDER BY df_left + df_right DESC, "left" ASC LIMIT 10""",
         "sweetspot_term_top10": _PRELUDE + f""",
 ssw AS (SELECT CAST(ln((CAST(a.dc AS DOUBLE) + 1) /
                        (d.df + CAST(1.0 AS DOUBLE))) + 1 AS FLOAT) AS w

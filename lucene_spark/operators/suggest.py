@@ -138,3 +138,68 @@ def free_text_suggest(shingle_searcher, context: str, k: int = 10,
     return (big.unionByName(uni)
             .orderBy(F.desc("score"), F.asc("term"))
             .limit(k))
+
+
+def word_break_suggest(searcher, word: str, k: int = 10,
+                       min_break_length: int = 1,
+                       min_suggestion_freq: int = 1) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks (reference
+    ``suggest/.../spell/WordBreakSpellChecker.java:71,238-300``),
+    maxChanges=1 subset (the default — one break): every split point i
+    in [minBreakWordLength, len-minBreakWordLength] whose left AND right
+    parts are dictionary terms with df >= minSuggestionFrequency.
+    Ranked by summed df desc, then left part asc (a deterministic stand-
+    in for the reference's frequency-sort methods; multi-break recursion
+    out of scope, documented).
+
+    The split candidates are O(len(word)) strings enumerated driver-side
+    (like the reference's loop); dictionary lookup is ONE pushed
+    ``term IN (...)`` scan of term_stats."""
+    n = len(word)
+    lo = max(1, min_break_length)
+    cands = [(word[:i], word[i:]) for i in range(lo, n - lo + 1)]
+    if not cands:
+        return searcher.spark.createDataFrame(
+            [], "left string, right string, df_left long, df_right long")
+    probe = sorted({t for pair in cands for t in pair})
+    dfs = {r["term"]: int(r["df"]) for r in
+           searcher.term_stats.filter(F.col("term").isin(probe))
+           .select("term", "df").collect()}
+    rows = [(lft, rgt, dfs[lft], dfs[rgt]) for lft, rgt in cands
+            if dfs.get(lft, 0) >= min_suggestion_freq
+            and dfs.get(rgt, 0) >= min_suggestion_freq]
+    rows.sort(key=lambda r: (-(r[2] + r[3]), r[0]))
+    return searcher.spark.createDataFrame(
+        rows[:k], "left string, right string, df_left long, df_right long")
+
+
+def word_combine_suggest(searcher, terms: list[str], k: int = 10,
+                         max_changes: int = 1,
+                         max_combine_length: int = 20,
+                         min_suggestion_freq: int = 1) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations (reference
+    ``WordBreakSpellChecker.java:145-215``): adjacent input terms i..j
+    (j-i <= maxChanges, combined length <= maxCombineWordLength) whose
+    concatenation is a dictionary term with df >= minSuggestionFrequency.
+    Returns (start int, end int, combined string, df long), df desc then
+    start asc."""
+    cands = []
+    for i in range(len(terms)):
+        comb = terms[i]
+        for j in range(i + 1, min(len(terms), i + 1 + max_changes)):
+            comb = comb + terms[j]
+            if len(comb) > max_combine_length:
+                break
+            cands.append((i, j, comb))
+    if not cands:
+        return searcher.spark.createDataFrame(
+            [], "start int, end int, combined string, df long")
+    probe = sorted({c for _, _, c in cands})
+    dfs = {r["term"]: int(r["df"]) for r in
+           searcher.term_stats.filter(F.col("term").isin(probe))
+           .select("term", "df").collect()}
+    rows = [(i, j, c, dfs[c]) for i, j, c in cands
+            if dfs.get(c, 0) >= min_suggestion_freq]
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return searcher.spark.createDataFrame(
+        rows[:k], "start int, end int, combined string, df long")

@@ -213,3 +213,41 @@ def test_free_text_suggest(spark, corpus, tmp_path):
     assert [g[0] for g in got] == [w[0] for w in wlist]
     for g, w in zip(got, wlist):
         assert g[1] == pytest.approx(w[1], rel=1e-12)
+
+
+def test_word_break_suggest(searcher, dfs):
+    """WordBreakSpellChecker breaks: split points whose both halves are
+    dictionary terms, ranked by summed df — vs a brute dictionary scan."""
+    from lucene_spark.operators.suggest import word_break_suggest
+    word = "parseemit"
+    want = []
+    for i in range(1, len(word)):
+        lft, rgt = word[:i], word[i:]
+        if dfs.get(lft, 0) >= 1 and dfs.get(rgt, 0) >= 1:
+            want.append((lft, rgt, dfs[lft], dfs[rgt]))
+    want.sort(key=lambda r: (-(r[2] + r[3]), r[0]))
+    got = [(r["left"], r["right"], r["df_left"], r["df_right"])
+           for r in word_break_suggest(searcher, word).collect()]
+    assert got == want and ("parse", "emit") in {(g[0], g[1]) for g in got}
+    # min_break_length prunes 1-char halves
+    short = word_break_suggest(searcher, "aparse",
+                               min_break_length=2).collect()
+    assert all(len(r["left"]) >= 2 and len(r["right"]) >= 2 for r in short)
+
+
+def test_word_combine_suggest(spark, searcher, corpus, dfs):
+    """WordBreakSpellChecker combinations: adjacent input terms whose
+    concatenation is a dictionary term."""
+    from lucene_spark.operators.suggest import word_combine_suggest
+    # find a real concatenation in the dictionary: identifiers like
+    # foo_bar tokenize whole, so synthesize from two dictionary words
+    # that concatenate into another dictionary word if one exists;
+    # otherwise assert empty-result behavior
+    terms = ["par", "se", "emit"]        # "parse" = "par"+"se"
+    got = [(r["start"], r["end"], r["combined"], r["df"])
+           for r in word_combine_suggest(searcher, terms).collect()]
+    if dfs.get("parse", 0) >= 1:
+        assert (0, 1, "parse", dfs["parse"]) in got
+    assert all(g[3] >= 1 for g in got)
+    none = word_combine_suggest(searcher, ["zz", "qq"]).collect()
+    assert none == []
