@@ -1988,6 +1988,15 @@ def _q_free_text_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("long").alias("score_q12"))
 
 
+def _q_term_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermAutomatonQuery (``sandbox/search/TermAutomatonQuery.java`` +
+    ``TermAutomatonScorer.java:221-338``): NFA (slow|dup) · ANY · data —
+    freq counts accepting path events; idf-sum weight."""
+    q = Q.TermAutomaton(((0, 1, T_A), (0, 1, T_B), (1, 2, None),
+                         (2, 3, T_COMMON)), (3,))
+    return _fmt_topk(_searcher(spark, sf_dir).search(q, k=10))
+
+
 def _q_word_break(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordBreakSpellChecker.suggestWordBreaks
     (``suggest/.../spell/WordBreakSpellChecker.java:71,238-300``):
@@ -2622,6 +2631,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_phrase_top10": _q_complex_phrase,
         "sweetspot_term_top10": _q_sweetspot_term,
         "word_break_suggest": _q_word_break,
+        "term_automaton_top10": _q_term_automaton,
         "range_facet_counts": _q_range_facet,
         "drill_sideways": _q_drill_sideways,
         "grouped_topk": _q_grouped_topk,
@@ -2782,6 +2792,7 @@ _PRIORITY = [
     "fuzzy_suggest_top10", "free_text_suggest_top10",
     "sampled_facet_counts", "complex_phrase_top10",
     "sweetspot_term_top10", "word_break_suggest",
+    "term_automaton_top10",
 ]
 
 
@@ -3361,6 +3372,13 @@ FROM (SELECT term, score,
              row_number() OVER (ORDER BY score DESC, term ASC) AS r
       FROM ftsc)
 WHERE r <= 10""",
+        "term_automaton_top10": _PRELUDE + f""",
+atf AS (SELECT a.doc_id, count(*) AS freq
+        FROM tok a JOIN tok b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 2
+        WHERE a.term IN ('{T_A}', '{T_B}') AND b.term = '{T_COMMON}'
+        GROUP BY 1)"""
+        + _span_score_sql("atf", tuple(sorted((T_COMMON, T_A, T_B))), 10),
         "word_break_suggest": _PRELUDE + """,
 wb AS (SELECT i,
               substring('partfilter', 1, i) AS lft,

@@ -119,6 +119,20 @@ class CPayloadScore:
 
 
 @dataclass(frozen=True)
+class CTermAutomaton:
+    """Compiled TermAutomatonQuery: ``terms`` are the df>0 concrete
+    labels (tids = indices); ``trans`` maps (state, tid) → targets,
+    ``any_trans`` maps state → targets for ANY arcs; path-count freq per
+    doc scored with the idf-sum weight (TermAutomatonWeight's
+    allTermStats)."""
+    terms: tuple
+    weight: object
+    trans: tuple          # ((state, tid, (targets...)), ...)
+    any_trans: tuple      # ((state, (targets...)), ...)
+    accepts: frozenset
+
+
+@dataclass(frozen=True)
 class CInterval:
     """Compiled IntervalQuery (reference ``queries/intervals/
     IntervalQuery.java:59``): ``tree`` is the nested-tuple grammar of
@@ -280,6 +294,25 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                 return None
             w = multi_weight([df_of(t) for slot in slots for t in slot])
             return CMultiPhrase(slots, w)
+        if isinstance(node, Q.TermAutomaton):
+            concrete = sorted({t for _, _, t in node.transitions
+                               if t is not None and df_of(t) > 0})
+            if not concrete:
+                return None        # no involved term → scorer sees no docs
+            tid = {t: i for i, t in enumerate(concrete)}
+            tr: dict = {}
+            anyt: dict = {}
+            for frm, to, t in node.transitions:
+                if t is None:
+                    anyt.setdefault(int(frm), []).append(int(to))
+                elif t in tid:
+                    tr.setdefault((int(frm), tid[t]), []).append(int(to))
+            w = multi_weight([df_of(t) for t in concrete])
+            return CTermAutomaton(
+                tuple(concrete), w,
+                tuple((k[0], k[1], tuple(v)) for k, v in sorted(tr.items())),
+                tuple((k, tuple(v)) for k, v in sorted(anyt.items())),
+                frozenset(int(a) for a in node.accepts))
         if isinstance(node, Q.SpanNear) and \
                 all(isinstance(t, str) for t in node.terms):
             if len(set(node.terms)) != len(node.terms):
@@ -417,7 +450,7 @@ def _compiled_terms(c) -> list[str]:
     if isinstance(c, CTerm):
         return [c.term]
     if isinstance(c, (CSynonym, CPhrase, CConstTerms, CSpanNear,
-                      CMultiPhrase)):
+                      CMultiPhrase, CTermAutomaton)):
         return list(c.terms)
     if isinstance(c, CSpanTree):
         from ..functions.spans import span_tree_terms
@@ -680,6 +713,23 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
         return mask, scores
     if isinstance(node, CMultiPhrase):
         freqs = _multi_phrase_freqs(node.slots, ctx, lo, hi)
+        mask = freqs > 0
+        if mask.any():
+            s = ctx.sim.score(freqs[mask].astype(np.float32),
+                              ctx.norms[lo:hi][mask],
+                              node.weight, ctx.cache)
+            scores[mask] = s.astype(np.float64)
+        return mask, scores
+    if isinstance(node, CTermAutomaton):
+        from ..functions.automaton import batch_term_automaton_freqs
+        keys = []
+        for t in node.terms:
+            k = _clause_pos_keys([t], ctx, lo, hi)
+            keys.append(k[0] if k is not None else np.empty(0, np.int64))
+        trans = {(f, td): tg for f, td, tg in node.trans}
+        anyt = dict(node.any_trans)
+        freqs = batch_term_automaton_freqs(keys, n, trans, anyt,
+                                           node.accepts)
         mask = freqs > 0
         if mask.any():
             s = ctx.sim.score(freqs[mask].astype(np.float32),

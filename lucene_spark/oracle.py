@@ -25,7 +25,7 @@ from .plans.query import (And, CommonTerms, DisMax, Interval, MultiTerm,
                           MultiPhrase,
                           Not, Or, Phrase, Query, SpanContaining, SpanFirst,
                           SpanMultiTermWrapper, SpanNear, SpanNot, SpanOr,
-                          SpanWithin, Synonym, Term)
+                          SpanWithin, Synonym, Term, TermAutomaton)
 
 
 def _levenshtein(a: str, b: str) -> int:
@@ -465,6 +465,42 @@ class OracleIndex:
             # ReqOptSumScorer: required match set, optional score added
             return {d: np.float32(float(s) + float(opt.get(d, 0.0)))
                     for d, s in req.items()}
+        if isinstance(query, TermAutomaton):
+            from .functions.automaton import run_term_automaton
+            concrete = sorted({t for _, _, t in query.transitions
+                               if t is not None and self.df(t) > 0})
+            if not concrete:
+                return {}
+            tid = {t: i for i, t in enumerate(concrete)}
+            trans: dict = {}
+            anyt: dict = {}
+            for frm, to, t in query.transitions:
+                if t is None:
+                    anyt.setdefault(int(frm), []).append(int(to))
+                elif t in tid:
+                    trans.setdefault((int(frm), tid[t]), []).append(int(to))
+            trans = {kk: tuple(v) for kk, v in trans.items()}
+            anyt = {kk: tuple(v) for kk, v in anyt.items()}
+            accepts = frozenset(int(a) for a in query.accepts)
+            per_doc: dict[int, list] = {}
+            for t in concrete:
+                for doc, _tf, plist in self.postings.get(t, ()):
+                    per_doc.setdefault(doc, []).extend(
+                        (p, tid[t]) for p in plist)
+            cache = self._cache(k1, b)
+            w = idf_sum([self.df(t) for t in concrete], self.doc_count)
+            one = np.float32(1.0)
+            out: dict[int, np.float32] = {}
+            for d, toks in per_doc.items():
+                toks.sort()
+                f = run_term_automaton(
+                    np.array([p for p, _ in toks], dtype=np.int64),
+                    np.array([ti for _, ti in toks], dtype=np.int64),
+                    trans, anyt, accepts)
+                if f > 0:
+                    inv = cache[self.norm_bytes[d]]
+                    out[d] = np.float32(w - w / (one + np.float32(f) * inv))
+            return out
         if isinstance(query, MultiTerm):
             import fnmatch
             terms = sorted(self.postings)

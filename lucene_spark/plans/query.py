@@ -378,6 +378,25 @@ class Interval(Query):
 
 
 @dataclass(frozen=True)
+class TermAutomaton(Query):
+    """TermAutomatonQuery (reference ``sandbox/search/TermAutomatonQuery
+    .java`` + ``TermAutomatonScorer.java:221-338``): an NFA over token
+    positions. ``transitions`` = ((from_state, to_state, term-or-None),
+    ...) with ``None`` meaning the ANY transition; state 0 is the start
+    state; ``accepts`` are the accepting states. freq counts accepting
+    PATH events (states carry multiplicity, accepts via ANY arcs alone
+    do not count); weight = idf sum over the df>0 concrete terms, like
+    the reference's allTermStats gathering."""
+    transitions: tuple
+    accepts: tuple
+
+    def scoring_terms(self):
+        return [t for _, _, t in self.transitions if t is not None]
+
+    all_terms = scoring_terms
+
+
+@dataclass(frozen=True)
 class PayloadScore(Query):
     """PayloadScoreQuery over a term (reference ``queries/payloads/
     PayloadScoreQuery.java:43`` wrapping a SpanTermQuery, with
