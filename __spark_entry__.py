@@ -1988,6 +1988,13 @@ def _q_free_text_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("long").alias("score_q12"))
 
 
+def _q_infix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzingInfixSuggester role: dictionary terms containing 'ar'
+    anywhere, prefix-first then df-weighted."""
+    from lucene_spark.operators.suggest import infix_suggest
+    return infix_suggest(_searcher(spark, sf_dir), "ar", k=10)
+
+
 def _q_term_automaton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TermAutomatonQuery (``sandbox/search/TermAutomatonQuery.java`` +
     ``TermAutomatonScorer.java:221-338``): NFA (slow|dup) · ANY · data —
@@ -2632,6 +2639,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sweetspot_term_top10": _q_sweetspot_term,
         "word_break_suggest": _q_word_break,
         "term_automaton_top10": _q_term_automaton,
+        "infix_suggest": _q_infix_suggest,
         "range_facet_counts": _q_range_facet,
         "drill_sideways": _q_drill_sideways,
         "grouped_topk": _q_grouped_topk,
@@ -2792,7 +2800,7 @@ _PRIORITY = [
     "fuzzy_suggest_top10", "free_text_suggest_top10",
     "sampled_facet_counts", "complex_phrase_top10",
     "sweetspot_term_top10", "word_break_suggest",
-    "term_automaton_top10",
+    "term_automaton_top10", "infix_suggest",
 ]
 
 
@@ -3372,6 +3380,12 @@ FROM (SELECT term, score,
              row_number() OVER (ORDER BY score DESC, term ASC) AS r
       FROM ftsc)
 WHERE r <= 10""",
+        "infix_suggest": _PRELUDE + """
+SELECT term, CAST(df AS BIGINT) AS weight
+FROM dfs
+WHERE contains(term, 'ar')
+ORDER BY starts_with(term, 'ar') DESC, weight DESC, term ASC
+LIMIT 10""",
         "term_automaton_top10": _PRELUDE + f""",
 atf AS (SELECT a.doc_id, count(*) AS freq
         FROM tok a JOIN tok b

@@ -157,6 +157,45 @@ def assign_class(scores_df):
             .where(F.col("_r") == 1).drop("_r"))
 
 
+def knn_fuzzy_classify(searcher, docs_df, doc_id: int, class_df,
+                       class_col: str = "cls", k: int = 10,
+                       max_query_terms: int = 25, min_term_freq: int = 2,
+                       min_doc_freq: int = 5, max_edits: int = 2):
+    """KNearestFuzzyClassifier (reference
+    ``classification/KNearestFuzzyClassifier.java``): like
+    :func:`knn_classify` but the seed doc's interesting terms are
+    FUZZIFIED — each becomes a blended FuzzyQuery (the reference's
+    FuzzyLikeThisQuery role, maxEdits=2 default) before the SHOULD
+    union, so near-misspellings in the corpus still vote."""
+    from pyspark.sql import Window
+
+    from ..plans import query as Q
+    from .mlt import interesting_terms
+
+    row = (docs_df.filter(F.col("doc_id") == doc_id)
+           .select("text").limit(1).collect())
+    if not row:
+        raise ValueError(f"doc {doc_id} not found")
+    sel = interesting_terms(searcher, row[0][0], max_query_terms,
+                            min_term_freq, min_doc_freq)
+    if not sel:
+        raise ValueError("no interesting terms")
+    q = Q.Or(tuple(Q.MultiTerm("fuzzy", t, edits=max_edits, scored=True)
+                   for t, _ in sel))
+    top = searcher.search(q, k=k)
+    labels = class_df.select("doc_id", F.col(class_col).alias("cls"))
+    hits = top.join(labels, "doc_id")
+    maxs = top.agg(F.max(F.col("score").cast("double")).alias("m"))
+    sumdoc = hits.count()
+    denom = float(k) if sumdoc >= k else float(max(sumdoc, 1))
+    votes = (hits.crossJoin(F.broadcast(maxs))
+             .groupBy("cls")
+             .agg((F.sum(F.col("score").cast("double") / F.col("m"))
+                   / F.lit(denom)).alias("score")))
+    w = Window.orderBy(F.desc("score"), F.asc("cls"))
+    return votes.withColumn("rank", F.row_number().over(w))
+
+
 def knn_classify(searcher, docs_df, doc_id: int, class_df,
                  class_col: str = "cls", k: int = 10,
                  max_query_terms: int = 25, min_term_freq: int = 2,

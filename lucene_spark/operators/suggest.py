@@ -203,3 +203,22 @@ def word_combine_suggest(searcher, terms: list[str], k: int = 10,
     rows.sort(key=lambda r: (-r[3], r[0]))
     return searcher.spark.createDataFrame(
         rows[:k], "start int, end int, combined string, df long")
+
+
+def infix_suggest(searcher, fragment: str, k: int = 10) -> DataFrame:
+    """AnalyzingInfixSuggester role (reference ``suggest/.../analyzing/
+    AnalyzingInfixSuggester.java``: completions match when any indexed
+    token PREFIX-matches the typed fragment, anywhere in the suggestion
+    — not just at its start), restricted to the single-token dictionary
+    (documented subset): terms containing ``fragment`` anywhere, with a
+    prefix match ranking first like the reference's exact-first sort,
+    then weight (df) desc, term asc.
+
+    One pushed ``contains`` scan of term_stats + TakeOrderedAndProject."""
+    ts = searcher.term_stats
+    return (ts.filter(F.col("term").contains(fragment))
+            .select("term", F.col("df").cast("long").alias("weight"),
+                    F.col("term").startswith(fragment).alias("_pfx"))
+            .orderBy(F.desc("_pfx"), F.desc("weight"), F.asc("term"))
+            .limit(k)
+            .drop("_pfx"))

@@ -136,3 +136,33 @@ def test_knn_classifier_vote(spark, searcher, corpus, labels, class_df):
     assert [g[0] for g in got] == [w[0] for w in want]
     for g, w in zip(got, want):
         assert g[1] == pytest.approx(w[1], rel=1e-12)
+
+
+def test_knn_fuzzy_classifier(spark, searcher, corpus, labels, class_df):
+    """KNearestFuzzyClassifier: fuzzified interesting terms vote — same
+    vote math as knn_classify over the blended-fuzzy top-k."""
+    from lucene_spark.operators.classify import knn_fuzzy_classify
+    from lucene_spark.operators.mlt import interesting_terms
+    docs = spark.createDataFrame(
+        [(int(d), str(t)) for d, t in zip(corpus.doc_id, corpus.content)],
+        "doc_id long, text string")
+    k = 10
+    text = corpus.content[3]
+    sel = interesting_terms(searcher, str(text), 25, 2, 5)
+    q = Q.Or(tuple(Q.MultiTerm("fuzzy", t, edits=2, scored=True)
+                   for t, _ in sel))
+    top = searcher.search(q, k=k).collect()
+    maxs = max(float(r["score"]) for r in top)
+    boosts: dict = {}
+    for r in top:
+        c = labels[r["doc_id"]]
+        boosts[c] = boosts.get(c, 0.0) + float(r["score"]) / maxs
+    denom = float(k) if len(top) >= k else float(len(top))
+    want = sorted(((c, b / denom) for c, b in boosts.items()),
+                  key=lambda p: (-p[1], p[0]))
+    got = [(r["cls"], r["score"]) for r in
+           knn_fuzzy_classify(searcher, docs, 3, class_df, k=k)
+           .orderBy("rank").collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], rel=1e-12)

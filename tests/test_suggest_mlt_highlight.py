@@ -251,3 +251,16 @@ def test_word_combine_suggest(spark, searcher, corpus, dfs):
     assert all(g[3] >= 1 for g in got)
     none = word_combine_suggest(searcher, ["zz", "qq"]).collect()
     assert none == []
+
+
+def test_infix_suggest(searcher, dfs):
+    """AnalyzingInfixSuggester (single-token subset): contains-match,
+    prefix-first then df-weighted."""
+    from lucene_spark.operators.suggest import infix_suggest
+    frag = "ar"
+    want = [(t, df) for t, df in dfs.items() if frag in t]
+    want.sort(key=lambda p: (not p[0].startswith(frag), -p[1], p[0]))
+    got = [(r["term"], r["weight"])
+           for r in infix_suggest(searcher, frag, k=10).collect()]
+    assert got == want[:10] and len(got) > 0
+    assert any(not t.startswith(frag) for t, _ in got) or len(want) <= 10
