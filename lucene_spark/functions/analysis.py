@@ -102,7 +102,8 @@ def analyze_text(text: str,
                  stemmer: str | None = None,
                  tokenizer: str = "standard",
                  lowercase: bool = True,
-                 ascii_folding: bool = False):
+                 ascii_folding: bool = False,
+                 length_filter: tuple | None = None):
     """Single-string analyzer (test/oracle path).
 
     Returns (terms, positions, length): surviving lowercase terms, their
@@ -115,6 +116,9 @@ def analyze_text(text: str,
     """
     if stemmer not in (None, "porter"):
         raise ValueError(f"unknown stemmer {stemmer!r}")
+    if stemmer and length_filter:
+        raise ValueError("length_filter with a stemmer chain is not "
+                         "supported (pre/post-stem length ambiguity)")
     if stemmer:
         from .stem import porter_stem, strip_possessive
     terms: list[str] = []
@@ -135,6 +139,10 @@ def analyze_text(text: str,
             low = strip_possessive(low)
         if low in stopwords:
             continue  # dropped, gap kept (StopFilter)
+        if length_filter is not None and not (
+                length_filter[0] <= len(low) <= length_filter[1]):
+            continue  # LengthFilter: dropped, gap kept (miscellaneous/
+            #           LengthFilter.java extends FilteringTokenFilter)
         terms.append(porter_stem(low) if stemmer else low)
         positions.append(pos)
     return terms, positions, len(terms)
@@ -146,7 +154,8 @@ def analyze_batch(texts: pd.Series,
                   stemmer: str | None = None,
                   tokenizer: str = "standard",
                   lowercase: bool = True,
-                  ascii_folding: bool = False):
+                  ascii_folding: bool = False,
+                  length_filter: tuple | None = None):
     """Columnar analyzer for a batch of documents.
 
     Returns (doc_idx, terms, positions, lengths):
@@ -155,6 +164,9 @@ def analyze_batch(texts: pd.Series,
       positions int64 array of token positions (gaps preserved)
       lengths   int64 array per row — surviving token count (norm input)
     """
+    if stemmer and length_filter:
+        raise ValueError("length_filter with a stemmer chain is not "
+                         "supported (pre/post-stem length ambiguity)")
     vals = texts.to_numpy(dtype=object)
     n_docs = len(vals)
     if not all(isinstance(s, str) for s in vals):
@@ -219,6 +231,11 @@ def analyze_batch(texts: pd.Series,
         raise ValueError(f"unknown stemmer {stemmer!r}")
     elif stopwords:
         keep &= ~pd.Series(flat).isin(stopwords).to_numpy()
+    if length_filter is not None:
+        # LengthFilter (miscellaneous/LengthFilter.java): drop tokens
+        # outside [min, max], position gaps kept like StopFilter
+        lens = np.fromiter(map(len, flat), np.int64, count=total)
+        keep &= (lens >= length_filter[0]) & (lens <= length_filter[1])
     terms = flat[keep]
     doc_idx_k = doc_idx[keep]
     positions_k = positions[keep]

@@ -11,6 +11,15 @@ document-frequency table is one map-side-combined groupBy, and the
 per-(input, class) log-likelihood sums are Catalyst aggregations — no
 per-word driver round trips, so the same code classifies 10^9 inputs on
 a cluster.
+
+Out of scope (documented): BM25NBClassifier (``BM25NBClassifier.java:47``
+scores per-word class probabilities from top-1 BM25 hits of a
+MUST(classTerm) query — it requires the class label indexed as a
+searchable term, where this engine keeps labels in doc_meta columns)
+and BooleanPerceptronClassifier (``BooleanPerceptronClassifier.java``
+trains by strictly sequential per-doc weight updates, which has no
+order-faithful distributed equivalent — a batch-epoch variant would
+diverge from the reference's output).
 """
 from __future__ import annotations
 

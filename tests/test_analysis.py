@@ -241,3 +241,25 @@ def test_ascii_folding_batch_matches_text():
         assert list(t[sel]) == et and list(p[sel]) == ep, i
     assert "cafe" in set(t) and "strasse" in set(t) \
         and "unicode_val" in set(t)
+
+
+def test_length_filter():
+    """LengthFilter (miscellaneous/LengthFilter.java): tokens outside
+    [min, max] are dropped with their position gaps kept; batch ≡ text."""
+    import pandas as pd
+    from lucene_spark.functions.analysis import analyze_batch, analyze_text
+    t, p, ln = analyze_text("a bb ccc dddd eeeee", length_filter=(2, 4))
+    assert t == ["bb", "ccc", "dddd"]
+    assert p == [1, 2, 3] and ln == 3
+    docs = ["a bb ccc dddd eeeee", "", "xy z wxyz"]
+    d, tm, ps, ls = analyze_batch(pd.Series(docs), length_filter=(2, 4))
+    for i, doc in enumerate(docs):
+        tt, pp, lnn = analyze_text(doc, length_filter=(2, 4))
+        sel = d == i
+        assert list(tm[sel]) == tt and list(ps[sel]) == pp
+        assert ls[i] == lnn
+    # composes with stopwords (stop drops first, both keep gaps)
+    t, p, ln = analyze_text("the bb ccc the dddd",
+                            stopwords=frozenset({"the"}),
+                            length_filter=(3, 99))
+    assert t == ["ccc", "dddd"] and p == [2, 4]
