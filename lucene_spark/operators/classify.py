@@ -29,20 +29,28 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 
-def term_doc_pairs(searcher, terms: list[str]):
+def term_doc_pairs(searcher, terms: list[str] | None, terms_df=None):
     """DataFrame ``(term string, doc_id long)`` — one row per (exact
-    term, live matching doc). The postings scan is pushed-filtered to
-    ``terms`` (the reference's per-term ``TermsEnum.postings`` walk,
-    ``index/TermsEnum.java``); tombstoned docs are masked at decode."""
+    term, live matching doc). With a ``terms`` list the postings scan is
+    pushed-filtered (the reference's per-term ``TermsEnum.postings``
+    walk, ``index/TermsEnum.java``); with ``terms_df`` the restriction
+    is a broadcast LEFT-SEMI join instead (unbounded term sets — no
+    driver materialization, at the cost of parquet min/max pruning).
+    Tombstoned docs are masked at decode."""
     from .search import TermSegPostings, _live_mask
 
     empty = pd.DataFrame({"term": pd.Series([], dtype=object),
                           "doc_id": pd.Series([], dtype="int64")})
-    if not terms:
+    if terms_df is None and not terms:
         return searcher.spark.createDataFrame(empty,
                                               "term string, doc_id long")
     deletes = searcher.deletes
-    pf = searcher.postings.filter(F.col("term").isin(sorted(set(terms))))
+    if terms_df is not None:
+        pf = searcher.postings.join(F.broadcast(terms_df.select("term")),
+                                    "term", "left_semi")
+    else:
+        pf = searcher.postings.filter(
+            F.col("term").isin(sorted(set(terms))))
 
     def seg_pairs(key, postings_pdf, norms_pdf):
         if len(norms_pdf) == 0 or len(postings_pdf) == 0:
@@ -123,10 +131,21 @@ def naive_bayes_classify(searcher, inputs_df, class_df,
     tf = tok.groupBy("input_id", "word").agg(F.count("*").alias("tf"))
     ntok = tok.groupBy("input_id").agg(F.count("*").alias("n_tokens"))
 
-    vocab = [r["word"] for r in tf.select("word").distinct().collect()]
+    # small batch: driver-held vocabulary → literal pushed filter on the
+    # range-bucketed postings (file-level min/max pruning); big batch:
+    # broadcast semi-join, no driver materialization (the 100 TB path —
+    # scan pruning is lost but nothing routes through the driver)
+    vocab_df = tf.select("word").distinct()
+    vocab = [r["word"] for r in vocab_df.limit(20001).collect()]
     labels = class_df.select(F.col("doc_id"),
                              F.col(class_col).alias("cls"))
-    hits = (term_doc_pairs(searcher, vocab)
+    if len(vocab) <= 20000:
+        pairs = term_doc_pairs(searcher, vocab)
+    else:
+        pairs = term_doc_pairs(
+            searcher, None,
+            terms_df=vocab_df.withColumnRenamed("word", "term"))
+    hits = (pairs
             .join(labels, "doc_id")
             .groupBy(F.col("term").alias("word"), "cls")
             .agg(F.count("*").alias("hits")))

@@ -166,3 +166,15 @@ def test_knn_fuzzy_classifier(spark, searcher, corpus, labels, class_df):
     assert [g[0] for g in got] == [w[0] for w in want]
     for g, w in zip(got, want):
         assert g[1] == pytest.approx(w[1], rel=1e-12)
+
+
+def test_term_doc_pairs_semi_join_path(spark, searcher, corpus):
+    """terms_df broadcast semi-join path ≡ literal pushed-filter path."""
+    terms = ["parse", "emit", "token"]
+    a = sorted((r["term"], r["doc_id"])
+               for r in term_doc_pairs(searcher, terms).collect())
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    b = sorted((r["term"], r["doc_id"])
+               for r in term_doc_pairs(searcher, None,
+                                       terms_df=tdf).collect())
+    assert a == b and len(a) > 0
