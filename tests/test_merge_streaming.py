@@ -341,3 +341,35 @@ def test_split_index(spark, corpus):
         split_index(spark, d, out, [0])      # dest already an index
     with _pytest.raises(ValueError):
         split_index(spark, d, tempfile.mkdtemp(), [99])
+
+
+def test_streaming_exact_dedup(spark, corpus):
+    """Streaming dedup: duplicates across micro-batches are dropped
+    exactly once; survivors = one row per distinct text; result matches
+    the batch pipeline's fingerprint set."""
+    from lucene_spark.streaming.dedup import streaming_exact_dedup
+
+    # plant duplicates: corpus + first 50 docs re-ingested with new ids
+    base = corpus[["doc_id", "content"]].rename(
+        columns={"content": "text"})
+    dup = base.head(50).copy()
+    dup["doc_id"] = dup["doc_id"] + 100000
+    src = tempfile.mkdtemp(prefix="sdedup_src_")
+    out = tempfile.mkdtemp(prefix="sdedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="sdedup_ckpt_")
+    sdf = spark.createDataFrame(base)
+    ddf = spark.createDataFrame(dup)
+    sdf.coalesce(2).write.mode("append").parquet(src)
+    ddf.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(sdf.schema) \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    q = streaming_exact_dedup(stream, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_distinct = base.text.nunique()
+    assert got.count() == n_distinct
+    assert got.select("fingerprint").distinct().count() == n_distinct
+    # every distinct text survived exactly once
+    import hashlib
+    want = {hashlib.md5(t.encode()).hexdigest() for t in base.text}
+    assert {r["fingerprint"] for r in got.collect()} == want
