@@ -2763,44 +2763,90 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green in r01 and judge-re-verified in r2); new round-3 entries follow
 #: them; the 50 r02-green rows go to the tail.
 _PRIORITY = [
-    "term_in_set", "range_query", "term_range_query", "facet_counts",
-    "range_facet_counts", "drill_sideways", "grouped_topk",
-    "sort_by_field", "query_join", "lmd_term_top10", "bm25_deleted_top10",
-    "monitor_matches", "dfr_term_top10", "bm25_fuzzy_blended_top10",
-    "suggest_prefix", "spell_suggest", "mlt_top10",
-    "bm25_after_merge_top10", "bm25_incremental_top10", "segment_lineage",
-    "term_stats", "term_stats_salted", "field_stats", "doc_norms",
+    # 1) the 25 entries CORRECTNESS_r02 capped out (VERDICT r2 #4),
+    # 2) the late-round-3 entries no driver round has ever checked,
+    # 3) the earlier round-3 entries (judge-verifiable overflow).
+    "term_in_set",
+    "range_query",
+    "term_range_query",
+    "facet_counts",
+    "range_facet_counts",
+    "drill_sideways",
+    "grouped_topk",
+    "sort_by_field",
+    "query_join",
+    "lmd_term_top10",
+    "bm25_deleted_top10",
+    "monitor_matches",
+    "dfr_term_top10",
+    "bm25_fuzzy_blended_top10",
+    "suggest_prefix",
+    "spell_suggest",
+    "mlt_top10",
+    "bm25_after_merge_top10",
+    "bm25_incremental_top10",
+    "segment_lineage",
+    "term_stats",
+    "term_stats_salted",
+    "field_stats",
+    "doc_norms",
     "content_sha256",
-    # new in round 3 — never driver-checked yet
-    "interval_ordered_top10", "interval_maxgaps_top10",
-    "interval_unordered_top10", "interval_containing_top10",
-    "interval_or_ordered_top10", "interval_prefix_top10",
+    "distance_feature_top10",
+    "rescore_top10",
+    "nb_classify_docs",
+    "knn_classify_doc0",
+    "regexp_query",
+    "high_freq_terms",
+    "bm25_shingle_top10",
+    "dfi_term_top10",
+    "boolean_term_top10",
+    "fuzzy_suggest_top10",
+    "free_text_suggest_top10",
+    "sampled_facet_counts",
+    "complex_phrase_top10",
+    "sweetspot_term_top10",
+    "word_break_suggest",
+    "term_automaton_top10",
+    "infix_suggest",
+    "interval_ordered_top10",
+    "interval_maxgaps_top10",
+    "interval_unordered_top10",
+    "interval_containing_top10",
+    "interval_or_ordered_top10",
+    "interval_prefix_top10",
     "common_terms_top10",
-    "bm25_synonym_indexed_top10", "sorted_index_topk",
-    "geo_box_count", "geo_nearest_top10", "geo_distance_count",
+    "bm25_synonym_indexed_top10",
+    "sorted_index_topk",
+    "geo_box_count",
+    "geo_nearest_top10",
+    "geo_distance_count",
     "payload_score_top10",
     "facet_path_counts",
     "drill_down_path",
-    "docvalues_updated", "function_score_updated_top10",
+    "docvalues_updated",
+    "function_score_updated_top10",
     "embed_hnsw_topk",
-    "block_join_children_topk", "assoc_facet_sum", "geo_polygon_docs",
-    "simple_parse_top10", "bm25_multiphrase_top10",
-    "interval_atleast_top10", "interval_before_top10",
-    "interval_after_top10", "interval_within_top10",
-    "bm25_gap_phrase_top10", "bm25_gap_sloppy_top10",
+    "block_join_children_topk",
+    "assoc_facet_sum",
+    "geo_polygon_docs",
+    "simple_parse_top10",
+    "bm25_multiphrase_top10",
+    "interval_atleast_top10",
+    "interval_before_top10",
+    "interval_after_top10",
+    "interval_within_top10",
+    "bm25_gap_phrase_top10",
+    "bm25_gap_sloppy_top10",
     "covering_top10",
-    "interval_nested_ordered_top10", "interval_nested_unordered_top10",
-    "interval_analyzed_text_top10", "interval_block_nested_top10",
-    "bm25_synonym_boosted_top10", "bm25_prefix_multiphrase_top10",
-    "feature_saturation_top10", "feature_sigmoid_top10",
-    "bm25_feature_log_top10", "distance_feature_top10",
-    "rescore_top10", "nb_classify_docs", "knn_classify_doc0",
-    "regexp_query", "high_freq_terms", "bm25_shingle_top10",
-    "dfi_term_top10", "boolean_term_top10",
-    "fuzzy_suggest_top10", "free_text_suggest_top10",
-    "sampled_facet_counts", "complex_phrase_top10",
-    "sweetspot_term_top10", "word_break_suggest",
-    "term_automaton_top10", "infix_suggest",
+    "interval_nested_ordered_top10",
+    "interval_nested_unordered_top10",
+    "interval_analyzed_text_top10",
+    "interval_block_nested_top10",
+    "bm25_synonym_boosted_top10",
+    "bm25_prefix_multiphrase_top10",
+    "feature_saturation_top10",
+    "feature_sigmoid_top10",
+    "bm25_feature_log_top10",
 ]
 
 
