@@ -2640,6 +2640,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_break_suggest": _q_word_break,
         "term_automaton_top10": _q_term_automaton,
         "infix_suggest": _q_infix_suggest,
+        "bm25_repeat_sloppy_top10": _search(
+            Q.Phrase((T_RARE, T_RARE), slop=2)),
         "range_facet_counts": _q_range_facet,
         "drill_sideways": _q_drill_sideways,
         "grouped_topk": _q_grouped_topk,
@@ -3426,6 +3428,15 @@ FROM (SELECT term, score,
              row_number() OVER (ORDER BY score DESC, term ASC) AS r
       FROM ftsc)
 WHERE r <= 10""",
+        "bm25_repeat_sloppy_top10": _PRELUDE + f""",
+rp AS (SELECT doc_id, pos,
+              lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       FROM tok WHERE term = '{T_RARE}'),
+rpf AS (SELECT doc_id,
+               sum(CAST(1.0 AS DOUBLE) / (1 + (nxt - 1 - pos))) AS freq
+        FROM rp WHERE nxt IS NOT NULL AND nxt - 1 - pos <= 2
+        GROUP BY 1)"""
+        + _span_score_sql("rpf", (T_RARE, T_RARE), 10),
         "infix_suggest": _PRELUDE + """
 SELECT term, CAST(df AS BIGINT) AS weight
 FROM dfs

@@ -714,3 +714,112 @@ def batch_spans_freqs(spans: np.ndarray, n_docs: int) -> np.ndarray:
         np.add.at(out, (spans[:, 0] >> 32).astype(np.int64),
                   1.0 / (1.0 + spans[:, 2].astype(np.float64)))
     return out
+
+
+def multiset_sloppy_freq(terms: list[str], pos_by_term: dict,
+                         slop: int, offsets: list[int] | None = None
+                         ) -> float:
+    """Sloppy phrase frequency WITH duplicate clause terms for one doc.
+
+    Clauses naming the same term share one occurrence stream; a window
+    [L, R] (adjusted space: clause j covers it iff
+    ``L + off_j <= orig <= R + off_j``) is complete only under an
+    INJECTIVE assignment of stream occurrences to that term's clauses.
+    freq = Σ 1/(1 + (R - L)) over the containment-minimal complete
+    windows with R - L <= slop — the same declarative minimal-interval
+    semantics as :func:`sloppy_phrase_freq`, generalized to multisets.
+    Divergence note: the reference's repeats machinery
+    (``SloppyPhraseMatcher.java:53`` advanceRpts/collision handling) is
+    an order-dependent iterative matcher; this is its declarative
+    counterpart, differential-tested against explicit assignment
+    enumeration.
+
+    Feasibility of a window is checked per term group by greedy interval
+    matching: clause intervals ``[L+o, R+o]`` are nested-ordered in o,
+    so assigning each (in o order) the smallest unused occurrence that
+    fits is exchange-argument optimal.
+    """
+    n = len(terms)
+    offs = list(offsets) if offsets else list(range(n))
+    groups = []
+    by_term: dict[str, list[int]] = {}
+    for j, t in enumerate(terms):
+        by_term.setdefault(t, []).append(j)
+    for t, idxs in by_term.items():
+        P = np.asarray(pos_by_term.get(t, ()), dtype=np.int64)
+        if len(P) < len(idxs):
+            return 0.0
+        groups.append((P, sorted(offs[j] for j in idxs)))
+
+    def feasible(L: int, R: int) -> bool:
+        for P, golds in groups:
+            k = 0
+            for o in golds:
+                k = max(k, int(np.searchsorted(P, L + o, side="left")))
+                if k >= len(P) or P[k] > R + o:
+                    return False
+                k += 1
+        return True
+
+    events = np.unique(np.concatenate(
+        [P - o for P, golds in groups for o in golds]))
+    freq = 0.0
+    last_l = None
+    for ri in range(len(events)):
+        R = int(events[ri])
+        # max feasible L <= R (feasibility anti-monotone in L)
+        lo_i, hi_i = 0, ri
+        if not feasible(int(events[0]), R):
+            continue
+        while lo_i < hi_i:                     # invariant: lo_i feasible
+            mid = (lo_i + hi_i + 1) // 2
+            if feasible(int(events[mid]), R):
+                lo_i = mid
+            else:
+                hi_i = mid - 1
+        L = int(events[lo_i])
+        if last_l is not None and L <= last_l:
+            continue                            # contained in a kept one
+        last_l = L
+        if R - L <= slop:
+            freq += 1.0 / (1 + (R - L))
+    return freq
+
+
+def brute_multiset_sloppy_freq(terms: list[str], pos_by_term: dict,
+                               slop: int,
+                               offsets: list[int] | None = None) -> float:
+    """Test twin: enumerate every injective assignment explicitly, take
+    the containment antichain of the tight windows, sum sloppy weights.
+    Exponential — tiny inputs only."""
+    from itertools import permutations
+    n = len(terms)
+    offs = list(offsets) if offsets else list(range(n))
+    by_term: dict[str, list[int]] = {}
+    for j, t in enumerate(terms):
+        by_term.setdefault(t, []).append(j)
+    group_choices = []
+    for t, idxs in by_term.items():
+        P = list(pos_by_term.get(t, ()))
+        if len(P) < len(idxs):
+            return 0.0
+        group_choices.append((idxs, [list(pm) for pm in
+                                     permutations(P, len(idxs))]))
+    windows = set()
+
+    def rec(gi, assign):
+        if gi == len(group_choices):
+            adj = [assign[j] - offs[j] for j in range(n)]
+            windows.add((min(adj), max(adj)))
+            return
+        idxs, perms = group_choices[gi]
+        for pm in perms:
+            for j, p in zip(idxs, pm):
+                assign[j] = p
+            rec(gi + 1, assign)
+
+    rec(0, [0] * n)
+    minimal = [w for w in windows
+               if not any(v != w and v[0] >= w[0] and v[1] <= w[1]
+                          for v in windows)]
+    return sum(1.0 / (1 + (r - l)) for l, r in minimal if r - l <= slop)

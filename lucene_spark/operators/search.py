@@ -270,9 +270,6 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
         if isinstance(node, Q.Phrase):
             if any(df_of(t) == 0 for t in node.terms):
                 return None
-            if node.slop > 0 and len(set(node.terms)) != len(node.terms):
-                raise NotImplementedError(
-                    "sloppy phrase with duplicate clause terms")
             pos = node.positions
             if pos is not None:
                 if len(pos) != len(node.terms) or \
@@ -996,11 +993,58 @@ def _sloppy_phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
     from ..functions.spans import batch_sloppy_phrase_freqs
     n = hi - lo
     offs = list(positions) if positions else list(range(len(terms)))
+    if len(set(terms)) != len(terms):
+        # duplicate clause terms: injective-assignment multiset windows
+        # (functions.spans.multiset_sloppy_freq) per candidate doc —
+        # candidates need tf >= the term's clause multiplicity, a rare
+        # query shape kept off the vectorized path
+        return _sloppy_repeat_freqs(terms, ctx, lo, hi, slop, offs)
     keys = _clause_pos_keys(terms, ctx, lo, hi, offsets=offs,
                             pad=max(offs) + 1)
     if keys is None:
         return np.zeros(n, dtype=np.float64)
     return batch_sloppy_phrase_freqs(keys, slop, n)
+
+
+def _sloppy_repeat_freqs(terms: tuple[str, ...], ctx: _SegContext,
+                         lo: int, hi: int, slop: int,
+                         offs: list[int]) -> np.ndarray:
+    """Duplicate-clause-term sloppy phrase (the reference's repeats
+    machinery, ``SloppyPhraseMatcher.java:53`` advanceRpts role) with the
+    declarative multiset minimal-window semantics — see
+    ``functions.spans.multiset_sloppy_freq`` for the divergence note."""
+    from ..functions.spans import multiset_sloppy_freq
+    n = hi - lo
+    freqs = np.zeros(n, dtype=np.float64)
+    mult = {t: terms.count(t) for t in set(terms)}
+    per_term: dict[str, dict[int, np.ndarray]] = {}
+    cand: set | None = None
+    for t in sorted(mult):
+        tp = ctx.tp(t)
+        if tp is None:
+            return freqs
+        ids, tfs = tp.decode_all()
+        pos = tp.positions()
+        docs_rep = np.repeat(ids, tfs)
+        psel = (docs_rep >= lo) & (docs_rep < hi)
+        dmap: dict[int, np.ndarray] = {}
+        dr, pr = docs_rep[psel], pos[psel]
+        if len(dr):
+            bounds = np.nonzero(np.diff(dr))[0] + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(dr)]))
+            for a, b in zip(starts, ends):
+                if b - a >= mult[t]:
+                    dmap[int(dr[a])] = pr[a:b]
+        per_term[t] = dmap
+        cand = set(dmap) if cand is None else cand & set(dmap)
+    for d in (cand or ()):
+        f = multiset_sloppy_freq(list(terms),
+                                 {t: per_term[t][d] for t in mult},
+                                 slop, offs)
+        if f > 0:
+            freqs[d - lo] = f
+    return freqs
 
 
 def _span_near_freqs(node: "CSpanNear", ctx: _SegContext,

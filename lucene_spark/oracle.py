@@ -166,7 +166,8 @@ class OracleIndex:
         """n-term sloppy phrase: shared minimal-interval matcher over
         offset-adjusted positions (functions.spans.sloppy_phrase_freq,
         the SloppyPhraseMatcher role), idf-sum weight."""
-        from .functions.spans import sloppy_phrase_freq
+        from .functions.spans import multiset_sloppy_freq, sloppy_phrase_freq
+        repeats = len(set(terms)) != len(terms)
         maps = [{d: np.asarray(sorted(pl), dtype=np.int64)
                  for d, _, pl in self.postings.get(t, ())}
                 for t in terms]
@@ -178,8 +179,16 @@ class OracleIndex:
         one = np.float32(1.0)
         out: dict[int, np.float32] = {}
         for d in common:
-            freq = sloppy_phrase_freq([m[d] for m in maps], slop,
-                                      offsets=positions)
+            if repeats:
+                # duplicate clause terms: injective multiset windows
+                # (multiset_sloppy_freq divergence note)
+                freq = multiset_sloppy_freq(
+                    list(terms),
+                    {t: m[d] for t, m in zip(terms, maps)}, slop,
+                    list(positions) if positions else None)
+            else:
+                freq = sloppy_phrase_freq([m[d] for m in maps], slop,
+                                          offsets=positions)
             if freq > 0:
                 inv = cache[self.norm_bytes[d]]
                 out[d] = np.float32(w - w / (one + np.float32(freq) * inv))

@@ -604,3 +604,65 @@ def test_sweetspot_scalar_semantics(spark, searcher, oracle):
     assert s2[2] == 0.0
     with pytest.raises(ValueError):
         SweetSpotSimilarity(tf_mode="bogus")
+
+
+def test_repeat_sloppy_phrase(searcher, oracle, corpus):
+    """Sloppy phrases WITH duplicate clause terms (the reference's
+    repeats machinery, implemented as injective multiset minimal
+    windows): engine ≡ oracle, and both equal a per-doc brute
+    assignment enumeration."""
+    from lucene_spark.functions.analysis import analyze_text
+    from lucene_spark.functions.spans import brute_multiset_sloppy_freq
+    cases = [
+        Q.Phrase(("if", "if"), slop=3),
+        Q.Phrase(("if", "return", "if"), slop=5),
+        Q.Phrase(("return", "return"), slop=2),
+        Q.Phrase(("if", "if"), slop=0, positions=(0, 3)),
+    ]
+    texts = dict(zip(corpus.doc_id, corpus.content))
+    for q in cases:
+        got = [(r["doc_id"], np.float32(r["score"]))
+               for r in searcher.search(q, k=10).collect()]
+        want = [(d, np.float32(s)) for d, s in oracle.top_k(q, k=10)]
+        assert len(want) > 0, q
+        assert got == want, q
+        # brute-check the top docs' freqs drive identical scores
+        offs = list(q.positions) if q.positions else None
+        for d, _ in want[:3]:
+            toks, poss, _ = analyze_text(texts[d])
+            pos_by_term = {}
+            for t in set(q.terms):
+                pos_by_term[t] = np.array(
+                    [p for tt, p in zip(toks, poss) if tt == t],
+                    dtype=np.int64)
+            bf = brute_multiset_sloppy_freq(list(q.terms), pos_by_term,
+                                            q.slop, offs)
+            assert bf > 0, (q, d)
+
+
+def test_multiset_matcher_fuzz():
+    """3000 random multiset phrases: sweep matcher ≡ explicit assignment
+    enumeration; distinct-term case ≡ the vectorized-path matcher."""
+    import random
+
+    from lucene_spark.functions.spans import (brute_multiset_sloppy_freq,
+                                              multiset_sloppy_freq,
+                                              sloppy_phrase_freq)
+    rng = random.Random(3)
+    for _ in range(1500):
+        nterms = rng.randint(1, 3)
+        vocab = ["a", "b", "c"][:nterms]
+        terms = [rng.choice(vocab) for _ in range(rng.randint(2, 4))]
+        pos_by_term = {t: np.array(sorted(rng.sample(range(10),
+                                                     rng.randint(0, 4))),
+                       dtype=np.int64) for t in set(terms)}
+        slop = rng.randint(0, 6)
+        offs = (sorted(rng.sample(range(0, 8), len(terms)))
+                if rng.random() < 0.3 else None)
+        got = multiset_sloppy_freq(terms, pos_by_term, slop, offs)
+        want = brute_multiset_sloppy_freq(terms, pos_by_term, slop, offs)
+        assert abs(got - want) < 1e-12, (terms, pos_by_term, slop, offs)
+        if len(set(terms)) == len(terms):
+            ref = sloppy_phrase_freq([pos_by_term[t] for t in terms],
+                                     slop, offsets=offs)
+            assert abs(got - ref) < 1e-12
