@@ -717,8 +717,8 @@ def batch_spans_freqs(spans: np.ndarray, n_docs: int) -> np.ndarray:
 
 
 def multiset_sloppy_freq(terms: list[str], pos_by_term: dict,
-                         slop: int, offsets: list[int] | None = None
-                         ) -> float:
+                         slop: int, offsets: list[int] | None = None,
+                         ml_n: int | None = None) -> float:
     """Sloppy phrase frequency WITH duplicate clause terms for one doc.
 
     Clauses naming the same term share one occurrence stream; a window
@@ -728,6 +728,9 @@ def multiset_sloppy_freq(terms: list[str], pos_by_term: dict,
     freq = Σ 1/(1 + (R - L)) over the containment-minimal complete
     windows with R - L <= slop — the same declarative minimal-interval
     semantics as :func:`sloppy_phrase_freq`, generalized to multisets.
+    ``ml_n`` switches the matchLength convention to the unordered
+    SpanNear one, ``(R - L + 1) - n`` (NearSpansUnordered role), for
+    duplicate-clause span queries.
     Divergence note: the reference's repeats machinery
     (``SloppyPhraseMatcher.java:53`` advanceRpts/collision handling) is
     an order-dependent iterative matcher; this is its declarative
@@ -781,14 +784,16 @@ def multiset_sloppy_freq(terms: list[str], pos_by_term: dict,
         if last_l is not None and L <= last_l:
             continue                            # contained in a kept one
         last_l = L
-        if R - L <= slop:
-            freq += 1.0 / (1 + (R - L))
+        ml = (R - L) if ml_n is None else max(R - L + 1 - ml_n, 0)
+        if ml <= slop:
+            freq += 1.0 / (1 + ml)
     return freq
 
 
 def brute_multiset_sloppy_freq(terms: list[str], pos_by_term: dict,
                                slop: int,
-                               offsets: list[int] | None = None) -> float:
+                               offsets: list[int] | None = None,
+                               ml_n: int | None = None) -> float:
     """Test twin: enumerate every injective assignment explicitly, take
     the containment antichain of the tight windows, sum sloppy weights.
     Exponential — tiny inputs only."""
@@ -822,4 +827,7 @@ def brute_multiset_sloppy_freq(terms: list[str], pos_by_term: dict,
     minimal = [w for w in windows
                if not any(v != w and v[0] >= w[0] and v[1] <= w[1]
                           for v in windows)]
-    return sum(1.0 / (1 + (r - l)) for l, r in minimal if r - l <= slop)
+    def _ml(l, r):
+        return (r - l) if ml_n is None else max(r - l + 1 - ml_n, 0)
+    return sum(1.0 / (1 + _ml(l, r)) for l, r in minimal
+               if _ml(l, r) <= slop)

@@ -312,9 +312,9 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                 frozenset(int(a) for a in node.accepts))
         if isinstance(node, Q.SpanNear) and \
                 all(isinstance(t, str) for t in node.terms):
-            if len(set(node.terms)) != len(node.terms):
+            if len(set(node.terms)) != len(node.terms) and node.in_order:
                 raise NotImplementedError(
-                    "SpanNear with duplicate clause terms")
+                    "ordered SpanNear with duplicate clause terms")
             if any(df_of(t) == 0 for t in node.terms):
                 return None
             w = multi_weight([df_of(t) for t in node.terms])
@@ -1014,6 +1014,15 @@ def _sloppy_repeat_freqs(terms: tuple[str, ...], ctx: _SegContext,
     declarative multiset minimal-window semantics — see
     ``functions.spans.multiset_sloppy_freq`` for the divergence note."""
     from ..functions.spans import multiset_sloppy_freq
+    return _repeat_candidates_loop(
+        terms, ctx, lo, hi,
+        lambda pbt: multiset_sloppy_freq(list(terms), pbt, slop, offs))
+
+
+def _repeat_candidates_loop(terms: tuple[str, ...], ctx: _SegContext,
+                            lo: int, hi: int, freq_fn) -> np.ndarray:
+    """Shared candidate gathering for duplicate-clause matchers: docs
+    needing tf >= each term's clause multiplicity, positions per doc."""
     n = hi - lo
     freqs = np.zeros(n, dtype=np.float64)
     mult = {t: terms.count(t) for t in set(terms)}
@@ -1039,9 +1048,7 @@ def _sloppy_repeat_freqs(terms: tuple[str, ...], ctx: _SegContext,
         per_term[t] = dmap
         cand = set(dmap) if cand is None else cand & set(dmap)
     for d in (cand or ()):
-        f = multiset_sloppy_freq(list(terms),
-                                 {t: per_term[t][d] for t in mult},
-                                 slop, offs)
+        f = freq_fn({t: per_term[t][d] for t in mult})
         if f > 0:
             freqs[d - lo] = f
     return freqs
@@ -1056,12 +1063,29 @@ def _span_near_freqs(node: "CSpanNear", ctx: _SegContext,
     from ..functions.spans import (batch_ordered_near_freqs,
                                    batch_unordered_near_freqs)
     n = hi - lo
+    if len(set(node.terms)) != len(node.terms):
+        # unordered duplicates: injective multiset windows with the
+        # NearSpansUnordered matchLength (R-L+1-n); ordered duplicates
+        # stay guarded at compile
+        return _span_repeat_freqs(node, ctx, lo, hi)
     keys = _clause_pos_keys(node.terms, ctx, lo, hi)
     if keys is None:
         return np.zeros(n, dtype=np.float64)
     fn = batch_ordered_near_freqs if node.in_order \
         else batch_unordered_near_freqs
     return fn(keys, node.slop, n)
+
+
+def _span_repeat_freqs(node: "CSpanNear", ctx: _SegContext,
+                       lo: int, hi: int) -> np.ndarray:
+    """Unordered SpanNear with duplicate clause terms: per-candidate-doc
+    injective multiset windows (``multiset_sloppy_freq(ml_n=n)``)."""
+    from ..functions.spans import multiset_sloppy_freq
+    return _repeat_candidates_loop(
+        tuple(node.terms), ctx, lo, hi,
+        lambda pbt: multiset_sloppy_freq(list(node.terms), pbt,
+                                         node.slop, [0] * len(node.terms),
+                                         ml_n=len(node.terms)))
 
 
 def _span_tree_freqs(node: "CSpanTree", ctx: _SegContext,

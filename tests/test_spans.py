@@ -349,3 +349,44 @@ def test_batched_kernels_match_per_doc():
         got = batch_unordered_near_freqs(_keys(per_doc, n_clauses),
                                          slop, n_docs)
         assert np.array_equal(want, got), ("unordered", trial)
+
+
+def test_unordered_span_near_duplicate_terms(spark):
+    """Unordered SpanNear with duplicate clause terms: injective
+    multiset windows with the NearSpansUnordered matchLength; engine ≡
+    oracle ≡ brute enumeration; ordered duplicates still raise."""
+    import tempfile
+
+    import numpy as np
+
+    from lucene_spark.functions.analysis import analyze_text
+    from lucene_spark.functions.spans import brute_multiset_sloppy_freq
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.oracle import OracleIndex
+    from lucene_spark.plans import query as Q
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(200, seed=41)
+    d = tempfile.mkdtemp(prefix="lucene_spark_spanrep_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=3)
+    s = Searcher(spark, d)
+    oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+    texts = dict(zip(corpus.doc_id, corpus.content))
+    for q in (Q.SpanNear(("if", "if"), slop=3, in_order=False),
+              Q.SpanNear(("if", "return", "if"), slop=5, in_order=False)):
+        got = [(r["doc_id"], np.float32(r["score"]))
+               for r in s.search(q, k=10).collect()]
+        want = [(dd, np.float32(sc)) for dd, sc in oracle.top_k(q, k=10)]
+        assert len(want) > 0 and got == want, q
+        for dd, _ in want[:3]:
+            toks, poss, _ = analyze_text(texts[dd])
+            pbt = {t: np.array([p for tt, p in zip(toks, poss)
+                                if tt == t], dtype=np.int64)
+                   for t in set(q.terms)}
+            assert brute_multiset_sloppy_freq(
+                list(q.terms), pbt, q.slop, [0] * len(q.terms),
+                ml_n=len(q.terms)) > 0
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        s.search(Q.SpanNear(("if", "if"), slop=3, in_order=True), k=5)
