@@ -2642,6 +2642,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infix_suggest": _q_infix_suggest,
         "bm25_repeat_sloppy_top10": _search(
             Q.Phrase((T_RARE, T_RARE), slop=2)),
+        "span_posrange_top10": _search(
+            Q.SpanPositionRange(Q.Term(T_COMMON), 5, 25)),
         "range_facet_counts": _q_range_facet,
         "drill_sideways": _q_drill_sideways,
         "grouped_topk": _q_grouped_topk,
@@ -3428,6 +3430,12 @@ FROM (SELECT term, score,
              row_number() OVER (ORDER BY score DESC, term ASC) AS r
       FROM ftsc)
 WHERE r <= 10""",
+        "span_posrange_top10": _PRELUDE + f""",
+prf AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq
+        FROM tok
+        WHERE term = '{T_COMMON}' AND pos >= 5 AND pos + 1 <= 25
+        GROUP BY 1)"""
+        + _span_score_sql("prf", (T_COMMON,), 10),
         "bm25_repeat_sloppy_top10": _PRELUDE + f""",
 rp AS (SELECT doc_id, pos,
               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt

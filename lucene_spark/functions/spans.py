@@ -347,7 +347,7 @@ def eval_span_tree(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
       ("term", t) | ("near", terms, slop, in_order)
       | ("nearspans", (child, ...), slop, in_order)   — nested SpanNear
       | ("or", (child, ...)) | ("not", include, exclude)
-      | ("first", child, end)
+      | ("first", child, end) | ("posrange", child, start, end)
       | ("contain", big, little) | ("within", little, big)
     """
     kind = tree[0]
@@ -366,6 +366,11 @@ def eval_span_tree(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
                          eval_span_tree(tree[2], pmap))
     if kind == "first":
         return first_spans(eval_span_tree(tree[1], pmap), tree[2])
+    if kind == "posrange":
+        sp = eval_span_tree(tree[1], pmap)
+        if len(sp) == 0:
+            return sp
+        return sp[(sp[:, 0] >= tree[2]) & (sp[:, 1] <= tree[3])]
     if kind == "contain":
         return containing_spans(eval_span_tree(tree[1], pmap),
                                 eval_span_tree(tree[2], pmap))
@@ -399,7 +404,7 @@ def span_tree_terms(tree, positive_only: bool = False) -> list[str]:
         if positive_only:
             return inc
         return inc + span_tree_terms(tree[2], positive_only)
-    if kind == "first":
+    if kind in ("first", "posrange"):
         return span_tree_terms(tree[1], positive_only)
     if kind in ("contain", "within"):
         # SpanContainQuery extracts termStates from BOTH sides
@@ -696,6 +701,14 @@ def eval_span_tree_batch(tree, key_pmap: dict[str, np.ndarray]
             return sp
         local_end = sp[:, 1] - ((sp[:, 0] >> 32) << np.int64(32))
         return sp[local_end <= tree[2]]
+    if kind == "posrange":
+        sp = eval_span_tree_batch(tree[1], key_pmap)
+        if len(sp) == 0:
+            return sp
+        doc_base = (sp[:, 0] >> 32) << np.int64(32)
+        ls = sp[:, 0] - doc_base
+        le = sp[:, 1] - doc_base
+        return sp[(ls >= tree[2]) & (le <= tree[3])]
     if kind == "contain":
         return containing_spans(eval_span_tree_batch(tree[1], key_pmap),
                                 eval_span_tree_batch(tree[2], key_pmap))

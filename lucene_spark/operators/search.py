@@ -320,6 +320,7 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
             w = multi_weight([df_of(t) for t in node.terms])
             return CSpanNear(tuple(node.terms), w, node.slop, node.in_order)
         if isinstance(node, (Q.SpanOr, Q.SpanNot, Q.SpanFirst,
+                             Q.SpanPositionRange,
                              Q.SpanContaining, Q.SpanWithin, Q.SpanNear)):
             from ..functions.spans import span_tree_terms
             tree = _span_tree(node)
@@ -434,6 +435,9 @@ def _span_tree(node) -> tuple:
         return ("not", _span_tree(node.include), _span_tree(node.exclude))
     if isinstance(node, Q.SpanFirst):
         return ("first", _span_tree(node.match), int(node.end))
+    if isinstance(node, Q.SpanPositionRange):
+        return ("posrange", _span_tree(node.match),
+                int(node.start), int(node.end))
     if isinstance(node, Q.SpanContaining):
         return ("contain", _span_tree(node.big), _span_tree(node.little))
     if isinstance(node, Q.SpanWithin):
@@ -1470,6 +1474,9 @@ class Searcher:
                              self._resolve(q.exclude))
         if isinstance(q, Q.SpanFirst):
             return Q.SpanFirst(self._resolve(q.match), q.end)
+        if isinstance(q, Q.SpanPositionRange):
+            return Q.SpanPositionRange(self._resolve(q.match),
+                                       q.start, q.end)
         if isinstance(q, Q.SpanContaining):
             return Q.SpanContaining(self._resolve(q.big),
                                     self._resolve(q.little))

@@ -25,6 +25,7 @@ from .plans.query import (And, CommonTerms, DisMax, Interval, MultiTerm,
                           MultiPhrase,
                           Not, Or, Phrase, Query, SpanContaining, SpanFirst,
                           SpanMultiTermWrapper, SpanNear, SpanNot, SpanOr,
+                          SpanPositionRange,
                           SpanWithin, Synonym, Term, TermAutomaton)
 
 
@@ -343,6 +344,9 @@ class OracleIndex:
                            self._resolve_span(q.exclude))
         if isinstance(q, SpanFirst):
             return SpanFirst(self._resolve_span(q.match), q.end)
+        if isinstance(q, SpanPositionRange):
+            return SpanPositionRange(self._resolve_span(q.match),
+                                     q.start, q.end)
         if isinstance(q, SpanContaining):
             return SpanContaining(self._resolve_span(q.big),
                                   self._resolve_span(q.little))
@@ -462,6 +466,7 @@ class OracleIndex:
                 return self._span_near_scores(query, k1, b)
             return self._span_tree_scores(query, k1, b)
         if isinstance(query, (SpanOr, SpanNot, SpanFirst,
+                              SpanPositionRange,
                               SpanContaining, SpanWithin,
                               SpanMultiTermWrapper)):
             return self._span_tree_scores(query, k1, b)

@@ -163,6 +163,23 @@ class SpanFirst(Query):
 
 
 @dataclass(frozen=True)
+class SpanPositionRange(Query):
+    """SpanPositionRangeQuery (reference ``queries/spans/
+    SpanPositionRangeQuery.java``): spans of ``match`` with start >=
+    ``start`` AND end <= ``end``; SpanFirstQuery is the ``start=0``
+    special case (``SpanFirstQuery.java:38-42``)."""
+    match: Query
+    start: int
+    end: int
+
+    def scoring_terms(self):
+        return self.match.scoring_terms()
+
+    def all_terms(self):
+        return self.match.all_terms()
+
+
+@dataclass(frozen=True)
 class SpanContaining(Query):
     """SpanContainingQuery (reference ``queries/spans/
     SpanContainingQuery.java``): spans of ``big`` that contain at least

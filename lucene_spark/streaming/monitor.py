@@ -125,6 +125,7 @@ def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
             return any(pat.fullmatch(t) for t in terms)
         raise NotImplementedError(f"monitor: multiterm {node.kind}")
     if isinstance(node, (Q.SpanNear, Q.SpanOr, Q.SpanNot, Q.SpanFirst,
+                         Q.SpanPositionRange,
                          Q.SpanContaining, Q.SpanWithin)):
         # span percolation: the shared span evaluator over this doc's
         # position lists (SpanMultiTermWrapper needs a dictionary and is

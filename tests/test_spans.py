@@ -390,3 +390,45 @@ def test_unordered_span_near_duplicate_terms(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         s.search(Q.SpanNear(("if", "if"), slop=3, in_order=True), k=5)
+
+
+def test_span_position_range(spark):
+    """SpanPositionRangeQuery: spans with start >= s and end <= e;
+    SpanFirst(end) ≡ SpanPositionRange(0, end); engine ≡ oracle."""
+    import tempfile
+
+    import numpy as np
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.oracle import OracleIndex
+    from lucene_spark.plans import query as Q
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(200, seed=43)
+    d = tempfile.mkdtemp(prefix="lucene_spark_posrange_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=3)
+    s = Searcher(spark, d)
+    oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+    cases = [
+        Q.SpanPositionRange(Q.Term("if"), 5, 20),
+        Q.SpanPositionRange(Q.SpanNear(("if", "return"), slop=4,
+                                       in_order=False), 3, 40),
+        Q.SpanPositionRange(Q.SpanOr((Q.Term("if"), Q.Term("def"))),
+                            10, 30),
+    ]
+    for q in cases:
+        got = [(r["doc_id"], np.float32(r["score"]))
+               for r in s.search(q, k=10).collect()]
+        want = [(dd, np.float32(sc)) for dd, sc in oracle.top_k(q, k=10)]
+        assert len(want) > 0 and got == want, q
+    # SpanFirst ≡ posrange(0, end)
+    a = oracle.score(Q.SpanFirst(Q.Term("if"), 12))
+    b = oracle.score(Q.SpanPositionRange(Q.Term("if"), 0, 12))
+    assert a == b and len(a) > 0
+    ga = {r["doc_id"]: r["score"]
+          for r in s.search(Q.SpanFirst(Q.Term("if"), 12), k=10).collect()}
+    gb = {r["doc_id"]: r["score"]
+          for r in s.search(Q.SpanPositionRange(Q.Term("if"), 0, 12),
+                            k=10).collect()}
+    assert ga == gb
