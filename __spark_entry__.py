@@ -226,6 +226,15 @@ def _q_payload_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.PayloadScore(T_COMMON, "sum"), k=10))
 
 
+def _q_payload_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanPayloadCheckQuery (``queries/payloads/SpanPayloadCheckQuery
+    .java``): phrase T_COMMON T_COMMON2 where T_COMMON's position must
+    carry payload 1.5 and T_COMMON2's slot is unconstrained."""
+    s = _searcher_payload(spark, sf_dir)
+    return _fmt_topk(s.search(
+        Q.SpanPayloadCheck((T_COMMON, T_COMMON2), (1.5, None)), k=10))
+
+
 def _searcher_dv(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index carrying a numeric docvalues column (``n_chars``) with one
     committed ``updateNumericDocValue(Term('dup'), n_chars, 5000)`` —
@@ -2642,6 +2651,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infix_suggest": _q_infix_suggest,
         "bm25_repeat_sloppy_top10": _search(
             Q.Phrase((T_RARE, T_RARE), slop=2)),
+        "payload_check_top10": _q_payload_check,
         "span_posrange_top10": _search(
             Q.SpanPositionRange(Q.Term(T_COMMON), 5, 25)),
         "range_facet_counts": _q_range_facet,
@@ -3177,6 +3187,37 @@ WITH tok AS (
 pagg AS (SELECT doc_id,
                 CAST(sum((doc_id + pos) % 7 * 0.5) AS FLOAT) AS s
          FROM tok WHERE term = '{T_COMMON}' GROUP BY 1)""" + _topk_sql("pagg"),
+        "payload_check_top10": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {{LUT}}),
+stats AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM doclen),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1),
+pcf AS (
+  SELECT a.doc_id, CAST(count(*) AS DOUBLE) AS freq
+  FROM tok a JOIN tok b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{T_COMMON}' AND b.term = '{T_COMMON2}'
+    AND (a.doc_id + a.pos) % 7 * 0.5 = 1.5
+  GROUP BY 1)""".replace("{LUT}", _LUT_V)
+        + _span_score_sql("pcf", (T_COMMON, T_COMMON2), 10),
         "geo_box_count": _geo_box_sql(),
         "geo_nearest_top10": _geo_nearest_sql(),
         "geo_distance_count": _geo_distance_sql(),

@@ -133,6 +133,15 @@ class CTermAutomaton:
 
 
 @dataclass(frozen=True)
+class CPayloadCheck:
+    """Compiled SpanPayloadCheckQuery: exact-phrase chain over
+    payload-filtered position streams."""
+    terms: tuple
+    payloads: tuple
+    weight: object
+
+
+@dataclass(frozen=True)
 class CInterval:
     """Compiled IntervalQuery (reference ``queries/intervals/
     IntervalQuery.java:59``): ``tree`` is the nested-tuple grammar of
@@ -291,6 +300,17 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                 return None
             w = multi_weight([df_of(t) for slot in slots for t in slot])
             return CMultiPhrase(slots, w)
+        if isinstance(node, Q.SpanPayloadCheck):
+            if len(node.terms) != len(node.payloads):
+                raise ValueError("one payload slot per term")
+            if len(set(node.terms)) != len(node.terms):
+                raise NotImplementedError(
+                    "SpanPayloadCheck with duplicate clause terms")
+            if any(df_of(t) == 0 for t in node.terms):
+                return None
+            w = multi_weight([df_of(t) for t in node.terms])
+            return CPayloadCheck(tuple(node.terms),
+                                 tuple(node.payloads), w)
         if isinstance(node, Q.TermAutomaton):
             concrete = sorted({t for _, _, t in node.transitions
                                if t is not None and df_of(t) > 0})
@@ -451,7 +471,7 @@ def _compiled_terms(c) -> list[str]:
     if isinstance(c, CTerm):
         return [c.term]
     if isinstance(c, (CSynonym, CPhrase, CConstTerms, CSpanNear,
-                      CMultiPhrase, CTermAutomaton)):
+                      CMultiPhrase, CTermAutomaton, CPayloadCheck)):
         return list(c.terms)
     if isinstance(c, CSpanTree):
         from ..functions.spans import span_tree_terms
@@ -714,6 +734,15 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
         return mask, scores
     if isinstance(node, CMultiPhrase):
         freqs = _multi_phrase_freqs(node.slots, ctx, lo, hi)
+        mask = freqs > 0
+        if mask.any():
+            s = ctx.sim.score(freqs[mask].astype(np.float32),
+                              ctx.norms[lo:hi][mask],
+                              node.weight, ctx.cache)
+            scores[mask] = s.astype(np.float64)
+        return mask, scores
+    if isinstance(node, CPayloadCheck):
+        freqs = _payload_check_freqs(node, ctx, lo, hi)
         mask = freqs > 0
         if mask.any():
             s = ctx.sim.score(freqs[mask].astype(np.float32),
@@ -1055,6 +1084,41 @@ def _repeat_candidates_loop(terms: tuple[str, ...], ctx: _SegContext,
         f = freq_fn({t: per_term[t][d] for t in mult})
         if f > 0:
             freqs[d - lo] = f
+    return freqs
+
+
+def _payload_check_freqs(node: "CPayloadCheck", ctx: _SegContext,
+                         lo: int, hi: int) -> np.ndarray:
+    """Exact-phrase chain over payload-filtered positions: clause j
+    keeps positions whose float32 payload equals payloads[j] (None =
+    any), then the adjusted key sets intersect like the exact phrase —
+    freq = surviving start positions per doc."""
+    n = hi - lo
+    freqs = np.zeros(n, dtype=np.float64)
+    BIG = np.int64(1) << np.int64(32)
+    inter = None
+    for j, (t, want) in enumerate(zip(node.terms, node.payloads)):
+        tp = ctx.tp(t)
+        if tp is None:
+            return freqs
+        pays = tp.payloads()
+        if pays is None:
+            raise ValueError("SpanPayloadCheck over an index built "
+                             "without payload_delimiter")
+        ids, tfs = tp.decode_all()
+        pos = tp.positions()
+        docs_rep = np.repeat(ids, tfs)
+        sel = (docs_rep >= lo) & (docs_rep < hi)
+        if want is not None:
+            sel &= pays == np.float32(want)
+        # pad keeps adjusted positions positive inside each doc's key
+        # space (same trick as _clause_pos_keys)
+        keys = (docs_rep[sel] - lo) * BIG + (pos[sel] - j
+                                             + len(node.terms))
+        inter = keys if inter is None else             np.intersect1d(inter, keys, assume_unique=True)
+        if len(inter) == 0:
+            return freqs
+    np.add.at(freqs, (inter >> 32).astype(np.int64), 1.0)
     return freqs
 
 

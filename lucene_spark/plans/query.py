@@ -395,6 +395,24 @@ class Interval(Query):
 
 
 @dataclass(frozen=True)
+class SpanPayloadCheck(Query):
+    """SpanPayloadCheckQuery (reference ``queries/payloads/
+    SpanPayloadCheckQuery.java``, MatchOperation EQ): an exact
+    phrase-shaped span over ``terms`` where position j's payload must
+    equal ``payloads[j]`` (``None`` = any, the reference's wildcard
+    slot); matches keep ordinary span scoring (freq = surviving span
+    starts, idf-sum weight). Payloads come from the index-time
+    DelimitedPayloadTokenFilter stream."""
+    terms: tuple
+    payloads: tuple
+
+    def scoring_terms(self):
+        return list(dict.fromkeys(self.terms))
+
+    all_terms = scoring_terms
+
+
+@dataclass(frozen=True)
 class TermAutomaton(Query):
     """TermAutomatonQuery (reference ``sandbox/search/TermAutomatonQuery
     .java`` + ``TermAutomatonScorer.java:221-338``): an NFA over token

@@ -666,3 +666,40 @@ def test_multiset_matcher_fuzz():
             ref = sloppy_phrase_freq([pos_by_term[t] for t in terms],
                                      slop, offsets=offs)
             assert abs(got - ref) < 1e-12
+
+
+def test_span_payload_check(spark, tmp_path):
+    """SpanPayloadCheckQuery: phrase positions must carry the given
+    float payloads (None = any slot) — vs a brute doc scan."""
+    import numpy as np
+
+    from lucene_spark.operators.build import build_index
+
+    docs = [
+        (0, "a|1.0 b|2.0 a|3.0 b|2.0"),
+        (1, "a|1.0 b|9.0 c|0.5"),
+        (2, "b|2.0 a|1.0 b|2.0 a|1.0 b|2.0"),
+        (3, "c|1.0 c|1.0"),
+    ]
+    d = str(tmp_path / "payck")
+    build_index(spark, spark.createDataFrame(
+        docs, "doc_id long, content string"), d, num_segments=2,
+        payload_delimiter="|", tokenizer="whitespace",
+        stopwords=frozenset())
+    s = Searcher(spark, d)
+    # a(payload 1.0) followed by b(payload 2.0)
+    q = Q.SpanPayloadCheck(("a", "b"), (1.0, 2.0))
+    got = {r["doc_id"]: r["score"] for r in s.search(q, k=10).collect()}
+    # doc0: a|1.0@0 b|2.0@1 -> 1 match; doc1: b payload 9 -> none;
+    # doc2: a|1.0@1 b|2.0@2 and a|1.0@3 b|2.0@4 -> 2 matches
+    assert set(got) == {0, 2}
+    # any-payload slot matches doc1 too (a@0 b@1 regardless of payload)
+    q2 = Q.SpanPayloadCheck(("a", "b"), (1.0, None))
+    got2 = {r["doc_id"] for r in s.search(q2, k=10).collect()}
+    assert got2 == {0, 1, 2}
+    # freq ordering: doc2 (2 matches) outscores doc0 — same norm lengths?
+    # lengths differ; just assert scores positive and doc2 present
+    assert all(v > 0 for v in got.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        s.search(Q.SpanPayloadCheck(("a",), (1.0, 2.0)), k=5)
