@@ -1607,6 +1607,16 @@ def _q_sampled_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("long").alias("est_q6"))
 
 
+def _q_all_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllGroupsCollector role (``grouping/AllGroupsCollector.java``):
+    number of distinct lang groups over T_COMMON's match set."""
+    from lucene_spark.operators.facets import all_groups_count
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    n = all_groups_count(s, Q.Term(T_COMMON), docs, "lang")
+    return spark.createDataFrame([(n,)], "n_groups long")
+
+
 def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
@@ -2644,6 +2654,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- facets / grouping / join (SURVEY.md §2.4) ---
         "facet_counts": _q_facets,
         "sampled_facet_counts": _q_sampled_facets,
+        "all_groups_count": _q_all_groups,
         "complex_phrase_top10": _q_complex_phrase,
         "sweetspot_term_top10": _q_sweetspot_term,
         "word_break_suggest": _q_word_break,
@@ -3155,6 +3166,13 @@ WHERE EXISTS (SELECT 1 FROM (
         FROM documents) t
       WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}')
 GROUP BY 1""",
+        "all_groups_count": f"""
+SELECT CAST(count(DISTINCT d.lang) AS BIGINT) AS n_groups
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) t
+      WHERE t.doc_id = d.doc_id AND t.term = '{T_COMMON}')""",
         "sampled_facet_counts": f"""
 WITH matched AS (
   SELECT DISTINCT doc_id FROM (

@@ -151,6 +151,19 @@ def drill_down_path(searcher, query, dims_df: DataFrame, path_col: str,
             .groupBy("child").agg(F.count("*").alias("cnt")))
 
 
+def all_groups_count(searcher, query, dims_df: DataFrame,
+                     group_col: str,
+                     doc_id_col: str = "doc_id") -> int:
+    """AllGroupsCollector role (reference ``grouping/
+    AllGroupsCollector.java``): the number of DISTINCT group values over
+    the query's match set — one semi-join + countDistinct, map-side
+    partial aggregation."""
+    matched = searcher.matching_docs(query)
+    row = (matched.join(dims_df.select(doc_id_col, group_col), doc_id_col)
+           .agg(F.countDistinct(group_col).alias("n")).collect())
+    return int(row[0]["n"])
+
+
 def grouped_top_k(searcher, query, dims_df: DataFrame, group_col: str,
                   k_per_group: int = 2,
                   doc_id_col: str = "doc_id") -> DataFrame:

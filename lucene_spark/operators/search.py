@@ -1773,6 +1773,21 @@ class Searcher:
                 .select("doc_id", "matched_count",
                         F.col("_ssum").cast("float").alias("score")))
 
+    def field_exists(self, field: str):
+        """FieldExistsQuery role (reference ``search/FieldExistsQuery
+        .java``): DataFrame ``(doc_id long)`` of live docs carrying a
+        non-null value for the docvalues ``field`` (overlay-resolved) —
+        a pushed IsNotNull scan of doc_meta, tombstones masked."""
+        from pyspark.sql import functions as F
+        dv = self.docvalues(field).where(F.col("value").isNotNull())
+        if self.deletes:
+            tomb = self.spark.createDataFrame(
+                [(int(sg), int(d)) for sg, v in self.deletes.items()
+                 for d in v], "seg_id int, local_doc_id int")
+            dv = dv.join(F.broadcast(tomb),
+                         on=["seg_id", "local_doc_id"], how="left_anti")
+        return dv.select("doc_id")
+
     def high_freq_terms(self, num_terms: int = 100,
                         by: str = "df"):
         """HighFreqTerms (reference

@@ -113,3 +113,27 @@ def test_partial_merge_carries_survivors(spark, dv_index, oracle):
         .get("dv_updates")
     assert _resolved(spark, dv_index) == exp
     assert snap2.snapshot_id > snap.snapshot_id
+
+
+def test_field_exists_query(spark, tmp_path):
+    """FieldExistsQuery role: live docs with a non-null docvalues field;
+    deletes masked."""
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.delete import delete_by_term
+    from lucene_spark.operators.search import Searcher
+
+    rows = [(i, f"doc number {i} waffle" if i % 3 == 0 else f"doc {i}",
+             (i * 10 if i % 2 == 0 else None)) for i in range(30)]
+    d = str(tmp_path / "fex")
+    build_index(spark, spark.createDataFrame(
+        rows, "doc_id long, content string, score_hint long"),
+        d, num_segments=2)
+    s = Searcher(spark, d)
+    got = sorted(r["doc_id"] for r in s.field_exists("score_hint").collect())
+    assert got == [i for i in range(30) if i % 2 == 0]
+    # tombstoned docs drop out
+    delete_by_term(spark, d, "waffle")
+    s2 = Searcher(spark, d)
+    got2 = sorted(r["doc_id"]
+                  for r in s2.field_exists("score_hint").collect())
+    assert got2 == [i for i in range(30) if i % 2 == 0 and i % 3 != 0]

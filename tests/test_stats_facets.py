@@ -285,3 +285,14 @@ def test_sampled_facet_counts(spark, searcher, corpus, oracle):
     with _pytest.raises(ValueError):
         facets.sampled_facet_counts(searcher, Q.Term("parse"), docs,
                                     "lang", 0.0)
+
+
+def test_all_groups_count(spark, searcher, corpus, oracle):
+    """AllGroupsCollector role: distinct group values over the match
+    set."""
+    docs = spark.createDataFrame(corpus[["doc_id", "lang"]])
+    matched = set(oracle.score(Q.Term("parse")))
+    want = len({row.lang for _, row in corpus.iterrows()
+                if row.doc_id in matched})
+    got = facets.all_groups_count(searcher, Q.Term("parse"), docs, "lang")
+    assert got == want > 0
