@@ -109,6 +109,31 @@ def _searcher_shingle(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(spark, _BUILT[key])
 
 
+def _searcher_cgrams(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with CommonGramsFilter (common set {'the'}): pairs
+    around 'the' emit '_'-joined posInc=0 gram overlaps."""
+    key = "cgrams:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    common_grams=frozenset({"the"}))
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_common_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonGramsFilter build (``analysis/common/.../commongrams/
+    CommonGramsFilter.java``): the 'the_agg' gram scores as a plain
+    TermQuery over the expanded stream's stats."""
+    return _fmt_topk(_searcher_cgrams(spark, sf_dir).search(
+        Q.Term("the_agg"), k=10))
+
+
 def _q_shingle_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ShingleFilter build (``analysis/common/.../shingle/ShingleFilter
     .java:61``): the bigram shingle scores as a plain TermQuery over the
@@ -2507,6 +2532,44 @@ dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
 , """ + _tscore_cte("ts", f"{t1} {t2}") + _topk_sql("ts", k)
 
 
+
+def _common_grams_sql(common: str, t2: str, k: int = 10) -> str:
+    """Oracle for the common-grams build: tok2 = tok + '_'-joined grams
+    for adjacent pairs where either side == ``common``; stats from tok2,
+    norms from the original token count (discountOverlaps)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tok2 AS (SELECT * FROM tok
+         UNION ALL
+         SELECT a.doc_id, a.term || '_' || b.term AS term, a.pos
+         FROM tok a JOIN tok b
+           ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         WHERE a.term = '{common}' OR b.term = '{common}'),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM doclen) AS dc,
+                 (SELECT count(*) FROM tok2) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+, """ + _tscore_cte("ts", t2) + _topk_sql("ts", k)
+
+
 def _common_terms_sql(terms: tuple[str, ...], max_tf: float,
                       k: int = 10) -> str:
     """CommonTermsQuery oracle: df split computed IN SQL against the same
@@ -2643,6 +2706,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regexp_query": _q_regexp,
         "high_freq_terms": _q_high_freq_terms,
         "bm25_shingle_top10": _q_shingle_indexed,
+        "bm25_common_grams_top10": _q_common_grams,
         "dfi_term_top10": _q_dfi_term,
         "boolean_term_top10": _q_boolean_term,
         "fuzzy_suggest_top10": _q_fuzzy_suggest,
@@ -2924,6 +2988,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_synonym_indexed_top10": _synonym_indexed_sql(
             T_THIRD, T_COMMON, T_COMMON),
         "bm25_shingle_top10": _shingle_indexed_sql("part", "filter"),
+        "bm25_common_grams_top10": _common_grams_sql("the", "the_agg"),
         "common_terms_top10": _common_terms_sql(
             (T_COMMON, T_COMMON2, T_RARE), 0.5),
         "interval_ordered_top10": _interval_ordered_sql(

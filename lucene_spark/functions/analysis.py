@@ -264,6 +264,52 @@ def expand_synonyms_text(terms, positions, synonyms):
     return out_t, out_p, n_overlap
 
 
+def expand_common_grams_text(terms, positions, common,
+                             sep: str = "_"):
+    """Per-document CommonGramsFilter twin of
+    :func:`expand_common_grams_batch`. Returns (terms, positions,
+    n_overlap)."""
+    out_t, out_p = list(terms), list(positions)
+    n_over = 0
+    for i in range(len(terms) - 1):
+        if terms[i] in common or terms[i + 1] in common:
+            out_t.append(terms[i] + sep + terms[i + 1])
+            out_p.append(positions[i])
+            n_over += 1
+    return out_t, out_p, n_over
+
+
+def expand_common_grams_batch(doc_idx, terms, positions, n_docs,
+                              common, sep: str = "_"):
+    """CommonGramsFilter at index time (reference ``analysis/common/.../
+    commongrams/CommonGramsFilter.java``): for every pair of stream-
+    adjacent tokens where EITHER is a common word, emit the
+    ``left_right`` gram at the left token's position as a posInc=0
+    overlap token (GRAM_TYPE, separator ``_``) — originals kept, so
+    phrase-heavy stopword queries can hit the gram postings instead.
+    Run this with an EMPTY stop set (the reference chains CommonGrams
+    BEFORE StopFilter so common words still exist in the stream).
+    Returns (doc_idx, terms, positions, overlaps_per_doc)."""
+    total = len(terms)
+    overlaps = np.zeros(n_docs, dtype=np.int64)
+    if total < 2 or not common:
+        return doc_idx, terms, positions, overlaps
+    is_common = pd.Series(terms).isin(common).to_numpy()
+    mask = (doc_idx[1:] == doc_idx[:-1]) \
+        & (is_common[:-1] | is_common[1:])
+    if not mask.any():
+        return doc_idx, terms, positions, overlaps
+    sel = np.nonzero(mask)[0]
+    grams = terms[sel] + np.full(len(sel), sep, dtype=object) \
+        + terms[sel + 1]
+    add_d = doc_idx[sel]
+    overlaps = np.bincount(add_d, minlength=n_docs).astype(np.int64)
+    return (np.concatenate([doc_idx, add_d]),
+            np.concatenate([terms, grams]),
+            np.concatenate([positions, positions[sel]]),
+            overlaps)
+
+
 def expand_shingles_text(terms, positions, min_size: int = 2,
                          max_size: int = 2, sep: str = " ",
                          filler: str = "_"):

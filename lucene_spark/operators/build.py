@@ -62,7 +62,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    payload_delimiter: str | None = None,
                    tokenizer: str = "standard",
                    shingles: tuple | None = None,
-                   ascii_folding: bool = False
+                   ascii_folding: bool = False,
+                   common_grams: frozenset | None = None
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -139,6 +140,16 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         doc_idx, terms, positions, sh_over = expand_shingles_batch(
             doc_idx, terms, positions, n_docs, mn, mx)
         overlaps = overlaps + sh_over
+    if common_grams:
+        # CommonGramsFilter: like shingles but only around common words,
+        # '_' separator; same mutual-exclusion rules
+        if synonyms or payload_delimiter or shingles:
+            raise ValueError("common_grams is mutually exclusive with "
+                             "synonyms, payloads and shingles")
+        from ..functions.analysis import expand_common_grams_batch
+        doc_idx, terms, positions, cg_over = expand_common_grams_batch(
+            doc_idx, terms, positions, n_docs, common_grams)
+        overlaps = overlaps + cg_over
     total_lengths = lengths + overlaps
     norm_lengths = lengths if discount_overlaps else total_lengths
     sum_token_len = int(total_lengths.sum())
@@ -292,7 +303,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   payload_delimiter: str | None = None,
                   tokenizer: str = "standard",
                   shingles: tuple | None = None,
-                  ascii_folding: bool = False):
+                  ascii_folding: bool = False,
+                  common_grams: frozenset | None = None):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -302,7 +314,7 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             pdf, seg_id, content_col, doc_id_col, stopwords, store_positions,
             stemmer, synonyms, discount_overlaps, sort_field,
             sort_ascending, payload_delimiter, tokenizer, shingles,
-            ascii_folding)
+            ascii_folding, common_grams)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -366,7 +378,8 @@ def build_index(spark, df, index_dir: str, *,
                 payload_delimiter: str | None = None,
                 tokenizer: str = "standard",
                 shingles: tuple | None = None,
-                ascii_folding: bool = False):
+                ascii_folding: bool = False,
+                common_grams: frozenset | None = None):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -380,6 +393,9 @@ def build_index(spark, df, index_dir: str, *,
     if shingles and (synonyms or payload_delimiter):
         raise ValueError("shingles are mutually exclusive with "
                          "synonyms and payloads")
+    if common_grams and (synonyms or payload_delimiter or shingles):
+        raise ValueError("common_grams is mutually exclusive with "
+                         "synonyms, payloads and shingles")
     catalog = SnapshotCatalog(index_dir)
     work = df.withColumn(SHA_COL, F.sha2(F.col(content_col).cast("string"), 256))
     work = work.withColumn(SEG_COL,
@@ -395,7 +411,8 @@ def build_index(spark, df, index_dir: str, *,
                             frozenset(stopwords), store_positions, stemmer,
                             synonyms, discount_overlaps,
                             sort_field, sort_ascending, payload_delimiter,
-                            tokenizer, shingles, ascii_folding)
+                            tokenizer, shingles, ascii_folding,
+                            common_grams)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
@@ -430,4 +447,6 @@ def build_index(spark, df, index_dir: str, *,
         extra["payloads"] = True
     if shingles is not None:
         extra["shingles"] = list(shingles)
+    if common_grams:
+        extra["common_grams"] = sorted(common_grams)
     return catalog.commit(segments, field_stats, ts_path, extra=extra)

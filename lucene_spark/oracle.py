@@ -58,7 +58,8 @@ class OracleIndex:
               synonyms: dict | None = None,
               discount_overlaps: bool = True,
               shingles: tuple | None = None,
-              ascii_folding: bool = False) -> "OracleIndex":
+              ascii_folding: bool = False,
+              common_grams: frozenset | None = None) -> "OracleIndex":
         """docs: list of (doc_id, content) — doc_id is the global tie-break
         id. ``synonyms``/``discount_overlaps`` mirror the engine's
         index-time SynonymGraphFilter: overlap tokens count in
@@ -78,6 +79,11 @@ class OracleIndex:
                 from .functions.analysis import expand_shingles_text
                 terms, positions, n_over = expand_shingles_text(
                     terms, positions, *shingles)
+                norm_len = length if discount_overlaps else length + n_over
+            elif common_grams:
+                from .functions.analysis import expand_common_grams_text
+                terms, positions, n_over = expand_common_grams_text(
+                    terms, positions, common_grams)
                 norm_len = length if discount_overlaps else length + n_over
             else:
                 norm_len = length

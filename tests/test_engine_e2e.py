@@ -493,3 +493,48 @@ def test_ascii_folding_build(spark, tmp_path):
         want = [(doc, np.float32(sc)) for doc, sc in oracle.top_k(q, k=10)]
         assert len(want) > 0
         assert got == want, q
+
+
+def test_common_grams_build(spark, tmp_path):
+    """CommonGramsFilter (analysis/common commongrams/CommonGramsFilter
+    .java): pairs around common words emit '_'-joined grams as posInc=0
+    overlaps; the gram scores as a plain TermQuery bit-exact vs the
+    oracle over the same expanded stream."""
+    import numpy as np
+
+    from lucene_spark.functions.analysis import (analyze_text,
+                                                 expand_common_grams_text)
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.oracle import OracleIndex
+    from lucene_spark.plans import query as Q
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(150, seed=47)
+    common = frozenset({"if", "the", "for"})
+    d = str(tmp_path / "cgidx")
+    build_index(spark, spark.createDataFrame(corpus), d,
+                num_segments=3, common_grams=common)
+    s = Searcher(spark, d)
+    oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)),
+                               common_grams=common)
+    assert s.sum_ttf == oracle.sum_ttf
+    gram = max((t for t in oracle.postings if "_" in t
+                and any(p in common for p in t.split("_"))),
+               key=lambda t: len(oracle.postings[t]))
+    for q in (Q.Term(gram), Q.Term("if"),
+              Q.Or((Q.Term(gram), Q.Term("parse")))):
+        got = [(r["doc_id"], np.float32(r["score"]))
+               for r in s.search(q, k=10).collect()]
+        want = [(doc, np.float32(sc)) for doc, sc in oracle.top_k(q, k=10)]
+        assert len(want) > 0 and got == want, q
+    # text twin semantics: gram at left token's position
+    t, p, _ = analyze_text("run the loop")
+    t2, p2, n = expand_common_grams_text(t, p, common)
+    assert ("run_the", 0) in list(zip(t2, p2))
+    assert ("the_loop", 1) in list(zip(t2, p2)) and n == 2
+    import pytest
+    with pytest.raises(ValueError):
+        build_index(spark, spark.createDataFrame(corpus),
+                    str(tmp_path / "bad2"), num_segments=2,
+                    common_grams=common, shingles=(2, 2))
