@@ -310,6 +310,29 @@ def expand_common_grams_batch(doc_idx, terms, positions, n_docs,
             overlaps)
 
 
+def common_grams_query_stream(tokens: list, common,
+                              sep: str = "_") -> list:
+    """CommonGramsQueryFilter role (reference ``analysis/common/.../
+    commongrams/CommonGramsQueryFilter.java``): rewrite a query token
+    sequence so adjacent pairs involving a common word become their
+    ``left_right`` gram (at the left token's position) and unigrams
+    survive only when no gram captured them; an isolated common word
+    (no neighbours) stays a unigram. Returns [(term, position)] for a
+    PhraseQuery with explicit positions against a common-grams index."""
+    n = len(tokens)
+    out = []
+    in_gram = [False] * n
+    for i in range(n - 1):
+        if tokens[i] in common or tokens[i + 1] in common:
+            out.append((tokens[i] + sep + tokens[i + 1], i))
+            in_gram[i] = in_gram[i + 1] = True
+    for i, t in enumerate(tokens):
+        if not in_gram[i]:
+            out.append((t, i))
+    out.sort(key=lambda p: (p[1], p[0]))
+    return out
+
+
 def expand_shingles_text(terms, positions, min_size: int = 2,
                          max_size: int = 2, sep: str = " ",
                          filler: str = "_"):

@@ -538,3 +538,57 @@ def test_common_grams_build(spark, tmp_path):
         build_index(spark, spark.createDataFrame(corpus),
                     str(tmp_path / "bad2"), num_segments=2,
                     common_grams=common, shingles=(2, 2))
+
+
+def test_common_grams_query_filter(spark, tmp_path):
+    """CommonGramsQueryFilter: query phrases containing common words
+    rewrite to gram phrases that hit the common-grams index — same
+    match set as the plain phrase on a plain index, scored over the
+    gram stream, engine ≡ oracle."""
+    import numpy as np
+
+    from lucene_spark.functions.analysis import common_grams_query_stream
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.oracle import OracleIndex
+    from lucene_spark.plans import query as Q
+    from lucene_spark.sources.corpus import generate_corpus
+
+    # rewrite goldens (CommonGramsQueryFilter test shapes)
+    c = frozenset({"the"})
+    assert common_grams_query_stream(["run", "the", "loop"], c) == \
+        [("run_the", 0), ("the_loop", 1)]
+    assert common_grams_query_stream(["the", "fox"], c) == [("the_fox", 0)]
+    assert common_grams_query_stream(["fox", "the"], c) == [("fox_the", 0)]
+    assert common_grams_query_stream(["the"], c) == [("the", 0)]
+    assert common_grams_query_stream(["a", "b"], c) == [("a", 0), ("b", 1)]
+
+    corpus = generate_corpus(150, seed=47)
+    common = frozenset({"if", "the", "for"})
+    d = str(tmp_path / "cgq")
+    build_index(spark, spark.createDataFrame(corpus), d,
+                num_segments=3, common_grams=common)
+    s = Searcher(spark, d)
+    oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)),
+                               common_grams=common)
+    # pick a real adjacent pair around a common word from the oracle
+    gram = max((t for t in oracle.postings if "_" in t
+                and any(p in common for p in t.split("_"))),
+               key=lambda t: len(oracle.postings[t]))
+    a, b = gram.split("_", 1) if gram.count("_") == 1 else (None, None)
+    if a is None:
+        return
+    stream = common_grams_query_stream([a, b], common)
+    terms = tuple(t for t, _ in stream)
+    poss = tuple(p for _, p in stream)
+    q = (Q.Term(terms[0]) if len(terms) == 1
+         else Q.Phrase(terms, positions=poss))
+    got = [(r["doc_id"], np.float32(r["score"]))
+           for r in s.search(q, k=10).collect()]
+    want = [(doc, np.float32(sc)) for doc, sc in oracle.top_k(q, k=10)]
+    assert len(want) > 0 and got == want
+    # gram-phrase match set == plain adjacent-pair phrase match set
+    plain_oracle = OracleIndex.build(
+        list(zip(corpus.doc_id, corpus.content)))
+    plain = set(plain_oracle.score(Q.Phrase((a, b))))
+    assert set(oracle.score(q)) == plain
