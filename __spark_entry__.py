@@ -1561,6 +1561,31 @@ def _q_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _q4(F.col("score")).alias("score_q4"))
 
 
+def _q_search_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """benchmark/quality role (``QualityStats.java:79-130``): P@1/5/10,
+    MRR (top-5 rule), recall and AVP of the 4-query batch workload
+    against per-query judgment sets (docs containing a designated
+    term)."""
+    from functools import reduce
+
+    from lucene_spark.operators.quality import quality_stats
+    s = _searcher(spark, sf_dir)
+    res = (s.search_many(_BATCH_QUERIES, k=10)
+           .select("query_id", "doc_id", "rank"))
+    jm = {"bq_term": T_COMMON2, "bq_or": T_A,
+          "bq_and": T_RARE, "bq_rare": SYN_A}
+    parts = [s.matching_docs(Q.Term(t))
+             .select(F.lit(q).alias("query_id"), "doc_id")
+             for q, t in sorted(jm.items())]
+    judgments = reduce(lambda a, b: a.unionByName(b), parts)
+    out = quality_stats(res, judgments)
+    cols = [F.col("query_id")]
+    for c in ("p_at_1", "p_at_5", "p_at_10", "mrr", "recall", "avp"):
+        cols.append(F.floor(F.col(c) * 1000000).cast("long")
+                    .alias(c + "_q6"))
+    return out.select(*cols)
+
+
 def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     page1 = s.search(Q.Term(T_COMMON), k=10).collect()
@@ -2719,6 +2744,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": _q_facets,
         "sampled_facet_counts": _q_sampled_facets,
         "all_groups_count": _q_all_groups,
+        "search_quality": _q_search_quality,
         "complex_phrase_top10": _q_complex_phrase,
         "sweetspot_term_top10": _q_sweetspot_term,
         "word_break_suggest": _q_word_break,
@@ -3018,6 +3044,55 @@ def oracle_sql() -> dict[str, str]:
         "interval_block_nested_top10": _interval_block_or_sql(
             (T_COMMON, SYN_A), T_COMMON2),
         "tfidf_term_top10": _TFIDF_SQL,
+        "search_quality": "WITH results AS (" + " UNION ALL ".join(
+            f"SELECT '{qid}' AS query_id, doc_id, rank FROM ({sql})"
+            for qid, sql in [
+                ("bq_term", _term_topk_sql(T_COMMON)),
+                ("bq_or", _or2_sql(T_A, T_B)),
+                ("bq_and", _and2_sql(T_COMMON, T_COMMON2)),
+                ("bq_rare", _term_topk_sql(T_RARE)),
+            ]) + f"""),
+jmap(query_id, jterm) AS (VALUES
+  ('bq_term', '{T_COMMON2}'), ('bq_or', '{T_A}'),
+  ('bq_and', '{T_RARE}'), ('bq_rare', '{SYN_A}')),
+tdocs AS (SELECT DISTINCT doc_id, term FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents)),
+judg AS (SELECT m.query_id, t.doc_id
+         FROM jmap m JOIN tdocs t ON t.term = m.jterm),
+flags AS (SELECT r.query_id, r.rank,
+                 CASE WHEN j.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+          FROM results r LEFT JOIN judg j
+            ON j.query_id = r.query_id AND j.doc_id = r.doc_id),
+runs AS (SELECT query_id, rank, rel,
+                sum(rel) OVER (PARTITION BY query_id ORDER BY rank)
+                  AS good
+         FROM flags),
+tot AS (SELECT query_id, count(*) AS maxg FROM judg GROUP BY 1),
+perq AS (SELECT query_id,
+                sum(rel) AS found,
+                sum(CASE WHEN rel = 1
+                         THEN CAST(good AS DOUBLE) / rank END) AS psum,
+                min(CASE WHEN rel = 1 AND rank <= 5 THEN rank END)
+                  AS first5,
+                max(CASE WHEN rank <= 1 THEN good END) AS g1,
+                max(CASE WHEN rank <= 5 THEN good END) AS g5,
+                max(CASE WHEN rank <= 10 THEN good END) AS g10
+         FROM runs GROUP BY 1)
+SELECT p.query_id,
+       CAST(floor(CAST(p.g1 AS DOUBLE) / 1 * 1000000) AS BIGINT)
+         AS p_at_1_q6,
+       CAST(floor(CAST(p.g5 AS DOUBLE) / 5 * 1000000) AS BIGINT)
+         AS p_at_5_q6,
+       CAST(floor(CAST(p.g10 AS DOUBLE) / 10 * 1000000) AS BIGINT)
+         AS p_at_10_q6,
+       CAST(floor(coalesce(1.0 / p.first5, 0) * 1000000) AS BIGINT)
+         AS mrr_q6,
+       CAST(floor(CAST(p.found AS DOUBLE) / t.maxg * 1000000) AS BIGINT)
+         AS recall_q6,
+       CAST(floor(coalesce(p.psum, 0) / t.maxg * 1000000) AS BIGINT)
+         AS avp_q6
+FROM perq p JOIN tot t ON t.query_id = p.query_id""",
         "batch_search": " UNION ALL ".join(
             f"SELECT '{qid}' AS query_id, * FROM ({sql})"
             for qid, sql in [
