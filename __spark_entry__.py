@@ -2923,6 +2923,12 @@ _PRIORITY = [
     "word_break_suggest",
     "term_automaton_top10",
     "infix_suggest",
+    "bm25_repeat_sloppy_top10",
+    "span_posrange_top10",
+    "payload_check_top10",
+    "all_groups_count",
+    "bm25_common_grams_top10",
+    "search_quality",
     "interval_ordered_top10",
     "interval_maxgaps_top10",
     "interval_unordered_top10",
