@@ -333,6 +333,14 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
         if isinstance(node, Q.SpanNear) and \
                 all(isinstance(t, str) for t in node.terms):
             if len(set(node.terms)) != len(node.terms) and node.in_order:
+                # deliberately unsupported: fuzzing the greedy-chain
+                # kernel against containment-antichain enumeration over
+                # injective increasing assignments shows the two diverge
+                # on duplicate streams (23/2000 random cases) — there is
+                # no declaratively-clean semantics the chain kernel
+                # implements, which is exactly the reference's repeats-
+                # machinery quagmire. Unordered duplicates ARE supported
+                # (injective multiset windows).
                 raise NotImplementedError(
                     "ordered SpanNear with duplicate clause terms")
             if any(df_of(t) == 0 for t in node.terms):
