@@ -645,6 +645,57 @@ def split_index(spark, src_dir: str, dest_dir: str,
     return dest.commit(kept, field_stats, ts_path, extra=extra)
 
 
+def multi_pass_split(spark, src_dir: str, out_dirs: list[str]):
+    """MultiPassIndexSplitter role (reference
+    ``misc/src/java/org/apache/lucene/misc/index/
+    MultiPassIndexSplitter.java``): split an index into N parts by
+    round-robin global doc_id — each part is a full segment copy with
+    every document NOT in its share marked DELETED, exactly the
+    reference's "marks documents as deleted" strategy (no re-indexing;
+    stats stay stale until a merge purges, like any tombstone).
+
+    The complement tombstones are computed DISTRIBUTED from each part's
+    doc_meta scan (pushed pmod filter) and written by executors through
+    the shared tombstone-table path — the driver never holds a doc id.
+    Returns the list of committed Snapshots."""
+    from pyspark.sql import functions as F
+
+    from .delete import write_tombstone_table
+    src = SnapshotCatalog(src_dir)
+    snap = src.load()
+    if snap is None:
+        raise ValueError(f"no snapshot in {src_dir}")
+    n = len(out_dirs)
+    if n < 2:
+        raise ValueError("need at least 2 output dirs")
+    snaps = []
+    for i, out in enumerate(out_dirs):
+        part = split_index(spark, src_dir, out, snap.seg_ids)
+        cat = SnapshotCatalog(out)
+        reader_meta = spark.read.parquet(
+            *[os.path.join(cat.segment_dir(sid), "doc_meta.parquet")
+              for sid in part.seg_ids])
+        complement = (reader_meta
+                      .where(F.pmod(F.col("doc_id"), F.lit(n)) != i)
+                      .select(F.col("seg_id").cast("int"),
+                              F.col("local_doc_id").cast("int")))
+        rel_prev = (part.extra or {}).get("deletes")
+        if rel_prev:
+            prev = rel_prev if os.path.isabs(rel_prev)                 else os.path.join(out, rel_prev)
+            complement = complement.unionByName(
+                spark.read.parquet(prev)
+                .select(F.col("seg_id").cast("int"),
+                        F.col("local_doc_id").cast("int")))
+        gen = part.snapshot_id + 1
+        rel, count = write_tombstone_table(spark, cat, gen, complement)
+        extra = dict(part.extra or {})
+        extra["deletes"] = rel
+        extra["num_deleted"] = count
+        snaps.append(cat.commit(part.segments, part.field_stats,
+                                part.term_stats_path, extra=extra))
+    return snaps
+
+
 def maintain(spark, index_dir: str, segs_per_tier: int = 10,
              max_merge_at_once: int = 10, max_concurrent: int = 1):
     """Run tiered merges until the segment count fits the tier policy

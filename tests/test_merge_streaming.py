@@ -373,3 +373,44 @@ def test_streaming_exact_dedup(spark, corpus):
     import hashlib
     want = {hashlib.md5(t.encode()).hexdigest() for t in base.text}
     assert {r["fingerprint"] for r in got.collect()} == want
+
+
+def test_multi_pass_split(spark, corpus):
+    """MultiPassIndexSplitter: round-robin doc split via complement
+    tombstones — every part keeps all segments, masks foreign docs, and
+    searches rank/score-identically to a stale-stats oracle over the
+    full corpus restricted to its share; parts partition the doc set."""
+    from lucene_spark.operators.checkindex import check_index
+    from lucene_spark.operators.merge import multi_pass_split
+
+    src = tempfile.mkdtemp(prefix="lucene_spark_mps_src_")
+    build_index(spark, spark.createDataFrame(corpus), src, num_segments=4)
+    outs = []
+    for i in range(3):
+        o = tempfile.mkdtemp(prefix=f"lucene_spark_mps_{i}_")
+        import shutil as _sh
+        _sh.rmtree(o)
+        outs.append(o)
+    snaps = multi_pass_split(spark, src, outs)
+    assert len(snaps) == 3
+    full_oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+    seen: set = set()
+    for i, o in enumerate(outs):
+        s = Searcher(spark, o)
+        share = {int(d) for d in corpus.doc_id if d % 3 == i}
+        got_docs = {r.doc_id for r in
+                    s.search("parse OR emit OR token", k=10000).collect()}
+        assert got_docs <= share
+        # stale-stats semantics: scores equal the full oracle's, results
+        # filtered to the share
+        for qtext in MQUERIES[:3]:
+            got = [(r.doc_id, np.float32(r.score)) for r in
+                   s.search(qtext, k=10).collect()]
+            scores = [(d, np.float32(sc)) for d, sc in
+                      full_oracle.score(parse(qtext)).items() if d in share]
+            scores.sort(key=lambda p: (-float(p[1]), p[0]))
+            assert got == scores[:10], (i, qtext)
+        assert not (seen & share)
+        seen |= share
+        check_index(o)
+    assert seen == {int(d) for d in corpus.doc_id}
