@@ -137,6 +137,39 @@ def cmd_mlt(args) -> int:
     return 0
 
 
+def cmd_classify(args) -> int:
+    mod = _imp("operators.classify")
+    Searcher = _imp("operators.search").Searcher
+    spark = _spark(args)
+    s = Searcher(spark, args.index)
+    docs = spark.read.parquet(args.docs)
+    labels = docs.selectExpr("doc_id", f"{args.class_col} AS cls")
+    inputs = (docs.where(f"doc_id IN ({args.doc_ids})")
+              .selectExpr("doc_id AS input_id", f"{args.text_col} AS text"))
+    scores = mod.naive_bayes_classify(s, inputs, labels)
+    for r in mod.assign_class(scores).orderBy("input_id").collect():
+        print(f"doc={r['input_id']:<12d} class={r['cls']:<12s} "
+              f"logp={r['score']:.4f}")
+    return 0
+
+
+def cmd_split(args) -> int:
+    mod = _imp("operators.merge")
+    spark = _spark(args)
+    if args.parts:
+        outs = [f"{args.out}-part{i}" for i in range(args.parts)]
+        snaps = mod.multi_pass_split(spark, args.index, outs)
+        for o, sn in zip(outs, snaps):
+            print(f"{o}: snapshot {sn.snapshot_id}, "
+                  f"{sn.extra.get('num_deleted', 0)} tombstoned")
+    else:
+        segs = [int(x) for x in args.segments.split(",")]
+        sn = mod.split_index(spark, args.index, args.out, segs)
+        print(f"{args.out}: snapshot {sn.snapshot_id}, "
+              f"segments {sn.seg_ids}")
+    return 0
+
+
 def cmd_check(args) -> int:
     check_index = _imp("operators.checkindex").check_index
     totals = check_index(args.index, snapshot_id=args.snapshot)
@@ -230,6 +263,26 @@ def main(argv=None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--term", required=True)
     d.set_defaults(fn=cmd_delete)
+
+    cl = sub.add_parser("classify")
+    cl.add_argument("--index", required=True)
+    cl.add_argument("--docs", required=True)
+    cl.add_argument("--doc-ids", dest="doc_ids", required=True,
+                    help="comma-separated doc ids to classify")
+    cl.add_argument("--class-col", dest="class_col", default="lang")
+    cl.add_argument("--text-col", dest="text_col", default="text")
+    cl.add_argument("--master", default="local[*]")
+    cl.set_defaults(fn=cmd_classify)
+
+    sp = sub.add_parser("split")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--segments", default=None,
+                    help="comma-separated seg ids (IndexSplitter mode)")
+    sp.add_argument("--parts", type=int, default=None,
+                    help="N round-robin parts (MultiPassIndexSplitter)")
+    sp.add_argument("--master", default="local[*]")
+    sp.set_defaults(fn=cmd_split)
 
     z = sub.add_parser("zip")
     z.add_argument("out")

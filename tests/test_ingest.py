@@ -83,3 +83,32 @@ def test_read_corpus_csv_existing_id_cast(spark, tmp_path):
     df = read_corpus(spark, str(p), fmt="csv")
     assert dict(df.dtypes)["doc_id"] == "bigint"
     assert sorted(r["doc_id"] for r in df.collect()) == [0, 10, 20, 30, 40]
+
+
+def test_cli_classify_and_split(spark):
+    """cli classify (NaiveBayes argmax) and split (both splitter modes)
+    run end to end."""
+    from lucene_spark import cli
+    from lucene_spark.sources.catalog import SnapshotCatalog
+
+    pdf = generate_corpus(60, seed=65)
+    pdf["lang"] = [f"c{int(d) % 2}" for d in pdf.doc_id]
+    d = tempfile.mkdtemp(prefix="lucene_spark_clicls_")
+    src = os.path.join(d, "docs_parquet")
+    os.makedirs(src, exist_ok=True)
+    pdf.rename(columns={"content": "text"}).to_parquet(
+        os.path.join(src, "part-0.parquet"))
+    idx = os.path.join(d, "idx")
+    assert cli.main(["build", "--input", src, "--index", idx,
+                     "--segments", "2", "--content-col", "text"]) == 0
+    assert cli.main(["classify", "--index", idx, "--docs", src,
+                     "--doc-ids", "0,1,2"]) == 0
+    out1 = os.path.join(d, "split_one")
+    assert cli.main(["split", "--index", idx, "--out", out1,
+                     "--segments", "0"]) == 0
+    assert SnapshotCatalog(out1).load().seg_ids == [0]
+    out2 = os.path.join(d, "split_multi")
+    assert cli.main(["split", "--index", idx, "--out", out2,
+                     "--parts", "2"]) == 0
+    assert SnapshotCatalog(out2 + "-part0").load() is not None
+    assert SnapshotCatalog(out2 + "-part1").load() is not None
