@@ -255,8 +255,14 @@ class Monitor:
                 self.always.append(qid)
 
     def match_batch(self, docs_df, id_col: str = "doc_id",
-                    text_col: str = "text"):
-        """DataFrame (doc_id, query_id) of every match in ``docs_df``."""
+                    text_col: str = "text", scoring: bool = False):
+        """DataFrame (doc_id, query_id) of every match in ``docs_df``;
+        with ``scoring=True`` a ``score float`` column is added — the
+        reference's ScoringMatch matcher (``monitor/ScoringMatch
+        .java:30-48``): each match scores against the DOCUMENT'S OWN
+        single-doc memory index (N=1, df=1 for present terms, avgdl =
+        the doc's length), BM25 float32 — computed here by the shared
+        brute-force oracle over a one-doc index."""
         queries = self.queries
         stopwords, stemmer = self.stopwords, self.stemmer
         term_map, always = self.term_map, self.always
@@ -270,7 +276,7 @@ class Monitor:
                     pdf[text_col].astype("string").fillna(""),
                     stopwords=stopwords, stemmer=stemmer)
                 ids = pdf[id_col].to_numpy()
-                out_doc, out_q = [], []
+                out_doc, out_q, out_s = [], [], []
                 for i in range(len(pdf)):
                     sel = doc_idx == i
                     tlist = terms[sel]
@@ -286,15 +292,34 @@ class Monitor:
                                 cand[qid] = None
                     else:
                         cand = queries
+                    one_doc = None
                     for qid in cand:
                         if _matches(queries[qid], tset, pos_map):
                             out_doc.append(ids[i])
                             out_q.append(qid)
-                yield pd.DataFrame({"doc_id": np.asarray(out_doc,
-                                                         dtype=np.int64),
-                                    "query_id": out_q})
+                            if scoring:
+                                if one_doc is None:
+                                    from ..oracle import OracleIndex
+                                    one_doc = OracleIndex.build(
+                                        [(0, str(pdf[text_col].iloc[i]))],
+                                        stopwords=stopwords,
+                                        stemmer=stemmer)
+                                sc = one_doc.score(queries[qid]).get(0, 0.0)
+                                if float(sc) <= 0.0:
+                                    # ScoringMatch.doMatch drops score<=0
+                                    out_doc.pop()
+                                    out_q.pop()
+                                    continue
+                                out_s.append(float(sc))
+                cols = {"doc_id": np.asarray(out_doc, dtype=np.int64),
+                        "query_id": out_q}
+                if scoring:
+                    cols["score"] = np.asarray(out_s, dtype=np.float32)
+                yield pd.DataFrame(cols)
 
-        return docs_df.mapInPandas(run, "doc_id long, query_id string")
+        schema = "doc_id long, query_id string" + (
+            ", score float" if scoring else "")
+        return docs_df.mapInPandas(run, schema)
 
     def start(self, source_stream_df, out_path: str, *,
               checkpoint_dir: str, id_col: str = "doc_id",

