@@ -149,6 +149,64 @@ def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
     raise TypeError(type(node))
 
 
+def _positive_terms(node, doc_terms: set) -> set:
+    """Positive term leaves of a query for highlight reporting, with
+    multiterm leaves expanded against the DOC'S OWN term set (like the
+    percolator's evaluation)."""
+    import fnmatch as _fn
+    if isinstance(node, Q.Term):
+        return {node.term}
+    if isinstance(node, (Q.Synonym, Q.CommonTerms)):
+        return set(node.terms)
+    if isinstance(node, Q.Phrase):
+        return set(node.terms)
+    if isinstance(node, Q.MultiPhrase):
+        return {t for slot in node.slots for t in slot}
+    if isinstance(node, Q.MultiTerm):
+        if node.kind == "prefix":
+            return {t for t in doc_terms
+                    if t.startswith(str(node.value))}
+        if node.kind == "wildcard":
+            return {t for t in doc_terms
+                    if _fn.fnmatchcase(t, str(node.value))}
+        if node.kind == "fuzzy":
+            from ..oracle import _levenshtein
+            base = str(node.value)
+            return {t for t in doc_terms
+                    if abs(len(t) - len(base)) <= node.edits
+                    and _levenshtein(t, base) <= node.edits}
+        if node.kind == "regexp":
+            import re as _re
+            pat = _re.compile(str(node.value))
+            return {t for t in doc_terms if pat.fullmatch(t)}
+        if node.kind == "range":
+            lo, hi, lo_inc, hi_inc = node.value
+            return {t for t in doc_terms
+                    if (lo < t or (lo_inc and t == lo))
+                    and (t < hi or (hi_inc and t == hi))}
+        return set()
+    if isinstance(node, (Q.Or, Q.And, Q.DisMax)):
+        out: set = set()
+        for c in node.clauses:
+            out |= _positive_terms(c, doc_terms)
+        return out
+    if isinstance(node, Q.Not):
+        return _positive_terms(node.positive, doc_terms)
+    if isinstance(node, (Q.SpanNear, Q.SpanOr, Q.SpanNot, Q.SpanFirst,
+                         Q.SpanPositionRange, Q.SpanContaining,
+                         Q.SpanWithin)):
+        from ..functions.spans import span_tree_terms
+        from ..operators.search import _span_tree
+        return set(span_tree_terms(_span_tree(node), positive_only=True))
+    if isinstance(node, Q.Interval):
+        from ..functions.intervals import interval_tree_terms
+        try:
+            return set(interval_tree_terms(node.tree))
+        except Exception:
+            return set()
+    return set()
+
+
 def _anchor_terms(node) -> set | None:
     """Presearcher term extraction (the reference's
     ``monitor/TermFilteredPresearcher.java`` role): a set of terms such
@@ -255,14 +313,22 @@ class Monitor:
                 self.always.append(qid)
 
     def match_batch(self, docs_df, id_col: str = "doc_id",
-                    text_col: str = "text", scoring: bool = False):
+                    text_col: str = "text", scoring: bool = False,
+                    highlights: bool = False):
         """DataFrame (doc_id, query_id) of every match in ``docs_df``;
         with ``scoring=True`` a ``score float`` column is added — the
         reference's ScoringMatch matcher (``monitor/ScoringMatch
         .java:30-48``): each match scores against the DOCUMENT'S OWN
         single-doc memory index (N=1, df=1 for present terms, avgdl =
         the doc's length), BM25 float32 — computed here by the shared
-        brute-force oracle over a one-doc index."""
+        brute-force oracle over a one-doc index. ``highlights=True``
+        adds a ``hits array<int>`` column — the HighlightsMatch matcher
+        role (``monitor/HighlightsMatch.java:36``): the matched
+        positions, reported at TERM level (sorted positions of the
+        query's positive terms present in the doc; the reference's
+        Matches API reports per-leaf iterators the same way for term
+        leaves — phrase/span interval grouping is not reconstructed,
+        documented subset)."""
         queries = self.queries
         stopwords, stemmer = self.stopwords, self.stemmer
         term_map, always = self.term_map, self.always
@@ -276,7 +342,7 @@ class Monitor:
                     pdf[text_col].astype("string").fillna(""),
                     stopwords=stopwords, stemmer=stemmer)
                 ids = pdf[id_col].to_numpy()
-                out_doc, out_q, out_s = [], [], []
+                out_doc, out_q, out_s, out_h = [], [], [], []
                 for i in range(len(pdf)):
                     sel = doc_idx == i
                     tlist = terms[sel]
@@ -311,14 +377,23 @@ class Monitor:
                                     out_q.pop()
                                     continue
                                 out_s.append(float(sc))
+                            if highlights:
+                                hit = sorted({int(pp)
+                                              for t in _positive_terms(
+                                                  queries[qid], tset)
+                                              for pp in pos_map.get(t, ())})
+                                out_h.append(hit)
                 cols = {"doc_id": np.asarray(out_doc, dtype=np.int64),
                         "query_id": out_q}
                 if scoring:
                     cols["score"] = np.asarray(out_s, dtype=np.float32)
+                if highlights:
+                    cols["hits"] = out_h
                 yield pd.DataFrame(cols)
 
         schema = "doc_id long, query_id string" + (
-            ", score float" if scoring else "")
+            ", score float" if scoring else "") + (
+            ", hits array<int>" if highlights else "")
         return docs_df.mapInPandas(run, schema)
 
     def start(self, source_stream_df, out_path: str, *,

@@ -150,3 +150,32 @@ def test_scoring_matches(spark, corpus, oracle):
     plain = {(int(r["doc_id"]), r["query_id"])
              for r in mon.match_batch(docs).collect()}
     assert set(got) == plain
+
+
+def test_highlights_matches(spark, corpus, oracle):
+    """HighlightsMatch matcher role (monitor/HighlightsMatch.java:36):
+    matches carry the positions of the query's positive terms in the
+    doc (term-level subset) — verified against the analyzed stream."""
+    from lucene_spark.functions.analysis import analyze_text
+
+    docs = spark.createDataFrame(corpus) \
+        .selectExpr("doc_id", "content AS text")
+    mon = Monitor({"q_term": "parse", "q_pref": "par*",
+                   "q_not": "parse -codec"})
+    rows = mon.match_batch(docs, highlights=True).collect()
+    assert len(rows) > 0
+    texts = dict(zip(corpus.doc_id, corpus.content))
+    for r in rows[:60]:
+        terms, poss, _ = analyze_text(texts[r["doc_id"]])
+        if r["query_id"] == "q_term":
+            want = sorted(p for t, p in zip(terms, poss) if t == "parse")
+        elif r["query_id"] == "q_pref":
+            want = sorted(p for t, p in zip(terms, poss)
+                          if t.startswith("par"))
+        else:   # negative side must NOT be highlighted
+            want = sorted(p for t, p in zip(terms, poss) if t == "parse")
+        assert list(r["hits"]) == want, (r["doc_id"], r["query_id"])
+    # match set invariant under highlight mode
+    plain = {(int(r["doc_id"]), r["query_id"])
+             for r in mon.match_batch(docs).collect()}
+    assert {(int(r["doc_id"]), r["query_id"]) for r in rows} == plain
