@@ -2113,6 +2113,18 @@ def _q_boolean_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.Term(T_COMMON, boost=1.5), k=10))
 
 
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-pipeline op): corpus docs
+    sharing >= 1 distinct 8-gram shingle with the 'eval set' (docs
+    0-19); eval docs flag themselves (hits = their own shingle count),
+    which is the point — verbatim leakage is caught."""
+    from lucene_spark.pipeline.contamination import contamination_flags
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 20)
+    return (contamination_flags(docs, bench, n=8)
+            .select("doc_id", F.col("hits").cast("long").alias("hits")))
+
+
 def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimpleNaiveBayesClassifier batch (reference
     ``classification/SimpleNaiveBayesClassifier.java:139-286``): classify
@@ -2745,6 +2757,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_facet_counts": _q_sampled_facets,
         "all_groups_count": _q_all_groups,
         "search_quality": _q_search_quality,
+        "decontamination_flags": _q_decontamination,
         "complex_phrase_top10": _q_complex_phrase,
         "sweetspot_term_top10": _q_sweetspot_term,
         "word_break_suggest": _q_word_break,
@@ -3208,6 +3221,22 @@ dfq AS (
               AS FLOAT) AS s
   FROM dv
 )""" + _topk_sql("dfq", 10),
+        "decontamination_flags": """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 8
+              THEN array_to_string(t[i+1:i+8], ' ')
+              ELSE array_to_string(t, ' ') END AS shingle
+  FROM toks,
+       unnest(range(0, greatest(len(t) - 8, 0) + 1)) AS x(i)
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+bsh AS (SELECT DISTINCT shingle FROM shd WHERE doc_id < 20)
+SELECT s.doc_id, CAST(count(DISTINCT s.shingle) AS BIGINT) AS hits
+FROM shd s JOIN bsh b ON b.shingle = s.shingle
+GROUP BY 1""",
         "nb_classify_docs": _PRELUDE + """,
 sdf AS (SELECT CAST(sum(df) AS DOUBLE) AS s FROM dfs),
 avgu AS (SELECT s / CAST((SELECT dc FROM avgs) AS DOUBLE) AS au FROM sdf),

@@ -306,3 +306,44 @@ def test_ivf_sampled_training_recall(spark):
     g = {(r["query_id"], r["rank"]): r["neighbor_id"]
          for r in got.collect()}
     assert b == g
+
+
+def test_contamination(spark):
+    """Decontamination: docs sharing >= min_hits n-gram shingles with
+    the benchmark set are flagged and dropped — vs a brute set twin."""
+    from lucene_spark.pipeline.contamination import (contamination_flags,
+                                                     decontaminate)
+
+    def sh(text, n=4):
+        toks = text.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "totally unrelated content goes right here"),
+        (2, "prefix words then beta gamma delta epsilon tail"),
+        (3, "gamma delta epsilon zeta eta theta"),
+        (4, "short doc"),
+    ]
+    bench = [(100, "x beta gamma delta epsilon y"),
+             (101, "short doc")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {r["doc_id"]: r["hits"] for r in
+           contamination_flags(ddf, bdf, n=4).collect()}
+    bench_sh = set().union(*(sh(t, 4) for _, t in bench))
+    want = {}
+    for d, t in docs:
+        hits = len(sh(t, 4) & bench_sh)
+        if hits >= 1:
+            want[d] = hits
+    assert got == want and 0 in got and 4 in got and 1 not in got
+    survivors = sorted(r["doc_id"] for r in
+                       decontaminate(ddf, bdf, n=4).collect())
+    assert survivors == sorted(set(d for d, _ in docs) - set(want))
+    # min_hits threshold
+    strict = {r["doc_id"] for r in
+              contamination_flags(ddf, bdf, n=4, min_hits=3).collect()}
+    assert strict == {d for d, h in want.items() if h >= 3}
