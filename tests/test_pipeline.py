@@ -347,3 +347,31 @@ def test_contamination(spark):
     strict = {r["doc_id"] for r in
               contamination_flags(ddf, bdf, n=4, min_hits=3).collect()}
     assert strict == {d for d, h in want.items() if h >= 3}
+
+
+def test_redact_pii(spark):
+    """PII redaction: emails/IPs/phones replaced with placeholders, per-
+    kind counts recorded; clean text untouched."""
+    from lucene_spark.pipeline.redact import redact_pii
+
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk or 192.168.0.1 now"),
+        (1, "call (555) 123-4567 or +44 555 123 4567 today"),
+        (2, "perfectly clean text with numbers 12345 and 3.14"),
+        (3, "a@b.io a@b.io twice and 10.0.0.255"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert out[0]["text"] == "contact <EMAIL> or <IP> now"
+    assert out[0]["n_email"] == 1 and out[0]["n_ip"] == 1
+    assert "<PHONE>" in out[1]["text"] and out[1]["n_phone"] >= 2
+    assert "555" not in out[1]["text"]
+    assert out[2]["text"] == rows[2][1]
+    assert out[2]["n_email"] == out[2]["n_ip"] == out[2]["n_phone"] == 0
+    assert out[3]["text"].count("<EMAIL>") == 2 and out[3]["n_email"] == 2
+    assert out[3]["text"].count("<IP>") == 1
+    # selective kinds + separate out column
+    only_mail = redact_pii(df, kinds=("EMAIL",), out_col="clean") \
+        .filter("doc_id = 0").collect()[0]
+    assert only_mail["clean"] == "contact <EMAIL> or 192.168.0.1 now"
+    assert only_mail["text"] == rows[0][1]
