@@ -2113,6 +2113,19 @@ def _q_boolean_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.Term(T_COMMON, boost=1.5), k=10))
 
 
+def _q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing (pipeline/shard.py): exact global token
+    offsets in doc_id order via the two-pass distributed cumsum, shard
+    = offset // 5000."""
+    from lucene_spark.pipeline.shard import assign_shards
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return (assign_shards(docs, 5000)
+            .select("doc_id",
+                    F.col("token_offset").cast("long")
+                    .alias("token_offset"),
+                    F.col("shard_id").cast("long").alias("shard_id")))
+
+
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (training-pipeline op): corpus docs
     sharing >= 1 distinct 8-gram shingle with the 'eval set' (docs
@@ -2758,6 +2771,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all_groups_count": _q_all_groups,
         "search_quality": _q_search_quality,
         "decontamination_flags": _q_decontamination,
+        "shard_assignment": _q_shard_assignment,
         "complex_phrase_top10": _q_complex_phrase,
         "sweetspot_term_top10": _q_sweetspot_term,
         "word_break_suggest": _q_word_break,
@@ -3221,6 +3235,17 @@ dfq AS (
               AS FLOAT) AS s
   FROM dv
 )""" + _topk_sql("dfq", 10),
+        "shard_assignment": """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+           FROM documents),
+o AS (SELECT doc_id,
+             coalesce(sum(n) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM t)
+SELECT doc_id, CAST(off AS BIGINT) AS token_offset,
+       CAST(off // 5000 AS BIGINT) AS shard_id
+FROM o""",
         "decontamination_flags": """
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),

@@ -375,3 +375,41 @@ def test_redact_pii(spark):
         .filter("doc_id = 0").collect()[0]
     assert only_mail["clean"] == "contact <EMAIL> or 192.168.0.1 now"
     assert only_mail["text"] == rows[0][1]
+
+
+def test_shard_assignment(spark, tmp_path):
+    """Two-pass distributed cumsum sharding: exact global token offsets
+    in doc_id order (vs a single-machine cumsum), stable shard ids,
+    partitioned write round-trips."""
+    import numpy as np
+
+    from lucene_spark.pipeline.shard import assign_shards, write_shards
+    from lucene_spark.sources.corpus import generate_corpus
+
+    pdf = generate_corpus(300, seed=71).rename(columns={"content": "text"})
+    df = spark.createDataFrame(pdf[["doc_id", "text"]])
+    got = (assign_shards(df, tokens_per_shard=5000, num_partitions=7)
+           .orderBy("doc_id")
+           .select("doc_id", "n_tokens", "token_offset", "shard_id")
+           .toPandas())
+    ref = pdf.sort_values("doc_id").reset_index(drop=True)
+    n_tokens = ref.text.str.split(" ").str.len().to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(n_tokens)[:-1]))
+    assert (got.doc_id.to_numpy() == ref.doc_id.to_numpy()).all()
+    assert (got.n_tokens.to_numpy() == n_tokens).all()
+    assert (got.token_offset.to_numpy() == offsets).all()
+    assert (got.shard_id.to_numpy() == offsets // 5000).all()
+    assert got.shard_id.nunique() > 1
+    # determinism across partition counts
+    got3 = (assign_shards(df, 5000, num_partitions=3)
+            .orderBy("doc_id").select("token_offset").toPandas())
+    assert (got3.token_offset.to_numpy() == offsets).all()
+    # partitioned write round-trips with the same assignment
+    out = str(tmp_path / "shards")
+    write_shards(df, out, 5000, num_partitions=4)
+    back = spark.read.parquet(out).orderBy("doc_id") \
+        .select("doc_id", "shard_id").toPandas()
+    assert (back.shard_id.to_numpy() == offsets // 5000).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        assign_shards(df, 0)
