@@ -2113,6 +2113,16 @@ def _q_boolean_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.Term(T_COMMON, boost=1.5), k=10))
 
 
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing (pipeline/mix.py): equal-token lang
+    recipe, md5-cut selection; returns the kept doc set with its lang."""
+    from lucene_spark.pipeline.mix import sample_to_mixture
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    w = {l: 0.2 for l in ("de", "en", "es", "fr", "zh")}
+    return (sample_to_mixture(docs, w, domain_col="lang")
+            .select("doc_id", "lang"))
+
+
 def _q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard packing (pipeline/shard.py): exact global token
     offsets in doc_id order via the two-pass distributed cumsum, shard
@@ -2772,6 +2782,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_quality": _q_search_quality,
         "decontamination_flags": _q_decontamination,
         "shard_assignment": _q_shard_assignment,
+        "mixture_sample": _q_mixture_sample,
         "complex_phrase_top10": _q_complex_phrase,
         "sweetspot_term_top10": _q_sweetspot_term,
         "word_break_suggest": _q_word_break,
@@ -3235,6 +3246,21 @@ dfq AS (
               AS FLOAT) AS s
   FROM dv
 )""" + _topk_sql("dfq", 10),
+        "mixture_sample": """
+WITH toks AS (SELECT lang, sum(len(string_split(text, ' '))) AS t
+              FROM documents GROUP BY 1),
+tstar AS (SELECT min(t / 0.2) AS ts FROM toks),
+rates AS (SELECT lang,
+                 0.2 * (SELECT ts FROM tstar) / t AS rate
+          FROM toks),
+cuts AS (SELECT lang,
+                CASE WHEN rate >= 1.0 THEN 'g'
+                     ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296)
+                                           AS BIGINT))), 8, '0') END AS cut
+         FROM rates)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cuts c ON c.lang = d.lang
+WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < c.cut""",
         "shard_assignment": """
 WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
            FROM documents),

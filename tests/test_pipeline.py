@@ -413,3 +413,39 @@ def test_shard_assignment(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         assign_shards(df, 0)
+
+
+def test_mixture_sampling(spark):
+    """Deterministic domain mixing: rates realize the recipe at the
+    largest feasible total (binding domain keeps all), selection is the
+    md5 cut — vs a brute twin."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from lucene_spark.pipeline.mix import mixture_rates, sample_to_mixture
+
+    rows = []
+    for i in range(300):
+        dom = "web" if i % 3 else "code"          # web ≈ 2x code docs
+        rows.append((i, dom, "tok " * (5 + i % 7)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = {"web": 0.5, "code": 0.5}
+    rates = mixture_rates(df, w)
+    toks = {}
+    for i, dom, t in rows:
+        toks[dom] = toks.get(dom, 0) + len(t.split(" "))
+    t_star = min(toks[d] / wd for d, wd in w.items())
+    for d in w:
+        assert rates[d] == _pytest.approx(w[d] * t_star / toks[d])
+    assert max(rates.values()) == _pytest.approx(1.0)   # binding domain
+    kept = {r["doc_id"] for r in sample_to_mixture(df, w).collect()}
+    cuts = {d: ("g" if r >= 1.0 else format(int(r * 16**8), "08x"))
+            for d, r in rates.items()}
+    want = {i for i, dom, _ in rows
+            if hashlib.md5(str(i).encode()).hexdigest()[:8] < cuts[dom]}
+    assert kept == want and 0 < len(kept) < len(rows)
+    with _pytest.raises(ValueError):
+        mixture_rates(df, {"web": 0.7})               # doesn't sum to 1
+    with _pytest.raises(ValueError):
+        mixture_rates(df, {"web": 0.5, "papers": 0.5})  # absent domain
