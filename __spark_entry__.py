@@ -2113,6 +2113,20 @@ def _q_boolean_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.Term(T_COMMON, boost=1.5), k=10))
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (pipeline/repetition.py): dup/
+    top 3-gram occurrence fractions per doc, q6-quantized."""
+    from lucene_spark.pipeline.repetition import repetition_stats
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    res = repetition_stats(docs, n=3)
+    return res.select(
+        "doc_id",
+        F.floor(F.col("dup_3gram_frac") * 1000000).cast("long")
+        .alias("dup_q6"),
+        F.floor(F.col("top_3gram_frac") * 1000000).cast("long")
+        .alias("top_q6"))
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain mixing (pipeline/mix.py): equal-token lang
     recipe, md5-cut selection; returns the kept doc set with its lang."""
@@ -2783,6 +2797,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_flags": _q_decontamination,
         "shard_assignment": _q_shard_assignment,
         "mixture_sample": _q_mixture_sample,
+        "repetition_stats": _q_repetition,
         "complex_phrase_top10": _q_complex_phrase,
         "sweetspot_term_top10": _q_sweetspot_term,
         "word_break_suggest": _q_word_break,
@@ -3246,6 +3261,23 @@ dfq AS (
               AS FLOAT) AS s
   FROM dv
 )""" + _topk_sql("dfq", 10),
+        "repetition_stats": """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN array_to_string(t[i+1:i+3], ' ')
+              ELSE array_to_string(t, ' ') END AS g
+  FROM toks, unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS x(i)
+),
+per AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(floor(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                  / sum(c) * 1000000) AS BIGINT) AS dup_q6,
+       CAST(floor(CAST(max(c) AS DOUBLE) / sum(c) * 1000000) AS BIGINT)
+         AS top_q6
+FROM per GROUP BY 1""",
         "mixture_sample": """
 WITH toks AS (SELECT lang, sum(len(string_split(text, ' '))) AS t
               FROM documents GROUP BY 1),

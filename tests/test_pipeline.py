@@ -449,3 +449,31 @@ def test_mixture_sampling(spark):
         mixture_rates(df, {"web": 0.7})               # doesn't sum to 1
     with _pytest.raises(ValueError):
         mixture_rates(df, {"web": 0.5, "papers": 0.5})  # absent domain
+def test_repetition_stats(spark):
+    """Gopher-style repetition signals vs brute counting."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from lucene_spark.pipeline.repetition import repetition_stats
+
+    rows = [
+        (0, "a b c a b c a b c"),          # heavy 3-gram repetition
+        (1, "all words unique here now"),
+        (2, "x y"),                         # shorter than n
+        (3, "p q r p q r s t u"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_stats(df, n=3).collect()}
+    for d, t in rows:
+        toks = t.lower().split()
+        grams = ([" ".join(toks[i:i + 3])
+                  for i in range(len(toks) - 2)]
+                 if len(toks) >= 3 else [" ".join(toks)])
+        c = Counter(grams)
+        dup = sum(v for v in c.values() if v > 1) / len(grams)
+        top = max(c.values()) / len(grams)
+        assert got[d]["dup_3gram_frac"] == _pytest.approx(dup), d
+        assert got[d]["top_3gram_frac"] == _pytest.approx(top), d
+    assert got[0]["dup_3gram_frac"] > 0.9 and got[1]["dup_3gram_frac"] == 0
