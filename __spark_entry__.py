@@ -2113,6 +2113,16 @@ def _q_boolean_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.Term(T_COMMON, boost=1.5), k=10))
 
 
+def _q_span_not_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNotQuery with pre/post exclusion windows (``queries/spans/
+    SpanNotQuery.java`` 4-arg ctor): unordered near windows surviving
+    no T_RARE within 2 tokens either side."""
+    q = Q.SpanNot(Q.SpanNear((T_COMMON, T_THIRD), slop=2,
+                             in_order=False),
+                  Q.Term(T_RARE), pre=2, post=2)
+    return _fmt_topk(_searcher(spark, sf_dir).search(q, k=10))
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (pipeline/repetition.py): dup/
     top 3-gram occurrence fractions per doc, q6-quantized."""
@@ -2798,6 +2808,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignment": _q_shard_assignment,
         "mixture_sample": _q_mixture_sample,
         "repetition_stats": _q_repetition,
+        "span_not_window_top10": _q_span_not_window,
         "complex_phrase_top10": _q_complex_phrase,
         "sweetspot_term_top10": _q_sweetspot_term,
         "word_break_suggest": _q_word_break,
@@ -3261,6 +3272,16 @@ dfq AS (
               AS FLOAT) AS s
   FROM dv
 )""" + _topk_sql("dfq", 10),
+        "span_not_window_top10": _PRELUDE + ","
+        + _span_windows_cte((T_COMMON, T_THIRD), 2) + f""",
+keptw AS (SELECT w.doc_id, w.ml FROM wins w
+          WHERE NOT EXISTS (SELECT 1 FROM tok e
+                            WHERE e.doc_id = w.doc_id
+                              AND e.term = '{T_RARE}'
+                              AND e.pos BETWEEN w.l - 2 AND w.r + 2)),
+keptwf AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+           FROM keptw GROUP BY 1)"""
+        + _span_score_sql("keptwf", (T_COMMON, T_THIRD), 10),
         "repetition_stats": """
 WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
               FROM documents),

@@ -264,10 +264,14 @@ def or_spans(span_lists: list[np.ndarray]) -> np.ndarray:
     return allsp[order]
 
 
-def not_spans(include: np.ndarray, exclude: np.ndarray) -> np.ndarray:
+def not_spans(include: np.ndarray, exclude: np.ndarray,
+              pre: int = 0, post: int = 0) -> np.ndarray:
     """Spans of ``include`` that do not overlap any ``exclude`` span
-    (SpanNotQuery with pre = post = 0): [s,e) overlaps [s2,e2) iff
-    s < e2 and s2 < e."""
+    within ``pre`` tokens before / ``post`` tokens after
+    (SpanNotQuery(include, exclude, pre, post) — pre = post = 0 is the
+    plain exclusion): the include span dilated to
+    [s - pre, e + post) must not overlap [s2, e2); overlap iff
+    s - pre < e2 and s2 < e + post."""
     if len(include) == 0 or len(exclude) == 0:
         return include
     starts = np.sort(exclude[:, 0])
@@ -275,9 +279,10 @@ def not_spans(include: np.ndarray, exclude: np.ndarray) -> np.ndarray:
     order = np.argsort(exclude[:, 0], kind="mergesort")
     ends_sorted = exclude[order, 1]
     pmax = np.maximum.accumulate(ends_sorted)
-    # candidates: exclude spans with start < include end
-    idx = np.searchsorted(starts, include[:, 1], side="left")
-    has_overlap = (idx > 0) & (pmax[np.maximum(idx - 1, 0)] > include[:, 0])
+    # candidates: exclude spans with start < dilated include end
+    idx = np.searchsorted(starts, include[:, 1] + post, side="left")
+    has_overlap = (idx > 0) & (pmax[np.maximum(idx - 1, 0)]
+                               > include[:, 0] - pre)
     return include[~has_overlap]
 
 
@@ -347,6 +352,7 @@ def eval_span_tree(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
       ("term", t) | ("near", terms, slop, in_order)
       | ("nearspans", (child, ...), slop, in_order)   — nested SpanNear
       | ("or", (child, ...)) | ("not", include, exclude)
+      | ("notwin", include, exclude, pre, post)
       | ("first", child, end) | ("posrange", child, start, end)
       | ("contain", big, little) | ("within", little, big)
     """
@@ -364,6 +370,10 @@ def eval_span_tree(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
     if kind == "not":
         return not_spans(eval_span_tree(tree[1], pmap),
                          eval_span_tree(tree[2], pmap))
+    if kind == "notwin":
+        return not_spans(eval_span_tree(tree[1], pmap),
+                         eval_span_tree(tree[2], pmap),
+                         tree[3], tree[4])
     if kind == "first":
         return first_spans(eval_span_tree(tree[1], pmap), tree[2])
     if kind == "posrange":
@@ -399,7 +409,7 @@ def span_tree_terms(tree, positive_only: bool = False) -> list[str]:
         for c in tree[1]:
             out.extend(span_tree_terms(c, positive_only))
         return out
-    if kind == "not":
+    if kind in ("not", "notwin"):
         inc = span_tree_terms(tree[1], positive_only)
         if positive_only:
             return inc
@@ -695,6 +705,12 @@ def eval_span_tree_batch(tree, key_pmap: dict[str, np.ndarray]
     if kind == "not":
         return not_spans(eval_span_tree_batch(tree[1], key_pmap),
                          eval_span_tree_batch(tree[2], key_pmap))
+    if kind == "notwin":
+        # global doc-major keys: dilation by a few positions never
+        # crosses the 2^32 doc spacing (positions ≪ 2^32)
+        return not_spans(eval_span_tree_batch(tree[1], key_pmap),
+                         eval_span_tree_batch(tree[2], key_pmap),
+                         tree[3], tree[4])
     if kind == "first":
         sp = eval_span_tree_batch(tree[1], key_pmap)
         if len(sp) == 0:

@@ -460,6 +460,10 @@ def _span_tree(node) -> tuple:
     if isinstance(node, Q.SpanOr):
         return ("or", tuple(_span_tree(c) for c in node.clauses))
     if isinstance(node, Q.SpanNot):
+        if node.pre or node.post:
+            return ("notwin", _span_tree(node.include),
+                    _span_tree(node.exclude), int(node.pre),
+                    int(node.post))
         return ("not", _span_tree(node.include), _span_tree(node.exclude))
     if isinstance(node, Q.SpanFirst):
         return ("first", _span_tree(node.match), int(node.end))
@@ -1543,7 +1547,7 @@ class Searcher:
             return Q.SpanOr(tuple(self._resolve(c) for c in q.clauses))
         if isinstance(q, Q.SpanNot):
             return Q.SpanNot(self._resolve(q.include),
-                             self._resolve(q.exclude))
+                             self._resolve(q.exclude), q.pre, q.post)
         if isinstance(q, Q.SpanFirst):
             return Q.SpanFirst(self._resolve(q.match), q.end)
         if isinstance(q, Q.SpanPositionRange):

@@ -347,7 +347,7 @@ class OracleIndex:
             return SpanOr(tuple(self._resolve_span(c) for c in q.clauses))
         if isinstance(q, SpanNot):
             return SpanNot(self._resolve_span(q.include),
-                           self._resolve_span(q.exclude))
+                           self._resolve_span(q.exclude), q.pre, q.post)
         if isinstance(q, SpanFirst):
             return SpanFirst(self._resolve_span(q.match), q.end)
         if isinstance(q, SpanPositionRange):

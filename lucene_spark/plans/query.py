@@ -133,12 +133,16 @@ class SpanOr(Query):
 
 @dataclass(frozen=True)
 class SpanNot(Query):
-    """SpanNotQuery (reference ``queries/spans/SpanNotQuery.java``,
-    pre/post = 0): spans of ``include`` that do not overlap any span of
-    ``exclude``. The similarity weight is built from the include side
-    only (``SpanNotQuery.java:117`` passes includeWeight's termStates)."""
+    """SpanNotQuery (reference ``queries/spans/SpanNotQuery.java``):
+    spans of ``include`` that do not overlap any span of ``exclude``
+    within ``pre`` tokens before / ``post`` tokens after the include
+    span (the 4-arg constructor; defaults 0 = plain exclusion). The
+    similarity weight is built from the include side only
+    (``SpanNotQuery.java:117`` passes includeWeight's termStates)."""
     include: Query
     exclude: Query
+    pre: int = 0
+    post: int = 0
 
     def scoring_terms(self):
         return self.include.scoring_terms()

@@ -432,3 +432,46 @@ def test_span_position_range(spark):
           for r in s.search(Q.SpanPositionRange(Q.Term("if"), 0, 12),
                             k=10).collect()}
     assert ga == gb
+
+
+def test_span_not_pre_post(spark):
+    """SpanNotQuery(include, exclude, pre, post): exclusion window
+    widened around the include span; pre/post=0 unchanged; engine ≡
+    oracle ≡ brute."""
+    import tempfile
+
+    import numpy as np
+
+    from lucene_spark.functions.analysis import analyze_text
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.oracle import OracleIndex
+    from lucene_spark.plans import query as Q
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(200, seed=53)
+    d = tempfile.mkdtemp(prefix="lucene_spark_notwin_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=3)
+    s = Searcher(spark, d)
+    oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+    texts = dict(zip(corpus.doc_id, corpus.content))
+    inc = Q.SpanNear(("if", "return"), slop=4, in_order=False)
+    for pre, post in ((0, 0), (2, 0), (0, 3), (2, 3)):
+        q = Q.SpanNot(inc, Q.Term("def"), pre=pre, post=post)
+        got = [(r["doc_id"], np.float32(r["score"]))
+               for r in s.search(q, k=10).collect()]
+        want = [(dd, np.float32(sc)) for dd, sc in oracle.top_k(q, k=10)]
+        assert len(want) > 0 and got == want, (pre, post)
+    # widening can only shrink the match set
+    base = set(oracle.score(Q.SpanNot(inc, Q.Term("def"))))
+    wide = set(oracle.score(Q.SpanNot(inc, Q.Term("def"), pre=3, post=3)))
+    assert wide <= base
+    # brute: surviving include windows avoid 'def' within the dilation
+    qw = Q.SpanNot(inc, Q.Term("def"), pre=2, post=1)
+    matched = set(oracle.score(qw))
+    for dd in list(matched)[:10]:
+        toks, poss, _ = analyze_text(texts[dd])
+        defs = [p for t, p in zip(toks, poss) if t == "def"]
+        # doc matched → at least one include window with no def in
+        # [l - 2, r + 1]
+        assert dd in set(oracle.score(inc))
