@@ -312,6 +312,36 @@ class Monitor:
             else:
                 self.always.append(qid)
 
+    def register(self, query_id: str, query) -> None:
+        """Register or UPDATE a query (MonitorQuery lifecycle —
+        reference ``monitor/Monitor.java`` register/update: same id
+        replaces the previous query and re-indexes its presearcher
+        entry)."""
+        if query_id in self.queries:
+            self.delete(query_id)
+        node = parse_query(query) if isinstance(query, str) else query
+        self.queries[query_id] = node
+        anchors = _anchor_terms(node) if self.presearch else None
+        if anchors:
+            for t in anchors:
+                self.term_map.setdefault(t, []).append(query_id)
+        else:
+            self.always.append(query_id)
+
+    def delete(self, query_id: str) -> None:
+        """Deregister a query (Monitor.deleteById). Unknown ids are a
+        no-op, like the reference."""
+        if query_id not in self.queries:
+            return
+        del self.queries[query_id]
+        for t in list(self.term_map):
+            if query_id in self.term_map[t]:
+                self.term_map[t] = [q for q in self.term_map[t]
+                                    if q != query_id]
+                if not self.term_map[t]:
+                    del self.term_map[t]
+        self.always = [q for q in self.always if q != query_id]
+
     def match_batch(self, docs_df, id_col: str = "doc_id",
                     text_col: str = "text", scoring: bool = False,
                     highlights: bool = False):

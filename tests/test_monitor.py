@@ -179,3 +179,37 @@ def test_highlights_matches(spark, corpus, oracle):
     plain = {(int(r["doc_id"]), r["query_id"])
              for r in mon.match_batch(docs).collect()}
     assert {(int(r["doc_id"]), r["query_id"]) for r in rows} == plain
+
+
+def test_monitor_query_lifecycle(spark, corpus, oracle):
+    """Monitor register/update/delete (Monitor.java lifecycle): match
+    sets track the live query set; presearcher map stays consistent."""
+    docs = spark.createDataFrame(corpus) \
+        .selectExpr("doc_id", "content AS text")
+    mon = Monitor({"q1": "parse"})
+    base = {(int(r["doc_id"]), r["query_id"])
+            for r in mon.match_batch(docs).collect()}
+    assert base == {(d, "q1") for d in oracle.score(Q.Term("parse"))}
+    # register a second query
+    mon.register("q2", "scan")
+    got = {(int(r["doc_id"]), r["query_id"])
+           for r in mon.match_batch(docs).collect()}
+    assert got == base | {(d, "q2") for d in oracle.score(Q.Term("scan"))}
+    # update q1 in place
+    mon.register("q1", "flush")
+    got = {(int(r["doc_id"]), r["query_id"])
+           for r in mon.match_batch(docs).collect()}
+    assert {(d, q) for d, q in got if q == "q1"} == \
+        {(d, "q1") for d in oracle.score(Q.Term("flush"))}
+    # delete; unknown delete is a no-op
+    mon.delete("q2")
+    mon.delete("nope")
+    got = {r["query_id"] for r in mon.match_batch(docs).collect()}
+    assert got == {"q1"}
+    # presearcher map holds no stale entries
+    assert all("q2" not in v for v in mon.term_map.values())
+    # un-anchorable register lands in `always` and still matches
+    mon.register("q3", Q.MultiTerm("prefix", "par"))
+    assert "q3" in mon.always
+    got = {r["query_id"] for r in mon.match_batch(docs).collect()}
+    assert "q3" in got
