@@ -116,6 +116,14 @@ def cmd_suggest(args) -> int:
         rows = mod.spell_suggest(s, args.prefix, k=args.k).collect()
         for r in rows:
             print(f"{r['term']:<24s} dist={r['distance']} df={r['df']}")
+    elif args.fuzzy:
+        rows = mod.fuzzy_suggest(s, args.prefix, k=args.k).collect()
+        for r in rows:
+            print(f"{r['term']:<24s} weight={r['weight']}")
+    elif args.infix:
+        rows = mod.infix_suggest(s, args.prefix, k=args.k).collect()
+        for r in rows:
+            print(f"{r['term']:<24s} weight={r['weight']}")
     else:
         rows = mod.suggest_prefix(s, args.prefix, k=args.k).collect()
         for r in rows:
@@ -243,6 +251,10 @@ def main(argv=None) -> int:
     sg.add_argument("--k", type=int, default=10)
     sg.add_argument("--spell", action="store_true",
                     help="spell-correct instead of prefix completion")
+    sg.add_argument("--fuzzy", action="store_true",
+                    help="typo-tolerant completion (FuzzySuggester)")
+    sg.add_argument("--infix", action="store_true",
+                    help="contains-match completion (InfixSuggester)")
     sg.set_defaults(fn=cmd_suggest)
 
     ml = sub.add_parser("mlt")
