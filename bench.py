@@ -148,6 +148,9 @@ def main() -> None:
         "q_interval_ordered": (Q.Interval(
             ("maxgaps", ("ordered", (("term", "if"), ("term", "return"))),
              4)), "auto"),
+        # duplicate-clause repeats: the injective-multiset per-doc path
+        # on a COMMON doubled term — its worst realistic shape
+        "q_repeat_sloppy": (Q.Phrase(("if", "if"), slop=3), "auto"),
     }
     for name, (q, mode) in search_cases.items():
         best = float("inf")

@@ -1059,6 +1059,36 @@ def _sloppy_repeat_freqs(terms: tuple[str, ...], ctx: _SegContext,
     declarative multiset minimal-window semantics — see
     ``functions.spans.multiset_sloppy_freq`` for the divergence note."""
     from ..functions.spans import multiset_sloppy_freq
+    m = len(terms)
+    if len(set(terms)) == 1 and offs == list(range(m)):
+        # the "t t ... t" default-positions case ("if if"~N on a common
+        # term — the worst realistic candidate set) has a closed form:
+        # with strictly increasing positions, adjusted window of the
+        # consecutive m-run starting at i is [P[i], P[i+m-1]-(m-1)];
+        # BOTH ends are strictly increasing across runs, so every run
+        # is containment-minimal and non-consecutive selections are
+        # dominated (fuzz-verified ≡ the general matcher, 4000 cases).
+        # One vectorized pass, no per-doc loop.
+        n = hi - lo
+        freqs = np.zeros(n, dtype=np.float64)
+        tp = ctx.tp(terms[0])
+        if tp is None:
+            return freqs
+        ids, tfs = tp.decode_all()
+        pos = tp.positions()
+        docs_rep = np.repeat(ids, tfs)
+        sel = (docs_rep >= lo) & (docs_rep < hi)
+        dr, pr = docs_rep[sel], pos[sel]
+        if len(dr) < m:
+            return freqs
+        k = len(dr) - m + 1
+        same_doc = dr[:k] == dr[m - 1:]
+        ml = (pr[m - 1:] - (m - 1)) - pr[:k]
+        ok = same_doc & (ml <= slop)
+        if ok.any():
+            np.add.at(freqs, (dr[:k][ok] - lo).astype(np.int64),
+                      1.0 / (1.0 + ml[ok]))
+        return freqs
     return _repeat_candidates_loop(
         terms, ctx, lo, hi,
         lambda pbt: multiset_sloppy_freq(list(terms), pbt, slop, offs))

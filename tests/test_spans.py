@@ -475,3 +475,31 @@ def test_span_not_pre_post(spark):
         # doc matched → at least one include window with no def in
         # [l - 2, r + 1]
         assert dd in set(oracle.score(inc))
+
+
+def test_single_term_repeat_closed_form_fuzz():
+    """The vectorized 'consecutive m-run' closed form for single-term
+    default-position repeat phrases ≡ the general injective-multiset
+    matcher (4000 random streams)."""
+    import random
+
+    import numpy as np
+
+    from lucene_spark.functions.spans import multiset_sloppy_freq
+
+    rng = random.Random(13)
+    for _ in range(4000):
+        m = rng.randint(2, 4)
+        k = rng.randint(0, 8)
+        P = np.array(sorted(rng.sample(range(22), k)), dtype=np.int64)
+        slop = rng.randint(0, 8)
+        want = multiset_sloppy_freq(["t"] * m, {"t": P}, slop,
+                                    list(range(m)))
+        if len(P) < m:
+            got = 0.0
+        else:
+            L = P[: len(P) - m + 1]
+            R = P[m - 1:] - (m - 1)
+            ml = R - L
+            got = float(np.sum(1.0 / (1.0 + ml[ml <= slop])))
+        assert abs(got - want) < 1e-12, (list(P), m, slop)
