@@ -2514,9 +2514,13 @@ def _interval_before_after_sql(src: str, ref: str, after: bool = False,
     doc's last ref position) resp. p >= e_ref + 1 for some ref (p > the
     doc's first ref position). Point intervals have extent 1, so freq is
     the matching-position count."""
+    # The before point-set is clamped at the doc base like the engine
+    # and the reference (OffsetIntervalsSource's Math.max(0, pos-1)):
+    # a src token at position 0 matches "before" a ref at position 0,
+    # so the bound is <= max(greatest(ref.pos - 1, 0)), not < max(pos).
     cmp = (f"s.pos > (SELECT min(r.pos) FROM tok r "
            f"WHERE r.term = '{ref}' AND r.doc_id = s.doc_id)" if after
-           else f"s.pos < (SELECT max(r.pos) FROM tok r "
+           else f"s.pos <= (SELECT max(greatest(r.pos - 1, 0)) FROM tok r "
                 f"WHERE r.term = '{ref}' AND r.doc_id = s.doc_id)")
     return (_PRELUDE + f""",
 ifreq AS (SELECT s.doc_id, CAST(count(*) AS DOUBLE) AS freq
@@ -2936,22 +2940,140 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 
-#: Round-3 rotation: the driver's correctness check caps at 50 entries, so
-#: queries() yields the least-recently-driver-verified entries FIRST. The
-#: 25 entries below are exactly those CORRECTNESS_r02 capped out (they were
-#: green in r01 and judge-re-verified in r2); new round-3 entries follow
-#: them; the 50 r02-green rows go to the tail.
 _PRIORITY = [
-    # 1) the 25 entries CORRECTNESS_r02 capped out (VERDICT r2 #4),
-    # 2) the late-round-3 entries no driver round has ever checked,
-    # 3) the earlier round-3 entries (judge-verifiable overflow).
+    # Round-4 rotation (VERDICT r3 #1): the driver caps CORRECTNESS at
+    # 50 entries, so ordering IS coverage. Slots 1-42: every entry never
+    # driver-checked in r1-r3 (incl. the 5 that were absent from the old
+    # list entirely). Slots 43+: the r2-green entries sitting on kernels
+    # rewritten in r3 (sloppy/span/boolean), then the remaining r2-greens,
+    # then the r3-fresh rows last. New round-4 entries are inserted just
+    # after the never-checked block so they land under the cap too.
+    # --- never driver-checked (r1-r3) ---
+    "bm25_synonym_boosted_top10",
+    "bm25_multiphrase_top10",
+    "bm25_gap_phrase_top10",
+    "bm25_prefix_multiphrase_top10",
+    "bm25_gap_sloppy_top10",
+    "covering_top10",
+    "decontamination_flags",
+    "shard_assignment",
+    "mixture_sample",
+    "repetition_stats",
+    "span_not_window_top10",
+    "facet_path_counts",
+    "sorted_index_topk",
+    "payload_score_top10",
+    "docvalues_updated",
+    "function_score_updated_top10",
+    "feature_saturation_top10",
+    "feature_sigmoid_top10",
+    "bm25_feature_log_top10",
+    "geo_box_count",
+    "geo_nearest_top10",
+    "geo_distance_count",
+    "geo_polygon_docs",
+    "drill_down_path",
+    "block_join_children_topk",
+    "assoc_facet_sum",
+    "simple_parse_top10",
+    "interval_unordered_top10",
+    "interval_containing_top10",
+    "bm25_synonym_indexed_top10",
+    "common_terms_top10",
+    "interval_prefix_top10",
+    "interval_or_ordered_top10",
+    "interval_atleast_top10",
+    "interval_before_top10",
+    "interval_after_top10",
+    "interval_within_top10",
+    "interval_nested_ordered_top10",
+    "interval_nested_unordered_top10",
+    "interval_analyzed_text_top10",
+    "interval_block_nested_top10",
+    "embed_hnsw_topk",
+    # --- r2-green, on r3-rewritten kernels ---
+    "bm25_term_top10",
+    "bm25_boost_top10",
+    "bm25_and_top10",
+    "bm25_and_bmw_top10",
+    "bm25_or_top10",
+    "bm25_or_bmw_top10",
+    "bm25_or3_top10",
+    "bm25_not_top10",
+    "bm25_synonym_top10",
+    "bm25_phrase_top10",
+    "bm25_sloppy_phrase_top10",
+    "bm25_sloppy3_top10",
+    "bm25_dismax_top10",
+    "tfidf_term_top10",
+    "bm25_prefix_scored_top10",
+    "bm25_msm2_top10",
+    "function_score_top10",
+    "span_near_top10",
+    "span_or_top10",
+    "span_not_top10",
+    "span_first_top10",
+    "span_containing_top10",
+    "span_within_top10",
+    # --- r2-green, other ---
+    "bm25_term_rare_top10",
+    "batch_search",
+    "search_after_page2",
+    "total_hits_count",
+    "prefix_query",
+    "wildcard_query",
+    "fuzzy_query",
+    "block_join_topk",
+    "surround_topk",
+    "highlight_top5",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "embed_cosine_topk",
+    "embed_lsh_topk",
+    "embed_ivf_topk",
+    "embed_ivf_full_topk",
+    "knn_filtered_topk",
+    "dedup_embed_cosine",
+    "multimodal_meta",
+    "multimodal_features",
+    # --- r3-green (freshest) ---
+    "regexp_query",
+    "high_freq_terms",
+    "bm25_shingle_top10",
+    "bm25_common_grams_top10",
+    "dfi_term_top10",
+    "boolean_term_top10",
+    "fuzzy_suggest_top10",
+    "free_text_suggest_top10",
     "term_in_set",
     "range_query",
     "term_range_query",
     "facet_counts",
+    "sampled_facet_counts",
+    "all_groups_count",
+    "search_quality",
+    "complex_phrase_top10",
+    "sweetspot_term_top10",
+    "word_break_suggest",
+    "term_automaton_top10",
+    "infix_suggest",
+    "bm25_repeat_sloppy_top10",
+    "payload_check_top10",
+    "span_posrange_top10",
     "range_facet_counts",
     "drill_sideways",
     "grouped_topk",
+    "distance_feature_top10",
+    "rescore_top10",
+    "nb_classify_docs",
+    "knn_classify_doc0",
     "sort_by_field",
     "query_join",
     "lmd_term_top10",
@@ -2962,6 +3084,8 @@ _PRIORITY = [
     "suggest_prefix",
     "spell_suggest",
     "mlt_top10",
+    "interval_ordered_top10",
+    "interval_maxgaps_top10",
     "bm25_after_merge_top10",
     "bm25_incremental_top10",
     "segment_lineage",
@@ -2970,68 +3094,6 @@ _PRIORITY = [
     "field_stats",
     "doc_norms",
     "content_sha256",
-    "distance_feature_top10",
-    "rescore_top10",
-    "nb_classify_docs",
-    "knn_classify_doc0",
-    "regexp_query",
-    "high_freq_terms",
-    "bm25_shingle_top10",
-    "dfi_term_top10",
-    "boolean_term_top10",
-    "fuzzy_suggest_top10",
-    "free_text_suggest_top10",
-    "sampled_facet_counts",
-    "complex_phrase_top10",
-    "sweetspot_term_top10",
-    "word_break_suggest",
-    "term_automaton_top10",
-    "infix_suggest",
-    "bm25_repeat_sloppy_top10",
-    "span_posrange_top10",
-    "payload_check_top10",
-    "all_groups_count",
-    "bm25_common_grams_top10",
-    "search_quality",
-    "interval_ordered_top10",
-    "interval_maxgaps_top10",
-    "interval_unordered_top10",
-    "interval_containing_top10",
-    "interval_or_ordered_top10",
-    "interval_prefix_top10",
-    "common_terms_top10",
-    "bm25_synonym_indexed_top10",
-    "sorted_index_topk",
-    "geo_box_count",
-    "geo_nearest_top10",
-    "geo_distance_count",
-    "payload_score_top10",
-    "facet_path_counts",
-    "drill_down_path",
-    "docvalues_updated",
-    "function_score_updated_top10",
-    "embed_hnsw_topk",
-    "block_join_children_topk",
-    "assoc_facet_sum",
-    "geo_polygon_docs",
-    "simple_parse_top10",
-    "bm25_multiphrase_top10",
-    "interval_atleast_top10",
-    "interval_before_top10",
-    "interval_after_top10",
-    "interval_within_top10",
-    "bm25_gap_phrase_top10",
-    "bm25_gap_sloppy_top10",
-    "covering_top10",
-    "interval_nested_ordered_top10",
-    "interval_nested_unordered_top10",
-    "interval_analyzed_text_top10",
-    "interval_block_nested_top10",
-    "bm25_synonym_boosted_top10",
-    "bm25_prefix_multiphrase_top10",
-    "feature_saturation_top10",
-    "feature_sigmoid_top10",
-    "bm25_feature_log_top10",
 ]
 
 

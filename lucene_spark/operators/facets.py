@@ -52,7 +52,11 @@ def sampled_facet_counts(searcher, query, dims_df: DataFrame, dim_col: str,
     if not (0 < fraction <= 1):
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
     matched = searcher.matching_docs(query)
-    cut = format(int(fraction * 16**8), "08x")
+    # fraction >= 1.0 would format to the 9-char '100000000', which an
+    # 8-char hex prefix only lexicographically undercuts when it starts
+    # with '0' (~1/16 of docs). 'g' sorts above every hex digit, so it
+    # keeps all docs — same sentinel as pipeline/mix.py.
+    cut = "g" if fraction >= 1.0 else format(int(fraction * 16**8), "08x")
     sample = matched.filter(
         F.substring(F.md5(F.col(doc_id_col).cast("string")), 1, 8) < cut)
     counts = (sample.join(dims_df.select(doc_id_col, dim_col), doc_id_col)

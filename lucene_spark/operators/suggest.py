@@ -165,7 +165,8 @@ def word_break_suggest(searcher, word: str, k: int = 10,
     dfs = {r["term"]: int(r["df"]) for r in
            searcher.term_stats.filter(F.col("term").isin(probe))
            .select("term", "df").collect()}
-    rows = [(lft, rgt, dfs[lft], dfs[rgt]) for lft, rgt in cands
+    rows = [(lft, rgt, dfs.get(lft, 0), dfs.get(rgt, 0))
+            for lft, rgt in cands
             if dfs.get(lft, 0) >= min_suggestion_freq
             and dfs.get(rgt, 0) >= min_suggestion_freq]
     rows.sort(key=lambda r: (-(r[2] + r[3]), r[0]))
@@ -198,7 +199,7 @@ def word_combine_suggest(searcher, terms: list[str], k: int = 10,
     dfs = {r["term"]: int(r["df"]) for r in
            searcher.term_stats.filter(F.col("term").isin(probe))
            .select("term", "df").collect()}
-    rows = [(i, j, c, dfs[c]) for i, j, c in cands
+    rows = [(i, j, c, dfs.get(c, 0)) for i, j, c in cands
             if dfs.get(c, 0) >= min_suggestion_freq]
     rows.sort(key=lambda r: (-r[3], r[0]))
     return searcher.spark.createDataFrame(
