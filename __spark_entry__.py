@@ -1887,6 +1887,34 @@ def _q_deleted_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
 
 
+_SOFT_DELETED: dict[str, str] = {}
+
+
+def _q_soft_deleted_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search after soft_delete_by_term('slow'): soft tombstones mask
+    results exactly like hard ones (PendingSoftDeletes folds the
+    soft-deletes DV into liveDocs); they differ only at merge time
+    (SoftDeletesRetentionMergePolicy — pytest-gated,
+    tests/test_soft_deletes.py). Same oracle as bm25_deleted_top10 BY
+    DESIGN: reader-visible state is identical."""
+    import shutil
+
+    from lucene_spark.operators.delete import soft_delete_by_term
+    key = os.path.abspath(sf_dir)
+    if key not in _SOFT_DELETED:
+        base = _searcher(spark, sf_dir)
+        tag = hashlib.md5(f"{_INDEX_VERSION}-softdel:{key}".encode()) \
+            .hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(),
+                           f"lucene_spark_softdel_{tag}")
+        if not os.path.isdir(idx):
+            shutil.copytree(base.index_dir, idx)
+            soft_delete_by_term(spark, idx, "slow")
+        _SOFT_DELETED[key] = idx
+    s = Searcher(spark, _SOFT_DELETED[key])
+    return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
+
+
 def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpanNearQuery (unordered, slop=3) — greedy/minimal-window matcher
     shared with the oracle; not SQL-expressible → rows-only check, float
@@ -2851,6 +2879,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- merge / incremental build inside the gate ---
         "lmd_term_top10": _q_lmd_term,
         "bm25_deleted_top10": _q_deleted_top10,
+        "bm25_soft_deleted_top10": _q_soft_deleted_top10,
         "monitor_matches": _q_monitor,
         "dfr_term_top10": _q_dfr_term,
         "bm25_fuzzy_blended_top10": _q_fuzzy_blended,
@@ -2991,6 +3020,8 @@ _PRIORITY = [
     "interval_analyzed_text_top10",
     "interval_block_nested_top10",
     "embed_hnsw_topk",
+    # --- new in round 4 ---
+    "bm25_soft_deleted_top10",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -3963,6 +3994,15 @@ FROM tok a JOIN tok b ON a.doc_id = b.doc_id
 WHERE a.term = '{T_COMMON}' AND b.term = '{T_THIRD}'
   AND greatest(abs(a.pos - b.pos) + 1 - 2, 0) <= 2""",
         "bm25_deleted_top10": _PRELUDE + ", "
+        + _tscore_cte("ts", T_COMMON) + """,
+livesc AS (
+  SELECT t.doc_id, t.s FROM ts t
+  WHERE t.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok
+                         WHERE term = 'slow')
+)""" + _topk_sql("livesc", 10),
+        # identical oracle on purpose: soft tombstones are
+        # reader-indistinguishable from hard ones pre-merge
+        "bm25_soft_deleted_top10": _PRELUDE + ", "
         + _tscore_cte("ts", T_COMMON) + """,
 livesc AS (
   SELECT t.doc_id, t.s FROM ts t

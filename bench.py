@@ -30,6 +30,72 @@ TMPDIR = os.environ.get("BENCH_TMPDIR",
                         "/dev/shm" if os.path.isdir("/dev/shm") else None)
 
 
+# The same single-core kernel probe measured 9,623 docs/s under a full
+# hypervisor burst budget (BENCH.md §4) — the "clean host" reference.
+CLEAN_KERNEL_RATE = 9623.0
+# A probe below this fraction of clean means the filed numbers would
+# measure the hypervisor, not the engine (VERDICT r3 #2: the official
+# artifact must never be a throttled run). 0.70 clears the worst
+# observed daily swing while still catching every 2x+ throttle window.
+THROTTLE_MIN_FRAC = float(os.environ.get("BENCH_THROTTLE_MIN_FRAC", "0.70"))
+# Total seconds the whole bench may spend sleeping for the host to
+# recover, shared across all probe points (keeps the bench bounded for
+# the driver's per-round timeout).
+THROTTLE_WAIT_BUDGET = int(os.environ.get("BENCH_THROTTLE_WAIT_SEC", "1200"))
+
+
+class _ThrottleGate:
+    """Self-detecting throttle gate: a ~2 s single-core kernel probe
+    before each timed phase; when the host reads throttled, sleep and
+    re-probe until it recovers or the shared wait budget runs out. The
+    probe history lands in the output JSON so a reader can see whether
+    any phase ran under a cap (and the last-probe factor normalizes it
+    if the budget ever runs dry)."""
+
+    def __init__(self):
+        from lucene_spark.sources.corpus import generate_corpus
+        self.kpdf = generate_corpus(20000, seed=11)
+        self.budget = THROTTLE_WAIT_BUDGET
+        self.waited = 0
+        self.probes: list[dict] = []
+        self._warmed = False
+
+    def probe(self) -> float:
+        from lucene_spark.operators.build import invert_segment
+        if not self._warmed:
+            invert_segment(self.kpdf.head(2000), 0, "content", "doc_id",
+                           frozenset(), True)
+            self._warmed = True
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            invert_segment(self.kpdf, 0, "content", "doc_id",
+                           frozenset(), True)
+            best = min(best, time.time() - t0)
+        return len(self.kpdf) / best
+
+    def wait_clean(self, phase: str) -> float:
+        """Probe; while throttled and budget remains, sleep 60 s and
+        re-probe. Returns the final (best-seen) probe rate."""
+        floor = CLEAN_KERNEL_RATE * THROTTLE_MIN_FRAC
+        rate = self.probe()
+        best = rate
+        while rate < floor and self.budget > 0:
+            nap = min(60, self.budget)
+            print(f"bench: host throttled at {phase} "
+                  f"({rate:.0f} < {floor:.0f} docs/s kernel); "
+                  f"sleeping {nap}s ({self.budget}s budget left)",
+                  file=sys.stderr)
+            time.sleep(nap)
+            self.budget -= nap
+            self.waited += nap
+            rate = self.probe()
+            best = max(best, rate)
+        self.probes.append({"phase": phase, "rate": round(rate, 1),
+                            "clean": rate >= floor})
+        return best
+
+
 def _session(cpus: int):
     from lucene_spark.session import get_session
     conf = {"spark.driver.memory": "24g",
@@ -101,22 +167,15 @@ def main() -> None:
     # phases can read 10x slow while a lone core runs full speed. This
     # metric times the pure build kernel (tokenize → invert → encode) on
     # one core, giving a stable cross-round signal of engine speed.
-    from lucene_spark.operators.build import invert_segment
-    kpdf = generate_corpus(20000, seed=11)
-    invert_segment(kpdf.head(2000), 0, "content", "doc_id",
-                   frozenset(), True)  # warm
-    kbest = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        invert_segment(kpdf, 0, "content", "doc_id", frozenset(), True)
-        kbest = min(kbest, time.time() - t0)
-    queries["kernel_docs_per_sec_1core"] = round(len(kpdf) / kbest, 1)
+    kstate = _ThrottleGate()
+    krate = kstate.wait_clean("start")
+    queries["kernel_docs_per_sec_1core"] = round(krate, 1)
     # host-throttle signal: the same single-core kernel measured 9,623
     # docs/s under full burst budget (BENCH.md §4). The ratio lets any
     # reader normalize a throttled run's absolute numbers — the VM's
     # aggregate CPU cap varies 3-20x across a day (BENCH.md caveat).
     queries["host_throttle_factor"] = round(
-        9623.0 / max(len(kpdf) / kbest, 1.0), 2)
+        CLEAN_KERNEL_RATE / max(krate, 1.0), 2)
 
     spark = _session(CPUS)
     warmup_df = spark.createDataFrame(warmup_pdf)
@@ -126,9 +185,17 @@ def main() -> None:
     num_segments = max(CPUS * 4, 16)
 
     # --- index build throughput at full parallelism --------------------
+    # Gate AND re-check: if the post-build probe says the cap arrived
+    # mid-build, the timing is contaminated — wait it out and rebuild
+    # once (best-of-2 repeats alone can't save a fully throttled pair).
     idx_dir = os.path.join(tmp, "idx")
     t_build = _build_corpus_index(spark, corpus_path, idx_dir, num_segments,
                                   warmup_df=warmup_df)
+    if (kstate.probe() < CLEAN_KERNEL_RATE * THROTTLE_MIN_FRAC
+            and kstate.budget > 0):
+        kstate.wait_clean("rebuild")
+        t_build = min(t_build, _build_corpus_index(
+            spark, corpus_path, idx_dir, num_segments))
     queries["build_index"] = round(t_build, 3)
     docs_per_sec = N_DOCS / t_build
 
@@ -209,10 +276,20 @@ def main() -> None:
         spark.stop()
         levels = [CPUS // 4] + ([CPUS // 16] if CPUS >= 32 else [])
         for lvl in levels:
+            kstate.wait_clean(f"scaling_c{lvl}")
             s = _session(lvl)
             t_lvl = _build_corpus_index(
                 s, corpus_path, os.path.join(tmp, f"idx_{lvl}"),
                 num_segments, warmup_df=s.createDataFrame(warmup_pdf))
+            # same mid-build contamination check as the headline build:
+            # a scaling pair with one throttled leg reads as fake (in)-
+            # efficiency in either direction
+            if (kstate.probe() < CLEAN_KERNEL_RATE * THROTTLE_MIN_FRAC
+                    and kstate.budget > 0):
+                kstate.wait_clean(f"rebuild_c{lvl}")
+                t_lvl = min(t_lvl, _build_corpus_index(
+                    s, corpus_path, os.path.join(tmp, f"idx_{lvl}"),
+                    num_segments))
             s.stop()
             throughputs[lvl] = N_DOCS / t_lvl
             queries[f"build_index_c{lvl}"] = round(t_lvl, 3)
@@ -233,6 +310,14 @@ def main() -> None:
         "sf": sf,
         "corpus_docs": N_DOCS,
         "cpus": CPUS,
+        "throttle_probes": kstate.probes,
+        "throttle_waited_sec": kstate.waited,
+        "clean_run": all(p["clean"] for p in kstate.probes),
+        # headline normalized by the measured host cap (probe history
+        # above legitimizes the factor): what the same build does on an
+        # unthrottled host. Only meaningful when clean_run is false.
+        "value_throttle_normalized": round(
+            docs_per_sec * queries["host_throttle_factor"], 1),
     }
     if efficiency:
         out["scaling_efficiency"] = efficiency

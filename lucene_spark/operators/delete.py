@@ -35,7 +35,7 @@ from ..sources.catalog import SnapshotCatalog
 
 
 def load_deletes(catalog: SnapshotCatalog, snap,
-                 seg_ids=None) -> dict[int, np.ndarray]:
+                 seg_ids=None, key: str = "deletes") -> dict[int, np.ndarray]:
     """{seg_id: sorted unique local_doc_ids} for a snapshot ({} if none).
 
     The tombstone store is a parquet file (driver-written, delete_by_ids
@@ -43,8 +43,9 @@ def load_deletes(catalog: SnapshotCatalog, snap,
     — pyarrow reads both. ``seg_ids`` restricts the read to those
     segments via parquet predicate pushdown, so a caller that only needs
     a few segments' tombstones (a merge) never materializes the full
-    table."""
-    rel = (snap.extra or {}).get("deletes")
+    table. ``key`` selects the tombstone class: ``"deletes"`` (hard) or
+    ``"soft_deletes"``."""
+    rel = (snap.extra or {}).get(key)
     if not rel:
         return {}
     path = rel if os.path.isabs(rel) else os.path.join(catalog.root, rel)
@@ -80,14 +81,15 @@ def write_tombstone_file(catalog: SnapshotCatalog, gen: int,
 
 
 def _write_deletes(catalog: SnapshotCatalog, snap,
-                   deletes: dict[int, np.ndarray]) -> "object":
+                   deletes: dict[int, np.ndarray],
+                   key: str = "deletes") -> "object":
     """Write the tombstone parquet + commit a snapshot that carries it
     (segments/stats unchanged — the delete is metadata-only, like a
     ``segments_N`` generation that only swaps .liv files)."""
     rel, count = write_tombstone_file(catalog, snap.snapshot_id + 1, deletes)
     extra = dict(snap.extra or {})
-    extra["deletes"] = rel
-    extra["num_deleted"] = count
+    extra[key] = rel
+    extra["num_deleted" if key == "deletes" else "num_soft_deleted"] = count
     return catalog.commit(snap.segments, snap.field_stats,
                           snap.term_stats_path, extra=extra)
 
@@ -228,6 +230,106 @@ def locate_global_ids(catalog: SnapshotCatalog, snap,
         if len(hit):
             out[int(s)] = hit.astype(np.int64)
     return out
+
+
+def soft_delete_by_ids(spark, index_dir: str,
+                       doc_ids: dict[int, np.ndarray]):
+    """Soft-tombstone explicit (seg_id → local ids); returns the new
+    Snapshot.
+
+    Reference: soft deletes mark docs via a numeric DocValues field
+    (``IndexWriterConfig.setSoftDeletesField``,
+    ``index/PendingSoftDeletes.java:34``): readers treat them exactly
+    like hard deletes (masked from every search), but they stay
+    physically present and REVIVABLE until a merge decides their fate —
+    :func:`lucene_spark.operators.merge.merge_segments` purges them
+    unless its ``soft_retention`` predicate keeps them (the
+    ``SoftDeletesRetentionMergePolicy.java:51`` role). Here the DV field
+    is a second tombstone table (``extra["soft_deletes"]``), which is the
+    same reader-visible state the reference derives from the DV field."""
+    catalog = SnapshotCatalog(index_dir)
+    snap = catalog.load()
+    if snap is None:
+        raise ValueError(f"no snapshot in {index_dir}")
+    deletes = load_deletes(catalog, snap, key="soft_deletes")
+    for s, ids in doc_ids.items():
+        prev = deletes.get(int(s), np.empty(0, np.int64))
+        deletes[int(s)] = np.unique(
+            np.concatenate((prev, np.asarray(ids, np.int64))))
+    return _write_deletes(catalog, snap, deletes, key="soft_deletes")
+
+
+def soft_delete_by_term(spark, index_dir: str, term: str):
+    """Soft-delete every document containing ``term``; returns the new
+    Snapshot. Distributed exactly like :func:`delete_by_term` (postings
+    row decoded on executors, tombstone table written by executors) —
+    only the snapshot key differs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    catalog = SnapshotCatalog(index_dir)
+    snap = catalog.load()
+    if snap is None:
+        raise ValueError(f"no snapshot in {index_dir}")
+    paths = [os.path.join(catalog.segment_dir(s), "postings.parquet")
+             for s in snap.seg_ids]
+
+    def decode_ids(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                dec = decode_postings(row._asdict(), with_positions=False)
+                yield pd.DataFrame({
+                    "seg_id": np.full(len(dec["doc_ids"]), row.seg_id,
+                                      dtype=np.int32),
+                    "local_doc_id": dec["doc_ids"].astype(np.int32)})
+
+    hits = (spark.read.parquet(*paths)
+            .filter(F.col("term") == term)
+            .mapInPandas(decode_ids, "seg_id int, local_doc_id int"))
+    rel_prev = (snap.extra or {}).get("soft_deletes")
+    if rel_prev:
+        prev_path = rel_prev if os.path.isabs(rel_prev) \
+            else os.path.join(catalog.root, rel_prev)
+        hits = hits.unionByName(
+            spark.read.parquet(prev_path)
+            .select(F.col("seg_id").cast("int"),
+                    F.col("local_doc_id").cast("int")))
+    gen = snap.snapshot_id + 1
+    rel, count = write_tombstone_table(spark, catalog, gen, hits)
+    extra = dict(snap.extra or {})
+    extra["soft_deletes"] = rel
+    extra["num_soft_deleted"] = count
+    return catalog.commit(snap.segments, snap.field_stats,
+                          snap.term_stats_path, extra=extra)
+
+
+def soft_undelete_by_ids(spark, index_dir: str,
+                         doc_ids: dict[int, np.ndarray]):
+    """Revive soft-deleted docs (the reference revives by writing the
+    soft-deletes DV field back to absent — ``IndexWriter.
+    updateNumericDocValue`` on the soft-deletes field): remove the pairs
+    from the soft tombstone table and commit. Docs never soft-deleted
+    are ignored. Returns the new Snapshot."""
+    catalog = SnapshotCatalog(index_dir)
+    snap = catalog.load()
+    if snap is None:
+        raise ValueError(f"no snapshot in {index_dir}")
+    deletes = load_deletes(catalog, snap, key="soft_deletes")
+    for s, ids in doc_ids.items():
+        prev = deletes.get(int(s))
+        if prev is None:
+            continue
+        keep = prev[~np.isin(prev, np.asarray(ids, np.int64))]
+        if len(keep):
+            deletes[int(s)] = keep
+        else:
+            deletes.pop(int(s))
+    if not deletes:
+        extra = dict(snap.extra or {})
+        extra.pop("soft_deletes", None)
+        extra["num_soft_deleted"] = 0
+        return catalog.commit(snap.segments, snap.field_stats,
+                              snap.term_stats_path, extra=extra)
+    return _write_deletes(catalog, snap, deletes, key="soft_deletes")
 
 
 def update_documents(spark, index_dir: str, df,

@@ -63,12 +63,25 @@ def plan_merges(segments: list[dict], segs_per_tier: int = 10,
 
 
 def merge_segments(spark, index_dir: str, seg_ids: list[int],
-                   new_seg_id: int | None = None, _commit_lock=None):
+                   new_seg_id: int | None = None, _commit_lock=None,
+                   soft_retention: str | None = None):
     """Merge ``seg_ids`` into one new segment; returns the new Snapshot.
 
     ``_commit_lock`` (used by :func:`maintain` with ``max_concurrent>1``)
     serializes the commit section when several merges run as parallel
-    Spark jobs from scheduler threads."""
+    Spark jobs from scheduler threads.
+
+    ``soft_retention`` is the SoftDeletesRetentionMergePolicy role
+    (reference ``index/SoftDeletesRetentionMergePolicy.java:51``): a SQL
+    predicate over doc_meta columns; soft-deleted docs matching it are
+    RETAINED through the merge — physically copied into the merged
+    segment and re-tombstoned under its new doc ids (still masked from
+    search) — while non-matching soft deletes are purged like hard ones.
+    ``None`` (the reference's no-retention default) purges all soft
+    deletes at merge. The predicate is evaluated as one Spark job over
+    the merged segments' doc_meta (broadcast semi-join on the tombstone
+    pairs); only the retained pair list routes through the driver,
+    bounded by the soft-delete count of the segments being merged."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
@@ -98,6 +111,38 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     seg_deletes = {s: v
                    for s, v in load_deletes(catalog, snap, seg_ids).items()
                    if len(v)}
+
+    # soft deletes: purged at merge like hard ones UNLESS the retention
+    # predicate keeps them (retained docs stay physical + masked)
+    soft_dels = {s: v for s, v in
+                 load_deletes(catalog, snap, seg_ids,
+                              key="soft_deletes").items() if len(v)}
+    retained: dict[int, np.ndarray] = {}
+    if soft_dels:
+        if soft_retention is not None:
+            from pyspark.sql import functions as F2
+            pairs = pd.DataFrame(
+                [(int(s), int(d)) for s, v in soft_dels.items()
+                 for d in v], columns=["seg_id", "local_doc_id"])
+            meta0 = spark.read.parquet(
+                *[os.path.join(catalog.segment_dir(s), "doc_meta.parquet")
+                  for s in sorted(soft_dels)])
+            kept_rows = (meta0.join(
+                F2.broadcast(spark.createDataFrame(pairs)),
+                on=["seg_id", "local_doc_id"], how="leftsemi")
+                .filter(F2.expr(soft_retention))
+                .select("seg_id", "local_doc_id").collect())
+            for r in kept_rows:
+                retained.setdefault(int(r["seg_id"]), []).append(
+                    int(r["local_doc_id"]))
+            retained = {s: np.unique(np.asarray(v, np.int64))
+                        for s, v in retained.items()}
+        for s, v in soft_dels.items():
+            purge = v[~np.isin(v, retained.get(s, np.empty(0, np.int64)))]
+            if len(purge):
+                prev = seg_deletes.get(s, np.empty(0, np.int64))
+                seg_deletes[s] = np.unique(
+                    np.concatenate((prev, purge.astype(np.int64))))
 
     # docBase remap (DocIDMerger): concatenate in ascending seg_id order.
     # Streamed: live counts come from segment stats + the tombstone
@@ -172,6 +217,17 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
             m = r >= 0
             r[m] = inv[r[m] + doc_bases[s]]
         doc_bases = {s: 0 for s in seg_ids}
+
+    # retained soft deletes follow their docs to the new ids (remap is
+    # base-offset or, post-sort, absolute — doc_bases is zeroed then, so
+    # remap[old] + base is the new id in both regimes)
+    new_soft: pd.DataFrame | None = None
+    if retained:
+        parts = [pd.DataFrame({
+            "seg_id": np.int32(new_seg_id),
+            "local_doc_id": (remaps[s][v] + doc_bases[s]).astype(np.int32)})
+            for s, v in sorted(retained.items())]
+        new_soft = pd.concat(parts, ignore_index=True)
 
     bc_norms = spark.sparkContext.broadcast(merged_norms.tobytes())
     bases = dict(doc_bases)
@@ -400,11 +456,12 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
         raise
 
     return _commit_merge(spark, catalog, index_dir, seg_ids, stats,
-                         lock=_commit_lock)
+                         lock=_commit_lock, new_soft=new_soft)
 
 
 def _commit_merge(spark, catalog, index_dir: str, seg_ids: list[int],
-                  stats: dict, lock=None):
+                  stats: dict, lock=None,
+                  new_soft: "pd.DataFrame | None" = None):
     """Publish a built merged segment: swap ``seg_ids`` for the new
     segment in the CURRENT snapshot and commit one generation.
 
@@ -469,6 +526,34 @@ def _commit_merge(spark, catalog, index_dir: str, seg_ids: list[int],
                               ignore_errors=True)
                 extra.pop("deletes", None)
                 extra["num_deleted"] = 0
+        # soft tombstones carry the same way, plus the retention-retained
+        # pairs re-tombstoned under the merged segment's ids (purged soft
+        # deletes simply drop out of the table here)
+        rel_soft = (snap.extra or {}).get("soft_deletes")
+        if rel_soft or (new_soft is not None and len(new_soft)):
+            from .delete import write_tombstone_table
+            parts = []
+            if rel_soft:
+                soft_path = rel_soft if os.path.isabs(rel_soft) \
+                    else os.path.join(catalog.root, rel_soft)
+                parts.append(spark.read.parquet(soft_path)
+                             .filter(~F.col("seg_id")
+                                     .isin([int(s) for s in seg_ids])))
+            if new_soft is not None and len(new_soft):
+                parts.append(spark.createDataFrame(new_soft))
+            soft_df = parts[0]
+            for p in parts[1:]:
+                soft_df = soft_df.unionByName(p)
+            rel, count = write_tombstone_table(spark, catalog, next_id,
+                                               soft_df)
+            if count:
+                extra["soft_deletes"] = rel
+                extra["num_soft_deleted"] = count
+            else:
+                shutil.rmtree(os.path.join(catalog.root, rel),
+                              ignore_errors=True)
+                extra.pop("soft_deletes", None)
+                extra["num_soft_deleted"] = 0
         # DocValues-update overlay: merged segments' rows were baked into
         # the merged doc_meta; surviving segments' rows carry forward
         # (distributed filter-and-rewrite, like the tombstones above).
@@ -564,6 +649,17 @@ def add_indexes(spark, dest_dir: str, src_dir: str):
         rel, count = write_tombstone_file(dest, gen, merged_deletes)
         extra["deletes"] = rel
         extra["num_deleted"] = count
+    # soft tombstones import identically (they are .liv-equivalent state
+    # for readers; only merge-time retention distinguishes them)
+    merged_soft = load_deletes(dest, dsnap, key="soft_deletes")
+    for old_id, ids in load_deletes(src, ssnap,
+                                    key="soft_deletes").items():
+        if old_id in id_map and len(ids):
+            merged_soft[id_map[old_id]] = ids
+    if merged_soft:
+        rel, count = write_tombstone_file(dest, gen, merged_soft)
+        extra["soft_deletes"] = rel
+        extra["num_soft_deleted"] = count
     return dest.commit(new_segments, field_stats, ts_path, extra=extra)
 
 
@@ -624,6 +720,11 @@ def split_index(spark, src_dir: str, dest_dir: str,
         rel, count = write_tombstone_file(dest, 1, dels)
         extra["deletes"] = rel
         extra["num_deleted"] = count
+    soft = load_deletes(src, snap, seg_ids=want, key="soft_deletes")
+    if soft:
+        rel, count = write_tombstone_file(dest, 1, soft)
+        extra["soft_deletes"] = rel
+        extra["num_soft_deleted"] = count
     # slice docvalues-update overlays the same way
     from .docvalues import _overlay_path
     opath = _overlay_path(src, snap)
@@ -697,7 +798,8 @@ def multi_pass_split(spark, src_dir: str, out_dirs: list[str]):
 
 
 def maintain(spark, index_dir: str, segs_per_tier: int = 10,
-             max_merge_at_once: int = 10, max_concurrent: int = 1):
+             max_merge_at_once: int = 10, max_concurrent: int = 1,
+             soft_retention: str | None = None):
     """Run tiered merges until the segment count fits the tier policy
     (ConcurrentMergeScheduler, reference
     ``index/ConcurrentMergeScheduler.java:64``: maxMergeCount worker
@@ -723,7 +825,8 @@ def maintain(spark, index_dir: str, segs_per_tier: int = 10,
             return snap
         if max_concurrent <= 1 or len(merges) == 1:
             for batch in merges:
-                snap = merge_segments(spark, index_dir, batch)
+                snap = merge_segments(spark, index_dir, batch,
+                                      soft_retention=soft_retention)
             continue
         import threading
         from concurrent.futures import ThreadPoolExecutor
@@ -732,7 +835,8 @@ def maintain(spark, index_dir: str, segs_per_tier: int = 10,
         next_id = max(snap.seg_ids) + 1
         with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
             futs = [pool.submit(merge_segments, spark, index_dir, batch,
-                                new_seg_id=next_id + i, _commit_lock=lock)
+                                new_seg_id=next_id + i, _commit_lock=lock,
+                                soft_retention=soft_retention)
                     for i, batch in enumerate(merges)]
             for f in futs:
                 f.result()   # surface the first failure
@@ -740,7 +844,8 @@ def maintain(spark, index_dir: str, segs_per_tier: int = 10,
 
 
 def force_merge(spark, index_dir: str, max_segments: int = 1,
-                max_merged_docs: int | None = 50_000_000):
+                max_merged_docs: int | None = 50_000_000,
+                soft_retention: str | None = None):
     """IndexWriter.forceMerge(n) analogue (IndexWriter.java:2105).
 
     ``max_merged_docs`` caps the docs routed through any single merge op
@@ -763,5 +868,6 @@ def force_merge(spark, index_dir: str, max_segments: int = 1,
             docs += sizes[sid]
         if len(batch) < 2:
             break       # cannot shrink further under the cap
-        snap = merge_segments(spark, index_dir, batch)
+        snap = merge_segments(spark, index_dir, batch,
+                              soft_retention=soft_retention)
     return snap

@@ -1418,9 +1418,17 @@ class Searcher:
         self.doc_count = int(snap.field_stats["doc_count"])
         self.sum_ttf = int(snap.field_stats["sum_total_term_freq"])
         # liveDocs: tombstones mask results at collection time; stats stay
-        # stale until merge, like the reference (.liv semantics)
+        # stale until merge, like the reference (.liv semantics). Soft
+        # tombstones mask IDENTICALLY for readers (PendingSoftDeletes
+        # folds the soft-deletes DV into the same liveDocs bitset) —
+        # hard vs soft only diverge at merge time (retention policy).
         from .delete import load_deletes
         self.deletes = load_deletes(self.catalog, snap)
+        for _s, _v in load_deletes(self.catalog, snap,
+                                   key="soft_deletes").items():
+            prev = self.deletes.get(_s)
+            self.deletes[_s] = _v if prev is None else \
+                np.unique(np.concatenate((prev, _v)))
         # LRUQueryCache role: match-set cache for repeated filter queries
         from collections import OrderedDict
         self._filter_cache: "OrderedDict[str, object]" = OrderedDict()  # key -> persisted DataFrame
@@ -2245,6 +2253,11 @@ class MultiSearcher(Searcher):
                                 .select("term", "df", "ttf"))
             for s, ids in load_deletes(cat, snap).items():
                 self.deletes[int(s) + offset] = ids
+            for s, ids in load_deletes(cat, snap,
+                                       key="soft_deletes").items():
+                prev = self.deletes.get(int(s) + offset)
+                self.deletes[int(s) + offset] = ids if prev is None else \
+                    np.unique(np.concatenate((prev, ids)))
             self.doc_count += int(snap.field_stats["doc_count"])
             self.sum_ttf += int(snap.field_stats["sum_total_term_freq"])
             offset += (max(snap.seg_ids) + 1) if snap.seg_ids else 0
