@@ -1999,6 +1999,18 @@ def _q_simple_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(q, k=10))
 
 
+def _q_flexible_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardQueryParser (flexible) subset: '+data query' parses to
+    ReqOpt(Term(data), Term(query)) — the BooleanQuery MUST+SHOULD mix
+    (ReqOptSumScorer: match set = MUST's, SHOULD's score added where
+    both match). Reference queryparser/flexible/standard/
+    StandardQueryParser.java:115, search/ReqOptSumScorer.java."""
+    from lucene_spark.plans.flexible import parse_standard
+    s = _searcher(spark, sf_dir)
+    q = parse_standard(f"+{T_COMMON} {T_COMMON2}")
+    return _fmt_topk(s.search(q, k=10))
+
+
 def _q_fuzzy_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery default rewrite (TopTermsBlendedFreqScoringRewrite):
     blended df=max stats, per-term 1-ed/minlen float32 boosts, SHOULD
@@ -2891,6 +2903,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_within_top10": _q_span_within,
         "surround_topk": _q_surround,
         "simple_parse_top10": _q_simple_parse,
+        "flexible_parse_top10": _q_flexible_parse,
         "suggest_prefix": _q_suggest_prefix,
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,
@@ -3022,6 +3035,7 @@ _PRIORITY = [
     "embed_hnsw_topk",
     # --- new in round 4 ---
     "bm25_soft_deleted_top10",
+    "flexible_parse_top10",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -3171,6 +3185,18 @@ def oracle_sql() -> dict[str, str]:
             (T_COMMON, T_COMMON2), 4, T_THIRD),
         "surround_topk": _span_near_sql((T_COMMON, T_THIRD), 2),
         "simple_parse_top10": _not_sql(T_COMMON, T_RARE),
+        # ReqOptSumScorer: MUST's match set; SHOULD's score added where
+        # both match (double add, one float32 round — engine-identical)
+        "flexible_parse_top10": _PRELUDE + ", "
+        + _tscore_cte("ta", T_COMMON) + ", "
+        + _tscore_cte("tb", T_COMMON2) + """,
+reqopt AS (
+  SELECT a.doc_id,
+         CASE WHEN b.s IS NULL THEN a.s
+              ELSE CAST(CAST(a.s AS DOUBLE) + CAST(b.s AS DOUBLE)
+                        AS FLOAT) END AS s
+  FROM ta a LEFT JOIN tb b ON a.doc_id = b.doc_id
+)""" + _topk_sql("reqopt", 10),
         "span_within_top10": _span_within_sql(
             T_THIRD, (T_COMMON, T_COMMON2), 4),
         "highlight_top5": _highlight_sql(T_COMMON, T_COMMON2, k=5, window=6),

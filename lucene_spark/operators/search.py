@@ -372,6 +372,12 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
             if node.func not in ("min", "max", "sum", "avg"):
                 raise ValueError(f"unknown payload function {node.func!r}")
             return CPayloadScore(node.term, node.func, node.boost)
+        if isinstance(node, Q.ReqOpt):
+            req = go(node.required)
+            if req is None:
+                return None
+            opt = go(node.optional)
+            return req if opt is None else CReqOpt(req, opt)
         if isinstance(node, Q.CommonTerms):
             import math
             mtf = node.max_term_frequency

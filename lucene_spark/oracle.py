@@ -613,6 +613,13 @@ class OracleIndex:
             pos = self.score(query.positive, k1, b, sim)
             neg = self.score(query.negative, k1, b, sim)
             return {d: s for d, s in pos.items() if d not in neg}
+        from .plans.query import ReqOpt
+        if isinstance(query, ReqOpt):
+            req = self.score(query.required, k1, b, sim)
+            opt = self.score(query.optional, k1, b, sim)
+            # ReqOptSumScorer: required match set, optional score added
+            return {d: np.float32(float(s) + float(opt.get(d, 0.0)))
+                    for d, s in req.items()}
         raise TypeError(f"unsupported query: {query!r}")
 
     def top_k(self, query: Query, k: int = 10, k1: float = K1_DEFAULT,

@@ -356,6 +356,53 @@ class Not(Query):
 
 
 @dataclass(frozen=True)
+class ReqOpt(Query):
+    """Required + optional-scoring pair (reference
+    ``search/ReqOptSumScorer.java``): the match set is ``required``'s;
+    ``optional``'s score is added on docs where both match. This is the
+    BooleanQuery MUST+SHOULD mix (``BooleanWeight.java`` builds exactly
+    this scorer when both occur kinds are present)."""
+    required: Query
+    optional: Query
+
+    def rewrite(self):
+        return ReqOpt(self.required.rewrite(), self.optional.rewrite())
+
+    def scoring_terms(self):
+        return list(dict.fromkeys(self.required.scoring_terms()
+                                  + self.optional.scoring_terms()))
+
+    def all_terms(self):
+        return list(dict.fromkeys(self.required.all_terms()
+                                  + self.optional.all_terms()))
+
+
+def bool_query(must: tuple = (), should: tuple = (),
+               must_not: tuple = ()) -> Query:
+    """BooleanQuery with explicit occurs, decomposed onto the primitive
+    nodes exactly as ``BooleanWeight`` composes scorers: MUST clauses
+    conjoin; SHOULD clauses disjoin — optional-scoring via :class:`ReqOpt`
+    when MUST clauses exist; MUST_NOT wraps the positive side in
+    :class:`Not`. Pure-negative queries are rejected (reference behavior:
+    no positive clause → no matches; surfaced as an error like the
+    parsers do)."""
+    must, should, must_not = tuple(must), tuple(should), tuple(must_not)
+    if must and should:
+        req = must[0] if len(must) == 1 else And(must)
+        opt = should[0] if len(should) == 1 else Or(should)
+        q: Query = ReqOpt(req, opt)
+    elif must:
+        q = must[0] if len(must) == 1 else And(must)
+    elif should:
+        q = should[0] if len(should) == 1 else Or(should)
+    else:
+        raise ValueError("boolean query has no positive clauses")
+    for n in must_not:
+        q = Not(q, n)
+    return q
+
+
+@dataclass(frozen=True)
 class CommonTerms(Query):
     """CommonTermsQuery (reference ``queries/CommonTermsQuery.java:54``,
     SHOULD/SHOULD occurs — the classic stopword-free ranking shape):
