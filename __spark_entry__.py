@@ -2261,6 +2261,43 @@ def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "snippet")
 
 
+def _q_highlight_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastVectorHighlighter role: highlight from the index-time
+    term-vector offsets sidecar (no query-time re-analysis). The entry
+    ASSERTS byte-equality against the re-analysis highlighter on the
+    same hits before returning — a mismatch errors the row, so the
+    driver's rows-only check doubles as the parity gate."""
+    from lucene_spark.operators.highlight import highlight_tv
+    key = "tv:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()) \
+            .hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(),
+                           f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    store_term_vectors=True)
+        _BUILT[key] = idx
+    s = Searcher(spark, _BUILT[key])
+    q = Q.And((Q.Term(T_COMMON), Q.Term(T_COMMON2)))
+    docs = _docs(spark, sf_dir)
+    tv = highlight_tv(s, docs, q, k=5, window=6, text_col="text") \
+        .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                "snippet")
+    rean = highlight(s, docs, q, k=5, window=6, text_col="text") \
+        .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                "snippet")
+    a = [tuple(r) for r in tv.collect()]
+    b = [tuple(r) for r in rean.collect()]
+    if a != b:
+        raise AssertionError("term-vector snippets diverge from "
+                             "re-analysis snippets")
+    return tv
+
+
 def _q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs oracle
     path; the LSH-bucketed scale path is differential-tested in
@@ -2908,6 +2945,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,
         "highlight_top5": _q_highlight,
+        "highlight_tv_top5": _q_highlight_tv,
         # --- interval queries (queries/intervals, new r3) ---
         "interval_ordered_top10": _search(Q.Interval(
             ("ordered", (("term", T_COMMON), ("term", T_COMMON2),
@@ -3036,6 +3074,7 @@ _PRIORITY = [
     # --- new in round 4 ---
     "bm25_soft_deleted_top10",
     "flexible_parse_top10",
+    "highlight_tv_top5",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -3200,6 +3239,9 @@ reqopt AS (
         "span_within_top10": _span_within_sql(
             T_THIRD, (T_COMMON, T_COMMON2), 4),
         "highlight_top5": _highlight_sql(T_COMMON, T_COMMON2, k=5, window=6),
+        # same oracle: the TV path must produce byte-identical snippets
+        "highlight_tv_top5": _highlight_sql(T_COMMON, T_COMMON2,
+                                            k=5, window=6),
         "bm25_synonym_indexed_top10": _synonym_indexed_sql(
             T_THIRD, T_COMMON, T_COMMON),
         "bm25_shingle_top10": _shingle_indexed_sql("part", "filter"),

@@ -148,6 +148,35 @@ def analyze_text(text: str,
     return terms, positions, len(terms)
 
 
+def analyze_text_offsets(text: str,
+                         stopwords: frozenset[str] = frozenset(),
+                         max_token_length: int = MAX_TOKEN_LENGTH,
+                         lowercase: bool = True):
+    """Standard-chain analysis WITH character offsets — the term-vector
+    payload (reference: term vectors store per-doc term/position/offset
+    triples when ``FieldType.setStoreTermVectorOffsets(true)``;
+    ``codecs/lucene90/compressing/Lucene90CompressingTermVectorsWriter
+    .java``). Returns (terms, starts, ends) for surviving tokens, same
+    skip rules as :func:`analyze_text`'s standard chain (overlong
+    skipped, stopwords dropped). Offset-bearing chains with
+    token-rewriting filters (stemmer/synonyms/shingles) are out of
+    scope for term vectors — offsets stop meaning source slices there."""
+    terms: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for m in _TOKEN_RE.finditer(text or ""):
+        raw = m.group()
+        if len(raw) > max_token_length:
+            continue
+        low = raw.lower() if lowercase else raw
+        if low in stopwords:
+            continue
+        terms.append(low)
+        starts.append(m.start())
+        ends.append(m.end())
+    return terms, starts, ends
+
+
 def analyze_batch(texts: pd.Series,
                   stopwords: frozenset[str] = frozenset(),
                   max_token_length: int = MAX_TOKEN_LENGTH,

@@ -293,6 +293,45 @@ def _write_segment(catalog_root: str, seg_id: int, postings: pd.DataFrame,
     return stats
 
 
+def _write_term_vectors(catalog_root: str, seg_id: int, pdf: pd.DataFrame,
+                        content_col: str, doc_id_col: str,
+                        stopwords: frozenset) -> None:
+    """Per-doc analyzed (terms, starts, ends) offset sidecar, one parquet
+    file per build segment under <index>/term_vectors/, keyed by GLOBAL
+    doc_id (seg_id kept so readers can latest-win across updateDocument
+    generations). Executor-written, atomic rename; idempotent on resume
+    (segment status 'built' gates the write)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.analysis import analyze_text_offsets
+
+    tv_dir = os.path.join(catalog_root, "term_vectors")
+    os.makedirs(tv_dir, exist_ok=True)
+    final = os.path.join(tv_dir, f"seg-{seg_id}.parquet")
+    if os.path.exists(final):
+        return
+    rows_t, rows_s, rows_e = [], [], []
+    for text in pdf[content_col]:
+        t, s, e = analyze_text_offsets(text or "", stopwords=stopwords)
+        rows_t.append(t)
+        rows_s.append(s)
+        rows_e.append(e)
+    tbl = pa.table({
+        "doc_id": pa.array(pdf[doc_id_col].astype("int64"), pa.int64()),
+        "seg_id": pa.array(np.full(len(pdf), seg_id, np.int32), pa.int32()),
+        "terms": pa.array(rows_t, pa.list_(pa.string())),
+        "starts": pa.array(rows_s, pa.list_(pa.int32())),
+        "ends": pa.array(rows_e, pa.list_(pa.int32())),
+    })
+    tmp = os.path.join(tv_dir, f"_tmp-{seg_id}-{uuid.uuid4().hex}.parquet")
+    pq.write_table(tbl, tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        os.unlink(tmp)
+
+
 def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   stopwords: frozenset, store_positions: bool,
                   stemmer: str | None = None,
@@ -304,7 +343,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   tokenizer: str = "standard",
                   shingles: tuple | None = None,
                   ascii_folding: bool = False,
-                  common_grams: frozenset | None = None):
+                  common_grams: frozenset | None = None,
+                  store_term_vectors: bool = False):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -318,6 +358,9 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
+        if store_term_vectors and stats["status"] == "built":
+            _write_term_vectors(catalog_root, seg_id, pdf, content_col,
+                                doc_id_col, stopwords)
         return pd.DataFrame([{
             "seg_id": stats["seg_id"], "num_docs": stats["num_docs"],
             "num_terms": stats["num_terms"], "num_postings": stats["num_postings"],
@@ -379,12 +422,22 @@ def build_index(spark, df, index_dir: str, *,
                 tokenizer: str = "standard",
                 shingles: tuple | None = None,
                 ascii_folding: bool = False,
-                common_grams: frozenset | None = None):
+                common_grams: frozenset | None = None,
+                store_term_vectors: bool = False):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
     and tie-break order (the role of Lucene's docBase+local docID).
     Returns the committed :class:`Snapshot`.
+
+    ``store_term_vectors`` writes a per-doc (terms, starts, ends) offset
+    sidecar alongside the segments (the reference's term-vectors files,
+    ``Lucene90CompressingTermVectorsWriter``) — consumed by
+    :func:`operators.highlight.highlight_tv` to highlight without
+    re-analysis. Stored keyed by GLOBAL doc_id at the index level (not
+    per segment), so merges never rewrite it — the Spark-native shape of
+    "term vectors survive merges by bulk copy". Standard chain only:
+    token-rewriting filters would break offset→source-slice meaning.
     """
     from pyspark.sql import functions as F
 
@@ -396,6 +449,11 @@ def build_index(spark, df, index_dir: str, *,
     if common_grams and (synonyms or payload_delimiter or shingles):
         raise ValueError("common_grams is mutually exclusive with "
                          "synonyms, payloads and shingles")
+    if store_term_vectors and (stemmer or synonyms or shingles
+                               or common_grams or ascii_folding
+                               or tokenizer != "standard"):
+        raise ValueError("term vectors require the plain standard chain "
+                         "(offsets must slice the source text)")
     catalog = SnapshotCatalog(index_dir)
     work = df.withColumn(SHA_COL, F.sha2(F.col(content_col).cast("string"), 256))
     work = work.withColumn(SEG_COL,
@@ -412,7 +470,7 @@ def build_index(spark, df, index_dir: str, *,
                             synonyms, discount_overlaps,
                             sort_field, sort_ascending, payload_delimiter,
                             tokenizer, shingles, ascii_folding,
-                            common_grams)
+                            common_grams, store_term_vectors)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
@@ -449,4 +507,7 @@ def build_index(spark, df, index_dir: str, *,
         extra["shingles"] = list(shingles)
     if common_grams:
         extra["common_grams"] = sorted(common_grams)
+    if store_term_vectors or (latest and
+                              (latest.extra or {}).get("term_vectors")):
+        extra["term_vectors"] = True
     return catalog.commit(segments, field_stats, ts_path, extra=extra)

@@ -264,3 +264,81 @@ def test_infix_suggest(searcher, dfs):
            for r in infix_suggest(searcher, frag, k=10).collect()]
     assert got == want[:10] and len(got) > 0
     assert any(not t.startswith(frag) for t, _ in got) or len(want) <= 10
+
+
+def test_highlight_tv_matches_reanalysis(spark):
+    """FastVectorHighlighter role: snippets from stored term-vector
+    offsets are byte-identical to the re-analysis highlighter on the
+    same index + query (both feed _best_snippet_from_tokens)."""
+    import tempfile
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.highlight import highlight, highlight_tv
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(200, seed=43)
+    d = tempfile.mkdtemp(prefix="lucene_spark_tv_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=4,
+                store_term_vectors=True)
+    s = Searcher(spark, d)
+    docs_df = spark.createDataFrame(corpus)
+    for qtext in ("parse AND token", "if return", '"mixed case"'):
+        a = highlight(s, docs_df, qtext, k=5, text_col="content").collect()
+        b = highlight_tv(s, docs_df, qtext, k=5,
+                         text_col="content").collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b], qtext
+    assert any("<b>" in r["snippet"]
+               for r in highlight_tv(s, docs_df, "parse", k=5,
+                                     text_col="content").collect())
+
+
+def test_highlight_tv_requires_flag(spark):
+    import tempfile
+
+    import pytest as _pytest
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.highlight import highlight_tv
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(50, seed=44)
+    d = tempfile.mkdtemp(prefix="lucene_spark_tvless_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=2)
+    s = Searcher(spark, d)
+    with _pytest.raises(ValueError, match="term_vectors"):
+        highlight_tv(s, spark.createDataFrame(corpus), "parse",
+                     text_col="content")
+    with _pytest.raises(ValueError, match="standard chain"):
+        build_index(spark, spark.createDataFrame(corpus), d,
+                    num_segments=2, store_term_vectors=True,
+                    stemmer="porter")
+
+
+def test_highlight_tv_latest_wins_after_update(spark):
+    """updateDocument appends a new TV generation; the highlighter must
+    read the NEWEST segment's vector for the doc."""
+    import tempfile
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.delete import update_documents
+    from lucene_spark.operators.highlight import highlight_tv
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(60, seed=45)
+    d = tempfile.mkdtemp(prefix="lucene_spark_tvupd_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=3,
+                store_term_vectors=True)
+    newdocs = corpus[corpus.doc_id == 7].copy()
+    newdocs["content"] = ["zzmarker fresh text zzmarker"]
+    update_documents(spark, d, spark.createDataFrame(newdocs),
+                     store_term_vectors=True)
+    s = Searcher(spark, d)
+    import pandas as pd
+    docs = pd.concat([corpus[corpus.doc_id != 7], newdocs])
+    out = highlight_tv(s, spark.createDataFrame(docs), "zzmarker", k=5,
+                       text_col="content").collect()
+    assert [r["doc_id"] for r in out] == [7]
+    assert out[0]["snippet"].count("<b>zzmarker</b>") >= 1
