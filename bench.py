@@ -218,6 +218,11 @@ def main() -> None:
         # duplicate-clause repeats: the injective-multiset per-doc path
         # on a COMMON doubled term — its worst realistic shape
         "q_repeat_sloppy": (Q.Phrase(("if", "if"), slop=3), "auto"),
+        # mixed repeat on common terms — exercises the vectorized
+        # candidate prefilter in front of the exact multiset matcher
+        # (VERDICT r3 #6: must stay within 3x of q_sloppy_common)
+        "q_repeat_degenerate": (Q.Phrase(("if", "return", "if"),
+                                         slop=3), "auto"),
     }
     for name, (q, mode) in search_cases.items():
         best = float("inf")

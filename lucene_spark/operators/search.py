@@ -1097,15 +1097,59 @@ def _sloppy_repeat_freqs(terms: tuple[str, ...], ctx: _SegContext,
         return freqs
     return _repeat_candidates_loop(
         terms, ctx, lo, hi,
-        lambda pbt: multiset_sloppy_freq(list(terms), pbt, slop, offs))
+        lambda pbt: multiset_sloppy_freq(list(terms), pbt, slop, offs),
+        cand_mask=_repeat_prefilter(terms, ctx, lo, hi, slop, offs))
+
+
+def _repeat_prefilter(terms: tuple[str, ...], ctx: _SegContext,
+                      lo: int, hi: int, slop: int, offs: list[int],
+                      ml_n: int | None = None) -> np.ndarray | None:
+    """Vectorized NECESSARY condition for duplicate-clause windows —
+    bounds the per-candidate Python matcher at scale.
+
+    An injective complete window [L, R] gives, for every DISTINCT term,
+    an occurrence inside the min-offset clause's band [L+min_o, R+min_o]
+    (pick that clause's assignee), so the single-clause sloppy phrase
+    over the distinct terms (offsets = per-term min clause offset) is
+    feasible with the same width bound. Running the batched
+    minimal-window kernel on that relaxation yields a SUPERSET of the
+    matching docs in one vectorized pass; the exact multiset matcher
+    then loops only over those. For a common term repeated alongside a
+    selective one ("if return if"~3, the degenerate shape), candidates
+    collapse from df(common) to ~df(co-occurrence within slop).
+
+    ``ml_n`` widens the bound for the unordered-SpanNear matchLength
+    convention (ml = R-L+1-n <= slop ⇒ R-L <= slop+n-1). Returns a
+    bool mask over [lo, hi), or None when the relaxation can't prune
+    (single distinct term — multiplicity filtering is the bound there).
+    """
+    from ..functions.spans import batch_sloppy_phrase_freqs
+    distinct = tuple(sorted(set(terms)))
+    if len(distinct) < 2:
+        return None
+    offs_by: dict[str, list[int]] = {}
+    for j, t in enumerate(terms):
+        offs_by.setdefault(t, []).append(offs[j])
+    minoffs = [min(offs_by[t]) for t in distinct]
+    keys = _clause_pos_keys(distinct, ctx, lo, hi, offsets=minoffs,
+                            pad=max(minoffs) + 1)
+    if keys is None:
+        return np.zeros(hi - lo, dtype=bool)
+    relaxed = slop + (len(terms) - 1 if ml_n is not None else 0)
+    return batch_sloppy_phrase_freqs(keys, relaxed, hi - lo) > 0
 
 
 def _repeat_candidates_loop(terms: tuple[str, ...], ctx: _SegContext,
-                            lo: int, hi: int, freq_fn) -> np.ndarray:
+                            lo: int, hi: int, freq_fn,
+                            cand_mask: np.ndarray | None = None
+                            ) -> np.ndarray:
     """Shared candidate gathering for duplicate-clause matchers: docs
-    needing tf >= each term's clause multiplicity, positions per doc."""
+    needing tf >= each term's clause multiplicity (AND passing
+    ``cand_mask`` when given), positions per doc."""
     n = hi - lo
     freqs = np.zeros(n, dtype=np.float64)
+    if cand_mask is not None and not cand_mask.any():
+        return freqs
     mult = {t: terms.count(t) for t in set(terms)}
     per_term: dict[str, dict[int, np.ndarray]] = {}
     cand: set | None = None
@@ -1117,6 +1161,8 @@ def _repeat_candidates_loop(terms: tuple[str, ...], ctx: _SegContext,
         pos = tp.positions()
         docs_rep = np.repeat(ids, tfs)
         psel = (docs_rep >= lo) & (docs_rep < hi)
+        if cand_mask is not None:
+            psel &= cand_mask[np.clip(docs_rep - lo, 0, n - 1)]
         dmap: dict[int, np.ndarray] = {}
         dr, pr = docs_rep[psel], pos[psel]
         if len(dr):
@@ -1197,11 +1243,15 @@ def _span_repeat_freqs(node: "CSpanNear", ctx: _SegContext,
     """Unordered SpanNear with duplicate clause terms: per-candidate-doc
     injective multiset windows (``multiset_sloppy_freq(ml_n=n)``)."""
     from ..functions.spans import multiset_sloppy_freq
+    zero_offs = [0] * len(node.terms)
     return _repeat_candidates_loop(
         tuple(node.terms), ctx, lo, hi,
         lambda pbt: multiset_sloppy_freq(list(node.terms), pbt,
-                                         node.slop, [0] * len(node.terms),
-                                         ml_n=len(node.terms)))
+                                         node.slop, zero_offs,
+                                         ml_n=len(node.terms)),
+        cand_mask=_repeat_prefilter(tuple(node.terms), ctx, lo, hi,
+                                    node.slop, zero_offs,
+                                    ml_n=len(node.terms)))
 
 
 def _span_tree_freqs(node: "CSpanTree", ctx: _SegContext,

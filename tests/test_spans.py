@@ -503,3 +503,38 @@ def test_single_term_repeat_closed_form_fuzz():
             ml = R - L
             got = float(np.sum(1.0 / (1.0 + ml[ml <= slop])))
         assert abs(got - want) < 1e-12, (list(P), m, slop)
+
+
+def test_repeat_prefilter_preserves_results(spark):
+    """The vectorized candidate prefilter is a pure superset filter:
+    engine results for duplicate-clause phrase/span queries are
+    float-identical to the OracleIndex with it in the path."""
+    import tempfile
+
+    import numpy as np
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.oracle import OracleIndex
+    from lucene_spark.plans import query as Q
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(300, seed=47)
+    oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+    d = tempfile.mkdtemp(prefix="lucene_spark_repf_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=4)
+    s = Searcher(spark, d)
+    queries = [
+        Q.Phrase(("if", "return", "if"), slop=3),
+        Q.Phrase(("if", "if", "return"), slop=4),
+        Q.Phrase(("return", "if", "if", "return"), slop=5),
+        Q.SpanNear(("if", "if", "return"), slop=3, in_order=False),
+        Q.SpanNear(("return", "return", "if"), slop=2, in_order=False),
+    ]
+    for q in queries:
+        got = [(r["doc_id"], r["score"])
+               for r in s.search(q, k=10, mode="exhaustive").collect()]
+        want = oracle.top_k(q, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                           rtol=0, atol=0), q
