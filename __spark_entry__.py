@@ -35,7 +35,7 @@ from lucene_spark.operators.stats import term_stats_from_tokens
 from lucene_spark.pipeline import dedup, multimodal, simsearch, textstats
 from lucene_spark.plans import query as Q
 
-_INDEX_VERSION = "v5"   # bump on codec/format changes to drop cached builds
+_INDEX_VERSION = "v6"   # bump on codec/format changes to drop cached builds
 _SEGMENTS = 8
 _BUILT: dict[str, str] = {}
 

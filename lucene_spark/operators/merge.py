@@ -35,6 +35,48 @@ from ..sources.catalog import SnapshotCatalog
 from .build import POSTINGS_COLUMNS, compute_term_stats
 
 
+#: Per-worker cache for merge-phase artifacts (merged norms array, remap
+#: tables): every re-encode partition on a worker reuses one load. Keyed
+#: by the tmp-segment file path (unique per merge), so entries from a
+#: finished merge are dead weight — the cache holds only the latest few.
+_MERGE_WORKER_CACHE: dict = {}
+
+
+def _merge_cached(key, load):
+    if key not in _MERGE_WORKER_CACHE:
+        if len(_MERGE_WORKER_CACHE) > 6:
+            _MERGE_WORKER_CACHE.clear()
+        _MERGE_WORKER_CACHE[key] = load()
+    return _MERGE_WORKER_CACHE[key]
+
+
+def _remap_from_tombstones(tombs: dict, seg_nums: dict) -> dict:
+    """(seg → old local id → compacted live id, -1 = purged) from the
+    sparse tombstone arrays — O(num_docs) per segment, executor-side."""
+    out = {}
+    for s, num in seg_nums.items():
+        live = np.ones(num, dtype=bool)
+        dead = tombs.get(int(s))
+        if dead is not None:
+            live[dead[dead < num]] = False
+        remap = np.full(num, -1, dtype=np.int64)
+        remap[live] = np.arange(int(live.sum()), dtype=np.int64)
+        out[int(s)] = remap
+    return out
+
+
+def _remap_from_table(path: str, seg_nums: dict) -> dict:
+    """(seg → old local id → ABSOLUTE sorted new id, -1 = purged) from
+    the phase-1 sort-remap parquet."""
+    pdf = pd.read_parquet(path)
+    out = {int(s): np.full(num, -1, dtype=np.int64)
+           for s, num in seg_nums.items()}
+    for s, g in pdf.groupby("seg_id"):
+        out[int(s)][g["local_doc_id"].to_numpy(np.int64)] = \
+            g["new_id"].to_numpy(np.int64)
+    return out
+
+
 def plan_merges(segments: list[dict], segs_per_tier: int = 10,
                 max_merge_at_once: int = 10,
                 max_merged_docs: int | None = 50_000_000) -> list[list[int]]:
@@ -82,8 +124,6 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     the merged segments' doc_meta (broadcast semi-join on the tombstone
     pairs); only the retained pair list routes through the driver,
     bounded by the soft-delete count of the segments being merged."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     from ..session import ensure_shipped
@@ -145,97 +185,152 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
                     np.concatenate((prev, purge.astype(np.int64))))
 
     # docBase remap (DocIDMerger): concatenate in ascending seg_id order.
-    # Streamed: live counts come from segment stats + the tombstone
-    # slices, the merged arrays are PREALLOCATED once, and each segment's
-    # norms file is read, masked and copied into its slice one at a time
-    # — driver peak is the output (~9-17 B/doc, bounded by
-    # max_merged_docs) plus ONE segment, not 2x the concatenation.
+    # DRIVER holds only O(segments + tombstones) state — live counts come
+    # from segment stats + the tombstone lengths; the per-doc work (norms
+    # mask/concat, sort permutation) runs in ONE executor task below, and
+    # the re-encode tasks rebuild remaps from the broadcast SPARSE
+    # tombstones (or read the sort-remap table) instead of receiving
+    # full per-doc arrays. At the 50M-doc merge cap the driver's delta
+    # is KBs; the assembly task peaks at ~9-17 B/doc, executor-side.
     stats_by_seg = {s["seg_id"]: s for s in snap.segments}
+    seg_nums = {s: int(stats_by_seg[s]["num_docs"]) for s in seg_ids}
     doc_bases: dict[int, int] = {}
-    remaps: dict[int, np.ndarray] = {}   # old local id -> compacted (-1 = deleted)
-    lives: dict[int, np.ndarray] = {}
     n_deleted_merged = 0
     base = 0
     for s in seg_ids:
-        num = int(stats_by_seg[s]["num_docs"])
-        live = np.ones(num, dtype=bool)
-        if s in seg_deletes:
-            live[seg_deletes[s][seg_deletes[s] < num]] = False
-        cnt = int(live.sum())
-        n_deleted_merged += num - cnt
-        remap = np.full(num, -1, dtype=np.int64)
-        remap[np.nonzero(live)[0]] = np.arange(cnt, dtype=np.int64)
-        remaps[s] = remap
-        lives[s] = live
+        dead = seg_deletes.get(s)
+        n_dead = int((dead < seg_nums[s]).sum()) if dead is not None else 0
+        n_deleted_merged += n_dead
         doc_bases[s] = base
-        base += cnt
+        base += seg_nums[s] - n_dead
     n_docs = base
-    merged_norms = np.empty(n_docs, dtype=np.uint8)
-    merged_gids = np.empty(n_docs, dtype="<i8")
-    for s in seg_ids:
-        npdf = pd.read_parquet(
-            os.path.join(catalog.segment_dir(s), "norms.parquet"))
-        live = lives[s]
-        lo = doc_bases[s]
-        hi = lo + int(live.sum())
-        merged_norms[lo:hi] = \
-            np.frombuffer(npdf.iloc[0]["norm_bytes"], dtype=np.uint8)[live]
-        merged_gids[lo:hi] = \
-            np.frombuffer(npdf.iloc[0]["global_doc_ids"], dtype="<i8")[live]
-        del npdf
-
-    # sorting merge (reference MergeState.needsIndexSort →
-    # ``index/IndexSorter.java:44`` comparators + the sorting DocIDMerger,
-    # ``index/DocIDMerger.java:97``): when the index carries a sort, the
-    # merged segment must be PHYSICALLY ordered by the key too, or
-    # sorted_top_k's early termination dies at the first merge. Each input
-    # segment is already key-ordered, so the merged order is one stable
-    # merge-sort of the live key streams with the SAME comparator the
-    # build used ((key asc|desc, global doc_id asc), mergesort) — folded
-    # into `remaps` as ABSOLUTE new ids (bases zeroed). Driver holds one
-    # key per live doc (~8-16 B), same max_merged_docs-bounded scale as
-    # the norms/gid arrays it already streams.
     sort_info = (snap.extra or {}).get("index_sort")
-    if sort_info:
-        field, s_asc = sort_info["field"], bool(sort_info["ascending"])
-        key_parts = []
-        for s in seg_ids:
-            kdf = pd.read_parquet(
-                os.path.join(catalog.segment_dir(s), "doc_meta.parquet"),
-                columns=["local_doc_id", field]).sort_values("local_doc_id")
-            key_parts.append(kdf[field].reset_index(drop=True)[lives[s]])
-        keys_all = pd.concat(key_parts, ignore_index=True)
-        order = (pd.DataFrame({"k": keys_all, "g": merged_gids})
-                 .sort_values(["k", "g"], ascending=[s_asc, True],
-                              kind="mergesort").index.to_numpy())
-        inv = np.empty(n_docs, dtype=np.int64)
-        inv[order] = np.arange(n_docs, dtype=np.int64)
-        merged_norms = merged_norms[order]
-        merged_gids = merged_gids[order]
-        for s in seg_ids:
-            r = remaps[s]
-            m = r >= 0
-            r[m] = inv[r[m] + doc_bases[s]]
-        doc_bases = {s: 0 for s in seg_ids}
+    sorting = sort_info is not None
+    has_deletes = bool(seg_deletes)
+    bases = dict(doc_bases) if not sorting else {s: 0 for s in seg_ids}
+    bc_tombs = spark.sparkContext.broadcast(
+        {s: v.astype(np.int64) for s, v in seg_deletes.items()})
 
-    # retained soft deletes follow their docs to the new ids (remap is
-    # base-offset or, post-sort, absolute — doc_bases is zeroed then, so
-    # remap[old] + base is the new id in both regimes)
+    tmp = os.path.join(index_dir, "segments",
+                       f"_tmp-{new_seg_id}-{uuid.uuid4().hex}")
+    os.makedirs(tmp, exist_ok=True)
+    norms_path = os.path.join(tmp, "norms.parquet")
+    remap_path = os.path.join(tmp, "remap.parquet") if sorting else None
+
+    # Phase 1 — norms/gids assembly, one executor task (the only place
+    # the whole merged doc axis is materialized): mask each segment's
+    # norms by its tombstones, concatenate at the doc bases; under an
+    # index sort (reference MergeState.needsIndexSort →
+    # ``index/IndexSorter.java:44`` + the sorting DocIDMerger,
+    # ``index/DocIDMerger.java:97``) also merge-sort by (key asc|desc,
+    # global doc_id asc) — each input is already key-ordered — permute,
+    # and write the (seg, old local) → ABSOLUTE new id table for the
+    # re-encode/doc_meta phases. Files land in the tmp segment dir the
+    # same way build tasks write theirs (shared index storage contract).
+    seg_spec = pd.DataFrame({
+        "seg_id": np.asarray(seg_ids, np.int32),
+        "dir": [catalog.segment_dir(s) for s in seg_ids],
+        "base": np.asarray([doc_bases[s] for s in seg_ids], np.int64),
+    })
+    field = sort_info["field"] if sorting else None
+    s_asc = bool(sort_info["ascending"]) if sorting else True
+
+    def assemble(batches):
+        import pyarrow as pa_
+        import pyarrow.parquet as pq_
+        spec = pd.concat(list(batches), ignore_index=True) \
+            .sort_values("seg_id")
+        tombs = bc_tombs.value
+        norm_parts, gid_parts, key_parts = [], [], []
+        remap_rows = []
+        for row in spec.itertuples(index=False):
+            npdf = pd.read_parquet(os.path.join(row.dir, "norms.parquet"))
+            num = int(npdf.iloc[0]["num_docs"])
+            live = np.ones(num, dtype=bool)
+            dead = tombs.get(int(row.seg_id))
+            if dead is not None:
+                live[dead[dead < num]] = False
+            norm_parts.append(np.frombuffer(
+                npdf.iloc[0]["norm_bytes"], dtype=np.uint8)[live])
+            gid_parts.append(np.frombuffer(
+                npdf.iloc[0]["global_doc_ids"], dtype="<i8")[live])
+            if field is not None:
+                kdf = pd.read_parquet(
+                    os.path.join(row.dir, "doc_meta.parquet"),
+                    columns=["local_doc_id", field]) \
+                    .sort_values("local_doc_id")
+                key_parts.append(kdf[field].reset_index(drop=True)[live])
+                remap_rows.append((int(row.seg_id),
+                                   np.nonzero(live)[0].astype(np.int32)))
+        merged_norms = np.concatenate(norm_parts) if norm_parts \
+            else np.empty(0, np.uint8)
+        merged_gids = np.concatenate(gid_parts) if gid_parts \
+            else np.empty(0, "<i8")
+        if field is not None:
+            keys_all = pd.concat(key_parts, ignore_index=True) \
+                if key_parts else pd.Series([], dtype="float64")
+            order = (pd.DataFrame({"k": keys_all, "g": merged_gids})
+                     .sort_values(["k", "g"], ascending=[s_asc, True],
+                                  kind="mergesort").index.to_numpy())
+            inv = np.empty(len(order), dtype=np.int64)
+            inv[order] = np.arange(len(order), dtype=np.int64)
+            merged_norms = merged_norms[order]
+            merged_gids = merged_gids[order]
+            segs_col, olds_col, news_col = [], [], []
+            off = 0
+            for sid, old_ids in remap_rows:
+                cnt = len(old_ids)
+                segs_col.append(np.full(cnt, sid, np.int32))
+                olds_col.append(old_ids)
+                news_col.append(inv[off:off + cnt].astype(np.int32))
+                off += cnt
+            pq_.write_table(pa_.table({
+                "seg_id": np.concatenate(segs_col) if segs_col
+                else np.empty(0, np.int32),
+                "local_doc_id": np.concatenate(olds_col) if olds_col
+                else np.empty(0, np.int32),
+                "new_id": np.concatenate(news_col) if news_col
+                else np.empty(0, np.int32)}), remap_path)
+        pq_.write_table(pa_.table({
+            "seg_id": pa_.array([new_seg_id], pa_.int32()),
+            "num_docs": pa_.array([len(merged_norms)], pa_.int64()),
+            "norm_bytes": pa_.array([merged_norms.tobytes()],
+                                    pa_.binary()),
+            "global_doc_ids": pa_.array([merged_gids.tobytes()],
+                                        pa_.binary()),
+        }), norms_path)
+        yield pd.DataFrame({"n_docs": [len(merged_norms)]})
+
+    got = (spark.createDataFrame(seg_spec).repartition(1)
+           .mapInPandas(assemble, "n_docs long").collect())
+    if int(got[0]["n_docs"]) != n_docs:
+        raise RuntimeError(
+            f"norms assembly produced {got[0]['n_docs']} docs, "
+            f"stats+tombstones imply {n_docs}")
+
+    # retained soft deletes follow their docs to the new ids
     new_soft: pd.DataFrame | None = None
     if retained:
-        parts = [pd.DataFrame({
-            "seg_id": np.int32(new_seg_id),
-            "local_doc_id": (remaps[s][v] + doc_bases[s]).astype(np.int32)})
-            for s, v in sorted(retained.items())]
-        new_soft = pd.concat(parts, ignore_index=True)
-
-    bc_norms = spark.sparkContext.broadcast(merged_norms.tobytes())
-    bases = dict(doc_bases)
-    has_deletes = bool(seg_deletes)
-    # remap table needed whenever new ids aren't plain docBase offsets
-    has_remap = has_deletes or sort_info is not None
-    sorting = sort_info is not None
-    bc_remaps = spark.sparkContext.broadcast(remaps) if has_remap else None
+        if sorting:
+            pairs = pd.DataFrame(
+                [(int(s), int(d)) for s, v in sorted(retained.items())
+                 for d in v], columns=["seg_id", "local_doc_id"])
+            hit = (spark.read.parquet(remap_path)
+                   .join(F.broadcast(spark.createDataFrame(pairs)),
+                         on=["seg_id", "local_doc_id"], how="leftsemi")
+                   .select("new_id").collect())
+            new_ids = np.asarray([r["new_id"] for r in hit], np.int32)
+        else:
+            # compacted id = old - (#purged tombstones below it) + base;
+            # retained docs are live, so never tombstoned themselves
+            parts = []
+            for s, v in sorted(retained.items()):
+                dead = seg_deletes.get(s, np.empty(0, np.int64))
+                parts.append(doc_bases[s] + v
+                             - np.searchsorted(dead, v, side="left"))
+            new_ids = np.concatenate(parts).astype(np.int32)
+        new_soft = pd.DataFrame({"seg_id": np.int32(new_seg_id),
+                                 "local_doc_id": new_ids})
 
     def reencode_partition(batches):
         """One call per term-hash partition: decode every (term, segment)
@@ -256,8 +351,24 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
             yield pd.DataFrame(columns=out_cols)
             return
         pdf = pdf.sort_values(["term", "seg_id"], kind="mergesort")
-        norms = np.frombuffer(bc_norms.value, dtype=np.uint8)
-        rmaps = bc_remaps.value if bc_remaps is not None else None
+        # merged norms read from the phase-1 file (worker-cached): a
+        # 50M-doc merge ships 50 MB once per executor instead of a
+        # driver-built broadcast; remaps rebuilt from the SPARSE
+        # tombstone broadcast (or the sort-remap table) on demand
+        norms = _merge_cached(
+            norms_path, lambda: np.frombuffer(
+                pd.read_parquet(norms_path).iloc[0]["norm_bytes"],
+                dtype=np.uint8))
+        if sorting:
+            rmaps = _merge_cached(
+                remap_path,
+                lambda: _remap_from_table(remap_path, seg_nums))
+        elif has_deletes:
+            rmaps = _merge_cached(
+                ("tombs", norms_path),
+                lambda: _remap_from_tombstones(bc_tombs.value, seg_nums))
+        else:
+            rmaps = None
         ids_parts, tf_parts, pos_parts, pay_parts = [], [], [], []
         row_lens = np.empty(len(pdf), dtype=np.int64)
         tok_lens = np.empty(len(pdf), dtype=np.int64)
@@ -364,9 +475,6 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     # CheckIndex asserts and file-level min/max pruning relies on)
     merged_postings = (union.repartitionByRange(F.col("term"))
                        .mapInPandas(reencode_partition, postings_schema))
-
-    tmp = os.path.join(index_dir, "segments", f"_tmp-{new_seg_id}-{uuid.uuid4().hex}")
-    os.makedirs(tmp, exist_ok=True)
     merged_postings.write.mode("overwrite").parquet(os.path.join(tmp, "postings.parquet"))
 
     # doc_meta: remap seg_id/local_doc_id (deleted docs dropped via the
@@ -378,21 +486,46 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     # before the remap, so the merged segment needs no overlay rows
     from .docvalues import bake_updates
     metas = bake_updates(spark, catalog, snap, metas, seg_ids)
-    if has_remap:
-        rparts = []
-        for s in seg_ids:
-            remap = remaps[s]
-            old = np.nonzero(remap >= 0)[0]
-            rparts.append(pd.DataFrame({
-                "seg_id": np.int32(s),
-                "local_doc_id": old.astype(np.int32),
-                "_new_id": (remap[old] + bases[s]).astype(np.int32)}))
-        remap_df = spark.createDataFrame(pd.concat(rparts, ignore_index=True))
-        remapped = (metas.join(F.broadcast(remap_df),
+    if sorting:
+        # the phase-1 remap table carries the absolute sorted ids; a
+        # plain (non-broadcast) join keeps the 50M-row table off every
+        # executor's heap at once
+        remap_sdf = (spark.read.parquet(remap_path)
+                     .withColumnRenamed("new_id", "_new_id"))
+        remapped = (metas.join(remap_sdf,
                                on=["seg_id", "local_doc_id"], how="inner")
                     .withColumn("local_doc_id", F.col("_new_id"))
                     .drop("_new_id")
                     .withColumn("seg_id", F.lit(new_seg_id).cast("int")))
+    elif has_deletes:
+        # compacted id = base + old - (#tombstones below old), computed
+        # per Arrow batch from the sparse tombstone broadcast — no
+        # per-doc remap table anywhere
+        meta_schema = metas.schema
+
+        def remap_meta(batches):
+            tombs = bc_tombs.value
+            for mpdf in batches:
+                segs = mpdf["seg_id"].to_numpy()
+                olds = mpdf["local_doc_id"].to_numpy(np.int64)
+                keep = np.ones(len(mpdf), dtype=bool)
+                new = olds.copy()
+                for s in np.unique(segs):
+                    m = segs == s
+                    dead = tombs.get(int(s))
+                    off = bases[int(s)]
+                    if dead is None:
+                        new[m] = olds[m] + off
+                        continue
+                    keep[m] &= ~np.isin(olds[m], dead)
+                    new[m] = (olds[m] + off
+                              - np.searchsorted(dead, olds[m], "left"))
+                out = mpdf[keep].copy()
+                out["local_doc_id"] = new[keep].astype(np.int32)
+                out["seg_id"] = np.int32(new_seg_id)
+                yield out
+
+        remapped = metas.mapInPandas(remap_meta, meta_schema)
     else:
         base_map = F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
         remapped = (metas
@@ -406,14 +539,8 @@ def merge_segments(spark, index_dir: str, seg_ids: list[int],
     (remapped.repartitionByRange(F.col("local_doc_id"))
      .sortWithinPartitions("local_doc_id")
      .write.mode("overwrite").parquet(os.path.join(tmp, "doc_meta.parquet")))
-
-    norms_tbl = pa.table({
-        "seg_id": pa.array([new_seg_id], pa.int32()),
-        "num_docs": pa.array([n_docs], pa.int64()),
-        "norm_bytes": pa.array([merged_norms.tobytes()], pa.binary()),
-        "global_doc_ids": pa.array([merged_gids.tobytes()], pa.binary()),
-    })
-    pq.write_table(norms_tbl, os.path.join(tmp, "norms.parquet"))
+    if remap_path is not None:
+        os.unlink(remap_path)   # phase-internal; not part of the segment
 
     stats_pdf = spark.read.parquet(os.path.join(tmp, "postings.parquet")) \
         .agg(F.count("*").alias("num_terms"), F.sum("df").alias("num_postings"),

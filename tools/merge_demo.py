@@ -1,9 +1,11 @@
 """Large-merge demo: build a multi-million-doc index from Spark-generated
 synthetic docs (no driver-side data), merge half its segments, and report
-wall time + driver RSS growth — the evidence that merge writes are
-distributed (range-clustered doc_meta, streamed norms assembly,
-executor-written tombstone carry) and the driver holds only the bounded
-norms/gid buffer (~9-17 B/doc of the MERGED segment).
+wall time + driver RSS growth — the evidence that a merge routes NO
+per-doc state through the driver: norms/gid assembly runs as one
+executor task, re-encode tasks rebuild remaps from the sparse tombstone
+broadcast (or the executor-written sort-remap table), doc_meta rewrites
+are range-clustered Spark jobs, and tombstones carry executor-side. The
+driver holds O(segments + tombstones) only.
 
 Usage: python tools/merge_demo.py [n_docs] [n_segments] [n_merge]
 """
@@ -76,8 +78,9 @@ def main() -> None:
     print(f"merge: {len(merge_ids)} segments / {merged_docs:,} docs in "
           f"{t_merge:.1f}s ({merged_docs / t_merge:,.0f} docs/s)")
     print(f"driver RSS: {rss_before:.0f} -> {rss_after:.0f} MB "
-          f"(delta {rss_after - rss_before:.0f} MB; merged norms+gids = "
-          f"{merged_docs * 9 / 1e6:.0f} MB lower bound)")
+          f"(delta {rss_after - rss_before:.0f} MB; the merged "
+          f"norms+gids the driver NO LONGER holds would be "
+          f"{merged_docs * 9 / 1e6:.0f} MB)")
     totals = check_index(idx, spark=spark)
     print(f"CheckIndex: {totals['segments']} segments, "
           f"{totals['num_docs']:,} docs OK")
