@@ -2011,6 +2011,20 @@ def _q_flexible_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(q, k=10))
 
 
+def _q_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoreParser XML syntax (queryparser/xml/CoreParser.java:40): a
+    BooleanQuery element with must/should/mustNot clauses parses onto
+    Not(ReqOpt(must, should), mustNot)."""
+    from lucene_spark.plans.xmlparser import parse_xml
+    s = _searcher(spark, sf_dir)
+    q = parse_xml(f"""<BooleanQuery>
+      <Clause occurs="must"><TermQuery>{T_COMMON}</TermQuery></Clause>
+      <Clause occurs="should"><TermQuery>{T_COMMON2}</TermQuery></Clause>
+      <Clause occurs="mustNot"><TermQuery>{T_RARE}</TermQuery></Clause>
+    </BooleanQuery>""")
+    return _fmt_topk(s.search(q, k=10))
+
+
 def _q_fuzzy_blended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery default rewrite (TopTermsBlendedFreqScoringRewrite):
     blended df=max stats, per-term 1-ed/minlen float32 boosts, SHOULD
@@ -2941,6 +2955,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surround_topk": _q_surround,
         "simple_parse_top10": _q_simple_parse,
         "flexible_parse_top10": _q_flexible_parse,
+        "xml_parse_top10": _q_xml_parse,
         "suggest_prefix": _q_suggest_prefix,
         "spell_suggest": _q_spell_suggest,
         "mlt_top10": _q_mlt_top10,
@@ -3074,6 +3089,7 @@ _PRIORITY = [
     # --- new in round 4 ---
     "bm25_soft_deleted_top10",
     "flexible_parse_top10",
+    "xml_parse_top10",
     "highlight_tv_top5",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
@@ -3235,6 +3251,19 @@ reqopt AS (
               ELSE CAST(CAST(a.s AS DOUBLE) + CAST(b.s AS DOUBLE)
                         AS FLOAT) END AS s
   FROM ta a LEFT JOIN tb b ON a.doc_id = b.doc_id
+)""" + _topk_sql("reqopt", 10),
+        # ReqOpt(must, should) minus mustNot docs
+        "xml_parse_top10": _PRELUDE + ", "
+        + _tscore_cte("ta", T_COMMON) + ", "
+        + _tscore_cte("tb", T_COMMON2) + f""",
+reqopt AS (
+  SELECT a.doc_id,
+         CASE WHEN b.s IS NULL THEN a.s
+              ELSE CAST(CAST(a.s AS DOUBLE) + CAST(b.s AS DOUBLE)
+                        AS FLOAT) END AS s
+  FROM ta a LEFT JOIN tb b ON a.doc_id = b.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM tf n
+                    WHERE n.doc_id = a.doc_id AND n.term = '{T_RARE}')
 )""" + _topk_sql("reqopt", 10),
         "span_within_top10": _span_within_sql(
             T_THIRD, (T_COMMON, T_COMMON2), 4),
