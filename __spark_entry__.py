@@ -1033,7 +1033,10 @@ WHERE CAST(i.inter AS DOUBLE) /
       CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold}""")
 
 
-def _minhash_sql(threshold: float, num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_pairs_prefix(threshold: float, num_hashes: int = 16,
+                          bands: int = 4) -> str:
+    """Shared CTE chain ending in a ``pairs(id_a, id_b, jac)`` CTE —
+    the exact SQL replica of minhash_near_duplicates."""
     rows = num_hashes // bands
     mins = ",\n         ".join(
         f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes))
@@ -1061,16 +1064,46 @@ inter AS (
   JOIN shj a ON a.doc_id = c.id_a
   JOIN shj b ON b.doc_id = c.id_b AND b.shingle = a.shingle
   GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b, i.inter,
+         CAST(i.inter AS DOUBLE) /
+         CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jac
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.inter AS DOUBLE) /
+        CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold}
+)""")
+
+
+def _minhash_sql(threshold: float, num_hashes: int = 16, bands: int = 4) -> str:
+    return (_minhash_pairs_prefix(threshold, num_hashes, bands) + """
+SELECT id_a, id_b,
+       CAST(floor(jac * 10000) AS BIGINT) AS jaccard_q4
+FROM pairs""")
+
+
+def _minhash_cluster_sql(threshold: float) -> str:
+    """Connected components of the near-dup pair graph: (node, root)
+    with root = component min, via transitive closure (recursive CTE) —
+    the declarative oracle twin of the large-star/small-star engine
+    path."""
+    prefix = _minhash_pairs_prefix(threshold).replace(
+        "WITH toks", "WITH RECURSIVE toks", 1)
+    return (prefix + """,
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
 )
-SELECT i.id_a, i.id_b,
-       CAST(floor(CAST(i.inter AS DOUBLE) /
-             CAST(sa.sz + sb.sz - i.inter AS DOUBLE) * 10000) AS BIGINT)
-         AS jaccard_q4
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.id_a
-JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE CAST(i.inter AS DOUBLE) /
-      CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= {threshold}""")
+SELECT a AS node, least(a, min(b)) AS root
+FROM reach GROUP BY a""")
 
 
 def _simhash_sql() -> str:
@@ -1784,6 +1817,16 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dedup.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.8)
             .select("id_a", "id_b", _q4(F.col("jaccard")).alias("jaccard_q4")))
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs -> connected components
+    (alternating large-star/small-star, Kiveris et al. SoCC'14) ->
+    (node, component-min root). Oracle: recursive-CTE transitive
+    closure over the same SQL-replicated pair set."""
+    pairs = dedup.minhash_near_duplicates(_docs(spark, sf_dir),
+                                          threshold=0.8)
+    return dedup.connected_components(pairs)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3016,6 +3059,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash,
+        "dedup_cluster_roots": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "text_token_count": _q_token_count,
@@ -3091,6 +3135,7 @@ _PRIORITY = [
     "flexible_parse_top10",
     "xml_parse_top10",
     "highlight_tv_top5",
+    "dedup_cluster_roots",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -3875,6 +3920,7 @@ SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS cnt,
 FROM documents GROUP BY 1""",
         "dedup_ngram_jaccard": _ngram_jaccard_sql(0.8),
         "dedup_minhash_lsh": _minhash_sql(0.8),
+        "dedup_cluster_roots": _minhash_cluster_sql(0.8),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(3),
         "embed_lsh_topk": _lsh_topk_sql(20, 5),

@@ -256,3 +256,86 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3,
                  .withColumn("hamming", ham)
                  .where(F.col("hamming") <= max_hamming)
                  .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# 5. Connected components over near-duplicate pairs (cluster dedup)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, left: str = "id_a",
+                         right: str = "id_b",
+                         max_iterations: int = 50) -> DataFrame:
+    """Connected components of the near-duplicate pair graph:
+    (node, root) with root = the component's minimum node id.
+
+    Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+    Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+    MapReduce and Beyond", SoCC'14), the standard shuffle-bounded CC for
+    data too big for one machine: each round is two groupBy-min passes,
+    edges converge to (node → component-min) stars in O(log n) rounds
+    in practice. No driver-side graph state — the driver sees only a
+    per-round convergence checksum (2 longs).
+
+    100 TB shape: near-dup components are overwhelmingly tiny (pairs,
+    triangles), so the star transforms shrink the edge set geometrically
+    and every round is a plain aggregate — no vertex-indexed state,
+    no message-passing framework.
+    """
+    edges = (pairs.select(F.col(left).cast("long").alias("u"),
+                          F.col(right).cast("long").alias("v"))
+             .where(F.col("u") != F.col("v")).distinct())
+    prev_sig = None
+    for _ in range(max_iterations):
+        # large-star: for every node, link its LARGER neighbors to the
+        # minimum of its neighborhood (incl. itself)
+        nbrs = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (nbrs.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        edges = (nbrs.join(m, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .where(F.col("u") != F.col("v")).distinct())
+        # small-star: orient edges large→small, link every smaller
+        # neighbor (and the center) to the neighborhood minimum
+        oriented = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        m = (oriented.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        stars = oriented.join(m, "u")
+        edges = (stars.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .unionByName(stars.select("u", F.col("m").alias("v")))
+                 .where(F.col("u") != F.col("v")).distinct())
+        edges = edges.localCheckpoint()   # cut the iterative lineage
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        cur = (int(sig["n"]), int(sig["h"] or 0))
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+    # converged edges are (node → root) stars; the roots themselves have
+    # no outgoing edge, so they re-enter as (root, root) self-rows —
+    # every node of the pair graph gets exactly one row
+    stars = edges.select(F.col("u").alias("node"), F.col("v").alias("root"))
+    nodes = (pairs.select(F.col(left).cast("long").alias("node"))
+             .unionByName(pairs.select(F.col(right).cast("long")
+                                       .alias("node"))).distinct())
+    return (nodes.join(stars, "node", "left")
+            .withColumn("root", F.coalesce("root", "node")))
+
+
+def drop_near_duplicates(df: DataFrame, threshold: float = 0.8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Cluster-level near-dup removal: MinHash-LSH pairs → connected
+    components → keep each component's minimum-id doc (the deterministic
+    representative). Transitive: a~b, b~c drops both b and c even when
+    a~c is below threshold — the dedup semantics training pipelines
+    want (one survivor per duplicate CLUSTER, not per pair)."""
+    pairs = minhash_near_duplicates(df, threshold, text_col, id_col)
+    cc = connected_components(pairs)
+    return (df.join(cc.withColumnRenamed("node", id_col), id_col, "left")
+            .where(F.col("root").isNull()
+                   | (F.col("root") == F.col(id_col)))
+            .drop("root"))

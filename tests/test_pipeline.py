@@ -477,3 +477,53 @@ def test_repetition_stats(spark):
         assert got[d]["dup_3gram_frac"] == _pytest.approx(dup), d
         assert got[d]["top_3gram_frac"] == _pytest.approx(top), d
     assert got[0]["dup_3gram_frac"] > 0.9 and got[1]["dup_3gram_frac"] == 0
+
+
+def test_connected_components_shapes(spark):
+    """Large-star/small-star CC vs per-case ground truth: chains, stars,
+    cycles, disjoint pairs, cross-component id interleaving."""
+    from lucene_spark.pipeline.dedup import connected_components
+
+    pairs = [(1, 2), (2, 3), (3, 4),          # chain -> root 1
+             (10, 12), (10, 11), (10, 13),    # star -> root 10
+             (20, 21), (21, 22), (22, 20),    # cycle -> root 20
+             (30, 31),                        # pair -> root 30
+             (5, 40), (40, 6)]                # interleaved ids -> root 5
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {(r["node"], r["root"])
+           for r in connected_components(df).collect()}
+    want = {(n, 1) for n in (1, 2, 3, 4)} \
+        | {(n, 10) for n in (10, 11, 12, 13)} \
+        | {(n, 20) for n in (20, 21, 22)} \
+        | {(n, 30) for n in (30, 31)} \
+        | {(n, 5) for n in (5, 6, 40)}
+    assert got == want
+
+
+def test_drop_near_duplicates_transitive(spark):
+    """Cluster-level dedup keeps ONE doc per near-dup component, even
+    across transitive links (a~b, b~c with a!~c)."""
+    import pandas as pd
+
+    from lucene_spark.pipeline.dedup import (drop_near_duplicates,
+                                             minhash_near_duplicates)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [base + "one two three",
+                 base + "one two four",      # near-dup of 0
+                 base + "one five four",     # near-dup of 1, farther from 0
+                 "completely different short text entirely"],
+    })
+    df = spark.createDataFrame(docs)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_near_duplicates(df, threshold=0.8).collect()}
+    assert pairs  # the fixture must actually produce near-dups
+    kept = sorted(r["doc_id"] for r in
+                  drop_near_duplicates(df, threshold=0.8).collect())
+    # one survivor (the min id) from the dup component + the outlier
+    comp = set()
+    for a, b in pairs:
+        comp |= {a, b}
+    assert kept == sorted(({min(comp)} | {0, 1, 2, 3} - comp))
