@@ -860,3 +860,90 @@ def brute_multiset_sloppy_freq(terms: list[str], pos_by_term: dict,
         return (r - l) if ml_n is None else max(r - l + 1 - ml_n, 0)
     return sum(1.0 / (1 + _ml(l, r)) for l, r in minimal
                if _ml(l, r) <= slop)
+
+
+def _group_envelopes(keys: np.ndarray, offs: list[int]) -> np.ndarray:
+    """Pareto envelope stream of one duplicate-term group.
+
+    ``keys``: the term's sorted global position keys (doc-major,
+    positions pre-padded so ``key - off`` never borrows doc bits);
+    ``offs``: the group's sorted clause offsets. An injective
+    assignment p_1 < … < p_k (clause j takes p_j, in offset order —
+    exchange-argument WLOG) fits a window [L, R] in adjusted space iff
+    L <= min_j(p_j - o_j) and R >= max_j(p_j - o_j), so the group is
+    EXACTLY an interval stream of (m, M) envelopes; only the Pareto
+    frontier (max m, min M) matters. For every candidate lower bound
+    L (all values p - o_j — the only points where a constraint can be
+    tight), the M-minimal assignment is the greedy chain
+    p_j = smallest occurrence >= max(p_{j-1} + 1, L + o_j), computed
+    for ALL candidates at once with one searchsorted per clause.
+    Returns the antichain-normalized (m, 3) [start, end, 0] stream.
+    """
+    from .intervals import _norm_antichain
+    k = len(offs)
+    if k == 1:
+        p = keys - np.int64(offs[0])
+        return np.stack([p, p, np.zeros(len(p), np.int64)], axis=1)
+    cands = np.unique(np.concatenate(
+        [keys - np.int64(o) for o in offs]))
+    doc = cands >> np.int64(32)
+    prev = np.full(len(cands), np.iinfo(np.int64).min, np.int64)
+    mval = np.full(len(cands), np.iinfo(np.int64).min, np.int64)
+    valid = np.ones(len(cands), dtype=bool)
+    for o in offs:
+        need = np.maximum(prev + 1, cands + np.int64(o))
+        idx = np.searchsorted(keys, need, side="left")
+        valid &= idx < len(keys)
+        p = keys[np.clip(idx, 0, len(keys) - 1)]
+        valid &= (p >> np.int64(32)) == doc
+        prev = p
+        mval = np.maximum(mval, p - np.int64(o))
+    if not valid.any():
+        return np.empty((0, 3), dtype=np.int64)
+    env = np.stack([cands[valid], mval[valid],
+                    np.zeros(int(valid.sum()), np.int64)], axis=1)
+    order = np.lexsort((env[:, 1], env[:, 0]))
+    return _norm_antichain(env[order])
+
+
+def batch_multiset_sloppy_freqs(keys_by_term: dict, offs_by_term: dict,
+                                slop: int, n_docs: int,
+                                ml_n: int | None = None) -> np.ndarray:
+    """Duplicate-clause sloppy frequency for ALL docs in one vectorized
+    pass — the batched exact twin of :func:`multiset_sloppy_freq`.
+
+    Each duplicate-term group becomes its Pareto envelope interval
+    stream (:func:`_group_envelopes`); the complete minimal windows are
+    then the unordered containment-minimal windows over those streams
+    (``intervals.unordered_over`` — one whole envelope per group inside
+    the window), which is precisely the injective-multiset window
+    antichain. freq = Σ 1/(1+ml) per window, ml = width (phrase
+    convention) or max(width+1-ml_n, 0) (NearSpansUnordered
+    matchLength). Differential-tested against the per-doc matcher.
+
+    100 TB shape: every step is a searchsorted / antichain scan over
+    doc-major key arrays — no per-candidate-doc Python loop, so a
+    repeated COMMON term costs the same class of work as the plain
+    sloppy kernel.
+    """
+    from .intervals import unordered_over
+    freqs = np.zeros(n_docs, dtype=np.float64)
+    streams = []
+    for t, keys in keys_by_term.items():
+        if len(keys) == 0:
+            return freqs
+        env = _group_envelopes(keys, sorted(offs_by_term[t]))
+        if len(env) == 0:
+            return freqs
+        streams.append(env)
+    wins = unordered_over(streams)
+    if len(wins) == 0:
+        return freqs
+    width = wins[:, 1] - wins[:, 0]
+    ml = width if ml_n is None else np.maximum(width + 1 - ml_n, 0)
+    keep = ml <= slop
+    if not keep.any():
+        return freqs
+    np.add.at(freqs, (wins[keep, 0] >> np.int64(32)).astype(np.int64),
+              1.0 / (1.0 + ml[keep]))
+    return freqs

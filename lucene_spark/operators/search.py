@@ -1045,10 +1045,9 @@ def _sloppy_phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
     n = hi - lo
     offs = list(positions) if positions else list(range(len(terms)))
     if len(set(terms)) != len(terms):
-        # duplicate clause terms: injective-assignment multiset windows
-        # (functions.spans.multiset_sloppy_freq) per candidate doc —
-        # candidates need tf >= the term's clause multiplicity, a rare
-        # query shape kept off the vectorized path
+        # duplicate clause terms: injective-assignment multiset windows,
+        # batched (Pareto envelope streams + the interval containment
+        # kernel — functions.spans.batch_multiset_sloppy_freqs)
         return _sloppy_repeat_freqs(terms, ctx, lo, hi, slop, offs)
     keys = _clause_pos_keys(terms, ctx, lo, hi, offsets=offs,
                             pad=max(offs) + 1)
@@ -1064,7 +1063,6 @@ def _sloppy_repeat_freqs(terms: tuple[str, ...], ctx: _SegContext,
     machinery, ``SloppyPhraseMatcher.java:53`` advanceRpts role) with the
     declarative multiset minimal-window semantics — see
     ``functions.spans.multiset_sloppy_freq`` for the divergence note."""
-    from ..functions.spans import multiset_sloppy_freq
     m = len(terms)
     if len(set(terms)) == 1 and offs == list(range(m)):
         # the "t t ... t" default-positions case ("if if"~N on a common
@@ -1095,90 +1093,38 @@ def _sloppy_repeat_freqs(terms: tuple[str, ...], ctx: _SegContext,
             np.add.at(freqs, (dr[:k][ok] - lo).astype(np.int64),
                       1.0 / (1.0 + ml[ok]))
         return freqs
-    return _repeat_candidates_loop(
-        terms, ctx, lo, hi,
-        lambda pbt: multiset_sloppy_freq(list(terms), pbt, slop, offs),
-        cand_mask=_repeat_prefilter(terms, ctx, lo, hi, slop, offs))
+    return _batched_repeat_freqs(terms, ctx, lo, hi, slop, offs)
 
 
-def _repeat_prefilter(terms: tuple[str, ...], ctx: _SegContext,
-                      lo: int, hi: int, slop: int, offs: list[int],
-                      ml_n: int | None = None) -> np.ndarray | None:
-    """Vectorized NECESSARY condition for duplicate-clause windows —
-    bounds the per-candidate Python matcher at scale.
-
-    An injective complete window [L, R] gives, for every DISTINCT term,
-    an occurrence inside the min-offset clause's band [L+min_o, R+min_o]
-    (pick that clause's assignee), so the single-clause sloppy phrase
-    over the distinct terms (offsets = per-term min clause offset) is
-    feasible with the same width bound. Running the batched
-    minimal-window kernel on that relaxation yields a SUPERSET of the
-    matching docs in one vectorized pass; the exact multiset matcher
-    then loops only over those. For a common term repeated alongside a
-    selective one ("if return if"~3, the degenerate shape), candidates
-    collapse from df(common) to ~df(co-occurrence within slop).
-
-    ``ml_n`` widens the bound for the unordered-SpanNear matchLength
-    convention (ml = R-L+1-n <= slop ⇒ R-L <= slop+n-1). Returns a
-    bool mask over [lo, hi), or None when the relaxation can't prune
-    (single distinct term — multiplicity filtering is the bound there).
-    """
-    from ..functions.spans import batch_sloppy_phrase_freqs
-    distinct = tuple(sorted(set(terms)))
-    if len(distinct) < 2:
-        return None
-    offs_by: dict[str, list[int]] = {}
-    for j, t in enumerate(terms):
-        offs_by.setdefault(t, []).append(offs[j])
-    minoffs = [min(offs_by[t]) for t in distinct]
-    keys = _clause_pos_keys(distinct, ctx, lo, hi, offsets=minoffs,
-                            pad=max(minoffs) + 1)
-    if keys is None:
-        return np.zeros(hi - lo, dtype=bool)
-    relaxed = slop + (len(terms) - 1 if ml_n is not None else 0)
-    return batch_sloppy_phrase_freqs(keys, relaxed, hi - lo) > 0
-
-
-def _repeat_candidates_loop(terms: tuple[str, ...], ctx: _SegContext,
-                            lo: int, hi: int, freq_fn,
-                            cand_mask: np.ndarray | None = None
-                            ) -> np.ndarray:
-    """Shared candidate gathering for duplicate-clause matchers: docs
-    needing tf >= each term's clause multiplicity (AND passing
-    ``cand_mask`` when given), positions per doc."""
+def _batched_repeat_freqs(terms: tuple[str, ...], ctx: _SegContext,
+                          lo: int, hi: int, slop: int, offs: list[int],
+                          ml_n: int | None = None) -> np.ndarray:
+    """Duplicate-clause sloppy/span frequency for every doc in one
+    vectorized pass: each repeated term's injective assignments collapse
+    to a Pareto envelope interval stream, and the containment-minimal
+    complete windows come from the interval module's unordered kernel
+    (``functions.spans.batch_multiset_sloppy_freqs``) — no per-candidate
+    Python loop, so a repeated COMMON term ("if … if" over code) costs
+    the same work class as the plain sloppy kernel."""
+    from ..functions.spans import batch_multiset_sloppy_freqs
     n = hi - lo
-    freqs = np.zeros(n, dtype=np.float64)
-    if cand_mask is not None and not cand_mask.any():
-        return freqs
-    mult = {t: terms.count(t) for t in set(terms)}
-    per_term: dict[str, dict[int, np.ndarray]] = {}
-    cand: set | None = None
-    for t in sorted(mult):
+    BIG = np.int64(1) << np.int64(32)
+    pad = max(offs) + 1
+    offs_by_term: dict[str, list[int]] = {}
+    for j, t in enumerate(terms):
+        offs_by_term.setdefault(t, []).append(offs[j])
+    keys_by_term: dict[str, np.ndarray] = {}
+    for t in offs_by_term:
         tp = ctx.tp(t)
         if tp is None:
-            return freqs
+            return np.zeros(n, dtype=np.float64)
         ids, tfs = tp.decode_all()
         pos = tp.positions()
         docs_rep = np.repeat(ids, tfs)
-        psel = (docs_rep >= lo) & (docs_rep < hi)
-        if cand_mask is not None:
-            psel &= cand_mask[np.clip(docs_rep - lo, 0, n - 1)]
-        dmap: dict[int, np.ndarray] = {}
-        dr, pr = docs_rep[psel], pos[psel]
-        if len(dr):
-            bounds = np.nonzero(np.diff(dr))[0] + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [len(dr)]))
-            for a, b in zip(starts, ends):
-                if b - a >= mult[t]:
-                    dmap[int(dr[a])] = pr[a:b]
-        per_term[t] = dmap
-        cand = set(dmap) if cand is None else cand & set(dmap)
-    for d in (cand or ()):
-        f = freq_fn({t: per_term[t][d] for t in mult})
-        if f > 0:
-            freqs[d - lo] = f
-    return freqs
+        sel = (docs_rep >= lo) & (docs_rep < hi)
+        keys_by_term[t] = (docs_rep[sel] - lo) * BIG + (pos[sel] + pad)
+    return batch_multiset_sloppy_freqs(keys_by_term, offs_by_term,
+                                       slop, n, ml_n=ml_n)
 
 
 def _payload_check_freqs(node: "CPayloadCheck", ctx: _SegContext,
@@ -1240,18 +1186,12 @@ def _span_near_freqs(node: "CSpanNear", ctx: _SegContext,
 
 def _span_repeat_freqs(node: "CSpanNear", ctx: _SegContext,
                        lo: int, hi: int) -> np.ndarray:
-    """Unordered SpanNear with duplicate clause terms: per-candidate-doc
-    injective multiset windows (``multiset_sloppy_freq(ml_n=n)``)."""
-    from ..functions.spans import multiset_sloppy_freq
-    zero_offs = [0] * len(node.terms)
-    return _repeat_candidates_loop(
-        tuple(node.terms), ctx, lo, hi,
-        lambda pbt: multiset_sloppy_freq(list(node.terms), pbt,
-                                         node.slop, zero_offs,
-                                         ml_n=len(node.terms)),
-        cand_mask=_repeat_prefilter(tuple(node.terms), ctx, lo, hi,
-                                    node.slop, zero_offs,
-                                    ml_n=len(node.terms)))
+    """Unordered SpanNear with duplicate clause terms: batched injective
+    multiset windows with the NearSpansUnordered matchLength
+    (``batch_multiset_sloppy_freqs(ml_n=n)``)."""
+    return _batched_repeat_freqs(tuple(node.terms), ctx, lo, hi,
+                                 node.slop, [0] * len(node.terms),
+                                 ml_n=len(node.terms))
 
 
 def _span_tree_freqs(node: "CSpanTree", ctx: _SegContext,

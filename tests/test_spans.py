@@ -505,10 +505,10 @@ def test_single_term_repeat_closed_form_fuzz():
         assert abs(got - want) < 1e-12, (list(P), m, slop)
 
 
-def test_repeat_prefilter_preserves_results(spark):
-    """The vectorized candidate prefilter is a pure superset filter:
-    engine results for duplicate-clause phrase/span queries are
-    float-identical to the OracleIndex with it in the path."""
+def test_repeat_batched_matcher_preserves_results(spark):
+    """The fully batched multiset matcher (Pareto envelopes + interval
+    containment kernel) keeps engine results for duplicate-clause
+    phrase/span queries float-identical to the OracleIndex."""
     import tempfile
 
     import numpy as np
@@ -538,3 +538,46 @@ def test_repeat_prefilter_preserves_results(spark):
         assert [g[0] for g in got] == [w[0] for w in want], q
         assert np.allclose([g[1] for g in got], [w[1] for w in want],
                            rtol=0, atol=0), q
+
+
+def test_batch_multiset_fuzz_vs_per_doc():
+    """batch_multiset_sloppy_freqs ≡ multiset_sloppy_freq over random
+    corpora — includes spread custom offsets (the "dipping" assignments
+    where a later clause's adjusted position undercuts the first's) and
+    both matchLength conventions."""
+    import random
+
+    import numpy as np
+
+    from lucene_spark.functions.spans import (batch_multiset_sloppy_freqs,
+                                              multiset_sloppy_freq)
+
+    rng = random.Random(11)
+    BIG = np.int64(1) << np.int64(32)
+    for _ in range(800):
+        terms = [f"t{i}" for i in range(rng.choice([2, 2, 3]))]
+        clauses = [rng.choice(terms) for _ in range(rng.randint(2, 4))]
+        while len(set(clauses)) == len(clauses):
+            clauses[rng.randrange(len(clauses))] = clauses[0]
+        offs = (list(range(len(clauses))) if rng.random() < 0.5
+                else sorted(rng.randint(0, 6) for _ in clauses))
+        slop = rng.randint(0, 5)
+        ml_n = rng.choice([None, len(clauses)])
+        n_docs = rng.randint(1, 4)
+        pos = {d: {t: sorted(rng.sample(range(14), rng.randint(0, 5)))
+                   for t in set(clauses)} for d in range(n_docs)}
+        want = np.array([multiset_sloppy_freq(clauses, pos[d], slop,
+                                              offs, ml_n=ml_n)
+                         for d in range(n_docs)])
+        pad = max(offs) + 1
+        offs_by = {}
+        for j, t in enumerate(clauses):
+            offs_by.setdefault(t, []).append(offs[j])
+        keys = {t: np.array(sorted(d * int(BIG) + p + pad
+                                   for d in range(n_docs)
+                                   for p in pos[d][t]), dtype=np.int64)
+                for t in set(clauses)}
+        got = batch_multiset_sloppy_freqs(keys, offs_by, slop, n_docs,
+                                          ml_n=ml_n)
+        assert np.allclose(got, want, atol=1e-12), \
+            (clauses, offs, slop, ml_n, pos)
