@@ -900,10 +900,11 @@ def _group_envelopes(keys: np.ndarray, offs: list[int]) -> np.ndarray:
         mval = np.maximum(mval, p - np.int64(o))
     if not valid.any():
         return np.empty((0, 3), dtype=np.int64)
+    # cands are unique-sorted, so rows are start-sorted already;
+    # _norm_antichain (minimize_or) does its own canonical sort
     env = np.stack([cands[valid], mval[valid],
                     np.zeros(int(valid.sum()), np.int64)], axis=1)
-    order = np.lexsort((env[:, 1], env[:, 0]))
-    return _norm_antichain(env[order])
+    return _norm_antichain(env)
 
 
 def batch_multiset_sloppy_freqs(keys_by_term: dict, offs_by_term: dict,
