@@ -769,15 +769,17 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
             scores[mask] = s.astype(np.float64)
         return mask, scores
     if isinstance(node, CTermAutomaton):
-        from ..functions.automaton import batch_term_automaton_freqs
+        # position-wave batched NFA: all candidate docs advance the DP
+        # together (the per-doc loop remains as the differential twin)
+        from ..functions.automaton import wave_term_automaton_freqs
         keys = []
         for t in node.terms:
             k = _clause_pos_keys([t], ctx, lo, hi)
             keys.append(k[0] if k is not None else np.empty(0, np.int64))
         trans = {(f, td): tg for f, td, tg in node.trans}
         anyt = dict(node.any_trans)
-        freqs = batch_term_automaton_freqs(keys, n, trans, anyt,
-                                           node.accepts)
+        freqs = wave_term_automaton_freqs(keys, n, trans, anyt,
+                                          node.accepts)
         mask = freqs > 0
         if mask.any():
             s = ctx.sim.score(freqs[mask].astype(np.float32),

@@ -125,3 +125,49 @@ def test_parity_vs_oracle(searcher, oracle, q):
 def test_all_absent_matches_nothing(searcher):
     q = Q.TermAutomaton(((0, 1, "zzz_absent"),), (1,))
     assert searcher.search(q, k=5).count() == 0
+
+
+def test_wave_kernel_matches_per_doc_fuzz():
+    """wave_term_automaton_freqs ≡ the per-doc DP over random automatons
+    (with/without ANY arcs, multi-target transitions, inert terms)."""
+    import random
+
+    import numpy as np
+
+    from lucene_spark.functions.automaton import (
+        batch_term_automaton_freqs, wave_term_automaton_freqs)
+
+    rng = random.Random(19)
+    BIG = np.int64(1) << np.int64(32)
+    for _ in range(600):
+        n_states = rng.randint(2, 5)
+        n_tids = rng.randint(1, 3)
+        trans: dict = {}
+        for _ in range(rng.randint(1, 6)):
+            key = (rng.randrange(n_states), rng.randrange(n_tids))
+            tg = rng.randrange(n_states)
+            trans.setdefault(key, [])
+            if tg not in trans[key]:
+                trans[key].append(tg)
+        trans = {k: tuple(v) for k, v in trans.items()}
+        anyt: dict = {}
+        if rng.random() < 0.5:
+            for _ in range(rng.randint(1, 3)):
+                st, tg = rng.randrange(n_states), rng.randrange(n_states)
+                anyt.setdefault(st, [])
+                if tg not in anyt[st]:
+                    anyt[st].append(tg)
+            anyt = {k: tuple(v) for k, v in anyt.items()}
+        accepts = frozenset(rng.sample(range(n_states),
+                                       rng.randint(1, n_states)))
+        n_docs = rng.randint(1, 4)
+        doc_keys = []
+        for _ in range(n_tids):
+            ks = [d * int(BIG) + p for d in range(n_docs)
+                  for p in rng.sample(range(12), rng.randint(0, 5))]
+            doc_keys.append(np.array(sorted(ks), dtype=np.int64))
+        want = batch_term_automaton_freqs(doc_keys, n_docs, trans, anyt,
+                                          accepts)
+        got = wave_term_automaton_freqs(doc_keys, n_docs, trans, anyt,
+                                        accepts)
+        assert np.allclose(got, want), (trans, anyt, accepts)
