@@ -32,6 +32,26 @@ from ..plans import query as Q
 from ..plans.parser import parse as parse_query
 
 
+def _needs_positions(node) -> bool:
+    """True when matching this node reads the per-doc position map —
+    lets the batch matcher skip building it for term/boolean-only
+    query sets (the common percolation shape)."""
+    if isinstance(node, (Q.Phrase, Q.MultiPhrase, Q.Interval,
+                         Q.SpanNear, Q.SpanOr, Q.SpanNot, Q.SpanFirst,
+                         Q.SpanPositionRange, Q.SpanContaining,
+                         Q.SpanWithin, Q.SpanMultiTermWrapper)):
+        return True
+    if isinstance(node, (Q.Or, Q.And, Q.DisMax)):
+        return any(_needs_positions(c) for c in node.clauses)
+    if isinstance(node, Q.Not):
+        return _needs_positions(node.positive) \
+            or _needs_positions(node.negative)
+    if isinstance(node, Q.ReqOpt):
+        return _needs_positions(node.required) \
+            or _needs_positions(node.optional)
+    return False
+
+
 def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
     """Boolean match of one compiled query node against one document's
     (term set, term → sorted positions)."""
@@ -363,6 +383,11 @@ class Monitor:
         stopwords, stemmer = self.stopwords, self.stemmer
         term_map, always = self.term_map, self.always
         presearch = self.presearch
+        # queries that read positions (phrase/span/interval); when the
+        # registered set has none — the common percolation shape — the
+        # per-doc position map is never built
+        pos_qids = {qid for qid, q in queries.items()
+                    if _needs_positions(q)}
 
         def run(batches):
             for pdf in batches:
@@ -372,15 +397,19 @@ class Monitor:
                     pdf[text_col].astype("string").fillna(""),
                     stopwords=stopwords, stemmer=stemmer)
                 ids = pdf[id_col].to_numpy()
+                # doc_idx is sorted (tokens emitted in doc order):
+                # contiguous slices, not a full boolean mask per doc
+                bounds = np.searchsorted(doc_idx,
+                                         np.arange(len(pdf) + 1))
                 out_doc, out_q, out_s, out_h = [], [], [], []
                 for i in range(len(pdf)):
-                    sel = doc_idx == i
-                    tlist = terms[sel]
-                    plist = positions[sel]
+                    tlist = terms[bounds[i]:bounds[i + 1]]
+                    plist = positions[bounds[i]:bounds[i + 1]]
                     tset = set(tlist)
                     pos_map: dict[str, list[int]] = {}
-                    for t, p in zip(tlist, plist):
-                        pos_map.setdefault(t, []).append(int(p))
+                    if pos_qids or highlights:
+                        for t, p in zip(tlist, plist):
+                            pos_map.setdefault(t, []).append(int(p))
                     if presearch:
                         cand = dict.fromkeys(always)
                         for t in tset:
