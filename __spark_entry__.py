@@ -142,6 +142,45 @@ def _q_shingle_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.Term("part filter"), k=10))
 
 
+def _searcher_stem_de(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with the UniNE German light stemmer in the chain
+    (``analysis/common/.../de/GermanLightStemmer.java``; Savoy SAC 2006)
+    — vocabulary-level stemming inside the analyzer Arrow UDF."""
+    key = "stemde:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    stemmer="german_light")
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+# surface forms in the corpus conflate under the German light stemmer:
+# filter/filters -> filt, customer -> custom, order -> ord, table -> tabl
+_STEM_DE_TERMS = ("filt", "custom", "ord", "tabl", "valu", "merg")
+
+
+def _q_stem_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery over a light-stemmed index: 'filt' matches every
+    doc whose surface text had filter/filters/filtere..."""
+    return _fmt_topk(_searcher_stem_de(spark, sf_dir).search(
+        Q.Term("filt"), k=10))
+
+
+def _q_stem_de_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df/ttf of stemmed dictionary entries — exercises the whole
+    stemmed vocabulary build, not just one posting list."""
+    s = _searcher_stem_de(spark, sf_dir)
+    return (s.term_stats.filter(F.col("term").isin(list(_STEM_DE_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _searcher_sorted(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index built with sort_field=n_chars DESC (IndexSorter role):
     local doc ids follow the key, enabling early-terminating sorted
@@ -533,6 +572,79 @@ FROM (SELECT doc_id, s,
              row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
       FROM {score_cte})
 WHERE rank > {offset} AND rank <= {offset + k}"""
+
+
+# UniNE German light stemmer expressed in SQL (de/GermanLightStemmer
+# .java behavior: accent fold, two ordered suffix passes) — the oracle
+# twin for the stemmer="german_light" analyzer chain.
+_DE_ST_SQL = "('b','d','f','g','h','k','l','m','n','t')"
+
+_STEM_DE_PRELUDE = f"""
+WITH tok0 AS (
+  SELECT doc_id,
+         translate(unnest(string_split(text, ' ')),
+                   'äàáâöòóôïìíîüùúû', 'aaaaooooiiiiuuuu') AS t,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, pos, CASE
+    WHEN length(t) > 5 AND substr(t, length(t)-2, 3) = 'ern'
+      THEN substr(t, 1, length(t)-3)
+    WHEN length(t) > 4 AND substr(t, length(t)-1, 1) = 'e'
+         AND substr(t, length(t), 1) IN ('m','n','r','s')
+      THEN substr(t, 1, length(t)-2)
+    WHEN length(t) > 3 AND substr(t, length(t), 1) = 'e'
+      THEN substr(t, 1, length(t)-1)
+    WHEN length(t) > 3 AND substr(t, length(t), 1) = 's'
+         AND substr(t, length(t)-1, 1) IN {{st}}
+      THEN substr(t, 1, length(t)-1)
+    ELSE t END AS t
+  FROM tok0
+),
+tok AS (
+  SELECT doc_id, pos, CASE
+    WHEN length(t) > 5 AND substr(t, length(t)-2, 3) = 'est'
+      THEN substr(t, 1, length(t)-3)
+    WHEN length(t) > 4 AND substr(t, length(t)-1, 2) IN ('er','en')
+      THEN substr(t, 1, length(t)-2)
+    WHEN length(t) > 4 AND substr(t, length(t)-1, 2) = 'st'
+         AND substr(t, length(t)-2, 1) IN {{st}}
+      THEN substr(t, 1, length(t)-2)
+    ELSE t END AS term
+  FROM s1
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM doclen),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+""".replace("{st}", _DE_ST_SQL)
+
+
+def _stem_de_topk_sql(term: str, k: int = 10) -> str:
+    return (_STEM_DE_PRELUDE + ", "
+            + _tscore_cte("ts", term) + _topk_sql("ts", k))
+
+
+def _stem_de_stats_sql(terms) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return (_STEM_DE_PRELUDE
+            + f""" SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ({in_list})""")
 
 
 def _term_topk_sql(term: str, k: int = 10, boost: float | None = None) -> str:
@@ -3060,6 +3172,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_cluster_roots": _q_dedup_clusters,
+        "bm25_stem_de_top10": _q_stem_de,
+        "stem_de_term_stats": _q_stem_de_stats,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "text_token_count": _q_token_count,
@@ -3136,6 +3250,8 @@ _PRIORITY = [
     "xml_parse_top10",
     "highlight_tv_top5",
     "dedup_cluster_roots",
+    "bm25_stem_de_top10",
+    "stem_de_term_stats",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -3921,6 +4037,8 @@ FROM documents GROUP BY 1""",
         "dedup_ngram_jaccard": _ngram_jaccard_sql(0.8),
         "dedup_minhash_lsh": _minhash_sql(0.8),
         "dedup_cluster_roots": _minhash_cluster_sql(0.8),
+        "bm25_stem_de_top10": _stem_de_topk_sql("filt"),
+        "stem_de_term_stats": _stem_de_stats_sql(_STEM_DE_TERMS),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(3),
         "embed_lsh_topk": _lsh_topk_sql(20, 5),

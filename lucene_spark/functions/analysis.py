@@ -112,14 +112,21 @@ def analyze_text(text: str,
 
     ``stemmer='porter'`` selects the EnglishAnalyzer chain (reference
     ``en/EnglishAnalyzer.java``): possessive strip before the stop filter,
-    Porter stem after it.
+    Porter stem after it. Any name from
+    :data:`lucene_spark.functions.lightstem.LIGHT_STEMMERS` selects the
+    per-language light/minimal chain (reference per-language analyzers:
+    lowercase -> stop filter -> stem filter; no possessive strip).
     """
+    light_stem = None
     if stemmer not in (None, "porter"):
-        raise ValueError(f"unknown stemmer {stemmer!r}")
+        from .lightstem import LIGHT_STEMMERS
+        light_stem = LIGHT_STEMMERS.get(stemmer)
+        if light_stem is None:
+            raise ValueError(f"unknown stemmer {stemmer!r}")
     if stemmer and length_filter:
         raise ValueError("length_filter with a stemmer chain is not "
                          "supported (pre/post-stem length ambiguity)")
-    if stemmer:
+    if stemmer == "porter":
         from .stem import porter_stem, strip_possessive
     terms: list[str] = []
     positions: list[int] = []
@@ -135,7 +142,7 @@ def analyze_text(text: str,
         low = raw.lower() if lowercase else raw
         if ascii_folding:
             low = fold_to_ascii(low)
-        if stemmer:
+        if stemmer == "porter":
             low = strip_possessive(low)
         if low in stopwords:
             continue  # dropped, gap kept (StopFilter)
@@ -143,7 +150,11 @@ def analyze_text(text: str,
                 length_filter[0] <= len(low) <= length_filter[1]):
             continue  # LengthFilter: dropped, gap kept (miscellaneous/
             #           LengthFilter.java extends FilteringTokenFilter)
-        terms.append(porter_stem(low) if stemmer else low)
+        if stemmer == "porter":
+            low = porter_stem(low)
+        elif light_stem is not None:
+            low = light_stem(low)
+        terms.append(low)
         positions.append(pos)
     return terms, positions, len(terms)
 
@@ -257,7 +268,18 @@ def analyze_batch(texts: pd.Series,
         stem_u = np.array([porter_stem(u) for u in uniq_p], dtype=object)
         flat = stem_u[codes]
     elif stemmer is not None:
-        raise ValueError(f"unknown stemmer {stemmer!r}")
+        # per-language light/minimal chain at VOCABULARY level: stop
+        # filter on the surface form, then stem each unique token once
+        from .lightstem import LIGHT_STEMMERS
+        light_stem = LIGHT_STEMMERS.get(stemmer)
+        if light_stem is None:
+            raise ValueError(f"unknown stemmer {stemmer!r}")
+        codes, uniq = pd.factorize(flat)
+        if stopwords:
+            stop_u = np.array([u in stopwords for u in uniq])
+            keep &= ~stop_u[codes]
+        stem_u = np.array([light_stem(u) for u in uniq], dtype=object)
+        flat = stem_u[codes]
     elif stopwords:
         keep &= ~pd.Series(flat).isin(stopwords).to_numpy()
     if length_filter is not None:
