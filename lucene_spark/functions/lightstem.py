@@ -836,6 +836,338 @@ def stem_hungarian_light(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Czech (Dolamic & Savoy, "Indexing and stemming approaches for the
+# Czech language", IP&M 2009; reference cz/CzechStemmer.java)
+
+_CZ_3 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+         "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+         "aty", "ých", "ama", "ami", "ové", "ovi", "ými")
+_CZ_2 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+         "mi", "ou")
+_CZ_1 = frozenset("aeiouůyáéíýě")
+
+
+def stem_czech(w: str) -> str:
+    """Czech aggressive stemmer: case endings, possessives, then
+    palatalization-undo normalization."""
+    n = len(w)
+    if n > 7 and w.endswith("atech"):
+        w = w[:-5]
+    elif n > 6 and w.endswith(("ětem", "etem", "atům")):
+        w = w[:-4]
+    elif n > 5 and w.endswith(_CZ_3):
+        w = w[:-3]
+    elif n > 4 and w.endswith(_CZ_2):
+        w = w[:-2]
+    elif n > 3 and w[-1] in _CZ_1:
+        w = w[:-1]
+    if len(w) > 5 and w.endswith(("ov", "in", "ův")):
+        w = w[:-2]
+    if not w:
+        return w
+    if w.endswith("čt"):
+        return w[:-2] + "ck"
+    if w.endswith("št"):
+        return w[:-2] + "sk"
+    if w[-1] in "cč":
+        return w[:-1] + "k"
+    if w[-1] in "zž":
+        return w[:-1] + "h"
+    if len(w) > 1 and w[-2] == "e":
+        return w[:-2] + w[-1]                         # e-insertion undo
+    if len(w) > 2 and w[-2] == "ů":
+        return w[:-2] + "o" + w[-1]                   # ů -> o
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Latvian (light stemmer from the reference lv/LatvianStemmer.java:
+# affix table gated by whole-word vowel count, plus palatalization undo)
+
+_LV_VOWELS = frozenset("aeiouāīēū")
+# (affix, min vowel count in the word, fires palatalization-undo)
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True), ("e", 1, False),
+    ("ā", 1, False), ("ē", 1, False), ("ī", 1, False), ("ū", 1, False),
+    ("o", 1, False), ("s", 0, False), ("š", 0, False),
+)
+
+
+def _lv_unpalatalize(stem: str, removed: str) -> str:
+    if removed == "u":
+        if stem.endswith("kš"):
+            return stem[:-2] + "kst"                  # kš -> kst
+        if stem.endswith("ņņ"):
+            return stem[:-2] + "nn"
+    if stem.endswith(("pj", "bj", "mj", "vj")):
+        return stem[:-1]                              # drop the j
+    for src, dst in (("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"),
+                     ("žļ", "zl"), ("ļņ", "ln"), ("ļļ", "ll")):
+        if stem.endswith(src):
+            return stem[:-2] + dst
+    if stem and stem[-1] == "č":
+        return stem[:-1] + "c"
+    if stem and stem[-1] == "ļ":
+        return stem[:-1] + "l"
+    if stem and stem[-1] == "ņ":
+        return stem[:-1] + "n"
+    return stem
+
+
+def stem_latvian(w: str) -> str:
+    nv = sum(1 for c in w if c in _LV_VOWELS)
+    for affix, vc, palatalizes in _LV_AFFIXES:
+        if nv > vc and len(w) >= len(affix) + 3 and w.endswith(affix):
+            stem = w[:len(w) - len(affix)]
+            return _lv_unpalatalize(stem, affix[0]) if palatalizes \
+                else stem
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Bulgarian (light stemmer from Nakov's BulStem as specialised by the
+# reference bg/BulgarianStemmer.java)
+
+
+def _bg_remove_article(w: str) -> str:
+    n = len(w)
+    if n > 6 and w.endswith("ият"):
+        return w[:-3]
+    if n > 5 and w.endswith(("ът", "то", "те", "та", "ия")):
+        return w[:-2]
+    if n > 4 and w.endswith("ят"):
+        return w[:-2]
+    return w
+
+
+def _bg_remove_plural(w: str) -> str:
+    n = len(w)
+    if n > 6:
+        if w.endswith("овци"):
+            return w[:-3]                             # -> о
+        if w.endswith("ове"):
+            return w[:-3]
+        if w.endswith("еве"):
+            return w[:-3] + "й"                       # -> й
+    if n > 5:
+        if w.endswith("ища"):
+            return w[:-3]
+        if w.endswith("та"):
+            return w[:-2]
+        if w.endswith("ци"):
+            return w[:-2] + "к"                       # -> к
+        if w.endswith("зи"):
+            return w[:-2] + "г"                       # -> г
+        if w[-3] == "е" and w[-1] == "и":
+            return w[:-3] + "я" + w[-2]               # е..и -> я..
+    if n > 4:
+        if w.endswith("си"):
+            return w[:-2] + "х"                       # -> х
+        if w.endswith("и"):
+            return w[:-1]
+    return w
+
+
+def stem_bulgarian(w: str) -> str:
+    if len(w) < 4:
+        return w
+    if len(w) > 5 and w.endswith("ища"):
+        return w[:-3]
+    w = _bg_remove_plural(_bg_remove_article(w))
+    if len(w) > 3:
+        if w.endswith("я"):
+            w = w[:-1]
+        if w.endswith(("а", "о", "е")):
+            w = w[:-1]
+    if len(w) > 4 and w.endswith("ен"):
+        w = w[:-2] + "н"                              # ен -> н
+    if len(w) > 5 and w[-2] == "ъ":
+        w = w[:-2] + w[-1]                            # ъN -> N
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Hindi (lightweight Devanagari stemmer: Ramanathan & Rao 2003 as
+# specialised by the reference hi/HindiStemmer.java)
+
+_HI_5 = ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")
+_HI_4 = ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+         "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+         "ियों", "ियां")
+_HI_3 = ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने",
+         "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं",
+         "ुआं")
+_HI_2 = ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं",
+         "ती", "ता", "ाँ", "ां", "ों", "ें")
+_HI_1 = ("ो", "े", "ू", "ु", "ी", "ि", "ा")
+
+
+def stem_hindi(w: str) -> str:
+    n = len(w)
+    if n > 6 and w.endswith(_HI_5):
+        return w[:-5]
+    if n > 5 and w.endswith(_HI_4):
+        return w[:-4]
+    if n > 4 and w.endswith(_HI_3):
+        return w[:-3]
+    if n > 3 and w.endswith(_HI_2):
+        return w[:-2]
+    if n > 2 and w.endswith(_HI_1):
+        return w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Indonesian (Asian, Williams & Tahaghoghi, "Stemming Indonesian",
+# ACSC 2005 as specialised by the reference id/IndonesianStemmer.java)
+
+
+def stem_indonesian(w: str, derivational: bool = True) -> str:
+    syl = sum(1 for c in w if c in _VOWELS)
+    removed: set[str] = set()
+
+    def fire(new_w: str, flag: str | None = None) -> str:
+        nonlocal syl
+        syl -= 1
+        if flag:
+            removed.add(flag)
+        return new_w
+
+    def first_order(w: str) -> str:
+        if w.startswith("meng"):
+            return fire(w[4:], "meng")
+        if w.startswith("meny") and len(w) > 4 and w[4] in _VOWELS:
+            return fire("s" + w[4:], "meng")          # meny+V -> s+V
+        if w.startswith(("men", "mem")):
+            return fire(w[3:], "meng")
+        if w.startswith("me"):
+            return fire(w[2:], "meng")
+        if w.startswith("peng"):
+            return fire(w[4:], "peng")
+        if w.startswith("peny") and len(w) > 4 and w[4] in _VOWELS:
+            return fire("s" + w[4:], "peng")
+        if w.startswith("peny"):
+            return fire(w[4:], "peng")
+        if w.startswith("pen") and len(w) > 3 and w[3] in _VOWELS:
+            return fire("t" + w[3:], "peng")          # pen+V -> t+V
+        if w.startswith(("pen", "pem")):
+            return fire(w[3:], "peng")
+        if w.startswith("di"):
+            return fire(w[2:], "di")
+        if w.startswith("ter"):
+            return fire(w[3:], "ter")
+        if w.startswith("ke"):
+            return fire(w[2:], "ke")
+        return w
+
+    def second_order(w: str) -> str:
+        if w.startswith("ber") or w == "belajar":
+            return fire(w[3:], "ber")
+        if (w.startswith("be") and len(w) > 4 and w[2] not in _VOWELS
+                and w[3] == "e" and w[4] == "r"):
+            return fire(w[2:], "ber")
+        if w.startswith("per") or w == "pelajar":
+            return fire(w[3:])
+        if w.startswith("pe"):
+            return fire(w[2:], "pe")
+        return w
+
+    def suffix(w: str) -> str:
+        if (w.endswith("kan") and "ke" not in removed
+                and "peng" not in removed and "pe" not in removed):
+            return fire(w[:-3])
+        if (w.endswith("an") and "di" not in removed
+                and "meng" not in removed and "ter" not in removed):
+            return fire(w[:-2])
+        if (w.endswith("i") and not w.endswith("si")
+                and "ber" not in removed and "ke" not in removed
+                and "peng" not in removed):
+            return fire(w[:-1])
+        return w
+
+    if syl > 2 and w.endswith(("kah", "lah", "pun")):
+        w = fire(w[:-3])
+    if syl > 2:
+        if w.endswith(("ku", "mu")):
+            w = fire(w[:-2])
+        elif w.endswith("nya"):
+            w = fire(w[:-3])
+    if not derivational:
+        return w
+
+    old = w
+    if syl > 2:
+        w = first_order(w)
+    if w != old:                                      # first-order fired
+        old = w
+        if syl > 2:
+            w = suffix(w)
+        if w != old and syl > 2:                      # suffix fired too
+            w = second_order(w)
+    else:
+        if syl > 2:
+            w = second_order(w)
+        if syl > 2:
+            w = suffix(w)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Arabic (Larkey, Ballesteros & Connell light-10 stemmer; reference
+# ar/ArabicStemmer.java + ar/ArabicNormalizer.java)
+
+_AR_ALEF, _AR_HEH, _AR_YEH = "ا", "ه", "ي"
+_AR_TEH_MARBUTA = "ة"
+_AR_PREFIXES = ("ال", "وال",
+                "بال", "كال",
+                "فال", "لل", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات",
+                "ون", "ين", "يه",
+                "ية", "ه", "ة", "ي")
+_AR_NORM = str.maketrans({
+    "آ": _AR_ALEF, "أ": _AR_ALEF, "إ": _AR_ALEF,
+    "ى": _AR_YEH, _AR_TEH_MARBUTA: _AR_HEH,
+    "ـ": None, "ً": None, "ٌ": None, "ٍ": None,
+    "َ": None, "ُ": None, "ِ": None, "ّ": None,
+    "ْ": None,
+})
+
+
+def normalize_arabic(w: str) -> str:
+    """ArabicNormalizer: hamza forms -> alef, dotless yeh -> yeh, teh
+    marbuta -> heh, strip tatweel + harakat."""
+    return w.translate(_AR_NORM)
+
+
+def stem_arabic_only(w: str) -> str:
+    """Light-10: one prefix strip (wa- needs >= 3 chars left, others
+    >= 2), then suffix strips in list order (each needs >= 2 left)."""
+    for p in _AR_PREFIXES:
+        need = 4 if len(p) == 1 else len(p) + 2
+        if len(w) >= need and w.startswith(p):
+            w = w[len(p):]
+            break
+    for s in _AR_SUFFIXES:
+        if len(w) >= len(s) + 2 and w.endswith(s):
+            w = w[:len(w) - len(s)]
+    return w
+
+
+def stem_arabic(w: str) -> str:
+    """ArabicAnalyzer chain role: normalize then stem."""
+    return stem_arabic_only(normalize_arabic(w))
+
+
+# ---------------------------------------------------------------------------
 # English minimal (plural-only S-stemmer)
 
 
@@ -887,4 +1219,11 @@ LIGHT_STEMMERS: dict[str, callable] = {
     "finnish_light": stem_finnish_light,
     "hungarian_light": stem_hungarian_light,
     "english_minimal": stem_english_minimal,
+    "czech": stem_czech,
+    "latvian": stem_latvian,
+    "bulgarian": stem_bulgarian,
+    "hindi": stem_hindi,
+    "indonesian": stem_indonesian,
+    "indonesian_inflectional": lambda w: stem_indonesian(w, False),
+    "arabic": stem_arabic,
 }
