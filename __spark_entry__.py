@@ -181,6 +181,62 @@ def _q_stem_de_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _elide_content(col):
+    """Deterministic apostrophe injection so the synthetic corpus
+    exercises ElisionFilter: vowel-initial tokens get ``l'``, s-initial
+    get ``qu'`` (both French articles — stripped by the filter), and
+    t-initial get ``xy'`` (NOT an article — the apostrophe token must
+    survive intact, the ElisionFilter negative case from the
+    reference's ``util/TestElision.java`` O'brian fixture)."""
+    c = F.regexp_replace(col, r"(^| )([aeiou])", "$1l'$2")
+    c = F.regexp_replace(c, r"(^| )(s)", "$1qu'$2")
+    return F.regexp_replace(c, r"(^| )(t)", "$1xy'$2")
+
+
+def _searcher_elision_fr(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with ElisionFilter (reference
+    ``util/ElisionFilter.java:55-70`` with FrenchAnalyzer
+    DEFAULT_ARTICLES, ``fr/FrenchAnalyzer.java:80``): the article
+    prefix before the first apostrophe is stripped at vocabulary level
+    inside the analyzer Arrow UDF."""
+    from lucene_spark.functions.lightstem import FRENCH_ARTICLES
+    key = "elisionfr:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", _elide_content(F.col("text")).alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    elision=FRENCH_ARTICLES)
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+# post-injection vocabulary: elided terms recover their surface form
+# ('sort', 'order'), non-article apostrophe terms index verbatim
+# ("xy'the"), and the bare surface forms of t-initial words vanish.
+_ELISION_FR_TERMS = ("sort", "order", "xy'the", "the", "xy'table", "table")
+
+
+def _q_elision_fr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery over the elided index: every 'sort' occurrence
+    was injected as "qu'sort" and recovered by the ElisionFilter."""
+    return _fmt_topk(_searcher_elision_fr(spark, sf_dir).search(
+        Q.Term("sort"), k=10))
+
+
+def _q_elision_fr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df/ttf across the elided dictionary: recovered forms keep their
+    stats, "xy'..." survives with the apostrophe, bare t-initial
+    surface forms are gone (df absent)."""
+    s = _searcher_elision_fr(spark, sf_dir)
+    return (s.term_stats.filter(F.col("term").isin(list(_ELISION_FR_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _searcher_sorted(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index built with sort_field=n_chars DESC (IndexSorter role):
     local doc ids follow the key, enabling early-terminating sorted
@@ -642,6 +698,63 @@ def _stem_de_topk_sql(term: str, k: int = 10) -> str:
 def _stem_de_stats_sql(terms) -> str:
     in_list = ", ".join(f"'{t}'" for t in terms)
     return (_STEM_DE_PRELUDE
+            + f""" SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ({in_list})""")
+
+
+# ElisionFilter expressed in SQL (util/ElisionFilter.java:55-70 with
+# FrenchAnalyzer.DEFAULT_ARTICLES): same deterministic apostrophe
+# injection as the Spark entry (_elide_content), then the article
+# prefix before the apostrophe stripped per token. Non-article
+# prefixes ("xy'") survive with the apostrophe, exactly like the
+# engine's tokenizer+filter chain.
+_FR_ART_RE = "(l|m|t|qu|n|s|j|d|c|jusqu|quoiqu|lorsqu|puisqu)"
+
+_ELISION_FR_PRELUDE = f"""
+WITH injected AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '(^| )([aeiou])', '\\1l''\\2', 'g'),
+           '(^| )(s)', '\\1qu''\\2', 'g'),
+           '(^| )(t)', '\\1xy''\\2', 'g') AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         regexp_replace(unnest(string_split(text, ' ')),
+                        '^{_FR_ART_RE}''', '') AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM injected
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM doclen),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+
+def _elision_fr_topk_sql(term: str, k: int = 10) -> str:
+    return (_ELISION_FR_PRELUDE + ", "
+            + _tscore_cte("ts", term) + _topk_sql("ts", k))
+
+
+def _elision_fr_stats_sql(terms) -> str:
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return (_ELISION_FR_PRELUDE
             + f""" SELECT term, CAST(df AS BIGINT) AS df,
        CAST(ttf AS BIGINT) AS ttf
 FROM dfs WHERE term IN ({in_list})""")
@@ -3174,6 +3287,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_roots": _q_dedup_clusters,
         "bm25_stem_de_top10": _q_stem_de,
         "stem_de_term_stats": _q_stem_de_stats,
+        "bm25_elision_fr_top10": _q_elision_fr,
+        "elision_fr_term_stats": _q_elision_fr_stats,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "text_token_count": _q_token_count,
@@ -3252,6 +3367,8 @@ _PRIORITY = [
     "dedup_cluster_roots",
     "bm25_stem_de_top10",
     "stem_de_term_stats",
+    "bm25_elision_fr_top10",
+    "elision_fr_term_stats",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -4039,6 +4156,8 @@ FROM documents GROUP BY 1""",
         "dedup_cluster_roots": _minhash_cluster_sql(0.8),
         "bm25_stem_de_top10": _stem_de_topk_sql("filt"),
         "stem_de_term_stats": _stem_de_stats_sql(_STEM_DE_TERMS),
+        "bm25_elision_fr_top10": _elision_fr_topk_sql("sort"),
+        "elision_fr_term_stats": _elision_fr_stats_sql(_ELISION_FR_TERMS),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(3),
         "embed_lsh_topk": _lsh_topk_sql(20, 5),

@@ -33,8 +33,9 @@ import numpy as np
 import pandas as pd
 
 #: number tokens (digits with internal ./,) or word tokens (letter/underscore
-#: start, \w continuation, ' joins) — documented UAX#29 subset.
-TOKEN_PATTERN = r"\d[\w]*(?:[.,]\d[\w]*)*|[^\W\d][\w]*(?:'[\w]+)*"
+#: start, \w continuation, '/’ join — both are UAX#29 MidNumLet like the
+#: reference's grammar). Documented UAX#29 subset.
+TOKEN_PATTERN = r"\d[\w]*(?:[.,]\d[\w]*)*|[^\W\d][\w]*(?:['’][\w]+)*"
 _TOKEN_RE = re.compile(TOKEN_PATTERN, re.UNICODE)
 
 #: the reference's core tokenizer family (``analysis/core/``):
@@ -96,6 +97,21 @@ def fold_to_ascii(s: str) -> str:
     return "".join(c for c in d if not unicodedata.combining(c))
 
 
+def elide(token: str, articles) -> str:
+    """ElisionFilter (reference ``util/ElisionFilter.java:55-70``): find
+    the FIRST apostrophe (``'`` or ``’``); if the prefix before it
+    is a known article, strip prefix + apostrophe. Article matching is
+    case-insensitive (the per-language DEFAULT_ARTICLES CharArraySets
+    are built with ignoreCase=true), so this commutes with the
+    LowerCaseFilter that follows it in the reference chains."""
+    for i, ch in enumerate(token):
+        if ch == "'" or ch == "’":
+            if token[:i].lower() in articles:
+                return token[i + 1:]
+            return token
+    return token
+
+
 def analyze_text(text: str,
                  stopwords: frozenset[str] = frozenset(),
                  max_token_length: int = MAX_TOKEN_LENGTH,
@@ -103,7 +119,8 @@ def analyze_text(text: str,
                  tokenizer: str = "standard",
                  lowercase: bool = True,
                  ascii_folding: bool = False,
-                 length_filter: tuple | None = None):
+                 length_filter: tuple | None = None,
+                 elision: frozenset[str] | None = None):
     """Single-string analyzer (test/oracle path).
 
     Returns (terms, positions, length): surviving lowercase terms, their
@@ -142,6 +159,8 @@ def analyze_text(text: str,
         low = raw.lower() if lowercase else raw
         if ascii_folding:
             low = fold_to_ascii(low)
+        if elision is not None:
+            low = elide(low, elision)
         if stemmer == "porter":
             low = strip_possessive(low)
         if low in stopwords:
@@ -195,7 +214,8 @@ def analyze_batch(texts: pd.Series,
                   tokenizer: str = "standard",
                   lowercase: bool = True,
                   ascii_folding: bool = False,
-                  length_filter: tuple | None = None):
+                  length_filter: tuple | None = None,
+                  elision: frozenset[str] | None = None):
     """Columnar analyzer for a batch of documents.
 
     Returns (doc_idx, terms, positions, lengths):
@@ -255,6 +275,13 @@ def analyze_batch(texts: pd.Series,
         folded_u = np.array([fold_to_ascii(u) for u in funiq],
                             dtype=object)
         flat = folded_u[fcodes]
+    if elision is not None:
+        # ElisionFilter before the stop filter (reference fr/it chains:
+        # elision -> lowercase -> stop -> stem), vocabulary-level
+        ecodes, euniq = pd.factorize(flat)
+        elided_u = np.array([elide(u, elision) for u in euniq],
+                            dtype=object)
+        flat = elided_u[ecodes]
     if stemmer == "porter":
         # EnglishAnalyzer chain at VOCABULARY level: possessive strip →
         # stop filter → Porter stem, each computed once per unique token

@@ -119,6 +119,51 @@ def stem_german_light(w: str) -> str:
     return w
 
 
+def german_normalize(w: str) -> str:
+    """GermanNormalizationFilter (de/GermanNormalizationFilter.java):
+    snowball German2 folding — umlauts to base vowels, ß -> ss, and
+    'e' deleted after an a/o/u that wasn't preceded by a vowel-state
+    blocker (so 'ae'/'oe'/'ue' digraphs fold, 'ie'/'ee' don't)."""
+    N, V, U = 0, 1, 2
+    state = N
+    out: list[str] = []
+    for c in w:
+        if c in "ao":
+            state = U
+        elif c == "u":
+            state = U if state == N else V
+        elif c == "e":
+            if state == U:
+                state = V
+                continue                              # delete the e
+            state = V
+        elif c in "iqy":
+            state = V
+        elif c == "ä":
+            c = "a"
+            state = V
+        elif c == "ö":
+            c = "o"
+            state = V
+        elif c == "ü":
+            c = "u"
+            state = V
+        elif c == "ß":
+            out.append("s")
+            c = "s"
+            state = N
+        else:
+            state = N
+        out.append(c)
+    return "".join(out)
+
+
+def stem_german(w: str) -> str:
+    """GermanAnalyzer chain role: normalization then light stem
+    (de/GermanAnalyzer.java:135-137)."""
+    return stem_german_light(german_normalize(w))
+
+
 def stem_german_minimal(w: str) -> str:
     """UniNE German minimal: plural/case endings only, words >= 5 chars."""
     if len(w) < 5:
@@ -1226,4 +1271,64 @@ LIGHT_STEMMERS: dict[str, callable] = {
     "indonesian": stem_indonesian,
     "indonesian_inflectional": lambda w: stem_indonesian(w, False),
     "arabic": stem_arabic,
+    "german": stem_german,
 }
+
+
+# ---------------------------------------------------------------------------
+# per-language analyzer presets (the reference's <Lang>Analyzer
+# compositions: standard tokenizer -> [elision] -> lowercase -> stop ->
+# [normalization+]stem). ru/sv/no/fi/hu default analyzers use full
+# Snowball stemmers in the reference; the presets substitute the UniNE
+# light stemmers (documented, retrieval-equivalent class).
+
+FRENCH_ARTICLES = frozenset(
+    ("l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu",
+     "lorsqu", "puisqu"))
+ITALIAN_ARTICLES = frozenset(
+    ("c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+     "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+     "v", "d"))
+CATALAN_ARTICLES = frozenset(("d", "l", "m", "n", "s", "t"))
+IRISH_ARTICLES = frozenset(("d", "m", "b"))
+
+
+def language_analyzer_kwargs(language: str) -> dict:
+    """Analyzer kwargs (``stopwords`` / ``stemmer`` / ``elision``) for
+    :func:`analysis.analyze_text`, :func:`analysis.analyze_batch` and
+    ``build_index`` matching the reference's per-language Analyzer.
+
+    Reference chains: ``de/GermanAnalyzer.java`` (normalization+light),
+    ``fr/FrenchAnalyzer.java`` (elision+light), ``it/ItalianAnalyzer
+    .java`` (elision+light), ``es|pt|cz|bg|lv|id|gl`` (stop+their
+    stemmer), ``en/EnglishAnalyzer.java`` (possessive+Porter).
+    """
+    from ._stopsets import STOP_SETS
+    chains = {
+        "german": ("german", "german", None),
+        "french": ("french", "french_light", FRENCH_ARTICLES),
+        "spanish": ("spanish", "spanish_light", None),
+        "italian": ("italian", "italian_light", ITALIAN_ARTICLES),
+        "portuguese": ("portuguese", "portuguese_light", None),
+        "galician": ("galician", "galician", None),
+        "russian": ("russian", "russian_light", None),
+        "swedish": ("swedish", "swedish_light", None),
+        "norwegian": ("norwegian", "norwegian_light", None),
+        "finnish": ("finnish", "finnish_light", None),
+        "hungarian": ("hungarian", "hungarian_light", None),
+        "czech": ("czech", "czech", None),
+        "bulgarian": ("bulgarian", "bulgarian", None),
+        "latvian": ("latvian", "latvian", None),
+        "hindi": ("hindi", "hindi", None),
+        "indonesian": ("indonesian", "indonesian", None),
+        "arabic": ("arabic", "arabic", None),
+        "english": ("english", "porter", None),
+    }
+    if language not in chains:
+        raise ValueError(f"unknown language {language!r} "
+                         f"(have: {sorted(chains)})")
+    stop_key, stemmer, elision = chains[language]
+    kw = {"stopwords": STOP_SETS[stop_key], "stemmer": stemmer}
+    if elision is not None:
+        kw["elision"] = elision
+    return kw

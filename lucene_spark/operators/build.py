@@ -63,7 +63,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    tokenizer: str = "standard",
                    shingles: tuple | None = None,
                    ascii_folding: bool = False,
-                   common_grams: frozenset | None = None
+                   common_grams: frozenset | None = None,
+                   elision: frozenset | None = None
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -97,7 +98,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                                                        stopwords=stopwords,
                                                        stemmer=stemmer,
                                                        tokenizer=tokenizer,
-                                                       ascii_folding=ascii_folding)
+                                                       ascii_folding=ascii_folding,
+                                                       elision=elision)
     payloads = None
     if payload_delimiter:
         # DelimitedPayloadTokenFilter + FloatEncoder (reference
@@ -344,7 +346,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   shingles: tuple | None = None,
                   ascii_folding: bool = False,
                   common_grams: frozenset | None = None,
-                  store_term_vectors: bool = False):
+                  store_term_vectors: bool = False,
+                  elision: frozenset | None = None):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -354,7 +357,7 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             pdf, seg_id, content_col, doc_id_col, stopwords, store_positions,
             stemmer, synonyms, discount_overlaps, sort_field,
             sort_ascending, payload_delimiter, tokenizer, shingles,
-            ascii_folding, common_grams)
+            ascii_folding, common_grams, elision)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -423,7 +426,8 @@ def build_index(spark, df, index_dir: str, *,
                 shingles: tuple | None = None,
                 ascii_folding: bool = False,
                 common_grams: frozenset | None = None,
-                store_term_vectors: bool = False):
+                store_term_vectors: bool = False,
+                elision: frozenset | None = None):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -450,7 +454,7 @@ def build_index(spark, df, index_dir: str, *,
         raise ValueError("common_grams is mutually exclusive with "
                          "synonyms, payloads and shingles")
     if store_term_vectors and (stemmer or synonyms or shingles
-                               or common_grams or ascii_folding
+                               or common_grams or ascii_folding or elision
                                or tokenizer != "standard"):
         raise ValueError("term vectors require the plain standard chain "
                          "(offsets must slice the source text)")
@@ -470,7 +474,7 @@ def build_index(spark, df, index_dir: str, *,
                             synonyms, discount_overlaps,
                             sort_field, sort_ascending, payload_delimiter,
                             tokenizer, shingles, ascii_folding,
-                            common_grams, store_term_vectors)
+                            common_grams, store_term_vectors, elision)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)

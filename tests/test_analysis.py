@@ -263,3 +263,49 @@ def test_length_filter():
                             stopwords=frozenset({"the"}),
                             length_filter=(3, 99))
     assert t == ["ccc", "dddd"] and p == [2, 4]
+
+
+def test_elision_goldens():
+    """ElisionFilter (util/ElisionFilter.java:55-70): strip article +
+    FIRST apostrophe; non-article prefixes survive. Goldens from the
+    reference's util/TestElision.java (lowercased: our chain elides
+    after LowerCaseFilter, valid because DEFAULT_ARTICLES sets are
+    ignoreCase=true)."""
+    from lucene_spark.functions.analysis import elide
+    arts = frozenset(["l", "m"])
+    assert elide("l'embrouille", arts) == "embrouille"
+    assert elide("o'brian", arts) == "o'brian"      # non-article prefix
+    assert elide("m'enfin", arts) == "enfin"
+    assert elide("plop", arts) == "plop"            # no apostrophe
+    # U+2019 apostrophe variant, same as '\'' in the reference loop
+    assert elide("l’art", arts) == "art"
+    # only the FIRST apostrophe is considered
+    assert elide("o'l'x", arts) == "o'l'x"
+
+
+def test_elision_analyze_text_chain():
+    from lucene_spark.functions.analysis import analyze_text
+    from lucene_spark.functions.lightstem import FRENCH_ARTICLES
+    # FrenchAnalyzer order: elision -> lowercase -> stop (stopword match
+    # happens on the ELIDED form)
+    t, p, n = analyze_text("L'église de l'art, qu'elle aime",
+                           stopwords=frozenset({"de", "elle"}),
+                           elision=FRENCH_ARTICLES)
+    assert t == ["église", "art", "aime"]
+    assert p == [0, 2, 4] and n == 3
+
+
+def test_elision_batch_matches_text():
+    import pandas as pd
+    from lucene_spark.functions.analysis import analyze_batch, analyze_text
+    from lucene_spark.functions.lightstem import FRENCH_ARTICLES
+    docs = ["L'église de l'art", "qu'elle aime o'brian", "", "plop"]
+    stop = frozenset({"de"})
+    d, t, p, ls = analyze_batch(pd.Series(docs, dtype=object),
+                                stopwords=stop, elision=FRENCH_ARTICLES)
+    for i, doc in enumerate(docs):
+        et, ep, en = analyze_text(doc, stopwords=stop,
+                                  elision=FRENCH_ARTICLES)
+        sel = d == i
+        assert list(t[sel]) == et and list(p[sel]) == ep
+        assert ls[i] == en

@@ -124,3 +124,76 @@ def test_batch_path_matches_single_path(name):
         assert list(terms[sel]) == t_exp, (name, text)
         assert list(positions[sel]) == p_exp
         assert lengths[i] == n_exp
+
+
+def test_german_normalization_goldens():
+    """GermanNormalizationFilter goldens from the reference's
+    de/TestGermanNormalizationFilter.java."""
+    from lucene_spark.functions.lightstem import german_normalize
+    assert german_normalize("Schaltflächen") == "Schaltflachen"
+    assert german_normalize("Schaltflaechen") == "Schaltflachen"
+    assert german_normalize("dauer") == "dauer"
+    assert german_normalize("weißbier") == "weissbier"
+    # digraph vs diphthong: 'ae'/'oe'/'ue' fold, 'ie'/'ee' don't
+    assert german_normalize("quelle") == "quelle"   # u after q is V state
+    assert german_normalize("liebe") == "liebe"
+
+
+def test_german_analyzer_chain_is_normalize_then_light():
+    from lucene_spark.functions.lightstem import (LIGHT_STEMMERS,
+                                                  german_normalize,
+                                                  stem_german_light)
+    full = LIGHT_STEMMERS["german"]
+    for w in ["Häuser", "grösser", "schaltflaechen", "weißbier", "tische"]:
+        assert full(w) == stem_german_light(german_normalize(w))
+
+
+def test_language_analyzer_presets():
+    """language_analyzer_kwargs composes the reference's per-language
+    Analyzer chains (stop set + stemmer [+ elision]) for analyze_*."""
+    from lucene_spark.functions.analysis import analyze_text
+    from lucene_spark.functions.lightstem import language_analyzer_kwargs
+    import pytest as _pytest
+
+    fr = language_analyzer_kwargs("french")
+    t, _, _ = analyze_text("L'église de l'art", **fr)
+    assert t == ["eglis", "art"]                 # elision+stop+light stem
+
+    de = language_analyzer_kwargs("german")
+    t, _, _ = analyze_text("Die Häuser und Tische", **de)
+    assert t == ["haus", "tisch"]                # stop + normalize + light
+
+    en = language_analyzer_kwargs("english")
+    t, _, _ = analyze_text("the runner's houses", **en)
+    assert t == ["runner", "hous"]               # possessive + Porter
+
+    with _pytest.raises(ValueError):
+        language_analyzer_kwargs("klingon")
+
+
+def test_language_preset_batch_matches_text():
+    import pandas as pd
+    from lucene_spark.functions.analysis import analyze_batch, analyze_text
+    from lucene_spark.functions.lightstem import language_analyzer_kwargs
+    docs = ["L'église de l'art, qu'elle aime",
+            "les constitutions françaises", "", "o'brian"]
+    kw = language_analyzer_kwargs("french")
+    d, t, p, ls = analyze_batch(pd.Series(docs, dtype=object), **kw)
+    for i, doc in enumerate(docs):
+        et, ep, en = analyze_text(doc, **kw)
+        sel = d == i
+        assert list(t[sel]) == et and list(p[sel]) == ep
+        assert ls[i] == en
+
+
+def test_stop_sets_shape():
+    """Generated stop sets (tools/gen_stop_sets.py from the published
+    Snowball/CLEF lists): spot membership + all-lowercase invariant
+    (chains apply them post-LowerCaseFilter)."""
+    from lucene_spark.functions._stopsets import STOP_SETS
+    assert STOP_SETS["english"] >= {"the", "and", "of"}
+    assert STOP_SETS["german"] >= {"und", "der", "die"}
+    assert STOP_SETS["french"] >= {"le", "la", "et"}
+    for lang, s in STOP_SETS.items():
+        assert s, lang
+        assert all(w == w.lower() for w in s), lang
