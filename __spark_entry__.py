@@ -237,6 +237,48 @@ def _q_elision_fr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+_CFQ_TITLE_TOKENS = 4
+_CFQ_WEIGHTS = (2.0, 1.0)       # title, body
+
+
+def _searchers_combined(spark: SparkSession, sf_dir: str):
+    """Two single-field indexes (title = first 4 tokens, body = rest)
+    over the same doc_id space with the same num_segments — the
+    co-located layout CombinedFieldQuery scoring combines per segment
+    (``sandbox/.../search/CombinedFieldQuery.java``)."""
+    key = "cfq:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        base = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir)
+        toks = F.split(F.col("text"), " ")
+        for name, content in (
+                ("title", F.array_join(
+                    F.slice(toks, 1, _CFQ_TITLE_TOKENS), " ")),
+                ("body", F.array_join(
+                    F.slice(toks, _CFQ_TITLE_TOKENS + 1, 1 << 20), " "))):
+            build_index(spark, docs.select("doc_id",
+                                           content.alias("content")),
+                        os.path.join(base, name), num_segments=_SEGMENTS,
+                        content_col="content", doc_id_col="doc_id")
+        _BUILT[key] = base
+    base = _BUILT[key]
+    return (Searcher(spark, os.path.join(base, "title")),
+            Searcher(spark, os.path.join(base, "body")))
+
+
+def _q_combined_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F: one pseudo-field from title (w=2) + body (w=1) — pseudo
+    df = max over fields, freq = Σ w·tf, norm = byte4-requantized
+    Σ w·quantized_len (CombinedFieldQuery + MultiNormsLeafSimScorer)."""
+    from lucene_spark.operators.combinedfield import combined_field_topk
+    s_title, s_body = _searchers_combined(spark, sf_dir)
+    res = combined_field_topk(
+        spark, [(s_title, _CFQ_WEIGHTS[0]), (s_body, _CFQ_WEIGHTS[1])],
+        "data", k=10)
+    return _fmt_topk(res)
+
+
 def _searcher_sorted(spark: SparkSession, sf_dir: str) -> Searcher:
     """Index built with sort_field=n_chars DESC (IndexSorter role):
     local doc ids follow the key, enabling early-terminating sorted
@@ -758,6 +800,83 @@ def _elision_fr_stats_sql(terms) -> str:
             + f""" SELECT term, CAST(df AS BIGINT) AS df,
        CAST(ttf AS BIGINT) AS ttf
 FROM dfs WHERE term IN ({in_list})""")
+
+
+# CombinedFieldQuery (BM25F) expressed in SQL: title = first 4 tokens
+# (w=2), body = rest (w=1). Pseudo stats per CombinedFieldQuery.java:
+# df = max over fields, sumTTF = Σ w·sumTTF_f (integer weights → the
+# per-field long truncation is exact); per-doc freq = Σ w·tf in f32;
+# per-doc norm = intToByte4(round(Σ w·LENGTH_TABLE[byte_f])) — both
+# quantizations via the same byte4 LUT trick as the base prelude.
+def _combined_field_topk_sql(term: str, k: int = 10,
+                             wt: float = 2.0, wb: float = 1.0,
+                             nt: int = 4) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         CASE WHEN unnest(range(len(string_split(text, ' ')))) < {nt}
+              THEN 0 ELSE 1 END AS f
+  FROM documents
+),
+dl AS (SELECT doc_id, f, count(*) AS dl FROM tok GROUP BY 1, 2),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT count(DISTINCT doc_id) AS dc,
+                 sum(CASE WHEN f = 0 THEN dl ELSE 0 END) AS sttf_t,
+                 sum(CASE WHEN f = 1 THEN dl ELSE 0 END) AS sttf_b
+          FROM dl),
+avgs AS (SELECT CAST(({wt:.0f} * sttf_t + {wb:.0f} * sttf_b)
+                     / CAST(dc AS DOUBLE) AS FLOAT) AS avgdl, dc
+         FROM stats),
+qlen AS (SELECT doc_id, f,
+                (SELECT max(v) FROM lut WHERE v <= d.dl) AS ql
+         FROM dl d),
+comb AS (
+  SELECT doc_id,
+         CAST(CAST(CAST({wt} AS DOUBLE) AS FLOAT)
+                * CAST(max(CASE WHEN f = 0 THEN ql END) AS FLOAT)
+            + CAST(CAST({wb} AS DOUBLE) AS FLOAT)
+                * CAST(max(CASE WHEN f = 1 THEN ql END) AS FLOAT)
+              AS FLOAT) AS clen
+  FROM qlen GROUP BY doc_id),
+cnorm AS (
+  SELECT doc_id,
+         (SELECT max(v) FROM lut
+          WHERE v <= CAST(floor(CAST(clen AS FLOAT)
+                                + CAST(CAST(0.5 AS DOUBLE) AS FLOAT))
+                          AS BIGINT)) AS qc
+  FROM comb),
+normcache AS (
+  SELECT n.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST(n.qc AS FLOAT) / a.avgdl)) AS inv
+  FROM cnorm n, avgs a
+),
+tf AS (SELECT doc_id, f, count(*) AS tf FROM tok
+       WHERE term = '{term}' GROUP BY 1, 2),
+pseudo AS (SELECT max(df) AS df
+           FROM (SELECT f, count(*) AS df FROM tf GROUP BY f)),
+w AS (SELECT CAST(ln(1 + (a.dc - p.df + CAST(0.5 AS DOUBLE))
+                      / (p.df + CAST(0.5 AS DOUBLE))) AS FLOAT) AS w
+      FROM pseudo p, avgs a),
+freq AS (
+  SELECT doc_id,
+         CAST(CAST(CAST({wt} AS DOUBLE) AS FLOAT)
+                * CAST(coalesce(max(CASE WHEN f = 0 THEN tf END), 0)
+                       AS FLOAT)
+            + CAST(CAST({wb} AS DOUBLE) AS FLOAT)
+                * CAST(coalesce(max(CASE WHEN f = 1 THEN tf END), 0)
+                       AS FLOAT)
+              AS FLOAT) AS fr
+  FROM tf GROUP BY doc_id),
+ts AS (
+  SELECT q.doc_id,
+         (w.w - w.w / (CAST(1 AS FLOAT) + q.fr * c.inv)) AS s
+  FROM freq q JOIN normcache c ON q.doc_id = c.doc_id
+  CROSS JOIN w
+)""" + _topk_sql("ts", k)
 
 
 def _term_topk_sql(term: str, k: int = 10, boost: float | None = None) -> str:
@@ -3289,6 +3408,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stem_de_term_stats": _q_stem_de_stats,
         "bm25_elision_fr_top10": _q_elision_fr,
         "elision_fr_term_stats": _q_elision_fr_stats,
+        "combined_field_top10": _q_combined_field,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "text_token_count": _q_token_count,
@@ -3369,6 +3489,7 @@ _PRIORITY = [
     "stem_de_term_stats",
     "bm25_elision_fr_top10",
     "elision_fr_term_stats",
+    "combined_field_top10",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -4158,6 +4279,9 @@ FROM documents GROUP BY 1""",
         "stem_de_term_stats": _stem_de_stats_sql(_STEM_DE_TERMS),
         "bm25_elision_fr_top10": _elision_fr_topk_sql("sort"),
         "elision_fr_term_stats": _elision_fr_stats_sql(_ELISION_FR_TERMS),
+        "combined_field_top10": _combined_field_topk_sql(
+            "data", wt=_CFQ_WEIGHTS[0], wb=_CFQ_WEIGHTS[1],
+            nt=_CFQ_TITLE_TOKENS),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(3),
         "embed_lsh_topk": _lsh_topk_sql(20, 5),
