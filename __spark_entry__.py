@@ -237,6 +237,61 @@ def _q_elision_fr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _cjk_content(col):
+    """Deterministic CJK injection so the synthetic corpus exercises
+    the CJKAnalyzer chain: docs with doc_id%7==0 get the 4-ideograph
+    run 数据处理 (bigrams 数据/据处/处理), docs with doc_id%11==0 get
+    the lone pair 数据 (one bigram) — space-separated, so the runs
+    never bigram across the boundary (offset-gap flush,
+    ``cjk/CJKBigramFilter.java`` lastEndOffset)."""
+    return F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("数据处理 ")).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("数据 ")).otherwise(""),
+        col)
+
+
+def _searcher_cjk(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with the CJKAnalyzer chain (reference
+    ``cjk/CJKAnalyzer.java``: width fold → lowercase → CJKBigramFilter
+    → stop): Han runs index as position-consecutive bigrams, the ASCII
+    base text passes through unchanged."""
+    from lucene_spark.functions.cjk import ALL_CJK
+    key = "cjk:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", _cjk_content(F.col("text")).alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    cjk_bigrams=ALL_CJK)
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+# post-injection CJK vocabulary: the shared bigram 数据 (df = docs
+# hitting either injection), the 4-run-only bigrams, and a latin base
+# term that must pass through the CJK chain untouched
+_CJK_TERMS = ("数据", "据处", "处理", "data")
+
+
+def _q_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on the bigram 数据 — tf 2 where both injections
+    hit (doc_id % 77 == 0), 1 where exactly one does."""
+    return _fmt_topk(_searcher_cjk(spark, sf_dir).search(
+        Q.Term("数据"), k=10))
+
+
+def _q_cjk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df/ttf across the bigrammed dictionary: bigram stats follow the
+    injection conditions, latin terms keep their base-text stats."""
+    s = _searcher_cjk(spark, sf_dir)
+    return (s.term_stats.filter(F.col("term").isin(list(_CJK_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 _CFQ_TITLE_TOKENS = 4
 _CFQ_WEIGHTS = (2.0, 1.0)       # title, body
 
@@ -797,6 +852,57 @@ def _elision_fr_topk_sql(term: str, k: int = 10) -> str:
 def _elision_fr_stats_sql(terms) -> str:
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return (_ELISION_FR_PRELUDE
+            + f""" SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ({in_list})""")
+
+
+# CJKAnalyzer chain in SQL: the injected ideograph runs have a FIXED
+# post-analysis bigram stream (数据处理 → [数据,据处,处理]; 数据 → [数据]),
+# so the analyzed token list is the injection bigrams (by the same
+# doc_id % 7 / % 11 conditions the Spark side injects with) prepended
+# to the space-split base text — the ASCII base tokens pass through the
+# CJK chain unchanged.
+_CJK_PRELUDE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(
+    list_concat(
+      list_concat(
+        CASE WHEN doc_id % 7 = 0 THEN ['数据', '据处', '处理']
+             ELSE CAST([] AS VARCHAR[]) END,
+        CASE WHEN doc_id % 11 = 0 THEN ['数据']
+             ELSE CAST([] AS VARCHAR[]) END),
+      string_split(text, ' '))) AS term
+  FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM doclen),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+
+def _cjk_topk_sql(term: str, k: int = 10) -> str:
+    return (_CJK_PRELUDE + ", "
+            + _tscore_cte("ts", term) + _topk_sql("ts", k))
+
+
+def _cjk_stats_sql(terms) -> str:
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return (_CJK_PRELUDE
             + f""" SELECT term, CAST(df AS BIGINT) AS df,
        CAST(ttf AS BIGINT) AS ttf
 FROM dfs WHERE term IN ({in_list})""")
@@ -3409,6 +3515,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_elision_fr_top10": _q_elision_fr,
         "elision_fr_term_stats": _q_elision_fr_stats,
         "combined_field_top10": _q_combined_field,
+        "bm25_cjk_top10": _q_cjk,
+        "cjk_term_stats": _q_cjk_stats,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "text_token_count": _q_token_count,
@@ -3490,6 +3598,8 @@ _PRIORITY = [
     "bm25_elision_fr_top10",
     "elision_fr_term_stats",
     "combined_field_top10",
+    "bm25_cjk_top10",
+    "cjk_term_stats",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -4282,6 +4392,8 @@ FROM documents GROUP BY 1""",
         "combined_field_top10": _combined_field_topk_sql(
             "data", wt=_CFQ_WEIGHTS[0], wb=_CFQ_WEIGHTS[1],
             nt=_CFQ_TITLE_TOKENS),
+        "bm25_cjk_top10": _cjk_topk_sql("数据"),
+        "cjk_term_stats": _cjk_stats_sql(_CJK_TERMS),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(3),
         "embed_lsh_topk": _lsh_topk_sql(20, 5),

@@ -341,6 +341,16 @@ def main() -> None:
             queries[f"build_index_c{lvl}"] = round(best_t[lvl], 3)
             queries[f"build_docs_per_sec_c{lvl}"] = round(
                 N_DOCS / best_t[lvl], 1)
+        # Headline efficiency = ratio of per-leg BEST times across reps.
+        # Throttle noise is one-sided (a capped window can only slow a
+        # leg, never speed it), so best-of-N per leg is the estimator of
+        # each leg's clean time and their ratio estimates the clean
+        # efficiency — the same filter the build headline uses. The
+        # most probe-stable interleaved rep is filed alongside as
+        # `scaling_efficiency_paired` (same-throttle-window evidence),
+        # and every rep's probes/times/efficiency are in scaling_reps.
+        eff_best = round((best_t[small] / best_t[big]) / (big / small), 3)
+        queries[f"scaling_efficiency_{small}to{big}_paired"] = chosen["eff"]
         # The hypervisor enforces an AGGREGATE cpu budget the 1-core
         # probe cannot see: a window can cap 32 threads to ~8 cores'
         # worth while a lone core reads clean (observed: c8 builds
@@ -354,8 +364,8 @@ def main() -> None:
         best_lvl = max(tput, key=tput.get)
         docs_per_sec = tput[best_lvl]
         queries["headline_parallelism"] = best_lvl
-        efficiency[f"{small}to{big}"] = chosen["eff"]
-        queries[f"scaling_efficiency_{small}to{big}"] = chosen["eff"]
+        efficiency[f"{small}to{big}"] = eff_best
+        queries[f"scaling_efficiency_{small}to{big}"] = eff_best
         if CPUS >= 32:
             # box-limited cross pair from the headline full-parallelism
             # build (different window than the reps: documented caveat)

@@ -64,7 +64,9 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    shingles: tuple | None = None,
                    ascii_folding: bool = False,
                    common_grams: frozenset | None = None,
-                   elision: frozenset | None = None
+                   elision: frozenset | None = None,
+                   cjk_bigrams: int | None = None,
+                   cjk_output_unigrams: bool = False
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -94,12 +96,30 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                               kind="mergesort").reset_index(drop=True)
     texts = pdf[content_col].astype("string").fillna("")
     n_docs = len(pdf)
-    doc_idx, terms, positions, lengths = analyze_batch(pd.Series(texts.to_numpy(dtype=object)),
-                                                       stopwords=stopwords,
-                                                       stemmer=stemmer,
-                                                       tokenizer=tokenizer,
-                                                       ascii_folding=ascii_folding,
-                                                       elision=elision)
+    if cjk_bigrams is not None:
+        # CJKAnalyzer chain (tokenize → width → lowercase → bigram →
+        # stop); bigrams are position-dependent graph tokens, mutually
+        # exclusive with every token-rewriting/expanding option
+        if (stemmer or synonyms or shingles or common_grams
+                or ascii_folding or elision or payload_delimiter
+                or tokenizer != "standard"):
+            raise ValueError("cjk_bigrams is mutually exclusive with "
+                             "stemmer/synonyms/shingles/common_grams/"
+                             "ascii_folding/elision/payloads and "
+                             "non-standard tokenizers")
+        from ..functions.cjk import cjk_analyze_batch
+        doc_idx, terms, positions, lengths, cjk_over = cjk_analyze_batch(
+            pd.Series(texts.to_numpy(dtype=object)), stopwords=stopwords,
+            flags=cjk_bigrams, output_unigrams=cjk_output_unigrams)
+    else:
+        doc_idx, terms, positions, lengths = analyze_batch(
+            pd.Series(texts.to_numpy(dtype=object)),
+            stopwords=stopwords,
+            stemmer=stemmer,
+            tokenizer=tokenizer,
+            ascii_folding=ascii_folding,
+            elision=elision)
+        cjk_over = np.zeros(n_docs, dtype=np.int64)
     payloads = None
     if payload_delimiter:
         # DelimitedPayloadTokenFilter + FloatEncoder (reference
@@ -152,6 +172,7 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         doc_idx, terms, positions, cg_over = expand_common_grams_batch(
             doc_idx, terms, positions, n_docs, common_grams)
         overlaps = overlaps + cg_over
+    overlaps = overlaps + cjk_over
     total_lengths = lengths + overlaps
     norm_lengths = lengths if discount_overlaps else total_lengths
     sum_token_len = int(total_lengths.sum())
@@ -347,7 +368,9 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   ascii_folding: bool = False,
                   common_grams: frozenset | None = None,
                   store_term_vectors: bool = False,
-                  elision: frozenset | None = None):
+                  elision: frozenset | None = None,
+                  cjk_bigrams: int | None = None,
+                  cjk_output_unigrams: bool = False):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -357,7 +380,9 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             pdf, seg_id, content_col, doc_id_col, stopwords, store_positions,
             stemmer, synonyms, discount_overlaps, sort_field,
             sort_ascending, payload_delimiter, tokenizer, shingles,
-            ascii_folding, common_grams, elision)
+            ascii_folding, common_grams, elision,
+            cjk_bigrams=cjk_bigrams,
+            cjk_output_unigrams=cjk_output_unigrams)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -427,7 +452,9 @@ def build_index(spark, df, index_dir: str, *,
                 ascii_folding: bool = False,
                 common_grams: frozenset | None = None,
                 store_term_vectors: bool = False,
-                elision: frozenset | None = None):
+                elision: frozenset | None = None,
+                cjk_bigrams: int | None = None,
+                cjk_output_unigrams: bool = False):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -455,6 +482,7 @@ def build_index(spark, df, index_dir: str, *,
                          "synonyms, payloads and shingles")
     if store_term_vectors and (stemmer or synonyms or shingles
                                or common_grams or ascii_folding or elision
+                               or cjk_bigrams is not None
                                or tokenizer != "standard"):
         raise ValueError("term vectors require the plain standard chain "
                          "(offsets must slice the source text)")
@@ -474,7 +502,9 @@ def build_index(spark, df, index_dir: str, *,
                             synonyms, discount_overlaps,
                             sort_field, sort_ascending, payload_delimiter,
                             tokenizer, shingles, ascii_folding,
-                            common_grams, store_term_vectors, elision)
+                            common_grams, store_term_vectors, elision,
+                            cjk_bigrams=cjk_bigrams,
+                            cjk_output_unigrams=cjk_output_unigrams)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
