@@ -292,6 +292,93 @@ def _q_cjk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+_NGRAM_RANGE = (3, 4)           # NGramTokenFilter min/max
+_EDGE_RANGE = (2, 5)            # EdgeNGramTokenFilter min/max
+
+
+def _searcher_ngram(spark: SparkSession, sf_dir: str,
+                    edge: bool = False) -> Searcher:
+    """Index with the (Edge)NGramTokenFilter appended to the standard
+    chain (reference ``ngram/NGramTokenFilter.java`` /
+    ``EdgeNGramTokenFilter.java``): every token expands to its grams at
+    ONE position — the norm length counts emitting tokens, the
+    collection sttf counts every gram."""
+    rng = _EDGE_RANGE if edge else _NGRAM_RANGE
+    key = f"ngram:{edge}:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    ngrams=rng, ngram_edge=edge)
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on the 3-gram 'dat' over the 3..4-gram index —
+    tf sums every containing token occurrence ('data' yields two
+    3-grams? no: one 'dat' instance per occurrence position)."""
+    return _fmt_topk(_searcher_ngram(spark, sf_dir).search(
+        Q.Term("dat"), k=10))
+
+
+def _q_edge_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on the edge 3-prefix 'dat' — the autocomplete
+    shape (every token starting with 'dat' contributes)."""
+    return _fmt_topk(_searcher_ngram(spark, sf_dir, edge=True).search(
+        Q.Term("dat"), k=10))
+
+
+def _path_expr():
+    """Deterministic synthetic path column over the corpus: doc_id →
+    '/src/m<doc_id%7>/f<doc_id%31>.py' (the north-star input table's
+    ``path`` shape)."""
+    return F.concat(F.lit("/src/m"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit("/f"), (F.col("doc_id") % 31).cast("string"),
+                    F.lit(".py"))
+
+
+def _searcher_path(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index the synthetic path column with the PathHierarchyTokenizer
+    (reference ``path/PathHierarchyTokenizer.java``): growing prefixes,
+    all at one position → norm length 1 per doc."""
+    key = "path:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", _path_expr().alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=False,
+                    tokenizer="path")
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_path_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on the directory prefix '/src/m3' — matches every
+    doc under that 'directory' (doc_id % 7 == 3), constant norm."""
+    return _fmt_topk(_searcher_path(spark, sf_dir).search(
+        Q.Term("/src/m3"), k=10))
+
+
+_PATH_TERMS = ("/src", "/src/m3", "/src/m2/f9.py")
+
+
+def _q_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df/ttf over path-prefix terms: the whole tree ('/src'), one
+    directory, one exact file path."""
+    s = _searcher_path(spark, sf_dir)
+    return (s.term_stats.filter(F.col("term").isin(list(_PATH_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 _CFQ_TITLE_TOKENS = 4
 _CFQ_WEIGHTS = (2.0, 1.0)       # title, body
 
@@ -903,6 +990,120 @@ def _cjk_topk_sql(term: str, k: int = 10) -> str:
 def _cjk_stats_sql(terms) -> str:
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return (_CJK_PRELUDE
+            + f""" SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ({in_list})""")
+
+
+# (Edge)NGramTokenFilter chain in SQL: grams enumerate per token —
+# every (start, size) instance is one emitted gram, so tf/ttf are plain
+# counts over the gram table. Norm length counts EMITTING tokens
+# (length >= minGram — the posInc>0 ones; the posInc=0 grams are
+# overlaps and discountOverlaps=true subtracts them), while the
+# collection sttf counts every gram (FieldInvertState.length includes
+# overlaps; BM25Similarity.avgFieldLength = sumTotalTermFreq/docCount).
+def _ngram_prelude(mn: int, mx: int, edge: bool) -> str:
+    if edge:
+        grams = f"""
+gsize AS (
+  SELECT doc_id, term, unnest(range({mn}, {mx + 1})) AS n
+  FROM tok WHERE length(term) >= {mn}
+),
+grams AS (
+  SELECT doc_id, substr(term, 1, CAST(n AS INT)) AS term
+  FROM gsize WHERE length(term) >= n
+)"""
+    else:
+        grams = f"""
+gsize AS (
+  SELECT doc_id, term, unnest(range({mn}, {mx + 1})) AS n
+  FROM tok WHERE length(term) >= {mn}
+),
+gstart AS (
+  SELECT doc_id, term, n, unnest(range(1, length(term) - n + 2)) AS i
+  FROM gsize WHERE length(term) >= n
+),
+grams AS (
+  SELECT doc_id, substr(term, CAST(i AS INT), CAST(n AS INT)) AS term
+  FROM gstart
+)"""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+doclen AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE length(term) >= {mn}) AS dl
+  FROM tok GROUP BY doc_id
+),{grams},
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM documents) AS dc,
+                 (SELECT count(*) FROM grams) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a WHERE d.dl > 0
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+
+def _ngram_topk_sql(term: str, mn: int, mx: int, edge: bool,
+                    k: int = 10) -> str:
+    return (_ngram_prelude(mn, mx, edge) + ", "
+            + _tscore_cte("ts", term) + _topk_sql("ts", k))
+
+
+# PathHierarchyTokenizer in SQL: the synthetic path column has a FIXED
+# three-token stream ('/src', '/src/m<k>', full path), all at one
+# position -> norm length 1, sttf = 3 * docCount.
+_PATH_PRELUDE = f"""
+WITH paths AS (
+  SELECT doc_id,
+         '/src/m' || CAST(doc_id % 7 AS VARCHAR) AS dirp,
+         '/src/m' || CAST(doc_id % 7 AS VARCHAR) || '/f' ||
+           CAST(doc_id % 31 AS VARCHAR) || '.py' AS p
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(['/src', dirp, p]) AS term FROM paths),
+doclen AS (SELECT doc_id, 1 AS dl FROM documents),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM documents) AS dc,
+                 (SELECT count(*) FROM tok) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+
+def _path_topk_sql(term: str, k: int = 10) -> str:
+    return (_PATH_PRELUDE + ", "
+            + _tscore_cte("ts", term) + _topk_sql("ts", k))
+
+
+def _path_stats_sql(terms) -> str:
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return (_PATH_PRELUDE
             + f""" SELECT term, CAST(df AS BIGINT) AS df,
        CAST(ttf AS BIGINT) AS ttf
 FROM dfs WHERE term IN ({in_list})""")
@@ -3517,6 +3718,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_field_top10": _q_combined_field,
         "bm25_cjk_top10": _q_cjk,
         "cjk_term_stats": _q_cjk_stats,
+        "ngram_filter_top10": _q_ngram_filter,
+        "edge_ngram_prefix_top10": _q_edge_ngram,
+        "path_prefix_top10": _q_path_prefix,
+        "path_components_stats": _q_path_stats,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "text_token_count": _q_token_count,
@@ -3600,6 +3805,10 @@ _PRIORITY = [
     "combined_field_top10",
     "bm25_cjk_top10",
     "cjk_term_stats",
+    "ngram_filter_top10",
+    "edge_ngram_prefix_top10",
+    "path_prefix_top10",
+    "path_components_stats",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -4394,6 +4603,12 @@ FROM documents GROUP BY 1""",
             nt=_CFQ_TITLE_TOKENS),
         "bm25_cjk_top10": _cjk_topk_sql("数据"),
         "cjk_term_stats": _cjk_stats_sql(_CJK_TERMS),
+        "ngram_filter_top10": _ngram_topk_sql(
+            "dat", *_NGRAM_RANGE, edge=False),
+        "edge_ngram_prefix_top10": _ngram_topk_sql(
+            "dat", *_EDGE_RANGE, edge=True),
+        "path_prefix_top10": _path_topk_sql("/src/m3"),
+        "path_components_stats": _path_stats_sql(_PATH_TERMS),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(3),
         "embed_lsh_topk": _lsh_topk_sql(20, 5),

@@ -66,7 +66,10 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    common_grams: frozenset | None = None,
                    elision: frozenset | None = None,
                    cjk_bigrams: int | None = None,
-                   cjk_output_unigrams: bool = False
+                   cjk_output_unigrams: bool = False,
+                   ngrams: tuple | None = None,
+                   ngram_edge: bool = False,
+                   ngram_preserve_original: bool = False
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -111,6 +114,33 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         doc_idx, terms, positions, lengths, cjk_over = cjk_analyze_batch(
             pd.Series(texts.to_numpy(dtype=object)), stopwords=stopwords,
             flags=cjk_bigrams, output_unigrams=cjk_output_unigrams)
+    elif tokenizer in ("path", "path_reverse") or isinstance(tokenizer,
+                                                             tuple):
+        # (Reverse)PathHierarchyTokenizer / raw (Edge)NGramTokenizer —
+        # whole-input tokenizers that replace the analysis chain; the
+        # stream-rewriting filters don't compose with them
+        if (stemmer or synonyms or shingles or common_grams
+                or ascii_folding or elision or payload_delimiter
+                or stopwords or ngrams):
+            raise ValueError("path/ngram tokenizers are mutually "
+                             "exclusive with the token-filter chain "
+                             "(stopwords/stemmer/synonyms/shingles/"
+                             "common_grams/ascii_folding/elision/"
+                             "payloads/ngrams)")
+        from ..functions.ngram import (ngram_tokenize_batch,
+                                       path_tokenize_batch)
+        texts_ser = pd.Series(texts.to_numpy(dtype=object))
+        if tokenizer in ("path", "path_reverse"):
+            doc_idx, terms, positions, lengths, cjk_over = \
+                path_tokenize_batch(texts_ser,
+                                    reverse=(tokenizer == "path_reverse"))
+        else:
+            kind, mn, mx = tokenizer
+            if kind not in ("ngram", "edge_ngram"):
+                raise ValueError(f"unknown tokenizer {tokenizer!r}")
+            doc_idx, terms, positions, lengths = ngram_tokenize_batch(
+                texts_ser, mn, mx, edge=(kind == "edge_ngram"))
+            cjk_over = np.zeros(n_docs, dtype=np.int64)
     else:
         doc_idx, terms, positions, lengths = analyze_batch(
             pd.Series(texts.to_numpy(dtype=object)),
@@ -172,6 +202,20 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         doc_idx, terms, positions, cg_over = expand_common_grams_batch(
             doc_idx, terms, positions, n_docs, common_grams)
         overlaps = overlaps + cg_over
+    if ngrams is not None:
+        # (Edge)NGramTokenFilter last in the chain (the reference's
+        # usual composition); replaces per-doc lengths with emitting-
+        # token counts (= posInc>0 tokens, the discountOverlaps norm)
+        if synonyms or payload_delimiter or shingles or common_grams:
+            raise ValueError("the ngrams filter is mutually exclusive "
+                             "with synonyms, payloads, shingles and "
+                             "common_grams")
+        from ..functions.ngram import expand_ngrams_batch
+        mn, mx = ngrams
+        doc_idx, terms, positions, lengths, ng_over = expand_ngrams_batch(
+            doc_idx, terms, positions, n_docs, mn, mx,
+            preserve_original=ngram_preserve_original, edge=ngram_edge)
+        overlaps = overlaps + ng_over
     overlaps = overlaps + cjk_over
     total_lengths = lengths + overlaps
     norm_lengths = lengths if discount_overlaps else total_lengths
@@ -370,7 +414,10 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   store_term_vectors: bool = False,
                   elision: frozenset | None = None,
                   cjk_bigrams: int | None = None,
-                  cjk_output_unigrams: bool = False):
+                  cjk_output_unigrams: bool = False,
+                  ngrams: tuple | None = None,
+                  ngram_edge: bool = False,
+                  ngram_preserve_original: bool = False):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -382,7 +429,9 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             sort_ascending, payload_delimiter, tokenizer, shingles,
             ascii_folding, common_grams, elision,
             cjk_bigrams=cjk_bigrams,
-            cjk_output_unigrams=cjk_output_unigrams)
+            cjk_output_unigrams=cjk_output_unigrams,
+            ngrams=ngrams, ngram_edge=ngram_edge,
+            ngram_preserve_original=ngram_preserve_original)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -454,7 +503,10 @@ def build_index(spark, df, index_dir: str, *,
                 store_term_vectors: bool = False,
                 elision: frozenset | None = None,
                 cjk_bigrams: int | None = None,
-                cjk_output_unigrams: bool = False):
+                cjk_output_unigrams: bool = False,
+                ngrams: tuple | None = None,
+                ngram_edge: bool = False,
+                ngram_preserve_original: bool = False):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -483,6 +535,7 @@ def build_index(spark, df, index_dir: str, *,
     if store_term_vectors and (stemmer or synonyms or shingles
                                or common_grams or ascii_folding or elision
                                or cjk_bigrams is not None
+                               or ngrams is not None
                                or tokenizer != "standard"):
         raise ValueError("term vectors require the plain standard chain "
                          "(offsets must slice the source text)")
@@ -504,7 +557,9 @@ def build_index(spark, df, index_dir: str, *,
                             tokenizer, shingles, ascii_folding,
                             common_grams, store_term_vectors, elision,
                             cjk_bigrams=cjk_bigrams,
-                            cjk_output_unigrams=cjk_output_unigrams)
+                            cjk_output_unigrams=cjk_output_unigrams,
+                            ngrams=ngrams, ngram_edge=ngram_edge,
+                            ngram_preserve_original=ngram_preserve_original)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
