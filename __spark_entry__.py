@@ -292,6 +292,64 @@ def _q_cjk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _wdgf_content(col):
+    """Deterministic compound-identifier injection exercising the
+    WordDelimiterGraphFilter chain: docs with doc_id%5==0 get 'Wi-Fi'
+    (parts wi/fi + CATENATE_WORDS overlap wifi; CATENATE_ALL deduped),
+    docs with doc_id%9==0 get "PowerShot's XL-500" (case split +
+    possessive strip -> power/shot + overlap powershot; numeric split ->
+    xl/500 + CATENATE_ALL overlap xl500). Base tokens are pure a-z and
+    pass through WDGF unchanged (single-subword fast path)."""
+    return F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Wi-Fi ")).otherwise(""),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.lit("PowerShot's XL-500 ")).otherwise(""),
+        col)
+
+
+def _searcher_wdgf(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with whitespace -> WordDelimiterGraphFilter ->
+    lowercase (reference ``miscellaneous/WordDelimiterGraphFilter
+    .java``; flags = generate parts + split case/numerics + possessive
+    + CATENATE_WORDS + CATENATE_ALL)."""
+    from lucene_spark.functions.worddelim import (CATENATE_ALL,
+                                                  CATENATE_WORDS,
+                                                  DEFAULT_FLAGS)
+    key = "wdgf:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", _wdgf_content(F.col("text")).alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    tokenizer="whitespace",
+                    word_delimiter=DEFAULT_FLAGS | CATENATE_WORDS
+                    | CATENATE_ALL)
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_wdgf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on the catenation 'wifi' — the indexed overlap
+    token that makes 'Wi-Fi'/'wifi'/'wi fi' all match."""
+    return _fmt_topk(_searcher_wdgf(spark, sf_dir).search(
+        Q.Term("wifi"), k=10))
+
+
+_WDGF_TERMS = ("wi", "fi", "wifi", "power", "shot", "powershot",
+               "xl", "500", "xl500")
+
+
+def _q_wdgf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df/ttf across the split/catenated vocabulary."""
+    s = _searcher_wdgf(spark, sf_dir)
+    return (s.term_stats.filter(F.col("term").isin(list(_WDGF_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 _NGRAM_RANGE = (3, 4)           # NGramTokenFilter min/max
 _EDGE_RANGE = (2, 5)            # EdgeNGramTokenFilter min/max
 
@@ -990,6 +1048,65 @@ def _cjk_topk_sql(term: str, k: int = 10) -> str:
 def _cjk_stats_sql(terms) -> str:
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return (_CJK_PRELUDE
+            + f""" SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ({in_list})""")
+
+
+# WordDelimiterGraphFilter chain in SQL: the injected identifiers have
+# FIXED post-analysis streams (Wi-Fi -> wi,fi + overlap wifi;
+# PowerShot's XL-500 -> power,shot,xl,500 + overlaps powershot,xl500),
+# so tok = injected terms + space-split base (unchanged single-subword
+# fast path). Norm length counts position-consuming tokens only
+# (base + 2 for Wi-Fi, base + 4 for the %9 injection); sttf counts
+# everything including the catenation overlaps.
+_WDGF_PRELUDE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(
+    list_concat(
+      list_concat(
+        CASE WHEN doc_id % 5 = 0 THEN ['wi', 'fi', 'wifi']
+             ELSE CAST([] AS VARCHAR[]) END,
+        CASE WHEN doc_id % 9 = 0
+             THEN ['power', 'shot', 'powershot', 'xl', '500', 'xl500']
+             ELSE CAST([] AS VARCHAR[]) END),
+      string_split(text, ' '))) AS term
+  FROM documents
+),
+doclen AS (
+  SELECT doc_id,
+         count(*) - (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                  - (CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 0 END) AS dl
+  FROM tok GROUP BY doc_id
+),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM documents) AS dc,
+                 (SELECT count(*) FROM tok) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+
+def _wdgf_topk_sql(term: str, k: int = 10) -> str:
+    return (_WDGF_PRELUDE + ", "
+            + _tscore_cte("ts", term) + _topk_sql("ts", k))
+
+
+def _wdgf_stats_sql(terms) -> str:
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return (_WDGF_PRELUDE
             + f""" SELECT term, CAST(df AS BIGINT) AS df,
        CAST(ttf AS BIGINT) AS ttf
 FROM dfs WHERE term IN ({in_list})""")
@@ -3718,6 +3835,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_field_top10": _q_combined_field,
         "bm25_cjk_top10": _q_cjk,
         "cjk_term_stats": _q_cjk_stats,
+        "wdgf_identifiers_top10": _q_wdgf,
+        "wdgf_term_stats": _q_wdgf_stats,
         "ngram_filter_top10": _q_ngram_filter,
         "edge_ngram_prefix_top10": _q_edge_ngram,
         "path_prefix_top10": _q_path_prefix,
@@ -3809,6 +3928,8 @@ _PRIORITY = [
     "edge_ngram_prefix_top10",
     "path_prefix_top10",
     "path_components_stats",
+    "wdgf_identifiers_top10",
+    "wdgf_term_stats",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -4603,6 +4724,8 @@ FROM documents GROUP BY 1""",
             nt=_CFQ_TITLE_TOKENS),
         "bm25_cjk_top10": _cjk_topk_sql("数据"),
         "cjk_term_stats": _cjk_stats_sql(_CJK_TERMS),
+        "wdgf_identifiers_top10": _wdgf_topk_sql("wifi"),
+        "wdgf_term_stats": _wdgf_stats_sql(_WDGF_TERMS),
         "ngram_filter_top10": _ngram_topk_sql(
             "dat", *_NGRAM_RANGE, edge=False),
         "edge_ngram_prefix_top10": _ngram_topk_sql(

@@ -69,7 +69,9 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    cjk_output_unigrams: bool = False,
                    ngrams: tuple | None = None,
                    ngram_edge: bool = False,
-                   ngram_preserve_original: bool = False
+                   ngram_preserve_original: bool = False,
+                   word_delimiter: int | None = None,
+                   word_delimiter_protected: frozenset = frozenset()
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -141,6 +143,31 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             doc_idx, terms, positions, lengths = ngram_tokenize_batch(
                 texts_ser, mn, mx, edge=(kind == "edge_ngram"))
             cjk_over = np.zeros(n_docs, dtype=np.int64)
+    elif word_delimiter is not None:
+        # WordDelimiterGraphFilter chain (reference recommendation:
+        # whitespace tokenize -> WDGF -> lowercase; case information
+        # drives the splits, so LowerCaseFilter comes AFTER)
+        if (stemmer or synonyms or shingles or common_grams
+                or ascii_folding or elision or payload_delimiter
+                or stopwords or ngrams is not None):
+            raise ValueError("word_delimiter is mutually exclusive with "
+                             "the other token filters")
+        if tokenizer != "whitespace":
+            raise ValueError("word_delimiter requires "
+                             "tokenizer='whitespace' (the reference "
+                             "pairs WDGF with a non-splitting tokenizer)")
+        from ..functions.worddelim import expand_worddelim_batch
+        doc_idx, terms, positions, lengths = analyze_batch(
+            pd.Series(texts.to_numpy(dtype=object)),
+            tokenizer="whitespace", lowercase=False)
+        doc_idx, terms, positions, lengths, cjk_over = \
+            expand_worddelim_batch(doc_idx, terms, positions, n_docs,
+                                   word_delimiter,
+                                   word_delimiter_protected)
+        if len(terms):
+            codes, uniq = pd.factorize(terms)
+            terms = np.array([u.lower() for u in uniq],
+                             dtype=object)[codes]
     else:
         doc_idx, terms, positions, lengths = analyze_batch(
             pd.Series(texts.to_numpy(dtype=object)),
@@ -417,7 +444,9 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   cjk_output_unigrams: bool = False,
                   ngrams: tuple | None = None,
                   ngram_edge: bool = False,
-                  ngram_preserve_original: bool = False):
+                  ngram_preserve_original: bool = False,
+                  word_delimiter: int | None = None,
+                  word_delimiter_protected: frozenset = frozenset()):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -431,7 +460,9 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             cjk_bigrams=cjk_bigrams,
             cjk_output_unigrams=cjk_output_unigrams,
             ngrams=ngrams, ngram_edge=ngram_edge,
-            ngram_preserve_original=ngram_preserve_original)
+            ngram_preserve_original=ngram_preserve_original,
+            word_delimiter=word_delimiter,
+            word_delimiter_protected=word_delimiter_protected)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -506,7 +537,9 @@ def build_index(spark, df, index_dir: str, *,
                 cjk_output_unigrams: bool = False,
                 ngrams: tuple | None = None,
                 ngram_edge: bool = False,
-                ngram_preserve_original: bool = False):
+                ngram_preserve_original: bool = False,
+                word_delimiter: int | None = None,
+                word_delimiter_protected: frozenset = frozenset()):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -536,6 +569,7 @@ def build_index(spark, df, index_dir: str, *,
                                or common_grams or ascii_folding or elision
                                or cjk_bigrams is not None
                                or ngrams is not None
+                               or word_delimiter is not None
                                or tokenizer != "standard"):
         raise ValueError("term vectors require the plain standard chain "
                          "(offsets must slice the source text)")
@@ -559,7 +593,9 @@ def build_index(spark, df, index_dir: str, *,
                             cjk_bigrams=cjk_bigrams,
                             cjk_output_unigrams=cjk_output_unigrams,
                             ngrams=ngrams, ngram_edge=ngram_edge,
-                            ngram_preserve_original=ngram_preserve_original)
+                            ngram_preserve_original=ngram_preserve_original,
+                            word_delimiter=word_delimiter,
+                            word_delimiter_protected=word_delimiter_protected)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
