@@ -161,6 +161,11 @@ def analyze_text(text: str,
             low = fold_to_ascii(low)
         if elision is not None:
             low = elide(low, elision)
+        if stemmer == "greek":
+            # GreekLowerCaseFilter folds BEFORE the stop filter
+            # (el/GreekAnalyzer.java chain; the stop set is folded)
+            from .greekstem import greek_fold
+            low = greek_fold(low)
         if stemmer == "porter":
             low = strip_possessive(low)
         if low in stopwords:
@@ -302,6 +307,11 @@ def analyze_batch(texts: pd.Series,
         if light_stem is None:
             raise ValueError(f"unknown stemmer {stemmer!r}")
         codes, uniq = pd.factorize(flat)
+        if stemmer == "greek":
+            # GreekLowerCaseFilter folds BEFORE the stop filter
+            # (el/GreekAnalyzer.java; the stop set ships folded)
+            from .greekstem import greek_fold
+            uniq = np.array([greek_fold(u) for u in uniq], dtype=object)
         if stopwords:
             stop_u = np.array([u in stopwords for u in uniq])
             keep &= ~stop_u[codes]

@@ -1274,6 +1274,10 @@ LIGHT_STEMMERS: dict[str, callable] = {
     "german": stem_german,
 }
 
+from .greekstem import stem_greek  # noqa: E402  (registry extension)
+
+LIGHT_STEMMERS["greek"] = stem_greek
+
 
 # ---------------------------------------------------------------------------
 # per-language analyzer presets (the reference's <Lang>Analyzer
@@ -1323,12 +1327,21 @@ def language_analyzer_kwargs(language: str) -> dict:
         "indonesian": ("indonesian", "indonesian", None),
         "arabic": ("arabic", "arabic", None),
         "english": ("english", "porter", None),
+        "greek": (None, "greek", None),
     }
     if language not in chains:
         raise ValueError(f"unknown language {language!r} "
                          f"(have: {sorted(chains)})")
     stop_key, stemmer, elision = chains[language]
-    kw = {"stopwords": STOP_SETS[stop_key], "stemmer": stemmer}
+    if language == "greek":
+        # el/GreekAnalyzer.java: GreekLowerCaseFilter -> stop -> stem;
+        # the stop set ships folded and the analyze paths fold before
+        # the stop filter when stemmer == "greek"
+        from .greekstem import GREEK_STOP_WORDS
+        stops = GREEK_STOP_WORDS
+    else:
+        stops = STOP_SETS[stop_key]
+    kw = {"stopwords": stops, "stemmer": stemmer}
     if elision is not None:
         kw["elision"] = elision
     return kw

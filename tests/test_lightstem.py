@@ -186,6 +186,43 @@ def test_language_preset_batch_matches_text():
         assert ls[i] == en
 
 
+def test_greek_analyzer_chain():
+    """GreekAnalyzer chain goldens from the reference's
+    el/TestGreekAnalyzer.java: GreekLowerCaseFilter (fold BEFORE stop,
+    folded stop set) -> StopFilter -> GreekStemmer."""
+    from lucene_spark.functions.analysis import analyze_text
+    from lucene_spark.functions.lightstem import language_analyzer_kwargs
+    kw = language_analyzer_kwargs("greek")
+    cases = [
+        ("Μία εξαιρετικά καλή και πλούσια σειρά χαρακτήρων "
+         "της Ελληνικής γλώσσας",
+         ["μια", "εξαιρετ", "καλ", "πλουσ", "σειρ", "χαρακτηρ",
+          "ελληνικ", "γλωσσ"]),
+        ("Προϊόντα (και)     [πολλαπλές] - ΑΝΑΓΚΕΣ",
+         ["προιοντ", "πολλαπλ", "αναγκ"]),
+        ("ΠΡΟΫΠΟΘΕΣΕΙΣ  Άψογος, ο μεστός και οι άλλοι",
+         ["προυποθεσ", "αψογ", "μεστ", "αλλ"]),
+    ]
+    for text, exp in cases:
+        t, _, _ = analyze_text(text, **kw)
+        assert t == exp, (text, t, exp)
+
+
+def test_greek_batch_matches_text():
+    import pandas as pd
+    from lucene_spark.functions.analysis import analyze_batch, analyze_text
+    from lucene_spark.functions.lightstem import language_analyzer_kwargs
+    kw = language_analyzer_kwargs("greek")
+    docs = ["Μία εξαιρετικά καλή σειρά", "ΠΡΟΫΠΟΘΕΣΕΙΣ και οι άλλοι",
+            "", "plain ascii κείμενο"]
+    d, t, p, ls = analyze_batch(pd.Series(docs, dtype=object), **kw)
+    for i, doc in enumerate(docs):
+        et, ep, en = analyze_text(doc, **kw)
+        sel = d == i
+        assert list(t[sel]) == et and list(p[sel]) == ep
+        assert ls[i] == en
+
+
 def test_stop_sets_shape():
     """Generated stop sets (tools/gen_stop_sets.py from the published
     Snowball/CLEF lists): spot membership + all-lowercase invariant
