@@ -350,6 +350,64 @@ def _q_wdgf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _greek_content(col):
+    """Deterministic Greek injection exercising the GreekAnalyzer chain
+    (reference ``el/GreekAnalyzer.java``: GreekLowerCaseFilter -> stop
+    -> GreekStemmer): docs with doc_id%7==0 get 'Προϊόντα πολλαπλές'
+    (folds+stems to προιοντ/πολλαπλ — dialytika and tonos stripping),
+    docs with doc_id%11==0 get 'ΑΝΑΓΚΕΣ και γλώσσας' (αναγκ/γλωσσ with
+    the stopword και dropped by the FOLDED stop set, shrinking the doc
+    norm length). Base ASCII tokens pass through fold+stem unchanged."""
+    return F.concat(
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("Προϊόντα πολλαπλές ")).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("ΑΝΑΓΚΕΣ και γλώσσας ")).otherwise(""),
+        col)
+
+
+def _searcher_greek(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with the GreekAnalyzer chain (reference
+    ``el/GreekAnalyzer.java``; stemmer = Ntais' 23-rule cascade from
+    ``el/GreekStemmer.java``) — folding, folded stop set and stemming
+    all at vocabulary level inside the analyzer Arrow UDF."""
+    from lucene_spark.functions.greekstem import GREEK_STOP_WORDS
+    key = "greek:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", _greek_content(F.col("text")).alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=GREEK_STOP_WORDS, store_positions=True,
+                    stemmer="greek")
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+# post-injection Greek vocabulary: stems by injection condition, the
+# dropped stopword (df must be absent), and an ASCII base passthrough
+_GREEK_TERMS = ("προιοντ", "πολλαπλ", "αναγκ", "γλωσσ", "και", "data")
+
+
+def _q_greek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on the stem προιοντ — every doc_id%7==0 doc had
+    the surface form Προϊόντα folded and stemmed to it."""
+    return _fmt_topk(_searcher_greek(spark, sf_dir).search(
+        Q.Term("προιοντ"), k=10))
+
+
+def _q_greek_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df/ttf across the Greek-stemmed dictionary: stem stats follow
+    the injection conditions, the stopword και never reaches the
+    dictionary, ASCII terms keep their base-text stats."""
+    s = _searcher_greek(spark, sf_dir)
+    return (s.term_stats.filter(F.col("term").isin(list(_GREEK_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 _NGRAM_RANGE = (3, 4)           # NGramTokenFilter min/max
 _EDGE_RANGE = (2, 5)            # EdgeNGramTokenFilter min/max
 
@@ -1048,6 +1106,57 @@ def _cjk_topk_sql(term: str, k: int = 10) -> str:
 def _cjk_stats_sql(terms) -> str:
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return (_CJK_PRELUDE
+            + f""" SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ({in_list})""")
+
+
+# GreekAnalyzer chain in SQL: the injected Greek words have a FIXED
+# post-analysis stream (Προϊόντα πολλαπλές → [προιοντ, πολλαπλ];
+# ΑΝΑΓΚΕΣ και γλώσσας → [αναγκ, γλωσσ] — και is a stop word in the
+# folded stop set and is dropped, so it is absent from the token list
+# AND from the doc length), prepended to the space-split base text —
+# ASCII base tokens pass through fold+stop+stem unchanged.
+_GREEK_PRELUDE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(
+    list_concat(
+      list_concat(
+        CASE WHEN doc_id % 7 = 0 THEN ['προιοντ', 'πολλαπλ']
+             ELSE CAST([] AS VARCHAR[]) END,
+        CASE WHEN doc_id % 11 = 0 THEN ['αναγκ', 'γλωσσ']
+             ELSE CAST([] AS VARCHAR[]) END),
+      string_split(text, ' '))) AS term
+  FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM doclen),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+
+def _greek_topk_sql(term: str, k: int = 10) -> str:
+    return (_GREEK_PRELUDE + ", "
+            + _tscore_cte("ts", term) + _topk_sql("ts", k))
+
+
+def _greek_stats_sql(terms) -> str:
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return (_GREEK_PRELUDE
             + f""" SELECT term, CAST(df AS BIGINT) AS df,
        CAST(ttf AS BIGINT) AS ttf
 FROM dfs WHERE term IN ({in_list})""")
@@ -3837,6 +3946,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cjk_term_stats": _q_cjk_stats,
         "wdgf_identifiers_top10": _q_wdgf,
         "wdgf_term_stats": _q_wdgf_stats,
+        "bm25_greek_top10": _q_greek,
+        "greek_term_stats": _q_greek_stats,
         "ngram_filter_top10": _q_ngram_filter,
         "edge_ngram_prefix_top10": _q_edge_ngram,
         "path_prefix_top10": _q_path_prefix,
@@ -3930,6 +4041,8 @@ _PRIORITY = [
     "path_components_stats",
     "wdgf_identifiers_top10",
     "wdgf_term_stats",
+    "bm25_greek_top10",
+    "greek_term_stats",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -4726,6 +4839,8 @@ FROM documents GROUP BY 1""",
         "cjk_term_stats": _cjk_stats_sql(_CJK_TERMS),
         "wdgf_identifiers_top10": _wdgf_topk_sql("wifi"),
         "wdgf_term_stats": _wdgf_stats_sql(_WDGF_TERMS),
+        "bm25_greek_top10": _greek_topk_sql("προιοντ"),
+        "greek_term_stats": _greek_stats_sql(_GREEK_TERMS),
         "ngram_filter_top10": _ngram_topk_sql(
             "dat", *_NGRAM_RANGE, edge=False),
         "edge_ngram_prefix_top10": _ngram_topk_sql(
