@@ -2612,6 +2612,53 @@ def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _q4(F.col("score")).alias("score_q4")))
 
 
+def _q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistinctValuesCollector role (``grouping/DistinctValuesCollector
+    .java``): per-group DISTINCT values of a second (sparse) field over
+    the match set, NULL entries kept."""
+    from lucene_spark.operators.facets import distinct_values
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 3 != 0, F.col("source")).alias("flavor"))
+    return distinct_values(s, Q.Term(T_RARE), docs, "lang", "flavor")
+
+
+def _q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiversifiedTopDocsCollector role (``misc/search/
+    DiversifiedTopDocsCollector.java``): global top-10 with at most 2
+    hits per lang key."""
+    from lucene_spark.operators.facets import diversified_top_k
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    res = diversified_top_k(s, Q.Term(T_COMMON), docs, "lang",
+                            k=10, max_per_key=2)
+    return res.select("doc_id", "rank", "lang",
+                      _q4(F.col("score")).alias("score_q4"))
+
+
+def _q_doc_values_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocValuesStatsCollector role (``misc/search/DocValuesStats
+    .java``): count/missing/min/max/sum/mean over the match set of a
+    sparse numeric field (every 4th doc has no value). Sums of longs are
+    integer-exact in IEEE doubles here, so floor(mean*1e6) is
+    deterministic on both engines; variance/stdev are pytest-verified
+    against numpy (tests/test_stats_facets.py)."""
+    from lucene_spark.operators.stats import doc_values_stats
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 != 0, F.col("n_chars")).alias("nval"))
+    res = doc_values_stats(s, Q.Term(T_COMMON), docs, "nval")
+    return res.select(
+        F.col("count").cast("long").alias("count"),
+        F.col("missing").cast("long").alias("missing"),
+        F.col("min").cast("long").alias("min"),
+        F.col("max").cast("long").alias("max"),
+        F.col("sum").cast("long").alias("sum"),
+        F.floor(F.col("mean") * 1000000).cast("long").alias("mean_q6"))
+
+
 def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
@@ -3837,6 +3884,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_facet_counts": _q_range_facet,
         "drill_sideways": _q_drill_sideways,
         "grouped_topk": _q_grouped_topk,
+        "distinct_values": _q_distinct_values,
+        "diversified_topk": _q_diversified_topk,
+        "doc_values_stats": _q_doc_values_stats,
         "facet_path_counts": _q_facet_paths,
         "sorted_index_topk": _q_sorted_index_topk,
         "payload_score_top10": _q_payload_score,
@@ -4043,6 +4093,9 @@ _PRIORITY = [
     "wdgf_term_stats",
     "bm25_greek_top10",
     "greek_term_stats",
+    "distinct_values",
+    "diversified_topk",
+    "doc_values_stats",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -4702,6 +4755,45 @@ FROM (SELECT d.lang, t.doc_id, t.s,
                                 ORDER BY t.s DESC, t.doc_id ASC) AS rnk
       FROM ts t JOIN documents d ON d.doc_id = t.doc_id)
 WHERE rnk <= 2""",
+        "distinct_values": f"""
+SELECT DISTINCT d.lang AS lang,
+       CASE WHEN d.doc_id % 3 <> 0 THEN d.source END AS flavor
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) t
+      WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}')""",
+        "diversified_topk": _PRELUDE + ", " + _tscore_cte("ts", T_COMMON) + """
+SELECT doc_id, CAST(grnk AS INT) AS rank, lang,
+       CAST(floor(CAST(s AS DOUBLE) * 10000) AS BIGINT) AS score_q4
+FROM (SELECT doc_id, lang, s,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS grnk
+      FROM (SELECT t.doc_id, d.lang, t.s,
+                   row_number() OVER (PARTITION BY d.lang
+                                      ORDER BY t.s DESC, t.doc_id ASC)
+                     AS krnk
+            FROM ts t JOIN documents d ON d.doc_id = t.doc_id)
+      WHERE krnk <= 2)
+WHERE grnk <= 10""",
+        "doc_values_stats": f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents)
+  WHERE term = '{T_COMMON}'
+),
+vals AS (
+  SELECT CASE WHEN d.doc_id % 4 <> 0 THEN d.n_chars END AS nval
+  FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+)
+SELECT CAST(count(nval) AS BIGINT) AS count,
+       CAST(sum(CASE WHEN nval IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS missing,
+       CAST(min(nval) AS BIGINT) AS min,
+       CAST(max(nval) AS BIGINT) AS max,
+       CAST(sum(nval) AS BIGINT) AS sum,
+       CAST(floor(avg(nval) * 1000000) AS BIGINT) AS mean_q6
+FROM vals""",
         "sort_by_field": f"""
 SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(rnk AS INT) AS rank
 FROM (SELECT d.doc_id, d.n_chars,

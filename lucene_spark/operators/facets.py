@@ -184,6 +184,56 @@ def grouped_top_k(searcher, query, dims_df: DataFrame, group_col: str,
                     F.col("rank").cast("int").alias("rank"), "score"))
 
 
+def distinct_values(searcher, query, dims_df: DataFrame, group_col: str,
+                    count_col: str,
+                    doc_id_col: str = "doc_id") -> DataFrame:
+    """DistinctValuesCollector role (reference ``grouping/
+    DistinctValuesCollector.java``): for each group value in the query's
+    match set, the DISTINCT values of ``count_col`` (one row per
+    (group, value) pair — the relational form of the reference's
+    per-group uniqueValues sets; NULL count values are kept, like the
+    reference's explicit null entry in GroupCount.uniqueValues).
+
+    Plan: one semi-join to the match set, then a single map-side
+    partially-aggregated distinct on (group, value) — no per-group
+    state anywhere."""
+    matched = searcher.matching_docs(query)
+    return (matched.join(
+        dims_df.select(doc_id_col, group_col, count_col), doc_id_col)
+        .select(group_col, count_col).distinct())
+
+
+def diversified_top_k(searcher, query, keys_df: DataFrame, key_col: str,
+                      k: int = 10, max_per_key: int = 1,
+                      doc_id_col: str = "doc_id") -> DataFrame:
+    """DiversifiedTopDocsCollector role (reference ``misc/search/
+    DiversifiedTopDocsCollector.java:103-156``): global top-``k`` by
+    score with at most ``max_per_key`` hits per key.
+
+    The reference's one-pass dual-queue greedy (a doc enters only while
+    locally competitive within its key queue AND globally competitive;
+    global evictions pop the key queues) admits exactly the global
+    top-k of the per-key-top-``max_per_key`` set, with the standard
+    (score desc, doc asc) tie order — so the declarative plan is a
+    per-key window rank filter followed by a global top-k. Spark
+    executes that as one shuffle on the key (AQE-skew-safe) and a
+    TakeOrderedAndProject with per-partition partial top-k — no
+    per-key queues materialize anywhere.
+    """
+    scored = searcher.score_all(query) \
+        .join(keys_df.select(doc_id_col, key_col), doc_id_col)
+    w = Window.partitionBy(key_col).orderBy(F.desc("score"),
+                                            F.asc(doc_id_col))
+    kept = (scored.withColumn("_kr", F.row_number().over(w))
+            .where(F.col("_kr") <= max_per_key))
+    top = (kept.orderBy(F.desc("score"), F.asc(doc_id_col)).limit(k)
+           .select(doc_id_col, key_col, "score"))
+    wg = Window.orderBy(F.desc("score"), F.asc(doc_id_col))
+    return (top.withColumn("rank", F.row_number().over(wg))
+            .select(doc_id_col, F.col("rank").cast("int").alias("rank"),
+                    key_col, "score"))
+
+
 def to_parent_block_join(searcher, child_query, parents_df: DataFrame,
                          score_mode: str = "max",
                          doc_id_col: str = "doc_id",

@@ -74,3 +74,33 @@ def field_stats_from_tokens(df: DataFrame, content_col: str = "content",
     tok = tokenize_exploded(df, content_col, doc_id_col)
     return (tok.agg(F.countDistinct(doc_id_col).alias("doc_count"),
                     F.count("*").alias("sum_total_term_freq")))
+
+
+def doc_values_stats(searcher, query, values_df: DataFrame,
+                     value_col: str,
+                     doc_id_col: str = "doc_id") -> DataFrame:
+    """DocValuesStatsCollector role (reference ``misc/search/
+    DocValuesStats.java:102-146`` + ``DocValuesStatsCollector.java``):
+    aggregate statistics of a numeric doc-values field over the query's
+    match set — count (docs WITH a value), missing (matched docs
+    without), min, max, sum, mean, and population variance/stdev
+    (the reference divides its accumulated squared deviation by count).
+
+    One semi-join to the match set, then a single global aggregate with
+    map-side partials; no per-doc state leaves the executors. Output is
+    exactly one row (all-null min/max/sum and 0 mean/variance when no
+    matched doc carries a value, matching the reference's initial state).
+    """
+    matched = searcher.matching_docs(query)
+    joined = matched.join(
+        values_df.select(doc_id_col, value_col), doc_id_col, "left")
+    v = F.col(value_col)
+    return joined.agg(
+        F.count(v).alias("count"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("missing"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        F.sum(v).alias("sum"),
+        F.coalesce(F.avg(v), F.lit(0.0)).alias("mean"),
+        F.coalesce(F.var_pop(v), F.lit(0.0)).alias("variance"),
+        F.sqrt(F.coalesce(F.var_pop(v), F.lit(0.0))).alias("stdev"))

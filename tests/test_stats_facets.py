@@ -296,3 +296,114 @@ def test_all_groups_count(spark, searcher, corpus, oracle):
                 if row.doc_id in matched})
     got = facets.all_groups_count(searcher, Q.Term("parse"), docs, "lang")
     assert got == want > 0
+
+
+def test_distinct_values(spark, searcher, corpus, oracle):
+    """grouping/DistinctValuesCollector.java: per-group distinct values
+    of a second field over the match set, NULL values kept."""
+    import pandas as pd
+    vals = corpus[["doc_id", "lang"]].copy()
+    # sparse second field with nulls (every 3rd doc missing)
+    vals["flavor"] = [
+        None if d % 3 == 0 else f"f{d % 2}" for d in vals.doc_id]
+    docs = spark.createDataFrame(vals)
+    got = {(r["lang"], r["flavor"]) for r in
+           facets.distinct_values(searcher, Q.Term("parse"), docs,
+                                  "lang", "flavor").collect()}
+    matched = set(oracle.score(Q.Term("parse")))
+    want = {(row.lang, (None if row.doc_id % 3 == 0
+                        else f"f{row.doc_id % 2}"))
+            for row in vals.itertuples() if row.doc_id in matched}
+    assert got == want
+
+
+def test_diversified_top_k(spark, searcher, corpus, oracle):
+    """misc/search/DiversifiedTopDocsCollector.java: global top-k with
+    at most max_per_key hits per key — parity with the greedy
+    dual-queue collector replayed per-doc on the oracle scores."""
+    keys = {int(d): int(d) % 5 for d in corpus.doc_id}
+    docs = spark.createDataFrame(
+        [(d, f"k{v}") for d, v in keys.items()], "doc_id long, src string")
+    q = Q.Or((Q.Term("parse"), Q.Term("token")))
+    scores = oracle.score(q)
+
+    def greedy(k, m):
+        # the reference's insert() protocol, replayed in docID order
+        import heapq
+        per_key: dict[str, list] = {}
+        glob: list = []          # min-heap of (score, -doc)
+
+        def less(a, b):          # PQ lessThan: a below b
+            return a[0] < b[0] or (a[0] == b[0] and -a[1] > -b[1])
+
+        for doc in sorted(scores):
+            s = float(scores[doc])
+            item = (s, -doc)
+            if len(glob) >= k and less(item, glob[0]):
+                continue
+            key = f"k{keys[doc] }"
+            kq = per_key.setdefault(key, [])
+            if len(kq) >= m:
+                if less(item, kq[0]):
+                    continue
+                evict = heapq.heappushpop(kq, item)
+                glob.remove(evict)
+                heapq.heapify(glob)
+                heapq.heappush(glob, item)
+            else:
+                heapq.heappush(kq, item)
+                heapq.heappush(glob, item)
+                if len(glob) > k:
+                    out = heapq.heappop(glob)
+                    okq = per_key[f"k{keys[-out[1]]}"]
+                    okq.remove(out)
+                    heapq.heapify(okq)
+        return sorted(((-d, s) for s, d in glob),
+                      key=lambda t: (-t[1], t[0]))
+
+    for k, m in [(10, 1), (10, 2), (5, 3), (25, 1)]:
+        res = facets.diversified_top_k(searcher, q, docs, "src",
+                                       k=k, max_per_key=m).collect()
+        got = [(r["doc_id"], r["score"]) for r in res]
+        want = [(d, pytest.approx(s, rel=1e-6)) for d, s in greedy(k, m)]
+        assert got == want, (k, m)
+        # declarative equivalence: per-key rank<=m then global top-k
+        ranked = sorted(scores.items(), key=lambda t: (-t[1], t[0]))
+        seen: dict[int, int] = {}
+        decl = []
+        for d, s in ranked:
+            kk = keys[d]
+            seen[kk] = seen.get(kk, 0) + 1
+            if seen[kk] <= m:
+                decl.append((d, s))
+        assert [d for d, _ in got] == [d for d, _ in decl[:k]], (k, m)
+        assert all(r["rank"] == i + 1 for i, r in enumerate(res))
+
+
+def test_doc_values_stats(spark, searcher, corpus, oracle):
+    """misc/search/DocValuesStats.java: count/missing/min/max/sum/mean/
+    population-variance of a numeric field over the match set."""
+    import numpy as np
+    vals = corpus[["doc_id"]].copy()
+    vals["nval"] = [None if d % 4 == 0 else (d * 7) % 100
+                    for d in vals.doc_id]
+    docs = spark.createDataFrame(vals, "doc_id long, nval long")
+    from lucene_spark.operators.stats import doc_values_stats
+    row = doc_values_stats(searcher, Q.Term("parse"), docs,
+                           "nval").collect()[0]
+    matched = set(oracle.score(Q.Term("parse")))
+    present = [(d * 7) % 100 for d in matched if d % 4 != 0]
+    assert row["count"] == len(present)
+    assert row["missing"] == len(matched) - len(present)
+    assert row["min"] == min(present)
+    assert row["max"] == max(present)
+    assert row["sum"] == sum(present)
+    assert row["mean"] == pytest.approx(np.mean(present), rel=1e-12)
+    assert row["variance"] == pytest.approx(np.var(present), rel=1e-12)
+    assert row["stdev"] == pytest.approx(np.std(present), rel=1e-12)
+    # empty match set: one row, reference initial state
+    empty = doc_values_stats(searcher, Q.Term("zzzznomatch"), docs,
+                             "nval").collect()[0]
+    assert (empty["count"], empty["missing"]) == (0, None)
+    assert empty["min"] is None and empty["sum"] is None
+    assert empty["mean"] == 0.0 and empty["variance"] == 0.0
