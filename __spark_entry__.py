@@ -3125,6 +3125,39 @@ def _q_dfi_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
 
 
+def _q_ib_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IB similarity, LL distribution · DF lambda · H2 normalization
+    (reference ``similarities/IBSimilarity.java`` + ``DistributionLL``/
+    ``LambdaDF``/``NormalizationH2``): −ln(λ/(tfn+λ)) with float32 λ,
+    tfn = tf·log2(1 + avgdl/dl); double math, one float32 cast."""
+    from lucene_spark.functions.similarity import IBSimilarity
+    base = _searcher(spark, sf_dir)
+    s = Searcher(spark, base.index_dir,
+                 similarity=IBSimilarity("ll", "df", "h2"))
+    return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
+
+
+def _q_axiomatic_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axiomatic F2LOG (reference ``similarities/AxiomaticF2LOG.java``,
+    s=0.25): tf/(tf + s + s·dl/avgdl) · ln((N+1)/df)."""
+    from lucene_spark.functions.similarity import AxiomaticSimilarity
+    base = _searcher(spark, sf_dir)
+    s = Searcher(spark, base.index_dir,
+                 similarity=AxiomaticSimilarity("f2log"))
+    return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
+
+
+def _q_indri_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndriDirichlet (reference ``similarities/IndriDirichletSimilarity
+    .java:44-49``, μ=2000, p = ttf/sumTtf un-smoothed): ln((tf+μp)/(dl+μ))
+    — negative log-probability scores, exhaustive scoring path."""
+    from lucene_spark.functions.similarity import IndriDirichletSimilarity
+    base = _searcher(spark, sf_dir)
+    s = Searcher(spark, base.index_dir,
+                 similarity=IndriDirichletSimilarity())
+    return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
+
+
 def _q_boolean_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BooleanSimilarity term query (``similarities/BooleanSimilarity
     .java:25``): score = query boost, tf/norms ignored."""
@@ -3854,6 +3887,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_shingle_top10": _q_shingle_indexed,
         "bm25_common_grams_top10": _q_common_grams,
         "dfi_term_top10": _q_dfi_term,
+        "ib_ll_term_top10": _q_ib_term,
+        "axiomatic_f2log_term_top10": _q_axiomatic_term,
+        "indri_term_top10": _q_indri_term,
         "boolean_term_top10": _q_boolean_term,
         "fuzzy_suggest_top10": _q_fuzzy_suggest,
         "free_text_suggest_top10": _q_free_text_suggest,
@@ -4096,6 +4132,9 @@ _PRIORITY = [
     "distinct_values",
     "diversified_topk",
     "doc_values_stats",
+    "ib_ll_term_top10",
+    "axiomatic_f2log_term_top10",
+    "indri_term_top10",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -5107,6 +5146,60 @@ dfisc AS (
         WHERE d.term = '{T_COMMON}') e ON e.doc_id = f.doc_id
   WHERE f.term = '{T_COMMON}'
 )""" + _topk_sql("dfisc", 10),
+        "ib_ll_term_top10": _PRELUDE + f""",
+iblam AS (
+  SELECT CASE WHEN CAST((d.df + CAST(1 AS DOUBLE))
+                        / (a.dc + CAST(1 AS DOUBLE)) AS FLOAT)
+                   = CAST(1 AS FLOAT)
+              THEN CAST(0.99999994 AS FLOAT)
+              ELSE CAST((d.df + CAST(1 AS DOUBLE))
+                        / (a.dc + CAST(1 AS DOUBLE)) AS FLOAT)
+         END AS lam
+  FROM dfs d, avgs a WHERE d.term = '{T_COMMON}'
+),
+ibsc AS (
+  SELECT f.doc_id,
+         CAST(CAST(1 AS DOUBLE) *
+              (-ln(CAST(l.lam AS DOUBLE) /
+                   (CAST(f.tf AS DOUBLE) *
+                    (ln(1 + CAST(1 AS DOUBLE) * CAST(a.avgdl AS DOUBLE) /
+                        (SELECT max(v) FROM lut WHERE v <= dl.dl)) / ln(2))
+                    + CAST(l.lam AS DOUBLE))))
+              AS FLOAT) AS s
+  FROM tf f
+  JOIN doclen dl ON dl.doc_id = f.doc_id
+  CROSS JOIN iblam l CROSS JOIN avgs a
+  WHERE f.term = '{T_COMMON}'
+)""" + _topk_sql("ibsc", 10),
+        "axiomatic_f2log_term_top10": _PRELUDE + f""",
+axsc AS (
+  SELECT f.doc_id,
+         CAST(CAST(1 AS DOUBLE) * greatest(
+           (CAST(f.tf AS DOUBLE) /
+            (CAST(f.tf AS DOUBLE) + (CAST(0.25 AS DOUBLE)
+             + CAST(0.25 AS DOUBLE)
+               * (SELECT max(v) FROM lut WHERE v <= dl.dl)
+               / CAST(a.avgdl AS DOUBLE))))
+           * ln((a.dc + CAST(1 AS DOUBLE)) / d.df),
+           CAST(0 AS DOUBLE)) AS FLOAT) AS s
+  FROM tf f JOIN dfs d ON d.term = f.term
+  JOIN doclen dl ON dl.doc_id = f.doc_id
+  CROSS JOIN avgs a
+  WHERE f.term = '{T_COMMON}'
+)""" + _topk_sql("axsc", 10),
+        "indri_term_top10": _PRELUDE + f""",
+indsc AS (
+  SELECT f.doc_id,
+         CAST(ln((CAST(f.tf AS DOUBLE)
+                  + 2000.0 * (CAST(d.ttf AS DOUBLE)
+                              / CAST(s.sttf AS DOUBLE)))
+                 / ((SELECT max(v) FROM lut WHERE v <= dl.dl) + 2000.0))
+              AS FLOAT) AS s
+  FROM tf f JOIN dfs d ON d.term = f.term
+  JOIN doclen dl ON dl.doc_id = f.doc_id
+  CROSS JOIN stats s
+  WHERE f.term = '{T_COMMON}'
+)""" + _topk_sql("indsc", 10),
         "boolean_term_top10": _PRELUDE + f""",
 bsc AS (
   SELECT DISTINCT doc_id, CAST(CAST(1.5 AS DOUBLE) AS FLOAT) AS s

@@ -29,6 +29,10 @@ from .smallfloat import LENGTH_TABLE
 class Similarity:
     name = "base"
     monotonic = True
+    #: scores are >= 0 — the block-max window kernel prunes windows with
+    #: upper bound <= 0, so a similarity that can emit negative scores
+    #: (IndriDirichlet) must clear this to fall back to exhaustive.
+    nonnegative = True
     #: score is weight-multiplicative (score(w1+w2) == score(w1)+score(w2)
     #: for fixed tf/norm); phrase/synonym weights may be pre-summed.
     weight_linear = True
@@ -374,10 +378,219 @@ class SweetSpotSimilarity(ClassicSimilarity):
         return ((tf * weight) * inv).astype(np.float32)
 
 
+class IBSimilarity(Similarity):
+    """Information-based framework (reference ``similarities/
+    IBSimilarity.java:36-60``: score = boost · distribution(tfn, λ)
+    composed from a Distribution × Lambda × Normalization):
+
+    distributions (``DistributionLL.java:29-31``, ``DistributionSPL
+    .java:30-57``):
+      LL:  −ln(λ / (tfn + λ))
+      SPL: q = 1 − 1/(tfn+1)  (nextDown(1.0) if q == 1);
+           pow = λ^q, nudged one double-ulp off λ when rounding collapses
+           them (λ<1 → nextUp, else nextDown); −ln((pow − λ)/(1 − λ))
+
+    lambdas, computed as FLOAT casts like the reference
+    (``LambdaDF.java:33-40``, ``LambdaTTF.java:33-41``; the nextDown/
+    nextUp at exactly 1 keeps SPL's ratio finite):
+      df:  (df + 1)/(N + 1)      ttf: (ttf + 1)/(N + 1)
+
+    normalizations (``NormalizationH1/H2/H3/Z.java``, ``Normalization
+    .java`` NoNormalization):
+      h1: tf·c·avgdl/dl   h2: tf·log2(1 + c·avgdl/dl)
+      h3: (tf + μ·(ttf+1)/(sumTtf+1)) / (dl + μ) · μ
+      z:  tf·(avgdl/dl)^z   none: tf
+
+    avgdl is the engine's shared float32 avgdl widened to double (same
+    convention as DFRInL2Similarity; engine and oracle share the value,
+    so parity is exact). All math double, one float32 cast at the end
+    (``SimilarityBase.java:223-225``). Every composition is monotonic
+    ↑tf / ↓dl → block-max safe.
+    """
+
+    name = "ib"
+    monotonic = True
+    weight_linear = False
+
+    DISTRIBUTIONS = ("ll", "spl")
+    LAMBDAS = ("df", "ttf")
+    NORMALIZATIONS = ("h1", "h2", "h3", "z", "none")
+
+    def __init__(self, distribution: str = "spl", lambda_: str = "df",
+                 normalization: str = "h2", c: float = 1.0,
+                 mu: float = 800.0, z: float = 0.30):
+        if distribution not in self.DISTRIBUTIONS:
+            raise ValueError(f"unknown distribution {distribution!r}")
+        if lambda_ not in self.LAMBDAS:
+            raise ValueError(f"unknown lambda {lambda_!r}")
+        if normalization not in self.NORMALIZATIONS:
+            raise ValueError(f"unknown normalization {normalization!r}")
+        self.distribution = distribution
+        self.lambda_ = lambda_
+        self.normalization = normalization
+        self.c, self.mu, self.z = float(c), float(mu), float(z)
+        self.needs_ttf = (lambda_ == "ttf") or (normalization == "h3")
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               ttf: int = 0, sum_ttf: int = 0) -> np.ndarray:
+        if self.lambda_ == "df":
+            lam = np.float32((df + 1.0) / (doc_count + 1.0))
+            if lam == np.float32(1.0):
+                lam = np.nextafter(lam, np.float32(0.0))
+        else:
+            lam = np.float32((ttf + 1.0) / (doc_count + 1.0))
+            if lam == np.float32(1.0):
+                lam = np.nextafter(lam, np.float32(2.0))
+        # H3's additive smoothing term μ·(ttf+1)/(sumTtf+1)
+        mu_p = (self.mu * (ttf + 1.0) / (sum_ttf + 1.0)
+                if self.normalization == "h3" else 0.0)
+        return np.array([float(boost), float(lam), mu_p], dtype=np.float64)
+
+    def norm_cache(self, avgdl: np.float32) -> np.ndarray:
+        dl = LENGTH_TABLE.astype(np.float64)
+        a = np.float64(avgdl)
+        with np.errstate(divide="ignore"):
+            if self.normalization == "h1":
+                return self.c * a / dl
+            if self.normalization == "h2":
+                return np.log(1.0 + self.c * a / dl) / np.log(2.0)
+            if self.normalization == "z":
+                return np.power(a / dl, self.z)
+            return dl  # h3 and none carry the raw quantized length
+
+    def score(self, tfs, norm_bytes, weight, cache) -> np.ndarray:
+        boost, lam, mu_p = (float(weight[0]), float(weight[1]),
+                            float(weight[2]))
+        f = np.asarray(tfs, np.float64)
+        cv = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        if self.normalization in ("h1", "h2", "z"):
+            tfn = f * cv
+        elif self.normalization == "h3":
+            tfn = (f + mu_p) / (cv + self.mu) * self.mu
+        else:
+            tfn = f
+        if self.distribution == "ll":
+            s = -np.log(lam / (tfn + lam))
+        else:
+            q = 1.0 - 1.0 / (tfn + 1.0)
+            q = np.where(q == 1.0, np.nextafter(1.0, 0.0), q)
+            pow_ = np.power(lam, q)
+            # DistributionSPL.java:38-52 — keep pow off λ so the log
+            # stays finite when rounding collapses them
+            nudge = (np.nextafter(lam, np.inf) if lam < 1
+                     else np.nextafter(lam, -np.inf))
+            pow_ = np.where(pow_ == lam, nudge, pow_)
+            s = -np.log((pow_ - lam) / (1.0 - lam))
+        return (boost * s).astype(np.float32)
+
+
+class AxiomaticSimilarity(Similarity):
+    """Axiomatic retrieval functions F1EXP/F1LOG/F2EXP/F2LOG (reference
+    ``similarities/Axiomatic.java:96-107`` — score = boost ·
+    max(0, tf·ln·tfln·idf − gamma), gamma = 0 for the F1/F2 family;
+    defaults s=0.25, k=0.35 at ``Axiomatic.java:91-93``):
+
+      F1 (``AxiomaticF1EXP.java:55-75``, ``AxiomaticF1LOG.java``):
+        tf  = 1 + ln(1 + ln(freq))
+        ln  = (avgdl + s) / (avgdl + dl·s)          tfln = 1
+      F2 (``AxiomaticF2EXP.java:58-77``, ``AxiomaticF2LOG.java``):
+        tf = 1, ln = 1
+        tfln = freq / (freq + s + s·dl/avgdl)
+      idf: EXP → ((N + 1)/df)^k     LOG → ln((N + 1)/df)
+
+    All math double, one float32 cast (``SimilarityBase`` scorer).
+    Each component is monotone ↑freq and the length components are
+    monotone ↓dl → block-max safe.
+    """
+
+    name = "axiomatic"
+    monotonic = True
+    weight_linear = False
+
+    VARIANTS = ("f1exp", "f1log", "f2exp", "f2log")
+
+    def __init__(self, variant: str = "f2log", s: float = 0.25,
+                 k: float = 0.35):
+        if variant not in self.VARIANTS:
+            raise ValueError(f"unknown axiomatic variant {variant!r}")
+        self.variant = variant
+        self.s, self.k = float(s), float(k)
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               ttf: int = 0, sum_ttf: int = 0) -> np.ndarray:
+        if self.variant.endswith("exp"):
+            idf = np.power((doc_count + 1.0) / df, self.k)
+        else:
+            idf = np.log((doc_count + 1.0) / df)
+        return np.array([float(boost), float(idf)], dtype=np.float64)
+
+    def norm_cache(self, avgdl: np.float32) -> np.ndarray:
+        dl = LENGTH_TABLE.astype(np.float64)
+        a = np.float64(avgdl)
+        if self.variant.startswith("f1"):
+            return (a + self.s) / (a + dl * self.s)
+        return self.s + self.s * dl / a
+
+    def score(self, tfs, norm_bytes, weight, cache) -> np.ndarray:
+        boost, idf = float(weight[0]), float(weight[1])
+        f = np.asarray(tfs, np.float64)
+        cv = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if self.variant.startswith("f1"):
+                comp = (1.0 + np.log(1.0 + np.log(f))) * cv
+            else:
+                comp = f / (f + cv)
+        s = boost * np.maximum(comp * idf, 0.0)
+        return np.where(f == 0.0, np.float32(0.0),
+                        s.astype(np.float32))
+
+
+class IndriDirichletSimilarity(Similarity):
+    """Indri's Dirichlet-smoothed language model (reference
+    ``similarities/IndriDirichletSimilarity.java:44-49`` with
+    ``IndriCollectionModel``: p(w|C) = ttf / sumTtf, NO +1 smoothing):
+
+      score = ln((freq + μ·p) / (dl + μ))      (double, float32 cast)
+
+    Faithful quirks mirrored: the query boost is NOT applied (the
+    reference's score() ignores stats.getBoost()), and scores are
+    typically NEGATIVE (log of a probability). The score IS monotonic
+    ↑freq / ↓dl, but the engine's window kernel treats an upper bound
+    of 0 as "cannot compete", so negative-score similarities clear
+    ``nonnegative`` and score exhaustively.
+    """
+
+    name = "indri_dirichlet"
+    monotonic = True
+    nonnegative = False
+    weight_linear = False
+    needs_ttf = True
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(mu)
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               ttf: int = 0, sum_ttf: int = 0) -> np.ndarray:
+        cp = float(ttf) / float(sum_ttf) if sum_ttf else 0.0
+        return np.array([self.mu * cp], dtype=np.float64)
+
+    def norm_cache(self, avgdl: np.float32) -> np.ndarray:
+        return LENGTH_TABLE.astype(np.float64)
+
+    def score(self, tfs, norm_bytes, weight, cache) -> np.ndarray:
+        mu_cp = float(weight[0])
+        dl = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        f = np.asarray(tfs, np.float64)
+        return np.log((f + mu_cp) / (dl + self.mu)).astype(np.float32)
+
+
 SIMILARITIES = {"bm25": BM25Similarity, "classic": ClassicSimilarity,
                 "lm_dirichlet": LMDirichletSimilarity,
                 "lm_jelinek_mercer": LMJelinekMercerSimilarity,
                 "dfr_inl2": DFRInL2Similarity,
                 "boolean": BooleanSimilarity,
                 "dfi": DFISimilarity,
-                "sweetspot": SweetSpotSimilarity}
+                "sweetspot": SweetSpotSimilarity,
+                "ib": IBSimilarity,
+                "axiomatic": AxiomaticSimilarity,
+                "indri_dirichlet": IndriDirichletSimilarity}

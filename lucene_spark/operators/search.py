@@ -1309,6 +1309,7 @@ def score_segment(compiled, postings_rows: dict[str, dict],
     if ctx is None:
         ctx = _SegContext(postings_rows, norm_bytes, cache)
     use_bmw = (ctx.sim.monotonic
+               and getattr(ctx.sim, "nonnegative", True)
                and (mode == "bmw"
                     or (mode == "auto" and _bmw_eligible(compiled))))
     if compiled is None or n == 0:

@@ -8,6 +8,7 @@ import tempfile
 import numpy as np
 import pytest
 
+from lucene_spark.functions.similarity import SIMILARITIES as SIMS
 from lucene_spark.operators.build import build_index
 from lucene_spark.operators.search import Searcher
 from lucene_spark.oracle import OracleIndex
@@ -399,6 +400,109 @@ def test_lm_similarity_parity(spark, searcher, oracle, simname):
             assert [g[0] for g in got] == [w[0] for w in want], (q, mode)
             assert np.allclose([g[1] for g in got], [w[1] for w in want],
                                rtol=0, atol=0), (q, mode)
+
+
+@pytest.mark.parametrize("mk", [
+    lambda: SIMS["ib"](),                                   # spl·df·h2
+    lambda: SIMS["ib"]("ll", "df", "h1", c=1.5),
+    lambda: SIMS["ib"]("ll", "ttf", "h3", mu=800.0),
+    lambda: SIMS["ib"]("spl", "ttf", "z", z=0.30),
+    lambda: SIMS["ib"]("ll", "df", "none"),
+    lambda: SIMS["axiomatic"]("f1exp"),
+    lambda: SIMS["axiomatic"]("f1log"),
+    lambda: SIMS["axiomatic"]("f2exp"),
+    lambda: SIMS["axiomatic"]("f2log"),
+    lambda: SIMS["indri_dirichlet"](),
+])
+def test_ib_axiomatic_indri_parity(spark, searcher, oracle, mk):
+    """IB (LL/SPL × DF/TTF × H1/H2/H3/Z/None), Axiomatic F1/F2 EXP/LOG
+    and IndriDirichlet: rank- and score-identical between the
+    distributed engine (both scoring modes) and the per-doc oracle.
+    Indri runs exhaustively (negative scores clear ``nonnegative``)."""
+    sim = mk()
+    s2 = Searcher(spark, searcher.index_dir, similarity=sim)
+    for q in (Q.Term("parse"), Q.Or((Q.Term("parse"), Q.Term("scan"))),
+              Q.And((Q.Term("codec"), Q.Term("util"))),
+              Q.Synonym(("parse", "scan"))):
+        want = oracle.top_k(q, k=10, sim=sim)
+        for mode in ("exhaustive", "auto"):
+            got = [(r["doc_id"], r["score"])
+                   for r in s2.search(q, k=10, mode=mode).collect()]
+            assert [g[0] for g in got] == [w[0] for w in want], (q, mode)
+            assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                               rtol=0, atol=0), (q, mode)
+
+
+def test_ib_axiomatic_indri_scalar_semantics():
+    """Kernel transcription checks against independent closed-form math
+    (reference DistributionLL/SPL, NormalizationH1/H2/H3/Z, Axiomatic
+    F1/F2, IndriDirichletSimilarity.score)."""
+    import math
+
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+    avgdl = np.float32(25.0)
+    b = 40                                  # an arbitrary norm byte
+    dl = float(LENGTH_TABLE[b])
+    tf = 3.0
+
+    # IB · LL · DF · H2 (c=1):  −ln(λ/(tfn+λ)), tfn = tf·log2(1+avgdl/dl)
+    sim = SIMS["ib"]("ll", "df", "h2")
+    w = sim.weight(10, 99, 1.0, 30, 1000)
+    lam = float(np.float32(11.0 / 100.0))
+    tfn = tf * math.log2(1.0 + float(np.float64(avgdl)) / dl)
+    want = np.float32(-math.log(lam / (tfn + lam)))
+    got = sim.score(np.array([tf]), np.array([b]), w,
+                    sim.norm_cache(avgdl))[0]
+    assert got == want
+    # λ == 1 nudges off 1 (df variant → nextDown)
+    w1 = sim.weight(99, 99, 1.0, 0, 0)
+    assert 0 < w1[1] < 1.0
+    # SPL stays finite at the same corner (pow→λ collapse guarded)
+    spl = SIMS["ib"]("spl", "df", "none")
+    s = spl.score(np.array([1.0]), np.array([b]),
+                  spl.weight(99, 99), spl.norm_cache(avgdl))[0]
+    assert np.isfinite(s)
+
+    # IB · H3: tfn = (tf + μ·(ttf+1)/(T+1))/(dl+μ)·μ
+    h3 = SIMS["ib"]("ll", "df", "h3", mu=800.0)
+    w3 = h3.weight(10, 99, 1.0, 30, 1000)
+    mu_p = 800.0 * 31.0 / 1001.0
+    tfn3 = (tf + mu_p) / (dl + 800.0) * 800.0
+    lam3 = float(np.float32(11.0 / 100.0))
+    want3 = np.float32(-math.log(lam3 / (tfn3 + lam3)))
+    assert h3.score(np.array([tf]), np.array([b]), w3,
+                    h3.norm_cache(avgdl))[0] == want3
+
+    # Axiomatic F2LOG: f/(f+s+s·dl/avgdl) · ln((N+1)/df)
+    ax = SIMS["axiomatic"]("f2log")
+    wa = ax.weight(10, 99)
+    tfln = tf / (tf + 0.25 + 0.25 * dl / float(np.float64(avgdl)))
+    assert ax.score(np.array([tf]), np.array([b]), wa,
+                    ax.norm_cache(avgdl))[0] == \
+        np.float32(tfln * math.log(100.0 / 10.0))
+    # Axiomatic F1EXP: (1+ln(1+ln(f))) · (avgdl+s)/(avgdl+dl·s) · idf^k
+    a1 = SIMS["axiomatic"]("f1exp")
+    w1a = a1.weight(10, 99)
+    comp = ((1.0 + math.log(1.0 + math.log(tf)))
+            * (float(np.float64(avgdl)) + 0.25)
+            / (float(np.float64(avgdl)) + dl * 0.25))
+    assert a1.score(np.array([tf]), np.array([b]), w1a,
+                    a1.norm_cache(avgdl))[0] == \
+        np.float32(comp * math.pow(100.0 / 10.0, 0.35))
+
+    # Indri: ln((f + μ·ttf/T)/(dl + μ)) — negative, boost ignored
+    ind = SIMS["indri_dirichlet"]()
+    wi = ind.weight(10, 99, boost=7.0, ttf=30, sum_ttf=1000)
+    want_i = np.float32(math.log((tf + 2000.0 * 30.0 / 1000.0)
+                                 / (dl + 2000.0)))
+    assert ind.score(np.array([tf]), np.array([b]), wi,
+                     ind.norm_cache(avgdl))[0] == want_i
+    assert want_i < 0 and not ind.nonnegative
+
+    with pytest.raises(ValueError):
+        SIMS["ib"]("bogus")
+    with pytest.raises(ValueError):
+        SIMS["axiomatic"]("f9")
 
 
 def test_lm_phrase_raises(spark, searcher):
