@@ -121,6 +121,25 @@ def vbyte_encode_batched(values: np.ndarray,
     while v.any():
         lengths[v > 0] += 1
         v >>= np.uint64(7)
+    maxlen = int(lengths.max())
+    if n * maxlen <= (1 << 28):
+        # fast path: padded byte planes + one boolean-mask gather —
+        # contiguous column writes instead of per-plane scatter (the
+        # scatter loop below is kept for the rare huge-batch case where
+        # the n×maxlen planes would not fit comfortably in memory)
+        planes = np.empty((n, maxlen), dtype=np.uint8)
+        keep = np.empty((n, maxlen), dtype=bool)
+        for j in range(maxlen):
+            col = (vals >> np.uint64(7 * j)) & np.uint64(0x7F)
+            more = lengths - 1 > j
+            planes[:, j] = col.astype(np.uint8) | (more.astype(np.uint8) << 7)
+            keep[:, j] = lengths > j
+        out = planes[keep]
+        value_end = np.cumsum(lengths)
+        gend = np.cumsum(glens)
+        goff[1:] = np.where(gend > 0, value_end[np.maximum(gend - 1, 0)], 0)
+        np.maximum.accumulate(goff, out=goff)
+        return out.tobytes(), goff
     offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
     total = int(offsets[-1] + lengths[-1])
     out = np.empty(total, dtype=np.uint8)
