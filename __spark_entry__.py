@@ -3158,6 +3158,28 @@ def _q_indri_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
 
 
+def _q_multi_sim_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiSimilarity (reference ``similarities/MultiSimilarity
+    .java:58-66``): float32 running sum of BM25 + Classic sub-scores."""
+    from lucene_spark.functions.similarity import (BM25Similarity,
+                                                   ClassicSimilarity,
+                                                   MultiSimilarity)
+    base = _searcher(spark, sf_dir)
+    s = Searcher(spark, base.index_dir, similarity=MultiSimilarity(
+        [BM25Similarity(), ClassicSimilarity()]))
+    return _fmt_topk(s.search(Q.Term(T_COMMON), k=10))
+
+
+def _q_dv_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocValuesNumbersQuery (reference ``sandbox/search/
+    DocValuesNumbersQuery.java:47-100``): docs whose n_chars docvalue is
+    in a fixed set — a pushed In() scan."""
+    s = _searcher_dv(spark, sf_dir)
+    return s.docvalues_in_set("n_chars",
+                           [63, 132, 157, 207, 246, 328, 359, 5000]) \
+            .select("doc_id", F.col("value").cast("long").alias("value"))
+
+
 def _q_boolean_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BooleanSimilarity term query (``similarities/BooleanSimilarity
     .java:25``): score = query boost, tf/norms ignored."""
@@ -3890,6 +3912,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ib_ll_term_top10": _q_ib_term,
         "axiomatic_f2log_term_top10": _q_axiomatic_term,
         "indri_term_top10": _q_indri_term,
+        "multi_sim_term_top10": _q_multi_sim_term,
+        "dv_numbers_in_set": _q_dv_numbers,
         "boolean_term_top10": _q_boolean_term,
         "fuzzy_suggest_top10": _q_fuzzy_suggest,
         "free_text_suggest_top10": _q_free_text_suggest,
@@ -4135,6 +4159,8 @@ _PRIORITY = [
     "ib_ll_term_top10",
     "axiomatic_f2log_term_top10",
     "indri_term_top10",
+    "multi_sim_term_top10",
+    "dv_numbers_in_set",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -5200,6 +5226,40 @@ indsc AS (
   CROSS JOIN stats s
   WHERE f.term = '{T_COMMON}'
 )""" + _topk_sql("indsc", 10),
+        "multi_sim_term_top10": _PRELUDE + ", "
+        + _tscore_cte("ts", T_COMMON) + f""",
+clw AS (SELECT CAST(ln((CAST(a.dc AS DOUBLE) + 1) /
+                       (d.df + CAST(1.0 AS DOUBLE))) + 1 AS FLOAT) AS w
+        FROM dfs d, avgs a WHERE d.term = '{T_COMMON}'),
+clsc AS (
+  SELECT f.doc_id,
+         ((CAST(sqrt(CAST(f.tf AS DOUBLE)) AS FLOAT) * w.w)
+              * CAST(1.0 / sqrt(CAST((SELECT max(v) FROM lut WHERE v <= d.dl)
+                                     AS DOUBLE)) AS FLOAT)) AS s
+  FROM tf f
+  JOIN doclen d ON f.doc_id = d.doc_id
+  CROSS JOIN clw w
+  WHERE f.term = '{T_COMMON}'
+),
+msc AS (
+  SELECT t.doc_id, (t.s + c.s) AS s
+  FROM ts t JOIN clsc c ON c.doc_id = t.doc_id
+)""" + _topk_sql("msc", 10),
+        "dv_numbers_in_set": f"""
+WITH hit AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term = '{T_RARE}'
+),
+resolved AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN h.doc_id IS NOT NULL THEN 5000 ELSE d.n_chars END
+              AS BIGINT) AS value
+  FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
+)
+SELECT doc_id, value FROM resolved
+WHERE value IN (63, 132, 157, 207, 246, 328, 359, 5000)""",
         "boolean_term_top10": _PRELUDE + f""",
 bsc AS (
   SELECT DISTINCT doc_id, CAST(CAST(1.5 AS DOUBLE) AS FLOAT) AS s

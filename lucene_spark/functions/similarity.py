@@ -584,6 +584,46 @@ class IndriDirichletSimilarity(Similarity):
         return np.log((f + mu_cp) / (dl + self.mu)).astype(np.float32)
 
 
+class MultiSimilarity(Similarity):
+    """Sum of sub-similarity scores (reference ``similarities/
+    MultiSimilarity.java:58-66``: MultiSimScorer accumulates each
+    sub-scorer's float32 score into a float32 running sum, in order).
+
+    The weight is the tuple of sub-weights and the cache the tuple of
+    sub-caches (both opaque to the engine — everything flows through
+    ``score``). Monotonic/nonnegative iff every sub-similarity is, so
+    block-max pruning stays sound exactly when each addend is a valid
+    monotone non-negative bound.
+    """
+
+    name = "multi"
+    weight_linear = False
+
+    def __init__(self, sims: list):
+        if not sims:
+            raise ValueError("MultiSimilarity needs at least one sub-sim")
+        self.sims = list(sims)
+        self.monotonic = all(s.monotonic for s in self.sims)
+        self.nonnegative = all(getattr(s, "nonnegative", True)
+                               for s in self.sims)
+        self.needs_ttf = any(getattr(s, "needs_ttf", False)
+                             for s in self.sims)
+
+    def weight(self, df: int, doc_count: int, boost: float = 1.0,
+               ttf: int = 0, sum_ttf: int = 0) -> tuple:
+        return tuple(s.weight(df, doc_count, boost, ttf, sum_ttf)
+                     for s in self.sims)
+
+    def norm_cache(self, avgdl: np.float32) -> tuple:
+        return tuple(s.norm_cache(avgdl) for s in self.sims)
+
+    def score(self, tfs, norm_bytes, weight, cache) -> np.ndarray:
+        total = np.zeros(len(np.asarray(tfs)), dtype=np.float32)
+        for s, w, c in zip(self.sims, weight, cache):
+            total = total + s.score(tfs, norm_bytes, w, c)
+        return total.astype(np.float32)
+
+
 SIMILARITIES = {"bm25": BM25Similarity, "classic": ClassicSimilarity,
                 "lm_dirichlet": LMDirichletSimilarity,
                 "lm_jelinek_mercer": LMJelinekMercerSimilarity,
@@ -593,4 +633,5 @@ SIMILARITIES = {"bm25": BM25Similarity, "classic": ClassicSimilarity,
                 "sweetspot": SweetSpotSimilarity,
                 "ib": IBSimilarity,
                 "axiomatic": AxiomaticSimilarity,
-                "indri_dirichlet": IndriDirichletSimilarity}
+                "indri_dirichlet": IndriDirichletSimilarity,
+                "multi": MultiSimilarity}

@@ -1837,6 +1837,24 @@ class Searcher:
                          on=["seg_id", "local_doc_id"], how="left_anti")
         return dv.select("doc_id")
 
+    def docvalues_in_set(self, field: str, values):
+        """DocValuesNumbersQuery role (reference ``sandbox/search/
+        DocValuesNumbersQuery.java:47-100``; DocValuesTermsQuery is the
+        same shape over sorted terms): live docs whose overlay-resolved
+        numeric docvalue for ``field`` is in ``values`` — a pushed
+        ``In(value, …)`` scan of doc_meta (plus the bounded overlay),
+        tombstones masked, no per-doc work off the scan."""
+        from pyspark.sql import functions as F
+        vals = [int(v) for v in values]
+        dv = self.docvalues(field).where(F.col("value").isin(vals))
+        if self.deletes:
+            tomb = self.spark.createDataFrame(
+                [(int(sg), int(d)) for sg, v in self.deletes.items()
+                 for d in v], "seg_id int, local_doc_id int")
+            dv = dv.join(F.broadcast(tomb),
+                         on=["seg_id", "local_doc_id"], how="left_anti")
+        return dv.select("doc_id", "value")
+
     def high_freq_terms(self, num_terms: int = 100,
                         by: str = "df"):
         """HighFreqTerms (reference

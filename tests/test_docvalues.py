@@ -137,3 +137,41 @@ def test_field_exists_query(spark, tmp_path):
     got2 = sorted(r["doc_id"]
                   for r in s2.field_exists("score_hint").collect())
     assert got2 == [i for i in range(30) if i % 2 == 0 and i % 3 != 0]
+
+
+def test_docvalues_in_set(spark, tmp_path):
+    """DocValuesNumbersQuery role (sandbox/search/DocValuesNumbersQuery
+    .java): docs whose numeric docvalue is in a set — overlay-resolved,
+    deletes masked."""
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.delete import delete_by_term
+    from lucene_spark.operators.docvalues import update_numeric_docvalue
+    from lucene_spark.operators.search import Searcher
+
+    rows = [(i, f"doc number {i} waffle" if i % 3 == 0 else f"doc {i}",
+             i * 10) for i in range(30)]
+    d = str(tmp_path / "dvset")
+    build_index(spark, spark.createDataFrame(
+        rows, "doc_id long, content string, score_hint long"),
+        d, num_segments=2)
+    s = Searcher(spark, d)
+    got = sorted((r["doc_id"], r["value"])
+                 for r in s.docvalues_in_set("score_hint",
+                                             [20, 50, 70, 999]).collect())
+    assert got == [(2, 20), (5, 50), (7, 70)]
+    # overlay: docs containing 'number' (i%3==0) now carry 999
+    update_numeric_docvalue(spark, d, "number", "score_hint", 999)
+    s2 = Searcher(spark, d)
+    got2 = sorted((r["doc_id"], r["value"])
+                  for r in s2.docvalues_in_set("score_hint",
+                                               [20, 50, 999]).collect())
+    want = ([(i, 999) for i in range(30) if i % 3 == 0]
+            + [(2, 20), (5, 50)])
+    assert got2 == sorted(want)
+    # tombstones mask
+    delete_by_term(spark, d, "waffle")
+    s3 = Searcher(spark, d)
+    got3 = sorted((r["doc_id"], r["value"])
+                  for r in s3.docvalues_in_set("score_hint",
+                                               [20, 50, 999]).collect())
+    assert got3 == [(2, 20), (5, 50)]

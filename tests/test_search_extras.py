@@ -413,6 +413,8 @@ def test_lm_similarity_parity(spark, searcher, oracle, simname):
     lambda: SIMS["axiomatic"]("f2exp"),
     lambda: SIMS["axiomatic"]("f2log"),
     lambda: SIMS["indri_dirichlet"](),
+    lambda: SIMS["multi"]([SIMS["bm25"](), SIMS["classic"]()]),
+    lambda: SIMS["multi"]([SIMS["lm_dirichlet"](), SIMS["dfr_inl2"]()]),
 ])
 def test_ib_axiomatic_indri_parity(spark, searcher, oracle, mk):
     """IB (LL/SPL × DF/TTF × H1/H2/H3/Z/None), Axiomatic F1/F2 EXP/LOG
