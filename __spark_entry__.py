@@ -3180,6 +3180,23 @@ def _q_dv_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("value").cast("long").alias("value"))
 
 
+def _q_range_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RangeField relations (reference ``document/RangeFieldQuery.java``
+    QueryType; LongRange factories at ``document/LongRange.java:140-186``):
+    each doc carries [n_chars, n_chars + doc_id%50]; one row per
+    (relation, matching doc) against the query range [150, 300]."""
+    from functools import reduce
+
+    from lucene_spark.operators.rangefield import (RELATIONS,
+                                                   range_field_query)
+    ranges = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").alias("rmin"),
+        (F.col("n_chars") + F.col("doc_id") % 50).alias("rmax"))
+    parts = [range_field_query(ranges, rel, [(150, 300)])
+             .withColumn("relation", F.lit(rel)) for rel in RELATIONS]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def _q_boolean_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BooleanSimilarity term query (``similarities/BooleanSimilarity
     .java:25``): score = query boost, tf/norms ignored."""
@@ -3914,6 +3931,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indri_term_top10": _q_indri_term,
         "multi_sim_term_top10": _q_multi_sim_term,
         "dv_numbers_in_set": _q_dv_numbers,
+        "range_field_relations": _q_range_field,
         "boolean_term_top10": _q_boolean_term,
         "fuzzy_suggest_top10": _q_fuzzy_suggest,
         "free_text_suggest_top10": _q_free_text_suggest,
@@ -4161,6 +4179,7 @@ _PRIORITY = [
     "indri_term_top10",
     "multi_sim_term_top10",
     "dv_numbers_in_set",
+    "range_field_relations",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -5260,6 +5279,23 @@ resolved AS (
 )
 SELECT doc_id, value FROM resolved
 WHERE value IN (63, 132, 157, 207, 246, 328, 359, 5000)""",
+        "range_field_relations": """
+WITH ranges AS (
+  SELECT doc_id, n_chars AS rmin, n_chars + doc_id % 50 AS rmax
+  FROM documents
+)
+SELECT doc_id, 'intersects' AS relation FROM ranges
+WHERE rmin <= 300 AND rmax >= 150
+UNION ALL
+SELECT doc_id, 'within' AS relation FROM ranges
+WHERE rmin >= 150 AND rmax <= 300
+UNION ALL
+SELECT doc_id, 'contains' AS relation FROM ranges
+WHERE rmin <= 150 AND rmax >= 300
+UNION ALL
+SELECT doc_id, 'crosses' AS relation FROM ranges
+WHERE (rmin <= 300 AND rmax >= 150)
+  AND NOT (rmin >= 150 AND rmax <= 300)""",
         "boolean_term_top10": _PRELUDE + f""",
 bsc AS (
   SELECT DISTINCT doc_id, CAST(CAST(1.5 AS DOUBLE) AS FLOAT) AS s
