@@ -3180,6 +3180,21 @@ def _q_dv_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("value").cast("long").alias("value"))
 
 
+def _q_spell_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpellChecker.suggestSimilar with the pluggable StringDistance SPI
+    (reference ``spell/SpellChecker.java:63-76`` + ``spell/
+    LevenshteinDistance.java``): similarity-ranked corrections for
+    'sparc' (score desc, df desc, term) — the scored twin of the
+    distance-ranked ``spell_suggest`` entry."""
+    from lucene_spark.operators.suggest import spell_suggest_scored
+    res = spell_suggest_scored(_searcher(spark, sf_dir), "sparc", k=5,
+                               distance="levenshtein")
+    return res.select("term",
+                      F.floor(F.col("score").cast("double") * 1000000)
+                      .cast("long").alias("score_q6"),
+                      "df")
+
+
 def _q_range_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RangeField relations (reference ``document/RangeFieldQuery.java``
     QueryType; LongRange factories at ``document/LongRange.java:140-186``):
@@ -3932,6 +3947,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_sim_term_top10": _q_multi_sim_term,
         "dv_numbers_in_set": _q_dv_numbers,
         "range_field_relations": _q_range_field,
+        "spell_scored_suggest": _q_spell_scored,
         "boolean_term_top10": _q_boolean_term,
         "fuzzy_suggest_top10": _q_fuzzy_suggest,
         "free_text_suggest_top10": _q_free_text_suggest,
@@ -4180,6 +4196,7 @@ _PRIORITY = [
     "multi_sim_term_top10",
     "dv_numbers_in_set",
     "range_field_relations",
+    "spell_scored_suggest",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -5279,6 +5296,18 @@ resolved AS (
 )
 SELECT doc_id, value FROM resolved
 WHERE value IN (63, 132, 157, 207, 246, 328, 359, 5000)""",
+        "spell_scored_suggest": _PRELUDE + """
+SELECT term, CAST(floor(CAST(s AS DOUBLE) * 1000000) AS BIGINT) AS score_q6,
+       CAST(df AS BIGINT) AS df
+FROM (SELECT term, df,
+             CAST(1.0 - CAST(levenshtein(term, 'sparc') AS DOUBLE)
+                        / CAST(greatest(length(term), 5) AS DOUBLE)
+                  AS FLOAT) AS s
+      FROM dfs
+      WHERE term <> 'sparc' AND term LIKE 's%'
+        AND abs(length(term) - 5) <= 2)
+ORDER BY s DESC, df DESC, term ASC
+LIMIT 5""",
         "range_field_relations": """
 WITH ranges AS (
   SELECT doc_id, n_chars AS rmin, n_chars + doc_id % 50 AS rmax

@@ -17,6 +17,7 @@ so these run as single narrow jobs with no shuffle beyond the top-k.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -64,6 +65,63 @@ def spell_suggest(searcher, word: str, k: int = 5, max_edits: int = 2,
                 .select("term", F.col("distance").cast("int"),
                         F.col("df").cast("long").alias("df"))
                 .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+                .limit(k))
+
+
+def spell_suggest_scored(searcher, word: str, k: int = 5,
+                         distance: str = "levenshtein",
+                         max_edits: int = 2, prefix_len: int = 1,
+                         min_df: int = 1,
+                         min_score: float = 0.0) -> DataFrame:
+    """SpellChecker.suggestSimilar with a pluggable StringDistance
+    (reference ``suggest/.../spell/SpellChecker.java:63-76`` — default
+    metric LevenshteinDistance — ranked by SuggestWordQueue order:
+    score desc, then df desc, then term asc,
+    ``spell/SuggestWordScoreComparator.java:34-45``).
+
+    The same pushed length-band + shared-prefix filters bound the
+    candidate slice as in :func:`spell_suggest`; the chosen
+    ``StringDistance`` similarity (``functions/strdist.py`` — classic /
+    lucene_levenshtein OSA / jaro_winkler / ngram) runs only on that
+    bounded slice. ``levenshtein`` stays fully JVM-side via the builtin;
+    the other metrics score the slice with an Arrow-batched pandas UDF.
+
+    Returns (term, score float32, df).
+    """
+    from ..functions.strdist import STRING_DISTANCES
+    if distance not in STRING_DISTANCES:
+        raise ValueError(f"unknown distance {distance!r}; "
+                         f"one of {sorted(STRING_DISTANCES)}")
+    ts = searcher.term_stats
+    cand = (ts.filter(F.col("term") != word)
+              .filter(F.col("df") >= min_df)
+              .filter(F.abs(F.length("term") - F.lit(len(word)))
+                      <= max_edits))
+    if prefix_len > 0:
+        cand = cand.filter(F.col("term").startswith(word[:prefix_len]))
+    if distance == "levenshtein":
+        # classic similarity = 1 − edits/max(len): double math, one
+        # float32 cast (the ints are double-exact, so this equals the
+        # reference's float expression) — the builtin keeps the whole
+        # slice JVM-side
+        score = (F.lit(1.0)
+                 - F.levenshtein(F.col("term"), F.lit(word)).cast("double")
+                 / F.greatest(F.length("term"),
+                              F.lit(len(word))).cast("double"))
+        cand = cand.withColumn("score", score.cast("float"))
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("float")
+        def _sim(terms: pd.Series) -> pd.Series:
+            from lucene_spark.functions.strdist import batch_similarity
+            return pd.Series(batch_similarity(distance, word,
+                                              terms.to_numpy()))
+        cand = cand.withColumn("score", _sim(F.col("term")))
+    return (cand.filter(F.col("score") >= min_score)
+                .select("term", "score",
+                        F.col("df").cast("long").alias("df"))
+                .orderBy(F.desc("score"), F.desc("df"), F.asc("term"))
                 .limit(k))
 
 
