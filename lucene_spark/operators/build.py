@@ -99,7 +99,12 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
     else:
         pdf = pdf.sort_values(doc_id_col,
                               kind="mergesort").reset_index(drop=True)
-    texts = pdf[content_col].astype("string").fillna("")
+    # object-dtype null-fill: avoids the pandas StringDtype conversion
+    # (a full validate+copy pass) — every consumer reads the values back
+    # out as an object ndarray anyway
+    texts = pdf[content_col].to_numpy(dtype=object, copy=True)
+    texts[pd.isna(texts)] = ""
+    texts = pd.Series(texts)
     n_docs = len(pdf)
     if cjk_bigrams is not None:
         # CJKAnalyzer chain (tokenize → width → lowercase → bigram →
