@@ -3180,6 +3180,16 @@ def _q_dv_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("value").cast("long").alias("value"))
 
 
+def _q_fuzzy_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyLikeThisQuery (reference ``sandbox/queries/
+    FuzzyLikeThisQuery.java:118-255``): 'quary strem' fuzzified at 1 edit
+    / prefix 1 — variants rescored boost²·ClassicSim.idf (avg-df fallback
+    for the absent sources), global top queue, BM25 scoring under
+    artificial df=1 stats."""
+    q = Q.FuzzyLikeThis("quary strem", max_edits=1, prefix_len=1)
+    return _fmt_topk(_searcher(spark, sf_dir).search(q, k=10))
+
+
 def _q_spell_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpellChecker.suggestSimilar with the pluggable StringDistance SPI
     (reference ``spell/SpellChecker.java:63-76`` + ``spell/
@@ -3948,6 +3958,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_numbers_in_set": _q_dv_numbers,
         "range_field_relations": _q_range_field,
         "spell_scored_suggest": _q_spell_scored,
+        "fuzzy_like_this_top10": _q_fuzzy_like_this,
         "boolean_term_top10": _q_boolean_term,
         "fuzzy_suggest_top10": _q_fuzzy_suggest,
         "free_text_suggest_top10": _q_free_text_suggest,
@@ -4197,6 +4208,7 @@ _PRIORITY = [
     "dv_numbers_in_set",
     "range_field_relations",
     "spell_scored_suggest",
+    "fuzzy_like_this_top10",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -5296,6 +5308,65 @@ resolved AS (
 )
 SELECT doc_id, value FROM resolved
 WHERE value IN (63, 132, 157, 207, 246, 328, 359, 5000)""",
+        "fuzzy_like_this_top10": _PRELUDE + """,
+flt_src(src, slen) AS (VALUES ('quary', 5), ('strem', 5)),
+flt_cand AS (
+  SELECT s.src, s.slen, d.term, d.df,
+         levenshtein(d.term, s.src) AS dist
+  FROM dfs d, flt_src s
+  WHERE abs(length(d.term) - s.slen) <= 1
+    AND substring(d.term, 1, 1) = substring(s.src, 1, 1)
+    AND levenshtein(d.term, s.src) <= 1
+),
+flt_dfsrc AS (
+  SELECT src, COALESCE(
+           (SELECT df FROM dfs WHERE term = c.src),
+           CAST(floor(CAST(sum(df) AS DOUBLE) / count(*)) AS BIGINT))
+         AS dfsrc
+  FROM flt_cand c GROUP BY src
+),
+flt_scored AS (
+  SELECT c.term,
+         CAST(CAST(
+           (CASE WHEN c.dist = 0 THEN CAST(1 AS FLOAT)
+                 ELSE CAST(1.0 AS FLOAT)
+                      - CAST(c.dist AS FLOAT)
+                        / CAST(least(length(c.term), c.slen) AS FLOAT)
+            END)
+           * (CASE WHEN c.dist = 0 THEN CAST(1 AS FLOAT)
+                   ELSE CAST(1.0 AS FLOAT)
+                        - CAST(c.dist AS FLOAT)
+                          / CAST(least(length(c.term), c.slen) AS FLOAT)
+              END) AS FLOAT)
+           * CAST(ln((a.dc + 1) / (s.dfsrc + CAST(1.0 AS DOUBLE))) + 1
+                  AS FLOAT)
+           AS FLOAT) AS stscore
+  FROM flt_cand c
+  JOIN flt_dfsrc s ON s.src = c.src
+  CROSS JOIN avgs a
+),
+flt_top AS (
+  SELECT term, stscore FROM flt_scored
+  ORDER BY stscore DESC, term ASC LIMIT 50
+),
+flt_w AS (
+  SELECT term,
+         CAST(stscore
+              * CAST(ln(1 + (a.dc - 1 + CAST(0.5 AS DOUBLE))
+                            / (1 + CAST(0.5 AS DOUBLE))) AS FLOAT)
+              AS FLOAT) AS w
+  FROM flt_top, avgs a
+),
+fltsc AS (
+  SELECT f.doc_id,
+         CAST(SUM(CAST((v.w - v.w / (CAST(1 AS FLOAT)
+                                     + CAST(f.tf AS FLOAT) * c.inv))
+                       AS DOUBLE)) AS FLOAT) AS s
+  FROM tf f
+  JOIN flt_w v ON v.term = f.term
+  JOIN normcache c ON c.doc_id = f.doc_id
+  GROUP BY f.doc_id
+)""" + _topk_sql("fltsc", 10),
         "spell_scored_suggest": _PRELUDE + """
 SELECT term, CAST(floor(CAST(s AS DOUBLE) * 1000000) AS BIGINT) AS score_q6,
        CAST(df AS BIGINT) AS df

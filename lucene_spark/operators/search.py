@@ -188,6 +188,20 @@ class _BlendedTerms(Q.Query):
 
 
 @dataclass(frozen=True)
+class _FixedStatsTerms(Q.Query):
+    """Terms scored with ARTIFICIAL df=1/ttf=1 stats and per-term boosts
+    (FuzzyLikeThisQuery's ``newTermQuery`` synthetic TermStates,
+    ``sandbox/queries/FuzzyLikeThisQuery.java:183-200``) — every variant
+    shares the rarest-possible idf; ranking differences come only from
+    the boosts and tf/norms. SHOULD sum."""
+    terms: tuple[str, ...]
+    boosts: tuple[float, ...]
+
+    def all_terms(self):
+        return list(self.terms)
+
+
+@dataclass(frozen=True)
 class CAnd:
     children: tuple
 
@@ -411,6 +425,14 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                                           * np.float32(node.boost))),
                                     bttf, sum_ttf))
                 for t, b in pairs)
+            return kids[0] if len(kids) == 1 else COr(kids)
+        if isinstance(node, _FixedStatsTerms):
+            kids = tuple(
+                CTerm(t, sim.weight(1, doc_count, float(b), 1, sum_ttf))
+                for t, b in zip(node.terms, node.boosts)
+                if df_of(t) > 0)
+            if not kids:
+                return None
             return kids[0] if len(kids) == 1 else COr(kids)
         if isinstance(node, _ResolvedMultiTerm):
             present = tuple(t for t in node.terms if df_of(t) > 0)
@@ -1513,6 +1535,60 @@ class Searcher:
                             f"multiphrase slot entry kind {e[0]!r}")
                 slots.append(tuple(dict.fromkeys(flat)))
             return Q.MultiPhrase(tuple(slots))
+        if isinstance(q, Q.FuzzyLikeThis):
+            # FuzzyLikeThisQuery.rewrite (sandbox/queries/
+            # FuzzyLikeThisQuery.java:118-255): per-source-term fuzzy
+            # variant queues → boost²·idf rescoring → global top queue →
+            # SHOULD sum over artificial-df=1 term queries
+            from pyspark.sql import functions as F
+
+            from ..functions.analysis import analyze_text
+            toks, _, _ = analyze_text(q.text)
+            src_terms = list(dict.fromkeys(toks))
+            src_dfs = self._global_dfs(src_terms)
+            num_docs = self.doc_count
+            if self.deletes:
+                num_docs -= sum(len(v) for v in self.deletes.values())
+            scored: list[tuple[float, str]] = []
+            for t in src_terms:
+                cand = self._fuzzy_candidates(t, q.max_edits)
+                if q.prefix_len > 0:
+                    cand = cand.filter(
+                        F.col("term").startswith(t[:q.prefix_len]))
+                rows = (cand.withColumn(
+                            "_ml", F.least(F.length("term"),
+                                           F.lit(len(t))))
+                        .withColumn(
+                            "_boost",
+                            F.when(F.col("_d") == 0, F.lit(1.0))
+                             .otherwise(F.lit(1.0) - F.col("_d")
+                                        / F.col("_ml")))
+                        .orderBy(F.desc("_boost"), F.asc("term"))
+                        .limit(q.max_variants_per_term)
+                        .select("term", "_d", "df").collect())
+                if not rows:
+                    continue
+                df_src = src_dfs.get(t, 0)
+                if df_src == 0:
+                    # integer-mean of the variants' dfs (:162-166)
+                    df_src = sum(int(r["df"]) for r in rows) // len(rows)
+                idf = np.float32(
+                    np.log((num_docs + 1) / (df_src + 1.0)) + 1.0)
+                for r in rows:
+                    d = int(r["_d"])
+                    b = (np.float32(1.0) if d == 0 else
+                         np.float32(1.0) - np.float32(d)
+                         / np.float32(min(len(r["term"]), len(t))))
+                    scored.append(
+                        (float(np.float32(np.float32(b * b) * idf)),
+                         r["term"]))
+            # global ScoreTermQueue order: score desc, term asc (:362-365)
+            scored.sort(key=lambda p: (-p[0], p[1]))
+            top = scored[:q.max_num_terms]
+            if not top:
+                return _ResolvedMultiTerm((), 1.0)
+            return _FixedStatsTerms(tuple(t for _, t in top),
+                                    tuple(s for s, _ in top))
         if isinstance(q, Q.MultiTerm):
             if q.kind == "prefix":
                 terms = self.expand_terms(like=f"{q.value}%")

@@ -270,6 +270,27 @@ class MultiTerm(Query):
         return []  # terms known only after expansion
 
 
+@dataclass(frozen=True)
+class FuzzyLikeThis(Query):
+    """FuzzyLikeThisQuery (reference ``sandbox/queries/FuzzyLikeThisQuery
+    .java:118-255``): analyze ``text``, fuzzy-expand each unique token
+    (≤ ``max_variants_per_term`` variants by FuzzyTermsEnum boost), score
+    each variant ``boost² · ClassicSimilarity.idf(df(source), numDocs)``
+    (falling back to the variants' integer-mean df when the source term
+    is absent), keep the global top ``max_num_terms`` variants, and
+    rewrite to a SHOULD-sum of per-variant term queries carrying
+    ARTIFICIAL df=1/ttf=1 stats with the variant score as boost
+    (``newTermQuery``'s synthetic TermStates, ``:183-200``)."""
+    text: str
+    max_edits: int = 1
+    prefix_len: int = 0
+    max_num_terms: int = 50
+    max_variants_per_term: int = 50
+
+    def all_terms(self):
+        return []  # terms known only after expansion
+
+
 def _dedup_flatten(clauses, node_type):
     if isinstance(node_type, type):
         t = node_type

@@ -809,3 +809,71 @@ def test_span_payload_check(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         s.search(Q.SpanPayloadCheck(("a",), (1.0, 2.0)), k=5)
+
+
+def test_fuzzy_like_this_parity(spark, searcher, oracle, corpus):
+    """FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java):
+    engine vs a per-doc replay of the reference rewrite — per-term fuzzy
+    variants, boost²·ClassicSim.idf rescoring with the avg-df fallback,
+    global top queue, then BM25 term scoring under ARTIFICIAL df=1."""
+    import math
+
+    from lucene_spark.functions import bm25
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE  # noqa: F401
+
+    text = "parze scan"                     # one misspelled, one exact
+    q = Q.FuzzyLikeThis(text, max_edits=1, prefix_len=1,
+                        max_num_terms=50)
+    got = [(r["doc_id"], r["score"])
+           for r in searcher.search(q, k=10).collect()]
+
+    # ---- replay the rewrite over the oracle's dictionary ----
+    dfs = {t: oracle.df(t) for t in oracle.postings}
+    N = oracle.doc_count
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(la + 1))
+        for j in range(1, lb + 1):
+            cur = [j] + [0] * la
+            for i in range(1, la + 1):
+                cur[i] = min(cur[i - 1] + 1, prev[i] + 1,
+                             prev[i - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[la]
+
+    variants = []
+    for src in dict.fromkeys(text.split()):
+        cand = [(t, lev(t, src), d) for t, d in dfs.items()
+                if abs(len(t) - len(src)) <= 1 and t.startswith(src[0])]
+        cand = [(t, dd, d) for t, dd, d in cand if dd <= 1]
+        if not cand:
+            continue
+        df_src = dfs.get(src, 0)
+        if df_src == 0:
+            df_src = sum(d for _, _, d in cand) // len(cand)
+        idf = np.float32(math.log((N + 1) / (df_src + 1.0)) + 1.0)
+        for t, dd, _ in cand:
+            b = (np.float32(1.0) if dd == 0 else
+                 np.float32(1.0) - np.float32(dd)
+                 / np.float32(min(len(t), len(src))))
+            variants.append((float(np.float32(np.float32(b * b) * idf)),
+                             t))
+    variants.sort(key=lambda p: (-p[0], p[1]))
+    # per-doc sum of BM25 term scores under df=1 stats, f64 accumulate
+    cache = oracle._cache(bm25.K1_DEFAULT, bm25.B_DEFAULT)
+    idf1 = bm25.idf(1, N)
+    acc: dict[int, float] = {}
+    for st, t in variants[:50]:
+        w = np.float32(np.float32(st) * idf1)
+        for doc_id, tf, _ in oracle.postings.get(t, ()):
+            inv = cache[oracle.norm_bytes[doc_id]]
+            s = np.float32(w - w / (np.float32(1.0)
+                                    + np.float32(tf) * inv))
+            acc[doc_id] = acc.get(doc_id, 0.0) + float(s)
+    want = sorted(((d, np.float32(s)) for d, s in acc.items()),
+                  key=lambda p: (-float(p[1]), p[0]))[:10]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert np.allclose([g[1] for g in got], [float(w[1]) for w in want],
+                       rtol=0, atol=0)
+    assert got                                # non-empty on this corpus
