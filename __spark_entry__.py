@@ -3190,6 +3190,17 @@ def _q_fuzzy_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(_searcher(spark, sf_dir).search(q, k=10))
 
 
+def _q_blended_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlendedInfixSuggester (reference ``suggest/.../analyzing/
+    BlendedInfixSuggester.java:60-268``): documents as suggestions
+    (weight = n_chars), key '{T_COMMON}' as the prefix token,
+    POSITION_LINEAR blending with the reference's weight quirks."""
+    from lucene_spark.operators.suggest import blended_infix_suggest
+    docs = _docs(spark, sf_dir).select(
+        "text", F.col("n_chars").alias("weight"))
+    return blended_infix_suggest(docs, T_COMMON, k=10, blender="linear")
+
+
 def _q_spell_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpellChecker.suggestSimilar with the pluggable StringDistance SPI
     (reference ``spell/SpellChecker.java:63-76`` + ``spell/
@@ -3959,6 +3970,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_field_relations": _q_range_field,
         "spell_scored_suggest": _q_spell_scored,
         "fuzzy_like_this_top10": _q_fuzzy_like_this,
+        "blended_infix_suggest": _q_blended_infix,
         "boolean_term_top10": _q_boolean_term,
         "fuzzy_suggest_top10": _q_fuzzy_suggest,
         "free_text_suggest_top10": _q_free_text_suggest,
@@ -4209,6 +4221,7 @@ _PRIORITY = [
     "range_field_relations",
     "spell_scored_suggest",
     "fuzzy_like_this_top10",
+    "blended_infix_suggest",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -5308,6 +5321,30 @@ resolved AS (
 )
 SELECT doc_id, value FROM resolved
 WHERE value IN (63, 132, 157, 207, 246, 328, 359, 5000)""",
+        "blended_infix_suggest": f"""
+WITH btok AS (
+  SELECT text, n_chars AS weight,
+         unnest(string_split(lower(text), ' ')) AS tk,
+         unnest(range(len(string_split(lower(text), ' ')))) AS pos
+  FROM documents
+),
+bm AS (
+  SELECT text, weight, min(pos) AS first_pos
+  FROM btok WHERE tk LIKE '{T_COMMON}%'
+  GROUP BY text, weight
+)
+SELECT text,
+       CAST(trunc((CASE WHEN weight = 0 THEN 1.0
+                        WHEN weight < 10 AND weight > -10
+                          THEN weight * 10.0
+                        ELSE CAST(weight AS DOUBLE) END)
+                  * (CASE WHEN lower(text) LIKE '{T_COMMON}%' THEN 1.0
+                          ELSE 1.0 - 0.10 * CAST(first_pos AS DOUBLE)
+                     END)) AS BIGINT) AS score,
+       CAST(weight AS BIGINT) AS weight
+FROM bm
+ORDER BY score DESC, text ASC
+LIMIT 10""",
         "fuzzy_like_this_top10": _PRELUDE + """,
 flt_src(src, slen) AS (VALUES ('quary', 5), ('strem', 5)),
 flt_cand AS (

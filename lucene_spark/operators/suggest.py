@@ -281,3 +281,81 @@ def infix_suggest(searcher, fragment: str, k: int = 10) -> DataFrame:
             .orderBy(F.desc("_pfx"), F.desc("weight"), F.asc("term"))
             .limit(k)
             .drop("_pfx"))
+
+
+BLENDERS = ("linear", "reciprocal", "exponential_reciprocal")
+
+
+def blended_infix_suggest(suggestions_df: DataFrame, key: str, k: int = 10,
+                          blender: str = "linear",
+                          exponent: float = 2.0,
+                          text_col: str = "text",
+                          weight_col: str = "weight") -> DataFrame:
+    """BlendedInfixSuggester.lookup (reference ``suggest/.../analyzing/
+    BlendedInfixSuggester.java:60-268``): suggestions matching every
+    query token (last token as a PREFIX unless ``key`` ends with a
+    space), re-weighted by the position of the FIRST matching token:
+
+      linear                    weight · (1 − 0.10·pos)
+      reciprocal                weight / (1 + pos)
+      exponential_reciprocal    weight / (1 + pos)^exponent
+
+    with the reference's exact quirks: coefficient pinned to 1 when the
+    suggestion text startsWith the key, weight 0 → 1, |weight| < 10
+    scaled ×10 before the long truncation, score = (long)(weight·coef).
+
+    The reference blends only the top num·numFactor FST hits (an
+    approximation knob); here the scan blends EVERY match — a strict
+    superset whose top-k equals the reference's whenever numFactor
+    covers the candidate set. One explode + min-aggregation per doc, no
+    per-suggestion state.
+
+    Returns (text, score long, weight) ordered score desc, text asc.
+    """
+    if blender not in BLENDERS:
+        raise ValueError(f"unknown blender {blender!r}; one of {BLENDERS}")
+    toks = key.lower().split()
+    if not toks:
+        raise ValueError("empty key")
+    trailing = key.endswith(" ")
+    exact = toks if trailing else toks[:-1]
+    prefix = None if trailing else toks[-1]
+
+    tok = (suggestions_df
+           .select(text_col, weight_col,
+                   F.posexplode(F.split(F.lower(F.col(text_col)), " "))
+                   .alias("pos", "tk")))
+    is_match = F.lit(False)
+    for t in exact:
+        is_match = is_match | (F.col("tk") == t)
+    if prefix is not None:
+        is_match = is_match | F.col("tk").startswith(prefix)
+    first = (tok.where(is_match)
+             .groupBy(text_col, weight_col)
+             .agg(F.min("pos").alias("first_pos"),
+                  F.collect_set(F.col("tk")).alias("_mtk")))
+    # allTermsRequired (the lookup default): every exact token present,
+    # and the prefix token prefix-present
+    for t in exact:
+        first = first.where(F.array_contains(F.col("_mtk"), t))
+    if prefix is not None:
+        first = first.where(F.exists(
+            F.col("_mtk"), lambda x: x.startswith(prefix)))
+    p = F.col("first_pos").cast("double")
+    if blender == "linear":
+        coef = F.lit(1.0) - F.lit(0.10) * p
+    elif blender == "reciprocal":
+        coef = F.lit(1.0) / (F.lit(1.0) + p)
+    else:
+        coef = F.lit(1.0) / F.pow(F.lit(1.0) + p, F.lit(float(exponent)))
+    coef = F.when(F.lower(F.col(text_col)).startswith(key.lower()),
+                  F.lit(1.0)).otherwise(coef)
+    w = F.col(weight_col).cast("double")
+    w = F.when(w == 0, F.lit(1.0)).otherwise(w)
+    w = F.when((w < 10.0) & (w > -10.0), w * 10.0).otherwise(w)
+    return (first
+            .withColumn("score", (w * coef).cast("long"))
+            .select(F.col(text_col).alias("text"), "score",
+                    F.col(weight_col).cast("long").alias("weight"))
+            .orderBy(F.desc("score"), F.asc("text"))
+            .limit(k))

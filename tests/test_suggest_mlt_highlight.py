@@ -342,3 +342,63 @@ def test_highlight_tv_latest_wins_after_update(spark):
                        text_col="content").collect()
     assert [r["doc_id"] for r in out] == [7]
     assert out[0]["snippet"].count("<b>zzmarker</b>") >= 1
+
+
+def test_blended_infix_suggest(spark):
+    """BlendedInfixSuggester.lookup (suggest/.../analyzing/
+    BlendedInfixSuggester.java:60-268): position-blended weights, all
+    three blender types, vs a per-suggestion replay of the reference
+    protocol (coefficient-1 startswith pin, weight 0→1 and ×10 rules,
+    long truncation)."""
+    from lucene_spark.operators.suggest import blended_infix_suggest
+    rows = [
+        ("star wars: episode v - the empire strikes back", 12),
+        ("star trek generations", 40),
+        ("the empire of light", 4),
+        ("empire state of mind", 0),
+        ("lord of the rings", 100),
+        ("back to the empire future", 77),
+    ]
+    df = spark.createDataFrame(rows, "text string, weight long")
+
+    def replay(key, blender, exponent=2.0):
+        toks = key.lower().split()
+        trailing = key.endswith(" ")
+        exact = toks if trailing else toks[:-1]
+        prefix = None if trailing else toks[-1]
+        out = []
+        for text, w in rows:
+            tks = text.lower().split()
+            ok = all(t in tks for t in exact)
+            if prefix is not None:
+                ok = ok and any(t.startswith(prefix) for t in tks)
+            if not ok:
+                continue
+            pos = min(p for p, t in enumerate(tks)
+                      if t in exact
+                      or (prefix is not None and t.startswith(prefix)))
+            if text.lower().startswith(key.lower()):
+                coef = 1.0
+            elif blender == "linear":
+                coef = 1.0 - 0.10 * pos
+            elif blender == "reciprocal":
+                coef = 1.0 / (1.0 + pos)
+            else:
+                coef = 1.0 / (1.0 + pos) ** exponent
+            ww = 1.0 if w == 0 else float(w)
+            if -10.0 < ww < 10.0:
+                ww *= 10.0
+            out.append((text, int(ww * coef), w))
+        return sorted(out, key=lambda r: (-r[1], r[0]))
+
+    for blender in ("linear", "reciprocal", "exponential_reciprocal"):
+        for key in ("empire", "star ", "the empire"):
+            got = [(r["text"], r["score"], r["weight"]) for r in
+                   blended_infix_suggest(df, key, k=10,
+                                         blender=blender).collect()]
+            assert got == replay(key, blender), (blender, key)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        blended_infix_suggest(df, "empire", blender="bogus")
+    with _pt.raises(ValueError):
+        blended_infix_suggest(df, "   ")
