@@ -3190,6 +3190,15 @@ def _q_fuzzy_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(_searcher(spark, sf_dir).search(q, k=10))
 
 
+def _q_multi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiRangeQuery (reference ``sandbox/search/MultiRangeQuery
+    .java``): union of point ranges over n_chars, one pushed
+    OR-of-ranges scan."""
+    from lucene_spark.operators.rangefield import multi_range_query
+    return multi_range_query(_docs(spark, sf_dir),
+                             [(50, 80), (75, 120), (400, 450)], "n_chars")
+
+
 def _q_blended_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BlendedInfixSuggester (reference ``suggest/.../analyzing/
     BlendedInfixSuggester.java:60-268``): documents as suggestions
@@ -3971,6 +3980,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_scored_suggest": _q_spell_scored,
         "fuzzy_like_this_top10": _q_fuzzy_like_this,
         "blended_infix_suggest": _q_blended_infix,
+        "multi_range_query": _q_multi_range,
         "boolean_term_top10": _q_boolean_term,
         "fuzzy_suggest_top10": _q_fuzzy_suggest,
         "free_text_suggest_top10": _q_free_text_suggest,
@@ -4222,6 +4232,7 @@ _PRIORITY = [
     "spell_scored_suggest",
     "fuzzy_like_this_top10",
     "blended_infix_suggest",
+    "multi_range_query",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -5321,6 +5332,11 @@ resolved AS (
 )
 SELECT doc_id, value FROM resolved
 WHERE value IN (63, 132, 157, 207, 246, 328, 359, 5000)""",
+        "multi_range_query": """
+SELECT doc_id FROM documents
+WHERE (n_chars BETWEEN 50 AND 80)
+   OR (n_chars BETWEEN 75 AND 120)
+   OR (n_chars BETWEEN 400 AND 450)""",
         "blended_infix_suggest": f"""
 WITH btok AS (
   SELECT text, n_chars AS weight,

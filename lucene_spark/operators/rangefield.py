@@ -82,3 +82,24 @@ def range_field_query(ranges_df: DataFrame, relation: str,
     dims = dims or [("rmin", "rmax")]
     pred = range_field_predicate(relation, dims, query)
     return ranges_df.where(pred).select(doc_id_col)
+
+
+def multi_range_query(points_df: DataFrame, ranges: list[tuple],
+                      value_col: str,
+                      doc_id_col: str = "doc_id") -> DataFrame:
+    """MultiRangeQuery (reference ``sandbox/search/MultiRangeQuery
+    .java``): docs whose POINT value falls in ANY of the clause ranges
+    — the union-of-ranges disjunction that the reference pushes through
+    one BKD visit (its rewrite merges overlapping clauses; Catalyst's
+    OR-of-ranges predicate likewise prunes row groups once per scan,
+    so the clause list rides a single pass over the column)."""
+    if not ranges:
+        raise ValueError("at least one range clause required")
+    v = F.col(value_col)
+    pred = None
+    for lo, hi in ranges:
+        if lo > hi:
+            raise ValueError(f"inverted range [{lo}, {hi}]")
+        p = (v >= F.lit(lo)) & (v <= F.lit(hi))
+        pred = p if pred is None else (pred | p)
+    return points_df.where(pred).select(doc_id_col)

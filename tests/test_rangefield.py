@@ -78,3 +78,20 @@ def test_range_field_pushdown(ranges):
     plan = range_field_query(df, "within", [(30, 60)]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Filter" in plan
+
+
+def test_multi_range_query(ranges):
+    """sandbox/search/MultiRangeQuery.java: union of point ranges."""
+    from lucene_spark.operators.rangefield import multi_range_query
+    rows, df = ranges
+    clauses = [(10, 20), (18, 25), (90, 95)]
+    got = sorted(r["doc_id"] for r in
+                 multi_range_query(df, clauses, "rmin").collect())
+    want = sorted(i for i, lo, _, _, _ in rows
+                  if any(a <= lo <= b for a, b in clauses))
+    assert got == want and got
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        multi_range_query(df, [], "rmin")
+    with _pt.raises(ValueError):
+        multi_range_query(df, [(5, 1)], "rmin")
