@@ -3190,6 +3190,18 @@ def _q_fuzzy_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(_searcher(spark, sf_dir).search(q, k=10))
 
 
+def _q_indri_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndriAndQuery (reference ``search/IndriAndQuery.java`` +
+    ``IndriAndScorer.java:15-41``): union match set with smoothing
+    scores for absent clauses, boost-weighted mean, IndriDirichlet
+    similarity."""
+    from lucene_spark.functions.similarity import IndriDirichletSimilarity
+    base = _searcher(spark, sf_dir)
+    s = Searcher(spark, base.index_dir,
+                 similarity=IndriDirichletSimilarity())
+    return _fmt_topk(s.search(Q.IndriAnd((T_COMMON, T_RARE)), k=10))
+
+
 def _q_multi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MultiRangeQuery (reference ``sandbox/search/MultiRangeQuery
     .java``): union of point ranges over n_chars, one pushed
@@ -3981,6 +3993,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_like_this_top10": _q_fuzzy_like_this,
         "blended_infix_suggest": _q_blended_infix,
         "multi_range_query": _q_multi_range,
+        "indri_and_top10": _q_indri_and,
         "boolean_term_top10": _q_boolean_term,
         "fuzzy_suggest_top10": _q_fuzzy_suggest,
         "free_text_suggest_top10": _q_free_text_suggest,
@@ -4233,6 +4246,7 @@ _PRIORITY = [
     "fuzzy_like_this_top10",
     "blended_infix_suggest",
     "multi_range_query",
+    "indri_and_top10",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -5332,6 +5346,36 @@ resolved AS (
 )
 SELECT doc_id, value FROM resolved
 WHERE value IN (63, 132, 157, 207, 246, 328, 359, 5000)""",
+        "indri_and_top10": _PRELUDE + f""",
+iau AS (
+  SELECT DISTINCT doc_id FROM tok
+  WHERE term IN ('{T_COMMON}', '{T_RARE}')
+),
+iap AS (
+  SELECT term, CAST(ttf AS DOUBLE) / (SELECT CAST(sttf AS DOUBLE)
+                                      FROM stats) AS p
+  FROM dfs WHERE term IN ('{T_COMMON}', '{T_RARE}')
+),
+iasc AS (
+  SELECT u.doc_id,
+         CAST(((CAST(CAST(ln((COALESCE(fa.tf, 0)
+                              + 2000.0 * (SELECT p FROM iap
+                                          WHERE term = '{T_COMMON}'))
+                             / ((SELECT max(v) FROM lut WHERE v <= dl.dl)
+                                + 2000.0)) AS FLOAT) AS DOUBLE) * 1.0)
+               + (CAST(CAST(ln((COALESCE(fb.tf, 0)
+                                + 2000.0 * (SELECT p FROM iap
+                                            WHERE term = '{T_RARE}'))
+                               / ((SELECT max(v) FROM lut WHERE v <= dl.dl)
+                                  + 2000.0)) AS FLOAT) AS DOUBLE) * 1.0))
+              / 2.0 AS FLOAT) AS s
+  FROM iau u
+  JOIN doclen dl ON dl.doc_id = u.doc_id
+  LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = '{T_COMMON}') fa
+    ON fa.doc_id = u.doc_id
+  LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = '{T_RARE}') fb
+    ON fb.doc_id = u.doc_id
+)""" + _topk_sql("iasc", 10),
         "multi_range_query": """
 SELECT doc_id FROM documents
 WHERE (n_chars BETWEEN 50 AND 80)

@@ -202,6 +202,15 @@ class _FixedStatsTerms(Q.Query):
 
 
 @dataclass(frozen=True)
+class CIndriAnd:
+    """Compiled IndriAndQuery: union iteration with per-clause smoothing
+    (``search/IndriAndScorer.java:15-41``)."""
+    terms: tuple
+    weights: tuple
+    boosts: tuple
+
+
+@dataclass(frozen=True)
 class CAnd:
     children: tuple
 
@@ -426,6 +435,24 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                                     bttf, sum_ttf))
                 for t, b in pairs)
             return kids[0] if len(kids) == 1 else COr(kids)
+        if isinstance(node, Q.IndriAnd):
+            if sim.name != "indri_dirichlet":
+                raise NotImplementedError(
+                    "IndriAndQuery requires the IndriDirichlet similarity"
+                    " (the reference's IndriAndWeight builds IndriScorers)")
+            boosts = node.boosts or tuple(1.0 for _ in node.terms)
+            if len(boosts) != len(node.terms):
+                raise ValueError("boosts must be one per term")
+            # absent terms produce no scorer → excluded from boostSum
+            # (IndriAndWeight skips null scorers)
+            trip = [(t, sim.weight(df_of(t), doc_count, 1.0,
+                                   ttf_of(t), sum_ttf), float(b))
+                    for t, b in zip(node.terms, boosts) if df_of(t) > 0]
+            if not trip:
+                return None
+            return CIndriAnd(tuple(t for t, _, _ in trip),
+                             tuple(w for _, w, _ in trip),
+                             tuple(b for _, _, b in trip))
         if isinstance(node, _FixedStatsTerms):
             kids = tuple(
                 CTerm(t, sim.weight(1, doc_count, float(b), 1, sum_ttf))
@@ -511,7 +538,8 @@ def _compiled_terms(c) -> list[str]:
     if isinstance(c, CTerm):
         return [c.term]
     if isinstance(c, (CSynonym, CPhrase, CConstTerms, CSpanNear,
-                      CMultiPhrase, CTermAutomaton, CPayloadCheck)):
+                      CMultiPhrase, CTermAutomaton, CPayloadCheck,
+                      CIndriAnd)):
         return list(c.terms)
     if isinstance(c, CSpanTree):
         from ..functions.spans import span_tree_terms
@@ -725,6 +753,27 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
                                   ctx.cache)
                 mask[ids - lo] = True
                 scores[ids - lo] = s.astype(np.float64)
+        return mask, scores
+    if isinstance(node, CIndriAnd):
+        # IndriAndScorer.scoreDoc (search/IndriAndScorer.java:15-41):
+        # union of the clause match sets; each clause contributes its
+        # float32 Indri score (freq > 0) or smoothing score (freq = 0),
+        # boost-weighted, accumulated in double, mean by boostSum, one
+        # float32 cast at the node boundary.
+        total = np.zeros(n, dtype=np.float64)
+        norms_rng = ctx.norms[lo:hi]
+        for t, w, b in zip(node.terms, node.weights, node.boosts):
+            tfs_full = np.zeros(n, dtype=np.float64)
+            tp = ctx.tp(t)
+            if tp is not None:
+                ids, tfs = tp.in_range(lo, hi)
+                if len(ids):
+                    tfs_full[ids - lo] = tfs
+                    mask[ids - lo] = True
+            s = ctx.sim.score(tfs_full, norms_rng, w, ctx.cache)
+            total += s.astype(np.float64) * b
+        boost_sum = float(sum(node.boosts))
+        scores[mask] = (total[mask] / boost_sum).astype(np.float32)
         return mask, scores
     if isinstance(node, CSynonym):
         if node.boosts is None:

@@ -271,6 +271,23 @@ class MultiTerm(Query):
 
 
 @dataclass(frozen=True)
+class IndriAnd(Query):
+    """IndriAndQuery (reference ``search/IndriAndQuery.java`` +
+    ``IndriAndScorer.java:15-41``): over the UNION of the clause match
+    sets, every clause contributes — its real Indri score where it
+    matches, its smoothing score (freq = 0 collection probability)
+    where it doesn't — and the document scores the boost-weighted MEAN:
+    (Σ boost·s) / Σ boost, double accumulation, one float32 cast.
+    Requires the IndriDirichlet similarity (the reference's scorers must
+    be IndriScorers)."""
+    terms: tuple[str, ...]
+    boosts: tuple[float, ...] | None = None
+
+    def all_terms(self):
+        return list(self.terms)
+
+
+@dataclass(frozen=True)
 class FuzzyLikeThis(Query):
     """FuzzyLikeThisQuery (reference ``sandbox/queries/FuzzyLikeThisQuery
     .java:118-255``): analyze ``text``, fuzzy-expand each unique token

@@ -877,3 +877,54 @@ def test_fuzzy_like_this_parity(spark, searcher, oracle, corpus):
     assert np.allclose([g[1] for g in got], [float(w[1]) for w in want],
                        rtol=0, atol=0)
     assert got                                # non-empty on this corpus
+
+
+def test_indri_and_parity(spark, searcher, oracle):
+    """IndriAndQuery (search/IndriAndQuery.java + IndriAndScorer
+    .java:15-41): union match set, smoothing for absent clauses,
+    boost-weighted mean — engine vs per-doc replay; absent terms drop
+    from boostSum like the reference's null scorers."""
+    import math
+
+    from lucene_spark.functions.similarity import IndriDirichletSimilarity
+    from lucene_spark.functions.smallfloat import LENGTH_TABLE
+    sim = IndriDirichletSimilarity()
+    s2 = Searcher(spark, searcher.index_dir, similarity=sim)
+    N, sttf = oracle.doc_count, oracle.sum_ttf
+    mu = 2000.0
+
+    def replay(terms, boosts):
+        trip = [(t, b) for t, b in zip(terms, boosts)
+                if oracle.df(t) > 0]
+        union = set()
+        for t, _ in trip:
+            union |= {d for d, _, _ in oracle.postings.get(t, ())}
+        out = {}
+        for d in union:
+            dl = float(LENGTH_TABLE[oracle.norm_bytes[d]])
+            tot = 0.0
+            for t, b in trip:
+                tf = dict((dd, f) for dd, f, _ in
+                          oracle.postings.get(t, ())).get(d, 0)
+                cp = oracle.ttf(t) / sttf
+                s = np.float32(math.log((tf + mu * cp) / (dl + mu)))
+                tot += float(s) * b
+            out[d] = np.float32(tot / sum(b for _, b in trip))
+        return sorted(out.items(), key=lambda p: (-float(p[1]), p[0]))[:10]
+
+    for terms, boosts in [
+        (("parse", "scan"), (1.0, 1.0)),
+        (("parse", "codec", "util"), (1.0, 2.0, 0.5)),
+        (("parse", "zzz_absent"), (1.0, 3.0)),     # null-scorer drop
+    ]:
+        q = Q.IndriAnd(terms, boosts)
+        got = [(r["doc_id"], r["score"])
+               for r in s2.search(q, k=10).collect()]
+        want = replay(terms, boosts)
+        assert [g[0] for g in got] == [w[0] for w in want], terms
+        assert np.allclose([g[1] for g in got],
+                           [float(w[1]) for w in want],
+                           rtol=0, atol=0), terms
+    # wrong similarity → the reference's IndriScorer requirement
+    with pytest.raises(NotImplementedError):
+        searcher.search(Q.IndriAnd(("parse",)), k=5)
