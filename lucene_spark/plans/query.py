@@ -270,6 +270,26 @@ class MultiTerm(Query):
         return []  # terms known only after expansion
 
 
+def ngram_phrase_rewrite(n: int, phrase: "Phrase") -> "Phrase":
+    """NGramPhraseQuery.rewrite (reference ``search/NGramPhraseQuery
+    .java:33-58``): a zero-slop phrase of ≥3 CONSECUTIVE n-grams (n ≥ 2)
+    keeps only every n-th gram plus the last, at their ORIGINAL
+    positions — the dropped grams are implied by the kept ones on a
+    gram-tokenized field, so the rewritten (cheaper) phrase is
+    match-equivalent. Non-optimizable shapes return the phrase
+    unchanged, like the reference's fall-through."""
+    positions = phrase.positions or tuple(range(len(phrase.terms)))
+    optimizable = (phrase.slop == 0 and n >= 2 and len(phrase.terms) >= 3
+                   and all(positions[i] == positions[i - 1] + 1
+                           for i in range(1, len(positions))))
+    if not optimizable:
+        return phrase
+    keep = [i for i in range(len(phrase.terms))
+            if i % n == 0 or i == len(phrase.terms) - 1]
+    return Phrase(tuple(phrase.terms[i] for i in keep), slop=0,
+                  positions=tuple(positions[i] for i in keep))
+
+
 @dataclass(frozen=True)
 class IndriAnd(Query):
     """IndriAndQuery (reference ``search/IndriAndQuery.java`` +

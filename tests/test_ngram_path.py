@@ -250,3 +250,57 @@ class TestBuildIntegration:
         row = postings[postings.term == "/src"].iloc[0]
         assert row.df == 2
         assert "/src/lib" in set(postings.term)
+
+
+def test_ngram_phrase_rewrite(spark):
+    """NGramPhraseQuery.rewrite goldens (core/search/
+    TestNGramPhraseQuery.java) + match-set equivalence on a real
+    gram-tokenized index."""
+    import tempfile
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.plans import query as Q
+    from lucene_spark.plans.query import ngram_phrase_rewrite
+
+    # --- reference rewrite-shape goldens ---
+    r1 = ngram_phrase_rewrite(2, Q.Phrase(("AB", "BC")))
+    assert r1 == Q.Phrase(("AB", "BC"))          # too short: unchanged
+    r2 = ngram_phrase_rewrite(2, Q.Phrase(("AB", "BC", "CD")))
+    assert r2.terms == ("AB", "CD") and r2.positions == (0, 2)
+    r3 = ngram_phrase_rewrite(
+        3, Q.Phrase(("ABC", "BCD", "CDE", "DEF", "EFG", "FGH")))
+    assert r3.terms == ("ABC", "DEF", "FGH")
+    assert r3.positions == (0, 3, 5)
+    # sloppy / unigram / non-consecutive: unchanged
+    assert ngram_phrase_rewrite(
+        2, Q.Phrase(("a", "b", "c"), slop=1)).terms == ("a", "b", "c")
+    assert ngram_phrase_rewrite(1, Q.Phrase(("a", "b", "c"))) == \
+        Q.Phrase(("a", "b", "c"))
+    gap = Q.Phrase(("a", "b", "c"), positions=(0, 2, 3))
+    assert ngram_phrase_rewrite(2, gap) is gap
+
+    # --- equivalence on a bigram-tokenized index ---
+    rows = [(0, "datastream"), (1, "database"), (2, "metadata"),
+            (3, "datastore"), (4, "stream data")]
+    d = tempfile.mkdtemp(prefix="lucene_spark_ngp_")
+    build_index(spark, spark.createDataFrame(rows, "doc_id long, content string"),
+                d, num_segments=2, tokenizer=("ngram", 2, 2))
+    s = Searcher(spark, d)
+
+    def grams(word):
+        return tuple(word[i:i + 2] for i in range(len(word) - 1))
+
+    for needle in ("datast", "abase", "tadata"):
+        full = Q.Phrase(grams(needle))
+        rew = ngram_phrase_rewrite(2, full)
+        assert len(rew.terms) < len(full.terms)
+        got = sorted(r["doc_id"]
+                     for r in s.matching_docs(rew).collect())
+        want = sorted(r["doc_id"]
+                      for r in s.matching_docs(full).collect())
+        brute = sorted(i for i, t in rows if needle in t.replace(" ", "") or
+                       needle in t)
+        assert got == want, needle
+        # the rewritten phrase still matches exactly the substring docs
+        assert got == sorted(i for i, t in rows if needle in t), needle

@@ -58,6 +58,8 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
+    json_out = os.environ.get("CHECK_ORACLE_JSON")
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -67,16 +69,22 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"spark: {e}"}
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            results[name] = {"spark_rows": len(sdf), "err": None,
+                             "rows_only": True}
             continue
         try:
             odf = canon(con.execute(oracles[name]).df())
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "err": f"oracle: {e}"}
             continue
         ok_rows = len(sdf) == len(odf)
         ok_cols = list(sdf.columns) == list(odf.columns)
@@ -85,6 +93,9 @@ def main() -> int:
         print(f"{status}  {name}: spark={len(sdf)} oracle={len(odf)} "
               f"cols={'=' if ok_cols else f'{list(sdf.columns)}!={list(odf.columns)}'} "
               f"hash={'=' if ok_hash else '!'} [{time.time()-t0:.1f}s]")
+        results[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                         "hash_match": ok_hash, "spark_rows": len(sdf),
+                         "oracle_rows": len(odf), "err": None}
         if not (ok_rows and ok_cols and ok_hash):
             failures.append(name)
             if ok_cols and len(sdf) and len(odf):
@@ -92,6 +103,11 @@ def main() -> int:
                                    on=list(sdf.columns))
                 diff = merged[merged["_merge"] != "both"]
                 print(diff.head(12).to_string())
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} entries)")
     print(f"\n{len(failures)} failures: {failures}" if failures
           else "\nall queries match")
     return 1 if failures else 0
