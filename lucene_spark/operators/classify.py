@@ -260,3 +260,77 @@ def knn_classify(searcher, docs_df, doc_id: int, class_df,
                    / F.lit(denom)).alias("score")))
     w = Window.orderBy(F.desc("score"), F.asc("cls"))
     return votes.withColumn("rank", F.row_number().over(w))
+
+
+def knn_classify_text(searcher, classes_df, text: str, k: int = 10,
+                      max_query_terms: int = 25, min_term_freq: int = 2,
+                      min_doc_freq: int = 5, class_col: str = "cls",
+                      doc_id_col: str = "doc_id"):
+    """KNearestNeighborClassifier.getClasses (reference
+    ``classification/KNearestNeighborClassifier.java:96-214``): MLT the
+    input text (boosted terms — MoreLikeThis.createQuery normalizes each
+    selection score by the FIRST popped queue entry, i.e. the MINIMUM of
+    the selected set, ``queries/mlt/MoreLikeThis.java:createQuery``),
+    take the top-``k`` neighbors, then score each class
+    ``(count · (Σ score/maxScore)/count) / k`` with the reference's
+    ``× k/sumdoc`` correction when fewer than k docs carry a class
+    (``:160-170``). Float32 term selection and boosts like the
+    reference's float math; double class aggregation, deterministic
+    (class ties by name ascending — the reference's HashMap order is
+    unspecified).
+
+    Returns a DataFrame ``(cls, score double, cnt int)`` ordered
+    score desc, cls asc. The reference's ``class MUST exist`` clause is
+    the inner join to ``classes_df``.
+    """
+    import numpy as np
+
+    from ..functions.analysis import analyze_text
+    from ..plans import query as Q
+    from collections import Counter
+
+    terms, _, _ = analyze_text(text)
+    tfs = Counter(terms)
+    cands = sorted(t for t, f in tfs.items() if f >= min_term_freq)
+    dfs = searcher._global_dfs(cands)
+    N = searcher.doc_count
+    scored = []
+    for t in cands:
+        df = dfs.get(t, 0)
+        if df < min_doc_freq or df == 0:
+            continue
+        idf = np.float32(np.log((N + 1) / (df + 1.0)) + 1.0)
+        scored.append((float(np.float32(np.float32(tfs[t]) * idf)), t))
+    scored.sort(key=lambda p: (-p[0], p[1]))
+    kept = scored[:max_query_terms]
+    if not kept:
+        return searcher.spark.createDataFrame(
+            [], "cls string, score double, cnt int")
+    min_score = np.float32(min(s for s, _ in kept))
+    clauses = tuple(Q.Term(t, boost=float(np.float32(np.float32(s)
+                                                     / min_score)))
+                    for s, t in kept)
+    hits = searcher.search(Q.Or(clauses), k=k).collect()
+    if not hits:
+        return searcher.spark.createDataFrame(
+            [], "cls string, score double, cnt int")
+    max_score = np.float32(hits[0]["score"])
+    rows = searcher.spark.createDataFrame(
+        [(int(h["doc_id"]), float(np.float32(np.float32(h["score"])
+                                             / max_score)))
+         for h in hits], f"{doc_id_col} long, sboost double")
+    joined = rows.join(
+        classes_df.select(doc_id_col, class_col), doc_id_col)
+    agg = (joined.groupBy(class_col)
+           .agg(F.count("*").alias("cnt"),
+                F.sum("sboost").alias("boostsum")))
+    sumdoc = joined.count()
+    score = ((F.col("cnt") * (F.col("boostsum") / F.col("cnt")))
+             / F.lit(float(k)))
+    if sumdoc < k:
+        # the reference's correction multiplies THEN divides (:166-168)
+        score = score * F.lit(float(k)) / F.lit(float(sumdoc))
+    return (agg.select(F.col(class_col).alias("cls"),
+                       score.alias("score"),
+                       F.col("cnt").cast("int").alias("cnt"))
+            .orderBy(F.desc("score"), F.asc("cls")))

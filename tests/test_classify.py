@@ -178,3 +178,61 @@ def test_term_doc_pairs_semi_join_path(spark, searcher, corpus):
                for r in term_doc_pairs(searcher, None,
                                        terms_df=tdf).collect())
     assert a == b and len(a) > 0
+
+
+def test_knn_classify_text(spark, searcher, corpus, class_df, labels):
+    """KNearestNeighborClassifier.getClasses on raw text (classification/
+    KNearestNeighborClassifier.java:96-214): engine vs a full replay —
+    MLT term selection (f32 tf·idf, min-of-selected boost norm), BM25
+    boosted-OR top-k, per-class (count·normBoost)/k with the sumdoc
+    correction."""
+    import math
+
+    from lucene_spark.operators.classify import knn_classify_text
+    from lucene_spark.plans import query as Q
+
+    from lucene_spark.oracle import OracleIndex
+    oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+    classes = class_df
+    text = "parse parse scan scan token stream data data"
+    k = 10
+    got = [(r["cls"], r["score"], r["cnt"])
+           for r in knn_classify_text(searcher, classes, text, k=k,
+                                      min_term_freq=2,
+                                      min_doc_freq=5).collect()]
+
+    # --- replay ---
+    from collections import Counter
+    tfs = Counter(text.split())
+    N = oracle.doc_count
+    scored = []
+    for t in sorted(t for t, f in tfs.items() if f >= 2):
+        df = oracle.df(t)
+        if df < 5 or df == 0:
+            continue
+        idf = np.float32(math.log((N + 1) / (df + 1.0)) + 1.0)
+        scored.append((float(np.float32(np.float32(tfs[t]) * idf)), t))
+    scored.sort(key=lambda p: (-p[0], p[1]))
+    kept = scored[:25]
+    mn = np.float32(min(s for s, _ in kept))
+    clauses = tuple(Q.Term(t, boost=float(np.float32(np.float32(s) / mn)))
+                    for s, t in kept)
+    hits = oracle.top_k(Q.Or(clauses), k=k)
+    mx = np.float32(hits[0][1])
+    cls_of = labels
+    cnt, bsum = Counter(), Counter()
+    for d, s in hits:
+        c = cls_of[d]
+        cnt[c] += 1
+        bsum[c] += float(np.float32(np.float32(s) / mx))
+    sumdoc = sum(cnt.values())
+    want = []
+    for c in cnt:
+        sc = (cnt[c] * (bsum[c] / cnt[c])) / float(k)
+        if sumdoc < k:
+            sc = sc * float(k) / float(sumdoc)
+        want.append((c, sc, cnt[c]))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    assert [(c, n) for c, _, n in got] == [(c, n) for c, _, n in want]
+    for (_, gs, _), (_, ws, _) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=0)
