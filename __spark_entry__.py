@@ -3359,6 +3359,26 @@ def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("long").alias("score_q6"))
 
 
+def _q_knn_classify_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNearestNeighborClassifier.getClasses over raw text (reference
+    ``classification/KNearestNeighborClassifier.java:96-214``): boosted
+    MLT term selection (f32 tf·idf, min-of-selected normalization —
+    ``queries/mlt/MoreLikeThis.java:createQuery``), boosted-OR BM25
+    top-10, per-class (count·(Σ s/maxScore)/count)/k with the k/sumdoc
+    correction. Fixed input text over three common corpus terms."""
+    from lucene_spark.operators.classify import knn_classify_text
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    classes = docs.select("doc_id", F.col("lang").alias("cls"))
+    res = knn_classify_text(
+        s, classes, f"{T_COMMON} {T_COMMON} {T_COMMON} "
+        f"{T_COMMON2} {T_COMMON2} {T_THIRD} {T_THIRD}",
+        k=10, min_term_freq=2, min_doc_freq=5)
+    return res.select(
+        "cls", F.floor(F.col("score") * 1000000).cast("long")
+        .alias("score_q6"), F.col("cnt").cast("int").alias("cnt"))
+
+
 def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UnifiedHighlighter role: best passage per hit with query terms
     tagged. Deterministic string output → rows-only driver check; golden
@@ -4039,6 +4059,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_top10": _q_rescore,
         "nb_classify_docs": _q_nb_classify,
         "knn_classify_doc0": _q_knn_classify,
+        "knn_classify_text": _q_knn_classify_text,
         "geo_box_count": _q_geo_box,
         "geo_nearest_top10": _q_geo_nearest,
         "geo_distance_count": _q_geo_distance_count,
@@ -5612,6 +5633,70 @@ ksc AS (
 SELECT cls, CAST(row_number() OVER (ORDER BY score DESC, cls ASC) AS INT)
          AS rank,
        CAST(floor(score * 1000000) AS BIGINT) AS score_q6
+FROM ksc""",
+        #: getClasses-over-text twin: boosted MLT selection (f32 tf·idf,
+        #: min-of-selected normalization), boosted-OR BM25 (f32 partials
+        #: summed in double → f32), per-hit f32 score/maxScore, class
+        #: aggregation in double with the k/sumdoc correction.
+        "knn_classify_text": _PRELUDE + f""",
+ksel AS (
+  SELECT d.term,
+         CAST(CAST(vt.tf AS FLOAT) *
+              CAST(ln((a.dc + 1) / (d.df + CAST(1.0 AS DOUBLE)))
+                   + CAST(1.0 AS DOUBLE) AS FLOAT) AS FLOAT) AS sel
+  FROM (VALUES ('{T_COMMON}', 3), ('{T_COMMON2}', 2), ('{T_THIRD}', 2))
+       vt(term, tf)
+  JOIN dfs d ON d.term = vt.term
+  CROSS JOIN avgs a
+  WHERE d.df >= 5
+),
+kmin AS (SELECT min(sel) AS mn FROM ksel),
+kw AS (
+  SELECT s.term,
+         CAST(CAST(s.sel / (SELECT mn FROM kmin) AS FLOAT)
+              * CAST(ln(1 + (a.dc - d.df + CAST(0.5 AS DOUBLE)) /
+                        (d.df + CAST(0.5 AS DOUBLE))) AS FLOAT)
+              AS FLOAT) AS w
+  FROM ksel s JOIN dfs d ON d.term = s.term CROSS JOIN avgs a
+),
+kpersc AS (
+  SELECT f.doc_id,
+         CAST(w.w - w.w / (CAST(1 AS FLOAT) + CAST(f.tf AS FLOAT) * c.inv)
+              AS DOUBLE) AS ps
+  FROM tf f JOIN kw w ON f.term = w.term
+  JOIN normcache c ON f.doc_id = c.doc_id
+),
+korsc AS (SELECT doc_id, CAST(SUM(ps) AS FLOAT) AS s
+          FROM kpersc GROUP BY doc_id),
+ktop AS (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM korsc
+),
+ktop10 AS (SELECT doc_id, s FROM ktop WHERE r <= 10),
+kmax AS (SELECT max(s) AS m FROM ktop10),
+ksb AS (
+  SELECT t.doc_id,
+         CAST(CAST(t.s / (SELECT m FROM kmax) AS FLOAT) AS DOUBLE) AS sb
+  FROM ktop10 t
+),
+kvotes AS (
+  SELECT d.lang AS cls, count(*) AS c, sum(sb) AS b
+  FROM ksb t JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY 1
+),
+ktot AS (SELECT sum(c) AS sumdoc FROM kvotes),
+ksc AS (
+  SELECT cls, c,
+         CASE WHEN (SELECT sumdoc FROM ktot) < 10
+              THEN ((c * (b / c)) / CAST(10 AS DOUBLE))
+                   * CAST(10 AS DOUBLE)
+                   / CAST((SELECT sumdoc FROM ktot) AS DOUBLE)
+              ELSE (c * (b / c)) / CAST(10 AS DOUBLE) END AS score
+  FROM kvotes
+)
+SELECT cls, CAST(floor(score * 1000000) AS BIGINT) AS score_q6,
+       CAST(c AS INT) AS cnt
 FROM ksc""",
         "embed_cosine_topk": _cosine_sql(20, 5),
         "embed_hnsw_topk": _cosine_sql(20, 5),
