@@ -3379,6 +3379,32 @@ def _q_knn_classify_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score_q6"), F.col("cnt").cast("int").alias("cnt"))
 
 
+def _q_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanPerceptronClassifier (reference
+    ``classification/BooleanPerceptronClassifier.java``): fit on the
+    whole corpus with cls = (lang = 'en'), bias = sumTtf/docCount, and
+    ``batch_size`` larger than the training set — so the final compiled
+    FST carries exactly doc 0's update (if doc 0 misclassifies under the
+    initial ttf weights), the reference's documented FST-lag quirk —
+    then assign every doc distributedly. Output: (doc_id, output long,
+    assigned 0/1, floor(1e6·(1 − exp(−|bias−output|/bias))))."""
+    from lucene_spark.operators.classify import (
+        boolean_perceptron_classify, boolean_perceptron_train)
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    train = docs.select("doc_id", "text",
+                        (F.col("lang") == "en").alias("cls"))
+    model = boolean_perceptron_train(s, train, batch_size=10**9,
+                                     tokenize="whitespace")
+    res = boolean_perceptron_classify(
+        s, docs.select(F.col("doc_id").alias("input_id"), "text"),
+        model, tokenize="whitespace")
+    return res.select(
+        F.col("input_id").alias("doc_id"), "output",
+        F.col("assigned").cast("int").alias("assigned"),
+        F.floor(F.col("score") * 1000000).cast("long").alias("score_q6"))
+
+
 def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UnifiedHighlighter role: best passage per hit with query terms
     tagged. Deterministic string output → rows-only driver check; golden
@@ -4060,6 +4086,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify_docs": _q_nb_classify,
         "knn_classify_doc0": _q_knn_classify,
         "knn_classify_text": _q_knn_classify_text,
+        "perceptron_assign": _q_perceptron,
         "geo_box_count": _q_geo_box,
         "geo_nearest_top10": _q_geo_nearest,
         "geo_distance_count": _q_geo_distance_count,
@@ -5698,6 +5725,50 @@ ksc AS (
 SELECT cls, CAST(floor(score * 1000000) AS BIGINT) AS score_q6,
        CAST(c AS INT) AS cnt
 FROM ksc""",
+        #: BooleanPerceptron twin: initial weights = global ttf; with
+        #: batch_size > n_train the compiled FST only ever carries doc
+        #: 0's update (the reference's FST-lag quirk), so the trained
+        #: model is closed-form: w(t) = max(0, ttf + m·tf0) for doc-0
+        #: terms when doc 0 misclassifies under the initial weights
+        #: (m = correct.compareTo(assigned)), else ttf.
+        "perceptron_assign": _PRELUDE + """,
+pbias AS (SELECT CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS b
+          FROM stats),
+p0out AS (
+  SELECT COALESCE(sum(f.tf * d.ttf), 0) AS o
+  FROM tf f JOIN dfs d ON f.term = d.term WHERE f.doc_id = 0
+),
+p0mod AS (
+  SELECT CASE
+    WHEN (SELECT lang = 'en' FROM documents WHERE doc_id = 0)
+         AND NOT ((SELECT CAST(o AS DOUBLE) FROM p0out)
+                  >= (SELECT b FROM pbias)) THEN 1
+    WHEN NOT (SELECT lang = 'en' FROM documents WHERE doc_id = 0)
+         AND ((SELECT CAST(o AS DOUBLE) FROM p0out)
+              >= (SELECT b FROM pbias)) THEN -1
+    ELSE 0 END AS m
+),
+pw AS (
+  SELECT d.term,
+         CASE WHEN (SELECT m FROM p0mod) <> 0 AND f0.tf IS NOT NULL
+              THEN greatest(0, d.ttf + (SELECT m FROM p0mod) * f0.tf)
+              ELSE d.ttf END AS w
+  FROM dfs d LEFT JOIN (SELECT term, tf FROM tf WHERE doc_id = 0) f0
+    ON d.term = f0.term
+),
+pout AS (
+  SELECT f.doc_id, sum(f.tf * w.w) AS output
+  FROM tf f JOIN pw w ON f.term = w.term
+  GROUP BY 1
+)
+SELECT doc_id, CAST(output AS BIGINT) AS output,
+       CAST(CASE WHEN CAST(output AS DOUBLE) >= (SELECT b FROM pbias)
+                 THEN 1 ELSE 0 END AS INT) AS assigned,
+       CAST(floor((1 - exp(-abs((SELECT b FROM pbias)
+                                - CAST(output AS DOUBLE))
+                           / (SELECT b FROM pbias))) * 1000000)
+            AS BIGINT) AS score_q6
+FROM pout""",
         "embed_cosine_topk": _cosine_sql(20, 5),
         "embed_hnsw_topk": _cosine_sql(20, 5),
         "embed_ivf_full_topk": _cosine_sql(20, 5),

@@ -12,14 +12,21 @@ per-(input, class) log-likelihood sums are Catalyst aggregations — no
 per-word driver round trips, so the same code classifies 10^9 inputs on
 a cluster.
 
+BooleanPerceptronClassifier splits the same way: model FITTING is a
+strictly sequential per-doc loop (the reference's own design — an
+in-heap SortedMap + recompiled FST), so :func:`boolean_perceptron_train`
+replays it faithfully on the driver over the (small) labeled training
+set, holding only train-vocabulary (term, ttf) pairs plus the update
+overrides — never the full dictionary; CLASSIFICATION with the fitted
+model is fully distributed (:func:`boolean_perceptron_classify`): the
+weight table is the engine's term_stats scan patched by a broadcast
+override set, and the per-doc token-weight sum is two Catalyst
+aggregations.
+
 Out of scope (documented): BM25NBClassifier (``BM25NBClassifier.java:47``
 scores per-word class probabilities from top-1 BM25 hits of a
 MUST(classTerm) query — it requires the class label indexed as a
-searchable term, where this engine keeps labels in doc_meta columns)
-and BooleanPerceptronClassifier (``BooleanPerceptronClassifier.java``
-trains by strictly sequential per-doc weight updates, which has no
-order-faithful distributed equivalent — a batch-epoch variant would
-diverge from the reference's output).
+searchable term, where this engine keeps labels in doc_meta columns).
 """
 from __future__ import annotations
 
@@ -334,3 +341,163 @@ def knn_classify_text(searcher, classes_df, text: str, k: int = 10,
                        score.alias("score"),
                        F.col("cnt").cast("int").alias("cnt"))
             .orderBy(F.desc("score"), F.asc("cls")))
+
+
+def boolean_perceptron_train(searcher, train_df, batch_size: int = 1,
+                             bias: float | None = None,
+                             doc_id_col: str = "doc_id",
+                             text_col: str = "text",
+                             cls_col: str = "cls",
+                             tokenize: str = "whitespace"):
+    """BooleanPerceptronClassifier model fitting (reference
+    ``classification/BooleanPerceptronClassifier.java:79-215``): weights
+    initialize to each term's global totalTermFreq (:117-121), bias
+    defaults to sumTotalTermFreq / docCount (:97-112), and training
+    walks the labeled docs in docID order (the constant-score
+    ``WildcardQuery(class, *)`` search at :128-136 ties on score, so
+    scoreDocs come back in doc order). Per doc: assign with the CURRENT
+    compiled FST, ``modifier = correct.compareTo(assigned)``; on a
+    misclassification every distinct doc term gets
+    ``max(0, fstValue + modifier · termFreqInDoc)`` — reading the LAST
+    COMPILED value, not the live weights map (:192-196) — and the FST
+    recompiles only when ``batchCount % batchSize == 0`` (:158,199-201).
+    The final model is the last compiled FST, so with
+    ``batch_size > len(train)`` only doc 0's update (if any) ever
+    reaches it — a faithful quirk, preserved.
+
+    Sequential by the reference's own construction; runs on the driver
+    over the (small) labeled training set. Driver state is the train
+    vocabulary's (term, ttf) pairs — fetched with one broadcast
+    semi-join against term_stats, no full-dictionary collect — plus the
+    override map. Values are FST longs (``entry.getValue().longValue()``
+    at :212; all-integer arithmetic, so plain ints here).
+
+    ``train_df``: (doc_id, text, cls) with boolean-castable cls.
+    Returns ``(overrides: dict[str, int], bias: float)`` — the model for
+    :func:`boolean_perceptron_classify`; a term's weight is
+    ``overrides.get(term, global_ttf(term))``."""
+    from collections import Counter
+
+    if tokenize == "whitespace":
+        def toks_of(t: str) -> list[str]:
+            return [w for w in t.split(" ") if w]
+    elif tokenize == "analyzer":
+        from ..functions.analysis import analyze_text
+
+        def toks_of(t: str) -> list[str]:
+            return list(analyze_text(t)[0])
+    else:
+        raise ValueError(f"unknown tokenize mode {tokenize!r}")
+
+    rows = (train_df.select(F.col(doc_id_col).alias("_d"),
+                            F.col(text_col).alias("_t"),
+                            F.col(cls_col).cast("boolean").alias("_c"))
+            .orderBy("_d").collect())
+    doc_toks = [toks_of(r["_t"]) for r in rows]
+    vocab = sorted({w for toks in doc_toks for w in toks})
+    if vocab:
+        vdf = searcher.spark.createDataFrame([(t,) for t in vocab],
+                                             "term string")
+        ttfs = {r["term"]: int(r["ttf"]) for r in
+                (searcher.term_stats.join(F.broadcast(vdf), "term")
+                 .select("term", "ttf").collect())}
+    else:
+        ttfs = {}
+    if bias is None or bias == 0.0:
+        bias = float(searcher.sum_ttf) / float(searcher.doc_count)
+    bias = float(bias)
+
+    fst_over: dict[str, int] = {}   # last compiled FST, as ttf overrides
+    w_over: dict[str, int] = {}     # live weights map, as ttf overrides
+    batch_count = 0
+    for r, toks in zip(rows, doc_toks):
+        output = 0
+        for t in toks:
+            d = fst_over.get(t, ttfs.get(t))
+            if d is not None:
+                output += d
+        assigned = output >= bias
+        modifier = int(bool(r["_c"])) - int(assigned)
+        if modifier != 0:
+            tfl = Counter(toks)
+            for t in sorted(tfl):
+                prev = fst_over.get(t, ttfs.get(t))
+                w_over[t] = (0 if prev is None
+                             else max(0, prev + modifier * tfl[t]))
+            if batch_count % batch_size == 0:
+                fst_over = dict(w_over)
+        batch_count += 1
+    return fst_over, bias
+
+
+def boolean_perceptron_classify(searcher, inputs_df, model,
+                                input_id_col: str = "input_id",
+                                text_col: str = "text",
+                                tokenize: str = "whitespace",
+                                stopwords: frozenset = frozenset()):
+    """BooleanPerceptronClassifier.assignClass as one batch job
+    (reference ``classification/BooleanPerceptronClassifier.java:
+    218-235``): per input, ``output = Σ fst(token)`` over every token
+    occurrence (absent terms skipped = +0), assigned class
+    ``output >= bias``, confidence
+    ``1 − exp(−|bias − output| / bias)``.
+
+    Distributed shape: the weight table is the term_stats scan with the
+    trained override set (small, broadcast) patched in via one
+    anti-join + union; inputs explode to (input_id, term, tf) with a
+    map-side-combined count, one inner join on term picks up weights
+    (absent terms drop = the reference's null skip), and one final
+    groupBy sums — inputs with no known term re-enter through a left
+    join with output 0, exactly the reference's empty-sum path. No
+    driver loops, no UDF on the whitespace path.
+
+    Returns ``(input_id long, output long, assigned boolean,
+    score double)``."""
+    overrides, bias = model
+    spark = searcher.spark
+    w0 = searcher.term_stats.select(
+        "term", F.col("ttf").cast("long").alias("w"))
+    if overrides:
+        odf = spark.createDataFrame(sorted(overrides.items()),
+                                    "term string, w long")
+        w_full = (w0.join(F.broadcast(odf.select("term")),
+                          "term", "left_anti").unionByName(odf))
+    else:
+        w_full = w0
+    inputs = inputs_df.select(F.col(input_id_col).alias("input_id"),
+                              F.col(text_col).alias("_text"))
+    if tokenize == "whitespace":
+        tok = (inputs
+               .select("input_id",
+                       F.explode(F.split(F.col("_text"), " "))
+                       .alias("term"))
+               .where(F.col("term") != ""))
+    elif tokenize == "analyzer":
+        from ..functions.analysis import analyze_batch
+
+        def _tok(batches):
+            for pdf in batches:
+                doc_idx, terms, _pos, _lens = analyze_batch(
+                    pdf["_text"], stopwords=stopwords)
+                yield pd.DataFrame(
+                    {"input_id": pdf["input_id"].to_numpy()[doc_idx],
+                     "term": terms})
+
+        tok = inputs.mapInPandas(_tok, "input_id long, term string")
+    else:
+        raise ValueError(f"unknown tokenize mode {tokenize!r}")
+    tfs = tok.groupBy("input_id", "term").agg(F.count("*").alias("tf"))
+    summed = (tfs.join(w_full, "term")
+              .groupBy("input_id")
+              .agg(F.sum(F.col("tf") * F.col("w")).alias("output")))
+    b = F.lit(float(bias))
+    out = (inputs.select("input_id").distinct()
+           .join(summed, "input_id", "left")
+           .select("input_id",
+                   F.coalesce(F.col("output"), F.lit(0)).cast("long")
+                   .alias("output")))
+    return out.select(
+        "input_id", "output",
+        (F.col("output").cast("double") >= b).alias("assigned"),
+        (F.lit(1.0) - F.exp(-F.abs(b - F.col("output").cast("double")) / b))
+        .alias("score"))

@@ -236,3 +236,107 @@ def test_knn_classify_text(spark, searcher, corpus, class_df, labels):
     assert [(c, n) for c, _, n in got] == [(c, n) for c, _, n in want]
     for (_, gs, _), (_, ws, _) in zip(got, want):
         assert gs == pytest.approx(ws, abs=0)
+
+
+def _brute_perceptron(corpus, bool_labels, batch_size):
+    """Independent replay of BooleanPerceptronClassifier.java:79-215
+    with a FULL in-heap weights map + compiled-FST snapshots (the
+    reference's own data model), for differential comparison against
+    the engine's override-based fit."""
+    from lucene_spark.functions.analysis import analyze_text
+    doc_toks = {int(d): list(analyze_text(str(t))[0]) for d, t in
+                zip(corpus.doc_id, corpus.content)}
+    ttf = Counter()
+    for toks in doc_toks.values():
+        ttf.update(toks)
+    n_tokens = sum(ttf.values())
+    bias = float(n_tokens) / float(len(doc_toks))
+    weights = {t: int(c) for t, c in ttf.items()}
+    fst = dict(weights)
+    batch_count = 0
+    for d in sorted(doc_toks):
+        toks = doc_toks[d]
+        output = 0
+        for t in toks:
+            v = fst.get(t)
+            if v is not None:
+                output += v
+        assigned = output >= bias
+        correct = bool_labels[d]
+        modifier = int(correct) - int(assigned)
+        if modifier != 0:
+            tfl = Counter(toks)
+            for t, f in tfl.items():
+                prev = fst.get(t)
+                weights[t] = (0 if prev is None
+                              else max(0, prev + modifier * f))
+            if batch_count % batch_size == 0:
+                fst = dict(weights)
+        batch_count += 1
+    return fst, bias
+
+
+@pytest.mark.parametrize("batch_size", [1, 3, 10**9])
+def test_boolean_perceptron_train_parity(spark, searcher, corpus,
+                                         batch_size):
+    """Engine fit (term_stats-backed overrides) ≡ full-map replay of the
+    reference protocol, including the FST-lag quirks (updates read the
+    last COMPILED value; the final model is the last compiled FST)."""
+    from lucene_spark.operators.classify import boolean_perceptron_train
+    bool_labels = {int(d): (int(d) % 3 == 0) for d in corpus.doc_id}
+    want_fst, want_bias = _brute_perceptron(corpus, bool_labels,
+                                            batch_size)
+    train = spark.createDataFrame(
+        [(int(d), str(t), bool_labels[int(d)])
+         for d, t in zip(corpus.doc_id, corpus.content)],
+        "doc_id long, text string, cls boolean")
+    over, bias = boolean_perceptron_train(searcher, train,
+                                          batch_size=batch_size,
+                                          tokenize="analyzer")
+    assert bias == pytest.approx(want_bias, rel=0, abs=0)
+    # effective weight per corpus term == the replay's compiled FST
+    ttf = Counter()
+    from lucene_spark.functions.analysis import analyze_text
+    for t in corpus.content:
+        ttf.update(analyze_text(str(t))[0])
+    got_fst = {t: over.get(t, int(c)) for t, c in ttf.items()}
+    assert got_fst == want_fst
+    assert set(over) <= set(ttf)  # no phantom terms
+
+
+def test_boolean_perceptron_classify(spark, searcher, corpus):
+    """Distributed assignClass ≡ driver replay: output sum skips unseen
+    terms, assigned = output >= bias, score = 1 − exp(−|bias−out|/bias);
+    an all-unseen input flows through the left join with output 0."""
+    from lucene_spark.operators.classify import (
+        boolean_perceptron_classify, boolean_perceptron_train)
+    bool_labels = {int(d): (int(d) % 3 == 0) for d in corpus.doc_id}
+    train = spark.createDataFrame(
+        [(int(d), str(t), bool_labels[int(d)])
+         for d, t in zip(corpus.doc_id, corpus.content)],
+        "doc_id long, text string, cls boolean")
+    model = boolean_perceptron_train(searcher, train, batch_size=2,
+                                     tokenize="analyzer")
+    fst, bias = _brute_perceptron(corpus, bool_labels, 2)
+    texts = {0: str(corpus.content[0]),
+             1: "parse token " + str(corpus.content[3]),
+             2: "zzzunseen qqqunseen",   # all-unseen → output 0
+             3: ""}
+    inputs = spark.createDataFrame(sorted(texts.items()),
+                                   "input_id long, text string")
+    got = {r["input_id"]: (r["output"], r["assigned"], r["score"])
+           for r in boolean_perceptron_classify(
+               searcher, inputs, model, tokenize="analyzer").collect()}
+    from lucene_spark.functions.analysis import analyze_text
+    assert set(got) == set(texts)
+    for i, tx in texts.items():
+        output = 0
+        for t in analyze_text(tx)[0]:
+            v = fst.get(t)
+            if v is not None:
+                output += v
+        assigned = output >= bias
+        score = 1.0 - math.exp(-abs(bias - float(output)) / bias)
+        assert got[i][0] == output, i
+        assert got[i][1] == assigned, i
+        assert got[i][2] == pytest.approx(score, rel=1e-15), i
