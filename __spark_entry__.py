@@ -3379,6 +3379,20 @@ def _q_knn_classify_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score_q6"), F.col("cnt").cast("int").alias("cnt"))
 
 
+def _q_group_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermGroupFacetCollector (reference
+    ``grouping/TermGroupFacetCollector.java``): unique-group counts per
+    facet value over the match set — group = lang, facet = source,
+    ordered (count desc, value asc), top 10."""
+    from lucene_spark.operators.facets import group_facet_counts
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = group_facet_counts(s, Q.Term(T_RARE), docs, "lang", "source",
+                             min_count=1, size=10, order_by_count=True)
+    return res.select("facet", "cnt",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 def _q_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BooleanPerceptronClassifier (reference
     ``classification/BooleanPerceptronClassifier.java``): fit on the
@@ -4087,6 +4101,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify_doc0": _q_knn_classify,
         "knn_classify_text": _q_knn_classify_text,
         "perceptron_assign": _q_perceptron,
+        "group_facet_counts": _q_group_facets,
         "geo_box_count": _q_geo_box,
         "geo_nearest_top10": _q_geo_nearest,
         "geo_distance_count": _q_geo_distance_count,
@@ -4839,6 +4854,23 @@ WHERE EXISTS (SELECT 1 FROM (
         FROM documents) t
       WHERE t.doc_id = d.doc_id AND t.term = '{T_RARE}')
 GROUP BY 1""",
+        "group_facet_counts": f"""
+WITH m AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents) t
+  WHERE term = '{T_RARE}'
+),
+p AS (SELECT DISTINCT d.lang AS g, d.source AS facet
+      FROM documents d JOIN m ON d.doc_id = m.doc_id
+      WHERE d.source IS NOT NULL),
+c AS (SELECT facet, count(*) AS cnt FROM p GROUP BY 1
+      HAVING count(*) >= 1)
+SELECT facet, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank
+FROM (SELECT facet, cnt,
+             row_number() OVER (ORDER BY cnt DESC, facet ASC) AS rank
+      FROM c)
+WHERE rank <= 10""",
         "all_groups_count": f"""
 SELECT CAST(count(DISTINCT d.lang) AS BIGINT) AS n_groups
 FROM documents d

@@ -402,3 +402,56 @@ def query_join(searcher, from_query, from_df: DataFrame, from_key: str,
             .join(from_df.select(doc_id_col, from_key), doc_id_col)
             .select(F.col(from_key).alias(to_key)).distinct())
     return to_df.join(keys, to_key, "left_semi")
+
+
+def group_facet_counts(searcher, query, dims_df: DataFrame,
+                       group_col: str, facet_col: str,
+                       doc_id_col: str = "doc_id",
+                       facet_prefix: str | None = None,
+                       min_count: int = 1, size: int | None = None,
+                       order_by_count: bool = True,
+                       include_missing: bool = False) -> DataFrame:
+    """TermGroupFacetCollector role (reference
+    ``grouping/TermGroupFacetCollector.java`` merged through
+    ``GroupFacetCollector.mergeSegmentResults:?``): each facet value
+    counts the number of UNIQUE groups that have at least one matching
+    doc carrying it — a group contributes once per facet value no
+    matter how many of its docs match. Entries below ``min_count`` drop,
+    ``facet_prefix`` restricts values (the reference's startFacetOrd/
+    endFacetOrd ord-range walk becomes a pushable startswith filter),
+    ordering is (count DESC, value ASC) like orderByCountAndValue or
+    value ASC, truncated to ``size`` (the reference's offset+limit).
+    With ``include_missing`` a NULL-facet row carries the reference's
+    totalMissingCount — unique groups having a matching doc with no
+    facet value — exempt from prefix/minCount like the separate
+    missing tally.
+
+    Scale: the match set computes once; distinct (group, facet) pairs
+    are one map-side-combined distinct, the per-facet tally one more
+    partial aggregation — never a per-group facet re-scan. Returns
+    ``(facet, cnt long, rank int)``."""
+    matched = searcher.matching_docs(query)
+    pairs = (matched
+             .join(dims_df.select(doc_id_col, group_col, facet_col),
+                   doc_id_col)
+             .select(F.col(group_col).alias("_g"),
+                     F.col(facet_col).alias("facet"))
+             .distinct())
+    entries = pairs.where(F.col("facet").isNotNull())
+    if facet_prefix is not None:
+        entries = entries.where(F.col("facet").startswith(facet_prefix))
+    counts = (entries.groupBy("facet").agg(F.count("*").alias("cnt"))
+              .where(F.col("cnt") >= int(min_count)))
+    order = ([F.desc("cnt"), F.asc("facet")] if order_by_count
+             else [F.asc("facet")])
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)))
+    if size is not None:
+        ranked = ranked.where(F.col("rank") <= int(size))
+    if include_missing:
+        missing = (pairs.where(F.col("facet").isNull())
+                   .agg(F.count("*").alias("cnt"))
+                   .select(F.lit(None).cast("string").alias("facet"),
+                           "cnt", F.lit(0).alias("rank")))
+        ranked = ranked.unionByName(missing)
+    return ranked

@@ -407,3 +407,48 @@ def test_doc_values_stats(spark, searcher, corpus, oracle):
     assert (empty["count"], empty["missing"]) == (0, None)
     assert empty["min"] is None and empty["sum"] is None
     assert empty["mean"] == 0.0 and empty["variance"] == 0.0
+
+
+def test_group_facet_counts(spark, searcher, corpus, oracle):
+    """TermGroupFacetCollector semantics: a group counts once per facet
+    value over the match set; minCount / prefix / both orderings /
+    missing tally vs a brute distinct-pair replay."""
+    from pyspark.sql import functions as F
+    rows = [(int(r.doc_id), str(r.lang),
+             None if int(r.doc_id) % 11 == 0 else f"f{int(r.doc_id) % 7}")
+            for _, r in corpus.iterrows()]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, fac string")
+    matched = set(oracle.score(Q.Term("parse")))
+    pairs = {(g, f) for d, g, f in rows if d in matched}
+    want: dict[str, int] = {}
+    for g, f in pairs:
+        if f is not None:
+            want[f] = want.get(f, 0) + 1
+    missing = sum(1 for g, f in pairs if f is None)
+
+    got = facets.group_facet_counts(searcher, Q.Term("parse"), docs,
+                                    "lang", "fac").collect()
+    assert {r["facet"]: r["cnt"] for r in got} == want
+    # ordering: count desc, value asc
+    ranked = sorted(got, key=lambda r: r["rank"])
+    assert [(r["facet"], r["cnt"]) for r in ranked] == \
+        sorted(want.items(), key=lambda p: (-p[1], p[0]))
+
+    # value-ordered + size truncation
+    byv = facets.group_facet_counts(searcher, Q.Term("parse"), docs,
+                                    "lang", "fac", order_by_count=False,
+                                    size=3).collect()
+    assert [r["facet"] for r in sorted(byv, key=lambda r: r["rank"])] == \
+        sorted(want)[:3]
+
+    # minCount + prefix + missing row
+    mc = min(want.values()) + 1
+    flt = facets.group_facet_counts(searcher, Q.Term("parse"), docs,
+                                    "lang", "fac", min_count=mc,
+                                    facet_prefix="f1",
+                                    include_missing=True).collect()
+    got_m = [r for r in flt if r["facet"] is None]
+    assert len(got_m) == 1 and got_m[0]["cnt"] == missing
+    assert {r["facet"]: r["cnt"] for r in flt if r["facet"] is not None} \
+        == {f: c for f, c in want.items()
+            if c >= mc and f.startswith("f1")}
