@@ -181,6 +181,49 @@ def _q_stem_de_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _searcher_kr_de(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with the KeywordRepeat → GermanLightStem →
+    RemoveDuplicates chain (``miscellaneous/KeywordRepeatFilter.java``,
+    ``miscellaneous/RemoveDuplicatesTokenFilter.java``): surface forms
+    keep their positions, changed stems overlay as posInc-0 tokens."""
+    key = "krde:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    stemmer="german_light", keyword_repeat=True)
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+# surface/stem pairs that conflate under the German light stemmer —
+# both forms are live dictionary entries in the keyword-repeat index
+_KR_DE_TERMS = ("filter", "filt", "customer", "custom",
+                "order", "ord", "table", "tabl")
+
+
+def _q_kr_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery for the stem 'filt' over the keyword-repeat index:
+    tf/df match the stemmed-only index, but sumTotalTermFreq counts the
+    overlay copies (every emitted token), so avgdl — and the scores —
+    differ from bm25_stem_de_top10."""
+    return _fmt_topk(_searcher_kr_de(spark, sf_dir).search(
+        Q.Term("filt"), k=10))
+
+
+def _q_kr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df/ttf of surface AND stem dictionary entries — both alive in the
+    keyword-repeat index."""
+    s = _searcher_kr_de(spark, sf_dir)
+    return (s.term_stats.filter(F.col("term").isin(list(_KR_DE_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _elide_content(col):
     """Deterministic apostrophe injection so the synthetic corpus
     exercises ElisionFilter: vowel-initial tokens get ``l'``, s-initial
@@ -986,6 +1029,73 @@ normcache AS (
   FROM doclen d, avgs a
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+""".replace("{st}", _DE_ST_SQL)
+
+
+# KeywordRepeat → GermanLightStem → RemoveDuplicates in SQL: the
+# expanded stream tok2 = surface tokens + stemmed copies at the same
+# position where the stem CHANGED the token; tf/df/sumTotalTermFreq
+# (so avgdl) come from tok2, norms keep the surface per-doc count
+# (discountOverlaps — overlay copies are posInc-0).
+_KR_DE_PRELUDE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+kr0 AS (
+  SELECT doc_id, pos, term,
+         translate(term, 'äàáâöòóôïìíîüùúû', 'aaaaooooiiiiuuuu') AS t
+  FROM tok
+),
+kr1 AS (
+  SELECT doc_id, pos, term, CASE
+    WHEN length(t) > 5 AND substr(t, length(t)-2, 3) = 'ern'
+      THEN substr(t, 1, length(t)-3)
+    WHEN length(t) > 4 AND substr(t, length(t)-1, 1) = 'e'
+         AND substr(t, length(t), 1) IN ('m','n','r','s')
+      THEN substr(t, 1, length(t)-2)
+    WHEN length(t) > 3 AND substr(t, length(t), 1) = 'e'
+      THEN substr(t, 1, length(t)-1)
+    WHEN length(t) > 3 AND substr(t, length(t), 1) = 's'
+         AND substr(t, length(t)-1, 1) IN {{st}}
+      THEN substr(t, 1, length(t)-1)
+    ELSE t END AS t
+  FROM kr0
+),
+kr2 AS (
+  SELECT doc_id, pos, term, CASE
+    WHEN length(t) > 5 AND substr(t, length(t)-2, 3) = 'est'
+      THEN substr(t, 1, length(t)-3)
+    WHEN length(t) > 4 AND substr(t, length(t)-1, 2) IN ('er','en')
+      THEN substr(t, 1, length(t)-2)
+    WHEN length(t) > 4 AND substr(t, length(t)-1, 2) = 'st'
+         AND substr(t, length(t)-2, 1) IN {{st}}
+      THEN substr(t, 1, length(t)-2)
+    ELSE t END AS st
+  FROM kr1
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tok2 AS (SELECT doc_id, term, pos FROM tok
+         UNION ALL
+         SELECT doc_id, st AS term, pos FROM kr2 WHERE st <> term),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM doclen) AS dc,
+                 (SELECT count(*) FROM tok2) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
 dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
 """.replace("{st}", _DE_ST_SQL)
 
@@ -4192,6 +4302,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_roots": _q_dedup_clusters,
         "bm25_stem_de_top10": _q_stem_de,
         "stem_de_term_stats": _q_stem_de_stats,
+        "bm25_keyword_repeat_top10": _q_kr_top10,
+        "keyword_repeat_term_stats": _q_kr_stats,
         "bm25_elision_fr_top10": _q_elision_fr,
         "elision_fr_term_stats": _q_elision_fr_stats,
         "combined_field_top10": _q_combined_field,
@@ -5153,6 +5265,14 @@ FROM documents GROUP BY 1""",
         "dedup_cluster_roots": _minhash_cluster_sql(0.8),
         "bm25_stem_de_top10": _stem_de_topk_sql("filt"),
         "stem_de_term_stats": _stem_de_stats_sql(_STEM_DE_TERMS),
+        "bm25_keyword_repeat_top10": (
+            _KR_DE_PRELUDE + ", " + _tscore_cte("ts", "filt")
+            + _topk_sql("ts", 10)),
+        "keyword_repeat_term_stats": (
+            _KR_DE_PRELUDE
+            + f""" SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ({", ".join(f"'{t}'" for t in _KR_DE_TERMS)})"""),
         "bm25_elision_fr_top10": _elision_fr_topk_sql("sort"),
         "elision_fr_term_stats": _elision_fr_stats_sql(_ELISION_FR_TERMS),
         "combined_field_top10": _combined_field_topk_sql(

@@ -532,3 +532,71 @@ def expand_synonyms_batch(doc_idx, terms, positions, n_docs, synonyms):
             np.concatenate([terms, np.concatenate(extra_t)]),
             np.concatenate([positions, np.concatenate(extra_p)]),
             overlaps)
+
+
+def _keyword_repeat_stem_fn(stemmer: str):
+    """Resolve the stem transform for the KeywordRepeat chain. Porter is
+    the bare PorterStemFilter (no possessive strip — that's an
+    EnglishAnalyzer-specific pre-stop stage, not part of the documented
+    lowercase → stop → KeywordRepeat → stem → RemoveDuplicates
+    composition); greek is excluded because its fold runs pre-stop and
+    rewrites the surface form the original copy should keep."""
+    if stemmer == "porter":
+        from .stem import porter_stem
+        return porter_stem
+    if stemmer == "greek":
+        raise ValueError("keyword_repeat does not compose with the "
+                         "greek chain (pre-stop surface folding)")
+    from .lightstem import LIGHT_STEMMERS
+    fn = LIGHT_STEMMERS.get(stemmer)
+    if fn is None:
+        raise ValueError(f"unknown stemmer {stemmer!r}")
+    return fn
+
+
+def expand_keyword_repeat_text(terms, positions, stemmer: str):
+    """Single-stream twin of :func:`expand_keyword_repeat_batch`.
+    Returns (terms, positions, n_overlap) with the stemmed copies
+    appended (inversion lexsorts, so order is irrelevant)."""
+    fn = _keyword_repeat_stem_fn(stemmer)
+    out_t, out_p = list(terms), list(positions)
+    n_over = 0
+    for t, p in zip(terms, positions):
+        s = fn(t)
+        if s != t:
+            out_t.append(s)
+            out_p.append(p)
+            n_over += 1
+    return out_t, out_p, n_over
+
+
+def expand_keyword_repeat_batch(doc_idx, terms, positions, n_docs,
+                                stemmer: str):
+    """KeywordRepeatFilter → StemFilter → RemoveDuplicatesTokenFilter
+    (reference ``miscellaneous/KeywordRepeatFilter.java:30``,
+    ``miscellaneous/RemoveDuplicatesTokenFilter.java:33``): every
+    surviving token is emitted twice — the keyword-marked original keeps
+    its position (posInc 1) and skips the stemmer, the second copy stems
+    and lands as a posInc-0 overlap at the same position; the duplicate
+    filter then drops the copy exactly when stemming was a no-op (same
+    term at the same position). Vocabulary-level: the stem computes once
+    per unique token.
+
+    Returns (doc_idx, terms, positions, overlaps_per_doc) — overlap
+    counts feed FieldInvertState.numOverlap, so discountOverlaps norms
+    stay the surface-token count."""
+    overlaps = np.zeros(n_docs, dtype=np.int64)
+    fn = _keyword_repeat_stem_fn(stemmer)
+    if len(terms) == 0:
+        return doc_idx, terms, positions, overlaps
+    codes, uniq = pd.factorize(terms)
+    stem_u = np.array([fn(u) for u in uniq], dtype=object)
+    diff = (stem_u != uniq)[codes]
+    if not diff.any():
+        return doc_idx, terms, positions, overlaps
+    add_d = doc_idx[diff]
+    overlaps = np.bincount(add_d, minlength=n_docs).astype(np.int64)
+    return (np.concatenate([doc_idx, add_d]),
+            np.concatenate([terms, stem_u[codes][diff]]),
+            np.concatenate([positions, positions[diff]]),
+            overlaps)

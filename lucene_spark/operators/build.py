@@ -71,7 +71,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    ngram_edge: bool = False,
                    ngram_preserve_original: bool = False,
                    word_delimiter: int | None = None,
-                   word_delimiter_protected: frozenset = frozenset()
+                   word_delimiter_protected: frozenset = frozenset(),
+                   keyword_repeat: bool = False
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -173,6 +174,27 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             codes, uniq = pd.factorize(terms)
             terms = np.array([u.lower() for u in uniq],
                              dtype=object)[codes]
+    elif keyword_repeat:
+        # KeywordRepeatFilter chain (lowercase → stop → KeywordRepeat →
+        # stem → RemoveDuplicates): analyze WITHOUT the stemmer so the
+        # original surface form survives, then add stemmed posInc-0
+        # overlaps where stemming changed the token
+        if stemmer is None:
+            raise ValueError("keyword_repeat requires a stemmer")
+        if (synonyms or shingles or common_grams or payload_delimiter
+                or ngrams is not None):
+            raise ValueError("keyword_repeat is mutually exclusive with "
+                             "synonyms/shingles/common_grams/payloads/"
+                             "ngrams")
+        from ..functions.analysis import expand_keyword_repeat_batch
+        doc_idx, terms, positions, lengths = analyze_batch(
+            pd.Series(texts.to_numpy(dtype=object)),
+            stopwords=stopwords,
+            tokenizer=tokenizer,
+            ascii_folding=ascii_folding,
+            elision=elision)
+        doc_idx, terms, positions, cjk_over = expand_keyword_repeat_batch(
+            doc_idx, terms, positions, n_docs, stemmer)
     else:
         doc_idx, terms, positions, lengths = analyze_batch(
             pd.Series(texts.to_numpy(dtype=object)),
@@ -451,7 +473,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   ngram_edge: bool = False,
                   ngram_preserve_original: bool = False,
                   word_delimiter: int | None = None,
-                  word_delimiter_protected: frozenset = frozenset()):
+                  word_delimiter_protected: frozenset = frozenset(),
+                  keyword_repeat: bool = False):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -467,7 +490,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             ngrams=ngrams, ngram_edge=ngram_edge,
             ngram_preserve_original=ngram_preserve_original,
             word_delimiter=word_delimiter,
-            word_delimiter_protected=word_delimiter_protected)
+            word_delimiter_protected=word_delimiter_protected,
+            keyword_repeat=keyword_repeat)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -544,7 +568,8 @@ def build_index(spark, df, index_dir: str, *,
                 ngram_edge: bool = False,
                 ngram_preserve_original: bool = False,
                 word_delimiter: int | None = None,
-                word_delimiter_protected: frozenset = frozenset()):
+                word_delimiter_protected: frozenset = frozenset(),
+                keyword_repeat: bool = False):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -600,7 +625,8 @@ def build_index(spark, df, index_dir: str, *,
                             ngrams=ngrams, ngram_edge=ngram_edge,
                             ngram_preserve_original=ngram_preserve_original,
                             word_delimiter=word_delimiter,
-                            word_delimiter_protected=word_delimiter_protected)
+                            word_delimiter_protected=word_delimiter_protected,
+                            keyword_repeat=keyword_repeat)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
