@@ -224,6 +224,74 @@ def _q_kr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _searcher_pattern_tok(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with PatternTokenizer in group mode
+    (``pattern/PatternTokenizer.java``, group=0 over ``[a-z]+``):
+    deterministic injection prefixes every d-initial token with 'q9'
+    ('data' → 'q9data'), which the alpha-run pattern splits back into
+    TWO tokens ('q', 'data') — non-vacuous tokenization the whitespace
+    oracle must mirror with regexp_extract_all."""
+    key = "pattok:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), r"(^| )(d)", "$1q9$2")
+            .alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    tokenizer=("pattern", "[a-z]+", 0))
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+# literals (T_COMMON etc. are defined further down the module)
+_PATTERN_TOK_TERMS = ("q", "data", "dup", "query", "stream")
+
+
+def _q_pattern_tok_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery('q') over the pattern-tokenized index — 'q' only
+    exists because the tokenizer split the injected 'q9' prefix off."""
+    return _fmt_topk(_searcher_pattern_tok(spark, sf_dir).search(
+        Q.Term("q"), k=10))
+
+
+def _q_pattern_tok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher_pattern_tok(spark, sf_dir)
+    return (s.term_stats.filter(F.col("term").isin(list(_PATTERN_TOK_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
+def _searcher_pattern_replace(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with PatternReplaceFilter
+    (``pattern/PatternReplaceFilter.java``): deterministic injection
+    appends '9' to every t-initial token ('table' → 'table9'), the
+    filter strips trailing digits (``\\d+$`` → ''), so matching requires
+    the whole inject → tokenize → replace chain to round-trip."""
+    key = "patrep:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), r"(^| )(t[a-z]*)", "$1$29")
+            .alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    pattern_replace=(r"\d+$", "", True))
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_pattern_replace_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fmt_topk(_searcher_pattern_replace(spark, sf_dir).search(
+        Q.Term("table"), k=10))
+
+
 def _elide_content(col):
     """Deterministic apostrophe injection so the synthetic corpus
     exercises ElisionFilter: vowel-initial tokens get ``l'``, s-initial
@@ -1119,6 +1187,76 @@ FROM dfs WHERE term IN ({in_list})""")
 # prefix before the apostrophe stripped per token. Non-article
 # prefixes ("xy'") survive with the apostrophe, exactly like the
 # engine's tokenizer+filter chain.
+# PatternTokenizer (group mode) in SQL: the same '(^| )(d)' → 'q9'
+# injection, then tokens = the [a-z]+ runs of each doc — DuckDB's
+# regexp_extract_all is exactly the group-0 finditer walk. Norms come
+# from the run counts (injection ADDS one token per d-word).
+_PATTERN_TOK_PRELUDE = f"""
+WITH injected AS (
+  SELECT doc_id,
+         regexp_replace(text, '(^| )(d)', '\\1q9\\2', 'g') AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term
+  FROM injected
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM doclen),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+# PatternReplaceFilter in SQL: inject '9' after every t-initial token,
+# then strip trailing digits per token — both steps mirrored, so the
+# oracle only agrees if the engine's inject → tokenize → replace chain
+# round-trips ('\\29' in RE2 rewrite = group 2 + literal 9, matching
+# Java's greedy-valid '$29' parse).
+_PATTERN_REPLACE_PRELUDE = f"""
+WITH injected AS (
+  SELECT doc_id,
+         regexp_replace(text, '(^| )(t[a-z]*)', '\\1\\29', 'g') AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         regexp_replace(unnest(string_split(text, ' ')),
+                        '[0-9]+$', '', 'g') AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM injected
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM doclen),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
 _FR_ART_RE = "(l|m|t|qu|n|s|j|d|c|jusqu|quoiqu|lorsqu|puisqu)"
 
 _ELISION_FR_PRELUDE = f"""
@@ -4304,6 +4442,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stem_de_term_stats": _q_stem_de_stats,
         "bm25_keyword_repeat_top10": _q_kr_top10,
         "keyword_repeat_term_stats": _q_kr_stats,
+        "bm25_pattern_tokenizer_top10": _q_pattern_tok_top10,
+        "pattern_tokenizer_term_stats": _q_pattern_tok_stats,
+        "bm25_pattern_replace_top10": _q_pattern_replace_top10,
         "bm25_elision_fr_top10": _q_elision_fr,
         "elision_fr_term_stats": _q_elision_fr_stats,
         "combined_field_top10": _q_combined_field,
@@ -5267,6 +5408,17 @@ FROM documents GROUP BY 1""",
         "stem_de_term_stats": _stem_de_stats_sql(_STEM_DE_TERMS),
         "bm25_keyword_repeat_top10": (
             _KR_DE_PRELUDE + ", " + _tscore_cte("ts", "filt")
+            + _topk_sql("ts", 10)),
+        "bm25_pattern_tokenizer_top10": (
+            _PATTERN_TOK_PRELUDE + ", " + _tscore_cte("ts", "q")
+            + _topk_sql("ts", 10)),
+        "pattern_tokenizer_term_stats": (
+            _PATTERN_TOK_PRELUDE
+            + f""" SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ({", ".join(f"'{t}'" for t in _PATTERN_TOK_TERMS)})"""),
+        "bm25_pattern_replace_top10": (
+            _PATTERN_REPLACE_PRELUDE + ", " + _tscore_cte("ts", "table")
             + _topk_sql("ts", 10)),
         "keyword_repeat_term_stats": (
             _KR_DE_PRELUDE

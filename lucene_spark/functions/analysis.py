@@ -116,11 +116,12 @@ def analyze_text(text: str,
                  stopwords: frozenset[str] = frozenset(),
                  max_token_length: int = MAX_TOKEN_LENGTH,
                  stemmer: str | None = None,
-                 tokenizer: str = "standard",
+                 tokenizer: str | tuple = "standard",
                  lowercase: bool = True,
                  ascii_folding: bool = False,
                  length_filter: tuple | None = None,
-                 elision: frozenset[str] | None = None):
+                 elision: frozenset[str] | None = None,
+                 pattern_replace: tuple | None = None):
     """Single-string analyzer (test/oracle path).
 
     Returns (terms, positions, length): surviving lowercase terms, their
@@ -145,10 +146,21 @@ def analyze_text(text: str,
                          "supported (pre/post-stem length ambiguity)")
     if stemmer == "porter":
         from .stem import porter_stem, strip_possessive
+    pr = None
+    if pattern_replace is not None:
+        from .pattern import compile_pattern_replace
+        pr = compile_pattern_replace(pattern_replace)
     terms: list[str] = []
     positions: list[int] = []
     pos = -1
-    if tokenizer == "keyword":
+    if isinstance(tokenizer, tuple) and tokenizer[0] == "pattern":
+        # PatternTokenizer (pattern/PatternTokenizer.java) — tokenize on
+        # the ORIGINAL text (LowerCaseFilter comes after in the chain,
+        # so case-sensitive patterns see the source)
+        from .pattern import pattern_tokens
+        raws = pattern_tokens(text or "", re.compile(tokenizer[1]),
+                              tokenizer[2])
+    elif tokenizer == "keyword":
         raws = [text] if text else []
     else:
         raws = TOKENIZERS[tokenizer].findall(text)
@@ -166,6 +178,10 @@ def analyze_text(text: str,
             # (el/GreekAnalyzer.java chain; the stop set is folded)
             from .greekstem import greek_fold
             low = greek_fold(low)
+        if pr is not None:
+            # PatternReplaceFilter after the normalizers, before the
+            # stop filter; emptied tokens are kept (reference behavior)
+            low = pr(low)
         if stemmer == "porter":
             low = strip_possessive(low)
         if low in stopwords:
@@ -216,11 +232,12 @@ def analyze_batch(texts: pd.Series,
                   stopwords: frozenset[str] = frozenset(),
                   max_token_length: int = MAX_TOKEN_LENGTH,
                   stemmer: str | None = None,
-                  tokenizer: str = "standard",
+                  tokenizer: str | tuple = "standard",
                   lowercase: bool = True,
                   ascii_folding: bool = False,
                   length_filter: tuple | None = None,
-                  elision: frozenset[str] | None = None):
+                  elision: frozenset[str] | None = None,
+                  pattern_replace: tuple | None = None):
     """Columnar analyzer for a batch of documents.
 
     Returns (doc_idx, terms, positions, lengths):
@@ -242,7 +259,16 @@ def analyze_batch(texts: pd.Series,
     # LowerCaseFilter commutes with tokenization — lower per *document*
     # (one C call each) instead of per token (millions).
     ascii_fast = lowercase and all(s.isascii() for s in vals)
-    if tokenizer == "keyword":
+    if isinstance(tokenizer, tuple) and tokenizer[0] == "pattern":
+        # PatternTokenizer: match on the ORIGINAL text (LowerCaseFilter
+        # is downstream of the tokenizer, and unlike the word-boundary
+        # tokenizers a user pattern need not commute with lower())
+        from .pattern import pattern_tokens
+        ascii_fast = False
+        cre = re.compile(tokenizer[1])
+        grp = tokenizer[2]
+        tok_lists = [pattern_tokens(s, cre, grp) for s in vals]
+    elif tokenizer == "keyword":
         if ascii_fast:
             tok_lists = [[s.lower()] if s else [] for s in vals]
         else:
@@ -287,6 +313,13 @@ def analyze_batch(texts: pd.Series,
         elided_u = np.array([elide(u, elision) for u in euniq],
                             dtype=object)
         flat = elided_u[ecodes]
+    if pattern_replace is not None:
+        # PatternReplaceFilter after the normalizers, before the stop
+        # filter; vocabulary-level (one regex pass per unique token);
+        # emptied tokens are kept (reference behavior)
+        from .pattern import pattern_replace_unique
+        pcodes, puniq = pd.factorize(flat)
+        flat = pattern_replace_unique(puniq, pattern_replace)[pcodes]
     if stemmer == "porter":
         # EnglishAnalyzer chain at VOCABULARY level: possessive strip →
         # stop filter → Porter stem, each computed once per unique token

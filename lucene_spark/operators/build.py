@@ -72,7 +72,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    ngram_preserve_original: bool = False,
                    word_delimiter: int | None = None,
                    word_delimiter_protected: frozenset = frozenset(),
-                   keyword_repeat: bool = False
+                   keyword_repeat: bool = False,
+                   pattern_replace: tuple | None = None
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -122,8 +123,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         doc_idx, terms, positions, lengths, cjk_over = cjk_analyze_batch(
             pd.Series(texts.to_numpy(dtype=object)), stopwords=stopwords,
             flags=cjk_bigrams, output_unigrams=cjk_output_unigrams)
-    elif tokenizer in ("path", "path_reverse") or isinstance(tokenizer,
-                                                             tuple):
+    elif tokenizer in ("path", "path_reverse") or (
+            isinstance(tokenizer, tuple) and tokenizer[0] != "pattern"):
         # (Reverse)PathHierarchyTokenizer / raw (Edge)NGramTokenizer —
         # whole-input tokenizers that replace the analysis chain; the
         # stream-rewriting filters don't compose with them
@@ -192,7 +193,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             stopwords=stopwords,
             tokenizer=tokenizer,
             ascii_folding=ascii_folding,
-            elision=elision)
+            elision=elision,
+            pattern_replace=pattern_replace)
         doc_idx, terms, positions, cjk_over = expand_keyword_repeat_batch(
             doc_idx, terms, positions, n_docs, stemmer)
     else:
@@ -202,7 +204,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             stemmer=stemmer,
             tokenizer=tokenizer,
             ascii_folding=ascii_folding,
-            elision=elision)
+            elision=elision,
+            pattern_replace=pattern_replace)
         cjk_over = np.zeros(n_docs, dtype=np.int64)
     payloads = None
     if payload_delimiter:
@@ -474,7 +477,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   ngram_preserve_original: bool = False,
                   word_delimiter: int | None = None,
                   word_delimiter_protected: frozenset = frozenset(),
-                  keyword_repeat: bool = False):
+                  keyword_repeat: bool = False,
+                  pattern_replace: tuple | None = None):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -491,7 +495,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             ngram_preserve_original=ngram_preserve_original,
             word_delimiter=word_delimiter,
             word_delimiter_protected=word_delimiter_protected,
-            keyword_repeat=keyword_repeat)
+            keyword_repeat=keyword_repeat,
+            pattern_replace=pattern_replace)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -569,7 +574,8 @@ def build_index(spark, df, index_dir: str, *,
                 ngram_preserve_original: bool = False,
                 word_delimiter: int | None = None,
                 word_delimiter_protected: frozenset = frozenset(),
-                keyword_repeat: bool = False):
+                keyword_repeat: bool = False,
+                pattern_replace: tuple | None = None):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -626,7 +632,8 @@ def build_index(spark, df, index_dir: str, *,
                             ngram_preserve_original=ngram_preserve_original,
                             word_delimiter=word_delimiter,
                             word_delimiter_protected=word_delimiter_protected,
-                            keyword_repeat=keyword_repeat)
+                            keyword_repeat=keyword_repeat,
+                            pattern_replace=pattern_replace)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)

@@ -1,0 +1,139 @@
+"""PatternTokenizer / PatternReplaceFilter (reference
+``analysis/common/.../pattern/PatternTokenizer.java``,
+``pattern/PatternReplaceFilter.java``; goldens transcoded from
+``TestPatternTokenizer.java`` / ``TestPatternReplaceFilter.java`` —
+Java-only escapes rewritten to Python-re equivalents where noted)."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+
+from lucene_spark.functions.analysis import analyze_batch, analyze_text
+from lucene_spark.functions.pattern import (compile_pattern_replace,
+                                            java_replacement_to_python,
+                                            pattern_tokens)
+
+#: TestPatternTokenizer.testSplitting — (group, pattern, input, tokens);
+#: the \p{Space} row is written as \s (Python-re dialect, documented)
+_TOKENIZER_GOLDENS = [
+    (-1, "--", "aaa--bbb--ccc", ["aaa", "bbb", "ccc"]),
+    (-1, ":", "aaa:bbb:ccc", ["aaa", "bbb", "ccc"]),
+    (-1, r"\s", "aaa   bbb \t\tccc  ", ["aaa", "bbb", "ccc"]),
+    (-1, ":", "boo:and:foo", ["boo", "and", "foo"]),
+    (-1, "o", "boo:and:foo", ["b", ":and:f"]),
+    (0, ":", "boo:and:foo", [":", ":"]),
+    (0, r"'([^']+)'", "aaa 'bbb' 'ccc'", ["'bbb'", "'ccc'"]),
+    (1, r"'([^']+)'", "aaa 'bbb' 'ccc'", ["bbb", "ccc"]),
+]
+
+
+@pytest.mark.parametrize("group,pat,inp,want", _TOKENIZER_GOLDENS)
+def test_pattern_tokenizer_goldens(group, pat, inp, want):
+    assert pattern_tokens(inp, re.compile(pat), group) == want
+
+
+#: TestPatternReplaceFilter — whitespace tokens of the shared input
+_PR_INPUT = "aabfooaabfooabfoob ab caaaaaaaaab".split()
+_PR_GOLDENS = [
+    (("a*b", "-", True), ["-foo-foo-foo-", "-", "c-"]),      # testReplaceAll
+    (("a*b", "-", False), ["-fooaabfooabfoob", "-", "c-"]),  # testReplaceFirst
+    (("a*b", None, False), ["fooaabfooabfoob", "", "c"]),    # testStripFirst
+    (("a*b", None, True), ["foofoofoo", "", "c"]),           # testStripAll
+    # testReplaceAllWithBackRef: Java replacement "$1\$"
+    (("(a*)b", "$1\\$", True),
+     ["aa$fooaa$fooa$foo$", "a$", "caaaaaaaaa$"]),
+]
+
+
+@pytest.mark.parametrize("spec,want", _PR_GOLDENS)
+def test_pattern_replace_goldens(spec, want):
+    fn = compile_pattern_replace(spec)
+    assert [fn(t) for t in _PR_INPUT] == want
+
+
+def test_java_replacement_converter():
+    assert java_replacement_to_python("$1") == r"\1"
+    assert java_replacement_to_python("\\$") == "$"
+    assert java_replacement_to_python("x$12y") == "x\\12y"
+    assert java_replacement_to_python("a\\\\b") == "a\\\\b"
+
+
+def test_analyze_pattern_tokenizer_chain():
+    """Tokenize on the ORIGINAL text (case-sensitive pattern), lowercase
+    and stop-filter downstream — the chain order of the reference's
+    pattern-tokenizer analyzers."""
+    t, p, n = analyze_text("Foo:BAR:the:Baz", tokenizer=("pattern", ":", -1),
+                           stopwords=frozenset(["the"]))
+    assert t == ["foo", "bar", "baz"]
+    assert p == [0, 1, 3]   # stop gap kept
+    assert n == 3
+    # case-sensitive group mode: pattern sees pre-lowercase text
+    t, p, n = analyze_text("aXbXc", tokenizer=("pattern", "([A-Z])", 1))
+    assert t == ["x", "x"] and p == [0, 1]
+
+
+def test_analyze_pattern_batch_matches_text():
+    texts = pd.Series(["Foo:BAR:the:Baz", "", "a:bb::cc:", "nosep"])
+    di, tm, ps, ln = analyze_batch(texts, tokenizer=("pattern", ":", -1),
+                                   stopwords=frozenset(["the"]))
+    got = sorted(zip(di.tolist(), tm.tolist(), ps.tolist()))
+    want = []
+    for i, tx in enumerate(texts):
+        ts, pp, _ = analyze_text(tx, tokenizer=("pattern", ":", -1),
+                                 stopwords=frozenset(["the"]))
+        want.extend((i, t, p) for t, p in zip(ts, pp))
+    assert got == sorted(want)
+    assert ln.tolist() == [3, 0, 3, 1]
+
+
+def test_analyze_pattern_replace_chain():
+    """PatternReplaceFilter after the normalizers, before the stop
+    filter; emptied tokens are kept as empty-string terms."""
+    t, p, n = analyze_text("files ab keeps",
+                           pattern_replace=("s$", "", False))
+    assert t == ["file", "ab", "keep"]
+    # emptied token kept (reference testStripFirst keeps "")
+    t, p, n = analyze_text("ab foo", pattern_replace=("a*b", None, True))
+    assert t == ["", "foo"] and n == 2
+    # batch ≡ text
+    texts = pd.Series(["files ab keeps", "ab foo"])
+    di, tm, ps, ln = analyze_batch(texts, pattern_replace=("s$", "", False))
+    assert sorted(zip(di.tolist(), tm.tolist())) == sorted(
+        [(0, "file"), (0, "ab"), (0, "keep"), (1, "ab"), (1, "foo")])
+
+
+def test_pattern_replace_invert_parity():
+    """Kernel parity: pattern_replace=(s$ → x) over the corpus ≡
+    building from pre-replaced text (1:1 token map — same norms, same
+    positions, same stats). The replacement is non-emptying on purpose:
+    a bare 's' token would faithfully become an empty-string TERM in the
+    engine (reference keeps them), which plain re-joined text cannot
+    express — that case is covered in test_analyze_pattern_replace_chain."""
+    from lucene_spark.operators.build import invert_segment
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(60, seed=3)
+    pdf = pd.DataFrame({"doc_id": corpus.doc_id,
+                        "content": corpus.content})
+    # pre-replace at the raw standard-token level (the corpus has
+    # punctuated identifiers — 'open;' — that the tokenizer strips
+    # before the filter sees them, AND >255-char tokens that are
+    # skipped-but-position-counted, so they must survive into the
+    # pre-replaced text verbatim to keep the position gaps)
+    from lucene_spark.functions.analysis import TOKENIZERS
+    findall = TOKENIZERS["standard"].findall
+    pre = pdf.copy()
+    pre["content"] = [
+        " ".join(w if len(w) > 255 else re.sub("s$", "x", w.lower())
+                 for w in findall(str(t)))
+        for t in pdf["content"]]
+    a = invert_segment(pdf, 0, "content", "doc_id", frozenset(), True,
+                       pattern_replace=("s$", "x", False))
+    b = invert_segment(pre, 0, "content", "doc_id", frozenset(), True)
+    for x, y in zip(a[:2], b[:2]):
+        pd.testing.assert_frame_equal(
+            x.reset_index(drop=True), y.reset_index(drop=True))
+    assert a[3] == b[3]
