@@ -121,7 +121,8 @@ def analyze_text(text: str,
                  ascii_folding: bool = False,
                  length_filter: tuple | None = None,
                  elision: frozenset[str] | None = None,
-                 pattern_replace: tuple | None = None):
+                 pattern_replace: tuple | None = None,
+                 token_filters: tuple = ()):
     """Single-string analyzer (test/oracle path).
 
     Returns (terms, positions, length): surviving lowercase terms, their
@@ -150,6 +151,10 @@ def analyze_text(text: str,
     if pattern_replace is not None:
         from .pattern import compile_pattern_replace
         pr = compile_pattern_replace(pattern_replace)
+    tf_map, tf_keep, tf_limit = (None, None, None)
+    if token_filters:
+        from .pattern import compile_token_filters
+        tf_map, tf_keep, tf_limit = compile_token_filters(token_filters)
     terms: list[str] = []
     positions: list[int] = []
     pos = -1
@@ -182,6 +187,10 @@ def analyze_text(text: str,
             # PatternReplaceFilter after the normalizers, before the
             # stop filter; emptied tokens are kept (reference behavior)
             low = pr(low)
+        if tf_map is not None:
+            low = tf_map(low)
+        if tf_keep is not None and not tf_keep(low):
+            continue  # KeepWordFilter: dropped, gap kept
         if stemmer == "porter":
             low = strip_possessive(low)
         if low in stopwords:
@@ -194,6 +203,8 @@ def analyze_text(text: str,
             low = porter_stem(low)
         elif light_stem is not None:
             low = light_stem(low)
+        if tf_limit is not None and len(terms) >= tf_limit:
+            break  # LimitTokenCountFilter: stop emitting
         terms.append(low)
         positions.append(pos)
     return terms, positions, len(terms)
@@ -237,7 +248,8 @@ def analyze_batch(texts: pd.Series,
                   ascii_folding: bool = False,
                   length_filter: tuple | None = None,
                   elision: frozenset[str] | None = None,
-                  pattern_replace: tuple | None = None):
+                  pattern_replace: tuple | None = None,
+                  token_filters: tuple = ()):
     """Columnar analyzer for a batch of documents.
 
     Returns (doc_idx, terms, positions, lengths):
@@ -320,6 +332,19 @@ def analyze_batch(texts: pd.Series,
         from .pattern import pattern_replace_unique
         pcodes, puniq = pd.factorize(flat)
         flat = pattern_replace_unique(puniq, pattern_replace)[pcodes]
+    tf_limit = None
+    if token_filters:
+        # generic chain (trim/truncate/keep/limit) — maps and the keep
+        # predicate at vocabulary level; the limit applies at emission
+        from .pattern import compile_token_filters
+        tf_map, tf_keep, tf_limit = compile_token_filters(token_filters)
+        if tf_map is not None:
+            mcodes, muniq = pd.factorize(flat)
+            flat = np.array([tf_map(u) for u in muniq],
+                            dtype=object)[mcodes]
+        if tf_keep is not None:
+            kcodes, kuniq = pd.factorize(flat)
+            keep &= np.array([tf_keep(u) for u in kuniq])[kcodes]
     if stemmer == "porter":
         # EnglishAnalyzer chain at VOCABULARY level: possessive strip →
         # stop filter → Porter stem, each computed once per unique token
@@ -357,6 +382,17 @@ def analyze_batch(texts: pd.Series,
         # outside [min, max], position gaps kept like StopFilter
         lens = np.fromiter(map(len, flat), np.int64, count=total)
         keep &= (lens >= length_filter[0]) & (lens <= length_filter[1])
+    if tf_limit is not None and keep.any():
+        # LimitTokenCountFilter: at most N surviving tokens per doc —
+        # running per-doc rank over the keep mask, doc-major order
+        kidx = np.flatnonzero(keep)
+        kdocs = doc_idx[kidx]
+        firsts = np.concatenate(([0], np.flatnonzero(np.diff(kdocs)) + 1))
+        seq = np.arange(len(kdocs), dtype=np.int64)
+        seq -= np.repeat(seq[firsts], np.diff(
+            np.concatenate((firsts, [len(kdocs)]))))
+        keep = keep.copy()
+        keep[kidx[seq >= tf_limit]] = False
     terms = flat[keep]
     doc_idx_k = doc_idx[keep]
     positions_k = positions[keep]

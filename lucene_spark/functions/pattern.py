@@ -94,6 +94,67 @@ def compile_pattern_replace(spec: tuple):
     return xform
 
 
+def compile_token_filters(specs) -> tuple:
+    """Compile the generic post-normalizer token-filter chain into
+    (map_fn | None, keep_fn | None, limit | None) — the analyzer applies
+    maps per unique token, the keep predicate as a gap-preserving drop
+    (FilteringTokenFilter semantics), and the limit as a per-document
+    emission cap. Maps compose in list order and apply BEFORE the keep
+    predicate; the limit is chain-final (at most one keep set and one
+    limit). Specs:
+
+    - ``("trim",)`` — TrimFilter (``miscellaneous/TrimFilter.java``):
+      strip leading/trailing whitespace (matters for keyword/pattern
+      tokenizers — word-boundary tokenizers never pad).
+    - ``("truncate", n)`` — TruncateTokenFilter (``miscellaneous/
+      TruncateTokenFilter.java:46-52``): tokens longer than n cut to
+      their first n chars (n >= 1).
+    - ``("keep", words)`` — KeepWordFilter (``miscellaneous/
+      KeepWordFilter.java:49-52``): drop every token NOT in the set,
+      position gaps preserved like StopFilter (both extend
+      FilteringTokenFilter).
+    - ``("limit", n)`` — LimitTokenCountFilter (``miscellaneous/
+      LimitTokenCountFilter.java:38-76``): at most n tokens emitted per
+      document, counted AFTER the other filters (chain-final), the
+      consumeAllTokens=true composition (norms still see only emitted
+      tokens — FieldInvertState counts what reaches it).
+    """
+    maps: list = []
+    keep_set = None
+    limit = None
+    for spec in specs:
+        kind = spec[0]
+        if kind == "trim":
+            maps.append(str.strip)
+        elif kind == "truncate":
+            n = int(spec[1])
+            if n < 1:
+                raise ValueError("truncate length must be >= 1")
+            maps.append(lambda t, _n=n: t[:_n])
+        elif kind == "keep":
+            if keep_set is not None:
+                raise ValueError("at most one keep filter")
+            keep_set = frozenset(spec[1])
+        elif kind == "limit":
+            if limit is not None:
+                raise ValueError("at most one limit filter")
+            limit = int(spec[1])
+            if limit < 1:
+                raise ValueError("limit must be >= 1")
+        else:
+            raise ValueError(f"unknown token filter {spec!r}")
+    map_fn = None
+    if maps:
+        def map_fn(t, _maps=tuple(maps)):
+            for m in _maps:
+                t = m(t)
+            return t
+    keep_fn = None
+    if keep_set is not None:
+        keep_fn = keep_set.__contains__
+    return map_fn, keep_fn, limit
+
+
 def pattern_replace_unique(uniq, spec: tuple) -> np.ndarray:
     """Vocabulary-level PatternReplaceFilter: transform each unique
     token once (map back through factorize codes at the call site)."""

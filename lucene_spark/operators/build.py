@@ -73,7 +73,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    word_delimiter: int | None = None,
                    word_delimiter_protected: frozenset = frozenset(),
                    keyword_repeat: bool = False,
-                   pattern_replace: tuple | None = None
+                   pattern_replace: tuple | None = None,
+                   token_filters: tuple = ()
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -194,7 +195,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             tokenizer=tokenizer,
             ascii_folding=ascii_folding,
             elision=elision,
-            pattern_replace=pattern_replace)
+            pattern_replace=pattern_replace,
+            token_filters=token_filters)
         doc_idx, terms, positions, cjk_over = expand_keyword_repeat_batch(
             doc_idx, terms, positions, n_docs, stemmer)
     else:
@@ -205,7 +207,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             tokenizer=tokenizer,
             ascii_folding=ascii_folding,
             elision=elision,
-            pattern_replace=pattern_replace)
+            pattern_replace=pattern_replace,
+            token_filters=token_filters)
         cjk_over = np.zeros(n_docs, dtype=np.int64)
     payloads = None
     if payload_delimiter:
@@ -478,7 +481,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   word_delimiter: int | None = None,
                   word_delimiter_protected: frozenset = frozenset(),
                   keyword_repeat: bool = False,
-                  pattern_replace: tuple | None = None):
+                  pattern_replace: tuple | None = None,
+                  token_filters: tuple = ()):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -496,7 +500,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             word_delimiter=word_delimiter,
             word_delimiter_protected=word_delimiter_protected,
             keyword_repeat=keyword_repeat,
-            pattern_replace=pattern_replace)
+            pattern_replace=pattern_replace,
+            token_filters=token_filters)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -575,7 +580,8 @@ def build_index(spark, df, index_dir: str, *,
                 word_delimiter: int | None = None,
                 word_delimiter_protected: frozenset = frozenset(),
                 keyword_repeat: bool = False,
-                pattern_replace: tuple | None = None):
+                pattern_replace: tuple | None = None,
+                token_filters: tuple = ()):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -633,7 +639,8 @@ def build_index(spark, df, index_dir: str, *,
                             word_delimiter=word_delimiter,
                             word_delimiter_protected=word_delimiter_protected,
                             keyword_repeat=keyword_repeat,
-                            pattern_replace=pattern_replace)
+                            pattern_replace=pattern_replace,
+                            token_filters=token_filters)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)

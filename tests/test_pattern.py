@@ -137,3 +137,64 @@ def test_pattern_replace_invert_parity():
         pd.testing.assert_frame_equal(
             x.reset_index(drop=True), y.reset_index(drop=True))
     assert a[3] == b[3]
+
+
+def test_token_filters_trim_truncate():
+    """TrimFilter (with the keyword tokenizer, the only chain that can
+    carry padded tokens) and TruncateTokenFilter (reference
+    ``TestTrimFilter.java`` / ``TestTruncateTokenFilter.java``:
+    abcdefg/1234567 → abcde/12345 at length 5)."""
+    t, p, n = analyze_text("  padded  ", tokenizer="keyword",
+                           token_filters=(("trim",),))
+    assert t == ["padded"]
+    t, p, n = analyze_text("abcdefg 1234567 ab",
+                           token_filters=(("truncate", 5),))
+    assert t == ["abcde", "12345", "ab"]
+
+
+def test_token_filters_keep_and_limit():
+    """KeepWordFilter drops with gaps (FilteringTokenFilter);
+    LimitTokenCountFilter caps emitted tokens per document."""
+    t, p, n = analyze_text("aaa BBB ccc DDD aaa",
+                           token_filters=(("keep", {"aaa", "bbb"}),))
+    assert t == ["aaa", "bbb", "aaa"]
+    assert p == [0, 1, 4]   # gaps where ccc/ddd dropped
+    assert n == 3
+    t, p, n = analyze_text("a b c d e", token_filters=(("limit", 3),))
+    assert t == ["a", "b", "c"] and n == 3
+    # limit counts SURVIVING tokens (chain-final)
+    t, p, n = analyze_text("the a the b c the d",
+                           stopwords=frozenset(["the"]),
+                           token_filters=(("limit", 3),))
+    assert t == ["a", "b", "c"] and p == [1, 3, 4]
+
+
+def test_token_filters_batch_matches_text():
+    specs = (("truncate", 4), ("keep", {"aaa", "bbbb", "cccc"}),
+             ("limit", 2))
+    texts = pd.Series(["aaa bbbbbb zz cccc aaa", "", "zz zz", "ccccX aaa"])
+    di, tm, ps, ln = analyze_batch(texts, token_filters=specs)
+    got = sorted(zip(di.tolist(), tm.tolist(), ps.tolist()))
+    want = []
+    for i, tx in enumerate(texts):
+        ts, pp, _ = analyze_text(tx, token_filters=specs)
+        want.extend((i, t, p) for t, p in zip(ts, pp))
+    assert got == sorted(want)
+    # doc 0: truncate → aaa bbbb zz cccc aaa; keep → aaa@0 bbbb@1 cccc@3
+    # aaa@4; limit 2 → aaa@0 bbbb@1
+    assert [(t, p) for d, t, p in sorted(want) if d == 0] == \
+        [("aaa", 0), ("bbbb", 1)]
+    assert ln.tolist() == [2, 0, 0, 2]
+
+
+def test_token_filters_invert_integration():
+    """token_filters thread through the build kernel: keep-set index
+    has only the kept vocabulary, norms = surviving counts."""
+    from lucene_spark.operators.build import invert_segment
+    pdf = pd.DataFrame({"doc_id": [0, 1],
+                        "content": ["keep drop keep zz", "drop drop keep"]})
+    postings, doc_meta, norms, stl = invert_segment(
+        pdf, 0, "content", "doc_id", frozenset(), True,
+        token_filters=(("keep", {"keep", "zz"}),))
+    assert sorted(postings["term"]) == ["keep", "zz"]
+    assert stl == 4  # 3 keeps + 1 zz survive
