@@ -292,6 +292,50 @@ def _q_pattern_replace_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.Term("table"), k=10))
 
 
+_COMPOUND_WORDS = frozenset(["scan", "index", "table"])
+
+
+def _searcher_compound(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with DictionaryCompoundWordTokenFilter
+    (``compound/DictionaryCompoundWordTokenFilter.java``): docs with
+    doc_id % 7 == 0 get the compound token 'scanindextable' prepended;
+    the filter overlays scan/index/table at its position. The dictionary
+    also hits ordinary corpus tokens — any ≥5-char token containing a
+    dictionary word as a substring gets the overlay, including the
+    faithful self-re-emission of 'index'/'table' themselves."""
+    key = "compound:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit("scanindextable "), F.col("text")))
+            .otherwise(F.col("text")).alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    dictionary_compound=_COMPOUND_WORDS)
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_compound_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery('scan') over the compound-decomposed index —
+    matches surface scans AND the subword overlays inside compounds."""
+    return _fmt_topk(_searcher_compound(spark, sf_dir).search(
+        Q.Term("scan"), k=10))
+
+
+def _q_compound_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher_compound(spark, sf_dir)
+    return (s.term_stats
+            .filter(F.col("term").isin(["scan", "index", "table",
+                                        "scanindextable"]))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _elide_content(col):
     """Deterministic apostrophe injection so the synthetic corpus
     exercises ElisionFilter: vowel-initial tokens get ``l'``, s-initial
@@ -1254,6 +1298,53 @@ normcache AS (
   FROM doclen d, avgs a
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+# DictionaryCompoundWordTokenFilter in SQL: tok2 = surface tokens +
+# one dictionary-word overlay per substring OCCURRENCE inside every
+# ≥5-char token (the per-start scan; the chosen words have no
+# self-overlap, so the replace-count equals the start-position count).
+# Norms = surface counts, sttf counts the overlays.
+_COMPOUND_PRELUDE = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'scanindextable ' || text
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM injected
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+sub AS (
+  SELECT doc_id, term FROM (
+    SELECT t.doc_id, d.w AS term,
+           unnest(range((length(t.term)
+                         - length(replace(t.term, d.w, '')))
+                        // length(d.w))) AS k
+    FROM tok t, (VALUES ('scan'), ('index'), ('table')) d(w)
+    WHERE length(t.term) >= 5)
+),
+tok2 AS (SELECT doc_id, term FROM tok
+         UNION ALL
+         SELECT doc_id, term FROM sub),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM doclen) AS dc,
+                 (SELECT count(*) FROM tok2) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
 dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
 """
 
@@ -4445,6 +4536,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pattern_tokenizer_top10": _q_pattern_tok_top10,
         "pattern_tokenizer_term_stats": _q_pattern_tok_stats,
         "bm25_pattern_replace_top10": _q_pattern_replace_top10,
+        "bm25_compound_top10": _q_compound_top10,
+        "compound_term_stats": _q_compound_stats,
         "bm25_elision_fr_top10": _q_elision_fr,
         "elision_fr_term_stats": _q_elision_fr_stats,
         "combined_field_top10": _q_combined_field,
@@ -5420,6 +5513,14 @@ FROM dfs WHERE term IN ({", ".join(f"'{t}'" for t in _PATTERN_TOK_TERMS)})"""),
         "bm25_pattern_replace_top10": (
             _PATTERN_REPLACE_PRELUDE + ", " + _tscore_cte("ts", "table")
             + _topk_sql("ts", 10)),
+        "bm25_compound_top10": (
+            _COMPOUND_PRELUDE + ", " + _tscore_cte("ts", "scan")
+            + _topk_sql("ts", 10)),
+        "compound_term_stats": (
+            _COMPOUND_PRELUDE
+            + """ SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ('scan', 'index', 'table', 'scanindextable')"""),
         "keyword_repeat_term_stats": (
             _KR_DE_PRELUDE
             + f""" SELECT term, CAST(df AS BIGINT) AS df,

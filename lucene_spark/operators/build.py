@@ -74,7 +74,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    word_delimiter_protected: frozenset = frozenset(),
                    keyword_repeat: bool = False,
                    pattern_replace: tuple | None = None,
-                   token_filters: tuple = ()
+                   token_filters: tuple = (),
+                   dictionary_compound=None
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -262,6 +263,19 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         doc_idx, terms, positions, cg_over = expand_common_grams_batch(
             doc_idx, terms, positions, n_docs, common_grams)
         overlaps = overlaps + cg_over
+    if dictionary_compound is not None:
+        # DictionaryCompoundWordTokenFilter (compound/
+        # DictionaryCompoundWordTokenFilter.java): subword overlays at
+        # the source position — same graph shape as synonyms/shingles,
+        # same mutual-exclusion rules (parallel array alignment)
+        if synonyms or payload_delimiter or shingles or common_grams:
+            raise ValueError("dictionary_compound is mutually exclusive "
+                             "with synonyms, payloads, shingles and "
+                             "common_grams")
+        from ..functions.compound import expand_compound_batch
+        doc_idx, terms, positions, dc_over = expand_compound_batch(
+            doc_idx, terms, positions, n_docs, dictionary_compound)
+        overlaps = overlaps + dc_over
     if ngrams is not None:
         # (Edge)NGramTokenFilter last in the chain (the reference's
         # usual composition); replaces per-doc lengths with emitting-
@@ -482,7 +496,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   word_delimiter_protected: frozenset = frozenset(),
                   keyword_repeat: bool = False,
                   pattern_replace: tuple | None = None,
-                  token_filters: tuple = ()):
+                  token_filters: tuple = (),
+                  dictionary_compound=None):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -501,7 +516,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             word_delimiter_protected=word_delimiter_protected,
             keyword_repeat=keyword_repeat,
             pattern_replace=pattern_replace,
-            token_filters=token_filters)
+            token_filters=token_filters,
+            dictionary_compound=dictionary_compound)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -581,7 +597,8 @@ def build_index(spark, df, index_dir: str, *,
                 word_delimiter_protected: frozenset = frozenset(),
                 keyword_repeat: bool = False,
                 pattern_replace: tuple | None = None,
-                token_filters: tuple = ()):
+                token_filters: tuple = (),
+                dictionary_compound=None):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -640,7 +657,8 @@ def build_index(spark, df, index_dir: str, *,
                             word_delimiter_protected=word_delimiter_protected,
                             keyword_repeat=keyword_repeat,
                             pattern_replace=pattern_replace,
-                            token_filters=token_filters)
+                            token_filters=token_filters,
+                            dictionary_compound=dictionary_compound)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
