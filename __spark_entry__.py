@@ -3111,6 +3111,17 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_subtokens").cast("int").alias("n_subtokens")))
 
 
+def _q_fingerprint_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FingerprintFilter (reference ``miscellaneous/FingerprintFilter
+    .java``): per-doc clustering fingerprint = sorted de-duplicated
+    token set joined by ' ', md5-projected. Pure Catalyst — one
+    expression chain, no UDF."""
+    res = textstats.with_fingerprint_token(
+        _docs(spark, sf_dir), max_output_token_size=65536)
+    return res.select("doc_id", F.md5(F.col("fingerprint"))
+                      .alias("fp_md5"))
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (textstats.with_quality_score(_docs(spark, sf_dir))
             .select("doc_id", _q4(F.col("quality")).alias("quality_q4")))
@@ -4557,6 +4568,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
+        "fingerprint_token": _q_fingerprint_token,
         "embed_cosine_topk": _q_cosine_topk,
         "embed_lsh_topk": _q_lsh_topk,
         "embed_hnsw_topk": _q_hnsw_topk,
@@ -5555,6 +5567,19 @@ SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
 FROM documents""",
         "text_quality": _QUALITY_SQL,
         "text_lang_id": _LANG_SQL,
+        #: FingerprintFilter twin: sorted distinct whitespace tokens
+        #: joined by ' ' (binary string order both sides), NULL when
+        #: empty or longer than the max (65536 here), md5-projected
+        "fingerprint_token": """
+SELECT doc_id,
+       md5(CASE WHEN len(l) = 0 THEN NULL
+                WHEN length(array_to_string(list_sort(l), ' ')) > 65536
+                  THEN NULL
+                ELSE array_to_string(list_sort(l), ' ') END) AS fp_md5
+FROM (SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS l
+      FROM documents)""",
         "text_fingerprint": """
 SELECT doc_id, md5(text) AS fp_exact,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),

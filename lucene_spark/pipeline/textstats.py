@@ -122,3 +122,44 @@ def with_fingerprints(df, text_col: str = "text"):
     return (df.withColumn("fp_exact", F.md5(F.col(text_col)))
               .withColumn("fp_bag", F.md5(bag))
               .withColumn("fp_roll", roll))
+
+
+def fingerprint_token(terms, max_output_token_size: int = 1024,
+                      separator: str = " ") -> str | None:
+    """FingerprintFilter for one token stream (reference
+    ``miscellaneous/FingerprintFilter.java:83-170``): de-duplicate,
+    sort by UTF-16 code-unit order (the reference's char[] comparator —
+    ``str.encode('utf-16-be')`` as the key reproduces it exactly), join
+    with ``separator``; None when the stream is empty or the joined
+    length exceeds ``maxOutputTokenSize`` (strict >, so == max still
+    emits). Length here is codepoints vs Java's UTF-16 units —
+    divergent only for astral-plane text (documented)."""
+    seen = dict.fromkeys(terms)
+    if not seen:
+        return None
+    out = separator.join(sorted(seen, key=lambda s: s.encode("utf-16-be")))
+    if len(out) > max_output_token_size:
+        return None
+    return out
+
+
+def with_fingerprint_token(df, text_col: str = "text",
+                           out_col: str = "fingerprint",
+                           max_output_token_size: int = 1024,
+                           separator: str = " "):
+    """Distributed FingerprintFilter over whitespace tokens — the
+    clustering/linking fingerprint as ONE Catalyst expression chain
+    (split → filter-empties → array_distinct → array_sort →
+    array_join), no UDF, rides any scan. Spark's string sort is UTF-8
+    binary = codepoint order; identical to the reference's UTF-16
+    comparator for all non-astral text (documented above)."""
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda x: x != F.lit(""))
+    arr = F.array_sort(F.array_distinct(toks))
+    fp = F.array_join(arr, separator)
+    return df.withColumn(
+        out_col,
+        F.when(F.size(arr) == 0, F.lit(None).cast("string"))
+        .when(F.length(fp) > int(max_output_token_size),
+              F.lit(None).cast("string"))
+        .otherwise(fp))

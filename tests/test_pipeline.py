@@ -527,3 +527,29 @@ def test_drop_near_duplicates_transitive(spark):
     for a, b in pairs:
         comp |= {a, b}
     assert kept == sorted(({min(comp)} | {0, 1, 2, 3} - comp))
+
+
+def test_fingerprint_token_goldens_and_spark(spark):
+    """FingerprintFilter (miscellaneous/FingerprintFilter.java; goldens
+    from TestFingerprintFilter.java) — Python twin exact, Spark
+    expression chain ≡ twin on mixed shapes incl. empty and
+    over-budget docs."""
+    from lucene_spark.pipeline.textstats import (fingerprint_token,
+                                                 with_fingerprint_token)
+    assert fingerprint_token("B A B E".split()) == "A B E"
+    assert fingerprint_token("B2 B2".split()) == "B2"
+    assert fingerprint_token("B2 A1 C3 D4 E5 F6 G7 H1".split(), 4) is None
+    assert fingerprint_token("B2 A1 C3 B2".split(), 1024, "_") == "A1_B2_C3"
+    assert fingerprint_token(["A1"]) == "A1"
+    assert fingerprint_token([]) is None
+    assert fingerprint_token(["ab", "c"], 4) == "ab c"  # == max emits
+
+    rows = [(0, "B A B E"), (1, ""), (2, "B2 A1 C3 D4 E5 F6 G7 H1"),
+            (3, "one  two   one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["fingerprint"] for r in
+           with_fingerprint_token(df, max_output_token_size=10)
+           .collect()}
+    want = {d: fingerprint_token([w for w in t.split(" ") if w], 10)
+            for d, t in rows}
+    assert got == want
