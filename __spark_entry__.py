@@ -336,6 +336,56 @@ def _q_compound_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+#: the reference javadoc's camelCase pattern set
+#: (pattern/PatternCaptureGroupTokenFilter.java:45-52)
+_CAMEL_PATTERNS = (r"([A-Z]{2,})", r"(?<![A-Z])([A-Z][a-z]+)",
+                   r"(?:^|\b|(?<=[0-9_])|(?<=[A-Z]{2}))([a-z]+)",
+                   r"([0-9]+)")
+
+
+def _searcher_capture(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with PatternCaptureGroupTokenFilter
+    (``pattern/PatternCaptureGroupTokenFilter.java``) using the
+    javadoc's camelCase pattern set, preserveOriginal=False: docs with
+    doc_id % 7 == 0 get 'getDataValue' prepended — the filter splits it
+    into get/Data/Value (first capture REPLACES the original at its
+    position, the rest overlay posInc-0), then LowerCaseFilter. Base
+    lowercase tokens decompose into their alpha/digit runs (identity
+    for pure-alpha words)."""
+    key = "capture:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit("getDataValue "), F.col("text")))
+            .otherwise(F.col("text")).alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    tokenizer="whitespace",
+                    capture_groups=(_CAMEL_PATTERNS, False))
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_capture_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery('data') over the camel-captured index — matches
+    surface 'data' tokens AND the Data capture inside the injected
+    camel identifier."""
+    return _fmt_topk(_searcher_capture(spark, sf_dir).search(
+        Q.Term("data"), k=10))
+
+
+def _q_capture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher_capture(spark, sf_dir)
+    return (s.term_stats
+            .filter(F.col("term").isin(["get", "data", "value"]))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _elide_content(col):
     """Deterministic apostrophe injection so the synthetic corpus
     exercises ElisionFilter: vowel-initial tokens get ``l'``, s-initial
@@ -1345,6 +1395,50 @@ normcache AS (
   FROM doclen d, avgs a
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+# PatternCaptureGroupTokenFilter (camelCase set, preserveOriginal=
+# False) in SQL: the injected camel token has a FIXED capture list
+# (get/data/value post-lowercase); every other (lowercase alnum) token
+# decomposes into its alpha + digit runs — exactly what the camel
+# pattern set captures on uppercase-free input — with the first run
+# replacing the original (so norms stay the surface token count).
+_CAPTURE_PRELUDE = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'getDataValue ' || text
+              ELSE text END AS text
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM injected
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok0 GROUP BY doc_id),
+tok AS (
+  SELECT doc_id, unnest(
+    CASE WHEN term = 'getDataValue' THEN ['get', 'data', 'value']
+         WHEN len(regexp_extract_all(term, '[a-z]+|[0-9]+')) = 0
+           THEN [term]
+         ELSE regexp_extract_all(term, '[a-z]+|[0-9]+') END) AS term
+  FROM tok0
+),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM doclen) AS dc,
+                 (SELECT count(*) FROM tok) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
 dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
 """
 
@@ -4549,6 +4643,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pattern_replace_top10": _q_pattern_replace_top10,
         "bm25_compound_top10": _q_compound_top10,
         "compound_term_stats": _q_compound_stats,
+        "bm25_capture_camel_top10": _q_capture_top10,
+        "capture_term_stats": _q_capture_stats,
         "bm25_elision_fr_top10": _q_elision_fr,
         "elision_fr_term_stats": _q_elision_fr_stats,
         "combined_field_top10": _q_combined_field,
@@ -5533,6 +5629,14 @@ FROM dfs WHERE term IN ({", ".join(f"'{t}'" for t in _PATTERN_TOK_TERMS)})"""),
             + """ SELECT term, CAST(df AS BIGINT) AS df,
        CAST(ttf AS BIGINT) AS ttf
 FROM dfs WHERE term IN ('scan', 'index', 'table', 'scanindextable')"""),
+        "bm25_capture_camel_top10": (
+            _CAPTURE_PRELUDE + ", " + _tscore_cte("ts", "data")
+            + _topk_sql("ts", 10)),
+        "capture_term_stats": (
+            _CAPTURE_PRELUDE
+            + """ SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ('get', 'data', 'value')"""),
         "keyword_repeat_term_stats": (
             _KR_DE_PRELUDE
             + f""" SELECT term, CAST(df AS BIGINT) AS df,

@@ -160,3 +160,109 @@ def pattern_replace_unique(uniq, spec: tuple) -> np.ndarray:
     token once (map back through factorize codes at the call site)."""
     fn = compile_pattern_replace(spec)
     return np.array([fn(u) for u in uniq], dtype=object)
+
+
+def capture_group_tokens(token: str, patterns, preserve_original: bool
+                         ) -> list[str]:
+    """PatternCaptureGroupTokenFilter for one token (reference
+    ``pattern/PatternCaptureGroupTokenFilter.java:88-165``): walk every
+    pattern's matches/groups emitting captures in ascending-start order
+    (ties → earlier pattern), skipping empty captures and — with
+    preserveOriginal — captures equal to the whole token. The FIRST
+    element of the returned list carries the source position (it is the
+    original when preserveOriginal or when nothing captured, else the
+    first capture REPLACES the original); the rest are posInc-0
+    overlaps."""
+    n = len(token)
+    iters = [p.finditer(token) for p in patterns]
+    counts = [p.groups for p in patterns]
+    cur_m: list = [None] * len(patterns)
+    cur_g = [-1] * len(patterns)
+    state = {"matcher": -1}
+
+    def next_capture() -> bool:
+        min_offset = None
+        state["matcher"] = -1
+        i = 0
+        while i < len(patterns):
+            if cur_g[i] == -1:
+                cur_m[i] = next(iters[i], None)
+                cur_g[i] = 1 if cur_m[i] is not None else 0
+            if cur_g[i] != 0:
+                while cur_g[i] < counts[i] + 1:
+                    start = cur_m[i].start(cur_g[i])
+                    end = cur_m[i].end(cur_g[i])
+                    if start == end or (preserve_original and start == 0
+                                        and end == n):
+                        cur_g[i] += 1
+                        continue
+                    if min_offset is None or start < min_offset:
+                        min_offset = start
+                        state["matcher"] = i
+                    break
+                if cur_g[i] == counts[i] + 1:
+                    cur_g[i] = -1
+                    continue  # re-run the same i (the reference's i--)
+            i += 1
+        return state["matcher"] != -1
+
+    def take() -> str:
+        i = state["matcher"]
+        s = token[cur_m[i].start(cur_g[i]):cur_m[i].end(cur_g[i])]
+        cur_g[i] += 1
+        return s
+
+    out: list[str] = []
+    if preserve_original:
+        out.append(token)
+        while next_capture():
+            out.append(take())
+    else:
+        if next_capture():
+            out.append(take())
+            while next_capture():
+                out.append(take())
+        else:
+            out.append(token)
+    return out
+
+
+def expand_capture_groups_batch(doc_idx, terms, positions, n_docs,
+                                patterns, preserve_original: bool):
+    """Columnar PatternCaptureGroupTokenFilter: emissions computed once
+    per UNIQUE token; the first emission keeps the source position
+    (posInc 1 — it replaces the original unless preserveOriginal), the
+    rest land as posInc-0 overlaps. Returns (doc_idx, terms, positions,
+    overlaps_per_doc)."""
+    import re as _re
+    pats = [p if isinstance(p, _re.Pattern) else _re.compile(p)
+            for p in patterns]
+    overlaps = np.zeros(n_docs, dtype=np.int64)
+    if len(terms) == 0:
+        return doc_idx, terms, positions, overlaps
+    codes, uniq = pd.factorize(terms)
+    emits_u = [capture_group_tokens(u, pats, preserve_original)
+               for u in uniq]
+    first_u = np.array([e[0] for e in emits_u], dtype=object)
+    rest_u = [e[1:] for e in emits_u]
+    rest_counts = np.fromiter((len(r) for r in rest_u), np.int64,
+                              count=len(uniq))
+    terms2 = first_u[codes]
+    per_tok = rest_counts[codes]
+    total = int(per_tok.sum())
+    if total == 0:
+        return doc_idx, terms2, positions, overlaps
+    add_d = np.repeat(doc_idx, per_tok)
+    add_p = np.repeat(positions, per_tok)
+    add_t = np.empty(total, dtype=object)
+    i = 0
+    for c in codes:
+        r = rest_u[c]
+        if r:
+            add_t[i:i + len(r)] = r
+            i += len(r)
+    overlaps = np.bincount(add_d, minlength=n_docs).astype(np.int64)
+    return (np.concatenate([doc_idx, add_d]),
+            np.concatenate([terms2, add_t]),
+            np.concatenate([positions, add_p]),
+            overlaps)

@@ -75,7 +75,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    keyword_repeat: bool = False,
                    pattern_replace: tuple | None = None,
                    token_filters: tuple = (),
-                   dictionary_compound=None
+                   dictionary_compound=None,
+                   capture_groups: tuple | None = None
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -173,6 +174,27 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             expand_worddelim_batch(doc_idx, terms, positions, n_docs,
                                    word_delimiter,
                                    word_delimiter_protected)
+        if len(terms):
+            codes, uniq = pd.factorize(terms)
+            terms = np.array([u.lower() for u in uniq],
+                             dtype=object)[codes]
+    elif capture_groups is not None:
+        # PatternCaptureGroupTokenFilter chain (reference composition:
+        # tokenize -> captures -> lowercase — case information drives
+        # the camelCase patterns, so LowerCaseFilter comes AFTER)
+        if (stemmer or synonyms or shingles or common_grams
+                or ascii_folding or elision or payload_delimiter
+                or stopwords or ngrams is not None or keyword_repeat):
+            raise ValueError("capture_groups is mutually exclusive with "
+                             "the other token filters")
+        from ..functions.pattern import expand_capture_groups_batch
+        patterns, preserve_original = capture_groups
+        doc_idx, terms, positions, lengths = analyze_batch(
+            pd.Series(texts.to_numpy(dtype=object)),
+            tokenizer=tokenizer, lowercase=False)
+        doc_idx, terms, positions, cjk_over = expand_capture_groups_batch(
+            doc_idx, terms, positions, n_docs, patterns,
+            preserve_original)
         if len(terms):
             codes, uniq = pd.factorize(terms)
             terms = np.array([u.lower() for u in uniq],
@@ -497,7 +519,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   keyword_repeat: bool = False,
                   pattern_replace: tuple | None = None,
                   token_filters: tuple = (),
-                  dictionary_compound=None):
+                  dictionary_compound=None,
+                  capture_groups: tuple | None = None):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -517,7 +540,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             keyword_repeat=keyword_repeat,
             pattern_replace=pattern_replace,
             token_filters=token_filters,
-            dictionary_compound=dictionary_compound)
+            dictionary_compound=dictionary_compound,
+            capture_groups=capture_groups)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -598,7 +622,8 @@ def build_index(spark, df, index_dir: str, *,
                 keyword_repeat: bool = False,
                 pattern_replace: tuple | None = None,
                 token_filters: tuple = (),
-                dictionary_compound=None):
+                dictionary_compound=None,
+                capture_groups: tuple | None = None):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -658,7 +683,8 @@ def build_index(spark, df, index_dir: str, *,
                             keyword_repeat=keyword_repeat,
                             pattern_replace=pattern_replace,
                             token_filters=token_filters,
-                            dictionary_compound=dictionary_compound)
+                            dictionary_compound=dictionary_compound,
+                            capture_groups=capture_groups)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)

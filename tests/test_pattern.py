@@ -198,3 +198,69 @@ def test_token_filters_invert_integration():
         token_filters=(("keep", {"keep", "zz"}),))
     assert sorted(postings["term"]) == ["keep", "zz"]
     assert stl == 4  # 3 keeps + 1 zz survive
+
+
+#: the reference javadoc's camelCase pattern set
+_CAMEL = (r"([A-Z]{2,})", r"(?<![A-Z])([A-Z][a-z]+)",
+          r"(?:^|\b|(?<=[0-9_])|(?<=[A-Z]{2}))([a-z]+)", r"([0-9]+)")
+
+
+def test_capture_group_goldens():
+    """Transcoded from TestPatternCaptureGroupTokenFilter: multi-capture
+    overlap, multi-pattern min-offset interleave, camelCase, no-match
+    passthrough, preserveOriginal whole-token skip."""
+    from lucene_spark.functions.pattern import capture_group_tokens as cg
+    P = lambda *ps: [re.compile(p) for p in ps]
+    assert cg("foobarbaz", P(r"(.(.(.)))"), False) == \
+        ["foo", "oo", "o", "bar", "ar", "r", "baz", "az", "z"]
+    assert cg("foobarbaz", P(r"(.(.(.)))"), True) == \
+        ["foobarbaz", "foo", "oo", "o", "bar", "ar", "r", "baz", "az", "z"]
+    assert cg("aaabbbaaa", P("(aaa)", "(bbb)", "(ccc)"), False) == \
+        ["aaa", "bbb", "aaa"]
+    assert cg("aaabbbaaa", P("(aaa)", "(bbb)", "(ccc)"), True) == \
+        ["aaabbbaaa", "aaa", "bbb", "aaa"]
+    assert cg("letsPartyLIKEits1999_dude", P(*_CAMEL), False) == \
+        ["lets", "Party", "LIKE", "its", "1999", "dude"]
+    assert cg("letsPartyLIKEits1999_dude", P(*_CAMEL), True) == \
+        ["letsPartyLIKEits1999_dude", "lets", "Party", "LIKE", "its",
+         "1999", "dude"]
+    assert cg("xxx", P("(yyy)"), False) == ["xxx"]
+    # preserveOriginal skips the capture equal to the whole token
+    assert cg("aaa", P("(aaa)"), True) == ["aaa"]
+
+
+def test_capture_group_batch_positions():
+    """First emission keeps the source position (replaces the original
+    unless preserved); the rest overlay posInc-0. Overlap counts feed
+    the norm discount."""
+    from lucene_spark.functions.pattern import expand_capture_groups_batch
+    import numpy as np
+    di = np.array([0, 0, 1], dtype=np.int64)
+    tm = np.array(["getData", "plain", "xY9"], dtype=object)
+    ps = np.array([0, 1, 0], dtype=np.int64)
+    d2, t2, p2, over = expand_capture_groups_batch(
+        di, tm, ps, 2, _CAMEL, False)
+    # 'Y' alone matches no camel pattern ([A-Z][a-z]+ needs a lowercase
+    # tail, [A-Z]{2,} needs a second uppercase) — faithfully dropped
+    assert sorted(zip(d2.tolist(), t2.tolist(), p2.tolist())) == sorted(
+        [(0, "get", 0), (0, "Data", 0), (0, "plain", 1),
+         (1, "x", 0), (1, "9", 0)])
+    assert over.tolist() == [1, 1]
+
+
+def test_capture_group_invert_integration():
+    """capture_groups through the build kernel: camel identifiers are
+    searchable by fragment; norms = surface token counts."""
+    from lucene_spark.operators.build import invert_segment
+    pdf = pd.DataFrame({"doc_id": [0, 1],
+                        "content": ["getDataValue readFile",
+                                    "plain words here"]})
+    postings, doc_meta, norms, stl = invert_segment(
+        pdf, 0, "content", "doc_id", frozenset(), True,
+        tokenizer="whitespace", capture_groups=(_CAMEL, False))
+    terms = set(postings["term"])
+    assert {"get", "data", "value", "read", "file",
+            "plain", "words", "here"} <= terms
+    assert "getdatavalue" not in terms   # replaced, not preserved
+    # doc0: 2 surface tokens -> 5 emissions (3 + 2): 3 overlaps
+    assert stl == 5 + 3
