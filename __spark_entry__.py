@@ -336,6 +336,57 @@ def _q_compound_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+_HTML_MARKER_TERMS = ("zqmapped", "zqtail", "data",
+                      "zqscript", "zqcomment", "div")
+
+
+def _searcher_html_strip(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with the char-filter chain HTMLStripCharFilter →
+    MappingCharFilter (``charfilter/HTMLStripCharFilter.jflex``,
+    ``charfilter/MappingCharFilter.java``): every doc is wrapped in real
+    markup — a block tag, an inline tag, a script element, a comment,
+    and a numeric character entity — and stripped back at index time.
+    Surviving tokens = the original text + the decoded-entity token
+    'zqxyz' (rewritten to 'zqmapped' by the mapping filter) + the
+    inline-tag body 'zqtail'; 'zqscript'/'zqcomment'/'div' must NOT
+    reach the dictionary. Norms/avgdl shift by the two extra tokens, so
+    the scores only match if the whole wrap → strip → map chain
+    round-trips exactly."""
+    key = "htmlstrip:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.lit('<div class="zq">'), F.col("text"),
+                     F.lit('</div><script type="text/javascript">'
+                           'zqscript();</script><!-- zqcomment -->'
+                           ' zq&#120;yz <i>zqtail</i>')).alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    char_filters=(("html_strip",),
+                                  ("mapping", (("zqxyz", "zqmapped"),))))
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_html_strip_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery over the HTML-stripped index — tf/df of 'data'
+    are the clean corpus values but dl/avgdl include the two marker
+    tokens the strip left behind."""
+    return _fmt_topk(_searcher_html_strip(spark, sf_dir).search(
+        Q.Term("data"), k=10))
+
+
+def _q_html_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher_html_strip(spark, sf_dir)
+    return (s.term_stats
+            .filter(F.col("term").isin(list(_HTML_MARKER_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 #: the reference javadoc's camelCase pattern set
 #: (pattern/PatternCaptureGroupTokenFilter.java:45-52)
 _CAMEL_PATTERNS = (r"([A-Z]{2,})", r"(?<![A-Z])([A-Z][a-z]+)",
@@ -1331,6 +1382,39 @@ tok AS (
                         '[0-9]+$', '', 'g') AS term,
          unnest(range(len(string_split(text, ' ')))) AS pos
   FROM injected
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM doclen),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+# HTMLStripCharFilter + MappingCharFilter twin: the injected markup
+# strips back to the original text plus two marker tokens per doc
+# ('zq&#120;yz' decodes to 'zqxyz' which the mapping filter rewrites to
+# 'zqmapped'; the inline-tag body 'zqtail' survives; the script body,
+# comment and tag names vanish) — so the SQL mirror is simply the clean
+# text with the two survivors appended.
+_HTML_STRIP_PRELUDE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' zqmapped zqtail', ' ')) AS term,
+         unnest(range(len(string_split(text || ' zqmapped zqtail', ' '))))
+           AS pos
+  FROM documents
 ),
 doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 lut(v) AS (VALUES {_LUT_V}),
@@ -4642,6 +4726,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_tokenizer_term_stats": _q_pattern_tok_stats,
         "bm25_pattern_replace_top10": _q_pattern_replace_top10,
         "bm25_compound_top10": _q_compound_top10,
+        "bm25_html_strip_top10": _q_html_strip_top10,
+        "html_strip_term_stats": _q_html_strip_stats,
         "compound_term_stats": _q_compound_stats,
         "bm25_capture_camel_top10": _q_capture_top10,
         "capture_term_stats": _q_capture_stats,
@@ -5624,6 +5710,14 @@ FROM dfs WHERE term IN ({", ".join(f"'{t}'" for t in _PATTERN_TOK_TERMS)})"""),
         "bm25_compound_top10": (
             _COMPOUND_PRELUDE + ", " + _tscore_cte("ts", "scan")
             + _topk_sql("ts", 10)),
+        "bm25_html_strip_top10": (
+            _HTML_STRIP_PRELUDE + ", " + _tscore_cte("ts", "data")
+            + _topk_sql("ts", 10)),
+        "html_strip_term_stats": (
+            _HTML_STRIP_PRELUDE
+            + f""" SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ({", ".join(f"'{t}'" for t in _HTML_MARKER_TERMS)})"""),
         "compound_term_stats": (
             _COMPOUND_PRELUDE
             + """ SELECT term, CAST(df AS BIGINT) AS df,

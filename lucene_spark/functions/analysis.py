@@ -122,7 +122,8 @@ def analyze_text(text: str,
                  length_filter: tuple | None = None,
                  elision: frozenset[str] | None = None,
                  pattern_replace: tuple | None = None,
-                 token_filters: tuple = ()):
+                 token_filters: tuple = (),
+                 char_filters: tuple = ()):
     """Single-string analyzer (test/oracle path).
 
     Returns (terms, positions, length): surviving lowercase terms, their
@@ -136,6 +137,11 @@ def analyze_text(text: str,
     per-language light/minimal chain (reference per-language analyzers:
     lowercase -> stop filter -> stem filter; no possessive strip).
     """
+    if char_filters:
+        # Analyzer.initReader — char filters rewrite the raw text before
+        # the tokenizer (charfilter/ package)
+        from .charfilter import compile_char_filters
+        text = compile_char_filters(char_filters)(text or "")
     light_stem = None
     if stemmer not in (None, "porter"):
         from .lightstem import LIGHT_STEMMERS

@@ -76,7 +76,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    pattern_replace: tuple | None = None,
                    token_filters: tuple = (),
                    dictionary_compound=None,
-                   capture_groups: tuple | None = None
+                   capture_groups: tuple | None = None,
+                   char_filters: tuple = ()
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -109,6 +110,13 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
     # out as an object ndarray anyway
     texts = pdf[content_col].to_numpy(dtype=object, copy=True)
     texts[pd.isna(texts)] = ""
+    if char_filters:
+        # Analyzer.initReader: char filters rewrite the raw text BEFORE
+        # the tokenizer (charfilter/HTMLStripCharFilter.java,
+        # MappingCharFilter.java) — one pass per doc inside this batch
+        from ..functions.charfilter import compile_char_filters
+        _cf = compile_char_filters(char_filters)
+        texts = np.array([_cf(s) for s in texts], dtype=object)
     texts = pd.Series(texts)
     n_docs = len(pdf)
     if cjk_bigrams is not None:
@@ -520,7 +528,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   pattern_replace: tuple | None = None,
                   token_filters: tuple = (),
                   dictionary_compound=None,
-                  capture_groups: tuple | None = None):
+                  capture_groups: tuple | None = None,
+                  char_filters: tuple = ()):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -541,7 +550,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             pattern_replace=pattern_replace,
             token_filters=token_filters,
             dictionary_compound=dictionary_compound,
-            capture_groups=capture_groups)
+            capture_groups=capture_groups,
+            char_filters=char_filters)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -623,7 +633,8 @@ def build_index(spark, df, index_dir: str, *,
                 pattern_replace: tuple | None = None,
                 token_filters: tuple = (),
                 dictionary_compound=None,
-                capture_groups: tuple | None = None):
+                capture_groups: tuple | None = None,
+                char_filters: tuple = ()):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -654,6 +665,7 @@ def build_index(spark, df, index_dir: str, *,
                                or cjk_bigrams is not None
                                or ngrams is not None
                                or word_delimiter is not None
+                               or char_filters
                                or tokenizer != "standard"):
         raise ValueError("term vectors require the plain standard chain "
                          "(offsets must slice the source text)")
@@ -684,7 +696,8 @@ def build_index(spark, df, index_dir: str, *,
                             pattern_replace=pattern_replace,
                             token_filters=token_filters,
                             dictionary_compound=dictionary_compound,
-                            capture_groups=capture_groups)
+                            capture_groups=capture_groups,
+                            char_filters=char_filters)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
