@@ -387,6 +387,46 @@ def _q_html_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _searcher_reversed(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with ReverseStringFilter
+    (``analysis/common/.../reverse/ReverseStringFilter.java``,
+    ``reverse_tokens=True``): the dictionary holds every token reversed,
+    so a leading wildcard (``*er``) becomes the PREFIX query ``re%`` —
+    a sargable predicate the term_stats scan range-prunes — instead of
+    an unprunable ``%er`` full-dictionary pass. The Solr
+    ReversedWildcardFilter deployment pattern (a parallel reversed
+    field)."""
+    key = "reversed:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    reverse_tokens=True)
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_leading_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WildcardQuery('*er') accelerated as PrefixQuery('re') over the
+    reversed dictionary — matches docs containing customer/filter/order."""
+    s = _searcher_reversed(spark, sf_dir)
+    return s.docs_matching_any(s.expand_terms(like="re%"))
+
+
+def _q_reverse_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df/ttf of the reversed-orientation dictionary entries matching
+    the '*er' suffix — proves the reversed index carries the original
+    index's exact stats under the token bijection."""
+    s = _searcher_reversed(spark, sf_dir)
+    return (s.term_stats.filter(F.col("term").like("re%"))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 #: the reference javadoc's camelCase pattern set
 #: (pattern/PatternCaptureGroupTokenFilter.java:45-52)
 _CAMEL_PATTERNS = (r"([A-Z]{2,})", r"(?<![A-Z])([A-Z][a-z]+)",
@@ -4728,6 +4768,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_compound_top10": _q_compound_top10,
         "bm25_html_strip_top10": _q_html_strip_top10,
         "html_strip_term_stats": _q_html_strip_stats,
+        "leading_wildcard_query": _q_leading_wildcard,
+        "reverse_term_stats": _q_reverse_term_stats,
         "compound_term_stats": _q_compound_stats,
         "bm25_capture_camel_top10": _q_capture_top10,
         "capture_term_stats": _q_capture_stats,
@@ -5718,6 +5760,16 @@ FROM dfs WHERE term IN ({", ".join(f"'{t}'" for t in _PATTERN_TOK_TERMS)})"""),
             + f""" SELECT term, CAST(df AS BIGINT) AS df,
        CAST(ttf AS BIGINT) AS ttf
 FROM dfs WHERE term IN ({", ".join(f"'{t}'" for t in _HTML_MARKER_TERMS)})"""),
+        "leading_wildcard_query": """
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term LIKE '%er'""",
+        "reverse_term_stats": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT reverse(term) AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM t WHERE term LIKE '%er' GROUP BY 1""",
         "compound_term_stats": (
             _COMPOUND_PRELUDE
             + """ SELECT term, CAST(df AS BIGINT) AS df,

@@ -77,7 +77,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    token_filters: tuple = (),
                    dictionary_compound=None,
                    capture_groups: tuple | None = None,
-                   char_filters: tuple = ()
+                   char_filters: tuple = (),
+                   reverse_tokens: bool = False
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -241,6 +242,22 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             pattern_replace=pattern_replace,
             token_filters=token_filters)
         cjk_over = np.zeros(n_docs, dtype=np.int64)
+    if reverse_tokens and len(terms):
+        # ReverseStringFilter (reference ``analysis/common/.../reverse/
+        # ReverseStringFilter.java``): reverse every final token. With a
+        # reversed dictionary a leading wildcard (*suffix) becomes a
+        # PREFIX query — range-bucket-prunable against term_stats instead
+        # of a full dictionary scan (the Solr ReversedWildcardFilter
+        # deployment pattern: a parallel reversed field). Python reverses
+        # code points, which equals the reference's surrogate-aware
+        # UTF-16 reverse. Vocabulary-level: each unique token reversed
+        # once.
+        if payload_delimiter:
+            raise ValueError("reverse_tokens is mutually exclusive with "
+                             "payloads (the delimiter suffix would be "
+                             "reversed away)")
+        codes, uniq = pd.factorize(terms)
+        terms = np.array([u[::-1] for u in uniq], dtype=object)[codes]
     payloads = None
     if payload_delimiter:
         # DelimitedPayloadTokenFilter + FloatEncoder (reference
@@ -529,7 +546,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   token_filters: tuple = (),
                   dictionary_compound=None,
                   capture_groups: tuple | None = None,
-                  char_filters: tuple = ()):
+                  char_filters: tuple = (),
+                  reverse_tokens: bool = False):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -551,7 +569,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             token_filters=token_filters,
             dictionary_compound=dictionary_compound,
             capture_groups=capture_groups,
-            char_filters=char_filters)
+            char_filters=char_filters,
+            reverse_tokens=reverse_tokens)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -634,7 +653,8 @@ def build_index(spark, df, index_dir: str, *,
                 token_filters: tuple = (),
                 dictionary_compound=None,
                 capture_groups: tuple | None = None,
-                char_filters: tuple = ()):
+                char_filters: tuple = (),
+                reverse_tokens: bool = False):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -697,7 +717,8 @@ def build_index(spark, df, index_dir: str, *,
                             token_filters=token_filters,
                             dictionary_compound=dictionary_compound,
                             capture_groups=capture_groups,
-                            char_filters=char_filters)
+                            char_filters=char_filters,
+                            reverse_tokens=reverse_tokens)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)

@@ -1809,6 +1809,21 @@ class Searcher:
                       tf.select("term").orderBy("term")
                         .limit(max_terms).collect())
 
+    def suffix_terms(self, suffix: str, max_terms: int = 512) -> list[str]:
+        """Leading-wildcard (``*suffix``) expansion against an index
+        built with ``reverse_tokens=True``: the dictionary holds reversed
+        tokens, so the suffix match is ``LIKE reverse(suffix)%`` — a
+        sargable prefix predicate the scan can range-prune — instead of
+        an unprunable ``LIKE %suffix`` full-dictionary pass (the Solr
+        ReversedWildcardFilter deployment of the reference's
+        ``reverse/ReverseStringFilter.java``). Returns the matching
+        terms in ORIGINAL orientation (for feeding a query against a
+        normally-oriented twin index); ``docs_matching_any`` can consume
+        the REVERSED forms directly against this index."""
+        rev = self.expand_terms(like=suffix[::-1] + "%",
+                                max_terms=max_terms)
+        return sorted(t[::-1] for t in rev)
+
     def _fuzzy_candidates(self, base: str, max_edits: int):
         """Dictionary slice within ``max_edits`` of ``base`` — the
         FuzzyTermsEnum role (``FuzzyTermsEnum.java``: the Levenshtein

@@ -1,0 +1,55 @@
+"""ReverseStringFilter + leading-wildcard acceleration.
+
+Reference: ``analysis/common/.../reverse/ReverseStringFilter.java``
+(token reversal; goldens from ``TestReverseStringFilter.java``) deployed
+as Solr's ReversedWildcardFilter pattern: a reversed dictionary turns a
+leading wildcard into a range-prunable prefix query.
+"""
+
+import pandas as pd
+
+from lucene_spark.operators.build import invert_segment
+
+
+def _invert(docs, **kw):
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "content": docs})
+    postings, doc_meta, norms, _ = invert_segment(
+        pdf, 0, "content", "doc_id", frozenset(), True, **kw)
+    return postings
+
+
+def test_reverse_goldens():
+    # TestReverseStringFilter.testFilter: "Do have a nice day" ->
+    # oD, evah, a, ecin, yad (lowercased here — our chain lowercases)
+    p = _invert(["Do have a nice day"], reverse_tokens=True)
+    assert sorted(p["term"]) == ["a", "ecin", "evah", "od", "yad"]
+
+
+def test_reverse_is_bijection_on_stats():
+    docs = ["customer filter order", "filter order", "order order"]
+    fwd = _invert(docs).set_index("term")
+    rev = _invert(docs, reverse_tokens=True).set_index("term")
+    assert len(fwd) == len(rev)
+    for t in fwd.index:
+        assert rev.loc[t[::-1], "df"] == fwd.loc[t, "df"]
+        assert rev.loc[t[::-1], "ttf"] == fwd.loc[t, "ttf"]
+
+
+def test_reverse_supplementary_codepoints():
+    # TestReverseStringFilter.testReverseSupplementary: surrogate pairs
+    # stay intact (Python reverses code points, the UTF-16-safe result)
+    p = _invert(["a\U0001D122b"], reverse_tokens=True)
+    # standard tokenizer splits at the non-letter musical symbol; each
+    # piece reverses independently
+    assert "a" in set(p["term"]) and "b" in set(p["term"])
+    p2 = _invert(["abcé"], reverse_tokens=True)
+    assert list(p2["term"]) == ["écba"]
+
+
+def test_reverse_composes_with_chain():
+    # stemmer first, then reverse: dictionary holds reversed stems
+    p = _invert(["running runs"], reverse_tokens=True, stemmer="porter")
+    assert sorted(p["term"]) == ["nur", "nur"] or list(p["term"]) == ["nur"]
+    # run+run collapse into one posting with tf=2
+    assert list(p["term"]) == ["nur"]
+    assert int(p["ttf"].iloc[0]) == 2
