@@ -427,6 +427,20 @@ def _q_reverse_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _q_auto_stopword_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryAutoStopWordAnalyzer (``analysis/common/.../query/
+    QueryAutoStopWordAnalyzer.java``): df > 40%·numDocs terms become
+    query-time stopwords derived from the distributed term_stats scan.
+    The parsed query 'data OR dup' loses its df-heavy clause ('data',
+    ~78% of docs) and keeps the rare one — the oracle twin encodes the
+    RULE (per-clause df gate), not the outcome."""
+    from lucene_spark.plans.parser import parse
+    s = _searcher(spark, sf_dir)
+    stop = s.auto_stop_words(max_percent_docs=0.4)
+    return _fmt_topk(s.search(
+        parse(f"{T_COMMON} OR {T_RARE}", stopwords=stop), k=10))
+
+
 #: the reference javadoc's camelCase pattern set
 #: (pattern/PatternCaptureGroupTokenFilter.java:45-52)
 _CAMEL_PATTERNS = (r"([A-Z]{2,})", r"(?<![A-Z])([A-Z][a-z]+)",
@@ -4770,6 +4784,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip_term_stats": _q_html_strip_stats,
         "leading_wildcard_query": _q_leading_wildcard,
         "reverse_term_stats": _q_reverse_term_stats,
+        "auto_stopword_top10": _q_auto_stopword_top10,
         "compound_term_stats": _q_compound_stats,
         "bm25_capture_camel_top10": _q_capture_top10,
         "capture_term_stats": _q_capture_stats,
@@ -5770,6 +5785,24 @@ WITH t AS (
 SELECT reverse(term) AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS ttf
 FROM t WHERE term LIKE '%er' GROUP BY 1""",
+        # QueryAutoStopWordAnalyzer twin: each OR clause contributes only
+        # if its df passes the 40%-of-numDocs gate (the rule, not the
+        # precomputed outcome)
+        "auto_stopword_top10": (
+            _PRELUDE + ", " + _tscore_cte("ta0", T_COMMON) + ", "
+            + _tscore_cte("tb0", T_RARE) + f""",
+ta AS (SELECT t.* FROM ta0 t
+       WHERE (SELECT df FROM dfs WHERE term = '{T_COMMON}')
+             <= 0.4 * (SELECT dc FROM avgs)),
+tb AS (SELECT t.* FROM tb0 t
+       WHERE (SELECT df FROM dfs WHERE term = '{T_RARE}')
+             <= 0.4 * (SELECT dc FROM avgs)),
+orsc AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CAST(COALESCE(CAST(a.s AS DOUBLE), 0) +
+              COALESCE(CAST(b.s AS DOUBLE), 0) AS FLOAT) AS s
+  FROM ta a FULL OUTER JOIN tb b ON a.doc_id = b.doc_id
+)""" + _topk_sql("orsc", 10)),
         "compound_term_stats": (
             _COMPOUND_PRELUDE
             + """ SELECT term, CAST(df AS BIGINT) AS df,

@@ -1824,6 +1824,31 @@ class Searcher:
                                 max_terms=max_terms)
         return sorted(t[::-1] for t in rev)
 
+    def auto_stop_words(self, max_percent_docs: float | None = None,
+                        max_doc_freq: int | None = None,
+                        max_terms: int = 10_000) -> frozenset:
+        """QueryAutoStopWordAnalyzer.addStopWords (reference
+        ``analysis/common/.../query/QueryAutoStopWordAnalyzer.java``):
+        terms whose document frequency exceeds the threshold — an
+        absolute ``max_doc_freq`` or ``max_percent_docs``·numDocs —
+        become QUERY-TIME stopwords. The index keeps its postings;
+        ``plans.parser.parse(text, stopwords=<this set>)`` drops them
+        from query text, the reference's analyzer-wrapper effect. One
+        pushed ``df > threshold`` filter over the distributed term_stats
+        scan; the result is small by construction (only df-heavy terms
+        qualify), capped deterministically at ``max_terms`` by df desc,
+        term asc."""
+        from pyspark.sql import functions as F
+        if (max_percent_docs is None) == (max_doc_freq is None):
+            raise ValueError("exactly one of max_percent_docs / "
+                             "max_doc_freq must be given")
+        thresh = (float(max_doc_freq) if max_doc_freq is not None
+                  else float(max_percent_docs) * self.doc_count)
+        rows = (self.term_stats.filter(F.col("df") > thresh)
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(max_terms).select("term").collect())
+        return frozenset(r["term"] for r in rows)
+
     def _fuzzy_candidates(self, base: str, max_edits: int):
         """Dictionary slice within ``max_edits`` of ``base`` — the
         FuzzyTermsEnum role (``FuzzyTermsEnum.java``: the Levenshtein

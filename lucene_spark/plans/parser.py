@@ -28,6 +28,17 @@ class _Negated:
     inner: Query
 
 
+class _Dropped:
+    """A clause whose text analyzed to nothing (all stopwords) — the
+    classic QueryParser silently drops such clauses from the enclosing
+    boolean (QueryParserBase.getFieldQuery returns null and addClause
+    skips it), which is what makes QueryAutoStopWordAnalyzer work: the
+    df-heavy clause vanishes, the rest of the query still runs."""
+
+
+_DROPPED = _Dropped()
+
+
 def _combine(positives: list[Query], negatives: list[Query],
              node) -> Query:
     if not positives:
@@ -56,6 +67,8 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
         neg_clauses: list[Query] = []
 
         def absorb(item):
+            if item is _DROPPED:
+                return
             if isinstance(item, _Negated):
                 neg_clauses.append(item.inner)
             else:
@@ -66,6 +79,8 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
             if peek() in ("OR", "||"):
                 advance()
             absorb(parse_and())  # bare juxtaposition = default OR
+        if not pos_clauses and not neg_clauses:
+            return _DROPPED
         return _combine(pos_clauses, neg_clauses, Or)
 
     def parse_and():
@@ -74,15 +89,17 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
         neg_clauses: list[Query] = []
         if isinstance(first, _Negated):
             neg_clauses.append(first.inner)
-        else:
+        elif first is not _DROPPED:
             pos_clauses.append(first)
         while peek() in ("AND", "&&"):
             advance()
             nxt = parse_unary()
             if isinstance(nxt, _Negated):
                 neg_clauses.append(nxt.inner)
-            else:
+            elif nxt is not _DROPPED:
                 pos_clauses.append(nxt)
+        if not pos_clauses and not neg_clauses:
+            return _DROPPED
         if not pos_clauses:
             if len(neg_clauses) == 1:
                 return _Negated(neg_clauses[0])
@@ -96,12 +113,15 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
         if t in ("NOT", "!"):
             advance()
             nxt = parse_unary()
+            if nxt is _DROPPED:
+                return _DROPPED  # negation of a dropped clause drops too
             if isinstance(nxt, _Negated):
                 return nxt.inner  # double negation
             return _Negated(nxt)
         if t.startswith("-") and len(t) > 1 and not t[1].isdigit():
             advance()
-            return _Negated(_atom(t[1:]))
+            a = _atom(t[1:])
+            return _DROPPED if a is _DROPPED else _Negated(a)
         return parse_primary()
 
     def parse_primary() -> Query:
@@ -128,6 +148,9 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
                                        m.group(1) == "[", m.group(4) == "]"))
         atom = _atom(t)
         nxt = peek()
+        if atom is _DROPPED and nxt and re.match(r"^~\d+$", nxt):
+            advance()  # consume slop of a fully-stopped phrase
+            return _DROPPED
         if isinstance(atom, Phrase) and nxt and re.match(r"^~\d+$", nxt):
             advance()  # phrase slop: "a b"~2
             atom = Phrase(atom.terms, int(nxt[1:]))
@@ -143,7 +166,7 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
         if t.startswith('"') and t.endswith('"') and len(t) >= 2:
             terms, _, _ = analyze_text(t[1:-1], stopwords=stopwords)
             if not terms:
-                raise QueryParseError(f"empty phrase: {t}")
+                return _DROPPED  # fully-stopped phrase: clause dropped
             return Term(terms[0], boost) if len(terms) == 1 else Phrase(tuple(terms))
         m = re.match(r"^(.+?)~(\d*)$", t)
         if m and "*" not in t and "?" not in t:  # fuzzy: word~ / word~1
@@ -157,7 +180,7 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
             return MultiTerm("wildcard", low, boost=boost)
         terms, _, _ = analyze_text(t, stopwords=stopwords)
         if not terms:
-            raise QueryParseError(f"term analyzed to nothing: {t!r}")
+            return _DROPPED  # stopword-only term: clause dropped
         # multi-token atom → phrase (QueryParserBase re-analysis behavior)
         return Term(terms[0], boost) if len(terms) == 1 else Phrase(tuple(terms))
 
@@ -166,4 +189,10 @@ def parse(text: str, stopwords: frozenset[str] = frozenset()) -> Query:
     q = parse_or()
     if peek() is not None:
         raise QueryParseError(f"trailing input at {peek()!r}")
+    if q is _DROPPED:
+        # every clause was stopped away; the reference returns an empty
+        # BooleanQuery (matches nothing) — we surface that as an error
+        # rather than a silent empty result
+        raise QueryParseError("query analyzed to nothing (all clauses "
+                              "were stopwords)")
     return q

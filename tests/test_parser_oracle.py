@@ -110,3 +110,22 @@ def test_oracle_phrase():
     idx2 = OracleIndex.build([(0, "quick the brown")],
                              stopwords=frozenset({"the"}))
     assert idx2.top_k(Phrase(("quick", "brown")), 10) == []
+
+
+# --- QueryAutoStopWordAnalyzer support: stopped clauses drop silently ------
+def test_stopword_only_clause_dropped_from_boolean():
+    # classic QueryParser: a clause that analyzes to nothing is skipped
+    # (QueryParserBase.getFieldQuery -> null), not an error
+    from lucene_spark.plans import query as Q
+    from lucene_spark.plans.parser import QueryParseError, parse
+    stop = frozenset({"the", "a"})
+    assert parse("the OR dup", stopwords=stop) == Q.Term("dup")
+    assert parse("dup AND the", stopwords=stop) == Q.Term("dup")
+    assert parse('"the a" dup', stopwords=stop) == Q.Term("dup")
+    assert parse("NOT the dup", stopwords=stop) == Q.Term("dup")
+    assert parse("-the dup", stopwords=stop) == Q.Term("dup")
+    assert parse("(the) OR (dup scan)", stopwords=stop) == Q.Or(
+        (Q.Term("dup"), Q.Term("scan")))
+    import pytest as _pytest
+    with _pytest.raises(QueryParseError):
+        parse("the a", stopwords=stop)  # everything stopped away
