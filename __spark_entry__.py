@@ -427,6 +427,48 @@ def _q_reverse_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _searcher_delimited_tf(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with DelimitedTermFrequencyTokenFilter
+    (``analysis/common/.../miscellaneous/DelimitedTermFrequencyToken
+    Filter.java``): every doc gets a 'zqtf|N' token appended (N = 7 for
+    doc_id % 5 == 0, else 2), whose integer suffix IS the term
+    frequency — feeding both the postings tf and the norm field length
+    (FieldInvertState.length += termFrequency). Positions off, per the
+    reference's DOCS_AND_FREQS requirement."""
+    key = "delimtf:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.col("text"),
+                     F.when(F.col("doc_id") % 5 == 0, F.lit(" zqtf|7"))
+                     .otherwise(F.lit(" zqtf|2"))).alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=False,
+                    tokenizer="whitespace", term_freq_delimiter="|")
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_delimited_tf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery('zqtf'): every doc matches with df = numDocs, so
+    the ranking is purely the tf=7-vs-2 and norm interplay the custom
+    frequencies created."""
+    return _fmt_topk(_searcher_delimited_tf(spark, sf_dir).search(
+        Q.Term("zqtf"), k=10))
+
+
+def _q_delimited_tf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ttf('zqtf') = Σ custom freqs — 7 per fifth doc, 2 otherwise."""
+    s = _searcher_delimited_tf(spark, sf_dir)
+    return (s.term_stats
+            .filter(F.col("term").isin(["zqtf", "data", "dup"]))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _q_auto_stopword_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryAutoStopWordAnalyzer (``analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java``): df > 40%·numDocs terms become
@@ -1486,6 +1528,41 @@ normcache AS (
   FROM doclen d, avgs a
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+# DelimitedTermFrequencyTokenFilter twin: weighted token bag — the
+# appended zqtf|N marker becomes term 'zqtf' with frequency N (7 for
+# every fifth doc, 2 otherwise); tf and doclen sum the weights.
+_DELIM_TF_PRELUDE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 5 = 0 THEN 7 ELSE 2 END AS xf
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         CAST(1 AS BIGINT) AS f
+  FROM base
+  UNION ALL
+  SELECT doc_id, 'zqtf' AS term, CAST(xf AS BIGINT) AS f FROM base
+),
+doclen AS (SELECT doc_id, sum(f) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM doclen),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, sum(f) AS tf FROM tok GROUP BY 1, 2),
 dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
 """
 
@@ -4606,6 +4683,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (T_COMMON, T_COMMON2), positions=(0, 2))),
         "bm25_prefix_multiphrase_top10": _search(Q.MultiPhrase(
             ((("prefix", "du"),), (T_RARE,)))),
+        # PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java):
+        # a phrase with multi-term sub-queries at some positions —
+        # expanded against the dictionary and executed as a MultiPhrase
+        # (the sandbox class is a segment-level-pruning optimization of
+        # exactly this rewrite; here per-segment scoring after expansion
+        # plays that role)
+        "phrase_wildcard_top10": _search(Q.MultiPhrase(
+            ((("wildcard", "s????"),), (T_COMMON,)))),
         "bm25_gap_sloppy_top10": _search(Q.Phrase(
             (T_COMMON, T_COMMON2), slop=2, positions=(0, 2))),
         "batch_search": _q_batch_search,
@@ -4785,6 +4870,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leading_wildcard_query": _q_leading_wildcard,
         "reverse_term_stats": _q_reverse_term_stats,
         "auto_stopword_top10": _q_auto_stopword_top10,
+        "bm25_delimited_tf_top10": _q_delimited_tf_top10,
+        "delimited_tf_stats": _q_delimited_tf_stats,
         "compound_term_stats": _q_compound_stats,
         "bm25_capture_camel_top10": _q_capture_top10,
         "capture_term_stats": _q_capture_stats,
@@ -5044,6 +5131,8 @@ def oracle_sql() -> dict[str, str]:
             (T_COMMON, T_COMMON2), (0, 2)),
         "bm25_prefix_multiphrase_top10": _multi_phrase_pattern_sql(
             ("term LIKE 'du%'", f"term = '{T_RARE}'")),
+        "phrase_wildcard_top10": _multi_phrase_pattern_sql(
+            ("term LIKE 's____'", f"term = '{T_COMMON}'")),
         "bm25_gap_sloppy_top10": _sloppy_phrase_sql(
             (T_COMMON, T_COMMON2), 2, positions=(0, 2)),
         "covering_top10": _covering_sql(
@@ -5785,6 +5874,17 @@ WITH t AS (
 SELECT reverse(term) AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS ttf
 FROM t WHERE term LIKE '%er' GROUP BY 1""",
+        # DelimitedTermFrequencyTokenFilter twin: the injected zqtf|N
+        # token contributes N to its tf AND to the doc length the norm
+        # encodes; every other token contributes 1
+        "bm25_delimited_tf_top10": (
+            _DELIM_TF_PRELUDE + ", " + _tscore_cte("ts", "zqtf")
+            + _topk_sql("ts", 10)),
+        "delimited_tf_stats": (
+            _DELIM_TF_PRELUDE
+            + """ SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ('zqtf', 'data', 'dup')"""),
         # QueryAutoStopWordAnalyzer twin: each OR clause contributes only
         # if its df passes the 40%-of-numDocs gate (the rule, not the
         # precomputed outcome)

@@ -78,7 +78,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    dictionary_compound=None,
                    capture_groups: tuple | None = None,
                    char_filters: tuple = (),
-                   reverse_tokens: bool = False
+                   reverse_tokens: bool = False,
+                   term_freq_delimiter: str | None = None
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -242,6 +243,46 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             pattern_replace=pattern_replace,
             token_filters=token_filters)
         cjk_over = np.zeros(n_docs, dtype=np.int64)
+    if term_freq_delimiter:
+        # DelimitedTermFrequencyTokenFilter (reference ``analysis/common/
+        # .../miscellaneous/DelimitedTermFrequencyTokenFilter.java``):
+        # split each token at the LAST delimiter, the integer suffix is
+        # the token's term frequency (default 1 without a delimiter).
+        # The reference requires an index without positions
+        # (IndexOptions.DOCS_AND_FREQS — the factory rejects more) and a
+        # non-splitting tokenizer; the custom freq feeds BOTH the
+        # postings tf and the field length the norm encodes
+        # (FieldInvertState.length += termFrequency). Kernel shape:
+        # repeat each token freq times — the run-length inversion then
+        # produces exactly those tf/dl sums.
+        if store_positions:
+            raise ValueError("delimited term frequencies require "
+                             "store_positions=False (reference: "
+                             "IndexOptions.DOCS_AND_FREQS only)")
+        if synonyms or shingles or common_grams or payload_delimiter \
+                or dictionary_compound is not None or ngrams is not None:
+            raise ValueError("term_freq_delimiter is mutually exclusive "
+                             "with synonyms/shingles/common_grams/"
+                             "payloads/compound/ngrams")
+        if len(terms):
+            ser = pd.Series(terms)
+            parts = ser.str.rpartition(term_freq_delimiter)
+            has = (parts[1] == term_freq_delimiter).to_numpy()
+            vals = pd.to_numeric(parts[2], errors="coerce").to_numpy()
+            bad = has & (~np.isfinite(vals) | (vals < 0)
+                         | (vals != np.floor(vals)))
+            if bad.any():
+                # the reference's NumberFormatException surface
+                raise ValueError("invalid term frequency suffix: "
+                                 f"{terms[bad][:3].tolist()}")
+            freqs = np.ones(len(terms), dtype=np.int64)
+            freqs[has] = vals[has].astype(np.int64)
+            terms = np.where(has, parts[0].to_numpy(dtype=object), terms)
+            doc_idx = np.repeat(doc_idx, freqs)
+            terms = np.repeat(terms, freqs)
+            positions = np.repeat(positions, freqs)
+            lengths = np.bincount(doc_idx, minlength=n_docs) \
+                .astype(np.int64)
     if reverse_tokens and len(terms):
         # ReverseStringFilter (reference ``analysis/common/.../reverse/
         # ReverseStringFilter.java``): reverse every final token. With a
@@ -547,7 +588,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   dictionary_compound=None,
                   capture_groups: tuple | None = None,
                   char_filters: tuple = (),
-                  reverse_tokens: bool = False):
+                  reverse_tokens: bool = False,
+                  term_freq_delimiter: str | None = None):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -570,7 +612,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             dictionary_compound=dictionary_compound,
             capture_groups=capture_groups,
             char_filters=char_filters,
-            reverse_tokens=reverse_tokens)
+            reverse_tokens=reverse_tokens,
+            term_freq_delimiter=term_freq_delimiter)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -654,7 +697,8 @@ def build_index(spark, df, index_dir: str, *,
                 dictionary_compound=None,
                 capture_groups: tuple | None = None,
                 char_filters: tuple = (),
-                reverse_tokens: bool = False):
+                reverse_tokens: bool = False,
+                term_freq_delimiter: str | None = None):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -718,7 +762,8 @@ def build_index(spark, df, index_dir: str, *,
                             dictionary_compound=dictionary_compound,
                             capture_groups=capture_groups,
                             char_filters=char_filters,
-                            reverse_tokens=reverse_tokens)
+                            reverse_tokens=reverse_tokens,
+                            term_freq_delimiter=term_freq_delimiter)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)

@@ -11,10 +11,10 @@ import pandas as pd
 from lucene_spark.operators.build import invert_segment
 
 
-def _invert(docs, **kw):
+def _invert(docs, store_positions=True, **kw):
     pdf = pd.DataFrame({"doc_id": range(len(docs)), "content": docs})
     postings, doc_meta, norms, _ = invert_segment(
-        pdf, 0, "content", "doc_id", frozenset(), True, **kw)
+        pdf, 0, "content", "doc_id", frozenset(), store_positions, **kw)
     return postings
 
 
@@ -53,3 +53,29 @@ def test_reverse_composes_with_chain():
     # run+run collapse into one posting with tf=2
     assert list(p["term"]) == ["nur"]
     assert int(p["ttf"].iloc[0]) == 2
+
+
+# --- DelimitedTermFrequencyTokenFilter --------------------------------------
+def test_delimited_term_frequency():
+    # TestDelimitedTermFrequencyTokenFilter.testTermFrequency:
+    # "one|50 two three|100" -> tf 50/1/100, field length = 151
+    p = _invert(["one|50 two three|100"], tokenizer="whitespace",
+                store_positions=False, term_freq_delimiter="|")
+    by = p.set_index("term")
+    assert int(by.loc["one", "ttf"]) == 50
+    assert int(by.loc["two", "ttf"]) == 1
+    assert int(by.loc["three", "ttf"]) == 100
+    assert [int(x) for x in by["df"]] == [1, 1, 1]
+
+
+def test_delimited_term_frequency_invalid_suffix():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="invalid term frequency"):
+        _invert(["boo|fifty"], tokenizer="whitespace",
+                store_positions=False, term_freq_delimiter="|")
+
+
+def test_delimited_term_frequency_requires_no_positions():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="store_positions"):
+        _invert(["a|2"], tokenizer="whitespace", term_freq_delimiter="|")
