@@ -469,6 +469,46 @@ def _q_delimited_tf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _searcher_marker(spark: SparkSession, sf_dir: str) -> Searcher:
+    """German-light index with SetKeywordMarkerFilter + StemmerOverride-
+    Filter in the chain (``miscellaneous/SetKeywordMarkerFilter.java``,
+    ``miscellaneous/StemmerOverrideFilter.java``): 'filter' is keyword-
+    protected (stays 'filter', not 'filt'); 'table' force-stems to
+    'zqtbl' (not 'tabl'); everything else takes the normal
+    GermanLightStemmer path."""
+    key = "marker:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    stemmer="german_light",
+                    keyword_marker=frozenset({"filter"}),
+                    stemmer_override={"table": "zqtbl"})
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_keyword_marker_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the keyword-protected surface form 'filter' — a term
+    that only exists in the dictionary because the marker stopped the
+    stemmer from conflating it into 'filt'."""
+    return _fmt_topk(_searcher_marker(spark, sf_dir).search(
+        Q.Term("filter"), k=10))
+
+
+def _q_keyword_marker_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher_marker(spark, sf_dir)
+    return (s.term_stats
+            .filter(F.col("term").isin(["filter", "filt", "zqtbl",
+                                        "tabl", "table", "ord"]))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _q_auto_stopword_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryAutoStopWordAnalyzer (``analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java``): df > 40%·numDocs terms become
@@ -1565,6 +1605,69 @@ normcache AS (
 tf AS (SELECT doc_id, term, sum(f) AS tf FROM tok GROUP BY 1, 2),
 dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
 """
+
+# SetKeywordMarkerFilter + StemmerOverrideFilter twin over the German
+# light chain: the raw surface form rides along; keyword-marked terms
+# bypass the stemmer, overridden terms take their forced stem, the rest
+# run the normal two-pass rules.
+_MARKER_PRELUDE = f"""
+WITH tokraw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS raw,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tok0 AS (
+  SELECT doc_id, pos, raw,
+         translate(raw, 'äàáâöòóôïìíîüùúû', 'aaaaooooiiiiuuuu') AS t
+  FROM tokraw
+),
+s1 AS (
+  SELECT doc_id, pos, raw, CASE
+    WHEN length(t) > 5 AND substr(t, length(t)-2, 3) = 'ern'
+      THEN substr(t, 1, length(t)-3)
+    WHEN length(t) > 4 AND substr(t, length(t)-1, 1) = 'e'
+         AND substr(t, length(t), 1) IN ('m','n','r','s')
+      THEN substr(t, 1, length(t)-2)
+    WHEN length(t) > 3 AND substr(t, length(t), 1) = 'e'
+      THEN substr(t, 1, length(t)-1)
+    WHEN length(t) > 3 AND substr(t, length(t), 1) = 's'
+         AND substr(t, length(t)-1, 1) IN {{st}}
+      THEN substr(t, 1, length(t)-1)
+    ELSE t END AS t
+  FROM tok0
+),
+tok AS (
+  SELECT doc_id, pos, CASE
+    WHEN raw = 'filter' THEN raw
+    WHEN raw = 'table' THEN 'zqtbl'
+    WHEN length(t) > 5 AND substr(t, length(t)-2, 3) = 'est'
+      THEN substr(t, 1, length(t)-3)
+    WHEN length(t) > 4 AND substr(t, length(t)-1, 2) IN ('er','en')
+      THEN substr(t, 1, length(t)-2)
+    WHEN length(t) > 4 AND substr(t, length(t)-1, 2) = 'st'
+         AND substr(t, length(t)-2, 1) IN {{st}}
+      THEN substr(t, 1, length(t)-2)
+    ELSE t END AS term
+  FROM s1
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM doclen),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+""".replace("{st}", _DE_ST_SQL)
 
 # DictionaryCompoundWordTokenFilter in SQL: tok2 = surface tokens +
 # one dictionary-word overlay per substring OCCURRENCE inside every
@@ -4872,6 +4975,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_stopword_top10": _q_auto_stopword_top10,
         "bm25_delimited_tf_top10": _q_delimited_tf_top10,
         "delimited_tf_stats": _q_delimited_tf_stats,
+        "bm25_keyword_marker_top10": _q_keyword_marker_top10,
+        "keyword_marker_term_stats": _q_keyword_marker_stats,
         "compound_term_stats": _q_compound_stats,
         "bm25_capture_camel_top10": _q_capture_top10,
         "capture_term_stats": _q_capture_stats,
@@ -5885,6 +5990,15 @@ FROM t WHERE term LIKE '%er' GROUP BY 1""",
             + """ SELECT term, CAST(df AS BIGINT) AS df,
        CAST(ttf AS BIGINT) AS ttf
 FROM dfs WHERE term IN ('zqtf', 'data', 'dup')"""),
+        "bm25_keyword_marker_top10": (
+            _MARKER_PRELUDE + ", " + _tscore_cte("ts", "filter")
+            + _topk_sql("ts", 10)),
+        "keyword_marker_term_stats": (
+            _MARKER_PRELUDE
+            + """ SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ('filter', 'filt', 'zqtbl', 'tabl', 'table',
+                        'ord')"""),
         # QueryAutoStopWordAnalyzer twin: each OR clause contributes only
         # if its df passes the 40%-of-numDocs gate (the rule, not the
         # precomputed outcome)

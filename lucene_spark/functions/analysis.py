@@ -123,7 +123,9 @@ def analyze_text(text: str,
                  elision: frozenset[str] | None = None,
                  pattern_replace: tuple | None = None,
                  token_filters: tuple = (),
-                 char_filters: tuple = ()):
+                 char_filters: tuple = (),
+                 keyword_marker: frozenset = frozenset(),
+                 stemmer_override: dict | None = None):
     """Single-string analyzer (test/oracle path).
 
     Returns (terms, positions, length): surviving lowercase terms, their
@@ -205,7 +207,11 @@ def analyze_text(text: str,
                 length_filter[0] <= len(low) <= length_filter[1]):
             continue  # LengthFilter: dropped, gap kept (miscellaneous/
             #           LengthFilter.java extends FilteringTokenFilter)
-        if stemmer == "porter":
+        if low in keyword_marker:
+            pass  # SetKeywordMarkerFilter: stemmers skip keywords
+        elif stemmer_override is not None and low in stemmer_override:
+            low = stemmer_override[low]  # StemmerOverrideFilter
+        elif stemmer == "porter":
             low = porter_stem(low)
         elif light_stem is not None:
             low = light_stem(low)
@@ -255,7 +261,9 @@ def analyze_batch(texts: pd.Series,
                   length_filter: tuple | None = None,
                   elision: frozenset[str] | None = None,
                   pattern_replace: tuple | None = None,
-                  token_filters: tuple = ()):
+                  token_filters: tuple = (),
+                  keyword_marker: frozenset = frozenset(),
+                  stemmer_override: dict | None = None):
     """Columnar analyzer for a batch of documents.
 
     Returns (doc_idx, terms, positions, lengths):
@@ -361,7 +369,12 @@ def analyze_batch(texts: pd.Series,
         if stopwords:
             stop_u = np.array([u in stopwords for u in uniq_p])
             keep &= ~stop_u[codes]
-        stem_u = np.array([porter_stem(u) for u in uniq_p], dtype=object)
+        stem_u = np.array(
+            [u if u in keyword_marker          # SetKeywordMarkerFilter
+             else (stemmer_override.get(u) or porter_stem(u))
+             if stemmer_override is not None   # StemmerOverrideFilter
+             else porter_stem(u)
+             for u in uniq_p], dtype=object)
         flat = stem_u[codes]
     elif stemmer is not None:
         # per-language light/minimal chain at VOCABULARY level: stop
@@ -379,7 +392,12 @@ def analyze_batch(texts: pd.Series,
         if stopwords:
             stop_u = np.array([u in stopwords for u in uniq])
             keep &= ~stop_u[codes]
-        stem_u = np.array([light_stem(u) for u in uniq], dtype=object)
+        stem_u = np.array(
+            [u if u in keyword_marker          # SetKeywordMarkerFilter
+             else (stemmer_override.get(u) or light_stem(u))
+             if stemmer_override is not None   # StemmerOverrideFilter
+             else light_stem(u)
+             for u in uniq], dtype=object)
         flat = stem_u[codes]
     elif stopwords:
         keep &= ~pd.Series(flat).isin(stopwords).to_numpy()

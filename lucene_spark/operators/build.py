@@ -79,7 +79,9 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    capture_groups: tuple | None = None,
                    char_filters: tuple = (),
                    reverse_tokens: bool = False,
-                   term_freq_delimiter: str | None = None
+                   term_freq_delimiter: str | None = None,
+                   keyword_marker: frozenset = frozenset(),
+                   stemmer_override: dict | None = None
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -241,7 +243,9 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             ascii_folding=ascii_folding,
             elision=elision,
             pattern_replace=pattern_replace,
-            token_filters=token_filters)
+            token_filters=token_filters,
+            keyword_marker=keyword_marker,
+            stemmer_override=stemmer_override)
         cjk_over = np.zeros(n_docs, dtype=np.int64)
     if term_freq_delimiter:
         # DelimitedTermFrequencyTokenFilter (reference ``analysis/common/
@@ -589,7 +593,9 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   capture_groups: tuple | None = None,
                   char_filters: tuple = (),
                   reverse_tokens: bool = False,
-                  term_freq_delimiter: str | None = None):
+                  term_freq_delimiter: str | None = None,
+                  keyword_marker: frozenset = frozenset(),
+                  stemmer_override: dict | None = None):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -613,7 +619,9 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             capture_groups=capture_groups,
             char_filters=char_filters,
             reverse_tokens=reverse_tokens,
-            term_freq_delimiter=term_freq_delimiter)
+            term_freq_delimiter=term_freq_delimiter,
+            keyword_marker=keyword_marker,
+            stemmer_override=stemmer_override)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -698,7 +706,9 @@ def build_index(spark, df, index_dir: str, *,
                 capture_groups: tuple | None = None,
                 char_filters: tuple = (),
                 reverse_tokens: bool = False,
-                term_freq_delimiter: str | None = None):
+                term_freq_delimiter: str | None = None,
+                keyword_marker: frozenset = frozenset(),
+                stemmer_override: dict | None = None):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -763,7 +773,9 @@ def build_index(spark, df, index_dir: str, *,
                             capture_groups=capture_groups,
                             char_filters=char_filters,
                             reverse_tokens=reverse_tokens,
-                            term_freq_delimiter=term_freq_delimiter)
+                            term_freq_delimiter=term_freq_delimiter,
+                            keyword_marker=keyword_marker,
+                            stemmer_override=stemmer_override)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)

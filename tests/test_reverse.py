@@ -79,3 +79,28 @@ def test_delimited_term_frequency_requires_no_positions():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="store_positions"):
         _invert(["a|2"], tokenizer="whitespace", term_freq_delimiter="|")
+
+
+# --- SetKeywordMarkerFilter / StemmerOverrideFilter --------------------------
+def test_keyword_marker_protects_from_stemming():
+    p = _invert(["filter filters table running"], stemmer="porter",
+                keyword_marker=frozenset({"filter"}))
+    terms = set(p["term"])
+    assert "filter" in terms        # protected surface form
+    assert "run" in terms           # others still stem
+    assert "running" not in terms
+
+
+def test_stemmer_override_forces_stem():
+    p = _invert(["table tables order"], stemmer="german_light",
+                stemmer_override={"table": "zqtbl"})
+    terms = set(p["term"])
+    assert "zqtbl" in terms         # 'table' takes the forced stem
+    assert "tabl" in terms          # 'tables' (not overridden) stems
+    assert "ord" in terms           # normal path unaffected
+    # marker wins over override when both name a term (the reference's
+    # StemmerOverrideFilter skips keyword-marked tokens)
+    p2 = _invert(["table"], stemmer="german_light",
+                 keyword_marker=frozenset({"table"}),
+                 stemmer_override={"table": "zqtbl"})
+    assert list(p2["term"]) == ["table"]
