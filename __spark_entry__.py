@@ -509,6 +509,61 @@ def _q_keyword_marker_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _searcher_scandinavian(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with ScandinavianFoldingFilter in the chain
+    (``miscellaneous/ScandinavianFoldingFilter.java``): every doc gets
+    ' blåbärsyltetöj' appended, which folds to 'blabarsyltetoj' — the
+    documented blåbærsyltetøj == blabarsyltetoj equivalence class. The
+    ASCII corpus contains none of the aa/ae/ao/oe/oo digraphs, so only
+    the marker is rewritten."""
+    key = "scand:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.col("text"),
+                     F.lit(" blåbärsyltetöj")).alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    token_filters=(("scandinavian_fold",),))
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_scandinavian_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fmt_topk(_searcher_scandinavian(spark, sf_dir).search(
+        Q.Term("blabarsyltetoj"), k=10))
+
+
+def _searcher_hyphenated(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with the HyphenatedWordsFilter join
+    (``miscellaneous/HyphenatedWordsFilter.java``, here a pre-tokenizer
+    trailing-hyphen join): every doc gets ' zqhy-\\nphen' appended,
+    which re-joins across the line break to the single token
+    'zqhyphen'."""
+    key = "hyphen:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" zqhy-\nphen")).alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    tokenizer="whitespace",
+                    char_filters=(("hyphenated_words",),))
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_hyphenated_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fmt_topk(_searcher_hyphenated(spark, sf_dir).search(
+        Q.Term("zqhyphen"), k=10))
+
+
 def _q_auto_stopword_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryAutoStopWordAnalyzer (``analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java``): df > 40%·numDocs terms become
@@ -1605,6 +1660,38 @@ normcache AS (
 tf AS (SELECT doc_id, term, sum(f) AS tf FROM tok GROUP BY 1, 2),
 dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
 """
+
+def _append_marker_prelude(markers: str) -> str:
+    """BM25 prelude over ``text || ' <markers>'`` — the twin for any
+    chain whose injected wrapper reduces to appending constant tokens
+    (scandinavian fold, hyphen join)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text || ' {markers}', ' ')) AS term,
+         unnest(range(len(string_split(text || ' {markers}', ' '))))
+           AS pos
+  FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM doclen),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
 
 # SetKeywordMarkerFilter + StemmerOverrideFilter twin over the German
 # light chain: the raw surface form rides along; keyword-marked terms
@@ -4977,6 +5064,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delimited_tf_stats": _q_delimited_tf_stats,
         "bm25_keyword_marker_top10": _q_keyword_marker_top10,
         "keyword_marker_term_stats": _q_keyword_marker_stats,
+        "bm25_scandinavian_top10": _q_scandinavian_top10,
+        "bm25_hyphenated_top10": _q_hyphenated_top10,
         "compound_term_stats": _q_compound_stats,
         "bm25_capture_camel_top10": _q_capture_top10,
         "capture_term_stats": _q_capture_stats,
@@ -5993,6 +6082,12 @@ FROM dfs WHERE term IN ('zqtf', 'data', 'dup')"""),
         "bm25_keyword_marker_top10": (
             _MARKER_PRELUDE + ", " + _tscore_cte("ts", "filter")
             + _topk_sql("ts", 10)),
+        "bm25_scandinavian_top10": (
+            _append_marker_prelude("blabarsyltetoj") + ", "
+            + _tscore_cte("ts", "blabarsyltetoj") + _topk_sql("ts", 10)),
+        "bm25_hyphenated_top10": (
+            _append_marker_prelude("zqhyphen") + ", "
+            + _tscore_cte("ts", "zqhyphen") + _topk_sql("ts", 10)),
         "keyword_marker_term_stats": (
             _MARKER_PRELUDE
             + """ SELECT term, CAST(df AS BIGINT) AS df,

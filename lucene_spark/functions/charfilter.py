@@ -405,6 +405,15 @@ def compile_char_filters(specs):
             fns.append(lambda t, _e=escaped: html_strip(t, _e))
         elif kind == "mapping":
             fns.append(compile_mapping(spec[1]))
+        elif kind == "hyphenated_words":
+            # HyphenatedWordsFilter (reference ``miscellaneous/
+            # HyphenatedWordsFilter.java``) re-expressed pre-tokenizer:
+            # a token's TRAILING hyphen joins it to the next whitespace-
+            # separated token ("ecologi-\ncal" -> "ecological"); internal
+            # hyphens and a stream-final trailing hyphen survive — the
+            # emitted token sequence (and compacted positions) equals the
+            # reference filter's over a whitespace tokenizer.
+            fns.append(_HYPHEN_JOIN)
         else:
             raise ValueError(f"unknown char filter {kind!r}")
     if len(fns) == 1:
@@ -414,3 +423,10 @@ def compile_char_filters(specs):
             text = f(text)
         return text
     return _chain
+
+
+_HYPHEN_RE = re.compile(r"-\s+")
+
+
+def _HYPHEN_JOIN(text: str) -> str:
+    return _HYPHEN_RE.sub("", text) if text else text

@@ -94,6 +94,83 @@ def compile_pattern_replace(spec: tuple):
     return xform
 
 
+def scandinavian_fold(t: str) -> str:
+    """ScandinavianFoldingFilter (reference ``miscellaneous/
+    ScandinavianFoldingFilter.java:76-121``): å/ä/æ→a, ö/ø→o (both
+    cases), and the double-letter spellings aa/ae/ao→a, oe/oo→o
+    (second letter deleted), single left-to-right pass over the
+    mutating buffer exactly like the reference's scan."""
+    if all(c not in "åäæÅÄÆöøÖØaAoO" for c in t):
+        return t
+    buf = list(t)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c in "åäæ":
+            buf[i] = "a"
+        elif c in "ÅÄÆ":
+            buf[i] = "A"
+        elif c in "øö":
+            buf[i] = "o"
+        elif c in "ØÖ":
+            buf[i] = "O"
+        elif i < len(buf) - 1:
+            nxt = buf[i + 1]
+            if c in "aA" and nxt in "aAeEoO":
+                del buf[i + 1]
+            elif c in "oO" and nxt in "eEoO":
+                del buf[i + 1]
+        i += 1
+    return "".join(buf)
+
+
+def scandinavian_normalize(t: str, foldings=frozenset(
+        ("AA", "AO", "AE", "OE", "OO"))) -> str:
+    """ScandinavianNormalizer.processToken (reference ``miscellaneous/
+    ScandinavianNormalizer.java:73-135``): ä→æ, ö→ø (Swedish to
+    Norwegian/Danish letters) and the configured double-letter foldings
+    aa/aA→å, ao/aO→å, ae/aE→æ, oe/oO per set→ø — same mutating
+    left-to-right scan as the reference."""
+    buf = list(t)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c == "ä":
+            buf[i] = "æ"
+        elif c == "Ä":
+            buf[i] = "Æ"
+        elif c == "ö":
+            buf[i] = "ø"
+        elif c == "Ö":
+            buf[i] = "Ø"
+        elif i < len(buf) - 1:
+            nxt = buf[i + 1]
+            if c == "a" and (("AA" in foldings and nxt in "aA")
+                             or ("AO" in foldings and nxt in "oO")):
+                del buf[i + 1]
+                buf[i] = "å"
+            elif c == "A" and (("AA" in foldings and nxt in "aA")
+                               or ("AO" in foldings and nxt in "oO")):
+                del buf[i + 1]
+                buf[i] = "Å"
+            elif c == "a" and "AE" in foldings and nxt in "eE":
+                del buf[i + 1]
+                buf[i] = "æ"
+            elif c == "A" and "AE" in foldings and nxt in "eE":
+                del buf[i + 1]
+                buf[i] = "Æ"
+            elif c == "o" and (("OE" in foldings and nxt in "eE")
+                               or ("OO" in foldings and nxt in "oO")):
+                del buf[i + 1]
+                buf[i] = "ø"
+            elif c == "O" and (("OE" in foldings and nxt in "eE")
+                               or ("OO" in foldings and nxt in "oO")):
+                del buf[i + 1]
+                buf[i] = "Ø"
+        i += 1
+    return "".join(buf)
+
+
 def compile_token_filters(specs) -> tuple:
     """Compile the generic post-normalizer token-filter chain into
     (map_fn | None, keep_fn | None, limit | None) — the analyzer applies
@@ -131,6 +208,13 @@ def compile_token_filters(specs) -> tuple:
             if n < 1:
                 raise ValueError("truncate length must be >= 1")
             maps.append(lambda t, _n=n: t[:_n])
+        elif kind == "scandinavian_fold":
+            maps.append(scandinavian_fold)
+        elif kind == "scandinavian_normalize":
+            foldings = (frozenset(spec[1]) if len(spec) > 1
+                        else frozenset(("AA", "AO", "AE", "OE", "OO")))
+            maps.append(lambda t, _f=foldings:
+                        scandinavian_normalize(t, _f))
         elif kind == "keep":
             if keep_set is not None:
                 raise ValueError("at most one keep filter")

@@ -373,3 +373,23 @@ def test_analyze_text_char_filters_wiring():
     assert list(terms) == ["hello", "world", "xy"]
     assert list(positions) == [0, 1, 2]
     assert length == 3
+
+
+# --- HyphenatedWordsFilter (TestHyphenatedWordsFilter goldens) ---------------
+def test_hyphenated_words():
+    from lucene_spark.functions.analysis import analyze_text
+    cf = (("hyphenated_words",),)
+    inp = ("ecologi-\r\ncal devel-\r\n\r\nop compre-\thensive-hands-on "
+           "and ecologi-\ncal")
+    terms, _, _ = analyze_text(inp, tokenizer="whitespace",
+                               char_filters=cf)
+    assert terms == ["ecological", "develop", "comprehensive-hands-on",
+                     "and", "ecological"]
+    # testHyphenAtEnd: stream-final trailing hyphen survives
+    terms, _, _ = analyze_text("devel-\r\n\r\nop ecology-",
+                               tokenizer="whitespace", char_filters=cf)
+    assert terms == ["develop", "ecology-"]
+    # testOffsets token sequence
+    terms, _, _ = analyze_text("abc- def geh 1234- 5678-",
+                               tokenizer="whitespace", char_filters=cf)
+    assert terms == ["abcdef", "geh", "12345678-"]

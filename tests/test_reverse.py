@@ -104,3 +104,36 @@ def test_stemmer_override_forces_stem():
                  keyword_marker=frozenset({"table"}),
                  stemmer_override={"table": "zqtbl"})
     assert list(p2["term"]) == ["table"]
+
+
+# --- Scandinavian folding / normalization ------------------------------------
+def test_scandinavian_folding_goldens():
+    # TestScandinavianFoldingFilter: the documented equivalences
+    from lucene_spark.functions.pattern import scandinavian_fold as f
+    assert f("blåbærsyltetøj") == "blabarsyltetoj"
+    assert f("blåbärsyltetöj") == "blabarsyltetoj"
+    assert f("blaabaarsyltetoej") == "blabarsyltetoj"
+    assert f("blabarsyltetoj") == "blabarsyltetoj"
+    assert f("räksmörgås") == "raksmorgas"
+    assert f("ræksmørgås") == "raksmorgas"
+    assert f("raeksmoergaas") == "raksmorgas"
+    assert f("ráksmörgás") == "ráksmorgás"  # accents outside the set stay
+
+
+def test_scandinavian_normalization_goldens():
+    # TestScandinavianNormalizationFilter: to the Norwegian/Danish forms
+    from lucene_spark.functions.pattern import scandinavian_normalize as n
+    assert n("blåbærsyltetøj") == "blåbærsyltetøj"
+    assert n("blåbärsyltetöj") == "blåbærsyltetøj"
+    assert n("blaabaersyltetoej") == "blåbærsyltetøj"
+    assert n("räksmörgås") == "ræksmørgås"
+    assert n("raeksmoergaos") == "ræksmørgås"
+    assert n("ROKSMORGAS") == "ROKSMORGAS"
+    # folding subset: without AO, 'ao' stays
+    assert n("raeksmoergaos", frozenset(("AE", "OE"))) == "ræksmørgaos"
+
+
+def test_scandinavian_in_token_filter_chain():
+    p = _invert(["blåbärsyltetöj räksmörgås"],
+                token_filters=(("scandinavian_fold",),))
+    assert sorted(p["term"]) == ["blabarsyltetoj", "raksmorgas"]
