@@ -564,6 +564,42 @@ def _q_hyphenated_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.Term("zqhyphen"), k=10))
 
 
+def _searcher_phonetic(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with PhoneticFilter(Soundex, inject=true)
+    (``analysis/phonetic/PhoneticFilter.java``): every token's soundex
+    code is a posInc=0 overlay beside the surface form — overlays are
+    norm-discounted but DO count into sumTotalTermFreq (avgdl), so the
+    scores only match if the twin splits those two the same way."""
+    key = "phonetic:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    phonetic=("soundex", True))
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_phonetic_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on the soundex code of 'small' (S540) — a term
+    that only exists as injected overlays."""
+    return _fmt_topk(_searcher_phonetic(spark, sf_dir).search(
+        Q.Term("S540"), k=10))
+
+
+def _q_phonetic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher_phonetic(spark, sf_dir)
+    return (s.term_stats
+            .filter(F.col("term").isin(["S540", "T140", "D300", "R000",
+                                        "small", "table"]))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _q_auto_stopword_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryAutoStopWordAnalyzer (``analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java``): df > 40%·numDocs terms become
@@ -1660,6 +1696,57 @@ normcache AS (
 tf AS (SELECT doc_id, term, sum(f) AS tf FROM tok GROUP BY 1, 2),
 dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
 """
+
+# American Soundex as a SQL expression (the rule, not a lookup): keep
+# the first letter, delete H/W from the tail (they don't reset the last
+# digit), map letters to digits, collapse duplicate runs ACROSS the
+# first-letter boundary, drop the first run digit and the zeros, pad.
+# RE2 has no backreferences, so the run collapse is one replace per
+# digit ('1+' -> '1' ... '9+' -> '9'; zeros are dropped afterwards).
+_SOUNDEX_DIGITS = "01230120022455012623010202"
+
+
+def _soundex_sql(col: str) -> str:
+    d = (f"translate(upper(substr({col}, 1, 1)) || "
+         f"regexp_replace(upper(substr({col}, 2)), '[HW]', '', 'g'), "
+         f"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_DIGITS}')")
+    for digit in "0123456789":
+        d = f"regexp_replace({d}, '{digit}+', '{digit}', 'g')"
+    return (f"upper(substr({col}, 1, 1)) || "
+            f"substr(replace(substr({d}, 2), '0', '') || '000', 1, 3)")
+
+
+# PhoneticFilter(Soundex, inject=true) twin: overlays join the token
+# bag for tf/df/sumTotalTermFreq but NOT the per-doc norm length.
+_PHONETIC_PRELUDE = f"""
+WITH base AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok AS (
+  SELECT doc_id, term FROM base
+  UNION ALL
+  SELECT doc_id, {_soundex_sql('term')} AS term FROM base
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM base GROUP BY doc_id),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM doclen) AS dc,
+                 (SELECT count(*) FROM tok) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
 
 def _append_marker_prelude(markers: str) -> str:
     """BM25 prelude over ``text || ' <markers>'`` — the twin for any
@@ -5066,6 +5153,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_marker_term_stats": _q_keyword_marker_stats,
         "bm25_scandinavian_top10": _q_scandinavian_top10,
         "bm25_hyphenated_top10": _q_hyphenated_top10,
+        "bm25_phonetic_top10": _q_phonetic_top10,
+        "phonetic_term_stats": _q_phonetic_stats,
         "compound_term_stats": _q_compound_stats,
         "bm25_capture_camel_top10": _q_capture_top10,
         "capture_term_stats": _q_capture_stats,
@@ -6088,6 +6177,15 @@ FROM dfs WHERE term IN ('zqtf', 'data', 'dup')"""),
         "bm25_hyphenated_top10": (
             _append_marker_prelude("zqhyphen") + ", "
             + _tscore_cte("ts", "zqhyphen") + _topk_sql("ts", 10)),
+        "bm25_phonetic_top10": (
+            _PHONETIC_PRELUDE + ", " + _tscore_cte("ts", "S540")
+            + _topk_sql("ts", 10)),
+        "phonetic_term_stats": (
+            _PHONETIC_PRELUDE
+            + """ SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ('S540', 'T140', 'D300', 'R000', 'small',
+                        'table')"""),
         "keyword_marker_term_stats": (
             _MARKER_PRELUDE
             + """ SELECT term, CAST(df AS BIGINT) AS df,

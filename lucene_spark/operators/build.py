@@ -81,7 +81,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    reverse_tokens: bool = False,
                    term_freq_delimiter: str | None = None,
                    keyword_marker: frozenset = frozenset(),
-                   stemmer_override: dict | None = None
+                   stemmer_override: dict | None = None,
+                   phonetic: tuple | None = None
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -247,6 +248,25 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             keyword_marker=keyword_marker,
             stemmer_override=stemmer_override)
         cjk_over = np.zeros(n_docs, dtype=np.int64)
+    if phonetic is not None:
+        # PhoneticFilter (reference ``analysis/phonetic/PhoneticFilter
+        # .java``): phonetic = (encoder_name, inject). inject=True emits
+        # the encoding as a posInc=0 overlay beside the original (norm
+        # discount like every overlay); inject=False replaces the term.
+        if (synonyms or shingles or common_grams or payload_delimiter
+                or dictionary_compound is not None or ngrams is not None
+                or keyword_repeat):
+            raise ValueError("phonetic is mutually exclusive with the "
+                             "graph-expanding filters")
+        enc_name, inject = phonetic
+        if inject:
+            from ..functions.phonetic import expand_phonetic_batch
+            doc_idx, terms, positions, ph_over = expand_phonetic_batch(
+                doc_idx, terms, positions, n_docs, enc_name)
+            cjk_over = cjk_over + ph_over
+        else:
+            from ..functions.phonetic import replace_phonetic_batch
+            terms = replace_phonetic_batch(terms, enc_name)
     if term_freq_delimiter:
         # DelimitedTermFrequencyTokenFilter (reference ``analysis/common/
         # .../miscellaneous/DelimitedTermFrequencyTokenFilter.java``):
@@ -595,7 +615,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   reverse_tokens: bool = False,
                   term_freq_delimiter: str | None = None,
                   keyword_marker: frozenset = frozenset(),
-                  stemmer_override: dict | None = None):
+                  stemmer_override: dict | None = None,
+                  phonetic: tuple | None = None):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -621,7 +642,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             reverse_tokens=reverse_tokens,
             term_freq_delimiter=term_freq_delimiter,
             keyword_marker=keyword_marker,
-            stemmer_override=stemmer_override)
+            stemmer_override=stemmer_override,
+            phonetic=phonetic)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -708,7 +730,8 @@ def build_index(spark, df, index_dir: str, *,
                 reverse_tokens: bool = False,
                 term_freq_delimiter: str | None = None,
                 keyword_marker: frozenset = frozenset(),
-                stemmer_override: dict | None = None):
+                stemmer_override: dict | None = None,
+                phonetic: tuple | None = None):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -775,7 +798,8 @@ def build_index(spark, df, index_dir: str, *,
                             reverse_tokens=reverse_tokens,
                             term_freq_delimiter=term_freq_delimiter,
                             keyword_marker=keyword_marker,
-                            stemmer_override=stemmer_override)
+                            stemmer_override=stemmer_override,
+                            phonetic=phonetic)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
