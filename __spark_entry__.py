@@ -600,6 +600,32 @@ def _q_phonetic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _q_protected_truncate_stats(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ProtectedTermFilter wrapping TruncateTokenFilter
+    (``miscellaneous/ProtectedTermFilter.java`` +
+    ``TruncateTokenFilter.java``): every term truncates to 4 chars
+    except the protected 'customer'."""
+    key = "prot:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.col("text").alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    token_filters=(("protected", ("customer",),
+                                    (("truncate", 4),)),))
+        _BUILT[key] = idx
+    s = Searcher(spark, _BUILT[key])
+    return (s.term_stats
+            .filter(F.col("term").isin(["customer", "cust", "orde",
+                                        "tabl", "quer"]))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _q_auto_stopword_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryAutoStopWordAnalyzer (``analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java``): df > 40%·numDocs terms become
@@ -5155,6 +5181,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_hyphenated_top10": _q_hyphenated_top10,
         "bm25_phonetic_top10": _q_phonetic_top10,
         "phonetic_term_stats": _q_phonetic_stats,
+        "protected_truncate_stats": _q_protected_truncate_stats,
         "compound_term_stats": _q_compound_stats,
         "bm25_capture_camel_top10": _q_capture_top10,
         "capture_term_stats": _q_capture_stats,
@@ -6180,6 +6207,17 @@ FROM dfs WHERE term IN ('zqtf', 'data', 'dup')"""),
         "bm25_phonetic_top10": (
             _PHONETIC_PRELUDE + ", " + _tscore_cte("ts", "S540")
             + _topk_sql("ts", 10)),
+        "protected_truncate_stats": """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN term = 'customer' THEN term
+              ELSE substr(term, 1, 4) END AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents))
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM t WHERE term IN ('customer', 'cust', 'orde', 'tabl', 'quer')
+GROUP BY 1""",
         "phonetic_term_stats": (
             _PHONETIC_PRELUDE
             + """ SELECT term, CAST(df AS BIGINT) AS df,

@@ -171,6 +171,57 @@ def scandinavian_normalize(t: str, foldings=frozenset(
     return "".join(buf)
 
 
+def capitalization_token(t: str,
+                         only_first_word: bool = True,
+                         keep: frozenset = frozenset(),
+                         force_first_letter: bool = True,
+                         ok_prefix: tuple = (),
+                         min_word_length: int = 0,
+                         max_word_count: int = 2 ** 31 - 1,
+                         max_token_length: int = 2 ** 31 - 1) -> str:
+    """CapitalizationFilter (reference ``miscellaneous/Capitalization
+    Filter.java:109-196``): title-case the token's intra-token words
+    (split on chars <= ' ' and '.'). only_first_word lowercases the
+    rest; keep words pass unchanged (case-SENSITIVE, first letter still
+    forced when force_first_letter); ok_prefix words pass; words below
+    min_word_length pass; more than max_word_count words or a token at
+    least max_token_length long leaves the token untouched."""
+    if len(t) >= max_token_length:
+        return t
+    words = []
+    start = 0
+    for i, c in enumerate(t):
+        if c <= " " or c == ".":
+            if i > start:
+                words.append((start, i))
+            start = i + 1
+    if start < len(t):
+        words.append((start, len(t)))
+    if len(words) > max_word_count:
+        return t
+    buf = list(t)
+
+    def process(lo, hi, word_count):
+        w = t[lo:hi]
+        if only_first_word and word_count > 0:
+            buf[lo:hi] = list(w.lower())
+            return
+        if w in keep:
+            if word_count == 0 and force_first_letter:
+                buf[lo] = w[0].upper()
+            return
+        if len(w) < min_word_length:
+            return
+        for p in ok_prefix:
+            if w.startswith(p):
+                return
+        buf[lo:hi] = list(w[0].upper() + w[1:].lower())
+
+    for n, (lo, hi) in enumerate(words):
+        process(lo, hi, n)
+    return "".join(buf)
+
+
 def compile_token_filters(specs) -> tuple:
     """Compile the generic post-normalizer token-filter chain into
     (map_fn | None, keep_fn | None, limit | None) — the analyzer applies
@@ -198,6 +249,7 @@ def compile_token_filters(specs) -> tuple:
     """
     maps: list = []
     keep_set = None
+    keep_preds: list = []
     limit = None
     for spec in specs:
         kind = spec[0]
@@ -208,6 +260,27 @@ def compile_token_filters(specs) -> tuple:
             if n < 1:
                 raise ValueError("truncate length must be >= 1")
             maps.append(lambda t, _n=n: t[:_n])
+        elif kind == "capitalization":
+            opts = dict(spec[1]) if len(spec) > 1 else {}
+            if "keep" in opts:
+                opts["keep"] = frozenset(opts["keep"])
+            if "ok_prefix" in opts:
+                opts["ok_prefix"] = tuple(opts["ok_prefix"])
+            maps.append(lambda t, _o=opts: capitalization_token(t, **_o))
+        elif kind == "protected":
+            # ProtectedTermFilter / ConditionalTokenFilter
+            # (miscellaneous/ProtectedTermFilter.java): terms in the
+            # protect set bypass the wrapped filters, everything else
+            # runs them. Wrapped specs must be pure maps.
+            protect = frozenset(spec[1])
+            inner_map, inner_keep, inner_limit = \
+                compile_token_filters(spec[2])
+            if inner_keep is not None or inner_limit is not None:
+                raise ValueError("protected wraps map filters only")
+            if inner_map is None:
+                raise ValueError("protected needs wrapped filters")
+            maps.append(lambda t, _p=protect, _m=inner_map:
+                        t if t in _p else _m(t))
         elif kind == "scandinavian_fold":
             maps.append(scandinavian_fold)
         elif kind == "scandinavian_normalize":
@@ -219,6 +292,22 @@ def compile_token_filters(specs) -> tuple:
             if keep_set is not None:
                 raise ValueError("at most one keep filter")
             keep_set = frozenset(spec[1])
+        elif kind == "date_recognizer":
+            # DateRecognizerFilter (miscellaneous/DateRecognizerFilter
+            # .java): keep only tokens that parse as dates, gaps
+            # preserved. Format is a strptime pattern (the reference
+            # takes a DateFormat); full-token match — the reference's
+            # lenient prefix-parse is a documented divergence.
+            fmt = spec[1] if len(spec) > 1 else "%m/%d/%Y"
+            import datetime as _dt
+
+            def _is_date(t, _f=fmt):
+                try:
+                    _dt.datetime.strptime(t, _f)
+                    return True
+                except ValueError:
+                    return False
+            keep_preds.append(_is_date)
         elif kind == "limit":
             if limit is not None:
                 raise ValueError("at most one limit filter")
@@ -234,8 +323,16 @@ def compile_token_filters(specs) -> tuple:
                 t = m(t)
             return t
     keep_fn = None
-    if keep_set is not None:
+    if keep_set is not None and not keep_preds:
         keep_fn = keep_set.__contains__
+    elif keep_set is not None or keep_preds:
+        preds = tuple(keep_preds)
+        ks = keep_set
+
+        def keep_fn(t, _p=preds, _k=ks):
+            if _k is not None and t not in _k:
+                return False
+            return all(p(t) for p in _p)
     return map_fn, keep_fn, limit
 
 

@@ -137,3 +137,41 @@ def test_scandinavian_in_token_filter_chain():
     p = _invert(["blåbärsyltetöj räksmörgås"],
                 token_filters=(("scandinavian_fold",),))
     assert sorted(p["term"]) == ["blabarsyltetoj", "raksmorgas"]
+
+
+# --- CapitalizationFilter / DateRecognizer / ProtectedTermFilter -------------
+def test_capitalization_filter_goldens():
+    from lucene_spark.functions.pattern import capitalization_token as cap
+    keep = frozenset(["and", "the", "it", "BIG"])
+    assert cap("kiTTEN", keep=keep) == "Kitten"
+    assert cap("and", keep=keep) == "And"
+    assert cap("AnD", keep=keep) == "And"
+    assert cap("big", keep=keep) == "Big"
+    assert cap("BIG", keep=keep) == "BIG"
+    assert cap("Hello thEre my Name is Ryan", keep=keep) == \
+        "Hello there my name is ryan"
+    assert cap("Hello thEre my Name is Ryan", keep=keep,
+               only_first_word=False) == "Hello There My Name Is Ryan"
+    assert cap("Hello thEre my Name is Ryan", keep=keep,
+               only_first_word=False,
+               min_word_length=3) == "Hello There my Name is Ryan"
+    assert cap("McKinley", ok_prefix=("McK",),
+               only_first_word=False) == "McKinley"
+    # maxWordCount exceeded: token untouched
+    assert cap("one two three", only_first_word=False,
+               max_word_count=2) == "one two three"
+
+
+def test_date_recognizer_keep_predicate():
+    p = _invert(["note 12/24/1984 draft 01/01/2014"],
+                tokenizer="whitespace",
+                token_filters=(("date_recognizer", "%m/%d/%Y"),))
+    assert sorted(p["term"]) == ["01/01/2014", "12/24/1984"]
+
+
+def test_protected_term_filter():
+    # protected terms bypass the wrapped truncate
+    p = _invert(["customer order table"],
+                token_filters=(("protected", ("customer",),
+                                (("truncate", 4),)),))
+    assert sorted(p["term"]) == ["customer", "orde", "tabl"]
