@@ -626,6 +626,47 @@ def _q_protected_truncate_stats(spark: SparkSession,
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _searcher_urlemail(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with the UAX29URLEmailTokenizer
+    (``analysis/common/.../email/UAX29URLEmailTokenizerImpl.jflex``,
+    ``functions/urlemail.py``): every doc gets a URL (varying by
+    doc_id % 3) and an email appended — both survive tokenization as
+    single lowercase tokens the plain standard chain would shred."""
+    key = "urlemail:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.col("text"),
+                     F.lit(" see HTTP://zq.Example.COM/p?q="),
+                     (F.col("doc_id") % 3).cast("string"),
+                     F.lit(" mail Bob@zqMail.org")).alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    tokenizer="url_email")
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_url_email_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on one URL variant — a third of the corpus
+    matches, with dl shifted by the injected tokens."""
+    return _fmt_topk(_searcher_urlemail(spark, sf_dir).search(
+        Q.Term("http://zq.example.com/p?q=1"), k=10))
+
+
+def _q_url_email_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher_urlemail(spark, sf_dir)
+    urls = [f"http://zq.example.com/p?q={i}" for i in range(3)]
+    return (s.term_stats
+            .filter(F.col("term").isin(urls + ["bob@zqmail.org", "see",
+                                               "mail"]))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _q_auto_stopword_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryAutoStopWordAnalyzer (``analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java``): df > 40%·numDocs terms become
@@ -1757,6 +1798,37 @@ doclen AS (SELECT doc_id, count(*) AS dl FROM base GROUP BY doc_id),
 lut(v) AS (VALUES {_LUT_V}),
 stats AS (SELECT (SELECT count(*) FROM doclen) AS dc,
                  (SELECT count(*) FROM tok) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+
+# UAX29URLEmailTokenizer twin: the injected URL/email survive as single
+# lowercase tokens ('see'/'mail' words plus the doc_id-dependent URL)
+_URLEMAIL_PRELUDE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(
+             text || ' see http://zq.example.com/p?q='
+                  || CAST(doc_id % 3 AS VARCHAR)
+                  || ' mail bob@zqmail.org', ' ')) AS term
+  FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM doclen),
 avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
                   AS avgdl, dc FROM stats),
 normcache AS (
@@ -5182,6 +5254,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phonetic_top10": _q_phonetic_top10,
         "phonetic_term_stats": _q_phonetic_stats,
         "protected_truncate_stats": _q_protected_truncate_stats,
+        "bm25_url_token_top10": _q_url_email_top10,
+        "url_email_term_stats": _q_url_email_stats,
         "compound_term_stats": _q_compound_stats,
         "bm25_capture_camel_top10": _q_capture_top10,
         "capture_term_stats": _q_capture_stats,
@@ -6207,6 +6281,18 @@ FROM dfs WHERE term IN ('zqtf', 'data', 'dup')"""),
         "bm25_phonetic_top10": (
             _PHONETIC_PRELUDE + ", " + _tscore_cte("ts", "S540")
             + _topk_sql("ts", 10)),
+        "bm25_url_token_top10": (
+            _URLEMAIL_PRELUDE + ", "
+            + _tscore_cte("ts", "http://zq.example.com/p?q=1")
+            + _topk_sql("ts", 10)),
+        "url_email_term_stats": (
+            _URLEMAIL_PRELUDE
+            + """ SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ('http://zq.example.com/p?q=0',
+                        'http://zq.example.com/p?q=1',
+                        'http://zq.example.com/p?q=2',
+                        'bob@zqmail.org', 'see', 'mail')"""),
         "protected_truncate_stats": """
 WITH t AS (
   SELECT doc_id,

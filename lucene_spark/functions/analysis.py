@@ -175,6 +175,11 @@ def analyze_text(text: str,
                               tokenizer[2])
     elif tokenizer == "keyword":
         raws = [text] if text else []
+    elif tokenizer == "url_email":
+        # UAX29URLEmailTokenizer (functions/urlemail.py): URLs and
+        # emails survive as single tokens, words via the standard rules
+        from .urlemail import url_email_tokens
+        raws = [t for t, _ in url_email_tokens(text or "")]
     else:
         raws = TOKENIZERS[tokenizer].findall(text)
     for raw in raws:
@@ -299,6 +304,12 @@ def analyze_batch(texts: pd.Series,
             tok_lists = [[s.lower()] if s else [] for s in vals]
         else:
             tok_lists = [[s] if s else [] for s in vals]
+    elif tokenizer == "url_email":
+        # UAX29URLEmailTokenizer: scan per doc (URL/EMAIL tokens are
+        # case-preserving scans, so lowercase AFTER tokenization)
+        from .urlemail import url_email_tokens
+        ascii_fast = False
+        tok_lists = [[t for t, _ in url_email_tokens(s)] for s in vals]
     else:
         findall = TOKENIZERS[tokenizer].findall
         if ascii_fast:
