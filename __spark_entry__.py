@@ -667,6 +667,32 @@ def _q_url_email_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _q_url_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TypeTokenFilter over the URL/email tokenizer
+    (``miscellaneous/TypeTokenFilter.java``, keep-listed-types): an
+    index of ONLY the URL tokens — the web-corpus link-extraction op.
+    The dictionary is exactly the three injected URL variants."""
+    key = "urlonly:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.col("text"),
+                     F.lit(" see HTTP://zq.Example.COM/p?q="),
+                     (F.col("doc_id") % 3).cast("string"),
+                     F.lit(" mail Bob@zqMail.org")).alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    tokenizer=("url_email", "URL"))
+        _BUILT[key] = idx
+    s = Searcher(spark, _BUILT[key])
+    return (s.term_stats
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _q_auto_stopword_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryAutoStopWordAnalyzer (``analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java``): df > 40%·numDocs terms become
@@ -5256,6 +5282,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "protected_truncate_stats": _q_protected_truncate_stats,
         "bm25_url_token_top10": _q_url_email_top10,
         "url_email_term_stats": _q_url_email_stats,
+        "url_extract_stats": _q_url_extract_stats,
         "compound_term_stats": _q_compound_stats,
         "bm25_capture_camel_top10": _q_capture_top10,
         "capture_term_stats": _q_capture_stats,
@@ -6293,6 +6320,12 @@ FROM dfs WHERE term IN ('http://zq.example.com/p?q=0',
                         'http://zq.example.com/p?q=1',
                         'http://zq.example.com/p?q=2',
                         'bob@zqmail.org', 'see', 'mail')"""),
+        # the URL-only index dictionary = the three injected variants,
+        # df = ttf = the doc_id % 3 bucket sizes
+        "url_extract_stats": """
+SELECT 'http://zq.example.com/p?q=' || CAST(doc_id % 3 AS VARCHAR) AS term,
+       CAST(count(*) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS ttf
+FROM documents GROUP BY 1""",
         "protected_truncate_stats": """
 WITH t AS (
   SELECT doc_id,

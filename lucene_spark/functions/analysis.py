@@ -175,15 +175,25 @@ def analyze_text(text: str,
                               tokenizer[2])
     elif tokenizer == "keyword":
         raws = [text] if text else []
-    elif tokenizer == "url_email":
+    elif tokenizer == "url_email" or (
+            isinstance(tokenizer, tuple) and tokenizer[0] == "url_email"):
         # UAX29URLEmailTokenizer (functions/urlemail.py): URLs and
-        # emails survive as single tokens, words via the standard rules
+        # emails survive as single tokens, words via the standard
+        # rules. The tuple form ("url_email", type, ...) composes the
+        # TypeTokenFilter (miscellaneous/TypeTokenFilter.java,
+        # useWhiteList=true): keep only tokens of the listed types
+        # ('URL' / 'EMAIL' / 'word'), position gaps preserved.
         from .urlemail import url_email_tokens
-        raws = [t for t, _ in url_email_tokens(text or "")]
+        keep_types = (frozenset(tokenizer[1:])
+                      if isinstance(tokenizer, tuple) else None)
+        raws = [t if keep_types is None or ty in keep_types else None
+                for t, ty in url_email_tokens(text or "")]
     else:
         raws = TOKENIZERS[tokenizer].findall(text)
     for raw in raws:
         pos += 1  # every tokenizer-emitted token consumes a position
+        if raw is None:
+            continue  # TypeTokenFilter drop: gap kept
         if len(raw) > max_token_length:
             continue  # skipped but counted (StandardTokenizer:156-166)
         low = raw.lower() if lowercase else raw
@@ -304,12 +314,23 @@ def analyze_batch(texts: pd.Series,
             tok_lists = [[s.lower()] if s else [] for s in vals]
         else:
             tok_lists = [[s] if s else [] for s in vals]
-    elif tokenizer == "url_email":
+    elif tokenizer == "url_email" or (
+            isinstance(tokenizer, tuple) and tokenizer[0] == "url_email"):
         # UAX29URLEmailTokenizer: scan per doc (URL/EMAIL tokens are
-        # case-preserving scans, so lowercase AFTER tokenization)
+        # case-preserving scans, so lowercase AFTER tokenization); the
+        # tuple form composes TypeTokenFilter (keep-listed-types,
+        # position gaps preserved) by dropping non-listed tokens AFTER
+        # position assignment below
         from .urlemail import url_email_tokens
         ascii_fast = False
-        tok_lists = [[t for t, _ in url_email_tokens(s)] for s in vals]
+        if isinstance(tokenizer, tuple):
+            _kt = frozenset(tokenizer[1:])
+            tok_lists = [[t if ty in _kt else None
+                          for t, ty in url_email_tokens(s)]
+                         for s in vals]
+        else:
+            tok_lists = [[t for t, _ in url_email_tokens(s)]
+                         for s in vals]
     else:
         findall = TOKENIZERS[tokenizer].findall
         if ascii_fast:
@@ -330,10 +351,18 @@ def analyze_batch(texts: pd.Series,
     # position within doc BEFORE any filtering
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     positions = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    type_drop = None
+    if isinstance(tokenizer, tuple) and tokenizer[0] == "url_email":
+        # TypeTokenFilter drops (None placeholders): gap kept
+        type_drop = np.array([t is None for t in flat])
+        if type_drop.any():
+            flat = np.where(type_drop, "", flat)
     # length filter (skip, position already consumed); token length is
     # identical pre/post lower on the ASCII path
     keep = np.fromiter(map(len, flat), np.int64,
                        count=total) <= max_token_length
+    if type_drop is not None:
+        keep &= ~type_drop
     if lowercase and not ascii_fast:
         flat = pd.Series(flat).str.lower().to_numpy()
     if ascii_folding:

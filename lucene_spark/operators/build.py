@@ -140,7 +140,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             pd.Series(texts.to_numpy(dtype=object)), stopwords=stopwords,
             flags=cjk_bigrams, output_unigrams=cjk_output_unigrams)
     elif tokenizer in ("path", "path_reverse") or (
-            isinstance(tokenizer, tuple) and tokenizer[0] != "pattern"):
+            isinstance(tokenizer, tuple)
+            and tokenizer[0] not in ("pattern", "url_email")):
         # (Reverse)PathHierarchyTokenizer / raw (Edge)NGramTokenizer —
         # whole-input tokenizers that replace the analysis chain; the
         # stream-rewriting filters don't compose with them

@@ -77,3 +77,15 @@ def test_build_chain_integration():
         tokenizer="url_email")
     assert sorted(postings["term"]) == ["a@b.cc", "http://ex.com/q?a=1",
                                         "see"]
+
+
+def test_type_token_filter_keep_urls():
+    # TypeTokenFilter composition (miscellaneous/TypeTokenFilter.java,
+    # keep-listed-types): only URL/EMAIL tokens survive, gaps preserved
+    from lucene_spark.functions.analysis import analyze_text
+    terms, positions, length = analyze_text(
+        "Go to HTTP://Ex.COM/a and mail Bob@x.cc or read more",
+        tokenizer=("url_email", "URL", "EMAIL"))
+    assert terms == ["http://ex.com/a", "bob@x.cc"]
+    assert positions == [2, 5]
+    assert length == 2
