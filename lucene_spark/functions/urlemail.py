@@ -31,13 +31,10 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
-
 from ._tlds import TLDS
 from .analysis import TOKEN_PATTERN
 
-__all__ = ["url_email_tokens", "url_email_tokenize_batch",
-           "URL_RE", "EMAIL_RE"]
+__all__ = ["url_email_tokens", "URL_RE", "EMAIL_RE"]
 
 _TLD_ALT = "|".join(TLDS)
 # "." ( TLD ) "."?  — accept trailing root (empty) domain
@@ -147,30 +144,3 @@ def url_email_tokens(text: str):
         out.append((text[i:best], best_type))
         i = best
     return out
-
-
-def url_email_tokenize_batch(texts, lowercase: bool = True):
-    """Batch tokenizer for the build kernel: returns (doc_idx, terms,
-    positions, lengths). URL/EMAIL tokens are kept whole (lowercased
-    with the rest when ``lowercase`` — UAX29URLEmailAnalyzer composes
-    with LowerCaseFilter)."""
-    import pandas as pd
-    vals = texts.to_numpy(dtype=object)
-    n_docs = len(vals)
-    tok_lists = [[t for t, _ in url_email_tokens(s or "")] for s in vals]
-    counts = np.fromiter(map(len, tok_lists), np.int64, count=n_docs)
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-    total = int(doc_idx.size)
-    flat = np.empty(total, dtype=object)
-    k = 0
-    for lst in tok_lists:
-        flat[k:k + len(lst)] = lst
-        k += len(lst)
-    if lowercase and total:
-        flat = pd.Series(flat).str.lower().to_numpy()
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1])) if n_docs else \
-        np.zeros(0, np.int64)
-    positions = (np.arange(total, dtype=np.int64)
-                 - np.repeat(starts, counts)) if total else \
-        np.zeros(0, np.int64)
-    return doc_idx, flat, positions, counts
