@@ -5405,6 +5405,25 @@ _PRIORITY = [
     "blended_infix_suggest",
     "multi_range_query",
     "indri_and_top10",
+    # --- new in round-4 continuation session 4 ---
+    "bm25_url_token_top10",
+    "url_email_term_stats",
+    "url_extract_stats",
+    "bm25_html_strip_top10",
+    "html_strip_term_stats",
+    "bm25_phonetic_top10",
+    "phonetic_term_stats",
+    "leading_wildcard_query",
+    "reverse_term_stats",
+    "auto_stopword_top10",
+    "bm25_delimited_tf_top10",
+    "delimited_tf_stats",
+    "phrase_wildcard_top10",
+    "bm25_keyword_marker_top10",
+    "keyword_marker_term_stats",
+    "bm25_scandinavian_top10",
+    "bm25_hyphenated_top10",
+    "protected_truncate_stats",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
