@@ -693,6 +693,27 @@ def _q_url_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _q_expression_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expressions module (reference ``expressions/js/JavascriptCompiler
+    .java`` + ``expressions/ExpressionRescorer.java``): the compiled
+    expression '_score + ln(1 + popularity)' over SimpleBindings
+    {_score = relevance, popularity = doc_id % 10} re-ranks the
+    first-pass top-20 — our ``plans/expressions.py`` parses the same
+    grammar and emits one Catalyst projection."""
+    from lucene_spark.plans.expressions import to_column
+    s = _searcher(spark, sf_dir)
+    fp = s.search(Q.Term(T_COMMON), k=20)
+    expr = to_column("_score + ln(1 + popularity)",
+                     {"_score": F.col("score"),
+                      "popularity": F.col("doc_id") % 10})
+    w = Window.orderBy(F.desc("newscore"), F.asc("doc_id"))
+    return (fp.withColumn("newscore", expr)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    _q4(F.col("newscore")).alias("score_q4")))
+
+
 def _q_auto_stopword_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryAutoStopWordAnalyzer (``analysis/common/.../query/
     QueryAutoStopWordAnalyzer.java``): df > 40%·numDocs terms become
@@ -5283,6 +5304,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_url_token_top10": _q_url_email_top10,
         "url_email_term_stats": _q_url_email_stats,
         "url_extract_stats": _q_url_extract_stats,
+        "expression_rescore_top10": _q_expression_rescore,
         "compound_term_stats": _q_compound_stats,
         "bm25_capture_camel_top10": _q_capture_top10,
         "capture_term_stats": _q_capture_stats,
@@ -6339,6 +6361,17 @@ FROM dfs WHERE term IN ('http://zq.example.com/p?q=0',
                         'http://zq.example.com/p?q=1',
                         'http://zq.example.com/p?q=2',
                         'bob@zqmail.org', 'see', 'mail')"""),
+        # Expressions module twin: first-pass top-20 (engine tie-break
+        # order), then the compiled '_score + ln(1 + popularity)'
+        # formula in double
+        "expression_rescore_top10": (
+            _PRELUDE + ", " + _tscore_cte("ts", T_COMMON) + """,
+fp AS (SELECT doc_id, s FROM ts
+       ORDER BY s DESC, doc_id ASC LIMIT 20),
+rs AS (SELECT doc_id,
+              CAST(s AS DOUBLE)
+              + ln(1 + CAST(doc_id % 10 AS DOUBLE)) AS s
+       FROM fp)""" + _topk_sql("rs", 10)),
         # the URL-only index dictionary = the three injected variants,
         # df = ttf = the doc_id % 3 bucket sizes
         "url_extract_stats": """
