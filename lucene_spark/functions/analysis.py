@@ -159,10 +159,11 @@ def analyze_text(text: str,
     if pattern_replace is not None:
         from .pattern import compile_pattern_replace
         pr = compile_pattern_replace(pattern_replace)
-    tf_map, tf_keep, tf_limit = (None, None, None)
+    tf_map, tf_keep, tf_limit, tf_pos_limit = (None, None, None, None)
     if token_filters:
         from .pattern import compile_token_filters
-        tf_map, tf_keep, tf_limit = compile_token_filters(token_filters)
+        tf_map, tf_keep, tf_limit, tf_pos_limit = \
+            compile_token_filters(token_filters)
     terms: list[str] = []
     positions: list[int] = []
     pos = -1
@@ -230,6 +231,8 @@ def analyze_text(text: str,
             low = porter_stem(low)
         elif light_stem is not None:
             low = light_stem(low)
+        if tf_pos_limit is not None and pos + 1 > tf_pos_limit:
+            continue  # LimitTokenPositionFilter: past max position
         if tf_limit is not None and len(terms) >= tf_limit:
             break  # LimitTokenCountFilter: stop emitting
         terms.append(low)
@@ -387,11 +390,17 @@ def analyze_batch(texts: pd.Series,
         pcodes, puniq = pd.factorize(flat)
         flat = pattern_replace_unique(puniq, pattern_replace)[pcodes]
     tf_limit = None
+    tf_pos_limit = None
     if token_filters:
         # generic chain (trim/truncate/keep/limit) — maps and the keep
         # predicate at vocabulary level; the limit applies at emission
         from .pattern import compile_token_filters
-        tf_map, tf_keep, tf_limit = compile_token_filters(token_filters)
+        tf_map, tf_keep, tf_limit, tf_pos_limit = \
+            compile_token_filters(token_filters)
+        if tf_pos_limit is not None:
+            # LimitTokenPositionFilter: positions are 0-based here, the
+            # reference's maxTokenPosition is 1-based (first token = 1)
+            keep &= positions < tf_pos_limit
         if tf_map is not None:
             mcodes, muniq = pd.factorize(flat)
             flat = np.array([tf_map(u) for u in muniq],

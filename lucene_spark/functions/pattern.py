@@ -251,6 +251,7 @@ def compile_token_filters(specs) -> tuple:
     keep_set = None
     keep_preds: list = []
     limit = None
+    pos_limit = None
     for spec in specs:
         kind = spec[0]
         if kind == "trim":
@@ -273,9 +274,10 @@ def compile_token_filters(specs) -> tuple:
             # protect set bypass the wrapped filters, everything else
             # runs them. Wrapped specs must be pure maps.
             protect = frozenset(spec[1])
-            inner_map, inner_keep, inner_limit = \
+            inner_map, inner_keep, inner_limit, inner_plimit = \
                 compile_token_filters(spec[2])
-            if inner_keep is not None or inner_limit is not None:
+            if (inner_keep is not None or inner_limit is not None
+                    or inner_plimit is not None):
                 raise ValueError("protected wraps map filters only")
             if inner_map is None:
                 raise ValueError("protected needs wrapped filters")
@@ -314,6 +316,16 @@ def compile_token_filters(specs) -> tuple:
             limit = int(spec[1])
             if limit < 1:
                 raise ValueError("limit must be >= 1")
+        elif kind == "limit_position":
+            # LimitTokenPositionFilter (miscellaneous/LimitTokenPosition
+            # Filter.java, consumeAllTokens composition): tokens with
+            # position > max_token_position are dropped — unlike the
+            # count limit this keys on the POSITION (stopword gaps count)
+            if pos_limit is not None:
+                raise ValueError("at most one limit_position filter")
+            pos_limit = int(spec[1])
+            if pos_limit < 1:
+                raise ValueError("limit_position must be >= 1")
         else:
             raise ValueError(f"unknown token filter {spec!r}")
     map_fn = None
@@ -325,7 +337,8 @@ def compile_token_filters(specs) -> tuple:
     keep_fn = None
     if keep_set is not None and not keep_preds:
         keep_fn = keep_set.__contains__
-    elif keep_set is not None or keep_preds:
+        return map_fn, keep_fn, limit, pos_limit
+    if keep_set is not None or keep_preds:
         preds = tuple(keep_preds)
         ks = keep_set
 
@@ -333,7 +346,7 @@ def compile_token_filters(specs) -> tuple:
             if _k is not None and t not in _k:
                 return False
             return all(p(t) for p in _p)
-    return map_fn, keep_fn, limit
+    return map_fn, keep_fn, limit, pos_limit
 
 
 def pattern_replace_unique(uniq, spec: tuple) -> np.ndarray:

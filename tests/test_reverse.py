@@ -175,3 +175,20 @@ def test_protected_term_filter():
                 token_filters=(("protected", ("customer",),
                                 (("truncate", 4),)),))
     assert sorted(p["term"]) == ["customer", "orde", "tabl"]
+
+
+def test_limit_token_position_filter():
+    # LimitTokenPositionFilter: tokens past max POSITION dropped —
+    # stopword gaps count toward the position (unlike the count limit)
+    p = _invert(["the data big scan small"],
+                token_filters=(("limit_position", 3),))
+    assert sorted(p["term"]) == ["big", "data", "the"]
+    # a stopword still consumes position 0, so the cap keeps fewer
+    import pandas as pd
+    from lucene_spark.operators.build import invert_segment
+    pdf = pd.DataFrame({"doc_id": [0],
+                        "content": ["the data big scan small"]})
+    p2, _, _, _ = invert_segment(
+        pdf, 0, "content", "doc_id", frozenset({"the"}), True,
+        token_filters=(("limit_position", 3),))
+    assert sorted(p2["term"]) == ["big", "data"]
