@@ -82,7 +82,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    term_freq_delimiter: str | None = None,
                    keyword_marker: frozenset = frozenset(),
                    stemmer_override: dict | None = None,
-                   phonetic: tuple | None = None
+                   phonetic: tuple | None = None,
+                   min_hash: tuple | None = None
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -249,6 +250,25 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             keyword_marker=keyword_marker,
             stemmer_override=stemmer_override)
         cjk_over = np.zeros(n_docs, dtype=np.int64)
+    if min_hash is not None:
+        # MinHashFilter pipeline (analysis/minhash/MinHashFilter.java):
+        # k-shingle the analyzed stream (ShingleFilter with
+        # outputUnigrams=false, space separator), then collapse each doc
+        # into its MinHash token set — all at position 0 (posInc 1 then
+        # 0), so norms see length 1 and the overlays count only into
+        # sumTotalTermFreq. min_hash = (k, hash_count, bucket_count,
+        # hash_set_size, with_rotation).
+        if (synonyms or shingles or common_grams or payload_delimiter
+                or dictionary_compound is not None or ngrams is not None
+                or keyword_repeat or phonetic is not None):
+            raise ValueError("min_hash is mutually exclusive with the "
+                             "other stream-rewriting filters")
+        from ..functions.minhash import expand_minhash_batch
+        k, hc, bc, hss, rot = min_hash
+        doc_idx, terms, positions, lengths, mh_over = \
+            expand_minhash_batch(doc_idx, terms, positions, n_docs,
+                                 int(k), int(hc), int(bc), int(hss), rot)
+        cjk_over = cjk_over + mh_over
     if phonetic is not None:
         # PhoneticFilter (reference ``analysis/phonetic/PhoneticFilter
         # .java``): phonetic = (encoder_name, inject). inject=True emits
@@ -617,7 +637,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   term_freq_delimiter: str | None = None,
                   keyword_marker: frozenset = frozenset(),
                   stemmer_override: dict | None = None,
-                  phonetic: tuple | None = None):
+                  phonetic: tuple | None = None,
+                  min_hash: tuple | None = None):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -644,7 +665,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             term_freq_delimiter=term_freq_delimiter,
             keyword_marker=keyword_marker,
             stemmer_override=stemmer_override,
-            phonetic=phonetic)
+            phonetic=phonetic,
+            min_hash=min_hash)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -732,7 +754,8 @@ def build_index(spark, df, index_dir: str, *,
                 term_freq_delimiter: str | None = None,
                 keyword_marker: frozenset = frozenset(),
                 stemmer_override: dict | None = None,
-                phonetic: tuple | None = None):
+                phonetic: tuple | None = None,
+                min_hash: tuple | None = None):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -800,7 +823,8 @@ def build_index(spark, df, index_dir: str, *,
                             term_freq_delimiter=term_freq_delimiter,
                             keyword_marker=keyword_marker,
                             stemmer_override=stemmer_override,
-                            phonetic=phonetic)
+                            phonetic=phonetic,
+                            min_hash=min_hash)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)
