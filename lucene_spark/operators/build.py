@@ -83,7 +83,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    keyword_marker: frozenset = frozenset(),
                    stemmer_override: dict | None = None,
                    phonetic: tuple | None = None,
-                   min_hash: tuple | None = None
+                   min_hash: tuple | None = None,
+                   concatenate_graph: bool | tuple = False
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -250,6 +251,43 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             keyword_marker=keyword_marker,
             stemmer_override=stemmer_override)
         cjk_over = np.zeros(n_docs, dtype=np.int64)
+    if concatenate_graph:
+        # ConcatenateGraphFilter (miscellaneous/ConcatenateGraphFilter
+        # .java): the whole surviving stream becomes ONE token, tokens
+        # joined by SEP_LABEL (U+001F) with one extra separator per
+        # skipped position when preserve_position_increments (the
+        # TokenStreamToAutomaton hole encoding) — the CompletionAnalyzer
+        # key shape. concatenate_graph = True or (sep, preserve_posinc).
+        sep, preserve_inc = ("\u001f", True)
+        if isinstance(concatenate_graph, tuple):
+            sep, preserve_inc = concatenate_graph
+        if (synonyms or shingles or common_grams or payload_delimiter
+                or dictionary_compound is not None or ngrams is not None
+                or keyword_repeat or phonetic is not None
+                or min_hash is not None):
+            raise ValueError("concatenate_graph is mutually exclusive "
+                             "with the other stream-rewriting filters")
+        out_d, out_t = [], []
+        lengths = np.zeros(n_docs, dtype=np.int64)
+        if len(terms):
+            order = np.lexsort((positions, doc_idx))
+            d_s, t_s, p_s = (doc_idx[order], terms[order],
+                             positions[order])
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(np.diff(d_s)) + 1, [len(d_s)]))
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                doc = int(d_s[a])
+                parts = [t_s[a]]
+                for j in range(a + 1, b):
+                    gap = int(p_s[j] - p_s[j - 1]) if preserve_inc else 1
+                    parts.append(sep * max(gap, 1))
+                    parts.append(t_s[j])
+                out_d.append(doc)
+                out_t.append("".join(parts))
+                lengths[doc] = 1
+        doc_idx = np.array(out_d, dtype=np.int64)
+        terms = np.array(out_t, dtype=object)
+        positions = np.zeros(len(out_d), dtype=np.int64)
     if min_hash is not None:
         # MinHashFilter pipeline (analysis/minhash/MinHashFilter.java):
         # k-shingle the analyzed stream (ShingleFilter with
@@ -638,7 +676,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   keyword_marker: frozenset = frozenset(),
                   stemmer_override: dict | None = None,
                   phonetic: tuple | None = None,
-                  min_hash: tuple | None = None):
+                  min_hash: tuple | None = None,
+                  concatenate_graph: bool | tuple = False):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -666,7 +705,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             keyword_marker=keyword_marker,
             stemmer_override=stemmer_override,
             phonetic=phonetic,
-            min_hash=min_hash)
+            min_hash=min_hash,
+            concatenate_graph=concatenate_graph)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
                                norms_payload, part,
                                sum_token_len=sum_token_len)
@@ -755,7 +795,8 @@ def build_index(spark, df, index_dir: str, *,
                 keyword_marker: frozenset = frozenset(),
                 stemmer_override: dict | None = None,
                 phonetic: tuple | None = None,
-                min_hash: tuple | None = None):
+                min_hash: tuple | None = None,
+                concatenate_graph: bool | tuple = False):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -824,7 +865,8 @@ def build_index(spark, df, index_dir: str, *,
                             keyword_marker=keyword_marker,
                             stemmer_override=stemmer_override,
                             phonetic=phonetic,
-                            min_hash=min_hash)
+                            min_hash=min_hash,
+                            concatenate_graph=concatenate_graph)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
                  .groupBy(SEG_COL)
                  .applyInPandas(builder, schema=STATS_SCHEMA)

@@ -87,3 +87,34 @@ def test_jaccard_sharing():
     hw = token_hex(H_WOOF)
     assert int(by.loc[hw, "df"]) == 2   # the shared shingle
     assert int(by.drop(hw)["df"].max()) == 1
+
+
+# --- ConcatenateGraphFilter ---------------------------------------------------
+def test_concatenate_graph():
+    # TestConcatenateGraphFilter.testBasic / testWithMultipleTokens:
+    # whole stream -> one token, SEP_LABEL (U+001F) joins
+    SEP = chr(0x1F)
+    pdf = pd.DataFrame({"doc_id": [0], "content": ["mykeyword"]})
+    p, meta, _, _ = invert_segment(
+        pdf, 0, "content", "doc_id", frozenset(), True,
+        tokenizer="whitespace", concatenate_graph=True)
+    assert list(p["term"]) == ["mykeyword"]
+    pdf = pd.DataFrame({"doc_id": [0],
+                        "content": ["mykeyword another keyword"]})
+    p, meta, _, _ = invert_segment(
+        pdf, 0, "content", "doc_id", frozenset(), True,
+        tokenizer="whitespace", concatenate_graph=True)
+    assert list(p["term"]) == [SEP.join(["mykeyword", "another",
+                                         "keyword"])]
+    assert int(meta["doc_len"].iloc[0]) == 1
+    # preserved position increments: a stopword hole doubles the sep
+    # (TokenStreamToAutomaton's POS_SEP-per-position encoding)
+    p, _, _, _ = invert_segment(
+        pdf, 0, "content", "doc_id", frozenset({"another"}), True,
+        tokenizer="whitespace", concatenate_graph=True)
+    assert list(p["term"]) == ["mykeyword" + SEP * 2 + "keyword"]
+    # preserve off: single separator regardless of holes
+    p, _, _, _ = invert_segment(
+        pdf, 0, "content", "doc_id", frozenset({"another"}), True,
+        tokenizer="whitespace", concatenate_graph=(" ", False))
+    assert list(p["term"]) == ["mykeyword keyword"]
