@@ -4424,6 +4424,27 @@ def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("score") * 100).cast("long").alias("score_q2"))
 
 
+def _q_bm25nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25NBClassifier batch (reference
+    ``classification/BM25NBClassifier.java:120-230``): classify docs 0-19
+    by their own text against lang labels; per class, ln(top-1 BM25 of
+    the class term) + Σ_w ln(top-1 of MUST(class) SHOULD(w)), softmax-
+    normalized. The class field is the keyword-indexed label (dl = 1),
+    so the per-(word, class) probes fold into one distributed max over
+    the batch vocabulary's postings."""
+    from lucene_spark.operators.classify import (assign_class,
+                                                 bm25nb_classify)
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    inputs = (docs.where(F.col("doc_id") < 20)
+              .select(F.col("doc_id").alias("input_id"), "text"))
+    labels = docs.select("doc_id", F.col("lang").alias("cls"))
+    scores = bm25nb_classify(s, inputs, labels, tokenize="whitespace")
+    return assign_class(scores).select(
+        "input_id", "cls",
+        F.floor(F.col("score") * 1000).cast("long").alias("score_q3"))
+
+
 def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNearestNeighborClassifier (reference
     ``classification/KNearestNeighborClassifier.java:154-236``): MLT
@@ -5187,6 +5208,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_feature_top10": _q_distance_feature,
         "rescore_top10": _q_rescore,
         "nb_classify_docs": _q_nb_classify,
+        "bm25nb_classify_docs": _q_bm25nb_classify,
         "knn_classify_doc0": _q_knn_classify,
         "knn_classify_text": _q_knn_classify_text,
         "perceptron_assign": _q_perceptron,
@@ -5446,6 +5468,8 @@ _PRIORITY = [
     "bm25_scandinavian_top10",
     "bm25_hyphenated_top10",
     "protected_truncate_stats",
+    # --- new in round-4 continuation session 5 ---
+    "bm25nb_classify_docs",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -5929,6 +5953,85 @@ asg AS (
   FROM nbsc
 )
 SELECT input_id, cls, CAST(floor(score * 100) AS BIGINT) AS score_q2
+FROM asg WHERE r = 1""",
+        "bm25nb_classify_docs": _PRELUDE + """,
+cls AS (SELECT doc_id, lang AS cls FROM documents),
+cstat AS (SELECT cls, count(*) AS df_c FROM cls GROUP BY cls),
+dwcnt AS (SELECT count(*) AS n FROM cls),
+cw AS (
+  SELECT s.cls,
+         CAST(ln(1 + (d.n - s.df_c + CAST(0.5 AS DOUBLE))
+                 / (s.df_c + CAST(0.5 AS DOUBLE))) AS FLOAT) AS w
+  FROM cstat s CROSS JOIN dwcnt d
+),
+cconst AS (
+  -- class field: dl = 1, avgdl = 1 -> the float32 norm-cache chain
+  -- collapses to 1f/(1.2f*((1f-0.75f)+0.75f*1f/1f)); score = w - w/(1+1*inv)
+  SELECT cls,
+         CAST(w - w / (CAST(1 AS FLOAT) + CAST(1 AS FLOAT)
+              * (CAST(CAST(1.0 AS DOUBLE) AS FLOAT)
+                 / (CAST(CAST(1.2 AS DOUBLE) AS FLOAT)
+                    * ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT)
+                        - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+                       + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+                         * CAST(CAST(1.0 AS DOUBLE) AS FLOAT)
+                         / CAST(CAST(1.0 AS DOUBLE) AS FLOAT)))))
+              AS DOUBLE) AS const_c
+  FROM cw
+),
+inp AS (SELECT doc_id AS input_id, term FROM tok WHERE doc_id < 20),
+itf AS (SELECT input_id, term, count(*) AS tf FROM inp GROUP BY 1, 2),
+intok AS (SELECT input_id, count(*) AS n_tokens FROM inp GROUP BY 1),
+wts AS (
+  SELECT d.term,
+         CAST(ln(1 + (a.dc - d.df + CAST(0.5 AS DOUBLE))
+                 / (d.df + CAST(0.5 AS DOUBLE))) AS FLOAT) AS w
+  FROM dfs d, avgs a
+  WHERE d.term IN (SELECT DISTINCT term FROM inp)
+),
+tsc AS (
+  SELECT f.term, f.doc_id,
+         (w.w - w.w / (CAST(1 AS FLOAT) + CAST(f.tf AS FLOAT) * c.inv)) AS s
+  FROM tf f
+  JOIN normcache c ON f.doc_id = c.doc_id
+  JOIN wts w ON w.term = f.term
+),
+best AS (
+  SELECT t.term, c.cls, max(t.s) AS best
+  FROM tsc t JOIN cls c ON c.doc_id = t.doc_id GROUP BY 1, 2
+),
+corr AS (
+  -- ReqOptSumScorer float32 clause sum, then ln minus the absent-word ln
+  SELECT f.input_id, b.cls,
+         sum(CAST(f.tf AS DOUBLE)
+             * (ln(CAST(k.const_c + CAST(b.best AS DOUBLE) AS FLOAT))
+                - ln(k.const_c))) AS corr
+  FROM itf f
+  JOIN best b ON b.term = f.term
+  JOIN cconst k ON k.cls = b.cls
+  GROUP BY 1, 2
+),
+rawsc AS (
+  SELECT i.input_id, k.cls,
+         ln(k.const_c) * (CAST(i.n_tokens AS DOUBLE) + 1)
+         + COALESCE(c.corr, 0) AS raw
+  FROM intok i CROSS JOIN cconst k
+  LEFT JOIN corr c ON c.input_id = i.input_id AND c.cls = k.cls
+),
+mx AS (SELECT input_id, max(raw) AS m FROM rawsc GROUP BY 1),
+sm AS (SELECT r.input_id, sum(exp(r.raw - m.m)) AS se
+       FROM rawsc r JOIN mx m USING (input_id) GROUP BY 1),
+soft AS (
+  SELECT r.input_id, r.cls, exp(r.raw - (m.m + ln(s.se))) AS p
+  FROM rawsc r JOIN mx m USING (input_id) JOIN sm s USING (input_id)
+),
+asg AS (
+  SELECT input_id, cls, p,
+         row_number() OVER (PARTITION BY input_id
+                            ORDER BY p DESC, cls ASC) AS r
+  FROM soft
+)
+SELECT input_id, cls, CAST(floor(p * 1000) AS BIGINT) AS score_q3
 FROM asg WHERE r = 1""",
         "rescore_top10": _PRELUDE + ", " + _tscore_cte("ta", T_COMMON)
         + ", " + _tscore_cte("tb", T_COMMON2) + """,

@@ -23,10 +23,12 @@ weight table is the engine's term_stats scan patched by a broadcast
 override set, and the per-doc token-weight sum is two Catalyst
 aggregations.
 
-Out of scope (documented): BM25NBClassifier (``BM25NBClassifier.java:47``
-scores per-word class probabilities from top-1 BM25 hits of a
-MUST(classTerm) query — it requires the class label indexed as a
-searchable term, where this engine keeps labels in doc_meta columns).
+BM25NBClassifier (:func:`bm25nb_classify`) folds the same way: the
+reference's per-(word, class) top-1 BM25 probe is a per-class constant
+(the MUST class-term clause) float32-added to the best text BM25 score
+among that class's docs — one distributed max aggregation over the
+batch vocabulary's postings replaces O(words × classes) driver
+searches.
 """
 from __future__ import annotations
 
@@ -79,6 +81,33 @@ def term_doc_pairs(searcher, terms: list[str] | None, terms_df=None):
             .applyInPandas(seg_pairs, schema="term string, doc_id long"))
 
 
+def _tokenize_inputs(inputs_df, input_id_col: str, text_col: str,
+                     tokenize: str, stopwords: frozenset):
+    """(input_id, word) token stream for unseen inputs — the reference
+    tokenizes with the index analyzer (SimpleNaiveBayesClassifier
+    :193-206, BM25NBClassifier :183-196); ``whitespace`` is the pure
+    Catalyst path for pre-normalized corpora."""
+    inputs = inputs_df.select(F.col(input_id_col).alias("input_id"),
+                              F.col(text_col).alias("_text"))
+    if tokenize == "whitespace":
+        return (inputs
+                .select("input_id",
+                        F.explode(F.split(F.col("_text"), " ")).alias("word"))
+                .where(F.col("word") != ""))
+    # Arrow-batched columnar analyzer, same code path as the index build
+    from ..functions.analysis import analyze_batch
+
+    def _tok(batches):
+        for pdf in batches:
+            doc_idx, terms, _pos, _lens = analyze_batch(
+                pdf["_text"], stopwords=stopwords)
+            yield pd.DataFrame(
+                {"input_id": pdf["input_id"].to_numpy()[doc_idx],
+                 "word": terms})
+
+    return inputs.mapInPandas(_tok, "input_id long, word string")
+
+
 def naive_bayes_classify(searcher, inputs_df, class_df,
                          input_id_col: str = "input_id",
                          text_col: str = "text",
@@ -112,29 +141,8 @@ def naive_bayes_classify(searcher, inputs_df, class_df,
     push the postings filter (bounded by the batch, the same contract as
     any multi-term query); everything else is joins/groupBys with
     map-side partial aggregation."""
-    inputs = inputs_df.select(F.col(input_id_col).alias("input_id"),
-                              F.col(text_col).alias("_text"))
-    if tokenize == "whitespace":
-        # pre-normalized corpora: pure Catalyst, no UDF
-        tok = (inputs
-               .select("input_id",
-                       F.explode(F.split(F.col("_text"), " ")).alias("word"))
-               .where(F.col("word") != ""))
-    else:
-        # the reference tokenizes unseen text with the index analyzer
-        # (:193-206) — Arrow-batched columnar analyzer, same code path
-        # as the index build
-        from ..functions.analysis import analyze_batch
-
-        def _tok(batches):
-            for pdf in batches:
-                doc_idx, terms, _pos, _lens = analyze_batch(
-                    pdf["_text"], stopwords=stopwords)
-                yield pd.DataFrame(
-                    {"input_id": pdf["input_id"].to_numpy()[doc_idx],
-                     "word": terms})
-
-        tok = inputs.mapInPandas(_tok, "input_id long, word string")
+    tok = _tokenize_inputs(inputs_df, input_id_col, text_col,
+                           tokenize, stopwords)
     tf = tok.groupBy("input_id", "word").agg(F.count("*").alias("tf"))
     ntok = tok.groupBy("input_id").agg(F.count("*").alias("n_tokens"))
 
@@ -190,6 +198,162 @@ def assign_class(scores_df):
          .orderBy(F.desc("score"), F.asc("cls")))
     return (scores_df.withColumn("_r", F.row_number().over(w))
             .where(F.col("_r") == 1).drop("_r"))
+
+
+def term_doc_scores(searcher, terms: list[str], similarity=None):
+    """DataFrame ``(term, doc_id, score float)`` — the float32 TermQuery
+    score of every live matching doc, for a whole term set in ONE
+    postings scan (the reference's per-term
+    ``IndexSearcher.search(TermQuery, 1)`` probes batched;
+    ``search/TermScorer.java``). Weights come from the global term
+    dictionary probe (TermStates.build role); the per-segment kernel is
+    the same float32 ``score_block`` chain every search entry uses.
+
+    Scale: the term list is driver-held (bounded by the caller's batch
+    vocabulary — the same contract as any multi-term query); postings
+    are pushed-filtered, scoring is map-side, nothing shuffles but the
+    emitted (term, doc, score) rows."""
+    from ..functions import bm25
+    from .search import TermSegPostings, _live_mask
+
+    schema = "term string, doc_id long, score float"
+    empty = pd.DataFrame({"term": pd.Series([], dtype=object),
+                          "doc_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float32")})
+    if not terms:
+        return searcher.spark.createDataFrame(empty, schema)
+    terms = sorted(set(terms))
+    sim = similarity or searcher.similarity
+    dfs, ttfs = searcher._global_stats(terms)
+    doc_count = searcher.doc_count
+    avgdl = bm25.avg_field_length(searcher.sum_ttf, doc_count)
+    cache = sim.norm_cache(avgdl)
+    weights = {t: sim.weight(df, doc_count, 1.0, ttfs.get(t, 0),
+                             searcher.sum_ttf)
+               for t, df in dfs.items()}
+    deletes = searcher.deletes
+    pf = searcher.postings.filter(F.col("term").isin(terms))
+
+    def seg_scores(key, postings_pdf, norms_pdf):
+        if len(norms_pdf) == 0 or len(postings_pdf) == 0:
+            return empty
+        nrow = norms_pdf.iloc[0]
+        norm_bytes = np.frombuffer(nrow["norm_bytes"], dtype=np.uint8)
+        gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
+        live = _live_mask(deletes, int(key[0]), len(norm_bytes))
+        out = []
+        for _, r in postings_pdf.iterrows():
+            lids, tfs = TermSegPostings(r).decode_all()
+            if live is not None:
+                keep = live[lids]
+                lids, tfs = lids[keep], tfs[keep]
+            s = bm25.score_block(tfs, norm_bytes[lids],
+                                 weights[r["term"]], cache)
+            out.append(pd.DataFrame(
+                {"term": np.full(len(lids), r["term"], dtype=object),
+                 "doc_id": gids[lids], "score": s}))
+        return pd.concat(out) if out else empty
+
+    return (pf.groupBy("seg_id").cogroup(searcher.norms.groupBy("seg_id"))
+            .applyInPandas(seg_scores, schema=schema))
+
+
+def bm25nb_classify(searcher, inputs_df, class_df,
+                    input_id_col: str = "input_id", text_col: str = "text",
+                    class_col: str = "cls", tokenize: str = "analyzer",
+                    stopwords: frozenset = frozenset()):
+    """BM25NBClassifier (reference
+    ``classification/BM25NBClassifier.java:120-230``) as one batch job.
+    For every input i and class c,
+
+        raw(i, c) = logPrior(c) + Σ_tokens ln P(w | c)
+
+    where logPrior(c) = ln(top-1 score of MUST(class:c))      (:225-230)
+    and   P(w | c)    = top-1 score of
+                        MUST(class:c) SHOULD(text:w)          (:206-221),
+    then the per-input scores are softmax-normalized
+    (normClassificationResults :147-173) — the returned ``score`` is the
+    0-1 probability.
+
+    The class label is modeled as a keyword-indexed field (one token per
+    labeled doc): its df is the class size, every doc length is 1 and
+    avgdl = 1, so the MUST clause's BM25 score is a per-class CONSTANT
+    ``const_c`` and the reference's ReqOptSumScorer float32 sum
+    (``search/ReqOptSumScorer.java:260-274``) makes the boolean top-1
+
+        f32(const_c + max over class-c docs of BM25(text:w, doc))
+
+    — the O(words × classes) driver probes collapse into
+    :func:`term_doc_scores` joined to the labels with one
+    map-side-combined max aggregation. A (w, c) pair with no co-occurring
+    doc scores exactly const_c (the SHOULD clause contributes nothing),
+    so the log-likelihood splits into ``n_tokens·ln(const_c)`` plus joined
+    corrections, mirroring :func:`naive_bayes_classify`'s add-1 split.
+
+    Returns ``(input_id long, cls string, score double)`` for every
+    class; argmax via :func:`assign_class` (ties → class asc, the
+    reference's stable sort over class-term order)."""
+    import math
+
+    from ..functions import bm25
+    from ..functions.similarity import BM25Similarity
+    from ..functions.smallfloat import int_to_byte4
+
+    sim = BM25Similarity()   # the reference hardcodes BM25 (:88)
+    tok = _tokenize_inputs(inputs_df, input_id_col, text_col,
+                           tokenize, stopwords)
+    tf = tok.groupBy("input_id", "word").agg(F.count("*").alias("tf"))
+    ntok = tok.groupBy("input_id").agg(F.count("*").alias("n_tokens"))
+    labels = class_df.select("doc_id", F.col(class_col).alias("cls"))
+
+    # per-class constant: BM25 of the class term over the label field
+    # (df = class size, tf = 1, dl = 1, avgdl = 1)
+    cstats = labels.groupBy("cls").agg(F.count("*").alias("df_c")).collect()
+    dwc = sum(int(r["df_c"]) for r in cstats)
+    class_cache = sim.norm_cache(np.float32(1.0))
+    nb1 = np.array([int(int_to_byte4(np.array([1]))[0])], dtype=np.int64)
+    one_tf = np.array([1], dtype=np.int64)
+    consts = []
+    for r in cstats:
+        w_c = sim.weight(int(r["df_c"]), dwc)
+        const_c = float(bm25.score_block(one_tf, nb1, w_c, class_cache)[0])
+        consts.append((r["cls"], const_c, math.log(const_c)))
+    cdf = searcher.spark.createDataFrame(
+        consts, "cls string, const_c double, log_const double")
+
+    vocab = [r["word"] for r in tf.select("word").distinct().collect()]
+    best = (term_doc_scores(searcher, vocab, similarity=sim)
+            .join(labels, "doc_id")
+            .groupBy(F.col("term").alias("word"), "cls")
+            .agg(F.max("score").alias("best")))
+
+    # Σ tf · (ln f32(const_c + best) − ln const_c) for joined pairs
+    corr = (tf.join(best, "word")
+            .join(F.broadcast(cdf), "cls")
+            .groupBy("input_id", "cls")
+            .agg(F.sum(
+                F.col("tf").cast("double")
+                * (F.log((F.col("const_c")
+                          + F.col("best").cast("double")).cast("float")
+                         .cast("double"))
+                   - F.col("log_const"))).alias("corr")))
+    raw = (ntok.crossJoin(F.broadcast(cdf))
+           .join(corr, ["input_id", "cls"], "left")
+           .select("input_id", "cls",
+                   (F.col("log_const")
+                    * (F.col("n_tokens").cast("double") + F.lit(1.0))
+                    + F.coalesce(F.col("corr"), F.lit(0.0))).alias("raw")))
+    # softmax per input (log-sum-exp, :147-173)
+    from pyspark.sql import Window
+    w = Window.partitionBy("input_id")
+    return (raw
+            .withColumn("_m", F.max("raw").over(w))
+            .withColumn("_lse",
+                        F.col("_m") + F.log(F.sum(F.exp(F.col("raw")
+                                                        - F.col("_m")))
+                                            .over(w)))
+            .select("input_id", "cls",
+                    F.exp(F.col("raw") - F.col("_lse")).alias("score")))
 
 
 def knn_fuzzy_classify(searcher, docs_df, doc_id: int, class_df,

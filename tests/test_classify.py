@@ -340,3 +340,81 @@ def test_boolean_perceptron_classify(spark, searcher, corpus):
         assert got[i][0] == output, i
         assert got[i][1] == assigned, i
         assert got[i][2] == pytest.approx(score, rel=1e-15), i
+
+
+def _brute_bm25nb(corpus, labels, input_texts):
+    """Reference math straight from BM25NBClassifier.java:120-230 —
+    per-(word, class) top-1 probes over an OracleIndex, the class field
+    modeled as a 1-token keyword field (df = class size, dl = 1,
+    avgdl = 1), ReqOptSumScorer float32 clause sum."""
+    from lucene_spark.functions.analysis import analyze_text
+    from lucene_spark.functions.bm25 import (idf, norm_inverse_cache,
+                                             score_block)
+    from lucene_spark.functions.smallfloat import int_to_byte4
+    idx = OracleIndex.build(
+        [(int(d), str(t)) for d, t in zip(corpus.doc_id, corpus.content)])
+    classes = sorted(set(labels.values()))
+    dwc = len(labels)
+    df_c = Counter(labels.values())
+    cache1 = norm_inverse_cache(np.float32(1.0))
+    nb1 = np.array([int(int_to_byte4(np.array([1]))[0])])
+    const = {c: score_block(np.array([1]), nb1,
+                            idf(df_c[c], dwc), cache1)[0]
+             for c in classes}
+    out = {}
+    for iid, text in input_texts.items():
+        toks = list(analyze_text(text)[0])
+        scores = {}
+        for c in classes:
+            raw = math.log(float(const[c]))            # logPrior
+            for w in toks:
+                ts = idx._term_scores(w, 1.2, 0.75)
+                best = max((float(s) for d, s in ts.items()
+                            if labels.get(d) == c), default=0.0)
+                raw += math.log(float(const[c] + np.float32(best)))
+            scores[c] = raw
+        smax = max(scores.values())
+        lse = smax + math.log(sum(math.exp(v - smax)
+                                  for v in scores.values()))
+        out[iid] = {c: math.exp(v - lse) for c, v in scores.items()}
+    return out
+
+
+def test_bm25nb_parity(spark, searcher, corpus, labels, class_df):
+    from lucene_spark.operators.classify import bm25nb_classify
+    input_texts = {int(d): str(t) for d, t in
+                   list(zip(corpus.doc_id, corpus.content))[5:15]}
+    inputs = spark.createDataFrame(
+        sorted(input_texts.items()), "input_id long, text string")
+    scores = bm25nb_classify(searcher, inputs, class_df)
+    got = {(r["input_id"], r["cls"]): r["score"] for r in scores.collect()}
+    want = _brute_bm25nb(corpus, labels, input_texts)
+    assert {i for i, _ in got} == set(input_texts)
+    for (i, c), s in got.items():
+        assert s == pytest.approx(want[i][c], rel=1e-9), (i, c)
+    # normalized: probabilities sum to 1 per input
+    sums = Counter()
+    for (i, _), s in got.items():
+        sums[i] += s
+    for i, tot in sums.items():
+        assert tot == pytest.approx(1.0, abs=1e-12)
+    # argmax parity (ties -> class asc, the reference's stable sort)
+    ass = {r["input_id"]: r["cls"]
+           for r in assign_class(scores).collect()}
+    for i, sc in want.items():
+        best = min(sc.items(), key=lambda p: (-p[1], p[0]))[0]
+        assert ass[i] == best, i
+
+
+def test_term_doc_scores(searcher, corpus, labels):
+    """term_doc_scores == the engine's own TermQuery score_all, per term."""
+    from lucene_spark.operators.classify import term_doc_scores
+    terms = ["data", "query", "token"]
+    got = term_doc_scores(searcher, terms).collect()
+    by_term: dict = {}
+    for r in got:
+        by_term.setdefault(r["term"], {})[r["doc_id"]] = r["score"]
+    for t in terms:
+        want = {r["doc_id"]: r["score"]
+                for r in searcher.score_all(Q.Term(t)).collect()}
+        assert by_term.get(t, {}) == want, t
