@@ -4445,6 +4445,50 @@ def _q_bm25nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("score") * 1000).cast("long").alias("score_q3"))
 
 
+def _q_confusion_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConfusionMatrixGenerator over the NB classifier (reference
+    ``classification/utils/ConfusionMatrixGenerator.java:62-300``):
+    classify docs 0-19, cross their predicted class with the true lang
+    label, and compute the reference's accuracy / macro precision /
+    macro recall / F1 from the linearized matrix (incl. its absent-cell
+    true-negative counting)."""
+    from lucene_spark.operators.classify import (assign_class,
+                                                 confusion_matrix,
+                                                 confusion_metrics,
+                                                 naive_bayes_classify)
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    inputs = (docs.where(F.col("doc_id") < 20)
+              .select(F.col("doc_id").alias("input_id"), "text"))
+    labels = docs.select("doc_id", F.col("lang").alias("cls"))
+    scores = naive_bayes_classify(s, inputs, labels, tokenize="whitespace")
+    pred = assign_class(scores).select(
+        "input_id", F.col("cls").alias("predicted"))
+    act = (docs.where(F.col("doc_id") < 20)
+           .select(F.col("doc_id").alias("input_id"),
+                   F.col("lang").alias("actual")))
+    met = confusion_metrics(confusion_matrix(act.join(pred, "input_id")))
+    q6 = lambda c, n: F.floor(F.col(c) * 1000000).cast("long").alias(n)  # noqa: E731
+    return met.select(q6("accuracy", "accuracy_q6"),
+                      q6("precision", "precision_q6"),
+                      q6("recall", "recall_q6"), q6("f1", "f1_q6"),
+                      "n_docs")
+
+
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DatasetSplitter.split (reference
+    ``classification/utils/DatasetSplitter.java:90-165``): stratified
+    train/test/cv assignment over the lang label, per-doc for the first
+    400 docs — pins the global alternating counter, the per-class
+    float-compared quotas, and the first-doc class ordering."""
+    from lucene_spark.operators.classify import dataset_split
+    docs = _docs(spark, sf_dir)
+    labeled = docs.select("doc_id", F.col("lang").alias("cls"))
+    out = dataset_split(labeled, test_ratio=0.2, cv_ratio=0.1)
+    return (out.where(F.col("doc_id") < 400)
+            .select("doc_id", "split"))
+
+
 def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNearestNeighborClassifier (reference
     ``classification/KNearestNeighborClassifier.java:154-236``): MLT
@@ -5209,6 +5253,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_top10": _q_rescore,
         "nb_classify_docs": _q_nb_classify,
         "bm25nb_classify_docs": _q_bm25nb_classify,
+        "confusion_nb_metrics": _q_confusion_nb,
+        "dataset_split_assign": _q_dataset_split,
         "knn_classify_doc0": _q_knn_classify,
         "knn_classify_text": _q_knn_classify_text,
         "perceptron_assign": _q_perceptron,
@@ -5470,6 +5516,8 @@ _PRIORITY = [
     "protected_truncate_stats",
     # --- new in round-4 continuation session 5 ---
     "bm25nb_classify_docs",
+    "confusion_nb_metrics",
+    "dataset_split_assign",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -5954,6 +6002,113 @@ asg AS (
 )
 SELECT input_id, cls, CAST(floor(score * 100) AS BIGINT) AS score_q2
 FROM asg WHERE r = 1""",
+        "confusion_nb_metrics": _PRELUDE + """,
+sdf AS (SELECT CAST(sum(df) AS DOUBLE) AS s FROM dfs),
+avgu AS (SELECT s / CAST((SELECT dc FROM avgs) AS DOUBLE) AS au FROM sdf),
+cls AS (SELECT doc_id, lang AS cls FROM documents),
+cstat AS (SELECT cls, count(*) AS df_c FROM cls GROUP BY cls),
+dwcnt AS (SELECT count(*) AS n FROM cls),
+inp AS (SELECT doc_id AS input_id, term FROM tok WHERE doc_id < 20),
+itf AS (SELECT input_id, term, count(*) AS tf FROM inp GROUP BY 1, 2),
+intok AS (SELECT input_id, count(*) AS n_tokens FROM inp GROUP BY 1),
+chits AS (
+  SELECT t.term, c.cls, count(DISTINCT t.doc_id) AS hits
+  FROM tok t JOIN cls c ON c.doc_id = t.doc_id
+  WHERE t.term IN (SELECT DISTINCT term FROM inp)
+  GROUP BY 1, 2
+),
+num AS (
+  SELECT f.input_id, h.cls,
+         sum(CAST(f.tf AS DOUBLE)
+             * ln(CAST(h.hits AS DOUBLE) + CAST(1 AS DOUBLE))) AS numsum
+  FROM itf f JOIN chits h ON h.term = f.term GROUP BY 1, 2
+),
+basec AS (
+  SELECT i.input_id, s.cls,
+         ln(CAST(s.df_c AS DOUBLE)) - ln(CAST(d.n AS DOUBLE))
+         - CAST(i.n_tokens AS DOUBLE)
+           * ln((SELECT au FROM avgu) * CAST(s.df_c AS DOUBLE)
+                + CAST(d.n AS DOUBLE)) AS b
+  FROM intok i CROSS JOIN cstat s CROSS JOIN dwcnt d
+),
+nbsc AS (
+  SELECT b.input_id, b.cls, b.b + COALESCE(n.numsum, 0) AS score
+  FROM basec b LEFT JOIN num n
+    ON n.input_id = b.input_id AND n.cls = b.cls
+),
+asg AS (
+  SELECT input_id, cls, score,
+         row_number() OVER (PARTITION BY input_id
+                            ORDER BY score DESC, cls ASC) AS r
+  FROM nbsc
+),
+pred AS (SELECT input_id, cls AS predicted FROM asg WHERE r = 1),
+act AS (SELECT doc_id AS input_id, lang AS actual FROM documents
+        WHERE doc_id < 20),
+mat AS (SELECT a.actual, p.predicted, CAST(count(*) AS DOUBLE) AS cnt
+        FROM act a JOIN pred p USING (input_id) GROUP BY 1, 2),
+rws AS (SELECT actual, sum(cnt) AS row_sum,
+        sum(CASE WHEN predicted = actual THEN cnt ELSE 0 END) AS tp
+        FROM mat GROUP BY 1),
+cols AS (SELECT predicted AS k, sum(cnt) AS col_sum FROM mat GROUP BY 1),
+pres AS (SELECT predicted AS k, count(DISTINCT actual) AS n_present
+         FROM mat WHERE cnt > 0 GROUP BY predicted),
+nr AS (SELECT count(*) AS c FROM rws),
+per AS (
+  SELECT r.actual, r.tp, r.row_sum, COALESCE(c.col_sum, 0) AS col_sum,
+         CAST(n.c - COALESCE(p.n_present, 0) AS DOUBLE) AS tn,
+         CASE WHEN r.tp > 0 THEN r.tp / c.col_sum ELSE 0 END AS prec_k,
+         CASE WHEN r.row_sum > 0 THEN r.tp / r.row_sum ELSE 0 END AS rec_k
+  FROM rws r LEFT JOIN cols c ON c.k = r.actual
+  LEFT JOIN pres p ON p.k = r.actual CROSS JOIN nr n
+),
+agt AS (
+  SELECT sum(tp) AS tp, sum(row_sum - tp) AS fn, sum(col_sum) AS tfp,
+         sum(tn) AS tn, avg(prec_k) AS p_macro, avg(rec_k) AS r_macro,
+         sum(row_sum) AS n_docs
+  FROM per
+)
+SELECT CAST(floor(((tp + tn) / (tfp + fn + tn)) * 1000000) AS BIGINT)
+         AS accuracy_q6,
+       CAST(floor(p_macro * 1000000) AS BIGINT) AS precision_q6,
+       CAST(floor(r_macro * 1000000) AS BIGINT) AS recall_q6,
+       CAST(floor(CASE WHEN p_macro > 0 AND r_macro > 0
+                       THEN 2 * p_macro * r_macro / (p_macro + r_macro)
+                       ELSE 0 END * 1000000) AS BIGINT) AS f1_q6,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM agt""",
+        "dataset_split_assign": """
+WITH cls AS (SELECT doc_id, lang AS cls FROM documents),
+sizes AS (SELECT cls, count(*) AS n, min(doc_id) AS frst
+          FROM cls GROUP BY 1),
+offs AS (SELECT cls, n,
+         COALESCE(sum(n) OVER (ORDER BY frst
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off
+         FROM sizes),
+seq AS (SELECT c.doc_id, c.cls, o.n,
+        o.off + row_number() OVER (PARTITION BY c.cls ORDER BY c.doc_id)
+          - 1 AS b
+        FROM cls c JOIN offs o USING (cls)),
+ev AS (SELECT *, CASE WHEN b % 2 = 0 THEN 1 ELSE 0 END AS even FROM seq),
+ec AS (SELECT *,
+       COALESCE(sum(even) OVER (PARTITION BY cls ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS ecum
+       FROM ev),
+t1 AS (SELECT *, CASE WHEN even = 1
+                      AND CAST(ecum AS DOUBLE) < n * CAST(0.2 AS DOUBLE)
+                      THEN 1 ELSE 0 END AS is_test FROM ec),
+f1 AS (SELECT *,
+       COALESCE(sum(1 - is_test) OVER (PARTITION BY cls ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS ftcum
+       FROM t1)
+SELECT doc_id,
+       CASE WHEN is_test = 1 THEN 'test'
+            WHEN CAST(ftcum AS DOUBLE) < n * CAST(0.1 AS DOUBLE) THEN 'cv'
+            ELSE 'train' END AS split
+FROM f1 WHERE doc_id < 400""",
         "bm25nb_classify_docs": _PRELUDE + """,
 cls AS (SELECT doc_id, lang AS cls FROM documents),
 cstat AS (SELECT cls, count(*) AS df_c FROM cls GROUP BY cls),

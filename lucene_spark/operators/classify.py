@@ -200,6 +200,140 @@ def assign_class(scores_df):
             .where(F.col("_r") == 1).drop("_r"))
 
 
+def confusion_matrix(results_df, actual_col: str = "actual",
+                     predicted_col: str = "predicted"):
+    """ConfusionMatrixGenerator.getConfusionMatrix (reference
+    ``classification/utils/ConfusionMatrixGenerator.java:62-150``): the
+    linearized (correct answer → classified → count) matrix as one
+    map-side-combined groupBy — the reference's per-doc driver loop over
+    ``classifier.assignClass`` becomes a batch classify + count."""
+    return (results_df
+            .groupBy(F.col(actual_col).alias("actual"),
+                     F.col(predicted_col).alias("predicted"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def confusion_metrics(matrix_df):
+    """ConfusionMatrix accuracy / macro precision / macro recall / F1
+    (reference ``ConfusionMatrixGenerator.java:188-300``), faithful to
+    the reference's formulas over the linearized matrix:
+
+      * precision(k) = cnt(k,k) / Σ_r cnt(r,k)   (:188-211, rows r =
+        actual classes in the matrix)
+      * recall(k)    = cnt(k,k) / Σ_p cnt(k,p)   (:213-233)
+      * tn(k)        = #rows whose map lacks key k (:273-278 — the
+        reference counts a whole absent cell as ONE true negative)
+      * accuracy     = (Σtp + Σtn) / (Σcol + Σfn + Σtn)   (:258-284)
+      * macro p / r  = mean over matrix rows; F1 = 2pr/(p+r) (:235-250)
+
+    Returns a single-row DataFrame ``(accuracy, precision, recall, f1,
+    n_docs)``. Every step is a Catalyst aggregation over the (tiny)
+    matrix — no collect."""
+    m = matrix_df.select("actual", "predicted",
+                         F.col("cnt").cast("double").alias("cnt"))
+    rows = (m.groupBy("actual")
+            .agg(F.sum("cnt").alias("row_sum"),
+                 F.sum(F.when(F.col("predicted") == F.col("actual"),
+                              F.col("cnt")).otherwise(0.0)).alias("tp")))
+    # column sums over matrix rows, keyed by the predicted class
+    cols = m.groupBy(F.col("predicted").alias("actual")) \
+            .agg(F.sum("cnt").alias("col_sum"))
+    # tn(k): rows with no (row, k) cell — count present cells per column
+    pres = (m.where(F.col("cnt") > 0)
+            .groupBy("predicted")
+            .agg(F.countDistinct("actual").alias("n_present"))
+            .withColumnRenamed("predicted", "actual"))
+    nrows = rows.agg(F.count("*").alias("c")).select("c")
+    per = (rows.join(cols, "actual", "left")
+           .join(pres, "actual", "left")
+           .crossJoin(F.broadcast(nrows))
+           .select(
+               "actual", "tp", "row_sum",
+               F.coalesce(F.col("col_sum"), F.lit(0.0)).alias("col_sum"),
+               (F.col("c") - F.coalesce(F.col("n_present"), F.lit(0)))
+               .cast("double").alias("tn"),
+               # reference guards on tp > 0, not den (:204)
+               F.when(F.col("tp") > 0, F.col("tp") / F.col("col_sum"))
+               .otherwise(0.0).alias("prec_k"),
+               F.when(F.col("row_sum") > 0,
+                      F.col("tp") / F.col("row_sum"))
+               .otherwise(0.0).alias("rec_k")))
+    agg = per.agg(
+        F.sum("tp").alias("tp"),
+        F.sum(F.col("row_sum") - F.col("tp")).alias("fn"),
+        F.sum("col_sum").alias("tfp"),
+        F.sum("tn").alias("tn"),
+        F.avg("prec_k").alias("precision"),
+        F.avg("rec_k").alias("recall"),
+        F.sum("row_sum").alias("n_docs"))
+    return agg.select(
+        ((F.col("tp") + F.col("tn"))
+         / (F.col("tfp") + F.col("fn") + F.col("tn"))).alias("accuracy"),
+        "precision", "recall",
+        F.when((F.col("precision") > 0) & (F.col("recall") > 0),
+               2.0 * F.col("precision") * F.col("recall")
+               / (F.col("precision") + F.col("recall")))
+        .otherwise(0.0).alias("f1"),
+        F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def dataset_split(df, class_col: str = "cls", test_ratio: float = 0.2,
+                  cv_ratio: float = 0.0, order_col: str = "doc_id"):
+    """DatasetSplitter.split (reference
+    ``classification/utils/DatasetSplitter.java:90-165``): stratified
+    train/test/cross-validation assignment. The reference walks classes
+    grouped in index order with a GLOBAL alternating counter ``b`` and
+    per-class quota counters: doc → test when ``b`` is even and the test
+    quota (totalHits·testRatio, float compare) is unfilled, else → cv
+    while its quota is unfilled, else → train.
+
+    The sequential counters collapse to window cumsums: a doc is a test
+    pick iff its global position is even AND the count of even positions
+    before it in its class is still below the quota (every earlier even
+    position was itself a test pick until the quota filled); cv is the
+    same rule over the fall-through stream. ``b`` = class offset (sizes
+    of classes before it, ordered by first appearance) + rank in class.
+
+    Returns ``df`` + a ``split`` column ('test'/'cv'/'train'). One
+    window per class partition + a broadcast class-offset table — scales
+    to any corpus with bounded class count."""
+    from pyspark.sql import Window
+
+    cls, order = F.col(class_col), F.col(order_col)
+    sizes = (df.groupBy(class_col)
+             .agg(F.count("*").alias("_n"), F.min(order).alias("_first")))
+    woff = (Window.orderBy("_first")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = sizes.select(class_col,
+                        F.coalesce(F.sum("_n").over(woff), F.lit(0))
+                        .alias("_off"),
+                        F.col("_n").cast("double").alias("_tot"))
+    wc = Window.partitionBy(class_col).orderBy(order)
+    wprev = wc.rowsBetween(Window.unboundedPreceding, -1)
+    out = (df.join(F.broadcast(offs), class_col)
+           .withColumn("_b", F.col("_off") + F.row_number().over(wc) - 1)
+           .withColumn("_even", (F.col("_b") % 2 == 0).cast("int"))
+           .withColumn("_ecum",
+                       F.coalesce(F.sum("_even").over(wprev), F.lit(0)))
+           .withColumn("_test",
+                       (F.col("_even") == 1)
+                       & (F.col("_ecum").cast("double")
+                          < F.col("_tot") * F.lit(float(test_ratio))))
+           .withColumn("_ft", (~F.col("_test")).cast("int"))
+           .withColumn("_ftcum",
+                       F.coalesce(F.sum("_ft").over(wprev), F.lit(0)))
+           .withColumn("_cv",
+                       (F.col("_ft") == 1)
+                       & (F.col("_ftcum").cast("double")
+                          < F.col("_tot") * F.lit(float(cv_ratio))))
+           .withColumn("split",
+                       F.when(F.col("_test"), F.lit("test"))
+                       .when(F.col("_cv"), F.lit("cv"))
+                       .otherwise(F.lit("train"))))
+    return out.drop("_n", "_first", "_off", "_tot", "_b", "_even",
+                    "_ecum", "_test", "_ft", "_ftcum", "_cv")
+
+
 def term_doc_scores(searcher, terms: list[str], similarity=None):
     """DataFrame ``(term, doc_id, score float)`` — the float32 TermQuery
     score of every live matching doc, for a whole term set in ONE

@@ -418,3 +418,95 @@ def test_term_doc_scores(searcher, corpus, labels):
         want = {r["doc_id"]: r["score"]
                 for r in searcher.score_all(Q.Term(t)).collect()}
         assert by_term.get(t, {}) == want, t
+
+
+def test_confusion_matrix_metrics(spark):
+    """confusion_matrix/confusion_metrics vs a literal replay of the
+    reference's linearized-map loops (ConfusionMatrixGenerator.java:
+    188-300), incl. the predicted-only class and the absent-cell tn."""
+    from lucene_spark.operators.classify import (confusion_matrix,
+                                                 confusion_metrics)
+    rows = [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a"),
+            ("c", "c"), ("c", "c"), ("a", "a"), ("a", "d"), ("b", "a")]
+    df = spark.createDataFrame(rows, "actual string, predicted string")
+    mat = confusion_matrix(df)
+    got_m = {(r["actual"], r["predicted"]): r["cnt"]
+             for r in mat.collect()}
+    lin: dict = {}
+    for a, p in rows:
+        lin.setdefault(a, {})
+        lin[a][p] = lin[a].get(p, 0) + 1
+    assert got_m == {(a, p): c for a, d in lin.items()
+                     for p, c in d.items()}
+
+    def prec(k):
+        tp = lin.get(k, {}).get(k, 0)
+        den = sum(v[k] for v in lin.values() if k in v)
+        return tp / den if tp > 0 else 0.0
+
+    def rec(k):
+        row = lin.get(k, {})
+        tp = row.get(k, 0)
+        fn = sum(v for kk, v in row.items() if kk != k)
+        return tp / (tp + fn) if tp + fn > 0 else 0.0
+
+    P = sum(prec(k) for k in lin) / len(lin)
+    R = sum(rec(k) for k in lin) / len(lin)
+    F1 = 2 * P * R / (P + R) if P > 0 and R > 0 else 0.0
+    tp = tn = tfp = fn = 0.0
+    for k, row in lin.items():
+        for kk, v in row.items():
+            if kk == k:
+                tp += v
+            else:
+                fn += v
+        for vals in lin.values():
+            if k in vals:
+                tfp += vals[k]
+            else:
+                tn += 1
+    acc = (tp + tn) / (tfp + fn + tn)
+    got = confusion_metrics(mat).collect()[0]
+    assert got["accuracy"] == pytest.approx(acc, rel=1e-12)
+    assert got["precision"] == pytest.approx(P, rel=1e-12)
+    assert got["recall"] == pytest.approx(R, rel=1e-12)
+    assert got["f1"] == pytest.approx(F1, rel=1e-12)
+    assert got["n_docs"] == len(rows)
+
+
+@pytest.mark.parametrize("test_ratio,cv_ratio",
+                         [(0.2, 0.0), (0.3, 0.15), (0.5, 0.5), (0.0, 0.25)])
+def test_dataset_split_parity(spark, test_ratio, cv_ratio):
+    """dataset_split vs a literal replay of DatasetSplitter.java:134-162
+    (global alternating b, per-class float-compared quota counters,
+    classes in first-doc order)."""
+    from lucene_spark.operators.classify import dataset_split
+    n = 137
+    labels = {d: f"c{(d * 7) % 5}" for d in range(n)}
+    df = spark.createDataFrame(sorted(labels.items()),
+                               "doc_id long, cls string")
+    got = {r["doc_id"]: r["split"]
+           for r in dataset_split(df, test_ratio=test_ratio,
+                                  cv_ratio=cv_ratio).collect()}
+    # brute sequential replay
+    classes: list = []
+    for d in range(n):
+        if labels[d] not in classes:
+            classes.append(labels[d])
+    want = {}
+    b = 0
+    for c in classes:
+        docs_c = [d for d in range(n) if labels[d] == c]
+        ts, cs = len(docs_c) * test_ratio, len(docs_c) * cv_ratio
+        tc = cvc = 0
+        for d in docs_c:
+            if b % 2 == 0 and tc < ts:
+                want[d] = "test"
+                tc += 1
+            elif cvc < cs:
+                want[d] = "cv"
+                cvc += 1
+            else:
+                want[d] = "train"
+            b += 1
+    assert got == want
