@@ -1260,14 +1260,14 @@ def _searcher_dv(spark: SparkSession, sf_dir: str) -> Searcher:
     generation, merges bake it (tests/test_docvalues.py)."""
     import shutil
     key = os.path.abspath(sf_dir)
-    tag = hashlib.md5(f"{_INDEX_VERSION}:dv:{key}".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{_INDEX_VERSION}:dv2:{key}".encode()).hexdigest()[:10]
     idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_dvx_{tag}")
     if not os.path.exists(idx):
         from lucene_spark.operators.docvalues import update_numeric_docvalue
         tmp = idx + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         docs = _docs(spark, sf_dir).select(
-            "doc_id", F.col("text").alias("content"), "n_chars")
+            "doc_id", F.col("text").alias("content"), "n_chars", "lang")
         build_index(spark, docs, tmp, num_segments=_SEGMENTS,
                     content_col="content", doc_id_col="doc_id",
                     stopwords=frozenset(), store_positions=True)
@@ -4261,6 +4261,14 @@ def _q_dv_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("value").cast("long").alias("value"))
 
 
+def _q_dv_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocValuesTermsQuery (reference ``sandbox/search/
+    DocValuesTermsQuery.java:62-105``): docs whose lang sorted docvalue
+    is in a fixed string set — a pushed In() scan of doc_meta."""
+    s = _searcher_dv(spark, sf_dir)
+    return s.docvalues_terms_in_set("lang", ["fr", "zh"])
+
+
 def _q_fuzzy_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyLikeThisQuery (reference ``sandbox/queries/
     FuzzyLikeThisQuery.java:118-255``): 'quary strem' fuzzified at 1 edit
@@ -5202,6 +5210,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indri_term_top10": _q_indri_term,
         "multi_sim_term_top10": _q_multi_sim_term,
         "dv_numbers_in_set": _q_dv_numbers,
+        "dv_terms_in_set": _q_dv_terms,
         "range_field_relations": _q_range_field,
         "spell_scored_suggest": _q_spell_scored,
         "fuzzy_like_this_top10": _q_fuzzy_like_this,
@@ -5518,6 +5527,7 @@ _PRIORITY = [
     "bm25nb_classify_docs",
     "confusion_nb_metrics",
     "dataset_split_assign",
+    "dv_terms_in_set",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -6966,6 +6976,9 @@ msc AS (
   SELECT t.doc_id, (t.s + c.s) AS s
   FROM ts t JOIN clsc c ON c.doc_id = t.doc_id
 )""" + _topk_sql("msc", 10),
+        "dv_terms_in_set": """
+SELECT doc_id, lang AS value FROM documents
+WHERE lang IN ('fr', 'zh')""",
         "dv_numbers_in_set": f"""
 WITH hit AS (
   SELECT DISTINCT doc_id

@@ -2020,6 +2020,27 @@ class Searcher:
                          on=["seg_id", "local_doc_id"], how="left_anti")
         return dv.select("doc_id", "value")
 
+    def docvalues_terms_in_set(self, field: str, values):
+        """DocValuesTermsQuery (reference ``sandbox/search/
+        DocValuesTermsQuery.java:62-105``): live docs whose SORTED
+        (string) docvalue is in the set — the same pushed ``In(value,…)``
+        doc_meta scan as :meth:`docvalues_in_set`, minus the numeric
+        overlay (sorted docvalues have no update generations in the
+        reference either)."""
+        from pyspark.sql import functions as F
+        vals = [str(v) for v in values]
+        dv = (self.doc_meta
+              .select("seg_id", "local_doc_id", "doc_id",
+                      F.col(field).cast("string").alias("value"))
+              .where(F.col("value").isin(vals)))
+        if self.deletes:
+            tomb = self.spark.createDataFrame(
+                [(int(sg), int(d)) for sg, v in self.deletes.items()
+                 for d in v], "seg_id int, local_doc_id int")
+            dv = dv.join(F.broadcast(tomb),
+                         on=["seg_id", "local_doc_id"], how="left_anti")
+        return dv.select("doc_id", "value")
+
     def high_freq_terms(self, num_terms: int = 100,
                         by: str = "df"):
         """HighFreqTerms (reference
