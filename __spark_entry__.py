@@ -4453,6 +4453,54 @@ def _q_bm25nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("score") * 1000).cast("long").alias("score_q3"))
 
 
+def _q_nb_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleNaiveBayesDocumentClassifier (reference
+    ``classification/document/SimpleNaiveBayesDocumentClassifier.java:
+    106-214``): classify docs 0-9 as two-field documents (title = first
+    4 tokens ×2 boost, body = rest) — per-field stats, token-count-
+    normalized likelihood, field boosts, softmax."""
+    from lucene_spark.operators.classify import (
+        assign_class, naive_bayes_classify_document)
+    s_title, s_body = _searchers_combined(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    inputs = (docs.where(F.col("doc_id") < 10)
+              .select(F.col("doc_id").alias("input_id"),
+                      F.array_join(F.slice(toks, 1, _CFQ_TITLE_TOKENS),
+                                   " ").alias("title_text"),
+                      F.array_join(F.slice(toks, _CFQ_TITLE_TOKENS + 1,
+                                           1 << 20),
+                                   " ").alias("body_text")))
+    labels = docs.select("doc_id", F.col("lang").alias("cls"))
+    scores = naive_bayes_classify_document(
+        [(s_title, "title_text", _CFQ_WEIGHTS[0]),
+         (s_body, "body_text", _CFQ_WEIGHTS[1])],
+        inputs, labels, tokenize="whitespace")
+    return assign_class(scores).select(
+        "input_id", "cls",
+        F.floor(F.col("score") * 1000).cast("long").alias("score_q3"))
+
+
+def _q_knn_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNearestNeighborDocumentClassifier (reference
+    ``classification/document/KNearestNeighborDocumentClassifier.java:
+    91-141``): per-field boosted MLT sub-queries double-summed, class
+    vote over the top-10 neighbors."""
+    from lucene_spark.operators.classify import knn_classify_document
+    s_title, s_body = _searchers_combined(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    labels = docs.select("doc_id", F.col("lang").alias("cls"))
+    res = knn_classify_document(
+        [(s_title, f"{T_COMMON} {T_COMMON} {T_COMMON2} {T_COMMON2}",
+          _CFQ_WEIGHTS[0]),
+         (s_body, f"{T_COMMON2} {T_COMMON2} {T_THIRD} {T_THIRD}",
+          _CFQ_WEIGHTS[1])],
+        labels, k=10, min_term_freq=2, min_doc_freq=1)
+    return res.select(
+        "cls", F.floor(F.col("score") * 1000000).cast("long")
+        .alias("score_q6"), "cnt")
+
+
 def _q_confusion_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConfusionMatrixGenerator over the NB classifier (reference
     ``classification/utils/ConfusionMatrixGenerator.java:62-300``):
@@ -5263,6 +5311,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify_docs": _q_nb_classify,
         "bm25nb_classify_docs": _q_bm25nb_classify,
         "confusion_nb_metrics": _q_confusion_nb,
+        "nb_document_classify": _q_nb_document,
+        "knn_document_top": _q_knn_document,
         "dataset_split_assign": _q_dataset_split,
         "knn_classify_doc0": _q_knn_classify,
         "knn_classify_text": _q_knn_classify_text,
@@ -5528,6 +5578,8 @@ _PRIORITY = [
     "confusion_nb_metrics",
     "dataset_split_assign",
     "dv_terms_in_set",
+    "nb_document_classify",
+    "knn_document_top",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -6976,6 +7028,161 @@ msc AS (
   SELECT t.doc_id, (t.s + c.s) AS s
   FROM ts t JOIN clsc c ON c.doc_id = t.doc_id
 )""" + _topk_sql("msc", 10),
+        "nb_document_classify": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         CASE WHEN unnest(range(len(string_split(text, ' ')))) < 4
+              THEN 0 ELSE 1 END AS f
+  FROM documents
+),
+cls AS (SELECT doc_id, lang AS cls FROM documents),
+cstat AS (SELECT cls, count(*) AS df_c FROM cls GROUP BY cls),
+dwcnt AS (SELECT count(*) AS n FROM cls),
+dc AS (SELECT count(*) AS dc FROM documents),
+fsdf AS (SELECT f, count(*) AS sdf
+         FROM (SELECT DISTINCT f, term, doc_id FROM tok) GROUP BY f),
+favgu AS (SELECT f, CAST(sdf AS DOUBLE)
+                    / CAST((SELECT dc FROM dc) AS DOUBLE) AS au
+          FROM fsdf),
+inp AS (SELECT doc_id AS input_id, f, term FROM tok WHERE doc_id < 10),
+itf AS (SELECT input_id, f, term, count(*) AS tf FROM inp GROUP BY 1, 2, 3),
+intok AS (SELECT input_id, f, count(*) AS n_tokens FROM inp GROUP BY 1, 2),
+chits AS (
+  SELECT t.f, t.term, c.cls, count(DISTINCT t.doc_id) AS hits
+  FROM tok t JOIN cls c ON c.doc_id = t.doc_id
+  WHERE t.term IN (SELECT DISTINCT term FROM inp)
+  GROUP BY 1, 2, 3
+),
+num AS (
+  SELECT i.input_id, i.f, h.cls,
+         sum(CAST(i.tf AS DOUBLE)
+             * ln(CAST(h.hits AS DOUBLE) + CAST(1 AS DOUBLE))) AS numsum
+  FROM itf i JOIN chits h ON h.f = i.f AND h.term = i.term
+  GROUP BY 1, 2, 3
+),
+contrib AS (
+  SELECT i.input_id, s.cls,
+         ln(CAST(s.df_c AS DOUBLE)) - ln(CAST(d.n AS DOUBLE))
+         + (CASE WHEN i.f = 0 THEN CAST(2.0 AS DOUBLE)
+                 ELSE CAST(1.0 AS DOUBLE) END)
+           * (COALESCE(m.numsum, 0)
+              - CAST(i.n_tokens AS DOUBLE)
+                * ln(a.au * CAST(s.df_c AS DOUBLE) + CAST(d.n AS DOUBLE)))
+           / CAST(i.n_tokens AS DOUBLE) AS cb
+  FROM intok i
+  CROSS JOIN cstat s CROSS JOIN dwcnt d
+  JOIN favgu a ON a.f = i.f
+  LEFT JOIN num m ON m.input_id = i.input_id AND m.f = i.f
+                  AND m.cls = s.cls
+),
+rawsc AS (SELECT input_id, cls, sum(cb) AS raw FROM contrib GROUP BY 1, 2),
+mx AS (SELECT input_id, max(raw) AS m FROM rawsc GROUP BY 1),
+sm AS (SELECT r.input_id, sum(exp(r.raw - m.m)) AS se
+       FROM rawsc r JOIN mx m USING (input_id) GROUP BY 1),
+soft AS (
+  SELECT r.input_id, r.cls, exp(r.raw - (m.m + ln(s.se))) AS p
+  FROM rawsc r JOIN mx m USING (input_id) JOIN sm s USING (input_id)
+),
+asg AS (
+  SELECT input_id, cls, p,
+         row_number() OVER (PARTITION BY input_id
+                            ORDER BY p DESC, cls ASC) AS r
+  FROM soft
+)
+SELECT input_id, cls, CAST(floor(p * 1000) AS BIGINT) AS score_q3
+FROM asg WHERE r = 1""",
+        "knn_document_top": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         CASE WHEN unnest(range(len(string_split(text, ' ')))) < 4
+              THEN 0 ELSE 1 END AS f
+  FROM documents
+),
+lut(v) AS (VALUES {_LUT_V}),
+dc AS (SELECT count(*) AS dc FROM documents),
+fdl AS (SELECT doc_id, f, count(*) AS dl FROM tok GROUP BY 1, 2),
+favg AS (SELECT f, CAST(CAST(sum(dl) AS DOUBLE)
+                        / CAST((SELECT dc FROM dc) AS DOUBLE) AS FLOAT)
+                   AS avgdl
+         FROM fdl GROUP BY f),
+fnorm AS (
+  SELECT d.doc_id, d.f,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT)
+            - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM fdl d JOIN favg a ON a.f = d.f
+),
+ftf AS (SELECT doc_id, f, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+fdfs AS (SELECT f, term, count(*) AS df FROM ftf GROUP BY 1, 2),
+ksel AS (
+  SELECT vt.f, vt.term, vt.bf, d.df,
+         CAST(CAST(vt.tf AS FLOAT) *
+              CAST(ln(((SELECT dc FROM dc) + 1)
+                      / (d.df + CAST(1.0 AS DOUBLE)))
+                   + CAST(1.0 AS DOUBLE) AS FLOAT) AS FLOAT) AS sel
+  FROM (VALUES (0, '{T_COMMON}', 2, 2.0), (0, '{T_COMMON2}', 2, 2.0),
+               (1, '{T_COMMON2}', 2, 1.0), (1, '{T_THIRD}', 2, 1.0))
+       vt(f, term, tf, bf)
+  JOIN fdfs d ON d.f = vt.f AND d.term = vt.term
+  WHERE d.df >= 1
+),
+kmin AS (SELECT f, min(sel) AS mn FROM ksel GROUP BY f),
+kw AS (
+  SELECT s.f, s.term,
+         CAST(CAST(CAST(CAST(s.bf AS FLOAT) * s.sel AS FLOAT) / m.mn
+                   AS FLOAT)
+              * CAST(ln(1 + ((SELECT dc FROM dc) - s.df
+                             + CAST(0.5 AS DOUBLE))
+                        / (s.df + CAST(0.5 AS DOUBLE))) AS FLOAT)
+              AS FLOAT) AS w
+  FROM ksel s JOIN kmin m ON m.f = s.f
+),
+kpersc AS (
+  SELECT t.doc_id, t.f,
+         CAST(w.w - w.w / (CAST(1 AS FLOAT) + CAST(t.tf AS FLOAT) * c.inv)
+              AS DOUBLE) AS ps
+  FROM ftf t
+  JOIN kw w ON w.f = t.f AND w.term = t.term
+  JOIN fnorm c ON c.doc_id = t.doc_id AND c.f = t.f
+),
+kfield AS (SELECT doc_id, f, CAST(SUM(ps) AS FLOAT) AS s
+           FROM kpersc GROUP BY 1, 2),
+ktotal AS (SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS s
+           FROM kfield GROUP BY 1),
+ktop AS (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM ktotal
+),
+ktop10 AS (SELECT doc_id, s FROM ktop WHERE r <= 10),
+kmax AS (SELECT max(s) AS m FROM ktop10),
+ksb AS (
+  SELECT t.doc_id,
+         CAST(CAST(t.s / (SELECT m FROM kmax) AS FLOAT) AS DOUBLE) AS sb
+  FROM ktop10 t
+),
+kvotes AS (
+  SELECT d.lang AS cls, count(*) AS c, sum(sb) AS b
+  FROM ksb t JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY 1
+),
+ktot AS (SELECT sum(c) AS sumdoc FROM kvotes),
+ksc AS (
+  SELECT cls, c,
+         CASE WHEN (SELECT sumdoc FROM ktot) < 10
+              THEN ((c * (b / c)) / CAST(10 AS DOUBLE))
+                   * CAST(10 AS DOUBLE)
+                   / CAST((SELECT sumdoc FROM ktot) AS DOUBLE)
+              ELSE (c * (b / c)) / CAST(10 AS DOUBLE) END AS score
+  FROM kvotes
+)
+SELECT cls, CAST(floor(score * 1000000) AS BIGINT) AS score_q6,
+       CAST(c AS INT) AS cnt
+FROM ksc""",
         "dv_terms_in_set": """
 SELECT doc_id, lang AS value FROM documents
 WHERE lang IN ('fr', 'zh')""",

@@ -200,6 +200,186 @@ def assign_class(scores_df):
             .where(F.col("_r") == 1).drop("_r"))
 
 
+def naive_bayes_classify_document(fields, inputs_df, class_df,
+                                  input_id_col: str = "input_id",
+                                  class_col: str = "cls",
+                                  tokenize: str = "analyzer",
+                                  stopwords: frozenset = frozenset()):
+    """SimpleNaiveBayesDocumentClassifier (reference
+    ``classification/document/SimpleNaiveBayesDocumentClassifier.java:
+    106-137``): the multi-field NB — per class c,
+
+        raw(i, c) = Σ_fields [ logPrior(c)
+                               + boost_f · logLikelihood_f(i, c)
+                                 / n_tokens_f(i) ]            (:123-131)
+
+    with per-FIELD statistics: hits(w, c) counted in that field's index
+    and avgUniqueTerms = sumDocFreq/docCount of that field (:205-214);
+    unlike the string classifier the log-likelihood is NORMALIZED by the
+    field's token count (:186). Scores are softmax-normalized
+    (normClassificationResults, inherited).
+
+    ``fields``: list of ``(searcher, text_col, boost)`` — one
+    single-field index per field over the same doc-id space (the
+    CombinedFieldQuery layout). Returns ``(input_id, cls, score)`` with
+    score the 0-1 probability; argmax via :func:`assign_class`."""
+    import math
+
+    spark = fields[0][0].spark
+    labels = class_df.select("doc_id", F.col(class_col).alias("cls"))
+    cstats = labels.groupBy("cls").agg(F.count("*").alias("df_c"))
+    dwc = labels.count()
+
+    contribs = None
+    for searcher, text_col, boost in fields:
+        tok = _tokenize_inputs(inputs_df, input_id_col, text_col,
+                               tokenize, stopwords)
+        tf = tok.groupBy("input_id", "word").agg(F.count("*").alias("tf"))
+        ntok = tok.groupBy("input_id").agg(F.count("*").alias("n_tokens"))
+        vocab = [r["word"] for r in tf.select("word").distinct().collect()]
+        hits = (term_doc_pairs(searcher, vocab)
+                .join(labels, "doc_id")
+                .groupBy(F.col("term").alias("word"), "cls")
+                .agg(F.count("*").alias("hits")))
+        sum_df = searcher.term_stats.agg(F.sum("df")).collect()[0][0]
+        avg_unique = float(sum_df) / float(searcher.doc_count)
+        num = (tf.join(hits, "word")
+               .groupBy("input_id", "cls")
+               .agg(F.sum(F.col("tf").cast("double")
+                          * F.log(F.col("hits").cast("double") + F.lit(1.0)))
+                    .alias("numsum")))
+        den = (F.lit(avg_unique) * F.col("df_c").cast("double")
+               + F.lit(float(dwc)))
+        # logPrior + boost·(numsum − n·ln(den))/n, absent pairs numsum=0
+        c = (ntok.crossJoin(F.broadcast(cstats))
+             .join(num, ["input_id", "cls"], "left")
+             .select("input_id", "cls",
+                     (F.log(F.col("df_c").cast("double"))
+                      - F.lit(float(math.log(dwc)))
+                      + F.lit(float(boost))
+                      * (F.coalesce(F.col("numsum"), F.lit(0.0))
+                         - F.col("n_tokens").cast("double") * F.log(den))
+                      / F.col("n_tokens").cast("double")).alias("contrib")))
+        contribs = c if contribs is None else contribs.unionByName(c)
+    raw = (contribs.groupBy("input_id", "cls")
+           .agg(F.sum("contrib").alias("raw")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("input_id")
+    return (raw
+            .withColumn("_m", F.max("raw").over(w))
+            .withColumn("_lse",
+                        F.col("_m") + F.log(F.sum(F.exp(F.col("raw")
+                                                        - F.col("_m")))
+                                            .over(w)))
+            .select("input_id", "cls",
+                    F.exp(F.col("raw") - F.col("_lse")).alias("score")))
+
+
+def _mlt_boosted_clauses(searcher, text: str, boost_factor: float = 1.0,
+                         max_query_terms: int = 25, min_term_freq: int = 2,
+                         min_doc_freq: int = 5):
+    """MoreLikeThis.like + createQuery over one field (reference
+    ``queries/mlt/MoreLikeThis.java``): f32 tf·idf term selection, each
+    kept term boosted ``f32(f32(boostFactor · score) / bestScore)``
+    (createQuery's left-to-right float ops; bestScore = first popped =
+    the MINIMUM of the kept set). Returns a tuple of boosted Q.Term."""
+    from collections import Counter
+
+    from ..functions.analysis import analyze_text
+    from ..plans import query as Q
+
+    terms, _, _ = analyze_text(text)
+    tfs = Counter(terms)
+    cands = sorted(t for t, f in tfs.items() if f >= min_term_freq)
+    dfs = searcher._global_dfs(cands)
+    N = searcher.doc_count
+    scored = []
+    for t in cands:
+        df = dfs.get(t, 0)
+        if df < min_doc_freq or df == 0:
+            continue
+        idf = np.float32(np.log((N + 1) / (df + 1.0)) + 1.0)
+        scored.append((float(np.float32(np.float32(tfs[t]) * idf)), t))
+    scored.sort(key=lambda p: (-p[0], p[1]))
+    kept = scored[:max_query_terms]
+    if not kept:
+        return ()
+    best = np.float32(min(s for s, _ in kept))
+    bf = np.float32(boost_factor)
+    return tuple(
+        Q.Term(t, boost=float(np.float32(
+            np.float32(bf * np.float32(s)) / best)))
+        for s, t in kept)
+
+
+def knn_classify_document(fields, class_df, k: int = 10,
+                          max_query_terms: int = 25, min_term_freq: int = 2,
+                          min_doc_freq: int = 5, class_col: str = "cls",
+                          doc_id_col: str = "doc_id"):
+    """KNearestNeighborDocumentClassifier (reference
+    ``classification/document/KNearestNeighborDocumentClassifier.java:
+    91-141``): per field, a boosted MLT sub-query (its own float-rounded
+    BooleanQuery score); the top-level query SHOULD-sums the per-field
+    float scores in double and the class-exists MUST clause is the inner
+    join to the labels; top-k then the shared KNN vote
+    (buildListFromTopDocs — count·(Σ score/max)/count scaled 1/k with
+    the k/sumdoc correction).
+
+    ``fields``: list of ``(searcher, text, boost_factor)`` over the same
+    doc-id space. Returns ``(cls, score double, cnt int)`` ordered
+    score desc, cls asc."""
+    spark = fields[0][0].spark
+    labels = class_df.select(doc_id_col, class_col)
+    per_field = None
+    for i, (searcher, text, bf) in enumerate(fields):
+        clauses = _mlt_boosted_clauses(searcher, text, bf,
+                                       max_query_terms, min_term_freq,
+                                       min_doc_freq)
+        if not clauses:
+            continue
+        from ..plans import query as Q
+        s = (searcher.score_all(Q.Or(clauses))
+             .select("doc_id", F.col("score").alias(f"_s{i}")))
+        per_field = (s if per_field is None
+                     else per_field.join(s, "doc_id", "full"))
+    if per_field is None:
+        return spark.createDataFrame([], "cls string, score double, cnt int")
+    score_cols = [c for c in per_field.columns if c.startswith("_s")]
+    # top-level BooleanQuery: double sum of the per-subquery float
+    # scores, cast float at collect (BooleanScorer)
+    total = None
+    for c in score_cols:
+        t = F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+        total = t if total is None else total + t
+    hits = (per_field
+            .select("doc_id", total.cast("float").alias("score"))
+            .join(labels.select(F.col(doc_id_col).alias("doc_id"))
+                  .distinct(), "doc_id", "left_semi")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect())
+    if not hits:
+        return spark.createDataFrame([], "cls string, score double, cnt int")
+    max_score = np.float32(hits[0]["score"])
+    rows = spark.createDataFrame(
+        [(int(h["doc_id"]), float(np.float32(np.float32(h["score"])
+                                             / max_score)))
+         for h in hits], f"{doc_id_col} long, sboost double")
+    joined = rows.join(labels, doc_id_col)
+    agg = (joined.groupBy(class_col)
+           .agg(F.count("*").alias("cnt"),
+                F.sum("sboost").alias("boostsum")))
+    sumdoc = joined.count()
+    score = ((F.col("cnt") * (F.col("boostsum") / F.col("cnt")))
+             / F.lit(float(k)))
+    if sumdoc < k:
+        score = score * F.lit(float(k)) / F.lit(float(sumdoc))
+    return (agg.select(F.col(class_col).alias("cls"),
+                       score.alias("score"),
+                       F.col("cnt").cast("int").alias("cnt"))
+            .orderBy(F.desc("score"), F.asc("cls")))
+
+
 def confusion_matrix(results_df, actual_col: str = "actual",
                      predicted_col: str = "predicted"):
     """ConfusionMatrixGenerator.getConfusionMatrix (reference

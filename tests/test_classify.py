@@ -510,3 +510,158 @@ def test_dataset_split_parity(spark, test_ratio, cv_ratio):
                 want[d] = "train"
             b += 1
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def fields_corpus(corpus):
+    # title = first 4 whitespace tokens, body = the rest (every corpus
+    # doc is long enough that both fields are non-empty)
+    titles, bodies = [], []
+    for t in corpus.content:
+        toks = str(t).split()
+        titles.append(" ".join(toks[:4]))
+        bodies.append(" ".join(toks[4:]))
+    return titles, bodies
+
+
+@pytest.fixture(scope="module")
+def searchers_tb(spark, corpus, fields_corpus):
+    titles, bodies = fields_corpus
+    base = tempfile.mkdtemp(prefix="lucene_spark_docclf_")
+    out = []
+    for name, vals in (("title", titles), ("body", bodies)):
+        df = spark.createDataFrame(
+            [(int(d), v) for d, v in zip(corpus.doc_id, vals)],
+            "doc_id long, content string")
+        build_index(spark, df, base + "/" + name, num_segments=4)
+        out.append(Searcher(spark, base + "/" + name))
+    return out
+
+
+def test_nb_document_parity(spark, searchers_tb, corpus, fields_corpus,
+                            labels, class_df):
+    """naive_bayes_classify_document vs a replay of
+    SimpleNaiveBayesDocumentClassifier.java:106-214 — per-field stats,
+    token-count-normalized log-likelihood, field boosts, softmax."""
+    from lucene_spark.functions.analysis import analyze_text
+    from lucene_spark.operators.classify import (
+        assign_class, naive_bayes_classify_document)
+    titles, bodies = fields_corpus
+    s_title, s_body = searchers_tb
+    n_inputs = 10
+    inputs = spark.createDataFrame(
+        [(int(d), titles[i], bodies[i])
+         for i, d in enumerate(corpus.doc_id) if i < n_inputs],
+        "input_id long, title_text string, body_text string")
+    boosts = (2.0, 1.0)
+    scores = naive_bayes_classify_document(
+        [(s_title, "title_text", boosts[0]),
+         (s_body, "body_text", boosts[1])], inputs, class_df)
+    got = {(r["input_id"], r["cls"]): r["score"] for r in scores.collect()}
+
+    # --- replay ---
+    classes = sorted(set(labels.values()))
+    dwc = len(labels)
+    df_c = Counter(labels.values())
+    raws: dict = {}
+    for vals, boost in ((titles, boosts[0]), (bodies, boosts[1])):
+        doc_toks = {int(d): list(analyze_text(vals[i])[0])
+                    for i, d in enumerate(corpus.doc_id)}
+        hits: Counter = Counter()
+        for d, toks in doc_toks.items():
+            for w in set(toks):
+                hits[(w, labels[d])] += 1
+        sum_df = sum(len(set(t)) for t in doc_toks.values())
+        avg_u = sum_df / len(doc_toks)
+        for i, d in enumerate(corpus.doc_id):
+            if i >= n_inputs:
+                break
+            toks = list(analyze_text(vals[i])[0])
+            for c in classes:
+                lik = sum(math.log((hits[(w, c)] + 1)
+                                   / (avg_u * df_c[c] + dwc))
+                          for w in toks)
+                contrib = (math.log(df_c[c]) - math.log(dwc)
+                           + boost * lik / len(toks))
+                raws[(int(d), c)] = raws.get((int(d), c), 0.0) + contrib
+    want = {}
+    for i, d in enumerate(corpus.doc_id):
+        if i >= n_inputs:
+            break
+        sc = {c: raws[(int(d), c)] for c in classes}
+        smax = max(sc.values())
+        lse = smax + math.log(sum(math.exp(v - smax) for v in sc.values()))
+        for c, v in sc.items():
+            want[(int(d), c)] = math.exp(v - lse)
+    for key, s in got.items():
+        assert s == pytest.approx(want[key], rel=1e-9), key
+    ass = {r["input_id"]: r["cls"] for r in assign_class(scores).collect()}
+    for i in ass:
+        best = min(((c, want[(i, c)]) for c in classes),
+                   key=lambda p: (-p[1], p[0]))[0]
+        assert ass[i] == best, i
+
+
+def test_knn_document_parity(spark, searchers_tb, corpus, fields_corpus,
+                             labels, class_df):
+    """knn_classify_document vs a replay of
+    KNearestNeighborDocumentClassifier.java:91-141 over per-field
+    OracleIndexes: per-field boosted-MLT float scores, double-summed,
+    class-exists filter, shared KNN vote."""
+    from lucene_spark.operators.classify import knn_classify_document
+    from lucene_spark.plans import query as Q
+    titles, bodies = fields_corpus
+    s_title, s_body = searchers_tb
+    seed = 7
+    doc_fields = [(s_title, titles[seed], 2.0), (s_body, bodies[seed], 1.0)]
+    k = 10
+    got = [(r["cls"], r["score"], r["cnt"])
+           for r in knn_classify_document(doc_fields, class_df, k=k,
+                                          min_term_freq=2,
+                                          min_doc_freq=5).collect()]
+
+    # --- replay ---
+    totals: dict = {}
+    for vals, text, bf in ((titles, titles[seed], 2.0),
+                           (bodies, bodies[seed], 1.0)):
+        oracle = OracleIndex.build(
+            [(int(d), vals[i]) for i, d in enumerate(corpus.doc_id)])
+        tfs = Counter(text.split())
+        N = oracle.doc_count
+        scored = []
+        for t in sorted(t for t, f in tfs.items() if f >= 2):
+            df = oracle.df(t)
+            if df < 5 or df == 0:
+                continue
+            idf = np.float32(math.log((N + 1) / (df + 1.0)) + 1.0)
+            scored.append((float(np.float32(np.float32(tfs[t]) * idf)), t))
+        scored.sort(key=lambda p: (-p[0], p[1]))
+        kept = scored[:25]
+        if not kept:
+            continue
+        mn = np.float32(min(s for s, _ in kept))
+        clauses = tuple(
+            Q.Term(t, boost=float(np.float32(
+                np.float32(np.float32(bf) * np.float32(s)) / mn)))
+            for s, t in kept)
+        for d, s in oracle.top_k(Q.Or(clauses), k=len(labels)):
+            totals[d] = totals.get(d, 0.0) + float(s)
+    hits = sorted(((d, np.float32(s)) for d, s in totals.items()),
+                  key=lambda p: (-p[1], p[0]))[:k]
+    mx = np.float32(hits[0][1])
+    cnt, bsum = Counter(), Counter()
+    for d, s in hits:
+        c = labels[d]
+        cnt[c] += 1
+        bsum[c] += float(np.float32(np.float32(s) / mx))
+    sumdoc = sum(cnt.values())
+    want = []
+    for c in cnt:
+        sc = (cnt[c] * (bsum[c] / cnt[c])) / float(k)
+        if sumdoc < k:
+            sc = sc * float(k) / float(sumdoc)
+        want.append((c, sc, cnt[c]))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    assert [(c, n) for c, _, n in got] == [(c, n) for c, _, n in want]
+    for (_, gs, _), (_, ws, _) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=0)
