@@ -1379,10 +1379,17 @@ def score_segment(compiled, postings_rows: dict[str, dict],
     n = len(norm_bytes)
     if ctx is None:
         ctx = _SegContext(postings_rows, norm_bytes, cache)
+    # auto gates on segment size: with ≤2 windows the block-max pass
+    # cannot prune anything (it must evaluate nearly every window anyway)
+    # and the impact-frontier upper-bound setup is pure overhead — small
+    # segments score exhaustively, exactly like the reference skips
+    # BooleanScorer windowing gains on tiny leaves. Explicit mode="bmw"
+    # keeps the pruning path (tests pin it on small fixtures).
     use_bmw = (ctx.sim.monotonic
                and getattr(ctx.sim, "nonnegative", True)
                and (mode == "bmw"
-                    or (mode == "auto" and _bmw_eligible(compiled))))
+                    or (mode == "auto" and _bmw_eligible(compiled)
+                        and n > 2 * WINDOW)))
     if compiled is None or n == 0:
         return np.empty(0, np.int64), np.empty(0, np.float32), 0
 
