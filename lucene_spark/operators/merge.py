@@ -924,6 +924,61 @@ def multi_pass_split(spark, src_dir: str, out_dirs: list[str]):
     return snaps
 
 
+def pk_split(spark, src_dir: str, out_match_dir: str, out_rest_dir: str,
+             query):
+    """PKIndexSplitter role (reference
+    ``misc/src/java/org/apache/lucene/misc/index/PKIndexSplitter.java:
+    41-118``): split one index into two by a query — documents matching
+    ``query`` land in the first index, the rest in the second. Uses the
+    same deletion strategy as :func:`multi_pass_split` (full segment
+    copies with the complement tombstoned) rather than the reference's
+    addIndexes(FilterCodecReader) rewrite — search-equivalent, no
+    re-indexing, and a later merge purges physically.
+
+    The match set is computed ONCE distributed (the engine's own query
+    kernel over live docs) and each part's complement tombstones are a
+    doc_meta scan anti/semi-joined against it — the driver never holds a
+    doc id. Returns (matching_snapshot, rest_snapshot)."""
+    from pyspark.sql import functions as F
+
+    from .delete import write_tombstone_table
+    from .search import Searcher
+
+    src = SnapshotCatalog(src_dir)
+    snap = src.load()
+    if snap is None:
+        raise ValueError(f"no snapshot in {src_dir}")
+    matches = (Searcher(spark, src_dir).score_all(query)
+               .select("doc_id").distinct())
+    snaps = []
+    for out, how in ((out_match_dir, "left_anti"),
+                     (out_rest_dir, "left_semi")):
+        part = split_index(spark, src_dir, out, snap.seg_ids)
+        cat = SnapshotCatalog(out)
+        meta = spark.read.parquet(
+            *[os.path.join(cat.segment_dir(sid), "doc_meta.parquet")
+              for sid in part.seg_ids])
+        complement = (meta.join(matches, "doc_id", how)
+                      .select(F.col("seg_id").cast("int"),
+                              F.col("local_doc_id").cast("int")))
+        rel_prev = (part.extra or {}).get("deletes")
+        if rel_prev:
+            prev = (rel_prev if os.path.isabs(rel_prev)
+                    else os.path.join(out, rel_prev))
+            complement = complement.unionByName(
+                spark.read.parquet(prev)
+                .select(F.col("seg_id").cast("int"),
+                        F.col("local_doc_id").cast("int"))).distinct()
+        gen = part.snapshot_id + 1
+        rel, count = write_tombstone_table(spark, cat, gen, complement)
+        extra = dict(part.extra or {})
+        extra["deletes"] = rel
+        extra["num_deleted"] = count
+        snaps.append(cat.commit(part.segments, part.field_stats,
+                                part.term_stats_path, extra=extra))
+    return tuple(snaps)
+
+
 def maintain(spark, index_dir: str, segs_per_tier: int = 10,
              max_merge_at_once: int = 10, max_concurrent: int = 1,
              soft_retention: str | None = None):

@@ -414,3 +414,41 @@ def test_multi_pass_split(spark, corpus):
         seen |= share
         check_index(o)
     assert seen == {int(d) for d in corpus.doc_id}
+
+
+def test_pk_split(spark, corpus):
+    """PKIndexSplitter: query-based two-way split via complement
+    tombstones — matching docs in the first index, the rest in the
+    second; both search with stale full-corpus stats (like
+    MultiPassIndexSplitter) and CheckIndex stays green."""
+    from lucene_spark.operators.checkindex import check_index
+    from lucene_spark.operators.merge import pk_split
+    from lucene_spark.plans import query as Q
+
+    src = tempfile.mkdtemp(prefix="lucene_spark_pks_src_")
+    build_index(spark, spark.createDataFrame(corpus), src, num_segments=4)
+    out1 = tempfile.mkdtemp(prefix="lucene_spark_pks_1_")
+    out2 = tempfile.mkdtemp(prefix="lucene_spark_pks_2_")
+    import shutil as _sh
+    _sh.rmtree(out1)
+    _sh.rmtree(out2)
+    term = "parse"
+    snap1, snap2 = pk_split(spark, src, out1, out2, Q.Term(term))
+    from lucene_spark.functions.analysis import analyze_text
+    match = {int(d) for d, t in zip(corpus.doc_id, corpus.content)
+             if term in set(analyze_text(str(t))[0])}
+    rest = {int(d) for d in corpus.doc_id} - match
+    full_oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+    for out, share in ((out1, match), (out2, rest)):
+        s = Searcher(spark, out)
+        got_docs = {r.doc_id for r in
+                    s.search("parse OR emit OR token", k=10000).collect()}
+        assert got_docs <= share
+        for qtext in MQUERIES[:3]:
+            got = [(r.doc_id, np.float32(r.score)) for r in
+                   s.search(qtext, k=10).collect()]
+            scores = [(d, np.float32(sc)) for d, sc in
+                      full_oracle.score(parse(qtext)).items() if d in share]
+            scores.sort(key=lambda p: (-float(p[1]), p[0]))
+            assert got == scores[:10], qtext
+        check_index(out)
