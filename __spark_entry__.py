@@ -4501,6 +4501,19 @@ def _q_knn_document(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score_q6"), "cnt")
 
 
+def _q_payloads_for_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PayloadSpanUtil.getPayloadsForQuery (reference
+    ``sandbox/.../payloads/PayloadSpanUtil.java:44-140``): payloads of
+    every token occurrence inside matching spans of
+    OR(term, exact-phrase) over the payload-annotated index — boolean
+    clauses collect independently (duplicates preserved)."""
+    s = _searcher_payload(spark, sf_dir)
+    q = Q.Or((Q.Term(T_COMMON2), Q.Phrase((T_COMMON, T_COMMON2))))
+    return s.payloads_for_query(q).select(
+        "doc_id", "term", F.col("pos").cast("int").alias("pos"),
+        "payload")
+
+
 def _q_confusion_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConfusionMatrixGenerator over the NB classifier (reference
     ``classification/utils/ConfusionMatrixGenerator.java:62-300``):
@@ -5313,6 +5326,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_nb_metrics": _q_confusion_nb,
         "nb_document_classify": _q_nb_document,
         "knn_document_top": _q_knn_document,
+        "payloads_for_query": _q_payloads_for_query,
         "dataset_split_assign": _q_dataset_split,
         "knn_classify_doc0": _q_knn_classify,
         "knn_classify_text": _q_knn_classify_text,
@@ -5580,6 +5594,7 @@ _PRIORITY = [
     "dv_terms_in_set",
     "nb_document_classify",
     "knn_document_top",
+    "payloads_for_query",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -7183,6 +7198,34 @@ ksc AS (
 SELECT cls, CAST(floor(score * 1000000) AS BIGINT) AS score_q6,
        CAST(c AS INT) AS cnt
 FROM ksc""",
+        "payloads_for_query": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+pay AS (
+  SELECT doc_id, term, CAST(pos AS INT) AS pos,
+         CAST(CAST((doc_id + pos) % 7 AS DOUBLE) * CAST(0.5 AS DOUBLE)
+              AS FLOAT) AS payload
+  FROM tok
+),
+ph AS (
+  SELECT a.doc_id, a.pos AS p0
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{T_COMMON}' AND b.term = '{T_COMMON2}'
+),
+phrows AS (
+  SELECT doc_id, '{T_COMMON}' AS term, CAST(p0 AS INT) AS pos FROM ph
+  UNION ALL
+  SELECT doc_id, '{T_COMMON2}', CAST(p0 + 1 AS INT) FROM ph
+)
+SELECT doc_id, term, pos, payload FROM pay WHERE term = '{T_COMMON2}'
+UNION ALL
+SELECT r.doc_id, r.term, r.pos,
+       CAST(CAST((r.doc_id + r.pos) % 7 AS DOUBLE) * CAST(0.5 AS DOUBLE)
+            AS FLOAT) AS payload
+FROM phrows r""",
         "dv_terms_in_set": """
 SELECT doc_id, lang AS value FROM documents
 WHERE lang IN ('fr', 'zh')""",

@@ -2027,6 +2027,127 @@ class Searcher:
                          on=["seg_id", "local_doc_id"], how="left_anti")
         return dv.select("doc_id", "value")
 
+    def payloads_for_query(self, query):
+        """PayloadSpanUtil.getPayloadsForQuery (reference
+        ``sandbox/src/java/org/apache/lucene/payloads/PayloadSpanUtil
+        .java:44-140``): the payloads of every token occurrence inside a
+        matching span of the query. Query conversion mirrors the
+        reference: Boolean/DisjunctionMax recurse into every
+        non-prohibited clause INDEPENDENTLY (clause payloads union, no
+        intersection — :69-76); TermQuery → SpanTermQuery; exact
+        PhraseQuery → ordered SpanNear (:77-92; slop > 0 conversion out
+        of scope here — the engine raises). Returns ``(doc_id, term,
+        pos, payload float)`` rows, one per collected occurrence.
+
+        Scale: one pushed postings scan per segment; the phrase spans
+        reuse the exact-phrase key-intersection kernel."""
+        from pyspark.sql import functions as F
+
+        specs: list[tuple[str, ...]] = []
+
+        def walk(node):
+            if isinstance(node, Q.Term):
+                specs.append((node.term,))
+            elif isinstance(node, Q.Phrase):
+                if node.slop != 0:
+                    raise NotImplementedError(
+                        "PayloadSpanUtil sloppy-phrase conversion is out "
+                        "of scope (exact phrases only)")
+                specs.append(tuple(node.terms))
+            elif isinstance(node, Q.SpanNear):
+                if node.slop != 0 or not node.in_order \
+                        or not all(isinstance(t, str) for t in node.terms):
+                    raise NotImplementedError(
+                        "only exact ordered term SpanNear supported")
+                specs.append(tuple(node.terms))
+            elif isinstance(node, (Q.Or, Q.And, Q.DisMax)):
+                for ch in node.clauses:
+                    walk(ch)
+            elif isinstance(node, Q.Not):
+                walk(node.positive)     # prohibited clause skipped (:69)
+            else:
+                raise NotImplementedError(
+                    f"PayloadSpanUtil conversion for {type(node).__name__}")
+
+        walk(query)
+        terms = sorted({t for s in specs for t in s})
+        deletes = self.deletes
+        schema = "doc_id long, term string, pos int, payload float"
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "term": pd.Series([], dtype=object),
+                              "pos": pd.Series([], dtype="int32"),
+                              "payload": pd.Series([], dtype="float32")})
+        if not terms:
+            return self.spark.createDataFrame(empty, schema)
+        pf = self.postings.filter(F.col("term").isin(terms))
+        BIG = np.int64(1) << np.int64(32)
+
+        def seg_payloads(key, postings_pdf, norms_pdf):
+            if len(norms_pdf) == 0 or len(postings_pdf) == 0:
+                return empty
+            nrow = norms_pdf.iloc[0]
+            gids = np.frombuffer(nrow["global_doc_ids"], dtype="<i8")
+            live = _live_mask(deletes, int(key[0]), len(gids))
+            rows = {r["term"]: r for _, r in postings_pdf.iterrows()}
+            streams = {}
+            for t in {tt for s in specs for tt in s}:
+                r = rows.get(t)
+                if r is None:
+                    continue
+                tp = TermSegPostings(r)
+                pays = tp.payloads()
+                if pays is None:
+                    raise ValueError("payloads_for_query over an index "
+                                     "built without payload_delimiter")
+                ids, tfs = tp.decode_all()
+                docs_rep = np.repeat(ids, tfs)
+                pos = tp.positions()
+                if live is not None:
+                    keep = live[docs_rep]
+                    docs_rep, pos, pays = (docs_rep[keep], pos[keep],
+                                           pays[keep])
+                streams[t] = (docs_rep, pos, pays)
+            out_d, out_t, out_p, out_y = [], [], [], []
+            for spec in specs:
+                if any(t not in streams for t in spec):
+                    continue
+                if len(spec) == 1:
+                    d, p, y = streams[spec[0]]
+                    out_d.append(d)
+                    out_t.append(np.full(len(d), spec[0], dtype=object))
+                    out_p.append(p)
+                    out_y.append(y)
+                    continue
+                L = len(spec)
+                inter = None
+                for j, t in enumerate(spec):
+                    d, p, _ = streams[t]
+                    keys = d * BIG + (p - j + L)
+                    inter = keys if inter is None else \
+                        np.intersect1d(inter, keys, assume_unique=True)
+                    if len(inter) == 0:
+                        break
+                if inter is None or len(inter) == 0:
+                    continue
+                for j, t in enumerate(spec):
+                    d, p, y = streams[t]
+                    sel = np.isin(d * BIG + (p - j + L), inter,
+                                  assume_unique=True)
+                    out_d.append(d[sel])
+                    out_t.append(np.full(int(sel.sum()), t, dtype=object))
+                    out_p.append(p[sel])
+                    out_y.append(y[sel])
+            if not out_d:
+                return empty
+            return pd.DataFrame(
+                {"doc_id": gids[np.concatenate(out_d)],
+                 "term": np.concatenate(out_t),
+                 "pos": np.concatenate(out_p).astype(np.int32),
+                 "payload": np.concatenate(out_y).astype(np.float32)})
+
+        return (pf.groupBy("seg_id").cogroup(self.norms.groupBy("seg_id"))
+                .applyInPandas(seg_payloads, schema=schema))
+
     def docvalues_terms_in_set(self, field: str, values):
         """DocValuesTermsQuery (reference ``sandbox/search/
         DocValuesTermsQuery.java:62-105``): live docs whose SORTED

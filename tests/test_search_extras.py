@@ -928,3 +928,63 @@ def test_indri_and_parity(spark, searcher, oracle):
     # wrong similarity → the reference's IndriScorer requirement
     with pytest.raises(NotImplementedError):
         searcher.search(Q.IndriAnd(("parse",)), k=5)
+
+
+def test_payloads_for_query(spark, tmp_path):
+    """PayloadSpanUtil.getPayloadsForQuery (sandbox payloads/
+    PayloadSpanUtil.java:44-140): term leaf = all occurrences' payloads;
+    exact phrase = payloads of the constituent tokens inside each
+    matching span; boolean clauses collect independently (union)."""
+    import numpy as np
+
+    from lucene_spark.operators.build import build_index
+
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    docs, toks_of, pays_of = [], {}, {}
+    for d in range(60):
+        toks = [vocab[int(rng.integers(len(vocab)))]
+                for _ in range(int(rng.integers(4, 14)))]
+        pays = [float((d * 3 + i) % 5) / 2.0 for i in range(len(toks))]
+        toks_of[d], pays_of[d] = toks, pays
+        docs.append((d, " ".join(f"{t}|{p}" for t, p in zip(toks, pays))))
+    idx = str(tmp_path / "payq")
+    build_index(spark,
+                spark.createDataFrame(docs, "doc_id long, content string"),
+                idx, num_segments=3, payload_delimiter="|",
+                tokenizer="whitespace")
+    s = Searcher(spark, idx)
+
+    def brute(specs):
+        rows = set()
+        for spec in specs:
+            for d, toks in toks_of.items():
+                if len(spec) == 1:
+                    for i, t in enumerate(toks):
+                        if t == spec[0]:
+                            rows.add((d, t, i, np.float32(pays_of[d][i])))
+                else:
+                    for i in range(len(toks) - len(spec) + 1):
+                        if tuple(toks[i:i + len(spec)]) == spec:
+                            for j, t in enumerate(spec):
+                                rows.add((d, t, i + j,
+                                          np.float32(pays_of[d][i + j])))
+        return rows
+
+    def got_rows(q):
+        return {(r["doc_id"], r["term"], r["pos"], np.float32(r["payload"]))
+                for r in s.payloads_for_query(q).collect()}
+
+    # term leaf
+    assert got_rows(Q.Term("beta")) == brute([("beta",)])
+    # exact phrase
+    assert got_rows(Q.Phrase(("alpha", "beta"))) \
+        == brute([("alpha", "beta")])
+    # boolean: clauses collect independently; MUST_NOT skipped
+    q = Q.Or((Q.Term("gamma"),
+              Q.Not(Q.Phrase(("beta", "delta")), Q.Term("alpha"))))
+    assert got_rows(q) == brute([("gamma",), ("beta", "delta")])
+    # sloppy conversion out of scope
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        s.payloads_for_query(Q.Phrase(("alpha", "beta"), slop=2))
