@@ -380,6 +380,64 @@ def knn_classify_document(fields, class_df, k: int = 10,
             .orderBy(F.desc("score"), F.asc("cls")))
 
 
+def doc_to_double_vectors(searcher, doc_ids_df, dense: bool = False):
+    """DocToDoubleVectorUtils (reference
+    ``classification/utils/DocToDoubleVectorUtils.java:37-92``): per-doc
+    term-FREQUENCY vectors from the stored term vectors.
+
+    * sparse (``toSparseLocalFreqDoubleArray`` :58-74): the doc's own
+      distinct terms' freqs, ordered by the shared dictionary's term
+      order (the reference walks one TermsEnum — term-sorted).
+    * dense  (``toDenseLocalFreqDoubleArray`` :76-92): freqs over the
+      WHOLE index dictionary (0 for absent terms) — same hazard as the
+      reference: vector length = |V|; use sparse at scale.
+
+    Requires ``build_index(store_term_vectors=True)``. ``doc_ids_df``:
+    a (doc_id) DataFrame selecting the docs. Returns ``(doc_id, vector
+    array<double>)``; sparse vectors carry a parallel ``terms`` column.
+    The TV read is one pushed broadcast-join scan; counting and vector
+    assembly are Catalyst aggregations (dense adds one broadcast vocab
+    map inside an Arrow-batched kernel)."""
+    import os
+
+    if not (searcher.snapshot.extra or {}).get("term_vectors"):
+        raise ValueError("index was built without store_term_vectors")
+    from pyspark.sql import Window
+    tvs = searcher.spark.read.parquet(
+        os.path.join(searcher.index_dir, "term_vectors"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("seg_id").desc())
+    live = (tvs.join(F.broadcast(doc_ids_df.select("doc_id")), "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "terms"))
+    tf = (live.select("doc_id", F.explode("terms").alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    if not dense:
+        return (tf.groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("term", "tf"))).alias("_p"))
+                .select("doc_id",
+                        F.expr("transform(_p, x -> x.term)").alias("terms"),
+                        F.expr("transform(_p, x -> cast(x.tf as double))")
+                        .alias("vector")))
+    vocab = [r["term"] for r in
+             searcher.term_stats.select("term").orderBy("term").collect()]
+    index_of = {t: i for i, t in enumerate(vocab)}
+    size = len(vocab)
+
+    def _dense(batches):
+        for pdf in batches:
+            out = []
+            for terms in pdf["terms"]:
+                v = np.zeros(size, dtype=np.float64)
+                for t in terms:
+                    v[index_of[t]] += 1.0
+                out.append(v)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "vector": out})
+    return live.mapInPandas(_dense, "doc_id long, vector array<double>")
+
+
 def confusion_matrix(results_df, actual_col: str = "actual",
                      predicted_col: str = "predicted"):
     """ConfusionMatrixGenerator.getConfusionMatrix (reference

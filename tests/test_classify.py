@@ -665,3 +665,39 @@ def test_knn_document_parity(spark, searchers_tb, corpus, fields_corpus,
     assert [(c, n) for c, _, n in got] == [(c, n) for c, _, n in want]
     for (_, gs, _), (_, ws, _) in zip(got, want):
         assert gs == pytest.approx(ws, abs=0)
+
+
+def test_doc_to_double_vectors(spark, corpus):
+    """DocToDoubleVectorUtils sparse/dense freq vectors vs analyze_text
+    recounts (reference classification/utils/DocToDoubleVectorUtils
+    .java:37-92)."""
+    from lucene_spark.functions.analysis import analyze_text
+    from lucene_spark.operators.classify import doc_to_double_vectors
+    d = tempfile.mkdtemp(prefix="lucene_spark_d2v_")
+    build_index(spark, spark.createDataFrame(corpus), d, num_segments=4,
+                store_term_vectors=True)
+    s = Searcher(spark, d)
+    ids = spark.createDataFrame([(0,), (3,), (7,)], "doc_id long")
+    want = {}
+    for doc_id in (0, 3, 7):
+        toks = list(analyze_text(str(corpus.content[doc_id]))[0])
+        want[doc_id] = Counter(toks)
+    sparse = {r["doc_id"]: (list(r["terms"]), list(r["vector"]))
+              for r in doc_to_double_vectors(s, ids).collect()}
+    for doc_id, cnt in want.items():
+        terms, vec = sparse[doc_id]
+        assert terms == sorted(cnt)
+        assert vec == [float(cnt[t]) for t in terms]
+    dense = {r["doc_id"]: np.array(r["vector"])
+             for r in doc_to_double_vectors(s, ids, dense=True).collect()}
+    vocab = sorted({t for c in want.values() for t in c}
+                   | {r["term"] for r in
+                      s.term_stats.select("term").limit(0).collect()})
+    full_vocab = [r["term"] for r in
+                  s.term_stats.select("term").orderBy("term").collect()]
+    for doc_id, cnt in want.items():
+        v = dense[doc_id]
+        assert len(v) == len(full_vocab)
+        for t, c in cnt.items():
+            assert v[full_vocab.index(t)] == float(c)
+        assert v.sum() == float(sum(cnt.values()))
