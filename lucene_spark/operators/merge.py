@@ -979,6 +979,85 @@ def pk_split(spark, src_dir: str, out_match_dir: str, out_rest_dir: str,
     return tuple(snaps)
 
 
+def rearrange_index(spark, src_dir: str, dest_dir: str, selectors):
+    """IndexRearranger role (reference
+    ``misc/src/java/org/apache/lucene/misc/index/IndexRearranger.java:
+    47-120``): produce an index whose segments contain EXACTLY the docs
+    each selector picks, one output segment per selector (the
+    reference's DocumentSelector-per-segment contract). Composition of
+    existing machinery: per selector, a file-level copy with the
+    complement tombstoned (:func:`split_index` + tombstones, the
+    PKIndexSplitter strategy), force-merged to ONE physical segment
+    (purges the tombstones and bakes real stats), then
+    :func:`add_indexes` stitches the parts into ``dest_dir`` in selector
+    order. A selector is an engine query node (matched via the query
+    kernel) or any DataFrame carrying a ``doc_id`` column (the
+    reference's arbitrary-BitSet DocumentSelector); every source doc
+    should be selected by exactly one selector (the reference asserts
+    the same).
+
+    Scale: each part's re-encode is the normal distributed merge; parts
+    are independent jobs."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from .search import Searcher
+
+    src = SnapshotCatalog(src_dir)
+    snap = src.load()
+    if snap is None:
+        raise ValueError(f"no snapshot in {src_dir}")
+    dest = SnapshotCatalog(dest_dir)
+    if dest.load() is not None:
+        raise ValueError(f"{dest_dir} already holds an index")
+    from .delete import write_tombstone_table
+    searcher = Searcher(spark, src_dir)
+    parts = []
+    for sel in selectors:
+        out = tempfile.mkdtemp(prefix="lucene_spark_rearrange_")
+        shutil.rmtree(out)
+        part = split_index(spark, src_dir, out, snap.seg_ids)
+        cat = SnapshotCatalog(out)
+        if hasattr(sel, "columns"):          # DataFrame selector
+            matches = sel.select("doc_id").distinct()
+        else:                                # query-node selector
+            matches = searcher.score_all(sel).select("doc_id").distinct()
+        meta = spark.read.parquet(
+            *[os.path.join(cat.segment_dir(sid), "doc_meta.parquet")
+              for sid in part.seg_ids])
+        complement = (meta.join(matches, "doc_id", "left_anti")
+                      .select(F.col("seg_id").cast("int"),
+                              F.col("local_doc_id").cast("int")))
+        rel_prev = (part.extra or {}).get("deletes")
+        if rel_prev:
+            prev = (rel_prev if os.path.isabs(rel_prev)
+                    else os.path.join(out, rel_prev))
+            complement = complement.unionByName(
+                spark.read.parquet(prev)
+                .select(F.col("seg_id").cast("int"),
+                        F.col("local_doc_id").cast("int"))).distinct()
+        gen = part.snapshot_id + 1
+        rel, count = write_tombstone_table(spark, cat, gen, complement)
+        extra = dict(part.extra or {})
+        extra["deletes"] = rel
+        extra["num_deleted"] = count
+        cat.commit(part.segments, part.field_stats,
+                   part.term_stats_path, extra=extra)
+        force_merge(spark, out, max_segments=1, max_merged_docs=None)
+        parts.append(out)
+    first, rest = parts[0], parts[1:]
+    # seed dest with the first part's segments, then append the others
+    # (SnapshotCatalog(dest_dir) above already created the empty root)
+    shutil.copytree(first, dest_dir, dirs_exist_ok=True)
+    result = SnapshotCatalog(dest_dir).load()
+    for p in rest:
+        result = add_indexes(spark, dest_dir, p)
+    for p in parts:
+        shutil.rmtree(p, ignore_errors=True)
+    return result
+
+
 def maintain(spark, index_dir: str, segs_per_tier: int = 10,
              max_merge_at_once: int = 10, max_concurrent: int = 1,
              soft_retention: str | None = None):

@@ -452,3 +452,39 @@ def test_pk_split(spark, corpus):
             scores.sort(key=lambda p: (-float(p[1]), p[0]))
             assert got == scores[:10], qtext
         check_index(out)
+
+
+def test_rearrange_index(spark, corpus):
+    """IndexRearranger: one output segment per selector, each holding
+    exactly the selected docs; the rearranged index is CheckIndex-green
+    and scores rank/score-identically to a fresh build over the same
+    corpus (stats re-baked by the per-part merges)."""
+    from lucene_spark.operators.checkindex import check_index
+    from lucene_spark.operators.merge import rearrange_index
+
+    src_d = tempfile.mkdtemp(prefix="lucene_spark_rra_src_")
+    build_index(spark, spark.createDataFrame(corpus), src_d, num_segments=4)
+    dest = tempfile.mkdtemp(prefix="lucene_spark_rra_dst_")
+    import shutil as _sh
+    _sh.rmtree(dest)
+    n = len(corpus)
+    cuts = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    sels = [spark.createDataFrame([(int(d),) for d in range(lo, hi)],
+                                  "doc_id long") for lo, hi in cuts]
+    snap = rearrange_index(spark, src_d, dest, sels)
+    assert len(snap.seg_ids) == 3
+    check_index(dest)
+    s = Searcher(spark, dest)
+    # segment composition: each segment holds exactly its selector's docs
+    seg_docs: dict = {}
+    for r in s.doc_meta.select("seg_id", "doc_id").collect():
+        seg_docs.setdefault(r["seg_id"], set()).add(r["doc_id"])
+    shares = [set(range(lo, hi)) for lo, hi in cuts]
+    assert set(map(frozenset, seg_docs.values())) \
+        == set(map(frozenset, shares))
+    # fresh-stats score parity vs the oracle over the same corpus
+    oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
+    for qtext in MQUERIES[:3]:
+        got = [(r.doc_id, np.float32(r.score)) for r in
+               s.search(qtext, k=10).collect()]
+        assert got == oracle.top_k(parse(qtext), 10), qtext
