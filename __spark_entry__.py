@@ -4743,6 +4743,21 @@ def _q_block_join_children(spark: SparkSession, sf_dir: str) -> DataFrame:
                        _q4(F.col("score")).alias("score_q4")))
 
 
+def _q_facet_sum_vs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TaxonomyFacetSumValueSource (reference ``facet/taxonomy/
+    TaxonomyFacetSumValueSource.java:48-115``): per-lang SUM of an
+    expression over score AND a doc column (the DoubleValuesSource.SCORES
+    + field composition) over the T_COMMON match set."""
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    res = facets.facet_sum_value_source(
+        s, Q.Term(T_COMMON), docs, "lang",
+        "cast(score as double) + 0.001 * n_chars")
+    return res.select("lang",
+                      F.floor(F.col("value_sum") * 100).cast("long")
+                      .alias("vsum_q2"), "cnt")
+
+
 def _q_assoc_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TaxonomyFacetSumIntAssociations: per-lang SUM of n_chars over the
     match set instead of a doc count."""
@@ -5342,6 +5357,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_join_topk": _q_block_join,
         "block_join_children_topk": _q_block_join_children,
         "assoc_facet_sum": _q_assoc_facets,
+        "facet_sum_value_source": _q_facet_sum_vs,
         # --- merge / incremental build inside the gate ---
         "lmd_term_top10": _q_lmd_term,
         "bm25_deleted_top10": _q_deleted_top10,
@@ -5595,6 +5611,7 @@ _PRIORITY = [
     "nb_document_classify",
     "knn_document_top",
     "payloads_for_query",
+    "facet_sum_value_source",
     # --- r2-green, on r3-rewritten kernels ---
     "bm25_term_top10",
     "bm25_boost_top10",
@@ -6573,6 +6590,15 @@ FROM (SELECT cj.doc_id, cj.parent_id, pj.score,
                                 cj.parent_id ASC, cj.doc_id ASC) AS rnk
       FROM cj JOIN pj USING (parent_id))
 WHERE rnk <= 20""",
+        "facet_sum_value_source": _PRELUDE + ", "
+        + _tscore_cte("vs", T_COMMON) + """
+SELECT d.lang AS lang,
+       CAST(floor(sum(CAST(v.s AS DOUBLE)
+                      + CAST(0.001 AS DOUBLE) * d.n_chars) * 100)
+            AS BIGINT) AS vsum_q2,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM vs v JOIN documents d ON d.doc_id = v.doc_id
+GROUP BY 1""",
         "assoc_facet_sum": f"""
 SELECT d.lang AS lang, CAST(sum(d.n_chars) AS BIGINT) AS assoc_sum,
        CAST(count(*) AS BIGINT) AS cnt

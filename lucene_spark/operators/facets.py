@@ -390,6 +390,27 @@ def sum_association_facets(searcher, query, dims_df: DataFrame,
                  F.count("*").alias("cnt")))
 
 
+def facet_sum_value_source(searcher, query, dims_df: DataFrame,
+                           dim_col: str, value_expr: str,
+                           doc_id_col: str = "doc_id") -> DataFrame:
+    """TaxonomyFacetSumValueSource role (reference ``lucene/facet/
+    .../taxonomy/TaxonomyFacetSumValueSource.java:48-115``): per facet
+    label, SUM an arbitrary DoubleValuesSource over the query's match
+    set. The value source is any Catalyst SQL expression over the
+    joined per-doc columns, including ``score`` (the
+    DoubleValuesSource.SCORES role — the reference wires the scorer into
+    the value source the same way). Same semi-join + map-side-combined
+    groupBy shape as :func:`sum_association_facets`; the expression
+    folds into the aggregation projection (whole-stage codegen)."""
+    scored = searcher.score_all(query)
+    return (scored
+            .join(dims_df, doc_id_col)
+            .groupBy(dim_col)
+            .agg(F.sum(F.expr(value_expr).cast("double"))
+                 .alias("value_sum"),
+                 F.count("*").alias("cnt")))
+
+
 def query_join(searcher, from_query, from_df: DataFrame, from_key: str,
                to_df: DataFrame, to_key: str,
                doc_id_col: str = "doc_id") -> DataFrame:
