@@ -51,6 +51,16 @@ TOKENIZERS = {
     "letter": re.compile(r"[^\W\d_]+", re.UNICODE),
 }
 
+#: standard-tokenizer fast path: for ASCII text containing NONE of the
+#: UAX#29 joiner chars ``. , '`` (``’`` is non-ASCII), every _TOKEN_RE
+#: match is exactly a maximal ``[0-9A-Za-z_]+`` run (both alternatives
+#: accept any \w continuation and neither can join across a non-word
+#: char without a joiner), so tokenize = translate-non-word-to-space +
+#: split — two C calls per doc, ~2x the regex scan on code-like corpora.
+_SIMPLE_TBL = str.maketrans({chr(c): " " for c in range(128)
+                             if not (chr(c).isalnum() or chr(c) == "_")})
+_HAS_JOINER = re.compile(r"[.,']")
+
 MAX_TOKEN_LENGTH = 255  # reference StandardAnalyzer.java:37
 
 #: reference EnglishAnalyzer.java:43-52
@@ -303,6 +313,7 @@ def analyze_batch(texts: pd.Series,
     # LowerCaseFilter commutes with tokenization — lower per *document*
     # (one C call each) instead of per token (millions).
     ascii_fast = lowercase and all(s.isascii() for s in vals)
+    per_doc_lower = None   # set by the mixed-batch standard path below
     if isinstance(tokenizer, tuple) and tokenizer[0] == "pattern":
         # PatternTokenizer: match on the ORIGINAL text (LowerCaseFilter
         # is downstream of the tokenizer, and unlike the word-boundary
@@ -336,8 +347,32 @@ def analyze_batch(texts: pd.Series,
                          for s in vals]
     else:
         findall = TOKENIZERS[tokenizer].findall
-        if ascii_fast:
+        if ascii_fast and tokenizer == "standard":
+            no_joiner = _HAS_JOINER.search
+            tok_lists = [
+                s.translate(_SIMPLE_TBL).split()
+                if no_joiner(s) is None else findall(s)
+                for s in (v.lower() for v in vals)]
+        elif ascii_fast:
             tok_lists = [findall(s.lower()) for s in vals]
+        elif lowercase and tokenizer == "standard":
+            # per-DOC ascii gate: one exotic doc must not drag the whole
+            # batch onto the tokenize-then-lower slow path. ASCII docs
+            # lower-then-tokenize (commutes) with the translate+split
+            # fast path; non-ASCII docs tokenize raw and their tokens
+            # lower downstream (LowerCaseFilter order preserved).
+            per_doc_lower = np.zeros(n_docs, dtype=bool)
+            no_joiner = _HAS_JOINER.search
+            tok_lists = []
+            for di, s in enumerate(vals):
+                if s.isascii():
+                    s = s.lower()
+                    tok_lists.append(
+                        s.translate(_SIMPLE_TBL).split()
+                        if no_joiner(s) is None else findall(s))
+                else:
+                    per_doc_lower[di] = True
+                    tok_lists.append(findall(s))
         else:
             tok_lists = [findall(s) for s in vals]
     counts = np.fromiter(map(len, tok_lists), np.int64, count=n_docs)
@@ -367,7 +402,14 @@ def analyze_batch(texts: pd.Series,
     if type_drop is not None:
         keep &= ~type_drop
     if lowercase and not ascii_fast:
-        flat = pd.Series(flat).str.lower().to_numpy()
+        if per_doc_lower is not None:
+            # only the non-ASCII docs' tokens still need lowering
+            mask = np.repeat(per_doc_lower, counts)
+            if mask.any():
+                flat = flat.copy()
+                flat[mask] = pd.Series(flat[mask]).str.lower().to_numpy()
+        else:
+            flat = pd.Series(flat).str.lower().to_numpy()
     if ascii_folding:
         # vocabulary-level: fold each unique token once (the batch's
         # tokens repeat heavily), map back through factorize codes
