@@ -1,0 +1,816 @@
+"""Snowball stemmers, implemented from the published algorithm
+descriptions (snowballstem.org, Snowball 2.0.0 semantics).
+
+The reference ships machine-generated cursor-machine Java
+(``analysis/common/src/java/org/tartarus/snowball/ext/*.java``); this
+module re-expresses each algorithm as a plain suffix-table walk over
+Python strings.  Rule data (suffix lists, vowel groupings, region
+definitions) is the published algorithm data; the control flow here is
+ours.  Every stemmer is verified 0-mismatch against the reference's
+2000-word ``voc.txt``/``output.txt`` golden pairs
+(``analysis/common/src/test/org/apache/lucene/analysis/snowball/*.zip``)
+before registration; sampled pairs are committed under ``tests/data/``.
+
+Like the light stemmers (``lightstem.py``), these run at VOCABULARY
+level: the analyzer factorizes the token stream and stems each unique
+token once, so per-word Python cost is amortized across the corpus.
+
+Reference behavior citations:
+  - ``org/tartarus/snowball/ext/DanishStemmer.java``
+  - ``org/tartarus/snowball/ext/NorwegianStemmer.java``
+  - ``org/tartarus/snowball/ext/SwedishStemmer.java``
+  - ``org/tartarus/snowball/ext/EnglishStemmer.java``
+  - ``analysis/snowball/SnowballFilter.java`` (filter wiring)
+"""
+
+from __future__ import annotations
+
+
+def _r1_std(w: str, vowels: str) -> int:
+    """Start of R1: after the first non-vowel that follows a vowel."""
+    for i in range(len(w) - 1):
+        if w[i] in vowels and w[i + 1] not in vowels:
+            return i + 2
+    return len(w)
+
+
+def _r1r2_std(w: str, vowels: str) -> tuple[int, int]:
+    p1 = _r1_std(w, vowels)
+    if p1 >= len(w):
+        return p1, len(w)
+    return p1, p1 + _r1_std(w[p1:], vowels)
+
+
+def _longest_suffix(w: str, suffixes, p1: int):
+    """Longest suffix of ``w`` lying entirely within the region starting
+    at ``p1`` (find_among_b with limit_backward = p1).  ``suffixes`` is
+    pre-sorted longest-first."""
+    n = len(w)
+    for s in suffixes:
+        if n - len(s) >= p1 and w.endswith(s):
+            return s
+    return None
+
+
+def _bylen(*groups):
+    """Flatten suffix groups into one longest-first tuple of
+    (suffix, tag) pairs."""
+    flat = []
+    for tag, sufs in groups:
+        for s in sufs:
+            flat.append((s, tag))
+    flat.sort(key=lambda p: -len(p[0]))
+    return tuple(flat)
+
+
+def _longest_tagged(w: str, table, p1: int):
+    n = len(w)
+    for s, tag in table:
+        if n - len(s) >= p1 and w.endswith(s):
+            return s, tag
+    return None, None
+
+
+# ---------------------------------------------------------------------------
+# Scandinavian family
+
+
+_DA_VOWELS = "aeiouyæåø"          # a e i o u y æ å ø
+_DA_S_ENDING = set("abcdfghjklmnoprtvyzå")  # g_s_ending
+_DA_MAIN = _bylen(
+    (1, ["hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+         "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+         "heds", "es", "endes", "erendes", "enes", "ernes", "eres",
+         "ens", "hedens", "erens", "ers", "ets", "erets", "et", "eret"]),
+    (2, ["s"]),
+)
+_DA_PAIRS = ("gd", "dt", "gt", "kt")
+_DA_OTHER = _bylen((1, ["ig", "lig", "elig", "els"]), (2, ["løst"]))
+_DA_CONS = set("bcdfghjklmnpqrstvwxz")           # g_c (no vowels, no y)
+
+
+def _scand_p1(w: str, vowels: str) -> int:
+    """Scandinavian region: standard R1 but never before position 3."""
+    if len(w) < 3:
+        return len(w)
+    return max(_r1_std(w, vowels), 3)
+
+
+def _da_consonant_pair(w: str, p1: int) -> str:
+    if _longest_suffix(w, _DA_PAIRS, p1) is not None:
+        return w[:-1]
+    return w
+
+
+def stem_danish(w: str) -> str:
+    p1 = _scand_p1(w, _DA_VOWELS)
+    # main suffix
+    s, tag = _longest_tagged(w, _DA_MAIN, p1)
+    if s is not None:
+        if tag == 1:
+            w = w[: len(w) - len(s)]
+        elif len(w) >= 2 and w[-2] in _DA_S_ENDING:
+            w = w[:-1]
+    # consonant pair: drop the final letter after gd/dt/gt/kt in R1
+    w = _da_consonant_pair(w, p1)
+    # other suffix: first "igst" loses "st" (unrestricted), then R1 table
+    if w.endswith("igst"):
+        w = w[:-2]
+    s, tag = _longest_tagged(w, _DA_OTHER, p1)
+    if s is not None:
+        if tag == 1:
+            w = w[: len(w) - len(s)]
+            w = _da_consonant_pair(w, p1)
+        else:
+            w = w[: len(w) - 1]                  # løst -> løs
+    # undouble: final consonant in R1 equal to its predecessor
+    if len(w) > p1 and w[-1] in _DA_CONS and len(w) >= 2 and w[-2] == w[-1]:
+        w = w[:-1]
+    return w
+
+
+_NO_VOWELS = "aeiouyæåø"
+_NO_S_ENDING = set("bcdfghjlmnoprtvyz")
+_NO_MAIN = _bylen(
+    (1, ["a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+         "heten", "ar", "er", "heter", "as", "es", "edes", "endes",
+         "enes", "hetenes", "ens", "hetens", "ers", "ets", "et", "het",
+         "ast"]),
+    (2, ["s"]),
+    (3, ["erte", "ert"]),
+)
+_NO_PAIRS = ("dt", "vt")
+_NO_OTHER = _bylen((1, ["leg", "eleg", "ig", "eig", "lig", "elig", "els",
+                        "lov", "elov", "slov", "hetslov"]))
+
+
+def stem_norwegian(w: str) -> str:
+    p1 = _scand_p1(w, _NO_VOWELS)
+    s, tag = _longest_tagged(w, _NO_MAIN, p1)
+    if s is not None:
+        if tag == 1:
+            w = w[: len(w) - len(s)]
+        elif tag == 3:
+            w = w[: len(w) - len(s)] + "er"
+        else:                                    # "s": valid ending, or
+            prev = w[-2] if len(w) >= 2 else ""  # k preceded by non-vowel
+            if prev in _NO_S_ENDING or (
+                    prev == "k" and len(w) >= 3
+                    and w[-3] not in _NO_VOWELS):
+                w = w[:-1]
+    if _longest_suffix(w, _NO_PAIRS, p1) is not None:
+        w = w[:-1]
+    s, _tag = _longest_tagged(w, _NO_OTHER, p1)
+    if s is not None:
+        w = w[: len(w) - len(s)]
+    return w
+
+
+_SV_VOWELS = "aeiouyäåö"          # a e i o u y ä å ö
+_SV_S_ENDING = set("bcdfghjklmnoprtvy")
+_SV_MAIN = _bylen(
+    (1, ["a", "arna", "erna", "heterna", "orna", "ad", "e", "ade",
+         "ande", "arne", "are", "aste", "en", "anden", "aren", "heten",
+         "ern", "ar", "er", "heter", "or", "as", "arnas", "ernas",
+         "ornas", "es", "ades", "andes", "ens", "arens", "hetens",
+         "erns", "at", "andet", "het", "ast"]),
+    (2, ["s"]),
+)
+_SV_PAIRS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+_SV_OTHER = _bylen((1, ["ig", "lig", "els"]), (2, ["löst"]),
+                   (3, ["fullt"]))
+
+
+def stem_swedish(w: str) -> str:
+    p1 = _scand_p1(w, _SV_VOWELS)
+    s, tag = _longest_tagged(w, _SV_MAIN, p1)
+    if s is not None:
+        if tag == 1:
+            w = w[: len(w) - len(s)]
+        elif len(w) >= 2 and w[-2] in _SV_S_ENDING:
+            w = w[:-1]
+    if _longest_suffix(w, _SV_PAIRS, p1) is not None:
+        w = w[:-1]
+    s, tag = _longest_tagged(w, _SV_OTHER, p1)
+    if s is not None:
+        if tag == 1:
+            w = w[: len(w) - len(s)]
+        elif tag == 2:
+            w = w[:-1]                           # löst -> lös
+        else:
+            w = w[:-1]                           # fullt -> full
+    return w
+
+
+# ---------------------------------------------------------------------------
+# English (Porter2)
+
+
+_EN_V = "aeiouy"
+_EN_EXC1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "andes": "andes", "atlas": "atlas", "bias": "bias",
+    "cosmos": "cosmos", "howe": "howe", "news": "news", "sky": "sky",
+}
+_EN_EXC2 = {"succeed", "proceed", "exceed", "canning", "inning",
+            "earring", "herring", "outing"}
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_VALID_LI = set("cdeghkmnrt")
+_EN_STEP2 = _bylen(
+    (("tion",), ["tional"]), (("ence",), ["enci"]), (("ance",), ["anci"]),
+    (("able",), ["abli"]), (("ent",), ["entli"]),
+    (("ize",), ["izer", "ization"]),
+    (("ate",), ["ational", "ation", "ator"]),
+    (("al",), ["alism", "aliti", "alli"]),
+    (("ful",), ["fulness", "fulli"]),
+    (("ous",), ["ousli", "ousness"]),
+    (("ive",), ["iveness", "iviti"]),
+    (("ble",), ["biliti", "bli"]),
+    (("og+l",), ["ogi"]), (("less",), ["lessli"]), (("li",), ["li"]),
+)
+_EN_STEP3 = _bylen(
+    (("tion",), ["tional"]), (("ate",), ["ational"]), (("al",), ["alize"]),
+    (("ic",), ["icate", "iciti", "ical"]), (("",), ["ful", "ness"]),
+    (("ative",), ["ative"]),
+)
+_EN_STEP4 = _bylen(
+    (1, ["al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+         "ement", "ment", "ent", "ism", "ate", "iti", "ous", "ive",
+         "ize"]),
+    (2, ["ion"]),
+)
+
+
+def _en_shortv(w: str, i: int) -> bool:
+    """True if a short-syllable pattern ends at index i (exclusive)."""
+    # (non-vowel not w/x/Y)(vowel)(non-vowel), or word-initial
+    # (vowel)(non-vowel)
+    if i >= 3 and w[i - 1] not in _EN_V and w[i - 1] not in "wxY" \
+            and w[i - 2] in _EN_V and w[i - 3] not in _EN_V:
+        return True
+    return i == 2 and w[0] in _EN_V and w[1] not in _EN_V
+
+
+def stem_english(w: str) -> str:
+    exc = _EN_EXC1.get(w)
+    if exc is not None:
+        return exc
+    if len(w) < 3:
+        return w
+    # prelude
+    y_found = False
+    if w.startswith("'"):
+        w = w[1:]
+    if w.startswith("y"):
+        w = "Y" + w[1:]
+        y_found = True
+    chars = list(w)
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _EN_V:
+            chars[i] = "Y"
+            y_found = True
+    w = "".join(chars)
+    # mark regions (gener-/commun-/arsen- prefixes pin R1)
+    p1 = None
+    for pre in ("commun", "gener", "arsen"):
+        if w.startswith(pre):
+            p1 = len(pre)
+            break
+    if p1 is None:
+        p1 = _r1_std(w, _EN_V)
+    p2 = len(w) if p1 >= len(w) else p1 + _r1_std(w[p1:], _EN_V)
+    # step 0: longest of ' 's 's'
+    for s in ("'s'", "'s", "'"):
+        if w.endswith(s):
+            w = w[: len(w) - len(s)]
+            break
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ied") or w.endswith("ies"):
+        w = w[:-3] + ("i" if len(w) > 4 else "ie")
+    elif w.endswith("ss") or w.endswith("us"):
+        pass
+    elif w.endswith("s"):
+        if any(c in _EN_V for c in w[: len(w) - 2]):
+            w = w[:-1]
+    # exception 2
+    if w in _EN_EXC2:
+        return w
+    # step 1b
+    for s in ("eedly", "eed"):
+        if w.endswith(s):
+            if len(w) - len(s) >= p1:
+                w = w[: len(w) - len(s)] + "ee"
+            break
+    else:
+        for s in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(s):
+                stem = w[: len(w) - len(s)]
+                if any(c in _EN_V for c in stem):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_EN_DOUBLES):
+                        w = w[:-1]
+                    elif len(w) == p1 and _en_shortv(w, len(w)):
+                        w += "e"
+                break
+    # step 1c
+    if len(w) > 2 and w[-1] in "yY" and w[-2] not in _EN_V:
+        w = w[:-1] + "i"
+    # step 2
+    s, tag = _longest_tagged(w, _EN_STEP2, 0)
+    if s is not None and len(w) - len(s) >= p1:
+        rep = tag[0]
+        if rep == "og+l":
+            if w.endswith("logi"):
+                w = w[:-1]
+        elif rep == "li":
+            if len(w) >= 3 and w[-3] in _EN_VALID_LI:
+                w = w[:-2]
+        else:
+            w = w[: len(w) - len(s)] + rep
+    # step 3
+    s, tag = _longest_tagged(w, _EN_STEP3, 0)
+    if s is not None and len(w) - len(s) >= p1:
+        rep = tag[0]
+        if rep == "ative":
+            if len(w) - len(s) >= p2:
+                w = w[: len(w) - len(s)]
+        else:
+            w = w[: len(w) - len(s)] + rep
+    # step 4
+    s, tag = _longest_tagged(w, _EN_STEP4, 0)
+    if s is not None and len(w) - len(s) >= p2:
+        if tag == 1:
+            w = w[: len(w) - len(s)]
+        elif len(w) >= 4 and w[-4] in "st":
+            w = w[:-3]
+    # step 5
+    if w.endswith("e"):
+        if len(w) - 1 >= p2 or (len(w) - 1 >= p1
+                                and not _en_shortv(w, len(w) - 1)):
+            w = w[:-1]
+    elif w.endswith("ll") and len(w) - 1 >= p2:
+        w = w[:-1]
+    # postlude
+    if y_found:
+        w = w.replace("Y", "y")
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Porter (the Snowball rendering of the 1980 algorithm)
+
+
+_PT_STEP2 = _bylen(
+    (("ance",), ["anci"]), (("ence",), ["enci"]), (("able",), ["abli"]),
+    (("e",), ["eli"]), (("al",), ["alli", "aliti", "alism"]),
+    (("ous",), ["ousli", "ousness"]), (("ent",), ["entli"]),
+    (("ble",), ["biliti"]), (("ive",), ["iviti", "iveness"]),
+    (("tion",), ["tional"]), (("ate",), ["ational", "ation", "ator"]),
+    (("ize",), ["ization", "izer"]), (("ful",), ["fulness"]),
+)
+_PT_STEP3 = _bylen(
+    (("al",), ["alize"]), (("ic",), ["icate", "iciti", "ical"]),
+    (("",), ["ative", "ful", "ness"]),
+)
+_PT_STEP4 = _bylen(
+    (1, ["ic", "ance", "ence", "able", "ible", "ate", "ive", "ize",
+         "iti", "al", "ism", "er", "ous", "ant", "ent", "ment",
+         "ement", "ou"]),
+    (2, ["ion"]),
+)
+
+
+def _pt_shortv(w: str, i: int) -> bool:
+    """Porter shortv: (non-vowel not w/x/Y)(vowel)(non-vowel) ending
+    at index i (exclusive)."""
+    return (i >= 3 and w[i - 1] not in _EN_V and w[i - 1] not in "wxY"
+            and w[i - 2] in _EN_V and w[i - 3] not in _EN_V)
+
+
+def stem_porter_snowball(w: str) -> str:
+    # prelude: mark y as Y at word start and after vowels
+    y_found = False
+    if w.startswith("y"):
+        w = "Y" + w[1:]
+        y_found = True
+    chars = list(w)
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _EN_V:
+            chars[i] = "Y"
+            y_found = True
+    w = "".join(chars)
+    p1, p2 = _r1r2_std(w, _EN_V)
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if len(w) - 3 >= p1:
+            w = w[:-1]
+    else:
+        for s in ("ing", "ed"):
+            if w.endswith(s):
+                stem = w[: len(w) - len(s)]
+                if any(c in _EN_V for c in stem):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_EN_DOUBLES):
+                        w = w[:-1]
+                    elif len(w) == p1 and _pt_shortv(w, len(w)):
+                        w += "e"
+                break
+    # step 1c: y -> i if the stem contains a vowel
+    if w.endswith(("y", "Y")) and any(c in _EN_V for c in w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    s, tag = _longest_tagged(w, _PT_STEP2, 0)
+    if s is not None and len(w) - len(s) >= p1:
+        w = w[: len(w) - len(s)] + tag[0]
+    # step 3
+    s, tag = _longest_tagged(w, _PT_STEP3, 0)
+    if s is not None and len(w) - len(s) >= p1:
+        w = w[: len(w) - len(s)] + tag[0]
+    # step 4
+    s, tag = _longest_tagged(w, _PT_STEP4, 0)
+    if s is not None and len(w) - len(s) >= p2:
+        if tag == 1:
+            w = w[: len(w) - len(s)]
+        elif len(w) >= 4 and w[-4] in "st":
+            w = w[:-3]
+    # step 5a / 5b
+    if w.endswith("e"):
+        if len(w) - 1 >= p2 or (len(w) - 1 >= p1
+                                and not _pt_shortv(w, len(w) - 1)):
+            w = w[:-1]
+    if w.endswith("ll") and len(w) - 1 >= p2:
+        w = w[:-1]
+    if y_found:
+        w = w.replace("Y", "y")
+    return w
+
+
+# ---------------------------------------------------------------------------
+# German / German2
+
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_ENDING = set("bdfghklmnrt")
+_DE_ST_ENDING = set("bdfghklmnt")
+_DE_STEP1 = _bylen((1, ["em", "ern", "er"]), (2, ["e", "en", "es"]),
+                   (3, ["s"]))
+_DE_STEP2 = _bylen((1, ["en", "er", "est"]), (2, ["st"]))
+_DE_STEP3 = _bylen((1, ["end", "ung"]), (2, ["ig", "isch", "ik"]),
+                   (3, ["lich", "heit"]), (4, ["keit"]))
+
+
+def _de_mark(w: str) -> tuple[int, int]:
+    p1 = _r1_std(w, _DE_VOWELS)
+    if p1 >= len(w):
+        return len(w), len(w)
+    x = max(p1, 3) if len(w) >= 3 else len(w)
+    p2 = p1 + _r1_std(w[p1:], _DE_VOWELS)
+    return x, min(p2, len(w))
+
+
+def _de_stem_marked(w: str) -> str:
+    """Shared German suffix machine over a U/Y-marked word."""
+    p1, p2 = _de_mark(w)
+    # pass 1
+    s, tag = _longest_tagged(w, _DE_STEP1, p1)
+    if s is not None:
+        if tag == 1:
+            w = w[: len(w) - len(s)]
+        elif tag == 2:
+            w = w[: len(w) - len(s)]
+            if w.endswith("niss"):
+                w = w[:-1]
+        elif len(w) >= 2 and w[-2] in _DE_S_ENDING:
+            w = w[:-1]
+    # pass 2
+    s, tag = _longest_tagged(w, _DE_STEP2, p1)
+    if s is not None:
+        if tag == 1:
+            w = w[: len(w) - len(s)]
+        elif len(w) >= 6 and w[-3] in _DE_ST_ENDING:
+            w = w[:-2]
+    # pass 3 (R2)
+    s, tag = _longest_tagged(w, _DE_STEP3, p2)
+    if s is not None:
+        if tag == 1:                              # end / ung
+            w = w[: len(w) - len(s)]
+            if w.endswith("ig") and not w.endswith("eig") \
+                    and len(w) - 2 >= p2:
+                w = w[:-2]
+        elif tag == 2:                            # ig / isch / ik
+            if not w[: len(w) - len(s)].endswith("e"):
+                w = w[: len(w) - len(s)]
+        elif tag == 3:                            # lich / heit
+            w = w[: len(w) - len(s)]
+            for t in ("er", "en"):
+                if w.endswith(t) and len(w) - 2 >= p1:
+                    w = w[:-2]
+                    break
+        else:                                     # keit
+            w = w[: len(w) - len(s)]
+            for t in ("lich", "ig"):
+                if w.endswith(t) and len(w) - len(t) >= p2:
+                    w = w[: len(w) - len(t)]
+                    break
+    return w
+
+
+def _de_mark_uy(w: str) -> str:
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "uy" and chars[i - 1] in _DE_VOWELS \
+                and chars[i + 1] in _DE_VOWELS:
+            chars[i] = chars[i].upper()
+    return "".join(chars)
+
+
+_DE_POST = {"Y": "y", "U": "u", "ä": "a", "ö": "o", "ü": "u"}
+
+
+def stem_german_snowball(w: str) -> str:
+    w = _de_mark_uy(w.replace("ß", "ss"))
+    w = _de_stem_marked(w)
+    return "".join(_DE_POST.get(c, c) for c in w)
+
+
+def stem_german2(w: str) -> str:
+    # mark u/y between vowels FIRST (over the original), then fold
+    # ae/oe/ue -> umlauts (qu protects the following e) and ß -> ss
+    w = _de_mark_uy(w)
+    out = []
+    i = 0
+    n = len(w)
+    while i < n:
+        c = w[i]
+        if c == "ß":
+            out.append("ss")
+        elif c == "q" and i + 1 < n and w[i + 1] == "u":
+            out.append("qu")
+            i += 1
+        elif c in "aou" and i + 1 < n and w[i + 1] == "e":
+            out.append({"a": "ä", "o": "ö", "u": "ü"}[c])
+            i += 1
+        else:
+            out.append(c)
+        i += 1
+    w = _de_stem_marked("".join(out))
+    return "".join(_DE_POST.get(c, c) for c in w)
+
+
+# ---------------------------------------------------------------------------
+# Dutch
+
+
+_NL_VOWELS = "aeiouyè"
+_NL_NOT_S = set("aeiouyèj")                       # g_v_j
+_NL_ACCENTS = str.maketrans("áäéëíïóöúü", "aaeeiioouu")
+_NL_STEP4 = _bylen((1, ["end", "ing"]), (2, ["ig"]), (3, ["lijk"]),
+                   (4, ["baar"]), (5, ["bar"]))
+
+
+def _nl_undouble(w: str) -> str:
+    if w.endswith(("dd", "kk", "tt")):
+        return w[:-1]
+    return w
+
+
+def stem_dutch(w: str) -> str:
+    w = w.translate(_NL_ACCENTS)
+    if w.startswith("y"):
+        w = "Y" + w[1:]
+    chars = list(w)
+    for i in range(1, len(chars)):
+        if chars[i - 1] in _NL_VOWELS:
+            if chars[i] == "i" and i + 1 < len(chars) \
+                    and chars[i + 1] in _NL_VOWELS:
+                chars[i] = "I"
+            elif chars[i] == "y":
+                chars[i] = "Y"
+    w = "".join(chars)
+    p1 = _r1_std(w, _NL_VOWELS)
+    p2 = len(w) if p1 >= len(w) else p1 + _r1_std(w[p1:], _NL_VOWELS)
+    if p1 < 3:
+        p1 = 3
+
+    e_found = False
+
+    def en_ending(v: str) -> str:
+        # caller already stripped en/ene; v is the remainder
+        if len(v) >= 1 and v[-1] not in _NL_VOWELS \
+                and not v.endswith("gem"):
+            return _nl_undouble(v)
+        return None
+
+    # pass 1
+    n = len(w)
+    if w.endswith("heden") and n - 5 >= p1:
+        w = w[:-5] + "heid"
+    elif w.endswith("ene") and n - 3 >= p1:
+        v = en_ending(w[:-3])
+        if v is not None:
+            w = v
+    elif w.endswith("en") and n - 2 >= p1:
+        v = en_ending(w[:-2])
+        if v is not None:
+            w = v
+    elif w.endswith("se") and n - 2 >= p1 and len(w) >= 3 \
+            and w[-3] not in _NL_NOT_S:
+        w = w[:-2]
+    elif w.endswith("s") and n - 1 >= p1 and len(w) >= 2 \
+            and w[-2] not in _NL_NOT_S:
+        w = w[:-1]
+    # pass 2: e-ending
+    if w.endswith("e") and len(w) - 1 >= p1 and len(w) >= 2 \
+            and w[-2] not in _NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_found = True
+    # pass 3: heid
+    if w.endswith("heid") and len(w) - 4 >= p2 and not w[:-4].endswith("c"):
+        w = w[:-4]
+        if w.endswith("en") and len(w) - 2 >= p1:
+            v = en_ending(w[:-2])
+            if v is not None:
+                w = v
+    # pass 4
+    s, tag = _longest_tagged(w, _NL_STEP4, 0)
+    if s is not None and len(w) - len(s) >= p2:
+        if tag == 1:                              # end / ing
+            w = w[: len(w) - len(s)]
+            if w.endswith("ig") and len(w) - 2 >= p2 \
+                    and not w[:-2].endswith("e"):
+                w = w[:-2]
+            else:
+                w = _nl_undouble(w)
+        elif tag == 2:                            # ig
+            if not w[: len(w) - len(s)].endswith("e"):
+                w = w[: len(w) - len(s)]
+        elif tag == 3:                            # lijk
+            w = w[: len(w) - len(s)]
+            if w.endswith("e") and len(w) - 1 >= p1 and len(w) >= 2 \
+                    and w[-2] not in _NL_VOWELS:
+                w = _nl_undouble(w[:-1])
+        elif tag == 4:                            # baar
+            w = w[: len(w) - len(s)]
+        elif e_found:                             # bar
+            w = w[: len(w) - len(s)]
+    # pass 5: undouble vowel  c V V c -> c V c
+    if len(w) >= 4 and w[-1] not in _NL_VOWELS and w[-1] != "I" \
+            and w[-2:-1] + w[-3:-2] and w[-3:-1] in ("aa", "ee", "oo", "uu") \
+            and w[-4] not in _NL_VOWELS:
+        w = w[:-2] + w[-1]
+    # postlude
+    return w.replace("I", "i").replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# Russian
+
+
+_RU_VOWELS = "аеиоуыэюя"
+_RU_PGERUND_AYA = ("вшись", "вши", "в")           # require preceding а/я
+_RU_PGERUND = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJ = ("ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ое",
+           "ые", "ей", "ий", "ой", "ый", "ем", "им", "ом", "ым", "их",
+           "ых", "ею", "ою", "ую", "юю", "ая", "яя")
+_RU_PART_AYA = ("ем", "нн", "вш", "ющ", "щ")
+_RU_PART = ("ивш", "ывш", "ующ")
+_RU_VERB_AYA = ("ете", "йте", "ешь", "нно", "ла", "на", "ли", "ем",
+                "ло", "но", "ет", "ют", "ны", "ть", "й", "л", "н")
+_RU_VERB = ("ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли",
+            "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло",
+            "ено", "ят", "ует", "уют", "ит", "ыт", "ены", "ить", "ыть",
+            "ишь", "ую", "ю")
+_RU_NOUN = ("иями", "ями", "ами", "ией", "иям", "ием", "иях", "ию",
+            "ия", "ьи", "ев", "ов", "ие", "ье", "еи", "ии", "ей", "ий",
+            "ой", "ам", "ем", "ом", "ям", "ах", "ях", "ью", "ья", "а",
+            "е", "и", "й", "о", "у", "ы", "ь", "ю", "я")
+
+
+def _ru_longest(w, pV, *tables):
+    """Longest suffix across tagged tables; returns (suffix, table_idx)."""
+    best, bi = None, -1
+    for ti, tbl in enumerate(tables):
+        for s in tbl:
+            if (best is None or len(s) > len(best)) \
+                    and len(w) - len(s) >= pV and w.endswith(s):
+                best, bi = s, ti
+    return best, bi
+
+
+def stem_russian(w: str) -> str:
+    w = w.replace("ё", "е")
+    # regions
+    pV = len(w)
+    for i, c in enumerate(w):
+        if c in _RU_VOWELS:
+            pV = i + 1
+            break
+    p2 = len(w) if pV >= len(w) else pV + _r1r2_std(w[pV:], _RU_VOWELS)[0]
+
+    def drop(word, suf):
+        return word[: len(word) - len(suf)]
+
+    def try_aya(word, suf):
+        # delete suf only if preceded by а/я lying within the region
+        i = len(word) - len(suf)
+        if i - 1 >= pV and word[i - 1] in "ая":
+            return drop(word, suf)
+        return None
+
+    # step 1: perfective gerund, else [reflexive] adj|verb|noun
+    s, ti = _ru_longest(w, pV, _RU_PGERUND_AYA, _RU_PGERUND)
+    done = False
+    if s is not None:
+        if ti == 1:
+            w = drop(w, s)
+            done = True
+        else:
+            v = try_aya(w, s)
+            if v is not None:
+                w = v
+                done = True
+    if not done:
+        s, _ti = _ru_longest(w, pV, ("сь", "ся"))
+        if s is not None:
+            w = drop(w, s)
+        # adjectival
+        s, _ti = _ru_longest(w, pV, _RU_ADJ)
+        if s is not None:
+            w = drop(w, s)
+            ps, pi = _ru_longest(w, pV, _RU_PART_AYA, _RU_PART)
+            if ps is not None:
+                if pi == 1:
+                    w = drop(w, ps)
+                else:
+                    v = try_aya(w, ps)
+                    if v is not None:
+                        w = v
+        else:
+            # verb
+            vs, vi = _ru_longest(w, pV, _RU_VERB_AYA, _RU_VERB)
+            handled = False
+            if vs is not None:
+                if vi == 1:
+                    w = drop(w, vs)
+                    handled = True
+                else:
+                    v = try_aya(w, vs)
+                    if v is not None:
+                        w = v
+                        handled = True
+            if not handled:
+                ns, _ni = _ru_longest(w, pV, _RU_NOUN)
+                if ns is not None:
+                    w = drop(w, ns)
+    # step 2: и
+    if w.endswith("и") and len(w) - 1 >= pV:
+        w = w[:-1]
+    # step 3: derivational (R2)
+    s, _ti = _ru_longest(w, pV, ("ость", "ост"))
+    if s is not None and len(w) - len(s) >= p2:
+        w = drop(w, s)
+    # step 4: tidy up
+    s, _ti = _ru_longest(w, pV, ("ейше", "ейш"))
+    if s is not None:
+        w = drop(w, s)
+        if w.endswith("нн") and len(w) - 1 >= pV:
+            w = w[:-1]
+    elif w.endswith("нн") and len(w) - 1 >= pV:
+        w = w[:-1]
+    elif w.endswith("ь") and len(w) - 1 >= pV:
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+SNOWBALL_STEMMERS: dict[str, callable] = {
+    "snowball_danish": stem_danish,
+    "snowball_norwegian": stem_norwegian,
+    "snowball_swedish": stem_swedish,
+    "snowball_english": stem_english,
+    "snowball_porter": stem_porter_snowball,
+    "snowball_german": stem_german_snowball,
+    "snowball_german2": stem_german2,
+    "snowball_dutch": stem_dutch,
+    "snowball_russian": stem_russian,
+}
