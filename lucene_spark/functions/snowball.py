@@ -800,6 +800,402 @@ def stem_russian(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Romance family helpers
+
+
+def _rv_romance(w: str, vowels: str) -> int:
+    """Standard Romance RV: if the second letter is a consonant, after
+    the next following vowel; if the first two letters are vowels, after
+    the next consonant; otherwise after the third letter."""
+    n = len(w)
+    if n < 2:
+        return n
+    if w[0] in vowels:
+        if w[1] not in vowels:                    # V C ...
+            for i in range(2, n):
+                if w[i] in vowels:
+                    return i + 1
+            return n
+        for i in range(2, n):                     # V V ...
+            if w[i] not in vowels:
+                return i + 1
+        return n
+    if w[1] not in vowels:                        # C C ...
+        for i in range(2, n):
+            if w[i] in vowels:
+                return i + 1
+        return n
+    return 3 if n >= 3 else n                     # C V x
+
+
+# ---------------------------------------------------------------------------
+# Spanish
+
+
+_ES_VOWELS = "aeiouáéíóúü"
+_ES_PRONOUNS = ("selas", "selos", "sela", "selo", "las", "les", "los",
+                "nos", "la", "le", "lo", "me", "se")
+_ES_GERUNDS = _bylen(
+    (1, ["iéndo"]), (2, ["ándo"]), (3, ["ár"]), (4, ["ér"]), (5, ["ír"]),
+    (6, ["ando", "iendo", "ar", "er", "ir"]), (7, ["yendo"]),
+)
+_ES_STD = _bylen(
+    (1, ["ica", "osa", "ista", "anza", "able", "ible", "ico", "ismo",
+         "oso", "amiento", "imiento", "icas", "osas", "istas", "anzas",
+         "ables", "ibles", "icos", "ismos", "osos", "amientos",
+         "imientos"]),
+    (2, ["ancia", "adora", "ante", "ación", "ador", "ancias", "adoras",
+         "aciones", "adores", "antes"]),
+    (3, ["logía", "logías"]),
+    (4, ["ución", "uciones"]),
+    (5, ["encia", "encias"]),
+    (6, ["amente"]),
+    (7, ["mente"]),
+    (8, ["idad", "idades"]),
+    (9, ["iva", "ivo", "ivas", "ivos"]),
+)
+_ES_Y_VERB = ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas",
+              "yes", "ya", "ye", "yo", "yó")
+_ES_VERB = _bylen(
+    (1, ["en", "es", "éis", "emos"]),
+    (2, ["aba", "ada", "ida", "ara", "iera", "ía", "aría", "ería",
+         "iría", "ad", "ed", "id", "ase", "iese", "aste", "iste", "an",
+         "aban", "aran", "ieran", "ían", "arían", "erían", "irían",
+         "asen", "iesen", "aron", "ieron", "arán", "erán", "irán",
+         "ado", "ido", "ando", "iendo", "ar", "er", "ir", "as", "abas",
+         "adas", "idas", "aras", "ieras", "ías", "arías", "erías",
+         "irías", "ases", "ieses", "abais", "arais", "ierais", "íais",
+         "aríais", "eríais", "iríais", "aseis", "ieseis", "asteis",
+         "isteis", "áis", "aréis", "eréis", "iréis", "ados", "idos",
+         "amos", "ábamos", "áramos", "iéramos", "íamos", "aríamos",
+         "eríamos", "iríamos", "aremos", "eremos", "iremos", "ásemos",
+         "iésemos", "imos", "arás", "erás", "irás", "ís", "ará", "erá",
+         "irá", "aré", "eré", "iré", "ió"]),
+)
+_ES_RESIDUAL = _bylen((1, ["a", "o", "os", "á", "í", "ó"]),
+                      (2, ["e", "é"]))
+_ES_POST = str.maketrans("áéíóú", "aeiou")
+
+
+def stem_spanish(w: str) -> str:
+    rv = _rv_romance(w, _ES_VOWELS)
+    p1, p2 = _r1r2_std(w, _ES_VOWELS)
+    # step 0: attached pronoun
+    for pron in _ES_PRONOUNS:
+        if w.endswith(pron):
+            base = w[: len(w) - len(pron)]
+            s, tag = _longest_tagged(base, _ES_GERUNDS, 0)
+            if s is not None and len(base) - len(s) >= rv:
+                if tag == 6:
+                    w = base
+                elif tag == 7:
+                    if base[: len(base) - len(s)].endswith("u"):
+                        w = base
+                else:
+                    rep = {1: "iendo", 2: "ando", 3: "ar", 4: "er",
+                           5: "ir"}[tag]
+                    w = base[: len(base) - len(s)] + rep
+            break
+    # step 1: standard suffix, else y-verb, else verb
+    s, tag = _longest_tagged(w, _ES_STD, 0)
+    stripped = False
+    if s is not None:
+        i = len(w) - len(s)
+        if tag == 6:
+            if i >= p1:
+                w = w[:i]
+                stripped = True
+                t, ti = _longest_tagged(w, _bylen(
+                    (1, ["iv"]), (2, ["ic", "ad", "os"])), p2)
+                if t is not None:
+                    w = w[: len(w) - len(t)]
+                    if ti == 1 and w.endswith("at") and len(w) - 2 >= p2:
+                        w = w[:-2]
+        elif i >= p2:
+            w = w[:i]
+            stripped = True
+            if tag == 2:
+                if w.endswith("ic") and len(w) - 2 >= p2:
+                    w = w[:-2]
+            elif tag == 3:
+                w += "log"
+            elif tag == 4:
+                w += "u"
+            elif tag == 5:
+                w += "ente"
+            elif tag == 7:
+                t = _longest_suffix(w, ("able", "ible", "ante"), p2)
+                if t is not None:
+                    w = w[: len(w) - len(t)]
+            elif tag == 8:
+                t = _longest_suffix(w, ("abil", "ic", "iv"), p2)
+                if t is not None:
+                    w = w[: len(w) - len(t)]
+            elif tag == 9:
+                if w.endswith("at") and len(w) - 2 >= p2:
+                    w = w[:-2]
+    if not stripped:
+        s = _longest_suffix(w, sorted(_ES_Y_VERB, key=len, reverse=True),
+                            rv)
+        if s is not None and w[: len(w) - len(s)].endswith("u"):
+            w = w[: len(w) - len(s)]
+        else:
+            s, tag = _longest_tagged(w, _ES_VERB, rv)
+            if s is not None:
+                w = w[: len(w) - len(s)]
+                if tag == 1 and w.endswith("gu"):
+                    w = w[:-1]
+    # step 3: residual
+    s, tag = _longest_tagged(w, _ES_RESIDUAL, 0)
+    if s is not None and len(w) - len(s) >= rv:
+        w = w[: len(w) - len(s)]
+        if tag == 2 and w.endswith("gu") and len(w) - 1 >= rv:
+            w = w[:-1]
+    return w.translate(_ES_POST)
+
+
+# ---------------------------------------------------------------------------
+# Italian
+
+
+_IT_VOWELS = "aeiouàèìòù"
+_IT_AEIO = set("aeioàèìò")
+_IT_ACCENTS = str.maketrans("áéíóú", "àèìòù")
+_IT_PRONOUNS = ("gliela", "gliele", "glieli", "glielo", "gliene",
+                "cela", "cele", "celi", "celo", "cene", "mela", "mele",
+                "meli", "melo", "mene", "sene", "tela", "tele", "teli",
+                "telo", "tene", "vela", "vele", "veli", "velo", "vene",
+                "gli", "ci", "la", "le", "li", "lo", "mi", "ne", "si",
+                "ti", "vi")
+_IT_GERUNDS = _bylen((1, ["ando", "endo"]), (2, ["ar", "er", "ir"]))
+_IT_STD = _bylen(
+    (1, ["ica", "osa", "ista", "anza", "ice", "atrice", "iche",
+         "abile", "ibile", "ante", "mente", "iste", "anze", "ici",
+         "atrici", "ichi", "abili", "ibili", "ismi", "osi", "anti",
+         "isti", "ico", "ismo", "oso", "ose", "istà", "istè", "istì"]),
+    (2, ["azione", "atore", "azioni", "atori"]),
+    (3, ["logia", "logie"]),
+    (4, ["usione", "uzione", "usioni", "uzioni"]),
+    (5, ["enza", "enze"]),
+    (6, ["amento", "amenti", "imento", "imenti"]),
+    (7, ["amente"]),
+    (8, ["ità"]),
+    (9, ["iva", "ive", "ivi", "ivo"]),
+)
+_IT_VERB = ("isca", "enda", "ata", "ita", "uta", "ava", "eva", "iva",
+            "erebbe", "irebbe", "isce", "ende", "are", "ere", "ire",
+            "asse", "ate", "avate", "evate", "ivate", "ete", "erete",
+            "irete", "ite", "ereste", "ireste", "ute", "erai", "irai",
+            "isci", "endi", "erei", "irei", "assi", "ati", "iti",
+            "eresti", "iresti", "uti", "avi", "evi", "ivi", "isco",
+            "ando", "endo", "Yamo", "iamo", "avamo", "evamo", "ivamo",
+            "eremo", "iremo", "assimo", "ammo", "emmo", "eremmo",
+            "iremmo", "immo", "ano", "iscano", "avano", "evano",
+            "ivano", "eranno", "iranno", "ono", "iscono", "arono",
+            "erono", "irono", "erebbero", "irebbero", "assero",
+            "essero", "issero", "ato", "ito", "uto", "avo", "evo",
+            "ivo", "ar", "ir", "erà", "irà", "erò", "irò")
+_IT_VERB_SORTED = tuple(sorted(_IT_VERB, key=len, reverse=True))
+
+
+def stem_italian(w: str) -> str:
+    # prelude: fold acute accents to grave, mark qu/u/i
+    w = w.translate(_IT_ACCENTS)
+    out = []
+    i = 0
+    n = len(w)
+    while i < n:
+        c = w[i]
+        if c == "q" and i + 1 < n and w[i + 1] == "u":
+            out.append("qU")
+            i += 2
+            continue
+        if c in "ui" and out and out[-1][-1:] in _IT_VOWELS \
+                and i + 1 < n and w[i + 1] in _IT_VOWELS:
+            out.append(c.upper())
+        else:
+            out.append(c)
+        i += 1
+    w = "".join(out)
+    rv = _rv_romance(w, _IT_VOWELS)
+    p1, p2 = _r1r2_std(w, _IT_VOWELS)
+    # step 0: attached pronoun
+    for pron in sorted(_IT_PRONOUNS, key=len, reverse=True):
+        if w.endswith(pron):
+            base = w[: len(w) - len(pron)]
+            s, tag = _longest_tagged(base, _IT_GERUNDS, 0)
+            if s is not None and len(base) - len(s) >= rv:
+                # ando/endo: drop the pronoun; ar/er/ir: pronoun -> "e"
+                w = base if tag == 1 else base + "e"
+            break
+    # step 1: standard suffix, else verb suffix
+    s, tag = _longest_tagged(w, _IT_STD, 0)
+    stripped = False
+    if s is not None:
+        i = len(w) - len(s)
+        if tag == 6:
+            if i >= rv:
+                w = w[:i]
+                stripped = True
+        elif tag == 7:
+            if i >= p1:
+                w = w[:i]
+                stripped = True
+                t, ti = _longest_tagged(w, _bylen(
+                    (1, ["iv"]), (2, ["ic", "abil", "os"])), p2)
+                if t is not None:
+                    w = w[: len(w) - len(t)]
+                    if ti == 1 and w.endswith("at") and len(w) - 2 >= p2:
+                        w = w[:-2]
+        elif i >= p2:
+            w = w[:i]
+            stripped = True
+            if tag == 2:
+                if w.endswith("ic") and len(w) - 2 >= p2:
+                    w = w[:-2]
+            elif tag == 3:
+                w += "log"
+            elif tag == 4:
+                w += "u"
+            elif tag == 5:
+                w += "ente"
+            elif tag == 8:
+                t = _longest_suffix(w, ("abil", "ic", "iv"), p2)
+                if t is not None:
+                    w = w[: len(w) - len(t)]
+            elif tag == 9:
+                if w.endswith("at") and len(w) - 2 >= p2:
+                    w = w[:-2]
+                    if w.endswith("ic") and len(w) - 2 >= p2:
+                        w = w[:-2]
+    if not stripped:
+        s = _longest_suffix(w, _IT_VERB_SORTED, rv)
+        if s is not None:
+            w = w[: len(w) - len(s)]
+    # step 3: vowel suffix
+    if w and w[-1] in _IT_AEIO and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("i") and len(w) - 1 >= rv:
+            w = w[:-1]
+    if w.endswith("h") and len(w) >= 2 and w[-2] in "cg" \
+            and len(w) - 2 >= rv:
+        w = w[:-1]
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Portuguese
+
+
+_PT_VOWELS = "aeiouáâéêíóôú"
+_PT_STD = _bylen(
+    (1, ["ica", "ância", "adora", "osa", "ista", "eza", "ante", "ável",
+         "ível", "ico", "ismo", "oso", "amento", "imento", "aça~o",
+         "ador", "icas", "adoras", "osas", "istas", "ezas", "adores",
+         "antes", "aço~es", "icos", "ismos", "osos", "amentos",
+         "imentos"]),
+    (2, ["logia", "logias"]),
+    (3, ["uça~o", "uço~es"]),
+    (4, ["ência", "ências"]),
+    (5, ["amente"]),
+    (6, ["mente"]),
+    (7, ["idade", "idades"]),
+    (8, ["iva", "ivo", "ivas", "ivos"]),
+    (9, ["ira", "iras"]),
+)
+_PT_VERB = ("ada", "ida", "ia", "aria", "eria", "iria", "ara", "era",
+            "ira", "ava", "asse", "esse", "isse", "aste", "este",
+            "iste", "ei", "arei", "erei", "irei", "am", "iam", "ariam",
+            "eriam", "iriam", "aram", "eram", "iram", "avam", "em",
+            "arem", "erem", "irem", "assem", "essem", "issem", "ado",
+            "ido", "ando", "endo", "indo", "ara~o", "era~o", "ira~o",
+            "ar", "er", "ir", "as", "adas", "idas", "ias", "arias",
+            "erias", "irias", "aras", "eras", "iras", "avas", "es",
+            "ardes", "erdes", "irdes", "ares", "eres", "ires", "asses",
+            "esses", "isses", "astes", "estes", "istes", "is", "ais",
+            "eis", "areis", "ereis", "ireis", "áreis", "éreis",
+            "íreis", "ásseis", "ésseis", "ísseis", "áveis", "íeis",
+            "aríeis", "eríeis", "iríeis", "ados", "idos", "amos",
+            "áramos", "éramos", "íramos", "ávamos", "íamos",
+            "aríamos", "eríamos", "iríamos", "emos", "aremos",
+            "eremos", "iremos", "ássemos", "êssemos", "íssemos",
+            "imos", "armos", "ermos", "irmos", "ámos", "arás", "erás",
+            "irás", "eu", "iu", "ou", "ará", "erá", "irá")
+_PT_VERB_SORTED = tuple(sorted(_PT_VERB, key=len, reverse=True))
+_PT_RESIDUAL = ("a", "i", "o", "os", "á", "í", "ó")
+
+
+def stem_portuguese_snowball(w: str) -> str:
+    w = w.replace("ã", "a~").replace("õ", "o~")
+    rv = _rv_romance(w, _PT_VOWELS)
+    p1, p2 = _r1r2_std(w, _PT_VOWELS)
+    # step 1: standard suffix, else verb suffix
+    s, tag = _longest_tagged(w, _PT_STD, 0)
+    stripped = False
+    if s is not None:
+        i = len(w) - len(s)
+        if tag == 5:                              # amente
+            if i >= p1:
+                w = w[:i]
+                stripped = True
+                t, ti = _longest_tagged(w, _bylen(
+                    (1, ["iv"]), (2, ["ic", "ad", "os"])), p2)
+                if t is not None:
+                    w = w[: len(w) - len(t)]
+                    if ti == 1 and w.endswith("at") and len(w) - 2 >= p2:
+                        w = w[:-2]
+        elif tag == 9:                            # ira(s) -> ir after e
+            if i >= rv and i >= 1 and w[i - 1] == "e":
+                w = w[:i] + "ir"
+                stripped = True
+        elif i >= p2:
+            w = w[:i]
+            stripped = True
+            if tag == 2:
+                w += "log"
+            elif tag == 3:
+                w += "u"
+            elif tag == 4:
+                w += "ente"
+            elif tag == 6:
+                t = _longest_suffix(w, ("ante", "avel", "ível"), p2)
+                if t is not None:
+                    w = w[: len(w) - len(t)]
+            elif tag == 7:
+                t = _longest_suffix(w, ("abil", "ic", "iv"), p2)
+                if t is not None:
+                    w = w[: len(w) - len(t)]
+            elif tag == 8:
+                if w.endswith("at") and len(w) - 2 >= p2:
+                    w = w[:-2]
+    if not stripped:
+        s = _longest_suffix(w, _PT_VERB_SORTED, rv)
+        if s is not None:
+            w = w[: len(w) - len(s)]
+            stripped = True
+    if stripped:
+        # after a removal: ci -> c (the i in RV)
+        if w.endswith("ci") and len(w) - 1 >= rv:
+            w = w[:-1]
+    else:
+        # residual suffix
+        s = _longest_suffix(w, sorted(_PT_RESIDUAL, key=len,
+                                      reverse=True), 0)
+        if s is not None and len(w) - len(s) >= rv:
+            w = w[: len(w) - len(s)]
+    # residual form
+    if w.endswith(("e", "é", "ê")):
+        if len(w) - 1 >= rv:
+            w = w[:-1]
+            if (w.endswith("gu") or w.endswith("ci")) \
+                    and len(w) - 1 >= rv:
+                w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -813,4 +1209,7 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_german2": stem_german2,
     "snowball_dutch": stem_dutch,
     "snowball_russian": stem_russian,
+    "snowball_spanish": stem_spanish,
+    "snowball_italian": stem_italian,
+    "snowball_portuguese": stem_portuguese_snowball,
 }
