@@ -1196,6 +1196,138 @@ def stem_portuguese_snowball(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Finnish
+
+
+_FI_V1 = "aeiouyäö"
+_FI_V2 = "aeiouäö"
+_FI_AEI = "aeiä"
+_FI_C = set("bcdfghjklmnpqrstvwxz")
+_FI_PARTICLE_END = set("aeinotuyäö")
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_PARTICLES = _bylen((1, ["pa", "kaan", "han", "kin", "hän", "kään",
+                            "ko", "pä", "kö"]), (2, ["sti"]))
+_FI_POSS = _bylen((1, ["si"]), (2, ["ni"]), (3, ["nsa", "mme", "nne",
+                                                 "nsä"]),
+                  (4, ["an"]), (5, ["än"]), (6, ["en"]))
+# case endings: (suffix, kind) where kind encodes the condition
+_FI_CASES = _bylen(
+    (("pre", "a"), ["han"]), (("pre", "e"), ["hen"]),
+    (("pre", "i"), ["hin"]), (("pre", "o"), ["hon"]),
+    (("pre", "ä"), ["hän"]), (("pre", "ö"), ["hön"]),
+    (("long",), ["seen"]), (("vi",), ["den", "tten", "siin"]),
+    (("n",), ["n"]), (("a",), ["a", "ä"]), (("tta",), ["tta", "ttä"]),
+    (("plain",), ["lla", "na", "ssa", "ta", "lta", "sta", "llä", "nä",
+                  "ssä", "tä", "ltä", "stä", "lle", "ine", "ksi"]),
+)
+_FI_OTHER = _bylen((1, ["mpa", "mpi", "mma", "mmi", "mpä", "mpä"]),
+                   (-1, ["eja", "impa", "impi", "imma", "immi", "ejä",
+                         "impä", "immä", "mpä", "mmä"]))
+
+
+def stem_finnish(w: str) -> str:
+    p1, p2 = _r1r2_std(w, _FI_V1)
+    # step 1: particle etc (within R1)
+    s, tag = _longest_tagged(w, _FI_PARTICLES, p1)
+    if s is not None:
+        i = len(w) - len(s)
+        if tag == 1:
+            if i >= 1 and w[i - 1] in _FI_PARTICLE_END:
+                w = w[:i]
+        elif i >= p2:
+            w = w[:i]
+    # step 2: possessive (within R1)
+    s, tag = _longest_tagged(w, _FI_POSS, p1)
+    if s is not None:
+        i = len(w) - len(s)
+        if tag == 1:
+            if not w[:i].endswith("k"):
+                w = w[:i]
+        elif tag == 2:
+            w = w[:i]
+            if w.endswith("kse"):
+                w = w[:-1] + "i"
+        elif tag == 3:
+            w = w[:i]
+        elif tag == 4:
+            if w[:i].endswith(("lla", "na", "ssa", "ta", "lta", "sta")):
+                w = w[:i]
+        elif tag == 5:
+            if w[:i].endswith(("llä", "nä", "ssä", "tä", "ltä", "stä")):
+                w = w[:i]
+        elif w[:i].endswith(("lle", "ine")):
+            w = w[:i]
+    # step 3: case ending (within R1, conditional entries fall back)
+    ending_removed = False
+    n = len(w)
+    for s, tag in _FI_CASES:
+        i = n - len(s)
+        if i < p1 or not w.endswith(s):
+            continue
+        kind = tag[0]
+        # long/vi are among-level conditions: failure falls back to a
+        # shorter entry; all other conditions abort the step entirely
+        if kind == "long":
+            if not (i >= p1 + 2 and w[i - 2: i] in _FI_LONG):
+                continue
+        elif kind == "vi":
+            if not (i >= p1 + 2 and w[i - 1] == "i"
+                    and w[i - 2] in _FI_V2):
+                continue
+        if kind == "pre":
+            if not (i >= 1 and w[i - 1] == tag[1]):
+                break
+        elif kind == "tta":
+            if not (i >= 1 and w[i - 1] == "e"):
+                break
+        elif kind == "a":
+            if not (i >= 2 and w[i - 1] in _FI_V1 and w[i - 2] in _FI_C):
+                break
+        if kind == "n" and (w[max(0, i - 2): i] in _FI_LONG
+                            or w[max(0, i - 2): i] == "ie") and i >= 1:
+            i -= 1
+        w = w[:i]
+        ending_removed = True
+        break
+    # step 4: other endings (within R2)
+    s, tag = _longest_tagged(w, _FI_OTHER, p2)
+    if s is not None:
+        i = len(w) - len(s)
+        if tag == -1 or not w[:i].endswith("po"):
+            w = w[:i]
+    # step 5
+    if ending_removed:
+        if w.endswith(("i", "j")) and len(w) - 1 >= p1:
+            w = w[:-1]
+    else:
+        if w.endswith("t") and len(w) - 1 >= p1 and len(w) >= 2 \
+                and w[-2] in _FI_V1:
+            w = w[:-1]
+            s, tag = _longest_tagged(w, _bylen(
+                (1, ["mma"]), (-1, ["imma"])), p2)
+            if s is not None:
+                i = len(w) - len(s)
+                if tag == -1 or not w[:i].endswith("po"):
+                    w = w[:i]
+    # step 6: tidy (conditions must lie entirely within R1)
+    if len(w) - 2 >= p1 and w[-2:] in _FI_LONG:
+        w = w[:-1]
+    if w and w[-1] in _FI_AEI and len(w) - 2 >= p1 and w[-2] in _FI_C:
+        w = w[:-1]
+    if w.endswith(("oj", "uj")) and len(w) - 2 >= p1:
+        w = w[:-1]
+    if w.endswith("jo") and len(w) - 2 >= p1:
+        w = w[:-1]
+    # undouble the final consonant before trailing vowels
+    j = len(w) - 1
+    while j >= 0 and w[j] in _FI_V1:
+        j -= 1
+    if j >= 1 and w[j] in _FI_C and w[j - 1] == w[j]:
+        w = w[:j] + w[j + 1:]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -1212,4 +1344,5 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_spanish": stem_spanish,
     "snowball_italian": stem_italian,
     "snowball_portuguese": stem_portuguese_snowball,
+    "snowball_finnish": stem_finnish,
 }
