@@ -1328,6 +1328,126 @@ def stem_finnish(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Romanian
+
+
+_RO_VOWELS = "aeiouâîă"
+_RO_STEP0 = _bylen(
+    (1, ["ul", "ului"]), (2, ["aua"]), (3, ["ea", "ele", "elor"]),
+    (4, ["ii", "iua", "iei", "iile", "ilor", "iilor"]), (5, ["ile"]),
+    (6, ["atei"]), (7, ["aţia", "aţie"]),
+)
+_RO_COMBO = _bylen(
+    (1, ["abilitate", "abilitati", "abilităi", "abilităţi"]),
+    (2, ["ibilitate"]),
+    (3, ["ivitate", "ivitati", "ivităi", "ivităţi"]),
+    (4, ["icala", "iciva", "icale", "icitate", "icive", "icali",
+         "icatori", "icitati", "icivi", "icităi", "icităţi", "ical",
+         "icator", "iciv", "icală", "icivă"]),
+    (5, ["ativa", "aţiune", "atoare", "ătoare", "ative", "atori",
+         "ători", "ativi", "ator", "ător", "ativ", "ativă"]),
+    (6, ["itiva", "iţiune", "itoare", "itive", "itivi", "itori",
+         "itor", "itiv", "itivă"]),
+)
+_RO_STD = _bylen(
+    (1, ["ica", "abila", "ibila", "oasa", "ata", "ita", "anta", "uta",
+         "iva", "ic", "ice", "abile", "ibile", "oase", "ate", "itate",
+         "ite", "ante", "ute", "ive", "ici", "abili", "ibili", "atori",
+         "osi", "ati", "itati", "iti", "anti", "uti", "ivi", "ităi",
+         "oşi", "ităţi", "abil", "ibil", "ator", "os", "at", "it",
+         "ant", "ut", "iv", "ică", "abilă", "ibilă", "oasă", "ată",
+         "ită", "antă", "ută", "ivă"]),
+    (2, ["iune", "iuni"]),
+    (3, ["ista", "isme", "iste", "isti", "işti", "ism", "ist", "istă"]),
+)
+_RO_VERB = _bylen(
+    (1, ["ea", "ia", "esc", "ăsc", "ind", "ând", "are", "ere", "ire",
+         "âre", "ase", "ise", "use", "âse", "eşte", "ăşte", "eze",
+         "ai", "eai", "iai", "eşti", "ăşti", "ui", "ezi", "âi", "aşi",
+         "aseşi", "iseşi", "useşi", "âseşi", "işi", "uşi", "âşi",
+         "eaţi", "iaţi", "arăţi", "aserăţi", "iserăţi", "userăţi",
+         "âserăţi", "irăţi", "urăţi", "ârăţi", "am", "eam", "iam",
+         "asem", "isem", "usem", "âsem", "arăm", "aserăm", "iserăm",
+         "userăm", "âserăm", "irăm", "urăm", "ârăm", "au", "eau",
+         "iau", "indu", "ându", "ez", "ească", "ară", "aseră",
+         "iseră", "useră", "âseră", "iră", "ură", "âră", "ează"]),
+    (2, ["se", "sese", "sei", "seşi", "seseşi", "aţi", "eţi", "iţi",
+         "âţi", "serăţi", "seserăţi", "em", "sesem", "im", "âm", "ăm",
+         "serăm", "seserăm", "seră", "seseră"]),
+)
+_RO_VOWEL_SUF = ("ie", "a", "e", "i", "ă")
+
+
+def stem_romanian(w: str) -> str:
+    # prelude: u/i between vowels -> U/I
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "ui" and chars[i - 1] in _RO_VOWELS \
+                and chars[i + 1] in _RO_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+    rv = _rv_romance(w, _RO_VOWELS)
+    p1, p2 = _r1r2_std(w, _RO_VOWELS)
+    # step 0 (R1)
+    s, tag = _longest_tagged(w, _RO_STEP0, 0)
+    if s is not None and len(w) - len(s) >= p1:
+        i = len(w) - len(s)
+        if tag == 1:
+            w = w[:i]
+        elif tag == 2:
+            w = w[:i] + "a"
+        elif tag == 3:
+            w = w[:i] + "e"
+        elif tag == 4:
+            w = w[:i] + "i"
+        elif tag == 5:
+            if not w[:i].endswith("ab"):
+                w = w[:i] + "i"
+        elif tag == 6:
+            w = w[:i] + "at"
+        else:
+            w = w[:i] + "aţi"
+    # standard suffix: repeat combo, then a_3 in R2
+    removed = False
+    while True:
+        s, tag = _longest_tagged(w, _RO_COMBO, 0)
+        if s is None or len(w) - len(s) < p1:
+            break
+        i = len(w) - len(s)
+        w = w[:i] + {1: "abil", 2: "ibil", 3: "iv", 4: "ic", 5: "at",
+                     6: "it"}[tag]
+        removed = True
+    s, tag = _longest_tagged(w, _RO_STD, 0)
+    if s is not None and len(w) - len(s) >= p2:
+        i = len(w) - len(s)
+        if tag == 1:
+            w = w[:i]
+            removed = True
+        elif tag == 2:
+            if w[:i].endswith("ţ"):
+                w = w[: i - 1] + "t"
+                removed = True
+        else:
+            w = w[:i] + "ist"
+            removed = True
+    # verb suffix (within RV) only if nothing standard was removed
+    if not removed:
+        s, tag = _longest_tagged(w, _RO_VERB, rv)
+        if s is not None:
+            i = len(w) - len(s)
+            if tag == 2:
+                w = w[:i]
+            elif i - 1 >= rv and (w[i - 1] not in _RO_VOWELS
+                                  or w[i - 1] == "u"):
+                w = w[:i]
+    # vowel suffix: longest textual match, then RV gate (no fallback)
+    s = _longest_suffix(w, _RO_VOWEL_SUF, 0)
+    if s is not None and len(w) - len(s) >= rv:
+        w = w[: len(w) - len(s)]
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -1345,4 +1465,5 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_italian": stem_italian,
     "snowball_portuguese": stem_portuguese_snowball,
     "snowball_finnish": stem_finnish,
+    "snowball_romanian": stem_romanian,
 }
