@@ -1448,6 +1448,128 @@ def stem_romanian(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Hungarian
+
+
+_HU_VOWELS = "aeiouáéíóöúüőű"
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = ("ccs", "ssz", "zzs", "ggy", "lly", "nny", "tty", "bb",
+               "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn",
+               "pp", "rr", "ss", "tt", "vv", "zz")
+def _hu_p1(w: str) -> int:
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _HU_VOWELS:
+        i = 1
+        while i < n and w[i] in _HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        for d in _HU_DIGRAPHS:
+            if w.startswith(d, i):
+                return i + len(d)
+        return i + 1
+    for i in range(1, n):
+        if w[i] in _HU_VOWELS:
+            return i + 1
+    return n
+
+
+def _hu_undouble(w: str) -> str:
+    return w[:-2] + w[-1] if len(w) >= 2 else w
+
+
+def _hu_ends_double(w: str) -> bool:
+    return w.endswith(_HU_DOUBLES)
+
+
+def stem_hungarian(w: str) -> str:
+    p1 = _hu_p1(w)
+
+    def in_r1(i):
+        return i >= p1
+
+    def v_ending(v):
+        if v.endswith("á") and in_r1(len(v) - 1):
+            return v[:-1] + "a"
+        if v.endswith("é") and in_r1(len(v) - 1):
+            return v[:-1] + "e"
+        return v
+
+    # instrumental: al/el in R1 after a double consonant
+    if (w.endswith("al") or w.endswith("el")) and in_r1(len(w) - 2) \
+            and _hu_ends_double(w[:-2]):
+        w = _hu_undouble(w[:-2])
+    # general cases
+    s = _longest_suffix(w, _HU_CASE_SORTED, 0)
+    if s is not None and in_r1(len(w) - len(s)):
+        w = v_ending(w[: len(w) - len(s)])
+    # special cases: án/ánként -> a, én -> e
+    s, tag = _longest_tagged(w, _HU_SPECIAL, 0)
+    if s is not None and in_r1(len(w) - len(s)):
+        w = w[: len(w) - len(s)] + tag
+    # case other: stul/stül family
+    s, tag = _longest_tagged(w, _HU_OTHER, 0)
+    if s is not None and in_r1(len(w) - len(s)):
+        w = w[: len(w) - len(s)] + tag
+    # factive: á/é in R1 after a double consonant
+    if w and w[-1] in "áé" and in_r1(len(w) - 1) \
+            and _hu_ends_double(w[:-1]):
+        w = _hu_undouble(w[:-1])
+    # owned
+    s, tag = _longest_tagged(w, _HU_OWNED, 0)
+    if s is not None and in_r1(len(w) - len(s)):
+        w = w[: len(w) - len(s)] + tag
+    # singular owner
+    s, tag = _longest_tagged(w, _HU_SING_OWNER, 0)
+    if s is not None and in_r1(len(w) - len(s)):
+        w = w[: len(w) - len(s)] + tag
+    # plural owner
+    s, tag = _longest_tagged(w, _HU_PLUR_OWNER, 0)
+    if s is not None and in_r1(len(w) - len(s)):
+        w = w[: len(w) - len(s)] + tag
+    # plural
+    s, tag = _longest_tagged(w, _HU_PLURAL, 0)
+    if s is not None and in_r1(len(w) - len(s)):
+        w = w[: len(w) - len(s)] + tag
+    return w
+
+
+_HU_SPECIAL = _bylen(("a", ["ánként", "án"]), ("e", ["én"]))
+_HU_OTHER = _bylen(("a", ["ástul"]), ("e", ["éstül"]),
+                   ("", ["astul", "estül", "stul", "stül"]))
+_HU_OWNED = _bylen(("a", ["áéi", "áké"]), ("e", ["ééi", "éké", "éé"]),
+                   ("", ["aké", "eké", "oké", "öké", "éi", "ké", "é"]))
+_HU_PLURAL = _bylen(("a", ["ák"]), ("e", ["ék"]),
+                    ("", ["ak", "ek", "ok", "ök", "k"]))
+
+
+_HU_CASE_SORTED = tuple(sorted(
+    ("ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel", "ul",
+     "nál", "nél", "ból", "ról", "tól", "ül", "ből", "ről", "től",
+     "n", "an", "ban", "en", "ben", "képpen", "on", "ön", "képp",
+     "kor", "t", "at", "et", "ként", "anként", "enként", "onként",
+     "ot", "ért", "öt", "hez", "hoz", "höz", "vá", "vé"),
+    key=len, reverse=True))
+_HU_SING_OWNER = _bylen(
+    ("", ["a", "ja", "d", "ad", "ed", "od", "öd", "e", "je", "nk",
+          "unk", "ünk", "uk", "juk", "ük", "jük", "m", "am", "em",
+          "om", "o"]),
+    ("a", ["ád", "ánk", "ájuk", "ám", "á"]),
+    ("e", ["éd", "énk", "éjük", "ém", "é"]),
+)
+_HU_PLUR_OWNER = _bylen(
+    ("", ["id", "aid", "jaid", "eid", "jeid", "i", "ai", "jai", "ei",
+          "jei", "itek", "eitek", "jeitek", "ik", "aik", "jaik", "eik",
+          "jeik", "ink", "aink", "jaink", "eink", "jeink", "aitok",
+          "jaitok", "im", "aim", "jaim", "eim", "jeim"]),
+    ("a", ["áid", "ái", "áik", "áink", "áitok", "áim"]),
+    ("e", ["éid", "éi", "éik", "éink", "éim", "éitek"]),
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -1466,4 +1588,5 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_portuguese": stem_portuguese_snowball,
     "snowball_finnish": stem_finnish,
     "snowball_romanian": stem_romanian,
+    "snowball_hungarian": stem_hungarian,
 }
