@@ -1570,6 +1570,76 @@ _HU_PLUR_OWNER = _bylen(
 
 
 # ---------------------------------------------------------------------------
+# Irish
+
+
+_GA_VOWELS = "aeiouáéíóú"
+_GA_INITIAL = _bylen(
+    ("", ["b'", "d'", "h-", "m'", "n-", "t-"]),
+    ("f", ["bhf", "d'fh", "fh"]), ("s", ["sh", "ts"]),
+    ("b", ["bh", "mb"]), ("c", ["ch", "gc"]), ("d", ["dh", "nd"]),
+    ("g", ["gh", "ng"]), ("p", ["bp", "ph"]), ("t", ["dt", "th"]),
+    ("m", ["mh"]),
+)
+_GA_NOUN = _bylen(
+    (1, ["íochta", "aíochta", "abh", "eabh", "ibh", "aibh", "amh",
+         "eamh", "imh", "aimh", "íocht", "aíocht"]),
+    (2, ["ire", "aire", "irí", "airí"]),
+)
+_GA_DERIV = _bylen(
+    (1, ["achta", "eachta", "ach", "each", "achtúil", "eachtúil",
+         "acht", "eacht"]),
+    ("arc", ["arcachta", "arcacht", "arcachtaí"]),
+    ("gin", ["gineach", "gineas", "ginis"]),
+    ("graf", ["grafaíochta", "grafaíoch", "grafaíocht", "grafaíochtaí"]),
+    ("paite", ["patacha", "paite", "patach", "pataigh"]),
+    ("óid", ["óideacha", "óideach", "óidigh"]),
+)
+_GA_VERB = _bylen(
+    (1, ["imid", "aimid", "ímid", "aímid", "faidh", "fidh"]),
+    (2, ["adh", "eadh", "áil", "ain", "tear", "tar"]),
+)
+
+
+def stem_irish(w: str) -> str:
+    # initial mutation morphology (longest prefix)
+    best = None
+    for s, tag in _GA_INITIAL:
+        if w.startswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, tag)
+    if best is not None:
+        w = best[1] + w[len(best[0]):]
+    pv = len(w)
+    for i, c in enumerate(w):
+        if c in _GA_VOWELS:
+            pv = i + 1
+            break
+    p1, p2 = _r1r2_std(w, _GA_VOWELS)
+    # noun suffixes
+    s, tag = _longest_tagged(w, _GA_NOUN, 0)
+    if s is not None:
+        i = len(w) - len(s)
+        if (tag == 1 and i >= p1) or (tag == 2 and i >= p2):
+            w = w[:i]
+    # derivational
+    s, tag = _longest_tagged(w, _GA_DERIV, 0)
+    if s is not None:
+        i = len(w) - len(s)
+        if tag == 1:
+            if i >= p2:
+                w = w[:i]
+        else:
+            w = w[:i] + tag
+    # verb suffixes
+    s, tag = _longest_tagged(w, _GA_VERB, 0)
+    if s is not None:
+        i = len(w) - len(s)
+        if (tag == 1 and i >= pv) or (tag == 2 and i >= p1):
+            w = w[:i]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -1589,4 +1659,5 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_finnish": stem_finnish,
     "snowball_romanian": stem_romanian,
     "snowball_hungarian": stem_hungarian,
+    "snowball_irish": stem_irish,
 }
