@@ -1640,6 +1640,49 @@ def stem_irish(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Nepali
+
+
+_NE_CAT1 = _bylen(
+    (1, ["लाइ", "लाई", "सँग", "संग", "मार्फत", "रत", "मा", "द्वारा",
+         "पछि", "ले", "सँगै", "मै"]),
+    (2, ["का", "कि", "की", "कै", "को"]),
+)
+_NE_CAT3 = tuple(sorted(
+    ["थिए", "छ", "इछ", "एछ", "िछ", "ेछ", "नेछ", "हुनेछ", "इन्छ",
+     "िन्छ", "हुन्छ", "एका", "इएका", "िएका", "ेका", "नेका", "दा",
+     "इदा", "िदा", "देखि", "माथि", "एकी", "इएकी", "िएकी", "ेकी",
+     "देखी", "थी", "दी", "छु", "एछु", "ेछु", "नेछु", "नु", "हरु",
+     "हरू", "छे", "थे", "ने", "एकै", "ेकै", "नेकै", "दै", "इदै",
+     "िदै", "एको", "इएको", "िएको", "ेको", "नेको", "दो", "इदो",
+     "िदो", "यो", "इयो", "भयो", "ियो", "थियो", "दियो", "थ्यो",
+     "छौ", "इछौ", "एछौ", "िछौ", "ेछौ", "नेछौ", "यौ", "थियौ",
+     "छ्यौ", "थ्यौ", "छन्", "इछन्", "एछन्", "िछन्", "ेछन्",
+     "नेछन्", "लान्", "छिन्", "थिन्", "पर्", "इस्", "थिइस्", "छस्",
+     "इछस्", "एछस्", "िछस्", "ेछस्", "नेछस्", "िस्", "थिस्",
+     "छेस्", "होस्"], key=len, reverse=True))
+
+
+def stem_nepali(w: str) -> str:
+    s, tag = _longest_tagged(w, _NE_CAT1, 0)
+    if s is not None:
+        i = len(w) - len(s)
+        if tag == 1 or not w[:i].endswith(("ए", "े")):
+            w = w[:i]
+    while True:
+        if w.endswith(("ँ", "ं")):
+            if w[:-1].endswith(("यौ", "छौ", "नौ", "थे")):
+                w = w[:-1]
+        elif w.endswith("ै") and w[:-1].endswith("त्र"):
+            w = w[:-1]
+        s = _longest_suffix(w, _NE_CAT3, 0)
+        if s is None:
+            break
+        w = w[: len(w) - len(s)]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -1660,4 +1703,5 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_romanian": stem_romanian,
     "snowball_hungarian": stem_hungarian,
     "snowball_irish": stem_irish,
+    "snowball_nepali": stem_nepali,
 }
