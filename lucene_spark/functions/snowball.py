@@ -1683,6 +1683,575 @@ def stem_nepali(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Turkish
+
+
+_TR_VOWELS = "aeiouöüı"
+_TR_U = "iuüı"
+_TR_HARMONY = {"a": "aouı", "e": "eiöü", "ı": "aı", "i": "ei",
+               "o": "ou", "ö": "öü", "u": "ou", "ü": "öü"}
+
+
+class _TrCtx:
+    """Backward-mode cursor over a mutable string; positions are stored
+    as distance-from-end so suffix deletions keep earlier saves valid
+    (mirrors the snowball runtime's ``limit - cursor`` save discipline)."""
+
+    __slots__ = ("s", "d", "ket", "cont")
+
+    def __init__(self, s):
+        self.s = s
+        self.d = 0          # cursor distance from the end
+        self.ket = 0
+        self.cont = True
+
+    def pos(self):
+        return len(self.s) - self.d
+
+    def eq(self, t):
+        i = self.pos()
+        if i - len(t) < 0 or self.s[i - len(t): i] != t:
+            return False
+        self.d += len(t)
+        return True
+
+    def grp(self, chars):
+        i = self.pos()
+        if i <= 0 or self.s[i - 1] not in chars:
+            return False
+        self.d += 1
+        return True
+
+    def among(self, entries):
+        i = self.pos()
+        for suf in entries:
+            if i - len(suf) >= 0 and self.s.startswith(suf, i - len(suf)):
+                self.d += len(suf)
+                return True
+        return False
+
+    def delete(self):
+        # delete [cursor, ket)
+        n = len(self.s)
+        self.s = self.s[: n - self.d] + self.s[n - self.ket:]
+        self.d = self.ket
+
+
+def _tr_harmony(ctx):
+    s, i = ctx.s, ctx.pos()
+    j = i - 1
+    while j >= 0 and s[j] not in _TR_VOWELS:
+        j -= 1
+    if j < 0:
+        return False
+    pair = _TR_HARMONY[s[j]]
+    k = j - 1
+    while k >= 0:
+        if s[k] in pair:
+            return True
+        k -= 1
+    return False
+
+
+def _tr_opt_cons(ctx, ch):
+    # suffix preceded by an optional consonant ``ch`` which must itself
+    # be preceded by a vowel; without ``ch``, the second char back must
+    # be a vowel (mark_suffix_with_optional_*_consonant)
+    s, i = ctx.s, ctx.pos()
+    if i - 1 >= 0 and s[i - 1] == ch:
+        if i - 2 >= 0 and s[i - 2] in _TR_VOWELS:
+            ctx.d += 1
+            return True
+        return False
+    return i - 2 >= 0 and s[i - 2] in _TR_VOWELS
+
+
+def _tr_opt_U(ctx):
+    s, i = ctx.s, ctx.pos()
+    if i - 1 >= 0 and s[i - 1] in _TR_U:
+        if i - 2 >= 0 and s[i - 2] not in _TR_VOWELS:
+            ctx.d += 1
+            return True
+        return False
+    return i - 2 >= 0 and s[i - 2] not in _TR_VOWELS
+
+
+def _srt(*sufs):
+    return tuple(sorted(sufs, key=len, reverse=True))
+
+
+_TR_A0 = _srt("m", "n", "miz", "niz", "muz", "nuz", "müz", "nüz",
+              "mız", "nız")
+_TR_A20 = _srt("di", "ti", "dik", "tik", "duk", "tuk", "dük", "tük",
+               "dık", "tık", "dim", "tim", "dum", "tum", "düm", "tüm",
+               "dım", "tım", "din", "tin", "dun", "tun", "dün", "tün",
+               "dın", "tın", "du", "tu", "dü", "tü", "dı", "tı")
+
+
+def _m_possessives(c):
+    return c.among(_TR_A0) and _tr_opt_U(c)
+
+
+def _m_sU(c):
+    return _tr_harmony(c) and c.grp(_TR_U) and _tr_opt_cons(c, "s")
+
+
+def _m_lArI(c):
+    return c.among(("leri", "ları"))
+
+
+def _m_yU(c):
+    return _tr_harmony(c) and c.grp(_TR_U) and _tr_opt_cons(c, "y")
+
+
+def _m_nU(c):
+    return _tr_harmony(c) and c.among(("ni", "nu", "nü", "nı"))
+
+
+def _m_nUn(c):
+    return _tr_harmony(c) and c.among(("in", "un", "ün", "ın")) \
+        and _tr_opt_cons(c, "n")
+
+
+def _m_yA(c):
+    return _tr_harmony(c) and c.among(("a", "e")) and _tr_opt_cons(c, "y")
+
+
+def _m_nA(c):
+    return _tr_harmony(c) and c.among(("na", "ne"))
+
+
+def _m_DA(c):
+    return _tr_harmony(c) and c.among(("da", "ta", "de", "te"))
+
+
+def _m_ndA(c):
+    return _tr_harmony(c) and c.among(("nda", "nde"))
+
+
+def _m_DAn(c):
+    return _tr_harmony(c) and c.among(("dan", "tan", "den", "ten"))
+
+
+def _m_ndAn(c):
+    return _tr_harmony(c) and c.among(("ndan", "nden"))
+
+
+def _m_ylA(c):
+    return _tr_harmony(c) and c.among(("la", "le")) \
+        and _tr_opt_cons(c, "y")
+
+
+def _m_ki(c):
+    return c.eq("ki")
+
+
+def _m_ncA(c):
+    return _tr_harmony(c) and c.among(("ca", "ce")) \
+        and _tr_opt_cons(c, "n")
+
+
+def _m_yUm(c):
+    return _tr_harmony(c) and c.among(("im", "um", "üm", "ım")) \
+        and _tr_opt_cons(c, "y")
+
+
+def _m_sUn(c):
+    return _tr_harmony(c) and c.among(("sin", "sun", "sün", "sın"))
+
+
+def _m_yUz(c):
+    return _tr_harmony(c) and c.among(("iz", "uz", "üz", "ız")) \
+        and _tr_opt_cons(c, "y")
+
+
+def _m_sUnUz(c):
+    return c.among(("siniz", "sunuz", "sünüz", "sınız"))
+
+
+def _m_lAr(c):
+    return _tr_harmony(c) and c.among(("lar", "ler"))
+
+
+def _m_nUz(c):
+    return _tr_harmony(c) and c.among(("niz", "nuz", "nüz", "nız"))
+
+
+def _m_DUr(c):
+    return _tr_harmony(c) and c.among(
+        ("dir", "tir", "dur", "tur", "dür", "tür", "dır", "tır"))
+
+
+def _m_cAsInA(c):
+    return c.among(("casına", "cesine"))
+
+
+def _m_yDU(c):
+    return _tr_harmony(c) and c.among(_TR_A20) and _tr_opt_cons(c, "y")
+
+
+def _m_ysA(c):
+    return c.among(_srt("sa", "se", "sak", "sek", "sam", "sem", "san",
+                        "sen")) and _tr_opt_cons(c, "y")
+
+
+def _m_ymUs(c):
+    return _tr_harmony(c) and c.among(("miş", "muş", "müş", "mış")) \
+        and _tr_opt_cons(c, "y")
+
+
+def _m_yken(c):
+    return c.eq("ken") and _tr_opt_cons(c, "y")
+
+
+def _try(c, v, *marks):
+    """Try marks as alternatives from saved distance v; True if any."""
+    for m in marks:
+        c.d = v
+        if m(c):
+            return True
+    c.d = v
+    return False
+
+
+def _tr_nominal_verb(c):
+    c.ket = c.d
+    c.cont = True
+    v1 = c.d
+    done = False
+    if _try(c, v1, _m_ymUs, _m_yDU, _m_ysA, _m_yken):
+        done = True
+    if not done:
+        c.d = v1
+        if _m_cAsInA(c):
+            v3 = c.d
+            if not _try(c, v3, _m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz):
+                c.d = v3
+            if _m_ymUs(c):
+                done = True
+    if not done:
+        c.d = v1
+        if _m_lAr(c):
+            c.delete()
+            v4 = c.d
+            c.ket = c.d
+            if not _try(c, c.d, _m_DUr, _m_yDU, _m_ysA, _m_ymUs):
+                c.d = v4
+            c.cont = False
+            done = True
+    if not done:
+        c.d = v1
+        if _m_nUz(c):
+            if _try(c, c.d, _m_yDU, _m_ysA):
+                done = True
+    if not done:
+        c.d = v1
+        if _try(c, v1, _m_sUnUz, _m_yUz, _m_sUn, _m_yUm):
+            c.delete()
+            v8 = c.d
+            c.ket = c.d
+            if not _m_ymUs(c):
+                c.d = v8
+            done = True
+    if not done:
+        c.d = v1
+        if not _m_DUr(c):
+            return False
+        c.delete()
+        v9 = c.d
+        c.ket = c.d
+        v10 = c.d
+        if not _try(c, v10, _m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz):
+            c.d = v10
+        if not _m_ymUs(c):
+            c.d = v9
+    c.delete()
+    return True
+
+
+def _alt(c, v, *marks):
+    """First mark that succeeds from saved distance v; restore v and
+    return False if none do."""
+    for m in marks:
+        c.d = v
+        if m(c):
+            return True
+    c.d = v
+    return False
+
+
+def _lar_ki_try(c, v):
+    """try([mark_lAr] slice_del stem_suffix_chain_before_ki): marks and
+    deletes lAr then requires the ki chain, restoring v on any failure."""
+    c.ket = c.d
+    if _m_lAr(c):
+        c.delete()
+        if not _tr_chain_before_ki(c):
+            c.d = v
+    else:
+        c.d = v
+
+
+def _tr_chain_before_ki(c):
+    c.ket = c.d
+    if not _m_ki(c):
+        return False
+    v1 = c.d
+    if _m_DA(c):
+        c.delete()
+        v2 = c.d
+        c.ket = c.d
+        v3 = c.d
+        if _m_lAr(c):
+            c.delete()
+            v4 = c.d
+            if not _tr_chain_before_ki(c):
+                c.d = v4
+        else:
+            c.d = v3
+            if _m_possessives(c):
+                c.delete()
+                v5 = c.d
+                _lar_ki_try(c, v5)
+            else:
+                c.d = v2
+        return True
+    c.d = v1
+    if _m_nUn(c):
+        c.delete()
+        v6 = c.d
+        c.ket = c.d
+        v7 = c.d
+        if _m_lArI(c):
+            c.delete()
+        else:
+            c.d = v7
+            c.ket = c.d
+            if _alt(c, v7, _m_possessives, _m_sU):
+                c.delete()
+                v9 = c.d
+                _lar_ki_try(c, v9)
+            else:
+                c.d = v7
+                if not _tr_chain_before_ki(c):
+                    c.d = v6
+        return True
+    c.d = v1
+    if not _m_ndA(c):
+        return False
+    v10 = c.d
+    if _m_lArI(c):
+        c.delete()
+        return True
+    c.d = v10
+    if _m_sU(c):
+        c.delete()
+        v11 = c.d
+        _lar_ki_try(c, v11)
+        return True
+    c.d = v10
+    return _tr_chain_before_ki(c)
+
+
+def _tr_noun_suffixes(c):
+    v1 = c.d
+    # alt 1: [lAr] slice try(chain_ki)
+    c.ket = c.d
+    if _m_lAr(c):
+        c.delete()
+        v2 = c.d
+        if not _tr_chain_before_ki(c):
+            c.d = v2
+        return True
+    c.d = v1
+    # alt 2: [ncA] slice try(lArI | [poss|sU] slice try(lAr-ki) |
+    #                        [lAr] slice chain_ki)
+    c.ket = c.d
+    if _m_ncA(c):
+        c.delete()
+        v3 = c.d
+        v4 = c.d
+        c.ket = c.d
+        if _m_lArI(c):
+            c.delete()
+        else:
+            c.d = v4
+            c.ket = c.d
+            if _alt(c, v4, _m_possessives, _m_sU):
+                c.delete()
+                v6 = c.d
+                _lar_ki_try(c, v6)
+            else:
+                c.d = v4
+                c.ket = c.d
+                if _m_lAr(c):
+                    c.delete()
+                    if not _tr_chain_before_ki(c):
+                        c.d = v3
+                else:
+                    c.d = v3
+        return True
+    c.d = v1
+    # alt 3: [ndA|nA] (lArI slice | sU slice try(lAr-ki) | chain_ki)
+    c.ket = c.d
+    if _alt(c, v1, _m_ndA, _m_nA):
+        v8 = c.d
+        if _m_lArI(c):
+            c.delete()
+            return True
+        c.d = v8
+        if _m_sU(c):
+            c.delete()
+            v9 = c.d
+            _lar_ki_try(c, v9)
+            return True
+        c.d = v8
+        if _tr_chain_before_ki(c):
+            return True
+    c.d = v1
+    # alt 4: [ndAn|nU] (sU slice try(lAr-ki) | lArI (no delete))
+    c.ket = c.d
+    if _alt(c, v1, _m_ndAn, _m_nU):
+        v11 = c.d
+        if _m_sU(c):
+            c.delete()
+            v12 = c.d
+            _lar_ki_try(c, v12)
+            return True
+        c.d = v11
+        if _m_lArI(c):
+            return True
+    c.d = v1
+    # alt 5: [DAn] slice try([poss] slice try(lAr-ki) |
+    #                        [lAr] slice try(chain) | chain)
+    c.ket = c.d
+    if _m_DAn(c):
+        c.delete()
+        v13 = c.d
+        c.ket = c.d
+        v14 = c.d
+        if _m_possessives(c):
+            c.delete()
+            v15 = c.d
+            _lar_ki_try(c, v15)
+        else:
+            c.d = v14
+            if _m_lAr(c):
+                c.delete()
+                v16 = c.d
+                if not _tr_chain_before_ki(c):
+                    c.d = v16
+            else:
+                c.d = v14
+                if not _tr_chain_before_ki(c):
+                    c.d = v13
+        return True
+    c.d = v1
+    # alt 6: [nUn|ylA] slice try([lAr] slice chain |
+    #                            [poss|sU] slice try(lAr-ki) | chain)
+    c.ket = c.d
+    if _alt(c, v1, _m_nUn, _m_ylA):
+        c.delete()
+        v18 = c.d
+        v19 = c.d
+        done = False
+        c.ket = c.d
+        if _m_lAr(c):
+            c.delete()
+            if _tr_chain_before_ki(c):
+                done = True
+        if not done:
+            c.d = v19
+            c.ket = c.d
+            if _alt(c, v19, _m_possessives, _m_sU):
+                c.delete()
+                v21 = c.d
+                _lar_ki_try(c, v21)
+                done = True
+        if not done:
+            c.d = v19
+            if not _tr_chain_before_ki(c):
+                c.d = v18
+        return True
+    c.d = v1
+    # alt 7: [lArI] slice
+    c.ket = c.d
+    if _m_lArI(c):
+        c.delete()
+        return True
+    c.d = v1
+    # alt 8: chain_ki
+    if _tr_chain_before_ki(c):
+        return True
+    c.d = v1
+    # alt 9: [DA|yU|yA] slice try(([poss] slice [mark lAr]) | [lAr]
+    #                             then slice, chain required)
+    c.ket = c.d
+    if _alt(c, v1, _m_DA, _m_yU, _m_yA):
+        c.delete()
+        v23 = c.d
+        c.ket = c.d
+        v24 = c.d
+        got = False
+        if _m_possessives(c):
+            c.delete()
+            v25 = c.d
+            c.ket = c.d
+            if not _m_lAr(c):
+                c.d = v25
+            got = True
+        else:
+            c.d = v24
+            got = _m_lAr(c)
+        if got:
+            c.delete()
+            c.ket = c.d
+            if not _tr_chain_before_ki(c):
+                c.d = v23
+        else:
+            c.d = v23
+        return True
+    c.d = v1
+    # final: [poss|sU] slice try(lAr-ki) — required
+    c.ket = c.d
+    if not _alt(c, v1, _m_possessives, _m_sU):
+        return False
+    c.delete()
+    v27 = c.d
+    _lar_ki_try(c, v27)
+    return True
+
+
+def stem_turkish(w: str) -> str:
+    # SnowballFilter keeps the mutated buffer even when stem() aborts
+    # mid-way (snowball/SnowballFilter.java ignores stem()'s return), so
+    # early exits below return the partially stemmed string.
+    if sum(1 for ch in w if ch in _TR_VOWELS) < 2:
+        return w
+    c = _TrCtx(w)
+    _tr_nominal_verb(c)
+    c.d = 0
+    if not c.cont:
+        return c.s
+    _tr_noun_suffixes(c)
+    s = c.s
+    # postlude (skipped entirely for the reserved words)
+    if s in ("ad", "soyad"):
+        return s
+    if s.endswith(("d", "g")):
+        j = len(s) - 1
+        while j >= 0 and s[j] not in _TR_VOWELS:
+            j -= 1
+        if j >= 0:
+            v = s[j]
+            s += ("ı" if v in "aı" else "i" if v in "ei"
+                  else "u" if v in "ou" else "ü")
+    if s and s[-1] in "bcdğ":
+        s = s[:-1] + {"b": "p", "c": "ç", "d": "t", "ğ": "k"}[s[-1]]
+    return s
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -1704,4 +2273,5 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_hungarian": stem_hungarian,
     "snowball_irish": stem_irish,
     "snowball_nepali": stem_nepali,
+    "snowball_turkish": stem_turkish,
 }
