@@ -1278,6 +1278,10 @@ from .greekstem import stem_greek  # noqa: E402  (registry extension)
 
 LIGHT_STEMMERS["greek"] = stem_greek
 
+from .snowball import SNOWBALL_STEMMERS  # noqa: E402  (registry extension)
+
+LIGHT_STEMMERS.update(SNOWBALL_STEMMERS)
+
 
 # ---------------------------------------------------------------------------
 # per-language analyzer presets (the reference's <Lang>Analyzer
