@@ -2252,10 +2252,291 @@ def stem_turkish(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Lovins (English, Lovins 1968 as defined by the Snowball lovins script;
+# reference ``org/tartarus/snowball/ext/LovinsStemmer.java``).
+#
+# Three passes over the word end: (1) remove the longest matching ending
+# from the 294-entry table whose context condition holds (find_among_b
+# falls back along shorter table suffixes when a longer match's
+# condition fails — every shorter matching table entry is a suffix of
+# the longest match, so longest-first scan over the flat table is
+# equivalent); (2) undouble a final doubled b/d/g/l/m/n/p/r/s/t;
+# (3) respell the new ending (35 fixed rewrites, five context-gated).
+# Conditions test the STEM (the part left after removing the ending).
+
+
+def _lv_A(s):  # noqa: N802 — condition letters follow the published rules
+    return len(s) >= 2
+
+
+def _lv_B(s):
+    return len(s) >= 3
+
+
+def _lv_C(s):
+    return len(s) >= 4
+
+
+def _lv_D(s):
+    return len(s) >= 5
+
+
+def _lv_E(s):
+    return len(s) >= 2 and not s.endswith("e")
+
+
+def _lv_F(s):
+    return len(s) >= 3 and not s.endswith("e")
+
+
+def _lv_G(s):
+    return len(s) >= 3 and s.endswith("f")
+
+
+def _lv_H(s):
+    return len(s) >= 2 and (s.endswith("t") or s.endswith("ll"))
+
+
+def _lv_I(s):
+    return len(s) >= 2 and not s.endswith(("o", "e"))
+
+
+def _lv_J(s):
+    return len(s) >= 2 and not s.endswith(("a", "e"))
+
+
+def _lv_K(s):
+    return len(s) >= 3 and (s.endswith(("l", "i"))
+                            or (s.endswith("e") and len(s) >= 3
+                                and s[-3] == "u"))
+
+
+def _lv_L(s):
+    if len(s) < 2 or s.endswith(("u", "x")):
+        return False
+    return not s.endswith("s") or s.endswith("os")
+
+
+def _lv_M(s):
+    return len(s) >= 2 and not s.endswith(("a", "c", "e", "m"))
+
+
+def _lv_N(s):
+    if len(s) < 3:
+        return False
+    # after a third-last 's' the minimum stem length is 4
+    return s[-3] != "s" or len(s) >= 4
+
+
+def _lv_O(s):
+    return len(s) >= 2 and s.endswith(("l", "i"))
+
+
+def _lv_P(s):
+    return len(s) >= 2 and not s.endswith("c")
+
+
+def _lv_Q(s):
+    return len(s) >= 3 and not s.endswith(("l", "n"))
+
+
+def _lv_R(s):
+    return len(s) >= 2 and s.endswith(("n", "r"))
+
+
+def _lv_S(s):
+    return len(s) >= 2 and (s.endswith("dr")
+                            or (s.endswith("t") and not s.endswith("tt")))
+
+
+def _lv_T(s):
+    return len(s) >= 2 and (s.endswith("s")
+                            or (s.endswith("t") and not s.endswith("ot")))
+
+
+def _lv_U(s):
+    return len(s) >= 2 and s.endswith(("l", "m", "n", "r"))
+
+
+def _lv_V(s):
+    return len(s) >= 2 and s.endswith("c")
+
+
+def _lv_W(s):
+    return len(s) >= 2 and not s.endswith(("s", "u"))
+
+
+def _lv_X(s):
+    return len(s) >= 2 and (s.endswith(("l", "i"))
+                            or (s.endswith("e") and len(s) >= 3
+                                and s[-3] == "u"))
+
+
+def _lv_Y(s):
+    return len(s) >= 2 and s.endswith("in")
+
+
+def _lv_Z(s):
+    return len(s) >= 2 and not s.endswith("f")
+
+
+def _lv_AA(s):
+    return len(s) >= 2 and s.endswith(
+        ("d", "f", "ph", "th", "l", "er", "or", "es", "t"))
+
+
+def _lv_BB(s):
+    return len(s) >= 3 and not s.endswith(("met", "ryst"))
+
+
+def _lv_CC(s):
+    return len(s) >= 2 and s.endswith("l")
+
+
+# ending -> condition-letter table (published Lovins rule data, grouped
+# by condition; flattened longest-first by _bylen)
+_LV_ENDINGS = _bylen(
+    ("A", ["s'", "a", "ia", "ata", "ic", "aic", "aric", "istic",
+           "aristic", "ivistic", "enced", "ished", "ied", "ioned",
+           "arized", "oid", "aroid", "hood", "ehood", "ihood", "ward",
+           "e", "ae", "icance", "ence", "icide", "otide", "able",
+           "atable", "arizable", "ible", "encible", "ese", "wise",
+           "ate", "entiate", "inate", "ive", "ative", "alize",
+           "icalize", "ialize", "entialize", "ionalize", "arize",
+           "encing", "ioning", "arizing", "yish", "i", "ical", "aical",
+           "istical", "oidal", "ial", "ancial", "arial", "ential",
+           "ional", "izational", "ental", "ful", "eful", "iful",
+           "icism", "oidism", "icalism", "ionalism", "ativism", "ium",
+           "ian", "ician", "ogen", "entiation", "ination", "isation",
+           "arisation", "entation", "arization", "o", "ier", "ariser",
+           "arizer", "ator", "'s", "ics", "istics", "ences", "oides",
+           "acies", "ancies", "encies", "aries", "ities", "alities",
+           "ivities", "nesses", "ates", "atives", "is", "ials",
+           "entials", "ionals", "ians", "icians", "arisations",
+           "entations", "izations", "arizations", "iers", "ators",
+           "less", "eless", "ness", "ableness", "ibleness", "ateness",
+           "iteness", "iveness", "ativeness", "ingness", "ishness",
+           "iness", "alness", "icalness", "antialness", "entialness",
+           "ionalness", "fulness", "lessness", "ousness", "eousness",
+           "iousness", "itousness", "entness", "ists", "icists", "ous",
+           "eous", "aceous", "antaneous", "ious", "itous", "icant",
+           "ement", "izement", "ist", "icist", "alist", "icalist",
+           "ialist", "ionist", "entist", "acy", "ency", "ably", "ibly",
+           "iedly", "ately", "ively", "atively", "atingly", "ily",
+           "lily", "arily", "ically", "aically", "istically",
+           "oidally", "ially", "entially", "ionally", "entally",
+           "fully", "efully", "ifully", "lessly", "ously", "eously",
+           "iously", "ently", "icianry", "atory", "ity", "acity",
+           "icity", "eity", "ality", "icality", "iality", "antiality",
+           "entiality", "ionality", "elity", "ability", "izability",
+           "arizability", "ibility", "ivity"]),
+    ("AA", ["ite"]),
+    ("B", ["atic", "alistic", "anced", "ance", "age", "ancing",
+           "aging", "ying", "ational", "ism", "alism", "ation", "as",
+           "ances", "ages", "isms", "ions", "ations", "ants",
+           "acious", "ant", "y", "ancy", "ly", "ingly", "ally",
+           "alistically", "ationally", "izationally", "arity"]),
+    ("BB", ["allic", "al", "als"]),
+    ("C", ["antic", "ented", "enting", "ish", "ent", "allically"]),
+    ("CC", ["inity"]),
+    ("D", ["ionate"]),
+    ("E", ["ed", "ened", "elihood", "izable", "ene", "ature", "ening",
+           "es", "eness", "eableness", "ariness", "edly", "ely",
+           "enly", "ery"]),
+    ("F", ["ized", "ize", "izing", "en", "ization", "izer", "izers",
+           "ary"]),
+    ("G", ["ication", "action"]),
+    ("H", ["itic"]),
+    ("I", ["ated", "idine", "ating"]),
+    ("J", ["inism"]),
+    ("K", ["arly"]),
+    ("L", ["ide", "ides"]),
+    ("M", ["ine", "ines"]),
+    ("N", ["ing", "ings"]),
+    ("O", ["ars"]),
+    ("P", ["ies"]),
+    ("Q", ["ion"]),
+    ("R", ["one", "yl"]),
+    ("S", ["on"]),
+    ("T", ["or"]),
+    ("U", ["um"]),
+    ("V", ["us"]),
+    ("W", ["s"]),
+    ("X", ["ar"]),
+    ("Y", ["eal", "ear", "ealy", "early"]),
+    ("Z", ["eature"]),
+)
+
+_LV_CONDS = {name[4:]: fn for name, fn in list(globals().items())
+             if name.startswith("_lv_")}
+
+_LV_DOUBLES = ("bb", "dd", "gg", "ll", "mm", "nn", "pp", "rr", "ss",
+               "tt")
+
+# respell rewrites: old ending -> (new ending, forbidden stem endings)
+_LV_RESPELL = _bylen(
+    (("ief", ()), ["iev"]),
+    (("uc", ()), ["uct"]),
+    (("um", ()), ["umpt"]),
+    (("rb", ()), ["rpt"]),
+    (("ur", ()), ["urs"]),
+    (("ister", ()), ["istr"]),
+    (("meter", ()), ["metr"]),
+    (("olut", ()), ["olv"]),
+    (("l", ("a", "i", "o")), ["ul"]),
+    (("bic", ()), ["bex"]),
+    (("dic", ()), ["dex"]),
+    (("pic", ()), ["pex"]),
+    (("tic", ()), ["tex"]),
+    (("ac", ()), ["ax"]),
+    (("ec", ()), ["ex"]),
+    (("ic", ()), ["ix"]),
+    (("luc", ()), ["lux"]),
+    (("uas", ()), ["uad"]),
+    (("vas", ()), ["vad"]),
+    (("cis", ()), ["cid"]),
+    (("lis", ()), ["lid"]),
+    (("eris", ()), ["erid"]),
+    (("pans", ()), ["pand"]),
+    (("ens", ("s",)), ["end"]),
+    (("ons", ()), ["ond"]),
+    (("lus", ()), ["lud"]),
+    (("rus", ()), ["rud"]),
+    (("hes", ("p", "t")), ["her"]),
+    (("mis", ()), ["mit"]),
+    (("ens2", ("m",)), ["ent"]),
+    (("ers", ()), ["ert"]),
+    (("es", ("n",)), ["et"]),
+    (("ys", ()), ["yt", "yz"]),
+)
+
+
+def stem_lovins(w: str) -> str:
+    # pass 1: longest ending whose condition holds on the stem
+    for suf, cond in _LV_ENDINGS:
+        if w.endswith(suf) and _LV_CONDS[cond](w[:-len(suf)]):
+            w = w[:-len(suf)]
+            break
+    # pass 2: undouble a final doubled consonant
+    if w.endswith(_LV_DOUBLES):
+        w = w[:-1]
+    # pass 3: respell the new ending (longest match only; a failed
+    # context gate means NO respell, not a shorter one)
+    for old, (new, forbidden) in _LV_RESPELL:
+        if w.endswith(old):
+            stem = w[:-len(old)]
+            if not any(stem.endswith(f) for f in forbidden):
+                w = stem + new.rstrip("2")
+            break
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
 SNOWBALL_STEMMERS: dict[str, callable] = {
+    "snowball_lovins": stem_lovins,
     "snowball_danish": stem_danish,
     "snowball_norwegian": stem_norwegian,
     "snowball_swedish": stem_swedish,
