@@ -2532,10 +2532,412 @@ def stem_lovins(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Kraaij–Pohlmann (Dutch; reference
+# ``org/tartarus/snowball/ext/KpStemmer.java``).  The published KP
+# algorithm: y-marking, a vowel-measure region (p1/p2, with "ij"
+# counting as one vowel), four suffix steps, ge- prefix/infix loss with
+# re-measurement, a d/t cleanup after ge-loss, final-consonant-cluster
+# normalization (kt/ft/pt), and undoubling with v->f / z->s.  A removed
+# suffix can trigger "lengthen_V", which restores the long vowel that
+# Dutch spelling shortens in closed syllables (lop -> loop).
+
+_KP_V = "aeiouy"               # g_v; a marked 'Y' is a consonant
+_KP_VWX = "aeiouwxy"           # g_v_WX
+
+
+def _kp_at(s: str, pos: int, sub: str) -> bool:
+    return pos >= 0 and s[pos:pos + len(sub)] == sub
+
+
+def _kp_vow(s: str, pos: int) -> bool:
+    """r_V at cursor=pos: vowel or 'ij' immediately before pos."""
+    return (pos >= 1 and s[pos - 1] in _KP_V) or _kp_at(s, pos - 2, "ij")
+
+
+def _kp_vx(s: str, pos: int) -> bool:
+    """r_VX: skip one char back, then vowel-or-ij."""
+    return pos >= 1 and _kp_vow(s, pos - 1)
+
+
+def _kp_cons(s: str, pos: int) -> bool:
+    """r_C: not 'ij' before pos, and a non-vowel before pos."""
+    if _kp_at(s, pos - 2, "ij"):
+        return False
+    return pos >= 1 and s[pos - 1] not in _KP_V
+
+
+def _kp_measure(s: str) -> tuple[int, int]:
+    n = len(s)
+    i = 0
+    p1 = p2 = n
+
+    def hop(i):
+        # skip consonants, then require >=1 vowel/'ij', then one consonant
+        while i < n and s[i] not in _KP_V:
+            i += 1
+        cnt = 0
+        while i < n:
+            if s[i:i + 2] == "ij":
+                i += 2
+            elif s[i] in _KP_V:
+                i += 1
+            else:
+                break
+            cnt += 1
+        if cnt < 1 or i >= n or s[i] in _KP_V:
+            return None
+        return i + 1
+
+    r = hop(i)
+    if r is not None:
+        p1 = r
+        r = hop(r)
+        if r is not None:
+            p2 = r
+    return p1, p2
+
+
+def _kp_lengthen(s: str) -> str:
+    # double a short a/o/u/e in a now-closed final syllable
+    n = len(s)
+    if n < 2 or s[-1] in _KP_VWX:
+        return s
+    v = s[-2]
+    if v in "aou":
+        if n == 2 or s[-3] not in _KP_V:
+            return s[:-1] + v + s[-1]
+        return s
+    if v == "e":
+        if n > 2 and s[-3] in _KP_V:
+            return s
+        if n > 2:
+            if n >= 4 and s[-4] in "aiou":
+                return s
+            if n >= 6 and s[-5] in "aiou" and s[-6] not in _KP_V:
+                return s
+        return s[:-1] + "e" + s[-1]
+    return s
+
+
+def _kp_step1(s, p1, p2):
+    n = len(s)
+
+    def r1(pos):
+        return p1 <= pos
+
+    if s.endswith("nde"):
+        return s[:-3] + "nd"
+    if s.endswith("'s"):
+        return s[:-2]
+    if s.endswith("ies"):                      # before 'es'/'s'
+        return s[:-3] + "ie" if r1(n - 3) else None
+    if s.endswith("aus"):
+        if r1(n - 3) and _kp_vow(s, n - 3):
+            return s[:-3] + "au"
+        return None
+    if s.endswith("en"):
+        if _kp_at(s, n - 5, "hed") and r1(n - 5):
+            return s[:-5] + "heid"
+        if _kp_at(s, n - 4, "nd"):
+            return s[:-2]
+        if _kp_at(s, n - 3, "d") and r1(n - 3) and _kp_cons(s, n - 3):
+            return s[:-3]
+        if (s[n - 3:n - 2] in ("i", "j")) and _kp_vow(s, n - 3):
+            return s[:-2]
+        if r1(n - 2) and _kp_cons(s, n - 2):
+            return _kp_lengthen(s[:-2])
+        return None
+    if s.endswith("es"):
+        if _kp_at(s, n - 4, "ar") and r1(n - 4) and _kp_cons(s, n - 4):
+            return _kp_lengthen(s[:-4])
+        if _kp_at(s, n - 4, "er") and r1(n - 4) and _kp_cons(s, n - 4):
+            return s[:-4]
+        if r1(n - 2) and _kp_cons(s, n - 2):
+            return s[:-2] + "e"
+        return None
+    if s.endswith("s"):
+        if not r1(n - 1):
+            return None
+        if _kp_at(s, n - 2, "t") and r1(n - 2):
+            return None
+        if _kp_cons(s, n - 1):
+            return s[:-1]
+        return None
+    return None
+
+
+def _kp_step2(s, p1, p2):
+    n = len(s)
+
+    def r1(pos):
+        return p1 <= pos
+
+    if s.endswith("ische"):
+        return s[:-5] + "isch" if r1(n - 5) else None
+    if s.endswith("lijke"):
+        return s[:-5] + "lijk" if r1(n - 5) else None
+    if s.endswith("ieve"):
+        if r1(n - 4) and _kp_cons(s, n - 4):
+            return s[:-4] + "ief"
+        return None
+    if s.endswith("ene"):
+        if r1(n - 3) and _kp_cons(s, n - 3):
+            return _kp_lengthen(s[:-3] + "en")
+        return None
+    if s.endswith("je"):
+        # a chain of alternatives: a failed condition falls through
+        if _kp_at(s, n - 4, "'t"):
+            return s[:-4]
+        if _kp_at(s, n - 4, "et") and r1(n - 4) and _kp_cons(s, n - 4):
+            return s[:-4]
+        if _kp_at(s, n - 5, "rnt"):
+            return s[:-5] + "rn"
+        if _kp_at(s, n - 3, "t") and r1(n - 3) and _kp_vx(s, n - 3):
+            return s[:-3]
+        if _kp_at(s, n - 5, "ink"):
+            return s[:-5] + "ing"
+        if _kp_at(s, n - 4, "mp"):
+            return s[:-4] + "m"
+        if _kp_at(s, n - 3, "'") and r1(n - 3):
+            return s[:-3]
+        if r1(n - 2) and _kp_cons(s, n - 2):
+            return s[:-2]
+        return None
+    if s.endswith("ge"):
+        return s[:-2] + "g" if r1(n - 2) else None
+    if s.endswith("de"):
+        if r1(n - 2) and _kp_cons(s, n - 2):
+            return s[:-2]
+        return None
+    if s.endswith("te"):
+        return s[:-2] + "t" if r1(n - 2) else None
+    if s.endswith("se"):
+        return s[:-2] + "s" if r1(n - 2) else None
+    if s.endswith("re"):
+        return s[:-2] + "r" if r1(n - 2) else None
+    if s.endswith("le"):
+        if r1(n - 2):
+            return _kp_lengthen(s[:-2] + "l")
+        return None
+    return None
+
+
+def _kp_step3(s, p1, p2):
+    n = len(s)
+
+    def r1(pos):
+        return p1 <= pos
+
+    if s.endswith("iteit"):
+        return _kp_lengthen(s[:-5]) if r1(n - 5) else None
+    if s.endswith("heid"):
+        return s[:-4] if r1(n - 4) else None
+    if s.endswith("atie"):
+        return s[:-4] + "eer" if r1(n - 4) else None
+    if s.endswith("isme"):
+        return _kp_lengthen(s[:-4]) if r1(n - 4) else None
+    if s.endswith("arij"):
+        if r1(n - 4) and _kp_cons(s, n - 4):
+            return s[:-4] + "aar"
+        return None
+    if s.endswith("erij"):
+        return _kp_lengthen(s[:-4]) if r1(n - 4) else None
+    if s.endswith("rder"):
+        return s[:-4] + "r"
+    if s.endswith("ster"):
+        return s[:-4] if r1(n - 4) else None
+    if s.endswith("fie"):
+        return _kp_lengthen(s[:-3] + "f") if p2 <= n - 3 else None
+    if s.endswith("gie"):
+        return _kp_lengthen(s[:-3] + "g") if p2 <= n - 3 else None
+    if s.endswith("ing"):
+        return _kp_lengthen(s[:-3]) if r1(n - 3) else None
+    if s.endswith("sel"):
+        return s[:-3] if r1(n - 3) else None
+    if s.endswith("dst"):
+        if r1(n - 3) and _kp_cons(s, n - 3):
+            return s[:-3] + "d"
+        return None
+    if s.endswith("tst"):
+        if r1(n - 3) and _kp_cons(s, n - 3):
+            return s[:-3] + "t"
+        return None
+    return None
+
+
+_KP_A3 = (
+    ("achtiger", 3), ("achtigst", 3), ("eriger", 9), ("erigst", 9),
+    ("lijker", 8), ("lijkst", 8), ("achtig", 3), ("ioneel", 1),
+    ("atief", 2), ("erig", 9), ("baar", 3), ("laar", 5), ("naar", 4),
+    ("raar", 6), ("tant", 7), ("end", 9),
+)
+
+
+def _kp_step4(s, p1, p2):
+    n = len(s)
+
+    def r1(pos):
+        return p1 <= pos
+
+    def alt1():
+        for suf, var in _KP_A3:
+            if not s.endswith(suf):
+                continue
+            pos = n - len(suf)
+            if not r1(pos):
+                return None
+            if var == 1:
+                return s[:pos] + "ie"
+            if var == 2:
+                return s[:pos] + "eer"
+            if var == 3:
+                return s[:pos]
+            if var in (4, 5, 6):
+                if not _kp_vow(s, pos):
+                    return None
+                return s[:pos] + {4: "n", 5: "l", 6: "r"}[var]
+            if var == 7:
+                return s[:pos] + "teer"
+            if var == 8:
+                return s[:pos] + "lijk"
+            if not _kp_cons(s, pos):                 # var 9
+                return None
+            return _kp_lengthen(s[:pos])
+        return None
+
+    out = alt1()
+    if out is not None:
+        return out
+    for suf in ("iger", "igst", "ig"):
+        if s.endswith(suf):
+            pos = n - len(suf)
+            if r1(pos) and _kp_cons(s, pos):
+                return _kp_lengthen(s[:pos])
+            return None
+    return None
+
+
+def _kp_step1c(s, p1):
+    n = len(s)
+    if s.endswith("d") and p1 <= n - 1 and _kp_cons(s, n - 1):
+        if _kp_at(s, n - 2, "n") and p1 <= n - 2:
+            return None
+        return s[:-1]
+    if s.endswith("t") and p1 <= n - 1 and _kp_cons(s, n - 1):
+        if _kp_at(s, n - 2, "h") and p1 <= n - 2:
+            return None
+        return s[:-1]
+    return None
+
+
+def _kp_step7(s):
+    for suf, new in (("kt", "k"), ("ft", "f"), ("pt", "p")):
+        if s.endswith(suf):
+            return s[:-2] + new
+    return None
+
+
+def _kp_step6(s):
+    if len(s) >= 2 and s[-1] == s[-2] and s[-1] in "bcdfghjklmnpqrstvwxz":
+        return s[:-1]
+    if s.endswith("v"):
+        return s[:-1] + "f"
+    if s.endswith("z"):
+        return s[:-1] + "s"
+    return None
+
+
+def _kp_lose_prefix(s):
+    if not s.startswith("ge") or len(s) < 5:
+        return None
+    i = 2
+    n = len(s)
+    while i < n and s[i] not in _KP_V:
+        i += 1
+    if i >= n:
+        return None
+    while i < n and s[i] in _KP_V:
+        i += 1
+    if i >= n:
+        return None
+    return s[2:]
+
+
+def _kp_lose_infix(s):
+    idx = s.find("ge", 1)
+    if idx < 0:
+        return None
+    k = idx + 2
+    n = len(s)
+    if k + 3 > n:
+        return None
+    i = k
+    while i < n and s[i] not in _KP_V:
+        i += 1
+    if i >= n:
+        return None
+    while i < n and s[i] in _KP_V:
+        i += 1
+    if i >= n:
+        return None
+    return s[:idx] + s[k:]
+
+
+def stem_kp(w: str) -> str:
+    s = w
+    y_found = False
+    if s.startswith("y"):
+        s = "Y" + s[1:]
+        y_found = True
+    chars = list(s)
+    for j in range(1, len(chars)):
+        # a just-marked 'Y' is no longer a vowel for the next position
+        if chars[j] == "y" and chars[j - 1] in _KP_V:
+            chars[j] = "Y"
+            y_found = True
+    s = "".join(chars)
+    p1, p2 = _kp_measure(s)
+    stemmed = False
+    for step in (_kp_step1, _kp_step2, _kp_step3, _kp_step4):
+        out = step(s, p1, p2)
+        if out is not None:
+            s = out
+            stemmed = True
+    out = _kp_lose_prefix(s)
+    if out is not None:
+        s = out
+        p1, p2 = _kp_measure(s)
+        out = _kp_step1c(s, p1)
+        if out is not None:
+            s = out
+    ge_removed = False
+    out = _kp_lose_infix(s)
+    if out is not None:
+        s = out
+        ge_removed = True
+        p1, p2 = _kp_measure(s)
+        out = _kp_step1c(s, p1)
+        if out is not None:
+            s = out
+    out = _kp_step7(s)
+    if out is not None:
+        s = out
+        stemmed = True
+    if stemmed or ge_removed:
+        out = _kp_step6(s)
+        if out is not None:
+            s = out
+    if y_found:
+        s = s.replace("Y", "y")
+    return s
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
 SNOWBALL_STEMMERS: dict[str, callable] = {
+    "snowball_kp": stem_kp,
     "snowball_lovins": stem_lovins,
     "snowball_danish": stem_danish,
     "snowball_norwegian": stem_norwegian,
