@@ -2933,11 +2933,69 @@ def stem_kp(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Hindi (Lucene's Snowball hindi script after Ramanathan & Rao 2003;
+# reference ``org/tartarus/snowball/ext/HindiStemmer.java``).  One
+# longest-suffix strip over the 132-entry table, never consuming the
+# first character; entries tagged 1 additionally require a Devanagari
+# consonant immediately before the suffix.
+
+_HI_SUFFIXES = (
+    ("आइयाँ", 0), ("ाइयाँ", 0), ("अताएं", 0), ("अनाएं", 0), 
+    ("अताओं", 0), ("अनाओं", 0), ("आइयां", 0), ("ाइयां", 0), 
+    ("आइयों", 0), ("ाइयों", 0), ("आऊंगा", 0), ("ाऊंगा", 0), 
+    ("आऊंगी", 0), ("ाऊंगी", 0), ("आएंगी", 0), ("ाएंगी", 0), 
+    ("आएंगे", 0), ("ाएंगे", 0), ("इयाँ", 0), ("ियाँ", 0), 
+    ("ताएं", 1), ("नाएं", 1), ("ताओं", 1), ("नाओं", 1), 
+    ("इयां", 0), ("ियां", 0), ("अतीं", 0), ("आतीं", 0), 
+    ("ातीं", 0), ("इयों", 0), ("ियों", 0), ("ऊंगा", 0), 
+    ("ूंगा", 0), ("आएगा", 0), ("ाएगा", 0), ("ऊंगी", 0), 
+    ("एंगी", 0), ("ूंगी", 0), ("ेंगी", 0), ("आएगी", 0), 
+    ("ाएगी", 0), ("आओगी", 0), ("ाओगी", 0), ("एंगे", 0), 
+    ("ेंगे", 0), ("आओगे", 0), ("ाओगे", 0), ("उआं", 0), ("ुआं", 0), 
+    ("आईं", 0), ("ाईं", 0), ("आएं", 0), ("उएं", 0), ("ाएं", 0), 
+    ("ुएं", 0), ("आओं", 0), ("उओं", 0), ("ाओं", 0), ("ुओं", 0), 
+    ("तीं", 1), ("आइए", 0), ("ाइए", 0), ("अकर", 0), ("आकर", 0), 
+    ("ाकर", 0), ("एगा", 0), ("ेगा", 0), ("अता", 0), ("आता", 0), 
+    ("ाता", 0), ("अना", 0), ("आना", 0), ("ाना", 0), ("आया", 0), 
+    ("ाया", 0), ("एगी", 0), ("ओगी", 0), ("ेगी", 0), ("ोगी", 0), 
+    ("अती", 0), ("आती", 0), ("ाती", 0), ("अनी", 0), ("ओगे", 0), 
+    ("ोगे", 0), ("अते", 0), ("आते", 0), ("ाते", 0), ("अने", 0), 
+    ("आने", 0), ("ाने", 0), ("आँ", 0), ("ाँ", 0), ("आं", 0), 
+    ("ईं", 0), ("एं", 0), ("ओं", 0), ("ां", 0), ("ीं", 0), 
+    ("ें", 0), ("ों", 0), ("आई", 0), ("ाई", 0), ("आए", 0), 
+    ("इए", 0), ("ाए", 0), ("िए", 0), ("आओ", 0), ("ाओ", 0), 
+    ("कर", 1), ("ता", 1), ("ना", 1), ("ती", 1), ("नी", 1), 
+    ("ते", 1), ("ने", 1), ("अ", 0), ("आ", 0), ("इ", 0), ("ई", 0), 
+    ("उ", 0), ("ऊ", 0), ("ए", 0), ("ओ", 0), ("ा", 0), ("ि", 0), 
+    ("ी", 0), ("ु", 0), ("ू", 0), ("े", 0), ("ो", 0), ("्", 0), 
+)
+
+
+# g_consonant: U+0915-U+0939, U+093C, U+0958-U+095F
+_HI_CONS = frozenset(
+    [chr(c) for c in range(0x915, 0x93A)] + ["\u093c"]
+    + [chr(c) for c in range(0x958, 0x960)])
+
+
+def stem_hindi_snowball(w: str) -> str:
+    n = len(w)
+    for suf, cons in _HI_SUFFIXES:
+        pos = n - len(suf)
+        if pos < 1 or not w.endswith(suf):
+            continue
+        if cons and not (pos >= 2 and w[pos - 1] in _HI_CONS):
+            continue
+        return w[:pos]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
 SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_kp": stem_kp,
+    "snowball_hindi": stem_hindi_snowball,
     "snowball_lovins": stem_lovins,
     "snowball_danish": stem_danish,
     "snowball_norwegian": stem_norwegian,
