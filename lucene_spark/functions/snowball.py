@@ -2990,11 +2990,150 @@ def stem_hindi_snowball(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Indonesian (Tala 2003 as defined by the Snowball indonesian script;
+# reference ``org/tartarus/snowball/ext/IndonesianStemmer.java``).
+# Vowel-count measure gates every step; particle and possessive
+# suffixes strip first, then one first-order prefix (with nasal
+# substitution meny-/peny- -> s, mem-/pem- -> p before a vowel), then a
+# derivational suffix whose legality depends on WHICH prefix class was
+# removed, then one second-order prefix.  Each removal decrements the
+# measure by one rather than recounting.
+
+_ID_VOWELS = "aeiou"
+
+
+def _id_remove_suffix(s, prefix):
+    # a_2: kan / an / i with prefix-class conditions; longest first,
+    # falling back along the suffix chain when a condition fails
+    if s.endswith("kan") and prefix != 3 and prefix != 2:
+        return s[:-3]
+    if s.endswith("an") and prefix != 1:
+        return s[:-2]
+    if s.endswith("i") and prefix <= 2 and not s[:-1].endswith("s"):
+        return s[:-1]
+    return None
+
+
+def _id_first_order(s):
+    # returns (new_s, prefix_class, cursor_off) or None.  cursor_off is
+    # where the Snowball cursor lands after the slice: 1 when the rule
+    # SUBSTITUTED a char (meny/peny -> "s", mem/pem -> "p" before a
+    # vowel; slice_from leaves cursor = len(replacement)), 0 when it
+    # deleted — the follow-up second-order among matches FROM that
+    # offset, not from the start of the word.
+    if s.startswith("meng"):
+        return s[4:], 1, 0
+    if s.startswith("meny"):
+        if len(s) > 4 and s[4] in _ID_VOWELS:
+            return "s" + s[4:], 1, 1
+        if s.startswith("men"):
+            return s[3:], 1, 0
+    if s.startswith("peng"):
+        return s[4:], 3, 0
+    if s.startswith("peny"):
+        if len(s) > 4 and s[4] in _ID_VOWELS:
+            return "s" + s[4:], 3, 1
+        if s.startswith("pen"):
+            return s[3:], 3, 0
+    if s.startswith("mem"):
+        if len(s) > 3 and s[3] in _ID_VOWELS:
+            return "p" + s[3:], 1, 1
+        return s[3:], 1, 0
+    if s.startswith("men"):
+        return s[3:], 1, 0
+    if s.startswith("pem"):
+        if len(s) > 3 and s[3] in _ID_VOWELS:
+            return "p" + s[3:], 3, 1
+        return s[3:], 3, 0
+    if s.startswith("pen"):
+        return s[3:], 3, 0
+    if s.startswith("ter"):
+        return s[3:], 1, 0
+    if s.startswith("di"):
+        return s[2:], 1, 0
+    if s.startswith("ke"):
+        return s[2:], 3, 0
+    if s.startswith("me"):
+        return s[2:], 1, 0
+    return None
+
+
+def _id_second_order(s):
+    # a_4 longest-prefix match: belajar/pelajar are PREFIX rules replaced
+    # by "ajar" (pelajar leaves the prefix class untouched, case 2); then
+    # ber/per, then be (KER lookahead: one non-vowel then "er") / pe.
+    if s.startswith("belajar"):
+        return "ajar" + s[7:], 4
+    if s.startswith("ber"):
+        return s[3:], 4
+    if (s.startswith("be") and len(s) >= 5
+            and s[2] not in _ID_VOWELS and s[3:5] == "er"):
+        return s[2:], 4
+    if s.startswith("pelajar"):
+        return "ajar" + s[7:], None
+    if s.startswith("per"):
+        return s[3:], 2
+    if s.startswith("pe"):
+        return s[2:], 2
+    return None
+
+
+def stem_indonesian_snowball(w: str) -> str:
+    s = w
+    measure = sum(1 for ch in s if ch in _ID_VOWELS)
+    if measure <= 2:
+        return s
+    for suf in ("kah", "lah", "pun"):
+        if s.endswith(suf):
+            s = s[:-3]
+            measure -= 1
+            break
+    if measure <= 2:
+        return s
+    for suf in ("nya", "ku", "mu"):
+        if s.endswith(suf):
+            s = s[:-len(suf)]
+            measure -= 1
+            break
+    if measure <= 2:
+        return s
+    first = _id_first_order(s)
+    if first is not None:
+        s, prefix, off = first
+        measure -= 1
+        if measure > 2:
+            out = _id_remove_suffix(s, prefix)
+            if out is not None:
+                s = out
+                measure -= 1
+                if measure > 2:
+                    second = _id_second_order(s[off:])
+                    if second is not None:
+                        s = s[:off] + second[0]
+                        measure -= 1
+        return s
+    prefix = 0
+    second = _id_second_order(s)
+    if second is not None:
+        s, p2 = second
+        if p2 is not None:
+            prefix = p2
+        measure -= 1
+    if measure > 2:
+        out = _id_remove_suffix(s, prefix)
+        if out is not None:
+            s = out
+            measure -= 1
+    return s
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
 SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_kp": stem_kp,
+    "snowball_indonesian": stem_indonesian_snowball,
     "snowball_hindi": stem_hindi_snowball,
     "snowball_lovins": stem_lovins,
     "snowball_danish": stem_danish,
