@@ -3128,11 +3128,329 @@ def stem_indonesian_snowball(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# French (Snowball french script; reference
+# ``org/tartarus/snowball/ext/FrenchStemmer.java``).  Prelude marks
+# intervocalic u/i/y (and qu, ë, ï) with uppercase markers so they are
+# treated as consonants by the region logic; pV has the par/col/tap and
+# double-initial-vowel exceptions; the mment/ment rules intentionally
+# "fail" after slicing so the verb-suffix passes re-run on the result.
+
+_FR_V = "aeiouyàâèéêëîïôùû"
+_FR_KEEP_S = set("aiouès")
+
+_FR_STD = _bylen(
+    (1, ["iqUe", "ance", "able", "isme", "iste", "eux",
+         "iqUes", "ances", "ables", "ismes", "istes"]),
+    (2, ["atrice", "ation", "ateur", "atrices", "ations", "ateurs"]),
+    (3, ["logie", "logies"]),
+    (4, ["usion", "ution", "usions", "utions"]),
+    (5, ["ence", "ences"]),
+    (6, ["ement", "ements"]),
+    (7, ["ité", "ités"]),
+    (8, ["if", "ive", "ifs", "ives"]),
+    (9, ["eaux"]),
+    (10, ["aux"]),
+    (11, ["euse", "euses"]),
+    (12, ["issement", "issements"]),
+    (13, ["amment"]),
+    (14, ["emment"]),
+    (15, ["ment", "ments"]),
+)
+_FR_EMENT_FOLLOW = _bylen(
+    (1, ["iv"]), (2, ["eus"]), (3, ["iqU", "abl"]), (4, ["Ièr", "ièr"]))
+_FR_ITE_FOLLOW = _bylen((1, ["abil"]), (2, ["ic"]), (3, ["iv"]))
+_FR_I_VERB = _bylen(
+    (1, ["ira", "ie", "isse", "issante", "i", "irai", "ir", "iras", "ies",
+         "îmes", "isses", "issantes", "îtes", "is", "irais", "issais",
+         "irions", "issions", "irons", "issons", "issants", "it", "irait",
+         "issait", "issant", "iraIent", "issaIent", "irent", "issent",
+         "iront", "ît", "iriez", "issiez", "irez", "issez"]))
+_FR_VERB = _bylen(
+    (1, ["ions"]),
+    (2, ["era", "ée", "erai", "er", "eras", "ées", "erais", "erions",
+         "erons", "és", "erait", "eraIent", "èrent", "eront", "ez", "iez",
+         "eriez", "erez", "é"]),
+    (3, ["a", "asse", "ante", "ai", "as", "âmes", "asses", "antes", "âtes",
+         "ais", "assions", "ants", "ait", "ant", "aIent", "assent", "ât",
+         "assiez"]))
+_FR_RESIDUAL = _bylen((1, ["ion"]), (2, ["Ière", "ière", "Ier", "ier"]),
+                      (3, ["e"]))
+_FR_DOUBLES = ("eill", "ell", "enn", "onn", "ett")
+
+
+def _fr_prelude(w: str) -> str:
+    out = list(w)
+    i = 0
+    while i < len(out):
+        c = out[i]
+        if c in _FR_V and i + 1 < len(out):
+            d = out[i + 1]
+            if d == "u" and i + 2 < len(out) and out[i + 2] in _FR_V:
+                out[i + 1] = "U"
+                continue
+            if d == "i" and i + 2 < len(out) and out[i + 2] in _FR_V:
+                out[i + 1] = "I"
+                continue
+            if d == "y":
+                out[i + 1] = "Y"
+                continue
+        if c == "ë":
+            out[i:i + 1] = ["H", "e"]
+            continue
+        if c == "ï":
+            out[i:i + 1] = ["H", "i"]
+            continue
+        if c == "y" and i + 1 < len(out) and out[i + 1] in _FR_V:
+            out[i] = "Y"
+            continue
+        if c == "q" and i + 1 < len(out) and out[i + 1] == "u":
+            out[i + 1] = "U"
+            continue
+        i += 1
+    return "".join(out)
+
+
+def _fr_postlude(w: str) -> str:
+    out = []
+    i = 0
+    n = len(w)
+    while i < n:
+        c = w[i]
+        if c == "I":
+            out.append("i")
+        elif c == "U":
+            out.append("u")
+        elif c == "Y":
+            out.append("y")
+        elif c == "H":
+            if i + 1 < n and w[i + 1] == "e":
+                out.append("ë")
+                i += 2
+                continue
+            if i + 1 < n and w[i + 1] == "i":
+                out.append("ï")
+                i += 2
+                continue
+            # lone H: deleted
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _fr_pv(w: str) -> int:
+    n = len(w)
+    if n >= 3 and w[0] in _FR_V and w[1] in _FR_V:
+        return 3
+    if w[:3] in ("par", "col", "tap"):
+        return 3
+    for i in range(1, n):
+        if w[i] in _FR_V:
+            return i + 1
+    return n
+
+
+def _fr_standard_suffix(w, pV, p1, p2):
+    """Returns (new_w, matched) where matched mirrors the rule's truth
+    value (the mment/ment rules slice but report failure by design)."""
+    suf, tag = _longest_tagged(w, _FR_STD, 0)
+    if suf is None:
+        return w, False
+    bra = len(w) - len(suf)
+    if tag == 1:
+        if bra < p2:
+            return w, False
+        return w[:bra], True
+    if tag == 2:
+        if bra < p2:
+            return w, False
+        w = w[:bra]
+        if w.endswith("ic"):
+            if len(w) - 2 >= p2:
+                w = w[:-2]
+            else:
+                w = w[:-2] + "iqU"
+        return w, True
+    if tag == 3:
+        if bra < p2:
+            return w, False
+        return w[:bra] + "log", True
+    if tag == 4:
+        if bra < p2:
+            return w, False
+        return w[:bra] + "u", True
+    if tag == 5:
+        if bra < p2:
+            return w, False
+        return w[:bra] + "ent", True
+    if tag == 6:                                    # ement(s): RV delete
+        if bra < pV:
+            return w, False
+        w = w[:bra]
+        s2, t2 = _longest_tagged(w, _FR_EMENT_FOLLOW, 0)
+        if s2 is not None:
+            b2 = len(w) - len(s2)
+            if t2 == 1:                             # iv: R2, then at R2
+                if b2 >= p2:
+                    w = w[:b2]
+                    if w.endswith("at") and len(w) - 2 >= p2:
+                        w = w[:-2]
+            elif t2 == 2:                           # eus: R2 del / R1 eux
+                if b2 >= p2:
+                    w = w[:b2]
+                elif b2 >= p1:
+                    w = w[:b2] + "eux"
+            elif t2 == 3:                           # iqU/abl: R2 delete
+                if b2 >= p2:
+                    w = w[:b2]
+            elif t2 == 4:                           # ièr/Ièr: RV -> i
+                if b2 >= pV:
+                    w = w[:b2] + "i"
+        return w, True
+    if tag == 7:                                    # ité(s)
+        if bra < p2:
+            return w, False
+        w = w[:bra]
+        s2, t2 = _longest_tagged(w, _FR_ITE_FOLLOW, 0)
+        if s2 is not None:
+            b2 = len(w) - len(s2)
+            if t2 == 1:                             # abil: R2 del / abl
+                w = w[:b2] if b2 >= p2 else w[:b2] + "abl"
+            elif t2 == 2:                           # ic: R2 del / iqU
+                w = w[:b2] if b2 >= p2 else w[:b2] + "iqU"
+            elif t2 == 3:                           # iv: R2 delete
+                if b2 >= p2:
+                    w = w[:b2]
+        return w, True
+    if tag == 8:                                    # if/ive(s)
+        if bra < p2:
+            return w, False
+        w = w[:bra]
+        if w.endswith("at") and len(w) - 2 >= p2:
+            w = w[:-2]
+            if w.endswith("ic"):
+                if len(w) - 2 >= p2:
+                    w = w[:-2]
+                else:
+                    w = w[:-2] + "iqU"
+        return w, True
+    if tag == 9:
+        return w[:bra] + "eau", True
+    if tag == 10:
+        if bra < p1:
+            return w, False
+        return w[:bra] + "al", True
+    if tag == 11:                                   # euse(s)
+        if bra >= p2:
+            return w[:bra], True
+        if bra >= p1:
+            return w[:bra] + "eux", True
+        return w, False
+    if tag == 12:                                   # issement(s)
+        if bra < p1 or bra == 0 or w[bra - 1] in _FR_V:
+            return w, False
+        return w[:bra], True
+    if tag == 13:                                   # amment: slices, fails
+        if bra < pV:
+            return w, False
+        return w[:bra] + "ant", False
+    if tag == 14:                                   # emment
+        if bra < pV:
+            return w, False
+        return w[:bra] + "ent", False
+    # tag 15: ment(s) preceded by a vowel in RV; slices but reports fail
+    if bra == 0 or w[bra - 1] not in _FR_V or bra - 1 < pV:
+        return w, False
+    return w[:bra], False
+
+
+def _fr_i_verb_suffix(w, pV):
+    suf, _ = _longest_tagged(w, _FR_I_VERB, pV)
+    if suf is None:
+        return w, False
+    bra = len(w) - len(suf)
+    # not preceded by H; preceded by a non-vowel, both inside RV
+    if bra <= pV or w[bra - 1] == "H" or w[bra - 1] in _FR_V:
+        return w, False
+    return w[:bra], True
+
+
+def _fr_verb_suffix(w, pV, p2):
+    suf, tag = _longest_tagged(w, _FR_VERB, pV)
+    if suf is None:
+        return w, False
+    bra = len(w) - len(suf)
+    if tag == 1:                                    # ions: R2
+        if bra < p2:
+            return w, False
+        return w[:bra], True
+    w = w[:bra]
+    if tag == 3 and w.endswith("e") and len(w) - 1 >= pV:
+        w = w[:-1]
+    return w, True
+
+
+def _fr_residual_suffix(w, pV, p2):
+    if w.endswith("s"):
+        before = w[:-1]
+        if before.endswith("Hi") or (
+                before and before[-1] not in _FR_KEEP_S):
+            w = before
+    suf, tag = _longest_tagged(w, _FR_RESIDUAL, pV)
+    if suf is None:
+        return w, False
+    bra = len(w) - len(suf)
+    if tag == 1:                                    # ion: R2 + s/t before
+        if bra < p2 or bra <= pV or w[bra - 1] not in "st":
+            return w, False
+        return w[:bra], True
+    if tag == 2:
+        return w[:bra] + "i", True
+    return w[:bra], True
+
+
+def stem_french(w: str) -> str:
+    w = _fr_prelude(w)
+    pV = _fr_pv(w)
+    p1, p2 = _r1r2_std(w, _FR_V)
+    # slices persist even when a rule reports failure (the mment/ment
+    # rules rely on this: they slice, "fail", and the verb passes then
+    # re-run on the modified string)
+    w, ok = _fr_standard_suffix(w, pV, p1, p2)
+    if not ok:
+        new, ok = _fr_i_verb_suffix(w, pV)
+        if ok:
+            w = new
+        else:
+            new, ok = _fr_verb_suffix(w, pV, p2)
+            if ok:
+                w = new
+    if ok:
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        w, _ = _fr_residual_suffix(w, pV, p2)
+    for d in _FR_DOUBLES:
+        if w.endswith(d):
+            w = w[:-1]
+            break
+    j = len(w)
+    while j > 0 and w[j - 1] not in _FR_V:
+        j -= 1
+    if j < len(w) and j > 0 and w[j - 1] in "éè":
+        w = w[:j - 1] + "e" + w[j:]
+    return _fr_postlude(w)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
 SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_kp": stem_kp,
+    "snowball_french": stem_french,
     "snowball_indonesian": stem_indonesian_snowball,
     "snowball_hindi": stem_hindi_snowball,
     "snowball_lovins": stem_lovins,
