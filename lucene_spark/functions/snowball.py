@@ -3445,12 +3445,77 @@ def stem_french(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Armenian (Snowball armenian script; reference
+# ``org/tartarus/snowball/ext/ArmenianStemmer.java``).  Four sequential
+# suffix passes — ending (R2-gated), verb, adjective, noun — each the
+# longest suffix lying entirely within [pV, end); slices accumulate.
+
+_HY_V = "աեէըիուօ"  # ա ե է ը ի ո ւ օ
+
+_HY_ADJECTIVE = sorted((
+    "րորդ", "երորդ", "ալի", "ակի", "որակ", "եղ", "ական", "արան", "են",
+    "եկեն", "երեն", "որէն", "ին", "գին", "ովին", "լայն", "վուն", "պես",
+    "իվ", "ատ", "ավետ", "կոտ", "բար",
+), key=len, reverse=True)
+_HY_VERB = sorted((
+    "ա", "ացա", "եցա", "վե", "ացրի", "ացի", "եցի", "վեցի", "ալ", "ըալ",
+    "անալ", "ենալ", "ացնալ", "ել", "ըել", "նել", "ցնել", "եցնել", "չել",
+    "վել", "ացվել", "եցվել", "տել", "ատել", "ոտել", "կոտել", "ված", "ում",
+    "վում", "ան", "ցան", "ացան", "ացրին", "ացին", "եցին", "վեցին", "ալիս",
+    "ելիս", "ավ", "ացավ", "եցավ", "ալով", "ելով", "ար", "ացար", "եցար",
+    "ացրիր", "ացիր", "եցիր", "վեցիր", "աց", "եց", "ացրեց", "ալուց",
+    "ելուց", "ալու", "ելու", "աք", "ցաք", "ացաք", "ացրիք", "ացիք", "եցիք",
+    "վեցիք", "անք", "ցանք", "ացանք", "ացրինք", "ացինք", "եցինք", "վեցինք",
+), key=len, reverse=True)
+_HY_NOUN = sorted((
+    "որդ", "ույթ", "ուհի", "ցի", "իլ", "ակ", "յակ", "անակ", "իկ", "ուկ",
+    "ան", "պան", "ստան", "արան", "եղէն", "յուն", "ություն", "ածո", "իչ",
+    "ուս", "ուստ", "գար", "վոր", "ավոր", "ոց", "անօց", "ու", "ք", "չեք",
+    "իք", "ալիք", "անիք", "վածք", "ույք", "ենք", "ոնք", "ունք", "մունք",
+    "իչք", "արք",
+), key=len, reverse=True)
+_HY_ENDING = sorted((
+    "սա", "վա", "ամբ", "դ", "անդ", "ությանդ", "վանդ", "ոջդ", "երդ", "ներդ",
+    "ուդ", "ը", "անը", "ությանը", "վանը", "ոջը", "երը", "ները", "ի", "վի",
+    "երի", "ների", "անում", "երում", "ներում", "ն", "ան", "ության", "վան",
+    "ին", "երին", "ներին", "ությանն", "երն", "ներն", "ուն", "ոջ",
+    "ությանս", "վանս", "ոջս", "ով", "անով", "վով", "երով", "ներով", "եր",
+    "ներ", "ց", "ից", "վանից", "ոջից", "վից", "երից", "ներից", "ցից", "ոց",
+    "ուց",
+), key=len, reverse=True)
+
+
+def stem_armenian(w: str) -> str:
+    n = len(w)
+    pV = n
+    for i, ch in enumerate(w):
+        if ch in _HY_V:
+            pV = i + 1
+            break
+    _, p2 = _r1r2_std(w, _HY_V)
+    suf = _longest_suffix(w, _HY_ENDING, pV)
+    if suf and len(w) - len(suf) >= p2:   # R2 checked after the match,
+        w = w[:-len(suf)]                 # no shorter-suffix fallback
+    suf = _longest_suffix(w, _HY_VERB, pV)
+    if suf:
+        w = w[:-len(suf)]
+    suf = _longest_suffix(w, _HY_ADJECTIVE, pV)
+    if suf:
+        w = w[:-len(suf)]
+    suf = _longest_suffix(w, _HY_NOUN, pV)
+    if suf:
+        w = w[:-len(suf)]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
 SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_kp": stem_kp,
     "snowball_french": stem_french,
+    "snowball_armenian": stem_armenian,
     "snowball_indonesian": stem_indonesian_snowball,
     "snowball_hindi": stem_hindi_snowball,
     "snowball_lovins": stem_lovins,
