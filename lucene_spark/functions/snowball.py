@@ -3509,6 +3509,84 @@ def stem_armenian(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Lithuanian (Snowball lithuanian script; reference
+# ``org/tartarus/snowball/ext/LithuanianStemmer.java``).  R1 with a
+# skip-leading-"a" quirk for words longer than 6 chars; conflict-fixing
+# rewrites, one R1 case-ending pass, repeated R1 derivational pass, and
+# č/dž/gd consonant restorations.
+
+_LT_V = "aeiouyąėęįūų"
+
+_LT_STEP1 = sorted((
+    "a", "ia", "eria", "osna", "iosna", "uosna", "iuosna", "ysna", "ėsna",
+    "e", "ie", "enie", "erie", "oje", "ioje", "uje", "iuje", "yje",
+    "enyje", "eryje", "ėje", "ame", "iame", "sime", "ome", "ėme", "tumėme",
+    "ose", "iose", "uose", "iuose", "yse", "enyse", "eryse", "ėse", "ate",
+    "iate", "ite", "kite", "site", "ote", "tute", "ėte", "tumėte", "i",
+    "ai", "iai", "eriai", "ei", "tumei", "ki", "imi", "erimi", "umi",
+    "iumi", "si", "asi", "iasi", "esi", "iesi", "siesi", "isi", "aisi",
+    "eisi", "tumeisi", "uisi", "osi", "ėjosi", "uosi", "iuosi", "siuosi",
+    "usi", "ausi", "čiausi", "ąsi", "ėsi", "ųsi", "tųsi", "ti", "enti",
+    "inti", "oti", "ioti", "uoti", "iuoti", "auti", "iauti", "yti", "ėti",
+    "telėti", "inėti", "terėti", "ui", "iui", "eniui", "oj", "ėj", "k",
+    "am", "iam", "iem", "im", "sim", "om", "tum", "ėm", "tumėm", "an",
+    "on", "ion", "un", "iun", "ėn", "o", "io", "enio", "ėjo", "uo", "s",
+    "as", "ias", "es", "ies", "is", "ais", "iais", "tumeis", "imis",
+    "enimis", "omis", "iomis", "umis", "ėmis", "enis", "asis", "ysis",
+    "ams", "iams", "iems", "ims", "enims", "erims", "oms", "ioms", "ums",
+    "ėms", "ens", "os", "ios", "uos", "iuos", "ers", "us", "aus", "iaus",
+    "ius", "ys", "enys", "erys", "ąs", "iąs", "ės", "amės", "iamės",
+    "imės", "kimės", "simės", "omės", "ėmės", "tumėmės", "atės", "iatės",
+    "sitės", "otės", "ėtės", "tumėtės", "įs", "ūs", "tųs", "at", "iat",
+    "it", "sit", "ot", "ėt", "tumėt", "u", "au", "iau", "čiau", "iu",
+    "eniu", "siu", "y", "ą", "ią", "ė", "ę", "į", "enį", "erį", "ų", "ių",
+    "erų",
+), key=len, reverse=True)
+_LT_STEP2 = sorted((
+    "ing", "aj", "iaj", "iej", "oj", "ioj", "uoj", "iuoj", "auj", "ąj",
+    "iąj", "ėj", "ųj", "iųj", "ok", "iok", "iuk", "uliuk", "učiuk", "išk",
+    "iul", "yl", "ėl", "am", "dam", "jam", "zgan", "ain", "esn", "op",
+    "iop", "ias", "ies", "ais", "iais", "os", "ios", "uos", "iuos", "aus",
+    "iaus", "ąs", "iąs", "ęs", "utėait", "ant", "iant", "siant", "int",
+    "ot", "uot", "iuot", "yt", "ėt", "ykšt", "iau", "dav", "sv", "šv",
+    "ykšč", "ę", "ėję",
+), key=len, reverse=True)
+_LT_CONFLICTS = _bylen(
+    (1, ["aite", "aitės"]), (2, ["uote", "uotės"]), (3, ["ėjime"]),
+    (4, ["esiu"]), (5, ["asius"]), (6, ["avime"]), (7, ["ojime"]),
+    (8, ["okate", "okatės"]))
+_LT_CONFLICT_REPL = {1: "aitė", 2: "uotė", 3: "ėjimas", 4: "esys",
+                     5: "asys", 6: "avimas", 7: "ojimas", 8: "okatė"}
+
+
+def stem_lithuanian(w: str) -> str:
+    start = 1 if (len(w) > 6 and w.startswith("a")) else 0
+    p1 = start + _r1_std(w[start:], _LT_V)
+    suf, tag = _longest_tagged(w, _LT_CONFLICTS, 0)
+    if suf is not None:
+        w = w[:-len(suf)] + _LT_CONFLICT_REPL[tag]
+    suf = _longest_suffix(w, _LT_STEP1, p1)
+    if suf:
+        w = w[:-len(suf)]
+    if w.endswith("č"):
+        w = w[:-1] + "t"
+    elif w.endswith("dž"):
+        w = w[:-2] + "d"
+    while True:
+        suf = _longest_suffix(w, _LT_STEP2, p1)
+        if not suf:
+            break
+        w = w[:-len(suf)]
+    if w.endswith("č"):
+        w = w[:-1] + "t"
+    elif w.endswith("dž"):
+        w = w[:-2] + "d"
+    if w.endswith("gd"):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -3516,6 +3594,7 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_kp": stem_kp,
     "snowball_french": stem_french,
     "snowball_armenian": stem_armenian,
+    "snowball_lithuanian": stem_lithuanian,
     "snowball_indonesian": stem_indonesian_snowball,
     "snowball_hindi": stem_hindi_snowball,
     "snowball_lovins": stem_lovins,
