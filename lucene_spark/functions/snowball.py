@@ -3587,6 +3587,127 @@ def stem_lithuanian(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Basque (Snowball basque script; reference
+# ``org/tartarus/snowball/ext/BasqueStemmer.java``).  Three phases —
+# repeat aditzak (verb), repeat izenak (noun), one adjetiboak pass.
+# The Snowball ``repeat`` leaves the cursor at the slice start, so after
+# a REPLACEMENT the next match applies to the prefix before the
+# replacement text; we carry that as an explicit ``end`` marker.
+
+_EU_ADITZAK = _bylen(
+    (1, ["idea", "bidea", "kidea", "pidea", "kundea", "galea", "tailea",
+         "tzailea", "gunea", "kunea", "tzaga", "gaia", "aldia", "taldia",
+         "karia", "karria", "ka", "tzaka", "la", "mena", "pena", "kina",
+         "ezina", "tezina", "kuna", "tuna", "kizuna", "era", "bera",
+         "kera", "pera", "orra", "korra", "dura", "gura", "kura", "tura",
+         "eta", "keta", "gailua", "eza", "erreza", "gaitza", "kaitza",
+         "kuntza", "ide", "bide", "kide", "pide", "kunde", "tzake",
+         "tzeke", "le", "gale", "taile", "tzaile", "gune", "kune", "tze",
+         "atze", "gai", "aldi", "taldi", "ki", "ari", "kari", "lari",
+         "tari", "etari", "karri", "arazi", "tarazi", "an", "ean", "rean",
+         "kan", "etan", "men", "pen", "kin", "rekin", "ezin", "tezin",
+         "tun", "kizun", "go", "ago", "tio", "dako", "or", "kor", "tzat",
+         "du", "gailu", "tu", "atu", "aldatu", "tatu", "ez", "errez",
+         "tzez", "gaitz", "kaitz"]),
+    (2, ["garria", "tza", "garri"]),
+    (3, ["atseden"]), (4, ["arabera"]), (5, ["baditu"]))
+_EU_IZENAK = _bylen(
+    (1, ["ada", "kada", "anda", "denda", "gabea", "kabea", "aldea",
+         "kaldea", "taldea", "ordea", "zalea", "tzalea", "gilea", "emea",
+         "kumea", "nea", "enea", "zionea", "unea", "gunea", "pea",
+         "aurrea", "tea", "kotea", "artea", "ostea", "etxea", "ga",
+         "anga", "gaia", "aldia", "taldia", "handia", "mendia", "geia",
+         "egia", "degia", "tegia", "nahia", "ohia", "kia", "tokia", "oia",
+         "koia", "aria", "karia", "laria", "taria", "eria", "keria",
+         "teria", "larria", "kirria", "duria", "asia", "tia", "ezia",
+         "bizia", "ontzia", "ka", "ska", "xka", "zka", "gibela", "gela",
+         "kaila", "skila", "tila", "ola", "na", "kana", "ena", "garrena",
+         "gerrena", "urrena", "zaina", "tzaina", "kina", "mina", "garna",
+         "una", "duna", "asuna", "tasuna", "ondoa", "kondoa", "ngoa",
+         "zioa", "koa", "takoa", "zkoa", "noa", "zinoa", "aroa", "taroa",
+         "zaroa", "eroa", "oroa", "osoa", "toa", "ttoa", "ztoa", "txoa",
+         "tzoa", "ñoa", "ra", "ara", "dara", "liara", "tiara", "tara",
+         "etara", "tzara", "bera", "kera", "pera", "tzarra", "korra",
+         "tra", "sa", "osa", "ta", "eta", "keta", "sta", "dua", "mendua",
+         "ordua", "lekua", "burua", "durua", "tsua", "tua", "mentua",
+         "estua", "txua", "zua", "tzua", "za", "eza", "eroza", "koitza",
+         "antza", "gintza", "kintza", "kuntza", "gabe", "kabe", "kide",
+         "alde", "kalde", "talde", "orde", "ge", "zale", "tzale", "gile",
+         "eme", "kume", "ne", "zione", "une", "gune", "pe", "aurre", "te",
+         "kote", "arte", "oste", "etxe", "gai", "di", "aldi", "taldi",
+         "handi", "mendi", "gei", "egi", "degi", "tegi", "nahi", "ohi",
+         "ki", "toki", "oi", "goi", "koi", "ari", "kari", "lari", "tari",
+         "larri", "kirri", "duri", "asi", "ti", "ontzi", "ñi", "ak", "ek",
+         "tarik", "gibel", "ail", "kail", "kan", "tan", "etan", "garren",
+         "gerren", "urren", "zain", "tzain", "kin", "min", "dun", "asun",
+         "tasun", "aizun", "ondo", "kondo", "go", "ngo", "zio", "ko",
+         "tako", "etako", "eko", "tariko", "sko", "tuko", "zko", "no",
+         "zino", "ro", "aro", "taro", "zaro", "ero", "giro", "oro", "oso",
+         "to", "tto", "zto", "txo", "tzo", "gintzo", "ño", "zp", "ar",
+         "dar", "behar", "liar", "tiar", "tar", "tzar", "kor", "os",
+         "ket", "du", "mendu", "ordu", "leku", "duru", "tsu", "tu",
+         "mentu", "estu", "txu", "zu", "tzu", "gintzu", "z", "ez",
+         "eroz", "tz", "koitz"]),
+    (2, ["garria", "ora", "tza", "garri", "ren", "or", "buru"]),
+    (3, ["joka"]), (4, ["en", "ten", "tzen", "tatu"]), (5, ["trako"]),
+    (6, ["minutuko"]), (7, ["zehar"]), (8, ["geldi"]), (9, ["igaro"]),
+    (10, ["aurka"]))
+_EU_ADJETIBOAK = _bylen(
+    (1, ["keria", "la", "era", "dade", "tade", "date", "tate", "gi",
+         "ki", "ik", "lanik", "rik", "larik", "ztik", "go", "ro", "ero",
+         "to"]),
+    (2, ["zlea"]))
+_EU_IZENAK_REPL = {3: "jok", 5: "tra", 6: "minutu", 7: "zehar",
+                   8: "geldi", 9: "igaro", 10: "aurka"}
+_EU_ADITZAK_REPL = {3: "atseden", 4: "arabera", 5: "baditu"}
+
+
+def _eu_rule(w, end, table, pV, p1, p2, repl, r1_tag=None):
+    suf, tag = _longest_tagged(w[:end], table, 0)
+    if suf is None:
+        return w, end, False
+    bra = end - len(suf)
+    if tag == 1:
+        if bra < pV:
+            return w, end, False
+        return w[:bra] + w[end:], bra, True
+    if tag == 2:
+        if bra < p2:
+            return w, end, False
+        return w[:bra] + w[end:], bra, True
+    if tag == r1_tag:
+        if bra < p1:
+            return w, end, False
+        return w[:bra] + w[end:], bra, True
+    return w[:bra] + repl[tag] + w[end:], bra, True
+
+
+def stem_basque(w: str) -> str:
+    pV = _rv_romance(w, "aeiou")
+    p1, p2 = _r1r2_std(w, "aeiou")
+    end = len(w)
+    while True:
+        w, end, ok = _eu_rule(w, end, _EU_ADITZAK, pV, p1, p2,
+                              _EU_ADITZAK_REPL)
+        if not ok:
+            break
+    while True:
+        w, end, ok = _eu_rule(w, end, _EU_IZENAK, pV, p1, p2,
+                              _EU_IZENAK_REPL, r1_tag=4)
+        if not ok:
+            break
+    suf, tag = _longest_tagged(w[:end], _EU_ADJETIBOAK, 0)
+    if suf is not None:
+        bra = end - len(suf)
+        if tag == 1:
+            if bra >= pV:
+                w = w[:bra] + w[end:]
+        else:
+            w = w[:bra] + "z" + w[end:]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -3595,6 +3716,7 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_french": stem_french,
     "snowball_armenian": stem_armenian,
     "snowball_lithuanian": stem_lithuanian,
+    "snowball_basque": stem_basque,
     "snowball_indonesian": stem_indonesian_snowball,
     "snowball_hindi": stem_hindi_snowball,
     "snowball_lovins": stem_lovins,
