@@ -3708,6 +3708,133 @@ def stem_basque(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Catalan (Snowball catalan script; reference
+# ``org/tartarus/snowball/ext/CatalanStemmer.java``).  Attached-pronoun
+# pass, then standard-or-verb suffix, then residual, then a forward
+# cleaning pass that strips accents.
+
+_CA_V = "aeiouàáèéíïòóúü"
+
+_CA_PRONOUNS = sorted((
+    "la", "-la", "sela", "le", "me", "-me", "se", "-te", "hi", "'hi",
+    "li", "-li", "'l", "'m", "-m", "'n", "-n", "ho", "'ho", "lo", "selo",
+    "'s", "las", "selas", "les", "-les", "'ls", "-ls", "'ns", "-ns",
+    "ens", "los", "selos", "nos", "-nos", "vos", "us", "-us", "'t",
+), key=len, reverse=True)
+_CA_STD = _bylen(
+    (1, ["enca", "ancia", "encia", "ència", "ícia", "inia", "íinia",
+         "eria", "ària", "atòria", "alla", "ella", "ívola", "ima",
+         "íssima", "ana", "ina", "era", "sfera", "ora", "dora", "adora",
+         "adura", "esa", "osa", "assa", "essa", "issa", "eta", "ita",
+         "ota", "ista", "ialista", "ionista", "iva", "ativa", "nça",
+         "ístic", "enc", "esc", "ud", "atge", "ble", "able", "ible",
+         "isme", "ialisme", "ionisme", "ivisme", "aire", "icte", "iste",
+         "ici", "íci", "ari", "tori", "al", "il", "all", "ell", "ívol",
+         "isam", "issem", "ìssem", "íssem", "íssim", "amen", "ìssin",
+         "ar", "ificar", "egar", "ejar", "itar", "itzar", "fer", "or",
+         "dor", "dur", "doras", "uds", "nces", "ancies", "encies",
+         "ències", "ícies", "inies", "ínies", "eries", "àries",
+         "atòries", "bles", "ables", "ibles", "imes", "íssimes",
+         "formes", "ismes", "ialismes", "ines", "eres", "ores", "dores",
+         "idores", "dures", "eses", "oses", "asses", "ictes", "ites",
+         "otes", "istes", "ialistes", "ionistes", "ives", "atives",
+         "allengües", "icis", "ícis", "aris", "toris", "ls", "als",
+         "ells", "ims", "íssims", "ions", "cions", "esos", "osos",
+         "assos", "issos", "ers", "ors", "dors", "adors", "idors",
+         "ats", "itats", "bilitats", "ivitats", "ativitats", "ïtats",
+         "ets", "ants", "ents", "ments", "aments", "ots", "uts", "ius",
+         "trius", "atius", "ès", "és", "ís", "dís", "ós", "itat",
+         "bilitat", "ivitat", "ativitat", "ïtat", "et", "ant", "ent",
+         "ient", "ment", "ament", "isament", "ot", "isseu", "ìsseu",
+         "ísseu", "triu", "íssiu", "atiu", "ó", "ió", "ció", "ació"]),
+    (2, ["ada", "ades", "acions"]),
+    (3, ["lógica", "logia", "logía", "logi", "lógics", "logies",
+         "lógiques", "logíes", "logis"]),
+    (4, ["ica", "ic", "ics", "iques"]),
+    (5, ["quíssima", "quíssim", "quíssimes", "quíssims"]))
+_CA_VERB = _bylen(
+    (1, ["aba", "esca", "isca", "ïsca", "ada", "ida", "uda", "ïda",
+         "ia", "aria", "iria", "ara", "iera", "ira", "adora", "ïra",
+         "ava", "ixa", "itza", "ía", "aría", "ería", "iría", "ïa",
+         "isc", "ïsc", "ad", "ed", "id", "ie", "re", "dre", "ase",
+         "iese", "aste", "iste", "ii", "ini", "esqui", "eixi", "itzi",
+         "am", "em", "arem", "irem", "àrem", "írem", "àssem", "éssem",
+         "iguem", "ïguem", "avem", "àvem", "ávem", "irìem", "íem",
+         "aríem", "iríem", "assim", "essim", "issim", "àssim", "èssim",
+         "éssim", "íssim", "ïm", "an", "aban", "arian", "aran", "ieran",
+         "iran", "ían", "arían", "erían", "irían", "en", "ien", "arien",
+         "irien", "aren", "eren", "iren", "àren", "ïren", "asen",
+         "iesen", "assen", "essen", "issen", "éssen", "ïssen", "esquen",
+         "isquen", "ïsquen", "aven", "ixen", "eixen", "ïxen", "ïen",
+         "in", "inin", "sin", "isin", "assin", "essin", "issin",
+         "ïssin", "esquin", "eixin", "aron", "ieron", "arán", "erán",
+         "irán", "iïn", "ado", "ido", "iendo", "io", "ixo", "eixo",
+         "ïxo", "itzo", "ar", "tzar", "er", "eixer", "ir", "ador",
+         "as", "abas", "adas", "idas", "aras", "ieras", "ías", "arías",
+         "erías", "irías", "ids", "es", "ades", "ides", "udes", "ïdes",
+         "atges", "ies", "aries", "iries", "ares", "ires", "adores",
+         "ïres", "ases", "ieses", "asses", "esses", "isses", "ïsses",
+         "ques", "esques", "ïsques", "aves", "ixes", "eixes", "ïxes",
+         "ïes", "abais", "arais", "ierais", "íais", "aríais", "eríais",
+         "iríais", "aseis", "ieseis", "asteis", "isteis", "inis", "sis",
+         "isis", "assis", "essis", "issis", "ïssis", "esquis", "eixis",
+         "itzis", "áis", "aréis", "eréis", "iréis", "ams", "ados",
+         "idos", "amos", "ábamos", "áramos", "iéramos", "íamos",
+         "aríamos", "eríamos", "iríamos", "aremos", "eremos", "iremos",
+         "ásemos", "iésemos", "imos", "adors", "ass", "erass", "ess",
+         "ats", "its", "ents", "às", "aràs", "iràs", "arás", "erás",
+         "irás", "és", "arés", "ís", "iïs", "at", "it", "ant", "ent",
+         "int", "ut", "ït", "au", "erau", "ieu", "ineu", "areu", "ireu",
+         "àreu", "íreu", "asseu", "esseu", "eresseu", "àsseu", "ésseu",
+         "igueu", "ïgueu", "àveu", "áveu", "itzeu", "ìeu", "irìeu",
+         "íeu", "aríeu", "iríeu", "assiu", "issiu", "àssiu", "èssiu",
+         "éssiu", "íssiu", "ïu", "ix", "eix", "ïx", "itz", "ià", "arà",
+         "irà", "itzà", "ará", "erá", "irá", "irè", "aré", "eré", "iré",
+         "í", "iï", "ió"]),
+    (2, ["ando"]))
+_CA_RESIDUAL = _bylen(
+    (1, ["a", "e", "i", "ïn", "o", "ir", "s", "is", "os", "ïs", "it",
+         "eu", "iu", "itz", "à", "á", "é", "ì", "í", "ï", "ó"]),
+    (2, ["iqu"]))
+_CA_CLEAN = str.maketrans({"à": "a", "á": "a", "è": "e", "é": "e",
+                           "ì": "i", "í": "i", "ï": "i", "ò": "o",
+                           "ó": "o", "ú": "u", "ü": "u", "·": "."})
+
+
+def stem_catalan(w: str) -> str:
+    p1, p2 = _r1r2_std(w, _CA_V)
+    suf = _longest_suffix(w, _CA_PRONOUNS, 0)
+    if suf and len(w) - len(suf) >= p1:
+        w = w[:-len(suf)]
+    suf, tag = _longest_tagged(w, _CA_STD, 0)
+    matched = False
+    if suf is not None:
+        bra = len(w) - len(suf)
+        if tag == 1 and bra >= p1:
+            w, matched = w[:bra], True
+        elif tag == 2 and bra >= p2:
+            w, matched = w[:bra], True
+        elif tag == 3 and bra >= p2:
+            w, matched = w[:bra] + "log", True
+        elif tag == 4 and bra >= p2:
+            w, matched = w[:bra] + "ic", True
+        elif tag == 5 and bra >= p1:
+            w, matched = w[:bra] + "c", True
+    if not matched:
+        suf, tag = _longest_tagged(w, _CA_VERB, 0)
+        if suf is not None:
+            bra = len(w) - len(suf)
+            if (tag == 1 and bra >= p1) or (tag == 2 and bra >= p2):
+                w = w[:bra]
+    suf, tag = _longest_tagged(w, _CA_RESIDUAL, 0)
+    if suf is not None:
+        bra = len(w) - len(suf)
+        if bra >= p1:
+            w = w[:bra] if tag == 1 else w[:bra] + "ic"
+    return w.translate(_CA_CLEAN)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -3717,6 +3844,7 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_armenian": stem_armenian,
     "snowball_lithuanian": stem_lithuanian,
     "snowball_basque": stem_basque,
+    "snowball_catalan": stem_catalan,
     "snowball_indonesian": stem_indonesian_snowball,
     "snowball_hindi": stem_hindi_snowball,
     "snowball_lovins": stem_lovins,
