@@ -3835,6 +3835,204 @@ def stem_catalan(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Estonian (Snowball estonian script; reference
+# ``org/tartarus/snowball/ext/EstonianStemmer.java``).  Whole-word verb
+# exception table short-circuits everything; otherwise emphasis (gi/ki),
+# verb endings (set is_verb), substantive passes when not a verb, and a
+# final kpt-undoubling before a trailing vowel.
+
+_ET_VERB_EXC = {
+    "joob": "joo", "jood": "joo", "joodakse": "joo", "jooma": "joo",
+    "joomata": "joo", "joome": "joo", "joon": "joo", "joote": "joo",
+    "joovad": "joo", "juua": "joo", "juuakse": "joo", "jäi": "jääma",
+    "jäid": "jääma", "jäime": "jääma", "jäin": "jääma", "jäite":
+    "jääma", "jääb": "jääma", "jääd": "jääma", "jääda": "jääma",
+    "jäädakse": "jääma", "jäädi": "jääma", "jääks": "jääma", "jääksid":
+    "jääma", "jääksime": "jääma", "jääksin": "jääma", "jääksite":
+    "jääma", "jääma": "jääma", "jäämata": "jääma", "jääme": "jääma",
+    "jään": "jääma", "jääte": "jääma", "jäävad": "jääma", "jõi": "joo",
+    "jõid": "joo", "jõime": "joo", "jõin": "joo", "jõite": "joo",
+    "keeb": "keesi", "keed": "keesi", "keedakse": "keesi", "keeks":
+    "keesi", "keeksid": "keesi", "keeksime": "keesi", "keeksin":
+    "keesi", "keeksite": "keesi", "keema": "keesi", "keemata": "keesi",
+    "keeme": "keesi", "keen": "keesi", "kees": "keesi", "keeta":
+    "keesi", "keete": "keesi", "keevad": "keesi", "käia": "käisi",
+    "käiakse": "käisi", "käib": "käisi", "käid": "käisi", "käidi":
+    "käisi", "käiks": "käisi", "käiksid": "käisi", "käiksime": "käisi",
+    "käiksin": "käisi", "käiksite": "käisi", "käima": "käisi",
+    "käimata": "käisi", "käime": "käisi", "käin": "käisi", "käis":
+    "käisi", "käite": "käisi", "käivad": "käisi", "laob": "ladu",
+    "laod": "ladu", "laoks": "ladu", "laoksid": "ladu", "laoksime":
+    "ladu", "laoksin": "ladu", "laoksite": "ladu", "laome": "ladu",
+    "laon": "ladu", "laote": "ladu", "laovad": "ladu", "loeb": "luge",
+    "loed": "luge", "loeks": "luge", "loeksid": "luge", "loeksime":
+    "luge", "loeksin": "luge", "loeksite": "luge", "loeme": "luge",
+    "loen": "luge", "loete": "luge", "loevad": "luge", "loob": "loo",
+    "lood": "loo", "loodi": "loo", "looks": "loo", "looksid": "loo",
+    "looksime": "loo", "looksin": "loo", "looksite": "loo", "looma":
+    "loo", "loomata": "loo", "loome": "loo", "loon": "loo", "loote":
+    "loo", "loovad": "loo", "luua": "loo", "luuakse": "loo", "lõi":
+    "löi", "lõid": "löi", "lõime": "löi", "lõin": "löi", "lõite": "löi",
+    "lööb": "löö", "lööd": "löö", "löödakse": "löö", "löödi": "löö",
+    "lööks": "löö", "lööksid": "löö", "lööksime": "löö", "lööksin":
+    "löö", "lööksite": "löö", "lööma": "löö", "löömata": "löö", "lööme":
+    "löö", "löön": "löö", "lööte": "löö", "löövad": "löö", "lüüa":
+    "löö", "lüüakse": "löö", "müüa": "müüsi", "müüakse": "müüsi",
+    "müüb": "müüsi", "müüd": "müüsi", "müüdi": "müüsi", "müüks":
+    "müüsi", "müüksid": "müüsi", "müüksime": "müüsi", "müüksin":
+    "müüsi", "müüksite": "müüsi", "müüma": "müüsi", "müümata": "müüsi",
+    "müüme": "müüsi", "müün": "müüsi", "müüs": "müüsi", "müüte":
+    "müüsi", "müüvad": "müüsi", "näeb": "nägi", "näed": "nägi", "näeks":
+    "nägi", "näeksid": "nägi", "näeksime": "nägi", "näeksin": "nägi",
+    "näeksite": "nägi", "näeme": "nägi", "näen": "nägi", "näete":
+    "nägi", "näevad": "nägi", "nägema": "nägi", "nägemata": "nägi",
+    "näha": "nägi", "nähakse": "nägi", "nähti": "nägi", "põeb": "põde",
+    "põed": "põde", "põeks": "põde", "põeksid": "põde", "põeksime":
+    "põde", "põeksin": "põde", "põeksite": "põde", "põeme": "põde",
+    "põen": "põde", "põete": "põde", "põevad": "põde", "saab": "saa",
+    "saad": "saa", "saada": "saa", "saadakse": "saa", "saadi": "saa",
+    "saaks": "saa", "saaksid": "saa", "saaksime": "saa", "saaksin":
+    "saa", "saaksite": "saa", "saama": "saa", "saamata": "saa", "saame":
+    "saa", "saan": "saa", "saate": "saa", "saavad": "saa", "sai": "saa",
+    "said": "saa", "saime": "saa", "sain": "saa", "saite": "saa", "sõi":
+    "söö", "sõid": "söö", "sõime": "söö", "sõin": "söö", "sõite": "söö",
+    "sööb": "söö", "sööd": "söö", "söödakse": "söö", "söödi": "söö",
+    "sööks": "söö", "sööksid": "söö", "sööksime": "söö", "sööksin":
+    "söö", "sööksite": "söö", "sööma": "söö", "söömata": "söö", "sööme":
+    "söö", "söön": "söö", "sööte": "söö", "söövad": "söö", "süüa":
+    "söö", "süüakse": "söö", "teeb": "tegi", "teed": "tegi", "teeks":
+    "tegi", "teeksid": "tegi", "teeksime": "tegi", "teeksin": "tegi",
+    "teeksite": "tegi", "teeme": "tegi", "teen": "tegi", "teete":
+    "tegi", "teevad": "tegi", "tegema": "tegi", "tegemata": "tegi",
+    "teha": "tegi", "tehakse": "tegi", "tehti": "tegi", "toob": "too",
+    "tood": "too", "toodi": "too", "tooks": "too", "tooksid": "too",
+    "tooksime": "too", "tooksin": "too", "tooksite": "too", "tooma":
+    "too", "toomata": "too", "toome": "too", "toon": "too", "toote":
+    "too", "toovad": "too", "tuua": "too", "tuuakse": "too", "tõi":
+    "too", "tõid": "too", "tõime": "too", "tõin": "too", "tõite": "too",
+    "viia": "viima", "viiakse": "viima", "viib": "viima", "viid":
+    "viima", "viidi": "viima", "viiks": "viima", "viiksid": "viima",
+    "viiksime": "viima", "viiksin": "viima", "viiksite": "viima",
+    "viima": "viima", "viimata": "viima", "viime": "viima", "viin":
+    "viima", "viisime": "viima", "viisin": "viima", "viisite": "viima",
+    "viite": "viima", "viivad": "viima", "võib": "võisi", "võid":
+    "võisi", "võida": "võisi", "võidakse": "võisi", "võidi": "võisi",
+    "võiks": "võisi", "võiksid": "võisi", "võiksime": "võisi",
+    "võiksin": "võisi", "võiksite": "võisi", "võima": "võisi",
+    "võimata": "võisi", "võime": "võisi", "võin": "võisi", "võis":
+    "võisi", "võite": "võisi", "võivad": "võisi"
+}
+
+_ET_V1 = "aeiouäõöü"
+_ET_RV = "aeiou"
+_ET_KI = set("bdfghkpstzšž")
+_ET_GI = set("aceijlmnoqruvwxäõöü")
+_ET_LONGV = ("aa", "ee", "ii", "oo", "uu", "ää", "õõ", "öö", "üü")
+_ET_EMPHASIS = _bylen((1, ["gi"]), (2, ["ki"]))
+_ET_VERB_SUF = _bylen(
+    (1, ["mata", "ksid", "nuksid", "sime", "ksime", "nuksime", "dakse",
+         "takse", "site", "ksite", "nuksite", "sin", "ksin", "nuksin",
+         "daks", "taks"]),
+    (2, ["akse"]),
+    (3, ["da", "b", "me", "n"]))
+_ET_SPECIAL_NOUN = _bylen(
+    (1, ["lane", "lasse", "lasi", "last"]),
+    (2, ["mine", "misse", "misi", "mist"]),
+    (3, ["line", "lisse", "lisi", "list"]))
+_ET_CASE = sorted(("ga", "ta", "le", "sse", "l", "s", "ks", "t", "lt",
+                   "st"), key=len, reverse=True)
+_ET_PLURAL = _bylen(
+    (1, ["ikkude", "ike", "ikke"]), (2, ["sid"]), (3, ["te"]),
+    (4, ["d", "de"]))
+_ET_DEGREES = _bylen((1, ["mai", "m"]), (2, ["ma"]))
+_ET_NU = sorted(("va", "du", "nu", "tu"), key=len, reverse=True)
+
+
+def _et_longv_before(w, pos):
+    return pos >= 2 and w[pos - 2:pos] in _ET_LONGV
+
+
+def stem_estonian(w: str) -> str:
+    exc = _ET_VERB_EXC.get(w)
+    if exc is not None:
+        return exc
+    p1 = _r1_std(w, _ET_V1)
+    # emphasis: gi/ki
+    suf, tag = _longest_tagged(w, _ET_EMPHASIS, p1)
+    if suf is not None:
+        bra = len(w) - 2
+        if bra >= 4:
+            if tag == 1:
+                if (w[bra - 1] in _ET_GI
+                        and not _et_longv_before(w, bra)):
+                    w = w[:bra]
+            else:
+                if w[bra - 1] in _ET_KI:
+                    w = w[:bra]
+    # verb endings
+    is_verb = False
+    suf, tag = _longest_tagged(w, _ET_VERB_SUF, p1)
+    if suf is not None:
+        bra = len(w) - len(suf)
+        if tag == 1:
+            w, is_verb = w[:bra], True
+        elif tag == 2:
+            w, is_verb = w[:bra] + "a", True
+        elif bra >= 1 and w[bra - 1] in _ET_V1:
+            w, is_verb = w[:bra], True
+    if not is_verb:
+        suf, tag = _longest_tagged(w, _ET_SPECIAL_NOUN, p1)
+        if suf is not None:
+            bra = len(w) - len(suf)
+            w = w[:bra] + {1: "lase", 2: "mise", 3: "lise"}[tag]
+        suf = _longest_suffix(w, _ET_CASE, p1)
+        if suf:
+            bra = len(w) - len(suf)
+            if ((bra >= 1 and w[bra - 1] in _ET_RV)
+                    or _et_longv_before(w, bra)):
+                w = w[:bra]
+        suf, tag = _longest_tagged(w, _ET_PLURAL, p1)
+        if suf is not None:
+            bra = len(w) - len(suf)
+            if tag == 1:
+                w = w[:bra] + "iku"
+            elif tag == 2:
+                if not _et_longv_before(w, bra):
+                    w = w[:bra]
+            elif tag == 3:
+                if bra >= 4:
+                    if w[bra - 3:bra] in ("mis", "las", "lis"):
+                        w = w[:bra] + "e"
+                    elif not (bra >= 1 and w[bra - 1] == "t"):
+                        w = w[:bra]
+                    # preceded by "t": rule fails outright
+                elif not (bra >= 1 and w[bra - 1] == "t"):
+                    w = w[:bra] + "t"
+            else:
+                if ((bra >= 1 and w[bra - 1] in _ET_RV)
+                        or _et_longv_before(w, bra)):
+                    w = w[:bra]
+        suf, tag = _longest_tagged(w, _ET_DEGREES, p1)
+        if suf is not None:
+            bra = len(w) - len(suf)
+            if tag == 2:
+                w = w[:bra]
+            elif bra >= 1 and w[bra - 1] in _ET_RV:
+                w = w[:bra]
+        if (_longest_suffix(w, ("i",), p1)
+                and len(w) >= 2 and w[-2] in _ET_RV):
+            w = w[:-1]
+        suf = _longest_suffix(w, _ET_NU, p1)
+        if suf:
+            w = w[:-len(suf)]
+    # remove double kpt: trailing vowel preceded by kk/pp/tt
+    if (len(w) >= 3 and w[-1] in _ET_V1
+            and w[-3:-1] in ("kk", "pp", "tt")):
+        w = w[:-3] + w[-2:]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -3845,6 +4043,7 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_lithuanian": stem_lithuanian,
     "snowball_basque": stem_basque,
     "snowball_catalan": stem_catalan,
+    "snowball_estonian": stem_estonian,
     "snowball_indonesian": stem_indonesian_snowball,
     "snowball_hindi": stem_hindi_snowball,
     "snowball_lovins": stem_lovins,
