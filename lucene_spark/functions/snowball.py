@@ -4033,6 +4033,179 @@ def stem_estonian(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Arabic (Snowball arabic script; reference
+# ``org/tartarus/snowball/ext/ArabicStemmer.java``).  Normalization of
+# diacritics/digits/presentation forms, definiteness check, verb-vs-noun
+# suffix branches gated by word-length floors, forward prefix chain with
+# a moving offset (a replaced prefix shifts where the next step looks),
+# and hamza post-normalization.
+
+_AR_PRE_MAP = {}
+for _c in "ـًٌٍَُِّْ":
+    _AR_PRE_MAP[_c] = ""
+for _i, _d in enumerate("٠١٢٣٤٥٦٧٨٩"):
+    _AR_PRE_MAP[_d] = str(_i)
+for _forms, _std in (
+        ("ﺀ", "ء"), ("ﺃﺄ", "أ"), ("ﺇﺈ", "إ"), ("ﺉﺊﺋﺌ", "ئ"),
+        ("ﺁﺂ", "آ"), ("ﺅﺆ", "ؤ"), ("ﺍﺎ", "ا"), ("ﺏﺐﺑﺒ", "ب"),
+        ("ﺓﺔ", "ة"), ("ﺕﺖﺗﺘ", "ت"), ("ﺙﺚﺛﺜ", "ث"), ("ﺝﺞﺟﺠ", "ج"),
+        ("ﺡﺢﺣﺤ", "ح"), ("ﺥﺦﺧﺨ", "خ"), ("ﺩﺪ", "د"), ("ﺫﺬ", "ذ"),
+        ("ﺭﺮ", "ر"), ("ﺯﺰ", "ز"), ("ﺱﺲﺳﺴ", "س"), ("ﺵﺶﺷﺸ", "ش"),
+        ("ﺹﺺﺻﺼ", "ص"), ("ﺽﺾﺿﻀ", "ض"), ("ﻁﻂﻃﻄ", "ط"),
+        ("ﻅﻆﻇﻈ", "ظ"), ("ﻉﻊﻋﻌ", "ع"), ("ﻍﻎﻏﻐ", "غ"),
+        ("ﻑﻒﻓﻔ", "ف"), ("ﻕﻖﻗﻘ", "ق"), ("ﻙﻚﻛﻜ", "ك"),
+        ("ﻝﻞﻟﻠ", "ل"), ("ﻡﻢﻣﻤ", "م"), ("ﻥﻦﻧﻨ", "ن"),
+        ("ﻩﻪﻫﻬ", "ه"), ("ﻭﻮ", "و"), ("ﻯﻰ", "ى"), ("ﻱﻲﻳﻴ", "ي"),
+        ("ﻻﻼ", "لا"), ("ﻷﻸ", "لأ"), ("ﻹﻺ", "لإ"), ("ﻵﻶ", "لآ")):
+    for _c in _forms:
+        _AR_PRE_MAP[_c] = _std
+_AR_PRE = str.maketrans(_AR_PRE_MAP)
+_AR_POST = str.maketrans({"آ": "ا", "أ": "ا", "إ": "ا",
+                          "ؤ": "و", "ئ": "ي"})
+
+_AR_NOUN_1A = _bylen((1, ["ك", "ه", "ي"]),
+                     (2, ["نا", "ها", "كم", "هم", "هن"]),
+                     (3, ["كما", "هما"]))
+_AR_VERB_1 = _bylen((1, ["ك", "ه"]),
+                    (2, ["نا", "ها", "كم", "هم", "كن", "هن", "ني"]),
+                    (3, ["كما", "هما", "كمو"]))
+_AR_VERB_2A = _bylen((1, ["ا", "ت", "ن", "ي"]), (2, ["تا", "نا", "تن"]),
+                     (3, ["ان", "ون", "ين"]), (4, ["تما"]))
+_AR_PFX1 = _bylen((1, ["أأ", "أؤ"]), (2, ["أآ"]), (3, ["أا"]),
+                  (4, ["أإ"]))
+_AR_PFX1_REPL = {1: "أ", 2: "آ", 3: "ا", 4: "إ"}
+_AR_PFX3B = _bylen((1, ["ب"]), (2, ["بب"]), (3, ["كك"]))
+_AR_PFX3V = {"سي": "ي", "ست": "ت", "سن": "ن", "سأ": "أ"}
+_AR_2A_MIN = {1: 4, 2: 5, 3: 5, 4: 6}   # case 3 is strict (>5)
+
+
+def _ar_prefix_at(w, c, table):
+    for s, tag in table:
+        if w.startswith(s, c):
+            return s, tag
+    return None, None
+
+
+def _ar_verb_branch(w):
+    n1 = 0
+    while True:                                  # Suffix_Verb_Step1 +
+        suf, tag = _longest_tagged(w, _AR_VERB_1, 0)
+        if suf is None or len(w) < 3 + tag:
+            break
+        w = w[:-len(suf)]
+        n1 += 1
+    if n1:
+        suf, tag = _longest_tagged(w, _AR_VERB_2A, 0)   # Step2a
+        if suf is not None and len(w) >= _AR_2A_MIN[tag] + (
+                1 if tag == 3 else 0):
+            return w[:-len(suf)], True
+        if w.endswith("تمو") and len(w) >= 6:           # Step2c
+            return w[:-3], True
+        if w.endswith("و") and len(w) >= 4:
+            return w[:-1], True
+        if len(w) > 0:                                  # next (cursor--)
+            return w, True
+    if len(w) >= 5 and (w.endswith("وا") or w.endswith("تم")):
+        return w[:-2], True                             # Step2b
+    suf, tag = _longest_tagged(w, _AR_VERB_2A, 0)       # Step2a
+    if suf is not None and len(w) >= _AR_2A_MIN[tag] + (
+            1 if tag == 3 else 0):
+        return w[:-len(suf)], True
+    return w, False
+
+
+def _ar_noun_2abc(w):
+    """Step2a or Step2b or Step2c1 (shared by the 1a/1b continuations)."""
+    if len(w) > 4 and w[-1] in "اوي":
+        return w[:-1], True
+    if len(w) >= 5 and w.endswith("ات"):
+        return w[:-2], True
+    if len(w) >= 4 and w.endswith("ت"):
+        return w[:-1], True
+    return w, False
+
+
+def _ar_noun_branch(w, defined):
+    done = False
+    if len(w) >= 4 and w.endswith("ة"):                 # Step2c2
+        w, done = w[:-1], True
+    if not done and not defined:
+        suf, tag = _longest_tagged(w, _AR_NOUN_1A, 0)   # Step1a
+        if suf is not None and len(w) >= 3 + tag:
+            w = w[:-len(suf)]
+            w2, ok = _ar_noun_2abc(w)
+            if ok:
+                w, done = w2, True
+            elif len(w) > 0:                            # cursor--
+                done = True
+    if not done and len(w) > 5 and w.endswith("ن"):     # Step1b
+        w = w[:-1]
+        w2, ok = _ar_noun_2abc(w)
+        if ok:
+            w, done = w2, True
+    if not done and not defined:
+        if len(w) > 4 and w[-1] in "اوي":               # Step2a
+            w, done = w[:-1], True
+    if not done and len(w) >= 5 and w.endswith("ات"):   # Step2b
+        w, done = w[:-2], True
+    if len(w) >= 3 and w.endswith("ي"):                 # Step3
+        return w[:-1], True
+    return w, False
+
+
+def stem_arabic(w: str) -> str:
+    is_noun = is_verb = True
+    is_defined = False
+    if (len(w) > 4 and (w.startswith("بال") or w.startswith("كال"))) or \
+            (len(w) > 3 and (w.startswith("ال") or w.startswith("لل"))):
+        is_noun, is_verb, is_defined = True, False, True
+    w = w.translate(_AR_PRE)
+    handled = False
+    if is_verb:
+        w, handled = _ar_verb_branch(w)
+    if not handled and is_noun:
+        w, handled = _ar_noun_branch(w, is_defined)
+    if not handled and w.endswith("ى"):
+        w = w[:-1] + "ي"
+    # forward prefix chain with moving offset
+    c = 0
+    suf, tag = _ar_prefix_at(w, c, _AR_PFX1)            # Prefix_Step1
+    if suf is not None and len(w) > 3:
+        repl = _AR_PFX1_REPL[tag]
+        w = w[:c] + repl + w[c + len(suf):]
+        c += len(repl)
+    if (not w.startswith("فا", c) and not w.startswith("وا", c)
+            and c < len(w) and w[c] in "فو" and len(w) > 3):
+        w = w[:c] + w[c + 1:]                           # Prefix_Step2
+    did3 = False
+    if ((w.startswith("بال", c) or w.startswith("كال", c))
+            and len(w) > 5):                            # Prefix_Step3a
+        w, did3 = w[:c] + w[c + 3:], True
+    elif ((w.startswith("ال", c) or w.startswith("لل", c))
+            and len(w) > 4):
+        w, did3 = w[:c] + w[c + 2:], True
+    if not did3 and is_noun and not w.startswith("با", c):
+        suf, tag = _ar_prefix_at(w, c, _AR_PFX3B)       # Prefix_Step3b
+        if suf is not None and len(w) > 3:
+            if tag == 1:
+                w, did3 = w[:c] + w[c + 1:], True
+            else:
+                w, did3 = w[:c] + suf[0] + w[c + 2:], True
+    if not did3 and is_verb:
+        two = w[c:c + 2]
+        repl = _AR_PFX3V.get(two)                       # Prefix_Step3_Verb
+        if repl is not None and len(w) > 4:
+            w = w[:c] + repl + w[c + 2:]
+            c += 1
+        if w[c:c + 3] in ("تست", "نست", "يست") and len(w) > 4:
+            w = w[:c] + "است" + w[c + 3:]               # Prefix_Step4_Verb
+    # Normalize_post
+    if w and w[-1] in "آأؤإئ":
+        w = w[:-1] + "ء"
+    return w.translate(_AR_POST)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -4044,6 +4217,7 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_basque": stem_basque,
     "snowball_catalan": stem_catalan,
     "snowball_estonian": stem_estonian,
+    "snowball_arabic": stem_arabic,
     "snowball_indonesian": stem_indonesian_snowball,
     "snowball_hindi": stem_hindi_snowball,
     "snowball_lovins": stem_lovins,
