@@ -4206,6 +4206,210 @@ def stem_arabic(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Yiddish (Snowball yiddish script; reference
+# ``org/tartarus/snowball/ext/YiddishStemmer.java``).  Prelude folds
+# vav/yod digraphs and final forms and strips niqqud; mark_regions
+# rewrites גע/צו prefixes to ASCII "GE"/"TSU" markers and sets R1 past
+# the first vowel run (floored at prefix+3, with a 3-consonant early
+# exit); one big suffix pass with ablaut rewrites; markers removed last.
+
+_YI_NIKED = "".join(chr(c) for c in (
+    list(range(1456, 1464)) + [1464, 1465, 1467, 1468, 1471, 1473, 1474]))
+_YI_STRIP_NIKED = str.maketrans({c: "" for c in _YI_NIKED})
+_YI_VOWEL = "אויעױײ"
+_YI_CONSONANT = set("בגדהזחטךכלםמןנסףפץצקרשת" "װ")
+_YI_FINALS = {"ך": "כ", "ם": "מ", "ן": "נ", "ף": "פ", "ץ": "צ"}
+_YI_PREFIXES = sorted((
+    "אדורכ", "אהינ", "אהער", "אהײמ", "אומ", "אונטער", "איבער", "אנ",
+    "אנט", "אנטקעגנ", "אנידער", "אפ", "אפיר", "אקעגנ", "אראפ", "ארומ",
+    "ארונטער", "אריבער", "ארױס", "ארױפ", "ארײנ", "אװעק", "אױס", "אױפ",
+    "אײנ", "בא", "בײ", "דורכ", "דער", "מיט", "נאכ", "פאר", "פארבײ",
+    "פארױס", "פונאנדער", "צו", "צוזאמענ", "צונױפ", "צוריק", "צע",
+), key=len, reverse=True)
+_YI_CLUSTERS = ("דזש", "שטר", "שטש", "שפר")
+_YI_A2 = _bylen(
+    (-1, ["יע"]),
+    (1, ["ונג", "סטו", "ט", "סט", "יסט", "שאפט", "הײט", "קײט", "יקײט",
+         "לעכ", "עלעכ", "יזמ", "ימ", "עמ", "נ", "סטנ", "יסטנ", "ענ",
+         "עלענ", "יזמענ", "ס", "נס", "עס", "עלעס", "ערס", "ענערס",
+         "ע", "סטע", "עלע", "ער", "סטער"]),
+    (2, ["יעס"]),
+    (3, ["ענעמ", "ענס", "ענע", "ענער"]),
+    (4, ["טענעמ", "טנ", "טס", "טנס", "טע", "טענע", "טער", "טענער"]),
+    (5, ["גאנגענ", "גײנ"]), (6, ["נומענ"]), (7, ["שריבנ"]),
+    (8, ["GEמיטנ"]), (9, ["GEביטנ"]), (10, ["GEביסנ"]), (11, ["װיזנ"]),
+    (12, ["טריבנ"]), (13, ["GEליטנ"]), (14, ["קליבנ"]), (15, ["ריבנ"]),
+    (16, ["GEריסנ"]), (17, ["שװיגנ"]), (18, ["שמיסנ"]), (19, ["שניטנ"]),
+    (20, ["בונדנ"]), (21, ["װוטשנ"]), (22, ["זונגנ"]), (23, ["טרונקנ"]),
+    (24, ["צװונגנ"]), (25, ["שלונגנ"]), (26, ["בױגנ"]), (27, ["הױבנ"]),
+    (28, ["פארלױרנ"]), (29, ["שטאנענ"]), (30, ["שװױרנ"]),
+    (31, ["בראכט"]), (32, ["ות"]), (33, ["גיסט", "שיסט"]))
+_YI_CASE_REPL = {
+    5: "גײ", 6: "נעמ", 7: "שרײב", 8: "מײד", 9: "בײט", 10: "בײס",
+    11: "װײז", 12: "טרײב", 13: "לײט", 14: "קלײב", 15: "רײב", 16: "רײס",
+    17: "שװײג", 18: "שמײס", 19: "שנײד", 20: "בינד", 21: "װיטש",
+    22: "זינג", 23: "טרינק", 24: "צװינג", 25: "שלינג", 26: "בײג",
+    27: "הײב", 28: "פארליר", 29: "שטײ", 30: "שװער", 31: "ברענג"}
+_YI_REWRITES = (
+    ("גאנג", "גײ"), ("נומ", "נעמ"), ("מיט", "מײד"), ("ביט", "בײט"),
+    ("ביס", "בײס"), ("װיז", "װײז"), ("טריב", "טרײב"), ("ליט", "לײט"),
+    ("קליב", "קלײב"), ("ריב", "רײב"), ("ריס", "רײס"), ("שװיג", "שװײג"),
+    ("שמיס", "שמײס"), ("שניט", "שנײד"), ("שריב", "שרײב"),
+    ("בונד", "בינד"), ("װוטש", "װיטש"), ("זונג", "זינג"),
+    ("טרונק", "טרינק"), ("צװונג", "צװינג"), ("שלונג", "שלינג"),
+    ("בױג", "בײג"), ("הױב", "הײב"), ("פארלױר", "פארליר"),
+    ("שטאנ", "שטײ"), ("שװױר", "שװער"))
+_YI_A3 = _bylen((1, ["ונג", "שאפט", "הײט", "קײט", "יקײט"]), (2, ["ל"]))
+_YI_A4 = _bylen((-1, ["בליק", "גליק"]),
+                (1, ["יג", "יק", "דיק", "נדיק", "ניק", "יש"]),
+                (2, ["ענדיק"]))
+
+
+def _yi_prelude(w: str) -> str:
+    out = list(w)
+    i = 0
+    while i < len(out):
+        c = out[i]
+        nxt = out[i + 1] if i + 1 < len(out) else ""
+        nn = out[i + 2] if i + 2 < len(out) else ""
+        if c == "ו" and nxt == "ו" and nn != "ּ":
+            out[i:i + 2] = ["װ"]
+            continue
+        if c == "ו" and nxt == "י" and nn != "ִ":
+            out[i:i + 2] = ["ױ"]
+            continue
+        if c == "י" and nxt == "י" and nn != "ִ":
+            out[i:i + 2] = ["ײ"]
+            continue
+        rep = _YI_FINALS.get(c)
+        if rep is not None:
+            out[i] = rep
+            continue
+        i += 1
+    return "".join(out).translate(_YI_STRIP_NIKED)
+
+
+def _yi_mark_regions(w):
+    """Returns (w_with_markers, p1)."""
+    c = 0
+    if w.startswith("גע"):
+        w = "GE" + w[2:]
+        c = 2
+    for pfx in _YI_PREFIXES:
+        if w.startswith(pfx, c):
+            c2 = c + len(pfx)
+            tail = w[c2:]
+            if tail in ("צוגנ", "צוקט", "צוקנ"):
+                c = c2
+            elif w.startswith("גע", c2):
+                w = w[:c2] + "GE" + w[c2 + 2:]
+                c = c2 + 2
+            elif w.startswith("צו", c2):
+                w = w[:c2] + "TSU" + w[c2 + 2:]
+                c = c2 + 3
+            break
+    if c + 3 > len(w):
+        return w, len(w)
+    x = c + 3
+    for cl in _YI_CLUSTERS:
+        if w.startswith(cl, c):
+            c += 3
+            break
+    if (c + 3 <= len(w) and all(ch in _YI_CONSONANT
+                                for ch in w[c:c + 3])):
+        return w, c + 3
+    i = c
+    n = len(w)
+    while i < n and w[i] not in _YI_VOWEL:
+        i += 1
+    if i >= n:
+        return w, n
+    while i < n and w[i] in _YI_VOWEL:
+        i += 1
+    return w, max(i, x)
+
+
+def stem_yiddish(w: str) -> str:
+    w = _yi_prelude(w)
+    w, p1 = _yi_mark_regions(w)
+    # phase 1: the big suffix among
+    suf, tag = _longest_tagged(w, _YI_A2, 0)
+    if suf is not None:
+        bra = len(w) - len(suf)
+        if tag == 1:
+            if bra >= p1:
+                w = w[:bra]
+        elif tag == 2:
+            if bra >= p1:
+                w = w[:bra] + "יע"
+        elif tag == 3:
+            if bra >= p1:
+                w = w[:bra]
+                for pat, rep in _YI_REWRITES:
+                    if w.endswith(pat):
+                        w = w[:-len(pat)] + rep
+                        break
+        elif tag == 4:
+            second = False
+            if bra >= p1:
+                w = w[:bra]
+                if w.endswith("געבראכ"):
+                    w = w[:-6] + "ברענג"
+                    second = True
+                elif w.endswith("בראכ"):
+                    w = w[:-4] + "ברענג"
+                    second = True
+            else:
+                second = True            # R1 failed: fall to the tail del
+            if second:
+                for s2 in ("ענער", "ענעמ", "ענע", "נ", "ער", "נס",
+                           "ע", "ס"):
+                    if w.endswith(s2):
+                        if len(w) - len(s2) >= p1:
+                            w = w[:-len(s2)]
+                        break
+        elif tag == 32:
+            if bra >= p1:
+                w = w[:bra] + "ה"
+        elif tag == 33:
+            if len(w) - 1 >= p1:
+                w = w[:-1]               # final ט of גיסט/שיסט
+        elif tag > 0:
+            w = w[:bra] + _YI_CASE_REPL[tag]
+    # phase 2
+    suf, tag = _longest_tagged(w, _YI_A3, 0)
+    if suf is not None:
+        bra = len(w) - len(suf)
+        if tag == 1:
+            if bra >= p1:
+                w = w[:bra]
+        elif bra >= p1 and bra >= 1 and w[bra - 1] in _YI_CONSONANT:
+            w = w[:bra]
+    # phase 3
+    suf, tag = _longest_tagged(w, _YI_A4, 0)
+    if suf is not None:
+        bra = len(w) - len(suf)
+        if tag == 1 and bra >= p1:
+            w = w[:bra]
+        elif tag == 2 and bra >= p1:
+            # both branches of the reference's ענדיק case delete the
+            # whole suffix (the fallback's נדיק test is always true)
+            w = w[:bra]
+    # phase 4: strip the GE/TSU markers, rightmost first
+    k = len(w)
+    while k > 0:
+        if w[max(0, k - 2):k] == "GE":
+            w = w[:k - 2] + w[k:]
+            k -= 2
+        elif w[max(0, k - 3):k] == "TSU":
+            w = w[:k - 3] + w[k:]
+            k -= 3
+        else:
+            k -= 1
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -4218,6 +4422,7 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_catalan": stem_catalan,
     "snowball_estonian": stem_estonian,
     "snowball_arabic": stem_arabic,
+    "snowball_yiddish": stem_yiddish,
     "snowball_indonesian": stem_indonesian_snowball,
     "snowball_hindi": stem_hindi_snowball,
     "snowball_lovins": stem_lovins,
