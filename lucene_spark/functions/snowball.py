@@ -4410,6 +4410,322 @@ def stem_yiddish(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Tamil (Snowball tamil script; reference
+# ``org/tartarus/snowball/ext/TamilStemmer.java``).  A procedural
+# pipeline: fix_ending normalizations, question/pronoun prefix removal,
+# question/um/common-word/vetrumai/plural/command suffix passes, then a
+# tense-suffix loop; suffix alternatives are tried in script order
+# (first match wins), each guarded by its own length / context tests.
+
+_TA_P = "்"                                   # pulli
+_TA_SIGNS = "ாிீுூெேை"
+_TA_KCTPR = "கசடதபற"
+_TA_CONS10 = "கஙசஞதநபமயவ"
+_TA_A6 = "யரலளழவ"
+_TA_A7 = "ஙஞணநனம"
+_TA_INDEP = ("அஆஇஈஉஊ"
+             "எஏஐஒஓஔ")
+
+
+def _ta_ends(w, suf, not_before=None):
+    """endswith + optional 'preceding char NOT in set' test (the
+    Snowball negated lookbehind: vacuously true at the word start)."""
+    if not w.endswith(suf):
+        return False
+    if not_before is not None:
+        i = len(w) - len(suf) - 1
+        if i >= 0 and w[i] in not_before:
+            return False
+    return True
+
+
+def _ta_fix_va_start(w):
+    for pat, rep in (("வோ", "ஓ"),
+                     ("வொ", "ஒ"),
+                     ("வு", "உ"),
+                     ("வூ", "ஊ")):
+        if w.startswith(pat):
+            return rep + w[2:]
+    return w
+
+
+def _ta_fix_ending(w, vetrumai):
+    if len(w) <= 3:
+        return w, False
+    P = _TA_P
+    n = len(w)
+    for suf in ("ந்த்", "ந்த",
+                "ந்"):
+        if w.endswith(suf):
+            return w[:-len(suf)], True
+    if (w.endswith("ய்") and n >= 3
+            and w[-3] in "ிீை"):
+        return w[:-2], True
+    if w.endswith("ட்ப்") or \
+            w.endswith("ட்க்"):
+        return w[:-4] + "ள்", True
+    if w.endswith("ன்ற்"):
+        return w[:-4] + "ல்", True
+    if w.endswith("ற்க்"):
+        return w[:-4] + "ல்", True
+    if w.endswith("ட்ட்"):
+        return w[:-4] + "டு", True
+    if vetrumai and _ta_ends(w, "த்த்",
+                             not_before="ை"):
+        return w[:-4] + "ம்", True
+    if w.endswith("ுக்") or \
+            w.endswith("ுக்க்"):
+        k = 3 if w.endswith("ுக்") else 5
+        return w[:-k] + P, True
+    if (n >= 4 and w[-1] == P and w[-2] in _TA_KCTPR
+            and w[-3] == P and w[-4] in _TA_KCTPR):
+        return w[:-4], True
+    if n >= 2 and w[-1] == P and w[-2] in _TA_KCTPR:
+        return w[:-2], True
+    if (n >= 3 and w[-1] == P and w[-3] == P
+            and (w[-2] in _TA_A6 or w[-2] in _TA_A7)):
+        return w[:-3] + P, True
+    for suf in ("வ்", "ய", "வ"):
+        if w.endswith(suf):
+            return w[:-len(suf)], True
+    if _ta_ends(w, "னு", not_before=_TA_SIGNS):
+        return w[:-2], True
+    if w.endswith("ங்"):
+        if _ta_ends(w, "ங்", not_before="ை"):
+            return w[:-2] + "ம்", True
+        return w[:-2], True
+    if (w[-1] == P and n >= 2
+            and (w[-2] in _TA_SIGNS or w[-2] == P)):
+        return w[:-1], True
+    return w, False
+
+
+def _ta_fix_endings(w, vetrumai):
+    while True:
+        w, ok = _ta_fix_ending(w, vetrumai)
+        if not ok:
+            return w
+
+
+def _ta_remove_tense_suffix(w, vetrumai):
+    """Returns (w, found_a_match)."""
+    found = False
+    if len(w) <= 4:
+        return w, False
+    for suf in ("கொண்டிர்",
+                "படு"):                        # T1
+        if w.endswith(suf):
+            w, found = w[:-len(suf)], True
+            break
+    if not found:
+        for suf, nb in (                                      # T2: delete
+                ("மார்", None),
+                ("மின்", None),
+                ("னன்", None),
+                ("னான்", None),
+                ("னாள்", None),
+                ("னார்", None),
+                ("வன்", _TA_INDEP),
+                ("னள்", None),
+                ("வள்", None),
+                ("னர்", None),
+                ("வர்", None),
+                ("ன", None), ("ப", None), ("க", None),
+                ("த", None), ("ய", None),
+                ("பன்", None),
+                ("பள்", None),
+                ("பர்", None),
+                ("து", _TA_SIGNS),
+                ("ிற்று", None),
+                ("பம்", None),
+                ("னம்", None),
+                ("தும்", None),
+                ("றும்", None),
+                ("கும்", None),
+                ("னென்", None),
+                ("னை", None), ("வை", None)):
+            if _ta_ends(w, suf, nb):
+                w, found = w[:-len(suf)], True
+                break
+    if not found:
+        for suf, nb in (                                      # T3: -> pulli
+                ("ான்", "ச"),
+                ("ாள்", None),
+                ("ார்", None),
+                ("ேன்", None),
+                ("ா", None),
+                ("ாம்", None),
+                ("ெம்", None),
+                ("ேம்", None),
+                ("ோம்", None),
+                ("கும்", None),
+                ("தும்", None),
+                ("டும்", None),
+                ("றும்", None),
+                ("ாய்", None),
+                ("னென்", None),
+                ("னிர்", None),
+                ("ீர்", None),
+                ("ீயர்", None)):
+            if _ta_ends(w, suf, nb):
+                w, found = w[:-len(suf)] + _TA_P, True
+                break
+    if not found:
+        for suf in ("கு", "து"):          # T4
+            if (w.endswith(suf) and len(w) > 2
+                    and w[-3] == _TA_P):
+                w, found = w[:-2], True
+                break
+    for suf in ("ாநின்ற்", # a_25
+                "கின்ற்",
+                "ாநின்ற",
+                "கின்ற",
+                "கிற்", "கிற"):
+        if w.endswith(suf):
+            w, found = w[:-len(suf)], True
+            break
+    w = _ta_fix_endings(w, vetrumai)
+    return w, found
+
+
+def stem_tamil(w: str) -> str:
+    P = _TA_P
+    vetrumai = False
+    w, _ = _ta_fix_ending(w, vetrumai)
+    if len(w) <= 4:
+        return w
+    # question prefix: எ + C + ்
+    if (len(w) >= 3 and w[0] == "எ" and w[1] in _TA_CONS10
+            and w[2] == P):
+        w = _ta_fix_va_start(w[3:])
+    # pronoun prefix: அ/இ/உ + C + ்
+    if (len(w) >= 3 and w[0] in "அஇஉ"
+            and w[1] in _TA_CONS10 and w[2] == P):
+        w = _ta_fix_va_start(w[3:])
+    # question suffixes: ா/ே/ோ -> ்
+    if len(w) > 4:
+        if w and w[-1] in "ாேோ":
+            w = w[:-1] + P
+        w = _ta_fix_endings(w, vetrumai)
+    # um: ும் -> ்
+    if len(w) > 4 and w.endswith("ும்"):
+        w = w[:-3] + P
+        w, _ = _ta_fix_ending(w, vetrumai)
+    # common word endings
+    if len(w) > 4:
+        matched = False
+        for suf, nb in (
+                ("ுடன்", None),
+                ("ில்லை", None),
+                ("ிடம்", None),
+                ("ின்றி", None),
+                ("ாகி", None),
+                ("ாகிய", None),
+                ("ென்று", None),
+                ("ுள்ள", None),
+                ("ுடைய", None),
+                ("ுடை", None),
+                ("ெனும்", None),
+                ("ல்ல", _TA_SIGNS),
+                ("ென", None),
+                ("ாகி", None)):
+            if _ta_ends(w, suf, nb):
+                w, matched = w[:-len(suf)] + P, True
+                break
+        if not matched:
+            for suf in sorted((
+                    "பட்ட",
+                    "பட்டண",
+                    "தான",
+                    "படிதான",
+                    "குரிய",
+                    "படி",
+                    "பற்றி",
+                    "படு", "விடு",
+                    "பட்டு",
+                    "விட்டு",
+                    "பட்டது",
+                    "ெல்லாம்",
+                    ), key=len, reverse=True):
+                if w.endswith(suf):
+                    w, matched = w[:-len(suf)], True
+                    break
+        if matched:
+            w = _ta_fix_endings(w, vetrumai)
+    # vetrumai urupukal
+    if len(w) > 4:
+        matched = False
+        if w.endswith("னை"):                        # V1
+            w, matched = w[:-2], True
+        if not matched:                                       # V2
+            if (_ta_ends(w, "ினை",
+                         not_before=_TA_KCTPR)):
+                w, matched = w[:-3] + P, True
+            elif (_ta_ends(w, "ை", not_before=_TA_KCTPR)):
+                w, matched = w[:-1] + P, True
+            elif (w.endswith("ை") and len(w) >= 3
+                    and w[-2] in _TA_KCTPR and w[-3] == P):
+                w, matched = w[:-1] + P, True
+        if not matched:                                       # V3
+            for suf, nb, minlen in (
+                    ("ொடு", None, 0),
+                    ("ோடு", None, 0),
+                    ("ில்", None, 0),
+                    ("ிற்", None, 0),
+                    ("ின்", "ம", 0),
+                    ("ின்று", None, 0),
+                    ("ிருந்து",
+                     None, 0),
+                    ("விட", None, 0),
+                    ("ிடம்", None, 7),
+                    ("ால்", None, 0),
+                    ("ுடை", None, 0),
+                    ("ாமல்", None, 0),
+                    ("ல்", _TA_SIGNS, 0),
+                    ("ுள்", None, 0)):
+                if len(w) >= minlen and _ta_ends(w, suf, nb):
+                    w, matched = w[:-len(suf)] + P, True
+                    break
+        if not matched:                                       # V4
+            for suf, nb in (("கண்", None),
+                            ("முன்", None),
+                            ("மேல்", None),
+                            ("மேற்", None),
+                            ("கீழ்", None),
+                            ("பின்", None),
+                            ("து", _TA_SIGNS)):
+                if _ta_ends(w, suf, nb):
+                    w, matched = w[:-len(suf)], True
+                    break
+        if not matched and w.endswith("ீ"):              # V5
+            w, matched = w[:-1] + "ி", True
+        if matched:
+            vetrumai = True
+            if w.endswith("ின்"):
+                w = w[:-3] + P
+            w = _ta_fix_endings(w, vetrumai)
+    # plural suffix
+    if _ta_ends(w, "ுங்கள்",
+                not_before=_TA_KCTPR):
+        w = w[:-6] + P
+    elif w.endswith("ற்கள்"):
+        w = w[:-5] + "ல்"
+    elif w.endswith("ட்கள்"):
+        w = w[:-5] + "ள்"
+    elif w.endswith("கள்"):
+        w = w[:-3]
+    # command suffixes
+    if len(w) > 4 and (w.endswith("பி")
+                       or w.endswith("வி")):
+        w = w[:-2]
+    # tense suffixes, repeated while something matched
+    found = True
+    while found:
+        w, found = _ta_remove_tense_suffix(w, vetrumai)
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -4423,6 +4739,7 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_estonian": stem_estonian,
     "snowball_arabic": stem_arabic,
     "snowball_yiddish": stem_yiddish,
+    "snowball_tamil": stem_tamil,
     "snowball_indonesian": stem_indonesian_snowball,
     "snowball_hindi": stem_hindi_snowball,
     "snowball_lovins": stem_lovins,
