@@ -4726,6 +4726,490 @@ def stem_tamil(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Greek (Snowball greek script, the Ntais/Saroukos algorithm as compiled
+# by Snowball 2.0; reference ``org/tartarus/snowball/ext/GreekStemmer.java``
+# — distinct from the handwritten ``el/GreekStemmer.java`` already in
+# ``functions/greekstem.py``).  Backward lowercase/accent fold, then ~30
+# suffix steps, each "delete suffix; if the remaining stem is exactly /
+# ends with a listed stem, re-append a marker".  Three steps (step4,
+# 5b, 5c) reproduce the generated code's cursor quirk where the
+# insert-branch's tail check replaces the consumed chars; the ισα
+# branch of steps3 raises in the reference (stale ket after slice_del)
+# and is therefore left as a no-op here.
+
+_EL2_A2 = (
+    "συναθρο", "αναμπα", "ξαναπα", "περιπα", "αθρο", "δανε", "εμπα",
+    "επα", "πα")
+_EL2_A3 = (
+    "πιπερορ", "βαθυρι", "βολβορ", "γλυκορ", "γλυκυρ", "αμπαρ",
+    "πολυρ", "βαρκ", "κορν", "μαρκ", "αρρ", "γκρ", "ιμπ", "λου",
+    "μαρ", "μπρ", "πρ", "β", "λ", "μ", "π", "ρ")
+_EL2_A4 = (
+    "ιζουμε", "ιζουνε", "ιζαμε", "ιζανε", "ιζατε", "ιζεισ", "ιζετε",
+    "ιζουν", "ιζαν", "ιζει", "ιζεσ", "ιζα", "ιζε", "ιζω")
+_EL2_A5 = (
+    "αλ", "βι", "εν", "ζω", "λι", "υψ", "σ", "χ")
+_EL2_A6 = (
+    "ωθηκαμε", "ωθηκανε", "ωθηκατε", "ωθηκαν", "ωθηκεσ", "ωθηκα",
+    "ωθηκε")
+_EL2_A7 = (
+    "συναθρο", "χαρτοπα", "αναμπα", "απεκλε", "αποκλε", "εξαρχα",
+    "εσωκλε", "μετεπε", "ξαναπα", "περιπα", "αθρο", "δανε", "εκλε",
+    "εμπα", "επα", "επε", "εσε", "κλε", "πε")
+_EL2_A8 = (
+    "γιγαντοαφ", "δημοκρατ", "πουκαμ", "γκε", "κομ", "λαρ", "ολο",
+    "αν", "αφ", "γε", "γκ", "μ", "π")
+_EL2_A9 = (
+    "ισαμε", "ισανε", "ισατε", "ισαν", "ισεσ", "ισα", "ισε")
+_EL2_A10 = (
+    "συναθρο", "χαρτοπα", "αναμπα", "απεκλε", "αποκλε", "εξαρχα",
+    "εσωκλε", "μετεπε", "ξαναπα", "περιπα", "αθρο", "δανε", "εκλε",
+    "εμπα", "επα", "επε", "εσε", "κλε", "πε")
+_EL2_A11 = (
+    "ισουμε", "ισουνε", "ισεισ", "ισετε", "ισουν", "ισει", "ισω")
+_EL2_A12 = (
+    "συναθρο", "εσωκλε", "δανε", "ασε", "κλε", "πλε", "σε")
+_EL2_A13 = (
+    "ακτ", "αορ", "ασχ", "ατα", "αχν", "αχτ", "γεμ", "γυρ", "εμπ",
+    "ευπ", "εχθ", "ηφα", "καθ", "κακ", "κυλ", "λυγ", "μακ", "μεγ",
+    "ταχ", "φιλ", "χωρ", "απ", "αρ", "ηδ", "κτ", "σκ", "σχ", "υψ",
+    "φα", "χρ", "χτ", "μ", "π")
+_EL2_A14 = (
+    "ιστουσ", "ιστεσ", "ιστησ", "ιστοι", "ιστοσ", "ιστου", "ιστων",
+    "ιστα", "ιστε", "ιστη", "ιστο")
+_EL2_A15 = (
+    "μικροσε", "αποκλε", "μετασε", "εγκλε", "σε")
+_EL2_A16 = (
+    "αντιδανε", "δανε")
+_EL2_A18 = (
+    "ισμουσ", "ισμοι", "ισμοσ", "ισμου", "ισμων", "ισμο")
+_EL2_A19 = (
+    "σ", "χ")
+_EL2_A20 = (
+    "ουδακια", "αρακια", "ουδακι", "αρακι")
+_EL2_A21 = (
+    "τσεχοσλοβ", "κατραπ", "ναγκασ", "αλισφ", "καπακ", "μουστ",
+    "αμβρ", "ανθρ", "βαμβ", "καιμ", "κλιμ", "λαβρ", "λουλ", "σλοβ",
+    "σπαν", "φαρμ", "κον", "κορ", "μαλ", "μερ", "σοκ", "φυλ", "βρ",
+    "πλ", "ρυ", "σκ", "σφ", "τζ", "κ", "ρ", "σ", "φ", "χ")
+_EL2_A22 = (
+    "ηγουμεν", "μακρυν", "τριπολ", "πατερ", "γιαν", "καρδ", "βαλ",
+    "κον", "νυφ", "τοσ", "γλ", "σκ", "β", "ζ", "π")
+_EL2_A23 = (
+    "αρακια", "αρακι", "ιτσασ", "ιτσεσ", "ιτσων", "ακια", "ιτσα",
+    "ακι")
+_EL2_A24 = (
+    "αιφν", "ολο", "ψαλ", "ιρ")
+_EL2_A25 = (
+    "παιχν", "ε")
+_EL2_A26 = (
+    "ιδιων", "ιδια", "ιδιο")
+_EL2_A27 = (
+    "φραγκ", "οβελ", "λυκ", "μην", "ιβ", "δ", "ρ")
+_EL2_A28 = (
+    "ισκοσ", "ισκου", "ισκε", "ισκο")
+_EL2_A29 = (
+    "αδεσ", "αδων")
+_EL2_A30 = (
+    "γιαγι", "μπαμπ", "νταντ", "πατερ", "πεθερ", "θει", "κυρ",
+    "μαμ", "μαν", "οκ")
+_EL2_A31 = (
+    "εδεσ", "εδων")
+_EL2_A32 = (
+    "κρασπ", "γηπ", "δαπ", "εμπ", "μιλ", "ιπ", "οπ", "υπ")
+_EL2_A33 = (
+    "ουδεσ", "ουδων")
+_EL2_A34 = (
+    "καλιακ", "πεταλ", "λουλ", "πλεξ", "τραγ", "αρκ", "βελ", "λιχ",
+    "σκ", "σπ", "φε", "φλ", "φρ", "χν", "σ")
+_EL2_A35 = (
+    "εων", "εωσ")
+_EL2_A36 = (
+    "γαλ", "παρ", "ελ", "ιδ", "δ", "θ", "ν", "π")
+_EL2_A37 = (
+    "ιου", "ιων", "ια")
+_EL2_A38 = (
+    "ικου", "ικων", "ικα", "ικο")
+_EL2_A39 = (
+    "αμμοχαλ", "μπαγιατ", "ποστελν", "συνομηλ", "καλλιν", "πικαντ",
+    "πλιατσ", "πρωτοδ", "αντιδ", "καταδ", "συναδ", "φιλον", "φυλοδ",
+    "αμαν", "ανηθ", "βρωμ", "εξωδ", "καλπ", "μουλ", "μπαν", "μπολ",
+    "μποσ", "πετσ", "πιτσ", "σερτ", "τσαμ", "υποδ", "γερ", "ενδ",
+    "νιτ", "ξικ", "φυσ", "χασ", "αδ", "αλ", "ηθ")
+_EL2_A40 = (
+    "ηθηκαμε", "ουσαμε", "αγαμε", "ηκαμε", "ησαμε")
+_EL2_A41 = (
+    "αποστ", "αναπ", "αποθ", "αποκ", "βουβ", "πικρ", "ξεθ", "ουλ",
+    "πεθ", "ποτ", "σιχ", "χ")
+_EL2_A42 = (
+    "τρ", "τσ")
+_EL2_A43 = (
+    "ιουντανε", "ηθηκανε", "ιοντανε", "ουντανε", "ιοτανε", "οντανε",
+    "ουσανε", "αγανε", "ηκανε", "ησανε", "οτανε")
+_EL2_A44 = (
+    "καπνοβιομηχ", "μεγλοβιομηχ", "μικροβιομηχ", "χαμηλοδαπ",
+    "αμερικαν", "μουσουλμ", "ξηροκλιβ", "ολιγοδαμ", "σαρακατσ",
+    "φωτοστεφ", "βαθυγαλ", "δραδουμ", "καλπουζ", "καταγαλ",
+    "κοιλαρφ", "πενταρφ", "πολυδαπ", "πολυμηχ", "τσαρλατ",
+    "ψηλοταβ", "ατσιγγ", "βιομηχ", "βραχυκ", "καστελ", "κορμορ",
+    "λουθηρ", "μωαμεθ", "ολογαλ", "περιτρ", "πορτολ", "πουριτ",
+    "υπερηφ", "υποκοπ", "ψυχοπλ", "αθιγγ", "ανοργ", "βετερ",
+    "βουλκ", "βραχμ", "ενοργ", "λαοπλ", "μαιντ", "πελεκ", "περηφ",
+    "πολισ", "σουλτ", "τσιγγ", "αδαπ", "αμηχ", "ανικ", "απηγ",
+    "απιθ", "βασκ", "διατ", "διαφ", "διπλ", "ζωντ", "καστ", "κλιβ",
+    "νταβ", "πλατ", "στεγ", "στεφ", "τραγ", "τσαγ", "τσοπ", "βασ",
+    "γαλ", "γερ", "δεκ", "θυσ", "κοπ", "λιβ", "λιχ", "μελ", "ορφ",
+    "ουλ", "ουρ", "πιθ", "σιγ", "ταβ", "τετ", "αγ", "ερ", "ικ",
+    "πλ", "σπ", "γ", "θ", "μ", "ν", "π", "σ", "φ", "χ")
+_EL2_A45 = (
+    "ησετε",)
+_EL2_A46 = (
+    "υπερθ", "διαθ", "συνδ", "συνθ", "ωφελ", "αιν", "αιρ", "αρκ",
+    "βαρ", "βολ", "εκθ", "ενδ", "ενθ", "ευθ", "ευρ", "καθ", "νετ",
+    "πον", "πυρ", "ραθ", "ροθ", "ρον", "συν", "ταθ", "τιθ", "φορ",
+    "χωρ", "βρ", "οδ", "σθ", "σχ")
+_EL2_A47 = (
+    "παρακαλ", "βαρον", "αβαρ", "εναρ", "θαρρ", "μπορ", "σερπ",
+    "σκελ", "συρφ", "αβρ", "απλ", "βεν", "κοπ", "νιφ", "ντρ", "παγ",
+    "τοκ", "αδ", "αθ", "αν", "εμ", "σκ", "δ", "θ", "υ")
+_EL2_A48 = (
+    "οντασ", "ωντασ")
+_EL2_A49 = (
+    "ιομαστε", "ομαστε")
+_EL2_A50 = (
+    "αμεταμφ", "ακαταπ", "ασυμπ", "συμπ", "απ", "π")
+_EL2_A51 = (
+    "παρακαλ", "εκτελ", "νισ", "προ", "αλ", "αρ", "ζ", "μ", "ξ")
+_EL2_A52 = (
+    "ηθηκεσ", "ηθηκα", "ηθηκε")
+_EL2_A53 = (
+    "σκουλ", "ναρθ", "σκωλ", "πιθ", "οθ", "σφ")
+_EL2_A54 = (
+    "παρακαταθ", "προσθ", "διαθ", "συνθ", "θ")
+_EL2_A55 = (
+    "ηκεσ", "ηκα", "ηκε")
+_EL2_A56 = (
+    "μαντιλ", "πανταχ", "κυματ", "ποδαρ", "βλεπ", "μαλλ", "πρωτ",
+    "φρυδ", "λαχ", "ληγ", "φαγ", "ομ")
+_EL2_A57 = (
+    "δευτερευ", "ενδιαφερ", "καθαρευ", "υποτειν", "δεσποζ",
+    "λαμπιδ", "φαρμακ", "αναρρ", "εκλιπ", "μεσαζ", "ανηκ", "βρομ",
+    "αγκ", "αιθ", "λεχ", "μεδ", "πατ", "πλε", "τσα", "χαδ", "αμ",
+    "δε", "λ", "μ", "ρ")
+_EL2_A58 = (
+    "ουσεσ", "ουσα", "ουσε")
+_EL2_A59 = (
+    "ναυλοχ", "ψοφ")
+_EL2_A60 = (
+    "σμην", "χορτ", "λοχ", "πελ", "λλ", "οφ", "πρ", "ρπ", "σφ", "φρ")
+_EL2_A61 = (
+    "κροκαλοπ", "προσωποπ", "σιδηροπ", "αιμοστ", "αμαλλι", "δερβεν",
+    "δροσοπ", "αβαστ", "ανυστ", "αρτιπ", "ασπαρ", "νομοτ", "ουλαμ",
+    "πολυφ", "προστ", "αδηφ", "αειπ", "αμαλ", "ανυπ", "απερ",
+    "αποτ", "αχαρ", "διατ", "επιτ", "νεοπ", "ολοπ", "ομοτ", "παμφ",
+    "συμπ", "συντ", "υποτ", "ασπ", "ναυ", "ξεφ", "ουρ", "χαρ", "αφ",
+    "εν", "τρ", "λ", "μ", "π", "ρ", "τ")
+_EL2_A62 = (
+    "αγεσ", "αγα", "αγε")
+_EL2_A63 = (
+    "ησου", "ησα", "ησε")
+_EL2_A64 = (
+    "δωδεκαν", "μεγαλον", "ερημον", "χερσον", "επταν", "ν")
+_EL2_A65 = (
+    "ηστε",)
+_EL2_A66 = (
+    "κοινοχρ", "παλιμψ", "αειμν", "δυσχρ", "ευχρ", "απλ", "ασβ",
+    "αχρ", "σβ", "χρ")
+_EL2_A67 = (
+    "ηθουνε", "ησουνε", "ουνε")
+_EL2_A68 = (
+    "στραβομουτσ", "κακομουτσ", "εξων", "σπι", "ν", "ρ")
+_EL2_A69 = (
+    "ηθουμε", "ησουμε", "ουμε")
+_EL2_A70 = (
+    "αλλοσουσ", "παρασουσ", "ωριοπλ", "ασουσ", "αζ", "φ", "χ")
+_EL2_A71 = (
+    "ματοσ", "ματων", "ματα")
+_EL2_A72 = (
+    "ιοντουσαν", "ιομασταν", "ιοσασταν", "ιουμαστε", "οντουσαν",
+    "ηθηκατε", "ιεμαστε", "ιεσαστε", "ιομουνα", "ιοσαστε",
+    "ιοσουνα", "ιουνται", "ιουνταν", "ομασταν", "οσασταν",
+    "ουμαστε", "ηθειτε", "ηθηκαν", "ιομουν", "ιονταν", "ιοσουν",
+    "ομουνα", "οσαστε", "οσουνα", "ουνται", "ουνταν", "ουσατε",
+    "αγατε", "ηθεισ", "ηθουν", "ηκατε", "ησατε", "ησουν", "ιεμαι",
+    "ιεσαι", "ιεται", "ιοταν", "ιουμα", "ομουν", "ονται", "ονταν",
+    "οσουν", "ουμαι", "ουσαν", "αγαν", "αμαι", "ασαι", "αται",
+    "ειτε", "εσαι", "εται", "ηδεσ", "ηδων", "ηθει", "ηκαν", "ησαν",
+    "ησει", "ησεσ", "ομαι", "οταν", "αει", "εισ", "ηθω", "ησω",
+    "ουν", "ουσ", "αν", "ασ", "αω", "ει", "εσ", "ησ", "οι", "οσ",
+    "ου", "υσ", "ων", "α", "ε", "η", "ι", "ο", "υ", "ω")
+_EL2_A73 = (
+    "εστατ", "εστερ", "οτατ", "οτερ", "υτατ", "υτερ", "ωτατ", "ωτερ")
+_EL2_A1 = _bylen((1, ['φαγια', 'φαγιων', 'φαγιου']),
+    (2, ['σκαγια', 'σκαγιων', 'σκαγιου']),
+    (3, ['ολογια', 'ολογιων', 'ολογιου']),
+    (4, ['σογια', 'σογιων', 'σογιου']),
+    (5, ['τατογια', 'τατογιων', 'τατογιου']),
+    (6, ['κρεατα', 'κρεατων', 'κρεασ', 'κρεατοσ']),
+    (7, ['περατα', 'περατη', 'περατων', 'περασ', 'περατοσ']),
+    (8, ['τερατα', 'τερατων', 'τερασ', 'τερατοσ']),
+    (9, ['φωτα', 'φωτων', 'φωτοσ', 'φωσ']),
+    (10, ['καθεστωτα', 'καθεστωτων', 'καθεστωτοσ', 'καθεστωσ']),
+    (11, ['γεγονοτα', 'γεγονοτων', 'γεγονοσ', 'γεγονοτοσ']))
+_EL2_A1_REPL = {1: 'φα', 2: 'σκα', 3: 'ολο', 4: 'σο', 5: 'τατο', 6: 'κρε', 7: 'περ', 8: 'τερ', 9: 'φω', 10: 'καθεστ', 11: 'γεγον'}
+_EL2_A17 = _bylen((1, ['αγνωστικ']),
+    (2, ['ατομικ']),
+    (3, ['γνωστικ']),
+    (4, ['εθνικ']),
+    (5, ['εκλεκτικ']),
+    (6, ['σκεπτικ']),
+    (7, ['τοπικ']),
+    (8, ['αλεξανδριν']),
+    (9, ['βυζαντιν']),
+    (10, ['θεατριν']))
+_EL2_A17_REPL = {1: 'αγνωστ', 2: 'ατομ', 3: 'γνωστ', 4: 'εθν', 5: 'εκλεκτ', 6: 'σκεπτ', 7: 'τοπ', 8: 'αλεξανδρ', 9: 'βυζαντ', 10: 'θεατρ'}
+_EL2_LOWER = str.maketrans({'Ά': 'α', 'Α': 'α', 'ά': 'α', 'Β': 'β', 'Γ': 'γ', 'Δ': 'δ', 'Έ': 'ε', 'Ε': 'ε', 'έ': 'ε', 'Ζ': 'ζ', 'Ή': 'η', 'ΐ': 'η', 'Η': 'η', 'ή': 'η', 'ϊ': 'η', 'Θ': 'θ', 'Ί': 'ι', 'Ι': 'ι', 'Ϊ': 'ι', 'ί': 'ι', 'Κ': 'κ', 'Λ': 'λ', 'Μ': 'μ', 'Ν': 'ν', 'Ξ': 'ξ', 'Ό': 'ο', 'Ο': 'ο', 'ό': 'ο', 'Π': 'π', 'Ρ': 'ρ', 'Σ': 'σ', 'ς': 'σ', 'Τ': 'τ', 'Ύ': 'υ', 'Υ': 'υ', 'Ϋ': 'υ', 'ΰ': 'υ', 'ϋ': 'υ', 'ύ': 'υ', 'Φ': 'φ', 'Χ': 'χ', 'Ψ': 'ψ', 'Ώ': 'ω', 'Ω': 'ω', 'ώ': 'ω'})
+
+_EL2_V = "αεηιουω"
+_EL2_V2 = "αεηιοω"
+
+
+def stem_greek_snowball(w: str) -> str:
+    w = w.translate(_EL2_LOWER)
+    if len(w) < 3:
+        return w
+    test1 = True
+    suf, tag = _longest_tagged(w, _EL2_A1, 0)              # step1
+    if suf is not None:
+        w = w[:-len(suf)] + _EL2_A1_REPL[tag]
+        test1 = False
+    suf = _longest_suffix(w, _EL2_A4, 0)                   # steps1
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A2:
+            w += "ι"
+        elif w in _EL2_A3:
+            w += "ιζ"
+    suf = _longest_suffix(w, _EL2_A6, 0)                   # steps2
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A5:
+            w += "ων"
+    suf = _longest_suffix(w, _EL2_A9, 0)                   # steps3
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w == "ισα":
+            pass                      # reference crashes on this path
+        elif w in _EL2_A7:
+            w += "ι"
+        elif w in _EL2_A8:
+            w += "ισ"
+    suf = _longest_suffix(w, _EL2_A11, 0)                  # steps4
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A10:
+            w += "ι"
+    suf = _longest_suffix(w, _EL2_A14, 0)                  # steps5
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A12:
+            w += "ι"
+        elif w in _EL2_A13:
+            w += "ιστ"
+    suf = _longest_suffix(w, _EL2_A18, 0)                  # steps6
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A15:
+            w += "ισμ"
+        elif w in _EL2_A16:
+            w += "ι"
+        else:
+            s2, t2 = _longest_tagged(w, _EL2_A17, 0)
+            if s2 is not None:
+                w = w[:-len(s2)] + _EL2_A17_REPL[t2]
+    suf = _longest_suffix(w, _EL2_A20, 0)                  # steps7
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A19:
+            w += "αρακ"
+    suf = _longest_suffix(w, _EL2_A23, 0)                  # steps8
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A21:
+            w += "ακ"
+        elif w in _EL2_A22:
+            w += "ιτσ"
+        elif w.endswith("κορ"):
+            w += "ιτσ"
+    suf = _longest_suffix(w, _EL2_A26, 0)                  # steps9
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A24:
+            w += "ιδ"
+        elif _longest_suffix(w, _EL2_A25, 0):
+            w += "ιδ"
+    suf = _longest_suffix(w, _EL2_A28, 0)                  # steps10
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A27:
+            w += "ισκ"
+    suf = _longest_suffix(w, _EL2_A29, 0)                  # step2a
+    if suf:
+        w = w[:-len(suf)]
+        if not _longest_suffix(w, _EL2_A30, 0):
+            w += "αδ"
+    suf = _longest_suffix(w, _EL2_A31, 0)                  # step2b
+    if suf:
+        w = w[:-len(suf)]
+        if _longest_suffix(w, _EL2_A32, 0):
+            w += "εδ"
+    suf = _longest_suffix(w, _EL2_A33, 0)                  # step2c
+    if suf:
+        w = w[:-len(suf)]
+        if _longest_suffix(w, _EL2_A34, 0):
+            w += "ουδ"
+    suf = _longest_suffix(w, _EL2_A35, 0)                  # step2d
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A36:
+            w += "ε"
+    suf = _longest_suffix(w, _EL2_A37, 0)                  # step3
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w and w[-1] in _EL2_V:
+            w += "ι"
+    suf = _longest_suffix(w, _EL2_A38, 0)                  # step4
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w and w[-1] in _EL2_V:
+            stem = w
+            w = w + "ικ"
+            if stem[:-1] in _EL2_A39:      # quirk: replaces the vowel
+                w = stem[:-1] + "ικικ"
+        elif w in _EL2_A39:
+            w += "ικ"
+    if w == "αγαμε":                               # step5a
+        w = "αγαμ"              # stale bra/ket resolve to whole-word
+    suf = _longest_suffix(w, _EL2_A40, 0)
+    if suf:
+        w, test1 = w[:-len(suf)], False
+    if w.endswith("αμε"):
+        w, test1 = w[:-3], False
+        if w in _EL2_A41:
+            w += "αμ"
+    suf = _longest_suffix(w, _EL2_A43, 0)                  # step5b
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A42:
+            w += "αγαν"
+    if w.endswith("ανε"):
+        w, test1 = w[:-3], False
+        if w and w[-1] in _EL2_V2:
+            stem = w
+            w = w + "αν"
+            if stem[:-1] in _EL2_A44:      # quirk tail
+                w = stem[:-1] + "αναν"
+        elif w in _EL2_A44:
+            w += "αν"
+    if w.endswith("ησετε"):                                # step5c
+        w, test1 = w[:-5], False
+    if w.endswith("ετε"):
+        w, test1 = w[:-3], False
+        if w and w[-1] in _EL2_V2:
+            stem = w
+            w = w + "ετ"
+            if stem[:-1] in _EL2_A47:      # quirk tail
+                w = stem[:-1] + "ετετ"
+        else:
+            m = _longest_suffix(w, _EL2_A46, 0)
+            if m:
+                stem = w
+                w = w + "ετ"
+                if stem[:-len(m)] in _EL2_A47:
+                    w = stem[:-len(m)] + "ετετ"
+            elif w in _EL2_A47:
+                w += "ετ"
+    suf = _longest_suffix(w, _EL2_A48, 0)                  # step5d
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w == "αρχ":
+            w += "οντ"
+        elif w.endswith("κρε"):
+            w += "ωντ"
+    suf = _longest_suffix(w, _EL2_A49, 0)                  # step5e
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w == "ον":
+            w += "ομαστ"
+    if w.endswith("ιεστε"):                                # step5f
+        w, test1 = w[:-5], False
+        if w in _EL2_A50:
+            w += "ιεστ"
+    if w.endswith("εστε"):
+        w, test1 = w[:-4], False
+        if w in _EL2_A51:
+            w += "ιεστ"
+    suf = _longest_suffix(w, _EL2_A52, 0)                  # step5g
+    if suf:
+        w, test1 = w[:-len(suf)], False
+    suf = _longest_suffix(w, _EL2_A55, 0)
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if _longest_suffix(w, _EL2_A53, 0):
+            w += "ηκ"
+        elif w in _EL2_A54:
+            w += "ηκ"
+    suf = _longest_suffix(w, _EL2_A58, 0)                  # step5h
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if _longest_suffix(w, _EL2_A56, 0):
+            w += "ουσ"
+        elif w in _EL2_A57:
+            w += "ουσ"
+    suf = _longest_suffix(w, _EL2_A63, 0)                  # step5j
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A64:
+            w += "ησ"
+    suf = _longest_suffix(w, _EL2_A62, 0)                  # step5i
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w.endswith("κολλ"):
+            w += "αγ"
+        elif _longest_suffix(w, _EL2_A59, 0):
+            pass                             # ψοφ/ναυλοχ: no append
+        elif _longest_suffix(w, _EL2_A60, 0):
+            w += "αγ"
+        elif w in _EL2_A61:
+            w += "αγ"
+    if w.endswith("ηστε"):                                 # step5k
+        w, test1 = w[:-4], False
+        if w in _EL2_A66:
+            w += "ηστ"
+    suf = _longest_suffix(w, _EL2_A67, 0)                  # step5l
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A68:
+            w += "ουν"
+    suf = _longest_suffix(w, _EL2_A69, 0)                  # step5m
+    if suf:
+        w, test1 = w[:-len(suf)], False
+        if w in _EL2_A70:
+            w += "ουμ"
+    suf = _longest_suffix(w, _EL2_A71, 0)                  # step6
+    if suf:
+        w = w[:-len(suf)] + "μα"
+    if test1:
+        suf = _longest_suffix(w, _EL2_A72, 0)
+        if suf:
+            w = w[:-len(suf)]
+    suf = _longest_suffix(w, _EL2_A73, 0)                  # step7
+    if suf:
+        w = w[:-len(suf)]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -4740,6 +5224,7 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_arabic": stem_arabic,
     "snowball_yiddish": stem_yiddish,
     "snowball_tamil": stem_tamil,
+    "snowball_greek": stem_greek_snowball,
     "snowball_indonesian": stem_indonesian_snowball,
     "snowball_hindi": stem_hindi_snowball,
     "snowball_lovins": stem_lovins,
