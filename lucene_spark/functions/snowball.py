@@ -5210,6 +5210,722 @@ def stem_greek_snowball(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Serbian (Snowball serbian script; reference
+# ``org/tartarus/snowball/ext/SerbianStemmer.java``).  Cyrillic-to-Latin
+# fold, ijekavian-to-ekavian prelude (C-ije-C / C-je-C -> e, dj -> đ),
+# R1 with a vowel-or-syllabic-r mark, then one big morphological
+# rewrite (Step_1, ungated), else an R1-gated rewrite (Step_2) or an
+# R1-gated deletion (Step_3).  Cases marked True in the action maps
+# require the word to carry NO diacritics (ć č đ š ž) anywhere.
+
+_SR_STEP1 = (
+    ("teticima", 21), ("centara", 69), ("kustava", 29), ("tvenici",
+    20), ("atcima", 58), ("avilan", 35), ("centar", 69), ("inzima",
+    19), ("istara", 70), ("jacima", 5), ("lozima", 1), ("metara",
+    68), ("nicima", 23), ("nstava", 22), ("pesima", 2), ("pletan",
+    50), ("pravan", 44), ("stavan", 43), ("tetici", 21), ("ticima",
+    24), ("utcima", 62), ("voljan", 77), ("zicima", 25), ("acaka",
+    55), ("ajaca", 12), ("ajaka", 16), ("alaca", 82), ("anaka", 78),
+    ("anata", 53), ("anjac", 11), ("antan", 32), ("ataka", 58),
+    ("ačaka", 54), ("bilan", 33), ("bojci", 4), ("cajan", 7),
+    ("dusan", 31), ("dušan", 30), ("ejaca", 14), ("ekata", 86),
+    ("elaca", 83), ("esama", 67), ("eskan", 63), ("etaka", 59),
+    ("gilan", 37), ("istar", 70), ("itaka", 60), ("izama", 87),
+    ("kusan", 28), ("laran", 9), ("ljaca", 13), ("metar", 68),
+    ("nilan", 39), ("njaca", 85), ("ojaca", 15), ("ojaka", 17),
+    ("ojsci", 66), ("olaca", 84), ("otaka", 61), ("rilan", 38),
+    ("silan", 36), ("sivan", 46), ("snici", 26), ("tetan", 49),
+    ("tican", 65), ("tilan", 34), ("tivan", 45), ("tičan", 64),
+    ("utaka", 62), ("vojci", 3), ("čajan", 6), ("čcima", 74),
+    ("acak", 55), ("ajac", 12), ("alac", 82), ("alan", 40), ("aoca",
+    82), ("asan", 91), ("atak", 58), ("atan", 47), ("atci", 58),
+    ("ačak", 54), ("ašan", 90), ("baci", 89), ("daba", 73), ("ejac",
+    14), ("ekat", 86), ("elac", 83), ("enat", 48), ("eran", 8),
+    ("esan", 10), ("etak", 59), ("inzi", 19), ("itak", 60), ("itci",
+    60), ("izam", 87), ("jaci", 5), ("jebe", 88), ("kuse", 27),
+    ("ljac", 13), ("lozi", 1), ("maca", 75), ("naca", 76), ("njac",
+    85), ("ojac", 15), ("olac", 84), ("olce", 84), ("oscu", 72),
+    ("otak", 61), ("ozan", 41), ("ošću", 71), ("pesi", 2), ("raca",
+    81), ("rave", 42), ("saca", 80), ("save", 52), ("usak", 57),
+    ("utak", 62), ("utci", 62), ("ušak", 56), ("vaca", 79), ("šaca",
+    18), ("šave", 51), ("mac", 75), ("nac", 76), ("rac", 81),
+    ("sac", 80), ("vac", 79), ("čci", 74), ("šac", 18))
+_SR_STEP2 = (
+    ("astadosmo", 110), ("astadoste", 110), ("astajasmo", 106),
+    ("astajaste", 106), ("evitijega", 92), ("evitijemu", 92),
+    ("evitijima", 92), ("istadosmo", 111), ("istadoste", 111),
+    ("istajasmo", 107), ("istajaste", 107), ("ostadosmo", 112),
+    ("ostadoste", 112), ("ostajasmo", 108), ("ostajaste", 108),
+    ("ovitijega", 93), ("ovitijemu", 93), ("ovitijima", 93),
+    ("anjijega", 84), ("anjijemu", 84), ("anjijima", 84),
+    ("astademo", 110), ("astadete", 110), ("astadose", 141),
+    ("astadoše", 110), ("astajahu", 106), ("astajala", 106),
+    ("astajale", 106), ("astajali", 106), ("astajalo", 106),
+    ("astajase", 138), ("astajati", 106), ("astajaše", 106),
+    ("astajemo", 106), ("astajete", 106), ("astajuci", 138),
+    ("astajući", 106), ("astanemo", 110), ("astanete", 110),
+    ("astanila", 110), ("astanimo", 110), ("astanite", 110),
+    ("astijega", 94), ("astijemu", 94), ("astijima", 94),
+    ("cajevima", 26), ("enjijega", 85), ("enjijemu", 85),
+    ("enjijima", 85), ("evitijeg", 92), ("evitijem", 92),
+    ("evitijih", 92), ("evitijim", 92), ("evitijoj", 92),
+    ("ganijama", 9), ("ganijima", 9), ("istademo", 111),
+    ("istadete", 111), ("istadose", 142), ("istadoše", 111),
+    ("istajahu", 107), ("istajala", 107), ("istajale", 107),
+    ("istajali", 107), ("istajalo", 107), ("istajase", 139),
+    ("istajati", 107), ("istajaše", 107), ("istajemo", 107),
+    ("istajete", 107), ("istajuci", 139), ("istajući", 107),
+    ("istanemo", 111), ("istanete", 111), ("istanila", 111),
+    ("istanimo", 111), ("istanite", 111), ("lajevima", 30),
+    ("lucujemo", 121), ("lucujete", 121), ("lucujuci", 121),
+    ("lučujemo", 117), ("lučujete", 117), ("lučujući", 117),
+    ("manijama", 6), ("manijima", 6), ("ostademo", 112),
+    ("ostadete", 112), ("ostadose", 143), ("ostadoše", 112),
+    ("ostajahu", 108), ("ostajala", 108), ("ostajale", 108),
+    ("ostajali", 108), ("ostajalo", 108), ("ostajase", 140),
+    ("ostajati", 108), ("ostajaše", 108), ("ostajemo", 108),
+    ("ostajete", 108), ("ostajuci", 140), ("ostajući", 108),
+    ("ostanemo", 112), ("ostanete", 112), ("ostanila", 112),
+    ("ostanimo", 112), ("ostanite", 112), ("ovitijeg", 93),
+    ("ovitijem", 93), ("ovitijih", 93), ("ovitijim", 93),
+    ("ovitijoj", 93), ("panijama", 7), ("panijima", 7), ("rajevima",
+    31), ("ranijama", 8), ("ranijima", 8), ("snjijega", 122),
+    ("snjijemu", 122), ("snjijima", 122), ("tanijama", 5),
+    ("tanijima", 5), ("ćajevima", 28), ("čajevima", 27),
+    ("đajevima", 29), ("šnjijega", 86), ("šnjijemu", 86),
+    ("šnjijima", 86), ("ajevima", 109), ("anjijeg", 84), ("anjijem",
+    84), ("anjijih", 84), ("anjijim", 84), ("anjijoj", 84),
+    ("astadem", 110), ("astades", 141), ("astadeš", 110),
+    ("astadoh", 110), ("astajah", 106), ("astajao", 106),
+    ("astajat", 106), ("astajem", 106), ("astajes", 138),
+    ("astaješ", 106), ("astajmo", 106), ("astajte", 106),
+    ("astanem", 110), ("astanes", 141), ("astaneš", 110),
+    ("astavsi", 141), ("astavši", 110), ("astijeg", 94), ("astijem",
+    94), ("astijih", 94), ("astijim", 94), ("astijoj", 94),
+    ("atijega", 120), ("atijemu", 120), ("atijima", 120),
+    ("avajuci", 144), ("avajući", 97), ("avijega", 77), ("avijemu",
+    77), ("avijima", 77), ("elijega", 83), ("elijemu", 83),
+    ("elijima", 83), ("enjijeg", 85), ("enjijem", 85), ("enjijih",
+    85), ("enjijim", 85), ("enjijoj", 85), ("evajuci", 145),
+    ("evajući", 96), ("evijega", 78), ("evijemu", 78), ("evijima",
+    78), ("evitega", 92), ("evitemu", 92), ("evitija", 92),
+    ("evitije", 92), ("evitiji", 92), ("evitima", 92), ("evitoga",
+    92), ("evitome", 92), ("evitomu", 92), ("ganijom", 9),
+    ("ijalama", 47), ("ijalima", 47), ("ikatima", 68), ("injasmo",
+    114), ("injaste", 114), ("irajuci", 155), ("irajući", 100),
+    ("irujemo", 100), ("irujete", 100), ("irujuci", 155),
+    ("irujući", 100), ("istadem", 111), ("istades", 142),
+    ("istadeš", 111), ("istadoh", 111), ("istajah", 107),
+    ("istajao", 107), ("istajat", 107), ("istajem", 107),
+    ("istajes", 139), ("istaješ", 107), ("istajmo", 107),
+    ("istajte", 107), ("istanem", 111), ("istanes", 142),
+    ("istaneš", 111), ("istavsi", 142), ("istavši", 111),
+    ("ivajuci", 146), ("ivajući", 98), ("ivijega", 79), ("ivijemu",
+    79), ("ivijima", 79), ("jetismo", 118), ("jetiste", 118),
+    ("lucismo", 121), ("luciste", 121), ("lucujem", 121),
+    ("lucujes", 121), ("lucujmo", 121), ("lucujte", 121),
+    ("lučismo", 117), ("lučiste", 117), ("lučujem", 117),
+    ("lučuješ", 117), ("lučujmo", 117), ("lučujte", 117),
+    ("manijom", 6), ("olovima", 49), ("onovima", 12), ("osijega",
+    123), ("osijemu", 123), ("osijima", 123), ("ostadem", 112),
+    ("ostades", 143), ("ostadeš", 112), ("ostadoh", 112),
+    ("ostajah", 108), ("ostajao", 108), ("ostajat", 108),
+    ("ostajem", 108), ("ostajes", 140), ("ostaješ", 108),
+    ("ostajmo", 108), ("ostajte", 108), ("ostanem", 112),
+    ("ostanes", 143), ("ostaneš", 112), ("ostavsi", 143),
+    ("ostavši", 112), ("ovijega", 80), ("ovijemu", 80), ("ovijima",
+    80), ("ovitega", 93), ("ovitemu", 93), ("ovitija", 93),
+    ("ovitije", 93), ("ovitiji", 93), ("ovitima", 93), ("ovitoga",
+    93), ("ovitome", 93), ("ovitomu", 93), ("ozilima", 48),
+    ("ošijega", 91), ("ošijemu", 91), ("ošijima", 91), ("panijom",
+    7), ("ranijom", 8), ("rarijem", 21), ("rosismo", 127),
+    ("rosiste", 127), ("rosivsi", 127), ("rošismo", 90), ("rošiste",
+    90), ("rošivši", 90), ("skijega", 1), ("skijemu", 1),
+    ("skijima", 1), ("snjijeg", 122), ("snjijem", 123), ("snjijih",
+    122), ("snjijim", 122), ("snjijoj", 122), ("tanijom", 5),
+    ("ugovima", 17), ("urajuci", 156), ("urajući", 105), ("uvajuci",
+    147), ("uvajući", 99), ("škijega", 2), ("škijemu", 2),
+    ("škijima", 2), ("šnjijeg", 86), ("šnjijem", 86), ("šnjijih",
+    86), ("šnjijim", 86), ("šnjijoj", 86), ("acasmo", 128),
+    ("acaste", 128), ("acavsi", 128), ("acismo", 124), ("aciste",
+    124), ("aninom", 10), ("anjega", 84), ("anjemu", 84), ("anjija",
+    84), ("anjije", 84), ("anjiji", 84), ("anjiju", 84), ("anjima",
+    84), ("anjoga", 84), ("anjome", 84), ("anjomu", 84), ("astade",
+    110), ("astadu", 110), ("astaje", 106), ("astaju", 106),
+    ("astala", 110), ("astale", 110), ("astali", 110), ("astalo",
+    110), ("astane", 110), ("astanu", 110), ("astati", 110),
+    ("astega", 94), ("astemo", 115), ("astemu", 94), ("astete",
+    115), ("astija", 94), ("astije", 94), ("astiji", 94), ("astima",
+    94), ("astimo", 115), ("astite", 115), ("astoga", 94),
+    ("astome", 94), ("astomu", 94), ("astuci", 136), ("astući",
+    115), ("atijeg", 120), ("atijem", 120), ("atijih", 120),
+    ("atijim", 120), ("avajmo", 97), ("avajte", 97), ("avasmo", 97),
+    ("avaste", 97), ("avijeg", 77), ("avijem", 77), ("avijih", 77),
+    ("avijim", 77), ("avijoj", 77), ("ačasmo", 102), ("ačaste",
+    102), ("ačavši", 102), ("ačismo", 101), ("ačiste", 101),
+    ("basama", 135), ("basima", 135), ("bašama", 63), ("bašima",
+    63), ("bijama", 32), ("bijima", 32), ("cajama", 26), ("cajeva",
+    26), ("cajeve", 26), ("cajevi", 26), ("cajima", 26), ("cijama",
+    33), ("cijima", 33), ("cinama", 137), ("cinima", 137),
+    ("cinoga", 137), ("cinome", 137), ("cinomu", 137), ("dijama",
+    34), ("dijima", 34), ("elijeg", 83), ("elijem", 83), ("elijih",
+    83), ("elijim", 83), ("elijoj", 83), ("enjega", 85), ("enjemu",
+    85), ("enjija", 85), ("enjije", 85), ("enjiji", 85), ("enjiju",
+    85), ("enjima", 85), ("enjoga", 85), ("enjome", 85), ("enjomu",
+    85), ("estama", 71), ("estima", 71), ("etavsi", 153), ("etavši",
+    70), ("evajmo", 96), ("evajte", 96), ("evasmo", 96), ("evaste",
+    96), ("evijeg", 78), ("evijem", 78), ("evijih", 78), ("evijim",
+    78), ("evijoj", 78), ("evitem", 92), ("evitih", 92), ("evitim",
+    92), ("evitog", 92), ("evitoj", 92), ("evitom", 92), ("fijama",
+    40), ("fijima", 40), ("ganija", 9), ("ganije", 9), ("ganiji",
+    9), ("ganiju", 9), ("gasama", 131), ("gasima", 131), ("gašama",
+    64), ("gašima", 64), ("gijama", 39), ("gijima", 39), ("govima",
+    20), ("ijalom", 47), ("ikatom", 68), ("injahu", 114), ("injala",
+    114), ("injale", 114), ("injali", 114), ("injalo", 114),
+    ("injase", 150), ("injati", 114), ("injaše", 114), ("injemo",
+    114), ("injete", 114), ("irasmo", 100), ("iraste", 100),
+    ("iravsi", 155), ("iravši", 100), ("irivat", 100), ("irujem",
+    100), ("irujes", 155), ("iruješ", 100), ("irujmo", 100),
+    ("irujte", 100), ("istade", 111), ("istadu", 111), ("istaje",
+    107), ("istaju", 107), ("istala", 111), ("istale", 111),
+    ("istali", 111), ("istalo", 111), ("istama", 72), ("istane",
+    111), ("istanu", 111), ("istati", 111), ("istima", 72),
+    ("ivajmo", 98), ("ivajte", 98), ("ivasmo", 98), ("ivaste", 98),
+    ("ivijeg", 79), ("ivijem", 79), ("ivijih", 79), ("ivijim", 79),
+    ("ivijoj", 79), ("ištima", 75), ("jasama", 129), ("jasima",
+    129), ("jašama", 61), ("jašima", 61), ("jetila", 118),
+    ("jetile", 118), ("jetili", 118), ("jetilo", 118), ("jetimo",
+    118), ("jetise", 149), ("jetite", 118), ("jetiti", 118),
+    ("jetiše", 118), ("kasama", 133), ("kasima", 133), ("kašama",
+    62), ("kašima", 62), ("kijega", 95), ("kijemu", 95), ("kijima",
+    95), ("kstama", 73), ("kstima", 73), ("lajama", 30), ("lajeva",
+    30), ("lajeve", 30), ("lajevi", 30), ("lajima", 30), ("latima",
+    69), ("lemama", 51), ("lemima", 51), ("lijama", 35), ("lijima",
+    35), ("logama", 19), ("lovima", 82), ("lucena", 121), ("lucene",
+    121), ("luceni", 121), ("luceno", 121), ("lucila", 121),
+    ("lucile", 121), ("lucili", 121), ("lucilo", 121), ("lucimo",
+    121), ("lucise", 121), ("lucite", 121), ("luciti", 121),
+    ("lucuje", 121), ("lucuju", 121), ("lučena", 117), ("lučene",
+    117), ("lučeni", 117), ("lučeno", 117), ("lučila", 117),
+    ("lučile", 117), ("lučili", 117), ("lučilo", 117), ("lučimo",
+    117), ("lučite", 117), ("lučiti", 117), ("lučiše", 117),
+    ("lučuje", 117), ("lučuju", 117), ("manija", 6), ("manije", 6),
+    ("maniji", 6), ("maniju", 6), ("mijama", 37), ("mijima", 37),
+    ("movima", 81), ("nalama", 46), ("nalima", 46), ("nasama", 132),
+    ("nasima", 132), ("našama", 60), ("našima", 60), ("nijama", 36),
+    ("nijega", 13), ("nijemu", 13), ("nijima", 13), ("osijeg", 123),
+    ("osijem", 123), ("osijih", 123), ("osijim", 123), ("osijoj",
+    123), ("ostade", 112), ("ostadu", 112), ("ostaje", 108),
+    ("ostaju", 108), ("ostala", 112), ("ostale", 112), ("ostali",
+    112), ("ostalo", 112), ("ostama", 74), ("ostane", 112),
+    ("ostanu", 112), ("ostati", 112), ("ostima", 74), ("otijem",
+    22), ("ovasmo", 76), ("ovaste", 76), ("ovijeg", 80), ("ovijem",
+    80), ("ovijih", 80), ("ovijim", 80), ("ovijoj", 80), ("ovitem",
+    93), ("ovitih", 93), ("ovitim", 93), ("ovitog", 93), ("ovitoj",
+    93), ("ovitom", 93), ("ozilom", 48), ("ošijeg", 91), ("ošijem",
+    91), ("ošijih", 91), ("ošijim", 91), ("ošijoj", 91), ("panija",
+    7), ("panije", 7), ("paniji", 7), ("paniju", 7), ("pijama", 41),
+    ("pijima", 41), ("rajama", 31), ("rajeva", 31), ("rajeve", 31),
+    ("rajevi", 31), ("rajima", 31), ("ramama", 52), ("ranija", 8),
+    ("ranije", 8), ("raniji", 8), ("raniju", 8), ("rarija", 21),
+    ("rariju", 21), ("rijama", 42), ("rijima", 42), ("rosila", 127),
+    ("rosile", 127), ("rosili", 127), ("rosilo", 127), ("rosimo",
+    127), ("rosise", 127), ("rosite", 127), ("rositi", 127),
+    ("rošila", 90), ("rošile", 90), ("rošili", 90), ("rošilo", 90),
+    ("rošimo", 90), ("rošite", 90), ("rošiti", 90), ("rošiše", 90),
+    ("sijama", 43), ("sijima", 43), ("skijeg", 1), ("skijem", 1),
+    ("skijih", 1), ("skijim", 1), ("skijoj", 1), ("snjega", 122),
+    ("snjemu", 122), ("snjija", 122), ("snjije", 122), ("snjiji",
+    122), ("snjiju", 122), ("snjima", 122), ("snjoga", 122),
+    ("snjome", 122), ("snjomu", 122), ("stvima", 3), ("tanija", 5),
+    ("tanije", 5), ("taniji", 5), ("taniju", 5), ("tasama", 130),
+    ("tasima", 130), ("tašama", 59), ("tašima", 59), ("tijama", 44),
+    ("tijima", 44), ("urajmo", 105), ("urajte", 105), ("urasmo",
+    105), ("uraste", 105), ("uvajmo", 99), ("uvajte", 99),
+    ("uvasmo", 99), ("uvaste", 99), ("vasama", 134), ("vasima",
+    134), ("vašama", 65), ("vašima", 65), ("zijama", 45), ("zijima",
+    45), ("ćajama", 28), ("ćajeva", 28), ("ćajeve", 28), ("ćajevi",
+    28), ("ćajima", 28), ("čajama", 27), ("čajeva", 27), ("čajeve",
+    27), ("čajevi", 27), ("čajima", 27), ("činama", 89), ("činima",
+    89), ("činoga", 89), ("činome", 89), ("činomu", 89), ("đajama",
+    29), ("đajeva", 29), ("đajeve", 29), ("đajevi", 29), ("đajima",
+    29), ("škijeg", 2), ("škijem", 2), ("škijih", 2), ("škijim", 2),
+    ("škijoj", 2), ("šnjega", 86), ("šnjemu", 86), ("šnjija", 86),
+    ("šnjije", 86), ("šnjiji", 86), ("šnjiju", 86), ("šnjima", 86),
+    ("šnjoga", 86), ("šnjome", 86), ("šnjomu", 86), ("štvima", 4),
+    ("žijama", 38), ("žijima", 38), ("acahu", 128), ("acaju", 128),
+    ("acala", 128), ("acale", 128), ("acali", 128), ("acalo", 128),
+    ("acamo", 128), ("acana", 128), ("acane", 128), ("acani", 128),
+    ("acano", 128), ("acase", 128), ("acate", 128), ("acati", 128),
+    ("aceci", 124), ("acega", 124), ("acemu", 124), ("acena", 124),
+    ("acene", 124), ("aceni", 124), ("aceno", 124), ("acila", 124),
+    ("acile", 124), ("acili", 124), ("acilo", 124), ("acima", 124),
+    ("acimo", 124), ("acise", 124), ("acite", 124), ("aciti", 124),
+    ("acoga", 124), ("acome", 124), ("acomu", 124), ("ajama", 109),
+    ("ajeva", 109), ("ajeve", 109), ("ajevi", 109), ("ajima", 109),
+    ("ajuci", 161), ("ajući", 104), ("alama", 104), ("alima", 104),
+    ("anega", 10), ("anemu", 10), ("anima", 10), ("anina", 10),
+    ("anine", 10), ("aninu", 10), ("anjeg", 84), ("anjem", 84),
+    ("anjih", 84), ("anjim", 84), ("anjog", 84), ("anjoj", 84),
+    ("anjom", 84), ("arama", 53), ("arima", 53), ("astao", 110),
+    ("astat", 110), ("astem", 94), ("astes", 136), ("asteš", 115),
+    ("astih", 94), ("astim", 94), ("astog", 94), ("astoj", 94),
+    ("astom", 94), ("atega", 120), ("atemu", 120), ("atija", 120),
+    ("atije", 120), ("atiji", 120), ("atiju", 120), ("atima", 120),
+    ("atoga", 120), ("atome", 120), ("atomu", 120), ("avahu", 97),
+    ("avaju", 97), ("avala", 97), ("avale", 97), ("avali", 97),
+    ("avalo", 97), ("avama", 77), ("avamo", 97), ("avana", 97),
+    ("avane", 97), ("avani", 97), ("avano", 97), ("avase", 144),
+    ("avate", 97), ("avati", 97), ("avaše", 97), ("avega", 77),
+    ("avemu", 77), ("avija", 77), ("avije", 77), ("aviji", 77),
+    ("aviju", 77), ("avima", 77), ("avoga", 77), ("avome", 77),
+    ("avomu", 77), ("aćega", 14), ("aćemu", 14), ("aćima", 14),
+    ("aćoga", 14), ("aćome", 14), ("aćomu", 14), ("ačahu", 102),
+    ("ačaju", 102), ("ačala", 102), ("ačale", 102), ("ačali", 102),
+    ("ačalo", 102), ("ačamo", 102), ("ačana", 102), ("ačane", 102),
+    ("ačani", 102), ("ačano", 102), ("ačate", 102), ("ačati", 102),
+    ("ačaše", 102), ("ačena", 101), ("ačene", 101), ("ačeni", 101),
+    ("ačeno", 101), ("ačeći", 101), ("ačila", 101), ("ačile", 101),
+    ("ačili", 101), ("ačilo", 101), ("ačimo", 101), ("ačite", 101),
+    ("ačiti", 101), ("ačiše", 101), ("basem", 135), ("basom", 135),
+    ("bašem", 63), ("bašom", 63), ("bijom", 32), ("cajem", 26),
+    ("cijom", 33), ("cinih", 137), ("cinim", 137), ("cinog", 137),
+    ("cinoj", 137), ("cinom", 137), ("dijom", 34), ("drama", 54),
+    ("drima", 54), ("ecega", 125), ("ecemu", 125), ("ecima", 125),
+    ("ecoga", 125), ("ecome", 125), ("ecomu", 125), ("elama", 119),
+    ("elega", 83), ("elemu", 83), ("elija", 83), ("elije", 83),
+    ("eliji", 83), ("eliju", 83), ("elima", 83), ("eloga", 83),
+    ("elome", 83), ("elomu", 83), ("enega", 87), ("enemu", 87),
+    ("enjeg", 85), ("enjem", 85), ("enjih", 85), ("enjim", 85),
+    ("enjog", 85), ("enjoj", 85), ("enjom", 85), ("erama", 55),
+    ("erima", 55), ("esama", 152), ("esima", 57), ("estom", 71),
+    ("etama", 70), ("etemo", 70), ("etima", 70), ("etimo", 70),
+    ("etuci", 153), ("etući", 70), ("evahu", 96), ("evaju", 96),
+    ("evala", 96), ("evale", 96), ("evali", 96), ("evalo", 96),
+    ("evama", 78), ("evamo", 96), ("evana", 96), ("evane", 96),
+    ("evani", 96), ("evano", 96), ("evase", 145), ("evate", 96),
+    ("evati", 96), ("evaše", 96), ("evega", 78), ("evemu", 78),
+    ("evija", 78), ("evije", 78), ("eviji", 78), ("eviju", 78),
+    ("evima", 78), ("evita", 92), ("evite", 92), ("eviti", 92),
+    ("evito", 92), ("evitu", 92), ("evoga", 78), ("evome", 78),
+    ("evomu", 78), ("ećega", 15), ("ećemu", 15), ("ećima", 15),
+    ("ećoga", 15), ("ećome", 15), ("ećomu", 15), ("ešama", 66),
+    ("ešima", 66), ("fijom", 40), ("gasem", 131), ("gasom", 131),
+    ("gašem", 64), ("gašom", 64), ("gijom", 39), ("ijala", 47),
+    ("ijale", 47), ("ijali", 47), ("ijalo", 47), ("ijalu", 47),
+    ("ijemo", 116), ("ijete", 116), ("ikata", 68), ("ikate", 68),
+    ("ikati", 68), ("ikato", 68), ("ikatu", 68), ("ilama", 116),
+    ("ilima", 116), ("inama", 11), ("inima", 11), ("injah", 114),
+    ("injao", 114), ("injat", 114), ("injem", 114), ("injes", 150),
+    ("inješ", 114), ("irahu", 100), ("iraju", 100), ("irala", 100),
+    ("irale", 100), ("irali", 100), ("iralo", 100), ("iramo", 100),
+    ("irase", 155), ("irate", 100), ("irati", 100), ("iraše", 100),
+    ("iruje", 100), ("iruju", 100), ("isama", 154), ("isima", 58),
+    ("istao", 111), ("istat", 111), ("istem", 151), ("istom", 72),
+    ("ivahu", 98), ("ivaju", 98), ("ivala", 98), ("ivale", 98),
+    ("ivali", 98), ("ivalo", 98), ("ivama", 79), ("ivamo", 98),
+    ("ivana", 98), ("ivane", 98), ("ivani", 98), ("ivano", 98),
+    ("ivase", 146), ("ivate", 98), ("ivati", 98), ("ivaše", 98),
+    ("ivega", 79), ("ivemu", 79), ("ivija", 79), ("ivije", 79),
+    ("iviji", 79), ("iviju", 79), ("ivima", 79), ("ivoga", 79),
+    ("ivome", 79), ("ivomu", 79), ("išama", 67), ("išima", 67),
+    ("ištem", 75), ("jasem", 129), ("jasom", 129), ("jašem", 61),
+    ("jašom", 61), ("jetih", 118), ("jetim", 118), ("jetio", 118),
+    ("jetis", 149), ("jetit", 118), ("jetiš", 118), ("kasem", 133),
+    ("kasom", 133), ("kašem", 62), ("kašom", 62), ("kijeg", 95),
+    ("kijem", 95), ("kijih", 95), ("kijim", 95), ("kijoj", 95),
+    ("kstom", 73), ("lajem", 30), ("latom", 69), ("lemom", 51),
+    ("lijem", 24), ("lijom", 35), ("logom", 19), ("lovom", 82),
+    ("lucen", 121), ("lucih", 121), ("lucim", 121), ("lucio", 121),
+    ("lucis", 121), ("lucit", 121), ("lucuj", 121), ("lučen", 117),
+    ("lučih", 117), ("lučim", 117), ("lučio", 117), ("lučit", 117),
+    ("lučiš", 117), ("lučuj", 117), ("mijom", 37), ("movom", 81),
+    ("nalom", 46), ("nasem", 132), ("nasom", 132), ("našem", 60),
+    ("našom", 60), ("nijeg", 13), ("nijem", 13), ("nijih", 13),
+    ("nijim", 13), ("nijoj", 13), ("nijom", 36), ("nismo", 103),
+    ("niste", 103), ("nivsi", 158), ("nivši", 103), ("nusmo", 13),
+    ("nuste", 13), ("nuvsi", 164), ("nuvši", 13), ("olima", 50),
+    ("olova", 49), ("olove", 49), ("olovi", 49), ("onima", 12),
+    ("onova", 12), ("onove", 12), ("onovi", 12), ("orama", 56),
+    ("orima", 56), ("osega", 123), ("osemu", 123), ("osija", 123),
+    ("osije", 123), ("osiji", 123), ("osiju", 123), ("osima", 123),
+    ("osoga", 123), ("osome", 123), ("osomu", 123), ("ostao", 112),
+    ("ostat", 112), ("ostom", 74), ("otija", 22), ("otiju", 22),
+    ("ovahu", 76), ("ovala", 76), ("ovale", 76), ("ovali", 76),
+    ("ovalo", 76), ("ovase", 148), ("ovati", 76), ("ovaše", 76),
+    ("ovega", 80), ("ovemu", 80), ("ovija", 80), ("ovije", 80),
+    ("oviji", 80), ("oviju", 80), ("ovima", 80), ("ovita", 93),
+    ("ovite", 93), ("oviti", 93), ("ovito", 93), ("ovitu", 93),
+    ("ovoga", 80), ("ovome", 80), ("ovomu", 80), ("ozila", 48),
+    ("ozile", 48), ("ozili", 48), ("ozilu", 48), ("ošega", 91),
+    ("ošemu", 91), ("ošija", 91), ("ošije", 91), ("ošiji", 91),
+    ("ošiju", 91), ("ošima", 91), ("ošoga", 91), ("ošome", 91),
+    ("ošomu", 91), ("pijom", 41), ("rajem", 31), ("ramom", 52),
+    ("rario", 21), ("rijom", 42), ("rosih", 127), ("rosim", 127),
+    ("rosio", 127), ("rosis", 127), ("rosit", 127), ("roših", 90),
+    ("rošim", 90), ("rošio", 90), ("rošit", 90), ("rošiš", 90),
+    ("sijem", 23), ("sijom", 43), ("skega", 1), ("skemu", 1),
+    ("skija", 1), ("skije", 1), ("skiji", 1), ("skima", 1),
+    ("skoga", 1), ("skome", 1), ("skomu", 1), ("snega", 159),
+    ("snemu", 159), ("snjeg", 122), ("snjem", 122), ("snjih", 122),
+    ("snjim", 122), ("snjog", 122), ("snjoj", 122), ("snjom", 122),
+    ("stvom", 3), ("tajmo", 113), ("tajte", 113), ("tasem", 130),
+    ("tasmo", 113), ("tasom", 130), ("taste", 113), ("tavsi", 160),
+    ("tavši", 113), ("tašem", 59), ("tašom", 59), ("tijom", 44),
+    ("ucega", 126), ("ucemu", 126), ("ucima", 126), ("ucoga", 126),
+    ("ucome", 126), ("ucomu", 126), ("ugama", 18), ("ugova", 17),
+    ("ugove", 17), ("ugovi", 17), ("ujemo", 25), ("ujete", 25),
+    ("ujuci", 157), ("ujući", 25), ("urahu", 105), ("uraju", 105),
+    ("urala", 105), ("urale", 105), ("urali", 105), ("uralo", 105),
+    ("uramo", 105), ("urana", 105), ("urane", 105), ("urani", 105),
+    ("urano", 105), ("urase", 156), ("urate", 105), ("urati", 105),
+    ("uraše", 105), ("uvahu", 99), ("uvaju", 99), ("uvala", 99),
+    ("uvale", 99), ("uvali", 99), ("uvalo", 99), ("uvamo", 99),
+    ("uvana", 99), ("uvane", 99), ("uvani", 99), ("uvano", 99),
+    ("uvase", 147), ("uvate", 99), ("uvati", 99), ("uvaše", 99),
+    ("ućega", 16), ("ućemu", 16), ("ućima", 16), ("ućoga", 16),
+    ("ućome", 16), ("ućomu", 16), ("vasem", 134), ("vasom", 134),
+    ("vašem", 65), ("vašom", 65), ("zijom", 45), ("ćajem", 28),
+    ("čajem", 27), ("činih", 89), ("činim", 89), ("činog", 89),
+    ("činoj", 89), ("činom", 89), ("đajem", 29), ("škega", 2),
+    ("škemu", 2), ("škija", 2), ("škije", 2), ("škiji", 2),
+    ("škima", 2), ("škoga", 2), ("škome", 2), ("škomu", 2),
+    ("šnega", 88), ("šnemu", 88), ("šnjeg", 86), ("šnjem", 86),
+    ("šnjih", 86), ("šnjim", 86), ("šnjog", 86), ("šnjoj", 86),
+    ("šnjom", 86), ("štvom", 4), ("žijom", 38), ("acah", 128),
+    ("acam", 128), ("acan", 128), ("acao", 128), ("acas", 128),
+    ("acat", 128), ("aceg", 124), ("acem", 124), ("acen", 124),
+    ("acih", 124), ("acim", 124), ("acio", 124), ("acis", 124),
+    ("acit", 124), ("acog", 124), ("acoj", 124), ("acom", 124),
+    ("acuh", 124), ("ajem", 104), ("ajmo", 104), ("ajte", 104),
+    ("aloj", 104), ("alom", 104), ("aneg", 10), ("anem", 10),
+    ("anin", 10), ("anja", 84), ("anje", 84), ("anji", 84), ("anjo",
+    84), ("anju", 84), ("anom", 10), ("arom", 53), ("asla", 115),
+    ("asle", 115), ("asli", 115), ("aslo", 115), ("asmo", 104),
+    ("asta", 94), ("aste", 94), ("asti", 94), ("asto", 94), ("astu",
+    94), ("ateg", 120), ("atem", 120), ("atih", 120), ("atim", 120),
+    ("atog", 120), ("atoj", 120), ("atom", 120), ("avah", 97),
+    ("avaj", 97), ("avam", 97), ("avan", 97), ("avao", 97), ("avas",
+    144), ("avat", 97), ("avav", 97), ("avaš", 97), ("aveg", 77),
+    ("avem", 77), ("avih", 77), ("avim", 77), ("avog", 77), ("avoj",
+    77), ("avom", 77), ("avsi", 161), ("avši", 104), ("aćeg", 14),
+    ("aćem", 14), ("aćih", 14), ("aćim", 14), ("aćog", 14), ("aćoj",
+    14), ("aćom", 14), ("aćuh", 14), ("ačah", 102), ("ačam", 102),
+    ("ačan", 102), ("ačao", 102), ("ačat", 102), ("ačaš", 102),
+    ("ačen", 101), ("ačih", 101), ("ačim", 101), ("ačio", 101),
+    ("ačit", 101), ("ačiš", 101), ("basa", 135), ("base", 135),
+    ("basi", 135), ("basu", 135), ("baša", 63), ("baše", 63),
+    ("baši", 63), ("bašu", 63), ("bija", 32), ("bije", 32), ("biji",
+    32), ("bijo", 32), ("biju", 32), ("caja", 26), ("caje", 26),
+    ("caji", 26), ("caju", 26), ("cija", 33), ("cije", 33), ("ciji",
+    33), ("cijo", 33), ("ciju", 33), ("cina", 137), ("cine", 137),
+    ("cini", 137), ("cino", 137), ("cinu", 137), ("dija", 34),
+    ("dije", 34), ("diji", 34), ("dijo", 34), ("diju", 34), ("drom",
+    54), ("eceg", 125), ("ecem", 125), ("ecih", 125), ("ecim", 125),
+    ("ecog", 125), ("ecoj", 125), ("ecom", 125), ("ecuh", 125),
+    ("eleg", 83), ("elem", 83), ("elih", 83), ("elim", 83), ("elog",
+    83), ("eloj", 83), ("elom", 83), ("eneg", 87), ("enem", 87),
+    ("enja", 85), ("enje", 85), ("enji", 85), ("enjo", 85), ("enju",
+    85), ("erom", 55), ("esem", 152), ("esom", 57), ("esta", 71),
+    ("este", 71), ("esti", 71), ("esto", 71), ("estu", 71), ("etem",
+    70), ("etes", 153), ("eteš", 70), ("etom", 70), ("evah", 96),
+    ("evaj", 96), ("evam", 96), ("evan", 96), ("evao", 96), ("evas",
+    145), ("evat", 96), ("evav", 96), ("evaš", 96), ("eveg", 78),
+    ("evem", 78), ("evih", 78), ("evim", 78), ("evog", 78), ("evoj",
+    78), ("evom", 78), ("ećeg", 15), ("ećem", 15), ("ećih", 15),
+    ("ećim", 15), ("ećog", 15), ("ećoj", 15), ("ećom", 15), ("ećuh",
+    15), ("ešem", 66), ("ešom", 66), ("fija", 40), ("fije", 40),
+    ("fiji", 40), ("fijo", 40), ("fiju", 40), ("gama", 20), ("gasa",
+    131), ("gase", 131), ("gasi", 131), ("gasu", 131), ("gaša", 64),
+    ("gaše", 64), ("gaši", 64), ("gašu", 64), ("gija", 39), ("gije",
+    39), ("giji", 39), ("gijo", 39), ("giju", 39), ("gova", 20),
+    ("gove", 20), ("govi", 20), ("ieci", 162), ("ieći", 116),
+    ("ijem", 116), ("ijes", 162), ("iješ", 116), ("ijmo", 116),
+    ("ijte", 116), ("ilom", 116), ("inom", 11), ("irah", 100),
+    ("iral", 100), ("iram", 100), ("iran", 100), ("irao", 100),
+    ("iras", 155), ("irat", 100), ("iraš", 100), ("iruj", 100),
+    ("isem", 154), ("ismo", 116), ("isom", 58), ("ista", 72),
+    ("iste", 72), ("isti", 72), ("isto", 72), ("istu", 72), ("ivah",
+    98), ("ivaj", 98), ("ivam", 98), ("ivan", 98), ("ivao", 98),
+    ("ivas", 146), ("ivat", 98), ("ivav", 98), ("ivaš", 98),
+    ("iveg", 79), ("ivem", 79), ("ivih", 79), ("ivim", 79), ("ivog",
+    79), ("ivoj", 79), ("ivom", 79), ("ivsi", 162), ("ivši", 116),
+    ("išem", 67), ("išom", 67), ("išta", 75), ("ište", 75), ("ištu",
+    75), ("jasa", 129), ("jase", 129), ("jasi", 129), ("jasu", 129),
+    ("jaša", 61), ("jaše", 61), ("jaši", 61), ("jašu", 61), ("kasa",
+    133), ("kase", 133), ("kasi", 133), ("kasu", 133), ("kaša", 62),
+    ("kaše", 62), ("kaši", 62), ("kašu", 62), ("kega", 95), ("kemu",
+    95), ("kija", 95), ("kije", 95), ("kiji", 95), ("kiju", 95),
+    ("kima", 95), ("koga", 95), ("kome", 95), ("komu", 95), ("ksta",
+    73), ("kste", 73), ("ksti", 73), ("ksto", 73), ("kstu", 73),
+    ("laja", 30), ("laje", 30), ("laji", 30), ("laju", 30), ("lata",
+    69), ("late", 69), ("lati", 69), ("lato", 69), ("latu", 69),
+    ("lema", 51), ("leme", 51), ("lemi", 51), ("lemo", 51), ("lemu",
+    51), ("lija", 24), ("lije", 35), ("liji", 35), ("lijo", 35),
+    ("liju", 24), ("loga", 19), ("loge", 19), ("logu", 19), ("lova",
+    82), ("love", 82), ("lovi", 82), ("lovu", 82), ("luce", 121),
+    ("luci", 121), ("luče", 117), ("luči", 117), ("mija", 37),
+    ("mije", 37), ("miji", 37), ("mijo", 37), ("miju", 37), ("mova",
+    81), ("move", 81), ("movi", 81), ("movu", 81), ("nala", 46),
+    ("nale", 46), ("nali", 46), ("nalo", 46), ("nalu", 46), ("nasa",
+    132), ("nase", 132), ("nasi", 132), ("nasu", 132), ("naša", 60),
+    ("naše", 60), ("naši", 60), ("našu", 60), ("nega", 13), ("nemo",
+    13), ("nemu", 13), ("nete", 13), ("nija", 13), ("nije", 13),
+    ("niji", 13), ("nijo", 36), ("niju", 13), ("nila", 103),
+    ("nile", 103), ("nili", 103), ("nilo", 103), ("nima", 13),
+    ("nimo", 13), ("nite", 13), ("niti", 103), ("noga", 13),
+    ("nome", 13), ("nomu", 13), ("nuci", 164), ("nula", 13),
+    ("nule", 13), ("nuli", 13), ("nulo", 13), ("nuta", 13), ("nuti",
+    13), ("nuto", 13), ("nući", 13), ("olom", 50), ("onom", 12),
+    ("orom", 56), ("oseg", 123), ("osem", 123), ("osih", 123),
+    ("osim", 123), ("osog", 123), ("osoj", 123), ("osom", 123),
+    ("osta", 74), ("oste", 74), ("osti", 74), ("osto", 74), ("ostu",
+    74), ("otio", 22), ("ovah", 76), ("ovao", 76), ("ovat", 76),
+    ("oveg", 80), ("ovih", 80), ("ovim", 80), ("ovog", 80), ("ovoj",
+    80), ("ovom", 80), ("ošeg", 91), ("ošem", 91), ("oših", 91),
+    ("ošim", 91), ("ošog", 91), ("ošoj", 91), ("ošom", 91), ("pija",
+    41), ("pije", 41), ("piji", 41), ("pijo", 41), ("piju", 41),
+    ("raja", 31), ("raje", 31), ("raji", 31), ("raju", 31), ("rama",
+    52), ("rame", 52), ("rami", 52), ("ramo", 52), ("ramu", 52),
+    ("rija", 42), ("rije", 42), ("riji", 42), ("rijo", 42), ("riju",
+    42), ("sija", 23), ("sije", 43), ("siji", 43), ("sijo", 43),
+    ("siju", 23), ("skem", 1), ("skih", 1), ("skim", 1), ("skog",
+    1), ("skoj", 1), ("skom", 1), ("sneg", 159), ("snem", 159),
+    ("snja", 122), ("snje", 122), ("snji", 122), ("snjo", 122),
+    ("snju", 122), ("stva", 3), ("stvo", 3), ("stvu", 3), ("taju",
+    113), ("tala", 113), ("tale", 113), ("tali", 113), ("talo",
+    113), ("tamo", 113), ("tana", 113), ("tane", 113), ("tani",
+    113), ("tano", 113), ("tasa", 130), ("tase", 130), ("tasi",
+    130), ("tasu", 130), ("tate", 113), ("tati", 113), ("taša", 59),
+    ("taše", 59), ("taši", 59), ("tašu", 59), ("tija", 44), ("tije",
+    44), ("tiji", 44), ("tijo", 44), ("tiju", 44), ("uceg", 126),
+    ("ucem", 126), ("ucih", 126), ("ucim", 126), ("ucog", 126),
+    ("ucoj", 126), ("ucom", 126), ("ucuh", 126), ("ugom", 18),
+    ("ujem", 25), ("ujes", 157), ("uješ", 25), ("ujmo", 25),
+    ("urah", 105), ("uraj", 105), ("ural", 105), ("uram", 105),
+    ("uran", 105), ("urao", 105), ("uras", 156), ("urat", 105),
+    ("uraš", 105), ("uvah", 99), ("uvaj", 99), ("uvam", 99),
+    ("uvan", 99), ("uvao", 99), ("uvas", 147), ("uvat", 99),
+    ("uvav", 99), ("uvaš", 99), ("ućeg", 16), ("ućem", 16), ("ućih",
+    16), ("ućim", 16), ("ućog", 16), ("ućoj", 16), ("ućom", 16),
+    ("ućuh", 16), ("vasa", 134), ("vase", 134), ("vasi", 134),
+    ("vasu", 134), ("vaša", 65), ("vaše", 65), ("vaši", 65),
+    ("vašu", 65), ("zija", 45), ("zije", 45), ("ziji", 45), ("zijo",
+    45), ("ziju", 45), ("ćaja", 28), ("ćaje", 28), ("ćaji", 28),
+    ("ćaju", 28), ("čaja", 27), ("čaje", 27), ("čaji", 27), ("čaju",
+    27), ("čina", 89), ("čine", 89), ("čini", 89), ("čino", 89),
+    ("činu", 89), ("đaja", 29), ("đaje", 29), ("đaji", 29), ("đaju",
+    29), ("škem", 2), ("ških", 2), ("škim", 2), ("škog", 2),
+    ("škoj", 2), ("škom", 2), ("šneg", 88), ("šnem", 88), ("šnja",
+    86), ("šnje", 86), ("šnji", 86), ("šnjo", 86), ("šnju", 86),
+    ("štva", 4), ("štvo", 4), ("štvu", 4), ("žija", 38), ("žije",
+    38), ("žiji", 38), ("žijo", 38), ("žiju", 38), ("aca", 124),
+    ("ace", 124), ("aci", 124), ("ahu", 104), ("aja", 109), ("aje",
+    104), ("aji", 109), ("aju", 104), ("ala", 104), ("ale", 104),
+    ("ali", 104), ("alo", 104), ("alu", 104), ("amo", 104), ("ana",
+    10), ("ane", 10), ("ani", 10), ("ano", 104), ("anu", 10),
+    ("ara", 53), ("are", 53), ("ari", 53), ("aru", 53), ("ase",
+    161), ("ata", 120), ("ate", 104), ("ati", 104), ("ato", 120),
+    ("atu", 120), ("ava", 77), ("ave", 77), ("avi", 77), ("avo",
+    77), ("avu", 77), ("aća", 14), ("aće", 14), ("ače", 101),
+    ("ači", 101), ("aše", 104), ("dra", 54), ("dre", 54), ("dri",
+    54), ("dru", 54), ("eca", 125), ("ece", 125), ("ela", 83),
+    ("ele", 83), ("eli", 83), ("elo", 83), ("elu", 83), ("emo",
+    119), ("era", 55), ("ere", 55), ("eri", 55), ("eru", 55),
+    ("esa", 57), ("ese", 57), ("esi", 152), ("esu", 57), ("eta",
+    70), ("ete", 70), ("eti", 70), ("eto", 70), ("etu", 70), ("eva",
+    78), ("eve", 78), ("evi", 78), ("evo", 78), ("evu", 78), ("eća",
+    15), ("eće", 15), ("eša", 66), ("eše", 66), ("eši", 66), ("ešu",
+    66), ("gom", 20), ("ije", 116), ("iju", 116), ("ila", 116),
+    ("ile", 116), ("ili", 116), ("ilo", 116), ("ilu", 116), ("imo",
+    116), ("ina", 11), ("ine", 11), ("ini", 11), ("ino", 11),
+    ("inu", 11), ("isa", 58), ("ise", 58), ("isi", 154), ("isu",
+    58), ("ite", 116), ("iti", 116), ("iva", 79), ("ive", 79),
+    ("ivi", 79), ("ivo", 79), ("ivu", 79), ("iša", 67), ("iše", 67),
+    ("iši", 67), ("išu", 67), ("keg", 95), ("kem", 95), ("kih", 95),
+    ("kim", 95), ("kog", 95), ("koj", 95), ("kom", 95), ("kov", 95),
+    ("lio", 24), ("neg", 13), ("nem", 13), ("nes", 164), ("neš",
+    13), ("nih", 13), ("nim", 13), ("nio", 103), ("nis", 158),
+    ("niš", 103), ("nog", 13), ("noj", 13), ("nom", 13), ("nuo",
+    13), ("nut", 13), ("ola", 50), ("ole", 50), ("oli", 50), ("olu",
+    50), ("ona", 12), ("one", 12), ("oni", 12), ("onu", 12), ("ora",
+    56), ("ore", 56), ("ori", 56), ("oru", 56), ("osa", 123),
+    ("ose", 123), ("osi", 123), ("osu", 123), ("ova", 80), ("ove",
+    80), ("ovi", 80), ("ovo", 80), ("ovu", 80), ("oša", 91), ("oše",
+    91), ("oši", 91), ("ošu", 91), ("sio", 23), ("ska", 1), ("ske",
+    1), ("ski", 1), ("sko", 1), ("sku", 1), ("tah", 113), ("taj",
+    113), ("tam", 113), ("tan", 113), ("tao", 113), ("tas", 160),
+    ("tat", 113), ("taš", 113), ("uca", 126), ("uce", 126), ("uga",
+    18), ("uge", 18), ("ugi", 18), ("ugo", 18), ("ugu", 18), ("uje",
+    25), ("uju", 25), ("uća", 16), ("uće", 16), ("ška", 2), ("ške",
+    2), ("ški", 2), ("ško", 2), ("šku", 2), ("ah", 104), ("aj",
+    104), ("al", 104), ("am", 104), ("an", 104), ("ao", 104), ("as",
+    161), ("at", 104), ("aš", 104), ("el", 119), ("em", 119), ("es",
+    163), ("eš", 119), ("ga", 20), ("ge", 20), ("gi", 20), ("go",
+    20), ("gu", 20), ("ih", 116), ("ij", 116), ("il", 116), ("im",
+    116), ("io", 116), ("is", 162), ("it", 116), ("iš", 116), ("ka",
+    95), ("ke", 95), ("ki", 95), ("ko", 95), ("ku", 95), ("na", 13),
+    ("ne", 13), ("ni", 13), ("no", 13), ("nu", 13))
+_SR_STEP3 = ('anih', 'anim', 'anog', 'anoj', 'enih', 'enim', 'enog', 'enoj', 'enom', 'ama', 'ani', 'ano', 'ena', 'eni', 'eno', 'enu', 'ima', 'oga', 'ost', 'og', 'om', 'a', 'e', 'i', 'o', 'u')
+_SR_STEP1_ACT = {
+    1: ("loga", False), 2: ("peh", False), 3: ("vojka", False), 4:
+    ("bojka", False), 5: ("jak", False), 6: ("čajni", False), 7:
+    ("cajni", True), 8: ("erni", False), 9: ("larni", False), 10:
+    ("esni", False), 11: ("anjca", False), 12: ("ajca", False), 13:
+    ("ljca", False), 14: ("ejca", False), 15: ("ojca", False), 16:
+    ("ajka", False), 17: ("ojka", False), 18: ("šca", False), 19:
+    ("ing", False), 20: ("tvenik", False), 21: ("tetika", False),
+    22: ("nstva", False), 23: ("nik", False), 24: ("tik", False),
+    25: ("zik", False), 26: ("snik", False), 27: ("kusi", False),
+    28: ("kusni", False), 29: ("kustva", False), 30: ("dušni",
+    False), 31: ("dusni", True), 32: ("antni", False), 33: ("bilni",
+    False), 34: ("tilni", False), 35: ("avilni", False), 36:
+    ("silni", False), 37: ("gilni", False), 38: ("rilni", False),
+    39: ("nilni", False), 40: ("alni", False), 41: ("ozni", False),
+    42: ("ravi", False), 43: ("stavni", False), 44: ("pravni",
+    False), 45: ("tivni", False), 46: ("sivni", False), 47: ("atni",
+    False), 48: ("enta", False), 49: ("tetni", False), 50:
+    ("pletni", False), 51: ("šavi", False), 52: ("savi", True), 53:
+    ("anta", False), 54: ("ačka", False), 55: ("acka", True), 56:
+    ("uška", False), 57: ("uska", True), 58: ("atka", False), 59:
+    ("etka", False), 60: ("itka", False), 61: ("otka", False), 62:
+    ("utka", False), 63: ("eskna", False), 64: ("tični", False), 65:
+    ("ticni", True), 66: ("ojska", False), 67: ("esma", False), 68:
+    ("metra", False), 69: ("centra", False), 70: ("istra", False),
+    71: ("osti", False), 72: ("osti", True), 73: ("dba", False), 74:
+    ("čka", False), 75: ("mca", False), 76: ("nca", False), 77:
+    ("voljni", False), 78: ("anki", False), 79: ("vca", False), 80:
+    ("sca", False), 81: ("rca", False), 82: ("alca", False), 83:
+    ("elca", False), 84: ("olca", False), 85: ("njca", False), 86:
+    ("ekta", False), 87: ("izma", False), 88: ("jebi", False), 89:
+    ("baci", False), 90: ("ašni", False), 91: ("asni", True)}
+_SR_STEP2_ACT = {
+    1: ("sk", False), 2: ("šk", False), 3: ("stv", False), 4:
+    ("štv", False), 5: ("tanij", False), 6: ("manij", False), 7:
+    ("panij", False), 8: ("ranij", False), 9: ("ganij", False), 10:
+    ("an", False), 11: ("in", False), 12: ("on", False), 13: ("n",
+    False), 14: ("ać", False), 15: ("eć", False), 16: ("uć", False),
+    17: ("ugov", False), 18: ("ug", False), 19: ("log", False), 20:
+    ("g", False), 21: ("rari", False), 22: ("oti", False), 23:
+    ("si", False), 24: ("li", False), 25: ("uj", False), 26: ("caj",
+    False), 27: ("čaj", False), 28: ("ćaj", False), 29: ("đaj",
+    False), 30: ("laj", False), 31: ("raj", False), 32: ("bij",
+    False), 33: ("cij", False), 34: ("dij", False), 35: ("lij",
+    False), 36: ("nij", False), 37: ("mij", False), 38: ("žij",
+    False), 39: ("gij", False), 40: ("fij", False), 41: ("pij",
+    False), 42: ("rij", False), 43: ("sij", False), 44: ("tij",
+    False), 45: ("zij", False), 46: ("nal", False), 47: ("ijal",
+    False), 48: ("ozil", False), 49: ("olov", False), 50: ("ol",
+    False), 51: ("lem", False), 52: ("ram", False), 53: ("ar",
+    False), 54: ("dr", False), 55: ("er", False), 56: ("or", False),
+    57: ("es", False), 58: ("is", False), 59: ("taš", False), 60:
+    ("naš", False), 61: ("jaš", False), 62: ("kaš", False), 63:
+    ("baš", False), 64: ("gaš", False), 65: ("vaš", False), 66:
+    ("eš", False), 67: ("iš", False), 68: ("ikat", False), 69:
+    ("lat", False), 70: ("et", False), 71: ("est", False), 72:
+    ("ist", False), 73: ("kst", False), 74: ("ost", False), 75:
+    ("išt", False), 76: ("ova", False), 77: ("av", False), 78:
+    ("ev", False), 79: ("iv", False), 80: ("ov", False), 81: ("mov",
+    False), 82: ("lov", False), 83: ("el", False), 84: ("anj",
+    False), 85: ("enj", False), 86: ("šnj", False), 87: ("en",
+    False), 88: ("šn", False), 89: ("čin", False), 90: ("roši",
+    False), 91: ("oš", False), 92: ("evit", False), 93: ("ovit",
+    False), 94: ("ast", False), 95: ("k", False), 96: ("eva",
+    False), 97: ("ava", False), 98: ("iva", False), 99: ("uva",
+    False), 100: ("ir", False), 101: ("ač", False), 102: ("ača",
+    False), 103: ("ni", False), 104: ("a", False), 105: ("ur",
+    False), 106: ("astaj", False), 107: ("istaj", False), 108:
+    ("ostaj", False), 109: ("aj", False), 110: ("asta", False), 111:
+    ("ista", False), 112: ("osta", False), 113: ("ta", False), 114:
+    ("inj", False), 115: ("as", False), 116: ("i", False), 117:
+    ("luč", False), 118: ("jeti", False), 119: ("e", False), 120:
+    ("at", False), 121: ("luc", True), 122: ("snj", True), 123:
+    ("os", True), 124: ("ac", True), 125: ("ec", True), 126: ("uc",
+    True), 127: ("rosi", True), 128: ("aca", True), 129: ("jas",
+    True), 130: ("tas", True), 131: ("gas", True), 132: ("nas",
+    True), 133: ("kas", True), 134: ("vas", True), 135: ("bas",
+    True), 136: ("as", True), 137: ("cin", True), 138: ("astaj",
+    True), 139: ("istaj", True), 140: ("ostaj", True), 141: ("asta",
+    True), 142: ("ista", True), 143: ("osta", True), 144: ("ava",
+    True), 145: ("eva", True), 146: ("iva", True), 147: ("uva",
+    True), 148: ("ova", True), 149: ("jeti", True), 150: ("inj",
+    True), 151: ("ist", True), 152: ("es", True), 153: ("et", True),
+    154: ("is", True), 155: ("ir", True), 156: ("ur", True), 157:
+    ("uj", True), 158: ("ni", True), 159: ("sn", True), 160: ("ta",
+    True), 161: ("a", True), 162: ("i", True), 163: ("e", True),
+    164: ("n", True)}
+_SR_CYR = str.maketrans({'а': 'a', 'б': 'b', 'в': 'v', 'г': 'g', 'д': 'd', 'е': 'e', 'ж': 'ž', 'з': 'z', 'и': 'i', 'к': 'k', 'л': 'l', 'м': 'm', 'н': 'n', 'о': 'o', 'п': 'p', 'р': 'r', 'с': 's', 'т': 't', 'у': 'u', 'ф': 'f', 'х': 'h', 'ц': 'c', 'ч': 'č', 'ш': 'š', 'ђ': 'đ', 'ј': 'j', 'љ': 'lj', 'њ': 'nj', 'ћ': 'ć', 'џ': 'dž'})
+
+_SR_V = "aeiou"
+_SR_SA = set("ćčđšž")
+_SR_CA = set("bcdfghjklmnprstvzćčđšž")
+
+
+def _sr_prelude(w: str) -> str:
+    for pat in ("ije", "je"):
+        i = 0
+        while i < len(w):
+            if (w[i] in _SR_CA and w.startswith(pat, i + 1)
+                    and i + 1 + len(pat) < len(w)
+                    and w[i + 1 + len(pat)] in _SR_CA):
+                w = w[:i + 1] + "e" + w[i + 1 + len(pat):]
+            i += 1
+    return w.replace("dj", "đ")
+
+
+def _sr_p1(w: str) -> int:
+    n = len(w)
+    p1 = n
+    for i, ch in enumerate(w):
+        if ch in _SR_V:
+            p1 = i + 1
+            if p1 < 2:
+                for j in range(i + 1, n):
+                    if w[j] not in _SR_V:
+                        p1 = j + 1
+                        break
+            break
+    # syllabic-r adjustment
+    ri = w.find("r")
+    if ri >= 0:
+        c = ri + 1
+        ok = c >= 2
+        if not ok:
+            for j in range(c, n):
+                if w[j] != "r":
+                    c = j + 1
+                    ok = True
+                    break
+        if ok and p1 - c > 1:
+            p1 = c
+    return p1
+
+
+def stem_serbian(w: str) -> str:
+    w = w.translate(_SR_CYR)
+    w = _sr_prelude(w)
+    no_diacritics = not any(ch in _SR_SA for ch in w)
+    p1 = _sr_p1(w)
+    suf, tag = _longest_tagged(w, _SR_STEP1, 0)
+    if suf is not None:
+        repl, gate = _SR_STEP1_ACT[tag]
+        if not gate or no_diacritics:
+            w = w[:-len(suf)] + repl
+    suf, tag = _longest_tagged(w, _SR_STEP2, 0)
+    applied2 = False
+    if suf is not None and len(w) - len(suf) >= p1:
+        repl, gate = _SR_STEP2_ACT[tag]
+        if not gate or no_diacritics:
+            w = w[:-len(suf)] + repl
+            applied2 = True
+    if not applied2:
+        suf = _longest_suffix(w, _SR_STEP3, 0)
+        if suf and len(w) - len(suf) >= p1:
+            w = w[:-len(suf)]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -5225,6 +5941,7 @@ SNOWBALL_STEMMERS: dict[str, callable] = {
     "snowball_yiddish": stem_yiddish,
     "snowball_tamil": stem_tamil,
     "snowball_greek": stem_greek_snowball,
+    "snowball_serbian": stem_serbian,
     "snowball_indonesian": stem_indonesian_snowball,
     "snowball_hindi": stem_hindi_snowball,
     "snowball_lovins": stem_lovins,
