@@ -1005,6 +1005,64 @@ def _q_greek_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+def _snowball_ru_content(col):
+    """Deterministic Cyrillic injection exercising the Snowball Russian
+    stemmer through the full index build (reference
+    ``analysis/common/.../snowball/RussianStemmer``; algorithm from the
+    published Snowball russian.sbl): docs with doc_id%7==0 get
+    'буйством любовные' (stems буйств/любовн), docs with doc_id%11==0
+    get 'студенческом трубки' (stems студенческ/трубк). The stems are
+    pinned from the committed reference golden fixture
+    (tests/data/stem_goldens/snowball_russian.tsv), NOT computed by our
+    stemmer — the oracle stays independent. ASCII base tokens have no
+    Cyrillic vowels, so RV is empty and they pass through unchanged."""
+    return F.concat(
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("буйством любовные ")).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("студенческом трубки ")).otherwise(""),
+        col)
+
+
+def _searcher_snowball_ru(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built with the Snowball Russian stemmer in the analyzer
+    chain — vocabulary-level stemming inside the Arrow build UDF, the
+    same path every one of the 33 registry Snowball stemmers rides."""
+    key = "snowru:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        tag = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{tag}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", _snowball_ru_content(F.col("text")).alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    stemmer="snowball_russian")
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+# post-injection vocabulary: golden stems by injection condition plus
+# an ASCII passthrough control
+_SNOW_RU_TERMS = ("буйств", "любовн", "студенческ", "трубк", "data")
+
+
+def _q_snowball_ru(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on the stem буйств — every doc_id%7==0 doc had
+    the surface form буйством stemmed to it at build time."""
+    return _fmt_topk(_searcher_snowball_ru(spark, sf_dir).search(
+        Q.Term("буйств"), k=10))
+
+
+def _q_snowball_ru_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df/ttf across the Snowball-stemmed dictionary: stem stats follow
+    the injection conditions, ASCII terms keep their base-text stats."""
+    s = _searcher_snowball_ru(spark, sf_dir)
+    return (s.term_stats.filter(F.col("term").isin(list(_SNOW_RU_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 _NGRAM_RANGE = (3, 4)           # NGramTokenFilter min/max
 _EDGE_RANGE = (2, 5)            # EdgeNGramTokenFilter min/max
 
@@ -2227,6 +2285,58 @@ def _greek_topk_sql(term: str, k: int = 10) -> str:
 def _greek_stats_sql(terms) -> str:
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return (_GREEK_PRELUDE
+            + f""" SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ({in_list})""")
+
+
+# Snowball Russian stemmer through the build, in SQL: the injected
+# Cyrillic surface forms have FIXED reference-golden stems (буйством →
+# буйств, любовные → любовн; студенческом → студенческ, трубки →
+# трубк — pinned from tests/data/stem_goldens/snowball_russian.tsv),
+# prepended by the same doc_id % 7 / % 11 conditions to the space-split
+# base text; ASCII base tokens have no Cyrillic vowels (RV = ∅) and
+# pass through the stemmer unchanged.
+_SNOW_RU_PRELUDE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(
+    list_concat(
+      list_concat(
+        CASE WHEN doc_id % 7 = 0 THEN ['буйств', 'любовн']
+             ELSE CAST([] AS VARCHAR[]) END,
+        CASE WHEN doc_id % 11 = 0 THEN ['студенческ', 'трубк']
+             ELSE CAST([] AS VARCHAR[]) END),
+      string_split(text, ' '))) AS term
+  FROM documents
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT count(*) AS dc, sum(dl) AS sttf FROM doclen),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+
+def _snowball_ru_topk_sql(term: str, k: int = 10) -> str:
+    return (_SNOW_RU_PRELUDE + ", "
+            + _tscore_cte("ts", term) + _topk_sql("ts", k))
+
+
+def _snowball_ru_stats_sql(terms) -> str:
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return (_SNOW_RU_PRELUDE
             + f""" SELECT term, CAST(df AS BIGINT) AS df,
        CAST(ttf AS BIGINT) AS ttf
 FROM dfs WHERE term IN ({in_list})""")
@@ -5474,6 +5584,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wdgf_term_stats": _q_wdgf_stats,
         "bm25_greek_top10": _q_greek,
         "greek_term_stats": _q_greek_stats,
+        "bm25_snowball_ru_top10": _q_snowball_ru,
+        "snowball_ru_term_stats": _q_snowball_ru_stats,
         "ngram_filter_top10": _q_ngram_filter,
         "edge_ngram_prefix_top10": _q_edge_ngram,
         "path_prefix_top10": _q_path_prefix,
@@ -5570,6 +5682,8 @@ _PRIORITY = [
     "wdgf_term_stats",
     "bm25_greek_top10",
     "greek_term_stats",
+    "bm25_snowball_ru_top10",
+    "snowball_ru_term_stats",
     "distinct_values",
     "diversified_topk",
     "doc_values_stats",
@@ -6809,6 +6923,8 @@ FROM dfs WHERE term IN ({", ".join(f"'{t}'" for t in _KR_DE_TERMS)})"""),
         "wdgf_term_stats": _wdgf_stats_sql(_WDGF_TERMS),
         "bm25_greek_top10": _greek_topk_sql("προιοντ"),
         "greek_term_stats": _greek_stats_sql(_GREEK_TERMS),
+        "bm25_snowball_ru_top10": _snowball_ru_topk_sql("буйств"),
+        "snowball_ru_term_stats": _snowball_ru_stats_sql(_SNOW_RU_TERMS),
         "ngram_filter_top10": _ngram_topk_sql(
             "dat", *_NGRAM_RANGE, edge=False),
         "edge_ngram_prefix_top10": _ngram_topk_sql(
