@@ -600,6 +600,137 @@ def _q_phonetic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+# ---------------------------------------------------------------------------
+# Metaphone / DoubleMetaphone / Cologne / Daitch-Mokotoff filters over a
+# fully synthetic name corpus: content = NAMES[doc_id%16] NAMES[doc_id%7],
+# so the whole index vocabulary is 16 names plus their phonetic codes.
+# The twin's code table is pinned VERBATIM from the committed commons-
+# codec 1.19 golden fixture (tests/data/phonetic/golden.tsv, generated
+# by the real Java encoders via tools/gen_phonetic_goldens.py) — the
+# oracle stays independent of our Python encoders.
+# ---------------------------------------------------------------------------
+
+_PHON_NAMES = ("kuczewski", "schmidt", "smith", "jose", "jankelowicz",
+               "filipowicz", "gough", "ghislane", "michael", "thomas",
+               "xavier", "knight", "wright", "horowitz", "auerbach",
+               "euler")
+
+# name -> emitted token list under each filter (original first:
+# inject=true), from the golden fixture. DoubleMetaphoneFilter drops an
+# alternate equal to the primary (jose); the single-code PhoneticFilter
+# emits iff the code differs from the term (always, here).
+_DMETA_TOKENS = {
+    "kuczewski": ["KSSK", "KXFS"], "schmidt": ["XMT", "SMT"],
+    "smith": ["SM0", "XMT"], "jose": ["HS"],
+    "jankelowicz": ["JNKL", "ANKL"], "filipowicz": ["FLPT", "FLPF"],
+    "gough": ["KF"], "ghislane": ["JLN"], "michael": ["MKL", "MXL"],
+    "thomas": ["TMS"], "xavier": ["SF", "SFR"], "knight": ["NT"],
+    "wright": ["RT"], "horowitz": ["HRTS", "HRFX"],
+    "auerbach": ["ARPK"], "euler": ["ALR"],
+}
+_META_TOKENS = {
+    "kuczewski": ["KKSS"], "schmidt": ["SKMT"], "smith": ["SM0"],
+    "jose": ["JS"], "jankelowicz": ["JNKL"], "filipowicz": ["FLPW"],
+    "gough": ["K"], "ghislane": ["KSLN"], "michael": ["MXL"],
+    "thomas": ["0MS"], "xavier": ["SFR"], "knight": ["NT"],
+    "wright": ["RT"], "horowitz": ["HRWT"], "auerbach": ["ARBX"],
+    "euler": ["ELR"],
+}
+_COLOGNE_TOKENS = {
+    "kuczewski": ["48384"], "schmidt": ["862"], "smith": ["862"],
+    "jose": ["08"], "jankelowicz": ["064538"], "filipowicz": ["35138"],
+    "gough": ["44"], "ghislane": ["4856"], "michael": ["645"],
+    "thomas": ["268"], "xavier": ["4837"], "knight": ["4642"],
+    "wright": ["3742"], "horowitz": ["0738"], "auerbach": ["0714"],
+    "euler": ["057"],
+}
+_DMS_TOKENS = {
+    "kuczewski": ["547450"], "schmidt": ["463000"], "smith": ["463000"],
+    "jose": ["140000", "440000"], "jankelowicz": ["165874", "465874"],
+    "filipowicz": ["787740"], "gough": ["550000"],
+    "ghislane": ["548600"], "michael": ["648000", "658000"],
+    "thomas": ["364000"], "xavier": ["579000"], "knight": ["565300"],
+    "wright": ["795300"], "horowitz": ["597400"],
+    "auerbach": ["097400", "097500"], "euler": ["189000"],
+}
+
+
+def _phon_names_content():
+    arr = F.array(*[F.lit(n) for n in _PHON_NAMES])
+    return F.concat(
+        F.element_at(arr, (F.col("doc_id") % 16 + 1).cast("int")),
+        F.lit(" "),
+        F.element_at(arr, (F.col("doc_id") % 7 + 1).cast("int")))
+
+
+def _searcher_phon_filter(spark: SparkSession, sf_dir: str, tag: str,
+                          phonetic: tuple) -> Searcher:
+    key = f"phon_{tag}:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        h = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{h}")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", _phon_names_content().alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    phonetic=phonetic)
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_dmetaphone_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on kuczewski's ALTERNATE Double-Metaphone code —
+    exists only because the filter emits both codes as overlays."""
+    s = _searcher_phon_filter(spark, sf_dir, "dmeta",
+                              ("double_metaphone_filter", True, 4))
+    return _fmt_topk(s.search(Q.Term("KXFS"), k=10))
+
+
+_DMETA_STAT_TERMS = ("KSSK", "KXFS", "XMT", "SMT", "SM0", "HS",
+                     "kuczewski", "smith")
+_META_STAT_TERMS = ("KKSS", "SKMT", "SM0", "0MS", "MXL", "JS", "thomas")
+_COLOGNE_STAT_TERMS = ("48384", "862", "44", "0738", "057", "schmidt",
+                       "smith")
+_DMS_STAT_TERMS = ("463000", "165874", "465874", "547450", "648000",
+                   "658000", "140000", "jose", "michael")
+
+
+def _phon_stats(spark, sf_dir, tag, phonetic, terms) -> DataFrame:
+    s = _searcher_phon_filter(spark, sf_dir, tag, phonetic)
+    return (s.term_stats.filter(F.col("term").isin(list(terms)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
+def _q_dmetaphone_stats(spark, sf_dir):
+    """XMT merges schmidt's primary with smith's alternate — df/ttf
+    aggregate across source names like any posting list."""
+    return _phon_stats(spark, sf_dir, "dmeta",
+                       ("double_metaphone_filter", True, 4),
+                       _DMETA_STAT_TERMS)
+
+
+def _q_metaphone_stats(spark, sf_dir):
+    """Original Metaphone incl. the TH→'0' code (thomas → 0MS)."""
+    return _phon_stats(spark, sf_dir, "meta", ("metaphone", True),
+                       _META_STAT_TERMS)
+
+
+def _q_cologne_stats(spark, sf_dir):
+    """Kölner Phonetik: schmidt and smith collide on 862."""
+    return _phon_stats(spark, sf_dir, "cologne", ("cologne", True),
+                       _COLOGNE_STAT_TERMS)
+
+
+def _q_dms_stats(spark, sf_dir):
+    """Daitch-Mokotoff branching: jose/michael/auerbach emit TWO branch
+    codes each; schmidt+smith collide on 463000."""
+    return _phon_stats(spark, sf_dir, "dms",
+                       ("daitch_mokotoff_filter", True),
+                       _DMS_STAT_TERMS)
+
+
 def _q_protected_truncate_stats(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """ProtectedTermFilter wrapping TruncateTokenFilter
@@ -1918,6 +2049,53 @@ normcache AS (
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
 dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
 """
+
+
+def _phon_inject_prelude(tokmap: dict) -> str:
+    """Twin prelude for the synthetic-name phonetic indexes: content is
+    NAMES[doc_id%16] NAMES[doc_id%7]; each name expands to the token
+    list pinned from the commons-codec golden fixture (original first —
+    inject=true). doc_len is 2 everywhere (overlays are posInc=0);
+    sumTotalTermFreq counts every emitted token."""
+    vals = ", ".join(
+        "({}, [{}])".format(
+            i, ", ".join(f"'{t}'" for t in [n] + tokmap[n]))
+        for i, n in enumerate(_PHON_NAMES))
+    return f"""
+WITH nm(i, toks) AS (VALUES {vals}),
+tok AS (
+  SELECT d.doc_id, unnest(a.toks || b.toks) AS term
+  FROM documents d
+  JOIN nm a ON a.i = d.doc_id % 16
+  JOIN nm b ON b.i = d.doc_id % 7
+),
+doclen AS (SELECT doc_id, 2 AS dl FROM documents),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM documents) AS dc,
+                 (SELECT count(*) FROM tok) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+
+def _phon_stats_sql(tokmap: dict, terms) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return (_phon_inject_prelude(tokmap)
+            + f""" SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(ttf AS BIGINT) AS ttf
+FROM dfs WHERE term IN ({in_list})""")
 
 
 # UAX29URLEmailTokenizer twin: the injected URL/email survive as single
@@ -5567,6 +5745,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_hyphenated_top10": _q_hyphenated_top10,
         "bm25_phonetic_top10": _q_phonetic_top10,
         "phonetic_term_stats": _q_phonetic_stats,
+        "bm25_dmetaphone_top10": _q_dmetaphone_top10,
+        "dmetaphone_term_stats": _q_dmetaphone_stats,
+        "metaphone_term_stats": _q_metaphone_stats,
+        "cologne_term_stats": _q_cologne_stats,
+        "dm_soundex_term_stats": _q_dms_stats,
         "protected_truncate_stats": _q_protected_truncate_stats,
         "bm25_url_token_top10": _q_url_email_top10,
         "url_email_term_stats": _q_url_email_stats,
@@ -5706,6 +5889,11 @@ _PRIORITY = [
     "html_strip_term_stats",
     "bm25_phonetic_top10",
     "phonetic_term_stats",
+    "bm25_dmetaphone_top10",
+    "dmetaphone_term_stats",
+    "metaphone_term_stats",
+    "cologne_term_stats",
+    "dm_soundex_term_stats",
     "leading_wildcard_query",
     "reverse_term_stats",
     "auto_stopword_top10",
@@ -6824,6 +7012,17 @@ FROM dfs WHERE term IN ('zqtf', 'data', 'dup')"""),
         "bm25_phonetic_top10": (
             _PHONETIC_PRELUDE + ", " + _tscore_cte("ts", "S540")
             + _topk_sql("ts", 10)),
+        "bm25_dmetaphone_top10": (
+            _phon_inject_prelude(_DMETA_TOKENS) + ", "
+            + _tscore_cte("ts", "KXFS") + _topk_sql("ts", 10)),
+        "dmetaphone_term_stats": _phon_stats_sql(
+            _DMETA_TOKENS, _DMETA_STAT_TERMS),
+        "metaphone_term_stats": _phon_stats_sql(
+            _META_TOKENS, _META_STAT_TERMS),
+        "cologne_term_stats": _phon_stats_sql(
+            _COLOGNE_TOKENS, _COLOGNE_STAT_TERMS),
+        "dm_soundex_term_stats": _phon_stats_sql(
+            _DMS_TOKENS, _DMS_STAT_TERMS),
         "bm25_url_token_top10": (
             _URLEMAIL_PRELUDE + ", "
             + _tscore_cte("ts", "http://zq.example.com/p?q=1")

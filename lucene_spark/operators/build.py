@@ -317,8 +317,23 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                 or keyword_repeat):
             raise ValueError("phonetic is mutually exclusive with the "
                              "graph-expanding filters")
-        enc_name, inject = phonetic
-        if inject:
+        enc_name, inject = phonetic[0], phonetic[1]
+        if enc_name == "double_metaphone_filter":
+            # DoubleMetaphoneFilter.java: primary + distinct alternate
+            # as overlay tokens; phonetic = (name, inject, maxCodeLen).
+            from ..functions.phonetic import double_metaphone_batch
+            mcl = int(phonetic[2]) if len(phonetic) > 2 else 4
+            doc_idx, terms, positions, ph_over = double_metaphone_batch(
+                doc_idx, terms, positions, n_docs, mcl, inject)
+            cjk_over = cjk_over + ph_over
+        elif enc_name == "daitch_mokotoff_filter":
+            # DaitchMokotoffSoundexFilter.java: every '|' branch of the
+            # branching encoder becomes an overlay token.
+            from ..functions.phonetic import daitch_mokotoff_batch
+            doc_idx, terms, positions, ph_over = daitch_mokotoff_batch(
+                doc_idx, terms, positions, n_docs, inject)
+            cjk_over = cjk_over + ph_over
+        elif inject:
             from ..functions.phonetic import expand_phonetic_batch
             doc_idx, terms, positions, ph_over = expand_phonetic_batch(
                 doc_idx, terms, positions, n_docs, enc_name)
