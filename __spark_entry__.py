@@ -4347,6 +4347,24 @@ def _q_flexible_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_topk(s.search(q, k=10))
 
 
+def _q_points_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PointsConfig numeric ranges in the flexible parser (reference
+    queryparser/flexible/standard/config/PointsConfig.java +
+    PointRangeQueryNodeProcessor/PointRangeQueryNodeBuilder):
+    'data AND n_chars:[100 TO 300}' parses the bounds numerically
+    (exclusive upper → 299 via the builder's -1), and the PointRange
+    clause executes as a pushed docvalues Between scan semi-joined
+    against the term scores, adding its constant 1.0 (ConjunctionScorer
+    double sum, one float32 cast). Runs over the docvalues index, so
+    the committed updateNumericDocValue overlay (dup docs → 5000)
+    resolves INTO the range predicate."""
+    from lucene_spark.plans.flexible import parse_standard
+    s = _searcher_dv(spark, sf_dir)
+    q = parse_standard(f"{T_COMMON} AND n_chars:[100 TO 300}}",
+                       points_config={"n_chars": "long"})
+    return _fmt_topk(s.search(q, k=10))
+
+
 def _q_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CoreParser XML syntax (queryparser/xml/CoreParser.java:40): a
     BooleanQuery element with must/should/mustNot clauses parses onto
@@ -5662,6 +5680,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surround_topk": _q_surround,
         "simple_parse_top10": _q_simple_parse,
         "flexible_parse_top10": _q_flexible_parse,
+        "points_range_top10": _q_points_parse,
         "xml_parse_top10": _q_xml_parse,
         "suggest_prefix": _q_suggest_prefix,
         "spell_suggest": _q_spell_suggest,
@@ -5847,6 +5866,7 @@ _PRIORITY = [
     # --- new in round 4 ---
     "bm25_soft_deleted_top10",
     "flexible_parse_top10",
+    "points_range_top10",
     "xml_parse_top10",
     "highlight_tv_top5",
     "dedup_cluster_roots",
@@ -6067,6 +6087,23 @@ def oracle_sql() -> dict[str, str]:
         "simple_parse_top10": _not_sql(T_COMMON, T_RARE),
         # ReqOptSumScorer: MUST's match set; SHOULD's score added where
         # both match (double add, one float32 round — engine-identical)
+        "points_range_top10": _PRELUDE + ", "
+        + _tscore_cte("ts", T_COMMON) + f""",
+hit AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = '{T_RARE}'
+),
+resolved AS (
+  SELECT d.doc_id,
+         CASE WHEN h.doc_id IS NOT NULL THEN 5000 ELSE d.n_chars END
+           AS value
+  FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
+),
+pts AS (
+  SELECT t.doc_id,
+         CAST(CAST(t.s AS DOUBLE) + CAST(1.0 AS DOUBLE) AS FLOAT) AS s
+  FROM ts t JOIN resolved r ON r.doc_id = t.doc_id
+  WHERE r.value BETWEEN 100 AND 299
+)""" + _topk_sql("pts", 10),
         "flexible_parse_top10": _PRELUDE + ", "
         + _tscore_cte("ta", T_COMMON) + ", "
         + _tscore_cte("tb", T_COMMON2) + """,

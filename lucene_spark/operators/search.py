@@ -1743,6 +1743,129 @@ class Searcher:
         return compiled, cache
 
     # -- search ------------------------------------------------------------
+    def point_range_docs(self, pr):
+        """PointRangeQuery execution (reference ``search/PointRangeQuery
+        .java`` built by ``PointRangeQueryNodeBuilder``): a pushed
+        Between scan over the overlay-resolved numeric docvalues,
+        tombstones masked — ``(doc_id, score float32 = boost)``. Bounds
+        in the node are already inclusive (the parser applied the
+        exclusive adjustment); None = unbounded."""
+        from pyspark.sql import functions as F
+        dv = self.docvalues(pr.field)
+        if pr.lower is not None:
+            dv = dv.filter(F.col("value") >= pr.lower)
+        if pr.upper is not None:
+            dv = dv.filter(F.col("value") <= pr.upper)
+        if self.deletes:
+            tomb = self.spark.createDataFrame(
+                [(int(sg), int(d)) for sg, v in self.deletes.items()
+                 for d in v], "seg_id int, local_doc_id int")
+            dv = dv.join(F.broadcast(tomb),
+                         on=["seg_id", "local_doc_id"], how="left_anti")
+        return dv.select(
+            "doc_id",
+            F.lit(float(np.float32(pr.boost))).cast("float")
+             .alias("score"))
+
+    @staticmethod
+    def _split_point_clauses(query):
+        """Decompose a query mixing PointRange clauses with term scoring
+        into ``(term_part|None, must_points, not_points)``; None when the
+        query has no PointRange. Supported shapes: standalone PointRange,
+        And(...) members, Not(positive, PointRange) — the
+        filter-conjunction forms BooleanWeight builds for point clauses.
+        Points nested anywhere else raise."""
+        def has_point(q):
+            if isinstance(q, Q.PointRange):
+                return True
+            import dataclasses
+            if dataclasses.is_dataclass(q):
+                for f in dataclasses.fields(q):
+                    v = getattr(q, f.name)
+                    for item in (v if isinstance(v, tuple) else (v,)):
+                        if isinstance(item, Q.Query) and has_point(item):
+                            return True
+            return False
+
+        if not has_point(query):
+            return None
+
+        def split(q):
+            if isinstance(q, Q.PointRange):
+                return None, [q], []
+            if isinstance(q, Q.And):
+                terms, mp, np_ = [], [], []
+                for c in q.clauses:
+                    t, m, n = split(c)
+                    if t is not None:
+                        terms.append(t)
+                    mp += m
+                    np_ += n
+                tp = (terms[0] if len(terms) == 1
+                      else Q.And(tuple(terms)) if terms else None)
+                return tp, mp, np_
+            if isinstance(q, Q.Not):
+                t, m, n = split(q.positive)
+                if isinstance(q.negative, Q.PointRange):
+                    return t, m, n + [q.negative]
+                if has_point(q.negative):
+                    raise NotImplementedError(
+                        "PointRange under a composite MUST_NOT clause")
+                if t is None:
+                    raise NotImplementedError(
+                        "pure-point positive with term MUST_NOT")
+                return Q.Not(t, q.negative), m, n
+            if has_point(q):
+                raise NotImplementedError(
+                    f"PointRange nested under {type(q).__name__} is not "
+                    "supported (And/Not/standalone only)")
+            return q, [], []
+
+        return split(query)
+
+    def _search_points(self, term_part, must_points, not_points,
+                       k: int, mode: str,
+                       after: tuple[float, int] | None):
+        """Filter-conjunction execution for point-bearing queries: the
+        term part scores through the normal kernels (score_all — no
+        truncation, the filter changes the match set), point clauses
+        semi/anti-join on doc_id, and each MUST point adds its constant
+        score — one double-precision sum, one float32 cast
+        (ConjunctionScorer's score chain)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        const = float(sum(np.float64(np.float32(p.boost))
+                          for p in must_points))
+        if term_part is not None:
+            base = self.score_all(term_part)
+            if const:
+                base = base.withColumn(
+                    "score", (F.col("score").cast("double")
+                              + F.lit(const)).cast("float"))
+            filt = must_points
+        else:
+            base = self.point_range_docs(must_points[0]).select(
+                "doc_id",
+                F.lit(float(np.float32(const))).cast("float")
+                 .alias("score"))
+            filt = must_points[1:]
+        for p in filt:
+            base = base.join(self.point_range_docs(p).select("doc_id"),
+                             "doc_id", "semi")
+        for p in not_points:
+            base = base.join(self.point_range_docs(p).select("doc_id"),
+                             "doc_id", "anti")
+        if after is not None:
+            s0, d0 = float(np.float32(after[0])), int(after[1])
+            base = base.filter(
+                (F.col("score") < s0)
+                | ((F.col("score") == s0) & (F.col("doc_id") > d0)))
+        top = (base.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+               .withColumn("rank", F.row_number().over(
+                   Window.orderBy(F.desc("score"), F.asc("doc_id")))))
+        return top.select("doc_id", "score", "rank")
+
     def search(self, query, k: int = 10, mode: str = "auto",
                after: tuple[float, int] | None = None):
         """Returns a DataFrame (doc_id, score float32, rank) of the global
@@ -1750,6 +1873,11 @@ class Searcher:
         (searchAfter: ``search/IndexSearcher.java:490-546``)."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
+
+        pointsplit = self._split_point_clauses(query)
+        if pointsplit is not None:
+            return self._search_points(*pointsplit, k=k, mode=mode,
+                                       after=after)
 
         compiled, cache = self._compile(query)
         sim = self.similarity

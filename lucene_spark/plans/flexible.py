@@ -34,9 +34,20 @@ parser, plus everything classic supports):
   content field — the field name is accepted and dropped, like the
   classic parser here).
 
-Documented out of scope: PointsConfig numeric ranges (our numeric
-predicates run as pushed parquet range scans over doc_meta, a different
-API surface) and per-field analyzer maps (single-field engine).
+* PointsConfig numeric ranges (``flexible/standard/config/PointsConfig
+  .java`` + ``processors/PointQueryNodeProcessor.java`` /
+  ``PointRangeQueryNodeProcessor.java`` /
+  ``builders/PointRangeQueryNodeBuilder.java``): pass
+  ``points_config={"field": "int"|"long"|"float"|"double"}`` — a range
+  on a configured field parses its bounds numerically (NumberFormat
+  truncation for the integer types), applies the builder's
+  exclusive-bound adjustment (±1 for int/long, nextUp/nextDown for
+  float/double) and open-end ``*`` → unbounded, yielding a
+  :class:`plans.query.PointRange`; a BARE term on a configured field
+  becomes the degenerate inclusive [v, v] range
+  (PointQueryNodeProcessor).
+
+Documented out of scope: per-field analyzer maps (single-field engine).
 """
 
 from __future__ import annotations
@@ -69,11 +80,48 @@ _FN_PAIR = {"before": "before", "after": "after",
             "unorderednooverlaps": "unordered_no_overlaps"}
 
 
+def _point_value(text: str, typ: str):
+    """NumberFormat.parse + the type coercion PointRangeQueryNode-
+    Processor applies (intValue()/longValue() truncate toward zero)."""
+    try:
+        v = float(text)
+    except ValueError:
+        raise QueryParseError(f"could not parse number: {text!r}")
+    if typ in ("int", "long"):
+        return int(v)
+    if typ == "float":
+        import numpy as np
+        return float(np.float32(v))
+    return v
+
+
+def _point_bound(text, typ: str, is_lower: bool, inclusive: bool):
+    """One range bound: '*'/empty = open (the builder substitutes
+    MIN/MAX — None here, same match set), exclusive bounds adjusted per
+    PointRangeQueryNodeBuilder (±1 int/long; nextUp/nextDown floats,
+    in the type's OWN precision)."""
+    if text is None or text in ("*", ""):
+        return None
+    v = _point_value(text, typ)
+    if inclusive:
+        return v
+    if typ in ("int", "long"):
+        return v + 1 if is_lower else v - 1
+    if typ == "float":
+        import numpy as np
+        return float(np.nextafter(
+            np.float32(v), np.float32(np.inf if is_lower else -np.inf)))
+    import math
+    return math.nextafter(v, math.inf if is_lower else -math.inf)
+
+
 def parse_standard(text: str, default_operator: str = "OR",
-                   stopwords: frozenset[str] = frozenset()) -> Q.Query:
+                   stopwords: frozenset[str] = frozenset(),
+                   points_config: dict | None = None) -> Q.Query:
     """Parse standard (flexible) syntax into a query tree."""
     if default_operator not in ("OR", "AND"):
         raise QueryParseError(f"bad default operator {default_operator!r}")
+    points_config = points_config or {}
     toks = _TOKEN_RE.findall(text)
     if not toks:
         raise QueryParseError("empty query")
@@ -169,6 +217,9 @@ def parse_standard(text: str, default_operator: str = "OR",
                 return Q.Term(q.term, q.boost * b)
             if isinstance(q, Q.Interval):
                 return Q.Interval(q.tree, q.pivot, q.boost * b)
+            if isinstance(q, Q.PointRange):
+                return Q.PointRange(q.field, q.lower, q.upper,
+                                    q.boost * b)
             # BoostQueryNode over a composite: multiply into every leaf
             # term — identical scores for pure-sum trees
             raise QueryParseError("boost on composite clause unsupported")
@@ -179,8 +230,10 @@ def parse_standard(text: str, default_operator: str = "OR",
         t = advance()
         if t == ")":
             raise QueryParseError("unexpected )")
+        range_field = None
         if t.endswith(":") and len(t) > 1 and peek() in ("[", "{"):
-            t = advance()              # field-prefixed range: drop field
+            range_field = t[:-1]       # field-prefixed range
+            t = advance()
         if t.startswith("fn:"):
             return Q.Interval(parse_fn(t[3:].lower()))
         if t.startswith("/") and t.endswith("/") and len(t) >= 2:
@@ -192,6 +245,12 @@ def parse_standard(text: str, default_operator: str = "OR",
             close = advance() if peek() else None
             if to != "TO" or close not in ("]", "}") or not lo or not hi:
                 raise QueryParseError("bad range syntax")
+            if range_field in points_config:
+                typ = points_config[range_field]
+                return Q.PointRange(
+                    range_field,
+                    _point_bound(lo, typ, True, t == "["),
+                    _point_bound(hi, typ, False, close == "]"))
             return Q.MultiTerm("range", (lo.lower(), hi.lower(),
                                          t == "[", close == "]"))
         return _atom(t)
@@ -202,7 +261,12 @@ def parse_standard(text: str, default_operator: str = "OR",
         if m:
             t, boost = m.group(1), float(m.group(2))
         if ":" in t and not t.startswith('"'):
-            t = t.split(":", 1)[1]
+            fld, rest = t.split(":", 1)
+            if fld in points_config:
+                # PointQueryNodeProcessor: exact value = [v, v] inclusive
+                v = _point_value(rest, points_config[fld])
+                return Q.PointRange(fld, v, v, boost)
+            t = rest
         if t.startswith('"'):
             if not (t.endswith('"') and len(t) >= 2):
                 raise QueryParseError(f"unterminated phrase: {t}")

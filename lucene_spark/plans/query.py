@@ -560,6 +560,24 @@ class PayloadScore(Query):
     all_terms = scoring_terms
 
 
+@dataclass(frozen=True)
+class PointRange(Query):
+    """Numeric point range over a docvalues field (reference
+    ``queryparser/flexible/standard/config/PointsConfig.java`` +
+    ``builders/PointRangeQueryNodeBuilder.java`` building
+    ``IntPoint/LongPoint/FloatPoint/DoublePoint.newRangeQuery``).
+
+    Bounds are ALREADY inclusive — the parser applies the builder's
+    exclusive-bound adjustment at construction (int/long ±1,
+    float/double nextUp/nextDown) and substitutes None for the open
+    ends (the builder's MIN/MAX_VALUE role). Constant-score: every
+    match scores ``boost`` (PointRangeQuery's Weight)."""
+    field: str
+    lower: object = None        # int or float; None = unbounded
+    upper: object = None
+    boost: float = 1.0
+
+
 def rewrite_fixed_point(q: Query, max_iters: int = 8) -> Query:
     """Reference IndexSearcher.rewrite loop (IndexSearcher.java:848-860)."""
     for _ in range(max_iters):

@@ -138,3 +138,97 @@ def test_fn_interval_engine_parity(spark):
     want = [(r["doc_id"], r["score"])
             for r in s.search(direct, k=10).collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PointsConfig (flexible/standard/config/PointsConfig.java +
+# PointQueryNodeProcessor / PointRangeQueryNodeProcessor /
+# PointRangeQueryNodeBuilder)
+# ---------------------------------------------------------------------------
+
+_PC = {"price": "long", "qty": "int", "score": "double", "weight": "float"}
+
+
+def test_points_config_parse_trees():
+    P = Q.PointRange
+    assert parse_standard("price:[10 TO 20]", points_config=_PC) == \
+        P("price", 10, 20)
+    # exclusive integer bounds: the builder's ±1
+    assert parse_standard("price:{10 TO 20}", points_config=_PC) == \
+        P("price", 11, 19)
+    # open ends ('*') = unbounded (MIN/MAX_VALUE role)
+    assert parse_standard("price:[* TO 20}", points_config=_PC) == \
+        P("price", None, 19)
+    # bare term on a configured field = degenerate inclusive range
+    assert parse_standard("qty:7", points_config=_PC) == P("qty", 7, 7)
+    # NumberFormat truncation for integer types
+    assert parse_standard("qty:7.9", points_config=_PC) == P("qty", 7, 7)
+    # double: nextUp/nextDown on exclusive bounds
+    got = parse_standard("score:{1.5 TO 2.5}", points_config=_PC)
+    import math
+    assert got == Q.PointRange("score", math.nextafter(1.5, math.inf),
+                               math.nextafter(2.5, -math.inf))
+    # float: the adjustment happens in FLOAT precision
+    got = parse_standard("weight:{1.5 TO 2.5}", points_config=_PC)
+    assert got == Q.PointRange(
+        "weight",
+        float(np.nextafter(np.float32(1.5), np.float32(np.inf))),
+        float(np.nextafter(np.float32(2.5), np.float32(-np.inf))))
+    # unconfigured fields keep the TermRange behavior
+    assert parse_standard("name:[a TO c]", points_config=_PC) == \
+        Q.MultiTerm("range", ("a", "c", True, True))
+
+
+def test_points_config_engine_parity(spark):
+    """Term AND point-range == brute force: the term part scores through
+    the normal kernels, the point clause semi-joins its pushed docvalues
+    scan, and the MUST point adds a constant 1.0 (double sum, one
+    float32 cast)."""
+    import pandas as pd
+
+    from lucene_spark.operators.build import build_index
+    from lucene_spark.operators.search import Searcher
+    from lucene_spark.oracle import OracleIndex
+    from lucene_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(250, seed=53)
+    pdf = pd.DataFrame({"doc_id": corpus.doc_id,
+                        "content": corpus.content})
+    pdf["price"] = (pdf["doc_id"] * 37) % 100
+    oracle = OracleIndex.build(list(zip(pdf.doc_id, pdf.content)))
+    d = tempfile.mkdtemp(prefix="lucene_spark_points_")
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=4)
+    s = Searcher(spark, d)
+
+    q = parse_standard("parse AND price:[10 TO 40}",
+                       points_config={"price": "long"})
+    assert q == Q.And((T("parse"), Q.PointRange("price", 10, 39)))
+    got = [(r["doc_id"], r["score"])
+           for r in s.search(q, k=10).collect()]
+
+    allowed = set(pdf.loc[(pdf.price >= 10) & (pdf.price <= 39),
+                          "doc_id"])
+    scored = [(d_, np.float32(np.float64(sc) + 1.0))
+              for d_, sc in oracle.top_k(Q.Term("parse"), k=10_000)
+              if d_ in allowed]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    want = scored[:10]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert np.array_equal(np.array([g[1] for g in got], dtype=np.float32),
+                          np.array([w[1] for w in want], dtype=np.float32))
+
+    # standalone point query: constant score 1.0, doc_id tie-break
+    got2 = [(r["doc_id"], r["score"])
+            for r in s.search(Q.PointRange("price", 0, 5), k=8).collect()]
+    want2 = sorted(d_ for d_ in pdf.loc[pdf.price <= 5, "doc_id"])[:8]
+    assert [g[0] for g in got2] == list(want2)
+    assert all(g[1] == np.float32(1.0) for g in got2)
+
+    # MUST_NOT point: anti-join
+    q3 = Q.Not(T("parse"), Q.PointRange("price", 10, 39))
+    got3 = [r["doc_id"] for r in s.search(q3, k=10).collect()]
+    scored3 = [(d_, sc) for d_, sc in oracle.top_k(Q.Term("parse"),
+                                                   k=10_000)
+               if d_ not in allowed]
+    scored3.sort(key=lambda x: (-x[1], x[0]))
+    assert got3 == [d_ for d_, _ in scored3[:10]]
