@@ -644,6 +644,47 @@ _COLOGNE_TOKENS = {
     "wright": ["3742"], "horowitz": ["0738"], "auerbach": ["0714"],
     "euler": ["057"],
 }
+# Beider-Morse gen/approx/concat groups per name, pinned verbatim from
+# tests/data/phonetic/bm_golden.tsv (the REAL commons-codec bm engine's
+# output). BeiderMorseFilter REPLACES the token: first group at the
+# source position, the rest posInc-0 overlays — the twin unnests these
+# lists WITHOUT the original name. 'zmit' collides schmidt with smith.
+_BM_TOKENS = {
+    "kuczewski": ["kutsifski"],
+    "schmidt": ["stzmit", "zmit"],
+    "smith": ["zmit"],
+    "jose": ["ios", "iosi", "ioz", "iozi", "iusi", "xosi", "zos",
+             "zosi", "zoz", "zozi"],
+    "jankelowicz": ["iankYlovitS", "iankYlovits", "iankilovitS",
+                    "iankilovits", "ionkYlovitS", "ionkYlovits",
+                    "ionkilovitS", "ionkilovits"],
+    "filipowicz": ["fQlQpovitS", "fQlQpovits", "fQlipovitS",
+                   "fQlipovits", "filQpovitS", "filQpovits",
+                   "filipovitS", "filipovits"],
+    "gough": ["Dg", "gDg", "gDgx", "gag", "gog", "gogx", "gug",
+              "gugx", "og", "ug"],
+    "ghislane": ["gizlani", "gizloni"],
+    "michael": ["mQxYl", "mQxail", "mQxoil", "mitsDl", "mitsail",
+                "mitsoil", "mixDl", "mixYl", "mixail", "mixoil"],
+    "thomas": ["tYmas", "tYmos", "tomas", "tomos"],
+    "xavier": ["gzYviir", "gzYvir", "gzabiir", "gzavDr", "gzavii",
+               "gzaviir", "gzavir", "gzobiir", "gzovDr", "gzovii",
+               "gzoviir", "gzovir", "ksYviir", "ksYvir", "ksabiir",
+               "ksavDr", "ksavii", "ksaviir", "ksavir", "ksobiir",
+               "ksovDr", "ksovii", "ksoviir", "ksovir", "sabiir",
+               "saviir", "sobiir", "soviir"],
+    "knight": ["knQgt", "knigt"],
+    "wright": ["vrQgt", "vrigt", "wrigt"],
+    "horowitz": ["YrovitS", "Yrovits", "orovitS", "orovits",
+                 "xYrovitS", "xYrovits", "xorovitS", "xorovits"],
+    "auerbach": ["DrbYx", "Drba", "DrbaS", "Drbas", "DrbatS", "Drbats",
+                 "Drbax", "Drbo", "DrboS", "Drbos", "DrbotS", "Drbots",
+                 "Drbox", "DrvatS", "Drvats", "Drvax", "DrvotS",
+                 "Drvots", "Drvox"],
+    "euler": ["DlYr", "Dli", "Dlir", "YilYr", "Yilir", "Ylir", "eli",
+              "elir", "ilYr", "ilir", "olYr", "olir", "uli", "ulir"],
+}
+
 _DMS_TOKENS = {
     "kuczewski": ["547450"], "schmidt": ["463000"], "smith": ["463000"],
     "jose": ["140000", "440000"], "jankelowicz": ["165874", "465874"],
@@ -729,6 +770,26 @@ def _q_dms_stats(spark, sf_dir):
     return _phon_stats(spark, sf_dir, "dms",
                        ("daitch_mokotoff_filter", True),
                        _DMS_STAT_TERMS)
+
+
+_BM_STAT_TERMS = ("zmit", "stzmit", "kutsifski", "gizlani", "tomas",
+                  "iankYlovitS", "schmidt", "smith")
+
+
+def _q_beider_morse_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on the Beider-Morse phoneme zmit — schmidt and
+    smith both encode to it (the BMPM cross-spelling match the engine
+    exists for), so its postings merge two source names."""
+    s = _searcher_phon_filter(spark, sf_dir, "bm", ("beider_morse",))
+    return _fmt_topk(s.search(Q.Term("zmit"), k=10))
+
+
+def _q_beider_morse_stats(spark, sf_dir):
+    """df/ttf over BMPM phoneme tokens: originals are REPLACED
+    (BeiderMorseFilter has no inject mode), so schmidt/smith must be
+    absent from the dictionary."""
+    return _phon_stats(spark, sf_dir, "bm", ("beider_morse",),
+                       _BM_STAT_TERMS)
 
 
 def _q_protected_truncate_stats(spark: SparkSession,
@@ -2051,15 +2112,19 @@ dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
 """
 
 
-def _phon_inject_prelude(tokmap: dict) -> str:
+def _phon_inject_prelude(tokmap: dict,
+                         include_original: bool = True) -> str:
     """Twin prelude for the synthetic-name phonetic indexes: content is
     NAMES[doc_id%16] NAMES[doc_id%7]; each name expands to the token
-    list pinned from the commons-codec golden fixture (original first —
-    inject=true). doc_len is 2 everywhere (overlays are posInc=0);
+    list pinned from the commons-codec golden fixture — original kept
+    for the inject-mode filters, dropped for the replace-mode ones
+    (Beider-Morse). doc_len is 2 everywhere (one token per source word
+    holds the position slot, the rest are posInc=0 overlays);
     sumTotalTermFreq counts every emitted token."""
     vals = ", ".join(
         "({}, [{}])".format(
-            i, ", ".join(f"'{t}'" for t in [n] + tokmap[n]))
+            i, ", ".join(f"'{t}'" for t in
+                         (([n] if include_original else []) + tokmap[n])))
         for i, n in enumerate(_PHON_NAMES))
     return f"""
 WITH nm(i, toks) AS (VALUES {vals}),
@@ -2090,9 +2155,10 @@ dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
 """
 
 
-def _phon_stats_sql(tokmap: dict, terms) -> str:
+def _phon_stats_sql(tokmap: dict, terms,
+                    include_original: bool = True) -> str:
     in_list = ", ".join(f"'{t}'" for t in terms)
-    return (_phon_inject_prelude(tokmap)
+    return (_phon_inject_prelude(tokmap, include_original)
             + f""" SELECT term, CAST(df AS BIGINT) AS df,
        CAST(ttf AS BIGINT) AS ttf
 FROM dfs WHERE term IN ({in_list})""")
@@ -5769,6 +5835,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metaphone_term_stats": _q_metaphone_stats,
         "cologne_term_stats": _q_cologne_stats,
         "dm_soundex_term_stats": _q_dms_stats,
+        "bm25_beider_morse_top10": _q_beider_morse_top10,
+        "beider_morse_term_stats": _q_beider_morse_stats,
         "protected_truncate_stats": _q_protected_truncate_stats,
         "bm25_url_token_top10": _q_url_email_top10,
         "url_email_term_stats": _q_url_email_stats,
@@ -5914,6 +5982,8 @@ _PRIORITY = [
     "metaphone_term_stats",
     "cologne_term_stats",
     "dm_soundex_term_stats",
+    "bm25_beider_morse_top10",
+    "beider_morse_term_stats",
     "leading_wildcard_query",
     "reverse_term_stats",
     "auto_stopword_top10",
@@ -7060,6 +7130,11 @@ FROM dfs WHERE term IN ('zqtf', 'data', 'dup')"""),
             _COLOGNE_TOKENS, _COLOGNE_STAT_TERMS),
         "dm_soundex_term_stats": _phon_stats_sql(
             _DMS_TOKENS, _DMS_STAT_TERMS),
+        "bm25_beider_morse_top10": (
+            _phon_inject_prelude(_BM_TOKENS, include_original=False)
+            + ", " + _tscore_cte("ts", "zmit") + _topk_sql("ts", 10)),
+        "beider_morse_term_stats": _phon_stats_sql(
+            _BM_TOKENS, _BM_STAT_TERMS, include_original=False),
         "bm25_url_token_top10": (
             _URLEMAIL_PRELUDE + ", "
             + _tscore_cte("ts", "http://zq.example.com/p?q=1")

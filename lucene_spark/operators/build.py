@@ -317,7 +317,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                 or keyword_repeat):
             raise ValueError("phonetic is mutually exclusive with the "
                              "graph-expanding filters")
-        enc_name, inject = phonetic[0], phonetic[1]
+        enc_name = phonetic[0]
+        inject = phonetic[1] if len(phonetic) > 1 else True
         if enc_name == "double_metaphone_filter":
             # DoubleMetaphoneFilter.java: primary + distinct alternate
             # as overlay tokens; phonetic = (name, inject, maxCodeLen).
@@ -325,6 +326,19 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             mcl = int(phonetic[2]) if len(phonetic) > 2 else 4
             doc_idx, terms, positions, ph_over = double_metaphone_batch(
                 doc_idx, terms, positions, n_docs, mcl, inject)
+            cjk_over = cjk_over + ph_over
+        elif enc_name == "beider_morse":
+            # BeiderMorseFilter.java: the encoded form's ([^()|-]+)
+            # groups replace the token (first at the source position,
+            # rest posInc=0). phonetic = ("beider_morse", name_type,
+            # rule_type, concat, languages|None).
+            from ..functions.beidermorse import beider_morse_batch
+            nt = phonetic[1] if len(phonetic) > 1 else "generic"
+            rt = phonetic[2] if len(phonetic) > 2 else "approx"
+            cc = phonetic[3] if len(phonetic) > 3 else True
+            lg = phonetic[4] if len(phonetic) > 4 else None
+            doc_idx, terms, positions, ph_over = beider_morse_batch(
+                doc_idx, terms, positions, n_docs, nt, rt, cc, lg)
             cjk_over = cjk_over + ph_over
         elif enc_name == "daitch_mokotoff_filter":
             # DaitchMokotoffSoundexFilter.java: every '|' branch of the
