@@ -776,6 +776,106 @@ _BM_STAT_TERMS = ("zmit", "stzmit", "kutsifski", "gizlani", "tomas",
                   "iankYlovitS", "schmidt", "smith")
 
 
+# ---------------------------------------------------------------------------
+# HunspellStemFilter over a self-contained synthetic dictionary: the
+# engine's faithfulness to the reference Stemmer is pinned by the 288
+# transcoded StemmerTestBase cases (tests/test_hunspell.py); this entry
+# verifies the FILTER-through-the-build path end to end. Content is
+# FORMS[doc_id%12] FORMS[doc_id%7]; each form has exactly one stem
+# under the dictionary below, mirrored in the twin's token table.
+# ---------------------------------------------------------------------------
+
+_HUNSPELL_AFF = """SET UTF-8
+PFX R Y 1
+PFX R 0 re .
+SFX S Y 2
+SFX S 0 s [^xs]
+SFX S 0 es [xs]
+SFX D Y 3
+SFX D 0 ed [^en]
+SFX D e ed e
+SFX D 0 ned n
+SFX G Y 3
+SFX G 0 ing [^en]
+SFX G e ing e
+SFX G 0 ning n
+"""
+_HUNSPELL_DIC = """6
+scan/SDGR
+merge/DG
+index/SDR
+filter/SDG
+emit/S
+parse/SDGR
+"""
+
+_HUNSPELL_FORMS = ("scans", "scanned", "rescanning", "merged",
+                   "merging", "indexes", "reindexed", "filters",
+                   "filtering", "emits", "parsed", "zqunknown")
+#: form -> emitted tokens (the single stem; stemless passes through)
+_HUNSPELL_TOKENS = {
+    "scans": ["scan"], "scanned": ["scan"], "rescanning": ["scan"],
+    "merged": ["merge"], "merging": ["merge"], "indexes": ["index"],
+    "reindexed": ["index"], "filters": ["filter"],
+    "filtering": ["filter"], "emits": ["emit"], "parsed": ["parse"],
+    "zqunknown": ["zqunknown"],
+}
+_HUNSPELL_STAT_TERMS = ("scan", "merge", "index", "filter", "emit",
+                        "parse", "zqunknown", "scans")
+
+
+def _hunspell_paths() -> tuple:
+    tag = hashlib.md5((_HUNSPELL_AFF + _HUNSPELL_DIC).encode()
+                      ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"lucene_spark_hs_{tag}")
+    aff, dic = base + ".aff", base + ".dic"
+    if not (os.path.exists(aff) and os.path.exists(dic)):
+        with open(aff, "w", encoding="utf-8") as f:
+            f.write(_HUNSPELL_AFF)
+        with open(dic, "w", encoding="utf-8") as f:
+            f.write(_HUNSPELL_DIC)
+    return aff, dic
+
+
+def _searcher_hunspell(spark: SparkSession, sf_dir: str) -> Searcher:
+    key = "hunspell:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        h = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{h}")
+        arr = F.array(*[F.lit(w) for w in _HUNSPELL_FORMS])
+        content = F.concat(
+            F.element_at(arr, (F.col("doc_id") % 12 + 1).cast("int")),
+            F.lit(" "),
+            F.element_at(arr, (F.col("doc_id") % 7 + 1).cast("int")))
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", content.alias("content"))
+        aff, dic = _hunspell_paths()
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    hunspell=(aff, dic))
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_hunspell_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on the stem 'scan' — its postings merge three
+    surface forms (scans/scanned/rescanning incl. the prefix+suffix
+    cross product)."""
+    return _fmt_topk(_searcher_hunspell(spark, sf_dir).search(
+        Q.Term("scan"), k=10))
+
+
+def _q_hunspell_stats(spark, sf_dir):
+    """Stem dictionary df/ttf: surface forms are REPLACED by their
+    stems (so 'scans' must be absent); zqunknown passes through."""
+    s = _searcher_hunspell(spark, sf_dir)
+    return (s.term_stats
+            .filter(F.col("term").isin(list(_HUNSPELL_STAT_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _q_beider_morse_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 TermQuery on the Beider-Morse phoneme zmit — schmidt and
     smith both encode to it (the BMPM cross-spelling match the engine
@@ -2133,6 +2233,44 @@ tok AS (
   FROM documents d
   JOIN nm a ON a.i = d.doc_id % 16
   JOIN nm b ON b.i = d.doc_id % 7
+),
+doclen AS (SELECT doc_id, 2 AS dl FROM documents),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM documents) AS dc,
+                 (SELECT count(*) FROM tok) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+
+def _synth_tok_prelude(names, tokmap: dict, mod_a: int,
+                       mod_b: int) -> str:
+    """Generic twin prelude for the synthetic two-token corpora:
+    content = NAMES[doc_id%A] NAMES[doc_id%B]; each name unnests to its
+    pinned token list (replace-mode: originals absent unless mapped to
+    themselves). doc_len = 2, sttf counts every emitted token."""
+    vals = ", ".join(
+        "({}, [{}])".format(i, ", ".join(f"'{t}'" for t in tokmap[n]))
+        for i, n in enumerate(names))
+    return f"""
+WITH nm(i, toks) AS (VALUES {vals}),
+tok AS (
+  SELECT d.doc_id, unnest(a.toks || b.toks) AS term
+  FROM documents d
+  JOIN nm a ON a.i = d.doc_id % {mod_a}
+  JOIN nm b ON b.i = d.doc_id % {mod_b}
 ),
 doclen AS (SELECT doc_id, 2 AS dl FROM documents),
 lut(v) AS (VALUES {_LUT_V}),
@@ -5837,6 +5975,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dm_soundex_term_stats": _q_dms_stats,
         "bm25_beider_morse_top10": _q_beider_morse_top10,
         "beider_morse_term_stats": _q_beider_morse_stats,
+        "bm25_hunspell_top10": _q_hunspell_top10,
+        "hunspell_term_stats": _q_hunspell_stats,
         "protected_truncate_stats": _q_protected_truncate_stats,
         "bm25_url_token_top10": _q_url_email_top10,
         "url_email_term_stats": _q_url_email_stats,
@@ -5984,6 +6124,8 @@ _PRIORITY = [
     "dm_soundex_term_stats",
     "bm25_beider_morse_top10",
     "beider_morse_term_stats",
+    "bm25_hunspell_top10",
+    "hunspell_term_stats",
     "leading_wildcard_query",
     "reverse_term_stats",
     "auto_stopword_top10",
@@ -7135,6 +7277,15 @@ FROM dfs WHERE term IN ('zqtf', 'data', 'dup')"""),
             + ", " + _tscore_cte("ts", "zmit") + _topk_sql("ts", 10)),
         "beider_morse_term_stats": _phon_stats_sql(
             _BM_TOKENS, _BM_STAT_TERMS, include_original=False),
+        "bm25_hunspell_top10": (
+            _synth_tok_prelude(_HUNSPELL_FORMS, _HUNSPELL_TOKENS, 12, 7)
+            + ", " + _tscore_cte("ts", "scan") + _topk_sql("ts", 10)),
+        "hunspell_term_stats": (
+            _synth_tok_prelude(_HUNSPELL_FORMS, _HUNSPELL_TOKENS, 12, 7)
+            + " SELECT term, CAST(df AS BIGINT) AS df,\n"
+              "       CAST(ttf AS BIGINT) AS ttf\n"
+              "FROM dfs WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in _HUNSPELL_STAT_TERMS) + ")"),
         "bm25_url_token_top10": (
             _URLEMAIL_PRELUDE + ", "
             + _tscore_cte("ts", "http://zq.example.com/p?q=1")

@@ -1,0 +1,828 @@
+"""Hunspell dictionary stemming (the HunspellStemFilter subset).
+
+Reference: ``lucene/analysis/common/src/java/org/apache/lucene/analysis/
+hunspell/`` — ``Dictionary.java`` (.aff/.dic parsing), ``Stemmer.java``
+(affix-stripping stem enumeration), ``AffixCondition.java`` (the
+condition compiler with its strip-overlap splitting), and
+``HunspellStemFilter.java`` (token-level semantics). This module
+re-implements the SIMPLE-WORD stemming path:
+
+* .aff options: FLAG (UTF-8 / long / num), PFX/SFX rules with strip,
+  continuation classes, conditions (incl. the strip-overlap split and
+  bracket-class regexes with literal dashes), AF flag aliases,
+  NEEDAFFIX/PSEUDOROOT, CIRCUMFIX, ONLYINCOMPOUND, FULLSTRIP,
+  COMPLEXPREFIXES, IGNORE, ICONV/OCONV, KEEPCASE, CHECKSHARPS,
+  LANG (Turkic alternate casing);
+* .dic: flag vectors (aliased or literal), ``st:`` morphological stem
+  exceptions, hidden title-case entries for MIXED/UPPER words;
+* stemming: dictionary roots + prefix/suffix stripping with cross
+  product, twofold suffixes via continuation classes, prefix+suffix
+  interplay (flag checks on either side), circumfix pairing, needaffix
+  pseudo-stems, and upper/title case variation (incl. the sharp-s
+  expansion and the apostrophe rule).
+
+Out of scope (documented): compound words (COMPOUNDRULE/COMPOUNDFLAG
+stemming contexts), spell-check/suggest (Hunspell.java, the
+suggesters), BREAK, and morphological aliases beyond ``st:``.
+
+Verification: every reference ``StemmerTestBase`` expectation is
+transcoded mechanically from the reference test sources + fixture
+dictionaries by ``tools/gen_hunspell_goldens.py`` into
+``tests/data/hunspell/cases.json`` and replayed exactly (multiplicity
+included) by ``tests/test_hunspell.py``.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["HunspellDictionary", "HunspellStemmer",
+           "hunspell_stem_batch"]
+
+FLAG_UNSET = "\x00"
+HIDDEN_FLAG = chr(65511)     # Hunspell's ONLYUPCASEFLAG
+
+
+# ---------------------------------------------------------------------------
+# flag parsing strategies (Dictionary.FlagParsingStrategy)
+# ---------------------------------------------------------------------------
+
+def _parse_flags_simple(raw: str) -> tuple:
+    return tuple(raw)
+
+
+def _parse_flags_long(raw: str) -> tuple:
+    # pairs of chars become one flag char (packed like the reference:
+    # (first << 8) | second), odd trailing char kept as-is
+    out = []
+    i = 0
+    while i + 1 < len(raw):
+        out.append(chr((ord(raw[i]) << 8) | (ord(raw[i + 1]) & 0xFF)))
+        i += 2
+    if i < len(raw):
+        out.append(raw[i])
+    return tuple(out)
+
+
+def _parse_flags_num(raw: str) -> tuple:
+    out = []
+    for part in raw.split(","):
+        part = part.strip()
+        if part.isdigit():
+            out.append(chr(int(part)))
+    return tuple(out)
+
+
+_FLAG_MODES = {
+    None: _parse_flags_simple,
+    "long": _parse_flags_long,
+    "num": _parse_flags_num,
+    "UTF-8": _parse_flags_simple,
+}
+
+
+# ---------------------------------------------------------------------------
+# affix conditions (AffixCondition.compile)
+# ---------------------------------------------------------------------------
+
+def _is_regexp(cond: str) -> bool:
+    return "[" in cond or "." in cond or "-" in cond
+
+
+def _skip_char_pattern(cond: str, pos: int) -> int:
+    if cond[pos] == "[":
+        pos = cond.index("]", pos + 1)
+    return pos + 1
+
+
+def _count_char_patterns(cond: str) -> int:
+    n = 0
+    i = 0
+    while i < len(cond):
+        i = _skip_char_pattern(cond, i)
+        n += 1
+    return n
+
+
+def _skip_char_patterns(cond: str, count: int) -> int:
+    pos = 0
+    for _ in range(count):
+        pos = _skip_char_pattern(cond, pos)
+    return pos
+
+
+def _escape_dash(rx: str) -> str:
+    if "-" not in rx:
+        return rx
+    out = []
+    i = 0
+    while i < len(rx):
+        c = rx[i]
+        if c == "-":
+            out.append("\\-")
+        else:
+            out.append(c)
+            if c == "\\" and i + 1 < len(rx):
+                out.append(rx[i + 1])
+                i += 1
+        i += 1
+    return "".join(out)
+
+
+def _full_match(rx: str, s: str) -> bool:
+    try:
+        return re.fullmatch(_escape_dash(rx), s) is not None
+    except re.error:
+        return False
+
+
+_ALWAYS_TRUE = lambda stem: True       # noqa: E731
+_ALWAYS_FALSE = lambda stem: False     # noqa: E731
+
+
+def compile_condition(kind: str, strip: str, condition: str):
+    """AffixCondition.compile: the condition covers strip+stem; the
+    strip-covering char patterns are checked against the strip at
+    PARSE time, the remainder against the stem's first/last chars."""
+    is_suffix = kind == "SFX"
+    if condition == ".":
+        return _ALWAYS_TRUE
+    if not _is_regexp(condition):
+        if is_suffix and condition.endswith(strip):
+            tail = condition[:len(condition) - len(strip)]
+            return (lambda stem, t=tail: stem.endswith(t))
+        if not is_suffix and condition.startswith(strip):
+            head = condition[len(strip):]
+            return (lambda stem, h=head: stem.startswith(h))
+        return _ALWAYS_FALSE
+    last_bracket = condition.rfind("[")
+    if last_bracket >= 0 and "]" not in condition[last_bracket + 1:]:
+        condition = condition + "]"     # unclosed [ tolerated
+    try:
+        cond_chars = _count_char_patterns(condition)
+    except ValueError:
+        return _ALWAYS_FALSE
+    if cond_chars <= len(strip):
+        rx = ".*" + condition if not is_suffix else condition + ".*"
+        return _ALWAYS_TRUE if _full_match(rx, strip) else _ALWAYS_FALSE
+    if not is_suffix:
+        split = _skip_char_patterns(condition, len(strip))
+        if not _full_match(condition[:split], strip):
+            return _ALWAYS_FALSE
+        return _regex_condition(is_suffix, condition[split:],
+                                cond_chars - len(strip))
+    split = _skip_char_patterns(condition, cond_chars - len(strip))
+    if not _full_match(condition[split:], strip):
+        return _ALWAYS_FALSE
+    return _regex_condition(is_suffix, condition[:split],
+                            cond_chars - len(strip))
+
+
+def _regex_condition(is_suffix: bool, condition: str, char_count: int):
+    try:
+        pat = re.compile(_escape_dash(condition))
+    except re.error:
+        return _ALWAYS_FALSE
+
+    if is_suffix:
+        return (lambda stem, p=pat, n=char_count:
+                len(stem) >= n and p.fullmatch(stem, len(stem) - n)
+                is not None)
+    return (lambda stem, p=pat, n=char_count:
+            len(stem) >= n and p.fullmatch(stem[:n]) is not None)
+
+
+# ---------------------------------------------------------------------------
+# dictionary
+# ---------------------------------------------------------------------------
+
+class _Affix:
+    __slots__ = ("kind", "flag", "strip", "append", "append_flags",
+                 "condition", "cross", "aid")
+
+    def __init__(self, kind, flag, strip, append, append_flags,
+                 condition, cross, aid):
+        self.kind = kind
+        self.flag = flag
+        self.strip = strip
+        self.append = append
+        self.append_flags = append_flags   # frozenset of flag chars
+        self.condition = condition
+        self.cross = cross
+        self.aid = aid
+
+
+def _strip_bom(s: str) -> str:
+    return s[1:] if s.startswith("﻿") else s
+
+
+_CHARSETS = {
+    "UTF-8": "utf-8", "ISO8859-1": "latin-1", "ISO8859-2": "iso8859-2",
+    "ISO8859-3": "iso8859-3", "ISO8859-4": "iso8859-4",
+    "ISO8859-5": "iso8859-5", "ISO8859-6": "iso8859-6",
+    "ISO8859-7": "iso8859-7", "ISO8859-8": "iso8859-8",
+    "ISO8859-9": "iso8859-9", "ISO8859-10": "iso8859-10",
+    "ISO8859-13": "iso8859-13", "ISO8859-15": "iso8859-15",
+    "KOI8-R": "koi8-r", "KOI8-U": "koi8-u",
+    "microsoft-cp1251": "cp1251", "ISCII-DEVANAGARI": "latin-1",
+}
+
+
+def _charset_of(aff_bytes: bytes) -> str:
+    """The .aff's SET declaration picks the charset for BOTH files —
+    hunspell's default is ISO8859-1 (the reference Dictionary's initial
+    decoder), which is why fixtures without SET aren't UTF-8."""
+    for raw in aff_bytes.split(b"\n"):
+        s = raw.strip()
+        if s.startswith(b"SET"):
+            parts = s.split()
+            if len(parts) > 1:
+                return _CHARSETS.get(
+                    parts[1].decode("ascii", "replace"), "latin-1")
+            break
+    return "latin-1"
+
+
+def decode_hunspell(data: bytes) -> str:
+    return data.decode(_charset_of(data), errors="replace")
+
+
+def load_hunspell_file(path: str) -> str:
+    with open(path, "rb") as f:
+        return decode_hunspell(f.read())
+
+
+class HunspellDictionary:
+    """Parsed .aff + .dic pair (SIMPLE-WORD stemming subset)."""
+
+    def __init__(self, aff_text: str, dic_texts, ignore_case=False):
+        self.ignore_case = ignore_case
+        self.flag_parse = _parse_flags_simple
+        self.aliases: list[str] | None = None
+        self.prefixes: dict[str, list[_Affix]] = {}
+        self.suffixes: dict[str, list[_Affix]] = {}
+        self.needaffix = FLAG_UNSET
+        self.circumfix = FLAG_UNSET
+        self.onlyincompound = FLAG_UNSET
+        self.keepcase = FLAG_UNSET
+        self.full_strip = False
+        self.complex_prefixes = False
+        self.check_sharp_s = False
+        self.alternate_casing = False
+        self.ignore: str | None = None
+        self.iconv: list[tuple[str, str]] | None = None
+        self.oconv: list[tuple[str, str]] | None = None
+        #: flags appearing in any affix's continuation classes, per kind
+        self.second_stage_prefix_flags: set[str] = set()
+        self.second_stage_suffix_flags: set[str] = set()
+        #: word -> list of (flags frozenset, stem_exception|None)
+        self.entries: dict[str, list] = {}
+        self.morph_aliases: list[str] | None = None
+        self._parse_aff(_strip_bom(aff_text))
+        for dic in dic_texts:
+            self._parse_dic(_strip_bom(dic))
+        # WordStorage.flushGroup: a hidden (title-cased) form is kept
+        # only when the word has NO non-hidden form
+        for word, forms in self.entries.items():
+            if any(HIDDEN_FLAG not in fl for fl, _ in forms):
+                forms[:] = [(fl, ex) for fl, ex in forms
+                            if HIDDEN_FLAG not in fl]
+
+    # -- .aff ---------------------------------------------------------------
+    def _parse_aff(self, text: str):
+        lines = text.splitlines()
+        i = 0
+        n = len(lines)
+        seen_conditions: dict[tuple, object] = {}
+        aid = 0
+        while i < n:
+            raw = lines[i]
+            i += 1
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            first = parts[0]
+            if first == "FLAG" and len(parts) > 1:
+                self.flag_parse = _FLAG_MODES.get(parts[1],
+                                                  _parse_flags_simple)
+            elif first == "AF":
+                if self.aliases is None:
+                    self.aliases = []
+                    self._alias_total = int(parts[1])
+                else:
+                    self.aliases.append(parts[1] if len(parts) > 1
+                                        else "")
+            elif first == "AM":
+                if self.morph_aliases is None:
+                    self.morph_aliases = []
+                else:
+                    self.morph_aliases.append(
+                        " ".join(parts[1:]) if len(parts) > 1 else "")
+            elif first == "COMPLEXPREFIXES":
+                self.complex_prefixes = True
+            elif first == "FULLSTRIP":
+                self.full_strip = True
+            elif first == "CHECKSHARPS":
+                self.check_sharp_s = True
+            elif first in ("NEEDAFFIX", "PSEUDOROOT"):
+                self.needaffix = self._one_flag(parts)
+            elif first == "CIRCUMFIX":
+                self.circumfix = self._one_flag(parts)
+            elif first == "ONLYINCOMPOUND":
+                self.onlyincompound = self._one_flag(parts)
+            elif first == "KEEPCASE":
+                self.keepcase = self._one_flag(parts)
+            elif first == "IGNORE":
+                self.ignore = parts[1]
+            elif first == "LANG":
+                lang = parts[1].split("_")[0].lower() if len(parts) > 1 \
+                    else ""
+                self.alternate_casing = lang in ("tr", "az")
+            elif first in ("ICONV", "OCONV"):
+                count = int(parts[1])
+                table = []
+                for _ in range(count):
+                    row = lines[i].split()
+                    i += 1
+                    if len(row) >= 3:
+                        table.append((row[1], row[2]))
+                # longest-pattern-first greedy application
+                table.sort(key=lambda kv: -len(kv[0]))
+                if first == "ICONV":
+                    self.iconv = table
+                else:
+                    self.oconv = table
+            elif first in ("PFX", "SFX") and len(parts) >= 4:
+                cross = parts[2] == "Y"
+                try:
+                    count = int(parts[3])
+                except ValueError:
+                    continue
+                for _ in range(count):
+                    rule = lines[i].split()
+                    i += 1
+                    if len(rule) < 4:
+                        continue
+                    flag = self._one_flag(rule)
+                    strip = "" if rule[2] == "0" else rule[2]
+                    affix_arg = rule[3]
+                    append_flags = frozenset()
+                    slash = affix_arg.rfind("/")
+                    if slash != -1:
+                        flag_part = affix_arg[slash + 1:]
+                        affix_arg = affix_arg[:slash]
+                        if self.aliases:
+                            flag_part = self.aliases[int(flag_part) - 1]
+                        append_flags = frozenset(
+                            self.flag_parse(flag_part))
+                        target = (self.second_stage_prefix_flags
+                                  if first == "PFX"
+                                  else self.second_stage_suffix_flags)
+                        target.update(append_flags)
+                    if affix_arg == "0":
+                        affix_arg = ""
+                    if self.ignore and any(c in self.ignore
+                                           for c in affix_arg):
+                        affix_arg = "".join(c for c in affix_arg
+                                            if c not in self.ignore)
+                    condition = rule[4] if len(rule) > 4 else "."
+                    ckey = (first, strip, condition)
+                    cond = seen_conditions.get(ckey)
+                    if cond is None:
+                        cond = compile_condition(first, strip, condition)
+                        seen_conditions[ckey] = cond
+                    ax = _Affix(first, flag, strip, affix_arg,
+                                append_flags, cond, cross, aid)
+                    aid += 1
+                    target = (self.prefixes if first == "PFX"
+                              else self.suffixes)
+                    target.setdefault(affix_arg, []).append(ax)
+
+    def _one_flag(self, parts) -> str:
+        flags = self.flag_parse(parts[1])
+        return flags[0] if flags else FLAG_UNSET
+
+    # -- .dic ---------------------------------------------------------------
+    def _parse_dic(self, text: str):
+        lines = text.splitlines()
+        for raw in lines[1:]:             # first line = entry count
+            line = raw
+            if not line or line[0] in ("#", "\t"):
+                continue
+            # Dictionary.unescapeEntry: morph = after the FIRST
+            # space-or-tab; within the body '\x' is a literal x and an
+            # unescaped '/' at i>0 is the flag separator (a LEADING
+            # slash is part of the word)
+            sp = [i for i in (line.find(" "), line.find("\t"))
+                  if i >= 0]
+            end = min(sp) if sp else len(line)
+            body_raw, morph = line[:end], (line[end + 1:] if sp
+                                           else None)
+            body = []
+            i = 0
+            while i < len(body_raw):
+                ch = body_raw[i]
+                if ch == "\\" and i + 1 < len(body_raw):
+                    body.append(body_raw[i + 1])
+                    i += 2
+                    continue
+                if ch == "/" and i > 0:
+                    body.append("\x1f")
+                else:
+                    body.append(ch)
+                i += 1
+            body = "".join(body)
+            flag_sep = body.find("\x1f")
+            if flag_sep >= 0:
+                word = body[:flag_sep]
+                flag_part = body[flag_sep + 1:].replace("\x1f", "")
+                if self.aliases and flag_part.isdigit():
+                    flag_part = self.aliases[int(flag_part) - 1]
+                flags = frozenset(self.flag_parse(flag_part))
+            else:
+                word = body
+                flags = frozenset()
+            if self._needs_input_cleaning(word):
+                word = self._clean_input(word)
+            if not word:
+                continue
+            exception = None
+            if morph:
+                morph = morph.strip()
+                # AM alias: a bare number resolves via the alias table
+                if self.morph_aliases and morph.isdigit():
+                    morph = self.morph_aliases[int(morph) - 1]
+                m = re.search(r"(?:^|\s)st:(\S+)", morph)
+                if m:
+                    exception = m.group(1)
+            self.entries.setdefault(word, []).append((flags, exception))
+            case = _word_case(word)
+            if case == "MIXED" or (case == "UPPER" and flags):
+                hidden = word[0].upper() + self._case_fold_str(word[1:])
+                self.entries.setdefault(hidden, []).append(
+                    (flags | {HIDDEN_FLAG}, exception))
+
+    # -- input cleaning (IGNORE / ICONV / ignoreCase) -----------------------
+    def _needs_input_cleaning(self, word: str) -> bool:
+        if not (self.ignore or self.iconv or self.ignore_case):
+            return False
+        for ch in word:
+            if ((self.ignore and ch in self.ignore)
+                    or (self.ignore_case and self.case_fold(ch) != ch)
+                    or (self.iconv and any(p.startswith(ch) or ch in p
+                                           for p, _ in self.iconv))):
+                return True
+        return False
+
+    def _clean_input(self, word: str) -> str:
+        out = []
+        for ch in word:
+            if self.ignore and ch in self.ignore:
+                continue
+            if self.ignore_case and self.iconv is None:
+                ch = self.case_fold(ch)
+            out.append(ch)
+        s = "".join(out)
+        if self.iconv is not None:
+            s = self._apply_conv(s, self.iconv)
+            if self.ignore_case:
+                s = self._case_fold_str(s)
+        return s
+
+    @staticmethod
+    def _apply_conv(s: str, table) -> str:
+        # ConvTable.applyMappings: at each position the longest
+        # matching pattern replaces (greedy, single pass)
+        out = []
+        i = 0
+        while i < len(s):
+            for pat, rep in table:
+                if s.startswith(pat, i):
+                    out.append("-" if rep == "_" else rep)
+                    i += len(pat)
+                    break
+            else:
+                out.append(s[i])
+                i += 1
+        return "".join(out)
+
+    def case_fold(self, ch: str) -> str:
+        """Dictionary.caseFold — Java's CHAR-LEVEL toLowerCase (simple
+        1:1 mapping): 'İ' folds to plain 'i' (Python's full lowercase
+        would add a combining dot), Turkic mode dotless-folds I."""
+        if self.alternate_casing:
+            if ch == "I":
+                return "ı"
+            if ch == "İ":
+                return "i"
+        if ch == "İ":
+            return "i"
+        low = ch.lower()
+        return low if len(low) == 1 else ch
+
+    def _case_fold_str(self, s: str) -> str:
+        return "".join(self.case_fold(c) for c in s)
+
+    def is_second_stage_suffix(self, flag: str) -> bool:
+        return flag in self.second_stage_suffix_flags
+
+    def is_second_stage_prefix(self, flag: str) -> bool:
+        return flag in self.second_stage_prefix_flags
+
+
+def _word_case(word: str) -> str:
+    """WordCase.caseOf: NEUTRAL / LOWER / TITLE / UPPER / MIXED."""
+    has_upper = has_lower = False
+    first_upper = word[:1].isupper()
+    for i, ch in enumerate(word):
+        if ch.isupper():
+            if i > 0:
+                has_upper = True
+        elif ch.islower():
+            has_lower = True
+    if first_upper:
+        if not has_lower:
+            return "UPPER"
+        if not has_upper:
+            return "TITLE"
+        return "MIXED"
+    if has_upper and has_lower:
+        return "MIXED"
+    if has_upper:
+        return "MIXED" if has_lower else ("UPPER" if not first_upper
+                                          and not has_lower else "MIXED")
+    if has_lower:
+        return "LOWER"
+    return "NEUTRAL"
+
+
+class HunspellStemmer:
+    """Stemmer.java SIMPLE-WORD path: dictionary roots + recursive
+    affix stripping with the reference's exact flag gating."""
+
+    def __init__(self, dictionary: HunspellDictionary):
+        self.d = dictionary
+
+    # -- public -------------------------------------------------------------
+    def stem(self, word: str) -> list[str]:
+        d = self.d
+        if d._needs_input_cleaning(word):
+            word = d._clean_input(word)
+        if not word:
+            return []
+        out: list[str] = []
+        self._do_stem(word, out)
+        case = _word_case(word)
+        if case in ("UPPER", "TITLE"):
+            for variant in self._case_variants(word, case):
+                self._do_stem(variant, out)
+        return out
+
+    def unique_stems(self, word: str) -> list[str]:
+        stems = self.stem(word)
+        seen = set()
+        out = []
+        for s in stems:
+            key = s.lower() if self.d.ignore_case else s
+            if key not in seen:
+                seen.add(key)
+                out.append(s)
+        return out
+
+    # -- case variation (Stemmer.varyCase) ----------------------------------
+    def _case_variants(self, word: str, case: str):
+        d = self.d
+        variants = []
+        title = None
+        if case == "UPPER":
+            title = word[0] + d._case_fold_str(word[1:])
+            apos = self._capitalize_after_apostrophe(title)
+            if apos:
+                variants.append(apos)
+            variants.append(title)
+            if d.check_sharp_s:
+                variants.extend(self._sharp_s_variants(title))
+        # isDotICaseChangeDisallowed: a leading dotted İ never lowers
+        # outside Turkic dictionaries (Stemmer.varyCase)
+        if word[0] == "İ" and not d.alternate_casing:
+            return variants
+        base = title if title is not None else word
+        lower = d.case_fold(base[0]) + base[1:]
+        variants.append(lower)
+        if case == "UPPER" and d.check_sharp_s:
+            variants.extend(self._sharp_s_variants(lower))
+        return variants
+
+    @staticmethod
+    def _capitalize_after_apostrophe(word: str):
+        # single quote mid-word: capitalize the next char (O'Brian)
+        for i in range(1, len(word) - 1):
+            if word[i] == "'":
+                return word[:i + 1] + word[i + 1].upper() + word[i + 2:]
+        return None
+
+    @staticmethod
+    def _sharp_s_variants(word: str):
+        """varySharpS: every subset of 'ss' occurrences replaced by ß
+        (recursion depth-capped at 5), the unchanged source skipped."""
+        def expand(start, depth):
+            if depth > 5:
+                return [word[start:]]
+            ss = word.find("ss", start)
+            if ss < 0:
+                return None
+            prefix = word[start:ss]
+            tails = expand(ss + 2, depth + 1)
+            if tails is None:
+                tails = [word[ss + 2:]]
+            return [prefix + "ss" + t for t in tails] + \
+                   [prefix + "ß" + t for t in tails]
+
+        result = expand(0, 0)
+        if result is None:
+            return []
+        return [s for s in result if s != word]
+
+    # -- core (Stemmer.doStem / stem / applyAffix) --------------------------
+    def _do_stem(self, word: str, out: list[str]):
+        d = self.d
+        for flags, exception in d.entries.get(word, ()):
+            if d.needaffix in flags:
+                continue
+            if d.onlyincompound in flags:
+                continue
+            out.append(self._new_stem(word, exception))
+        self._stem_rec(word, previous=None, prev_flag=FLAG_UNSET,
+                       prefix=None, depth=0, do_prefix=True,
+                       prev_was_prefix=False, out=out)
+
+    def _new_stem(self, stem: str, exception) -> str:
+        s = exception if exception is not None else stem
+        if self.d.oconv is not None:
+            s = HunspellDictionary._apply_conv(s, self.d.oconv)
+        return s
+
+    def _stem_rec(self, word, previous, prev_flag, prefix, depth,
+                  do_prefix, prev_was_prefix, out):
+        d = self.d
+        n = len(word)
+        if do_prefix and d.prefixes:
+            limit = n + 1 if d.full_strip else n
+            for i in range(0, limit):
+                for ax in d.prefixes.get(word[:i], ()):
+                    if ax is previous:
+                        continue
+                    if not self._affix_compatible(ax, prev_flag, depth,
+                                                  True, False):
+                        continue
+                    stripped = self._strip_affix(word, i, ax, True)
+                    if stripped is None:
+                        continue
+                    self._apply_affix(stripped, ax, previous, prefix,
+                                      depth, True, out)
+        if d.suffixes:
+            limit = 0 if d.full_strip else 1
+            for i in range(n, limit - 1, -1):
+                for ax in d.suffixes.get(word[i:], ()):
+                    if ax is previous:
+                        continue
+                    if not self._affix_compatible(ax, prev_flag, depth,
+                                                  False,
+                                                  prev_was_prefix):
+                        continue
+                    stripped = self._strip_affix(word, n - i, ax, False)
+                    if stripped is None:
+                        continue
+                    self._apply_affix(stripped, ax, previous, prefix,
+                                      depth, False, out)
+
+    def _strip_affix(self, word, affix_len, ax, is_prefix):
+        de_len = len(word) - affix_len
+        if len(ax.strip) + de_len == 0:
+            return None
+        stem = word[affix_len:] if is_prefix else word[:de_len]
+        if not ax.condition(stem):
+            return None
+        if not ax.strip:
+            return stem
+        return (ax.strip + stem) if is_prefix else (stem + ax.strip)
+
+    def _affix_compatible(self, ax, prev_flag, depth, is_prefix,
+                          prev_was_prefix):
+        d = self.d
+        if d.onlyincompound != FLAG_UNSET \
+                and d.onlyincompound in ax.append_flags:
+            return False
+        if depth == 0:
+            return True
+        if ax.cross:
+            return prev_was_prefix or (prev_flag != FLAG_UNSET
+                                       and prev_flag in ax.append_flags)
+        return False
+
+    def _needs_another_affix(self, ax, previous, is_suffix, prefix):
+        d = self.d
+        circ = d.circumfix
+        if circ != FLAG_UNSET and is_suffix:
+            pfx_circ = prefix is not None and circ in prefix.append_flags
+            if pfx_circ != (circ in ax.append_flags):
+                return True
+        if d.needaffix != FLAG_UNSET and d.needaffix in ax.append_flags:
+            return (not is_suffix or previous is None
+                    or d.needaffix in previous.append_flags)
+        return False
+
+    def _apply_affix(self, stripped, ax, previous, prefix, depth,
+                     is_prefix, out):
+        d = self.d
+        flag = ax.flag
+        skip_lookup = self._needs_another_affix(ax, previous,
+                                                not is_prefix, prefix)
+        if not skip_lookup:
+            for flags, exception in d.entries.get(stripped, ()):
+                if not (flag in flags
+                        or (prefix is not None
+                            and flag in prefix.append_flags)):
+                    continue
+                chained_prefix = (d.complex_prefixes and depth == 1
+                                  and is_prefix)
+                if not chained_prefix and prefix is not None:
+                    if not (prefix.flag in flags
+                            or prefix.flag in ax.append_flags):
+                        continue
+                if d.onlyincompound != FLAG_UNSET \
+                        and d.onlyincompound in flags:
+                    continue
+                out.append(self._new_stem(stripped, exception))
+
+        if ax.cross and depth <= 1:
+            if depth == 0:
+                if is_prefix:
+                    prefix = ax
+                    do_prefix = (d.complex_prefixes
+                                 and d.is_second_stage_prefix(flag))
+                elif (not d.complex_prefixes
+                      and d.is_second_stage_suffix(flag)):
+                    do_prefix = False
+                else:
+                    return
+            else:
+                do_prefix = False
+                if is_prefix and d.complex_prefixes:
+                    prefix = ax
+                elif (is_prefix or d.complex_prefixes
+                      or not d.is_second_stage_suffix(flag)):
+                    return
+            self._stem_rec(stripped, previous=ax, prev_flag=flag,
+                           prefix=prefix, depth=depth + 1,
+                           do_prefix=do_prefix,
+                           prev_was_prefix=is_prefix, out=out)
+
+
+# ---------------------------------------------------------------------------
+# HunspellStemFilter token semantics
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=16)
+def _load_dictionary(aff_path: str, dic_path: str,
+                     ignore_case: bool) -> HunspellStemmer:
+    with open(aff_path, "rb") as f:
+        aff_bytes = f.read()
+    aff = decode_hunspell(aff_bytes)
+    enc = _charset_of(aff_bytes)
+    with open(dic_path, "rb") as f:
+        dic = f.read().decode(enc, errors="replace")
+    return HunspellStemmer(HunspellDictionary(aff, [dic], ignore_case))
+
+
+def hunspell_stem_batch(doc_idx, terms, positions, n_docs,
+                        aff_path: str, dic_path: str,
+                        dedup: bool = True, longest_only: bool = False,
+                        ignore_case: bool = False):
+    """HunspellStemFilter (reference ``HunspellStemFilter.java``): a
+    token with no stems passes through; otherwise the stems replace it
+    (first at the source position, the rest posInc=0 overlays);
+    ``longestOnly`` keeps only the longest stem (ties: the reference
+    sorts by length only, first-found wins)."""
+    if len(terms) == 0:
+        return (doc_idx, terms, positions,
+                np.zeros(n_docs, dtype=np.int64))
+    stemmer = _load_dictionary(aff_path, dic_path, ignore_case)
+    uniq = pd.factorize(terms)[1]
+    code_lists = []
+    for u in uniq:
+        stems = (stemmer.unique_stems(u) if dedup else stemmer.stem(u))
+        if not stems:
+            code_lists.append([u])
+        elif longest_only:
+            code_lists.append([max(stems, key=len)])
+        else:
+            code_lists.append(stems)
+    from .phonetic import _multi_code_batch
+    return _multi_code_batch(doc_idx, terms, positions, n_docs,
+                             code_lists, inject=False)

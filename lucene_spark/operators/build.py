@@ -83,6 +83,7 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    keyword_marker: frozenset = frozenset(),
                    stemmer_override: dict | None = None,
                    phonetic: tuple | None = None,
+                   hunspell: tuple | None = None,
                    min_hash: tuple | None = None,
                    concatenate_graph: bool | tuple = False
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
@@ -355,6 +356,27 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         else:
             from ..functions.phonetic import replace_phonetic_batch
             terms = replace_phonetic_batch(terms, enc_name)
+    if hunspell is not None:
+        # HunspellStemFilter (reference ``analysis/hunspell/
+        # HunspellStemFilter.java``): stems replace the token (first at
+        # the source position, the rest posInc=0 overlays; stemless
+        # tokens pass through). hunspell = (aff_path, dic_path[, dedup
+        # [, longest_only[, ignore_case]]]) — the dictionary files must
+        # be reachable from every executor (ship via --files at scale).
+        if (synonyms or shingles or common_grams or payload_delimiter
+                or dictionary_compound is not None or ngrams is not None
+                or keyword_repeat or phonetic is not None):
+            raise ValueError("hunspell is mutually exclusive with the "
+                             "other graph-expanding filters")
+        from ..functions.hunspell import hunspell_stem_batch
+        aff_p, dic_p = hunspell[0], hunspell[1]
+        dd = hunspell[2] if len(hunspell) > 2 else True
+        lo = hunspell[3] if len(hunspell) > 3 else False
+        ic = hunspell[4] if len(hunspell) > 4 else False
+        doc_idx, terms, positions, hs_over = hunspell_stem_batch(
+            doc_idx, terms, positions, n_docs, aff_p, dic_p,
+            dedup=dd, longest_only=lo, ignore_case=ic)
+        cjk_over = cjk_over + hs_over
     if term_freq_delimiter:
         # DelimitedTermFrequencyTokenFilter (reference ``analysis/common/
         # .../miscellaneous/DelimitedTermFrequencyTokenFilter.java``):
@@ -705,6 +727,7 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   keyword_marker: frozenset = frozenset(),
                   stemmer_override: dict | None = None,
                   phonetic: tuple | None = None,
+                  hunspell: tuple | None = None,
                   min_hash: tuple | None = None,
                   concatenate_graph: bool | tuple = False):
     def build_one_segment(key, pdf):
@@ -734,6 +757,7 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             keyword_marker=keyword_marker,
             stemmer_override=stemmer_override,
             phonetic=phonetic,
+            hunspell=hunspell,
             min_hash=min_hash,
             concatenate_graph=concatenate_graph)
         stats = _write_segment(catalog_root, seg_id, postings, doc_meta,
@@ -824,6 +848,7 @@ def build_index(spark, df, index_dir: str, *,
                 keyword_marker: frozenset = frozenset(),
                 stemmer_override: dict | None = None,
                 phonetic: tuple | None = None,
+                hunspell: tuple | None = None,
                 min_hash: tuple | None = None,
                 concatenate_graph: bool | tuple = False):
     """Build (or resume) an index over ``df`` and commit a snapshot.
@@ -894,6 +919,7 @@ def build_index(spark, df, index_dir: str, *,
                             keyword_marker=keyword_marker,
                             stemmer_override=stemmer_override,
                             phonetic=phonetic,
+                            hunspell=hunspell,
                             min_hash=min_hash,
                             concatenate_graph=concatenate_graph)
     new_stats = (work.repartition(num_segments, F.col(SEG_COL))
