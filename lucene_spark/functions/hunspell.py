@@ -14,7 +14,9 @@ re-implements the SIMPLE-WORD stemming path:
   COMPLEXPREFIXES, IGNORE, ICONV/OCONV, KEEPCASE, CHECKSHARPS,
   LANG (Turkic alternate casing);
 * .dic: flag vectors (aliased or literal), ``st:`` morphological stem
-  exceptions, hidden title-case entries for MIXED/UPPER words;
+  exceptions, hidden title-case entries for MIXED/UPPER words,
+  multi-word entries (a space only starts the morph part before an
+  ``xx:`` field — Dictionary.morphBoundary);
 * stemming: dictionary roots + prefix/suffix stripping with cross
   product, twofold suffixes via continuation classes, prefix+suffix
   interplay (flag checks on either side), circumfix pairing, needaffix
@@ -414,15 +416,12 @@ class HunspellDictionary:
             line = raw
             if not line or line[0] in ("#", "\t"):
                 continue
-            # Dictionary.unescapeEntry: morph = after the FIRST
-            # space-or-tab; within the body '\x' is a literal x and an
-            # unescaped '/' at i>0 is the flag separator (a LEADING
-            # slash is part of the word)
-            sp = [i for i in (line.find(" "), line.find("\t"))
-                  if i >= 0]
-            end = min(sp) if sp else len(line)
-            body_raw, morph = line[:end], (line[end + 1:] if sp
-                                           else None)
+            # Dictionary.morphBoundary: a tab always starts the morph
+            # part; a space only when followed by an ``xx:`` morph
+            # field — so dic entries may contain spaces ("forty four")
+            end = self._morph_boundary(line)
+            body_raw = line[:end]
+            morph = line[end + 1:] if end < len(line) else None
             body = []
             i = 0
             while i < len(body_raw):
@@ -466,6 +465,17 @@ class HunspellDictionary:
                 hidden = word[0].upper() + self._case_fold_str(word[1:])
                 self.entries.setdefault(hidden, []).append(
                     (flags | {HIDDEN_FLAG}, exception))
+
+    @staticmethod
+    def _morph_boundary(line: str) -> int:
+        for i, ch in enumerate(line):
+            if ch == "\t":
+                return i
+            if (ch == " " and i > 0 and i + 3 < len(line)
+                    and line[i + 1].isalpha() and line[i + 2].isalpha()
+                    and line[i + 3] == ":"):
+                return i
+        return len(line)
 
     # -- input cleaning (IGNORE / ICONV / ignoreCase) -----------------------
     def _needs_input_cleaning(self, word: str) -> bool:

@@ -25,12 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT_DIR = os.path.join(REPO, "tests", "data", "hunspell")
 
 # out-of-scope features (documented in functions/hunspell.py)
-SKIP = {
-    "TestOnlyInCompound.java",   # compound contexts
-    "TestDependencies.java",     # compound flag dependencies
-    "TestSpaces.java",           # multi-word dic entries w/ spaces
-    "TestCompressed.java",       # FLAG num + AF: keep (check below)
-}
+SKIP: set = set()
 
 INIT_RE = re.compile(r'init\(\s*(true\s*,\s*)?((?:"[^"]+"\s*,?\s*)+)\)')
 CASE_RE = re.compile(r'assertStemsTo\(\s*("(?:[^"\\]|\\.)*")'
