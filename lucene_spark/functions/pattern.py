@@ -310,6 +310,16 @@ def compile_token_filters(specs) -> tuple:
                 except ValueError:
                     return False
             keep_preds.append(_is_date)
+        elif kind == "codepoint_count":
+            # CodepointCountFilter (miscellaneous/CodepointCountFilter
+            # .java): keep tokens with min <= codePointCount <= max,
+            # gaps preserved (FilteringTokenFilter). Python len() IS
+            # the code-point count (vs LengthFilter's UTF-16 units).
+            mn, mx = int(spec[1]), int(spec[2])
+            if mn < 0 or mn > mx:
+                raise ValueError("bad codepoint_count bounds")
+            keep_preds.append(lambda t, _a=mn, _b=mx:
+                              _a <= len(t) <= _b)
         elif kind == "limit":
             if limit is not None:
                 raise ValueError("at most one limit filter")
@@ -460,3 +470,23 @@ def expand_capture_groups_batch(doc_idx, terms, positions, n_docs,
             np.concatenate([terms2, add_t]),
             np.concatenate([positions, add_p]),
             overlaps)
+
+
+class PatternKeywordSet:
+    """PatternKeywordMarkerFilter (reference ``miscellaneous/
+    PatternKeywordMarkerFilter.java``): marks every token whose text
+    MATCHES the pattern (Matcher.matches — full match) as a keyword so
+    stemmers skip it. Duck-types the ``keyword_marker`` set argument
+    (membership = regex full match, optionally unioned with explicit
+    keywords, the SetKeywordMarkerFilter composition)."""
+
+    def __init__(self, pattern: str, extra=frozenset()):
+        self._pat = re.compile(pattern)
+        self._extra = frozenset(extra)
+
+    def __contains__(self, token) -> bool:
+        return (token in self._extra
+                or self._pat.fullmatch(token) is not None)
+
+    def __bool__(self) -> bool:
+        return True

@@ -264,3 +264,24 @@ def test_capture_group_invert_integration():
     assert "getdatavalue" not in terms   # replaced, not preserved
     # doc0: 2 surface tokens -> 5 emissions (3 + 2): 3 overlaps
     assert stl == 5 + 3
+
+
+def test_codepoint_count_filter():
+    from lucene_spark.functions.analysis import analyze_text
+    terms, positions, length = analyze_text(
+        "a bb ccc dddd eeeee",
+        token_filters=(("codepoint_count", 2, 4),))
+    assert terms == ["bb", "ccc", "dddd"]
+    assert positions == [1, 2, 3]          # gaps preserved
+    assert length == 3
+
+
+def test_pattern_keyword_marker():
+    from lucene_spark.functions.analysis import analyze_text
+    from lucene_spark.functions.pattern import PatternKeywordSet
+    # tokens ending 'ing' are protected from the Porter stemmer
+    marker = PatternKeywordSet(r".*ing", extra={"databases"})
+    terms, _, _ = analyze_text(
+        "running jumped databases tables", stemmer="porter",
+        keyword_marker=marker)
+    assert terms == ["running", "jump", "databases", "tabl"]
