@@ -6249,6 +6249,22 @@ _PRIORITY = [
     "field_stats",
     "doc_norms",
     "content_sha256",
+    # continuation-session entries (explicit so the list stays the
+    # complete intended order; the driver cap reads the top 50)
+    "knn_classify_text",
+    "perceptron_assign",
+    "group_facet_counts",
+    "bm25_keyword_repeat_top10",
+    "keyword_repeat_term_stats",
+    "bm25_pattern_tokenizer_top10",
+    "pattern_tokenizer_term_stats",
+    "bm25_pattern_replace_top10",
+    "bm25_compound_top10",
+    "expression_rescore_top10",
+    "compound_term_stats",
+    "bm25_capture_camel_top10",
+    "capture_term_stats",
+    "fingerprint_token",
 ]
 
 
