@@ -23,9 +23,14 @@ re-implements the SIMPLE-WORD stemming path:
   pseudo-stems, and upper/title case variation (incl. the sharp-s
   expansion and the apostrophe rule).
 
-Out of scope (documented): compound words (COMPOUNDRULE/COMPOUNDFLAG
-stemming contexts), spell-check/suggest (Hunspell.java, the
-suggesters), BREAK, and morphological aliases beyond ``st:``.
+Also implemented: :class:`HunspellChecker` — the Hunspell.java
+``spell()`` non-compound path (FORBIDDENWORD/KEEPCASE gating with the
+sharp-s title exception and the abort-on-case-reject processor
+contract, number tolerance, trailing dots, case variation with
+null-case sharp-s variants, BREAK recursion with the default '-'
+table). Out of scope (documented): compound words
+(COMPOUNDRULE/COMPOUNDFLAG contexts), the suggesters, and
+morphological aliases beyond ``st:``/AM.
 
 Verification: every reference ``StemmerTestBase`` expectation is
 transcoded mechanically from the reference test sources + fixture
@@ -42,11 +47,15 @@ from functools import lru_cache
 import numpy as np
 import pandas as pd
 
-__all__ = ["HunspellDictionary", "HunspellStemmer",
+__all__ = ["HunspellDictionary", "HunspellStemmer", "HunspellChecker",
            "hunspell_stem_batch"]
 
 FLAG_UNSET = "\x00"
 HIDDEN_FLAG = chr(65511)     # Hunspell's ONLYUPCASEFLAG
+
+
+class _StopStem(Exception):
+    """RootProcessor returned False — abandon the whole stem search."""
 
 
 # ---------------------------------------------------------------------------
@@ -271,6 +280,9 @@ class HunspellDictionary:
         self.circumfix = FLAG_UNSET
         self.onlyincompound = FLAG_UNSET
         self.keepcase = FLAG_UNSET
+        self.forbiddenword = FLAG_UNSET
+        #: BREAK table (starting, ending, middle) — hunspell default '-'
+        self.breaks = (("-",), ("-",), ("-",))
         self.full_strip = False
         self.complex_prefixes = False
         self.check_sharp_s = False
@@ -339,6 +351,25 @@ class HunspellDictionary:
                 self.onlyincompound = self._one_flag(parts)
             elif first == "KEEPCASE":
                 self.keepcase = self._one_flag(parts)
+            elif first == "FORBIDDENWORD":
+                self.forbiddenword = self._one_flag(parts)
+            elif first == "BREAK":
+                count = int(parts[1])
+                starting, ending, middle = [], [], []
+                for _ in range(count):
+                    row = lines[i].split()
+                    i += 1
+                    if len(row) < 2:
+                        continue
+                    b = row[1]
+                    if b.startswith("^"):
+                        starting.append(b[1:])
+                    elif b.endswith("$"):
+                        ending.append(b[:-1])
+                    else:
+                        middle.append(b)
+                self.breaks = (tuple(starting), tuple(ending),
+                               tuple(middle))
             elif first == "IGNORE":
                 self.ignore = parts[1]
             elif first == "LANG":
@@ -586,12 +617,24 @@ class HunspellStemmer:
         if not word:
             return []
         out: list[str] = []
-        self._do_stem(word, out)
-        case = _word_case(word)
-        if case in ("UPPER", "TITLE"):
-            for variant in self._case_variants(word, case):
-                self._do_stem(variant, out)
+
+        def emit(stem, flags, exception):
+            out.append(self._new_stem(stem, exception))
+            return True
+
+        self._do_stem(word, emit)
+        if self.case_of(word) in ("UPPER", "TITLE"):
+            for variant, _ in self._case_variants(word,
+                                                  self.case_of(word)):
+                self._do_stem(variant, emit)
         return out
+
+    def case_of(self, word: str) -> str:
+        """Stemmer.caseOf: ignoreCase dictionaries (and lowercase-first
+        words) never case-vary."""
+        if self.d.ignore_case or not word or word[0].islower():
+            return "MIXED"
+        return _word_case(word)
 
     def unique_stems(self, word: str) -> list[str]:
         stems = self.stem(word)
@@ -606,6 +649,9 @@ class HunspellStemmer:
 
     # -- case variation (Stemmer.varyCase) ----------------------------------
     def _case_variants(self, word: str, case: str):
+        """(variant, original_case) pairs in the reference's varyCase
+        order; sharp-s expansions carry original_case=None (varySharpS
+        passes null — they bypass the keepcase check entirely)."""
         d = self.d
         variants = []
         title = None
@@ -613,19 +659,21 @@ class HunspellStemmer:
             title = word[0] + d._case_fold_str(word[1:])
             apos = self._capitalize_after_apostrophe(title)
             if apos:
-                variants.append(apos)
-            variants.append(title)
+                variants.append((apos, case))
+            variants.append((title, case))
             if d.check_sharp_s:
-                variants.extend(self._sharp_s_variants(title))
+                variants.extend((v, None)
+                                for v in self._sharp_s_variants(title))
         # isDotICaseChangeDisallowed: a leading dotted İ never lowers
         # outside Turkic dictionaries (Stemmer.varyCase)
         if word[0] == "İ" and not d.alternate_casing:
             return variants
         base = title if title is not None else word
         lower = d.case_fold(base[0]) + base[1:]
-        variants.append(lower)
+        variants.append((lower, case))
         if case == "UPPER" and d.check_sharp_s:
-            variants.extend(self._sharp_s_variants(lower))
+            variants.extend((v, None)
+                            for v in self._sharp_s_variants(lower))
         return variants
 
     @staticmethod
@@ -659,17 +707,21 @@ class HunspellStemmer:
         return [s for s in result if s != word]
 
     # -- core (Stemmer.doStem / stem / applyAffix) --------------------------
-    def _do_stem(self, word: str, out: list[str]):
+    def _do_stem(self, word: str, emit):
+        """Stemmer.doStem: dictionary roots + the affix recursion;
+        ``emit(stem_text, entry_flags, exception)`` returns False to
+        STOP the whole search (the reference RootProcessor contract)."""
         d = self.d
         for flags, exception in d.entries.get(word, ()):
             if d.needaffix in flags:
                 continue
             if d.onlyincompound in flags:
                 continue
-            out.append(self._new_stem(word, exception))
+            if not emit(word, flags, exception):
+                raise _StopStem
         self._stem_rec(word, previous=None, prev_flag=FLAG_UNSET,
                        prefix=None, depth=0, do_prefix=True,
-                       prev_was_prefix=False, out=out)
+                       prev_was_prefix=False, emit=emit)
 
     def _new_stem(self, stem: str, exception) -> str:
         s = exception if exception is not None else stem
@@ -678,7 +730,7 @@ class HunspellStemmer:
         return s
 
     def _stem_rec(self, word, previous, prev_flag, prefix, depth,
-                  do_prefix, prev_was_prefix, out):
+                  do_prefix, prev_was_prefix, emit):
         d = self.d
         n = len(word)
         if do_prefix and d.prefixes:
@@ -694,7 +746,7 @@ class HunspellStemmer:
                     if stripped is None:
                         continue
                     self._apply_affix(stripped, ax, previous, prefix,
-                                      depth, True, out)
+                                      depth, True, emit)
         if d.suffixes:
             limit = 0 if d.full_strip else 1
             for i in range(n, limit - 1, -1):
@@ -709,7 +761,7 @@ class HunspellStemmer:
                     if stripped is None:
                         continue
                     self._apply_affix(stripped, ax, previous, prefix,
-                                      depth, False, out)
+                                      depth, False, emit)
 
     def _strip_affix(self, word, affix_len, ax, is_prefix):
         de_len = len(word) - affix_len
@@ -748,7 +800,7 @@ class HunspellStemmer:
         return False
 
     def _apply_affix(self, stripped, ax, previous, prefix, depth,
-                     is_prefix, out):
+                     is_prefix, emit):
         d = self.d
         flag = ax.flag
         skip_lookup = self._needs_another_affix(ax, previous,
@@ -768,7 +820,8 @@ class HunspellStemmer:
                 if d.onlyincompound != FLAG_UNSET \
                         and d.onlyincompound in flags:
                     continue
-                out.append(self._new_stem(stripped, exception))
+                if not emit(stripped, flags, exception):
+                    raise _StopStem
 
         if ax.cross and depth <= 1:
             if depth == 0:
@@ -791,7 +844,7 @@ class HunspellStemmer:
             self._stem_rec(stripped, previous=ax, prev_flag=flag,
                            prefix=prefix, depth=depth + 1,
                            do_prefix=do_prefix,
-                           prev_was_prefix=is_prefix, out=out)
+                           prev_was_prefix=is_prefix, emit=emit)
 
 
 # ---------------------------------------------------------------------------
@@ -836,3 +889,150 @@ def hunspell_stem_batch(doc_idx, terms, positions, n_docs,
     from .phonetic import _multi_code_batch
     return _multi_code_batch(doc_idx, terms, positions, n_docs,
                              code_lists, inject=False)
+
+
+# ---------------------------------------------------------------------------
+# spell checking (Hunspell.java, non-compound subset)
+# ---------------------------------------------------------------------------
+
+class HunspellChecker:
+    """Hunspell.spell (reference ``hunspell/Hunspell.java:66-140``),
+    the non-compound subset: dictionary/affix analysis with
+    FORBIDDENWORD and KEEPCASE gating (incl. the sharp-s title
+    exception and the abort-on-non-hidden-case-reject processor
+    contract), number tolerance, trailing-dot handling, case variation,
+    and BREAK recursion (default table '-'). COMPOUND* spelling is out
+    of scope (documented)."""
+
+    def __init__(self, dictionary: HunspellDictionary):
+        self.d = dictionary
+        self.stemmer = HunspellStemmer(dictionary)
+
+    # -- public -------------------------------------------------------------
+    def spell(self, word: str) -> bool:
+        if not word:
+            return True
+        if self.d._needs_input_cleaning(word):
+            word = self.d._clean_input(word)
+        if word.endswith("."):
+            length = len(word) - 1
+            while length > 0 and word[length - 1] == ".":
+                length -= 1
+            return (self._spell_clean(word[:length])
+                    or self._spell_clean(word[:length + 1]))
+        return self._spell_clean(word)
+
+    def _spell_clean(self, word: str) -> bool:
+        if _is_number(word):
+            return True
+        simple = self._check_simple(word, None)
+        if simple is not None:
+            return simple
+        wc = self.stemmer.case_of(word)
+        if wc in ("UPPER", "TITLE"):
+            for variant, oc in self.stemmer._case_variants(word, wc):
+                if self._check_word(variant, oc):
+                    return True
+        if any(self.d.breaks) and not self._too_many_breaks(word):
+            return self._try_breaks(word)
+        return False
+
+    # -- roots with case/forbidden gating ------------------------------------
+    def _find_root(self, word: str, original_case):
+        """findStem: the first acceptable root; a non-hidden entry that
+        FAILS the case check aborts the search (the reference processor
+        returns hasFlag(HIDDEN) there)."""
+        found = []
+
+        def emit(stem, flags, exception):
+            if not self._accept_case(original_case, flags, stem):
+                return HIDDEN_FLAG in flags
+            found.append((stem, flags))
+            return False
+
+        try:
+            self.stemmer._do_stem(word, emit)
+        except _StopStem:
+            pass
+        return found[0] if found else None
+
+    def _accept_case(self, original_case, flags, root: str) -> bool:
+        """Hunspell.acceptCase: keepcase entries only match their
+        written case — except CHECKSHARPS dictionaries, where a
+        TITLE-cased word may match an ß-carrying keepcase root."""
+        keep = (self.d.keepcase != FLAG_UNSET
+                and self.d.keepcase in flags)
+        if original_case is not None:
+            if (keep and self.d.check_sharp_s
+                    and original_case == "TITLE" and "ß" in root):
+                return True
+            return not keep
+        return HIDDEN_FLAG not in flags
+
+    def _check_simple(self, word: str, original_case):
+        root = self._find_root(word, original_case)
+        if root is not None:
+            return not (self.d.forbiddenword != FLAG_UNSET
+                        and self.d.forbiddenword in root[1])
+        return None
+
+    def _check_word(self, word: str, original_case) -> bool:
+        simple = self._check_simple(word, original_case)
+        return bool(simple)
+
+    # -- BREAK (Hunspell.tryBreaks) ------------------------------------------
+    def _too_many_breaks(self, word: str) -> bool:
+        occurrences = 0
+        for br in self.d.breaks[2]:
+            pos = word.find(br)
+            while pos >= 0:
+                occurrences += 1
+                if occurrences >= 10:
+                    return True
+                pos = word.find(br, pos + len(br))
+        return False
+
+    def _try_breaks(self, word: str) -> bool:
+        starting, ending, middle = self.d.breaks
+        for br in starting:
+            if len(word) > len(br) and word.startswith(br):
+                if self.spell(word[len(br):]):
+                    return True
+        for br in ending:
+            if len(word) > len(br) and word.endswith(br):
+                if self.spell(word[:-len(br)]):
+                    return True
+        for br in middle:
+            pos = word.find(br)
+            if self._breakable_at(word, br, pos):
+                return True
+            if pos > 0 and self._breakable_at(word, br,
+                                              word.find(br, pos + 1)):
+                return True
+        return False
+
+    def _breakable_at(self, word: str, br: str, pos: int) -> bool:
+        return (pos > 0 and pos < len(word) - len(br)
+                and self.spell(word[:pos])
+                and self.spell(word[pos + len(br):]))
+
+
+def _is_number(s: str) -> bool:
+    """Hunspell.isNumber: digits with single '.'/','/'-' separators,
+    each followed by another digit."""
+    i = 0
+    n = len(s)
+    if n == 0:
+        return False
+    while i < n:
+        c = s[i]
+        if c.isdigit() and c.isascii():
+            i += 1
+        elif c in ".,-":
+            if (i == 0 or i >= n - 1 or not
+                    (s[i + 1].isdigit() and s[i + 1].isascii())):
+                return False
+            i += 2
+        else:
+            return False
+    return True

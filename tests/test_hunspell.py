@@ -82,3 +82,36 @@ def test_hunspell_invert_segment():
     assert "zq" in by.index                    # stemless pass-through
     assert "mahoute" not in by.index
     assert int(meta["doc_len"].iloc[0]) == 3   # overlay discounted
+
+
+# ---------------------------------------------------------------------------
+# Hunspell.spell (non-compound subset): reference .good/.wrong corpora
+# ---------------------------------------------------------------------------
+
+from lucene_spark.functions.hunspell import HunspellChecker
+
+with open(os.path.join(_DIR, "spell_cases.json"), encoding="utf-8") as f:
+    _SPELL = json.load(f)
+
+
+def _checker(name):
+    with open(os.path.join(_DIR, name + ".aff"), "rb") as f:
+        aff_bytes = f.read()
+    aff = decode_hunspell(aff_bytes)
+    with open(os.path.join(_DIR, name + ".dic"), "rb") as f:
+        dic = f.read().decode(_charset_of(aff_bytes), errors="replace")
+    return HunspellChecker(HunspellDictionary(aff, [dic]))
+
+
+@pytest.mark.parametrize("corpus", _SPELL,
+                         ids=[s["name"] for s in _SPELL])
+def test_reference_spell_corpus(corpus):
+    ck = _checker(corpus["name"])
+    bad = []
+    for w in corpus["good"]:
+        if not ck.spell(w):
+            bad.append(("good-rejected", w))
+    for w in corpus["wrong"]:
+        if ck.spell(w):
+            bad.append(("wrong-accepted", w))
+    assert not bad, f"{corpus['name']}: {bad[:8]} ({len(bad)})"

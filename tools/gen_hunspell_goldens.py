@@ -86,6 +86,41 @@ def main():
         else:
             suites.append({"test": fn, "aff": aff, "dic": dics[0],
                            "ignore_case": ignore_case, "cases": cases})
+    # spell-check corpora (.good/.wrong) for non-COMPOUND dictionaries
+    spell = []
+    for fn in sorted(os.listdir(REF)):
+        if not (fn.endswith(".good") or fn.endswith(".wrong")):
+            continue
+        name = fn.rsplit(".", 1)[0]
+        if any(s["name"] == name for s in spell):
+            continue
+        aff = os.path.join(REF, name + ".aff")
+        dic = os.path.join(REF, name + ".dic")
+        if not (os.path.exists(aff) and os.path.exists(dic)):
+            continue
+        with open(aff, "rb") as f:
+            if b"COMPOUND" in f.read():
+                continue                   # compound spelling: out of scope
+        entry = {"name": name, "good": [], "wrong": []}
+        for kind in ("good", "wrong"):
+            p = os.path.join(REF, f"{name}.{kind}")
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    entry[kind] = [ln.strip() for ln in
+                                   f.read().decode("utf-8", "replace")
+                                   .splitlines() if ln.strip()]
+        for f2 in (name + ".aff", name + ".dic"):
+            if f2 not in copied:
+                shutil.copy(os.path.join(REF, f2),
+                            os.path.join(OUT_DIR, f2))
+                copied.add(f2)
+        spell.append(entry)
+    with open(os.path.join(OUT_DIR, "spell_cases.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(spell, f, ensure_ascii=False, indent=1)
+    nspell = sum(len(s["good"]) + len(s["wrong"]) for s in spell)
+    print(f"{len(spell)} spell corpora, {nspell} words")
+
     out = os.path.join(OUT_DIR, "cases.json")
     with open(out, "w", encoding="utf-8") as f:
         json.dump(suites, f, ensure_ascii=False, indent=1)
