@@ -23,14 +23,19 @@ re-implements the SIMPLE-WORD stemming path:
   pseudo-stems, and upper/title case variation (incl. the sharp-s
   expansion and the apostrophe rule).
 
-Also implemented: :class:`HunspellChecker` — the Hunspell.java
-``spell()`` non-compound path (FORBIDDENWORD/KEEPCASE gating with the
-sharp-s title exception and the abort-on-case-reject processor
+Also implemented: :class:`HunspellChecker` — Hunspell.java
+``spell()`` INCLUDING compounds: FORBIDDENWORD/KEEPCASE gating with
+the sharp-s title exception and the abort-on-case-reject processor
 contract, number tolerance, trailing dots, case variation with
-null-case sharp-s variants, BREAK recursion with the default '-'
-table). Out of scope (documented): compound words
-(COMPOUNDRULE/COMPOUNDFLAG contexts), the suggesters, and
-morphological aliases beyond ``st:``/AM.
+null-case sharp-s variants, BREAK recursion (default '-' table), the
+COMPOUNDFLAG/BEGIN/MIDDLE/END part walk with per-context affix/root
+gating (COMPOUNDPERMITFLAG/COMPOUNDFORBIDFLAG/ONLYINCOMPOUND),
+COMPOUNDRULE flag-pattern matching (*/? over homonym flag sets),
+CHECKCOMPOUNDCASE/DUP/TRIPLE + SIMPLIFIEDTRIPLE junction rules,
+CHECKCOMPOUNDREP (REP-table misspelling probes), CHECKCOMPOUNDPATTERN
+(incl. replacement expansion and the '0'-root anchors), FORCEUCASE,
+COMPOUNDMIN/COMPOUNDWORDMAX, and the space-separated-pair rejection.
+Out of scope (documented): the suggesters.
 
 Verification: every reference ``StemmerTestBase`` expectation is
 transcoded mechanically from the reference test sources + fixture
@@ -281,6 +286,27 @@ class HunspellDictionary:
         self.onlyincompound = FLAG_UNSET
         self.keepcase = FLAG_UNSET
         self.forbiddenword = FLAG_UNSET
+        self.compound_flag = FLAG_UNSET
+        self.compound_begin = FLAG_UNSET
+        self.compound_middle = FLAG_UNSET
+        self.compound_end = FLAG_UNSET
+        self.compound_permit = FLAG_UNSET
+        self.compound_forbid = FLAG_UNSET
+        self.force_ucase = FLAG_UNSET
+        self.compound_min = 3
+        self.compound_max = 2 ** 31 - 1
+        self.check_compound_case = False
+        self.check_compound_dup = False
+        self.check_compound_rep = False
+        self.check_compound_triple = False
+        self.simplified_triple = False
+        #: COMPOUNDRULE patterns as parsed flag strings (with * and ?)
+        self.compound_rules: list[str] = []
+        #: CHECKCOMPOUNDPATTERN rows: (end_chars, end_flags,
+        #: begin_chars, begin_flags, replacement|None)
+        self.check_compound_patterns: list[tuple] = []
+        #: REP table rows: (pattern, replacement, must_start, must_end)
+        self.rep_table: list[tuple] = []
         #: BREAK table (starting, ending, middle) — hunspell default '-'
         self.breaks = (("-",), ("-",), ("-",))
         self.full_strip = False
@@ -353,6 +379,74 @@ class HunspellDictionary:
                 self.keepcase = self._one_flag(parts)
             elif first == "FORBIDDENWORD":
                 self.forbiddenword = self._one_flag(parts)
+            elif first == "COMPOUNDFLAG":
+                self.compound_flag = self._one_flag(parts)
+            elif first == "COMPOUNDBEGIN":
+                self.compound_begin = self._one_flag(parts)
+            elif first == "COMPOUNDMIDDLE":
+                self.compound_middle = self._one_flag(parts)
+            elif first in ("COMPOUNDEND", "COMPOUNDLAST"):
+                self.compound_end = self._one_flag(parts)
+            elif first == "COMPOUNDPERMITFLAG":
+                self.compound_permit = self._one_flag(parts)
+            elif first == "COMPOUNDFORBIDFLAG":
+                self.compound_forbid = self._one_flag(parts)
+            elif first == "FORCEUCASE":
+                self.force_ucase = self._one_flag(parts)
+            elif first == "COMPOUNDMIN":
+                self.compound_min = max(1, int(parts[1]))
+            elif first == "COMPOUNDWORDMAX":
+                self.compound_max = max(1, int(parts[1]))
+            elif first == "CHECKCOMPOUNDCASE":
+                self.check_compound_case = True
+            elif first == "CHECKCOMPOUNDDUP":
+                self.check_compound_dup = True
+            elif first == "CHECKCOMPOUNDREP":
+                self.check_compound_rep = True
+            elif first == "CHECKCOMPOUNDTRIPLE":
+                self.check_compound_triple = True
+            elif first == "SIMPLIFIEDTRIPLE":
+                self.simplified_triple = True
+            elif first == "COMPOUNDRULE":
+                count = int(parts[1])
+                for _ in range(count):
+                    row = lines[i].split()
+                    i += 1
+                    if len(row) > 1:
+                        self.compound_rules.append(
+                            self._parse_compound_rule(row[1]))
+            elif first == "CHECKCOMPOUNDPATTERN":
+                count = int(parts[1])
+                for _ in range(count):
+                    row = lines[i].split()
+                    i += 1
+                    if len(row) < 3:
+                        continue
+                    def _split_cf(s):
+                        sep = s.find("/")
+                        if sep < 0:
+                            return s, frozenset()
+                        return (s[:sep],
+                                frozenset(self.flag_parse(s[sep + 1:])))
+                    ec, ef = _split_cf(row[1])
+                    bc, bf = _split_cf(row[2])
+                    rep = row[3] if len(row) > 3 else None
+                    self.check_compound_patterns.append(
+                        (ec, ef, bc, bf, rep))
+            elif first == "REP":
+                count = int(parts[1])
+                for _ in range(count):
+                    row = lines[i].split()
+                    i += 1
+                    if len(row) < 3:
+                        continue
+                    pat, rep = row[1], row[2].replace("_", " ")
+                    must_start = pat.startswith("^")
+                    must_end = pat.endswith("$")
+                    pat = pat[1 if must_start else 0:
+                              len(pat) - (1 if must_end else 0)]
+                    self.rep_table.append((pat, rep, must_start,
+                                           must_end))
             elif first == "BREAK":
                 count = int(parts[1])
                 starting, ending, middle = [], [], []
@@ -435,6 +529,25 @@ class HunspellDictionary:
                     target = (self.prefixes if first == "PFX"
                               else self.suffixes)
                     target.setdefault(affix_arg, []).append(ax)
+
+    def _parse_compound_rule(self, rule: str) -> str:
+        """CompoundRule's parse: flag runs (possibly parenthesized for
+        long/num flag modes) with '*'/'?' modifiers kept verbatim."""
+        out = []
+        pos = 0
+        while pos < len(rule):
+            lparen = rule.find("(", pos)
+            if lparen < 0:
+                out.extend(self.flag_parse(rule[pos:]))
+                break
+            out.extend(self.flag_parse(rule[pos:lparen]))
+            rparen = rule.index(")", lparen + 1)
+            out.extend(self.flag_parse(rule[lparen + 1:rparen]))
+            pos = rparen + 1
+            if pos < len(rule) and rule[pos] in "*?":
+                out.append(rule[pos])
+                pos += 1
+        return "".join(out)
 
     def _one_flag(self, parts) -> str:
         flags = self.flag_parse(parts[1])
@@ -707,21 +820,49 @@ class HunspellStemmer:
         return [s for s in result if s != word]
 
     # -- core (Stemmer.doStem / stem / applyAffix) --------------------------
-    def _do_stem(self, word: str, emit):
+    def _do_stem(self, word: str, emit, context: str = "SIMPLE"):
         """Stemmer.doStem: dictionary roots + the affix recursion;
         ``emit(stem_text, entry_flags, exception)`` returns False to
-        STOP the whole search (the reference RootProcessor contract)."""
+        STOP the whole search (the reference RootProcessor contract).
+        ``context`` is the WordContext (SIMPLE / COMPOUND_BEGIN /
+        COMPOUND_MIDDLE / COMPOUND_END / COMPOUND_RULE_END)."""
         d = self.d
         for flags, exception in d.entries.get(word, ()):
             if d.needaffix in flags:
                 continue
-            if d.onlyincompound in flags:
+            if (context in ("COMPOUND_BEGIN", "COMPOUND_MIDDLE")
+                    and d.compound_forbid != FLAG_UNSET
+                    and d.compound_forbid in flags):
+                raise _StopStem          # doStem returns false
+            if not self._root_compatible(context, None, flags):
                 continue
             if not emit(word, flags, exception):
                 raise _StopStem
         self._stem_rec(word, previous=None, prev_flag=FLAG_UNSET,
                        prefix=None, depth=0, do_prefix=True,
-                       prev_was_prefix=False, emit=emit)
+                       prev_was_prefix=False, emit=emit,
+                       context=context)
+
+    def _root_compatible(self, context, last_affix, flags) -> bool:
+        """Stemmer.isRootCompatibleWithContext."""
+        d = self.d
+        compound = context != "SIMPLE"
+        if not compound and d.onlyincompound != FLAG_UNSET \
+                and d.onlyincompound in flags:
+            return False
+        if compound and context != "COMPOUND_RULE_END":
+            cflag = {"COMPOUND_BEGIN": d.compound_begin,
+                     "COMPOUND_MIDDLE": d.compound_middle,
+                     "COMPOUND_END": d.compound_end}[context]
+            def appended(f):
+                return (last_affix is not None and f != FLAG_UNSET
+                        and f in last_affix.append_flags)
+            return ((cflag != FLAG_UNSET and cflag in flags)
+                    or appended(cflag)
+                    or (d.compound_flag != FLAG_UNSET
+                        and d.compound_flag in flags)
+                    or appended(d.compound_flag))
+        return True
 
     def _new_stem(self, stem: str, exception) -> str:
         s = exception if exception is not None else stem
@@ -730,7 +871,8 @@ class HunspellStemmer:
         return s
 
     def _stem_rec(self, word, previous, prev_flag, prefix, depth,
-                  do_prefix, prev_was_prefix, emit):
+                  do_prefix, prev_was_prefix, emit,
+                  context: str = "SIMPLE"):
         d = self.d
         n = len(word)
         if do_prefix and d.prefixes:
@@ -740,13 +882,13 @@ class HunspellStemmer:
                     if ax is previous:
                         continue
                     if not self._affix_compatible(ax, prev_flag, depth,
-                                                  True, False):
+                                                  True, False, context):
                         continue
                     stripped = self._strip_affix(word, i, ax, True)
                     if stripped is None:
                         continue
                     self._apply_affix(stripped, ax, previous, prefix,
-                                      depth, True, emit)
+                                      depth, True, emit, context)
         if d.suffixes:
             limit = 0 if d.full_strip else 1
             for i in range(n, limit - 1, -1):
@@ -755,13 +897,14 @@ class HunspellStemmer:
                         continue
                     if not self._affix_compatible(ax, prev_flag, depth,
                                                   False,
-                                                  prev_was_prefix):
+                                                  prev_was_prefix,
+                                                  context):
                         continue
                     stripped = self._strip_affix(word, n - i, ax, False)
                     if stripped is None:
                         continue
                     self._apply_affix(stripped, ax, previous, prefix,
-                                      depth, False, emit)
+                                      depth, False, emit, context)
 
     def _strip_affix(self, word, affix_len, ax, is_prefix):
         de_len = len(word) - affix_len
@@ -775,9 +918,26 @@ class HunspellStemmer:
         return (ax.strip + stem) if is_prefix else (stem + ax.strip)
 
     def _affix_compatible(self, ax, prev_flag, depth, is_prefix,
-                          prev_was_prefix):
+                          prev_was_prefix, context: str = "SIMPLE"):
         d = self.d
-        if d.onlyincompound != FLAG_UNSET \
+        if context != "SIMPLE":
+            # Stemmer.isAffixCompatible compound gating
+            if (not is_prefix and d.compound_forbid != FLAG_UNSET
+                    and d.compound_forbid in ax.append_flags):
+                return False
+            allowed = (context == "COMPOUND_BEGIN" if is_prefix
+                       else context in ("COMPOUND_END",
+                                        "COMPOUND_RULE_END"))
+            if not allowed and not (d.compound_permit != FLAG_UNSET
+                                    and d.compound_permit
+                                    in ax.append_flags):
+                return False
+            if (context == "COMPOUND_END" and not is_prefix
+                    and not prev_was_prefix
+                    and d.onlyincompound != FLAG_UNSET
+                    and d.onlyincompound in ax.append_flags):
+                return False
+        elif d.onlyincompound != FLAG_UNSET \
                 and d.onlyincompound in ax.append_flags:
             return False
         if depth == 0:
@@ -800,7 +960,7 @@ class HunspellStemmer:
         return False
 
     def _apply_affix(self, stripped, ax, previous, prefix, depth,
-                     is_prefix, emit):
+                     is_prefix, emit, context: str = "SIMPLE"):
         d = self.d
         flag = ax.flag
         skip_lookup = self._needs_another_affix(ax, previous,
@@ -817,8 +977,7 @@ class HunspellStemmer:
                     if not (prefix.flag in flags
                             or prefix.flag in ax.append_flags):
                         continue
-                if d.onlyincompound != FLAG_UNSET \
-                        and d.onlyincompound in flags:
+                if not self._root_compatible(context, ax, flags):
                     continue
                 if not emit(stripped, flags, exception):
                     raise _StopStem
@@ -844,7 +1003,8 @@ class HunspellStemmer:
             self._stem_rec(stripped, previous=ax, prev_flag=flag,
                            prefix=prefix, depth=depth + 1,
                            do_prefix=do_prefix,
-                           prev_was_prefix=is_prefix, emit=emit)
+                           prev_was_prefix=is_prefix, emit=emit,
+                           context=context)
 
 
 # ---------------------------------------------------------------------------
@@ -891,11 +1051,314 @@ def hunspell_stem_batch(doc_idx, terms, positions, n_docs,
                              code_lists, inject=False)
 
 
+
 # ---------------------------------------------------------------------------
-# spell checking (Hunspell.java, non-compound subset)
+# compound spelling (Hunspell.java checkCompounds/checkCompoundRules)
 # ---------------------------------------------------------------------------
 
-class HunspellChecker:
+class _CompoundPart:
+    """Hunspell.CompoundPart: one accepted compound piece. ``tail`` is
+    (chars, offset, length) — the CharsRef the piece was found in."""
+    __slots__ = ("prev", "tail", "length", "root", "pattern", "index")
+
+    def __init__(self, prev, tail, length, root, pattern):
+        self.prev = prev
+        self.tail = tail                  # (chars, offset, length)
+        self.length = length
+        self.root = root                  # (stem_text, flags)
+        self.pattern = pattern
+        self.index = 1 if prev is None else prev.index + 1
+
+
+def _cp_charsmatch(chars, offset, pattern):
+    if offset < 0 or offset + len(pattern) > len(chars):
+        return False
+    return chars[offset:offset + len(pattern)] == pattern
+
+
+class _CompoundMixin:
+    """Compound methods mixed into HunspellChecker (kept separate for
+    readability; reference Hunspell.java:160-450)."""
+
+    def _check_compounds_any(self, word: str, original_case) -> bool:
+        d = self.d
+        if d.compound_rules and self._check_compound_rules(
+                word, 0, len(word), []):
+            return True
+        if (d.compound_begin != FLAG_UNSET
+                or d.compound_flag != FLAG_UNSET):
+            return self._check_compounds((word, 0, len(word)),
+                                         original_case, None)
+        return False
+
+    # -- COMPOUNDFLAG / BEGIN / MIDDLE / END ---------------------------------
+    def _check_compounds(self, word, original_case, prev) -> bool:
+        d = self.d
+        if prev is not None and prev.index > d.compound_max - 2:
+            return False
+        chars, offset, length = word
+        limit = length - d.compound_min + 1
+        for break_pos in range(d.compound_min, limit):
+            context = ("COMPOUND_BEGIN" if prev is None
+                       else "COMPOUND_MIDDLE")
+            break_offset = offset + break_pos
+            if self._may_break(chars, offset, length, break_offset):
+                stem = self._find_root_at(chars, offset, break_pos,
+                                          original_case, context)
+                if (stem is None and d.simplified_triple
+                        and chars[break_offset - 1]
+                        == chars[break_offset]):
+                    stem = self._find_root_at(chars, offset,
+                                              break_pos + 1,
+                                              original_case, context)
+                if (stem is not None
+                        and not (d.forbiddenword != FLAG_UNSET
+                                 and d.forbiddenword in stem[1])
+                        and (prev is None
+                             or self._may_compound(prev, stem,
+                                                   break_pos,
+                                                   original_case))):
+                    part = _CompoundPart(prev, word, break_pos, stem,
+                                         None)
+                    if self._check_compounds_after(original_case, part):
+                        return True
+            if self._check_pattern_replacements(word, break_pos,
+                                                original_case, prev):
+                return True
+        return False
+
+    def _check_pattern_replacements(self, word, pos, original_case,
+                                    prev) -> bool:
+        chars, offset, length = word
+        for pat in self.d.check_compound_patterns:
+            ec, ef, bc, bf, rep = pat
+            if rep is None:
+                continue
+            if not _cp_charsmatch(chars, offset + pos, rep):
+                continue
+            expanded_chars = (chars[:offset + pos] + ec + bc
+                              + chars[offset + pos + len(rep):
+                                      offset + length])
+            expanded = (expanded_chars, offset,
+                        length - len(rep) + len(ec) + len(bc))
+            break_pos = pos + len(ec)
+            context = ("COMPOUND_BEGIN" if prev is None
+                       else "COMPOUND_MIDDLE")
+            stem = self._find_root_at(expanded[0], expanded[1],
+                                      break_pos, original_case,
+                                      context)
+            if stem is not None:
+                part = _CompoundPart(prev, expanded, break_pos, stem,
+                                     pat)
+                if self._check_compounds_after(original_case, part):
+                    return True
+        return False
+
+    def _check_compounds_after(self, original_case, prev) -> bool:
+        d = self.d
+        chars, offset, length = prev.tail
+        break_pos = prev.length
+        remaining = length - break_pos
+        break_offset = offset + break_pos
+        last = self._find_root_at(chars, break_offset, remaining,
+                                  original_case, "COMPOUND_END")
+        if (last is not None
+                and not (d.forbiddenword != FLAG_UNSET
+                         and d.forbiddenword in last[1])
+                and not (d.check_compound_dup and prev.root == last)
+                and not self._force_ucase_problem(last, original_case,
+                                                  chars[offset])
+                and self._may_compound(prev, last, remaining,
+                                       original_case)):
+            return True
+        tail = (chars, break_offset, remaining)
+        return self._check_compounds(tail, original_case, prev)
+
+    def _force_ucase_problem(self, root, original_case,
+                             first_char) -> bool:
+        if original_case in ("TITLE", "UPPER"):
+            return False
+        if original_case is None and first_char.isupper():
+            return False
+        return (self.d.force_ucase != FLAG_UNSET
+                and self.d.force_ucase in root[1])
+
+    # -- CompoundPart.mayCompound --------------------------------------------
+    def _may_compound(self, prev, next_root, next_len,
+                      original_case) -> bool:
+        d = self.d
+        chars, offset, _ = prev.tail
+        if prev.pattern is not None:
+            if not self._pattern_prohibits(prev.pattern, prev.tail,
+                                           prev.length, prev.root,
+                                           next_root):
+                return False
+        else:
+            for pat in d.check_compound_patterns:
+                if self._pattern_prohibits(pat, prev.tail, prev.length,
+                                           prev.root, next_root):
+                    return False
+        if d.check_compound_rep and self._misspelled_simple(
+                prev, prev.length + next_len, original_case):
+            return False
+        space_sep = (chars[offset:offset + prev.length] + " "
+                     + chars[offset + prev.length:
+                             offset + prev.length + next_len])
+        return self._check_simple(space_sep, None) is not True
+
+    def _pattern_prohibits(self, pat, tail, break_pos, root_before,
+                           root_after) -> bool:
+        """CheckCompoundPattern.prohibitsCompounding — True when the
+        pattern FORBIDS this junction (note _may_compound uses it with
+        inverted polarity for the enabling pattern)."""
+        ec, ef, bc, bf, _rep = pat
+        chars, offset, _ = tail
+        if ec == "0":
+            if not _cp_charsmatch(chars,
+                                  offset + break_pos
+                                  - len(root_before[0]),
+                                  root_before[0]):
+                return False
+        elif not _cp_charsmatch(chars, offset + break_pos - len(ec),
+                                ec):
+            return False
+        if bc == "0":
+            if not _cp_charsmatch(chars, offset + break_pos,
+                                  root_after[0]):
+                return False
+        elif not _cp_charsmatch(chars, offset + break_pos, bc):
+            return False
+        if ef and not ef <= root_before[1]:
+            return False
+        if bf and not bf <= root_after[1]:
+            return False
+        return True
+
+    def _misspelled_simple(self, prev, length, original_case) -> bool:
+        chars, offset, _ = prev.tail
+        word = chars[offset:offset + length]
+        for pat, rep, must_start, must_end in self.d.rep_table:
+            if must_start or must_end:
+                continue                  # isMiddle() only
+            pos = word.find(pat)
+            while pos >= 0:
+                sug = word[:pos] + rep + word[pos + len(pat):]
+                if self._find_root_at(sug, 0, len(sug), original_case,
+                                      "SIMPLE") is not None:
+                    return True
+                pos = word.find(pat, pos + 1)
+        return False
+
+    def _may_break(self, chars, offset, length, break_offset) -> bool:
+        d = self.d
+        if d.check_compound_case:
+            a, b = chars[break_offset - 1], chars[break_offset]
+            if (a.isupper() or b.isupper()) and a != "-" and b != "-":
+                return False
+        if (d.check_compound_triple
+                and chars[break_offset - 1] == chars[break_offset]):
+            if ((break_offset > offset + 1
+                 and chars[break_offset - 2] == chars[break_offset - 1])
+                    or (break_offset < length - 1
+                        and chars[break_offset]
+                        == chars[break_offset + 1])):
+                return False
+        return True
+
+    # -- COMPOUNDRULE ---------------------------------------------------------
+    def _check_compound_rules(self, word, offset, length,
+                              words) -> bool:
+        d = self.d
+        if len(words) >= 100:
+            return False
+        limit = length - d.compound_min + 1
+        for break_pos in range(d.compound_min, limit):
+            piece = word[offset:offset + break_pos]
+            forms = d.entries.get(piece)
+            if forms is None:
+                continue
+            flag_sets = [fl for fl, _ in forms]
+            words.append(flag_sets)
+            if any(self._rule_match(r, words, fully=False)
+                   for r in d.compound_rules):
+                if self._check_last_rule_part(word, offset + break_pos,
+                                              length - break_pos,
+                                              words):
+                    words.pop()
+                    return True
+                if self._check_compound_rules(word, offset + break_pos,
+                                              length - break_pos,
+                                              words):
+                    words.pop()
+                    return True
+            words.pop()
+        return False
+
+    def _check_last_rule_part(self, word, start, length,
+                              words) -> bool:
+        d = self.d
+        slot = [frozenset()]
+        words.append(slot)
+        found = [False]
+
+        def emit(stem, flags, exception):
+            slot[0] = flags
+            if any(self._rule_match(r, words, fully=True)
+                   for r in d.compound_rules):
+                found[0] = True
+                return False
+            return True
+
+        try:
+            self.stemmer._do_stem(word[start:start + length], emit,
+                                  context="COMPOUND_RULE_END")
+        except _StopStem:
+            pass
+        words.pop()
+        return found[0]
+
+    def _rule_match(self, rule, words, fully: bool,
+                    pi: int = 0, wi: int = 0) -> bool:
+        """CompoundRule.match over per-part flag-set LISTS (a part
+        matches a flag when ANY of its homonym entries carries it)."""
+        def has(widx, flag):
+            return any(flag in fl for fl in words[widx])
+
+        if pi >= len(rule):
+            return wi >= len(words)
+        if wi >= len(words) and not fully:
+            return True
+        flag = rule[pi]
+        if pi < len(rule) - 1 and rule[pi + 1] == "*":
+            start = wi
+            while wi < len(words) and has(wi, flag):
+                wi += 1
+            while wi >= start:
+                if self._rule_match(rule, words, fully, pi + 2, wi):
+                    return True
+                wi -= 1
+            return False
+        current = wi < len(words) and has(wi, flag)
+        if pi < len(rule) - 1 and rule[pi + 1] == "?":
+            if current and self._rule_match(rule, words, fully,
+                                            pi + 2, wi + 1):
+                return True
+            return self._rule_match(rule, words, fully, pi + 2, wi)
+        return current and self._rule_match(rule, words, fully,
+                                            pi + 1, wi + 1)
+
+    # -- context-aware root lookup --------------------------------------------
+    def _find_root_at(self, chars, offset, length, original_case,
+                      context):
+        return self._find_root(chars[offset:offset + length],
+                               original_case, context)
+
+
+# ---------------------------------------------------------------------------
+# spell checking (Hunspell.java)
+# ---------------------------------------------------------------------------
+
+class HunspellChecker(_CompoundMixin):
     """Hunspell.spell (reference ``hunspell/Hunspell.java:66-140``),
     the non-compound subset: dictionary/affix analysis with
     FORBIDDENWORD and KEEPCASE gating (incl. the sharp-s title
@@ -928,6 +1391,8 @@ class HunspellChecker:
         simple = self._check_simple(word, None)
         if simple is not None:
             return simple
+        if self._check_compounds_any(word, None):
+            return True
         wc = self.stemmer.case_of(word)
         if wc in ("UPPER", "TITLE"):
             for variant, oc in self.stemmer._case_variants(word, wc):
@@ -938,20 +1403,24 @@ class HunspellChecker:
         return False
 
     # -- roots with case/forbidden gating ------------------------------------
-    def _find_root(self, word: str, original_case):
+    def _find_root(self, word: str, original_case,
+                   context: str = "SIMPLE"):
         """findStem: the first acceptable root; a non-hidden entry that
         FAILS the case check aborts the search (the reference processor
-        returns hasFlag(HIDDEN) there)."""
+        returns hasFlag(HIDDEN) there). Case is only checked outside
+        COMPOUND_MIDDLE/END contexts."""
         found = []
+        check_case = context not in ("COMPOUND_MIDDLE", "COMPOUND_END")
 
         def emit(stem, flags, exception):
-            if not self._accept_case(original_case, flags, stem):
+            if check_case and not self._accept_case(original_case,
+                                                    flags, stem):
                 return HIDDEN_FLAG in flags
             found.append((stem, flags))
             return False
 
         try:
-            self.stemmer._do_stem(word, emit)
+            self.stemmer._do_stem(word, emit, context=context)
         except _StopStem:
             pass
         return found[0] if found else None
@@ -978,7 +1447,9 @@ class HunspellChecker:
 
     def _check_word(self, word: str, original_case) -> bool:
         simple = self._check_simple(word, original_case)
-        return bool(simple)
+        if simple is not None:
+            return simple
+        return self._check_compounds_any(word, original_case)
 
     # -- BREAK (Hunspell.tryBreaks) ------------------------------------------
     def _too_many_breaks(self, word: str) -> bool:

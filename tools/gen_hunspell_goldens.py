@@ -98,9 +98,6 @@ def main():
         dic = os.path.join(REF, name + ".dic")
         if not (os.path.exists(aff) and os.path.exists(dic)):
             continue
-        with open(aff, "rb") as f:
-            if b"COMPOUND" in f.read():
-                continue                   # compound spelling: out of scope
         entry = {"name": name, "good": [], "wrong": []}
         for kind in ("good", "wrong"):
             p = os.path.join(REF, f"{name}.{kind}")
