@@ -293,6 +293,17 @@ class HunspellDictionary:
         self.compound_permit = FLAG_UNSET
         self.compound_forbid = FLAG_UNSET
         self.force_ucase = FLAG_UNSET
+        self.no_suggest = FLAG_UNSET
+        self.sub_standard = FLAG_UNSET
+        self.try_chars = ""
+        self.neighbor_keys = ("qwertyuiop", "asdfghjkl", "zxcvbnm")
+        self.enable_split_suggestions = True
+        self.max_diff = 5
+        self.max_ngram_suggestions = 4
+        self.only_max_diff = False
+        self.language = None
+        #: MAP table: list of alternative lists
+        self.map_table: list[list[str]] = []
         self.compound_min = 3
         self.compound_max = 2 ** 31 - 1
         self.check_compound_case = False
@@ -393,6 +404,41 @@ class HunspellDictionary:
                 self.compound_forbid = self._one_flag(parts)
             elif first == "FORCEUCASE":
                 self.force_ucase = self._one_flag(parts)
+            elif first == "NOSUGGEST":
+                self.no_suggest = self._one_flag(parts)
+            elif first == "SUBSTANDARD":
+                self.sub_standard = self._one_flag(parts)
+            elif first == "TRY":
+                self.try_chars = parts[1]
+            elif first == "KEY":
+                self.neighbor_keys = tuple(parts[1].split("|"))
+            elif first == "NOSPLITSUGS":
+                self.enable_split_suggestions = False
+            elif first == "MAXNGRAMSUGS":
+                self.max_ngram_suggestions = int(parts[1])
+            elif first == "MAXDIFF":
+                v = int(parts[1])
+                if 0 <= v <= 10:
+                    self.max_diff = v
+            elif first == "ONLYMAXDIFF":
+                self.only_max_diff = True
+            elif first == "MAP":
+                count = int(parts[1])
+                for _ in range(count):
+                    row = lines[i].split()
+                    i += 1
+                    if len(row) < 2:
+                        continue
+                    entry, j, s = [], 0, row[1]
+                    while j < len(s):
+                        if s[j] == "(":
+                            close = s.index(")", j)
+                            entry.append(s[j + 1:close])
+                            j = close + 1
+                        else:
+                            entry.append(s[j])
+                            j += 1
+                    self.map_table.append(entry)
             elif first == "COMPOUNDMIN":
                 self.compound_min = max(1, int(parts[1]))
             elif first == "COMPOUNDWORDMAX":
@@ -469,6 +515,7 @@ class HunspellDictionary:
             elif first == "LANG":
                 lang = parts[1].split("_")[0].lower() if len(parts) > 1 \
                     else ""
+                self.language = lang
                 self.alternate_casing = lang in ("tr", "az")
             elif first in ("ICONV", "OCONV"):
                 count = int(parts[1])
@@ -600,15 +647,54 @@ class HunspellDictionary:
                 # AM alias: a bare number resolves via the alias table
                 if self.morph_aliases and morph.isdigit():
                     morph = self.morph_aliases[int(morph) - 1]
-                m = re.search(r"(?:^|\s)st:(\S+)", morph)
-                if m:
-                    exception = m.group(1)
+                for field in morph.split():
+                    if not (len(field) > 3 and field[0].isalpha()
+                            and field[1].isalpha() and field[2] == ":"):
+                        continue
+                    if field.startswith("ph:"):
+                        self._add_phonetic_rep(word, field[3:])
+                    elif field.startswith("st:") and exception is None:
+                        exception = field[3:]
             self.entries.setdefault(word, []).append((flags, exception))
             case = _word_case(word)
             if case == "MIXED" or (case == "UPPER" and flags):
                 hidden = word[0].upper() + self._case_fold_str(word[1:])
                 self.entries.setdefault(hidden, []).append(
                     (flags | {HIDDEN_FLAG}, exception))
+
+    def _add_phonetic_rep(self, word: str, ph: str):
+        """Dictionary.addPhoneticRepEntries: a ``ph:`` morph field adds
+        REP entries mapping the phonetic misspelling to the word (or an
+        explicit ``pattern->replacement``); a trailing ``*`` strips the
+        last char of both (prefix-matching forms); TITLE words with
+        lowercase patterns also add the title-cased pattern (plus the
+        lowercase word for de/hu)."""
+        arrow = ph.find("->")
+        if arrow > 0:
+            pattern, replacement = ph[:arrow], ph[arrow + 2:]
+        else:
+            pattern, replacement = ph, word
+
+        if (pattern.endswith("*") and len(pattern) > 2
+                and len(replacement) > 1):
+            pattern = pattern[:-2]
+            replacement = replacement[:-1]
+
+        def add(pat, rep):
+            must_start = pat.startswith("^")
+            must_end = pat.endswith("$")
+            pat = pat[1 if must_start else 0:
+                      len(pat) - (1 if must_end else 0)]
+            self.rep_table.append((pat, rep.replace("_", " "),
+                                   must_start, must_end))
+
+        if (_word_case(word) == "TITLE"
+                and _word_case(pattern) == "LOWER"):
+            if self.language in ("de", "hu"):
+                add(pattern, self._case_fold_str(replacement))
+            add(pattern[0].upper() + self._case_fold_str(pattern[1:]),
+                replacement)
+        add(pattern, replacement)
 
     @staticmethod
     def _morph_boundary(line: str) -> int:
@@ -689,30 +775,36 @@ class HunspellDictionary:
         return flag in self.second_stage_prefix_flags
 
 
+def _char_case(c: str) -> str:
+    """WordCase.charCase: a lowercase char counts as LOWER only when
+    its CHAR-LEVEL uppercase differs — 'ß' has none (Java
+    toUpperCase('ß') == 'ß'), so it is case-NEUTRAL and 'MÜßIG' is an
+    UPPER word."""
+    if c.isupper():
+        return "U"
+    u = c.upper()
+    if c.islower() and len(u) == 1 and u != c:
+        return "L"
+    return "N"
+
+
 def _word_case(word: str) -> str:
     """WordCase.caseOf: NEUTRAL / LOWER / TITLE / UPPER / MIXED."""
-    has_upper = has_lower = False
-    first_upper = word[:1].isupper()
-    for i, ch in enumerate(word):
-        if ch.isupper():
-            if i > 0:
-                has_upper = True
-        elif ch.islower():
-            has_lower = True
-    if first_upper:
-        if not has_lower:
-            return "UPPER"
-        if not has_upper:
-            return "TITLE"
+    start = _char_case(word[0])
+    seen_u = seen_l = False
+    for ch in word[1:]:
+        cc = _char_case(ch)
+        seen_u = seen_u or cc == "U"
+        seen_l = seen_l or cc == "L"
+        if seen_u and seen_l:
+            break
+    if seen_l and seen_u:
         return "MIXED"
-    if has_upper and has_lower:
-        return "MIXED"
-    if has_upper:
-        return "MIXED" if has_lower else ("UPPER" if not first_upper
-                                          and not has_lower else "MIXED")
-    if has_lower:
-        return "LOWER"
-    return "NEUTRAL"
+    if start == "L":
+        return "MIXED" if seen_u else "LOWER"
+    if start == "U":
+        return "UPPER" if not seen_l else "TITLE"
+    return "LOWER" if seen_l else ("UPPER" if seen_u else "NEUTRAL")
 
 
 class HunspellStemmer:
@@ -1402,6 +1494,76 @@ class HunspellChecker(_CompoundMixin):
             return self._try_breaks(word)
         return False
 
+    # -- suggestions (Hunspell.suggest) ---------------------------------------
+    def suggest(self, word: str) -> list[str]:
+        """Hunspell.suggest: ModifyingSuggester edits first; n-gram
+        root expansion when no good edit exists; dash-chunk repairs;
+        case re-adjustment + OCONV on output."""
+        d = self.d
+        if len(word) >= 100:
+            return []
+        if d._needs_input_cleaning(word):
+            word = d._clean_input(word)
+        word_case = _word_case(word) if word else "NEUTRAL"
+        if d.force_ucase != FLAG_UNSET and word_case == "LOWER":
+            title = word[0].upper() + d._case_fold_str(word[1:])
+            if self.spell(title):
+                return [title]
+        suggestions = _OrderedSet()
+        sub = _SuggestChecker(d)
+        modifier = _ModifyingSuggester(sub, suggestions)
+        has_good = modifier.suggest(word, word_case)
+        if not has_good and d.max_ngram_suggestions > 0:
+            suggestions.update(_GeneratingSuggester(sub).suggest(
+                d._case_fold_str(word), word_case, suggestions))
+        if "-" in word and not any("-" in s for s in suggestions):
+            suggestions.update(self._dash_chunks(word))
+        return self._postprocess(word, word_case, suggestions)
+
+    def _dash_chunks(self, word: str) -> list[str]:
+        out = []
+        chunk_start = 0
+        while chunk_start < len(word):
+            chunk_end = word.find("-", chunk_start)
+            if chunk_end < 0:
+                chunk_end = len(word)
+            if chunk_end > chunk_start:
+                chunk = word[chunk_start:chunk_end]
+                if not self.spell(chunk):
+                    for sug in self.suggest(chunk):
+                        replaced = (word[:chunk_start] + sug
+                                    + word[chunk_end:])
+                        if self.spell(replaced):
+                            out.append(replaced)
+            chunk_start = chunk_end + 1
+        return out
+
+    def _postprocess(self, word, word_case, suggestions) -> list[str]:
+        d = self.d
+        result = _OrderedSet()
+        for cand in suggestions:
+            result.add(self._adjust_case(cand, word_case, word))
+            if (word_case == "UPPER" and d.check_sharp_s
+                    and "ß" in cand):
+                result.add(cand)
+        out = []
+        for s in result:
+            if d.oconv is not None:
+                s = HunspellDictionary._apply_conv(s, d.oconv)
+            out.append(s)
+        return out
+
+    def _adjust_case(self, candidate, original_case, original) -> str:
+        if original_case == "UPPER":
+            upper = candidate.upper()
+            if " " in upper or self.spell(upper):
+                return upper
+        if original and original[0].isupper():
+            title = candidate[0].upper() + candidate[1:]
+            if " " in title or self.spell(title):
+                return title
+        return candidate
+
     # -- roots with case/forbidden gating ------------------------------------
     def _find_root(self, word: str, original_case,
                    context: str = "SIMPLE"):
@@ -1416,8 +1578,9 @@ class HunspellChecker(_CompoundMixin):
             if check_case and not self._accept_case(original_case,
                                                     flags, stem):
                 return HIDDEN_FLAG in flags
-            found.append((stem, flags))
-            return False
+            if self._accepts_stem(flags):
+                found.append((stem, flags))
+            return False              # stop even when not accepted
 
         try:
             self.stemmer._do_stem(word, emit, context=context)
@@ -1437,6 +1600,10 @@ class HunspellChecker(_CompoundMixin):
                 return True
             return not keep
         return HIDDEN_FLAG not in flags
+
+    def _accepts_stem(self, flags) -> bool:
+        """Hook the suggestion speller overrides (Hunspell.acceptsStem)."""
+        return True
 
     def _check_simple(self, word: str, original_case):
         root = self._find_root(word, original_case)
@@ -1507,3 +1674,551 @@ def _is_number(s: str) -> bool:
         else:
             return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# suggestions (Hunspell.suggest + ModifyingSuggester + GeneratingSuggester)
+# ---------------------------------------------------------------------------
+
+_MAX_CHAR_DISTANCE = 4
+
+
+class _SuggestChecker(HunspellChecker):
+    """The suggestion speller: roots flagged NOSUGGEST/SUBSTANDARD are
+    not accepted (Hunspell.doSuggest's acceptsStem override)."""
+
+    def _accepts_stem(self, flags) -> bool:
+        d = self.d
+        return not ((d.no_suggest != FLAG_UNSET
+                     and d.no_suggest in flags)
+                    or (d.sub_standard != FLAG_UNSET
+                        and d.sub_standard in flags))
+
+
+class _OrderedSet:
+    """LinkedHashSet stand-in: add() returns True when new."""
+
+    def __init__(self):
+        self._d: dict = {}
+
+    def add(self, item) -> bool:
+        if item in self._d:
+            return False
+        self._d[item] = None
+        return True
+
+    def update(self, items):
+        for it in items:
+            self.add(it)
+
+    def __iter__(self):
+        return iter(self._d)
+
+    def __contains__(self, item):
+        return item in self._d
+
+    def __len__(self):
+        return len(self._d)
+
+    def clear(self):
+        self._d.clear()
+
+
+class _ModifyingSuggester:
+    """ModifyingSuggester.java: char-edit candidate generation (case
+    variations, REP/MAP tables, swaps, keyboard neighbors, removals,
+    insertions, moves, replacements, de-duplications, splits)."""
+
+    def __init__(self, speller: HunspellChecker, result: _OrderedSet):
+        self.speller = speller
+        self.result = result
+        self.try_chars = speller.d.try_chars
+
+    def suggest(self, word: str, word_case: str) -> bool:
+        d = self.speller.d
+        low = d._case_fold_str(word) if word_case != "LOWER" else word
+        if word_case in ("UPPER", "MIXED"):
+            self._try(low)
+        has_good = self._variations(word)
+        if word_case == "TITLE":
+            has_good |= self._variations(low)
+        elif word_case == "UPPER":
+            has_good |= self._variations(low)
+            has_good |= self._variations(
+                word[0].upper() + d._case_fold_str(word[1:]))
+        elif word_case == "MIXED":
+            dot = word.find(".")
+            if (0 < dot < len(word) - 1
+                    and _word_case(word[dot + 1:]) == "TITLE"):
+                self.result.add(word[:dot + 1] + " " + word[dot + 1:])
+            capitalized = word[0].isupper()
+            if capitalized:
+                has_good |= self._variations(
+                    d.case_fold(word[0]) + word[1:])
+            has_good |= self._variations(low)
+            if capitalized:
+                has_good |= self._variations(
+                    low[0].upper() + d._case_fold_str(low[1:]))
+            adjusted = []
+            for candidate in self.result:
+                s = self._capitalize_after_space(word, candidate)
+                if s == candidate:
+                    adjusted.append(s)
+                else:
+                    adjusted.insert(0, s)
+            self.result.clear()
+            self.result.update(adjusted)
+        return has_good
+
+    @staticmethod
+    def _capitalize_after_space(misspelled, candidate):
+        space = candidate.find(" ")
+        tail = len(candidate) - space - 1
+        if (space > 0
+                and misspelled[len(misspelled) - tail:]
+                != candidate[space + 1:]):
+            return (candidate[:space + 1]
+                    + candidate[space + 1].upper()
+                    + candidate[space + 2:])
+        return candidate
+
+    def _variations(self, word: str) -> bool:
+        has_good = self._try(word.upper())
+        has_good |= self._rep(word)
+        if self.speller.d.map_table:
+            self._map_replacements(word, "", 0)
+        self._swapping_chars(word)
+        self._long_swap(word)
+        self._neighbor_keys(word)
+        self._removing_char(word)
+        self._adding_char(word)
+        self._moving_char(word)
+        self._replacing_char(word)
+        self._two_duplicate_chars(word)
+        good_split = self._dictionary_splits(word)
+        if good_split:
+            copy = list(self.result)
+            self.result.clear()
+            self.result.update(good_split)
+            if has_good:
+                self.result.update(copy)
+            has_good = True
+        if not has_good and self.speller.d.enable_split_suggestions:
+            self._splitting(word)
+        return has_good
+
+    def _rep(self, word: str) -> bool:
+        before = len(self.result)
+        for pat, rep, must_start, must_end in self.speller.d.rep_table:
+            if must_start:
+                if (word == pat if must_end
+                        else word.startswith(pat)):
+                    cands = [rep + word[len(pat):]]
+                else:
+                    cands = []
+            elif must_end:
+                cands = ([word[:-len(pat)] + rep]
+                         if word.endswith(pat) else [])
+            else:
+                cands = []
+                pos = word.find(pat)
+                while pos >= 0:
+                    cands.append(word[:pos] + rep
+                                 + word[pos + len(pat):])
+                    pos = word.find(pat, pos + 1)
+            for cand in cands:
+                cand = cand.strip()
+                if self._try(cand):
+                    continue
+                if " " in cand and all(
+                        self.speller._check_simple(p, None) is True
+                        for p in cand.split(" ")):
+                    self.result.add(cand)
+        return len(self.result) > before
+
+    def _map_replacements(self, word, accumulated, offset):
+        if offset == len(word):
+            self._try(accumulated)
+            return
+        for entries in self.speller.d.map_table:
+            for entry in entries:
+                if word.startswith(entry, offset):
+                    for replacement in entries:
+                        if replacement != entry:
+                            self._map_replacements(
+                                word, accumulated + replacement,
+                                offset + len(entry))
+        self._map_replacements(word, accumulated + word[offset],
+                               offset + 1)
+
+    def _swapping_chars(self, word):
+        n = len(word)
+        for i in range(n - 1):
+            self._try(word[:i] + word[i + 1] + word[i]
+                      + word[i + 2:])
+        if n in (4, 5):
+            c = list(word)
+            c[0], c[1] = word[1], word[0]
+            c[-1], c[-2] = word[-2], word[-1]
+            self._try("".join(c))
+            if n == 5:
+                c[0] = word[0]
+                c[1] = word[2]
+                c[2] = word[1]
+                self._try("".join(c))
+
+    def _neighbor_keys(self, word):
+        for i, ch in enumerate(word):
+            up = ch.upper()
+            if up != ch and len(up) == 1:
+                self._try(word[:i] + up + word[i + 1:])
+            for group in self.speller.d.neighbor_keys:
+                if ch in group:
+                    for g in group:
+                        if g != ch:
+                            self._try(word[:i] + g + word[i + 1:])
+
+    def _long_swap(self, word):
+        n = len(word)
+        for i in range(n):
+            for j in range(i + 2, min(n, i + _MAX_CHAR_DISTANCE + 1)):
+                self._try(word[:i] + word[j] + word[i + 1:j]
+                          + word[i] + word[j + 1:])
+
+    def _removing_char(self, word):
+        if len(word) == 1:
+            return
+        for i in range(len(word)):
+            self._try(word[:i] + word[i + 1:])
+
+    def _adding_char(self, word):
+        for i in range(len(word) + 1):
+            for ch in self.try_chars:
+                self._try(word[:i] + ch + word[i:])
+
+    def _moving_char(self, word):
+        n = len(word)
+        for i in range(n):
+            prefix = word[:i]
+            for j in range(i + 2, min(n, i + _MAX_CHAR_DISTANCE + 1)):
+                self._try(prefix + word[i + 1:j] + word[i] + word[j:])
+                self._try(prefix + word[j] + word[i:j] + word[j + 1:])
+            if i < n - 1:
+                self._try(prefix + word[i + 1:] + word[i])
+
+    def _replacing_char(self, word):
+        for i, ch in enumerate(word):
+            for t in self.try_chars:
+                if t != ch:
+                    self._try(word[:i] + t + word[i + 1:])
+
+    def _two_duplicate_chars(self, word):
+        dup = 0
+        for i in range(2, len(word)):
+            if word[i] == word[i - 2]:
+                dup += 1
+                if dup == 3 or (dup == 2 and i >= 4):
+                    self._try(word[:i - 1] + word[i + 1:])
+                    dup = 0
+            else:
+                dup = 0
+
+    def _dictionary_splits(self, word):
+        out = []
+        for i in range(1, len(word) - 1):
+            w1, w2 = word[:i], word[i:]
+            spaced = w1 + " " + w2
+            if self.speller._check_word(spaced, None):
+                out.append(spaced)
+            if self._split_by_dash():
+                dashed = w1 + "-" + w2
+                if self.speller._check_word(dashed, None):
+                    out.append(dashed)
+        return out
+
+    def _splitting(self, word):
+        for i in range(1, len(word)):
+            w1, w2 = word[:i], word[i:]
+            if (self.speller._check_simple(w1, None) is True
+                    and self.speller._check_simple(w2, None) is True):
+                self.result.add(w1 + " " + w2)
+                if (len(w1) > 1 and len(w2) > 1
+                        and self._split_by_dash()):
+                    self.result.add(w1 + "-" + w2)
+
+    def _split_by_dash(self):
+        tc = self.speller.d.try_chars
+        return "-" in tc or "a" in tc
+
+    def _try(self, candidate: str) -> bool:
+        return (self.speller._check_word(candidate, None)
+                and self.result.add(candidate))
+
+
+# -- n-gram machinery (GeneratingSuggester statics) --------------------------
+
+def _common_prefix(s1: str, s2: str) -> int:
+    i = 0
+    limit = min(len(s1), len(s2))
+    while i < limit and s1[i] == s2[i]:
+        i += 1
+    return i
+
+
+def _index_of_substring(haystack, haystack_pos, needle, needle_pos,
+                        length) -> int:
+    sub = needle[needle_pos:needle_pos + length]
+    pos = haystack.find(sub, haystack_pos)
+    return pos if pos >= 0 else -1
+
+
+def _ngram_score(n, s1, s2, weighted: bool) -> int:
+    l1 = len(s1)
+    score = 0
+    last_starts = [0] * l1
+    for j in range(1, n + 1):
+        ns = 0
+        for i in range(0, l1 - j + 1):
+            if last_starts[i] >= 0:
+                pos = _index_of_substring(s2, last_starts[i], s1, i, j)
+                last_starts[i] = pos
+                if pos >= 0:
+                    ns += 1
+                    continue
+            if weighted:
+                ns -= 1
+                if i == 0 or i == l1 - j:
+                    ns -= 1          # side weight
+        score += ns
+        if ns < 2 and not weighted:
+            break
+    return score
+
+
+def _longer_worse_penalty(l1, l2) -> int:
+    return max((l2 - l1) - 2, 0)
+
+
+def _any_mismatch_ngram(n, s1, s2, weighted: bool) -> int:
+    return _ngram_score(n, s1, s2, weighted) - max(
+        abs(len(s2) - len(s1)) - 2, 0)
+
+
+def _lcs(s1, s2) -> int:
+    lengths = [0] * (len(s2) + 1)
+    for i in range(1, len(s1) + 1):
+        prev = 0
+        for j in range(1, len(s2) + 1):
+            cur = lengths[j]
+            lengths[j] = (prev + 1 if s1[i - 1] == s2[j - 1]
+                          else max(cur, lengths[j - 1]))
+            prev = cur
+    return lengths[len(s2)]
+
+
+def _common_char_position_score(s1, s2) -> int:
+    num = 0
+    diff = 0
+    dp1 = dp2 = -1
+    i = 0
+    for i in range(min(len(s1), len(s2))):
+        if s1[i] == s2[i]:
+            num += 1
+        else:
+            if diff == 0:
+                dp1 = i
+            elif diff == 1:
+                dp2 = i
+            diff += 1
+    i = min(len(s1), len(s2))
+    common = 1 if num > 0 else 0
+    if (diff == 2 and i == len(s1) and i == len(s2)
+            and s1[dp1] == s2[dp2] and s1[dp2] == s2[dp1]):
+        return common + 10
+    return common
+
+
+class _GeneratingSuggester:
+    """GeneratingSuggester.java: n-gram-scored dictionary roots,
+    affix-expanded against the misspelled word's own prefixes/suffixes,
+    re-ranked by the hunspell similarity formula."""
+
+    MAX_ROOTS = 100
+    MAX_WORDS = 100
+    MAX_GUESSES = 200
+    MAX_ROOT_LENGTH_DIFF = 4
+
+    def __init__(self, speller: HunspellChecker):
+        self.speller = speller
+        self.d = speller.d
+
+    def suggest(self, word: str, original_case, prev) -> list:
+        roots = self._similar_roots(word, original_case)
+        expanded = self._expand_roots(word, roots)
+        ranked = self._rank(word, expanded)
+        return self._most_relevant(ranked, prev)
+
+    # -- root discovery -------------------------------------------------------
+    def _similar_roots(self, word, original_case):
+        d = self.d
+        ignore_title = (original_case == "LOWER"
+                        and d.language != "de")
+        exclude = {HIDDEN_FLAG}
+        for f in (d.no_suggest, d.forbiddenword, d.onlyincompound):
+            if f != FLAG_UNSET:
+                exclude.add(f)
+        scored = []
+        for root_word in sorted(d.entries):
+            if abs(len(root_word) - len(word)) > \
+                    self.MAX_ROOT_LENGTH_DIFF or not root_word:
+                continue
+            forms = [fl for fl, _ in d.entries[root_word]
+                     if not (fl & exclude)]
+            if not forms:
+                continue
+            if (ignore_title and root_word[0].isupper()
+                    and _word_case(root_word) == "TITLE"):
+                continue
+            folded = d._case_fold_str(root_word)
+            sc = _ngram_score(3, word, folded, False)
+            if sc == 0:
+                continue
+            sc += _common_prefix(word, root_word) \
+                - _longer_worse_penalty(len(word), len(root_word))
+            for fl in forms:
+                scored.append((sc, root_word, fl))
+        # top MAX_ROOTS by score (ties: later-sorted words win the heap
+        # eviction like the reference's PriorityQueue; order by score
+        # desc then word asc for the final list)
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        return scored[:self.MAX_ROOTS]
+
+    # -- affix expansion ------------------------------------------------------
+    def _expand_roots(self, misspelled, roots):
+        thresh = self._threshold(misspelled)
+        expanded = []
+        seen = set()
+        for sc, root_word, flags in roots:
+            for guess in self._expand_root(root_word, flags,
+                                           misspelled):
+                lower = self.d._case_fold_str(guess)
+                s = (_any_mismatch_ngram(len(misspelled), misspelled,
+                                         lower, False)
+                     + _common_prefix(misspelled, guess))
+                if s > thresh and (guess, s) not in seen:
+                    seen.add((guess, s))
+                    expanded.append((s, guess))
+        expanded.sort(key=lambda t: (-t[0], t[1]))
+        return expanded[:self.MAX_GUESSES]
+
+    @staticmethod
+    def _threshold(word):
+        thresh = 0
+        for sp in range(1, 4):
+            mw = list(word)
+            for k in range(sp, len(word), 4):
+                mw[k] = "*"
+            thresh += _any_mismatch_ngram(len(word), word,
+                                          "".join(mw), False)
+        return thresh // 3 - 1 if thresh >= 0 else -(-thresh // 3) - 1
+
+    def _expand_root(self, root_word, root_flags, misspelled):
+        d = self.d
+        result = _OrderedSet()
+        cross_products = []
+        if not (d.needaffix != FLAG_UNSET
+                and d.needaffix in root_flags):
+            result.add(root_word)
+
+        def compatible(ax):
+            if ax.flag not in root_flags:
+                return False
+            for f in (d.needaffix, d.circumfix, d.onlyincompound):
+                if f != FLAG_UNSET and f in ax.append_flags:
+                    return False
+            return True
+
+        # suffixes of the MISSPELLED word, ascending length (incl. "")
+        for k in range(0, len(misspelled) + 1):
+            append = misspelled[len(misspelled) - k:]
+            for ax in d.suffixes.get(append, ()):
+                strip_len = len(ax.strip)
+                stem_len = len(root_word) - strip_len
+                if not compatible(ax):
+                    continue
+                if stem_len < 0 or not ax.condition(
+                        root_word[:stem_len]):
+                    continue
+                with_suffix = root_word[:stem_len] + append
+                result.add(with_suffix)
+                if ax.cross:
+                    cross_products.append(with_suffix)
+        # cross-product prefixes
+        for k in range(0, len(misspelled) + 1):
+            prefix = misspelled[:k]
+            for ax in d.prefixes.get(prefix, ()):
+                if ax.flag not in root_flags or not ax.cross:
+                    continue
+                strip_len = len(ax.strip)
+                for suffixed in cross_products:
+                    stem_len = len(suffixed) - strip_len
+                    if stem_len >= 0 and ax.condition(
+                            suffixed[strip_len:strip_len + stem_len]):
+                        result.add(prefix + suffixed[strip_len:])
+        # pure prefixes
+        for k in range(0, len(misspelled) + 1):
+            prefix = misspelled[:k]
+            for ax in d.prefixes.get(prefix, ()):
+                strip_len = len(ax.strip)
+                stem_len = len(root_word) - strip_len
+                if (compatible(ax) and stem_len >= 0
+                        and ax.condition(root_word[strip_len:])):
+                    result.add(prefix + root_word[strip_len:])
+        return list(result)[:self.MAX_WORDS]
+
+    # -- ranking ---------------------------------------------------------------
+    def _rank(self, word, expanded):
+        fact = (10.0 - self.d.max_diff) / 5.0
+        ranked = []
+        seen = set()
+        for sc, guess in expanded:
+            lower = self.d._case_fold_str(guess)
+            if lower == word:
+                ranked.append((sc + 2000, guess))
+                break
+            re_score = (_any_mismatch_ngram(2, word, lower, True)
+                        + _any_mismatch_ngram(2, lower, word, True))
+            score = (2 * _lcs(word, lower)
+                     - abs(len(word) - len(lower))
+                     + _common_char_position_score(word, lower)
+                     + _common_prefix(word, lower)
+                     + _any_mismatch_ngram(4, word, lower, False)
+                     + re_score
+                     + (-1000 if re_score
+                        < (len(word) + len(lower)) * fact else 0))
+            if (score, guess) not in seen:
+                seen.add((score, guess))
+                ranked.append((score, guess))
+        ranked.sort(key=lambda t: (-t[0], t[1]))
+        return ranked
+
+    def _most_relevant(self, ranked, prev):
+        out = []
+        has_excellent = False
+        for score, guess in ranked:
+            if score > 1000:
+                has_excellent = True
+            elif has_excellent:
+                break
+            bad = score < -100
+            if bad and (out or self.d.only_max_diff):
+                break
+            if (not any(p in guess for p in prev)
+                    and not any(p in guess for p in out)
+                    and self.speller._check_word(guess, None)):
+                out.append(guess)
+                if len(out) >= self.d.max_ngram_suggestions:
+                    break
+            if bad:
+                break
+        return out

@@ -115,3 +115,23 @@ def test_reference_spell_corpus(corpus):
         if ck.spell(w):
             bad.append(("wrong-accepted", w))
     assert not bad, f"{corpus['name']}: {bad[:8]} ({len(bad)})"
+
+
+# ---------------------------------------------------------------------------
+# Hunspell.suggest: reference .sug corpora (suggestions for each .wrong
+# word, joined ', '; empty suggestion lines dropped — TestSpellChecking)
+# ---------------------------------------------------------------------------
+
+with open(os.path.join(_DIR, "sug_cases.json"), encoding="utf-8") as f:
+    _SUG = json.load(f)
+
+
+@pytest.mark.parametrize("corpus", _SUG, ids=[s["name"] for s in _SUG])
+def test_reference_sug_corpus(corpus):
+    ck = _checker(corpus["name"])
+    got = "\n".join(
+        s for s in (", ".join(ck.suggest(w)) for w in corpus["wrong"])
+        if s)
+    assert got == corpus["sug"], (
+        f"{corpus['name']}:\n--- expected ---\n{corpus['sug']}\n"
+        f"--- got ---\n{got}")

@@ -118,6 +118,36 @@ def main():
     nspell = sum(len(s["good"]) + len(s["wrong"]) for s in spell)
     print(f"{len(spell)} spell corpora, {nspell} words")
 
+    # suggestion corpora (.sug expectations over the .wrong words)
+    sug = []
+    for fn in sorted(os.listdir(REF)):
+        if not fn.endswith(".sug"):
+            continue
+        name = fn[:-4]
+        aff = os.path.join(REF, name + ".aff")
+        dic = os.path.join(REF, name + ".dic")
+        wrong = os.path.join(REF, name + ".wrong")
+        if not (os.path.exists(aff) and os.path.exists(dic)
+                and os.path.exists(wrong)):
+            continue
+        with open(os.path.join(REF, fn), "rb") as f:
+            expected = f.read().decode("utf-8", "replace").strip()
+        with open(wrong, "rb") as f:
+            wrong_words = [ln.strip() for ln in
+                           f.read().decode("utf-8", "replace")
+                           .splitlines() if ln.strip()]
+        for f2 in (name + ".aff", name + ".dic"):
+            if f2 not in copied:
+                shutil.copy(os.path.join(REF, f2),
+                            os.path.join(OUT_DIR, f2))
+                copied.add(f2)
+        sug.append({"name": name, "wrong": wrong_words,
+                    "sug": expected})
+    with open(os.path.join(OUT_DIR, "sug_cases.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(sug, f, ensure_ascii=False, indent=1)
+    print(f"{len(sug)} sug corpora")
+
     out = os.path.join(OUT_DIR, "cases.json")
     with open(out, "w", encoding="utf-8") as f:
         json.dump(suites, f, ensure_ascii=False, indent=1)
