@@ -2222,3 +2222,39 @@ class _GeneratingSuggester:
             if bad:
                 break
         return out
+
+
+@lru_cache(maxsize=16)
+def _load_checker(aff_path: str, dic_path: str) -> HunspellChecker:
+    with open(aff_path, "rb") as f:
+        aff_bytes = f.read()
+    aff = decode_hunspell(aff_bytes)
+    with open(dic_path, "rb") as f:
+        dic = f.read().decode(_charset_of(aff_bytes), errors="replace")
+    return HunspellChecker(HunspellDictionary(aff, [dic]))
+
+
+def hunspell_spell_series(terms, aff_path: str, dic_path: str):
+    """Vocabulary-level spell check for a token Series/array → boolean
+    ndarray (the distributed spell-audit shape: factorize once per
+    Arrow batch, one spell() call per DISTINCT token — Heaps' law makes
+    this sublinear in corpus size; dictionaries load once per executor
+    via the lru_cache, shipped with --files on a real cluster)."""
+    ck = _load_checker(aff_path, dic_path)
+    codes, uniq = pd.factorize(np.asarray(terms, dtype=object))
+    ok = np.array([ck.spell(u) for u in uniq], dtype=bool)
+    out = np.zeros(len(codes), dtype=bool)
+    mask = codes >= 0
+    out[mask] = ok[codes[mask]]
+    return out
+
+
+def hunspell_suggest_series(terms, aff_path: str, dic_path: str,
+                            max_suggestions: int = 5):
+    """Per-distinct-token suggestions → list-of-lists aligned with the
+    input (empty list for correctly spelled tokens)."""
+    ck = _load_checker(aff_path, dic_path)
+    codes, uniq = pd.factorize(np.asarray(terms, dtype=object))
+    per_uniq = [([] if ck.spell(u)
+                 else ck.suggest(u)[:max_suggestions]) for u in uniq]
+    return [per_uniq[c] if c >= 0 else [] for c in codes]

@@ -135,3 +135,22 @@ def test_reference_sug_corpus(corpus):
     assert got == corpus["sug"], (
         f"{corpus['name']}:\n--- expected ---\n{corpus['sug']}\n"
         f"--- got ---\n{got}")
+
+
+def test_spell_and_suggest_series():
+    import numpy as np
+
+    from lucene_spark.functions.hunspell import (
+        hunspell_spell_series,
+        hunspell_suggest_series,
+    )
+
+    aff = os.path.join(_DIR, "base.aff")
+    dic = os.path.join(_DIR, "base.dic")
+    terms = np.array(["created", "createdd", "created", "zzz"],
+                     dtype=object)
+    ok = hunspell_spell_series(terms, aff, dic)
+    assert list(ok) == [True, False, True, False]
+    sugs = hunspell_suggest_series(terms, aff, dic)
+    assert sugs[0] == [] and sugs[2] == []
+    assert "created" in sugs[1]
