@@ -876,6 +876,71 @@ def _q_hunspell_stats(spark, sf_dir):
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+# ---------------------------------------------------------------------------
+# Stempel (Egothor) Polish stemmer through the build: the engine's
+# faithfulness to the reference's egothor trie/diff machinery is pinned
+# by 32,841 goldens generated from the reference's OWN Java classes
+# over the shipped stemmer_20000.tbl (tests/test_stempel.py); this
+# entry verifies the filter-through-the-build path end to end. Content
+# is FORMS[doc_id%12] FORMS[doc_id%7]; the twin pins each form's stem
+# from the golden fixture.
+# ---------------------------------------------------------------------------
+
+_STEMPEL_FORMS = ("studenta", "studenci", "profesora", "najpiekniejsza",
+                  "warszawskiego", "krakowskie", "gdanskich", "ludzie",
+                  "ksiazek", "czlowieka", "nauczycielami",
+                  "komputerowych")
+#: form -> stempel stem (verified against the committed Java goldens)
+_STEMPEL_TOKENS = {
+    "studenta": ["student"], "studenci": ["student"],
+    "profesora": ["profesor"], "najpiekniejsza": ["najpiekny"],
+    "warszawskiego": ["warszawski"], "krakowskie": ["krakowski"],
+    "gdanskich": ["gdanski"], "ludzie": ["lud"],
+    "ksiazek": ["ksiazć"], "czlowieka": ["czlowieka"],
+    "nauczycielami": ["nauczyciel"], "komputerowych": ["komputerowy"],
+}
+_STEMPEL_STAT_TERMS = ("student", "profesor", "najpiekny", "warszawski",
+                       "lud", "ksiazć", "czlowieka", "studenta")
+
+
+def _searcher_stempel(spark: SparkSession, sf_dir: str) -> Searcher:
+    key = "stempel:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        h = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{h}")
+        arr = F.array(*[F.lit(w) for w in _STEMPEL_FORMS])
+        content = F.concat(
+            F.element_at(arr, (F.col("doc_id") % 12 + 1).cast("int")),
+            F.lit(" "),
+            F.element_at(arr, (F.col("doc_id") % 7 + 1).cast("int")))
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", content.alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    stemmer="stempel_polish")
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_stempel_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on the stem 'student' — its postings merge the
+    studenta/studenci surface forms (the PolishAnalyzer role)."""
+    return _fmt_topk(_searcher_stempel(spark, sf_dir).search(
+        Q.Term("student"), k=10))
+
+
+def _q_stempel_stats(spark, sf_dir):
+    """Stem dictionary df/ttf: surface forms are REPLACED by their
+    trie/diff stems (so 'studenta' must be absent); czlowieka's patch
+    is an identity and survives as itself."""
+    s = _searcher_stempel(spark, sf_dir)
+    return (s.term_stats
+            .filter(F.col("term").isin(list(_STEMPEL_STAT_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _q_beider_morse_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 TermQuery on the Beider-Morse phoneme zmit — schmidt and
     smith both encode to it (the BMPM cross-spelling match the engine
@@ -5977,6 +6042,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "beider_morse_term_stats": _q_beider_morse_stats,
         "bm25_hunspell_top10": _q_hunspell_top10,
         "hunspell_term_stats": _q_hunspell_stats,
+        "bm25_polish_top10": _q_stempel_top10,
+        "polish_term_stats": _q_stempel_stats,
         "protected_truncate_stats": _q_protected_truncate_stats,
         "bm25_url_token_top10": _q_url_email_top10,
         "url_email_term_stats": _q_url_email_stats,
@@ -6126,6 +6193,8 @@ _PRIORITY = [
     "beider_morse_term_stats",
     "bm25_hunspell_top10",
     "hunspell_term_stats",
+    "bm25_polish_top10",
+    "polish_term_stats",
     "leading_wildcard_query",
     "reverse_term_stats",
     "auto_stopword_top10",
@@ -7302,6 +7371,15 @@ FROM dfs WHERE term IN ('zqtf', 'data', 'dup')"""),
               "       CAST(ttf AS BIGINT) AS ttf\n"
               "FROM dfs WHERE term IN ("
             + ", ".join(f"'{t}'" for t in _HUNSPELL_STAT_TERMS) + ")"),
+        "bm25_polish_top10": (
+            _synth_tok_prelude(_STEMPEL_FORMS, _STEMPEL_TOKENS, 12, 7)
+            + ", " + _tscore_cte("ts", "student") + _topk_sql("ts", 10)),
+        "polish_term_stats": (
+            _synth_tok_prelude(_STEMPEL_FORMS, _STEMPEL_TOKENS, 12, 7)
+            + " SELECT term, CAST(df AS BIGINT) AS df,\n"
+              "       CAST(ttf AS BIGINT) AS ttf\n"
+              "FROM dfs WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in _STEMPEL_STAT_TERMS) + ")"),
         "bm25_url_token_top10": (
             _URLEMAIL_PRELUDE + ", "
             + _tscore_cte("ts", "http://zq.example.com/p?q=1")

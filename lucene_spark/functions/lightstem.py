@@ -1283,6 +1283,15 @@ from .snowball import SNOWBALL_STEMMERS  # noqa: E402  (registry extension)
 LIGHT_STEMMERS.update(SNOWBALL_STEMMERS)
 
 
+def _stem_stempel_polish(w):
+    # lazy: the 2.2 MB trie parses once per process, on first use
+    from .stempel import stem_polish
+    return stem_polish(w)
+
+
+LIGHT_STEMMERS["stempel_polish"] = _stem_stempel_polish
+
+
 # ---------------------------------------------------------------------------
 # per-language analyzer presets (the reference's <Lang>Analyzer
 # compositions: standard tokenizer -> [elision] -> lowercase -> stop ->
@@ -1332,6 +1341,7 @@ def language_analyzer_kwargs(language: str) -> dict:
         "arabic": ("arabic", "arabic", None),
         "english": ("english", "porter", None),
         "greek": (None, "greek", None),
+        "polish": (None, "stempel_polish", None),
     }
     if language not in chains:
         raise ValueError(f"unknown language {language!r} "
@@ -1343,6 +1353,11 @@ def language_analyzer_kwargs(language: str) -> dict:
         # the stop filter when stemmer == "greek"
         from .greekstem import GREEK_STOP_WORDS
         stops = GREEK_STOP_WORDS
+    elif language == "polish":
+        # pl/PolishAnalyzer.java:135 — standard -> lower -> stop(carrot2
+        # list) -> stempel over the shipped stemmer_20000.tbl
+        from .stempel import polish_stop_set
+        stops = polish_stop_set()
     else:
         stops = STOP_SETS[stop_key]
     kw = {"stopwords": stops, "stemmer": stemmer}
