@@ -941,6 +941,83 @@ def _q_stempel_stats(spark, sf_dir):
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+# ---------------------------------------------------------------------------
+# SmartChineseAnalyzer (smartcn) through the build: the HHMM segmenter,
+# JDK sentence DFA, SegTokenFilter and porter/stop chain are pinned by
+# 1,114 reference-Java goldens + a 13,307-probe sentence grid
+# (tests/test_smartcn.py); this entry verifies the chain end to end.
+# Content is FORMS[doc_id%12] FORMS[doc_id%7] — every form is a full
+# sentence (。-terminated), so the two segmentations are independent
+# and the twin pins each form's exact token stream.
+# ---------------------------------------------------------------------------
+
+_SMARTCN_FORMS = (
+    "我购买了道具和服装。", "这是一个测试的句子！", "我们研究搜索引擎技术。",
+    "价格是3.14元，数量是42个。", "他学习计算机科学与技术。", "今天天气真好！",
+    "我购买 Tests 了道具和服装。", "引擎性能非常重要。",
+    "Ｔｅｓｔｓ ｔｅｓｔ ＦＵＬＬ ｗｉｄｔｈ１２３。", "数据库系统支持查询。",
+    "中文信息处理很有意思。", "搜索引擎使用倒排索引。")
+#: form -> post-chain tokens (verified against the Java goldens)
+_SMARTCN_TOKENS = {
+    "我购买了道具和服装。": ["我", "购买", "了", "道具", "和", "服装"],
+    "这是一个测试的句子！": ["这", "是", "一个", "测试", "的", "句子"],
+    "我们研究搜索引擎技术。": ["我们", "研究", "搜索引擎", "技术"],
+    "价格是3.14元，数量是42个。": ["价格", "是", "3", "14", "元", "数量",
+                                    "是", "42", "个"],
+    "他学习计算机科学与技术。": ["他", "学习", "计算机", "科学", "与", "技术"],
+    "今天天气真好！": ["今天", "天气", "真", "好"],
+    "我购买 Tests 了道具和服装。": ["我", "购买", "test", "了", "道具", "和",
+                                     "服装"],
+    "引擎性能非常重要。": ["引擎", "性能", "非常", "重要"],
+    "Ｔｅｓｔｓ ｔｅｓｔ ＦＵＬＬ ｗｉｄｔｈ１２３。": ["test", "test", "full",
+                                                         "width", "123"],
+    "数据库系统支持查询。": ["数据库", "系统", "支持", "查询"],
+    "中文信息处理很有意思。": ["中文", "信息", "处理", "很", "有意思"],
+    "搜索引擎使用倒排索引。": ["搜索引擎", "使用", "倒", "排", "索引"],
+}
+_SMARTCN_STAT_TERMS = ("技术", "搜索引擎", "test", "购买", "是", "索引",
+                       "倒排索引", "123")
+
+
+def _searcher_smartcn(spark: SparkSession, sf_dir: str) -> Searcher:
+    key = "smartcn:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        from lucene_spark.functions.smartcn import smartcn_stop_set
+        h = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{h}")
+        arr = F.array(*[F.lit(w) for w in _SMARTCN_FORMS])
+        content = F.concat(
+            F.element_at(arr, (F.col("doc_id") % 12 + 1).cast("int")),
+            F.lit(" "),
+            F.element_at(arr, (F.col("doc_id") % 7 + 1).cast("int")))
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", content.alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    tokenizer="smartcn", stemmer="porter",
+                    stopwords=smartcn_stop_set(), store_positions=True)
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_smartcn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on 技术 — the HHMM segmenter emits it from two
+    different forms (plain suffix and 科学与技术), merging postings."""
+    return _fmt_topk(_searcher_smartcn(spark, sf_dir).search(
+        Q.Term("技术"), k=10))
+
+
+def _q_smartcn_stats(spark, sf_dir):
+    """Segmented dictionary df/ttf: multi-char dictionary words
+    (搜索引擎) survive whole, non-dictionary compounds (倒排索引) split
+    into singles, latin runs porter-stem to test, full-width folds."""
+    s = _searcher_smartcn(spark, sf_dir)
+    return (s.term_stats
+            .filter(F.col("term").isin(list(_SMARTCN_STAT_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _q_beider_morse_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 TermQuery on the Beider-Morse phoneme zmit — schmidt and
     smith both encode to it (the BMPM cross-spelling match the engine
@@ -2338,6 +2415,50 @@ tok AS (
   JOIN nm b ON b.i = d.doc_id % {mod_b}
 ),
 doclen AS (SELECT doc_id, 2 AS dl FROM documents),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM documents) AS dc,
+                 (SELECT count(*) FROM tok) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+
+def _smartcn_prelude() -> str:
+    """Variable-length twin prelude for the smartcn synthetic corpus:
+    content = FORMS[doc_id%12] FORMS[doc_id%7], each form a full
+    sentence whose pinned token stream the engine's golden-verified
+    segmenter produced; doc_len = len(toks_a) + len(toks_b)."""
+    vals = ", ".join(
+        "({}, [{}], {})".format(
+            i, ", ".join(f"'{t}'" for t in _SMARTCN_TOKENS[n]),
+            len(_SMARTCN_TOKENS[n]))
+        for i, n in enumerate(_SMARTCN_FORMS))
+    return f"""
+WITH nm(i, toks, cnt) AS (VALUES {vals}),
+tok AS (
+  SELECT d.doc_id, unnest(a.toks || b.toks) AS term
+  FROM documents d
+  JOIN nm a ON a.i = d.doc_id % 12
+  JOIN nm b ON b.i = d.doc_id % 7
+),
+doclen AS (
+  SELECT d.doc_id, a.cnt + b.cnt AS dl
+  FROM documents d
+  JOIN nm a ON a.i = d.doc_id % 12
+  JOIN nm b ON b.i = d.doc_id % 7
+),
 lut(v) AS (VALUES {_LUT_V}),
 stats AS (SELECT (SELECT count(*) FROM documents) AS dc,
                  (SELECT count(*) FROM tok) AS sttf),
@@ -6044,6 +6165,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hunspell_term_stats": _q_hunspell_stats,
         "bm25_polish_top10": _q_stempel_top10,
         "polish_term_stats": _q_stempel_stats,
+        "bm25_smartcn_top10": _q_smartcn_top10,
+        "smartcn_term_stats": _q_smartcn_stats,
         "protected_truncate_stats": _q_protected_truncate_stats,
         "bm25_url_token_top10": _q_url_email_top10,
         "url_email_term_stats": _q_url_email_stats,
@@ -6195,6 +6318,8 @@ _PRIORITY = [
     "hunspell_term_stats",
     "bm25_polish_top10",
     "polish_term_stats",
+    "bm25_smartcn_top10",
+    "smartcn_term_stats",
     "leading_wildcard_query",
     "reverse_term_stats",
     "auto_stopword_top10",
@@ -7380,6 +7505,15 @@ FROM dfs WHERE term IN ('zqtf', 'data', 'dup')"""),
               "       CAST(ttf AS BIGINT) AS ttf\n"
               "FROM dfs WHERE term IN ("
             + ", ".join(f"'{t}'" for t in _STEMPEL_STAT_TERMS) + ")"),
+        "bm25_smartcn_top10": (
+            _smartcn_prelude()
+            + ", " + _tscore_cte("ts", "技术") + _topk_sql("ts", 10)),
+        "smartcn_term_stats": (
+            _smartcn_prelude()
+            + " SELECT term, CAST(df AS BIGINT) AS df,\n"
+              "       CAST(ttf AS BIGINT) AS ttf\n"
+              "FROM dfs WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in _SMARTCN_STAT_TERMS) + ")"),
         "bm25_url_token_top10": (
             _URLEMAIL_PRELUDE + ", "
             + _tscore_cte("ts", "http://zq.example.com/p?q=1")

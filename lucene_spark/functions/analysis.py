@@ -199,6 +199,13 @@ def analyze_text(text: str,
                       if isinstance(tokenizer, tuple) else None)
         raws = [t if keep_types is None or ty in keep_types else None
                 for t, ty in url_email_tokens(text or "")]
+    elif tokenizer == "smartcn":
+        # HMMChineseTokenizer (smartcn): JDK sentence DFA -> HHMM
+        # segmentation -> SegTokenFilter normalization (latin already
+        # lowercased, punctuation -> ','); the downstream lowercase is
+        # a no-op by construction
+        from .smartcn import tokenize as smartcn_tokenize
+        raws = [t.text for t in smartcn_tokenize(text or "")]
     else:
         raws = TOKENIZERS[tokenizer].findall(text)
     for raw in raws:
@@ -345,6 +352,14 @@ def analyze_batch(texts: pd.Series,
         else:
             tok_lists = [[t for t, _ in url_email_tokens(s)]
                          for s in vals]
+    elif tokenizer == "smartcn":
+        # HMMChineseTokenizer: per-doc sentence split + HHMM Viterbi
+        # (context-dependent — not vocabulary-factorizable); the
+        # dictionaries are process-cached, so executors pay the load
+        # once (the hunspell/beider-morse pattern)
+        from .smartcn import tokenize as smartcn_tokenize
+        ascii_fast = False
+        tok_lists = [[t.text for t in smartcn_tokenize(s)] for s in vals]
     else:
         findall = TOKENIZERS[tokenizer].findall
         if ascii_fast and tokenizer == "standard":

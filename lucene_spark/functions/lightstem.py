@@ -1342,6 +1342,7 @@ def language_analyzer_kwargs(language: str) -> dict:
         "english": ("english", "porter", None),
         "greek": (None, "greek", None),
         "polish": (None, "stempel_polish", None),
+        "smart_chinese": (None, "porter", None),
     }
     if language not in chains:
         raise ValueError(f"unknown language {language!r} "
@@ -1358,6 +1359,12 @@ def language_analyzer_kwargs(language: str) -> dict:
         # list) -> stempel over the shipped stemmer_20000.tbl
         from .stempel import polish_stop_set
         stops = polish_stop_set()
+    elif language == "smart_chinese":
+        # SmartChineseAnalyzer.java:124 — HMMChineseTokenizer ->
+        # PorterStemFilter -> StopFilter(punctuation list)
+        from .smartcn import smartcn_stop_set
+        return {"tokenizer": "smartcn", "stemmer": "porter",
+                "stopwords": smartcn_stop_set()}
     else:
         stops = STOP_SETS[stop_key]
     kw = {"stopwords": stops, "stemmer": stemmer}
