@@ -942,6 +942,64 @@ def _q_stempel_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ICUFoldingFilter through the build: the UTR#30 fold (casefold +
+# accent removal + compat folds) is pinned by 4,469 icu4j fuzz goldens
+# + the transcoded TestICUFoldingFilter cases (tests/test_icunorm.py);
+# this entry verifies icu_folding=True end to end. Content is
+# FORMS[doc_id%12] FORMS[doc_id%7]; each form folds to ONE pinned token.
+# ---------------------------------------------------------------------------
+
+_ICU_FORMS = ("Résumé", "RÉSUMÉ", "résumé", "Łódź", "Ruß", "ΜΆΪΟΣ",
+              "Μάϊος", "đis", "cræzy", "৭০৬", "ĆWICZENIE", "Ǻngström")
+#: form -> folded token (verified against the icu4j-pinned fold)
+_ICU_TOKENS = {
+    "Résumé": ["resume"], "RÉSUMÉ": ["resume"], "résumé": ["resume"],
+    "Łódź": ["lodz"], "Ruß": ["russ"], "ΜΆΪΟΣ": ["μαιοσ"],
+    "Μάϊος": ["μαιοσ"], "đis": ["dis"], "cræzy": ["craezy"],
+    "৭০৬": ["706"], "ĆWICZENIE": ["cwiczenie"], "Ǻngström": ["angstrom"],
+}
+_ICU_STAT_TERMS = ("resume", "μαιοσ", "russ", "lodz", "706", "craezy",
+                   "angstrom", "résumé")
+
+
+def _searcher_icu(spark: SparkSession, sf_dir: str) -> Searcher:
+    key = "icufold:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        h = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{h}")
+        arr = F.array(*[F.lit(w) for w in _ICU_FORMS])
+        content = F.concat(
+            F.element_at(arr, (F.col("doc_id") % 12 + 1).cast("int")),
+            F.lit(" "),
+            F.element_at(arr, (F.col("doc_id") % 7 + 1).cast("int")))
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", content.alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    stopwords=frozenset(), store_positions=True,
+                    icu_folding=True)
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_icu_fold_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on the folded 'resume' — its postings merge three
+    source spellings (composed/uppercase/lowercase accents)."""
+    return _fmt_topk(_searcher_icu(spark, sf_dir).search(
+        Q.Term("resume"), k=10))
+
+
+def _q_icu_fold_stats(spark, sf_dir):
+    """Folded dictionary df/ttf: accents removed, case folded, native
+    digits folded — the unfolded surface 'résumé' must be absent."""
+    s = _searcher_icu(spark, sf_dir)
+    return (s.term_stats
+            .filter(F.col("term").isin(list(_ICU_STAT_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
+# ---------------------------------------------------------------------------
 # SmartChineseAnalyzer (smartcn) through the build: the HHMM segmenter,
 # JDK sentence DFA, SegTokenFilter and porter/stop chain are pinned by
 # 1,114 reference-Java goldens + a 13,307-probe sentence grid
@@ -6167,6 +6225,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polish_term_stats": _q_stempel_stats,
         "bm25_smartcn_top10": _q_smartcn_top10,
         "smartcn_term_stats": _q_smartcn_stats,
+        "bm25_icu_fold_top10": _q_icu_fold_top10,
+        "icu_fold_term_stats": _q_icu_fold_stats,
         "protected_truncate_stats": _q_protected_truncate_stats,
         "bm25_url_token_top10": _q_url_email_top10,
         "url_email_term_stats": _q_url_email_stats,
@@ -6320,6 +6380,8 @@ _PRIORITY = [
     "polish_term_stats",
     "bm25_smartcn_top10",
     "smartcn_term_stats",
+    "bm25_icu_fold_top10",
+    "icu_fold_term_stats",
     "leading_wildcard_query",
     "reverse_term_stats",
     "auto_stopword_top10",
@@ -7514,6 +7576,15 @@ FROM dfs WHERE term IN ('zqtf', 'data', 'dup')"""),
               "       CAST(ttf AS BIGINT) AS ttf\n"
               "FROM dfs WHERE term IN ("
             + ", ".join(f"'{t}'" for t in _SMARTCN_STAT_TERMS) + ")"),
+        "bm25_icu_fold_top10": (
+            _synth_tok_prelude(_ICU_FORMS, _ICU_TOKENS, 12, 7)
+            + ", " + _tscore_cte("ts", "resume") + _topk_sql("ts", 10)),
+        "icu_fold_term_stats": (
+            _synth_tok_prelude(_ICU_FORMS, _ICU_TOKENS, 12, 7)
+            + " SELECT term, CAST(df AS BIGINT) AS df,\n"
+              "       CAST(ttf AS BIGINT) AS ttf\n"
+              "FROM dfs WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in _ICU_STAT_TERMS) + ")"),
         "bm25_url_token_top10": (
             _URLEMAIL_PRELUDE + ", "
             + _tscore_cte("ts", "http://zq.example.com/p?q=1")

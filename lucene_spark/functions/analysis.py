@@ -129,6 +129,7 @@ def analyze_text(text: str,
                  tokenizer: str | tuple = "standard",
                  lowercase: bool = True,
                  ascii_folding: bool = False,
+                 icu_folding: bool | str = False,
                  length_filter: tuple | None = None,
                  elision: frozenset[str] | None = None,
                  pattern_replace: tuple | None = None,
@@ -217,6 +218,13 @@ def analyze_text(text: str,
         low = raw.lower() if lowercase else raw
         if ascii_folding:
             low = fold_to_ascii(low)
+        if icu_folding:
+            # ICUFoldingFilter / ICUNormalizer2Filter (icu module):
+            # True = the UTR#30 fold (casefold+accent removal), or a
+            # named normalizer ("nfkc_cf"/"nfkc"/"nfc")
+            from .icunorm import normalize as _icu_norm
+            low = _icu_norm(low,
+                            "utr30" if icu_folding is True else icu_folding)
         if elision is not None:
             low = elide(low, elision)
         if stemmer == "greek":
@@ -293,6 +301,7 @@ def analyze_batch(texts: pd.Series,
                   tokenizer: str | tuple = "standard",
                   lowercase: bool = True,
                   ascii_folding: bool = False,
+                  icu_folding: bool | str = False,
                   length_filter: tuple | None = None,
                   elision: frozenset[str] | None = None,
                   pattern_replace: tuple | None = None,
@@ -432,6 +441,13 @@ def analyze_batch(texts: pd.Series,
         folded_u = np.array([fold_to_ascii(u) for u in funiq],
                             dtype=object)
         flat = folded_u[fcodes]
+    if icu_folding:
+        # ICUFoldingFilter / ICUNormalizer2Filter, vocabulary-level
+        from .icunorm import normalize as _icu_norm
+        which = "utr30" if icu_folding is True else icu_folding
+        icodes, iuniq = pd.factorize(flat)
+        flat = np.array([_icu_norm(u, which) for u in iuniq],
+                        dtype=object)[icodes]
     if elision is not None:
         # ElisionFilter before the stop filter (reference fr/it chains:
         # elision -> lowercase -> stop -> stem), vocabulary-level

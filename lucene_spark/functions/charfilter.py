@@ -414,6 +414,16 @@ def compile_char_filters(specs):
             # emitted token sequence (and compacted positions) equals the
             # reference filter's over a whitespace tokenizer.
             fns.append(_HYPHEN_JOIN)
+        elif kind == "icu_normalize":
+            # ICUNormalizer2CharFilter (icu/ICUNormalizer2CharFilter
+            # .java): normalize the raw text BEFORE the tokenizer.
+            # spec = ("icu_normalize",) -> nfkc_cf, or
+            # ("icu_normalize", "nfc"|"nfkc"|"nfkc_cf"|"utr30").
+            # (This engine's char filters don't track offset deltas —
+            # same documented trait as html_strip.)
+            from .icunorm import normalize as _icu_norm
+            which = spec[1] if len(spec) > 1 else "nfkc_cf"
+            fns.append(lambda t, _w=which: _icu_norm(t, _w))
         else:
             raise ValueError(f"unknown char filter {kind!r}")
     if len(fns) == 1:

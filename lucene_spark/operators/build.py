@@ -85,7 +85,8 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
                    phonetic: tuple | None = None,
                    hunspell: tuple | None = None,
                    min_hash: tuple | None = None,
-                   concatenate_graph: bool | tuple = False
+                   concatenate_graph: bool | tuple = False,
+                   icu_folding: bool | str = False
                    ) -> tuple[pd.DataFrame, pd.DataFrame, dict, int]:
     """Pure kernel: docs of one segment →
     (postings, doc_meta, norms_payload, sum_token_len).
@@ -132,7 +133,7 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         # stop); bigrams are position-dependent graph tokens, mutually
         # exclusive with every token-rewriting/expanding option
         if (stemmer or synonyms or shingles or common_grams
-                or ascii_folding or elision or payload_delimiter
+                or ascii_folding or icu_folding or elision or payload_delimiter
                 or tokenizer != "standard"):
             raise ValueError("cjk_bigrams is mutually exclusive with "
                              "stemmer/synonyms/shingles/common_grams/"
@@ -149,7 +150,7 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         # whole-input tokenizers that replace the analysis chain; the
         # stream-rewriting filters don't compose with them
         if (stemmer or synonyms or shingles or common_grams
-                or ascii_folding or elision or payload_delimiter
+                or ascii_folding or icu_folding or elision or payload_delimiter
                 or stopwords or ngrams):
             raise ValueError("path/ngram tokenizers are mutually "
                              "exclusive with the token-filter chain "
@@ -175,7 +176,7 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         # whitespace tokenize -> WDGF -> lowercase; case information
         # drives the splits, so LowerCaseFilter comes AFTER)
         if (stemmer or synonyms or shingles or common_grams
-                or ascii_folding or elision or payload_delimiter
+                or ascii_folding or icu_folding or elision or payload_delimiter
                 or stopwords or ngrams is not None):
             raise ValueError("word_delimiter is mutually exclusive with "
                              "the other token filters")
@@ -200,7 +201,7 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
         # tokenize -> captures -> lowercase — case information drives
         # the camelCase patterns, so LowerCaseFilter comes AFTER)
         if (stemmer or synonyms or shingles or common_grams
-                or ascii_folding or elision or payload_delimiter
+                or ascii_folding or icu_folding or elision or payload_delimiter
                 or stopwords or ngrams is not None or keyword_repeat):
             raise ValueError("capture_groups is mutually exclusive with "
                              "the other token filters")
@@ -234,6 +235,7 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             stopwords=stopwords,
             tokenizer=tokenizer,
             ascii_folding=ascii_folding,
+            icu_folding=icu_folding,
             elision=elision,
             pattern_replace=pattern_replace,
             token_filters=token_filters)
@@ -246,6 +248,7 @@ def invert_segment(pdf: pd.DataFrame, seg_id: int, content_col: str,
             stemmer=stemmer,
             tokenizer=tokenizer,
             ascii_folding=ascii_folding,
+            icu_folding=icu_folding,
             elision=elision,
             pattern_replace=pattern_replace,
             token_filters=token_filters,
@@ -729,7 +732,8 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
                   phonetic: tuple | None = None,
                   hunspell: tuple | None = None,
                   min_hash: tuple | None = None,
-                  concatenate_graph: bool | tuple = False):
+                  concatenate_graph: bool | tuple = False,
+                  icu_folding: bool | str = False):
     def build_one_segment(key, pdf):
         from pyspark import TaskContext
         seg_id = int(key[0])
@@ -740,6 +744,7 @@ def _make_builder(catalog_root: str, content_col: str, doc_id_col: str,
             stemmer, synonyms, discount_overlaps, sort_field,
             sort_ascending, payload_delimiter, tokenizer, shingles,
             ascii_folding, common_grams, elision,
+            icu_folding=icu_folding,
             cjk_bigrams=cjk_bigrams,
             cjk_output_unigrams=cjk_output_unigrams,
             ngrams=ngrams, ngram_edge=ngram_edge,
@@ -850,7 +855,8 @@ def build_index(spark, df, index_dir: str, *,
                 phonetic: tuple | None = None,
                 hunspell: tuple | None = None,
                 min_hash: tuple | None = None,
-                concatenate_graph: bool | tuple = False):
+                concatenate_graph: bool | tuple = False,
+                icu_folding: bool | str = False):
     """Build (or resume) an index over ``df`` and commit a snapshot.
 
     ``df`` must carry a unique int64 ``doc_id`` column — the global docID
@@ -902,6 +908,7 @@ def build_index(spark, df, index_dir: str, *,
                             sort_field, sort_ascending, payload_delimiter,
                             tokenizer, shingles, ascii_folding,
                             common_grams, store_term_vectors, elision,
+                            icu_folding=icu_folding,
                             cjk_bigrams=cjk_bigrams,
                             cjk_output_unigrams=cjk_output_unigrams,
                             ngrams=ngrams, ngram_edge=ngram_edge,
