@@ -3414,42 +3414,99 @@ phsc AS (
 )""" + _topk_sql("phsc", k))
 
 
-def _sloppy_phrase_sql(terms: tuple[str, ...], slop: int,
+def _lucene_sloppy_sql(terms: tuple[str, ...], slop: int,
                        k: int = 10,
                        positions: tuple[int, ...] | None = None) -> str:
-    """n-term minimal-interval sloppy phrase (see plans.query.Phrase):
-    clause j's positions offset-adjusted by -j; every minimal complete
-    window [L, R] — L = min_j max{a_j <= R} (left-minimal) and
-    R = max_j min{a_j >= L} (right-minimal) — with R - L <= slop
-    contributes 1/(1 + (R - L)) to the phrase frequency."""
+    """OPERATIONAL SloppyPhraseMatcher twin (SloppyPhraseMatcher.java:
+    174-206) as a recursive-CTE walk per doc: pop the (position,
+    offset)-minimum clause, closure = its last adjusted position <=
+    second-min, matchLength = end - closure (end = max CURRENT
+    position), freq += f32 1/(1+ml) when ml <= slop (PhraseScorer's
+    float += float chain), jump past second-min; stop on exhaustion
+    (the leftover match is the same closure report). Mirrors
+    functions/sloppy.py, which is golden-exact vs real Lucene."""
     n = len(terms)
     offs = list(positions) if positions else list(range(n))
-    ap_union = "\n       UNION ALL ".join(
-        f"SELECT doc_id, {j} AS cl, pos - {offs[j]} AS ap "
-        f"FROM tok WHERE term = '{t}'" for j, t in enumerate(terms))
+    arr_sel = ", ".join(
+        f"(SELECT list(pos - {offs[j]} ORDER BY pos) FROM tok t "
+        f"WHERE t.term = '{t}' AND t.doc_id = d.doc_id) AS a{j}"
+        for j, t in enumerate(terms))
+    non_empty = " AND ".join(f"len(a{j}) > 0" for j in range(n))
+    cur0 = ", ".join(f"a{j}[1] AS c{j}" for j in range(n))
+    end0 = "greatest(" + ", ".join(f"c{j}" for j in range(n)) + ")"
+    # lexicographic argmin by (value, clause order == ascending offset)
+    jmin_case = ("CASE " + " ".join(
+        f"WHEN {' AND '.join(f'c{j} <= c{i}' for i in range(n) if i != j)}"
+        f" THEN {j}"
+        for j in range(n - 1)) + f" ELSE {n - 1} END")
+    # careful: the CASE above must prefer the SMALLEST j on ties —
+    # 'c_j <= c_i' for all i does exactly that when scanned j ascending
+    nxt_expr = ("least(" + ", ".join(
+        f"CASE WHEN jmin = {j} THEN NULL ELSE c{j} END"
+        for j in range(n)) + ")")
+    clos_expr = ("CASE " + " ".join(
+        f"WHEN jmin = {j} THEN a{j}[len(list_filter(a{j}, x -> x <= nxt))]"
+        for j in range(n)) + " END")
+    jump_expr = ("CASE " + " ".join(
+        f"WHEN jmin = {j} THEN len(list_filter(a{j}, x -> x <= nxt)) + 1"
+        for j in range(n)) + " END")
+    newc = ", ".join(
+        f"CASE WHEN jmin = {j} AND jump <= len(a{j}) THEN a{j}[jump] "
+        f"ELSE c{j} END AS c{j}" for j in range(n))
+    exhausted = ("CASE " + " ".join(
+        f"WHEN jmin = {j} THEN jump > len(a{j})" for j in range(n))
+        + " END")
+    arrs_pass = ", ".join(f"a{j}" for j in range(n))
     w_sum = " + ".join(f"CAST(w{j}.w AS DOUBLE)" for j in range(n))
     w_from = ", ".join(f"(SELECT {_w_expr(t)} AS w) w{j}"
                        for j, t in enumerate(terms))
     return (_PRELUDE + f""",
-ap AS ({ap_union}),
-rend AS (SELECT DISTINCT doc_id, ap AS r FROM ap),
-mj AS (SELECT r.doc_id, r.r, a.cl, max(a.ap) AS mx
-       FROM rend r JOIN ap a ON a.doc_id = r.doc_id AND a.ap <= r.r
-       GROUP BY 1, 2, 3),
-lofr AS (SELECT doc_id, r, min(mx) AS l FROM mj
-         GROUP BY 1, 2 HAVING count(*) = {n}),
-lcand AS (SELECT DISTINCT doc_id, l FROM lofr),
-mn AS (SELECT f.doc_id, f.l, a.cl, min(a.ap) AS mn
-       FROM lcand f JOIN ap a ON a.doc_id = f.doc_id AND a.ap >= f.l
-       GROUP BY 1, 2, 3),
-rofl AS (SELECT doc_id, l, max(mn) AS r2 FROM mn
-         GROUP BY 1, 2 HAVING count(*) = {n}),
-wins AS (SELECT DISTINCT f.doc_id, f.l, f.r
-         FROM lofr f JOIN rofl g
-           ON f.doc_id = g.doc_id AND f.l = g.l AND g.r2 = f.r
-         WHERE f.r - f.l <= {slop}),
-ph AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + (r - l))) AS freq
-       FROM wins GROUP BY 1),
+arrs AS (
+  SELECT d.doc_id, {arr_sel}
+  FROM (SELECT DISTINCT doc_id FROM tok) d
+),
+docs0 AS (SELECT * FROM arrs WHERE {non_empty}),
+walk AS (
+  WITH RECURSIVE w(doc_id, {arrs_pass}, {', '.join(f'c{j}' for j in range(n))},
+                   endp, freq, active, step) AS (
+    SELECT doc_id, {arrs_pass}, {', '.join(f'c{j}' for j in range(n))},
+           {end0} AS endp, CAST(0.0 AS FLOAT) AS freq, TRUE AS active,
+           0 AS step
+    FROM (SELECT doc_id, {arrs_pass}, {cur0} FROM docs0)
+    UNION ALL
+    SELECT doc_id, {arrs_pass},
+           {newc},
+           greatest(endp, CASE WHEN NOT exh THEN newcur ELSE endp END)
+             AS endp,
+           CASE WHEN ml <= {slop}
+                THEN CAST(freq + CAST(CAST(1.0 AS FLOAT)
+                          / CAST(1 + ml AS FLOAT) AS FLOAT) AS FLOAT)
+                ELSE freq END AS freq,
+           NOT exh AS active,
+           step + 1 AS step
+    FROM (
+      SELECT *, endp - clos AS ml, {exhausted} AS exh,
+             CASE WHEN jump <= CASE {' '.join(f'WHEN jmin = {j} THEN len(a{j})' for j in range(n))} END
+                  THEN CASE {' '.join(f'WHEN jmin = {j} THEN a{j}[jump]' for j in range(n))} END
+                  ELSE NULL END AS newcur
+      FROM (
+        SELECT *, {clos_expr} AS clos, {jump_expr} AS jump
+        FROM (
+          SELECT *, {nxt_expr} AS nxt
+          FROM (SELECT *, {jmin_case} AS jmin FROM w WHERE active)
+        )
+      )
+    )
+  )
+  SELECT * FROM w
+),
+ph AS (
+  SELECT doc_id, freq FROM (
+    SELECT doc_id, freq,
+           row_number() OVER (PARTITION BY doc_id ORDER BY step DESC)
+             AS rn
+    FROM walk) WHERE rn = 1 AND freq > 0
+),
 phw AS (SELECT CAST({w_sum} AS FLOAT) AS w FROM {w_from}),
 phsc AS (
   SELECT p.doc_id,
@@ -3465,7 +3522,9 @@ def _span_near_sql(terms: tuple[str, ...], slop: int, k: int = 10) -> str:
     the engine's sweep), matchLength = (R - L + 1) - n, contributing
     1/(1 + matchLength) when matchLength <= slop; idf-sum weight."""
     return (_PRELUDE + "," + _span_windows_cte(terms, slop) + """,
-sp AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+sp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(1.0 AS DOUBLE) / (1 + ml) ORDER BY l, r)),
+          (a, b) -> CAST(CAST(a AS DOUBLE) + b AS FLOAT)) AS freq
        FROM wins GROUP BY 1)""" + _span_score_sql("sp", tuple(terms), k))
 
 
@@ -3556,7 +3615,9 @@ def _span_or_sql(term: str, near_terms: tuple[str, ...], slop: int,
     freq = tf(term) + Σ 1/(1+ml) over near windows; idf-sum weight over
     ALL clause terms (SpanOrQuery extractTermStates)."""
     return (_PRELUDE + "," + _span_windows_cte(near_terms, slop) + f""",
-nearf AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+nearf AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(1.0 AS DOUBLE) / (1 + ml) ORDER BY l, r)),
+          (a, b) -> CAST(CAST(a AS DOUBLE) + b AS FLOAT)) AS freq
           FROM wins GROUP BY 1),
 termf AS (SELECT doc_id, CAST(tf AS DOUBLE) AS freq FROM tf
           WHERE term = '{term}'),
@@ -3572,11 +3633,13 @@ def _span_not_sql(inc_terms: tuple[str, ...], slop: int, excl: str,
     windows [l, r] overlapping no excl position (l <= p <= r) are kept;
     weight from the include side only (SpanNotQuery.java:117)."""
     return (_PRELUDE + "," + _span_windows_cte(inc_terms, slop) + f""",
-kept AS (SELECT w.doc_id, w.ml FROM wins w
+kept AS (SELECT w.doc_id, w.l, w.r, w.ml FROM wins w
          WHERE NOT EXISTS (SELECT 1 FROM tok e
                            WHERE e.doc_id = w.doc_id AND e.term = '{excl}'
                              AND e.pos BETWEEN w.l AND w.r)),
-keptf AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+keptf AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(1.0 AS DOUBLE) / (1 + ml) ORDER BY l, r)),
+          (a, b) -> CAST(CAST(a AS DOUBLE) + b AS FLOAT)) AS freq
           FROM kept GROUP BY 1)"""
             + _span_score_sql("keptf", tuple(inc_terms), k))
 
@@ -3588,11 +3651,13 @@ def _span_containing_sql(big_terms: tuple[str, ...], slop: int,
     weight from BOTH sides' terms (SpanContainQuery extractTermStates)."""
     wterms = tuple(dict.fromkeys(tuple(big_terms) + (little,)))
     return (_PRELUDE + "," + _span_windows_cte(big_terms, slop) + f""",
-cont AS (SELECT w.doc_id, w.ml FROM wins w
+cont AS (SELECT w.doc_id, w.l, w.r, w.ml FROM wins w
          WHERE EXISTS (SELECT 1 FROM tok t
                        WHERE t.doc_id = w.doc_id AND t.term = '{little}'
                          AND t.pos BETWEEN w.l AND w.r)),
-contf AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+contf AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(1.0 AS DOUBLE) / (1 + ml) ORDER BY l, r)),
+          (a, b) -> CAST(CAST(a AS DOUBLE) + b AS FLOAT)) AS freq
           FROM cont GROUP BY 1)"""
             + _span_score_sql("contf", wterms, k))
 
@@ -5629,7 +5694,9 @@ def _interval_unordered_sql(terms: tuple[str, ...], k: int = 10) -> str:
     contribution 1/max(len - minExtent + 1, 1)."""
     n = len(terms)
     return (_PRELUDE + "," + _span_windows_cte(terms, 1 << 30) + """,
-ifreq AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+ifreq AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(1.0 AS DOUBLE) / (1 + ml) ORDER BY l, r)),
+          (a, b) -> CAST(CAST(a AS DOUBLE) + b AS FLOAT)) AS freq
           FROM wins GROUP BY 1)"""
             + _interval_score_sql("ifreq", k=k))
 
@@ -5640,12 +5707,14 @@ def _interval_containing_sql(big_terms: tuple[str, ...], small: str,
     small position inside; contribution keyed on the BIG side's extent
     (ContainingIntervalsSource.minExtent = big.minExtent)."""
     return (_PRELUDE + "," + _span_windows_cte(big_terms, 1 << 30) + f""",
-icont AS (SELECT w.doc_id, w.ml FROM wins w
+icont AS (SELECT w.doc_id, w.l, w.r, w.ml FROM wins w
           WHERE EXISTS (SELECT 1 FROM tok t
                         WHERE t.term = '{small}'
                           AND t.doc_id = w.doc_id
                           AND t.pos BETWEEN w.l AND w.r)),
-ifreq AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+ifreq AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(1.0 AS DOUBLE) / (1 + ml) ORDER BY l, r)),
+          (a, b) -> CAST(CAST(a AS DOUBLE) + b AS FLOAT)) AS freq
           FROM icont GROUP BY 1)"""
             + _interval_score_sql("ifreq", k=k))
 
@@ -6545,8 +6614,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_synonym_boosted_top10": _synonym_boosted_sql(
             ((SYN_A, 1.0), (SYN_B, 0.4))),
         "bm25_phrase_top10": _phrase_sql(PH_A, PH_B),
-        "bm25_sloppy_phrase_top10": _sloppy_phrase_sql((T_COMMON, T_COMMON2), 3),
-        "bm25_sloppy3_top10": _sloppy_phrase_sql(
+        "bm25_sloppy_phrase_top10": _lucene_sloppy_sql((T_COMMON, T_COMMON2), 3),
+        "bm25_sloppy3_top10": _lucene_sloppy_sql(
             (T_COMMON, T_COMMON2, T_THIRD), 4),
         "bm25_dismax_top10": _dismax_sql(T_COMMON, T_COMMON2),
         "bm25_multiphrase_top10": _multi_phrase_sql(
@@ -6557,7 +6626,7 @@ def oracle_sql() -> dict[str, str]:
             ("term LIKE 'du%'", f"term = '{T_RARE}'")),
         "phrase_wildcard_top10": _multi_phrase_pattern_sql(
             ("term LIKE 's____'", f"term = '{T_COMMON}'")),
-        "bm25_gap_sloppy_top10": _sloppy_phrase_sql(
+        "bm25_gap_sloppy_top10": _lucene_sloppy_sql(
             (T_COMMON, T_COMMON2), 2, positions=(0, 2)),
         "covering_top10": _covering_sql(
             (T_COMMON, T_COMMON2, T_THIRD, T_RARE)),
@@ -6810,12 +6879,14 @@ dfq AS (
 )""" + _topk_sql("dfq", 10),
         "span_not_window_top10": _PRELUDE + ","
         + _span_windows_cte((T_COMMON, T_THIRD), 2) + f""",
-keptw AS (SELECT w.doc_id, w.ml FROM wins w
+keptw AS (SELECT w.doc_id, w.l, w.r, w.ml FROM wins w
           WHERE NOT EXISTS (SELECT 1 FROM tok e
                             WHERE e.doc_id = w.doc_id
                               AND e.term = '{T_RARE}'
                               AND e.pos BETWEEN w.l - 2 AND w.r + 2)),
-keptwf AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+keptwf AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(1.0 AS DOUBLE) / (1 + ml) ORDER BY l, r)),
+          (a, b) -> CAST(CAST(a AS DOUBLE) + b AS FLOAT)) AS freq
            FROM keptw GROUP BY 1)"""
         + _span_score_sql("keptwf", (T_COMMON, T_THIRD), 10),
         "repetition_stats": """
@@ -7748,7 +7819,9 @@ orsc AS (SELECT doc_id, CAST(SUM(s) AS FLOAT) AS s
          FROM persc GROUP BY doc_id)""" + _topk_sql("orsc", 10),
         "complex_phrase_top10": _PRELUDE + ","
         + _span_windows_cte_multi(((T_A, T_B), ("part",)), 2) + """,
-cpf AS (SELECT doc_id, sum(CAST(1.0 AS DOUBLE) / (1 + ml)) AS freq
+cpf AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(1.0 AS DOUBLE) / (1 + ml) ORDER BY l, r)),
+          (a, b) -> CAST(CAST(a AS DOUBLE) + b AS FLOAT)) AS freq
         FROM wins GROUP BY 1)"""
         + _span_score_sql("cpf", (T_A, T_B, "part"), 10),
         "fuzzy_suggest_top10": _PRELUDE + """
@@ -7799,7 +7872,11 @@ rp AS (SELECT doc_id, pos,
               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
        FROM tok WHERE term = '{T_RARE}'),
 rpf AS (SELECT doc_id,
-               sum(CAST(1.0 AS DOUBLE) / (1 + (nxt - 1 - pos))) AS freq
+               list_reduce(list_prepend(CAST(0.0 AS FLOAT),
+            list(CAST(CAST(1.0 AS FLOAT)
+                 / CAST(1 + (nxt - 1 - pos) AS FLOAT) AS FLOAT)
+                 ORDER BY pos)),
+          (a, b) -> CAST(CAST(a AS FLOAT) + CAST(b AS FLOAT) AS FLOAT)) AS freq
         FROM rp WHERE nxt IS NOT NULL AND nxt - 1 - pos <= 2
         GROUP BY 1)"""
         + _span_score_sql("rpf", (T_RARE, T_RARE), 10),

@@ -38,6 +38,15 @@ interval streams, and the sugar factories before/after/within/
 not_within/unordered_no_overlaps desugar into those exactly as
 ``Intervals.java`` composes them. Duplicate clause terms (the
 reference's RepeatingIntervalsSource) are unsupported, like spans.
+
+DIVERGENCE (real-Lucene differential, tests/test_lucene_differential
+.py): 2-clause ordered/unordered, maxgaps and the saturation scoring
+replay the reference BIT-EXACTLY (q65/q66/q68/q69/q70); ORDERED with
+>= 3 clauses (q67) diverges on multi-occurrence docs — the reference's
+OrderedIntervalsSource.nextInterval (:135) lazy lastStart minimization
+SKIPS some containment-minimal intervals this module emits. Matching
+doc sets are identical; only freqs differ. Exact-porting the interval
+iterator stack is the recorded round-5 item.
 """
 
 from __future__ import annotations
@@ -579,12 +588,12 @@ def batch_interval_freqs(iv: np.ndarray, minext: int,
     """Per-doc IntervalScorer freq: Σ 1 / max(length - minExtent + 1, 1)
     over the root source's intervals (IntervalScorer.java:66-75),
     accumulated sequentially in emission order."""
-    out = np.zeros(n_docs, dtype=np.float64)
+    out = np.zeros(n_docs, dtype=np.float32)  # float freq += double
     if len(iv):
         length = (iv[:, 1] - iv[:, 0] + 1).astype(np.float64)
         denom = np.maximum(length - minext + 1, 1.0)
         np.add.at(out, (iv[:, 0] >> 32).astype(np.int64), 1.0 / denom)
-    return out
+    return out.astype(np.float64)
 
 
 def saturation_scores(freqs: np.ndarray, pivot: float,

@@ -75,16 +75,40 @@ def sloppy_phrase_freq(pos_lists: list[np.ndarray], slop: int,
     pairs = np.unique(np.stack([l_v[valid], rs_v[valid]], axis=1), axis=0)
     ml = pairs[:, 1] - pairs[:, 0]
     ml = ml[ml <= slop]
-    return _seq_sum(1.0 / (1.0 + ml))
+    return _f32_sum_f32(sloppy_weights(ml))
 
 
 
-def _seq_sum(x: np.ndarray) -> float:
-    """Strict left-to-right float64 summation (cumsum), shared by the
-    per-doc matchers AND the batched kernels (np.add.at is sequential),
-    so batched-vs-per-doc equality is bit-exact; np.sum's pairwise
-    blocking would differ in the last ulp for >8 contributions."""
-    return float(np.cumsum(x)[-1]) if len(x) else 0.0
+def sloppy_weights(ml) -> np.ndarray:
+    """SloppyPhraseMatcher.sloppyWeight (:169): ``1f/(1f+matchLength)``
+    computed in float32 — the PHRASE freq weight."""
+    return np.float32(1.0) / (np.float32(1.0)
+                              + np.asarray(ml).astype(np.float32))
+
+
+def _f32_sum_f32(w) -> float:
+    """PhraseScorer freq accumulation (PhraseScorer.java:78):
+    ``float freq += float sloppyWeight()`` — a strict left-to-right
+    float32 chain (cumsum with a float32 accumulator), in window order
+    (minimal windows are non-nested, so (L, R) order == match order).
+    Bit-identical to the real Lucene accumulation — pinned by the
+    lucene_diff goldens."""
+    w = np.asarray(w, dtype=np.float32)
+    return float(np.cumsum(w, dtype=np.float32)[-1]) if len(w) else 0.0
+
+
+def _f32_sum_f64(w) -> float:
+    """SpanScorer.java:106 / IntervalScorer.java:72 accumulation:
+    ``float freq += <double weight>`` — Java compound assignment widens
+    freq to double, adds the exact double weight, narrows back to
+    float32 EVERY step. np.add.at on a float32 target with float64
+    operands performs exactly this per element."""
+    w = np.asarray(w, dtype=np.float64)
+    if not len(w):
+        return 0.0
+    acc = np.zeros(1, dtype=np.float32)
+    np.add.at(acc, np.zeros(len(w), dtype=np.int64), w)
+    return float(acc[0])
 
 _EMPTY_SPANS = np.empty((0, 3), dtype=np.int64)
 
@@ -102,7 +126,16 @@ def near_spans(pos_lists: list[np.ndarray], slop: int,
                in_order: bool) -> np.ndarray:
     """(start, end, width) triples of SpanNear matches in one document —
     the emission points of the matchers documented above; ``end`` is
-    last-matched-position + 1, ``width`` the matchLength."""
+    last-matched-position + 1, ``width`` the matchLength.
+
+    DIVERGENCE (established by the real-Lucene differential,
+    tests/test_lucene_differential.py q56-q61): these are the
+    DECLARATIVE containment-minimal windows; the reference's lazy
+    NearSpansUnordered/Ordered iterators emit a different match
+    multiset on multi-occurrence documents (the MATCHING DOC SETS are
+    identical — only freq weights differ). Exact-porting the span
+    iterator stack is the recorded round-5 item; sloppy PHRASES were
+    already ported exactly (functions/sloppy.py)."""
     n = len(pos_lists)
     if n == 0 or any(len(p) == 0 for p in pos_lists):
         return _EMPTY_SPANS
@@ -342,7 +375,7 @@ def spans_freq(spans: np.ndarray) -> float:
     (``SpanScorer.java:106``)."""
     if len(spans) == 0:
         return 0.0
-    return _seq_sum(1.0 / (1.0 + spans[:, 2].astype(np.float64)))
+    return _f32_sum_f64(1.0 / (1.0 + spans[:, 2].astype(np.float64)))
 
 
 def eval_span_tree(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
@@ -494,10 +527,14 @@ def _batch_double_minimal(key_lists: list[np.ndarray]
 
 def _accumulate_by_doc(doc_idx: np.ndarray, contrib: np.ndarray,
                        n_docs: int) -> np.ndarray:
-    out = np.zeros(n_docs, dtype=np.float64)
+    """Per-doc float32 freq accumulation (np.add.at is sequential and
+    per-element computes in the COMMON dtype then narrows to the out
+    dtype): float32 contrib reproduces PhraseScorer's float += float;
+    float64 contrib reproduces SpanScorer's float += double."""
+    out = np.zeros(n_docs, dtype=np.float32)
     if len(doc_idx):
         np.add.at(out, doc_idx, contrib)
-    return out
+    return out.astype(np.float64)
 
 
 def batch_sloppy_phrase_freqs(pos_key_lists: list[np.ndarray], slop: int,
@@ -516,7 +553,7 @@ def batch_sloppy_phrase_freqs(pos_key_lists: list[np.ndarray], slop: int,
     ml = R - L                                # same doc: offsets cancel
     keep = ml <= slop
     return _accumulate_by_doc((R[keep] >> 32).astype(np.int64),
-                              1.0 / (1.0 + ml[keep]), n_docs)
+                              sloppy_weights(ml[keep]), n_docs)
 
 
 def batch_unordered_near_freqs(pos_key_lists: list[np.ndarray], slop: int,
@@ -737,12 +774,12 @@ def eval_span_tree_batch(tree, key_pmap: dict[str, np.ndarray]
 def batch_spans_freqs(spans: np.ndarray, n_docs: int) -> np.ndarray:
     """Per-doc SpanScorer freq accumulation over a doc-major global-key
     span array (sequential within doc — bit-identical to
-    :func:`spans_freq` per doc)."""
-    out = np.zeros(n_docs, dtype=np.float64)
+    :func:`spans_freq` per doc): float32 target += double weight."""
+    out = np.zeros(n_docs, dtype=np.float32)
     if len(spans):
         np.add.at(out, (spans[:, 0] >> 32).astype(np.int64),
                   1.0 / (1.0 + spans[:, 2].astype(np.float64)))
-    return out
+    return out.astype(np.float64)
 
 
 def multiset_sloppy_freq(terms: list[str], pos_by_term: dict,
@@ -815,7 +852,11 @@ def multiset_sloppy_freq(terms: list[str], pos_by_term: dict,
         last_l = L
         ml = (R - L) if ml_n is None else max(R - L + 1 - ml_n, 0)
         if ml <= slop:
-            freq += 1.0 / (1 + ml)
+            if ml_n is None:  # phrase: float += float (sloppyWeight)
+                freq = float(np.float32(np.float32(freq)
+                                        + sloppy_weights(ml)))
+            else:             # span: float += double
+                freq = float(np.float32(freq + 1.0 / (1 + ml)))
     return freq
 
 
@@ -858,8 +899,14 @@ def brute_multiset_sloppy_freq(terms: list[str], pos_by_term: dict,
                           for v in windows)]
     def _ml(l, r):
         return (r - l) if ml_n is None else max(r - l + 1 - ml_n, 0)
-    return sum(1.0 / (1 + _ml(l, r)) for l, r in minimal
-               if _ml(l, r) <= slop)
+    kept = sorted((l, r) for l, r in minimal if _ml(l, r) <= slop)
+    freq = np.float32(0.0)
+    for l, r in kept:
+        if ml_n is None:  # phrase: float += float sloppyWeight
+            freq = np.float32(freq + sloppy_weights(_ml(l, r)))
+        else:             # span: float += double
+            freq = np.float32(np.float64(freq) + 1.0 / (1 + _ml(l, r)))
+    return float(freq)
 
 
 def _group_envelopes(keys: np.ndarray, offs: list[int]) -> np.ndarray:
@@ -929,6 +976,7 @@ def batch_multiset_sloppy_freqs(keys_by_term: dict, offs_by_term: dict,
     """
     from .intervals import unordered_over
     freqs = np.zeros(n_docs, dtype=np.float64)
+    out32 = np.zeros(n_docs, dtype=np.float32)
     streams = []
     for t, keys in keys_by_term.items():
         if len(keys) == 0:
@@ -945,6 +993,7 @@ def batch_multiset_sloppy_freqs(keys_by_term: dict, offs_by_term: dict,
     keep = ml <= slop
     if not keep.any():
         return freqs
-    np.add.at(freqs, (wins[keep, 0] >> np.int64(32)).astype(np.int64),
-              1.0 / (1.0 + ml[keep]))
-    return freqs
+    w = (sloppy_weights(ml[keep]) if ml_n is None
+         else 1.0 / (1.0 + ml[keep]))
+    np.add.at(out32, (wins[keep, 0] >> np.int64(32)).astype(np.int64), w)
+    return out32.astype(np.float64)

@@ -939,7 +939,7 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
             mask |= m
             np.maximum(smax, s, out=smax)
             ssum += s
-        scores = smax + (ssum - smax) * np.float64(node.tie_breaker)
+        scores = smax + (ssum - smax) * np.float64(np.float32(node.tie_breaker))
         scores[~mask] = 0.0
         return mask, _f32_boundary(scores, mask)
     if isinstance(node, CNot):
@@ -1114,7 +1114,7 @@ def _sloppy_phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
     (functions.spans.batch_sloppy_phrase_freqs) scores all docs without a
     per-doc Python loop — two COMMON terms with slop stay on the
     vectorized path."""
-    from ..functions.spans import batch_sloppy_phrase_freqs
+    from ..functions.sloppy import batch_lucene_sloppy_freqs
     n = hi - lo
     offs = list(positions) if positions else list(range(len(terms)))
     if len(set(terms)) != len(terms):
@@ -1126,7 +1126,7 @@ def _sloppy_phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
                             pad=max(offs) + 1)
     if keys is None:
         return np.zeros(n, dtype=np.float64)
-    return batch_sloppy_phrase_freqs(keys, slop, n)
+    return batch_lucene_sloppy_freqs(keys, offs, slop, n)
 
 
 def _sloppy_repeat_freqs(terms: tuple[str, ...], ctx: _SegContext,
@@ -1147,25 +1147,26 @@ def _sloppy_repeat_freqs(terms: tuple[str, ...], ctx: _SegContext,
         # dominated (fuzz-verified ≡ the general matcher, 4000 cases).
         # One vectorized pass, no per-doc loop.
         n = hi - lo
-        freqs = np.zeros(n, dtype=np.float64)
+        freqs = np.zeros(n, dtype=np.float32)  # PhraseScorer f32 chain
         tp = ctx.tp(terms[0])
         if tp is None:
-            return freqs
+            return freqs.astype(np.float64)
         ids, tfs = tp.decode_all()
         pos = tp.positions()
         docs_rep = np.repeat(ids, tfs)
         sel = (docs_rep >= lo) & (docs_rep < hi)
         dr, pr = docs_rep[sel], pos[sel]
         if len(dr) < m:
-            return freqs
+            return freqs.astype(np.float64)
         k = len(dr) - m + 1
         same_doc = dr[:k] == dr[m - 1:]
         ml = (pr[m - 1:] - (m - 1)) - pr[:k]
         ok = same_doc & (ml <= slop)
         if ok.any():
+            from ..functions.spans import sloppy_weights
             np.add.at(freqs, (dr[:k][ok] - lo).astype(np.int64),
-                      1.0 / (1.0 + ml[ok]))
-        return freqs
+                      sloppy_weights(ml[ok]))
+        return freqs.astype(np.float64)
     return _batched_repeat_freqs(terms, ctx, lo, hi, slop, offs)
 
 

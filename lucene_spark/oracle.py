@@ -194,7 +194,12 @@ class OracleIndex:
                     {t: m[d] for t, m in zip(terms, maps)}, slop,
                     list(positions) if positions else None)
             else:
-                freq = sloppy_phrase_freq([m[d] for m in maps], slop,
+                # OPERATIONAL Lucene matcher (functions/sloppy.py) —
+                # the declarative minimal-interval model diverges from
+                # SloppyPhraseMatcher on multi-occurrence docs (proven
+                # by the real-Lucene differential goldens)
+                from .functions.sloppy import lucene_sloppy_freq
+                freq = lucene_sloppy_freq([m[d] for m in maps], slop,
                                           offsets=positions)
             if freq > 0:
                 inv = cache[self.norm_bytes[d]]
@@ -607,7 +612,8 @@ class OracleIndex:
             for d in set().union(*per):
                 vals = [float(m[d]) for m in per if d in m]
                 smax = max(vals)
-                out[d] = np.float32(smax + (sum(vals) - smax) * query.tie_breaker)
+                out[d] = np.float32(smax + (sum(vals) - smax)
+                                    * float(np.float32(query.tie_breaker)))
             return out
         if isinstance(query, Not):
             pos = self.score(query.positive, k1, b, sim)

@@ -65,8 +65,8 @@ def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
         offs = (list(node.positions) if node.positions
                 else list(range(len(node.terms))))
         if node.slop > 0:
-            from ..functions.spans import sloppy_phrase_freq
-            return sloppy_phrase_freq(
+            from ..functions.sloppy import lucene_sloppy_freq
+            return lucene_sloppy_freq(
                 [np.asarray(positions[t], dtype=np.int64)
                  for t in node.terms], node.slop, offsets=offs) > 0
         base = set(positions[node.terms[0]])

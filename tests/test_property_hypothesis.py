@@ -131,14 +131,15 @@ def _brute_sloppy_freq(pos_lists, slop):
             if all(any(L <= p <= R for p in a) for a in adj):
                 complete.append((L, R))
                 break   # wider windows with this L are non-minimal
-    freq = 0.0
-    for (L, R) in complete:
+    freq = np.float32(0.0)   # the kernel's f32 += f32 sloppyWeight chain
+    one = np.float32(1.0)
+    for (L, R) in sorted(complete):
         if any((L2, R2) != (L, R) and L2 >= L and R2 <= R
                for (L2, R2) in complete):
             continue
         if R - L <= slop:
-            freq += 1.0 / (1.0 + (R - L))
-    return freq
+            freq = np.float32(freq + one / (one + np.float32(R - L)))
+    return float(freq)
 
 
 @settings(max_examples=200, deadline=None)
@@ -155,9 +156,43 @@ def test_sloppy_phrase_minimal_windows(data):
     slop = data.draw(st.integers(0, 12))
     got = sloppy_phrase_freq(lists, slop)
     want = _brute_sloppy_freq(lists, slop)
-    assert abs(got - want) < 1e-9, (lists, slop)
-    # wider slop never loses matches
-    assert sloppy_phrase_freq(lists, slop + 5) >= got
+    assert got == want, (lists, slop)
+    # wider slop never loses matches (1-ulp slack: f32 chain over a
+    # SUBSEQUENCE is not strictly monotone under rounding)
+    assert sloppy_phrase_freq(lists, slop + 5) >= got - 1e-6
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_lucene_sloppy_lockstep_matches_port(data):
+    """The batched lockstep walk ≡ the per-doc SloppyPhraseMatcher port
+    (functions/sloppy.py), multi-doc, arbitrary offsets/ties."""
+    from lucene_spark.functions.sloppy import (batch_lucene_sloppy_freqs,
+                                               lucene_sloppy_freq)
+    n = data.draw(st.integers(2, 4))
+    offs = data.draw(st.sampled_from([list(range(n)), None]))
+    if offs is None:
+        offs = sorted(data.draw(st.lists(st.integers(0, 7), min_size=n,
+                                         max_size=n, unique=True)))
+    n_docs = data.draw(st.integers(1, 4))
+    docs = [[sorted(data.draw(st.lists(st.integers(0, 15), min_size=0,
+                                       max_size=6, unique=True)))
+             for _ in range(n)] for _ in range(n_docs)]
+    slop = data.draw(st.integers(0, 9))
+    BIG = 1 << 32
+    pad = max(offs) + 1
+    keys = []
+    for j in range(n):
+        ks = [d * BIG + (np.asarray(docs[d][j], dtype=np.int64)
+                         - offs[j] + pad)
+              for d in range(n_docs) if len(docs[d][j])]
+        keys.append(np.sort(np.concatenate(ks)) if ks
+                    else np.empty(0, np.int64))
+    got = batch_lucene_sloppy_freqs(keys, offs, slop, n_docs)
+    for d in range(n_docs):
+        exp = (lucene_sloppy_freq(docs[d], slop, offs)
+               if all(len(p) for p in docs[d]) else 0.0)
+        assert got[d] == exp, (docs[d], slop, offs)
 
 
 @settings(max_examples=150, deadline=None)

@@ -498,11 +498,13 @@ def test_single_term_repeat_closed_form_fuzz():
         if len(P) < m:
             got = 0.0
         else:
+            from lucene_spark.functions.spans import sloppy_weights
             L = P[: len(P) - m + 1]
             R = P[m - 1:] - (m - 1)
             ml = R - L
-            got = float(np.sum(1.0 / (1.0 + ml[ml <= slop])))
-        assert abs(got - want) < 1e-12, (list(P), m, slop)
+            w = sloppy_weights(ml[ml <= slop])
+            got = float(np.cumsum(w, dtype=np.float32)[-1]) if len(w) else 0.0
+        assert got == want, (list(P), m, slop)
 
 
 def test_repeat_batched_matcher_preserves_results(spark):
