@@ -7952,12 +7952,12 @@ dfisc AS (
 )""" + _topk_sql("dfisc", 10),
         "ib_ll_term_top10": _PRELUDE + f""",
 iblam AS (
-  SELECT CASE WHEN CAST((d.df + CAST(1 AS DOUBLE))
-                        / (a.dc + CAST(1 AS DOUBLE)) AS FLOAT)
+  SELECT CASE WHEN CAST(CAST(d.df + 1 AS FLOAT)
+                        / CAST(a.dc + 1 AS FLOAT) AS FLOAT)
                    = CAST(1 AS FLOAT)
               THEN CAST(0.99999994 AS FLOAT)
-              ELSE CAST((d.df + CAST(1 AS DOUBLE))
-                        / (a.dc + CAST(1 AS DOUBLE)) AS FLOAT)
+              ELSE CAST(CAST(d.df + 1 AS FLOAT)
+                        / CAST(a.dc + 1 AS FLOAT) AS FLOAT)
          END AS lam
   FROM dfs d, avgs a WHERE d.term = '{T_COMMON}'
 ),

@@ -171,23 +171,31 @@ class LMJelinekMercerSimilarity(Similarity):
     def __init__(self, lam: float = 0.1):
         if not (0 < lam <= 1):
             raise ValueError("lambda must be in the range (0 .. 1]")
-        self.lam = float(lam)
+        # the reference's lambda is a FLOAT field (:42); (1 - lambda)
+        # is a float32 op; lambda * p widens the float (real-Lucene
+        # differential, q73)
+        self.lam = float(np.float32(lam))
 
     def weight(self, df: int, doc_count: int, boost: float = 1.0,
                ttf: int = 0, sum_ttf: int = 0) -> np.ndarray:
         p = (ttf + 1.0) / (sum_ttf + 1.0)
-        return np.array([float(boost), (1.0 - self.lam) / (self.lam * p)],
+        one_minus = float(np.float32(np.float32(1.0)
+                                     - np.float32(self.lam)))
+        return np.array([float(boost), one_minus, self.lam * p],
                         dtype=np.float64)
 
     def norm_cache(self, avgdl: np.float32) -> np.ndarray:
         return LENGTH_TABLE.astype(np.float64)
 
     def score(self, tfs, norm_bytes, weight, cache) -> np.ndarray:
-        boost, factor = float(weight[0]), float(weight[1])
+        # exact Java grouping (:62): ((1-λ)·freq/docLen) / (λ·p)
+        boost, one_minus, lam_p = (float(weight[0]), float(weight[1]),
+                                   float(weight[2]))
         dl = cache[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
         with np.errstate(divide="ignore"):
-            s = boost * np.log(1.0 + np.asarray(tfs, np.float64)
-                               * factor / dl)
+            s = boost * np.log(1.0 + (one_minus
+                                      * np.asarray(tfs, np.float64) / dl)
+                               / lam_p)
         return s.astype(np.float32)
 
 
@@ -433,12 +441,17 @@ class IBSimilarity(Similarity):
 
     def weight(self, df: int, doc_count: int, boost: float = 1.0,
                ttf: int = 0, sum_ttf: int = 0) -> np.ndarray:
+        # LambdaDF/LambdaTTF divide IN FLOAT ((df + 1F) / (N + 1F)) —
+        # a double division rounded to float differs by 1 ulp on some
+        # counts (pinned by the real-Lucene differential, q77)
         if self.lambda_ == "df":
-            lam = np.float32((df + 1.0) / (doc_count + 1.0))
+            lam = np.float32(np.float32(df + 1.0)
+                             / np.float32(doc_count + 1.0))
             if lam == np.float32(1.0):
                 lam = np.nextafter(lam, np.float32(0.0))
         else:
-            lam = np.float32((ttf + 1.0) / (doc_count + 1.0))
+            lam = np.float32(np.float32(ttf + 1.0)
+                             / np.float32(doc_count + 1.0))
             if lam == np.float32(1.0):
                 lam = np.nextafter(lam, np.float32(2.0))
         # H3's additive smoothing term μ·(ttf+1)/(sumTtf+1)

@@ -34,6 +34,24 @@ def _bits(score: float) -> int:
     return struct.unpack(">i", struct.pack(">f", score))[0]
 
 
+def _parse_sim(name):
+    """Engine Similarity SPI instance for a simterm golden query."""
+    from lucene_spark.functions import similarity as S
+    return {
+        "classic": lambda: S.ClassicSimilarity(),
+        "lmd": lambda: S.LMDirichletSimilarity(),
+        "lmjm": lambda: S.LMJelinekMercerSimilarity(0.7),
+        "dfr_inl2": lambda: S.DFRInL2Similarity(),
+        "boolean": lambda: S.BooleanSimilarity(),
+        "dfi": lambda: S.DFISimilarity(),
+        "ib_ll": lambda: S.IBSimilarity("ll", "df", "h2"),
+        "ax_f2log": lambda: S.AxiomaticSimilarity("f2log"),
+        "indri": lambda: S.IndriDirichletSimilarity(),
+        "multi": lambda: S.MultiSimilarity([S.BM25Similarity(),
+                                            S.ClassicSimilarity()]),
+    }[name]()
+
+
 def _parse_query(parts):
     kind = parts[1]
     T = lambda t: Q.Term(t)
@@ -124,10 +142,28 @@ _KNOWN_FREQ_DIVERGENT = {
     "q67",                                     # 3-term ordered interval
 }
 
+# Java's Math.log and glibc's log differ by 1 ulp on some arguments
+# (verified bit-for-bit on doc 44's H2 argument: Java ...707d vs glibc
+# ...707c). Environmental, not algorithmic: ranks must still be
+# identical and scores within a few ulps.
+_KNOWN_LIBM_DIVERGENT = {"q77"}
+
 
 @pytest.mark.parametrize("qid,qparts,total,hits",
                          _goldens(), ids=lambda v: v if isinstance(v, str) else "")
 def test_rank_and_score_identical(qid, qparts, total, hits, oracle):
+    if qparts[1] == "simterm":
+        q = Q.Term(qparts[3])
+        sim = _parse_sim(qparts[2])
+        got = [(d, _bits(s)) for d, s in oracle.top_k(q, k=10, sim=sim)]
+        if qid in _KNOWN_LIBM_DIVERGENT:
+            assert [d for d, _ in got] == [d for d, _ in hits], qid
+            assert all(abs(b1 - b2) <= 4 for (_, b1), (_, b2)
+                       in zip(got, hits)), qid
+        else:
+            assert got == hits, f"{qid}: {got[:4]} != {hits[:4]}"
+        assert len(oracle.score(q, sim=sim)) == total, qid
+        return
     q = _parse_query(qparts)
     if qid in _KNOWN_FREQ_DIVERGENT:
         # doc MATCH SET must still be exactly the reference's

@@ -38,9 +38,29 @@ import org.apache.lucene.search.*;
 import org.apache.lucene.store.*;
 import org.apache.lucene.queries.spans.*;
 import org.apache.lucene.queries.intervals.*;
+import org.apache.lucene.search.similarities.*;
 
 public class LuceneGoldenMain {
   static final String F = "content";
+
+  static Similarity sim(String name) {
+    switch (name) {
+      case "classic": return new ClassicSimilarity();
+      case "lmd": return new LMDirichletSimilarity();
+      case "lmjm": return new LMJelinekMercerSimilarity(0.7f);
+      case "dfr_inl2": return new DFRSimilarity(
+          new BasicModelIn(), new AfterEffectL(), new NormalizationH2());
+      case "boolean": return new BooleanSimilarity();
+      case "dfi": return new DFISimilarity(new IndependenceStandardized());
+      case "ib_ll": return new IBSimilarity(
+          new DistributionLL(), new LambdaDF(), new NormalizationH2());
+      case "ax_f2log": return new AxiomaticF2LOG();
+      case "indri": return new IndriDirichletSimilarity();
+      case "multi": return new MultiSimilarity(new Similarity[] {
+          new BM25Similarity(), new ClassicSimilarity()});
+      default: throw new IllegalArgumentException(name);
+    }
+  }
 
   static Query parse(String[] p) {
     switch (p[1]) {
@@ -174,7 +194,14 @@ public class LuceneGoldenMain {
         while ((line = qr.readLine()) != null) {
           if (line.isEmpty()) continue;
           String[] p = line.split("\t");
-          Query q = parse(p);
+          Query q;
+          if (p[1].equals("simterm")) {
+            s.setSimilarity(sim(p[2]));
+            q = new TermQuery(new Term(F, p[3]));
+          } else {
+            s.setSimilarity(new BM25Similarity());
+            q = parse(p);
+          }
           TopDocs td = s.search(q, 10);
           StringBuilder sb = new StringBuilder(p[0]);
           sb.append('\t').append(td.totalHits.value);
@@ -269,6 +296,18 @@ q67\tiordered\tkey\torder\tsort
 q68\tiunordered\tkey\torder\tsort
 q69\timaxgaps\t2\tspark\tmerge
 q70\timaxgaps\t4\tthe\tdata
+q71\tsimterm\tclassic\tspark
+q72\tsimterm\tlmd\tmerge
+q73\tsimterm\tlmjm\tspark
+q74\tsimterm\tdfr_inl2\tcustomer
+q75\tsimterm\tboolean\tspark
+q76\tsimterm\tdfi\twindow
+q77\tsimterm\tib_ll\tmerge
+q78\tsimterm\tax_f2log\tspark
+q79\tsimterm\tindri\tmerge
+q80\tsimterm\tmulti\tspark
+q81\tsimterm\tclassic\tthe
+q82\tsimterm\tlmd\tthe
 """
 
 
