@@ -81,6 +81,14 @@ def _parse_query(parts):
                            scored=True)
     if kind == "range":
         return Q.MultiTerm("range", (parts[2], parts[3], True, True))
+    if kind == "gapphrase":
+        pts = [p.split(":") for p in parts[3:]]
+        return Q.Phrase(tuple(t for _, t in pts), slop=int(parts[2]),
+                        positions=tuple(int(pos) for pos, _ in pts))
+    if kind == "multiphrase":
+        return Q.MultiPhrase(tuple(tuple(p.split("|")) for p in parts[2:]))
+    if kind == "nested":
+        return Q.ReqOpt(T(parts[2]), Q.Or((T(parts[3]), T(parts[4]))))
     if kind == "spannear":
         return Q.SpanNear(tuple(parts[4:]), slop=int(parts[2]),
                           in_order=parts[3] == "1")

@@ -122,6 +122,34 @@ public class LuceneGoldenMain {
       }
       case "fuzzy":
         return new FuzzyQuery(new Term(F, p[3]), Integer.parseInt(p[2]));
+      case "gapphrase": {  // gapphrase <slop> pos:term ...
+        PhraseQuery.Builder b = new PhraseQuery.Builder();
+        b.setSlop(Integer.parseInt(p[2]));
+        for (int i = 3; i < p.length; i++) {
+          String[] pt = p[i].split(":");
+          b.add(new Term(F, pt[1]), Integer.parseInt(pt[0]));
+        }
+        return b.build();
+      }
+      case "multiphrase": {  // multiphrase t1a|t1b t2 ...
+        MultiPhraseQuery.Builder b = new MultiPhraseQuery.Builder();
+        for (int i = 2; i < p.length; i++) {
+          String[] alts = p[i].split("\\|");
+          Term[] ts = new Term[alts.length];
+          for (int j = 0; j < alts.length; j++) ts[j] = new Term(F, alts[j]);
+          b.add(ts);
+        }
+        return b.build();
+      }
+      case "nested": {  // MUST t1 + SHOULD (t2 OR t3)
+        BooleanQuery.Builder inner = new BooleanQuery.Builder();
+        inner.add(new TermQuery(new Term(F, p[3])), BooleanClause.Occur.SHOULD);
+        inner.add(new TermQuery(new Term(F, p[4])), BooleanClause.Occur.SHOULD);
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        b.add(new TermQuery(new Term(F, p[2])), BooleanClause.Occur.MUST);
+        b.add(inner.build(), BooleanClause.Occur.SHOULD);
+        return b.build();
+      }
       case "range":
         return new ConstantScoreQuery(TermRangeQuery.newStringRange(
             F, p[2], p[3], true, true));
@@ -308,6 +336,14 @@ q79\tsimterm\tindri\tmerge
 q80\tsimterm\tmulti\tspark
 q81\tsimterm\tclassic\tthe
 q82\tsimterm\tlmd\tthe
+q83\tgapphrase\t0\t0:key\t2:sort
+q84\tgapphrase\t2\t0:key\t2:sort
+q85\tgapphrase\t3\t0:the\t3:order
+q86\tgapphrase\t1\t0:merge\t1:scan\t3:join
+q87\tmultiphrase\tkey|table\torder
+q88\tmultiphrase\tspark|merge\tscan|join
+q89\tnested\tspark\tmerge\tscan
+q90\tnested\tcustomer\tthe\ta
 """
 
 
