@@ -87,6 +87,9 @@ def _parse_query(parts):
                         positions=tuple(int(pos) for pos, _ in pts))
     if kind == "multiphrase":
         return Q.MultiPhrase(tuple(tuple(p.split("|")) for p in parts[2:]))
+    if kind == "common":
+        return Q.CommonTerms(tuple(parts[3:]),
+                             max_term_frequency=float(parts[2]))
     if kind == "nested":
         return Q.ReqOpt(T(parts[2]), Q.Or((T(parts[3]), T(parts[4]))))
     if kind == "spannear":

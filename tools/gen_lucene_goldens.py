@@ -141,6 +141,14 @@ public class LuceneGoldenMain {
         }
         return b.build();
       }
+      case "common": {  // common <maxTF> t1 t2 ...
+        org.apache.lucene.queries.CommonTermsQuery q =
+            new org.apache.lucene.queries.CommonTermsQuery(
+                BooleanClause.Occur.SHOULD, BooleanClause.Occur.SHOULD,
+                Float.parseFloat(p[2]));
+        for (int i = 3; i < p.length; i++) q.add(new Term(F, p[i]));
+        return q;
+      }
       case "nested": {  // MUST t1 + SHOULD (t2 OR t3)
         BooleanQuery.Builder inner = new BooleanQuery.Builder();
         inner.add(new TermQuery(new Term(F, p[3])), BooleanClause.Occur.SHOULD);
@@ -344,6 +352,9 @@ q87\tmultiphrase\tkey|table\torder
 q88\tmultiphrase\tspark|merge\tscan|join
 q89\tnested\tspark\tmerge\tscan
 q90\tnested\tcustomer\tthe\ta
+q91\tcommon\t0.78\tthe\tspark
+q92\tcommon\t0.5\tspark\tmerge
+q93\tcommon\t0.9\tspark\tmerge\tscan
 """
 
 
