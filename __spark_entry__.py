@@ -3267,6 +3267,17 @@ notsc AS (
 )""" + _topk_sql("notsc", k))
 
 
+def _filter_sql(pos: str, filt: str, k: int = 10) -> str:
+    """BooleanClause.Occur.FILTER twin: the filter term intersects the
+    match set, the score is the positive clause's alone."""
+    return (_PRELUDE + ", " + _tscore_cte("ta", pos) + f""",
+fsc AS (
+  SELECT a.doc_id, a.s FROM ta a
+  WHERE EXISTS (SELECT 1 FROM tf n
+                WHERE n.doc_id = a.doc_id AND n.term = '{filt}')
+)""" + _topk_sql("fsc", k))
+
+
 def _synonym_sql(t1: str, t2: str, k: int = 10) -> str:
     return (_PRELUDE + f""",
 syn AS (SELECT doc_id, sum(tf) AS freq FROM tf
@@ -6061,6 +6072,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or3_top10": _search(
             Q.Or((Q.Term(T_COMMON), Q.Term(T_COMMON2), Q.Term(T_THIRD)))),
         "bm25_not_top10": _search(Q.Not(Q.Term(T_COMMON), Q.Term(T_RARE))),
+        "bm25_filter_top10": _search(
+            Q.ReqFilter(Q.Term(T_COMMON), Q.Term(T_COMMON2))),
         "bm25_synonym_top10": _search(Q.Synonym((SYN_A, SYN_B))),
         "bm25_synonym_boosted_top10": _search(Q.Synonym(
             (SYN_A, SYN_B), boosts=(1.0, 0.4))),
@@ -6480,6 +6493,7 @@ _PRIORITY = [
     "bm25_or_bmw_top10",
     "bm25_or3_top10",
     "bm25_not_top10",
+    "bm25_filter_top10",
     "bm25_synonym_top10",
     "bm25_phrase_top10",
     "bm25_sloppy_phrase_top10",
@@ -6610,6 +6624,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_bmw_top10": _or2_sql(T_A, T_B),
         "bm25_or3_top10": _or3_sql(T_COMMON, T_COMMON2, T_THIRD),
         "bm25_not_top10": _not_sql(T_COMMON, T_RARE),
+        "bm25_filter_top10": _filter_sql(T_COMMON, T_COMMON2),
         "bm25_synonym_top10": _synonym_sql(SYN_A, SYN_B),
         "bm25_synonym_boosted_top10": _synonym_boosted_sql(
             ((SYN_A, 1.0), (SYN_B, 0.4))),

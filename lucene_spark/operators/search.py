@@ -222,6 +222,14 @@ class CNot:
 
 
 @dataclass(frozen=True)
+class CReqFilter:
+    """FILTER clause: required match set, score discarded
+    (BooleanWeight's non-scoring conjunct)."""
+    positive: object
+    filter: object
+
+
+@dataclass(frozen=True)
 class CDisMax:
     children: tuple
     tie_breaker: float = 0.0
@@ -490,6 +498,13 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                 return None
             neg = go(node.negative)
             return pos if neg is None else CNot(pos, neg)
+        if isinstance(node, Q.ReqFilter):
+            pos = go(node.positive)
+            if pos is None:
+                return None
+            filt = go(node.filter)
+            # a filter on a term absent from the index matches nothing
+            return CReqFilter(pos, filt) if filt is not None else None
         raise TypeError(f"unsupported query node {node!r}")
 
     return go(q)
@@ -556,6 +571,8 @@ def _compiled_terms(c) -> list[str]:
         return out
     if isinstance(c, CNot):
         return _compiled_terms(c.positive) + _compiled_terms(c.negative)
+    if isinstance(c, CReqFilter):
+        return _compiled_terms(c.positive) + _compiled_terms(c.filter)
     if isinstance(c, CReqOpt):
         return _compiled_terms(c.required) + _compiled_terms(c.optional)
     raise TypeError(type(c))
@@ -946,6 +963,12 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
         mask, scores = _eval_range(node.positive, ctx, lo, hi)
         m_neg, _ = _eval_range(node.negative, ctx, lo, hi)
         mask &= ~m_neg
+        scores[~mask] = 0.0
+        return mask, scores
+    if isinstance(node, CReqFilter):
+        mask, scores = _eval_range(node.positive, ctx, lo, hi)
+        m_f, _ = _eval_range(node.filter, ctx, lo, hi)
+        mask &= m_f
         scores[~mask] = 0.0
         return mask, scores
     if isinstance(node, CPayloadScore):
@@ -1685,6 +1708,9 @@ class Searcher:
                             q.tie_breaker)
         if isinstance(q, Q.Not):
             return Q.Not(self._resolve(q.positive), self._resolve(q.negative))
+        if isinstance(q, Q.ReqFilter):
+            return Q.ReqFilter(self._resolve(q.positive),
+                               self._resolve(q.filter))
         if isinstance(q, Q.Interval):
             from ..functions.intervals import resolve_multi_term_sources
 

@@ -619,6 +619,11 @@ class OracleIndex:
             pos = self.score(query.positive, k1, b, sim)
             neg = self.score(query.negative, k1, b, sim)
             return {d: s for d, s in pos.items() if d not in neg}
+        from .plans.query import ReqFilter
+        if isinstance(query, ReqFilter):
+            pos = self.score(query.positive, k1, b, sim)
+            filt = self.score(query.filter, k1, b, sim)
+            return {d: s for d, s in pos.items() if d in filt}
         from .plans.query import ReqOpt
         if isinstance(query, ReqOpt):
             req = self.score(query.required, k1, b, sim)

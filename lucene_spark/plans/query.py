@@ -414,6 +414,27 @@ class Not(Query):
 
 
 @dataclass(frozen=True)
+class ReqFilter(Query):
+    """Positive clause + a non-scoring FILTER clause (reference
+    ``BooleanClause.Occur.FILTER``: ``BooleanWeight`` builds the filter
+    as a required conjunct whose score is discarded —
+    ``search/BooleanWeight.java``; the match set intersects, the score
+    is the positive clause's alone)."""
+    positive: Query
+    filter: Query
+
+    def rewrite(self):
+        return ReqFilter(self.positive.rewrite(), self.filter.rewrite())
+
+    def scoring_terms(self):
+        return self.positive.scoring_terms()
+
+    def all_terms(self):
+        return list(dict.fromkeys(self.positive.all_terms()
+                                  + self.filter.all_terms()))
+
+
+@dataclass(frozen=True)
 class ReqOpt(Query):
     """Required + optional-scoring pair (reference
     ``search/ReqOptSumScorer.java``): the match set is ``required``'s;
@@ -436,7 +457,7 @@ class ReqOpt(Query):
 
 
 def bool_query(must: tuple = (), should: tuple = (),
-               must_not: tuple = ()) -> Query:
+               must_not: tuple = (), filters: tuple = ()) -> Query:
     """BooleanQuery with explicit occurs, decomposed onto the primitive
     nodes exactly as ``BooleanWeight`` composes scorers: MUST clauses
     conjoin; SHOULD clauses disjoin — optional-scoring via :class:`ReqOpt`
@@ -455,6 +476,8 @@ def bool_query(must: tuple = (), should: tuple = (),
         q = should[0] if len(should) == 1 else Or(should)
     else:
         raise ValueError("boolean query has no positive clauses")
+    for f in tuple(filters):
+        q = ReqFilter(q, f)
     for n in must_not:
         q = Not(q, n)
     return q

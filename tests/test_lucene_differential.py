@@ -87,6 +87,14 @@ def _parse_query(parts):
                         positions=tuple(int(pos) for pos, _ in pts))
     if kind == "multiphrase":
         return Q.MultiPhrase(tuple(tuple(p.split("|")) for p in parts[2:]))
+    if kind == "filterq":
+        return Q.ReqFilter(T(parts[2]), T(parts[3]))
+    if kind == "filteror":
+        # SHOULD+FILTER with msm=0: the FILTER alone defines the match
+        # set and SHOULD becomes optional scoring (BooleanWeight) —
+        # composed as ReqOpt over a zero-boost filter term
+        return Q.ReqOpt(Q.Term(parts[4], boost=0.0),
+                        Q.Or((T(parts[2]), T(parts[3]))))
     if kind == "common":
         return Q.CommonTerms(tuple(parts[3:]),
                              max_term_frequency=float(parts[2]))

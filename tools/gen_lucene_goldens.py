@@ -149,6 +149,19 @@ public class LuceneGoldenMain {
         for (int i = 3; i < p.length; i++) q.add(new Term(F, p[i]));
         return q;
       }
+      case "filterq": {  // MUST t1 + FILTER t2
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        b.add(new TermQuery(new Term(F, p[2])), BooleanClause.Occur.MUST);
+        b.add(new TermQuery(new Term(F, p[3])), BooleanClause.Occur.FILTER);
+        return b.build();
+      }
+      case "filteror": {  // SHOULD t1 t2 + FILTER t3
+        BooleanQuery.Builder b = new BooleanQuery.Builder();
+        b.add(new TermQuery(new Term(F, p[2])), BooleanClause.Occur.SHOULD);
+        b.add(new TermQuery(new Term(F, p[3])), BooleanClause.Occur.SHOULD);
+        b.add(new TermQuery(new Term(F, p[4])), BooleanClause.Occur.FILTER);
+        return b.build();
+      }
       case "nested": {  // MUST t1 + SHOULD (t2 OR t3)
         BooleanQuery.Builder inner = new BooleanQuery.Builder();
         inner.add(new TermQuery(new Term(F, p[3])), BooleanClause.Occur.SHOULD);
@@ -355,6 +368,9 @@ q90\tnested\tcustomer\tthe\ta
 q91\tcommon\t0.78\tthe\tspark
 q92\tcommon\t0.5\tspark\tmerge
 q93\tcommon\t0.9\tspark\tmerge\tscan
+q94\tfilterq\tspark\tmerge
+q95\tfilterq\tcustomer\tthe
+q96\tfilteror\tspark\tmerge\tscan
 """
 
 
