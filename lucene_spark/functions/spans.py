@@ -124,79 +124,21 @@ def term_spans(positions) -> np.ndarray:
 
 def near_spans(pos_lists: list[np.ndarray], slop: int,
                in_order: bool) -> np.ndarray:
-    """(start, end, width) triples of SpanNear matches in one document —
-    the emission points of the matchers documented above; ``end`` is
-    last-matched-position + 1, ``width`` the matchLength.
-
-    DIVERGENCE (established by the real-Lucene differential,
-    tests/test_lucene_differential.py q56-q61): these are the
-    DECLARATIVE containment-minimal windows; the reference's lazy
-    NearSpansUnordered/Ordered iterators emit a different match
-    multiset on multi-occurrence documents (the MATCHING DOC SETS are
-    identical — only freq weights differ). Exact-porting the span
-    iterator stack is the recorded round-5 item; sloppy PHRASES were
-    already ported exactly (functions/sloppy.py)."""
+    """(start, end, width) triples of SpanNear matches in one document,
+    in the reference iterators' EMISSION ORDER — the exact
+    NearSpansOrdered/NearSpansUnordered ports (functions/nearspans.py,
+    fuzz-verified span-for-span against the compiled reference,
+    tests/data/lucene_diff/spans_fuzz.tsv.gz). ``end`` is exclusive;
+    ``width`` is the reference's width() (ordered: sum of internal
+    gaps; unordered: maxEnd - minStart), the SpanScorer weight input."""
     n = len(pos_lists)
     if n == 0 or any(len(p) == 0 for p in pos_lists):
         return _EMPTY_SPANS
     if n == 1:
         return term_spans(pos_lists[0])
-    out: list[tuple[int, int, int]] = []
-    if in_order:
-        first = pos_lists[0]
-        i0 = 0
-        while i0 < len(first):
-            chain = [int(first[i0])]
-            dead = False
-            for j in range(1, n):
-                lst = pos_lists[j]
-                k = int(np.searchsorted(lst, chain[-1], side="right"))
-                if k >= len(lst):
-                    dead = True
-                    break
-                chain.append(int(lst[k]))
-            if dead:
-                break
-            # tighten the start: latest first-clause position still
-            # before the second link
-            while i0 + 1 < len(first) and int(first[i0 + 1]) < chain[1]:
-                i0 += 1
-            chain[0] = int(first[i0])
-            ml = (chain[-1] - chain[0] + 1) - n
-            if ml <= slop:
-                out.append((chain[0], chain[-1] + 1, ml))
-            i0 += 1
-    else:
-        # unordered: minimal-window sweep over merged (position, clause)
-        merged = sorted((int(p), j) for j, lst in enumerate(pos_lists)
-                        for p in lst)
-        need = n
-        counts = [0] * n
-        left = 0
-        for right in range(len(merged)):
-            _, jr = merged[right]
-            if counts[jr] == 0:
-                need -= 1
-            counts[jr] += 1
-            if need:
-                continue
-            # shrink to the left-minimal complete window
-            while True:
-                pl, jl = merged[left]
-                if counts[jl] > 1:
-                    counts[jl] -= 1
-                    left += 1
-                else:
-                    break
-            # clamp: distinct terms cannot share a position in a real
-            # index, but degenerate inputs must not divide by zero
-            ml = max(merged[right][0] - merged[left][0] + 1 - n, 0)
-            if ml <= slop:
-                out.append((merged[left][0], merged[right][0] + 1, ml))
-            # drop the left element; window is no longer complete
-            counts[merged[left][1]] -= 1
-            need += 1
-            left += 1
+    from .nearspans import ordered_near_spans, unordered_near_spans
+    fn = ordered_near_spans if in_order else unordered_near_spans
+    out = fn(pos_lists, slop)
     if not out:
         return _EMPTY_SPANS
     return np.asarray(out, dtype=np.int64).reshape(-1, 3)
@@ -205,85 +147,29 @@ def near_spans(pos_lists: list[np.ndarray], slop: int,
 def near_spans_over(span_lists: list[np.ndarray], slop: int,
                     in_order: bool) -> np.ndarray:
     """SpanNear over arbitrary CLAUSE SPAN STREAMS (the reference's
-    nested ``SpanNearQuery(SpanQuery...)``). Generalizes the term
-    matchers: with term-span inputs it emits exactly what
-    :func:`near_spans` emits (fuzz-verified).
+    nested ``SpanNearQuery(SpanQuery...)``) — the exact general-stream
+    NearSpans ports (functions/nearspans.py): each clause stream is
+    consumed in ITS OWN emission order; the output is the reference
+    iterator's emission order (starts non-decreasing, ends free).
 
-    * ordered — greedy leftmost chains: clause j+1's first span with
-      ``start >= prev.end``; start tightened forward; matchWidth = Σ
-      inter-span gaps (``NearSpansOrdered.java:116``).
-    * unordered — left-minimal complete windows over the merged
-      span stream; matchWidth = (max end in window) − (window start) − n.
+    * ordered — one candidate per sub[0] span; stretchToOrder ratchets
+      each later sub to its first span with ``start >= prev.end``;
+      width = Σ inter-span gaps (``NearSpansOrdered.java:116``).
+    * unordered — the SpanTotalLengthEndPositionWindow heap walk with
+      RUNNING maxEnd / totalSpanLength; width = maxEnd − minStart.
     """
     n = len(span_lists)
     if n == 0 or any(len(s) == 0 for s in span_lists):
         return _EMPTY_SPANS
     if n == 1:
         return span_lists[0]
-    out: list[tuple[int, int, int]] = []
-    if in_order:
-        first = span_lists[0]
-        i0 = 0
-        while i0 < len(first):
-            chain = [first[i0]]
-            dead = False
-            for j in range(1, n):
-                lst = span_lists[j]
-                k = int(np.searchsorted(lst[:, 0], chain[-1][1],
-                                        side="left"))
-                if k >= len(lst):
-                    dead = True
-                    break
-                chain.append(lst[k])
-            if dead:
-                # General span streams (e.g. SpanOr clauses of differing
-                # widths) have non-monotonic ends in start order, so a
-                # failed chain from first[i0] does NOT imply later first
-                # spans fail — advance and keep scanning. (For term spans
-                # ends ARE monotonic and the extra iterations are no-ops.)
-                i0 += 1
-                continue
-            while i0 + 1 < len(first) and first[i0 + 1][1] <= chain[1][0]:
-                i0 += 1
-            chain[0] = first[i0]
-            ml = int(sum(int(chain[j + 1][0]) - int(chain[j][1])
-                         for j in range(n - 1)))
-            if ml <= slop:
-                out.append((int(chain[0][0]), int(chain[-1][1]), ml))
-            i0 += 1
-    else:
-        merged = sorted((int(s[0]), int(s[1]), j)
-                        for j, lst in enumerate(span_lists) for s in lst)
-        need = n
-        counts = [0] * n
-        left = 0
-        for right in range(len(merged)):
-            jr = merged[right][2]
-            if counts[jr] == 0:
-                need -= 1
-            counts[jr] += 1
-            if need:
-                continue
-            while True:
-                jl = merged[left][2]
-                if counts[jl] > 1:
-                    counts[jl] -= 1
-                    left += 1
-                else:
-                    break
-            wstart = merged[left][0]
-            wend = max(e for _, e, _ in merged[left:right + 1])
-            ml = max(wend - wstart - n, 0)
-            if ml <= slop:
-                out.append((wstart, wend, ml))
-            counts[merged[left][2]] -= 1
-            need += 1
-            left += 1
+    from .nearspans import (ordered_near_spans_over,
+                            unordered_near_spans_over)
+    fn = ordered_near_spans_over if in_order else unordered_near_spans_over
+    out = fn(span_lists, slop)
     if not out:
         return _EMPTY_SPANS
-    arr = np.asarray(out, dtype=np.int64).reshape(-1, 3)
-    order = np.lexsort((arr[:, 1], arr[:, 0]))
-    return arr[order]
+    return np.asarray(out, dtype=np.int64).reshape(-1, 3)
 
 
 def or_spans(span_lists: list[np.ndarray]) -> np.ndarray:
@@ -558,120 +444,32 @@ def batch_sloppy_phrase_freqs(pos_key_lists: list[np.ndarray], slop: int,
 
 def batch_unordered_near_freqs(pos_key_lists: list[np.ndarray], slop: int,
                                n_docs: int) -> np.ndarray:
-    """Per-doc accumulated UNORDERED SpanNear frequency in one pass.
-
-    The unordered sweep of :func:`near_spans` emits exactly the
-    double-minimal complete windows (each left boundary once), so it
-    shares the batched characterization; ``matchLength =
-    (R - L + 1) - n`` over UNADJUSTED position keys.
-    """
-    n = len(pos_key_lists)
-    L, R = _batch_double_minimal(pos_key_lists)
-    if len(L) == 0:
-        return np.zeros(n_docs, dtype=np.float64)
-    ml = np.maximum(R - L + 1 - n, 0)
-    keep = ml <= slop
-    return _accumulate_by_doc((R[keep] >> 32).astype(np.int64),
-                              1.0 / (1.0 + ml[keep]), n_docs)
+    """Per-doc accumulated UNORDERED SpanNear frequency in one pass —
+    reference-exact (functions/nearspans.py batched event-walk kernel;
+    width = maxEnd − minStart, match when width − n <= slop)."""
+    return batch_spans_freqs(batch_near_spans(pos_key_lists, slop, False),
+                             n_docs)
 
 
 def batch_ordered_near_freqs(pos_key_lists: list[np.ndarray], slop: int,
                              n_docs: int) -> np.ndarray:
-    """Per-doc accumulated ORDERED SpanNear frequency in one pass
-    (vectorized greedy-leftmost-chain matcher of :func:`near_spans`).
-
-    Closed form of the sequential matcher: chaining from first-clause
-    position f, every intermediate i in a tightening run shares the same
-    chain tail (the next clause-2 position after f is constant until it
-    is crossed), so the emitted chains are exactly those whose first
-    position is a RUN REPRESENTATIVE: the last first-clause position
-    before its own chain's second link (or the last in its doc).
-    """
-    n = len(pos_key_lists)
-    first = pos_key_lists[0]
-    if n == 0 or any(len(a) == 0 for a in pos_key_lists):
-        return np.zeros(n_docs, dtype=np.float64)
-    if n == 1:
-        return _accumulate_by_doc((first >> 32).astype(np.int64),
-                                  np.ones(len(first)), n_docs)
-    alive = np.ones(len(first), dtype=bool)
-    doc_of = first >> 32
-    prev = first
-    chain1 = None
-    for j in range(1, n):
-        a = pos_key_lists[j]
-        idx = np.searchsorted(a, prev, side="right")
-        alive &= idx < len(a)
-        nxt = a[np.clip(idx, 0, len(a) - 1)]
-        alive &= (nxt >> 32) == doc_of        # chain stays in the doc
-        if j == 1:
-            chain1 = nxt
-        prev = nxt
-    # run representatives: last first-position strictly before its chain's
-    # second link (the next first-position crosses the link or the doc)
-    rep = np.ones(len(first), dtype=bool)
-    if len(first) > 1:
-        nxt_first = first[1:]
-        rep[:-1] = (nxt_first >= chain1[:-1]) | \
-                   ((nxt_first >> 32) != doc_of[:-1])
-    emit = alive & rep
-    if not emit.any():
-        return np.zeros(n_docs, dtype=np.float64)
-    ml = (prev[emit] - first[emit] + 1) - n   # same doc: keys subtract
-    keep = ml <= slop
-    return _accumulate_by_doc(doc_of[emit][keep].astype(np.int64),
-                              1.0 / (1.0 + ml[keep]), n_docs)
+    """Per-doc accumulated ORDERED SpanNear frequency in one pass —
+    reference-exact (one emission per first-clause position whose
+    stretched chain fits; width = Σ internal gaps)."""
+    return batch_spans_freqs(batch_near_spans(pos_key_lists, slop, True),
+                             n_docs)
 
 
 def batch_near_spans(pos_key_lists: list[np.ndarray], slop: int,
                      in_order: bool) -> np.ndarray:
     """Batched :func:`near_spans`: (start_key, end_key, width) triples of
-    SpanNear matches across ALL documents, doc-major, same within-doc
-    order as the per-doc matcher. Keys embed ``doc << 32 | pos``; ends
-    are ``doc << 32 | (last_pos + 1)`` (positions < 2^31, so an end never
-    crosses its doc's key range)."""
-    n = len(pos_key_lists)
-    if n == 0 or any(len(a) == 0 for a in pos_key_lists):
-        return _EMPTY_SPANS
-    if n == 1:
-        k = pos_key_lists[0]
-        return np.stack([k, k + 1, np.zeros(len(k), np.int64)], axis=1)
-    if in_order:
-        first = pos_key_lists[0]
-        alive = np.ones(len(first), dtype=bool)
-        doc_of = first >> 32
-        prev = first
-        chain1 = None
-        for j in range(1, n):
-            a = pos_key_lists[j]
-            idx = np.searchsorted(a, prev, side="right")
-            alive &= idx < len(a)
-            nxt = a[np.clip(idx, 0, len(a) - 1)]
-            alive &= (nxt >> 32) == doc_of
-            if j == 1:
-                chain1 = nxt
-            prev = nxt
-        rep = np.ones(len(first), dtype=bool)
-        if len(first) > 1:
-            rep[:-1] = (first[1:] >= chain1[:-1]) | \
-                       ((first[1:] >> 32) != doc_of[:-1])
-        emit = alive & rep
-        if not emit.any():
-            return _EMPTY_SPANS
-        ml = (prev[emit] - first[emit] + 1) - n
-        keep = ml <= slop
-        if not keep.any():
-            return _EMPTY_SPANS
-        return np.stack([first[emit][keep], prev[emit][keep] + 1,
-                         ml[keep]], axis=1)
-    L, R = _batch_double_minimal(pos_key_lists)
-    if len(L) == 0:
-        return _EMPTY_SPANS
-    ml = np.maximum(R - L + 1 - n, 0)
-    keep = ml <= slop
-    if not keep.any():
-        return _EMPTY_SPANS
-    return np.stack([L[keep], R[keep] + 1, ml[keep]], axis=1)
+    SpanNear matches across ALL documents, doc-major, reference emission
+    order within each doc (the exact batched kernels of
+    functions/nearspans.py). Keys embed ``doc << 32 | pos``; ends are
+    ``doc << 32 | pos + 1`` (positions < 2^31, so an end never crosses
+    its doc's key range)."""
+    from .nearspans import batch_near_spans_exact
+    return batch_near_spans_exact(pos_key_lists, slop, in_order)
 
 
 def _split_by_doc(spans: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:

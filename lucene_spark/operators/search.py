@@ -363,17 +363,6 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                 frozenset(int(a) for a in node.accepts))
         if isinstance(node, Q.SpanNear) and \
                 all(isinstance(t, str) for t in node.terms):
-            if len(set(node.terms)) != len(node.terms) and node.in_order:
-                # deliberately unsupported: fuzzing the greedy-chain
-                # kernel against containment-antichain enumeration over
-                # injective increasing assignments shows the two diverge
-                # on duplicate streams (23/2000 random cases) — there is
-                # no declaratively-clean semantics the chain kernel
-                # implements, which is exactly the reference's repeats-
-                # machinery quagmire. Unordered duplicates ARE supported
-                # (injective multiset windows).
-                raise NotImplementedError(
-                    "ordered SpanNear with duplicate clause terms")
             if any(df_of(t) == 0 for t in node.terms):
                 return None
             w = multi_weight([df_of(t) for t in node.terms])
@@ -1262,33 +1251,20 @@ def _payload_check_freqs(node: "CPayloadCheck", ctx: _SegContext,
 def _span_near_freqs(node: "CSpanNear", ctx: _SegContext,
                      lo: int, hi: int) -> np.ndarray:
     """SpanNear sloppy frequency per doc in [lo, hi), one vectorized pass
-    (batched greedy-chain matcher for ordered, batched minimal-window
-    kernel for unordered — functions.spans.batch_*_near_freqs); no
-    per-candidate Python loop."""
+    — the reference-exact batched NearSpans kernels
+    (functions/nearspans.py via functions.spans.batch_*_near_freqs).
+    Duplicate clause terms are handled inside the kernel: ordered stays
+    fully vectorized; unordered runs the tie-order-faithful heap walk
+    only on docs with duplicated position keys."""
     from ..functions.spans import (batch_ordered_near_freqs,
                                    batch_unordered_near_freqs)
     n = hi - lo
-    if len(set(node.terms)) != len(node.terms):
-        # unordered duplicates: injective multiset windows with the
-        # NearSpansUnordered matchLength (R-L+1-n); ordered duplicates
-        # stay guarded at compile
-        return _span_repeat_freqs(node, ctx, lo, hi)
     keys = _clause_pos_keys(node.terms, ctx, lo, hi)
     if keys is None:
         return np.zeros(n, dtype=np.float64)
     fn = batch_ordered_near_freqs if node.in_order \
         else batch_unordered_near_freqs
     return fn(keys, node.slop, n)
-
-
-def _span_repeat_freqs(node: "CSpanNear", ctx: _SegContext,
-                       lo: int, hi: int) -> np.ndarray:
-    """Unordered SpanNear with duplicate clause terms: batched injective
-    multiset windows with the NearSpansUnordered matchLength
-    (``batch_multiset_sloppy_freqs(ml_n=n)``)."""
-    return _batched_repeat_freqs(tuple(node.terms), ctx, lo, hi,
-                                 node.slop, [0] * len(node.terms),
-                                 ml_n=len(node.terms))
 
 
 def _span_tree_freqs(node: "CSpanTree", ctx: _SegContext,

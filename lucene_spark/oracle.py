@@ -208,13 +208,10 @@ class OracleIndex:
 
     def _span_near_scores(self, query: SpanNear, k1: float,
                           b: float) -> dict[int, np.float32]:
-        """SpanNearQuery: shared greedy/minimal-window matcher
-        (functions.spans), idf-sum weight like phrases."""
-        from .functions.spans import multiset_sloppy_freq, span_near_freq
-        repeats = len(set(query.terms)) != len(query.terms)
-        if repeats and query.in_order:
-            raise NotImplementedError(
-                "ordered SpanNear with duplicate clause terms")
+        """SpanNearQuery: the exact NearSpansOrdered/Unordered ports
+        (functions/nearspans.py via functions.spans.span_near_freq),
+        idf-sum weight like phrases."""
+        from .functions.spans import span_near_freq
         maps = [{d: np.asarray(sorted(pl), dtype=np.int64)
                  for d, _, pl in self.postings.get(t, ())}
                 for t in query.terms]
@@ -228,17 +225,10 @@ class OracleIndex:
         one = np.float32(1.0)
         out: dict[int, np.float32] = {}
         for d in common:
-            if repeats:
-                # unordered duplicates: injective multiset windows with
-                # the NearSpansUnordered matchLength (R-L+1-n)
-                f = multiset_sloppy_freq(
-                    list(query.terms),
-                    {t: m[d] for t, m in zip(query.terms, maps)},
-                    query.slop, [0] * len(query.terms),
-                    ml_n=len(query.terms))
-            else:
-                f = span_near_freq([m[d] for m in maps], query.slop,
-                                   query.in_order)
+            # exact NearSpans ports handle duplicate clause terms too
+            # (two iterators over one stream; heap tie order faithful)
+            f = span_near_freq([m[d] for m in maps], query.slop,
+                               query.in_order)
             if f > 0:
                 inv = cache[self.norm_bytes[d]]
                 out[d] = np.float32(w - w / (one + np.float32(f) * inv))

@@ -146,18 +146,16 @@ def _goldens():
     return out
 
 
-# Known, documented divergences (see functions/spans.py /
-# functions/intervals.py divergence notes): the engine scores SpanNear
-# and (some) interval sources with the DECLARATIVE containment-minimal
-# window semantics, while the reference's lazy iterators
-# (NearSpansUnordered/Ordered, OrderedIntervalsSource's lastStart
-# minimization) skip some containment-minimal windows on
-# multi-occurrence docs. The MATCHING DOC SETS are identical (asserted
-# below); only the freq weights — and hence scores/ranks within the
-# matched set — can differ. Exact-porting those iterator stacks is the
-# recorded round-5 item.
+# Known, documented divergences (see functions/intervals.py divergence
+# note): OrderedIntervalsSource's lastStart minimization skips some
+# containment-minimal windows on multi-occurrence docs; the engine's
+# declarative interval algebra keeps them. The MATCHING DOC SETS are
+# identical (asserted below); only freq weights within the matched set
+# can differ. SpanNear (q56-q61) WAS in this set until the exact
+# NearSpansOrdered/Unordered ports (functions/nearspans.py) were wired
+# through the engine — those queries are now required to match
+# bit-for-bit.
 _KNOWN_FREQ_DIVERGENT = {
-    "q56", "q57", "q58", "q59", "q60", "q61",  # SpanNear (un)ordered
     "q67",                                     # 3-term ordered interval
 }
 

@@ -29,18 +29,27 @@ def test_matcher_ordered():
     assert span_near_freq(_pl([0], [4]), 2, True) == 0.0
     # 3-term ordered chain a..b..c width 5 -> ml 2
     assert span_near_freq(_pl([0], [2], [4]), 2, True) == pytest.approx(1 / 3)
-    # start tightening picks the latest valid first-clause position
+    # every sub[0] start is a candidate (NearSpansOrdered emits per
+    # first-clause position): 0 -> width 3 fails slop 0, 3 -> width 0
     assert span_near_freq(_pl([0, 3], [4]), 0, True) == 1.0
 
 
 def test_matcher_unordered():
-    # out-of-order pair matches unordered
+    """Exact NearSpansUnordered event-walk semantics: each pq state up
+    to the first clause-final element emits (minStart, RUNNING maxEnd)
+    with width = maxEnd - minStart when maxEnd - minStart - n <= slop."""
+    # out-of-order pair: one state (e=1, next a = 5) -> width 5
     assert span_near_freq(_pl([5], [1]), 10, False) == pytest.approx(
-        1.0 / (1.0 + 3))
-    # adjacent either way: three minimal windows in "a b a b"
-    assert span_near_freq(_pl([0, 2], [1, 3]), 0, False) == 3.0
-    # slop gates each window by its own matchLength
-    assert span_near_freq(_pl([0, 9], [1, 5]), 0, False) == 1.0
+        np.float32(1.0 / (1.0 + 5)))
+    # "a b a b": states at 0, 1, 2 (cutoff = min(max a, max b) = 2),
+    # each width 2 -> three 1/3 contributions, f32-accumulated
+    acc = np.float32(0.0)
+    for _ in range(3):
+        acc = np.float32(np.float64(acc) + 1.0 / 3.0)
+    assert span_near_freq(_pl([0, 2], [1, 3]), 0, False) == float(acc)
+    # slop gates each state by its own width: only e=0 (width 2) passes
+    assert span_near_freq(_pl([0, 9], [1, 5]), 0, False) == pytest.approx(
+        np.float32(1.0 / 3.0))
 
 
 def test_span_algebra_kernels():
@@ -131,10 +140,12 @@ def test_nested_span_near():
     tree_wide = ("nearspans", (inner, ("term", "c")), 8, True)
     assert eval_span_tree(tree_wide, pmap).tolist() == [[0, 4, 1],
                                                        [20, 31, 8]]
-    # unordered window over sub-spans counts extent minus clause count
+    # unordered sub-span walk: first state top=(0,2) inner, running
+    # maxEnd 4, totalSpanLength 3 -> cond 4-0-3=1<=3 emits (0,4) width 4;
+    # later states (c@3 then inner@20) fail the slop gate
     tree_u = ("nearspans", (("term", "c"), inner), 3, False)
     sp = eval_span_tree(tree_u, pmap)
-    assert [list(x) for x in sp] == [[0, 4, 2]]
+    assert [list(x) for x in sp] == [[0, 4, 4]]
 
 
 def test_contain_within_brute():
@@ -185,8 +196,14 @@ def test_engine_oracle_parity(spark):
     u = set(oracle.score(Q.SpanNear(("parse", "emit"), slop=6,
                                     in_order=False)))
     assert o <= u
-    with pytest.raises(NotImplementedError):
-        s.search(Q.SpanNear(("parse", "parse"), slop=2), k=5)
+    # ordered duplicates are supported (exact NearSpansOrdered ratchet
+    # over two iterators of one stream): engine ≡ oracle
+    qd = Q.SpanNear(("parse", "parse"), slop=2, in_order=True)
+    want = oracle.top_k(qd, k=10)
+    got = [(r["doc_id"], r["score"]) for r in s.search(qd, k=10).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                       rtol=0, atol=0)
 
 
 def test_span_family_parity(spark):
@@ -242,24 +259,35 @@ def test_span_family_parity(spark):
 
 
 def test_near_spans_over_nonmonotonic_ends():
-    """Ordered SpanNear over general span streams: a failed chain from one
-    first-clause span must not abort the scan — later spans can have
-    SMALLER ends (e.g. SpanOr of wide and narrow clauses) and still chain
-    (ADVICE r2 repro: first=[(0,10),(1,2)], second=term@5, slop=10)."""
+    """Ordered SpanNear over general span streams replicates the
+    reference's oneExhaustedInCurrentDoc semantics exactly
+    (NearSpansOrdered.java stretchToOrder / advancePosition): when a
+    later sub exhausts stretching a WIDE first-clause span, the whole
+    document ends — a narrower later first-clause span that could have
+    chained is deliberately NOT emitted (forward-only sub iterators).
+    The r2 declarative matcher kept scanning here; the exact port must
+    not."""
     import numpy as np
     from lucene_spark.functions.spans import near_spans_over, term_spans
 
     first = np.array([[0, 10, 9], [1, 2, 0]], dtype=np.int64)
     second = term_spans(np.array([5]))
     got = near_spans_over([first, second], slop=10, in_order=True)
-    # (0,10) cannot chain (no second-clause span starts >= 10), but (1,2)
-    # chains to (5,6): gap = 5 - 2 = 3 <= slop
-    assert [tuple(r) for r in got] == [(1, 6, 3)]
+    # (0,10) stretches second to start >= 10 -> exhausts -> doc over;
+    # (1,2) is never tried (matches the reference iterator)
+    assert [tuple(r) for r in got] == []
+    # with a second-clause span past the wide end, both chains emit
+    second2 = term_spans(np.array([5, 12]))
+    got2 = near_spans_over([first, second2], slop=10, in_order=True)
+    # (0,10)->(12,13) gap 2; (1,2): sub ratcheted to 12 (forward-only),
+    # gap 10
+    assert [tuple(r) for r in got2] == [(0, 13, 2), (1, 13, 10)]
 
 
 def test_near_spans_over_mixed_width_or_clauses():
-    """Nested SpanNear whose first clause is a SpanOr of differing widths:
-    every narrow alternative must still be tried after a wide one fails."""
+    """Nested SpanNear whose first clause is a SpanOr of differing
+    widths: the wide span exhausting the second sub ends the doc
+    (reference semantics) unless the second sub has spans past it."""
     import numpy as np
     from lucene_spark.functions.spans import (near_spans_over, or_spans,
                                               term_spans)
@@ -269,10 +297,14 @@ def test_near_spans_over_mixed_width_or_clauses():
     first = or_spans([wide, narrow])
     second = term_spans(np.array([6]))
     got = near_spans_over([first, second], slop=4, in_order=True)
-    # wide (2,9) dead (6 < 9 start requirement); narrow (3,4)->(6,7) gap 2,
-    # (4,5)->(6,7) gap 1; tightening keeps only the latest start per link
-    assert (4, 7, 1) in {tuple(r) for r in got}
-    assert all(s >= 3 for s, _, _ in got)
+    # wide (2,9) stretches second past 9 -> exhausted -> doc ends with
+    # no emission (the reference loses the narrow alternatives too)
+    assert [tuple(r) for r in got] == []
+    second2 = term_spans(np.array([6, 10]))
+    got2 = near_spans_over([first, second2], slop=4, in_order=True)
+    # (2,9)->(10,11) gap 1; (3,4)-> ratcheted second still at (10,11),
+    # gap 6 > slop; (4,5) likewise
+    assert [tuple(r) for r in got2] == [(2, 11, 1)]
 
 
 def _rand_doc_positions(rng, n_clauses, n_docs, density):
@@ -352,15 +384,17 @@ def test_batched_kernels_match_per_doc():
 
 
 def test_unordered_span_near_duplicate_terms(spark):
-    """Unordered SpanNear with duplicate clause terms: injective
-    multiset windows with the NearSpansUnordered matchLength; engine ≡
-    oracle ≡ brute enumeration; ordered duplicates still raise."""
+    """SpanNear with duplicate clause terms — exact reference semantics:
+    two iterators over one stream, unordered ties resolved by the
+    replicated PriorityQueue heap order (engine routes duplicate-key
+    docs through the per-doc walk); ordered duplicates ratchet. Engine ≡
+    oracle float-exact; a single occurrence DOES match unordered
+    (overlapping cells, maxEnd - minStart - totalSpanLength = -1)."""
     import tempfile
 
     import numpy as np
 
-    from lucene_spark.functions.analysis import analyze_text
-    from lucene_spark.functions.spans import brute_multiset_sloppy_freq
+    from lucene_spark.functions.spans import span_near_freq
     from lucene_spark.operators.build import build_index
     from lucene_spark.operators.search import Searcher
     from lucene_spark.oracle import OracleIndex
@@ -372,24 +406,20 @@ def test_unordered_span_near_duplicate_terms(spark):
     build_index(spark, spark.createDataFrame(corpus), d, num_segments=3)
     s = Searcher(spark, d)
     oracle = OracleIndex.build(list(zip(corpus.doc_id, corpus.content)))
-    texts = dict(zip(corpus.doc_id, corpus.content))
     for q in (Q.SpanNear(("if", "if"), slop=3, in_order=False),
-              Q.SpanNear(("if", "return", "if"), slop=5, in_order=False)):
+              Q.SpanNear(("if", "return", "if"), slop=5, in_order=False),
+              Q.SpanNear(("if", "if"), slop=3, in_order=True),
+              Q.SpanNear(("if", "return", "if"), slop=6, in_order=True)):
         got = [(r["doc_id"], np.float32(r["score"]))
                for r in s.search(q, k=10).collect()]
         want = [(dd, np.float32(sc)) for dd, sc in oracle.top_k(q, k=10)]
         assert len(want) > 0 and got == want, q
-        for dd, _ in want[:3]:
-            toks, poss, _ = analyze_text(texts[dd])
-            pbt = {t: np.array([p for tt, p in zip(toks, poss)
-                                if tt == t], dtype=np.int64)
-                   for t in set(q.terms)}
-            assert brute_multiset_sloppy_freq(
-                list(q.terms), pbt, q.slop, [0] * len(q.terms),
-                ml_n=len(q.terms)) > 0
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        s.search(Q.SpanNear(("if", "if"), slop=3, in_order=True), k=5)
+    # reference quirk pinned: overlapping duplicate cells match
+    p = [np.array([3], dtype=np.int64)] * 2
+    assert span_near_freq(p, 0, False) == pytest.approx(
+        np.float32(1.0 / 2.0))  # width = maxEnd - minStart = 1
+    # ordered single occurrence: second iterator must pass pos+1 -> none
+    assert span_near_freq(p, 9, True) == 0.0
 
 
 def test_span_position_range(spark):
