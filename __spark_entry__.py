@@ -3527,11 +3527,12 @@ phsc AS (
 
 
 def _span_near_sql(terms: tuple[str, ...], slop: int, k: int = 10) -> str:
-    """Unordered SpanNear (NearSpansUnordered role) as SQL: every minimal
-    complete window [L, R] over the clauses' UNADJUSTED positions (same
-    double-minimality as the sloppy oracle — fuzz-verified equivalent to
-    the engine's sweep), matchLength = (R - L + 1) - n, contributing
-    1/(1 + matchLength) when matchLength <= slop; idf-sum weight."""
+    """Unordered SpanNear (NearSpansUnordered role) as SQL — the EXACT
+    event-walk semantics (functions/nearspans.py): one state per merged
+    clause position up to the doc's first clause-final element; each
+    state's width = (max over other clauses of their first position
+    after the event) + 1 - event, matching when width - n <= slop and
+    contributing 1/(1 + width) in event order; idf-sum weight."""
     return (_PRELUDE + "," + _span_windows_cte(terms, slop) + """,
 sp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list(CAST(1.0 AS DOUBLE) / (1 + ml) ORDER BY l, r)),
@@ -3539,43 +3540,77 @@ sp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        FROM wins GROUP BY 1)""" + _span_score_sql("sp", tuple(terms), k))
 
 
+def _span_exact_walk_cte(ap_union: str, n: int, slop: int) -> str:
+    """Shared body of the exact unordered NearSpans walk over ``n``
+    clause position streams (``ap(doc_id, cl, ap)`` rows, DISTINCT
+    positions across clauses — the single-term-per-position invariant of
+    the analyzed corpus). Emits ``wins(doc_id, l, r, ml)`` with
+    l = event position (minStart), r = maxEnd - 1 (so ``BETWEEN l AND
+    r`` is span containment), ml = width = maxEnd - minStart (the
+    1/(1+width) SpanScorer input), filtered to width - n <= slop:
+
+    * ``cutw``: the walk ends at the first clause-final element —
+      events beyond min over clauses of (per-doc clause max) never pop.
+    * ``nxe``/``wv``: at the state popping event e of clause j, every
+      other clause's current is its first position > e (all earlier
+      positions were popped and advanced past), so the RUNNING maxEnd
+      is max(e, max over others of next) + 1.
+    """
+    return f"""
+ap AS ({ap_union}),
+clm AS (SELECT doc_id, cl, max(ap) AS mx FROM ap GROUP BY 1, 2),
+cutw AS (SELECT doc_id, min(mx) AS cut FROM clm
+         GROUP BY 1 HAVING count(*) = {n}),
+ev AS (SELECT a.doc_id, a.cl, a.ap FROM ap a
+       JOIN cutw c ON a.doc_id = c.doc_id AND a.ap <= c.cut),
+nxe AS (SELECT e.doc_id, e.ap, e.cl, a.cl AS oc, min(a.ap) AS nxt
+        FROM ev e JOIN ap a
+          ON a.doc_id = e.doc_id AND a.cl <> e.cl AND a.ap > e.ap
+        GROUP BY 1, 2, 3, 4),
+wv AS (SELECT doc_id, ap, max(nxt) AS mo FROM nxe
+       GROUP BY doc_id, ap, cl HAVING count(*) = {n - 1}),
+wins AS (SELECT doc_id, ap AS l, greatest(ap, mo) AS r,
+                greatest(ap, mo) + 1 - ap AS ml
+         FROM wv
+         WHERE greatest(ap, mo) + 1 - ap - {n} <= {slop})"""
+
+
 def _span_windows_cte_multi(clauses: tuple[tuple[str, ...], ...],
                             slop: int) -> str:
     """Generalization of ``_span_windows_cte`` where each clause matches
     ANY of a set of terms (SpanOr / expanded-multiterm clauses — the
     ComplexPhraseQueryParser shape): clause j's position stream is the
-    union of its terms' positions."""
+    union of its terms' positions (all width-1 spans, so the exact
+    term-clause walk applies unchanged)."""
     n = len(clauses)
     ap_union = "\n       UNION ALL ".join(
         "SELECT doc_id, {j} AS cl, pos AS ap FROM tok WHERE term IN ({ts})"
         .format(j=j, ts=", ".join(f"'{t}'" for t in cl))
         for j, cl in enumerate(clauses))
-    return f"""
-ap AS ({ap_union}),
-rend AS (SELECT DISTINCT doc_id, ap AS r FROM ap),
-mj AS (SELECT r.doc_id, r.r, a.cl, max(a.ap) AS mx
-       FROM rend r JOIN ap a ON a.doc_id = r.doc_id AND a.ap <= r.r
-       GROUP BY 1, 2, 3),
-lofr AS (SELECT doc_id, r, min(mx) AS l FROM mj
-         GROUP BY 1, 2 HAVING count(*) = {n}),
-lcand AS (SELECT DISTINCT doc_id, l FROM lofr),
-mn AS (SELECT f.doc_id, f.l, a.cl, min(a.ap) AS mn
-       FROM lcand f JOIN ap a ON a.doc_id = f.doc_id AND a.ap >= f.l
-       GROUP BY 1, 2, 3),
-rofl AS (SELECT doc_id, l, max(mn) AS r2 FROM mn
-         GROUP BY 1, 2 HAVING count(*) = {n}),
-wins AS (SELECT * FROM (
-           SELECT DISTINCT f.doc_id, f.l, f.r,
-                  greatest(f.r - f.l + 1 - {n}, 0) AS ml
-           FROM lofr f JOIN rofl g
-             ON f.doc_id = g.doc_id AND f.l = g.l AND g.r2 = f.r)
-         WHERE ml <= {slop})"""
+    return _span_exact_walk_cte(ap_union, n, slop)
 
 
 def _span_windows_cte(terms: tuple[str, ...], slop: int) -> str:
-    """Shared CTE chain producing ``wins(doc_id, l, r, ml)`` — the
-    unordered-SpanNear minimal windows (see _span_near_sql) filtered to
-    ml <= slop. Composable: span_not/span_or oracles build on it."""
+    """CTE chain producing ``wins(doc_id, l, r, ml)`` — the exact
+    unordered-SpanNear emissions (see _span_exact_walk_cte; ml is the
+    reference width = maxEnd - minStart) filtered to width - n <= slop.
+    Composable: span_not/span_or oracles build on it. Requires DISTINCT
+    clause terms (duplicate clauses tie on the heap order, which SQL
+    does not replicate)."""
+    n = len(terms)
+    assert len(set(terms)) == n >= 2, terms
+    ap_union = "\n       UNION ALL ".join(
+        f"SELECT doc_id, {j} AS cl, pos AS ap "
+        f"FROM tok WHERE term = '{t}'" for j, t in enumerate(terms))
+    return _span_exact_walk_cte(ap_union, n, slop)
+
+
+def _unordered_minwin_cte(terms: tuple[str, ...], slop: int) -> str:
+    """The DECLARATIVE double-minimal complete windows over the clauses'
+    positions, matchLength = (R - L + 1) - n, filtered to ml <= slop —
+    the UnorderedIntervalsSource semantics (intervals keep minimal
+    windows; only the span-near iterators use the event walk). Used by
+    the interval twins."""
     n = len(terms)
     ap_union = "\n       UNION ALL ".join(
         f"SELECT doc_id, {j} AS cl, pos AS ap "
@@ -3622,19 +3657,22 @@ spsc AS (
 
 def _span_or_sql(term: str, near_terms: tuple[str, ...], slop: int,
                  k: int = 10) -> str:
-    """SpanOr(SpanTerm(term), SpanNear(near_terms, unordered)):
-    freq = tf(term) + Σ 1/(1+ml) over near windows; idf-sum weight over
-    ALL clause terms (SpanOrQuery extractTermStates)."""
+    """SpanOr(SpanTerm(term), SpanNear(near_terms, unordered)): the
+    merged clause emissions in (start, end) order — term occurrences
+    are width-0 spans contributing 1.0, near emissions contribute
+    1/(1+width) — f32-accumulated in MERGED order (SpanOrQuery's
+    DisiPriorityQueue emission order; a term span [p, p+1) sorts before
+    a near span starting at p because its end is smaller); idf-sum
+    weight over ALL clause terms (SpanOrQuery extractTermStates)."""
     return (_PRELUDE + "," + _span_windows_cte(near_terms, slop) + f""",
-nearf AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+allsp AS (SELECT doc_id, pos AS l, pos AS r, 0 AS ml FROM tok
+          WHERE term = '{term}'
+          UNION ALL
+          SELECT doc_id, l, r, ml FROM wins),
+orf AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list(CAST(1.0 AS DOUBLE) / (1 + ml) ORDER BY l, r)),
           (a, b) -> CAST(CAST(a AS DOUBLE) + b AS FLOAT)) AS freq
-          FROM wins GROUP BY 1),
-termf AS (SELECT doc_id, CAST(tf AS DOUBLE) AS freq FROM tf
-          WHERE term = '{term}'),
-orf AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-               coalesce(a.freq, 0) + coalesce(b.freq, 0) AS freq
-        FROM termf a FULL OUTER JOIN nearf b ON a.doc_id = b.doc_id)"""
+        FROM allsp GROUP BY 1)"""
             + _span_score_sql("orf", (term,) + tuple(near_terms), k))
 
 
@@ -5704,7 +5742,7 @@ def _interval_unordered_sql(terms: tuple[str, ...], k: int = 10) -> str:
     _span_windows_cte with no slop cap); 1/(1+ml) = the saturation
     contribution 1/max(len - minExtent + 1, 1)."""
     n = len(terms)
-    return (_PRELUDE + "," + _span_windows_cte(terms, 1 << 30) + """,
+    return (_PRELUDE + "," + _unordered_minwin_cte(terms, 1 << 30) + """,
 ifreq AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list(CAST(1.0 AS DOUBLE) / (1 + ml) ORDER BY l, r)),
           (a, b) -> CAST(CAST(a AS DOUBLE) + b AS FLOAT)) AS freq
@@ -5717,7 +5755,7 @@ def _interval_containing_sql(big_terms: tuple[str, ...], small: str,
     """containing(unordered(big_terms), small): big windows keeping one
     small position inside; contribution keyed on the BIG side's extent
     (ContainingIntervalsSource.minExtent = big.minExtent)."""
-    return (_PRELUDE + "," + _span_windows_cte(big_terms, 1 << 30) + f""",
+    return (_PRELUDE + "," + _unordered_minwin_cte(big_terms, 1 << 30) + f""",
 icont AS (SELECT w.doc_id, w.l, w.r, w.ml FROM wins w
           WHERE EXISTS (SELECT 1 FROM tok t
                         WHERE t.term = '{small}'
