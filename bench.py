@@ -238,6 +238,15 @@ def main() -> None:
         # (VERDICT r3 #6: must stay within 3x of q_sloppy_common)
         "q_repeat_degenerate": (Q.Phrase(("if", "return", "if"),
                                          slop=3), "auto"),
+        # exact NearSpansUnordered event-walk kernel on two COMMON
+        # terms (round-4 exact-port path — one batched pass)
+        "q_span_near_common": (Q.SpanNear(("if", "return"), slop=3,
+                                          in_order=False), "auto"),
+        # exact 3-clause ordered-interval wave kernel on common terms
+        # (round-4 lastStart-minimizing batched walk)
+        "q_interval_ordered3": (Q.Interval(
+            ("ordered", (("term", "if"), ("term", "return"),
+                         ("term", "def")))), "auto"),
     }
     for name, (q, mode) in search_cases.items():
         best = float("inf")
