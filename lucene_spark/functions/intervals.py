@@ -503,6 +503,52 @@ def batch_ordered_exact(streams: list[np.ndarray]) -> np.ndarray:
     BIG = np.int64(1) << np.int64(32)
     INF = np.iinfo(np.int64).max
 
+    # posInc-0 can duplicate a position WITHIN one clause stream; the
+    # wave kernel's value-space succ() skips the second copy while the
+    # reference's index-based iterators consume both — those docs take
+    # the exact per-doc walk (never triggers on standard-analyzed text)
+    dup = None
+    for s in streams:
+        d = np.unique((s[1:][s[1:] == s[:-1]]) >> np.int64(32))
+        dup = d if dup is None else np.union1d(dup, d)
+    if dup is not None and len(dup):
+        clean = []
+        for s in streams:
+            di = np.searchsorted(dup, s >> np.int64(32))
+            isdup = (di < len(dup)) & \
+                (dup[np.clip(di, 0, len(dup) - 1)] == (s >> np.int64(32)))
+            clean.append(s[~isdup])
+        fast = (batch_ordered_exact(clean)
+                if all(len(s) for s in clean) else _EMPTY)
+        parts = [fast] if len(fast) else []
+        for d in dup:
+            lo_k = np.int64(d) << np.int64(32)
+            hi_k = np.int64(d + 1) << np.int64(32)
+            subs = []
+            dead = False
+            for s in streams:
+                i0 = np.searchsorted(s, lo_k, side="left")
+                i1 = np.searchsorted(s, hi_k, side="left")
+                if i0 == i1:
+                    dead = True
+                    break
+                p = s[i0:i1] - lo_k
+                subs.append(np.stack([p, p, np.zeros(len(p), np.int64)],
+                                     axis=1))
+            if dead:
+                continue
+            em = ordered_walk_exact(subs)
+            if em:
+                arr = np.asarray(em, dtype=np.int64).reshape(-1, 3)
+                arr[:, 0] += lo_k
+                arr[:, 1] += lo_k
+                parts.append(arr)
+        if not parts:
+            return _EMPTY
+        allem = np.concatenate(parts)
+        order = np.argsort(allem[:, 0] >> np.int64(32), kind="stable")
+        return allem[order]
+
     def succ(a, x):
         """First key of a STRICTLY greater than x (INF if none)."""
         i = np.searchsorted(a, x, side="right")

@@ -43,14 +43,72 @@ def _term_stream(pm, t):
     return np.stack([a, a, np.zeros(len(a), np.int64)], axis=1)
 
 
+def _tree_of(kind, terms):
+    def t(x):
+        return ("term", x)
+
+    if kind == "o":
+        return ("ordered", tuple(t(x) for x in terms))
+    if kind == "u":
+        return ("unordered", tuple(t(x) for x in terms))
+    if kind == "or2":
+        return ("ordered", (("orterms", (terms[0], terms[1])),
+                            t(terms[2])))
+    if kind == "nest":
+        return ("ordered", (("ordered", (t(terms[0]), t(terms[1]))),
+                            t(terms[2])))
+    if kind == "unest":
+        return ("unordered", (("ordered", (t(terms[0]), t(terms[1]))),
+                              t(terms[2])))
+    if kind == "onestu":
+        return ("ordered", (("unordered", (t(terms[0]), t(terms[1]))),
+                            t(terms[2])))
+    if kind == "cont":
+        return ("containing", ("unordered", (t(terms[0]), t(terms[1]))),
+                t(terms[2]))
+    if kind == "cby":
+        return ("contained_by", t(terms[0]),
+                ("unordered", (t(terms[1]), t(terms[2]))))
+    raise ValueError(kind)
+
+
+def test_engine_eval_replays_reference_exactly():
+    """The ENGINE evaluation path (eval_intervals on doc-major global
+    keys — flattening, the batched exact ordered kernel with its
+    posInc-0 per-doc fallback, unordered windows, containing /
+    contained_by masks) replays every reference emission exactly, in
+    order, for all 135 fuzz queries across 8 source shapes."""
+    from lucene_spark.functions.intervals import eval_intervals
+    BIG = np.int64(1) << np.int64(32)
+    docs, queries = _load()
+    assert len(queries) == 135
+    pmap = {}
+    for t in ("t0", "t1", "t2", "t3"):
+        parts = [np.int64(d) * BIG
+                 + np.array(sorted(docs[d].get(t, [])), dtype=np.int64)
+                 for d in sorted(docs)]
+        pmap[t] = np.concatenate(parts)
+    bad = 0
+    total = 0
+    for kind, terms, exp in queries:
+        iv = eval_intervals(_tree_of(kind, terms), pmap)
+        got = [(int(s >> 32), int(s & 0xFFFFFFFF),
+                int(e & 0xFFFFFFFF), int(g)) for s, e, g in iv]
+        total += len(exp)
+        bad += got != exp
+    assert bad == 0, f"{bad} of {len(queries)} queries diverge"
+    assert total > 4000
+
+
 def test_perdoc_walk_replays_reference_exactly():
     from lucene_spark.functions.intervals import (ordered_walk_exact,
                                                   unordered_intervals)
     docs, queries = _load()
-    assert len(queries) == 90
     bad = 0
     total = 0
     for kind, terms, exp in queries:
+        if kind not in ("o", "nest", "or2", "u"):
+            continue
         got = []
         for did in sorted(docs):
             pm = docs[did]
@@ -82,7 +140,7 @@ def test_perdoc_walk_replays_reference_exactly():
                 got.append((did, s, e, g))
         total += len(exp)
         bad += got != exp
-    assert bad == 0, f"{bad} of {len(queries)} queries diverge"
+    assert bad == 0, "per-doc walk diverges"
     assert total > 3000
 
 
