@@ -5784,6 +5784,29 @@ ifreq AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
     return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
+def _interval_repeat_sql(term: str, count: int, k: int = 10) -> str:
+    """RepeatingIntervalsSource twin (reference build() collapses
+    ordered(t, t, ...) into a sliding window of ``count`` consecutive
+    occurrences — RepeatingIntervalsSource.java): window j =
+    [p_j, p_{j+count-1}]. minExtent is the INNER source's (1, not
+    count — Repeating.minExtent() delegates), so the freq contribution
+    is 1/max(len - 1 + 1, 1) = 1/len; f32-accumulated in window
+    order."""
+    return (_PRELUDE + f""",
+rp AS (SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rk
+       FROM tok WHERE term = '{term}'),
+rwin AS (SELECT a.doc_id, a.pos AS l, b.pos AS r
+         FROM rp a JOIN rp b
+           ON b.doc_id = a.doc_id AND b.rk = a.rk + {count - 1}),
+ifreq AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(1.0 AS DOUBLE)
+                 / greatest(r - l + 1 - 1 + 1, 1) ORDER BY l)),
+          (x, y) -> CAST(CAST(x AS DOUBLE) + y AS FLOAT)) AS freq
+          FROM rwin GROUP BY 1)"""
+            + _interval_score_sql("ifreq", k=k))
+
+
 def _interval_ordered_sql(streams: tuple, maxgaps: int | None = None,
                           k: int = 10) -> str:
     n = len(streams)
@@ -6352,6 +6375,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("unordered", (("ordered", (("term", T_COMMON),
                                         ("term", T_COMMON2))),
                            ("term", T_THIRD))))),
+        "interval_repeat_top10": _search(Q.Interval(
+            ("ordered", (("term", T_COMMON), ("term", T_COMMON))))),
         "interval_analyzed_text_top10": _search(Q.Interval(
             ("analyzed_text", f"{T_COMMON} {T_COMMON2}", 1, True))),
         "interval_block_nested_top10": _search(Q.Interval(
@@ -6502,6 +6527,7 @@ _PRIORITY = [
     "interval_block_nested_top10",
     "embed_hnsw_topk",
     # --- new in round 4 ---
+    "interval_repeat_top10",
     "bm25_soft_deleted_top10",
     "flexible_parse_top10",
     "points_range_top10",
@@ -6829,6 +6855,7 @@ reqopt AS (
             T_COMMON, T_COMMON2, T_THIRD),
         "interval_nested_unordered_top10": _interval_nested_sql(
             T_COMMON, T_COMMON2, T_THIRD, ordered=False),
+        "interval_repeat_top10": _interval_repeat_sql(T_COMMON, 2),
         "interval_analyzed_text_top10": _interval_ordered_sql(
             (T_COMMON, T_COMMON2), maxgaps=1),
         "interval_block_nested_top10": _interval_block_or_sql(

@@ -36,8 +36,12 @@ terms). Combinators (maxgaps/maxwidth/containing/contained_by/not_*/
 or/extend/non_overlapping/overlapping/offset) compose freely on
 interval streams, and the sugar factories before/after/within/
 not_within/unordered_no_overlaps desugar into those exactly as
-``Intervals.java`` composes them. Duplicate clause terms (the
-reference's RepeatingIntervalsSource) are unsupported, like spans.
+``Intervals.java`` composes them. Duplicate clause terms collapse into
+:func:`repeating_intervals` sliding windows exactly as the reference's
+build() deduplication does (adjacent-equal for ordered, global for
+unordered — RepeatingIntervalsSource), and compositions containing a
+Repeating clause run the exact per-doc walks (ordered lastStart /
+unordered queue incl. heap tie order).
 
 EXACTNESS (fuzz-pinned against the compiled reference, tests/data/
 lucene_diff/intervals_fuzz.tsv.gz + test_intervals_exact.py): ordered
@@ -303,18 +307,42 @@ def _flatten_same(children, kind: str) -> tuple:
     return tuple(out)
 
 
-def _ordered_over_exact(ivs: list[np.ndarray]) -> np.ndarray:
+def _group_emission(child, k: int, pmap) -> np.ndarray:
+    """Emission stream of one deduplicated clause group: the child's
+    own emissions (width-1 rows for streams), wrapped in
+    :func:`repeating_intervals` when the group collapsed k > 1 equal
+    sources."""
+    if _is_stream(child):
+        s = _stream_keys(child, pmap)
+        iv = np.stack([s, s, np.zeros(len(s), np.int64)], axis=1) \
+            if len(s) else _EMPTY
+    else:
+        iv = _norm_antichain(eval_intervals(child, pmap))
+    return repeating_intervals(iv, k) if k > 1 else iv
+
+
+def _ordered_over_exact(ivs: list[np.ndarray],
+                        force_walk: bool = False) -> np.ndarray:
     """Reference-exact ordered conjunction over general SUB-INTERVAL
     streams: per-doc :func:`ordered_walk_exact` (the cold path — flat
     term/orterms clauses take the batched kernels; this covers e.g.
     ordered(unordered(...), term) mixes). n <= 2 keeps the closed-form
-    :func:`ordered_over` (lazy walk ≡ declarative there)."""
+    :func:`ordered_over` (lazy walk ≡ declarative there) unless
+    ``force_walk`` (repeating clauses: sliding-window streams are not
+    covered by the n=2 equivalence argument)."""
     n = len(ivs)
     if n == 0 or any(len(v) == 0 for v in ivs):
         return _EMPTY
-    if n <= 2:
+    if n <= 2 and not force_walk:
         return ordered_over(ivs)
-    # split by doc, walk each doc that has every clause
+    return _per_doc_over(ivs, ordered_walk_exact)
+
+
+def _per_doc_over(ivs: list[np.ndarray], walk) -> np.ndarray:
+    """Split doc-major clause emission arrays per doc (docs holding
+    every clause), run the exact per-doc ``walk`` on local positions,
+    re-key and concatenate in doc order (within-doc emission order
+    preserved)."""
     docsets = []
     split = []
     for v in ivs:
@@ -334,13 +362,63 @@ def _ordered_over_exact(ivs: list[np.ndarray]) -> np.ndarray:
             b[:, 0] -= base
             b[:, 1] -= base
             subs.append(b)
-        em = ordered_walk_exact(subs)
+        em = walk(subs)
         if em:
             arr = np.asarray(em, dtype=np.int64).reshape(-1, 3)
             arr[:, 0] += base
             arr[:, 1] += base
             parts.append(arr)
     return np.concatenate(parts) if parts else _EMPTY
+
+
+def repeating_intervals(child_iv: np.ndarray, k: int) -> np.ndarray:
+    """RepeatingIntervalsSource's DuplicateIntervalIterator
+    (``queries/intervals/RepeatingIntervalsSource.java``): the
+    reference's build() collapses EQUAL clause sources into a sliding
+    window of k consecutive child emissions — emission j =
+    [child_j.start, child_{j+k-1}.end]. gaps replays the reference's
+    own width() arithmetic, which sums ``start - end + 1`` per cached
+    line (k for width-1 term inners): gaps = extent - Σ(s_i - e_i + 1).
+    Windows never cross a doc (nextDoc clears the cache)."""
+    m = len(child_iv) - k + 1
+    if m <= 0:
+        return np.empty((0, 4), dtype=np.int64)
+    s = child_iv[:m, 0]
+    e = child_iv[k - 1:, 1]
+    same = (s >> np.int64(32)) == (e >> np.int64(32))
+    line = child_iv[:, 0] - child_iv[:, 1] + 1
+    csum = np.concatenate([np.zeros(1, np.int64), np.cumsum(line)])
+    wsum = csum[k:] - csum[:-k]
+    gaps = (e - s + 1) - wsum
+    # 4th column: the iterator's width() — parent conjunctions subtract
+    # THIS (not the extent) in their slop bookkeeping
+    out = np.stack([s, e, gaps, wsum], axis=1)
+    return out[same]
+
+
+def _dedup_adjacent(children) -> list:
+    """OrderedIntervalsSource.deduplicate: ADJACENT equal sources
+    collapse into (source, count) groups."""
+    groups: list = []
+    for c in children:
+        if groups and groups[-1][0] == c:
+            groups[-1][1] += 1
+        else:
+            groups.append([c, 1])
+    return groups
+
+
+def _dedup_global(children) -> list:
+    """UnorderedIntervalsSource.deduplicate: ALL equal sources collapse
+    (LinkedHashMap — first-occurrence order)."""
+    order: list = []
+    counts: dict = {}
+    for c in children:
+        if c not in counts:
+            order.append(c)
+            counts[c] = 0
+        counts[c] += 1
+    return [[c, counts[c]] for c in order]
 
 
 def _norm_antichain(iv: np.ndarray) -> np.ndarray:
@@ -458,7 +536,11 @@ def ordered_walk_exact(subs: list) -> list:
             e = end(n - 1)
             slop = e - s0 + 1
             for j in range(n):
-                slop -= end(j) - start(j) + 1
+                # sub width(): 4-column rows (Repeating) carry their own
+                # width; default is the extent (IntervalIterator.java:74)
+                row = arrs[j][idx[j]]
+                slop -= int(row[3]) if row.shape[0] > 3 \
+                    else end(j) - start(j) + 1
             rec = (s0, e, slop)
             last_start = start(n - 1)
             i = 1
@@ -473,6 +555,97 @@ def ordered_walk_exact(subs: list) -> list:
         if r is None:
             return out
         out.append(r)
+
+
+def unordered_walk_exact(subs: list) -> list:
+    """Exact per-doc port of the reference's unordered interval
+    iterator (``queries/intervals/UnorderedIntervalsSource.java``
+    UnorderedIntervalIterator.nextInterval/reset) over general
+    sub-interval streams ((m, >=2) arrays of (start, end[, gaps,
+    width]) rows in emission order, LOCAL positions, one document).
+    Returns [(start, end, slop)] in emission order. The queue orders by
+    (start asc, end DESC) with heap-internal tie order (replicated via
+    the reference PriorityQueue's upHeap/downHeap — the nearspans
+    _LuceneHeap); end is the RUNNING queueEnd maximum; slop =
+    (end - start + 1) - Σ current sub widths (a 4th column carries a
+    Repeating sub's own width)."""
+    from .nearspans import _LuceneHeap
+    n = len(subs)
+    if n == 0:
+        return []
+    arrs = []
+    for s in subs:
+        a = np.asarray(s, dtype=np.int64)
+        arrs.append(a.reshape(len(a), -1) if a.size else
+                    np.empty((0, 3), dtype=np.int64))
+    idx = [0] * n
+
+    def row_width(j):
+        r = arrs[j][idx[j]]
+        return int(r[3]) if r.shape[0] > 3 else int(r[1]) - int(r[0]) + 1
+
+    def less(a, b):
+        # a.start < b.start || (a.start == b.start && a.end >= b.end)
+        return (a[0] < b[0]) or (a[0] == b[0] and a[1] >= b[1])
+
+    pq = _LuceneHeap(less)
+    queue_end = -1
+    # reset(): advance each sub once in order; a sub with no intervals
+    # leaves the queue short -> no emissions
+    for j in range(n):
+        if len(arrs[j]) == 0:
+            break
+        cell = [int(arrs[j][0, 0]), int(arrs[j][0, 1]), j]
+        pq.add(cell)
+        if cell[1] > queue_end:
+            queue_end = cell[1]
+    out = []
+    if len(pq.heap) - 1 < n:
+        return out
+    start = end = -1
+
+    def advance_top():
+        # PriorityQueue.pop (root <- last, downHeap), advance, re-add —
+        # the exact reference sequence; in-place root replacement would
+        # leave a different heap arrangement and change tie order
+        nonlocal queue_end
+        h = pq.heap
+        top = h[1]
+        last = h.pop()
+        if len(h) > 1:
+            h[1] = last
+            pq.update_top()
+        j = top[2]
+        idx[j] += 1
+        if idx[j] >= len(arrs[j]):
+            return False
+        top[0] = int(arrs[j][idx[j], 0])
+        top[1] = int(arrs[j][idx[j], 1])
+        pq.add(top)
+        if top[1] > queue_end:
+            queue_end = top[1]
+        return True
+
+    while True:
+        # one nextInterval() call
+        while len(pq.heap) - 1 == n and pq.heap[1][0] == start:
+            advance_top()
+        if len(pq.heap) - 1 < n:
+            return out
+        rec = None
+        while True:
+            start = pq.heap[1][0]
+            end = queue_end
+            slop = (end - start + 1) - sum(row_width(j) for j in range(n))
+            rec = (start, end, slop)
+            if pq.heap[1][1] == end:
+                break
+            advance_top()
+            if not (len(pq.heap) - 1 == n and end == queue_end):
+                break
+        out.append(rec)
+        if len(pq.heap) - 1 < n:
+            return out
 
 
 def batch_ordered_exact(streams: list[np.ndarray]) -> np.ndarray:
@@ -650,7 +823,9 @@ def unordered_over(ivs: list[np.ndarray]) -> np.ndarray:
         s, e = a[idxc, 0], a[idxc, 1]
         ok &= (s >> np.int64(32)) == edoc
         lmat[j] = s
-        wmat[j] = e - s + 1
+        # sub width(): Repeating rows (4 columns) carry the iterator's
+        # own width; default = extent
+        wmat[j] = a[idxc, 3] if a.shape[1] > 3 else e - s + 1
     if not ok.any():
         return _EMPTY
     L = lmat.min(axis=0)[ok]
@@ -736,22 +911,38 @@ def eval_intervals(tree, pmap: dict[str, np.ndarray]) -> np.ndarray:
         return np.stack([k, k, np.zeros(len(k), np.int64)], axis=1)
     if kind == "ordered":
         children = _flatten_same(tree[1], "ordered")
-        if all(_is_stream(c) for c in children):
-            streams = [_stream_keys(c, pmap) for c in children]
-            if len(children) <= 2:
-                # lazy walk ≡ declarative closed form for n <= 2
-                # (proven + fuzz-pinned, test_intervals_exact.py)
-                return ordered_intervals(streams)
-            return batch_ordered_exact(streams)
-        return _ordered_over_exact(
-            [_norm_antichain(eval_intervals(c, pmap)) for c in children])
+        groups = _dedup_adjacent(children)
+        if len(groups) == len(children):        # no duplicates
+            if all(_is_stream(c) for c in children):
+                streams = [_stream_keys(c, pmap) for c in children]
+                if len(children) <= 2:
+                    # lazy walk ≡ declarative closed form for n <= 2
+                    # (proven + fuzz-pinned, test_intervals_exact.py)
+                    return ordered_intervals(streams)
+                return batch_ordered_exact(streams)
+            return _ordered_over_exact(
+                [_norm_antichain(eval_intervals(c, pmap))
+                 for c in children])
+        srcs = [_group_emission(c, k, pmap) for c, k in groups]
+        if len(srcs) == 1:
+            return srcs[0][:, :3]   # build() returns the lone Repeating
+        return _ordered_over_exact(srcs, force_walk=True)
     if kind == "unordered":
         children = _flatten_same(tree[1], "unordered")
-        if all(_is_stream(c) for c in children):
-            return unordered_intervals(
-                [_stream_keys(c, pmap) for c in children])
-        return unordered_over([_norm_antichain(eval_intervals(c, pmap))
-                               for c in children])
+        groups = _dedup_global(children)
+        if len(groups) == len(children):
+            if all(_is_stream(c) for c in children):
+                return unordered_intervals(
+                    [_stream_keys(c, pmap) for c in children])
+            return unordered_over([_norm_antichain(eval_intervals(c, pmap))
+                                   for c in children])
+        srcs = [_group_emission(c, k, pmap) for c, k in groups]
+        if len(srcs) == 1:
+            return srcs[0][:, :3]
+        # repeating clauses: posInc-0 ties break the double-minimal
+        # antichain model (the reference queue emits contained windows
+        # too) — run the exact per-doc queue walk
+        return _per_doc_over(srcs, unordered_walk_exact)
     if kind == "phrase":
         if all(_is_stream(c) for c in tree[1]):
             return phrase_intervals(
@@ -836,7 +1027,16 @@ def min_extent(tree) -> int:
         # sum of the minShouldMatch smallest sub-extents
         # (MinimumShouldMatchIntervalsSource.java:103-113)
         return sum(sorted(min_extent(c) for c in tree[2])[:int(tree[1])])
-    if kind in ("ordered", "unordered", "phrase"):
+    if kind in ("ordered", "unordered"):
+        # mirror build(): flatten same-kind children, collapse equal
+        # sources into Repeating groups — Repeating.minExtent is the
+        # CHILD's minExtent (RepeatingIntervalsSource.java), counted
+        # once per group
+        children = _flatten_same(tree[1], kind)
+        groups = (_dedup_adjacent(children) if kind == "ordered"
+                  else _dedup_global(children))
+        return sum(min_extent(c) for c, _k in groups)
+    if kind == "phrase":
         return sum(min_extent(c) for c in tree[1])
     if kind in ("maxgaps", "maxwidth"):
         return min_extent(tree[1])

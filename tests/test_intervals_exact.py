@@ -1,8 +1,11 @@
-"""Exact ordered-interval walk vs the reference's own iterators:
+"""Exact interval walks vs the reference's own iterators:
 tests/data/lucene_diff/intervals_fuzz.tsv.gz holds every interval
-(start, end, gaps) the compiled reference emitted for 90 random
-ordered/unordered interval queries (flat 2-4 term clauses, ordered
-over an or-of-terms clause, ordered nested in ordered) over 400 random
+(start, end, gaps) the compiled reference emitted for 175 random
+interval queries across 10 source shapes (flat ordered/unordered 2-4
+term clauses, ordered over or-of-terms, nested same-kind flattening,
+unordered-over-ordered, ordered-over-unordered, containing,
+containedBy, and DUPLICATE clause terms — the RepeatingIntervalsSource
+sliding windows, ordered and unordered) over 400 random
 multi-occurrence docs with posInc-0 ties. The per-doc port, the
 batched wave kernel and the declarative unordered kernel must replay
 every interval exactly, in order — including the reference's build()
@@ -47,9 +50,9 @@ def _tree_of(kind, terms):
     def t(x):
         return ("term", x)
 
-    if kind == "o":
+    if kind in ("o", "odup"):
         return ("ordered", tuple(t(x) for x in terms))
-    if kind == "u":
+    if kind in ("u", "udup"):
         return ("unordered", tuple(t(x) for x in terms))
     if kind == "or2":
         return ("ordered", (("orterms", (terms[0], terms[1])),
@@ -77,11 +80,11 @@ def test_engine_eval_replays_reference_exactly():
     keys — flattening, the batched exact ordered kernel with its
     posInc-0 per-doc fallback, unordered windows, containing /
     contained_by masks) replays every reference emission exactly, in
-    order, for all 135 fuzz queries across 8 source shapes."""
+    order, for all 175 fuzz queries across 10 source shapes."""
     from lucene_spark.functions.intervals import eval_intervals
     BIG = np.int64(1) << np.int64(32)
     docs, queries = _load()
-    assert len(queries) == 135
+    assert len(queries) == 175
     pmap = {}
     for t in ("t0", "t1", "t2", "t3"):
         parts = [np.int64(d) * BIG
