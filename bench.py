@@ -242,6 +242,10 @@ def main() -> None:
         # terms (round-4 exact-port path — one batched pass)
         "q_span_near_common": (Q.SpanNear(("if", "return"), slop=3,
                                           in_order=False), "auto"),
+        # duplicate clause terms on a COMMON term: the batched multiset
+        # kernel (clustered tied cells), NOT the per-doc heap walk
+        "q_span_repeat_common": (Q.SpanNear(("if", "if"), slop=3,
+                                            in_order=False), "auto"),
         # exact 3-clause ordered-interval wave kernel on common terms
         # (round-4 lastStart-minimizing batched walk)
         "q_interval_ordered3": (Q.Interval(
