@@ -365,7 +365,10 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                 all(isinstance(t, str) for t in node.terms):
             if any(df_of(t) == 0 for t in node.terms):
                 return None
-            w = multi_weight([df_of(t) for t in node.terms])
+            # SpanWeight.buildSimWeight keys termStates by TERM (a Map)
+            # — duplicate clause terms contribute idf ONCE, unlike
+            # PhraseWeight's per-occurrence array (differential q97-q100)
+            w = multi_weight([df_of(t) for t in dict.fromkeys(node.terms)])
             return CSpanNear(tuple(node.terms), w, node.slop, node.in_order)
         if isinstance(node, (Q.SpanOr, Q.SpanNot, Q.SpanFirst,
                              Q.SpanPositionRange,

@@ -221,7 +221,9 @@ class OracleIndex:
         for m in maps[1:]:
             common &= set(m)
         cache = self._cache(k1, b)
-        w = idf_sum([self.df(t) for t in query.terms], self.doc_count)
+        # SpanWeight termStates Map: duplicate clause terms idf ONCE
+        w = idf_sum([self.df(t) for t in dict.fromkeys(query.terms)],
+                    self.doc_count)
         one = np.float32(1.0)
         out: dict[int, np.float32] = {}
         for d in common:

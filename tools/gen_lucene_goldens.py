@@ -371,6 +371,14 @@ q93\tcommon\t0.9\tspark\tmerge\tscan
 q94\tfilterq\tspark\tmerge
 q95\tfilterq\tcustomer\tthe
 q96\tfilteror\tspark\tmerge\tscan
+q97\tspannear\t3\t0\tthe\tthe
+q98\tspannear\t3\t1\tthe\tthe
+q99\tspannear\t4\t0\tspark\tmerge\tspark
+q100\tspannear\t5\t1\tspark\tmerge\tspark
+q101\tiordered\tthe\tthe
+q102\tiordered\tthe\tthe\tmerge
+q103\tiunordered\tthe\tthe\tmerge
+q104\tiordered\tspark\tmerge\tspark
 """
 
 
