@@ -6323,6 +6323,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_term_top10": _q_dfr_term,
         "bm25_fuzzy_blended_top10": _q_fuzzy_blended,
         "span_near_top10": _q_span_near,
+        "span_repeat_top10": _search(Q.SpanNear(
+            (T_COMMON, T_COMMON), slop=3, in_order=False)),
         "span_or_top10": _q_span_or,
         "span_not_top10": _q_span_not,
         "span_first_top10": _q_span_first,
@@ -6528,6 +6530,7 @@ _PRIORITY = [
     "embed_hnsw_topk",
     # --- new in round 4 ---
     "interval_repeat_top10",
+    "span_repeat_top10",
     "bm25_soft_deleted_top10",
     "flexible_parse_top10",
     "points_range_top10",
@@ -6770,6 +6773,27 @@ def oracle_sql() -> dict[str, str]:
         "covering_top10": _covering_sql(
             (T_COMMON, T_COMMON2, T_THIRD, T_RARE)),
         "span_near_top10": _span_near_sql((T_COMMON, T_COMMON2), 3),
+        # duplicate clause terms, single common term, k=2 (the batched
+        # multiset kernel): every pop of position p emits width 1 (the
+        # other tied cell still AT p -> 1/2), then the second copy pops
+        # with the first advanced to lead(p): width = lead - p + 1,
+        # matching when width - 2 <= slop; ONE copy at the doc's last
+        # position (first clause-final pop ends the walk); idf ONCE
+        # (SpanWeight termStates Map)
+        "span_repeat_top10": _PRELUDE + f""",
+rp AS (SELECT doc_id, pos,
+              lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       FROM tok WHERE term = '{T_COMMON}'),
+rcontrib AS (
+  SELECT doc_id, pos, 0 AS cp, CAST(0.5 AS DOUBLE) AS wgt FROM rp
+  UNION ALL
+  SELECT doc_id, pos, 1 AS cp,
+         CAST(1.0 AS DOUBLE) / (1 + (nxt - pos + 1)) AS wgt
+  FROM rp WHERE nxt IS NOT NULL AND (nxt - pos + 1) - 2 <= 3),
+spf AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(wgt ORDER BY pos, cp)),
+          (x, y) -> CAST(CAST(x AS DOUBLE) + y AS FLOAT)) AS freq
+        FROM rcontrib GROUP BY 1)""" + _span_score_sql("spf", (T_COMMON,), 10),
         "span_or_top10": _span_or_sql(T_COMMON, (T_A, T_B), 3),
         "span_not_top10": _span_not_sql((T_COMMON, T_COMMON2), 3, T_THIRD),
         "span_first_top10": _span_first_sql(T_COMMON, 20),
