@@ -4814,9 +4814,9 @@ def _q_soft_deleted_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SpanNearQuery (unordered, slop=3) — greedy/minimal-window matcher
-    shared with the oracle; not SQL-expressible → rows-only check, float
-    parity pytest-gated (tests/test_spans.py)."""
+    """SpanNearQuery (unordered, slop=3) — the exact NearSpansUnordered
+    event walk shared with the oracle; twin = the exact walk in SQL
+    (_span_near_sql)."""
     s = _searcher(spark, sf_dir)
     q = Q.SpanNear((T_COMMON, T_COMMON2), slop=3, in_order=False)
     return _fmt_topk(s.search(q, k=10))
