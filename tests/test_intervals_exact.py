@@ -1,11 +1,12 @@
 """Exact interval walks vs the reference's own iterators:
 tests/data/lucene_diff/intervals_fuzz.tsv.gz holds every interval
-(start, end, gaps) the compiled reference emitted for 175 random
-interval queries across 10 source shapes (flat ordered/unordered 2-4
+(start, end, gaps) the compiled reference emitted for 187 random
+interval queries across 11 source shapes (flat ordered/unordered 2-4
 term clauses, ordered over or-of-terms, nested same-kind flattening,
 unordered-over-ordered, ordered-over-unordered, containing,
-containedBy, and DUPLICATE clause terms — the RepeatingIntervalsSource
-sliding windows, ordered and unordered) over 400 random
+containedBy, and DUPLICATE clauses — RepeatingIntervalsSource sliding
+windows over term AND general (equal unordered) children, ordered and
+unordered) over 400 random
 multi-occurrence docs with posInc-0 ties. The per-doc port, the
 batched wave kernel and the declarative unordered kernel must replay
 every interval exactly, in order — including the reference's build()
@@ -72,6 +73,9 @@ def _tree_of(kind, terms):
     if kind == "cby":
         return ("contained_by", t(terms[0]),
                 ("unordered", (t(terms[1]), t(terms[2]))))
+    if kind == "odupg":
+        u = ("unordered", (t(terms[0]), t(terms[1])))
+        return ("ordered", (u, u, t(terms[2])))
     raise ValueError(kind)
 
 
@@ -80,11 +84,11 @@ def test_engine_eval_replays_reference_exactly():
     keys — flattening, the batched exact ordered kernel with its
     posInc-0 per-doc fallback, unordered windows, containing /
     contained_by masks) replays every reference emission exactly, in
-    order, for all 175 fuzz queries across 10 source shapes."""
+    order, for all 187 fuzz queries across 11 source shapes."""
     from lucene_spark.functions.intervals import eval_intervals
     BIG = np.int64(1) << np.int64(32)
     docs, queries = _load()
-    assert len(queries) == 175
+    assert len(queries) == 187
     pmap = {}
     for t in ("t0", "t1", "t2", "t3"):
         parts = [np.int64(d) * BIG
