@@ -261,6 +261,10 @@ def main() -> None:
         queries[name] = round(best, 3)
 
     # --- batch search: the reference-style 60-query workload in ONE job
+    # (gated: the long all-32-core batch is the phase most exposed to a
+    # mid-run hypervisor credit drain — §17 observed a 2x qps dip here
+    # while every gated phase stayed clean)
+    kstate.wait_clean("batch60")
     from lucene_spark.sources.queryset import generate_query_set
     term_dfs = {r["term"]: int(r["df"])
                 for r in s.term_stats.orderBy("term").limit(4000).collect()}
@@ -274,6 +278,7 @@ def main() -> None:
     queries["q_batch60_qps"] = round(len(workload) / best, 1)
 
     # --- pipeline operators over driver testdata -----------------------
+    kstate.wait_clean("pipeline")
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     t0 = time.time()
     dedup.minhash_near_duplicates(docs, threshold=0.8).count()
