@@ -379,6 +379,10 @@ q101\tiordered\tthe\tthe
 q102\tiordered\tthe\tthe\tmerge
 q103\tiunordered\tthe\tthe\tmerge
 q104\tiordered\tspark\tmerge\tspark
+q105\tphrase\t2\tthe\tthe
+q106\tphrase\t3\tspark\tspark
+q107\tphrase\t3\tthe\tspark\tthe
+q108\tphrase\t4\tspark\tthe\tthe
 """
 
 
