@@ -1147,10 +1147,13 @@ def _sloppy_phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
 def _sloppy_repeat_freqs(terms: tuple[str, ...], ctx: _SegContext,
                          lo: int, hi: int, slop: int,
                          offs: list[int]) -> np.ndarray:
-    """Duplicate-clause-term sloppy phrase (the reference's repeats
-    machinery, ``SloppyPhraseMatcher.java:53`` advanceRpts role) with the
-    declarative multiset minimal-window semantics — see
-    ``functions.spans.multiset_sloppy_freq`` for the divergence note."""
+    """Duplicate-clause-term sloppy phrase — the reference's EXACT
+    repeats machinery (``SloppyPhraseMatcher.java`` advanceRpts
+    collision walk, golden-pinned against the compiled reference):
+    single-repeated-term default-position queries keep the consecutive
+    m-run closed form (proven ≡ the exact walk, 4000-case fuzz); every
+    mixed shape runs the wave-lockstep batched walk
+    (``functions.sloppy.batch_lucene_repeat_freqs``)."""
     m = len(terms)
     if len(set(terms)) == 1 and offs == list(range(m)):
         # the "t t ... t" default-positions case ("if if"~N on a common
@@ -1186,34 +1189,25 @@ def _sloppy_repeat_freqs(terms: tuple[str, ...], ctx: _SegContext,
 
 
 def _batched_repeat_freqs(terms: tuple[str, ...], ctx: _SegContext,
-                          lo: int, hi: int, slop: int, offs: list[int],
-                          ml_n: int | None = None) -> np.ndarray:
-    """Duplicate-clause sloppy/span frequency for every doc in one
-    vectorized pass: each repeated term's injective assignments collapse
-    to a Pareto envelope interval stream, and the containment-minimal
-    complete windows come from the interval module's unordered kernel
-    (``functions.spans.batch_multiset_sloppy_freqs``) — no per-candidate
-    Python loop, so a repeated COMMON term ("if … if" over code) costs
-    the same work class as the plain sloppy kernel."""
-    from ..functions.spans import batch_multiset_sloppy_freqs
+                          lo: int, hi: int, slop: int,
+                          offs: list[int]) -> np.ndarray:
+    """Mixed duplicate-clause sloppy phrase for every doc in one
+    wave-lockstep pass — the EXACT advanceRpts walk
+    (``functions.sloppy.batch_lucene_repeat_freqs``; one PhrasePositions
+    step per wave across all candidate docs, so a repeated COMMON term
+    ("if … if" over code) stays off the per-doc Python path)."""
+    from ..functions.sloppy import batch_lucene_repeat_freqs
     n = hi - lo
-    BIG = np.int64(1) << np.int64(32)
     pad = max(offs) + 1
-    offs_by_term: dict[str, list[int]] = {}
+    keys = _clause_pos_keys(terms, ctx, lo, hi, offsets=offs, pad=pad)
+    if keys is None:
+        return np.zeros(n, dtype=np.float64)
+    gmap: dict[str, list[int]] = {}
     for j, t in enumerate(terms):
-        offs_by_term.setdefault(t, []).append(offs[j])
-    keys_by_term: dict[str, np.ndarray] = {}
-    for t in offs_by_term:
-        tp = ctx.tp(t)
-        if tp is None:
-            return np.zeros(n, dtype=np.float64)
-        ids, tfs = tp.decode_all()
-        pos = tp.positions()
-        docs_rep = np.repeat(ids, tfs)
-        sel = (docs_rep >= lo) & (docs_rep < hi)
-        keys_by_term[t] = (docs_rep[sel] - lo) * BIG + (pos[sel] + pad)
-    return batch_multiset_sloppy_freqs(keys_by_term, offs_by_term,
-                                       slop, n, ml_n=ml_n)
+        gmap.setdefault(t, []).append(j)
+    groups = [tuple(sorted(g, key=lambda j: offs[j]))
+              for g in gmap.values() if len(g) > 1]
+    return batch_lucene_repeat_freqs(keys, offs, slop, n, groups)
 
 
 def _payload_check_freqs(node: "CPayloadCheck", ctx: _SegContext,

@@ -170,10 +170,10 @@ class OracleIndex:
     def _sloppy_phrase_scores(self, terms: list[str], slop: int,
                               k1: float, b: float,
                               positions=None) -> dict[int, np.float32]:
-        """n-term sloppy phrase: shared minimal-interval matcher over
-        offset-adjusted positions (functions.spans.sloppy_phrase_freq,
-        the SloppyPhraseMatcher role), idf-sum weight."""
-        from .functions.spans import multiset_sloppy_freq, sloppy_phrase_freq
+        """n-term sloppy phrase: the exact SloppyPhraseMatcher walks
+        (functions/sloppy.py — pq walk; advanceRpts for duplicate
+        clause terms), idf-sum weight (per clause occurrence, the
+        PhraseWeight termStats array)."""
         repeats = len(set(terms)) != len(terms)
         maps = [{d: np.asarray(sorted(pl), dtype=np.int64)
                  for d, _, pl in self.postings.get(t, ())}
@@ -187,12 +187,13 @@ class OracleIndex:
         out: dict[int, np.float32] = {}
         for d in common:
             if repeats:
-                # duplicate clause terms: injective multiset windows
-                # (multiset_sloppy_freq divergence note)
-                freq = multiset_sloppy_freq(
-                    list(terms),
-                    {t: m[d] for t, m in zip(terms, maps)}, slop,
-                    list(positions) if positions else None)
+                # duplicate clause terms: the EXACT advanceRpts walk
+                # (functions/sloppy.py, golden-pinned vs the compiled
+                # reference — sloppy_repeat_fuzz.tsv.gz)
+                from .functions.sloppy import lucene_sloppy_repeat_freq
+                freq = lucene_sloppy_repeat_freq(
+                    [m[d] for m in maps], slop,
+                    offsets=list(positions) if positions else None)
             else:
                 # OPERATIONAL Lucene matcher (functions/sloppy.py) —
                 # the declarative minimal-interval model diverges from

@@ -146,17 +146,15 @@ def _goldens():
     return out
 
 
-# SpanNear (q56-q61) became bit-exact with the exact
-# NearSpansOrdered/Unordered ports (functions/nearspans.py); the
-# 3-clause ordered interval (q67) with the exact lastStart-minimizing
-# walk (functions/intervals.py); duplicate-clause span/interval
-# scoring (q97-q104) is exact too. The one OPEN freq divergence:
-# sloppy phrases whose duplicate terms mix with distinct ones in
-# specific shapes (q108 "spark the the"~4) — the engine's injective
-# multiset windows vs SloppyPhraseMatcher's advanceRpts collision walk
-# (single-term-only repeats q105/q106 and the a-b-a shape q107 DO
-# coincide). Match sets stay identical (asserted below).
-_KNOWN_FREQ_DIVERGENT: set = {"q108"}
+# EMPTY: every freq-divergence class is closed. SpanNear (q56-q61)
+# with the exact NearSpansOrdered/Unordered ports; ordered intervals
+# (q67) with the exact lastStart-minimizing walk; duplicate-clause
+# span/interval scoring (q97-q104); and sloppy-phrase REPEATS
+# (q105-q108) with the exact advanceRpts collision walk
+# (functions/sloppy.py lucene_sloppy_repeat_matches +
+# batch_lucene_repeat_freqs, golden-pinned by
+# sloppy_repeat_fuzz.tsv.gz).
+_KNOWN_FREQ_DIVERGENT: set = set()
 
 # Java's Math.log and glibc's log differ by 1 ulp on some arguments
 # (verified bit-for-bit on doc 44's H2 argument: Java ...707d vs glibc
