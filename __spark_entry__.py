@@ -6274,6 +6274,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infix_suggest": _q_infix_suggest,
         "bm25_repeat_sloppy_top10": _search(
             Q.Phrase((T_RARE, T_RARE), slop=2)),
+        # mixed duplicate shape: the exact advanceRpts collision walk
+        # (wave-batched). No SQL twin — the walk is a stateful pq
+        # simulation; correctness is pinned by the 100-query
+        # compiled-reference golden corpus (test_sloppy_repeats_exact)
+        # and engine≡oracle float parity, so the driver records a
+        # rows-only check here by design.
+        "bm25_repeat_mixed_top10": _search(
+            Q.Phrase((T_COMMON, T_COMMON2, T_COMMON), slop=4)),
         "payload_check_top10": _q_payload_check,
         "span_posrange_top10": _search(
             Q.SpanPositionRange(Q.Term(T_COMMON), 5, 25)),
@@ -6531,6 +6539,7 @@ _PRIORITY = [
     # --- new in round 4 ---
     "interval_repeat_top10",
     "span_repeat_top10",
+    "bm25_repeat_mixed_top10",
     "bm25_soft_deleted_top10",
     "flexible_parse_top10",
     "points_range_top10",
