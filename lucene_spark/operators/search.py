@@ -1133,9 +1133,8 @@ def _sloppy_phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
     n = hi - lo
     offs = list(positions) if positions else list(range(len(terms)))
     if len(set(terms)) != len(terms):
-        # duplicate clause terms: injective-assignment multiset windows,
-        # batched (Pareto envelope streams + the interval containment
-        # kernel — functions.spans.batch_multiset_sloppy_freqs)
+        # duplicate clause terms: the exact advanceRpts walk (closed
+        # form for single-term repeats, wave-batched otherwise)
         return _sloppy_repeat_freqs(terms, ctx, lo, hi, slop, offs)
     keys = _clause_pos_keys(terms, ctx, lo, hi, offsets=offs,
                             pad=max(offs) + 1)
