@@ -18,12 +18,15 @@ once on doc-major global keys ``doc << 32 | position`` (positions
 < 2^31, so doc key ranges are disjoint and wider than any interval —
 the same embedding the batched span kernels use):
 
-* ordered  — closed form of the reference's lazy loop: for each
-  first-clause position f the greedy chain end R(f) is nondecreasing in
-  f within a doc, so the minimal intervals are exactly [f, R(f)] for the
-  LAST alive f of each distinct (doc, R) — one vectorized pass.
+* ordered, n <= 2 — closed form of the reference's lazy loop: the
+  minimal intervals are [f, R(f)] for the LAST alive f of each
+  distinct (doc, R) — one vectorized pass (provably ≡ the lazy walk
+  at n <= 2).
+* ordered, n >= 3 — :func:`batch_ordered_exact`, the wave-lockstep
+  closed form of the exact lastStart-minimizing walk.
 * unordered — the double-minimal complete windows (both-side minimal),
-  shared with the sloppy-phrase kernel.
+  shared with the sloppy-phrase kernel (fuzz-pinned ≡ the reference's
+  queue walk for 2-4 clauses).
 * phrase (BlockIntervalsSource) — consecutive chain via key probes.
 
 Scope (documented): ordered/unordered clauses may be ANY interval
