@@ -3526,6 +3526,126 @@ phsc AS (
 )""" + _topk_sql("phsc", k))
 
 
+def _repeat_mixed_sloppy_sql(ta: str, tb: str, slop: int,
+                             k: int = 10) -> str:
+    """EXACT advanceRpts twin for the (a, b, a) duplicate shape
+    (SloppyPhraseMatcher with repeats — functions/sloppy.py
+    lucene_sloppy_repeat_matches): clauses 0 and 2 share term a's
+    stream (adjusted by offsets 0 and 2) and form one repeat group;
+    because they walk ONE ranked stream, a collision (equal token
+    position) is exactly EQUAL INDICES, and the colliding lesser —
+    same raw position, higher offset ⇒ smaller adjusted position — is
+    ALWAYS clause 2, so the whole collision machinery reduces to "bump
+    i2 once when i0 == i2". One recursion step = one PhrasePositions
+    advance: pop total order (position, offset=ord), stale ``nxt``,
+    running ``end``, emit f32 1/(1+ml) on ``cur > nxt`` or exhaustion.
+    Init = advanceRepeatGroups: i2 starts at the SECOND occurrence.
+    Weight: idf per clause occurrence (PhraseWeight termStats array:
+    2x idf(a) + idf(b))."""
+    emit = (f"CASE WHEN ml <= {slop} THEN "
+            "CAST(freq + CAST(CAST(1.0 AS FLOAT) / CAST(1 + ml AS FLOAT)"
+            " AS FLOAT) AS FLOAT) ELSE freq END")
+    return (_PRELUDE + f""",
+rarrs AS (
+  SELECT d.doc_id,
+         (SELECT list(pos ORDER BY pos) FROM tok t
+          WHERE t.term = '{ta}' AND t.doc_id = d.doc_id) AS A,
+         (SELECT list(pos - 1 ORDER BY pos) FROM tok t
+          WHERE t.term = '{tb}' AND t.doc_id = d.doc_id) AS B
+  FROM (SELECT DISTINCT doc_id FROM tok) d
+),
+rdocs0 AS (SELECT * FROM rarrs WHERE len(A) >= 2 AND len(B) >= 1),
+rwalk AS (
+  WITH RECURSIVE w(doc_id, A, B, i0, i1, i2, endp, ml, j, nxt, freq,
+                   active, step) AS (
+    SELECT doc_id, A, B, 1, 1, 2, endp,
+           endp - CASE jm WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END,
+           jm,
+           least(CASE WHEN jm = 0 THEN NULL ELSE c0 END,
+                 CASE WHEN jm = 1 THEN NULL ELSE c1 END,
+                 CASE WHEN jm = 2 THEN NULL ELSE c2 END),
+           CAST(0.0 AS FLOAT), TRUE, 0
+    FROM (
+      SELECT *, greatest(c0, c1, c2) AS endp,
+             CASE WHEN c0 <= c1 AND c0 <= c2 THEN 0
+                  WHEN c1 <= c2 THEN 1 ELSE 2 END AS jm
+      FROM (SELECT doc_id, A, B, A[1] AS c0, B[1] AS c1,
+                   A[2] - 2 AS c2
+            FROM rdocs0)
+    )
+    UNION ALL
+    SELECT doc_id, A, B, ni0, ni1, ni2,
+           CASE WHEN dead THEN endp ELSE nend END,
+           CASE WHEN dead THEN ml
+                WHEN past THEN nend
+                     - CASE njm WHEN 0 THEN nc0 WHEN 1 THEN nc1
+                       ELSE nc2 END
+                ELSE least(ml, nend - curj) END,
+           CASE WHEN dead OR NOT past THEN j ELSE njm END,
+           CASE WHEN dead OR NOT past THEN nxt
+                ELSE least(CASE WHEN njm = 0 THEN NULL ELSE nc0 END,
+                           CASE WHEN njm = 1 THEN NULL ELSE nc1 END,
+                           CASE WHEN njm = 2 THEN NULL ELSE nc2 END)
+                END,
+           CASE WHEN dead OR past THEN {emit} ELSE freq END,
+           NOT dead,
+           step + 1
+    FROM (
+      SELECT *,
+             CASE WHEN dead THEN 0
+                  WHEN nc0 <= nc1 AND nc0 <= nc2 THEN 0
+                  WHEN nc1 <= nc2 THEN 1 ELSE 2 END AS njm,
+             CASE WHEN dead THEN FALSE ELSE curj > nxt END AS past
+      FROM (
+        SELECT *, greatest(endp, nc0, nc1, nc2) AS nend,
+               CASE j WHEN 0 THEN nc0 WHEN 1 THEN nc1 ELSE nc2 END
+                 AS curj
+        FROM (
+          SELECT *,
+                 CASE WHEN dead THEN 0 ELSE A[ni0] END AS nc0,
+                 CASE WHEN dead THEN 0 ELSE B[ni1] END AS nc1,
+                 CASE WHEN dead THEN 0 ELSE A[ni2] - 2 END AS nc2
+          FROM (
+            SELECT *, (i0a > len(A) OR i1a > len(B) OR i2b > len(A))
+                      AS dead,
+                   i0a AS ni0, i1a AS ni1, i2b AS ni2
+            FROM (
+              SELECT *, CASE WHEN i0a = i2a THEN i2a + 1 ELSE i2a END
+                        AS i2b
+              FROM (
+                SELECT *,
+                       i0 + CASE WHEN j = 0 THEN 1 ELSE 0 END AS i0a,
+                       i1 + CASE WHEN j = 1 THEN 1 ELSE 0 END AS i1a,
+                       i2 + CASE WHEN j = 2 THEN 1 ELSE 0 END AS i2a
+                FROM w WHERE active
+              )
+            )
+          )
+        )
+      )
+    )
+  )
+  SELECT * FROM w
+),
+rph AS (
+  SELECT doc_id, freq FROM (
+    SELECT doc_id, freq,
+           row_number() OVER (PARTITION BY doc_id ORDER BY step DESC)
+             AS rn
+    FROM rwalk) WHERE rn = 1 AND freq > 0
+),
+rphw AS (SELECT CAST(CAST(wa.w AS DOUBLE) + CAST(wb.w AS DOUBLE)
+                     + CAST(wa.w AS DOUBLE) AS FLOAT) AS w
+         FROM (SELECT {_w_expr(ta)} AS w) wa,
+              (SELECT {_w_expr(tb)} AS w) wb),
+rphsc AS (
+  SELECT p.doc_id,
+         (w.w - w.w / (CAST(1 AS FLOAT) + CAST(p.freq AS FLOAT) * c.inv))
+           AS s
+  FROM rph p JOIN normcache c ON p.doc_id = c.doc_id CROSS JOIN rphw w
+)""" + _topk_sql("rphsc", k))
+
+
 def _span_near_sql(terms: tuple[str, ...], slop: int, k: int = 10) -> str:
     """Unordered SpanNear (NearSpansUnordered role) as SQL — the EXACT
     event-walk semantics (functions/nearspans.py): one state per merged
@@ -6274,12 +6394,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infix_suggest": _q_infix_suggest,
         "bm25_repeat_sloppy_top10": _search(
             Q.Phrase((T_RARE, T_RARE), slop=2)),
-        # mixed duplicate shape: the exact advanceRpts collision walk
-        # (wave-batched). No SQL twin — the walk is a stateful pq
-        # simulation; correctness is pinned by the 100-query
-        # compiled-reference golden corpus (test_sloppy_repeats_exact)
-        # and engine≡oracle float parity, so the driver records a
-        # rows-only check here by design.
+        # mixed duplicate shape on the exact advanceRpts collision
+        # walk (wave-batched); twin = the same walk as a recursive CTE
         "bm25_repeat_mixed_top10": _search(
             Q.Phrase((T_COMMON, T_COMMON2, T_COMMON), slop=4)),
         "payload_check_top10": _q_payload_check,
@@ -8042,6 +8158,8 @@ prf AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq
         WHERE term = '{T_COMMON}' AND pos >= 5 AND pos + 1 <= 25
         GROUP BY 1)"""
         + _span_score_sql("prf", (T_COMMON,), 10),
+        "bm25_repeat_mixed_top10": _repeat_mixed_sloppy_sql(
+            T_COMMON, T_COMMON2, 4),
         "bm25_repeat_sloppy_top10": _PRELUDE + f""",
 rp AS (SELECT doc_id, pos,
               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
