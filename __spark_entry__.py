@@ -6602,72 +6602,68 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _PRIORITY = [
-    # Round-4 rotation (VERDICT r3 #1): the driver caps CORRECTNESS at
-    # 50 entries, so ordering IS coverage. Slots 1-42: every entry never
-    # driver-checked in r1-r3 (incl. the 5 that were absent from the old
-    # list entirely). Slots 43+: the r2-green entries sitting on kernels
-    # rewritten in r3 (sloppy/span/boolean), then the remaining r2-greens,
-    # then the r3-fresh rows last. New round-4 entries are inserted just
-    # after the never-checked block so they land under the cap too.
-    # --- never driver-checked (r1-r3) ---
-    "bm25_synonym_boosted_top10",
-    "bm25_multiphrase_top10",
-    "bm25_gap_phrase_top10",
-    "bm25_prefix_multiphrase_top10",
-    "bm25_gap_sloppy_top10",
-    "covering_top10",
-    "decontamination_flags",
-    "shard_assignment",
-    "mixture_sample",
-    "repetition_stats",
-    "span_not_window_top10",
-    "facet_path_counts",
-    "sorted_index_topk",
-    "payload_score_top10",
-    "docvalues_updated",
-    "function_score_updated_top10",
-    "feature_saturation_top10",
-    "feature_sigmoid_top10",
-    "bm25_feature_log_top10",
-    "geo_box_count",
-    "geo_nearest_top10",
-    "geo_distance_count",
-    "geo_polygon_docs",
-    "drill_down_path",
-    "block_join_children_topk",
-    "assoc_facet_sum",
-    "simple_parse_top10",
-    "interval_unordered_top10",
-    "interval_containing_top10",
-    "bm25_synonym_indexed_top10",
-    "common_terms_top10",
-    "interval_prefix_top10",
-    "interval_or_ordered_top10",
-    "interval_atleast_top10",
-    "interval_before_top10",
-    "interval_after_top10",
-    "interval_within_top10",
-    "interval_nested_ordered_top10",
-    "interval_nested_unordered_top10",
-    "interval_analyzed_text_top10",
-    "interval_block_nested_top10",
-    "embed_hnsw_topk",
-    # --- new in round 4 ---
-    "interval_repeat_top10",
-    "span_repeat_top10",
-    "bm25_repeat_mixed_top10",
-    "bm25_soft_deleted_top10",
-    "flexible_parse_top10",
-    "points_range_top10",
-    "xml_parse_top10",
-    "highlight_tv_top5",
+    # Round-5 rotation (VERDICT r4 #1): the driver caps CORRECTNESS at 50
+    # entries, so ordering IS coverage. Head block: 48 never-driver-checked
+    # entries (analyzer families, classification, expressions, similarity
+    # SPI, grouping/DV-set, suggest singletons) + 2 slots for the round-5
+    # composite-span-repeat / multiphrase-repeat entries inserted at the
+    # very top when implemented. None of the head-50 was green in r04, so
+    # the never-checked backlog drops 88 -> ~40. The r2-stale core
+    # (span/boolean/WAND on r3/r4-rewritten kernels) follows immediately
+    # after the never-checked block; its independent record is the
+    # compiled-Lucene differential + the full local sweep.
+    # --- never driver-checked: head (under the 50-row cap) ---
     "dedup_cluster_roots",
-    "bm25_stem_de_top10",
-    "stem_de_term_stats",
-    "bm25_elision_fr_top10",
-    "elision_fr_term_stats",
+    "expression_rescore_top10",
     "combined_field_top10",
+    "bm25_stem_de_top10",
+    "bm25_snowball_ru_top10",
+    "bm25_hunspell_top10",
+    "bm25_smartcn_top10",
     "bm25_cjk_top10",
+    "bm25_icu_fold_top10",
+    "distinct_values",
+    "diversified_topk",
+    "doc_values_stats",
+    "group_facet_counts",
+    "bm25nb_classify_docs",
+    "knn_classify_text",
+    "perceptron_assign",
+    "confusion_nb_metrics",
+    "nb_document_classify",
+    "knn_document_top",
+    "dataset_split_assign",
+    "ib_ll_term_top10",
+    "axiomatic_f2log_term_top10",
+    "indri_term_top10",
+    "indri_and_top10",
+    "multi_sim_term_top10",
+    "dv_numbers_in_set",
+    "dv_terms_in_set",
+    "facet_sum_value_source",
+    "range_field_relations",
+    "multi_range_query",
+    "bm25_filter_top10",
+    "leading_wildcard_query",
+    "spell_scored_suggest",
+    "fuzzy_like_this_top10",
+    "blended_infix_suggest",
+    "phrase_wildcard_top10",
+    "auto_stopword_top10",
+    "payloads_for_query",
+    "fingerprint_token",
+    "bm25_elision_fr_top10",
+    "bm25_greek_top10",
+    "bm25_url_token_top10",
+    "bm25_html_strip_top10",
+    "bm25_phonetic_top10",
+    "bm25_dmetaphone_top10",
+    "bm25_beider_morse_top10",
+    "bm25_polish_top10",
+    "bm25_pattern_tokenizer_top10",
+    # --- never driver-checked: overflow (beyond the cap) ---
+    "stem_de_term_stats",
+    "elision_fr_term_stats",
     "cjk_term_stats",
     "ngram_filter_top10",
     "edge_ngram_prefix_top10",
@@ -6675,68 +6671,38 @@ _PRIORITY = [
     "path_components_stats",
     "wdgf_identifiers_top10",
     "wdgf_term_stats",
-    "bm25_greek_top10",
     "greek_term_stats",
-    "bm25_snowball_ru_top10",
     "snowball_ru_term_stats",
-    "distinct_values",
-    "diversified_topk",
-    "doc_values_stats",
-    "ib_ll_term_top10",
-    "axiomatic_f2log_term_top10",
-    "indri_term_top10",
-    "multi_sim_term_top10",
-    "dv_numbers_in_set",
-    "range_field_relations",
-    "spell_scored_suggest",
-    "fuzzy_like_this_top10",
-    "blended_infix_suggest",
-    "multi_range_query",
-    "indri_and_top10",
-    # --- new in round-4 continuation session 4 ---
-    "bm25_url_token_top10",
     "url_email_term_stats",
     "url_extract_stats",
-    "bm25_html_strip_top10",
     "html_strip_term_stats",
-    "bm25_phonetic_top10",
     "phonetic_term_stats",
-    "bm25_dmetaphone_top10",
     "dmetaphone_term_stats",
     "metaphone_term_stats",
     "cologne_term_stats",
     "dm_soundex_term_stats",
-    "bm25_beider_morse_top10",
     "beider_morse_term_stats",
-    "bm25_hunspell_top10",
     "hunspell_term_stats",
-    "bm25_polish_top10",
     "polish_term_stats",
-    "bm25_smartcn_top10",
     "smartcn_term_stats",
-    "bm25_icu_fold_top10",
     "icu_fold_term_stats",
-    "leading_wildcard_query",
     "reverse_term_stats",
-    "auto_stopword_top10",
     "bm25_delimited_tf_top10",
     "delimited_tf_stats",
-    "phrase_wildcard_top10",
     "bm25_keyword_marker_top10",
     "keyword_marker_term_stats",
     "bm25_scandinavian_top10",
     "bm25_hyphenated_top10",
     "protected_truncate_stats",
-    # --- new in round-4 continuation session 5 ---
-    "bm25nb_classify_docs",
-    "confusion_nb_metrics",
-    "dataset_split_assign",
-    "dv_terms_in_set",
-    "nb_document_classify",
-    "knn_document_top",
-    "payloads_for_query",
-    "facet_sum_value_source",
-    # --- r2-green, on r3-rewritten kernels ---
+    "bm25_keyword_repeat_top10",
+    "keyword_repeat_term_stats",
+    "pattern_tokenizer_term_stats",
+    "bm25_pattern_replace_top10",
+    "bm25_compound_top10",
+    "compound_term_stats",
+    "bm25_capture_camel_top10",
+    "capture_term_stats",
+    # --- last driver-green in r2 ---
     "bm25_term_top10",
     "bm25_boost_top10",
     "bm25_and_top10",
@@ -6745,7 +6711,6 @@ _PRIORITY = [
     "bm25_or_bmw_top10",
     "bm25_or3_top10",
     "bm25_not_top10",
-    "bm25_filter_top10",
     "bm25_synonym_top10",
     "bm25_phrase_top10",
     "bm25_sloppy_phrase_top10",
@@ -6761,7 +6726,6 @@ _PRIORITY = [
     "span_first_top10",
     "span_containing_top10",
     "span_within_top10",
-    # --- r2-green, other ---
     "bm25_term_rare_top10",
     "batch_search",
     "search_after_page2",
@@ -6789,7 +6753,7 @@ _PRIORITY = [
     "dedup_embed_cosine",
     "multimodal_meta",
     "multimodal_features",
-    # --- r3-green (freshest) ---
+    # --- last driver-green in r3 ---
     "regexp_query",
     "high_freq_terms",
     "bm25_shingle_top10",
@@ -6840,22 +6804,57 @@ _PRIORITY = [
     "field_stats",
     "doc_norms",
     "content_sha256",
-    # continuation-session entries (explicit so the list stays the
-    # complete intended order; the driver cap reads the top 50)
-    "knn_classify_text",
-    "perceptron_assign",
-    "group_facet_counts",
-    "bm25_keyword_repeat_top10",
-    "keyword_repeat_term_stats",
-    "bm25_pattern_tokenizer_top10",
-    "pattern_tokenizer_term_stats",
-    "bm25_pattern_replace_top10",
-    "bm25_compound_top10",
-    "expression_rescore_top10",
-    "compound_term_stats",
-    "bm25_capture_camel_top10",
-    "capture_term_stats",
-    "fingerprint_token",
+    # --- last driver-green in r4 ---
+    "bm25_synonym_boosted_top10",
+    "bm25_multiphrase_top10",
+    "bm25_gap_phrase_top10",
+    "bm25_prefix_multiphrase_top10",
+    "bm25_gap_sloppy_top10",
+    "covering_top10",
+    "decontamination_flags",
+    "shard_assignment",
+    "mixture_sample",
+    "repetition_stats",
+    "span_not_window_top10",
+    "facet_path_counts",
+    "sorted_index_topk",
+    "payload_score_top10",
+    "docvalues_updated",
+    "function_score_updated_top10",
+    "feature_saturation_top10",
+    "feature_sigmoid_top10",
+    "bm25_feature_log_top10",
+    "geo_box_count",
+    "geo_nearest_top10",
+    "geo_distance_count",
+    "geo_polygon_docs",
+    "drill_down_path",
+    "block_join_children_topk",
+    "assoc_facet_sum",
+    "simple_parse_top10",
+    "interval_unordered_top10",
+    "interval_containing_top10",
+    "bm25_synonym_indexed_top10",
+    "common_terms_top10",
+    "interval_prefix_top10",
+    "interval_or_ordered_top10",
+    "interval_atleast_top10",
+    "interval_before_top10",
+    "interval_after_top10",
+    "interval_within_top10",
+    "interval_nested_ordered_top10",
+    "interval_nested_unordered_top10",
+    "interval_analyzed_text_top10",
+    "interval_block_nested_top10",
+    "embed_hnsw_topk",
+    "interval_repeat_top10",
+    "span_repeat_top10",
+    "bm25_repeat_mixed_top10",
+    "bm25_soft_deleted_top10",
+    "flexible_parse_top10",
+    "points_range_top10",
+    "xml_parse_top10",
+    "highlight_tv_top5",
 ]
 
 

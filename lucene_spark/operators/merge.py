@@ -85,9 +85,12 @@ def plan_merges(segments: list[dict], segs_per_tier: int = 10,
 
     ``max_merged_docs`` bounds the doc count of any single merge (the
     reference's maxMergedSegmentMB role, ``TieredMergePolicy.java:60``):
-    a merge holds the merged norms/global-id arrays (~9-17 bytes/doc) on
-    the driver during commit, so an unbounded merge of a huge index would
-    route TBs through driver memory at 10^12-doc scale. ``None`` lifts it."""
+    the merged norms/global-id assembly (~9-17 bytes/doc) runs in ONE
+    executor task (see the Phase-1 comment below, around line 190 — the
+    driver holds only O(segments + tombstones) deltas), so an unbounded
+    merge routes the whole merged doc axis through one executor's heap.
+    The default cap keeps that task's peak at ~1 GB; ``None`` lifts it
+    (opt-in, documented-discouraged at 10^12-doc scale)."""
     segs = sorted(segments, key=lambda s: (s["num_docs"], s["seg_id"]))
     merges = []
     while len(segs) > segs_per_tier:
@@ -1111,7 +1114,8 @@ def force_merge(spark, index_dir: str, max_segments: int = 1,
 
     ``max_merged_docs`` caps the docs routed through any single merge op
     (see plan_merges): forceMerge(1) over an unbounded index would
-    otherwise concatenate every segment's norms on the driver. With the
+    otherwise concatenate every segment's norms in one executor task's
+    heap (the Phase-1 assembly task in merge_segments). With the
     cap, the index converges to the fewest segments the cap allows; pass
     ``None`` for the reference's literal (and equally discouraged)
     merge-everything behavior."""
