@@ -6449,6 +6449,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_top10": _q_span_near,
         "span_repeat_top10": _search(Q.SpanNear(
             (T_COMMON, T_COMMON), slop=3, in_order=False)),
+        # round-5: duplicate-term SpanNear NESTED under SpanOr (the
+        # composite-tree guard lifted this round; pinned by
+        # tests/data/lucene_diff/spanalg_repeat_fuzz.tsv.gz)
+        "span_or_repeat_top10": _search(Q.SpanOr((Q.Term(T_THIRD),
+            Q.SpanNear((T_COMMON, T_COMMON), slop=3, in_order=False)))),
         "span_or_top10": _q_span_or,
         "span_not_top10": _q_span_not,
         "span_first_top10": _q_span_first,
@@ -6613,6 +6618,7 @@ _PRIORITY = [
     # after the never-checked block; its independent record is the
     # compiled-Lucene differential + the full local sweep.
     # --- never driver-checked: head (under the 50-row cap) ---
+    "span_or_repeat_top10",
     "dedup_cluster_roots",
     "expression_rescore_top10",
     "combined_field_top10",
@@ -6918,6 +6924,29 @@ spf AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list(wgt ORDER BY pos, cp)),
           (x, y) -> CAST(CAST(x AS DOUBLE) + y AS FLOAT)) AS freq
         FROM rcontrib GROUP BY 1)""" + _span_score_sql("spf", (T_COMMON,), 10),
+        # SpanOr(term, duplicate-term near): the near's multiset-kernel
+        # emissions (first pop (p, p+1, w=1) always; second pop
+        # (p, nxt+1, w=nxt-p+1) when w - 2 <= slop — same closed form as
+        # span_repeat_top10) merged with the term's width-0 spans in
+        # (start, end) order; idf once per DISTINCT term
+        "span_or_repeat_top10": _PRELUDE + f""",
+rp AS (SELECT doc_id, pos,
+              lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       FROM tok WHERE term = '{T_COMMON}'),
+rsp AS (SELECT doc_id, pos AS l, pos AS r, CAST(0.5 AS DOUBLE) AS wgt
+        FROM rp
+        UNION ALL
+        SELECT doc_id, pos AS l, nxt AS r,
+               CAST(1.0 AS DOUBLE) / (1 + (nxt - pos + 1)) AS wgt
+        FROM rp WHERE nxt IS NOT NULL AND (nxt - pos + 1) - 2 <= 3),
+allsp AS (SELECT doc_id, pos AS l, pos AS r, CAST(1.0 AS DOUBLE) AS wgt
+          FROM tok WHERE term = '{T_THIRD}'
+          UNION ALL SELECT doc_id, l, r, wgt FROM rsp),
+orf AS (SELECT doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(wgt ORDER BY l, r)),
+          (x, y) -> CAST(CAST(x AS DOUBLE) + y AS FLOAT)) AS freq
+        FROM allsp GROUP BY 1)"""
+            + _span_score_sql("orf", (T_THIRD, T_COMMON), 10),
         "span_or_top10": _span_or_sql(T_COMMON, (T_A, T_B), 3),
         "span_not_top10": _span_not_sql((T_COMMON, T_COMMON2), 3, T_THIRD),
         "span_first_top10": _span_first_sql(T_COMMON, 20),

@@ -510,9 +510,12 @@ def _span_tree(node) -> tuple:
         return ("term", node)
     if isinstance(node, Q.SpanNear):
         if all(isinstance(t, str) for t in node.terms):
-            if len(set(node.terms)) != len(node.terms):
-                raise NotImplementedError(
-                    "SpanNear with duplicate clause terms")
+            # duplicate clause terms are handled inside the near kernels
+            # (ordered: ratchet over equal streams; unordered: the
+            # multiset kernel / per-doc heap walk —
+            # functions/nearspans.py batch_near_spans_exact), exactly as
+            # for the flat CSpanNear path; pinned by the nested-repeat
+            # shapes of tests/data/lucene_diff/spanalg_fuzz.tsv.gz
             return ("near", tuple(node.terms), node.slop, node.in_order)
         # nested SpanNearQuery(SpanQuery...): clauses may be span nodes
         return ("nearspans", tuple(_span_tree(c) for c in node.terms),
