@@ -3646,6 +3646,122 @@ rphsc AS (
 )""" + _topk_sql("rphsc", k))
 
 
+def _mtp_hidden_sloppy_sql(ta: str, tb: str, slop: int,
+                           k: int = 10) -> str:
+    """EXACT hasMultiTermRpts twin for the hidden-collision shape
+    MultiPhrase[(A, B), (B)] with slop (SloppyPhraseMatcher MTP
+    machinery — functions/sloppy.py lucene_sloppy_multiphrase_matches):
+    clause 0 walks the UNION stream of A and B (UnionPostingsEnum,
+    offset 0), clause 1 walks B (offset 1); they form one term-component
+    repeat group. A collision is raw-position equality, and the lesser
+    — same raw position, higher offset => smaller adjusted position —
+    is ALWAYS clause 1; B's positions are strictly increasing, so one
+    bump resolves any collision (init AND walk). One recursion step =
+    one popped-clause advance + its collision bump: pop total order
+    (position, offset), stale ``nxt``, running ``end``, emit f32
+    1/(1+ml) on ``cur > nxt`` or exhaustion. Init = the MTP
+    advanceRepeatGroups collide loop (one bump; exhaustion -> the doc
+    never matches, positioned=false). Weight: idf PER OCCURRENCE
+    across slots (MultiPhraseQuery.java:227-237): idf(A) + 2*idf(B)."""
+    emit = (f"CASE WHEN ml <= {slop} THEN "
+            "CAST(freq + CAST(CAST(1.0 AS FLOAT) / CAST(1 + ml AS FLOAT)"
+            " AS FLOAT) AS FLOAT) ELSE freq END")
+    return (_PRELUDE + f""",
+marrs AS (
+  SELECT d.doc_id,
+         (SELECT list(pos ORDER BY pos) FROM tok t
+          WHERE t.term IN ('{ta}', '{tb}') AND t.doc_id = d.doc_id) AS U,
+         (SELECT list(pos - 1 ORDER BY pos) FROM tok t
+          WHERE t.term = '{tb}' AND t.doc_id = d.doc_id) AS B
+  FROM (SELECT DISTINCT doc_id FROM tok) d
+),
+mdocs0 AS (SELECT * FROM marrs WHERE len(U) >= 1 AND len(B) >= 1),
+minit AS (
+  SELECT doc_id, U, B, 1 AS i0,
+         CASE WHEN U[1] = B[1] + 1 THEN 2 ELSE 1 END AS i1
+  FROM mdocs0
+),
+minit2 AS (SELECT * FROM minit WHERE i1 <= len(B)),
+mwalk AS (
+  WITH RECURSIVE w(doc_id, U, B, i0, i1, endp, ml, j, nxt, freq,
+                   active, step) AS (
+    SELECT doc_id, U, B, i0, i1, endp,
+           endp - CASE jm WHEN 0 THEN c0 ELSE c1 END,
+           jm,
+           CASE jm WHEN 0 THEN c1 ELSE c0 END,
+           CAST(0.0 AS FLOAT), TRUE, 0
+    FROM (
+      SELECT *, greatest(c0, c1) AS endp,
+             CASE WHEN c0 <= c1 THEN 0 ELSE 1 END AS jm
+      FROM (SELECT doc_id, U, B, i0, i1, U[i0] AS c0, B[i1] AS c1
+            FROM minit2)
+    )
+    UNION ALL
+    SELECT doc_id, U, B, ni0, ni1,
+           CASE WHEN dead THEN endp ELSE nend END,
+           CASE WHEN dead THEN ml
+                WHEN past THEN nend
+                     - CASE njm WHEN 0 THEN nc0 ELSE nc1 END
+                ELSE least(ml, nend - curj) END,
+           CASE WHEN dead OR NOT past THEN j ELSE njm END,
+           CASE WHEN dead OR NOT past THEN nxt
+                ELSE CASE njm WHEN 0 THEN nc1 ELSE nc0 END END,
+           CASE WHEN dead OR past THEN {emit} ELSE freq END,
+           NOT dead,
+           step + 1
+    FROM (
+      SELECT *,
+             CASE WHEN dead THEN 0
+                  WHEN nc0 <= nc1 THEN 0 ELSE 1 END AS njm,
+             CASE WHEN dead THEN FALSE ELSE curj > nxt END AS past
+      FROM (
+        SELECT *, greatest(endp, nc0, nc1) AS nend,
+               CASE j WHEN 0 THEN nc0 ELSE nc1 END AS curj
+        FROM (
+          SELECT *,
+                 CASE WHEN dead THEN 0 ELSE U[ni0] END AS nc0,
+                 CASE WHEN dead THEN 0 ELSE B[ni1] END AS nc1
+          FROM (
+            SELECT *, (i0a > len(U) OR i1b > len(B)) AS dead,
+                   i0a AS ni0, i1b AS ni1
+            FROM (
+              SELECT *,
+                     CASE WHEN i0a <= len(U) AND i1a <= len(B)
+                               AND U[i0a] = B[i1a] + 1
+                          THEN i1a + 1 ELSE i1a END AS i1b
+              FROM (
+                SELECT *,
+                       i0 + CASE WHEN j = 0 THEN 1 ELSE 0 END AS i0a,
+                       i1 + CASE WHEN j = 1 THEN 1 ELSE 0 END AS i1a
+                FROM w WHERE active
+              )
+            )
+          )
+        )
+      )
+    )
+  )
+  SELECT * FROM w
+),
+mph AS (
+  SELECT doc_id, freq FROM (
+    SELECT doc_id, freq,
+           row_number() OVER (PARTITION BY doc_id ORDER BY step DESC)
+             AS rn
+    FROM mwalk) WHERE rn = 1 AND freq > 0
+),
+mphw AS (SELECT CAST(CAST(wa.w AS DOUBLE) + CAST(wb.w AS DOUBLE)
+                     + CAST(wb.w AS DOUBLE) AS FLOAT) AS w
+         FROM (SELECT {_w_expr(ta)} AS w) wa,
+              (SELECT {_w_expr(tb)} AS w) wb),
+mphsc AS (
+  SELECT p.doc_id,
+         (w.w - w.w / (CAST(1 AS FLOAT) + CAST(p.freq AS FLOAT) * c.inv))
+           AS s
+  FROM mph p JOIN normcache c ON p.doc_id = c.doc_id CROSS JOIN mphw w
+)""" + _topk_sql("mphsc", k))
+
+
 def _span_near_sql(terms: tuple[str, ...], slop: int, k: int = 10) -> str:
     """Unordered SpanNear (NearSpansUnordered role) as SQL — the EXACT
     event-walk semantics (functions/nearspans.py): one state per merged
@@ -6327,6 +6443,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             Q.DisMax((Q.Term(T_COMMON), Q.Term(T_COMMON2)), 0.0)),
         "bm25_multiphrase_top10": _search(Q.MultiPhrase(
             ((T_COMMON, SYN_A), (T_COMMON2,)))),
+        # round-5: sloppy MultiPhrase with a term SHARED across columns
+        # (hasMultiTermRpts hidden collisions — SloppyPhraseMatcher MTP
+        # machinery, golden-pinned in test_multiphrase_repeat_goldens)
+        "bm25_multiphrase_repeat_top10": _search(Q.MultiPhrase(
+            ((T_COMMON, T_COMMON2), (T_COMMON2,)), slop=3)),
         "bm25_gap_phrase_top10": _search(Q.Phrase(
             (T_COMMON, T_COMMON2), positions=(0, 2))),
         "bm25_prefix_multiphrase_top10": _search(Q.MultiPhrase(
@@ -6619,6 +6740,7 @@ _PRIORITY = [
     # compiled-Lucene differential + the full local sweep.
     # --- never driver-checked: head (under the 50-row cap) ---
     "span_or_repeat_top10",
+    "bm25_multiphrase_repeat_top10",
     "dedup_cluster_roots",
     "expression_rescore_top10",
     "combined_field_top10",
@@ -6892,6 +7014,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dismax_top10": _dismax_sql(T_COMMON, T_COMMON2),
         "bm25_multiphrase_top10": _multi_phrase_sql(
             ((T_COMMON, SYN_A), (T_COMMON2,))),
+        "bm25_multiphrase_repeat_top10": _mtp_hidden_sloppy_sql(
+            T_COMMON, T_COMMON2, 3),
         "bm25_gap_phrase_top10": _gap_phrase_sql(
             (T_COMMON, T_COMMON2), (0, 2)),
         "bm25_prefix_multiphrase_top10": _multi_phrase_pattern_sql(

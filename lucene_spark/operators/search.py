@@ -74,6 +74,8 @@ class CPhrase:
 class CMultiPhrase:
     slots: tuple[tuple[str, ...], ...]   # df>0 terms only, per position
     weight: np.float32
+    slop: int = 0
+    positions: tuple[int, ...] | None = None
 
     @property
     def terms(self):
@@ -329,8 +331,17 @@ def compile_query(q: Q.Query, term_dfs: dict[str, int], doc_count: int,
                                 if df_of(t) > 0) for slot in node.slots)
             if any(not slot for slot in slots):
                 return None
+            pos = getattr(node, "positions", None)
+            if pos is not None:
+                if len(pos) != len(slots) or \
+                        any(pos[i + 1] <= pos[i]
+                            for i in range(len(pos) - 1)):
+                    raise ValueError(
+                        "multiphrase positions must be strictly "
+                        "increasing, one per slot")
+                pos = tuple(int(p) for p in pos)
             w = multi_weight([df_of(t) for slot in slots for t in slot])
-            return CMultiPhrase(slots, w)
+            return CMultiPhrase(slots, w, getattr(node, "slop", 0), pos)
         if isinstance(node, Q.SpanPayloadCheck):
             if len(node.terms) != len(node.payloads):
                 raise ValueError("one payload slot per term")
@@ -834,7 +845,12 @@ def _eval_range(node, ctx: _SegContext, lo: int, hi: int):
             scores[mask] = s.astype(np.float64)
         return mask, scores
     if isinstance(node, CMultiPhrase):
-        freqs = _multi_phrase_freqs(node.slots, ctx, lo, hi)
+        if node.slop > 0:
+            freqs = _sloppy_multiphrase_freqs(node.slots, ctx, lo, hi,
+                                              node.slop, node.positions)
+        else:
+            freqs = _multi_phrase_freqs(node.slots, ctx, lo, hi,
+                                        node.positions)
         mask = freqs > 0
         if mask.any():
             s = ctx.sim.score(freqs[mask].astype(np.float32),
@@ -1050,13 +1066,17 @@ def _phrase_freqs(terms: tuple[str, ...], ctx: _SegContext,
 
 
 def _multi_phrase_freqs(slots, ctx: "_SegContext",
-                        lo: int, hi: int) -> np.ndarray:
+                        lo: int, hi: int,
+                        positions: tuple[int, ...] | None = None
+                        ) -> np.ndarray:
     """Exact multi-phrase frequency per doc in [lo, hi): position i
-    matches when ANY of ``slots[i]``'s terms occurs there. Same
-    (doc<<32|pos) key-set algorithm as :func:`_phrase_freqs`, with each
-    slot's key set the np.unique UNION of its alternatives (the
-    reference's UnionPostingsEnum — duplicate (doc, pos) across
-    alternatives counts once)."""
+    matches when ANY of ``slots[i]``'s terms occurs there (at builder
+    position ``positions[i]``, default i). Same (doc<<32|pos) key-set
+    algorithm as :func:`_phrase_freqs`, with each slot's key set the
+    np.unique UNION of its alternatives (the reference's
+    UnionPostingsEnum — duplicate (doc, pos) across alternatives
+    counts once)."""
+    offs = list(positions) if positions else list(range(len(slots)))
     n = hi - lo
     freqs = np.zeros(n, dtype=np.int64)
     BIG = np.int64(1) << np.int64(32)
@@ -1080,13 +1100,57 @@ def _multi_phrase_freqs(slots, ctx: "_SegContext",
         return freqs
     match = np.ones(len(first), dtype=bool)
     for i in range(1, len(slot_keys)):
-        probe = first + np.int64(i)
+        probe = first + np.int64(offs[i] - offs[0])
         ks = slot_keys[i]
         idx = np.searchsorted(ks, probe)
         match &= (idx < len(ks)) & (ks[np.minimum(idx, len(ks) - 1)] == probe)
     if match.any():
         np.add.at(freqs, first_docs[match] - lo, 1)
     return freqs
+
+
+def _sloppy_multiphrase_freqs(slots, ctx: "_SegContext",
+                              lo: int, hi: int, slop: int,
+                              positions: tuple[int, ...] | None = None
+                              ) -> np.ndarray:
+    """Sloppy multi-phrase frequency per doc in [lo, hi), one batched
+    pass: slot j's stream is the sorted merge WITH DUPLICATES of its
+    alternatives' (doc, pos) keys (UnionPostingsEnum,
+    ``MultiPhraseQuery.java:445-461``), offset-adjusted like
+    :func:`_sloppy_phrase_freqs`; repeat analysis
+    (``functions.sloppy.multiphrase_repeat_groups`` — the reference's
+    initFirstTime term-component grouping) routes to the no-repeat
+    double-minimal kernel, the single-term repeat walk, or the
+    wave-batched advanceRpts walk with the MTP collide-driven init
+    (``SloppyPhraseMatcher.java:286-466``), all exact."""
+    from ..functions.sloppy import (batch_lucene_repeat_freqs,
+                                    batch_lucene_sloppy_freqs,
+                                    multiphrase_repeat_groups)
+    n = hi - lo
+    offs = list(positions) if positions else list(range(len(slots)))
+    BIG = np.int64(1) << np.int64(32)
+    pad = max(offs) + 1
+    keys = []
+    for j, slot in enumerate(slots):
+        parts = []
+        for t in slot:
+            tp = ctx.tp(t)
+            if tp is None:
+                continue
+            ids, tfs = tp.decode_all()
+            pos = tp.positions()
+            docs_rep = np.repeat(ids, tfs)
+            sel = (docs_rep >= lo) & (docs_rep < hi)
+            parts.append((docs_rep[sel] - lo) * BIG
+                         + (pos[sel] - offs[j] + pad))
+        if not parts:
+            return np.zeros(n, dtype=np.float64)
+        keys.append(np.sort(np.concatenate(parts)))
+    has_rpts, has_mtp, groups = multiphrase_repeat_groups(slots, offs)
+    if not has_rpts:
+        return batch_lucene_sloppy_freqs(keys, offs, slop, n)
+    return batch_lucene_repeat_freqs(keys, offs, slop, n, groups,
+                                     mtp_init=has_mtp)
 
 
 def _run_arange(lengths: np.ndarray) -> np.ndarray:

@@ -385,11 +385,13 @@ class OracleIndex:
                 out[d] = np.float32(w - w / (one + np.float32(freq) * inv))
         return out
 
-    def _multi_phrase_scores(self, slots, k1: float,
-                             b: float) -> dict[int, np.float32]:
+    def _multi_phrase_scores(self, slots, k1: float, b: float,
+                             positions=None) -> dict[int, np.float32]:
         """MultiPhraseQuery: per position, the UNION of the alternative
         terms' position sets (UnionPostingsEnum); idf summed over every
-        df>0 term across positions (MultiPhraseWeight stats)."""
+        df>0 term across positions (MultiPhraseWeight stats, per
+        occurrence across slots)."""
+        offs = list(positions) if positions else list(range(len(slots)))
         maps: list[dict[int, set]] = []
         present: list[str] = []
         for slot in slots:
@@ -414,11 +416,61 @@ class OracleIndex:
         out: dict[int, np.float32] = {}
         for d in common:
             freq = sum(1 for p in maps[0][d]
-                       if all((p + i) in maps[i][d]
+                       if all((p + offs[i] - offs[0]) in maps[i][d]
                               for i in range(1, len(maps))))
             if freq:
                 inv = cache[self.norm_bytes[d]]
                 out[d] = np.float32(w - w / (one + np.float32(freq) * inv))
+        return out
+
+    def _sloppy_multi_phrase_scores(self, slots, slop: int, k1: float,
+                                    b: float, positions=None
+                                    ) -> dict[int, np.float32]:
+        """Sloppy MultiPhraseQuery — the per-doc SloppyPhraseMatcher
+        port over multi-term union streams incl. the hasMultiTermRpts
+        machinery (functions/sloppy.py
+        lucene_sloppy_multiphrase_freq, golden-pinned against the
+        compiled reference)."""
+        from .functions.sloppy import lucene_sloppy_multiphrase_freq
+        present: list[str] = []
+        docsets = None
+        pos_by_doc: dict[int, dict[str, list]] = {}
+        seen_terms: set[str] = set()
+        for slot in slots:
+            slot_docs = set()
+            any_term = False
+            for t in dict.fromkeys(slot):
+                if self.df(t) == 0:
+                    continue
+                any_term = True
+                present.append(t)      # weight: PER OCCURRENCE
+                for d, _, pl in self.postings.get(t, ()):
+                    slot_docs.add(d)
+                    if t not in seen_terms:
+                        # positions: once per DISTINCT term (a term
+                        # shared by two slots reads one postings list)
+                        pos_by_doc.setdefault(d, {}).setdefault(
+                            t, []).extend(pl)
+            seen_terms.update(slot)
+            if not any_term:
+                return {}
+            docsets = slot_docs if docsets is None else \
+                (docsets & slot_docs)
+        offs = list(positions) if positions else list(range(len(slots)))
+        pruned = [tuple(t for t in dict.fromkeys(s) if self.df(t) > 0)
+                  for s in slots]
+        cache = self._cache(k1, b)
+        w = idf_sum([self.df(t) for t in present], self.doc_count)
+        one = np.float32(1.0)
+        out: dict[int, np.float32] = {}
+        for d in sorted(docsets or ()):
+            pm = {t: sorted(v) for t, v in pos_by_doc[d].items()}
+            freq = lucene_sloppy_multiphrase_freq(pruned, pm, slop,
+                                                  offsets=offs)
+            if freq > 0.0:
+                inv = cache[self.norm_bytes[d]]
+                out[d] = np.float32(w - w / (one + np.float32(freq)
+                                             * inv))
         return out
 
     def score(self, query: Query, k1: float = K1_DEFAULT,
@@ -464,7 +516,12 @@ class OracleIndex:
                         else:
                             raise ValueError(e[0])
                 slots.append(tuple(dict.fromkeys(flat)))
-            return self._multi_phrase_scores(slots, k1, b)
+            if getattr(query, "slop", 0) > 0:
+                return self._sloppy_multi_phrase_scores(
+                    slots, query.slop, k1, b,
+                    getattr(query, "positions", None))
+            return self._multi_phrase_scores(
+                slots, k1, b, getattr(query, "positions", None))
         if isinstance(query, SpanNear):
             if all(isinstance(t, str) for t in query.terms):
                 return self._span_near_scores(query, k1, b)

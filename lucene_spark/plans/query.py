@@ -70,8 +70,20 @@ class MultiPhrase(Query):
     (UnionPostingsEnum — duplicate (doc, pos) hits across alternatives
     count once); phrase freq accumulates per matching start position.
     Weight follows the reference's stats gathering: idf summed over
-    every term with df > 0 across all positions."""
+    every term with df > 0 across all positions (PER OCCURRENCE across
+    slots — a term shared by two slots contributes idf twice,
+    ``MultiPhraseQuery.java:227-237``).
+
+    ``slop`` > 0 engages the SloppyPhraseMatcher over the union
+    streams, including the multi-term repeats machinery
+    (hasMultiTermRpts "hidden collisions",
+    ``SloppyPhraseMatcher.java:286-466``) when slots share terms.
+    ``positions`` (optional, strictly increasing, one per slot) are
+    the builder positions of ``MultiPhraseQuery.Builder.add(terms,
+    position)``."""
     slots: tuple[tuple[str, ...], ...]
+    slop: int = 0
+    positions: tuple[int, ...] | None = None
 
     def all_terms(self):
         return list(dict.fromkeys(t for s in self.slots for t in s))
@@ -85,7 +97,8 @@ class SpanNear(Query):
     semantics documented in ``functions/spans.py``). Clauses are term
     strings, or — like the reference's ``SpanNearQuery(SpanQuery...)`` —
     nested span queries (SpanNear/SpanOr/...); duplicate TERM clauses
-    are unsupported."""
+    are fully supported (multiset kernel / per-doc heap walk — pinned
+    by tests/data/lucene_diff/spanalg_repeat_fuzz.tsv.gz)."""
     terms: tuple  # str | span Query per clause
     slop: int = 0
     in_order: bool = True

@@ -76,8 +76,18 @@ def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
                 return False
         return True
     if isinstance(node, Q.MultiPhrase):
+        if getattr(node, "slop", 0) > 0:
+            # sloppy percolation: the exact multi-term walk (incl.
+            # hasMultiTermRpts) on this doc's position lists
+            from ..functions.sloppy import (
+                lucene_sloppy_multiphrase_freq)
+            return lucene_sloppy_multiphrase_freq(
+                node.slots, positions, node.slop,
+                offsets=getattr(node, "positions", None)) > 0.0
         # union-of-alternatives per position (UnionPostingsEnum), then
         # the same consecutive-chain intersection as the exact phrase
+        offs = list(getattr(node, "positions", None)
+                    or range(len(node.slots)))
         slot_sets = []
         for slot in node.slots:
             s: set = set()
@@ -88,7 +98,7 @@ def _matches(node, terms: set, positions: dict[str, list[int]]) -> bool:
             slot_sets.append(s)
         base = slot_sets[0]
         for i, s in enumerate(slot_sets[1:], 1):
-            base &= {p - i for p in s}
+            base &= {p - (offs[i] - offs[0]) for p in s}
             if not base:
                 return False
         return True

@@ -87,6 +87,12 @@ def _parse_query(parts):
                         positions=tuple(int(pos) for pos, _ in pts))
     if kind == "multiphrase":
         return Q.MultiPhrase(tuple(tuple(p.split("|")) for p in parts[2:]))
+    if kind == "mpslop":
+        # sloppy MultiPhraseQuery incl. shared terms across columns
+        # (hasMultiTermRpts, SloppyPhraseMatcher.java:286-466)
+        return Q.MultiPhrase(tuple(tuple(p.split("|"))
+                                   for p in parts[3:]),
+                             slop=int(parts[2]))
     if kind == "filterq":
         return Q.ReqFilter(T(parts[2]), T(parts[3]))
     if kind == "filteror":

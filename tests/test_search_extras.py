@@ -988,3 +988,46 @@ def test_payloads_for_query(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(NotImplementedError):
         s.payloads_for_query(Q.Phrase(("alpha", "beta"), slop=2))
+
+
+def test_sloppy_multiphrase_parity(searcher, oracle):
+    """MultiPhraseQuery WITH SLOP, including shared terms across
+    columns (the reference's hasMultiTermRpts machinery,
+    ``SloppyPhraseMatcher.java:286-466``): the engine's batched
+    wave kernel (MTP collide init) vs the per-doc OracleIndex port
+    (itself golden-pinned bit-exact against the compiled reference in
+    test_multiphrase_repeat_goldens.py)."""
+    cases = [
+        # hidden-collision pair: {parse,emit} shares 'emit' with slot 2
+        Q.MultiPhrase((("parse", "emit"), ("emit",)), slop=3),
+        Q.MultiPhrase((("parse", "emit"), ("emit", "token")), slop=2),
+        # repeats confined to single-term slots beside a multi-term one
+        Q.MultiPhrase((("parse",), ("parse",), ("emit", "token")),
+                      slop=4),
+        # no repeats through the multi-term sloppy path
+        Q.MultiPhrase((("parse", "scan"), ("emit", "token")), slop=3),
+        # gapped builder positions
+        Q.MultiPhrase((("parse", "emit"), ("emit",)), slop=4,
+                      positions=(0, 2)),
+        # three columns, transitive sharing
+        Q.MultiPhrase((("parse", "emit"), ("emit", "token"),
+                       ("token",)), slop=5),
+    ]
+    for q in cases:
+        got = [(r["doc_id"], r["score"])
+               for r in searcher.search(q, k=10).collect()]
+        want = oracle.top_k(q, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        assert np.allclose([g[1] for g in got], [w[1] for w in want],
+                           rtol=0, atol=0), q
+    # slop=0 multiphrase is unchanged by the routing
+    q0 = Q.MultiPhrase((("parse", "scan"), ("emit",)))
+    qs = Q.MultiPhrase((("parse", "scan"), ("emit",)), slop=0)
+    a = oracle.score(q0)
+    bsc = oracle.score(qs)
+    assert a.keys() == bsc.keys()
+    # sloppy multiphrase is a superset of the exact one
+    exact = set(oracle.score(q0))
+    sloppy = set(oracle.score(
+        Q.MultiPhrase((("parse", "scan"), ("emit",)), slop=3)))
+    assert exact <= sloppy

@@ -141,6 +141,17 @@ public class LuceneGoldenMain {
         }
         return b.build();
       }
+      case "mpslop": {  // mpslop <slop> t1a|t1b t2 ...  (sloppy multiphrase)
+        MultiPhraseQuery.Builder b = new MultiPhraseQuery.Builder();
+        b.setSlop(Integer.parseInt(p[2]));
+        for (int i = 3; i < p.length; i++) {
+          String[] alts = p[i].split("\\|");
+          Term[] ts = new Term[alts.length];
+          for (int j = 0; j < alts.length; j++) ts[j] = new Term(F, alts[j]);
+          b.add(ts);
+        }
+        return b.build();
+      }
       case "common": {  // common <maxTF> t1 t2 ...
         org.apache.lucene.queries.CommonTermsQuery q =
             new org.apache.lucene.queries.CommonTermsQuery(
@@ -383,6 +394,12 @@ q105\tphrase\t2\tthe\tthe
 q106\tphrase\t3\tspark\tspark
 q107\tphrase\t3\tthe\tspark\tthe
 q108\tphrase\t4\tspark\tthe\tthe
+q109\tmpslop\t3\tspark|merge\tmerge
+q110\tmpslop\t2\tkey|order\torder|table
+q111\tmpslop\t4\tthe|spark\tthe
+q112\tmpslop\t5\tspark|merge\tmerge|scan\tscan
+q113\tmpslop\t3\tspark|scan\tmerge|key
+q114\tmpslop\t4\tspark\tspark\tmerge|scan
 """
 
 
