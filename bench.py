@@ -260,6 +260,31 @@ def main() -> None:
             best = min(best, time.time() - t0)
         queries[name] = round(best, 3)
 
+    # --- posInc-0 duplicate positions: the per-doc fallback envelope --
+    # (VERDICT r4 #6) A synonym-indexed field puts overlap tokens at
+    # EXISTING positions; a span query mixing a source term with a
+    # shared synonym makes every candidate doc a duplicate-key doc, so
+    # the batched unordered kernel routes them all through the exact
+    # per-doc heap walk (functions/nearspans.py
+    # _per_doc_unordered_spans) — this is the engine's worst posInc-0
+    # shape, measured here so the seam is a number, not an assumption.
+    kstate.wait_clean("posinc0")
+    syn_dir = os.path.join(tmp, "idx_syn")
+    from lucene_spark.operators.build import build_index as _bi
+    _bi(spark, spark.read.parquet(corpus_path), syn_dir,
+        num_segments=num_segments, content_col="content",
+        doc_id_col="doc_id", store_positions=True,
+        synonyms={"if": ["condsyn"], "return": ["condsyn"]})
+    s_syn = Searcher(spark, syn_dir)
+    s_syn.search(Q.Term("parse"), k=10).collect()   # warmup
+    q_pos0 = Q.SpanNear(("if", "condsyn"), slop=3, in_order=False)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        s_syn.search(q_pos0, k=10).collect()
+        best = min(best, time.time() - t0)
+    queries["q_span_posinc0_common"] = round(best, 3)
+
     # --- batch search: the reference-style 60-query workload in ONE job
     # (gated: the long all-32-core batch is the phase most exposed to a
     # mid-run hypervisor credit drain — §17 observed a 2x qps dip here
@@ -417,6 +442,19 @@ def main() -> None:
         # unthrottled host. Only meaningful when clean_run is false.
         "value_throttle_normalized": round(
             docs_per_sec * queries["host_throttle_factor"], 1),
+        # query-side members of the throttle-normalized set (VERDICT r4
+        # #8): a throttled run cannot silently pass the query
+        # comparisons either — qps scales up, latencies scale down by
+        # the measured host factor
+        "q_batch60_qps_throttle_normalized": round(
+            queries["q_batch60_qps"] * queries["host_throttle_factor"],
+            1),
+        "q_span_near_common_throttle_normalized": round(
+            queries["q_span_near_common"]
+            / queries["host_throttle_factor"], 3),
+        "q_span_posinc0_common_throttle_normalized": round(
+            queries["q_span_posinc0_common"]
+            / queries["host_throttle_factor"], 3),
     }
     if efficiency:
         out["scaling_efficiency"] = efficiency
