@@ -77,6 +77,18 @@ def _tree_of(kind, a):
     raise ValueError(kind)
 
 
+def _freq_bits(rows):
+    """Per-doc SpanScorer f32 freq chain (float32 += 1/(1+width)) in
+    SEQUENCE order — the scoring-visible projection of an emission
+    sequence."""
+    import numpy as np
+    out = {}
+    for (did, _s, _e, w) in rows:
+        acc = out.get(did, np.float32(0.0))
+        out[did] = np.float32(np.float64(acc) + 1.0 / (1.0 + w))
+    return {d: np.float32(v).tobytes() for d, v in out.items()}
+
+
 def _tie_canon(rows):
     """Canonicalize: sort WITHIN maximal runs of equal (doc, start,
     end) — across runs the sequence must match exactly."""
@@ -108,6 +120,13 @@ def test_span_algebra_replays_reference():
         if got == exp:
             continue
         if _tie_canon(got) == _tie_canon(exp):
+            # DOCUMENTED divergence class (VERDICT r4 #7): full
+            # (start, end) tie order inside SpanOr/heap runs is seeded
+            # by segment-global byDocQueue history the batched engine
+            # does not replicate — allowed ONLY when provably
+            # score-neutral: the f32 freq chain must be bit-identical
+            # in both emission orders, per doc.
+            assert _freq_bits(got) == _freq_bits(exp), (kind, args)
             tie_only += 1
             continue
         bad += 1
