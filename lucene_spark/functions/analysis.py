@@ -207,6 +207,13 @@ def analyze_text(text: str,
         # a no-op by construction
         from .smartcn import tokenize as smartcn_tokenize
         raws = [t.text for t in smartcn_tokenize(text or "")]
+    elif tokenizer == "icu":
+        # ICUTokenizer (analysis/icu/segmentation): per-script UAX#29
+        # with the CJK + Thai dictionary break engines, golden-exact
+        # vs the compiled reference (functions/icutokenizer.py)
+        from .icutokenizer import icu_tokenize
+        raws = [t for (t, _s, _e, _ty, _sc)
+                in icu_tokenize(text or "")]
     else:
         raws = TOKENIZERS[tokenizer].findall(text)
     for raw in raws:
@@ -369,6 +376,13 @@ def analyze_batch(texts: pd.Series,
         from .smartcn import tokenize as smartcn_tokenize
         ascii_fast = False
         tok_lists = [[t.text for t in smartcn_tokenize(s)] for s in vals]
+    elif tokenizer == "icu":
+        # ICUTokenizer: script-run segmentation + dictionary engines;
+        # tables process-cached (same pattern as smartcn)
+        from .icutokenizer import icu_tokenize
+        ascii_fast = False
+        tok_lists = [[t for (t, _s, _e, _ty, _sc) in icu_tokenize(s)]
+                     for s in vals]
     else:
         findall = TOKENIZERS[tokenizer].findall
         if ascii_fast and tokenizer == "standard":

@@ -129,6 +129,11 @@ public class ICUDumpMain {
       for (java.lang.reflect.Field f : fs) {
         f.setAccessible(true);
         Object v = f.get(dict);
+        if (v instanceof CharSequence) {
+          // CharsDictionaryMatcher stores the serialized trie chars
+          // and builds a CharsTrie per matches() call — do the same
+          v = new com.ibm.icu.util.CharsTrie((CharSequence) v, 0);
+        }
         if (v instanceof com.ibm.icu.util.CharsTrie) {
           com.ibm.icu.util.CharsTrie t = (com.ibm.icu.util.CharsTrie) v;
           for (com.ibm.icu.util.CharsTrie.Entry e : t) {
