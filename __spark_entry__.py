@@ -1076,6 +1076,92 @@ def _q_smartcn_stats(spark, sf_dir):
                     F.col("ttf").cast("long").alias("ttf")))
 
 
+_ICU_TOK_FORMS = (
+    "fast data processing with spark",
+    "東京大学のコンピュータでデータを処理します",
+    "การวิเคราะห์ข้อมูลอย่างรวดเร็ว",
+    "한국어 형태소 분석기",
+    "быстрый поиск данных",
+    "中华人民共和国的自然语言处理技术",
+    "コンピュータサイエンスのデータベース",
+    "query engine merges segments quickly",
+    "ανάλυση δεδομένων με ταχύτητα",
+    "تحليل سريع للبيانات",
+    "42nd test8,901 run ２０２６",
+    "mixed 東京データ and การข้อมูล tokens")
+#: form -> post-chain tokens (ICUTokenizer golden-verified port:
+#: CJ dictionary Viterbi, Thai PossibleWord walk, UAX#29 elsewhere)
+_ICU_TOK_TOKENS = {
+    "fast data processing with spark":
+        ["fast", "data", "processing", "with", "spark"],
+    "東京大学のコンピュータでデータを処理します":
+        ["東京", "大学", "の", "コンピュータ", "で", "データ", "を",
+         "処理", "し", "ます"],
+    "การวิเคราะห์ข้อมูลอย่างรวดเร็ว":
+        ["การ", "วิเคราะห์", "ข้อมูล", "อย่าง", "รวดเร็ว"],
+    "한국어 형태소 분석기": ["한국어", "형태소", "분석기"],
+    "быстрый поиск данных": ["быстрый", "поиск", "данных"],
+    "中华人民共和国的自然语言处理技术":
+        ["中华", "人民", "共和国", "的", "自然", "语言", "处理", "技术"],
+    "コンピュータサイエンスのデータベース":
+        ["コンピュータ", "サイエンス", "の", "データベース"],
+    "query engine merges segments quickly":
+        ["query", "engine", "merges", "segments", "quickly"],
+    "ανάλυση δεδομένων με ταχύτητα":
+        ["ανάλυση", "δεδομένων", "με", "ταχύτητα"],
+    "تحليل سريع للبيانات": ["تحليل", "سريع", "للبيانات"],
+    "42nd test8,901 run ２０２６":
+        ["42nd", "test8,901", "run", "２０２６"],
+    "mixed 東京データ and การข้อมูล tokens":
+        ["mixed", "東京", "データ", "and", "การ", "ข้อมูล", "tokens"],
+}
+_ICU_TOK_STAT_TERMS = ("データ", "東京", "ข้อมูล", "한국어", "技术",
+                       "データベース", "42nd", "２０２６", "data")
+
+
+def _searcher_icu_tok(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index over the mixed-script synthetic corpus with the full
+    ICUTokenizer chain (tokenizer="icu" + lowercase): per-script
+    UAX#29 with the CJK and Thai dictionary break engines."""
+    key = "icutok:" + os.path.abspath(sf_dir)
+    if key not in _BUILT:
+        h = hashlib.md5(f"{_INDEX_VERSION}:{key}".encode()).hexdigest()[:10]
+        idx = os.path.join(tempfile.gettempdir(), f"lucene_spark_idx_{h}")
+        arr = F.array(*[F.lit(w) for w in _ICU_TOK_FORMS])
+        content = F.concat(
+            F.element_at(arr, (F.col("doc_id") % 12 + 1).cast("int")),
+            F.lit(" "),
+            F.element_at(arr, (F.col("doc_id") % 7 + 1).cast("int")))
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", content.alias("content"))
+        build_index(spark, docs, idx, num_segments=_SEGMENTS,
+                    content_col="content", doc_id_col="doc_id",
+                    tokenizer="icu", stopwords=frozenset(),
+                    store_positions=True)
+        _BUILT[key] = idx
+    return Searcher(spark, _BUILT[key])
+
+
+def _q_icu_tok_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TermQuery on データ — emitted by the CJ dictionary Viterbi
+    from 2 different forms (plain and 東京データ compound); データベース
+    stays whole, so its form must NOT match."""
+    return _fmt_topk(_searcher_icu_tok(spark, sf_dir).search(
+        Q.Term("データ"), k=10))
+
+
+def _q_icu_tok_stats(spark, sf_dir):
+    """df/ttf over ICU tokens: dictionary words survive whole
+    (データベース), Thai words come from the PossibleWord walk
+    (ข้อมูล), fullwidth digits stay numeric (２０２６), letter+digit
+    chains keep MidNum joins (test8,901 absent here — see 42nd)."""
+    s = _searcher_icu_tok(spark, sf_dir)
+    return (s.term_stats
+            .filter(F.col("term").isin(list(_ICU_TOK_STAT_TERMS)))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("ttf").cast("long").alias("ttf")))
+
+
 def _q_beider_morse_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 TermQuery on the Beider-Morse phoneme zmit — schmidt and
     smith both encode to it (the BMPM cross-spelling match the engine
@@ -2473,6 +2559,49 @@ tok AS (
   JOIN nm b ON b.i = d.doc_id % {mod_b}
 ),
 doclen AS (SELECT doc_id, 2 AS dl FROM documents),
+lut(v) AS (VALUES {_LUT_V}),
+stats AS (SELECT (SELECT count(*) FROM documents) AS dc,
+                 (SELECT count(*) FROM tok) AS sttf),
+avgs AS (SELECT CAST(CAST(sttf AS DOUBLE) / CAST(dc AS DOUBLE) AS FLOAT)
+                  AS avgdl, dc FROM stats),
+normcache AS (
+  SELECT d.doc_id,
+         CAST(CAST(1.0 AS DOUBLE) AS FLOAT) /
+         (CAST(CAST(1.2 AS DOUBLE) AS FLOAT) *
+          ((CAST(CAST(1.0 AS DOUBLE) AS FLOAT) - CAST(CAST(0.75 AS DOUBLE) AS FLOAT))
+           + CAST(CAST(0.75 AS DOUBLE) AS FLOAT)
+             * CAST((SELECT max(v) FROM lut WHERE v <= d.dl) AS FLOAT)
+             / a.avgdl)) AS inv
+  FROM doclen d, avgs a
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY 1)
+"""
+
+
+def _varlen_tok_prelude(forms, tokmap) -> str:
+    """Variable-length twin prelude for a synthetic corpus of pinned
+    sentences (the _smartcn_prelude shape, parameterized): content =
+    forms[doc_id%12] forms[doc_id%7], each form's token stream pinned
+    from the golden-verified tokenizer."""
+    vals = ", ".join(
+        "({}, [{}], {})".format(
+            i, ", ".join(f"'{t}'" for t in tokmap[n]), len(tokmap[n]))
+        for i, n in enumerate(forms))
+    return f"""
+WITH nm(i, toks, cnt) AS (VALUES {vals}),
+tok AS (
+  SELECT d.doc_id, unnest(a.toks || b.toks) AS term
+  FROM documents d
+  JOIN nm a ON a.i = d.doc_id % 12
+  JOIN nm b ON b.i = d.doc_id % 7
+),
+doclen AS (
+  SELECT d.doc_id, a.cnt + b.cnt AS dl
+  FROM documents d
+  JOIN nm a ON a.i = d.doc_id % 12
+  JOIN nm b ON b.i = d.doc_id % 7
+),
 lut(v) AS (VALUES {_LUT_V}),
 stats AS (SELECT (SELECT count(*) FROM documents) AS dc,
                  (SELECT count(*) FROM tok) AS sttf),
@@ -6682,6 +6811,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polish_term_stats": _q_stempel_stats,
         "bm25_smartcn_top10": _q_smartcn_top10,
         "smartcn_term_stats": _q_smartcn_stats,
+        # round-5: the full ICUTokenizer port (CJ + Thai dictionary
+        # break engines, golden-exact vs the compiled reference)
+        "bm25_icu_tokenizer_top10": _q_icu_tok_top10,
+        "icu_tokenizer_term_stats": _q_icu_tok_stats,
         "bm25_icu_fold_top10": _q_icu_fold_top10,
         "icu_fold_term_stats": _q_icu_fold_stats,
         "protected_truncate_stats": _q_protected_truncate_stats,
@@ -6741,6 +6874,8 @@ _PRIORITY = [
     # --- never driver-checked: head (under the 50-row cap) ---
     "span_or_repeat_top10",
     "bm25_multiphrase_repeat_top10",
+    "bm25_icu_tokenizer_top10",
+    "icu_tokenizer_term_stats",
     "dedup_cluster_roots",
     "expression_rescore_top10",
     "combined_field_top10",
@@ -8090,6 +8225,15 @@ FROM dfs WHERE term IN ('zqtf', 'data', 'dup')"""),
               "       CAST(ttf AS BIGINT) AS ttf\n"
               "FROM dfs WHERE term IN ("
             + ", ".join(f"'{t}'" for t in _SMARTCN_STAT_TERMS) + ")"),
+        "bm25_icu_tokenizer_top10": (
+            _varlen_tok_prelude(_ICU_TOK_FORMS, _ICU_TOK_TOKENS)
+            + ", " + _tscore_cte("ts", "データ") + _topk_sql("ts", 10)),
+        "icu_tokenizer_term_stats": (
+            _varlen_tok_prelude(_ICU_TOK_FORMS, _ICU_TOK_TOKENS)
+            + " SELECT term, CAST(df AS BIGINT) AS df,\n"
+              "       CAST(ttf AS BIGINT) AS ttf\n"
+              "FROM dfs WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in _ICU_TOK_STAT_TERMS) + ")"),
         "bm25_icu_fold_top10": (
             _synth_tok_prelude(_ICU_FORMS, _ICU_TOKENS, 12, 7)
             + ", " + _tscore_cte("ts", "resume") + _topk_sql("ts", 10)),
