@@ -1343,6 +1343,7 @@ def language_analyzer_kwargs(language: str) -> dict:
         "greek": (None, "greek", None),
         "polish": (None, "stempel_polish", None),
         "smart_chinese": (None, "porter", None),
+        "icu": (None, None, None),
     }
     if language not in chains:
         raise ValueError(f"unknown language {language!r} "
@@ -1365,6 +1366,12 @@ def language_analyzer_kwargs(language: str) -> dict:
         from .smartcn import smartcn_stop_set
         return {"tokenizer": "smartcn", "stemmer": "porter",
                 "stopwords": smartcn_stop_set()}
+    elif language == "icu":
+        # the icu module's analyzer role: ICUTokenizer (script runs +
+        # UAX#29 + CJ/Thai dictionary engines) -> ICUFoldingFilter
+        # (functions/icutokenizer.py, functions/icunorm.py)
+        return {"tokenizer": "icu", "icu_folding": True,
+                "stopwords": frozenset()}
     else:
         stops = STOP_SETS[stop_key]
     kw = {"stopwords": stops, "stemmer": stemmer}

@@ -77,3 +77,15 @@ def test_icu_analyzer_chain():
     terms, _pos, n = analyze_text("Hello 東京大学のデータ", tokenizer="icu")
     assert terms == ["hello", "東京", "大学", "の", "データ"]
     assert n == 5
+
+
+def test_icu_language_preset():
+    """language_analyzer_kwargs("icu") = ICUTokenizer + ICUFoldingFilter
+    (the icu module's analyzer role). The fold is the golden-verified
+    UTR#30 pipeline (accents stripped, case folded — including the
+    katakana voicing marks UTR#30 removes)."""
+    from lucene_spark.functions.analysis import analyze_text
+    from lucene_spark.functions.lightstem import language_analyzer_kwargs
+    kw = language_analyzer_kwargs("icu")
+    terms, _pos, _n = analyze_text("Résumé 東京大学 Naïve", **kw)
+    assert terms == ["resume", "東京", "大学", "naive"]
