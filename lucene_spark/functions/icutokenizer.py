@@ -39,10 +39,12 @@ Pinned by ``tests/data/icu/icu_tokenizer_fuzz.tsv.gz``: 2000
 mixed-script texts tokenized by the COMPILED reference (its own
 Default.brk resources + icu4j) — start/end/type/script per token.
 
-Documented divergence: Thai/Lao/Khmer/Myanmar dictionary break
-engines are not ported (their runs fall back to plain UAX#29, which
-emits no word tokens for spaceless runs of those scripts); CJK is the
-fully-ported dictionary family.
+The dictionary-break family is COMPLETE: CJK (cjdict Viterbi) plus
+all four Southeast-Asian engines — Thai, Lao, Burmese, Khmer
+(PossibleWord lookahead walk; per-engine begin/end/mark sets and
+MIN_WORD_SPAN verified against the icu4j bytecode; dictionaries
+iterated out of the jar's own tries: 26,383 / 30,550 / 41,120 /
+81,028 entries).
 """
 
 from __future__ import annotations
@@ -593,36 +595,90 @@ def icu_tokenize(text: str, combine_cj: bool = True):
 
 
 # ------------------------------------------------------------------
-# ThaiBreakEngine (icu4j, bytecode-verified constants + the ICU
-# dictionary-break algorithm: PossibleWord 3-word lookahead,
-# prefix-resync heuristic, combining-mark absorption, PAIYANNOI /
-# MAIYAMOK suffix handling)
+# Southeast-Asian dictionary break engines (icu4j Thai/Lao/Burmese/
+# Khmer BreakEngine — bytecode-verified constants and set algebra,
+# shared ICU dictionary-break algorithm: PossibleWord 3-word
+# lookahead, prefix-resync heuristic, combining-mark absorption,
+# Thai-only PAIYANNOI/MAIYAMOK suffix handling)
 # ------------------------------------------------------------------
 
-_THAI_LOOKAHEAD = 3
-_THAI_ROOT_COMBINE = 3
-_THAI_PREFIX_COMBINE = 3
+_SEA_LOOKAHEAD = 3
+_SEA_ROOT_COMBINE = 3
+_SEA_PREFIX_COMBINE = 3
 _THAI_PAIYANNOI = 0x0E2F
 _THAI_MAIYAMOK = 0x0E46
-_THAI_MIN_WORD_SPAN = 4          # THAI_MIN_WORD * 2
 _PW_MAX = 20                     # POSSIBLE_WORD_LIST_MAX
 
 
-def _thai_tables():
-    t = _load()
-    if "thaidict" not in t:
-        words: dict = {}
-        prefixes: set = set()
-        with gzip.open(os.path.join(_DATA, "thaidict.tsv.gz"), "rt",
-                       encoding="utf-8") as f:
-            for ln in f:
-                w, v = ln.rstrip("\n").split("\t")
-                words[w] = int(v)
-                for i in range(1, len(w)):
-                    prefixes.add(w[:i])
-        t["thaidict"] = words
-        t["thaiprefix"] = prefixes
-    return t
+class _SeaEngine:
+    """One dictionary-break engine config (min_span + begin/end/mark
+    predicates + suffix pair) with its dictionary lazily loaded."""
+    __slots__ = ("name", "dict_file", "sa_set", "mark_set", "min_span",
+                 "begin_ranges", "end_removed_single", "end_removed_range",
+                 "suffix")
+
+    def __init__(self, name, dict_file, sa_set, mark_set, min_span,
+                 begin_ranges, end_removed_single=(),
+                 end_removed_range=None, suffix=()):
+        self.name = name
+        self.dict_file = dict_file
+        self.sa_set = sa_set
+        self.mark_set = mark_set
+        self.min_span = min_span
+        self.begin_ranges = begin_ranges
+        self.end_removed_single = end_removed_single
+        self.end_removed_range = end_removed_range
+        self.suffix = suffix
+
+    def tables(self):
+        t = _load()
+        key = "dict:" + self.name
+        if key not in t:
+            words: dict = {}
+            prefixes: set = set()
+            with gzip.open(os.path.join(_DATA, self.dict_file), "rt",
+                           encoding="utf-8") as f:
+                for ln in f:
+                    w, v = ln.rstrip("\n").split("\t")
+                    words[w] = int(v)
+                    for i in range(1, len(w)):
+                        prefixes.add(w[:i])
+            t[key] = (words, prefixes)
+        return t[key]
+
+    def begin_word(self, cp):
+        return any(a <= cp <= b for a, b in self.begin_ranges)
+
+    def end_word(self, cp):
+        if cp in self.end_removed_single:
+            return False
+        r = self.end_removed_range
+        if r is not None and r[0] <= cp <= r[1]:
+            return False
+        return _in_set(_load()["sets"], self.sa_set, cp)
+
+    def mark(self, cp):
+        return cp == 0x20 or _in_set(_load()["sets"], self.mark_set, cp)
+
+
+# bytecode-verified constructor constants (fBeginWordSet ranges, the
+# fEndWordSet removals, MIN_WORD_SPAN entry check, the Thai-only
+# suffix set {PAIYANNOI, MAIYAMOK})
+_SEA_ENGINES = (
+    _SeaEngine("thai", "thaidict.tsv.gz", "thai_sa", "thai_sa_mark", 4,
+               ((0x0E01, 0x0E2E), (0x0E40, 0x0E44)),
+               end_removed_single=(0x0E31,),
+               end_removed_range=(0x0E40, 0x0E44),
+               suffix=(_THAI_PAIYANNOI, _THAI_MAIYAMOK)),
+    _SeaEngine("lao", "laodict.tsv.gz", "lao_sa", "lao_sa_mark", 2,
+               ((0x0E81, 0x0EAE), (0x0EC0, 0x0EC4), (0x0EDC, 0x0EDD)),
+               end_removed_range=(0x0EC0, 0x0EC4)),
+    _SeaEngine("burmese", "burmesedict.tsv.gz", "mymr_sa",
+               "mymr_sa_mark", 2, ((0x1000, 0x102A),)),
+    _SeaEngine("khmer", "khmerdict.tsv.gz", "khmr_sa", "khmr_sa_mark",
+               4, ((0x1780, 0x17B3),),
+               end_removed_single=(0x17D2,)),
+)
 
 
 class _TextIter:
@@ -633,12 +689,10 @@ class _TextIter:
         self.index = index
 
 
-def _thai_matches(cps, pos, max_len):
+def _sea_matches(cps, pos, max_len, words, prefixes):
     """CharsDictionaryMatcher.matches role: walk the trie code point
     by code point; returns (prefix_walk_length, ascending word
     lengths, capped at POSSIBLE_WORD_LIST_MAX)."""
-    t = _thai_tables()
-    words, prefixes = t["thaidict"], t["thaiprefix"]
     lengths = []
     frag = ""
     k = 0
@@ -658,21 +712,25 @@ class _PossibleWord:
     """DictionaryBreakEngine$PossibleWord — exact port (results cached
     by offset; candidates() leaves the iterator at the LONGEST match;
     backUp steps to the next-shorter candidate)."""
-    __slots__ = ("lengths", "prefix", "offset", "mark", "current")
+    __slots__ = ("lengths", "prefix", "offset", "mark", "current",
+                 "words", "prefixes")
 
-    def __init__(self):
+    def __init__(self, words, prefixes):
         self.lengths = []
         self.prefix = 0
         self.offset = -1
         self.mark = 0
         self.current = 0
+        self.words = words
+        self.prefixes = prefixes
 
     def candidates(self, it, range_end):
         start = it.index
         if start != self.offset:
             self.offset = start
-            self.prefix, self.lengths = _thai_matches(
-                it.cps, start, range_end - start)
+            self.prefix, self.lengths = _sea_matches(
+                it.cps, start, range_end - start, self.words,
+                self.prefixes)
             if not self.lengths:
                 it.index = start
         if self.lengths:
@@ -699,32 +757,18 @@ class _PossibleWord:
         self.mark = self.current
 
 
-def _thai_end_word(cp):
-    # fEndWordSet = thai_sa minus MAI HAN-AKAT minus the pre-vowels
-    return _in_set(_load()["sets"], "thai_sa", cp) \
-        and cp != 0x0E31 and not (0x0E40 <= cp <= 0x0E44)
-
-
-def _thai_begin_word(cp):
-    # fBeginWordSet = [ก-ฮ] + pre-vowels (bytecode {3585,3630,3648,3652})
-    return (0x0E01 <= cp <= 0x0E2E) or (0x0E40 <= cp <= 0x0E44)
-
-
-def _thai_mark(cp):
-    return cp == 0x20 or _in_set(_load()["sets"], "thai_sa_mark", cp)
-
-
-def thai_word_boundaries(cps, range_start, range_end):
-    """ThaiBreakEngine.divideUpDictionaryRange: INNER word-end
-    boundaries (absolute code-point indices, < range_end) of the
-    dictionary range cps[range_start:range_end]."""
-    if range_end - range_start < _THAI_MIN_WORD_SPAN:
+def _sea_word_boundaries(cps, range_start, range_end, eng):
+    """divideUpDictionaryRange (Thai shape; Lao/Burmese/Khmer are the
+    same walk without the suffix block): INNER word-end boundaries
+    (absolute code-point indices, < range_end)."""
+    if range_end - range_start < eng.min_span:
         return []
-    words = [_PossibleWord() for _ in range(_THAI_LOOKAHEAD)]
+    wtab, ptab = eng.tables()
+    words = [_PossibleWord(wtab, ptab) for _ in range(_SEA_LOOKAHEAD)]
     it = _TextIter(cps, range_start)
     breaks = []
     words_found = 0
-    LA = _THAI_LOOKAHEAD
+    LA = _SEA_LOOKAHEAD
     while it.index < range_end:
         current = it.index
         word_length = 0
@@ -758,11 +802,11 @@ def thai_word_boundaries(cps, range_start, range_end):
             word_length = words[words_found % LA].accept_marked(it)
             words_found += 1
         # combine a following non-word with this one (resync scan)
-        if it.index < range_end and word_length < _THAI_ROOT_COMBINE:
+        if it.index < range_end and word_length < _SEA_ROOT_COMBINE:
             if words[words_found % LA].candidates(it, range_end) <= 0 \
                     and (word_length == 0
                          or words[words_found % LA].longest_prefix()
-                         < _THAI_PREFIX_COMBINE):
+                         < _SEA_PREFIX_COMBINE):
                 remaining = range_end - (current + word_length)
                 it.index = current + word_length
                 pc = cps[it.index] if it.index < len(cps) else -1
@@ -774,7 +818,7 @@ def thai_word_boundaries(cps, range_start, range_end):
                     remaining -= 1
                     if remaining <= 0:
                         break
-                    if _thai_end_word(pc) and _thai_begin_word(uc):
+                    if eng.end_word(pc) and eng.begin_word(uc):
                         nc = words[(words_found + 1) % LA].candidates(
                             it, range_end)
                         it.index = current + word_length + chars
@@ -787,18 +831,19 @@ def thai_word_boundaries(cps, range_start, range_end):
             else:
                 it.index = current + word_length
         # never stop before a combining mark
-        while it.index < range_end and _thai_mark(cps[it.index]):
+        while it.index < range_end and eng.mark(cps[it.index]):
             it.index += 1
             word_length += 1
-        # suffix handling (PAIYANNOI / MAIYAMOK)
+        # suffix handling (Thai only: PAIYANNOI / MAIYAMOK)
         if it.index < range_end and word_length > 0:
             uc = cps[it.index]
-            if words[words_found % LA].candidates(it, range_end) <= 0 \
-                    and uc in (_THAI_PAIYANNOI, _THAI_MAIYAMOK):
+            if eng.suffix \
+                    and words[words_found % LA].candidates(
+                        it, range_end) <= 0 \
+                    and uc in eng.suffix:
                 p = it.index
                 if uc == _THAI_PAIYANNOI:
-                    if cps[p - 1] not in (_THAI_PAIYANNOI,
-                                          _THAI_MAIYAMOK):
+                    if cps[p - 1] not in eng.suffix:
                         word_length += 1
                         it.index = p + 1
                         uc = cps[p + 1] if p + 1 < len(cps) else -1
@@ -818,21 +863,32 @@ def thai_word_boundaries(cps, range_start, range_end):
     return [b for b in breaks if b < range_end]
 
 
+def thai_word_boundaries(cps, range_start, range_end):
+    """Back-compat wrapper: the Thai engine config."""
+    return _sea_word_boundaries(cps, range_start, range_end,
+                                _SEA_ENGINES[0])
+
+
 def _dict_subdivide(cps, a, b):
-    """Cut points inside rule segment [a, b) from dictionary break
-    engines (Thai here; CJ runs take the dedicated path): one engine
-    call per maximal span of dictionary chars, like
-    DictionaryBreakEngine.findBreaks."""
+    """Cut points inside rule segment [a, b) from the dictionary break
+    engines (Thai/Lao/Burmese/Khmer here; CJ runs take the dedicated
+    path): one engine call per maximal span of that engine's
+    dictionary chars, like DictionaryBreakEngine.findBreaks."""
     sets = _load()["sets"]
     cuts = []
     i = a
     while i < b:
-        if _in_set(sets, "thai_sa", cps[i]):
-            j = i
-            while j < b and _in_set(sets, "thai_sa", cps[j]):
-                j += 1
-            cuts.extend(thai_word_boundaries(cps, i, j))
-            i = j
-        else:
+        eng = None
+        for e in _SEA_ENGINES:
+            if _in_set(sets, e.sa_set, cps[i]):
+                eng = e
+                break
+        if eng is None:
             i += 1
+            continue
+        j = i
+        while j < b and _in_set(sets, eng.sa_set, cps[j]):
+            j += 1
+        cuts.extend(_sea_word_boundaries(cps, i, j, eng))
+        i = j
     return sorted(set(cuts))

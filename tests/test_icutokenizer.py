@@ -4,9 +4,10 @@ analysis/icu/segmentation classes + its shipped Default.brk /
 MyanmarSyllable.brk resources, run against the icu4j 77.1 jar the
 local Spark distribution ships): 2000 mixed-script fuzz texts —
 Latin/Cyrillic/Greek/Arabic/Hebrew/Han/Hiragana/Katakana/Hangul/Thai/
-digits/emoji — must reproduce every token's (start, end, type,
-script) EXACTLY, including the CJK dictionary Viterbi and the Thai
-dictionary engine (PossibleWord lookahead)."""
+Lao/Burmese/Khmer/digits/emoji — must reproduce every token's
+(start, end, type, script) EXACTLY, including the CJK dictionary
+Viterbi and all four Southeast-Asian dictionary engines
+(PossibleWord lookahead)."""
 
 import base64
 import gzip
@@ -53,9 +54,15 @@ def test_icu_tokenizer_shapes():
     # CJ dictionary segmentation (cjdict Viterbi)
     toks = [t for t, *_ in icu_tokenize("東京大学のコンピュータ")]
     assert toks == ["東京", "大学", "の", "コンピュータ"]
-    # Thai dictionary segmentation (PossibleWord walk)
+    # SEA dictionary segmentation (PossibleWord walk), all 4 engines
     toks = [t for t, *_ in icu_tokenize("การวิเคราะห์ข้อมูล")]
     assert toks == ["การ", "วิเคราะห์", "ข้อมูล"]
+    toks = [t for t, *_ in icu_tokenize("ການວິເຄາະຂໍ້ມູນ")]
+    assert toks == ["ການ", "ວິເຄາະ", "ຂໍ້ມູນ"]
+    toks = [t for t, *_ in icu_tokenize("မြန်မာစာပေးစာယူ")]
+    assert toks == ["မြန်မာ", "စာပေးစာယူ"]
+    toks = [t for t, *_ in icu_tokenize("ការវិភាគទិន្នន័យ")]
+    assert toks == ["ការវិភាគ", "ទិន្នន័យ"]
     # types and scripts
     out = icu_tokenize("data 東京 한국어 1️⃣")
     assert [(t, ty, sc) for t, _s, _e, ty, sc in out] == [

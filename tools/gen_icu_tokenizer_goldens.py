@@ -176,6 +176,10 @@ POOLS = {
     "mixed_ja": "東京大学のコンピュータでデータを処理します",
     "hangul": "한국어 형태소 분석기 데이터베이스 시스템",
     "thai": "การวิเคราะห์ข้อมูลอย่างรวดเร็ว",
+    "thai2": "ปัญญาประดิษฐ์เรียนรู้ภาษาไทยฯลฯ",
+    "lao": "ການວິເຄາະຂໍ້ມູນຢ່າງວ່ອງໄວ",
+    "burmese": "မြန်မာစာပေးစာယူအချက်အလက်",
+    "khmer": "ការវិភាគទិន្នន័យយ៉ាងរហ័ស",
     "digits": "123 45.67 8,901 ２０２６ 42nd",
     "emoji": "🙂 👍🏽 🇺🇸 1️⃣ ©️ test🚀go",
     "punct": ". , ; : ( ) [ ] \" ' — … · ～",

@@ -55,11 +55,25 @@ public class WBDump {
             new FileOutputStream(a[0] + "/uax29_sets.tsv.gz")), "UTF-8"))) {
       String[] names = {"emoji", "extpict", "whitespace",
                         "complex_context", "gcb_control", "thai_sa",
-                        "thai_sa_mark"};
+                        "thai_sa_mark", "lao_sa", "lao_sa_mark",
+                        "mymr_sa", "mymr_sa_mark", "khmr_sa",
+                        "khmr_sa_mark"};
       com.ibm.icu.text.UnicodeSet thaiSa = new com.ibm.icu.text.UnicodeSet(
           "[[:Thai:]&[:LineBreak=SA:]]").freeze();
       com.ibm.icu.text.UnicodeSet thaiSaM = new com.ibm.icu.text.UnicodeSet(
           "[[:Thai:]&[:LineBreak=SA:]&[:M:]]").freeze();
+      com.ibm.icu.text.UnicodeSet laoSa = new com.ibm.icu.text.UnicodeSet(
+          "[[:Laoo:]&[:LineBreak=SA:]]").freeze();
+      com.ibm.icu.text.UnicodeSet laoSaM = new com.ibm.icu.text.UnicodeSet(
+          "[[:Laoo:]&[:LineBreak=SA:]&[:M:]]").freeze();
+      com.ibm.icu.text.UnicodeSet mySa = new com.ibm.icu.text.UnicodeSet(
+          "[[:Mymr:]&[:LineBreak=SA:]]").freeze();
+      com.ibm.icu.text.UnicodeSet mySaM = new com.ibm.icu.text.UnicodeSet(
+          "[[:Mymr:]&[:LineBreak=SA:]&[:M:]]").freeze();
+      com.ibm.icu.text.UnicodeSet khSa = new com.ibm.icu.text.UnicodeSet(
+          "[[:Khmr:]&[:LineBreak=SA:]]").freeze();
+      com.ibm.icu.text.UnicodeSet khSaM = new com.ibm.icu.text.UnicodeSet(
+          "[[:Khmr:]&[:LineBreak=SA:]&[:M:]]").freeze();
       for (String name : names) {
         int runStart = -1;
         for (int cp = 0; cp <= 0x10FFFF; cp++) {
@@ -80,6 +94,18 @@ public class WBDump {
             in = thaiSa.contains(cp);
           } else if (name.equals("thai_sa_mark")) {
             in = thaiSaM.contains(cp);
+          } else if (name.equals("lao_sa")) {
+            in = laoSa.contains(cp);
+          } else if (name.equals("lao_sa_mark")) {
+            in = laoSaM.contains(cp);
+          } else if (name.equals("mymr_sa")) {
+            in = mySa.contains(cp);
+          } else if (name.equals("mymr_sa_mark")) {
+            in = mySaM.contains(cp);
+          } else if (name.equals("khmr_sa")) {
+            in = khSa.contains(cp);
+          } else if (name.equals("khmr_sa_mark")) {
+            in = khSaM.contains(cp);
           } else {
             in = UCharacter.isWhitespace(cp);
           }
