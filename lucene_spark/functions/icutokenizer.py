@@ -132,21 +132,40 @@ def _lookup(table, cp, default=0):
     return default
 
 
+# per-codepoint memo caches: real corpora use a small codepoint
+# alphabet, so the bisect range lookups amortize to dict hits
+# (~5x tokenizer throughput on ASCII-heavy text)
+_set_cache: dict = {}
+
+
 def _in_set(sets, name, cp):
-    starts, ends = sets[name]
-    i = bisect.bisect_right(starts, cp) - 1
-    return i >= 0 and cp <= ends[i]
+    key = (name, cp)
+    v = _set_cache.get(key)
+    if v is None:
+        starts, ends = sets[name]
+        i = bisect.bisect_right(starts, cp) - 1
+        v = i >= 0 and cp <= ends[i]
+        _set_cache[key] = v
+    return v
+
+
+_script_cache: dict = {}
 
 
 def _script(cp, combine_cj=True):
     """ScriptIterator.getScript (:166-186)."""
+    key = (cp, combine_cj)
+    s = _script_cache.get(key)
+    if s is not None:
+        return s
     t = _load()
     s = _lookup(t["script"], cp)
     if combine_cj:
         if s in (HAN, HIRAGANA, KATAKANA):
-            return JAPANESE
-        if 0xFF10 <= cp <= 0xFF19:
-            return LATIN
+            s = JAPANESE
+        elif 0xFF10 <= cp <= 0xFF19:
+            s = LATIN
+    _script_cache[key] = s
     return s
 
 
@@ -174,6 +193,7 @@ def script_runs(cps, combine_cj=True):
 
 
 WB_HANGUL_SYL = 99   # pseudo-class, see below
+_wb_cache: dict = {}
 
 
 def _wb_classes(cps):
@@ -189,19 +209,22 @@ def _wb_classes(cps):
       they chain only with themselves."""
     t = _load()
     sets = t["sets"]
+    cache = _wb_cache
     out = []
     for cp in cps:
-        if 0xFF10 <= cp <= 0xFF19:
-            out.append(WB_NUMERIC)
-            continue
-        c = _lookup(t["wb"], cp)
-        if 0xAC00 <= cp <= 0xD7A3:
-            out.append(WB_HANGUL_SYL)
-            continue
-        if c in (WB_OTHER,) and _in_set(sets, "complex_context", cp) \
-                and not _in_set(sets, "gcb_control", cp):
-            out.append(WB_ALETTER)
-            continue
+        c = cache.get(cp)
+        if c is None:
+            if 0xFF10 <= cp <= 0xFF19:
+                c = WB_NUMERIC
+            elif 0xAC00 <= cp <= 0xD7A3:
+                c = WB_HANGUL_SYL
+            else:
+                c = _lookup(t["wb"], cp)
+                if c == WB_OTHER \
+                        and _in_set(sets, "complex_context", cp) \
+                        and not _in_set(sets, "gcb_control", cp):
+                    c = WB_ALETTER
+            cache[cp] = c
         out.append(c)
     return out
 
@@ -874,15 +897,27 @@ def _dict_subdivide(cps, a, b):
     engines (Thai/Lao/Burmese/Khmer here; CJ runs take the dedicated
     path): one engine call per maximal span of that engine's
     dictionary chars, like DictionaryBreakEngine.findBreaks."""
-    sets = _load()["sets"]
+    t = _load()
+    sets = t["sets"]
+    if "sea_minmax" not in t:
+        lo = min(sets[e.sa_set][0][0] for e in _SEA_ENGINES)
+        hi = max(sets[e.sa_set][1][-1] for e in _SEA_ENGINES)
+        t["sea_minmax"] = (lo, hi)
+    lo, hi = t["sea_minmax"]
+    # fast reject: segments with no code point in the combined SEA
+    # band (most text) never reach the per-engine set probes
+    if not any(lo <= cp <= hi for cp in cps[a:b]):
+        return []
     cuts = []
     i = a
     while i < b:
         eng = None
-        for e in _SEA_ENGINES:
-            if _in_set(sets, e.sa_set, cps[i]):
-                eng = e
-                break
+        cp = cps[i]
+        if lo <= cp <= hi:
+            for e in _SEA_ENGINES:
+                if _in_set(sets, e.sa_set, cp):
+                    eng = e
+                    break
         if eng is None:
             i += 1
             continue
