@@ -54,7 +54,7 @@ def test_multiphrase_repeat_freqs_bit_exact():
     from lucene_spark.functions.sloppy import (
         lucene_sloppy_multiphrase_freq)
     docs, queries = _load()
-    assert len(queries) == 140
+    assert len(queries) == 200
     total_hits = 0
     for slop, slots, qpos, exp in queries:
         got = {}
