@@ -556,7 +556,14 @@ _IOBUFFER = 4096
 def icu_tokenize(text: str, combine_cj: bool = True):
     """Full ICUTokenizer: [(term, start, end, type, script_code)] with
     UTF-16 offsets (the reference's offset unit). Replicates the 4 kB
-    chunking with a whitespace safe-end (ICUTokenizer.java:134-178)."""
+    chunking with a whitespace safe-end (ICUTokenizer.java:134-178).
+
+    ``combine_cj=True`` is the reference's only shipped configuration
+    (``ICUTokenizer.java:67`` hardcodes DefaultICUTokenizerConfig(true,
+    true)) and the golden-verified path. ``combine_cj=False`` keeps the
+    script-run semantics but approximates Default.brk's per-ideograph
+    CJ handling (un-goldened; Han/Hiragana runs yield no word tokens
+    there) — prefer the default."""
     sets = _load()["sets"]
     # operate on UTF-16 code units like the Java buffer
     units = []
