@@ -450,30 +450,32 @@ def cj_word_boundaries(cps):
         inner = sorted(b for b in bnd if 0 < b < n)
     if imap is not None:
         inner = sorted({imap[b] for b in inner
-                        if imap[b] is not None and 0 < imap[b] < len(cps)})
+                        if 0 < imap[b] < len(cps)})
     return inner
 
 
 def _nfkc_index_map(cps):
-    """normalized-code-point-index -> original-code-point-index map for
-    boundaries: original cps are normalized starter-group by
-    starter-group; a boundary in the normalized text maps to the
-    original group boundary it coincides with (None inside an
-    expansion, matching the '> previous' dedup of the emit loop)."""
+    """normalized-code-point-index -> original-code-point-index map, the
+    Java ``charPositions`` array (Normalizer iteration: each normalized
+    code point maps to the source index AFTER the normalization chunk
+    that produced it). Chunks are the maximal intervals between
+    NFKC-safe source boundaries — a boundary i is safe iff
+    NFKC(s[:i]) + NFKC(s[i:]) == NFKC(s) — so e.g. halfwidth ﾃ+ﾞ
+    (which COMPOSE to デ) form one chunk and an intra-chunk Viterbi
+    boundary maps to the chunk end, exactly like getIndex()."""
+    s = "".join(map(chr, cps))
+    full = unicodedata.normalize("NFKC", s)
     out = {0: 0}
-    norm_len = 0
-    i = 0
+    norm_done = 0
     n = len(cps)
-    while i < n:
-        j = i + 1
-        while j < n and unicodedata.combining(chr(cps[j])) != 0:
-            j += 1
-        piece = unicodedata.normalize(
-            "NFKC", "".join(chr(c) for c in cps[i:j]))
-        norm_len += len(piece)
-        out[norm_len] = j
-        i = j
-    return {k: v for k, v in out.items()}
+    for i in range(1, n + 1):
+        head = unicodedata.normalize("NFKC", s[:i])
+        if i == n or (head + unicodedata.normalize("NFKC", s[i:])
+                      == full):
+            for k in range(norm_done + 1, len(head) + 1):
+                out[k] = i
+            norm_done = len(head)
+    return out
 
 
 # ------------------------------------------------------------------

@@ -173,6 +173,7 @@ POOLS = {
     "han": "中华人民共和国北京大学计算机科学技术研究所自然语言处理",
     "hiragana": "これはにほんごのぶんしょうですとうきょうだいがく",
     "katakana": "コンピュータサイエンストウキョウデータベースシステム",
+    "halfkana": "ﾃﾞｰﾀﾍﾞｰｽ ｺﾝﾋﾟｭｰﾀ ｼｽﾃﾑﾃﾞｰﾀ",
     "mixed_ja": "東京大学のコンピュータでデータを処理します",
     "hangul": "한국어 형태소 분석기 데이터베이스 시스템",
     "thai": "การวิเคราะห์ข้อมูลอย่างรวดเร็ว",
