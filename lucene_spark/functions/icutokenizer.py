@@ -110,18 +110,27 @@ def _load():
             sets[name][0].append(int(a))
             sets[name][1].append(int(b))
     _tables["sets"] = sets
-    words: dict = {}
-    prefixes: set = set()
-    with gzip.open(os.path.join(_DATA, "cjdict.tsv.gz"), "rt",
-                   encoding="utf-8") as f:
-        for ln in f:
-            w, v = ln.rstrip("\n").split("\t")
-            words[w] = int(v)
-            for i in range(1, len(w)):
-                prefixes.add(w[:i])
-    _tables["cjdict"] = words
-    _tables["cjprefix"] = prefixes
     return _tables
+
+
+def _load_cjdict():
+    """cjdict words + prefixes, loaded lazily on the first CJ
+    dictionary span (~60 MB per worker — executors that never see CJK
+    text never pay it; same pattern as the SEA dictionaries)."""
+    t = _load()
+    if "cjdict" not in t:
+        words: dict = {}
+        prefixes: set = set()
+        with gzip.open(os.path.join(_DATA, "cjdict.tsv.gz"), "rt",
+                       encoding="utf-8") as f:
+            for ln in f:
+                w, v = ln.rstrip("\n").split("\t")
+                words[w] = int(v)
+                for i in range(1, len(w)):
+                    prefixes.add(w[:i])
+        t["cjdict"] = words
+        t["cjprefix"] = prefixes
+    return t
 
 
 def _lookup(table, cp, default=0):
@@ -390,7 +399,7 @@ def cj_word_boundaries(cps):
     ascending inner boundaries (code-point indices, excluding 0 and
     len). NFKC-normalizes first (with an index map) exactly like
     divideUpDictionaryRange."""
-    t = _load()
+    t = _load_cjdict()
     s = "".join(map(chr, cps))
     norm = unicodedata.normalize("NFKC", s)
     if norm == s:
