@@ -1852,6 +1852,79 @@ def _q_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygon_query(g, _GEO_POLY).select("doc_id")
 
 
+# --- Geo3D (spatial3d role): shapes over the same synthetic coordinates.
+# The grid is a 1-D diagonal curve over the globe (lat/lon both linear in
+# doc_id), so shapes are centered ON the curve (near doc_id 250).
+_G3D_CENTER = (2.563, 2.337)          # lat, lon degrees (on the curve)
+_G3D_RADIUS_M = 2_347_000.0
+_G3D_BOX = (-10.137, 40.313, -60.211, 10.733)  # min/max lat, min/max lon
+
+
+def _g3d_poly_points():
+    """Convex pentagon + triangular hole on a spherical cap around
+    (2.5, 2.4) — deterministic closed-form vertices, radians."""
+    import math as _m
+    cx, cy = 2.5, 2.4
+    k = _m.cos(_m.radians(cx))
+    pent = [(cx + 16.0 * _m.cos(2 * _m.pi * i / 5 + 0.37),
+             cy + 16.0 * _m.sin(2 * _m.pi * i / 5 + 0.37) / k)
+            for i in range(5)]
+    hole = [(cx + 4.3 * _m.cos(2 * _m.pi * i / 3 + 0.91),
+             cy + 4.3 * _m.sin(2 * _m.pi * i / 3 + 0.91) / k)
+            for i in range(3)]
+    rad = _m.radians
+    return ([(rad(a), rad(b)) for a, b in pent],
+            [(rad(a), rad(b)) for a, b in hole])
+
+
+def _g3d_polygon_shape():
+    from lucene_spark.operators.geo3d import (SPHERE, make_concave_polygon,
+                                              make_convex_polygon)
+    pent, hole = _g3d_poly_points()
+    return make_convex_polygon(SPHERE, pent,
+                               [make_concave_polygon(SPHERE, hole)])
+
+
+def _q_geo3d_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo3DPoint.newDistanceQuery: members of a GeoStandardCircle on
+    WGS84, membership tested on the quantized surface point exactly as
+    PointInGeo3DShapeQuery does — pure Catalyst plane predicates."""
+    from lucene_spark.operators.geo3d import geo3d_distance_query
+    g = _geo_docs(spark, sf_dir)
+    return geo3d_distance_query(g, _G3D_CENTER[0], _G3D_CENTER[1],
+                                _G3D_RADIUS_M).select("doc_id")
+
+
+def _q_geo3d_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo3DPoint.newBoxQuery → GeoBBoxFactory (GeoRectangle branch)."""
+    from lucene_spark.operators.geo3d import (WGS84, geo3d_shape_query,
+                                              geo_bbox_from_degrees)
+    g = _geo_docs(spark, sf_dir)
+    shape = geo_bbox_from_degrees(WGS84, _G3D_BOX[0], _G3D_BOX[1],
+                                  _G3D_BOX[2], _G3D_BOX[3])
+    return geo3d_shape_query(g, shape).select("doc_id")
+
+
+def _q_geo3d_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo3DPoint.newShapeQuery over GeoConvexPolygon with a hole
+    (geo3d hole convention: the hole is a same-sense concave polygon)."""
+    from lucene_spark.operators.geo3d import geo3d_shape_query
+    g = _geo_docs(spark, sf_dir)
+    return geo3d_shape_query(g, _g3d_polygon_shape()).select("doc_id")
+
+
+def _q_geo3d_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo3DPointSortField (DistanceStyle.ARC) top-10: arc distance from
+    the center to each quantized surface point, microradian-quantized."""
+    from lucene_spark.operators.geo3d import geo3d_nearest
+    g = _geo_docs(spark, sf_dir)
+    out = geo3d_nearest(g, _G3D_CENTER[0], _G3D_CENTER[1], k=10,
+                        tiebreak=("doc_id",))
+    return out.select(
+        "doc_id",
+        F.floor(F.col("arc_rad") * 1000000).cast("bigint").alias("arc_q6"))
+
+
 def _searcher_payload(spark: SparkSession, sf_dir: str) -> Searcher:
     """Payload-indexed build: every token of documents.text is annotated
     with a deterministic float payload ``((doc_id + pos) % 7) * 0.5`` as
@@ -6537,6 +6610,53 @@ WITH {_GEO_SQL_COORDS.strip()}
 SELECT doc_id FROM geo WHERE {pred}"""
 
 
+def _geo3d_members_sql(shape) -> str:
+    """Twin for the geo3d shape entries: the same xyz placement +
+    quantization + plane-constant predicate, all in SQL (the plane
+    constants are the Python-computed doubles embedded as literals —
+    identical on both sides by construction)."""
+    from lucene_spark.operators.geo3d import geo3d_xyz_sql_ctes
+    return f"""
+WITH {_GEO_SQL_COORDS.strip()},
+{geo3d_xyz_sql_ctes("geo", shape.planet_model)}
+SELECT doc_id FROM g3d_xyz WHERE {shape.sql_predicate()}"""
+
+
+def _geo3d_circle_sql() -> str:
+    from lucene_spark.operators.geo3d import WGS84, geo_circle_from_meters
+    return _geo3d_members_sql(geo_circle_from_meters(
+        WGS84, _G3D_CENTER[0], _G3D_CENTER[1], _G3D_RADIUS_M))
+
+
+def _geo3d_bbox_sql() -> str:
+    from lucene_spark.operators.geo3d import WGS84, geo_bbox_from_degrees
+    return _geo3d_members_sql(geo_bbox_from_degrees(
+        WGS84, _G3D_BOX[0], _G3D_BOX[1], _G3D_BOX[2], _G3D_BOX[3]))
+
+
+def _geo3d_polygon_sql() -> str:
+    return _geo3d_members_sql(_g3d_polygon_shape())
+
+
+def _geo3d_nearest_sql(k: int = 10) -> str:
+    import math as _m
+
+    from lucene_spark.operators.geo3d import (RADIANS_PER_DEGREE, WGS84,
+                                              GeoPoint3D, geo3d_xyz_sql_ctes)
+    c = GeoPoint3D.from_lat_lon(WGS84, _G3D_CENTER[0] * RADIANS_PER_DEGREE,
+                                _G3D_CENTER[1] * RADIANS_PER_DEGREE)
+    cmag = c.magnitude()
+    arc = (f"acos(least(greatest(({c.x!r} * g3d_x + {c.y!r} * g3d_y + "
+           f"{c.z!r} * g3d_z) / ({cmag!r} * sqrt(g3d_x * g3d_x + "
+           f"g3d_y * g3d_y + g3d_z * g3d_z)), -1.0), 1.0))")
+    return f"""
+WITH {_GEO_SQL_COORDS.strip()},
+{geo3d_xyz_sql_ctes("geo", WGS84)}
+SELECT doc_id, CAST(floor(arc * 1000000) AS BIGINT) AS arc_q6
+FROM (SELECT doc_id, {arc} AS arc FROM g3d_xyz)
+ORDER BY arc ASC, doc_id ASC LIMIT {k}"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 conjunction top-10 on sf0.001 (build + search)."""
     return _search(Q.And((Q.Term(T_COMMON), Q.Term(T_COMMON2))))(
@@ -6682,6 +6802,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_nearest_top10": _q_geo_nearest,
         "geo_distance_count": _q_geo_distance_count,
         "geo_polygon_docs": _q_geo_polygon,
+        "geo3d_circle_docs": _q_geo3d_circle,
+        "geo3d_bbox_docs": _q_geo3d_bbox,
+        "geo3d_polygon_docs": _q_geo3d_polygon,
+        "geo3d_nearest_top10": _q_geo3d_nearest,
         "drill_down_path": _q_drill_down_path,
         "sort_by_field": _q_sort_by_field,
         "query_join": _q_join,
@@ -6877,6 +7001,12 @@ _PRIORITY = [
     "bm25_icu_tokenizer_top10",
     "icu_tokenizer_term_stats",
     "dedup_cluster_roots",
+    # round-5 session-2 additions: the new spatial3d module (never checked
+    # anywhere before this round; golden-pinned vs the compiled reference)
+    "geo3d_circle_docs",
+    "geo3d_bbox_docs",
+    "geo3d_polygon_docs",
+    "geo3d_nearest_top10",
     "expression_rescore_top10",
     "combined_field_top10",
     "bm25_stem_de_top10",
@@ -7907,6 +8037,10 @@ pcf AS (
         "geo_nearest_top10": _geo_nearest_sql(),
         "geo_distance_count": _geo_distance_sql(),
         "geo_polygon_docs": _geo_polygon_sql(),
+        "geo3d_circle_docs": _geo3d_circle_sql(),
+        "geo3d_bbox_docs": _geo3d_bbox_sql(),
+        "geo3d_polygon_docs": _geo3d_polygon_sql(),
+        "geo3d_nearest_top10": _geo3d_nearest_sql(),
         "sorted_index_topk": """
 SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(rnk AS INT) AS rank
 FROM (SELECT doc_id, n_chars,

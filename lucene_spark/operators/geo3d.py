@@ -889,9 +889,14 @@ def _xyz_exprs(pm: PlanetModel, lat: Column, lon: Column,
     for u in (ux, uy, uz):
         v = u * mag
         if quantize:
-            enc = (F.when(v >= F.lit(pm.MAX_VALUE),
+            # encodeValue: the only input reaching the == MAX_VALUE branch
+            # is exactly MAX_VALUE (surface magnitudes never exceed it and
+            # nothing lands in (nextDown(MAX), MAX)), and there
+            # floor(MAX/DECODE) >= MAX_ENCODED_VALUE — so the branch
+            # collapses to a least() with a single reference to v, keeping
+            # the codegen'd expression tree half the size.
+            enc = F.least(F.floor(v / F.lit(pm.DECODE)),
                           F.lit(pm.MAX_ENCODED_VALUE))
-                   .otherwise(F.floor(v / F.lit(pm.DECODE))))
             v = (F.when(enc == F.lit(pm.MIN_ENCODED_VALUE),
                         F.lit(-pm.MAX_VALUE))
                  .when(enc == F.lit(pm.MAX_ENCODED_VALUE),
@@ -939,10 +944,10 @@ def geo3d_xyz_sql_ctes(source: str, pm: PlanetModel = WGS84,
                        ("z", "s_lat")):
         v = "({u} * {m})".format(u=unit, m=mag)
         if quantize:
-            enc = ("(CASE WHEN {v} >= {mx!r} THEN {me} ELSE "
-                   "CAST(floor({v} / {dec!r}) AS BIGINT) END)"
-                   .format(v=v, mx=pm.MAX_VALUE, me=pm.MAX_ENCODED_VALUE,
-                           dec=pm.DECODE))
+            # same least() collapse of encodeValue's == MAX branch as the
+            # Catalyst emission (see _xyz_exprs)
+            enc = ("CAST(least(floor({v} / {dec!r}), {me}) AS BIGINT)"
+                   .format(v=v, me=pm.MAX_ENCODED_VALUE, dec=pm.DECODE))
             v = ("(CASE WHEN {e} = {mine} THEN {negmax!r} "
                  "WHEN {e} = {maxe} THEN {mx!r} "
                  "ELSE (CAST({e} AS DOUBLE) + 0.5) * {dec!r} END)"
@@ -956,11 +961,29 @@ def geo3d_xyz_sql_ctes(source: str, pm: PlanetModel = WGS84,
 
 def geo3d_shape_query(df: DataFrame, shape: GeoShape3D,
                       lat_col: str = "lat", lon_col: str = "lon",
-                      quantize: bool = True) -> DataFrame:
+                      quantize: bool = True,
+                      prefix: str = "g3d_") -> DataFrame:
     """Geo3DPoint.newShapeQuery role: rows whose quantized surface
-    point is within the shape.  One codegen'd filter stage."""
-    x, y, z = _xyz_exprs(shape.planet_model, F.col(lat_col), F.col(lon_col),
-                         quantize)
+    point is within the shape.
+
+    If the frame already carries materialized ``g3d_x/y/z`` columns
+    (the reference's own architecture — Geo3DPoint encodes at INDEX
+    time, so at scale you add them once at write time via
+    ``with_geo3d_xyz`` and let parquet row-group min/max stats prune
+    shape queries like BKD inner nodes), the filter is a tiny
+    whole-stage-codegen'd predicate over those columns.  Otherwise the
+    placement is computed inline; for many-plane shapes Catalyst's
+    predicate pushdown inlines the trig tree per plane test and
+    codegen may fall back to interpreted evaluation for that one
+    filter (correct, logged by Spark) — another reason to materialize
+    on big corpora."""
+    cols = set(df.columns)
+    if {prefix + "x", prefix + "y", prefix + "z"} <= cols:
+        x, y, z = (F.col(prefix + "x"), F.col(prefix + "y"),
+                   F.col(prefix + "z"))
+    else:
+        x, y, z = _xyz_exprs(shape.planet_model, F.col(lat_col),
+                             F.col(lon_col), quantize)
     return df.filter(shape.predicate(x, y, z))
 
 
@@ -976,7 +999,8 @@ def geo3d_distance_query(df: DataFrame, lat_deg: float, lon_deg: float,
 
 def geo3d_nearest(df: DataFrame, lat_deg: float, lon_deg: float, k: int,
                   pm: PlanetModel = WGS84, lat_col: str = "lat",
-                  lon_col: str = "lon") -> DataFrame:
+                  lon_col: str = "lon",
+                  tiebreak: Optional[Sequence[str]] = None) -> DataFrame:
     """Geo3DPointSortField role with DistanceStyle.ARC
     (``geom/ArcDistance.java`` → ``GeoPoint.arcDistance``:
     safeAcos(dot / (|center|·|point|))): adds ``arc_rad`` and returns
@@ -991,7 +1015,8 @@ def geo3d_nearest(df: DataFrame, lat_deg: float, lon_deg: float, k: int,
     cosv = dot / (F.lit(cmag) * pmag)
     # Tools.safeAcos: clamp to [-1, 1]
     arc = F.acos(F.least(F.greatest(cosv, F.lit(-1.0)), F.lit(1.0)))
+    ties = list(tiebreak) if tiebreak is not None else [lat_col, lon_col]
     return (df.withColumn("arc_rad", arc)
-            .orderBy(F.col("arc_rad").asc(), F.col(lat_col).asc(),
-                     F.col(lon_col).asc())
+            .orderBy(F.col("arc_rad").asc(),
+                     *[F.col(c).asc() for c in ties])
             .limit(k))
