@@ -1913,6 +1913,20 @@ def _q_geo3d_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo3d_shape_query(g, _g3d_polygon_shape()).select("doc_id")
 
 
+_G3D_PATH = [(0.313, -2.137), (5.237, 8.319), (11.731, 15.913)]
+_G3D_PATH_WIDTH_M = 517_000.0
+
+
+def _q_geo3d_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo3DPoint.newPathQuery: members of a GeoStandardPath buffer
+    (endpoint caps + four-plane segment slabs) on WGS84."""
+    from lucene_spark.operators.geo3d import (WGS84, geo3d_shape_query,
+                                              geo_path_from_meters)
+    g = _geo_docs(spark, sf_dir)
+    shape = geo_path_from_meters(WGS84, _G3D_PATH, _G3D_PATH_WIDTH_M)
+    return geo3d_shape_query(g, shape).select("doc_id")
+
+
 def _q_geo3d_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo3DPointSortField (DistanceStyle.ARC) top-10: arc distance from
     the center to each quantized surface point, microradian-quantized."""
@@ -6638,6 +6652,12 @@ def _geo3d_polygon_sql() -> str:
     return _geo3d_members_sql(_g3d_polygon_shape())
 
 
+def _geo3d_path_sql() -> str:
+    from lucene_spark.operators.geo3d import WGS84, geo_path_from_meters
+    return _geo3d_members_sql(geo_path_from_meters(
+        WGS84, _G3D_PATH, _G3D_PATH_WIDTH_M))
+
+
 def _geo3d_nearest_sql(k: int = 10) -> str:
     import math as _m
 
@@ -6805,6 +6825,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo3d_circle_docs": _q_geo3d_circle,
         "geo3d_bbox_docs": _q_geo3d_bbox,
         "geo3d_polygon_docs": _q_geo3d_polygon,
+        "geo3d_path_docs": _q_geo3d_path,
         "geo3d_nearest_top10": _q_geo3d_nearest,
         "drill_down_path": _q_drill_down_path,
         "sort_by_field": _q_sort_by_field,
@@ -7006,6 +7027,7 @@ _PRIORITY = [
     "geo3d_circle_docs",
     "geo3d_bbox_docs",
     "geo3d_polygon_docs",
+    "geo3d_path_docs",
     "geo3d_nearest_top10",
     "expression_rescore_top10",
     "combined_field_top10",
@@ -8040,6 +8062,7 @@ pcf AS (
         "geo3d_circle_docs": _geo3d_circle_sql(),
         "geo3d_bbox_docs": _geo3d_bbox_sql(),
         "geo3d_polygon_docs": _geo3d_polygon_sql(),
+        "geo3d_path_docs": _geo3d_path_sql(),
         "geo3d_nearest_top10": _geo3d_nearest_sql(),
         "sorted_index_topk": """
 SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(rnk AS INT) AS rank

@@ -211,12 +211,27 @@ def _perpendicular(ax: float, ay: float, az: float,
 
 
 class Plane:
-    """geom/Plane.java:49-113 — Ax+By+Cz+D with normalized (A,B,C)."""
+    """geom/Plane.java:49-113 — Ax+By+Cz+D with normalized (A,B,C).
+    (In the reference Plane extends Vector, so A/B/C double as x/y/z —
+    mirrored here via properties for code that treats the normal as a
+    point, e.g. the path cutoff-plane construction.)"""
 
     __slots__ = ("A", "B", "C", "D")
 
     def __init__(self, A: float, B: float, C: float, D: float):
         self.A, self.B, self.C, self.D = A, B, C, D
+
+    @property
+    def x(self) -> float:
+        return self.A
+
+    @property
+    def y(self) -> float:
+        return self.B
+
+    @property
+    def z(self) -> float:
+        return self.C
 
     @classmethod
     def horizontal(cls, pm: PlanetModel, sin_lat: float) -> "Plane":
@@ -255,6 +270,75 @@ class Plane:
 
     def evaluate_is_zero(self, x: float, y: float, z: float) -> bool:
         return abs(self.evaluate(x, y, z)) < MINIMUM_RESOLUTION
+
+    def find_intersections(self, pm: PlanetModel, q: "Plane",
+                           bounds: Sequence["SidedPlane"] = (),
+                           more_bounds: Sequence["SidedPlane"] = ()
+                           ) -> List[GeoPoint3D]:
+        """geom/Plane.java:779-963 — intersect this plane with plane q
+        on the ellipsoid: Cramer-solved line + quadratic, candidates
+        filtered by the sided bounds.  Driver-side shape construction
+        only (never per row)."""
+        lvx = self.B * q.C - self.C * q.B
+        lvy = self.C * q.A - self.A * q.C
+        lvz = self.A * q.B - self.B * q.A
+        if (abs(lvx) < MINIMUM_RESOLUTION and abs(lvy) < MINIMUM_RESOLUTION
+                and abs(lvz) < MINIMUM_RESOLUTION):
+            return []
+        min_res_sq = MINIMUM_RESOLUTION * MINIMUM_RESOLUTION
+        denom_yz = self.B * q.C - self.C * q.B
+        denom_xz = self.A * q.C - self.C * q.A
+        denom_xy = self.A * q.B - self.B * q.A
+        if abs(denom_yz) >= abs(denom_xz) and abs(denom_yz) >= abs(denom_xy):
+            if abs(denom_yz) < min_res_sq:
+                return []
+            denom = 1.0 / denom_yz
+            x0 = 0.0
+            y0 = (-self.D * q.C - self.C * -q.D) * denom
+            z0 = (self.B * -q.D + self.D * q.B) * denom
+        elif abs(denom_xz) >= abs(denom_xy) and abs(denom_xz) >= abs(denom_yz):
+            if abs(denom_xz) < min_res_sq:
+                return []
+            denom = 1.0 / denom_xz
+            x0 = (-self.D * q.C - self.C * -q.D) * denom
+            y0 = 0.0
+            z0 = (self.A * -q.D + self.D * q.A) * denom
+        else:
+            if abs(denom_xy) < min_res_sq:
+                return []
+            denom = 1.0 / denom_xy
+            x0 = (-self.D * q.B - self.B * -q.D) * denom
+            y0 = (self.A * -q.D + self.D * q.A) * denom
+            z0 = 0.0
+        A = (lvx * lvx * pm.inverse_xy_scaling_squared
+             + lvy * lvy * pm.inverse_xy_scaling_squared
+             + lvz * lvz * pm.inverse_z_scaling_squared)
+        B = 2.0 * (lvx * x0 * pm.inverse_xy_scaling_squared
+                   + lvy * y0 * pm.inverse_xy_scaling_squared
+                   + lvz * z0 * pm.inverse_z_scaling_squared)
+        C = (x0 * x0 * pm.inverse_xy_scaling_squared
+             + y0 * y0 * pm.inverse_xy_scaling_squared
+             + z0 * z0 * pm.inverse_z_scaling_squared - 1.0)
+        disc = B * B - 4.0 * A * C
+        out: List[GeoPoint3D] = []
+
+        def _ok(px: float, py: float, pz: float) -> bool:
+            return (all(b.is_within(px, py, pz) for b in bounds)
+                    and all(b.is_within(px, py, pz) for b in more_bounds))
+
+        if abs(disc) < min_res_sq:
+            t = -B / (2.0 * A)
+            px, py, pz = lvx * t + x0, lvy * t + y0, lvz * t + z0
+            if _ok(px, py, pz):
+                out.append(GeoPoint3D(px, py, pz))
+        elif disc > 0.0:
+            inv2a = 1.0 / (2.0 * A)
+            sq = math.sqrt(disc)
+            for t in ((-B + sq) * inv2a, (-B - sq) * inv2a):
+                px, py, pz = lvx * t + x0, lvy * t + y0, lvz * t + z0
+                if _ok(px, py, pz):
+                    out.append(GeoPoint3D(px, py, pz))
+        return out
 
 
 class SidedPlane(Plane):
@@ -307,6 +391,34 @@ class SidedPlane(Plane):
             return cls(nx, ny, nz, d, inside)
         except ValueError:
             return None
+
+    def reversed(self) -> "SidedPlane":
+        # SidedPlane.java:34-38 (copy constructor flips the side)
+        out = SidedPlane.__new__(SidedPlane)
+        Plane.__init__(out, self.A, self.B, self.C, self.D)
+        out.sig_num = -self.sig_num
+        return out
+
+    @classmethod
+    def three_point(cls, inside: GeoPoint3D, p1, p2, p3
+                    ) -> Optional["SidedPlane"]:
+        # SidedPlane.java:231-285: three attempts with different
+        # difference-vector pairs until one succeeds
+        for a, b, through in (
+                ((p1.x - p2.x, p1.y - p2.y, p1.z - p2.z),
+                 (p2.x - p3.x, p2.y - p3.y, p2.z - p3.z), p2),
+                ((p1.x - p3.x, p1.y - p3.y, p1.z - p3.z),
+                 (p3.x - p2.x, p3.y - p2.y, p3.z - p2.z), p3),
+                ((p3.x - p1.x, p3.y - p1.y, p3.z - p1.z),
+                 (p1.x - p2.x, p1.y - p2.y, p1.z - p2.z), p1)):
+            try:
+                nx, ny, nz = _perpendicular(a[0], a[1], a[2],
+                                            b[0], b[1], b[2])
+                d = -(nx * through.x + ny * through.y + nz * through.z)
+                return cls(nx, ny, nz, d, inside)
+            except ValueError:
+                continue
+        return None
 
     def is_within(self, x: float, y: float, z: float) -> bool:
         # SidedPlane.java:288-296
@@ -866,6 +978,190 @@ def make_composite(pm: PlanetModel,
     """GeoBaseCompositeShape.isWithin:104-111 — union (any-of)."""
     return GeoShape3D(pm, _Or(*[s.membership for s in shapes]),
                       "GeoCompositeShape")
+
+
+class _PathSegment:
+    """GeoStandardPath.java PathSegment: four sided planes bounding the
+    buffered great-circle segment, corners via plane-plane-ellipsoid
+    intersection."""
+
+    def __init__(self, pm: PlanetModel, start: GeoPoint3D, end: GeoPoint3D,
+                 ncp: Plane, cutoff_offset: float):
+        self.start, self.end = start, end
+        self.upper = SidedPlane.normal(start, ncp.A, ncp.B, ncp.C,
+                                       -cutoff_offset)
+        self.lower = SidedPlane.normal(start, ncp.A, ncp.B, ncp.C,
+                                       cutoff_offset)
+        self.start_cut = SidedPlane.through_origin(end, ncp, start)
+        self.end_cut = SidedPlane.through_origin(start, ncp, end)
+
+        def _one(pts: List[GeoPoint3D]) -> GeoPoint3D:
+            if len(pts) == 0:
+                raise ValueError("Some segment boundary points are off the "
+                                 "ellipsoid; path too wide")
+            if len(pts) > 1:
+                raise ValueError("Ambiguous boundary points; path too short")
+            return pts[0]
+
+        self.ULHC = _one(self.upper.find_intersections(
+            pm, self.start_cut, [self.lower], [self.end_cut]))
+        self.URHC = _one(self.upper.find_intersections(
+            pm, self.end_cut, [self.lower], [self.start_cut]))
+        self.LLHC = _one(self.lower.find_intersections(
+            pm, self.start_cut, [self.upper], [self.end_cut]))
+        self.LRHC = _one(self.lower.find_intersections(
+            pm, self.end_cut, [self.upper], [self.start_cut]))
+
+    def node(self) -> _Node:
+        return _And(_PlaneWithin(self.start_cut),
+                    _PlaneWithin(self.end_cut),
+                    _PlaneWithin(self.upper), _PlaneWithin(self.lower))
+
+
+def make_geo_path(pm: PlanetModel,
+                  lat_lon_points: Sequence[Tuple[float, float]],
+                  cutoff_angle: float) -> GeoShape3D:
+    """GeoPathFactory.makeGeoPath + GeoStandardPath.java:102-220 — a
+    great-circle path buffered by ``cutoff_angle``: membership is the
+    union of per-vertex endpoint caps (single- or dual-circle, cut off
+    by the adjoining segments' reversed edge planes) and per-segment
+    four-plane slabs.  Points in radians.
+
+    The degenerate zero-width path (GeoDegeneratePath) is out of scope
+    — on quantized point sets an exact line membership matches nothing
+    meaningful; pass a positive width."""
+    if cutoff_angle < MINIMUM_ANGULAR_RESOLUTION:
+        raise NotImplementedError(
+            "GeoDegeneratePath (zero-width path) is out of scope — see "
+            "docstring; pass cutoff_angle >= MINIMUM_ANGULAR_RESOLUTION")
+    if cutoff_angle <= 0.0 or cutoff_angle > math.pi * 0.5:
+        raise ValueError("Cutoff angle out of bounds")
+    sin_angle = math.sin(cutoff_angle)
+    raw = [GeoPoint3D.from_lat_lon(pm, lat, lon)
+           for lat, lon in lat_lon_points]
+    if not raw:
+        raise ValueError("Path must have at least one point")
+    # GeoPathFactory.filterPoints: drop consecutive numerically-identical
+    points: List[GeoPoint3D] = []
+    for i in range(len(raw) - 1):
+        dx = raw[i].x - raw[i + 1].x
+        dy = raw[i].y - raw[i + 1].y
+        dz = raw[i].z - raw[i + 1].z
+        if dx * dx + dy * dy + dz * dz >= MINIMUM_RESOLUTION ** 2:
+            points.append(raw[i])
+    points.append(raw[-1])
+
+    cutoff_offset = sin_angle * min(pm.xy_scaling, pm.z_scaling)
+    segments: List[_PathSegment] = []
+    last = None
+    for end in points:
+        if last is not None:
+            ncp = Plane.through_origin(last, end)
+            segments.append(_PathSegment(pm, last, end, ncp, cutoff_offset))
+        last = end
+
+    if not segments:
+        # single point → plain circle cap (GeoStandardPath.java:128-166)
+        p = points[0]
+        lat = math.asin(p.z / p.magnitude())
+        if abs(p.x) < MINIMUM_RESOLUTION and abs(p.y) < MINIMUM_RESOLUTION:
+            lon = 0.0
+        else:
+            lon = math.atan2(p.y, p.x)
+        upper_lat, upper_lon = lat + cutoff_angle, lon
+        if upper_lat > math.pi * 0.5:
+            upper_lon += math.pi
+            if upper_lon > math.pi:
+                upper_lon -= 2.0 * math.pi
+            upper_lat = math.pi - upper_lat
+        lower_lat, lower_lon = lat - cutoff_angle, lon
+        if lower_lat < -math.pi * 0.5:
+            lower_lon += math.pi
+            if lower_lon > math.pi:
+                lower_lon -= 2.0 * math.pi
+            lower_lat = -math.pi - lower_lat
+        upper = GeoPoint3D.from_lat_lon(pm, upper_lat, upper_lon)
+        lower = GeoPoint3D.from_lat_lon(pm, lower_lat, lower_lon)
+        normal_plane = Plane.normalized_z_plane(upper, lower, p)
+        circle = SidedPlane.perpendicular(p, normal_plane, upper, lower)
+        if circle is None:
+            raise ValueError("Couldn't construct circle plane")
+        return GeoShape3D(pm, _PlaneWithin(circle), "GeoStandardPath")
+
+    nodes: List[_Node] = []
+
+    def _cap(center: GeoPoint3D, normal_plane: Plane, top: GeoPoint3D,
+             bottom: GeoPoint3D, cutoffs: List[SidedPlane]) -> _Node:
+        circle = SidedPlane.perpendicular(center, normal_plane, top, bottom)
+        if circle is None:
+            raise ValueError("Couldn't construct endpoint circle plane")
+        return _And(_PlaneWithin(circle),
+                    *[_PlaneWithin(c) for c in cutoffs])
+
+    # start endpoint (GeoStandardPath.java:173-184)
+    s0 = segments[0]
+    nodes.append(_cap(s0.start, s0.start_cut, s0.ULHC, s0.LLHC,
+                      [s0.start_cut.reversed()]))
+    # interior endpoints (:186-214)
+    for i in range(1, len(segments)):
+        prev, cur = segments[i - 1], segments[i]
+        if (prev.end_cut.is_within(cur.ULHC.x, cur.ULHC.y, cur.ULHC.z)
+                and prev.end_cut.is_within(cur.LLHC.x, cur.LLHC.y,
+                                           cur.LLHC.z)
+                and cur.start_cut.is_within(prev.URHC.x, prev.URHC.y,
+                                            prev.URHC.z)
+                and cur.start_cut.is_within(prev.LRHC.x, prev.LRHC.y,
+                                            prev.LRHC.z)):
+            # colinear: one circle, both cutoffs (:192-202)
+            nodes.append(_cap(cur.start, prev.end_cut, cur.ULHC, cur.LLHC,
+                              [prev.end_cut.reversed(),
+                               cur.start_cut.reversed()]))
+        else:
+            # CutoffDualCircleSegmentEndpoint (:952-996)
+            if not prev.end_cut.is_within(cur.ULHC.x, cur.ULHC.y,
+                                          cur.ULHC.z):
+                c1 = SidedPlane.three_point(cur.start, prev.URHC, prev.LRHC,
+                                            cur.ULHC)
+            elif not prev.end_cut.is_within(cur.LLHC.x, cur.LLHC.y,
+                                            cur.LLHC.z):
+                c1 = SidedPlane.three_point(cur.start, prev.URHC, prev.LRHC,
+                                            cur.LLHC)
+            else:
+                raise ValueError("Dual-circle endpoint with colinear "
+                                 "segments")
+            if not cur.start_cut.is_within(prev.URHC.x, prev.URHC.y,
+                                           prev.URHC.z):
+                c2 = SidedPlane.three_point(cur.start, cur.ULHC, cur.LLHC,
+                                            prev.URHC)
+            elif not cur.start_cut.is_within(prev.LRHC.x, prev.LRHC.y,
+                                             prev.LRHC.z):
+                c2 = SidedPlane.three_point(cur.start, cur.ULHC, cur.LLHC,
+                                            prev.LRHC)
+            else:
+                raise ValueError("Dual-circle endpoint with colinear "
+                                 "segments")
+            if c1 is None or c2 is None:
+                raise ValueError("Couldn't construct dual endpoint circles")
+            nodes.append(_And(_PlaneWithin(prev.end_cut.reversed()),
+                              _PlaneWithin(cur.start_cut.reversed()),
+                              _Or(_PlaneWithin(c1), _PlaneWithin(c2))))
+    # final endpoint (:215-219)
+    sl = segments[-1]
+    nodes.append(_cap(sl.end, sl.end_cut, sl.URHC, sl.LRHC,
+                      [sl.end_cut.reversed()]))
+    nodes.extend(s.node() for s in segments)
+    return GeoShape3D(pm, _Or(*nodes), "GeoStandardPath")
+
+
+def geo_path_from_meters(pm: PlanetModel,
+                         lat_lon_deg_points: Sequence[Tuple[float, float]],
+                         path_width_meters: float) -> GeoShape3D:
+    """Geo3DUtil.fromPath:123-141 — width is divided by
+    meanRadius * xyScaling (unlike circles, which use meanRadius)."""
+    radius = path_width_meters / (pm.mean_radius * pm.xy_scaling)
+    return make_geo_path(
+        pm, [(la * RADIANS_PER_DEGREE, lo * RADIANS_PER_DEGREE)
+             for la, lo in lat_lon_deg_points], radius)
 
 
 # ---------------------------------------------------------------------------
