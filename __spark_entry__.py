@@ -1915,6 +1915,26 @@ def _q_geo3d_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _G3D_PATH = [(0.313, -2.137), (5.237, 8.319), (11.731, 15.913)]
 _G3D_PATH_WIDTH_M = 517_000.0
+# exact-circle fixture: surface-distance radius 12deg, accuracy 1e-7
+# (32 slices / 96 planes; min quantized-point plane margin 2.2e-10)
+_G3D_EXACT = (2.563, 2.337, 12.0, 1e-7)
+
+
+def _g3d_exact_circle_shape():
+    from lucene_spark.operators.geo3d import (RADIANS_PER_DEGREE, WGS84,
+                                              make_exact_geo_circle)
+    la, lo, rdeg, acc = _G3D_EXACT
+    return make_exact_geo_circle(WGS84, la * RADIANS_PER_DEGREE,
+                                 lo * RADIANS_PER_DEGREE,
+                                 rdeg * RADIANS_PER_DEGREE, acc)
+
+
+def _q_geo3d_exact_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoCircleFactory.makeExactGeoCircle: SURFACE-distance circle on
+    the WGS84 ellipsoid — adaptively split Vincenty plane sectors."""
+    from lucene_spark.operators.geo3d import geo3d_shape_query
+    g = _geo_docs(spark, sf_dir)
+    return geo3d_shape_query(g, _g3d_exact_circle_shape()).select("doc_id")
 
 
 def _q_geo3d_path(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6658,6 +6678,10 @@ def _geo3d_path_sql() -> str:
         WGS84, _G3D_PATH, _G3D_PATH_WIDTH_M))
 
 
+def _geo3d_exact_circle_sql() -> str:
+    return _geo3d_members_sql(_g3d_exact_circle_shape())
+
+
 def _geo3d_nearest_sql(k: int = 10) -> str:
     import math as _m
 
@@ -6826,6 +6850,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo3d_bbox_docs": _q_geo3d_bbox,
         "geo3d_polygon_docs": _q_geo3d_polygon,
         "geo3d_path_docs": _q_geo3d_path,
+        "geo3d_exact_circle_docs": _q_geo3d_exact_circle,
         "geo3d_nearest_top10": _q_geo3d_nearest,
         "drill_down_path": _q_drill_down_path,
         "sort_by_field": _q_sort_by_field,
@@ -7028,6 +7053,7 @@ _PRIORITY = [
     "geo3d_bbox_docs",
     "geo3d_polygon_docs",
     "geo3d_path_docs",
+    "geo3d_exact_circle_docs",
     "geo3d_nearest_top10",
     "expression_rescore_top10",
     "combined_field_top10",
@@ -8063,6 +8089,7 @@ pcf AS (
         "geo3d_bbox_docs": _geo3d_bbox_sql(),
         "geo3d_polygon_docs": _geo3d_polygon_sql(),
         "geo3d_path_docs": _geo3d_path_sql(),
+        "geo3d_exact_circle_docs": _geo3d_exact_circle_sql(),
         "geo3d_nearest_top10": _geo3d_nearest_sql(),
         "sorted_index_topk": """
 SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(rnk AS INT) AS rank

@@ -96,11 +96,153 @@ class PlanetModel:
         self.MAX_VALUE = max(self.xy_scaling, self.z_scaling)
         mul = float(0x1 << 32) / (2.0 * self.MAX_VALUE)
         self.DECODE = _next_safe_double(1.0 / mul)
+        self.scale = (2.0 * self.xy_scaling + self.z_scaling) / 3.0
+        self.inverse_scale = 1.0 / self.scale
+        self.scaled_flattening = ((self.xy_scaling - self.z_scaling)
+                                  * self.inverse_xy_scaling)
+        self.square_ratio = ((self.xy_scaling * self.xy_scaling
+                              - self.z_scaling * self.z_scaling)
+                             / (self.z_scaling * self.z_scaling))
         self.MIN_ENCODED_VALUE = self.encode_value(-self.MAX_VALUE)
         self.MAX_ENCODED_VALUE = self.encode_value(self.MAX_VALUE)
+        self._minimum_pole_distance: Optional[float] = None
 
     def is_sphere(self) -> bool:
         return self.xy_scaling == self.z_scaling
+
+    @property
+    def minimum_pole_distance(self) -> float:
+        # PlanetModel.java:138-139 (lazy here — needs surface_distance)
+        if self._minimum_pole_distance is None:
+            np_ = GeoPoint3D(0.0, 0.0, self.z_scaling)
+            sp = GeoPoint3D(0.0, 0.0, -self.z_scaling)
+            mnx = GeoPoint3D(-self.xy_scaling, 0.0, 0.0)
+            mxx = GeoPoint3D(self.xy_scaling, 0.0, 0.0)
+            self._minimum_pole_distance = min(
+                self.surface_distance(np_, sp),
+                self.surface_distance(mnx, mxx))
+        return self._minimum_pole_distance
+
+    def surface_point_on_bearing(self, from_pt: "GeoPoint3D", dist: float,
+                                 bearing: float) -> "GeoPoint3D":
+        """PlanetModel.surfacePointOnBearing — Vincenty direct problem
+        on the scaled ellipsoid (distances in scaled-radian units)."""
+        lat = from_pt.latitude()
+        lon = from_pt.longitude()
+        sin_a1, cos_a1 = math.sin(bearing), math.cos(bearing)
+        tan_u1 = (1.0 - self.scaled_flattening) * math.tan(lat)
+        cos_u1 = 1.0 / math.sqrt(1.0 + tan_u1 * tan_u1)
+        sin_u1 = tan_u1 * cos_u1
+        sigma1 = math.atan2(tan_u1, cos_a1)
+        sin_alpha = cos_u1 * sin_a1
+        cos_sq_alpha = 1.0 - sin_alpha * sin_alpha
+        u_sq = cos_sq_alpha * self.square_ratio
+        A = 1.0 + u_sq / 16384.0 * (4096.0 + u_sq
+                                    * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
+        B = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq
+                                             * (74.0 - 47.0 * u_sq)))
+        sigma = dist / (self.z_scaling * self.inverse_scale * A)
+        iterations = 0
+        while True:
+            cos2_sigma_m = math.cos(2.0 * sigma1 + sigma)
+            sin_sigma = math.sin(sigma)
+            cos_sigma = math.cos(sigma)
+            delta_sigma = (B * sin_sigma
+                           * (cos2_sigma_m + B / 4.0
+                              * (cos_sigma
+                                 * (-1.0 + 2.0 * cos2_sigma_m * cos2_sigma_m)
+                                 - B / 6.0 * cos2_sigma_m
+                                 * (-3.0 + 4.0 * sin_sigma * sin_sigma)
+                                 * (-3.0 + 4.0 * cos2_sigma_m
+                                    * cos2_sigma_m))))
+            sigma_p = sigma
+            sigma = (dist / (self.z_scaling * self.inverse_scale * A)
+                     + delta_sigma)
+            iterations += 1
+            if (abs(sigma - sigma_p) < MINIMUM_RESOLUTION
+                    or iterations >= 100):
+                break
+        x = sin_u1 * sin_sigma - cos_u1 * cos_sigma * cos_a1
+        phi2 = math.atan2(
+            sin_u1 * cos_sigma + cos_u1 * sin_sigma * cos_a1,
+            (1.0 - self.scaled_flattening)
+            * math.sqrt(sin_alpha * sin_alpha + x * x))
+        lam = math.atan2(sin_sigma * sin_a1,
+                         cos_u1 * cos_sigma - sin_u1 * sin_sigma * cos_a1)
+        C = (self.scaled_flattening / 16.0 * cos_sq_alpha
+             * (4.0 + self.scaled_flattening * (4.0 - 3.0 * cos_sq_alpha)))
+        L = lam - ((1.0 - C) * self.scaled_flattening * sin_alpha
+                   * (sigma + C * sin_sigma
+                      * (cos2_sigma_m + C * cos_sigma
+                         * (-1.0 + 2.0 * cos2_sigma_m * cos2_sigma_m))))
+        lam2 = math.fmod(lon + L + 3.0 * math.pi, 2.0 * math.pi) - math.pi
+        return GeoPoint3D.from_lat_lon(self, phi2, lam2)
+
+    def surface_distance(self, pt1: "GeoPoint3D",
+                         pt2: "GeoPoint3D") -> float:
+        """PlanetModel.surfaceDistance — Vincenty inverse problem
+        (scaled-radian units; multiply by mean_radius for meters)."""
+        L = pt2.longitude() - pt1.longitude()
+        U1 = math.atan((1.0 - self.scaled_flattening)
+                       * math.tan(pt1.latitude()))
+        U2 = math.atan((1.0 - self.scaled_flattening)
+                       * math.tan(pt2.latitude()))
+        sin_u1, cos_u1 = math.sin(U1), math.cos(U1)
+        sin_u2, cos_u2 = math.sin(U2), math.cos(U2)
+        cu1cu2, cu1su2 = cos_u1 * cos_u2, cos_u1 * sin_u2
+        su1su2, su1cu2 = sin_u1 * sin_u2, sin_u1 * cos_u2
+        lam = L
+        iter_limit = 0
+        while True:
+            sin_lambda, cos_lambda = math.sin(lam), math.cos(lam)
+            sin_sigma = math.sqrt(
+                (cos_u2 * sin_lambda) * (cos_u2 * sin_lambda)
+                + (cu1su2 - su1cu2 * cos_lambda)
+                * (cu1su2 - su1cu2 * cos_lambda))
+            if sin_sigma == 0.0:
+                return 0.0
+            cos_sigma = su1su2 + cu1cu2 * cos_lambda
+            sigma = math.atan2(sin_sigma, cos_sigma)
+            sin_alpha = cu1cu2 * sin_lambda / sin_sigma
+            cos_sq_alpha = 1.0 - sin_alpha * sin_alpha
+            try:
+                q = 2.0 * su1su2 / cos_sq_alpha
+            except ZeroDivisionError:
+                # IEEE semantics like the Java division: 0/0 → NaN,
+                # x/0 → ±Inf (geometrically unreachable)
+                n = 2.0 * su1su2
+                q = math.nan if n == 0.0 else math.copysign(math.inf, n)
+            cos2_sigma_m = cos_sigma - q
+            if math.isnan(cos2_sigma_m):
+                cos2_sigma_m = 0.0  # equatorial line: cosSqAlpha=0
+            C = (self.scaled_flattening / 16.0 * cos_sq_alpha
+                 * (4.0 + self.scaled_flattening
+                    * (4.0 - 3.0 * cos_sq_alpha)))
+            lambda_p = lam
+            lam = L + ((1.0 - C) * self.scaled_flattening * sin_alpha
+                       * (sigma + C * sin_sigma
+                          * (cos2_sigma_m + C * cos_sigma
+                             * (-1.0 + 2.0 * cos2_sigma_m
+                                * cos2_sigma_m))))
+            iter_limit += 1
+            if (abs(lam - lambda_p) < MINIMUM_RESOLUTION
+                    or iter_limit >= 100):
+                break
+        u_sq = cos_sq_alpha * self.square_ratio
+        A = 1.0 + u_sq / 16384.0 * (4096.0 + u_sq
+                                    * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
+        B = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq
+                                             * (74.0 - 47.0 * u_sq)))
+        delta_sigma = (B * sin_sigma
+                       * (cos2_sigma_m + B / 4.0
+                          * (cos_sigma
+                             * (-1.0 + 2.0 * cos2_sigma_m * cos2_sigma_m)
+                             - B / 6.0 * cos2_sigma_m
+                             * (-3.0 + 4.0 * sin_sigma * sin_sigma)
+                             * (-3.0 + 4.0 * cos2_sigma_m
+                                * cos2_sigma_m))))
+        return (self.z_scaling * self.inverse_scale * A
+                * (sigma - delta_sigma))
 
     # PlanetModel.java:251-276
     def encode_value(self, x: float) -> int:
@@ -141,19 +283,39 @@ CLARKE_1866 = PlanetModel(6378206.4, 6356583.8)
 
 
 class GeoPoint3D:
-    """geom/GeoPoint.java:62-110 — a point on the planet surface."""
+    """geom/GeoPoint.java:62-110 — a point on the planet surface.
+    Latitude/longitude are cached when constructed from them (the
+    reference's lazy fields), else recomputed per :249-272."""
 
-    __slots__ = ("x", "y", "z")
+    __slots__ = ("x", "y", "z", "_lat", "_lon")
 
-    def __init__(self, x: float, y: float, z: float):
+    def __init__(self, x: float, y: float, z: float,
+                 lat: Optional[float] = None, lon: Optional[float] = None):
         self.x, self.y, self.z = x, y, z
+        self._lat, self._lon = lat, lon
+
+    def latitude(self) -> float:
+        if self._lat is None:
+            self._lat = math.asin(self.z / self.magnitude())
+        return self._lat
+
+    def longitude(self) -> float:
+        if self._lon is None:
+            if (abs(self.x) < MINIMUM_RESOLUTION
+                    and abs(self.y) < MINIMUM_RESOLUTION):
+                self._lon = 0.0
+            else:
+                self._lon = math.atan2(self.y, self.x)
+        return self._lon
 
     @classmethod
     def from_lat_lon(cls, pm: PlanetModel, lat: float,
                      lon: float) -> "GeoPoint3D":
         sin_lat, cos_lat = math.sin(lat), math.cos(lat)
         sin_lon, cos_lon = math.sin(lon), math.cos(lon)
-        return cls.from_trig(pm, sin_lat, sin_lon, cos_lat, cos_lon)
+        out = cls.from_trig(pm, sin_lat, sin_lon, cos_lat, cos_lon)
+        out._lat, out._lon = lat, lon
+        return out
 
     @classmethod
     def from_trig(cls, pm: PlanetModel, sin_lat: float, sin_lon: float,
@@ -650,6 +812,85 @@ def geo_circle_from_meters(pm: PlanetModel, lat_deg: float, lon_deg: float,
     return make_geo_circle(pm, lat_deg * RADIANS_PER_DEGREE,
                            lon_deg * RADIANS_PER_DEGREE,
                            radius_meters / pm.mean_radius)
+
+
+def make_exact_geo_circle(pm: PlanetModel, lat: float, lon: float,
+                          radius: float,
+                          accuracy: float = 0.0) -> GeoShape3D:
+    """GeoCircleFactory.makeExactGeoCircle + GeoExactCircle.java:55-191
+    — a SURFACE-distance circle on the ellipsoid: the boundary is
+    approximated by adaptively split plane sectors (Vincenty bearing
+    points, three-point sided planes) until interpolated edge points
+    evaluate within ``accuracy``; membership = any slice's
+    (circlePlane ∧ sectorPlane1 ∧ sectorPlane2).  Radius in
+    scaled-radian surface units, like the reference."""
+    if radius < MINIMUM_ANGULAR_RESOLUTION:
+        return GeoShape3D(
+            pm, _PointIdentical(GeoPoint3D.from_lat_lon(pm, lat, lon)),
+            "GeoDegeneratePoint")
+    if lat < -math.pi * 0.5 or lat > math.pi * 0.5:
+        raise ValueError("Latitude out of bounds")
+    if lon < -math.pi or lon > math.pi:
+        raise ValueError("Longitude out of bounds")
+    if radius < 0.0:
+        raise ValueError("Radius out of bounds")
+    if radius < MINIMUM_RESOLUTION:
+        raise ValueError("Radius cannot be effectively zero")
+    if pm.minimum_pole_distance - radius < MINIMUM_RESOLUTION:
+        raise ValueError(
+            "Radius out of bounds: cannot exceed minimumPoleDistance %r"
+            % pm.minimum_pole_distance)
+    center = GeoPoint3D.from_lat_lon(pm, lat, lon)
+    actual_accuracy = max(accuracy, MINIMUM_RESOLUTION)
+
+    def _slice(p1: GeoPoint3D, b1: float, p2: GeoPoint3D, b2: float,
+               mid: GeoPoint3D, bm: float, must_split: bool):
+        plane = SidedPlane.three_point(center, p1, p2, mid)
+        if plane is None:
+            raise ValueError("Circle too small or accuracy too high")
+        if plane.is_within(-center.x, -center.y, -center.z):
+            raise ValueError("Could not construct a valid plane for this "
+                             "planet model")
+        return (plane, p1, b1, p2, b2, mid, bm, must_split)
+
+    north = pm.surface_point_on_bearing(center, radius, 0.0)
+    south = pm.surface_point_on_bearing(center, radius, math.pi)
+    east = pm.surface_point_on_bearing(center, radius, math.pi * 0.5)
+    west = pm.surface_point_on_bearing(center, radius, math.pi * 1.5)
+    if pm.z_scaling > pm.xy_scaling:
+        slices = [
+            _slice(east, math.pi * 0.5, west, math.pi * -0.5, north, 0.0,
+                   True),
+            _slice(west, math.pi * 1.5, east, math.pi * 0.5, south,
+                   math.pi, True)]
+    else:
+        slices = [
+            _slice(north, 0.0, south, math.pi, east, math.pi * 0.5, True),
+            _slice(south, math.pi, north, math.pi * 2.0, west,
+                   math.pi * 1.5, True)]
+
+    nodes: List[_Node] = []
+    while slices:
+        (plane, p1, b1, p2, b2, mid, bm, must_split) = slices.pop()
+        ib1 = (b1 + bm) * 0.5
+        interp1 = pm.surface_point_on_bearing(center, radius, ib1)
+        ib2 = (b2 + bm) * 0.5
+        interp2 = pm.surface_point_on_bearing(center, radius, ib2)
+        if (not must_split
+                and abs(plane.evaluate(interp1.x, interp1.y,
+                                       interp1.z)) < actual_accuracy
+                and abs(plane.evaluate(interp2.x, interp2.y,
+                                       interp2.z)) < actual_accuracy):
+            # CircleSlice: sector planes through each endpoint + center,
+            # sided by the middle boundary point
+            s1 = SidedPlane.through_origin(mid, p1, center)
+            s2 = SidedPlane.through_origin(mid, p2, center)
+            nodes.append(_And(_PlaneWithin(plane), _PlaneWithin(s1),
+                              _PlaneWithin(s2)))
+        else:
+            slices.append(_slice(p1, b1, mid, bm, interp1, ib1, False))
+            slices.append(_slice(mid, bm, p2, b2, interp2, ib2, False))
+    return GeoShape3D(pm, _Or(*nodes), "GeoExactCircle")
 
 
 def _rect_common(pm: PlanetModel, top_lat: float, bottom_lat: float,
@@ -1267,20 +1508,29 @@ def geo3d_shape_query(df: DataFrame, shape: GeoShape3D,
     time, so at scale you add them once at write time via
     ``with_geo3d_xyz`` and let parquet row-group min/max stats prune
     shape queries like BKD inner nodes), the filter is a tiny
-    whole-stage-codegen'd predicate over those columns.  Otherwise the
-    placement is computed inline; for many-plane shapes Catalyst's
-    predicate pushdown inlines the trig tree per plane test and
-    codegen may fall back to interpreted evaluation for that one
-    filter (correct, logged by Spark) — another reason to materialize
-    on big corpora."""
+    whole-stage-codegen'd predicate over those columns.
+
+    Otherwise the placement is computed inline BEHIND A GENERATOR
+    BARRIER: a bare projection would be re-inlined by predicate
+    pushdown, duplicating the ~40-node trig tree into every plane test
+    (a 96-plane exact circle overflows codegen, and the plan string
+    alone can exhaust driver heap).  ``explode`` of a one-element
+    struct array is a deterministic no-op per row that Catalyst cannot
+    push a filter through, so the placement is computed exactly once
+    and the whole chain (Project → Generate → Filter) stays inside one
+    whole-stage-codegen span."""
     cols = set(df.columns)
     if {prefix + "x", prefix + "y", prefix + "z"} <= cols:
-        x, y, z = (F.col(prefix + "x"), F.col(prefix + "y"),
-                   F.col(prefix + "z"))
-    else:
-        x, y, z = _xyz_exprs(shape.planet_model, F.col(lat_col),
-                             F.col(lon_col), quantize)
-    return df.filter(shape.predicate(x, y, z))
+        return df.filter(shape.predicate(
+            F.col(prefix + "x"), F.col(prefix + "y"), F.col(prefix + "z")))
+    x, y, z = _xyz_exprs(shape.planet_model, F.col(lat_col),
+                         F.col(lon_col), quantize)
+    pt = prefix + "pt"
+    tmp = df.select(
+        "*", F.explode(F.array(F.struct(
+            x.alias("x"), y.alias("y"), z.alias("z")))).alias(pt))
+    return tmp.filter(shape.predicate(
+        F.col(pt + ".x"), F.col(pt + ".y"), F.col(pt + ".z"))).drop(pt)
 
 
 def geo3d_distance_query(df: DataFrame, lat_deg: float, lon_deg: float,
@@ -1305,14 +1555,20 @@ def geo3d_nearest(df: DataFrame, lat_deg: float, lon_deg: float, k: int,
     center = GeoPoint3D.from_lat_lon(pm, lat_deg * RADIANS_PER_DEGREE,
                                      lon_deg * RADIANS_PER_DEGREE)
     cmag = center.magnitude()
-    x, y, z = _xyz_exprs(pm, F.col(lat_col), F.col(lon_col), True)
+    xe, ye, ze = _xyz_exprs(pm, F.col(lat_col), F.col(lon_col), True)
+    # same generator barrier as geo3d_shape_query: placement computed
+    # once, the arc expression references plain struct fields
+    tmp = df.select(
+        "*", F.explode(F.array(F.struct(
+            xe.alias("x"), ye.alias("y"), ze.alias("z")))).alias("_g3d"))
+    x, y, z = F.col("_g3d.x"), F.col("_g3d.y"), F.col("_g3d.z")
     dot = F.lit(center.x) * x + F.lit(center.y) * y + F.lit(center.z) * z
     pmag = F.sqrt(x * x + y * y + z * z)
     cosv = dot / (F.lit(cmag) * pmag)
     # Tools.safeAcos: clamp to [-1, 1]
     arc = F.acos(F.least(F.greatest(cosv, F.lit(-1.0)), F.lit(1.0)))
     ties = list(tiebreak) if tiebreak is not None else [lat_col, lon_col]
-    return (df.withColumn("arc_rad", arc)
+    return (tmp.withColumn("arc_rad", arc).drop("_g3d")
             .orderBy(F.col("arc_rad").asc(),
                      *[F.col(c).asc() for c in ties])
             .limit(k))

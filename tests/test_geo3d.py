@@ -21,7 +21,8 @@ from lucene_spark.operators.geo3d import (
     CLARKE_1866, SPHERE, WGS84, GeoPoint3D, geo3d_shape_query,
     geo3d_xyz_sql_ctes, geo_bbox_from_degrees, geo_circle_from_meters,
     make_composite, make_concave_polygon, make_convex_polygon,
-    make_geo_bbox, make_geo_circle, make_geo_path, with_geo3d_xyz)
+    make_exact_geo_circle, make_geo_bbox, make_geo_circle, make_geo_path,
+    with_geo3d_xyz)
 
 GOLD = os.path.join(os.path.dirname(__file__), "data", "lucene_diff",
                     "geo3d_fuzz.tsv.gz")
@@ -59,6 +60,10 @@ def _build_shape(spec):
     if kind == "BBOX":
         return pm, key, make_geo_bbox(pm, float(args[0]), float(args[1]),
                                       float(args[2]), float(args[3]))
+    if kind == "EXACTCIRCLE":
+        return pm, key, make_exact_geo_circle(
+            pm, float(args[0]), float(args[1]), float(args[2]),
+            float(args[3]))
     if kind == "PATH":
         cutoff = float(args[0])
         n = int(float(args[1]))
@@ -126,7 +131,8 @@ def test_shape_membership_bit_exact():
             "GeoDegenerateHorizontalLine",
             "GeoWideDegenerateHorizontalLine", "GeoDegenerateVerticalLine",
             "GeoDegeneratePoint", "GeoStandardCircle", "GeoConvexPolygon",
-            "GeoConcavePolygon", "GeoStandardPath"} <= seen_kinds
+            "GeoConcavePolygon", "GeoStandardPath",
+            "GeoExactCircle"} <= seen_kinds
 
 
 def test_planet_model_constants():
