@@ -1947,6 +1947,18 @@ def _q_geo3d_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo3d_shape_query(g, shape).select("doc_id")
 
 
+def _q_geo3d_docvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo3DDocValuesField: the packed 63-bit (21/axis) docvalue long
+    of each surface point. doc_id 0 (the exact south pole) is excluded:
+    its x/y ≈ ±1e-16 sit exactly on a floor(v+0.5) bucket boundary
+    where the oracle's libm trig last-ulp flips the 21-bit cell — the
+    only degenerate row on the synthetic grid."""
+    from lucene_spark.operators.geo3d import with_geo3d_docvalue
+    g = _geo_docs(spark, sf_dir).filter(F.col("doc_id") >= 1)
+    return (with_geo3d_docvalue(g).select("doc_id", "g3d_dv")
+            .orderBy("doc_id").limit(25))
+
+
 def _q_geo3d_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo3DPointSortField (DistanceStyle.ARC) top-10: arc distance from
     the center to each quantized surface point, microradian-quantized."""
@@ -6682,6 +6694,17 @@ def _geo3d_exact_circle_sql() -> str:
     return _geo3d_members_sql(_g3d_exact_circle_shape())
 
 
+def _geo3d_docvalue_sql() -> str:
+    from lucene_spark.operators.geo3d import WGS84, geo3d_xyz_sql_ctes
+    enc = WGS84.doc_value_encoder
+    return f"""
+WITH {_GEO_SQL_COORDS.strip()},
+geo1 AS (SELECT * FROM geo WHERE doc_id >= 1),
+{geo3d_xyz_sql_ctes("geo1", WGS84, quantize=False)}
+SELECT doc_id, {enc.encode_sql("g3d_x", "g3d_y", "g3d_z")} AS g3d_dv
+FROM g3d_xyz ORDER BY doc_id LIMIT 25"""
+
+
 def _geo3d_nearest_sql(k: int = 10) -> str:
     import math as _m
 
@@ -6851,6 +6874,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo3d_polygon_docs": _q_geo3d_polygon,
         "geo3d_path_docs": _q_geo3d_path,
         "geo3d_exact_circle_docs": _q_geo3d_exact_circle,
+        "geo3d_docvalue_top25": _q_geo3d_docvalue,
         "geo3d_nearest_top10": _q_geo3d_nearest,
         "drill_down_path": _q_drill_down_path,
         "sort_by_field": _q_sort_by_field,
@@ -7054,6 +7078,7 @@ _PRIORITY = [
     "geo3d_polygon_docs",
     "geo3d_path_docs",
     "geo3d_exact_circle_docs",
+    "geo3d_docvalue_top25",
     "geo3d_nearest_top10",
     "expression_rescore_top10",
     "combined_field_top10",
@@ -8090,6 +8115,7 @@ pcf AS (
         "geo3d_polygon_docs": _geo3d_polygon_sql(),
         "geo3d_path_docs": _geo3d_path_sql(),
         "geo3d_exact_circle_docs": _geo3d_exact_circle_sql(),
+        "geo3d_docvalue_top25": _geo3d_docvalue_sql(),
         "geo3d_nearest_top10": _geo3d_nearest_sql(),
         "sorted_index_topk": """
 SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(rnk AS INT) AS rank

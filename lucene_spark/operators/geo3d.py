@@ -80,6 +80,8 @@ class PlanetModel:
     """geom/PlanetModel.java:116-148 — an ellipsoid x²/a²+y²/a²+z²/c²=1
     scaled so the mean radius is 1, plus the 32-bit value encoding."""
 
+    _dv_encoder: Optional["DocValueEncoder"] = None
+
     def __init__(self, semi_major_axis: float, semi_minor_axis: float):
         self.a = semi_major_axis
         self.b = semi_minor_axis
@@ -109,6 +111,14 @@ class PlanetModel:
 
     def is_sphere(self) -> bool:
         return self.xy_scaling == self.z_scaling
+
+    @property
+    def doc_value_encoder(self) -> "DocValueEncoder":
+        enc = getattr(self, "_dv_encoder", None)
+        if enc is None:
+            enc = DocValueEncoder(self)
+            self._dv_encoder = enc
+        return enc
 
     @property
     def minimum_pole_distance(self) -> float:
@@ -275,6 +285,73 @@ class PlanetModel:
         return 1.0 / math.sqrt(
             (1.0 - z * z) * self.inverse_xy_scaling_squared
             + z * z * self.inverse_z_scaling_squared)
+
+
+class DocValueEncoder:
+    """PlanetModel.DocValueEncoder (PlanetModel.java:~330-520) — packs
+    a surface point into one long: 21 bits per axis, each axis scaled
+    to its planet range by floor((v - min) * factor + 0.5)."""
+
+    _INVERSE_MAX = 1.0 / float(0x1FFFFF)
+
+    def __init__(self, pm: "PlanetModel"):
+        self.pm = pm
+        self.min_x = -pm.xy_scaling
+        self.max_x = pm.xy_scaling
+        self.min_y = -pm.xy_scaling
+        self.max_y = pm.xy_scaling
+        self.min_z = -pm.z_scaling
+        self.max_z = pm.z_scaling
+        self.inverse_x_factor = (self.max_x - self.min_x) * self._INVERSE_MAX
+        self.inverse_y_factor = (self.max_y - self.min_y) * self._INVERSE_MAX
+        self.inverse_z_factor = (self.max_z - self.min_z) * self._INVERSE_MAX
+        self.x_factor = 1.0 / self.inverse_x_factor
+        self.y_factor = 1.0 / self.inverse_y_factor
+        self.z_factor = 1.0 / self.inverse_z_factor
+
+    def _enc(self, v: float, vmin: float, vmax: float, factor: float,
+             axis: str) -> int:
+        if v > vmax:
+            raise ValueError("%s value exceeds planet model maximum" % axis)
+        if v < vmin:
+            raise ValueError("%s value less than planet model minimum"
+                             % axis)
+        return int(math.floor((v - vmin) * factor + 0.5))
+
+    def encode_point(self, x: float, y: float, z: float) -> int:
+        xe = self._enc(x, self.min_x, self.max_x, self.x_factor, "x")
+        ye = self._enc(y, self.min_y, self.max_y, self.y_factor, "y")
+        ze = self._enc(z, self.min_z, self.max_z, self.z_factor, "z")
+        return (((xe & 0x1FFFFF) << 42) | ((ye & 0x1FFFFF) << 21)
+                | (ze & 0x1FFFFF))
+
+    def decode_point(self, dv: int) -> Tuple[float, float, float]:
+        return (((dv >> 42) & 0x1FFFFF) * self.inverse_x_factor + self.min_x,
+                ((dv >> 21) & 0x1FFFFF) * self.inverse_y_factor + self.min_y,
+                (dv & 0x1FFFFF) * self.inverse_z_factor + self.min_z)
+
+    def encode_col(self, x: Column, y: Column, z: Column) -> Column:
+        """The same packing as a Catalyst expression (the
+        Geo3DDocValuesField write-time value)."""
+        def enc(v, vmin, factor):
+            return F.floor((v - F.lit(vmin)) * F.lit(factor)
+                           + F.lit(0.5)).cast("long")
+        xe = enc(x, self.min_x, self.x_factor)
+        ye = enc(y, self.min_y, self.y_factor)
+        ze = enc(z, self.min_z, self.z_factor)
+        return (F.shiftleft(xe.bitwiseAND(F.lit(0x1FFFFF)), 42)
+                .bitwiseOR(F.shiftleft(ye.bitwiseAND(F.lit(0x1FFFFF)), 21))
+                .bitwiseOR(ze.bitwiseAND(F.lit(0x1FFFFF))))
+
+    def encode_sql(self, x: str, y: str, z: str) -> str:
+        def enc(v, vmin, factor):
+            return ("CAST(floor(({v} - {mn!r}) * {f!r} + 0.5) AS BIGINT)"
+                    .format(v=v, mn=vmin, f=factor))
+        return ("((({xe} & 2097151) << 42) | (({ye} & 2097151) << 21) | "
+                "({ze} & 2097151))"
+                .format(xe=enc(x, self.min_x, self.x_factor),
+                        ye=enc(y, self.min_y, self.y_factor),
+                        ze=enc(z, self.min_z, self.z_factor)))
 
 
 SPHERE = PlanetModel(1.0, 1.0)
@@ -1494,6 +1571,22 @@ def geo3d_xyz_sql_ctes(source: str, pm: PlanetModel = WGS84,
         parts.append("{v} AS g3d_{n}".format(v=v, n=name))
     return (trig + ",\ng3d_xyz AS (SELECT *, " + ", ".join(parts)
             + " FROM g3d_trig)")
+
+
+def with_geo3d_docvalue(df: DataFrame, pm: PlanetModel = WGS84,
+                        lat_col: str = "lat", lon_col: str = "lon",
+                        out_col: str = "g3d_dv") -> DataFrame:
+    """Geo3DDocValuesField role: the packed 63-bit docvalue long of
+    each row's (unquantized) surface point — the value the reference
+    stores for sort/updatable-filter use.  Pure Catalyst."""
+    x, y, z = _xyz_exprs(pm, F.col(lat_col), F.col(lon_col),
+                         quantize=False)
+    tmp = df.select(
+        "*", F.explode(F.array(F.struct(
+            x.alias("x"), y.alias("y"), z.alias("z")))).alias("_g3dp"))
+    dv = pm.doc_value_encoder.encode_col(
+        F.col("_g3dp.x"), F.col("_g3dp.y"), F.col("_g3dp.z"))
+    return tmp.withColumn(out_col, dv).drop("_g3dp")
 
 
 def geo3d_shape_query(df: DataFrame, shape: GeoShape3D,
