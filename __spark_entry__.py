@@ -1947,6 +1947,29 @@ def _q_geo3d_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo3d_shape_query(g, shape).select("doc_id")
 
 
+# concave 8-point star around the doc curve, API (degree) point order;
+# winding encloses the star (17 members at sf0.01, plane margin 1.9e-4)
+_G3D_STAR = [(19.052, 6.279), (5.927, 7.928), (-1.376, 18.968),
+             (-3.023, 5.831), (-14.052, -1.479), (-0.927, -3.128),
+             (6.376, -14.168), (8.023, -1.031)]
+
+
+def _g3d_factory_polygon_shape():
+    from lucene_spark.operators.geo3d import (WGS84,
+                                              geo_polygon_from_degrees)
+    return geo_polygon_from_degrees(WGS84, _G3D_STAR)
+
+
+def _q_geo3d_factory_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo3DPoint.newPolygonQuery end-to-end: Geo3DUtil.fromPolygon
+    point-order reversal → GeoPolygonFactory.makeGeoPolygon tiling
+    (one concave + convex parts) → composite membership."""
+    from lucene_spark.operators.geo3d import geo3d_shape_query
+    g = _geo_docs(spark, sf_dir)
+    return geo3d_shape_query(g, _g3d_factory_polygon_shape()) \
+        .select("doc_id")
+
+
 def _q_geo3d_docvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo3DDocValuesField: the packed 63-bit (21/axis) docvalue long
     of each surface point. doc_id 0 (the exact south pole) is excluded:
@@ -6694,6 +6717,10 @@ def _geo3d_exact_circle_sql() -> str:
     return _geo3d_members_sql(_g3d_exact_circle_shape())
 
 
+def _geo3d_factory_polygon_sql() -> str:
+    return _geo3d_members_sql(_g3d_factory_polygon_shape())
+
+
 def _geo3d_docvalue_sql() -> str:
     from lucene_spark.operators.geo3d import WGS84, geo3d_xyz_sql_ctes
     enc = WGS84.doc_value_encoder
@@ -6875,6 +6902,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo3d_path_docs": _q_geo3d_path,
         "geo3d_exact_circle_docs": _q_geo3d_exact_circle,
         "geo3d_docvalue_top25": _q_geo3d_docvalue,
+        "geo3d_factory_polygon_docs": _q_geo3d_factory_polygon,
         "geo3d_nearest_top10": _q_geo3d_nearest,
         "drill_down_path": _q_drill_down_path,
         "sort_by_field": _q_sort_by_field,
@@ -7079,6 +7107,7 @@ _PRIORITY = [
     "geo3d_path_docs",
     "geo3d_exact_circle_docs",
     "geo3d_docvalue_top25",
+    "geo3d_factory_polygon_docs",
     "geo3d_nearest_top10",
     "expression_rescore_top10",
     "combined_field_top10",
@@ -8116,6 +8145,7 @@ pcf AS (
         "geo3d_path_docs": _geo3d_path_sql(),
         "geo3d_exact_circle_docs": _geo3d_exact_circle_sql(),
         "geo3d_docvalue_top25": _geo3d_docvalue_sql(),
+        "geo3d_factory_polygon_docs": _geo3d_factory_polygon_sql(),
         "geo3d_nearest_top10": _geo3d_nearest_sql(),
         "sorted_index_topk": """
 SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(rnk AS INT) AS rank

@@ -1261,28 +1261,16 @@ def _polygon_edges(pm: PlanetModel, points: Sequence[GeoPoint3D],
     return edges
 
 
-def make_convex_polygon(pm: PlanetModel,
-                        lat_lon_points: Sequence[Tuple[float, float]],
+def _convex_from_points(pm: PlanetModel, pts: Sequence[GeoPoint3D],
                         holes: Sequence[GeoShape3D] = ()) -> GeoShape3D:
-    """GeoConvexPolygon.java:215-239,379-396: membership = inside every
-    edge plane AND inside every hole (geo3d holes share the outer
-    winding sense, so a 'hole' shape covers the hole's complement).
-    Points in radians, no repeated last point."""
-    pts = [GeoPoint3D.from_lat_lon(pm, lat, lon)
-           for lat, lon in lat_lon_points]
     kids: List[_Node] = [_PlaneWithin(e)
                          for e in _polygon_edges(pm, pts, True)]
     kids.extend(h.membership for h in holes)
     return GeoShape3D(pm, _And(*kids), "GeoConvexPolygon")
 
 
-def make_concave_polygon(pm: PlanetModel,
-                         lat_lon_points: Sequence[Tuple[float, float]],
+def _concave_from_points(pm: PlanetModel, pts: Sequence[GeoPoint3D],
                          holes: Sequence[GeoShape3D] = ()) -> GeoShape3D:
-    """GeoConcavePolygon.java (SidedPlane(check, onSide=false, ...);
-    isWithin = inside ANY edge plane, then every hole)."""
-    pts = [GeoPoint3D.from_lat_lon(pm, lat, lon)
-           for lat, lon in lat_lon_points]
     local = _Or(*[_PlaneWithin(e)
                   for e in _polygon_edges(pm, pts, False)])
     if holes:
@@ -1291,11 +1279,815 @@ def make_concave_polygon(pm: PlanetModel,
     return GeoShape3D(pm, local, "GeoConcavePolygon")
 
 
+def make_convex_polygon(pm: PlanetModel,
+                        lat_lon_points: Sequence[Tuple[float, float]],
+                        holes: Sequence[GeoShape3D] = ()) -> GeoShape3D:
+    """GeoConvexPolygon.java:215-239,379-396: membership = inside every
+    edge plane AND inside every hole (geo3d holes share the outer
+    winding sense, so a 'hole' shape covers the hole's complement).
+    Points in radians, no repeated last point."""
+    return _convex_from_points(
+        pm, [GeoPoint3D.from_lat_lon(pm, lat, lon)
+             for lat, lon in lat_lon_points], holes)
+
+
+def make_concave_polygon(pm: PlanetModel,
+                         lat_lon_points: Sequence[Tuple[float, float]],
+                         holes: Sequence[GeoShape3D] = ()) -> GeoShape3D:
+    """GeoConcavePolygon.java (SidedPlane(check, onSide=false, ...);
+    isWithin = inside ANY edge plane, then every hole)."""
+    return _concave_from_points(
+        pm, [GeoPoint3D.from_lat_lon(pm, lat, lon)
+             for lat, lon in lat_lon_points], holes)
+
+
 def make_composite(pm: PlanetModel,
                    shapes: Sequence[GeoShape3D]) -> GeoShape3D:
     """GeoBaseCompositeShape.isWithin:104-111 — union (any-of)."""
     return GeoShape3D(pm, _Or(*[s.membership for s in shapes]),
                       "GeoCompositeShape")
+
+
+# ---------------------------------------------------------------------------
+# GeoPolygonFactory — the makeGeoPolygon tiler (GeoPolygonFactory.java).
+# Arbitrary simple polygons (clockwise-from-inside winding, like ESRI) are
+# decomposed into one optional concave part plus convex parts.  All of this
+# runs driver-side at shape-construction time; the resulting membership is
+# the usual plane-predicate tree.
+# ---------------------------------------------------------------------------
+
+class _TileError(Exception):
+    """GeoPolygonFactory.TileException — tiling failed; the reference
+    falls back to GeoComplexPolygon (out of scope here)."""
+
+
+class _JavaRandom:
+    """java.util.Random's 48-bit LCG — pickPole consumes a Random(1234)
+    stream, so pole selection must match the reference bit-for-bit."""
+
+    def __init__(self, seed: int):
+        self._seed = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+
+    def _next(self, bits: int) -> int:
+        self._seed = (self._seed * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+        return self._seed >> (48 - bits)
+
+    def next_int(self, bound: int) -> int:
+        if bound & -bound == bound:
+            return (bound * self._next(31)) >> 31
+        while True:
+            bits = self._next(31)
+            val = bits % bound
+            if bits - val + (bound - 1) < (1 << 31):
+                return val
+
+    def next_double(self) -> float:
+        return ((self._next(26) << 27) + self._next(27)) * (2.0 ** -53)
+
+
+def _cross_evaluate_is_zero(a, b, p) -> bool:
+    """Vector.crossProductEvaluateIsZero — Gram-Schmidt-refined normal
+    of (a x b) dotted with p is 'zero'."""
+    tx = a.y * b.z - a.z * b.y
+    ty = a.z * b.x - a.x * b.z
+    tz = a.x * b.y - a.y * b.x
+    mag = math.sqrt(tx * tx + ty * ty + tz * tz)
+    if mag == 0.0:
+        return True
+    inv = 1.0 / mag
+    nx, ny, nz = tx * inv, ty * inv, tz * inv
+    i = 0
+    while True:
+        dot_a = a.x * nx + a.y * ny + a.z * nz
+        dot_b = b.x * nx + b.y * ny + b.z * nz
+        if (abs(dot_a) < _GRAM_SCHMIDT_ENVELOPE
+                and abs(dot_b) < _GRAM_SCHMIDT_ENVELOPE):
+            break
+        if abs(dot_a) > abs(dot_b):
+            cx, cy, cz, dot = a.x, a.y, a.z, dot_a
+        else:
+            cx, cy, cz, dot = b.x, b.y, b.z, dot_b
+        nx, ny, nz = nx - dot * cx, ny - dot * cy, nz - dot * cz
+        mag = math.sqrt(nx * nx + ny * ny + nz * nz)
+        inv = 1.0 / mag
+        nx, ny, nz = nx * inv, ny * inv, nz * inv
+        i += 1
+        if i > 10:
+            raise ValueError("Plane could not be constructed")
+    return abs(nx * p.x + ny * p.y + nz * p.z) < MINIMUM_RESOLUTION
+
+
+def _are_points_coplanar(a, b, c) -> bool:
+    # Plane.arePointsCoplanar
+    return (_cross_evaluate_is_zero(a, b, c)
+            or _cross_evaluate_is_zero(a, c, b)
+            or _cross_evaluate_is_zero(b, c, a))
+
+
+def _numerically_identical(a, b) -> bool:
+    # Vector.isNumericallyIdentical(Vector)
+    dx, dy, dz = a.x - b.x, a.y - b.y, a.z - b.z
+    return dx * dx + dy * dy + dz * dz < MINIMUM_RESOLUTION ** 2
+
+
+def _planes_numerically_identical(p: Plane, q: Plane) -> bool:
+    # Plane.isNumericallyIdentical(Plane) — parallel + same offset
+    c1 = p.B * q.C - p.C * q.B
+    c2 = p.C * q.A - p.A * q.C
+    c3 = p.A * q.B - p.B * q.A
+    if c1 * c1 + c2 * c2 + c3 * c3 >= MINIMUM_RESOLUTION ** 2:
+        return False
+    denom = 1.0 / (q.A * q.A + q.B * q.B + q.C * q.C)
+    return p.evaluate_is_zero(-q.A * q.D * denom, -q.B * q.D * denom,
+                              -q.C * q.D * denom)
+
+
+def _planes_functionally_identical(p: Plane, q: Plane) -> bool:
+    # Plane.isFunctionallyIdentical — looser parallelism constraint
+    c1 = p.B * q.C - p.C * q.B
+    c2 = p.C * q.A - p.A * q.C
+    c3 = p.A * q.B - p.B * q.A
+    if c1 * c1 + c2 * c2 + c3 * c3 >= 5 * MINIMUM_RESOLUTION:
+        return False
+    denom = 1.0 / (q.A * q.A + q.B * q.B + q.C * q.C)
+    return p.evaluate_is_zero(-q.A * q.D * denom, -q.B * q.D * denom,
+                              -q.C * q.D * denom)
+
+
+def _create_surface_point(pm: PlanetModel, x: float, y: float,
+                          z: float) -> GeoPoint3D:
+    # PlanetModel.createSurfacePoint
+    t = math.sqrt(1.0 / (x * x * pm.inverse_xy_scaling_squared
+                         + y * y * pm.inverse_xy_scaling_squared
+                         + z * z * pm.inverse_z_scaling_squared))
+    return GeoPoint3D(t * x, t * y, t * z)
+
+
+def _factory_filter_points(
+        inp: Sequence[GeoPoint3D]) -> Optional[List[GeoPoint3D]]:
+    """GeoPolygonFactory.filterPoints:634-677 — drop consecutive
+    numerically-identical points, walking the ring."""
+    n = len(inp)
+
+    def legal(i):
+        while i < 0:
+            i += n
+        while i >= n:
+            i -= n
+        return i
+
+    start_index = -1
+    compare = inp[0]
+    for i in range(n - 1):
+        the_point = inp[legal(-i - 1)]
+        if not _numerically_identical(the_point, compare):
+            start_index = legal(-i)
+            break
+    if start_index == -1:
+        return None
+    out: List[GeoPoint3D] = []
+    current_index = start_index
+    while True:
+        current = inp[current_index]
+        out.append(current)
+        while True:
+            current_index = legal(current_index + 1)
+            if current_index == start_index:
+                break
+            if not _numerically_identical(inp[current_index], current):
+                break
+        if current_index == start_index:
+            break
+    if len(out) < 3:
+        return None
+    return out
+
+
+def _factory_filter_edges(points: List[GeoPoint3D], leniency: float
+                          ) -> Optional[List[GeoPoint3D]]:
+    """GeoPolygonFactory.filterEdges + findSafePath:687-768 — merge
+    consecutive coplanar runs (leniency is accepted for API parity; the
+    coplanarity test itself is the strict arePointsCoplanar, as in the
+    reference's default-0 path)."""
+    n = len(points)
+
+    def legal(i):
+        while i < 0:
+            i += n
+        while i >= n:
+            i -= n
+        return i
+
+    for start_index in range(n):
+        # findSafePath
+        path: List[Tuple[GeoPoint3D, int]] = []
+        failed = False
+        i = start_index
+        while i < start_index + n:
+            start_point = points[legal(i - 1)]
+            end_index = legal(i)
+            end_point = points[end_index]
+            if _numerically_identical(start_point, end_point):
+                i += 1
+                continue
+            broke = False
+            while True:
+                next_index = legal(end_index + 1)
+                next_point = points[next_index]
+                if _numerically_identical(start_point, next_point):
+                    failed = True
+                    break
+                if not _are_points_coplanar(start_point, end_point,
+                                            next_point):
+                    break
+                if end_index == start_index:
+                    failed = True
+                    break
+                end_index = next_index
+                end_point = next_point
+                i += 1
+            if failed:
+                break
+            if path and end_index == start_index:
+                broke = True
+            if broke:
+                break
+            path.append((end_point, end_index))
+            i += 1
+        if failed or len(path) < 2:
+            continue
+        return [p for p, _ in path]
+    return None
+
+
+def _pick_pole(rng: _JavaRandom, pm: PlanetModel,
+               points: List[GeoPoint3D]) -> GeoPoint3D:
+    # GeoPolygonFactory.pickPole:778-831
+    close = points[rng.next_int(len(points))]
+    angle = rng.next_double() * math.pi * 2.0 - math.pi
+
+    def arc(a, b):
+        dot = a.x * b.x + a.y * b.y + a.z * b.z
+        v = dot / (a.magnitude() * b.magnitude())
+        return math.acos(max(-1.0, min(1.0, v)))
+
+    max_arc = arc(points[0], points[1])
+    trial = arc(points[0], points[2])
+    if trial > max_arc:
+        max_arc = trial
+    arc_distance = max_arc - rng.next_double() * max_arc
+    x = math.cos(arc_distance)
+    sin_arc = math.sin(arc_distance)
+    y = math.cos(angle) * sin_arc
+    z = math.sin(angle) * sin_arc
+    sin_lat = math.sin(close.latitude())
+    cos_lat = math.cos(close.latitude())
+    sin_lon = math.sin(close.longitude())
+    cos_lon = math.cos(close.longitude())
+    x1 = x * cos_lat - z * sin_lat
+    y1 = y
+    z1 = x * sin_lat + z * cos_lat
+    x2 = x1 * cos_lon - y1 * sin_lon
+    y2 = x1 * sin_lon + y1 * cos_lon
+    z2 = z1
+    return _create_surface_point(pm, x2, y2, z2)
+
+
+def _compute_angle(point: GeoPoint3D, sin_lat: float, cos_lat: float,
+                   sin_lon: float, cos_lon: float) -> Optional[float]:
+    # GeoPolygonFactory.computeAngle:924-962
+    x1 = point.x * cos_lon + point.y * sin_lon
+    y1 = -point.x * sin_lon + point.y * cos_lon
+    z1 = point.z
+    y2 = y1
+    z2 = -x1 * sin_lat + z1 * cos_lat
+    if math.sqrt(y2 * y2 + z2 * z2) < MINIMUM_RESOLUTION:
+        return None
+    return math.atan2(z2, y2)
+
+
+def _is_inside_polygon(point: GeoPoint3D,
+                       poly_points: List[GeoPoint3D]) -> Optional[bool]:
+    # GeoPolygonFactory.isInsidePolygon:842-912 (winding sum; True =
+    # counter-clockwise = outside)
+    lat, lon = point.latitude(), point.longitude()
+    sin_lat, cos_lat = math.sin(lat), math.cos(lat)
+    sin_lon, cos_lon = math.sin(lon), math.cos(lon)
+    arc_distance = 0.0
+    prev_angle: Optional[float] = None
+    for poly_point in poly_points + [poly_points[0]]:
+        angle = _compute_angle(poly_point, sin_lat, cos_lat, sin_lon,
+                               cos_lon)
+        if angle is None:
+            return None
+        if prev_angle is not None:
+            delta = angle - prev_angle
+            if delta < -math.pi:
+                delta += math.pi * 2.0
+            if delta > math.pi:
+                delta -= math.pi * 2.0
+            if abs(delta - math.pi) < MINIMUM_ANGULAR_RESOLUTION:
+                return None
+            arc_distance += delta
+        prev_angle = angle
+    if abs(arc_distance) < MINIMUM_ANGULAR_RESOLUTION:
+        return None
+    return arc_distance > 0.0
+
+
+class _FEdge:
+    __slots__ = ("start", "end", "plane", "internal")
+
+    def __init__(self, start, end, plane, internal):
+        self.start, self.end = start, end
+        self.plane, self.internal = plane, internal
+
+
+class _EdgeBuffer:
+    """GeoPolygonFactory.EdgeBuffer:1804-1901 — ring of unconsumed
+    edges with identity-keyed prev/next links."""
+
+    def __init__(self, point_list, internal_edges, start_start, start_end,
+                 start_plane):
+        self.prev: dict = {}
+        self.next: dict = {}
+        self.edges: set = set()
+        start_edge = _FEdge(point_list[start_start], point_list[start_end],
+                            start_plane, internal_edges.get(start_start,
+                                                            False))
+        current = start_edge
+        start_i, end_i = start_start, start_end
+        n = len(point_list)
+        while True:
+            if current.end is start_edge.start:
+                self.prev[id(start_edge)] = current
+                self.next[id(current)] = start_edge
+                self.edges.add(id(start_edge))
+                break
+            start_i = end_i
+            end_i += 1
+            if end_i >= n:
+                end_i -= n
+            new_point = point_list[end_i]
+            is_within = current.plane.is_within(new_point.x, new_point.y,
+                                                new_point.z)
+            new_plane = SidedPlane.through_origin(
+                current.start, point_list[start_i], new_point,
+                on_side=is_within)
+            new_edge = _FEdge(point_list[start_i], point_list[end_i],
+                              new_plane, internal_edges.get(start_i, False))
+            self.prev[id(new_edge)] = current
+            self.next[id(current)] = new_edge
+            self.edges.add(id(new_edge))
+            current = new_edge
+        self.one_edge = start_edge
+        self.edges.add(id(start_edge))
+        self._objs = {}  # keep edges alive keyed by id
+        e = start_edge
+        while True:
+            self._objs[id(e)] = e
+            e = self.next[id(e)]
+            if e is start_edge:
+                break
+
+    def size(self):
+        return len(self.edges)
+
+    def pick_one(self):
+        return self.one_edge
+
+    def get_next(self, e):
+        return self.next[id(e)]
+
+    def get_previous(self, e):
+        return self.prev[id(e)]
+
+    def iterate(self):
+        e = self.pick_one()
+        if e is None:
+            return
+        first = e
+        while True:
+            yield e
+            e = self.get_next(e)
+            if e is first:
+                break
+
+    def replace(self, remove_list, new_edge):
+        previous = self.prev[id(remove_list[0])]
+        nxt = self.next[id(remove_list[-1])]
+        self.edges.add(id(new_edge))
+        self._objs[id(new_edge)] = new_edge
+        self.prev[id(new_edge)] = previous
+        self.next[id(previous)] = new_edge
+        self.prev[id(nxt)] = new_edge
+        self.next[id(new_edge)] = nxt
+        for edge in remove_list:
+            if edge is self.one_edge:
+                self.one_edge = new_edge
+            self.edges.discard(id(edge))
+            self.prev.pop(id(edge), None)
+            self.next.pop(id(edge), None)
+
+    def clear(self):
+        self.edges.clear()
+        self.prev.clear()
+        self.next.clear()
+        self.one_edge = None
+
+
+def _edge_set_within(point, edge_set) -> bool:
+    # GeoPolygonFactory.isWithin(point, edgeSet):1693-1700
+    return all(e.plane.is_within(point.x, point.y, point.z)
+               for e in edge_set)
+
+
+def _extended_within(point, edge_set, extension, return_boundary) -> bool:
+    # GeoPolygonFactory.isWithin:1672-1684
+    if not extension.plane.is_within(point.x, point.y, point.z):
+        return False
+    if return_boundary is not None and not return_boundary.is_within(
+            point.x, point.y, point.z):
+        return False
+    return _edge_set_within(point, edge_set)
+
+
+def _find_convex_polygon(pm, current_edge, parts, edge_buffer, holes,
+                         test_point):
+    """GeoPolygonFactory.findConvexPolygon:1384-1661.  Returns None on
+    test-point violation (the Java null), else True/False."""
+    included: List[_FEdge] = [current_edge]
+    included_ids = {id(current_edge)}
+    first_edge = current_edge
+    last_edge = current_edge
+
+    # walk forward
+    while True:
+        if first_edge.start is last_edge.end:
+            break
+        new_last = edge_buffer.get_next(last_edge)
+        if _are_points_coplanar(last_edge.start, last_edge.end,
+                                new_last.end):
+            break
+        if _planes_functionally_identical(last_edge.plane, new_last.plane):
+            raise _TileError("Two adjacent edge planes are effectively "
+                             "parallel despite filtering")
+        if _edge_set_within(new_last.end, included):
+            if first_edge.start is not new_last.end:
+                if (_are_points_coplanar(first_edge.end, first_edge.start,
+                                         new_last.end)
+                        or _are_points_coplanar(first_edge.start,
+                                                new_last.end,
+                                                new_last.start)):
+                    break
+                return_boundary = SidedPlane.through_origin(
+                    first_edge.end, first_edge.start, new_last.end)
+            else:
+                return_boundary = None
+            found_point_inside = False
+            for edge in edge_buffer.iterate():
+                if id(edge) not in included_ids and edge is not new_last:
+                    if edge.start is not new_last.end and _extended_within(
+                            edge.start, included, new_last,
+                            return_boundary):
+                        found_point_inside = True
+                        break
+                    if edge.end is not first_edge.start and \
+                            _extended_within(edge.end, included, new_last,
+                                             return_boundary):
+                        found_point_inside = True
+                        break
+            if not found_point_inside:
+                included.append(new_last)
+                included_ids.add(id(new_last))
+                last_edge = new_last
+                continue
+        break
+
+    # walk backward
+    while True:
+        if first_edge.start is last_edge.end:
+            break
+        new_first = edge_buffer.get_previous(first_edge)
+        if _are_points_coplanar(new_first.start, new_first.end,
+                                first_edge.end):
+            break
+        if _planes_functionally_identical(first_edge.plane,
+                                          new_first.plane):
+            raise _TileError("Two adjacent edge planes are effectively "
+                             "parallel despite filtering")
+        if _edge_set_within(new_first.start, included):
+            if new_first.start is not last_edge.end:
+                if (_are_points_coplanar(last_edge.start, last_edge.end,
+                                         new_first.start)
+                        or _are_points_coplanar(last_edge.end,
+                                                new_first.start,
+                                                new_first.end)):
+                    break
+                return_boundary = SidedPlane.through_origin(
+                    last_edge.start, last_edge.end, new_first.start)
+            else:
+                return_boundary = None
+            found_point_inside = False
+            for edge in edge_buffer.iterate():
+                if id(edge) not in included_ids and edge is not new_first:
+                    if edge.start is not last_edge.end and \
+                            _extended_within(edge.start, included,
+                                             new_first, return_boundary):
+                        found_point_inside = True
+                        break
+                    if (edge.end is not new_first.start
+                            and _extended_within(edge.end, included,
+                                                 new_first,
+                                                 return_boundary)):
+                        found_point_inside = True
+                        break
+            if not found_point_inside:
+                included.append(new_first)
+                included_ids.add(id(new_first))
+                first_edge = new_first
+                continue
+        break
+
+    if len(included) < 2:
+        return False
+
+    points: List[GeoPoint3D] = []
+    if first_edge.start is last_edge.end:
+        # degenerate cycle: consumes the whole buffer
+        if len(included) < 3:
+            return False
+        if _planes_functionally_identical(first_edge.plane,
+                                          last_edge.plane):
+            raise _TileError("Two adjacent edge planes are effectively "
+                             "parallel despite filtering")
+        edge = first_edge
+        points.append(edge.start)
+        while True:
+            if edge is last_edge:
+                break
+            points.append(edge.end)
+            edge = edge_buffer.get_next(edge)
+        edge_buffer.clear()
+    else:
+        return_sided = SidedPlane.through_origin(
+            first_edge.end, first_edge.start, last_edge.end, on_side=False)
+        return_edge = _FEdge(first_edge.start, last_edge.end, return_sided,
+                             True)
+        if (_planes_functionally_identical(return_edge.plane,
+                                           last_edge.plane)
+                or _planes_functionally_identical(return_edge.plane,
+                                                  first_edge.plane)):
+            raise _TileError("Two adjacent edge planes are effectively "
+                             "parallel despite filtering")
+        edges: List[_FEdge] = []
+        edge = first_edge
+        points.append(edge.start)
+        while True:
+            points.append(edge.end)
+            edges.append(edge)
+            if edge is last_edge:
+                break
+            edge = edge_buffer.get_next(edge)
+        edge_buffer.replace(edges, return_edge)
+
+    try:
+        if test_point is not None and holes:
+            test_poly = _convex_from_points(pm, points, ())
+            if test_poly.is_within_point(test_point):
+                return None
+        real = _convex_from_points(pm, points, holes)
+        if test_point is not None and not holes:
+            if real.is_within_point(test_point):
+                return None
+        parts.append(real)
+        return True
+    except ValueError as e:
+        raise _TileError(str(e))
+
+
+def _make_concave_part(pm, parts, seen_concave, edge_buffer, holes,
+                       test_point):
+    # GeoPolygonFactory.makeConcavePolygon:1299-1369
+    if edge_buffer.size() == 0:
+        return True
+    if seen_concave[0]:
+        raise ValueError("Illegal polygon; polygon edges intersect each "
+                         "other")
+    seen_concave[0] = True
+    if edge_buffer.size() < 3:
+        raise ValueError("Illegal polygon; polygon edges intersect each "
+                         "other")
+    points: List[GeoPoint3D] = []
+    edge = edge_buffer.pick_one()
+    for _ in range(edge_buffer.size()):
+        points.append(edge.start)
+        edge = edge_buffer.get_next(edge)
+    try:
+        if test_point is not None and holes:
+            test_poly = _concave_from_points(pm, points, ())
+            if test_poly.is_within_point(test_point):
+                return False
+        real = _concave_from_points(pm, points, holes)
+        if test_point is not None and not holes:
+            if real.is_within_point(test_point):
+                return False
+        parts.append(real)
+        return True
+    except ValueError as e:
+        raise _TileError(str(e))
+
+
+def _build_polygon_shape(parts, seen_concave, pm, points_list,
+                         internal_edges, start_point_index, end_point_index,
+                         starting_edge, holes, test_point):
+    """GeoPolygonFactory.buildPolygonShape:989-1285."""
+    edge_buffer = _EdgeBuffer(points_list, internal_edges,
+                              start_point_index, end_point_index,
+                              starting_edge)
+    stopping_point = edge_buffer.pick_one()
+    current_edge = stopping_point
+    while True:
+        if current_edge is None:
+            break
+        found_it = _find_convex_polygon(pm, current_edge, parts,
+                                        edge_buffer, holes, test_point)
+        if found_it is None:
+            return False
+        if found_it:
+            stopping_point = edge_buffer.pick_one()
+            current_edge = stopping_point
+            continue
+        current_edge = edge_buffer.get_next(current_edge)
+        if current_edge is stopping_point:
+            break
+
+    found_bad_edge = False
+    for check_edge in list(edge_buffer.iterate()):
+        flipped = check_edge.plane.reversed()
+        for confirm_edge in edge_buffer.iterate():
+            if confirm_edge is check_edge:
+                continue
+            the_point = None
+            if (check_edge.start is not confirm_edge.start
+                    and check_edge.end is not confirm_edge.start
+                    and not flipped.is_within(confirm_edge.start.x,
+                                              confirm_edge.start.y,
+                                              confirm_edge.start.z)):
+                the_point = confirm_edge.start
+            elif (check_edge.start is not confirm_edge.end
+                  and check_edge.end is not confirm_edge.end
+                  and not flipped.is_within(confirm_edge.end.x,
+                                            confirm_edge.end.y,
+                                            confirm_edge.end.z)):
+                the_point = confirm_edge.end
+            if the_point is not None:
+                found_bad_edge = True
+                if _are_points_coplanar(check_edge.start, check_edge.end,
+                                        the_point):
+                    continue
+                # triangle tile of (start, end, thePoint)
+                third_points = [check_edge.start, check_edge.end,
+                                the_point]
+                try:
+                    parts.append(_convex_from_points(pm, third_points,
+                                                     holes))
+                except ValueError as e:
+                    raise _TileError(str(e))
+                # part preceding the bad edge, back to thePoint
+                loop_edge = edge_buffer.get_previous(check_edge)
+                first_part: List[GeoPoint3D] = []
+                while True:
+                    first_part.append(loop_edge.end)
+                    if loop_edge.end is the_point:
+                        break
+                    loop_edge = edge_buffer.get_previous(loop_edge)
+                if not _build_polygon_shape(
+                        parts, seen_concave, pm, first_part, {},
+                        len(first_part) - 1, 0,
+                        SidedPlane.through_origin(
+                            check_edge.end, check_edge.start, the_point,
+                            on_side=False),
+                        holes, test_point):
+                    return False
+                second_part: List[GeoPoint3D] = []
+                loop_edge = edge_buffer.get_next(check_edge)
+                while True:
+                    second_part.append(loop_edge.start)
+                    if loop_edge.start is the_point:
+                        break
+                    loop_edge = edge_buffer.get_next(loop_edge)
+                if not _build_polygon_shape(
+                        parts, seen_concave, pm, second_part, {},
+                        len(second_part) - 1, 0,
+                        SidedPlane.through_origin(
+                            check_edge.start, check_edge.end, the_point,
+                            on_side=False),
+                        holes, test_point):
+                    return False
+                return True
+    if found_bad_edge:
+        raise _TileError("Could not tile polygon; pathological "
+                         "coplanarity")
+    return _make_concave_part(pm, parts, seen_concave, edge_buffer, holes,
+                              test_point)
+
+
+def _generate_geo_polygon(pm, filtered, holes, test_point,
+                          test_point_inside) -> GeoShape3D:
+    """GeoPolygonFactory.generateGeoPolygon:543-626 — try one siding of
+    the initial edge; use the test point to decide whether to keep the
+    result or rebuild with the complement siding."""
+    initial = SidedPlane.through_origin(test_point, filtered[0],
+                                        filtered[1])
+
+    def build(start_plane, tp):
+        parts: List[GeoShape3D] = []
+        seen = [False]
+        ok = _build_polygon_shape(parts, seen, pm, filtered, {}, 0, 1,
+                                  start_plane, holes, tp)
+        return ok, parts
+
+    def as_shape(parts):
+        return GeoShape3D(pm, _Or(*[p.membership for p in parts]),
+                          "GeoCompositePolygon")
+
+    ok, parts = build(initial, test_point)
+    if not ok:
+        if test_point_inside:
+            _, parts = build(initial, None)
+            return as_shape(parts)
+        _, parts = build(initial.reversed(), None)
+        return as_shape(parts)
+    if not test_point_inside:
+        return as_shape(parts)
+    _, parts = build(initial.reversed(), None)
+    return as_shape(parts)
+
+
+def make_geo_polygon(pm: PlanetModel,
+                     lat_lon_points: Sequence[Tuple[float, float]],
+                     holes: Sequence[GeoShape3D] = ()) -> GeoShape3D:
+    """GeoPolygonFactory.makeGeoPolygon:302-365 — the reference's
+    standard polygon entry point (Geo3DPoint.newPolygonQuery →
+    Geo3DUtil.fromPolygon): an arbitrary SIMPLE polygon whose winding
+    determines the inside (clockwise-from-inside, like ESRI), tiled
+    into convex parts plus at most one concave part.  Points in
+    radians, no repeated last point; note the reference's conversion
+    REVERSES the API point order before reaching the factory
+    (Geo3DUtil.fromPolygon:218-222).
+
+    The TileException fallback (pathological coplanarities) and
+    >100-edge polygons route to GeoComplexPolygon in the reference,
+    which is out of scope here — those raise NotImplementedError."""
+    pts = [GeoPoint3D.from_lat_lon(pm, lat, lon)
+           for lat, lon in lat_lon_points]
+    if len(pts) > 100:
+        raise NotImplementedError(
+            "more than SMALL_POLYGON_CUTOFF_EDGES=100 edges routes to "
+            "GeoComplexPolygon in the reference — out of scope")
+    first_filtered = _factory_filter_points(pts)
+    if first_filtered is None:
+        raise ValueError("polygon is degenerate after point filtering")
+    filtered = _factory_filter_edges(first_filtered, 0.0)
+    if filtered is None:
+        raise ValueError("polygon is degenerate after edge filtering")
+    holes = list(holes)
+    try:
+        center = _create_surface_point(
+            pm, sum(p.x for p in filtered), sum(p.y for p in filtered),
+            sum(p.z for p in filtered))
+        is_center_inside = _is_inside_polygon(center, filtered)
+        if is_center_inside is not None:
+            return _generate_geo_polygon(pm, filtered, holes, center,
+                                         is_center_inside)
+        rng = _JavaRandom(1234)
+        for _ in range(1000000):
+            pole = _pick_pole(rng, pm, filtered)
+            is_pole_inside = _is_inside_polygon(pole, filtered)
+            if is_pole_inside is not None:
+                return _generate_geo_polygon(pm, filtered, holes, pole,
+                                             is_pole_inside)
+        raise ValueError("cannot find a point that is inside the polygon")
+    except _TileError as e:
+        raise NotImplementedError(
+            "polygon tiling failed (%s); the reference falls back to "
+            "GeoComplexPolygon, which is out of scope" % e)
+
+
+def geo_polygon_from_degrees(
+        pm: PlanetModel,
+        lat_lon_deg_points: Sequence[Tuple[float, float]],
+        hole_point_lists: Sequence[Sequence[Tuple[float, float]]] = ()
+) -> GeoShape3D:
+    """Geo3DUtil.fromPolygon:197-227 (Geo3DPoint.newPolygonQuery):
+    degree points, WITHOUT the repeated last point, are REVERSED and
+    fed to GeoPolygonFactory.makeGeoPolygon; holes use the same
+    winding sense as the outer ring and are built recursively."""
+    holes = [geo_polygon_from_degrees(pm, hp) for hp in hole_point_lists]
+    pts = [(la * RADIANS_PER_DEGREE, lo * RADIANS_PER_DEGREE)
+           for la, lo in reversed(list(lat_lon_deg_points))]
+    return make_geo_polygon(pm, pts, holes)
 
 
 class _PathSegment:

@@ -22,7 +22,7 @@ from lucene_spark.operators.geo3d import (
     geo3d_xyz_sql_ctes, geo_bbox_from_degrees, geo_circle_from_meters,
     make_composite, make_concave_polygon, make_convex_polygon,
     make_exact_geo_circle, make_geo_bbox, make_geo_circle, make_geo_path,
-    with_geo3d_xyz)
+    make_geo_polygon, with_geo3d_xyz)
 
 GOLD = os.path.join(os.path.dirname(__file__), "data", "lucene_diff",
                     "geo3d_fuzz.tsv.gz")
@@ -73,6 +73,18 @@ def _build_shape(spec):
         pts = [(float(args[2 + 2 * i]), float(args[3 + 2 * i]))
                for i in range(n)]
         return pm, key, make_geo_path(pm, pts, cutoff)
+    if kind == "FACTPOLY":
+        n = int(float(args[0]))
+        poly = [(float(args[1 + 2 * i]), float(args[2 + 2 * i]))
+                for i in range(n)]
+        rest = args[1 + 2 * n:]
+        holes = []
+        if rest and rest[0] == "H":
+            hn = int(float(rest[1]))
+            hp = [(float(rest[2 + 2 * i]), float(rest[3 + 2 * i]))
+                  for i in range(hn)]
+            holes = [make_geo_polygon(pm, hp)]
+        return pm, key, make_geo_polygon(pm, poly, holes)
     n = int(float(args[0]))
     poly = [(float(args[1 + 2 * i]), float(args[2 + 2 * i]))
             for i in range(n)]
@@ -135,7 +147,7 @@ def test_shape_membership_bit_exact():
             "GeoWideDegenerateHorizontalLine", "GeoDegenerateVerticalLine",
             "GeoDegeneratePoint", "GeoStandardCircle", "GeoConvexPolygon",
             "GeoConcavePolygon", "GeoStandardPath",
-            "GeoExactCircle"} <= seen_kinds
+            "GeoExactCircle", "GeoCompositePolygon"} <= seen_kinds
 
 
 def test_docvalue_encoder_bit_exact():
