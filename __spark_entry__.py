@@ -6733,21 +6733,30 @@ FROM g3d_xyz ORDER BY doc_id LIMIT 25"""
 
 
 def _geo3d_nearest_sql(k: int = 10) -> str:
-    import math as _m
-
     from lucene_spark.operators.geo3d import (RADIANS_PER_DEGREE, WGS84,
-                                              GeoPoint3D, geo3d_xyz_sql_ctes)
+                                              GeoPoint3D, _dv_roundtrip_sql,
+                                              geo3d_xyz_sql_ctes)
     c = GeoPoint3D.from_lat_lon(WGS84, _G3D_CENTER[0] * RADIANS_PER_DEGREE,
                                 _G3D_CENTER[1] * RADIANS_PER_DEGREE)
     cmag = c.magnitude()
-    arc = (f"acos(least(greatest(({c.x!r} * g3d_x + {c.y!r} * g3d_y + "
-           f"{c.z!r} * g3d_z) / ({cmag!r} * sqrt(g3d_x * g3d_x + "
-           f"g3d_y * g3d_y + g3d_z * g3d_z)), -1.0), 1.0))")
+    enc = WGS84.doc_value_encoder
+    # the reference comparator decodes the 21-bit docvalue grid
+    dx = _dv_roundtrip_sql("g3d_x", enc.min_x, enc.x_factor,
+                           enc.inverse_x_factor)
+    dy = _dv_roundtrip_sql("g3d_y", enc.min_y, enc.y_factor,
+                           enc.inverse_y_factor)
+    dz = _dv_roundtrip_sql("g3d_z", enc.min_z, enc.z_factor,
+                           enc.inverse_z_factor)
+    arc = (f"acos(least(greatest(({c.x!r} * dvx + {c.y!r} * dvy + "
+           f"{c.z!r} * dvz) / ({cmag!r} * sqrt(dvx * dvx + "
+           f"dvy * dvy + dvz * dvz)), -1.0), 1.0))")
     return f"""
 WITH {_GEO_SQL_COORDS.strip()},
-{geo3d_xyz_sql_ctes("geo", WGS84)}
+{geo3d_xyz_sql_ctes("geo", WGS84, quantize=False)},
+dv AS (SELECT doc_id, {dx} AS dvx, {dy} AS dvy, {dz} AS dvz
+       FROM g3d_xyz)
 SELECT doc_id, CAST(floor(arc * 1000000) AS BIGINT) AS arc_q6
-FROM (SELECT doc_id, {arc} AS arc FROM g3d_xyz)
+FROM (SELECT doc_id, {arc} AS arc FROM dv)
 ORDER BY arc ASC, doc_id ASC LIMIT {k}"""
 
 

@@ -33,13 +33,15 @@ quantization (``encodeValue``/``decodeValue``), plane construction
 ported operation-for-operation, so membership of the quantized point
 set matches the reference bit-for-bit up to libm's ``sin``/``cos``
 (JVM vs C library, same caveat as the documented q77 differential
-ulp).  Scope: the full ``GeoBBoxFactory`` family, standard circles,
-and convex/concave/composite polygons with holes.  Out of scope with
-rationale: ``GeoPolygonFactory``'s automatic concave/convex
-decomposition and ``GeoComplexPolygon`` (the caller states the
-winding class explicitly here), ``GeoStandardPath`` buffers, and the
-``GeoExactCircle`` ellipsoid refinement (callers on WGS84 accept the
-standard-circle cutoff, as ``GeoCircleFactory.makeGeoCircle`` does).
+ulp).  Scope: the full ``GeoBBoxFactory`` family, standard AND exact
+(Vincenty surface-distance) circles, convex/concave/composite
+polygons with holes, the full ``GeoPolygonFactory.makeGeoPolygon``
+tiler (``newPolygonQuery`` end-to-end), ``GeoStandardPath`` buffers,
+and the ``Geo3DDocValuesField`` 21-bit packing.  Out of scope with
+rationale: ``GeoComplexPolygon`` (the tiler's TileException fallback
+for pathological coplanarities — raises ``NotImplementedError``
+rather than silently approximating) and ``GeoDegeneratePath``
+(zero-width lines match nothing meaningful on quantized points).
 """
 
 from __future__ import annotations
@@ -359,6 +361,19 @@ WGS84 = PlanetModel(6378137.0, 6356752.314245)
 CLARKE_1866 = PlanetModel(6378206.4, 6356583.8)
 
 
+def _check_lat_deg(v: float) -> None:
+    # org.apache.lucene.geo.GeoUtils.checkLatitude (Geo3DUtil callers)
+    if math.isnan(v) or v < -90.0 or v > 90.0:
+        raise ValueError("invalid latitude %r; must be between -90.0 and "
+                         "90.0" % v)
+
+
+def _check_lon_deg(v: float) -> None:
+    if math.isnan(v) or v < -180.0 or v > 180.0:
+        raise ValueError("invalid longitude %r; must be between -180.0 "
+                         "and 180.0" % v)
+
+
 class GeoPoint3D:
     """geom/GeoPoint.java:62-110 — a point on the planet surface.
     Latitude/longitude are cached when constructed from them (the
@@ -444,7 +459,9 @@ def _perpendicular(ax: float, ay: float, az: float,
         inv = 1.0 / mag
         nx, ny, nz = nx * inv, ny * inv, nz * inv
         i += 1
-        if i > 10:
+        # Java: if (i++ > 10) throw — the 12th adjustment trips the
+        # guard, i.e. old-i > 10 ⇔ new-i > 11
+        if i > 11:
             raise ValueError("Plane could not be constructed")
     return nx, ny, nz
 
@@ -696,6 +713,20 @@ class _True(_Node):
         return "TRUE"
 
 
+class _False(_Node):
+    """Matches nothing (e.g. an empty GeoCompositePolygon — the
+    reference's any-of loop over zero shapes)."""
+
+    def test(self, x, y, z):
+        return False
+
+    def col(self, x, y, z):
+        return F.lit(False)
+
+    def sql(self, x, y, z):
+        return "FALSE"
+
+
 def _lin_sql(p: Plane, x: str, y: str, z: str) -> str:
     return ("({A!r} * {x} + {B!r} * {y} + {C!r} * {z} + {D!r})"
             .format(A=p.A, B=p.B, C=p.C, D=p.D, x=x, y=y, z=z))
@@ -790,12 +821,16 @@ class _And(_Node):
         return all(k.test(x, y, z) for k in self.kids)
 
     def col(self, x, y, z):
+        if not self.kids:
+            return F.lit(True)
         out = self.kids[0].col(x, y, z)
         for k in self.kids[1:]:
             out = out & k.col(x, y, z)
         return out
 
     def sql(self, x, y, z):
+        if not self.kids:
+            return "TRUE"
         return "(" + " AND ".join(k.sql(x, y, z) for k in self.kids) + ")"
 
 
@@ -807,12 +842,16 @@ class _Or(_Node):
         return any(k.test(x, y, z) for k in self.kids)
 
     def col(self, x, y, z):
+        if not self.kids:
+            return F.lit(False)
         out = self.kids[0].col(x, y, z)
         for k in self.kids[1:]:
             out = out | k.col(x, y, z)
         return out
 
     def sql(self, x, y, z):
+        if not self.kids:
+            return "FALSE"
         return "(" + " OR ".join(k.sql(x, y, z) for k in self.kids) + ")"
 
 
@@ -885,7 +924,10 @@ def make_geo_circle(pm: PlanetModel, lat: float, lon: float,
 
 def geo_circle_from_meters(pm: PlanetModel, lat_deg: float, lon_deg: float,
                            radius_meters: float) -> GeoShape3D:
-    """Geo3DUtil.fromDistance:152-162 — radians = meters / meanRadius."""
+    """Geo3DUtil.fromDistance:152-162 — radians = meters / meanRadius
+    (checkLatitude/checkLongitude like the reference)."""
+    _check_lat_deg(lat_deg)
+    _check_lon_deg(lon_deg)
     return make_geo_circle(pm, lat_deg * RADIANS_PER_DEGREE,
                            lon_deg * RADIANS_PER_DEGREE,
                            radius_meters / pm.mean_radius)
@@ -1229,7 +1271,12 @@ def make_geo_bbox(pm: PlanetModel, top_lat: float, bottom_lat: float,
 
 def geo_bbox_from_degrees(pm: PlanetModel, min_lat: float, max_lat: float,
                           min_lon: float, max_lon: float) -> GeoShape3D:
-    """Geo3DUtil.fromBox:173-189 (degrees → radians → factory)."""
+    """Geo3DUtil.fromBox:173-189 (degrees → radians → factory, with
+    the reference's checkLatitude/checkLongitude validation)."""
+    _check_lat_deg(min_lat)
+    _check_lat_deg(max_lat)
+    _check_lon_deg(min_lon)
+    _check_lon_deg(max_lon)
     return make_geo_bbox(pm, max_lat * RADIANS_PER_DEGREE,
                          min_lat * RADIANS_PER_DEGREE,
                          min_lon * RADIANS_PER_DEGREE,
@@ -1238,10 +1285,14 @@ def geo_bbox_from_degrees(pm: PlanetModel, min_lat: float, max_lat: float,
 
 def _polygon_edges(pm: PlanetModel, points: Sequence[GeoPoint3D],
                    on_side: bool) -> List[SidedPlane]:
-    """GeoConvexPolygon.done:215-239 / GeoConcavePolygon (same walk,
+    """GeoConvexPolygon.done:215-275 / GeoConcavePolygon (same walk,
     opposite sidedness): edge i is the great-circle plane through
     points[i], points[i+1]; the sidedness check point is the next
-    point NOT on that plane."""
+    point NOT on that plane.  Includes the reference's brother-bounds
+    validation ("polygon has a side that is more than 180 degrees" /
+    "Constructed planes are all coplanar") — for the concave role the
+    checks run against the REVERSED planes, as the reference checks
+    invertedEdges."""
     n = len(points)
     if n < 3:
         raise ValueError("Polygon needs at least three points")
@@ -1258,6 +1309,32 @@ def _polygon_edges(pm: PlanetModel, points: Sequence[GeoPoint3D],
         if check is None:
             raise ValueError("Polygon points are all coplanar")
         edges.append(SidedPlane.from_plane(plane, check, on_side))
+    # GeoConvexPolygon.java:245-275 (convex) / GeoConcavePolygon's
+    # mirrored loop over invertedEdges (concave)
+    check_planes = edges if on_side else [e.reversed() for e in edges]
+    for i in range(n):
+        e = check_planes[i]
+        b1 = (i + 1) % n
+        while _planes_numerically_identical(check_planes[b1], e):
+            if b1 == i:
+                raise ValueError("Constructed planes are all coplanar")
+            b1 = (b1 + 1) % n
+        b2 = (i - 1) % n
+        while _planes_numerically_identical(check_planes[b2], e):
+            if b2 == i:
+                raise ValueError("Constructed planes are all coplanar")
+            b2 = (b2 - 1) % n
+        k = b2
+        while True:
+            k = (k + 1) % n
+            if k == b1:
+                break
+            p = points[k]
+            if (not check_planes[b1].is_within(p.x, p.y, p.z)
+                    or not check_planes[b2].is_within(p.x, p.y, p.z)):
+                raise ValueError(
+                    ("Convex" if on_side else "Concave")
+                    + " polygon has a side that is more than 180 degrees")
     return edges
 
 
@@ -1372,7 +1449,9 @@ def _cross_evaluate_is_zero(a, b, p) -> bool:
         inv = 1.0 / mag
         nx, ny, nz = nx * inv, ny * inv, nz * inv
         i += 1
-        if i > 10:
+        # Java: if (i++ > 10) throw — the 12th adjustment trips the
+        # guard, i.e. old-i > 10 ⇔ new-i > 11
+        if i > 11:
             raise ValueError("Plane could not be constructed")
     return abs(nx * p.x + ny * p.y + nz * p.z) < MINIMUM_RESOLUTION
 
@@ -2027,7 +2106,8 @@ def _generate_geo_polygon(pm, filtered, holes, test_point,
 
 def make_geo_polygon(pm: PlanetModel,
                      lat_lon_points: Sequence[Tuple[float, float]],
-                     holes: Sequence[GeoShape3D] = ()) -> GeoShape3D:
+                     holes: Sequence[GeoShape3D] = ()
+                     ) -> Optional[GeoShape3D]:
     """GeoPolygonFactory.makeGeoPolygon:302-365 — the reference's
     standard polygon entry point (Geo3DPoint.newPolygonQuery →
     Geo3DUtil.fromPolygon): an arbitrary SIMPLE polygon whose winding
@@ -2035,23 +2115,24 @@ def make_geo_polygon(pm: PlanetModel,
     into convex parts plus at most one concave part.  Points in
     radians, no repeated last point; note the reference's conversion
     REVERSES the API point order before reaching the factory
-    (Geo3DUtil.fromPolygon:218-222).
+    (Geo3DUtil.fromPolygon:218-222).  Degenerate input (fewer than 3
+    distinct/non-coplanar points after filtering) returns ``None``,
+    exactly like the reference — callers decide (fromPolygon skips
+    None holes and maps a None outer ring to a match-nothing shape).
 
-    The TileException fallback (pathological coplanarities) and
-    >100-edge polygons route to GeoComplexPolygon in the reference,
-    which is out of scope here — those raise NotImplementedError."""
+    The TileException fallback (pathological coplanarities) routes to
+    GeoComplexPolygon in the reference, which is out of scope here —
+    it raises NotImplementedError.  (The >100-edge shortcut belongs
+    only to the PolygonDescription overload, :190 — this path tiles
+    any size, like the reference's List<GeoPoint> overload.)"""
     pts = [GeoPoint3D.from_lat_lon(pm, lat, lon)
            for lat, lon in lat_lon_points]
-    if len(pts) > 100:
-        raise NotImplementedError(
-            "more than SMALL_POLYGON_CUTOFF_EDGES=100 edges routes to "
-            "GeoComplexPolygon in the reference — out of scope")
     first_filtered = _factory_filter_points(pts)
     if first_filtered is None:
-        raise ValueError("polygon is degenerate after point filtering")
+        return None
     filtered = _factory_filter_edges(first_filtered, 0.0)
     if filtered is None:
-        raise ValueError("polygon is degenerate after edge filtering")
+        return None
     holes = list(holes)
     try:
         center = _create_surface_point(
@@ -2083,11 +2164,19 @@ def geo_polygon_from_degrees(
     """Geo3DUtil.fromPolygon:197-227 (Geo3DPoint.newPolygonQuery):
     degree points, WITHOUT the repeated last point, are REVERSED and
     fed to GeoPolygonFactory.makeGeoPolygon; holes use the same
-    winding sense as the outer ring and are built recursively."""
-    holes = [geo_polygon_from_degrees(pm, hp) for hp in hole_point_lists]
+    winding sense as the outer ring and are built recursively.
+    Like the reference (:79-84,204-207), degenerate holes are skipped
+    and a degenerate outer ring yields an empty composite (matches
+    nothing)."""
+    holes = [h for h in (geo_polygon_from_degrees(pm, hp)
+                         for hp in hole_point_lists)
+             if h is not None and h.kind != "GeoCompositePolygon(empty)"]
     pts = [(la * RADIANS_PER_DEGREE, lo * RADIANS_PER_DEGREE)
            for la, lo in reversed(list(lat_lon_deg_points))]
-    return make_geo_polygon(pm, pts, holes)
+    shape = make_geo_polygon(pm, pts, holes)
+    if shape is None:
+        return GeoShape3D(pm, _False(), "GeoCompositePolygon(empty)")
+    return shape
 
 
 class _PathSegment:
@@ -2267,7 +2356,11 @@ def geo_path_from_meters(pm: PlanetModel,
                          lat_lon_deg_points: Sequence[Tuple[float, float]],
                          path_width_meters: float) -> GeoShape3D:
     """Geo3DUtil.fromPath:123-141 — width is divided by
-    meanRadius * xyScaling (unlike circles, which use meanRadius)."""
+    meanRadius * xyScaling (unlike circles, which use meanRadius);
+    checkLatitude/checkLongitude per point like the reference."""
+    for la, lo in lat_lon_deg_points:
+        _check_lat_deg(la)
+        _check_lon_deg(lo)
     radius = path_width_meters / (pm.mean_radius * pm.xy_scaling)
     return make_geo_path(
         pm, [(la * RADIANS_PER_DEGREE, lo * RADIANS_PER_DEGREE)
@@ -2365,6 +2458,20 @@ def geo3d_xyz_sql_ctes(source: str, pm: PlanetModel = WGS84,
             + " FROM g3d_trig)")
 
 
+def _dv_roundtrip_col(v: Column, vmin: float, factor: float,
+                      inverse_factor: float) -> Column:
+    """decode(encode(v)) on the DocValueEncoder 21-bit grid, as a
+    Catalyst expression."""
+    enc = F.floor((v - F.lit(vmin)) * F.lit(factor) + F.lit(0.5))
+    return enc.cast("double") * F.lit(inverse_factor) + F.lit(vmin)
+
+
+def _dv_roundtrip_sql(v: str, vmin: float, factor: float,
+                      inverse_factor: float) -> str:
+    return ("(floor(({v} - {mn!r}) * {f!r} + 0.5) * {inv!r} + {mn!r})"
+            .format(v=v, mn=vmin, f=factor, inv=inverse_factor))
+
+
 def with_geo3d_docvalue(df: DataFrame, pm: PlanetModel = WGS84,
                         lat_col: str = "lat", lon_col: str = "lon",
                         out_col: str = "g3d_dv") -> DataFrame:
@@ -2433,14 +2540,25 @@ def geo3d_nearest(df: DataFrame, lat_deg: float, lon_deg: float, k: int,
                   lon_col: str = "lon",
                   tiebreak: Optional[Sequence[str]] = None) -> DataFrame:
     """Geo3DPointSortField role with DistanceStyle.ARC
-    (``geom/ArcDistance.java`` → ``GeoPoint.arcDistance``:
+    (``Geo3DPointDistanceComparator.java:114-177``: the comparator
+    decodes the 21-bit-per-axis DOCVALUE point — not the 32-bit BKD
+    quantization — then ``GeoPoint.arcDistance``:
     safeAcos(dot / (|center|·|point|))): adds ``arc_rad`` and returns
     the k nearest rows.  Catalyst sort + limit = per-partition top-k
     below the exchange (TakeOrderedAndProject), k·P rows to the merge."""
     center = GeoPoint3D.from_lat_lon(pm, lat_deg * RADIANS_PER_DEGREE,
                                      lon_deg * RADIANS_PER_DEGREE)
     cmag = center.magnitude()
-    xe, ye, ze = _xyz_exprs(pm, F.col(lat_col), F.col(lon_col), True)
+    xe, ye, ze = _xyz_exprs(pm, F.col(lat_col), F.col(lon_col),
+                            quantize=False)
+    # the sort sees decode(encode(·)) on the DocValueEncoder grid
+    enc = pm.doc_value_encoder
+    xe = _dv_roundtrip_col(xe, enc.min_x, enc.x_factor,
+                           enc.inverse_x_factor)
+    ye = _dv_roundtrip_col(ye, enc.min_y, enc.y_factor,
+                           enc.inverse_y_factor)
+    ze = _dv_roundtrip_col(ze, enc.min_z, enc.z_factor,
+                           enc.inverse_z_factor)
     # same generator barrier as geo3d_shape_query: placement computed
     # once, the arc expression references plain struct fields
     tmp = df.select(
