@@ -2491,16 +2491,29 @@ def with_geo3d_docvalue(df: DataFrame, pm: PlanetModel = WGS84,
 def geo3d_shape_query(df: DataFrame, shape: GeoShape3D,
                       lat_col: str = "lat", lon_col: str = "lon",
                       quantize: bool = True,
-                      prefix: str = "g3d_") -> DataFrame:
+                      prefix: str = "g3d_",
+                      prefilter_box: Optional[Tuple[float, float, float,
+                                                    float]] = None
+                      ) -> DataFrame:
     """Geo3DPoint.newShapeQuery role: rows whose quantized surface
     point is within the shape.
 
     If the frame already carries materialized ``g3d_x/y/z`` columns
     (the reference's own architecture — Geo3DPoint encodes at INDEX
     time, so at scale you add them once at write time via
-    ``with_geo3d_xyz`` and let parquet row-group min/max stats prune
-    shape queries like BKD inner nodes), the filter is a tiny
-    whole-stage-codegen'd predicate over those columns.
+    ``with_geo3d_xyz``), the filter is a tiny whole-stage-codegen'd
+    predicate over those columns.
+
+    Plane predicates are compound expressions, so they are NOT pushed
+    to the parquet reader as data filters — the BKD-inner-node
+    pruning role is played by ``prefilter_box``: a conservative
+    ``(min_lat, max_lat, min_lon, max_lon)`` degree box around the
+    shape, applied as SIMPLE comparisons on the lat/lon columns ahead
+    of the exact membership predicate.  Those comparisons DO push down
+    (``PushedFilters`` on the scan) and engage row-group min/max
+    pruning on a lat- or lon-sorted layout — the standard
+    two-phase shape the reference itself uses for LatLonPoint
+    (box prefilter + exact residual, ``operators/geo.py``).
 
     Otherwise the placement is computed inline BEHIND A GENERATOR
     BARRIER: a bare projection would be re-inlined by predicate
@@ -2511,6 +2524,17 @@ def geo3d_shape_query(df: DataFrame, shape: GeoShape3D,
     push a filter through, so the placement is computed exactly once
     and the whole chain (Project → Generate → Filter) stays inside one
     whole-stage-codegen span."""
+    if prefilter_box is not None:
+        min_lat, max_lat, min_lon, max_lon = prefilter_box
+        cond = ((F.col(lat_col) >= F.lit(min_lat))
+                & (F.col(lat_col) <= F.lit(max_lat)))
+        if min_lon <= max_lon:
+            cond &= ((F.col(lon_col) >= F.lit(min_lon))
+                     & (F.col(lon_col) <= F.lit(max_lon)))
+        else:   # dateline crossing
+            cond &= ((F.col(lon_col) >= F.lit(min_lon))
+                     | (F.col(lon_col) <= F.lit(max_lon)))
+        df = df.filter(cond)
     cols = set(df.columns)
     if {prefix + "x", prefix + "y", prefix + "z"} <= cols:
         return df.filter(shape.predicate(

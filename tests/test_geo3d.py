@@ -310,6 +310,26 @@ def _g3d_test_polygon():
              [(3.617, -57.413), (-1.231, -54.917), (2.819, -51.713)]])])
 
 
+def test_prefilter_box_pushdown(spark, geo_df, tmp_path):
+    """The conservative lat/lon prefilter box plays the BKD-inner-node
+    pruning role: simple comparisons that reach the parquet scan's
+    PushedFilters (row-group min/max pruning on a sorted layout),
+    without changing the exact member set."""
+    out = str(tmp_path / "pts.parquet")
+    geo_df.orderBy("lat").write.mode("overwrite").parquet(out)
+    stored = spark.read.parquet(out)
+    shape = geo_circle_from_meters(WGS84, 12.5, -33.25, 2_200_000.0)
+    boxed = geo3d_shape_query(stored, shape,
+                              prefilter_box=(-9.0, 34.0, -55.0, -12.0))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = boxed._jdf.queryExecution().explainString(mode)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "GreaterThanOrEqual(lat,-9.0)" in pushed[0]
+    got = sorted(r.doc_id for r in boxed.select("doc_id").collect())
+    assert got == _py_members(WGS84, shape)
+
+
 def test_duckdb_twin_matches_python(geo_df):
     """The SQL emission (geo3d_xyz_sql_ctes + sql_predicate) evaluated
     by DuckDB returns the same member set as the scalar port."""
